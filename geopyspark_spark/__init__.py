@@ -1,0 +1,59 @@
+"""geopyspark_spark — a PySpark-native tiled-raster / geospatial analytics engine.
+
+A ground-up DataFrame-first re-expression of the capabilities of
+geotrellis/geopyspark (reference at /root/reference, read-only): tiled
+multiband raster layers as DataFrames of (key_col, key_row[, instant],
+band, cells:array<double>) plus a broadcastable metadata record, with all
+map algebra as Catalyst expressions and only stencil/mask kernels in
+Arrow-batched pandas UDFs.
+
+Quick start::
+
+    import geopyspark_spark as gps
+    layer = gps.from_numpy(spark, tiles, metadata)
+    ndvi = (nir - red) / (nir + red)
+    stats = layer.polygonal_mean("POLYGON ((...))")
+"""
+
+from .core.celltype import CellTypeInfo, nodata_of, parse_cell_type
+from .core.extent import (
+    Extent,
+    GlobalLayout,
+    LayoutDefinition,
+    LocalLayout,
+    TileLayout,
+)
+from .core.geom import MultiPolygon, Point, Polygon, box, from_wkb, from_wkt, to_wkb, to_wkt
+from .core.keys import KeyTransform
+from .core.metadata import LayerMetadata
+from .layer import Pyramid, TiledRasterLayer, combine_bands, union
+from .sources.numpy_source import from_numpy, to_numpy
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CellTypeInfo",
+    "Extent",
+    "GlobalLayout",
+    "KeyTransform",
+    "LayerMetadata",
+    "LayoutDefinition",
+    "LocalLayout",
+    "MultiPolygon",
+    "Point",
+    "Polygon",
+    "Pyramid",
+    "TileLayout",
+    "TiledRasterLayer",
+    "box",
+    "combine_bands",
+    "from_numpy",
+    "from_wkb",
+    "from_wkt",
+    "nodata_of",
+    "parse_cell_type",
+    "to_numpy",
+    "to_wkb",
+    "to_wkt",
+    "union",
+]

@@ -1,0 +1,142 @@
+"""Cell-type registry: scalar types + NoData semantics.
+
+Re-expresses the reference's cell-type string system
+(``/root/reference/geopyspark/geotrellis/constants.py:185-230`` —
+``CellType`` enum + ``create_user_defined_celltype``) and the per-type
+default NoData table (``/root/reference/geopyspark/geotrellis/__init__.py:761-780``).
+
+A cell type is a string like ``int32`` / ``float32raw`` / ``float32ud-1.0``:
+
+- base name: ``bool | (u)int8 | (u)int16 | int32 | float32 | float64``
+  (aliases ``float``/``double`` accepted)
+- ``raw`` suffix  -> no NoData value
+- ``ud<value>``   -> user-defined NoData
+- bare name       -> default NoData sentinel for the type
+
+In the Spark-native engine cells ride as ``array<double>`` columns (or
+binary) and NoData is an explicit ``nodata`` double carried in the layer
+metadata; kernels consult :func:`nodata_of` / :class:`CellTypeInfo`.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+
+# base name -> (numpy dtype name, default nodata, is_float, (min, max))
+_BASE = {
+    "bool": ("uint8", None, False, (0, 1)),
+    "uint8": ("uint8", 0, False, (0, 255)),
+    "uint16": ("uint16", 0, False, (0, 65535)),
+    "int8": ("int8", -128, False, (-128, 127)),
+    "int16": ("int16", -32768, False, (-32768, 32767)),
+    "int32": ("int32", -2147483648, False, (-2147483648, 2147483647)),
+    "float32": ("float32", float("nan"), True, None),
+    "float64": ("float64", float("nan"), True, None),
+}
+
+_ALIASES = {
+    "byte": "int8",
+    "ubyte": "uint8",
+    "short": "int16",
+    "ushort": "uint16",
+    "int": "int32",
+    "float": "float32",
+    "double": "float64",
+}
+
+#: Reference's NO_DATA_INT (constants.py:13)
+NO_DATA_INT = -2147483648
+
+_CT_RE = re.compile(r"^([a-z0-9]+?)(raw|ud(-?[0-9.eE+-]+))?$")
+
+
+@dataclass(frozen=True)
+class CellTypeInfo:
+    """Parsed cell type: base scalar type + NoData policy."""
+
+    name: str           # normalized full string, e.g. "float32ud-1.0"
+    base: str           # e.g. "float32"
+    dtype: str          # numpy dtype name
+    nodata: float | None  # None => raw (no NoData)
+    is_float: bool
+
+    @property
+    def has_nodata(self) -> bool:
+        return self.nodata is not None and not (
+            isinstance(self.nodata, float) and math.isnan(self.nodata) and False
+        )
+
+
+def parse_cell_type(cell_type: str) -> CellTypeInfo:
+    """Parse a cell-type string into its components.
+
+    Mirrors the grammar used throughout the reference (e.g.
+    ``layer.py:763-775`` builds ``newtype + 'ud' + value``).
+    """
+    s = cell_type.strip().lower()
+    m = _CT_RE.match(s)
+    if not m:
+        raise ValueError(f"unparseable cell type: {cell_type!r}")
+    base, suffix, ud_val = m.group(1), m.group(2), m.group(3)
+    base = _ALIASES.get(base, base)
+    if base not in _BASE:
+        raise ValueError(f"unknown cell type base: {cell_type!r}")
+    dtype, default_nd, is_float, bounds = _BASE[base]
+    if suffix is None:
+        nodata = default_nd
+        name = base
+    elif suffix == "raw":
+        nodata = None
+        name = base + "raw"
+    else:
+        v = float(ud_val)
+        if not is_float:
+            iv = int(v)
+            if bounds and not (bounds[0] <= iv <= bounds[1]):
+                raise ValueError(
+                    f"user-defined nodata {iv} out of range for {base}"
+                )
+            v = float(iv)
+        nodata = v
+        # normalize: int types print integral nodata without ".0"
+        nd_str = repr(int(v)) if not is_float and v == int(v) else repr(v)
+        name = f"{base}ud{nd_str}"
+    return CellTypeInfo(name=name, base=base, dtype=dtype, nodata=nodata, is_float=is_float)
+
+
+def nodata_of(cell_type: str) -> float | None:
+    """Default/user NoData sentinel for a cell-type string (or None for raw)."""
+    return parse_cell_type(cell_type).nodata
+
+
+def with_user_nodata(cell_type: str, value: float) -> str:
+    """Return the cell-type string with a user-defined NoData attached
+    (reference ``convert_data_type`` path, ``layer.py:763-775``)."""
+    info = parse_cell_type(cell_type)
+    return parse_cell_type(f"{info.base}ud{value}").name
+
+
+def dtype_to_cell_type(dtype: str) -> str:
+    """numpy dtype name -> cell type (reference ``__init__.py:160-195``)."""
+    d = str(dtype)
+    mapping = {
+        "int8": "int8", "uint8": "uint8", "int16": "int16", "uint16": "uint16",
+        "int32": "int32", "float32": "float32", "float64": "float64",
+        # widenings per the reference: uint32/float16 -> float32; 64-bit ints -> float64
+        "uint32": "float32", "float16": "float32",
+        "int64": "float64", "uint64": "float64",
+    }
+    if d not in mapping:
+        raise ValueError(f"unsupported numpy dtype for cells: {dtype}")
+    return mapping[d]
+
+
+def is_nodata(value: float, nodata: float | None) -> bool:
+    """NoData test that treats NaN sentinels correctly."""
+    if nodata is None or value is None:
+        return value is None
+    if isinstance(nodata, float) and math.isnan(nodata):
+        return isinstance(value, float) and math.isnan(value)
+    return value == nodata

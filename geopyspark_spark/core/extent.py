@@ -1,0 +1,178 @@
+"""Spatial extents, tile layouts, and layout schemes (pure Python, no Spark).
+
+Re-expresses the reference's geometry-of-grids model:
+
+- ``Extent``            -> ``/root/reference/geopyspark/geotrellis/__init__.py:238-283``
+- ``TileLayout``        -> ``__init__.py:418-436``
+- ``LayoutDefinition``  -> ``__init__.py:438-453``
+- ``GlobalLayout``      -> ``__init__.py:349-381`` (power-of-2 world pyramid)
+- ``LocalLayout``       -> ``__init__.py:384-415`` (grid snapped to data extent)
+
+These are the metadata objects broadcast alongside tile DataFrames; all key
+<-> extent math lives in :mod:`geopyspark_spark.core.keys`.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Extent:
+    """Axis-aligned bounding box in CRS units."""
+
+    xmin: float
+    ymin: float
+    xmax: float
+    ymax: float
+
+    @property
+    def width(self) -> float:
+        return self.xmax - self.xmin
+
+    @property
+    def height(self) -> float:
+        return self.ymax - self.ymin
+
+    def intersects(self, other: "Extent") -> bool:
+        return not (
+            self.xmax < other.xmin
+            or other.xmax < self.xmin
+            or self.ymax < other.ymin
+            or other.ymax < self.ymin
+        )
+
+    def intersection(self, other: "Extent") -> "Extent | None":
+        if not self.intersects(other):
+            return None
+        return Extent(
+            max(self.xmin, other.xmin),
+            max(self.ymin, other.ymin),
+            min(self.xmax, other.xmax),
+            min(self.ymax, other.ymax),
+        )
+
+    def combine(self, other: "Extent") -> "Extent":
+        return Extent(
+            min(self.xmin, other.xmin),
+            min(self.ymin, other.ymin),
+            max(self.xmax, other.xmax),
+            max(self.ymax, other.ymax),
+        )
+
+    def buffer(self, d: float) -> "Extent":
+        return Extent(self.xmin - d, self.ymin - d, self.xmax + d, self.ymax + d)
+
+    def to_polygon_wkt(self) -> str:
+        return (
+            f"POLYGON (({self.xmin} {self.ymin}, {self.xmax} {self.ymin}, "
+            f"{self.xmax} {self.ymax}, {self.xmin} {self.ymax}, {self.xmin} {self.ymin}))"
+        )
+
+
+@dataclass(frozen=True)
+class TileLayout:
+    """Grid of tiles: layout_cols x layout_rows tiles of tile_cols x tile_rows cells."""
+
+    layout_cols: int
+    layout_rows: int
+    tile_cols: int
+    tile_rows: int
+
+    @property
+    def total_cols(self) -> int:
+        return self.layout_cols * self.tile_cols
+
+    @property
+    def total_rows(self) -> int:
+        return self.layout_rows * self.tile_rows
+
+
+@dataclass(frozen=True)
+class LayoutDefinition:
+    """An extent + how it is gridded into tiles.
+
+    Row 0 is the TOP row (north-up convention, as in GeoTrellis
+    ``MapKeyTransform``); col 0 is the leftmost column.
+    """
+
+    extent: Extent
+    tile_layout: TileLayout
+
+    @property
+    def cell_width(self) -> float:
+        return self.extent.width / self.tile_layout.total_cols
+
+    @property
+    def cell_height(self) -> float:
+        return self.extent.height / self.tile_layout.total_rows
+
+    @property
+    def tile_width(self) -> float:
+        return self.extent.width / self.tile_layout.layout_cols
+
+    @property
+    def tile_height(self) -> float:
+        return self.extent.height / self.tile_layout.layout_rows
+
+
+# --- Layout schemes -------------------------------------------------------
+
+#: Web-mercator-ish world extent used by GlobalLayout zoomed grids
+WORLD_EXTENT_WM = Extent(
+    -20037508.342789244, -20037508.342789244, 20037508.342789244, 20037508.342789244
+)
+WORLD_EXTENT_LL = Extent(-180.0, -90.0, 180.0, 90.0)
+
+
+@dataclass(frozen=True)
+class GlobalLayout:
+    """Power-of-two pyramid grid (ZXY / slippy-map style).
+
+    Reference: ``__init__.py:349-381``; zoom z => 2^z x 2^z tiles of
+    ``tile_size`` cells over the world extent.
+    """
+
+    tile_size: int = 256
+    zoom: int | None = None
+    threshold: float = 0.1
+
+    def layout_for(self, zoom: int, world: Extent = WORLD_EXTENT_WM) -> LayoutDefinition:
+        n = 2 ** zoom
+        return LayoutDefinition(world, TileLayout(n, n, self.tile_size, self.tile_size))
+
+    def zoom_for(self, extent: Extent, cell_size: float, world: Extent = WORLD_EXTENT_WM) -> int:
+        """Smallest zoom whose resolution is at least as fine as cell_size."""
+        z = 0
+        while z < 30:
+            res = world.width / (2 ** z * self.tile_size)
+            if res <= cell_size * (1 + self.threshold):
+                return z
+            z += 1
+        return z
+
+
+@dataclass(frozen=True)
+class LocalLayout:
+    """Grid snapped to the data's own extent (reference ``__init__.py:384-415``)."""
+
+    tile_cols: int = 256
+    tile_rows: int | None = None
+
+    def layout_for(self, extent: Extent, cell_width: float, cell_height: float) -> LayoutDefinition:
+        tr = self.tile_rows or self.tile_cols
+        tc = self.tile_cols
+        total_cols = max(1, int(math.ceil(extent.width / cell_width)))
+        total_rows = max(1, int(math.ceil(extent.height / cell_height)))
+        layout_cols = int(math.ceil(total_cols / tc))
+        layout_rows = int(math.ceil(total_rows / tr))
+        # snap extent so that the grid covers it exactly (grow to the E/S like
+        # the reference's LocalLayout: anchor at (xmin, ymax))
+        new_extent = Extent(
+            extent.xmin,
+            extent.ymax - layout_rows * tr * cell_height,
+            extent.xmin + layout_cols * tc * cell_width,
+            extent.ymax,
+        )
+        return LayoutDefinition(new_extent, TileLayout(layout_cols, layout_rows, tc, tr))

@@ -1,0 +1,284 @@
+"""Minimal vector geometry for the engine (pure numpy; no shapely/GEOS).
+
+The reference leans on shapely/JTS for geometry predicates
+(``/root/reference/geopyspark/geotrellis/layer.py:2092-2102`` — WKB across
+the boundary; ``TiledRasterLayer.scala:86-95`` — JTS on the Scala side).
+This container has no GEOS, so the engine carries its own small geometry
+kernel sufficient for the raster operators:
+
+- WKT / WKB (little-endian) parse + dump for Point / Polygon / MultiPolygon
+- bounds, box intersection, polygon point-containment (even-odd rule)
+- vectorized cell-center containment tests for rasterize/mask/zonal ops
+  (PixelIsPoint sampling; ``RasterizerOptions`` analogue at
+  ``__init__.py:493-508``)
+
+If shapely is importable it is used for parsing validation only; all hot
+paths are numpy.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# --- geometry types -------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Point:
+    x: float
+    y: float
+
+    @property
+    def bounds(self) -> tuple[float, float, float, float]:
+        return (self.x, self.y, self.x, self.y)
+
+
+@dataclass(frozen=True)
+class Polygon:
+    """Exterior ring + optional holes; rings are [(x, y), ...], closed or open."""
+
+    exterior: tuple[tuple[float, float], ...]
+    holes: tuple[tuple[tuple[float, float], ...], ...] = field(default_factory=tuple)
+
+    @property
+    def bounds(self) -> tuple[float, float, float, float]:
+        xs = [p[0] for p in self.exterior]
+        ys = [p[1] for p in self.exterior]
+        return (min(xs), min(ys), max(xs), max(ys))
+
+    def contains_points(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        """Vectorized even-odd-rule point-in-polygon (boundary points included
+        on lower/left edges per half-open ray-cast convention)."""
+        inside = _ring_contains(self.exterior, x, y)
+        for h in self.holes:
+            inside &= ~_ring_contains(h, x, y)
+        return inside
+
+    def contains_point(self, px: float, py: float) -> bool:
+        return bool(self.contains_points(np.array([px]), np.array([py]))[0])
+
+
+@dataclass(frozen=True)
+class MultiPolygon:
+    polygons: tuple[Polygon, ...]
+
+    @property
+    def bounds(self) -> tuple[float, float, float, float]:
+        bs = [p.bounds for p in self.polygons]
+        return (
+            min(b[0] for b in bs),
+            min(b[1] for b in bs),
+            max(b[2] for b in bs),
+            max(b[3] for b in bs),
+        )
+
+    def contains_points(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        out = np.zeros(x.shape, dtype=bool)
+        for p in self.polygons:
+            out |= p.contains_points(x, y)
+        return out
+
+
+Geometry = Point | Polygon | MultiPolygon
+
+
+def box(xmin: float, ymin: float, xmax: float, ymax: float) -> Polygon:
+    return Polygon(((xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax), (xmin, ymin)))
+
+
+def _ring_contains(ring, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Ray-cast to +x; vectorized over sample points."""
+    pts = list(ring)
+    if pts[0] != pts[-1]:
+        pts = pts + [pts[0]]
+    inside = np.zeros(x.shape, dtype=bool)
+    for (x1, y1), (x2, y2) in zip(pts[:-1], pts[1:]):
+        cond = (y1 > y) != (y2 > y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+        inside ^= cond & (x < xint)
+    return inside
+
+
+# --- predicates -----------------------------------------------------------
+
+
+def bounds_intersect(a: tuple, b: tuple) -> bool:
+    return not (a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1])
+
+
+def _segments(ring):
+    pts = list(ring)
+    if pts[0] != pts[-1]:
+        pts = pts + [pts[0]]
+    return list(zip(pts[:-1], pts[1:]))
+
+
+def _seg_intersects(p1, p2, p3, p4) -> bool:
+    def ccw(a, b, c):
+        return (c[1] - a[1]) * (b[0] - a[0]) - (b[1] - a[1]) * (c[0] - a[0])
+
+    d1, d2 = ccw(p3, p4, p1), ccw(p3, p4, p2)
+    d3, d4 = ccw(p1, p2, p3), ccw(p1, p2, p4)
+    if ((d1 > 0) != (d2 > 0) or d1 == 0 or d2 == 0) and (
+        (d3 > 0) != (d4 > 0) or d3 == 0 or d4 == 0
+    ):
+        # conservative: collinear/touching counts as intersecting
+        return max(min(p1[0], p2[0]), min(p3[0], p4[0])) <= min(
+            max(p1[0], p2[0]), max(p3[0], p4[0])
+        ) and max(min(p1[1], p2[1]), min(p3[1], p4[1])) <= min(
+            max(p1[1], p2[1]), max(p3[1], p4[1])
+        )
+    return False
+
+
+def polygon_intersects_box(geom: Geometry, xmin, ymin, xmax, ymax) -> bool:
+    """Exact polygon/box intersects — used for key selection (mirrors the
+    reference's Intersects pushdown, ``LayerReaderWrapper.scala:162-190``)."""
+    if isinstance(geom, Point):
+        return xmin <= geom.x <= xmax and ymin <= geom.y <= ymax
+    if isinstance(geom, MultiPolygon):
+        return any(polygon_intersects_box(p, xmin, ymin, xmax, ymax) for p in geom.polygons)
+    if not bounds_intersect(geom.bounds, (xmin, ymin, xmax, ymax)):
+        return False
+    bx = box(xmin, ymin, xmax, ymax)
+    # any polygon vertex inside box, or box corner inside polygon
+    if any(xmin <= px <= xmax and ymin <= py <= ymax for px, py in geom.exterior):
+        return True
+    if any(
+        geom.contains_point(cx, cy)
+        for cx, cy in ((xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax))
+    ):
+        return True
+    # edge crossings
+    for s1 in _segments(geom.exterior):
+        for s2 in _segments(bx.exterior):
+            if _seg_intersects(s1[0], s1[1], s2[0], s2[1]):
+                return True
+    return False
+
+
+# --- WKT ------------------------------------------------------------------
+
+_NUM = r"[-+0-9.eE]+"
+
+
+def from_wkt(wkt: str) -> Geometry:
+    s = wkt.strip()
+    up = s.upper()
+    if up.startswith("POINT"):
+        m = re.search(rf"\(\s*({_NUM})\s+({_NUM})\s*\)", s)
+        return Point(float(m.group(1)), float(m.group(2)))
+    if up.startswith("MULTIPOLYGON"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        polys = []
+        for pm in re.finditer(r"\(\s*\((.*?)\)\s*\)", body, re.S):
+            polys.append(_parse_polygon_body("((" + pm.group(1) + "))"))
+        return MultiPolygon(tuple(polys))
+    if up.startswith("POLYGON"):
+        body = s[s.index("(") : s.rindex(")") + 1]
+        return _parse_polygon_body(body)
+    raise ValueError(f"unsupported WKT: {wkt[:40]}")
+
+
+def _parse_polygon_body(body: str) -> Polygon:
+    rings = []
+    for rm in re.finditer(r"\(([^()]+)\)", body):
+        pts = []
+        for pm in re.finditer(rf"({_NUM})\s+({_NUM})", rm.group(1)):
+            pts.append((float(pm.group(1)), float(pm.group(2))))
+        rings.append(tuple(pts))
+    return Polygon(rings[0], tuple(rings[1:]))
+
+
+def to_wkt(geom: Geometry) -> str:
+    if isinstance(geom, Point):
+        return f"POINT ({geom.x} {geom.y})"
+
+    def ring_s(r):
+        pts = list(r)
+        if pts[0] != pts[-1]:
+            pts = pts + [pts[0]]
+        return "(" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+
+    if isinstance(geom, Polygon):
+        return "POLYGON (" + ", ".join(ring_s(r) for r in (geom.exterior, *geom.holes)) + ")"
+    if isinstance(geom, MultiPolygon):
+        return "MULTIPOLYGON (" + ", ".join(
+            "(" + ", ".join(ring_s(r) for r in (p.exterior, *p.holes)) + ")"
+            for p in geom.polygons
+        ) + ")"
+    raise TypeError(type(geom))
+
+
+# --- WKB (little-endian, 2-D) --------------------------------------------
+
+_WKB_POINT, _WKB_POLYGON, _WKB_MULTIPOLYGON = 1, 3, 6
+
+
+def to_wkb(geom: Geometry) -> bytes:
+    """Little-endian WKB — byte order per the reference's shapely usage
+    (``layer.py:2092``, FIXTURES.md determinism notes)."""
+    if isinstance(geom, Point):
+        return struct.pack("<BIdd", 1, _WKB_POINT, geom.x, geom.y)
+    if isinstance(geom, Polygon):
+        return struct.pack("<BI", 1, _WKB_POLYGON) + _wkb_poly_body(geom)
+    if isinstance(geom, MultiPolygon):
+        out = struct.pack("<BII", 1, _WKB_MULTIPOLYGON, len(geom.polygons))
+        for p in geom.polygons:
+            out += struct.pack("<BI", 1, _WKB_POLYGON) + _wkb_poly_body(p)
+        return out
+    raise TypeError(type(geom))
+
+
+def _wkb_poly_body(p: Polygon) -> bytes:
+    rings = (p.exterior, *p.holes)
+    out = struct.pack("<I", len(rings))
+    for r in rings:
+        pts = list(r)
+        if pts[0] != pts[-1]:
+            pts = pts + [pts[0]]
+        out += struct.pack("<I", len(pts))
+        for x, y in pts:
+            out += struct.pack("<dd", x, y)
+    return out
+
+
+def from_wkb(data: bytes) -> Geometry:
+    geom, _ = _read_wkb(memoryview(data), 0)
+    return geom
+
+
+def _read_wkb(mv, off):
+    bo = "<" if mv[off] == 1 else ">"
+    (gtype,) = struct.unpack_from(bo + "I", mv, off + 1)
+    off += 5
+    gtype &= 0xFF
+    if gtype == _WKB_POINT:
+        x, y = struct.unpack_from(bo + "dd", mv, off)
+        return Point(x, y), off + 16
+    if gtype == _WKB_POLYGON:
+        (nrings,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            (npts,) = struct.unpack_from(bo + "I", mv, off)
+            off += 4
+            vals = struct.unpack_from(bo + "d" * (2 * npts), mv, off)
+            off += 16 * npts
+            rings.append(tuple(zip(vals[0::2], vals[1::2])))
+        return Polygon(rings[0], tuple(rings[1:])), off
+    if gtype == _WKB_MULTIPOLYGON:
+        (n,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        polys = []
+        for _ in range(n):
+            p, off = _read_wkb(mv, off)
+            polys.append(p)
+        return MultiPolygon(tuple(polys)), off
+    raise ValueError(f"unsupported WKB geometry type {gtype}")

@@ -1,0 +1,119 @@
+"""Key <-> extent <-> geometry transforms (pure Python + SQL expression builders).
+
+Re-expresses the reference's ``KeyTransform``
+(``/root/reference/geopyspark/geotrellis/key_conversion.py:19-158``) —
+the helper every explode-to-keys operator needs (mask-by-RDD, rasterize,
+tile_to_layout, spatial join).
+
+Convention (matches GeoTrellis MapKeyTransform): SpatialKey (col, row) with
+col 0 at extent.xmin growing east, row 0 at extent.ymax growing SOUTH.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+from .extent import Extent, LayoutDefinition
+
+
+class KeyTransform:
+    """Bidirectional mapping between spatial keys and map coordinates for a layout."""
+
+    def __init__(self, layout: LayoutDefinition):
+        self.layout = layout
+
+    # --- key -> extent ----------------------------------------------------
+    def key_extent(self, col: int, row: int) -> Extent:
+        ld = self.layout
+        e = ld.extent
+        tw, th = ld.tile_width, ld.tile_height
+        return Extent(
+            e.xmin + col * tw,
+            e.ymax - (row + 1) * th,
+            e.xmin + (col + 1) * tw,
+            e.ymax - row * th,
+        )
+
+    # --- point -> key -----------------------------------------------------
+    def point_key(self, x: float, y: float) -> tuple[int, int]:
+        ld = self.layout
+        e = ld.extent
+        col = int(math.floor((x - e.xmin) / ld.tile_width))
+        row = int(math.floor((e.ymax - y) / ld.tile_height))
+        # points exactly on the max edge belong to the last tile
+        if x == e.xmax:
+            col = ld.tile_layout.layout_cols - 1
+        if y == e.ymin:
+            row = ld.tile_layout.layout_rows - 1
+        return col, row
+
+    # --- extent -> keys ---------------------------------------------------
+    def extent_keys(self, query: Extent) -> Iterator[tuple[int, int]]:
+        """All keys whose tile extent intersects ``query`` (clamped to layout)."""
+        ld = self.layout
+        c0, r0 = self.point_key(query.xmin, query.ymax)
+        c1, r1 = self.point_key(query.xmax, query.ymin)
+        # an extent whose max edge lands exactly on a tile boundary should not
+        # include the next tile (half-open cells), unless degenerate
+        if query.xmax > query.xmin and (query.xmax - ld.extent.xmin) % ld.tile_width == 0:
+            c1 -= 1
+        if query.ymax > query.ymin and (ld.extent.ymax - query.ymin) % ld.tile_height == 0:
+            r1 -= 1
+        nc, nr = ld.tile_layout.layout_cols, ld.tile_layout.layout_rows
+        for row in range(max(r0, 0), min(r1, nr - 1) + 1):
+            for col in range(max(c0, 0), min(c1, nc - 1) + 1):
+                yield col, row
+
+    def geometry_keys(self, geom) -> list[tuple[int, int]]:
+        """Keys whose tile extent intersects a geometry.
+
+        Grid-scan of the geometry envelope then exact intersects test —
+        semantics of the reference's ``clipToGrid`` key assignment
+        (``TiledRasterLayer.scala:97-119``). Works with this package's
+        geometry types (:mod:`geopyspark_spark.core.geom`).
+        """
+        from .geom import polygon_intersects_box
+
+        xmin, ymin, xmax, ymax = geom.bounds
+        out = []
+        for col, row in self.extent_keys(Extent(xmin, ymin, xmax, ymax)):
+            ke = self.key_extent(col, row)
+            if polygon_intersects_box(geom, ke.xmin, ke.ymin, ke.xmax, ke.ymax):
+                out.append((col, row))
+        return out
+
+    # --- cell-level transforms -------------------------------------------
+    def cell_center(self, col: int, row: int, tile_col: int, tile_row: int) -> tuple[float, float]:
+        """Map coordinates of the center of a cell within a tile."""
+        ld = self.layout
+        ke = self.key_extent(col, row)
+        cw, ch = ld.cell_width, ld.cell_height
+        return (ke.xmin + (tile_col + 0.5) * cw, ke.ymax - (tile_row + 0.5) * ch)
+
+    def point_cell(self, x: float, y: float) -> tuple[int, int, int, int]:
+        """(key_col, key_row, tile_col, tile_row) containing a point."""
+        ld = self.layout
+        col, row = self.point_key(x, y)
+        ke = self.key_extent(col, row)
+        tc = min(int((x - ke.xmin) / ld.cell_width), ld.tile_layout.tile_cols - 1)
+        tr = min(int((ke.ymax - y) / ld.cell_height), ld.tile_layout.tile_rows - 1)
+        return col, row, tc, tr
+
+
+# --- SQL expression builders (engine-side, for Catalyst-visible math) -----
+
+def key_extent_sql(layout: LayoutDefinition, key_col: str = "key_col", key_row: str = "key_row") -> dict[str, str]:
+    """SQL expressions computing a tile's extent from its key columns.
+
+    Emitting these as columns lets Catalyst fold/push spatial predicates
+    (the DataFrame-native version of the reference's SFC-range pushdown,
+    ``LayerReaderWrapper.scala:162-190``).
+    """
+    e, tw, th = layout.extent, layout.tile_width, layout.tile_height
+    return {
+        "tile_xmin": f"{e.xmin!r} + {key_col} * {tw!r}",
+        "tile_xmax": f"{e.xmin!r} + ({key_col} + 1) * {tw!r}",
+        "tile_ymin": f"{e.ymax!r} - ({key_row} + 1) * {th!r}",
+        "tile_ymax": f"{e.ymax!r} - {key_row} * {th!r}",
+    }

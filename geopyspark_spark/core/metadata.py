@@ -1,0 +1,102 @@
+"""Layer metadata — the engine's per-layer "schema object".
+
+Re-expresses the reference's ``Metadata`` / ``TileLayerMetadata``
+(``/root/reference/geopyspark/geotrellis/__init__.py:717-858``; serialized
+as JSON across py4j at ``layer.py:1081``). In the Spark-native engine this
+is a small immutable record carried next to the DataFrame (driver-side /
+broadcastable), persisted as a sidecar JSON in the catalog.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, replace
+
+from .celltype import CellTypeInfo, parse_cell_type
+from .extent import Extent, LayoutDefinition, TileLayout
+
+
+@dataclass(frozen=True)
+class LayerMetadata:
+    """crs + cell type + layout + key bounds for a tiled layer."""
+
+    crs: str                       # proj4 / "epsg:xxxx"
+    cell_type: str                 # e.g. "float32ud-1.0"
+    layout: LayoutDefinition
+    bounds: tuple[tuple[int, int], tuple[int, int]]  # ((col_min,row_min),(col_max,row_max))
+    extent: Extent | None = None   # data extent (defaults to layout extent)
+    num_bands: int = 1
+    zoom: int | None = None
+
+    @property
+    def cell_info(self) -> CellTypeInfo:
+        return parse_cell_type(self.cell_type)
+
+    @property
+    def nodata(self) -> float | None:
+        return self.cell_info.nodata
+
+    @property
+    def tile_cells(self) -> int:
+        tl = self.layout.tile_layout
+        return tl.tile_cols * tl.tile_rows
+
+    def with_cell_type(self, cell_type: str) -> "LayerMetadata":
+        return replace(self, cell_type=parse_cell_type(cell_type).name)
+
+    def with_layout(self, layout: LayoutDefinition,
+                    bounds: tuple[tuple[int, int], tuple[int, int]] | None = None) -> "LayerMetadata":
+        return replace(self, layout=layout, bounds=bounds or self.bounds)
+
+    def combine(self, other: "LayerMetadata") -> "LayerMetadata":
+        """Union-compatible metadata merge (reference ``metadata.combine``
+        fold in ``SpatialTiledRasterLayer.scala:753-769``)."""
+        assert self.crs == other.crs and self.layout == other.layout, (
+            "union requires same CRS and layout"
+        )
+        (c0, r0), (c1, r1) = self.bounds
+        (oc0, or0), (oc1, or1) = other.bounds
+        ext = self.extent.combine(other.extent) if self.extent and other.extent else (
+            self.extent or other.extent
+        )
+        return replace(
+            self,
+            bounds=((min(c0, oc0), min(r0, or0)), (max(c1, oc1), max(r1, or1))),
+            extent=ext,
+            num_bands=max(self.num_bands, other.num_bands),
+        )
+
+    # --- JSON round trip (catalog sidecar) --------------------------------
+    def to_json(self) -> str:
+        ld = self.layout
+        tl = ld.tile_layout
+        return json.dumps(
+            {
+                "crs": self.crs,
+                "cell_type": self.cell_type,
+                "extent": [ld.extent.xmin, ld.extent.ymin, ld.extent.xmax, ld.extent.ymax],
+                "tile_layout": [tl.layout_cols, tl.layout_rows, tl.tile_cols, tl.tile_rows],
+                "bounds": [list(self.bounds[0]), list(self.bounds[1])],
+                "data_extent": (
+                    [self.extent.xmin, self.extent.ymin, self.extent.xmax, self.extent.ymax]
+                    if self.extent else None
+                ),
+                "num_bands": self.num_bands,
+                "zoom": self.zoom,
+            },
+            sort_keys=True,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "LayerMetadata":
+        d = json.loads(s)
+        layout = LayoutDefinition(Extent(*d["extent"]), TileLayout(*d["tile_layout"]))
+        return LayerMetadata(
+            crs=d["crs"],
+            cell_type=d["cell_type"],
+            layout=layout,
+            bounds=(tuple(d["bounds"][0]), tuple(d["bounds"][1])),
+            extent=Extent(*d["data_extent"]) if d.get("data_extent") else None,
+            num_bands=d.get("num_bands", 1),
+            zoom=d.get("zoom"),
+        )

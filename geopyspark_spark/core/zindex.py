@@ -1,0 +1,88 @@
+"""Z-order (Morton) space-filling-curve indexing — Python + Spark SQL expressions.
+
+Re-expresses the reference's spatial partitioners:
+
+- Z2 on (col, row):      ``/root/reference/geopyspark-backend/geotrellis/src/main/scala/geopyspark/geotrellis/SpatialPartitioner.scala:14-24``
+  (partition = (Z2(col,row).z >> bits) % partitions)
+- Z3 on (col, row, t):   ``SpaceTimePartitioner.scala:13-57``
+- storage index methods: ``geopyspark/geotrellis/constants.py:98-120``
+
+The Spark-native version is a *column*, not a partitioner: compute
+``zindex`` with JVM-side bit arithmetic (whole-stage codegen, no UDF), then
+``repartitionByRange(n, col('zindex'))`` for locality, or sort by it on
+write so parquet row-group min/max stats give key-range pushdown for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _part1by1_py(n: int) -> int:
+    """Spread the lower 16 bits of n with zeros in odd positions."""
+    n &= 0xFFFF
+    n = (n | (n << 8)) & 0x00FF00FF
+    n = (n | (n << 4)) & 0x0F0F0F0F
+    n = (n | (n << 2)) & 0x33333333
+    n = (n | (n << 1)) & 0x55555555
+    return n
+
+
+def z2_py(col: int, row: int) -> int:
+    """Morton-interleave two 16-bit coordinates (pure Python mirror)."""
+    return _part1by1_py(col) | (_part1by1_py(row) << 1)
+
+
+def _part1by2_py(n: int) -> int:
+    n &= 0x1FFFFF
+    n = (n | (n << 32)) & 0x1F00000000FFFF
+    n = (n | (n << 16)) & 0x1F0000FF0000FF
+    n = (n | (n << 8)) & 0x100F00F00F00F00F
+    n = (n | (n << 4)) & 0x10C30C30C30C30C3
+    n = (n | (n << 2)) & 0x1249249249249249
+    return n
+
+
+def z3_py(col: int, row: int, t: int) -> int:
+    return _part1by2_py(col) | (_part1by2_py(row) << 1) | (_part1by2_py(t) << 2)
+
+
+def _spread1(c: Column) -> Column:
+    """JVM-side part1by1: all ops stay in whole-stage codegen."""
+    n = c.bitwiseAND(F.lit(0xFFFF))
+    n = (n.bitwiseOR(F.shiftleft(n, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    n = (n.bitwiseOR(F.shiftleft(n, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    n = (n.bitwiseOR(F.shiftleft(n, 2))).bitwiseAND(F.lit(0x33333333))
+    n = (n.bitwiseOR(F.shiftleft(n, 1))).bitwiseAND(F.lit(0x55555555))
+    return n
+
+
+def z2_col(key_col: Column | str, key_row: Column | str) -> Column:
+    """Z2 Morton index as a Spark Column (codegen-friendly, no UDF)."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    r = F.col(key_row) if isinstance(key_row, str) else key_row
+    return (_spread1(c.cast("long")).bitwiseOR(
+        F.shiftleft(_spread1(r.cast("long")), 1))).alias("zindex")
+
+
+def _spread2(c: Column) -> Column:
+    n = c.bitwiseAND(F.lit(0x1FFFFF))
+    n = (n.bitwiseOR(F.shiftleft(n, 32))).bitwiseAND(F.lit(0x1F00000000FFFF))
+    n = (n.bitwiseOR(F.shiftleft(n, 16))).bitwiseAND(F.lit(0x1F0000FF0000FF))
+    n = (n.bitwiseOR(F.shiftleft(n, 8))).bitwiseAND(F.lit(0x100F00F00F00F00F))
+    n = (n.bitwiseOR(F.shiftleft(n, 4))).bitwiseAND(F.lit(0x10C30C30C30C30C3))
+    n = (n.bitwiseOR(F.shiftleft(n, 2))).bitwiseAND(F.lit(0x1249249249249249))
+    return n
+
+
+def z3_col(key_col: Column | str, key_row: Column | str, t: Column | str) -> Column:
+    """Z3 Morton index (space + time bucket) as a Spark Column."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    r = F.col(key_row) if isinstance(key_row, str) else key_row
+    tt = F.col(t) if isinstance(t, str) else t
+    return (
+        _spread2(c.cast("long"))
+        .bitwiseOR(F.shiftleft(_spread2(r.cast("long")), 1))
+        .bitwiseOR(F.shiftleft(_spread2(tt.cast("long")), 2))
+    ).alias("zindex")

@@ -1,0 +1,451 @@
+"""TiledRasterLayer — the engine's central abstraction.
+
+A *layer* is a DataFrame of tiles plus a small metadata record:
+
+    key_col:int, key_row:int, [instant:timestamp], band:int, cells:array<double>
+
+Re-expresses the reference's ``TiledRasterLayer``
+(``/root/reference/geopyspark/geotrellis/layer.py:1041-2580``,
+``geopyspark-backend/.../TiledRasterLayer.scala:54-450``) as a thin facade
+over DataFrame transformations. SPATIAL vs SPACETIME
+(``constants.py:40-95``) collapses into presence/absence of the
+``instant`` column — every operator treats it as an ordinary key column.
+
+Scale notes (100 TB design):
+- tiles ride as array<double> columns; all local algebra is Catalyst
+  expressions (whole-stage codegen), Python only in stencil/mask kernels
+  via Arrow-batched pandas UDFs;
+- layer-layer ops are key-equi-joins — broadcast or sort-merge chosen by
+  AQE; persistent layers are written z-ordered so parquet min/max stats
+  provide key-range pushdown (the reference's SFC index, for free);
+- no operator materializes on the driver except the explicit collectors
+  (stitch / lookup / get_point_values / histograms), mirroring §2 of
+  SURVEY.md.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .core.celltype import parse_cell_type, with_user_nodata
+from .core.extent import LayoutDefinition
+from .core.geom import Geometry, from_wkt
+from .core.keys import KeyTransform
+from .core.metadata import LayerMetadata
+from .core.zindex import z2_col
+from .operators import local as _local
+from .operators import reshape as _reshape
+
+
+class TiledRasterLayer:
+    """Distributed tiled raster: DataFrame of (key, band, cells) + metadata."""
+
+    def __init__(self, df: DataFrame, metadata: LayerMetadata):
+        self.df = df
+        self.metadata = metadata
+
+    # --- basics -----------------------------------------------------------
+    @property
+    def layout(self) -> LayoutDefinition:
+        return self.metadata.layout
+
+    @property
+    def nodata(self) -> float | None:
+        return self.metadata.nodata
+
+    @property
+    def is_temporal(self) -> bool:
+        return "instant" in self.df.columns
+
+    @property
+    def key_transform(self) -> KeyTransform:
+        return KeyTransform(self.layout)
+
+    def _with(self, df: DataFrame, metadata: LayerMetadata | None = None) -> "TiledRasterLayer":
+        return TiledRasterLayer(df, metadata or self.metadata)
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def collect_keys(self) -> list:
+        return self.df.select(*_local.key_cols(self.df)).distinct().collect()
+
+    def persist(self, level: str | None = None) -> "TiledRasterLayer":
+        self.df.persist()
+        return self
+
+    def unpersist(self) -> "TiledRasterLayer":
+        self.df.unpersist()
+        return self
+
+    def repartition(self, n: int) -> "TiledRasterLayer":
+        return self._with(self.df.repartition(n))
+
+    def partition_by_zorder(self, n: int | None = None) -> "TiledRasterLayer":
+        """Z-curve locality partitioning — the DataFrame-native form of the
+        reference's SpatialPartitionStrategy (``SpatialPartitioner.scala:14-24``):
+        range-partition on a codegen'd Morton index column."""
+        df = self.df.withColumn("zindex", z2_col("key_col", "key_row"))
+        df = (
+            df.repartitionByRange(n, "zindex") if n else df.repartitionByRange("zindex")
+        ).drop("zindex")
+        return self._with(df)
+
+    # --- projections / selections (§2.2) ---------------------------------
+    def bands(self, band: int | Iterable[int]) -> "TiledRasterLayer":
+        """Band subset (``layer.py:1419-1447``)."""
+        idx = [band] if isinstance(band, int) else list(band)
+        df = self.df.where(F.col("band").isin(idx))
+        # renumber to 0..n-1 preserving order
+        mapping = {b: i for i, b in enumerate(idx)}
+        mexpr = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+        df = df.withColumn("band", mexpr[F.col("band")].cast("int"))
+        return self._with(df, replace(self.metadata, num_bands=len(idx)))
+
+    def convert_data_type(self, new_type: str, no_data_value: float | None = None) -> "TiledRasterLayer":
+        """Cast cell type (``layer.py:1612-1642``). Cells remain array<double>
+        physically; values are clamped/rounded per the target type and the
+        metadata cell_type/nodata change."""
+        ct = with_user_nodata(new_type, no_data_value) if no_data_value is not None else new_type
+        info = parse_cell_type(ct)
+        old_nd = self.nodata
+        new_nd = info.nodata
+
+        def fn(c):
+            v = c if info.is_float else F.round(c, 0)
+            return v
+
+        df = _local.cellwise_unary(self.df, old_nd, fn)
+        # rewrite old sentinel -> new sentinel
+        if old_nd is not None and new_nd is not None and old_nd != new_nd:
+            df = df.withColumn(
+                "cells",
+                F.transform(
+                    F.col("cells"),
+                    lambda c: F.when(_local._is_nd(c, old_nd), _local._nd_lit(new_nd)).otherwise(c),
+                ),
+            )
+        return self._with(df, self.metadata.with_cell_type(info.name))
+
+    def with_no_data(self, no_data_value: float | None) -> "TiledRasterLayer":
+        """Reinterpret the NoData sentinel (``layer.py:1644-1666``) — a pure
+        metadata change, no data rewrite."""
+        base = self.metadata.cell_info.base
+        ct = base + "raw" if no_data_value is None else with_user_nodata(base, no_data_value)
+        return self._with(self.df, self.metadata.with_cell_type(ct))
+
+    def filter_by_times(self, intervals: list) -> "TiledRasterLayer":
+        """SPACETIME time filter (``layer.py:2182-2213``): pairs = closed
+        ranges, a trailing single instant = exact match. Plain Catalyst
+        predicate -> partition/row-group pruning at scale."""
+        assert self.is_temporal, "filter_by_times requires a SPACETIME layer"
+        conds = None
+        i = 0
+        while i < len(intervals):
+            if i + 1 < len(intervals):
+                c = F.col("instant").between(intervals[i], intervals[i + 1])
+                i += 2
+            else:
+                c = F.col("instant") == intervals[i]
+                i += 1
+            conds = c if conds is None else (conds | c)
+        return self._with(self.df.where(conds))
+
+    def to_spatial_layer(self, target_time=None) -> "TiledRasterLayer":
+        """Drop the time dimension (``layer.py:1344-1360``)."""
+        df = self.df
+        if target_time is not None:
+            df = df.where(F.col("instant") == target_time)
+        return self._with(df.drop("instant"))
+
+    def lookup(self, col: int, row: int) -> list:
+        """All tiles at a spatial key (``layer.py:1735-1766``)."""
+        return self.df.where(
+            (F.col("key_col") == col) & (F.col("key_row") == row)
+        ).collect()
+
+    # --- local map algebra (§2.8) ----------------------------------------
+    def _scalar_op(self, op: str, other, reverse: bool = False) -> "TiledRasterLayer":
+        if isinstance(other, TiledRasterLayer):
+            assert self.layout == other.layout and self.metadata.crs == other.metadata.crs, (
+                "binary local ops require identical layout and CRS"
+            )
+            df = _local.cellwise_binary_layer(self.df, other.df, self.nodata, op)
+            return self._with(df)
+        return self._with(
+            _local.cellwise_binary_scalar(self.df, self.nodata, op, float(other), reverse)
+        )
+
+    def __add__(self, other):
+        return self._scalar_op("+", other)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return self._scalar_op("-", other)
+
+    def __rsub__(self, other):
+        return self._scalar_op("-", other, reverse=True)
+
+    def __mul__(self, other):
+        return self._scalar_op("*", other)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        return self._scalar_op("/", other)
+
+    def __rtruediv__(self, other):
+        return self._scalar_op("/", other, reverse=True)
+
+    def __pow__(self, other):
+        return self._scalar_op("**", other)
+
+    def __rpow__(self, other):
+        return self._scalar_op("**", other, reverse=True)
+
+    def __abs__(self):
+        return self._with(_local.cellwise_unary(self.df, self.nodata, F.abs))
+
+    def local_max(self, other):
+        return self._scalar_op("max", other)
+
+    def local_min(self, other):
+        return self._scalar_op("min", other)
+
+    def reclassify(self, value_map: dict, strategy: str = "LESS_THAN_OR_EQUAL",
+                   replace_nodata_with=None, fallback=None) -> "TiledRasterLayer":
+        return self._with(
+            _local.reclassify(self.df, self.nodata, value_map, strategy,
+                              replace_nodata_with, fallback)
+        )
+
+    def normalize(self, new_min: float, new_max: float,
+                  old_min: float | None = None, old_max: float | None = None) -> "TiledRasterLayer":
+        return self._with(
+            _local.normalize(self.df, self.nodata, new_min, new_max, old_min, old_max)
+        )
+
+    def get_min_max(self) -> tuple[float, float]:
+        return _local.global_min_max(self.df, self.nodata)
+
+    # --- reshape ----------------------------------------------------------
+    def explode(self, with_coords: bool = False) -> DataFrame:
+        tl = self.layout.tile_layout
+        out = _reshape.explode_cells(self.df)
+        if with_coords:
+            out = _reshape.with_global_coords(out, tl.tile_cols, tl.tile_rows)
+        return out
+
+    @staticmethod
+    def assemble(df_long: DataFrame, metadata: LayerMetadata) -> "TiledRasterLayer":
+        tl = metadata.layout.tile_layout
+        nd = metadata.nodata
+        fill = float("nan") if nd is None else float(nd)
+        return TiledRasterLayer(
+            _reshape.assemble_cells(df_long, tl.tile_cols, tl.tile_rows, fill), metadata
+        )
+
+    # --- operators implemented in sibling modules (bound late to avoid
+    #     import cycles; see operators/*.py) ------------------------------
+    def mask(self, geometries, partial: bool = False) -> "TiledRasterLayer":
+        from .operators import zonal
+
+        geoms = _normalize_geoms(geometries)
+        return zonal.mask(self, geoms, partial)
+
+    def polygonal_sum(self, geometry):
+        from .operators import zonal
+
+        return zonal.polygonal_stat(self, _normalize_geoms(geometry), "sum")
+
+    def polygonal_min(self, geometry):
+        from .operators import zonal
+
+        return zonal.polygonal_stat(self, _normalize_geoms(geometry), "min")
+
+    def polygonal_max(self, geometry):
+        from .operators import zonal
+
+        return zonal.polygonal_stat(self, _normalize_geoms(geometry), "max")
+
+    def polygonal_mean(self, geometry):
+        from .operators import zonal
+
+        return zonal.polygonal_stat(self, _normalize_geoms(geometry), "mean")
+
+    def get_cell_value_counts(self, area_of_interest=None, band: int = 0) -> dict:
+        from .operators import zonal
+
+        aoi = _normalize_geoms(area_of_interest) if area_of_interest is not None else None
+        return zonal.cell_value_counts(self, aoi, band)
+
+    def get_point_values(self, points, resample_method: str = "NearestNeighbor"):
+        from .operators import zonal
+
+        return zonal.point_values(self, points, resample_method)
+
+    def aggregate_by_cell(self, operation: str) -> "TiledRasterLayer":
+        from .operators import aggregate
+
+        return aggregate.aggregate_by_cell(self, operation)
+
+    def merge(self) -> "TiledRasterLayer":
+        from .operators import aggregate
+
+        return aggregate.merge(self)
+
+    def get_histogram(self, num_buckets: int = 80):
+        from .operators import aggregate
+
+        return aggregate.histogram(self, num_buckets)
+
+    def get_class_histogram(self):
+        from .operators import aggregate
+
+        return aggregate.class_histogram(self)
+
+    def get_quantile_breaks(self, num_breaks: int) -> list[float]:
+        from .operators import aggregate
+
+        return aggregate.quantile_breaks(self, num_breaks)
+
+    def focal(self, operation: str, neighborhood: str = "Square", param_1: float = 1,
+              param_2: float = 0, param_3: float = 0) -> "TiledRasterLayer":
+        from .operators import focal
+
+        return focal.focal(self, operation, neighborhood, param_1, param_2, param_3)
+
+    def slope(self, zfactor: float = 1.0) -> "TiledRasterLayer":
+        from .operators import focal
+
+        return focal.slope(self, zfactor)
+
+    def aspect(self) -> "TiledRasterLayer":
+        from .operators import focal
+
+        return focal.aspect(self)
+
+    def hillshade(self, azimuth: float = 315.0, altitude: float = 45.0,
+                  z_factor: float = 1.0, band: int = 0) -> "TiledRasterLayer":
+        from .operators import focal
+
+        return focal.hillshade(self, azimuth, altitude, z_factor, band)
+
+    def tobler(self) -> "TiledRasterLayer":
+        """Tobler hiking speed from a slope layer
+        (``TiledRasterLayer.scala:385-397``): 6*exp(-3.5*|tan(rad(s))+0.05|)."""
+        return self._with(
+            _local.cellwise_unary(
+                self.df,
+                self.nodata,
+                lambda c: F.lit(6.0)
+                * F.exp(F.lit(-3.5) * F.abs(F.tan(F.radians(c)) + F.lit(0.05))),
+            )
+        )
+
+    def tile_to_layout(self, layout, resample_method: str = "NearestNeighbor") -> "TiledRasterLayer":
+        from .operators import tiling
+
+        return tiling.tile_to_layout(self, layout, resample_method)
+
+    def pyramid(self, resample_method: str = "Average", partition_strategy=None) -> "Pyramid":
+        from .operators import tiling
+
+        return tiling.pyramid(self, resample_method)
+
+    def stitch(self):
+        from .operators import tiling
+
+        return tiling.stitch(self)
+
+    def mean_series(self, geometry):
+        from .operators import zonal
+
+        return zonal.series(self, _normalize_geoms(geometry), "mean")
+
+    def sum_series(self, geometry):
+        from .operators import zonal
+
+        return zonal.series(self, _normalize_geoms(geometry), "sum")
+
+    def min_series(self, geometry):
+        from .operators import zonal
+
+        return zonal.series(self, _normalize_geoms(geometry), "min")
+
+    def max_series(self, geometry):
+        from .operators import zonal
+
+        return zonal.series(self, _normalize_geoms(geometry), "max")
+
+
+class Pyramid:
+    """Zoom-level stack (``layer.py:2585-2630``): {zoom: TiledRasterLayer}."""
+
+    def __init__(self, levels: dict[int, TiledRasterLayer]):
+        self.levels = dict(sorted(levels.items(), reverse=True))
+        self.max_zoom = max(levels)
+
+    def __getitem__(self, zoom: int) -> TiledRasterLayer:
+        return self.levels[zoom]
+
+    def to_dataframe(self) -> DataFrame:
+        """Single DF with a zoom column (SURVEY §1.5 mapping)."""
+        out = None
+        for z, layer in self.levels.items():
+            d = layer.df.withColumn("zoom", F.lit(z))
+            out = d if out is None else out.unionByName(d)
+        return out
+
+
+def union(layers: list[TiledRasterLayer]) -> TiledRasterLayer:
+    """Bag union (``geopyspark/geotrellis/union.py:10-58``): UNION ALL,
+    duplicate keys kept, metadata combined."""
+    md = layers[0].metadata
+    df = layers[0].df
+    for l in layers[1:]:
+        md = md.combine(l.metadata)
+        df = df.unionByName(l.df)
+    return TiledRasterLayer(df, md)
+
+
+def combine_bands(layers: list[TiledRasterLayer]) -> TiledRasterLayer:
+    """Concatenate band stacks across layers in list order
+    (``combine_bands.py:10-69`` / ``TileLayer.scala:322-357``).
+
+    Spark-first: union with a layer-index offset on ``band`` — no
+    combineByKey needed because bands are rows, not packed structs.
+    """
+    offset = 0
+    parts = []
+    for l in layers:
+        parts.append(l.df.withColumn("band", F.col("band") + F.lit(offset)))
+        offset += l.metadata.num_bands
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    md = replace(layers[0].metadata, num_bands=offset)
+    return TiledRasterLayer(df, md)
+
+
+def _normalize_geoms(geometries) -> list[Geometry]:
+    if isinstance(geometries, (list, tuple)):
+        items = list(geometries)
+    else:
+        items = [geometries]
+    out = []
+    for g in items:
+        if isinstance(g, str):
+            out.append(from_wkt(g))
+        elif isinstance(g, (bytes, bytearray)):
+            from .core.geom import from_wkb
+
+            out.append(from_wkb(bytes(g)))
+        else:
+            out.append(g)
+    return out

@@ -1,0 +1,161 @@
+"""Key-level aggregations: aggregate_by_cell, merge, histograms, quantiles.
+
+Re-expresses:
+- ``aggregate_by_cell`` -> ``/root/reference/geopyspark/geotrellis/layer.py:1500-1544``,
+  ``TiledRasterLayer.scala:406-437`` (combineByKey + local Mean/Variance)
+- ``merge``             -> ``layer.py:1379-1417``, ``TiledRasterLayer.scala:439-450``
+- ``get_histogram`` / ``get_class_histogram`` -> ``layer.py:194-221``, ``TileLayer.scala:230-232``
+- ``get_quantile_breaks`` -> ``layer.py:233-255``, ``TileLayer.scala:213-227``
+
+Scale shape: SUM/MIN/MAX/MEAN/MERGE shuffle whole tiles once (groupBy key +
+an elementwise array reduce — rows shuffled = #tiles, with map-side
+partial aggregation via collect_list being the only buffering);
+VARIANCE/STD go through the exploded per-cell groupBy (still one shuffle,
+rows = #cells — the price of exact two-pass-free variance).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .local import _is_nd, _nd_lit, key_cols
+from .reshape import assemble_cells
+
+if TYPE_CHECKING:
+    from ..layer import TiledRasterLayer
+
+
+def _elementwise_reduce(lists: Column, nodata, combine) -> Column:
+    """Fold a collect_list of cell arrays elementwise with NoData skipping:
+    acc=nd,x=v -> v; acc=v,x=nd -> v; both valid -> combine."""
+    first = F.element_at(lists, 1)
+    rest = F.slice(lists, 2, F.greatest(F.size(lists) - 1, F.lit(0)))
+
+    def merge(acc: Column, arr: Column) -> Column:
+        return F.zip_with(
+            acc,
+            arr,
+            lambda a, b: F.when(_is_nd(a, nodata), b)
+            .when(_is_nd(b, nodata), a)
+            .otherwise(combine(a, b)),
+        )
+
+    return F.aggregate(rest, first, merge)
+
+
+def aggregate_by_cell(layer: "TiledRasterLayer", operation: str) -> "TiledRasterLayer":
+    """Cellwise SUM/MIN/MAX/MEAN/VARIANCE/STD across tiles sharing a key.
+
+    Variance of a single sample is NoData (reference semantics,
+    ``layer.py:1514-1517``); all ops skip NoData inputs.
+    """
+    op = operation.upper()
+    nd = layer.metadata.nodata
+    keys = key_cols(layer.df) + ["band"]
+
+    if op in ("SUM", "MIN", "MAX"):
+        combine = {
+            "SUM": lambda a, b: a + b,
+            "MIN": F.least,
+            "MAX": F.greatest,
+        }[op]
+        agg = layer.df.groupBy(*keys).agg(F.collect_list("cells").alias("_l"))
+        out = agg.withColumn("cells", _elementwise_reduce(F.col("_l"), nd, combine)).drop("_l")
+        return layer._with(out)
+
+    if op == "MEAN":
+        agg = layer.df.groupBy(*keys).agg(F.collect_list("cells").alias("_l"))
+        s = _elementwise_reduce(F.col("_l"), nd, lambda a, b: a + b)
+        cnt = F.aggregate(
+            F.col("_l"),
+            F.transform(F.element_at(F.col("_l"), 1), lambda c: F.lit(0.0)),
+            lambda acc, arr: F.zip_with(
+                acc, arr, lambda a, b: a + F.when(_is_nd(b, nd), F.lit(0.0)).otherwise(F.lit(1.0))
+            ),
+        )
+        mean = F.zip_with(
+            s, cnt, lambda sv, c: F.when(c > 0, sv / c).otherwise(_nd_lit(nd))
+        )
+        out = agg.withColumn("cells", mean).drop("_l")
+        return layer._with(out)
+
+    if op in ("VARIANCE", "STD", "STANDARD_DEVIATION", "STANDARDDEVIATION"):
+        long = layer.df.select(*keys, F.posexplode("cells").alias("pos", "value"))
+        valid = long.where(~_is_nd(F.col("value"), nd))
+        v = F.var_samp("value")
+        if op != "VARIANCE":
+            v = F.stddev_samp("value")
+        agg = valid.groupBy(*keys, "pos").agg(v.alias("value"))
+        agg = agg.withColumn("value", F.coalesce(F.col("value"), _nd_lit(nd)))
+        tl = layer.layout.tile_layout
+        fill = float("nan") if nd is None else float(nd)
+        out = assemble_cells(agg, tl.tile_cols, tl.tile_rows, fill)
+        return layer._with(out)
+
+    raise ValueError(f"unknown aggregate_by_cell operation: {operation}")
+
+
+def merge(layer: "TiledRasterLayer", order_col: str | None = None) -> "TiledRasterLayer":
+    """Reduce duplicate keys: first valid (non-NoData) cell wins.
+
+    The reference merges in RDD order (nondeterministic across runs);
+    passing ``order_col`` makes the priority explicit and the result
+    deterministic — tiles are folded in ascending ``order_col``.
+    """
+    nd = layer.metadata.nodata
+    keys = key_cols(layer.df) + ["band"]
+    if order_col is not None:
+        collected = F.array_sort(
+            F.collect_list(F.struct(F.col(order_col).alias("o"), F.col("cells").alias("c")))
+        )
+        lists = F.transform(collected, lambda s: s["c"])
+    else:
+        lists = F.collect_list("cells")
+    agg = layer.df.groupBy(*keys).agg(lists.alias("_l"))
+    out = agg.withColumn(
+        "cells", _elementwise_reduce(F.col("_l"), nd, lambda a, b: a)
+    ).drop("_l")
+    return layer._with(out)
+
+
+def histogram_df(layer: "TiledRasterLayer", num_buckets: int = 80) -> DataFrame:
+    """Per-band fixed-width bucket histogram (streaming-histogram analogue)."""
+    nd = layer.metadata.nodata
+    mn, mx = layer.get_min_max()
+    width = (mx - mn) / num_buckets if mx > mn else 1.0
+    long = layer.explode().where(~_is_nd(F.col("value"), nd))
+    bucket = F.least(
+        ((F.col("value") - F.lit(mn)) / F.lit(width)).cast("int"), F.lit(num_buckets - 1)
+    )
+    return (
+        long.withColumn("bucket", bucket)
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("count"), F.avg("value").alias("mean_value"))
+        .orderBy("band", "bucket")
+    )
+
+
+def histogram(layer: "TiledRasterLayer", num_buckets: int = 80):
+    return histogram_df(layer, num_buckets).collect()
+
+
+def class_histogram_df(layer: "TiledRasterLayer") -> DataFrame:
+    """Exact value histogram (int layers) — explode + groupBy(value).count."""
+    nd = layer.metadata.nodata
+    long = layer.explode().where(~_is_nd(F.col("value"), nd))
+    return long.groupBy("band", "value").agg(F.count("*").alias("count")).orderBy("band", "value")
+
+
+def class_histogram(layer: "TiledRasterLayer"):
+    return class_histogram_df(layer).collect()
+
+
+def quantile_breaks(layer: "TiledRasterLayer", num_breaks: int) -> list[float]:
+    nd = layer.metadata.nodata
+    long = layer.explode().where(~_is_nd(F.col("value"), nd))
+    qs = [i / num_breaks for i in range(1, num_breaks + 1)]
+    row = long.select(F.percentile_approx("value", qs).alias("q")).first()
+    return list(row["q"])

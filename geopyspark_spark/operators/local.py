@@ -1,0 +1,225 @@
+"""Local (cellwise) map algebra — NoData-propagating, JVM-side.
+
+Re-expresses the reference's local ops
+(``/root/reference/geopyspark-backend/geotrellis/src/main/scala/geopyspark/geotrellis/TiledRasterLayer.scala:202-321``
+— localAdd/Subtract/Multiply/Divide/Pow/Abs/Max; Python operator overloads
+``geopyspark/geotrellis/layer.py:2498-2568``) and reclassify
+(``TileLayer.scala:116-180`` BreakMap) / normalize
+(``TiledRasterLayer.scala:332-341``).
+
+Spark-first design: cells are ``array<double>`` columns; every cellwise op
+is ``F.transform`` / ``F.zip_with`` with a NoData guard — pure Catalyst
+expressions inside whole-stage codegen. No Python executes per cell.
+NoData propagation rule per the reference (``layer.py:2520-2523``):
+op(NoData, x) = NoData.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KEY_COLS = ["key_col", "key_row"]
+
+
+def key_cols(df: DataFrame) -> list[str]:
+    """Grouping keys for a layer DF: spatial key (+ instant when SPACETIME).
+
+    Treating ``instant`` as an ordinary column is what makes every operator
+    SPACETIME-capable for free (vs the reference's duplicated Temporal*
+    classes, e.g. ``TemporalTiledRasterLayer.scala`` 722 LoC).
+    """
+    cols = list(KEY_COLS)
+    if "instant" in df.columns:
+        cols.append("instant")
+    return cols
+
+
+def _is_nd(c: Column, nodata: float | None) -> Column:
+    if nodata is None:
+        return F.lit(False)
+    if isinstance(nodata, float) and math.isnan(nodata):
+        return F.isnan(c)
+    return c == F.lit(float(nodata))
+
+
+def _nd_lit(nodata: float | None) -> Column:
+    return F.lit(float("nan") if nodata is None else float(nodata))
+
+
+def cellwise_unary(df: DataFrame, nodata: float | None,
+                   fn: Callable[[Column], Column], cells: str = "cells") -> DataFrame:
+    """cells -> transform(cells, c -> nd if is_nd(c) else fn(c))."""
+    c = F.col(cells)
+    out = F.transform(
+        c, lambda v: F.when(_is_nd(v, nodata), _nd_lit(nodata)).otherwise(fn(v))
+    )
+    return df.withColumn(cells, out)
+
+
+def cellwise_binary_scalar(df: DataFrame, nodata: float | None, op: str,
+                           value: float, reverse: bool = False) -> DataFrame:
+    v = F.lit(float(value))
+
+    def fn(c: Column) -> Column:
+        a, b = (v, c) if reverse else (c, v)
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            return a / b
+        if op == "**":
+            return F.pow(a, b)
+        if op == "max":
+            return F.greatest(a, b)
+        if op == "min":
+            return F.least(a, b)
+        raise ValueError(f"unknown local op {op}")
+
+    return cellwise_unary(df, nodata, fn)
+
+
+def cellwise_binary_layer(a: DataFrame, b: DataFrame, nodata: float | None,
+                          op: str) -> DataFrame:
+    """Layer (+) layer: equi-join on (key, band) then JVM-side zip_with.
+
+    The reference requires both layers share layout+CRS and zips
+    co-partitioned RDDs (``layer.py:2498-2503``); here Catalyst picks the
+    join strategy (sort-merge on the key columns; co-partitioned if both
+    sides were bucketed/repartitioned on the keys).
+    """
+    keys = key_cols(a) + ["band"]
+    bb = b.select(*keys, F.col("cells").alias("_cells_b"))
+    joined = a.join(bb, on=keys, how="inner")
+
+    def fn(x: Column, y: Column) -> Column:
+        bad = _is_nd(x, nodata) | _is_nd(y, nodata)
+        if op == "+":
+            r = x + y
+        elif op == "-":
+            r = x - y
+        elif op == "*":
+            r = x * y
+        elif op == "/":
+            r = x / y
+        elif op == "**":
+            r = F.pow(x, y)
+        elif op == "max":
+            r = F.greatest(x, y)
+        elif op == "min":
+            r = F.least(x, y)
+        else:
+            raise ValueError(f"unknown local op {op}")
+        return F.when(bad, _nd_lit(nodata)).otherwise(r)
+
+    out = F.zip_with(F.col("cells"), F.col("_cells_b"), fn)
+    return joined.withColumn("cells", out).drop("_cells_b")
+
+
+def local_add_many(layers: list[DataFrame], nodata: float | None) -> DataFrame:
+    """n-ary localAdd (``TiledRasterLayer.scala:232-240``): union + groupBy
+    key + elementwise array sum — one shuffle with map-side partials instead
+    of an n-way join."""
+    assert layers, "need at least one layer"
+    u = layers[0]
+    for l in layers[1:]:
+        u = u.unionByName(l)
+    keys = key_cols(u) + ["band"]
+
+    def merge(acc: Column, x: Column) -> Column:
+        return F.zip_with(
+            acc, x,
+            lambda a, b: F.when(_is_nd(a, nodata) | _is_nd(b, nodata),
+                                _nd_lit(nodata)).otherwise(a + b),
+        )
+
+    lists = F.collect_list("cells")
+    agg = u.groupBy(*keys).agg(lists.alias("_l"))
+    folded = F.aggregate(
+        F.slice(F.col("_l"), 2, F.greatest(F.size("_l") - 1, F.lit(0))),
+        F.element_at(F.col("_l"), 1),
+        merge,
+    )
+    return agg.withColumn("cells", folded).drop("_l")
+
+
+def reclassify(df: DataFrame, nodata: float | None, value_map: dict,
+               strategy: str = "LESS_THAN_OR_EQUAL",
+               replace_nodata_with: float | None = None,
+               fallback: float | None = None) -> DataFrame:
+    """Break-map classification as a chained CASE WHEN (pure Catalyst).
+
+    Mirrors ``TileLayer.scala:116-180`` (BreakMap + MapStrategy) and
+    ``geopyspark/geotrellis/layer.py:955-999``. ``strategy`` one of
+    GREATER_THAN[_OR_EQUAL], LESS_THAN[_OR_EQUAL], EXACT
+    (``constants.py:175-182``).
+    """
+    fb = _nd_lit(nodata) if fallback is None else F.lit(float(fallback))
+    nd_out = _nd_lit(nodata) if replace_nodata_with is None else F.lit(float(replace_nodata_with))
+    descending = strategy.startswith("GREATER")
+    breaks = sorted(value_map.items(), key=lambda kv: kv[0], reverse=descending)
+
+    def classify(c: Column) -> Column:
+        expr = fb
+        for b, out in reversed(breaks):
+            bl = F.lit(float(b))
+            if strategy == "GREATER_THAN":
+                cond = c > bl
+            elif strategy == "GREATER_THAN_OR_EQUAL":
+                cond = c >= bl
+            elif strategy == "LESS_THAN":
+                cond = c < bl
+            elif strategy == "LESS_THAN_OR_EQUAL":
+                cond = c <= bl
+            elif strategy == "EXACT":
+                cond = c == bl
+            else:
+                raise ValueError(f"unknown strategy {strategy}")
+            expr = F.when(cond, F.lit(float(out))).otherwise(expr)
+        return expr
+
+    out = F.transform(
+        F.col("cells"),
+        lambda v: F.when(_is_nd(v, nodata), nd_out).otherwise(classify(v)),
+    )
+    return df.withColumn("cells", out)
+
+
+def normalize(df: DataFrame, nodata: float | None, new_min: float, new_max: float,
+              old_min: float | None = None, old_max: float | None = None) -> DataFrame:
+    """Linear rescale (``TiledRasterLayer.scala:332-341``). When the old
+    range is not given it is computed with one global aggregate (2-pass)."""
+    if old_min is None or old_max is None:
+        mm = global_min_max(df, nodata)
+        old_min = mm[0] if old_min is None else old_min
+        old_max = mm[1] if old_max is None else old_max
+    span_old = old_max - old_min
+    span_new = new_max - new_min
+
+    def fn(c: Column) -> Column:
+        if span_old == 0:
+            return F.lit(float(new_min))
+        return (c - F.lit(float(old_min))) * F.lit(float(span_new)) / F.lit(
+            float(span_old)
+        ) + F.lit(float(new_min))
+
+    return cellwise_unary(df, nodata, fn)
+
+
+def global_min_max(df: DataFrame, nodata: float | None) -> tuple[float, float]:
+    """Layer-wide (min, max) over valid cells (``TileLayer.scala:191-207``).
+
+    One JVM-side aggregate: filter NoData inside the array, then
+    array_min/array_max, then global min/max — no explode, no Python.
+    """
+    valid = F.filter(F.col("cells"), lambda c: ~_is_nd(c, nodata))
+    row = df.select(
+        F.min(F.array_min(valid)).alias("mn"), F.max(F.array_max(valid)).alias("mx")
+    ).first()
+    return float(row["mn"]), float(row["mx"])

@@ -1,0 +1,214 @@
+"""Retiling operators: tile_to_layout, pyramid, stitch.
+
+Re-expresses:
+- ``tile_to_layout`` -> ``/root/reference/geopyspark/geotrellis/layer.py:900-953, 1768-1830``,
+  ``SpatialTiledRasterLayer.scala:122-144``
+- ``pyramid``        -> ``layer.py:1832-1864``, ``SpatialTiledRasterLayer.scala:146-171``
+- ``stitch``         -> ``layer.py:1964-1979``, ``SpatialTiledRasterLayer.scala:317-318``
+
+Spark shapes:
+- aligned retile = pure JVM re-key (explode -> recompute (key,pos) ->
+  assemble): one shuffle, rows = cells, map-side combined;
+- pyramid level z-1 = groupBy(parent cell) downsample — one shuffle per
+  level, built as a Python loop unioning into a zoom-stamped DF;
+- stitch is an explicit driver collect with a size guard (100 TB safety).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import replace
+from typing import TYPE_CHECKING
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ..core.extent import Extent, LayoutDefinition, LocalLayout, TileLayout
+from ..core.metadata import LayerMetadata
+from .local import _is_nd
+from .reshape import assemble_cells, with_global_coords
+
+if TYPE_CHECKING:
+    from ..layer import Pyramid, TiledRasterLayer
+
+
+def _resolve_layout(layer: "TiledRasterLayer", layout) -> LayoutDefinition:
+    if isinstance(layout, LayoutDefinition):
+        return layout
+    if isinstance(layout, TileLayout):
+        return LayoutDefinition(layer.layout.extent, layout)
+    if isinstance(layout, LocalLayout):
+        ld = layer.layout
+        return layout.layout_for(ld.extent, ld.cell_width, ld.cell_height)
+    raise TypeError(f"cannot resolve layout from {layout!r}")
+
+
+def tile_to_layout(layer: "TiledRasterLayer", layout,
+                   resample_method: str = "NearestNeighbor") -> "TiledRasterLayer":
+    """Re-cut tiles to a target grid.
+
+    Implemented paths:
+    - *aligned* grids (same cell size, origin offset by a whole number of
+      cells): exact JVM re-key, no resampling — covers retile-to-other-
+      tile-size and extent crops, the dominant case;
+    - non-aligned grids raise (the resample path arrives with the
+      reproject operator).
+    """
+    src = layer.layout
+    dst = _resolve_layout(layer, layout)
+    cw, ch = src.cell_width, src.cell_height
+    if not (
+        math.isclose(cw, dst.cell_width, rel_tol=1e-12)
+        and math.isclose(ch, dst.cell_height, rel_tol=1e-12)
+    ):
+        raise NotImplementedError(
+            "tile_to_layout with resampling (cell size change) is not yet "
+            "implemented; aligned-grid re-key only"
+        )
+    # offset of dst origin from src origin, in cells (must be integral)
+    dx = (dst.extent.xmin - src.extent.xmin) / cw
+    dy = (src.extent.ymax - dst.extent.ymax) / ch
+    if not (math.isclose(dx, round(dx), abs_tol=1e-9) and math.isclose(dy, round(dy), abs_tol=1e-9)):
+        raise NotImplementedError("tile_to_layout requires cell-aligned grids")
+    dx, dy = int(round(dx)), int(round(dy))
+
+    stl, dtl = src.tile_layout, dst.tile_layout
+    long = with_global_coords(layer.explode(), stl.tile_cols, stl.tile_rows)
+    # global coords in dst grid
+    long = long.withColumn("ngcol", F.col("gcol") - F.lit(dx)).withColumn(
+        "ngrow", F.col("grow") - F.lit(dy)
+    )
+    long = long.where(
+        (F.col("ngcol") >= 0)
+        & (F.col("ngcol") < dtl.total_cols)
+        & (F.col("ngrow") >= 0)
+        & (F.col("ngrow") < dtl.total_rows)
+    )
+    keys = [c for c in long.columns if c == "instant"]
+    out_long = long.select(
+        (F.col("ngcol") / dtl.tile_cols).cast("int").alias("key_col"),
+        (F.col("ngrow") / dtl.tile_rows).cast("int").alias("key_row"),
+        *keys,
+        "band",
+        (
+            (F.col("ngrow") % dtl.tile_rows) * dtl.tile_cols + (F.col("ngcol") % dtl.tile_cols)
+        ).alias("pos"),
+        "value",
+    )
+    md = layer.metadata
+    nd = md.nodata
+    fill = float("nan") if nd is None else float(nd)
+    out = assemble_cells(out_long, dtl.tile_cols, dtl.tile_rows, fill)
+    bounds_row = out.agg(
+        F.min("key_col"), F.min("key_row"), F.max("key_col"), F.max("key_row")
+    ).first()
+    new_bounds = (
+        ((bounds_row[0], bounds_row[1]), (bounds_row[2], bounds_row[3]))
+        if bounds_row[0] is not None
+        else ((0, 0), (0, 0))
+    )
+    from ..layer import TiledRasterLayer as TRL
+
+    return TRL(out, md.with_layout(dst, new_bounds))
+
+
+def pyramid(layer: "TiledRasterLayer", resample_method: str = "Average") -> "Pyramid":
+    """Build the zoom stack down to a 1-tile-ish level by 2x2 reduction.
+
+    Each level is one groupBy shuffle (parent cell = child cell // 2);
+    Average or NearestNeighbor (= upper-left child) resampling.
+    """
+    from ..layer import Pyramid as Pyr
+    from ..layer import TiledRasterLayer as TRL
+
+    md = layer.metadata
+    tl = md.layout.tile_layout
+    assert tl.tile_cols % 2 == 0 and tl.tile_rows % 2 == 0, (
+        "pyramid needs even tile dimensions"
+    )
+    max_zoom = md.zoom
+    if max_zoom is None:
+        max_zoom = max(
+            int(math.ceil(math.log2(max(tl.layout_cols, tl.layout_rows)))), 0
+        )
+    levels = {max_zoom: layer}
+    cur = layer
+    z = max_zoom
+    nd = md.nodata
+    while z > 0 and (cur.layout.tile_layout.layout_cols > 1 or cur.layout.tile_layout.layout_rows > 1):
+        cur = _pyramid_up(cur, resample_method)
+        z -= 1
+        cur.metadata = replace(cur.metadata, zoom=z)
+        levels[z] = cur
+    return Pyr(levels)
+
+
+def _pyramid_up(layer: "TiledRasterLayer", resample_method: str) -> "TiledRasterLayer":
+    from ..layer import TiledRasterLayer as TRL
+
+    md = layer.metadata
+    tl = md.layout.tile_layout
+    tc, tr = tl.tile_cols, tl.tile_rows
+    nd = md.nodata
+    long = with_global_coords(layer.explode(), tc, tr)
+    valid = long.where(~_is_nd(F.col("value"), nd))
+    parent = valid.withColumn("pgcol", (F.col("gcol") / 2).cast("int")).withColumn(
+        "pgrow", (F.col("grow") / 2).cast("int")
+    )
+    keys = [c for c in long.columns if c == "instant"]
+    if resample_method.upper() == "AVERAGE":
+        aggv = F.avg("value")
+    elif resample_method.upper() in ("NEARESTNEIGHBOR", "NEAREST_NEIGHBOR"):
+        # upper-left child wins: min (grow, gcol) order
+        aggv = F.min_by("value", F.struct(F.col("grow"), F.col("gcol")))
+    elif resample_method.upper() == "MAX":
+        aggv = F.max("value")
+    elif resample_method.upper() == "MIN":
+        aggv = F.min("value")
+    else:
+        raise NotImplementedError(f"pyramid resample {resample_method}")
+    agg = parent.groupBy(*keys, "band", "pgcol", "pgrow").agg(aggv.alias("value"))
+    out_long = agg.select(
+        (F.col("pgcol") / tc).cast("int").alias("key_col"),
+        (F.col("pgrow") / tr).cast("int").alias("key_row"),
+        *keys,
+        "band",
+        ((F.col("pgrow") % tr) * tc + (F.col("pgcol") % tc)).alias("pos"),
+        "value",
+    )
+    n_lc = max(1, (tl.layout_cols + 1) // 2)
+    n_lr = max(1, (tl.layout_rows + 1) // 2)
+    new_layout = LayoutDefinition(md.layout.extent, TileLayout(n_lc, n_lr, tc, tr))
+    (c0, r0), (c1, r1) = md.bounds
+    new_md = md.with_layout(new_layout, ((c0 // 2, r0 // 2), (c1 // 2, r1 // 2)))
+    fill = float("nan") if nd is None else float(nd)
+    return TRL(assemble_cells(out_long, tc, tr, fill), new_md)
+
+
+MAX_STITCH_CELLS = 512 * 1024 * 1024 // 8  # 512 MiB of doubles
+
+
+def stitch(layer: "TiledRasterLayer") -> np.ndarray:
+    """Assemble the full layer into one (bands, rows, cols) numpy array on
+    the driver — explicitly guarded (SURVEY §7.3: driver-collect APIs need
+    size guards at scale)."""
+    md = layer.metadata
+    tl = md.layout.tile_layout
+    (c0, r0), (c1, r1) = md.bounds
+    ncols = (c1 - c0 + 1) * tl.tile_cols
+    nrows = (r1 - r0 + 1) * tl.tile_rows
+    nb = md.num_bands
+    if nb * ncols * nrows > MAX_STITCH_CELLS:
+        raise ValueError(
+            f"stitch would materialize {nb}x{nrows}x{ncols} cells on the driver; "
+            "refusing (use the catalog writer instead)"
+        )
+    nd = md.nodata
+    fill = float("nan") if nd is None else float(nd)
+    out = np.full((nb, nrows, ncols), fill, dtype=np.float64)
+    for row in layer.df.collect():
+        a = np.asarray(row["cells"], dtype=np.float64).reshape(tl.tile_rows, tl.tile_cols)
+        ro = (row["key_row"] - r0) * tl.tile_rows
+        co = (row["key_col"] - c0) * tl.tile_cols
+        out[row["band"], ro : ro + tl.tile_rows, co : co + tl.tile_cols] = a
+    return out

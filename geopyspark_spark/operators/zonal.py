@@ -1,0 +1,243 @@
+"""Zonal / geometry operators: mask, polygonal summaries, value counts,
+point sampling, time series.
+
+Re-expresses:
+- ``mask``                -> ``/root/reference/geopyspark/geotrellis/layer.py:2044-2104``,
+  ``TiledRasterLayer.scala:86-124``
+- ``polygonal_min/max/sum/mean`` -> ``layer.py:2383-2476``, ``TiledRasterLayer.scala:343-383``
+- ``get_cell_value_counts``      -> ``layer.py:2347-2380``, ``CountingAccumulator.scala:1-31``
+- ``get_point_values``           -> ``layer.py:2215-2345``, ``SpatialTiledRasterLayer.scala:443-529``
+- ``*_series``                   -> ``layer.py:2014-2042``, ``TemporalTiledRasterLayer.scala:136-194``
+
+Spark-first shape: geometry -> candidate keys driver-side (KeyTransform —
+the same explode-to-keys indexing the reference uses for its spatial
+join), broadcast-joined key filter, then an Arrow-batched mask kernel only
+on boundary tiles; aggregation is a plain partial+final groupBy. Cell
+inclusion rule: a cell is inside iff its CENTER is covered (PixelIsPoint,
+the reference rasterizer's default sampling).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.geom import Geometry, MultiPolygon, Point, Polygon, polygon_intersects_box
+from .local import _is_nd, key_cols
+
+if TYPE_CHECKING:
+    from ..layer import TiledRasterLayer
+
+
+def _candidate_keys(layer: "TiledRasterLayer", geoms: list[Geometry]) -> set[tuple[int, int]]:
+    kt = layer.key_transform
+    keys: set[tuple[int, int]] = set()
+    for g in geoms:
+        if isinstance(g, Point):
+            keys.add(kt.point_key(g.x, g.y))
+        else:
+            keys.update(kt.geometry_keys_fast(g) if hasattr(kt, "geometry_keys_fast") else kt.geometry_keys(g))
+    return keys
+
+
+def _key_filter(df: DataFrame, keys: set[tuple[int, int]]) -> DataFrame:
+    """Prune to candidate keys. Small key sets become an IN-list Catalyst
+    predicate (prunable); large ones a broadcast semi-join."""
+    if len(keys) <= 256:
+        pairs = [F.struct(F.lit(c).alias("key_col"), F.lit(r).alias("key_row")) for c, r in keys]
+        return df.where(F.struct("key_col", "key_row").isin(pairs) if pairs else F.lit(False))
+    spark = df.sparkSession
+    kdf = spark.createDataFrame(sorted(keys), ["key_col", "key_row"])
+    return df.join(F.broadcast(kdf), ["key_col", "key_row"], "left_semi")
+
+
+def _tile_fully_inside(geoms: list[Geometry], xmin, ymin, xmax, ymax) -> bool:
+    """Conservative: all 4 tile corners + center inside a single polygon and
+    no polygon edge crosses the tile box."""
+    for g in geoms:
+        if isinstance(g, (Polygon, MultiPolygon)):
+            polys = g.polygons if isinstance(g, MultiPolygon) else (g,)
+            for p in polys:
+                b = p.bounds
+                if b[0] <= xmin and b[1] <= ymin and b[2] >= xmax and b[3] >= ymax:
+                    xs = np.array([xmin, xmax, xmax, xmin, (xmin + xmax) / 2])
+                    ys = np.array([ymin, ymin, ymax, ymax, (ymin + ymax) / 2])
+                    if p.contains_points(xs, ys).all() and not p.holes:
+                        # exterior ring must not dip into the box
+                        if not any(
+                            xmin <= vx <= xmax and ymin <= vy <= ymax
+                            for vx, vy in p.exterior
+                        ):
+                            return True
+    return False
+
+
+def mask(layer: "TiledRasterLayer", geoms: list[Geometry], partial: bool = False) -> "TiledRasterLayer":
+    """Keep only cells whose center lies in any geometry; others -> NoData.
+
+    Broadcast path of the reference's ``mask`` (geometry list is small and
+    shipped in the UDF closure; tile pruning happens first so the kernel
+    touches only intersecting tiles).
+    """
+    md = layer.metadata
+    tl = md.layout.tile_layout
+    kt = layer.key_transform
+    nd = float("nan") if md.nodata is None else float(md.nodata)
+    keys = _candidate_keys(layer, geoms)
+    df = _key_filter(layer.df, keys)
+
+    # split interior (kept verbatim — no kernel) from boundary keys
+    interior = set()
+    boundary = set()
+    for c, r in keys:
+        ke = kt.key_extent(c, r)
+        if _tile_fully_inside(geoms, ke.xmin, ke.ymin, ke.xmax, ke.ymax):
+            interior.add((c, r))
+        else:
+            boundary.add((c, r))
+
+    if not boundary:
+        return layer._with(df)
+
+    layout = md.layout
+    tc, tr = tl.tile_cols, tl.tile_rows
+    cw, ch = layout.cell_width, layout.cell_height
+    exmin, eymax = layout.extent.xmin, layout.extent.ymax
+    boundary_b = boundary
+
+    def mask_batch(batches):
+        # cache per-key boolean masks within a batch
+        mask_cache: dict[tuple[int, int], np.ndarray] = {}
+        col_idx = np.tile(np.arange(tc), tr).astype(float)
+        row_idx = np.repeat(np.arange(tr), tc).astype(float)
+
+        def key_mask(kc: int, kr: int) -> np.ndarray:
+            got = mask_cache.get((kc, kr))
+            if got is not None:
+                return got
+            x = exmin + kc * tc * cw + (col_idx + 0.5) * cw
+            y = eymax - kr * tr * ch - (row_idx + 0.5) * ch
+            inside = np.zeros(tc * tr, dtype=bool)
+            for g in geoms:
+                if isinstance(g, (Polygon, MultiPolygon)):
+                    inside |= g.contains_points(x, y)
+                elif isinstance(g, Point):
+                    inside |= (np.abs(x - g.x) <= cw / 2) & (np.abs(y - g.y) <= ch / 2)
+            mask_cache[(kc, kr)] = inside
+            return inside
+
+        for pdf in batches:
+            cells_out = []
+            for kc, kr, cells in zip(pdf["key_col"], pdf["key_row"], pdf["cells"]):
+                arr = np.asarray(cells, dtype=np.float64)
+                if (kc, kr) in boundary_b:
+                    m = key_mask(int(kc), int(kr))
+                    arr = np.where(m, arr, nd)
+                cells_out.append(arr)
+            pdf = pdf.copy()
+            pdf["cells"] = cells_out
+            yield pdf
+
+    out = df.mapInPandas(mask_batch, schema=df.schema)
+    return layer._with(out)
+
+
+def polygonal_stat_df(layer: "TiledRasterLayer", geoms: list[Geometry], op: str,
+                      by_instant: bool = False) -> DataFrame:
+    """Zonal statistic per band (optionally per instant) as a DataFrame.
+
+    partial+final aggregation: the mask kernel runs per tile, the exploded
+    valid cells aggregate JVM-side. ``mean`` ignores NoData cells (reference
+    polygonal mean semantics).
+    """
+    masked = mask(layer, geoms)
+    nd = layer.metadata.nodata
+    long = masked.explode()
+    valid = long.where(~_is_nd(F.col("value"), nd))
+    group = ["band"] + (["instant"] if by_instant and layer.is_temporal else [])
+    aggs = {
+        "sum": F.sum("value"),
+        "min": F.min("value"),
+        "max": F.max("value"),
+        "mean": F.avg("value"),
+        "count": F.count("value"),
+    }
+    return valid.groupBy(*group).agg(aggs[op].alias(op)).orderBy(*group)
+
+
+def polygonal_stat(layer: "TiledRasterLayer", geoms: list[Geometry], op: str) -> list[float]:
+    rows = polygonal_stat_df(layer, geoms, op).collect()
+    return [row[op] for row in rows]
+
+
+def series(layer: "TiledRasterLayer", geoms: list[Geometry], op: str) -> list[tuple]:
+    """Zonal stat per instant, sorted (``TemporalTiledRasterLayer.scala:136-194``)."""
+    assert layer.is_temporal, "series ops require a SPACETIME layer"
+    rows = polygonal_stat_df(layer, geoms, op, by_instant=True).collect()
+    return [(row["instant"], row[op]) for row in rows]
+
+
+def cell_value_counts(layer: "TiledRasterLayer", aoi: list[Geometry] | None, band: int = 0) -> dict:
+    df = cell_value_counts_df(layer, aoi, band)
+    return {row["value"]: row["count"] for row in df.collect()}
+
+
+def cell_value_counts_df(layer: "TiledRasterLayer", aoi: list[Geometry] | None, band: int = 0) -> DataFrame:
+    """value -> count over valid cells (``layer.py:2347-2380``) — replaces the
+    reference's custom accumulator with a codegen'd groupBy().count()."""
+    src = mask(layer, aoi) if aoi else layer
+    nd = layer.metadata.nodata
+    long = src.explode().where(F.col("band") == band)
+    valid = long.where(~_is_nd(F.col("value"), nd))
+    return valid.groupBy("value").agg(F.count("*").alias("count"))
+
+
+def point_values(layer: "TiledRasterLayer", points, resample_method: str = "NearestNeighbor"):
+    """Sample the layer at points — broadcast semi-join on spatial keys then
+    a cells[pos] lookup, all JVM-side (`element_at`).
+
+    Temporal layers return every instant per point (reference semantics).
+    """
+    if resample_method != "NearestNeighbor":
+        raise NotImplementedError(
+            "only NearestNeighbor point sampling is implemented; the reference's "
+            "bilinear/cubic variants (layer.py:2215-2345) are planned"
+        )
+    from ..layer import _normalize_geoms
+
+    pts = [g for g in _normalize_geoms(points)]
+    kt = layer.key_transform
+    tl = layer.layout.tile_layout
+    rows = []
+    for i, p in enumerate(pts):
+        kc, kr, tc, tr = kt.point_cell(p.x, p.y)
+        rows.append((i, kc, kr, tr * tl.tile_cols + tc))
+    spark = layer.df.sparkSession
+    pdf = spark.createDataFrame(rows, ["pt_id", "key_col", "key_row", "pos"])
+    joined = layer.df.join(F.broadcast(pdf), ["key_col", "key_row"])
+    sel = joined.select(
+        "pt_id",
+        *( ["instant"] if layer.is_temporal else [] ),
+        "band",
+        F.element_at(F.col("cells"), F.col("pos") + 1).alias("value"),
+    )
+    collected = sel.collect()
+    out: dict = {}
+    for row in collected:
+        key = (row["pt_id"], row["instant"]) if layer.is_temporal else row["pt_id"]
+        out.setdefault(key, {})[row["band"]] = row["value"]
+    result = []
+    for i, p in enumerate(pts):
+        if layer.is_temporal:
+            for (pid, instant), bands in sorted(out.items(), key=lambda kv: (kv[0][0], kv[0][1])):
+                if pid == i:
+                    result.append((p, instant, [bands[b] for b in sorted(bands)]))
+        else:
+            bands = out.get(i)
+            result.append((p, [bands[b] for b in sorted(bands)] if bands else None))
+    return result

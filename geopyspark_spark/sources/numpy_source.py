@@ -1,0 +1,64 @@
+"""Create layers from / export layers to local numpy tiles.
+
+The Spark-native replacement for the reference's protobuf round trip
+(``/root/reference/geopyspark/geotrellis/layer.py:474-522`` from/to_numpy_rdd
++ ``protobufcodecs.py``): tiles enter as plain DataFrame rows via Arrow —
+no custom serializer exists in this engine.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from ..core.metadata import LayerMetadata
+from ..layer import TiledRasterLayer
+
+
+def layer_schema(temporal: bool = False) -> T.StructType:
+    fields = [
+        T.StructField("key_col", T.IntegerType(), False),
+        T.StructField("key_row", T.IntegerType(), False),
+    ]
+    if temporal:
+        fields.append(T.StructField("instant", T.TimestampType(), True))
+    fields += [
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("cells", T.ArrayType(T.DoubleType()), False),
+    ]
+    return T.StructType(fields)
+
+
+def from_numpy(spark: SparkSession, tiles, metadata: LayerMetadata) -> TiledRasterLayer:
+    """tiles: iterable of (key_col, key_row, band, np.ndarray[rows, cols]) or
+    (key_col, key_row, instant, band, array) for SPACETIME layers."""
+    rows = []
+    temporal = False
+    for t in tiles:
+        if len(t) == 5:
+            temporal = True
+            kc, kr, instant, band, arr = t
+            rows.append((int(kc), int(kr), instant, int(band),
+                         [float(v) for v in np.asarray(arr).reshape(-1)]))
+        else:
+            kc, kr, band, arr = t
+            rows.append((int(kc), int(kr), int(band),
+                         [float(v) for v in np.asarray(arr).reshape(-1)]))
+    df = spark.createDataFrame(rows, layer_schema(temporal))
+    return TiledRasterLayer(df, metadata)
+
+
+def to_numpy(layer: TiledRasterLayer) -> list:
+    """Collect to [(key_col, key_row[, instant], band, 2-D array), ...]."""
+    tl = layer.layout.tile_layout
+    out = []
+    for row in layer.df.collect():
+        arr = np.asarray(row["cells"], dtype=np.float64).reshape(tl.tile_rows, tl.tile_cols)
+        if layer.is_temporal:
+            out.append((row["key_col"], row["key_row"], row["instant"], row["band"], arr))
+        else:
+            out.append((row["key_col"], row["key_row"], row["band"], arr))
+    return sorted(out, key=lambda r: tuple(str(x) for x in r[:-1]))

@@ -1,0 +1,60 @@
+"""Shared Spark fixtures for the test suite (local mode, AQE on,
+small shuffle partitioning — mirrors the reference's local[*] test base,
+``/root/reference/geopyspark/tests/base_test_class.py:15-41``)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import SparkSession
+
+import geopyspark_spark as gps
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("geopyspark_spark-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def f1_metadata(cell_type: str = "float32ud-1.0") -> gps.LayerMetadata:
+    """The canonical F1 fixture metadata (FIXTURES.md): 2x2 layout of 5x5
+    tiles, extent (0,0)-(33,33) — wait, layout extent must match grid:
+    2*5 cells per axis; use (0,0)-(10,10) with unit cells for exactness."""
+    layout = gps.LayoutDefinition(gps.Extent(0, 0, 10, 10), gps.TileLayout(2, 2, 5, 5))
+    return gps.LayerMetadata(
+        crs="epsg:4326",
+        cell_type=cell_type,
+        layout=layout,
+        bounds=((0, 0), (1, 1)),
+        extent=layout.extent,
+        num_bands=1,
+    )
+
+
+@pytest.fixture(scope="session")
+def f1_layer(spark):
+    """2x2 layout of 5x5 single-band tiles, all ones except one 0.0 corner
+    cell in tile (0,0) — mirrors the reference's focal fixture
+    (``focal_test.py:14-46``)."""
+    md = f1_metadata()
+    tiles = []
+    for kr in range(2):
+        for kc in range(2):
+            a = np.ones((5, 5))
+            if kc == 0 and kr == 0:
+                a[0, 0] = 0.0
+            tiles.append((kc, kr, 0, a))
+    return gps.from_numpy(spark, tiles, md)

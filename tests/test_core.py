@@ -1,0 +1,154 @@
+"""Core math unit tests: cell types, layouts, key transforms, z-index, geometry."""
+
+import numpy as np
+import pytest
+
+import geopyspark_spark as gps
+from geopyspark_spark.core.celltype import dtype_to_cell_type, is_nodata, parse_cell_type
+from geopyspark_spark.core.geom import polygon_intersects_box
+from geopyspark_spark.core.zindex import z2_py, z3_py
+
+
+class TestCellType:
+    def test_defaults(self):
+        assert parse_cell_type("int32").nodata == -2147483648
+        assert parse_cell_type("int16").nodata == -32768
+        assert parse_cell_type("uint8").nodata == 0
+        assert np.isnan(parse_cell_type("float32").nodata)
+
+    def test_raw(self):
+        assert parse_cell_type("int32raw").nodata is None
+        assert parse_cell_type("float64raw").nodata is None
+
+    def test_user_defined(self):
+        ct = parse_cell_type("float32ud-1.0")
+        assert ct.nodata == -1.0
+        assert ct.base == "float32"
+        ct2 = parse_cell_type("int16ud42")
+        assert ct2.nodata == 42.0
+
+    def test_aliases(self):
+        assert parse_cell_type("float").base == "float32"
+        assert parse_cell_type("double").base == "float64"
+
+    def test_dtype_mapping(self):
+        assert dtype_to_cell_type("int64") == "float64"
+        assert dtype_to_cell_type("uint32") == "float32"
+
+    def test_is_nodata_nan(self):
+        assert is_nodata(float("nan"), float("nan"))
+        assert not is_nodata(1.0, float("nan"))
+        assert is_nodata(-1.0, -1.0)
+
+
+class TestLayout:
+    def test_key_extent(self):
+        layout = gps.LayoutDefinition(gps.Extent(0, 0, 10, 10), gps.TileLayout(2, 2, 5, 5))
+        kt = gps.KeyTransform(layout)
+        e00 = kt.key_extent(0, 0)  # top-left
+        assert (e00.xmin, e00.ymin, e00.xmax, e00.ymax) == (0, 5, 5, 10)
+        e11 = kt.key_extent(1, 1)
+        assert (e11.xmin, e11.ymin, e11.xmax, e11.ymax) == (5, 0, 10, 5)
+
+    def test_point_key_roundtrip(self):
+        layout = gps.LayoutDefinition(gps.Extent(0, 0, 10, 10), gps.TileLayout(2, 2, 5, 5))
+        kt = gps.KeyTransform(layout)
+        assert kt.point_key(2.5, 7.5) == (0, 0)
+        assert kt.point_key(7.5, 2.5) == (1, 1)
+        # edges
+        assert kt.point_key(10, 0) == (1, 1)
+
+    def test_extent_keys(self):
+        layout = gps.LayoutDefinition(gps.Extent(0, 0, 10, 10), gps.TileLayout(2, 2, 5, 5))
+        kt = gps.KeyTransform(layout)
+        keys = set(kt.extent_keys(gps.Extent(1, 1, 4, 4)))
+        assert keys == {(0, 1)}
+        keys = set(kt.extent_keys(gps.Extent(1, 1, 9, 9)))
+        assert keys == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+    def test_local_layout(self):
+        ld = gps.LocalLayout(5).layout_for(gps.Extent(0, 0, 10, 10), 1.0, 1.0)
+        assert ld.tile_layout == gps.TileLayout(2, 2, 5, 5)
+        assert ld.extent == gps.Extent(0, 0, 10, 10)
+
+    def test_cell_center(self):
+        layout = gps.LayoutDefinition(gps.Extent(0, 0, 10, 10), gps.TileLayout(2, 2, 5, 5))
+        kt = gps.KeyTransform(layout)
+        x, y = kt.cell_center(0, 0, 0, 0)
+        assert (x, y) == (0.5, 9.5)
+
+
+class TestZIndex:
+    def test_z2(self):
+        assert z2_py(0, 0) == 0
+        assert z2_py(1, 0) == 1
+        assert z2_py(0, 1) == 2
+        assert z2_py(1, 1) == 3
+        assert z2_py(2, 2) == 12
+
+    def test_z3(self):
+        assert z3_py(1, 0, 0) == 1
+        assert z3_py(0, 1, 0) == 2
+        assert z3_py(0, 0, 1) == 4
+
+    def test_z2_col_matches_python(self, spark):
+        from pyspark.sql import functions as F
+
+        from geopyspark_spark.core.zindex import z2_col
+
+        df = spark.createDataFrame(
+            [(c, r) for c in range(8) for r in range(8)], ["key_col", "key_row"]
+        )
+        rows = df.select("key_col", "key_row", z2_col("key_col", "key_row")).collect()
+        for row in rows:
+            assert row["zindex"] == z2_py(row["key_col"], row["key_row"])
+
+
+class TestGeom:
+    def test_wkt_roundtrip(self):
+        g = gps.from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+        assert g.bounds == (0, 0, 4, 4)
+        g2 = gps.from_wkt(gps.to_wkt(g))
+        assert g2 == g
+
+    def test_wkb_roundtrip(self):
+        g = gps.box(1, 2, 3, 4)
+        assert gps.from_wkb(gps.to_wkb(g)) == gps.from_wkt(gps.to_wkt(g))
+
+    def test_point_in_polygon(self):
+        g = gps.box(0, 0, 4, 4)
+        assert g.contains_point(2, 2)
+        assert not g.contains_point(5, 2)
+
+    def test_polygon_with_hole(self):
+        g = gps.Polygon(
+            ((0, 0), (10, 0), (10, 10), (0, 10)),
+            (((3, 3), (7, 3), (7, 7), (3, 7)),),
+        )
+        assert g.contains_point(1, 1)
+        assert not g.contains_point(5, 5)
+
+    def test_multipolygon(self):
+        mp = gps.MultiPolygon((gps.box(0, 0, 1, 1), gps.box(5, 5, 6, 6)))
+        assert mp.contains_points(np.array([0.5, 5.5, 3.0]), np.array([0.5, 5.5, 3.0])).tolist() == [
+            True,
+            True,
+            False,
+        ]
+
+    def test_intersects_box(self):
+        tri = gps.Polygon(((0, 0), (2, 0), (0, 2)))
+        assert polygon_intersects_box(tri, 0.5, 0.5, 1.5, 1.5)
+        assert not polygon_intersects_box(tri, 3, 3, 4, 4)
+        # polygon fully containing box
+        assert polygon_intersects_box(gps.box(0, 0, 10, 10), 4, 4, 5, 5)
+        # box fully containing polygon
+        assert polygon_intersects_box(tri, -5, -5, 5, 5)
+
+    def test_geometry_keys(self):
+        layout = gps.LayoutDefinition(gps.Extent(0, 0, 10, 10), gps.TileLayout(2, 2, 5, 5))
+        kt = gps.KeyTransform(layout)
+        keys = set(kt.geometry_keys(gps.box(1, 1, 4, 4)))
+        assert keys == {(0, 1)}
+        keys = set(kt.geometry_keys(gps.box(1, 1, 6, 9)))
+        assert keys == {(0, 0), (0, 1), (1, 0), (1, 1)}

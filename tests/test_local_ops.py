@@ -1,0 +1,144 @@
+"""Local map algebra golden tests (reference pattern: tiny tiles, exact values)."""
+
+import numpy as np
+import pytest
+
+import geopyspark_spark as gps
+from geopyspark_spark.sources.numpy_source import to_numpy
+
+from conftest import f1_metadata
+
+
+def _cells(layer, key=(0, 0), band=0):
+    for t in to_numpy(layer):
+        if (t[0], t[1]) == key and t[2] == band:
+            return t[3]
+    raise KeyError(key)
+
+
+class TestScalarOps:
+    def test_add(self, f1_layer):
+        out = _cells(f1_layer + 5)
+        assert out[0, 0] == 5.0  # 0 + 5
+        assert out[1, 1] == 6.0
+
+    def test_radd(self, f1_layer):
+        assert _cells(5 + f1_layer)[1, 1] == 6.0
+
+    def test_sub_rsub(self, f1_layer):
+        assert _cells(f1_layer - 0.5)[1, 1] == 0.5
+        assert _cells(10 - f1_layer)[1, 1] == 9.0
+
+    def test_mul_div_pow(self, f1_layer):
+        assert _cells(f1_layer * 3)[1, 1] == 3.0
+        assert _cells(f1_layer / 4)[1, 1] == 0.25
+        assert _cells((f1_layer + 2) ** 2)[1, 1] == 9.0
+        assert _cells(2 ** (f1_layer + 2))[1, 1] == 8.0
+
+    def test_abs(self, f1_layer):
+        assert _cells(abs(f1_layer - 5))[1, 1] == 4.0
+
+    def test_local_max_min(self, f1_layer):
+        assert _cells(f1_layer.local_max(0.5))[0, 0] == 0.5
+        assert _cells(f1_layer.local_min(0.5))[1, 1] == 0.5
+
+
+class TestNoData:
+    def test_nodata_propagates(self, spark):
+        md = f1_metadata("float32ud-1.0")
+        a = np.ones((5, 5))
+        a[2, 2] = -1.0  # NoData
+        layer = gps.from_numpy(spark, [(0, 0, 0, a)], md)
+        out = _cells(layer + 10)
+        assert out[2, 2] == -1.0  # NoData survives
+        assert out[0, 0] == 11.0
+
+    def test_layer_plus_layer_nodata(self, spark):
+        md = f1_metadata("float32ud-1.0")
+        a = np.ones((5, 5))
+        a[2, 2] = -1.0
+        b = np.full((5, 5), 2.0)
+        la = gps.from_numpy(spark, [(0, 0, 0, a)], md)
+        lb = gps.from_numpy(spark, [(0, 0, 0, b)], md)
+        out = _cells(la + lb)
+        assert out[0, 0] == 3.0
+        assert out[2, 2] == -1.0
+
+
+class TestLayerOps:
+    def test_layer_arithmetic(self, f1_layer):
+        s = f1_layer + f1_layer
+        assert _cells(s)[1, 1] == 2.0
+        assert _cells(s)[0, 0] == 0.0
+        d = (f1_layer + 1) / (f1_layer + 1)
+        assert _cells(d)[1, 1] == 1.0
+
+    def test_local_max_layer(self, f1_layer):
+        other = 2 - f1_layer  # 2 at the zero corner, 1 elsewhere
+        out = _cells(f1_layer.local_max(other))
+        assert out[0, 0] == 2.0
+        assert out[1, 1] == 1.0
+
+
+class TestReclassify:
+    def test_less_than_or_equal(self, f1_layer):
+        out = _cells((f1_layer * 10).reclassify({5: 100, 20: 200}))
+        assert out[0, 0] == 100.0  # 0 <= 5
+        assert out[1, 1] == 200.0  # 10 <= 20
+
+    def test_exact(self, f1_layer):
+        out = _cells(f1_layer.reclassify({0: 7}, strategy="EXACT", fallback=9))
+        assert out[0, 0] == 7.0
+        assert out[1, 1] == 9.0
+
+    def test_greater_than(self, f1_layer):
+        out = _cells((f1_layer * 10).reclassify({5: 1, -1: 2}, strategy="GREATER_THAN"))
+        assert out[1, 1] == 1.0  # 10 > 5
+        assert out[0, 0] == 2.0  # 0 > -1
+
+
+class TestNormalize:
+    def test_explicit_range(self, f1_layer):
+        out = _cells(f1_layer.normalize(0, 100, 0, 1))
+        assert out[1, 1] == 100.0
+        assert out[0, 0] == 0.0
+
+    def test_auto_range(self, f1_layer):
+        out = _cells(f1_layer.normalize(0, 10))
+        assert out[0, 0] == 0.0
+        assert out[1, 1] == 10.0
+
+    def test_min_max(self, f1_layer):
+        assert f1_layer.get_min_max() == (0.0, 1.0)
+
+
+class TestBandsAndTypes:
+    def test_bands_select(self, spark):
+        md = f1_metadata()
+        tiles = [(0, 0, b, np.full((5, 5), float(b))) for b in range(3)]
+        layer = gps.from_numpy(spark, tiles, md)
+        sel = layer.bands([2, 0])
+        got = {t[2]: t[3][0, 0] for t in to_numpy(sel)}
+        assert got == {0: 2.0, 1: 0.0}
+
+    def test_convert_data_type(self, f1_layer):
+        out = (f1_layer + 0.6).convert_data_type("int32")
+        assert out.metadata.cell_type == "int32"
+        assert _cells(out)[1, 1] == 2.0  # 1.6 rounds
+
+    def test_with_no_data(self, f1_layer):
+        out = f1_layer.with_no_data(0.0)
+        assert out.metadata.nodata == 0.0
+        assert out.metadata.cell_type == "float32ud0.0"
+
+
+class TestUnionCombine:
+    def test_union_keeps_duplicates(self, f1_layer):
+        u = gps.union([f1_layer, f1_layer])
+        assert u.count() == 2 * f1_layer.count()
+
+    def test_combine_bands(self, f1_layer):
+        c = gps.combine_bands([f1_layer, f1_layer + 10])
+        assert c.metadata.num_bands == 2
+        got = {t[2]: t[3][1, 1] for t in to_numpy(c) if (t[0], t[1]) == (0, 0)}
+        assert got == {0: 1.0, 1: 11.0}
