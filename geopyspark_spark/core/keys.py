@@ -52,13 +52,16 @@ class KeyTransform:
     def extent_keys(self, query: Extent) -> Iterator[tuple[int, int]]:
         """All keys whose tile extent intersects ``query`` (clamped to layout)."""
         ld = self.layout
-        c0, r0 = self.point_key(query.xmin, query.ymax)
-        c1, r1 = self.point_key(query.xmax, query.ymin)
+        e, tw, th = ld.extent, ld.tile_width, ld.tile_height
+        c0 = int(math.floor((query.xmin - e.xmin) / tw))
+        r0 = int(math.floor((e.ymax - query.ymax) / th))
+        c1 = int(math.floor((query.xmax - e.xmin) / tw))
+        r1 = int(math.floor((e.ymax - query.ymin) / th))
         # an extent whose max edge lands exactly on a tile boundary should not
         # include the next tile (half-open cells), unless degenerate
-        if query.xmax > query.xmin and (query.xmax - ld.extent.xmin) % ld.tile_width == 0:
+        if query.xmax > query.xmin and (query.xmax - e.xmin) % tw == 0:
             c1 -= 1
-        if query.ymax > query.ymin and (ld.extent.ymax - query.ymin) % ld.tile_height == 0:
+        if query.ymax > query.ymin and (e.ymax - query.ymin) % th == 0:
             r1 -= 1
         nc, nr = ld.tile_layout.layout_cols, ld.tile_layout.layout_rows
         for row in range(max(r0, 0), min(r1, nr - 1) + 1):

@@ -235,16 +235,18 @@ def _run_kernel(layer: "TiledRasterLayer", radius: int, kernel, out_cell_type: s
     def apply_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         buf = _assemble_buffer(pdf, tc, tr, radius, fill)
         if buf is None:
-            return pd.DataFrame({c: [] for c in [k for k in keys] + ["cells"]})
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=object) for c in [k for k in keys] + ["cells"]}
+            )
         if nd is not None and not math.isnan(fill):
             buf = np.where(buf == fill, np.nan, buf)
         res = kernel(buf)  # (tr, tc) float with NaN as nodata
         flat = res.reshape(-1)
         if out_nd is not None and not (isinstance(out_nd, float) and math.isnan(out_nd)):
             flat = np.where(np.isnan(flat), out_fill, flat)
-        row = dict(zip(keys, key))
-        row["cells"] = flat
-        return pd.DataFrame([row])
+        data = {k: [v] for k, v in zip(keys, key)}
+        data["cells"] = [flat.tolist()]
+        return pd.DataFrame(data)
 
     out = frag_df.groupBy(*keys).applyInPandas(apply_fn, schema=schema)
     new_md = md.with_cell_type(out_cell_type) if out_cell_type else md

@@ -218,7 +218,7 @@ def point_values(layer: "TiledRasterLayer", points, resample_method: str = "Near
         kc, kr, tc, tr = kt.point_cell(p.x, p.y)
         rows.append((i, kc, kr, tr * tl.tile_cols + tc))
     spark = layer.df.sparkSession
-    pdf = spark.createDataFrame(rows, ["pt_id", "key_col", "key_row", "pos"])
+    pdf = spark.createDataFrame(rows, "pt_id int, key_col int, key_row int, pos int")
     joined = layer.df.join(F.broadcast(pdf), ["key_col", "key_row"])
     sel = joined.select(
         "pt_id",

@@ -1,0 +1,203 @@
+"""aggregate_by_cell / merge / histogram + focal stencil golden tests."""
+
+import math
+
+import numpy as np
+import pytest
+
+import geopyspark_spark as gps
+from geopyspark_spark.operators.focal import neighborhood_mask
+from geopyspark_spark.sources.numpy_source import to_numpy
+
+from conftest import f1_metadata
+
+
+def _cells(layer, key=(0, 0), band=0):
+    for t in to_numpy(layer):
+        if (t[0], t[1]) == key and t[2] == band:
+            return t[3]
+    raise KeyError(key)
+
+
+class TestAggregateByCell:
+    def test_sum_over_union(self, f1_layer):
+        u = gps.union([f1_layer, f1_layer + 1])
+        out = u.aggregate_by_cell("SUM")
+        assert out.count() == 4
+        a = _cells(out)
+        assert a[1, 1] == 3.0  # 1 + 2
+        assert a[0, 0] == 1.0  # 0 + 1
+
+    def test_mean(self, f1_layer):
+        u = gps.union([f1_layer, f1_layer + 2])
+        a = _cells(u.aggregate_by_cell("MEAN"))
+        assert a[1, 1] == 2.0
+
+    def test_min_max(self, f1_layer):
+        u = gps.union([f1_layer, f1_layer + 2])
+        assert _cells(u.aggregate_by_cell("MIN"))[1, 1] == 1.0
+        assert _cells(u.aggregate_by_cell("MAX"))[1, 1] == 3.0
+
+    def test_variance_singleton_is_nodata(self, f1_layer):
+        out = f1_layer.aggregate_by_cell("VARIANCE")
+        a = _cells(out)
+        assert a[1, 1] == -1.0  # nodata sentinel
+
+    def test_variance(self, f1_layer):
+        u = gps.union([f1_layer, f1_layer + 2])
+        a = _cells(u.aggregate_by_cell("VARIANCE"))
+        assert a[1, 1] == 2.0  # var_samp(1, 3)
+
+    def test_nodata_skipped(self, spark):
+        md = f1_metadata("float32ud-1.0")
+        a = np.ones((5, 5))
+        a[0, 0] = -1.0
+        b = np.full((5, 5), 5.0)
+        u = gps.union([
+            gps.from_numpy(spark, [(0, 0, 0, a)], md),
+            gps.from_numpy(spark, [(0, 0, 0, b)], md),
+        ])
+        out = _cells(u.aggregate_by_cell("SUM"))
+        assert out[0, 0] == 5.0  # nodata skipped, not propagated
+        assert out[1, 1] == 6.0
+
+
+class TestMerge:
+    def test_merge_first_valid(self, spark):
+        md = f1_metadata("float32ud-1.0")
+        a = np.full((5, 5), -1.0)
+        a[0, 0] = 7.0
+        b = np.full((5, 5), 2.0)
+        la = gps.from_numpy(spark, [(0, 0, 0, a)], md).df.withColumn(
+            "prio", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(0)
+        )
+        lb = gps.from_numpy(spark, [(0, 0, 0, b)], md).df.withColumn(
+            "prio", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(1)
+        )
+        u = gps.TiledRasterLayer(la.unionByName(lb), md)
+        from geopyspark_spark.operators.aggregate import merge
+
+        out = merge(u, order_col="prio")
+        a_out = _cells(out)
+        assert a_out[0, 0] == 7.0  # first tile's valid cell wins
+        assert a_out[1, 1] == 2.0  # first is nodata -> second wins
+
+
+class TestHistogram:
+    def test_class_histogram(self, f1_layer):
+        rows = f1_layer.get_class_histogram()
+        got = {(r["band"], r["value"]): r["count"] for r in rows}
+        assert got == {(0, 0.0): 1, (0, 1.0): 99}
+
+    def test_quantile_breaks(self, f1_layer):
+        breaks = f1_layer.get_quantile_breaks(4)
+        assert breaks[-1] == 1.0
+
+
+class TestNeighborhoods:
+    def test_square(self):
+        assert neighborhood_mask("Square", 1).shape == (3, 3)
+        assert neighborhood_mask("Square", 1).all()
+
+    def test_circle(self):
+        m = neighborhood_mask("Circle", 1)
+        assert m.sum() == 5  # plus-shape
+
+    def test_nesw(self):
+        m = neighborhood_mask("Nesw", 1)
+        assert m.sum() == 5
+
+    def test_annulus(self):
+        m = neighborhood_mask("Annulus", 1, 2)
+        assert not m[2, 2]  # center excluded (distance 0 < inner 1)
+
+    def test_wedge(self):
+        m = neighborhood_mask("Wedge", 2, 0, 90)
+        assert m[2, 2]  # center always in
+
+
+class TestFocal:
+    def test_focal_sum_interior(self, f1_layer):
+        out = f1_layer.focal("Sum", "Square", 1)
+        a = _cells(out, (0, 0))
+        # interior cell of all-ones area: 9 ones
+        assert a[2, 2] == 9.0
+        # corner (0,0) has value 0; neighbors: 3 ones -> sum 3
+        assert a[0, 0] == 3.0
+
+    def test_focal_sum_crosses_tiles(self, f1_layer):
+        out = f1_layer.focal("Sum", "Square", 1)
+        # cell at tile (0,0) pos (4,4): neighborhood spans 4 tiles, all ones
+        a = _cells(out, (0, 0))
+        assert a[4, 4] == 9.0
+        # tile (1,1) top-left corner: full 9-neighborhood across tiles
+        b = _cells(out, (1, 1))
+        assert b[0, 0] == 9.0
+
+    def test_focal_sum_layer_edge(self, f1_layer):
+        out = f1_layer.focal("Sum", "Square", 1)
+        a = _cells(out, (1, 1))
+        # bottom-right corner of the layer: only 4 cells exist
+        assert a[4, 4] == 4.0
+
+    def test_focal_mean_ignores_nodata(self, spark):
+        md = f1_metadata("float32ud-1.0")
+        a = np.ones((5, 5))
+        a[1, 1] = -1.0
+        layer = gps.from_numpy(spark, [(0, 0, 0, a)], md)
+        out = _cells(layer.focal("Mean", "Square", 1))
+        assert out[3, 3] == 1.0
+        assert out[1, 1] == 1.0  # mean of 8 valid ones (center nodata ignored)
+
+    def test_focal_min_max(self, f1_layer):
+        mn = _cells(f1_layer.focal("Min", "Square", 1))
+        mx = _cells(f1_layer.focal("Max", "Square", 1))
+        assert mn[1, 1] == 0.0 and mn[3, 3] == 1.0
+        assert mx[0, 0] == 1.0
+
+    def test_focal_median_mode(self, f1_layer):
+        med = _cells(f1_layer.focal("Median", "Square", 1))
+        mod = _cells(f1_layer.focal("Mode", "Square", 1))
+        assert med[1, 1] == 1.0
+        assert mod[1, 1] == 1.0
+
+
+class TestTerrain:
+    @pytest.fixture(scope="class")
+    def ramp_layer(self, spark):
+        """Plane z = x: constant slope 45 deg with zfactor 1, unit cells."""
+        md = f1_metadata("float32")
+        tiles = []
+        for kc in range(2):
+            for kr in range(2):
+                a = np.zeros((5, 5))
+                for col in range(5):
+                    a[:, col] = kc * 5 + col  # z equals global x index
+                tiles.append((kc, kr, 0, a))
+        return gps.from_numpy(spark, tiles, md)
+
+    def test_slope_45_degrees(self, ramp_layer):
+        out = ramp_layer.slope()
+        a = _cells(out, (0, 0))
+        assert abs(a[2, 2] - 45.0) < 1e-6
+        assert out.metadata.cell_type == "float32"
+
+    def test_aspect_east(self, ramp_layer):
+        # z increases eastward -> downslope faces west (270 deg)
+        a = _cells(ramp_layer.aspect(), (0, 0))
+        assert abs(a[2, 2] - 270.0) < 1e-6
+
+    def test_hillshade_range(self, ramp_layer):
+        out = ramp_layer.hillshade()
+        a = _cells(out, (0, 0))
+        assert out.metadata.cell_type == "int16"
+        assert 0 <= a[2, 2] <= 255
+
+    def test_flat_slope_zero(self, f1_layer):
+        a = _cells(f1_layer.slope(), (0, 0))
+        assert a[2, 2] == 0.0
+
+    def test_tobler(self, f1_layer):
+        flat = f1_layer * 0
+        out = _cells(flat.tobler())
+        assert abs(out[2, 2] - 6.0 * math.exp(-3.5 * 0.05)) < 1e-9

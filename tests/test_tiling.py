@@ -1,0 +1,107 @@
+"""Retiling golden tests: tile_to_layout re-key, pyramid downsample, stitch."""
+
+import numpy as np
+import pytest
+
+import geopyspark_spark as gps
+from geopyspark_spark.sources.numpy_source import to_numpy
+
+from conftest import f1_metadata
+
+
+class TestTileToLayout:
+    def test_retile_to_larger_tiles(self, f1_layer):
+        # 2x2 of 5x5 -> 1x1 of 10x10, same grid
+        target = gps.LayoutDefinition(gps.Extent(0, 0, 10, 10), gps.TileLayout(1, 1, 10, 10))
+        out = f1_layer.tile_to_layout(target)
+        tiles = to_numpy(out)
+        assert len(tiles) == 1
+        a = tiles[0][3]
+        assert a.shape == (10, 10)
+        assert a.sum() == 99.0
+        assert a[0, 0] == 0.0  # top-left corner preserved
+
+    def test_retile_to_smaller_tiles(self, f1_layer):
+        target = gps.LayoutDefinition(gps.Extent(0, 0, 10, 10), gps.TileLayout(5, 5, 2, 2))
+        out = f1_layer.tile_to_layout(target)
+        assert out.count() == 25
+        total = sum(t[3].sum() for t in to_numpy(out))
+        assert total == 99.0
+
+    def test_crop_extent(self, f1_layer):
+        # target covers only the top-left quadrant
+        target = gps.LayoutDefinition(gps.Extent(0, 5, 5, 10), gps.TileLayout(1, 1, 5, 5))
+        out = f1_layer.tile_to_layout(target)
+        tiles = to_numpy(out)
+        assert len(tiles) == 1
+        assert tiles[0][3][0, 0] == 0.0
+        assert tiles[0][3].sum() == 24.0
+
+    def test_non_aligned_raises(self, f1_layer):
+        target = gps.LayoutDefinition(gps.Extent(0, 0, 10, 10), gps.TileLayout(3, 3, 5, 5))
+        with pytest.raises(NotImplementedError):
+            f1_layer.tile_to_layout(target)
+
+
+class TestPyramid:
+    @pytest.fixture(scope="class")
+    def base_layer(self, spark):
+        """4x4 layout of 4x4 tiles; value = global col index."""
+        layout = gps.LayoutDefinition(gps.Extent(0, 0, 16, 16), gps.TileLayout(4, 4, 4, 4))
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float32", layout=layout,
+            bounds=((0, 0), (3, 3)), extent=layout.extent, zoom=2,
+        )
+        tiles = []
+        for kc in range(4):
+            for kr in range(4):
+                a = np.zeros((4, 4))
+                for c in range(4):
+                    a[:, c] = kc * 4 + c
+                tiles.append((kc, kr, 0, a))
+        return gps.from_numpy(spark, tiles, md)
+
+    def test_pyramid_levels(self, base_layer):
+        pyr = base_layer.pyramid()
+        assert set(pyr.levels) == {2, 1, 0}
+        assert pyr[2].count() == 16
+        assert pyr[1].count() == 4
+        assert pyr[0].count() == 1
+
+    def test_pyramid_average(self, base_layer):
+        pyr = base_layer.pyramid()
+        l1 = {(t[0], t[1]): t[3] for t in to_numpy(pyr[1])}
+        # parent cell 0 averages children cols 0,1 -> 0.5
+        assert l1[(0, 0)][0, 0] == 0.5
+        # layout metadata halves
+        assert pyr[1].layout.tile_layout.layout_cols == 2
+
+    def test_pyramid_to_dataframe(self, base_layer):
+        df = base_layer.pyramid().to_dataframe()
+        assert df.where("zoom = 0").count() == 1
+
+
+class TestStitch:
+    def test_stitch(self, f1_layer):
+        out = f1_layer.stitch()
+        assert out.shape == (1, 10, 10)
+        assert out.sum() == 99.0
+        assert out[0, 0, 0] == 0.0
+
+    def test_stitch_guard(self, f1_layer):
+        import geopyspark_spark.operators.tiling as tiling
+
+        old = tiling.MAX_STITCH_CELLS
+        tiling.MAX_STITCH_CELLS = 10
+        try:
+            with pytest.raises(ValueError):
+                f1_layer.stitch()
+        finally:
+            tiling.MAX_STITCH_CELLS = old
+
+
+class TestPartitioning:
+    def test_partition_by_zorder(self, f1_layer):
+        out = f1_layer.partition_by_zorder(2)
+        assert out.df.rdd.getNumPartitions() == 2
+        assert out.count() == 4

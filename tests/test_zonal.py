@@ -1,0 +1,112 @@
+"""Zonal operator golden tests (mask, polygonal summaries, value counts,
+point values, series) — reference pattern: exact numbers on tiny tiles
+(cf. /root/reference polygonal_summaries_test.py, cell_value_counts_test.py)."""
+
+from datetime import datetime, timezone
+
+import numpy as np
+import pytest
+
+import geopyspark_spark as gps
+from geopyspark_spark.sources.numpy_source import to_numpy
+
+from conftest import f1_metadata
+
+
+class TestMask:
+    def test_mask_quadrant(self, f1_layer):
+        # box over tile (0,1) only: x in [0,5), y in [0,5)
+        masked = f1_layer.mask("POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))")
+        tiles = {(t[0], t[1]): t[3] for t in to_numpy(masked)}
+        assert set(tiles) == {(0, 1)}
+        assert tiles[(0, 1)].sum() == 25.0
+
+    def test_mask_partial_tile(self, f1_layer):
+        # box covering a 2x2-cell corner of tile (0,1): x in [0,2), y in [0,2)
+        masked = f1_layer.mask(gps.box(0, 0, 2, 2))
+        tiles = {(t[0], t[1]): t[3] for t in to_numpy(masked)}
+        a = tiles[(0, 1)]
+        valid = a != -1.0
+        assert valid.sum() == 4
+        assert a[3:, :2].tolist() == [[1.0, 1.0], [1.0, 1.0]]
+
+    def test_mask_multi_geoms(self, f1_layer):
+        masked = f1_layer.mask([gps.box(0, 0, 2, 2), gps.box(8, 8, 10, 10)])
+        tiles = {(t[0], t[1]) for t in to_numpy(masked)}
+        assert tiles == {(0, 1), (1, 0)}
+
+
+class TestPolygonalSummaries:
+    def test_full_cover(self, f1_layer):
+        g = gps.box(0, 0, 10, 10)
+        assert f1_layer.polygonal_sum(g) == [99.0]  # 100 cells, one 0
+        assert f1_layer.polygonal_min(g) == [0.0]
+        assert f1_layer.polygonal_max(g) == [1.0]
+        assert f1_layer.polygonal_mean(g) == [0.99]
+
+    def test_sub_polygon(self, f1_layer):
+        g = gps.box(0, 0, 5, 5)  # tile (0,1): all ones
+        assert f1_layer.polygonal_sum(g) == [25.0]
+        assert f1_layer.polygonal_mean(g) == [1.0]
+
+    def test_nodata_excluded(self, spark):
+        md = f1_metadata("float32ud-1.0")
+        a = np.ones((5, 5))
+        a[0, :] = -1.0  # a NoData row
+        layer = gps.from_numpy(spark, [(0, 0, 0, a)], md)
+        g = gps.box(0, 5, 5, 10)
+        assert layer.polygonal_sum(g) == [20.0]
+        assert layer.polygonal_mean(g) == [1.0]
+
+
+class TestCellValueCounts:
+    def test_counts(self, f1_layer):
+        counts = f1_layer.get_cell_value_counts()
+        assert counts == {1.0: 99, 0.0: 1}
+
+    def test_counts_aoi(self, f1_layer):
+        counts = f1_layer.get_cell_value_counts(gps.box(0, 0, 5, 5))
+        assert counts == {1.0: 25}
+
+
+class TestPointValues:
+    def test_point_sample(self, f1_layer):
+        pts = [gps.Point(0.5, 9.5), gps.Point(7.5, 2.5)]
+        got = f1_layer.get_point_values(pts)
+        assert got[0][1] == [0.0]  # corner zero cell
+        assert got[1][1] == [1.0]
+
+
+class TestTemporal:
+    @pytest.fixture(scope="class")
+    def st_layer(self, spark):
+        md = f1_metadata()
+        t1 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        t2 = datetime(2024, 2, 1, tzinfo=timezone.utc)
+        tiles = []
+        for kc in range(2):
+            for kr in range(2):
+                tiles.append((kc, kr, t1, 0, np.full((5, 5), 1.0)))
+                tiles.append((kc, kr, t2, 0, np.full((5, 5), 3.0)))
+        return gps.from_numpy(spark, tiles, md)
+
+    def test_filter_by_times(self, st_layer):
+        t1 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        out = st_layer.filter_by_times([t1])
+        assert out.count() == 4
+
+    def test_to_spatial_layer(self, st_layer):
+        t2 = datetime(2024, 2, 1, tzinfo=timezone.utc)
+        out = st_layer.to_spatial_layer(t2)
+        assert not out.is_temporal
+        assert out.count() == 4
+        assert to_numpy(out)[0][3][0, 0] == 3.0
+
+    def test_mean_series(self, st_layer):
+        series = st_layer.mean_series(gps.box(0, 0, 10, 10))
+        assert [v for _, v in series] == [1.0, 3.0]
+        assert series[0][0] < series[1][0]
+
+    def test_sum_series_subpoly(self, st_layer):
+        series = st_layer.sum_series(gps.box(0, 0, 5, 5))
+        assert [v for _, v in series] == [25.0, 75.0]
