@@ -1,0 +1,186 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Beyond-reference surface (BASELINE.json north star) for training-data
+pipelines, designed for 100 TB:
+
+- exact dedup          = hash-groupBy (one shuffle, map-side combined)
+- MinHash + LSH        = shingle -> integer minhash signatures -> banded
+  bucket join; candidate pairs only ever compare within a bucket, so the
+  quadratic blowup is bounded by bucket size
+- SimHash              = bitwise majority vote over token hashes
+- n-gram Jaccard       = exact verification for candidate pairs
+
+Determinism contract (for the DuckDB oracle): token ids come from a
+dense_rank vocabulary (no engine-native string hashing) and all hash
+functions are integer affine maps mod a prime — identical in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens_col, vocabulary
+
+# MinHash parameters: affine permutations (a*x + b) mod P with fixed,
+# public seeds. P is prime > any vocabulary id.
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne)
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per hash function — small LCG on fixed seed."""
+    params = []
+    state = 42
+    for _ in range(num_hashes):
+        state = (state * 1_103_515_245 + 12_345) % MINHASH_PRIME
+        a = state % (MINHASH_PRIME - 1) + 1
+        state = (state * 1_103_515_245 + 12_345) % MINHASH_PRIME
+        b = state
+        params.append((a, b))
+    return params
+
+
+def exact_duplicates(df: DataFrame, key_expr=None) -> DataFrame:
+    """Group identical texts (or an arbitrary key expression): canonical
+    doc = min(doc_id), plus group size. One hash aggregate."""
+    key = key_expr if key_expr is not None else F.col("text")
+    return (
+        df.groupBy(key.alias("dup_key"))
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count("*").alias("dup_count"))
+        .select("canonical_doc", "dup_count")
+    )
+
+
+def token_ids(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id, token_id for the distinct tokens of each document (the
+    1-shingle set; swap in n-gram shingles via ``shingles``)."""
+    toks = df.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(text_col))).alias("word")
+    )
+    return toks.join(vocabulary(df, text_col), "word").select("doc_id", "token_id")
+
+
+def minhash_signatures(df: DataFrame, num_hashes: int = 16,
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, k, minhash) — min over the doc's token ids of
+    (a_k * id + b_k) mod P. Long format so any engine can reproduce and
+    hash-compare it without array-encoding concerns."""
+    ids = token_ids(df, text_col)
+    params = minhash_params(num_hashes)
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                (
+                    (F.lit(a).cast("long") * F.col("token_id") + F.lit(b).cast("long"))
+                    % MINHASH_PRIME
+                ).alias("h"),
+            )
+            for k, (a, b) in enumerate(params)
+        ]
+    )
+    exploded = ids.select("doc_id", F.explode(hashes).alias("kh"))
+    return (
+        exploded.groupBy("doc_id", F.col("kh.k").alias("k"))
+        .agg(F.min("kh.h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
+                        text_col: str = "text") -> DataFrame:
+    """Banded LSH over minhash signatures: docs sharing any band's full
+    signature become candidate pairs (a < b). The join is per-bucket —
+    the scale-safe pattern (no all-pairs comparison)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, text_col)
+    banded = sig.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
+    band_sig = banded.groupBy("doc_id", "band").agg(
+        F.concat_ws(
+            "-",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "minhash"))),
+                lambda s: s["minhash"].cast("string"),
+            ),
+        ).alias("band_key")
+    )
+    a = band_sig.alias("a")
+    b = band_sig.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(df: DataFrame, num_bits: int = 16, text_col: str = "text") -> DataFrame:
+    """SimHash over token-id affine hashes: bit i of the signature is the
+    majority vote of bit i across the doc's token hashes."""
+    ids = token_ids(df, text_col)
+    a, b = minhash_params(1)[0]
+    h = (F.lit(a).cast("long") * F.col("token_id") + F.lit(b).cast("long")) % MINHASH_PRIME
+    withbits = ids.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bit"),
+                        (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).alias("vote"),
+                    )
+                    for i in range(num_bits)
+                ]
+            )
+        ).alias("bv"),
+    )
+    votes = withbits.groupBy("doc_id", F.col("bv.bit").alias("bit")).agg(
+        F.sum("bv.vote").alias("v")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, n: int = 2, block_col: str = "source",
+                        text_col: str = "text") -> DataFrame:
+    """Exact n-gram Jaccard for document pairs within the same block
+    (blocking keeps the join quadratic only per block). Outputs integer
+    intersection/union sizes — the engine-portable form of the score."""
+    toks = df.select("doc_id", F.col(block_col).alias("block"), tokens_col(text_col).alias("t"))
+    grams = toks.select(
+        "doc_id",
+        "block",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - n),
+                    lambda i: F.concat_ws(" ", F.slice("t", i + 1, n)),
+                )
+            )
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.gram") == F.col("b.gram")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter_size"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_size",
+            (F.col("na") + F.col("nb") - F.col("inter_size")).alias("union_size"),
+        )
+    )
+    return out

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference surface (BASELINE.json north star):
+
+- brute-force cosine top-k — the exactness baseline; broadcast the query
+  set, JVM-side dot products (``zip_with`` + ``aggregate``: sequential
+  fold in double, so results are bit-reproducible in any engine that
+  folds left-to-right), per-query rank window;
+- LSH-bucketed variant — random-hyperplane signatures with *rational*
+  deterministic plane weights (engine-portable, no RNG), candidates only
+  compared within a bucket: the 100 TB path (bucket join instead of
+  cross join).
+
+Outputs are (query, rank, neighbor) triples: integer-only, so float
+formatting differences can never break cross-engine comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    """Sequential double-precision dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_knn(df: DataFrame, query_ids: list[int], k: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for the given query ids.
+
+    Plan shape: broadcast(queries) x all vectors -> dot/norm in codegen ->
+    per-query rank window -> k smallest. The broadcast side is tiny; the
+    big side streams — no shuffle of the corpus.
+    """
+    queries = df.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    pairs = df.alias("c").crossJoin(F.broadcast(queries))
+    pairs = pairs.where(F.col(id_col) != F.col("query_id"))
+    sim = _dot(F.col(vec_col), F.col("qvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("qvec"))
+    )
+    scored = pairs.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def _plane_weight(j, i):
+    """Deterministic rational pseudo-random weight in [-1, 1]:
+    ((j*1000003 + i*7919) mod 97 - 48) / 48 — exact in any engine."""
+    return ((F.lit(j) * 1000003 + i * 7919) % 97 - 48) / F.lit(48.0)
+
+
+def hyperplane_signature(df: DataFrame, num_planes: int = 8,
+                         vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH signature: bit j = sign(dot(plane_j, vec))."""
+    dim_idx = F.sequence(F.lit(0), F.size(vec_col) - 1)
+    bits = []
+    for j in range(num_planes):
+        dot_j = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                dim_idx,
+                lambda v, i: v.cast("double") * _plane_weight(j, i),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot_j > 0, F.lit(1)).otherwise(F.lit(0)).alias(f"b{j}"))
+    sig = df.select("*", *bits)
+    expr = F.lit(0)
+    for j in range(num_planes):
+        expr = expr + F.col(f"b{j}") * (2 ** j)
+    return sig.withColumn("bucket", expr).drop(*[f"b{j}" for j in range(num_planes)])
+
+
+def lsh_knn(df: DataFrame, query_ids: list[int], k: int = 5, num_planes: int = 8,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: compare only within the query's LSH bucket.
+
+    The scale path: bucket equi-join replaces the cross join; recall is
+    traded for a ~2^planes reduction in comparisons.
+    """
+    sig = hyperplane_signature(df, num_planes, vec_col)
+    queries = sig.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = sig.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qbucket")) & (F.col(id_col) != F.col("query_id")),
+    )
+    sim = _dot(F.col(vec_col), F.col("qvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("qvec"))
+    )
+    scored = cand.select("query_id", F.col(id_col).alias("neighbor_id"), sim.alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def norm_stats(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+               label_col: str = "label") -> DataFrame:
+    """Per-label corpus stats with integer outputs: count + id of the
+    max-norm vector (deterministic tie-break on id)."""
+    withn = df.select(
+        label_col, id_col, _norm(F.col(vec_col)).alias("nrm")
+    )
+    return withn.groupBy(label_col).agg(
+        F.count("*").alias("n_vectors"),
+        F.min_by(id_col, F.struct((-F.col("nrm")).alias("s"), F.col(id_col).alias("i"))).alias(
+            "max_norm_id"
+        ),
+    )

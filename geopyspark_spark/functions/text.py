@@ -1,0 +1,117 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting — all as
+JVM-side Spark SQL expressions over a ``documents(doc_id, text, ...)``
+table so they run at 100 TB without Python in the hot path, and all
+mirrored 1:1 by ANSI-SQL oracles.
+
+Determinism contract: outputs are integers / exact counts (no
+engine-dependent float formatting, no engine-native string hashing).
+Token ids come from a dense_rank vocabulary — identical in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram-free heuristic language ID.
+# Chosen to be high-frequency function words; the score is a plain
+# occurrence count so any SQL engine reproduces it exactly.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "es": ["el", "los", "las", "y", "una"],
+}
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokenization as a Catalyst expression."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id -> number of whitespace tokens."""
+    return df.select(
+        "doc_id", F.size(tokens_col(text_col)).alias("n_tokens")
+    )
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide word -> count (the classic map-side-combined groupBy)."""
+    return (
+        df.select(F.explode(tokens_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Integer quality signals per document: token counts, distinct tokens,
+    char length, longest token. Ratios are left to the consumer (exact
+    integer numerators/denominators travel better across engines)."""
+    toks = tokens_col(text_col)
+    return df.select(
+        "doc_id",
+        F.length(F.col(text_col)).alias("n_chars_measured"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.array_max(F.transform(toks, F.length)).alias("max_token_len"),
+    )
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language marker-word hit counts + argmax language guess.
+
+    Counting is done by token equality (explode + join-free conditional
+    sum), exactly reproducible in SQL.
+    """
+    toks = tokens_col(text_col)
+    cols = [F.col("doc_id")]
+    score_cols = []
+    for lang, words in LANG_MARKERS.items():
+        c = F.size(F.filter(toks, lambda t: t.isin(words)))
+        cols.append(c.alias(f"score_{lang}"))
+        score_cols.append((lang, f"score_{lang}"))
+    out = df.select(*cols)
+    # argmax with deterministic tie-break on language name order
+    guess = None
+    best = None
+    for lang, sc in sorted(score_cols):
+        if guess is None:
+            guess, best = F.lit(lang), F.col(sc)
+        else:
+            cond = F.col(sc) > best
+            guess = F.when(cond, F.lit(lang)).otherwise(guess)
+            best = F.when(cond, F.col(sc)).otherwise(best)
+    return out.withColumn("lang_guess", guess)
+
+
+def vocabulary(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """word -> dense integer id, deterministic (dense_rank over sorted
+    distinct words). The engine-portable replacement for string hashing."""
+    words = df.select(F.explode(tokens_col(text_col)).alias("word")).distinct()
+    w = Window.orderBy("word")
+    return words.withColumn("token_id", F.dense_rank().over(w))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                modulus: int = 1_000_000_007) -> DataFrame:
+    """Order-sensitive integer document fingerprint:
+    sum((pos+1) * token_id) mod M over the token stream.
+
+    A deterministic, engine-portable stand-in for rolling-hash
+    fingerprints; same shape as a Rabin-Karp signature but exactly
+    reproducible in ANSI SQL.
+    """
+    toks = df.select("doc_id", F.posexplode(tokens_col(text_col)).alias("pos", "word"))
+    vocab = vocabulary(df, text_col)
+    joined = toks.join(vocab, "word")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            (F.sum((F.col("pos") + 1) * F.col("token_id")) % modulus).alias("fingerprint")
+        )
+    )

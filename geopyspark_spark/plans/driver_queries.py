@@ -1,0 +1,992 @@
+"""Driver-contract queries: every operator exposed as (spark, sf_dir) ->
+DataFrame, each paired with an ANSI-SQL oracle runnable by DuckDB on the
+same parquet tables.
+
+Raster operators run on a deterministic tiled layer BUILT FROM the
+lineitem table (keys/cells derived with engine-portable window functions),
+so the DuckDB oracle can recompute every raster result relationally —
+SURVEY.md §5's "oracle-diff harness" idea applied to the whole inventory.
+
+Determinism rules used throughout (see also functions/*.py):
+- money arithmetic in DECIMAL (exact), cast to DOUBLE only at the end;
+- cell values are integer-valued doubles => sums/averages are exact;
+- outputs prefer ints/dates; floats only when bit-reproducible;
+- every computed column aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+import geopyspark_spark as gps
+from ..functions import dedup as fdedup
+from ..functions import similarity as fsim
+from ..functions import text as ftext
+from ..layer import TiledRasterLayer
+from ..operators import zonal as _zonal
+from ..operators.local import _is_nd
+
+# ---------------------------------------------------------------------------
+# shared fixtures
+# ---------------------------------------------------------------------------
+
+TILE = 8           # tile_cols = tile_rows
+LAYOUT_N = 4       # layout_cols = layout_rows
+GRID = TILE * LAYOUT_N
+
+RASTER_MD = gps.LayerMetadata(
+    crs="epsg:4326",
+    cell_type="float64ud-1.0",
+    layout=gps.LayoutDefinition(
+        gps.Extent(0, 0, GRID, GRID), gps.TileLayout(LAYOUT_N, LAYOUT_N, TILE, TILE)
+    ),
+    bounds=((0, 0), (LAYOUT_N - 1, LAYOUT_N - 1)),
+    extent=gps.Extent(0, 0, GRID, GRID),
+    num_bands=1,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events has a TIMESTAMP(NANOS) parquet column Spark cannot read
+    natively; read nanos as long and truncate to micros (exactly what
+    DuckDB's micro-precision timestamps do)."""
+    path = f"{sf_dir}/events.parquet"
+    try:
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            raise ValueError("nanosAsLong already set")
+        return df
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)"))
+        )
+
+
+def lineitem_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic raster cells from lineitem: 4x4 keys from
+    (orderkey, suppkey), first 64 rows per key (ordered by orderkey,
+    linenumber) fill an 8x8 tile. ``value`` = l_quantity (integer-valued),
+    ``value2`` = l_partkey % 50."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % LAYOUT_N).cast("int").alias("key_col"),
+        (F.col("l_suppkey") % LAYOUT_N).cast("int").alias("key_row"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        F.col("l_quantity").cast("double").alias("value"),
+        (F.col("l_partkey") % 50).cast("double").alias("value2"),
+    )
+    w = Window.partitionBy("key_col", "key_row").orderBy(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    return (
+        li.withColumn("pos", F.row_number().over(w) - 1)
+        .where(F.col("pos") < TILE * TILE)
+        .select("key_col", "key_row", F.lit(0).alias("band"), "pos", "value", "value2")
+    )
+
+
+def lineitem_layer(spark: SparkSession, sf_dir: str, value_col: str = "value") -> TiledRasterLayer:
+    cells = lineitem_cells(spark, sf_dir).select(
+        "key_col", "key_row", "band", "pos", F.col(value_col).alias("value")
+    )
+    return TiledRasterLayer.assemble(cells, RASTER_MD)
+
+
+# The same fixture as a DuckDB CTE (string-prefixed to every raster oracle).
+CELLS_CTE = f"""
+WITH cells AS (
+  SELECT key_col, key_row, CAST(0 AS INT) AS band, CAST(pos AS INT) AS pos, value, value2
+  FROM (
+    SELECT CAST(l_orderkey % {LAYOUT_N} AS INT) AS key_col,
+           CAST(l_suppkey % {LAYOUT_N} AS INT) AS key_row,
+           row_number() OVER (PARTITION BY l_orderkey % {LAYOUT_N}, l_suppkey % {LAYOUT_N}
+                              ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) - 1 AS pos,
+           CAST(l_quantity AS DOUBLE) AS value,
+           CAST(l_partkey % 50 AS DOUBLE) AS value2
+    FROM lineitem
+  ) WHERE pos < {TILE * TILE}
+),
+coords AS (
+  SELECT key_col, key_row, band, pos, value, value2,
+         key_col * {TILE} + pos % {TILE} AS gcol,
+         key_row * {TILE} + CAST(floor(pos / {TILE}) AS INT) AS grow
+  FROM cells
+)
+"""
+
+
+def _explode_result(layer: TiledRasterLayer) -> DataFrame:
+    """Standard raster query output: (key_col, key_row, pos, value)."""
+    return layer.explode().select("key_col", "key_row", "pos", "value")
+
+
+# DECIMAL helpers for exact money math
+def _dec(c, p=12, s=2):
+    return c.cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------------------
+# raster queries
+# ---------------------------------------------------------------------------
+
+def q_raster_local_algebra(spark, sf_dir):
+    layer = lineitem_layer(spark, sf_dir)
+    out = (layer * 2 + 10) / 4
+    return _explode_result(out)
+
+
+SQL_RASTER_LOCAL_ALGEBRA = CELLS_CTE + """
+SELECT key_col, key_row, pos, ((value * CAST(2 AS DOUBLE)) + CAST(10 AS DOUBLE)) / CAST(4 AS DOUBLE) AS value
+FROM cells
+"""
+
+
+def q_raster_reclassify(spark, sf_dir):
+    layer = lineitem_layer(spark, sf_dir)
+    out = layer.reclassify({10: 1, 25: 2, 50: 3}, strategy="LESS_THAN_OR_EQUAL")
+    return _explode_result(out)
+
+
+SQL_RASTER_RECLASSIFY = CELLS_CTE + """
+SELECT key_col, key_row, pos,
+       CASE WHEN value <= 10 THEN CAST(1 AS DOUBLE)
+            WHEN value <= 25 THEN CAST(2 AS DOUBLE)
+            WHEN value <= 50 THEN CAST(3 AS DOUBLE)
+            ELSE CAST(-1 AS DOUBLE) END AS value
+FROM cells
+"""
+
+
+def q_raster_layer_add(spark, sf_dir):
+    a = lineitem_layer(spark, sf_dir, "value")
+    b = lineitem_layer(spark, sf_dir, "value2")
+    return _explode_result(a + b)
+
+
+SQL_RASTER_LAYER_ADD = CELLS_CTE + """
+SELECT key_col, key_row, pos, value + value2 AS value
+FROM cells
+"""
+
+
+def q_raster_normalize(spark, sf_dir):
+    layer = lineitem_layer(spark, sf_dir)
+    return _explode_result(layer.normalize(0.0, 100.0, 1.0, 50.0))
+
+
+SQL_RASTER_NORMALIZE = CELLS_CTE + """
+SELECT key_col, key_row, pos,
+       (value - 1.0) * 100.0 / 49.0 + 0.0 AS value
+FROM cells
+"""
+
+
+def q_raster_focal_sum(spark, sf_dir):
+    layer = lineitem_layer(spark, sf_dir)
+    return _explode_result(layer.focal("Sum", "Square", 1))
+
+
+SQL_RASTER_FOCAL_SUM = CELLS_CTE + """
+SELECT a.key_col, a.key_row, a.pos, CAST(SUM(b.value) AS DOUBLE) AS value
+FROM coords a JOIN coords b
+  ON b.gcol BETWEEN a.gcol - 1 AND a.gcol + 1
+ AND b.grow BETWEEN a.grow - 1 AND a.grow + 1
+GROUP BY a.key_col, a.key_row, a.pos
+"""
+
+
+def q_raster_focal_mean(spark, sf_dir):
+    layer = lineitem_layer(spark, sf_dir)
+    return _explode_result(layer.focal("Mean", "Square", 1))
+
+
+SQL_RASTER_FOCAL_MEAN = CELLS_CTE + """
+SELECT a.key_col, a.key_row, a.pos,
+       CAST(SUM(b.value) AS DOUBLE) / COUNT(*) AS value
+FROM coords a JOIN coords b
+  ON b.gcol BETWEEN a.gcol - 1 AND a.gcol + 1
+ AND b.grow BETWEEN a.grow - 1 AND a.grow + 1
+GROUP BY a.key_col, a.key_row, a.pos
+"""
+
+
+# zonal box in map coords; cell (gcol, grow) center = (gcol+.5, GRID-grow-.5)
+ZX0, ZY0, ZX1, ZY1 = 4, 8, 20, 24
+_G0, _G1 = ZX0, ZX1 - 1            # gcol in [4, 19]
+_R0, _R1 = GRID - ZY1, GRID - ZY0 - 1  # grow in [8, 23]
+
+
+def q_raster_zonal_stats(spark, sf_dir):
+    layer = lineitem_layer(spark, sf_dir)
+    masked = layer.mask(gps.box(ZX0, ZY0, ZX1, ZY1))
+    long = masked.explode().where(~_is_nd(F.col("value"), layer.nodata))
+    return long.groupBy("band").agg(
+        F.sum("value").alias("zsum"),
+        F.min("value").alias("zmin"),
+        F.max("value").alias("zmax"),
+        (F.sum("value") / F.count("*")).alias("zmean"),
+        F.count("*").alias("zcount"),
+    )
+
+
+SQL_RASTER_ZONAL_STATS = CELLS_CTE + f"""
+SELECT band, SUM(value) AS zsum, MIN(value) AS zmin, MAX(value) AS zmax,
+       SUM(value) / COUNT(*) AS zmean, COUNT(*) AS zcount
+FROM coords
+WHERE gcol BETWEEN {_G0} AND {_G1} AND grow BETWEEN {_R0} AND {_R1}
+GROUP BY band
+"""
+
+
+def q_raster_mask(spark, sf_dir):
+    layer = lineitem_layer(spark, sf_dir)
+    masked = layer.mask(gps.box(ZX0, ZY0, ZX1, ZY1))
+    long = masked.explode().where(~_is_nd(F.col("value"), layer.nodata))
+    return long.select("key_col", "key_row", "pos", "value")
+
+
+SQL_RASTER_MASK = CELLS_CTE + f"""
+SELECT key_col, key_row, pos, value
+FROM coords
+WHERE gcol BETWEEN {_G0} AND {_G1} AND grow BETWEEN {_R0} AND {_R1}
+"""
+
+
+def q_raster_cell_value_counts(spark, sf_dir):
+    layer = lineitem_layer(spark, sf_dir)
+    return _zonal.cell_value_counts_df(layer, None, band=0)
+
+
+SQL_RASTER_CELL_VALUE_COUNTS = CELLS_CTE + """
+SELECT value, COUNT(*) AS count FROM cells GROUP BY value
+"""
+
+
+def q_raster_aggregate_by_cell(spark, sf_dir):
+    layer = lineitem_layer(spark, sf_dir)
+    u = gps.union([layer, layer * 3])
+    return _explode_result(u.aggregate_by_cell("SUM"))
+
+
+SQL_RASTER_AGGREGATE_BY_CELL = CELLS_CTE + """
+SELECT key_col, key_row, pos, value + value * CAST(3 AS DOUBLE) AS value
+FROM cells
+"""
+
+
+def q_raster_min_max(spark, sf_dir):
+    layer = lineitem_layer(spark, sf_dir)
+    mn, mx = layer.get_min_max()
+    return spark.createDataFrame([(mn, mx)], "vmin double, vmax double")
+
+
+SQL_RASTER_MIN_MAX = CELLS_CTE + """
+SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM cells
+"""
+
+
+def q_raster_tile_to_layout(spark, sf_dir):
+    layer = lineitem_layer(spark, sf_dir)
+    target = gps.LayoutDefinition(
+        gps.Extent(0, 0, GRID, GRID), gps.TileLayout(2, 2, 16, 16)
+    )
+    out = layer.tile_to_layout(target)
+    return _explode_result(out).where(F.col("value") != -1.0)
+
+
+SQL_RASTER_TILE_TO_LAYOUT = CELLS_CTE + """
+SELECT CAST(floor(gcol / 16) AS INT) AS key_col,
+       CAST(floor(grow / 16) AS INT) AS key_row,
+       CAST((grow % 16) * 16 + gcol % 16 AS INT) AS pos,
+       value
+FROM coords
+"""
+
+
+def q_raster_pyramid(spark, sf_dir):
+    layer = lineitem_layer(spark, sf_dir)
+    pyr = layer.pyramid(resample_method="Average")
+    lvl = pyr[pyr.max_zoom - 1]  # 2x2 layout of 8x8 tiles over a 16x16 grid
+    return _explode_result(lvl)
+
+
+SQL_RASTER_PYRAMID = CELLS_CTE + f"""
+, parents AS (
+  SELECT CAST(floor(gcol / 2) AS INT) AS pgcol, CAST(floor(grow / 2) AS INT) AS pgrow,
+         SUM(value) / COUNT(*) AS value
+  FROM coords GROUP BY 1, 2
+)
+SELECT CAST(floor(pgcol / {TILE}) AS INT) AS key_col,
+       CAST(floor(pgrow / {TILE}) AS INT) AS key_row,
+       CAST((pgrow % {TILE}) * {TILE} + pgcol % {TILE} AS INT) AS pos,
+       value
+FROM parents
+"""
+
+
+def q_raster_spacetime_series(spark, sf_dir):
+    """SPACETIME layer keyed by month of l_shipdate (1995 only); zonal mean
+    per instant over the full extent — the reference's mean_series."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    li = li.select(
+        (F.col("l_orderkey") % LAYOUT_N).cast("int").alias("key_col"),
+        (F.col("l_suppkey") % LAYOUT_N).cast("int").alias("key_row"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("instant"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        F.col("l_quantity").cast("double").alias("value"),
+    )
+    w = Window.partitionBy("key_col", "key_row", "instant").orderBy(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    cells = (
+        li.withColumn("pos", F.row_number().over(w) - 1)
+        .where(F.col("pos") < TILE * TILE)
+        .select("key_col", "key_row", "instant", F.lit(0).alias("band"), "pos", "value")
+    )
+    layer = TiledRasterLayer.assemble(cells, RASTER_MD)
+    stat = _zonal.polygonal_stat_df(
+        layer, [gps.box(0, 0, GRID, GRID)], "mean", by_instant=True
+    )
+    return stat.select(
+        F.col("instant").cast("date").alias("month"), "band", F.col("mean").alias("mean_q")
+    )
+
+
+SQL_RASTER_SPACETIME_SERIES = f"""
+WITH tcells AS (
+  SELECT * FROM (
+    SELECT CAST(l_orderkey % {LAYOUT_N} AS INT) AS key_col,
+           CAST(l_suppkey % {LAYOUT_N} AS INT) AS key_row,
+           date_trunc('month', l_shipdate) AS instant,
+           row_number() OVER (PARTITION BY l_orderkey % {LAYOUT_N}, l_suppkey % {LAYOUT_N},
+                                           date_trunc('month', l_shipdate)
+                              ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) - 1 AS pos,
+           CAST(l_quantity AS DOUBLE) AS value
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  ) WHERE pos < {TILE * TILE}
+)
+SELECT CAST(instant AS DATE) AS month, CAST(0 AS INT) AS band, AVG(value) AS mean_q
+FROM tcells GROUP BY 1, 2
+"""
+
+
+def q_raster_slope(spark, sf_dir):
+    """Slope (Horn) — no SQL oracle (rows-only check): float stencil."""
+    layer = lineitem_layer(spark, sf_dir)
+    return _explode_result(layer.slope(zfactor=1.0))
+
+
+# ---------------------------------------------------------------------------
+# relational queries (TPC-H-style on the star schema)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(12,2)") - _dec(F.col("l_discount")))
+    charge = disc_price * (F.lit(1).cast("decimal(12,2)") + _dec(F.col("l_tax")))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+        (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.count("*")).alias("avg_price"),
+        (F.sum(_dec(F.col("l_discount"))).cast("double") / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+       SUM(l_quantity) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1996-06-01")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1996-06-01")
+    revenue = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(12,2)") - _dec(F.col("l_discount"))
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    agg = joined.groupBy(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"), "o_orderpriority"
+    ).agg(F.sum(revenue).cast("double").alias("revenue"))
+    return agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+
+
+SQL_TPCH_Q3 = """
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-06-01'
+  AND l_shipdate > TIMESTAMP '1996-06-01'
+GROUP BY o_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5_nation_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    revenue = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(12,2)") - _dec(F.col("l_discount"))
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_TPCH_Q5_NATION_REVENUE = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY r_name, n_name
+"""
+
+
+def q_tpch_q6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    revenue = _dec(F.col("l_extendedprice")) * _dec(F.col("l_discount"))
+    return li.agg(
+        F.sum(revenue).cast("double").alias("revenue"), F.count("*").alias("n_items")
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24
+"""
+
+
+def q_window_rank(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "rnk", "o_orderkey")
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT o_custkey, CAST(rnk AS INT) AS rnk, o_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def q_set_intersect(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_custkey").distinct()
+    b = orders.where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey").distinct()
+    return a.intersect(b)
+
+
+SQL_SET_INTERSECT = """
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# events (time-series / streaming-shaped)
+# ---------------------------------------------------------------------------
+
+def q_events_tumbling(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("date").alias("day"),
+            F.hour("ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT CAST(date_trunc('hour', ts) AS DATE) AS day,
+       CAST(extract(hour FROM ts) AS INT) AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def q_events_sliding(spark, sf_dir):
+    """1-hour windows sliding every 30 min: each event lands in 2 windows.
+    Output window start as (date, minutes-of-day) ints for portability."""
+    ev = _events(spark, sf_dir)
+    win = ev.select(
+        F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type", "value"
+    )
+    return (
+        win.groupBy(
+            F.col("w.start").cast("date").alias("day"),
+            (F.hour("w.start") * 60 + F.minute("w.start")).alias("start_min"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+SQL_EVENTS_SLIDING = """
+WITH starts AS (
+  SELECT ts, event_type,
+         unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS w_start
+  FROM events
+)
+SELECT CAST(w_start AS DATE) AS day,
+       CAST(extract(hour FROM w_start) * 60 + extract(minute FROM w_start) AS INT) AS start_min,
+       event_type,
+       COUNT(*) AS n_events
+FROM starts
+GROUP BY 1, 2, 3
+"""
+
+
+def q_events_user_stats(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+SQL_EVENTS_USER_STATS = """
+SELECT user_id, COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_types,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup
+# ---------------------------------------------------------------------------
+
+def q_text_token_count(spark, sf_dir):
+    return ftext.token_count(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_TOKEN_COUNT = """
+SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens FROM documents
+"""
+
+
+def q_text_word_freq(spark, sf_dir):
+    return ftext.word_frequencies(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_WORD_FREQ = """
+SELECT word, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents)
+GROUP BY word
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    return ftext.quality_metrics(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_QUALITY = """
+WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars_measured,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+       CAST(list_max(list_transform(toks, w -> length(w))) AS INT) AS max_token_len
+FROM t
+"""
+
+
+def q_text_lang_scores(spark, sf_dir):
+    return ftext.lang_scores(_t(spark, sf_dir, "documents"))
+
+
+def _sql_lang_scores() -> str:
+    from ..functions.text import LANG_MARKERS
+
+    score_exprs = []
+    for lang, words in LANG_MARKERS.items():
+        wlist = ", ".join(f"'{w}'" for w in words)
+        score_exprs.append(
+            f"CAST(len(list_filter(toks, t -> t IN ({wlist}))) AS INT) AS score_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    # argmax with > (later language wins only when strictly greater), matching
+    # the Spark fold in functions/text.py
+    guess = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        guess = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {guess} END"
+        best = f"CASE WHEN score_{lang} > {best} THEN score_{lang} ELSE {best} END"
+    return f"""
+WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+s AS (SELECT doc_id, {', '.join(score_exprs)} FROM t)
+SELECT doc_id, score_en, score_fr, score_de, score_es, {guess} AS lang_guess FROM s
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return ftext.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_FINGERPRINT = """
+WITH base AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(range(len(toks))) AS pos, toks FROM base),
+tokw AS (SELECT doc_id, pos, toks[pos + 1] AS word FROM tok),
+vocab AS (SELECT word, CAST(dense_rank() OVER (ORDER BY word) AS INT) AS token_id
+          FROM (SELECT DISTINCT unnest(string_split(trim(text), ' ')) AS word FROM documents)),
+joined AS (SELECT t.doc_id, t.pos, v.token_id FROM tokw t JOIN vocab v USING (word))
+SELECT doc_id, CAST(SUM((pos + 1) * token_id) % 1000000007 AS BIGINT) AS fingerprint
+FROM joined GROUP BY doc_id
+"""
+
+
+def q_text_exact_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    key = F.concat_ws(" ", F.slice(ftext.tokens_col("text"), 1, 3))
+    return fdedup.exact_duplicates(docs, key)
+
+
+SQL_TEXT_EXACT_DEDUP = """
+WITH keyed AS (
+  SELECT doc_id, array_to_string(string_split(trim(text), ' ')[1:3], ' ') AS dup_key
+  FROM documents
+)
+SELECT MIN(doc_id) AS canonical_doc, COUNT(*) AS dup_count
+FROM keyed GROUP BY dup_key
+"""
+
+
+def q_text_minhash(spark, sf_dir):
+    return fdedup.minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=16)
+
+
+def _sql_minhash(num_hashes: int = 16) -> str:
+    params = fdedup.minhash_params(num_hashes)
+    hash_rows = ", ".join(f"({k}, {a}::BIGINT, {b}::BIGINT)" for k, (a, b) in enumerate(params))
+    return f"""
+WITH vocab AS (SELECT word, CAST(dense_rank() OVER (ORDER BY word) AS INT) AS token_id
+               FROM (SELECT DISTINCT unnest(string_split(trim(text), ' ')) AS word FROM documents)),
+doc_tokens AS (
+  SELECT DISTINCT doc_id, w.word
+  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM documents) w
+),
+ids AS (SELECT doc_id, token_id FROM doc_tokens JOIN vocab USING (word)),
+hashes(k, a, b) AS (VALUES {hash_rows})
+SELECT doc_id, CAST(k AS INT) AS k,
+       CAST(MIN((a * token_id + b) % {fdedup.MINHASH_PRIME}) AS BIGINT) AS minhash
+FROM ids CROSS JOIN hashes
+GROUP BY doc_id, k
+"""
+
+
+def q_text_lsh_pairs(spark, sf_dir):
+    return fdedup.lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4
+    )
+
+
+def _sql_lsh_pairs(num_hashes: int = 16, bands: int = 8) -> str:
+    rows_per_band = num_hashes // bands
+    params = fdedup.minhash_params(num_hashes)
+    hash_rows = ", ".join(
+        f"({k}, {a}::BIGINT, {b}::BIGINT)" for k, (a, b) in enumerate(params)
+    )
+    return f"""
+WITH vocab AS (SELECT word, CAST(dense_rank() OVER (ORDER BY word) AS INT) AS token_id
+               FROM (SELECT DISTINCT unnest(string_split(trim(text), ' ')) AS word FROM documents)),
+doc_tokens AS (
+  SELECT DISTINCT doc_id, w.word
+  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM documents) w
+),
+ids AS (SELECT doc_id, token_id FROM doc_tokens JOIN vocab USING (word)),
+hashes(k, a, b) AS (VALUES {hash_rows}),
+sigs AS (
+  SELECT doc_id, CAST(k AS INT) AS k,
+         CAST(MIN((a * token_id + b) % {fdedup.MINHASH_PRIME}) AS BIGINT) AS minhash
+  FROM ids CROSS JOIN hashes GROUP BY doc_id, k
+),
+banded AS (
+  SELECT doc_id, CAST(floor(k / {rows_per_band}) AS INT) AS band,
+         string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY k) AS band_key
+  FROM sigs GROUP BY doc_id, CAST(floor(k / {rows_per_band}) AS INT)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_text_simhash(spark, sf_dir):
+    return fdedup.simhash(_t(spark, sf_dir, "documents"), num_bits=16)
+
+
+def _sql_simhash(num_bits: int = 16) -> str:
+    a, b = fdedup.minhash_params(1)[0]
+    return f"""
+WITH vocab AS (SELECT word, CAST(dense_rank() OVER (ORDER BY word) AS INT) AS token_id
+               FROM (SELECT DISTINCT unnest(string_split(trim(text), ' ')) AS word FROM documents)),
+doc_tokens AS (
+  SELECT DISTINCT doc_id, w.word
+  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM documents) w
+),
+ids AS (SELECT doc_id, token_id, ({a}::BIGINT * token_id + {b}::BIGINT) % {fdedup.MINHASH_PRIME} AS h
+        FROM doc_tokens JOIN vocab USING (word)),
+bits AS (SELECT doc_id, unnest(range({num_bits})) AS bit, h FROM ids),
+votes AS (
+  SELECT doc_id, bit, SUM(CASE WHEN (h // (1 << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM bits GROUP BY doc_id, bit
+)
+SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def q_text_ngram_jaccard(spark, sf_dir):
+    return fdedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=2)
+
+
+SQL_TEXT_NGRAM_JACCARD = """
+WITH base AS (SELECT doc_id, source AS block, string_split(trim(text), ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, block, t[i + 1] || ' ' || t[i + 2] AS gram
+  FROM (SELECT doc_id, block, t, unnest(range(len(t) - 1)) AS i FROM base)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+  FROM grams a JOIN grams b ON a.block = b.block AND a.gram = b.gram
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter_size,
+       sa.n_grams + sb.n_grams - inter_size AS union_size
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+KNN_QUERIES = [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def q_emb_knn(spark, sf_dir):
+    return fsim.cosine_knn(_t(spark, sf_dir, "embeddings"), KNN_QUERIES, k=5)
+
+
+SQL_EMB_KNN = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN ({', '.join(map(str, KNN_QUERIES))})),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+  FROM c CROSS JOIN q WHERE vec_id != query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_emb_norm_stats(spark, sf_dir):
+    return fsim.norm_stats(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_EMB_NORM_STATS = """
+WITH n AS (SELECT label, vec_id, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings),
+ranked AS (SELECT label, vec_id,
+                  row_number() OVER (PARTITION BY label ORDER BY nrm DESC, vec_id) AS rn
+           FROM n),
+counts AS (SELECT label, COUNT(*) AS n_vectors FROM n GROUP BY label)
+SELECT c.label, c.n_vectors, r.vec_id AS max_norm_id
+FROM counts c JOIN ranked r ON c.label = r.label AND r.rn = 1
+"""
+
+
+def q_emb_lsh_knn(spark, sf_dir):
+    """Bucketed ANN — rows-only check (no SQL oracle this round)."""
+    return fsim.lsh_knn(_t(spark, sf_dir, "embeddings"), KNN_QUERIES, k=5, num_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries():
+    return {
+        # raster operators (SURVEY §2)
+        "raster_local_algebra": q_raster_local_algebra,
+        "raster_reclassify": q_raster_reclassify,
+        "raster_layer_add": q_raster_layer_add,
+        "raster_normalize": q_raster_normalize,
+        "raster_focal_sum": q_raster_focal_sum,
+        "raster_focal_mean": q_raster_focal_mean,
+        "raster_zonal_stats": q_raster_zonal_stats,
+        "raster_mask": q_raster_mask,
+        "raster_cell_value_counts": q_raster_cell_value_counts,
+        "raster_aggregate_by_cell": q_raster_aggregate_by_cell,
+        "raster_min_max": q_raster_min_max,
+        "raster_tile_to_layout": q_raster_tile_to_layout,
+        "raster_pyramid": q_raster_pyramid,
+        "raster_spacetime_series": q_raster_spacetime_series,
+        "raster_slope": q_raster_slope,
+        # relational surface
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5_nation_revenue": q_tpch_q5_nation_revenue,
+        "tpch_q6": q_tpch_q6,
+        "window_rank": q_window_rank,
+        "set_intersect": q_set_intersect,
+        # events
+        "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
+        "events_user_stats": q_events_user_stats,
+        # text / dedup
+        "text_token_count": q_text_token_count,
+        "text_word_freq": q_text_word_freq,
+        "text_quality": q_text_quality,
+        "text_lang_scores": q_text_lang_scores,
+        "text_fingerprint": q_text_fingerprint,
+        "text_exact_dedup": q_text_exact_dedup,
+        "text_minhash": q_text_minhash,
+        "text_lsh_pairs": q_text_lsh_pairs,
+        "text_simhash": q_text_simhash,
+        "text_ngram_jaccard": q_text_ngram_jaccard,
+        # embeddings
+        "emb_knn": q_emb_knn,
+        "emb_norm_stats": q_emb_norm_stats,
+        "emb_lsh_knn": q_emb_lsh_knn,
+    }
+
+
+def oracle_sql():
+    return {
+        "raster_local_algebra": SQL_RASTER_LOCAL_ALGEBRA,
+        "raster_reclassify": SQL_RASTER_RECLASSIFY,
+        "raster_layer_add": SQL_RASTER_LAYER_ADD,
+        "raster_normalize": SQL_RASTER_NORMALIZE,
+        "raster_focal_sum": SQL_RASTER_FOCAL_SUM,
+        "raster_focal_mean": SQL_RASTER_FOCAL_MEAN,
+        "raster_zonal_stats": SQL_RASTER_ZONAL_STATS,
+        "raster_mask": SQL_RASTER_MASK,
+        "raster_cell_value_counts": SQL_RASTER_CELL_VALUE_COUNTS,
+        "raster_aggregate_by_cell": SQL_RASTER_AGGREGATE_BY_CELL,
+        "raster_min_max": SQL_RASTER_MIN_MAX,
+        "raster_tile_to_layout": SQL_RASTER_TILE_TO_LAYOUT,
+        "raster_pyramid": SQL_RASTER_PYRAMID,
+        "raster_spacetime_series": SQL_RASTER_SPACETIME_SERIES,
+        # raster_slope: rows-only (float stencil; no SQL oracle yet)
+        "tpch_q1": SQL_TPCH_Q1,
+        "tpch_q3": SQL_TPCH_Q3,
+        "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,
+        "tpch_q6": SQL_TPCH_Q6,
+        "window_rank": SQL_WINDOW_RANK,
+        "set_intersect": SQL_SET_INTERSECT,
+        "events_tumbling": SQL_EVENTS_TUMBLING,
+        "events_sliding": SQL_EVENTS_SLIDING,
+        "events_user_stats": SQL_EVENTS_USER_STATS,
+        "text_token_count": SQL_TEXT_TOKEN_COUNT,
+        "text_word_freq": SQL_TEXT_WORD_FREQ,
+        "text_quality": SQL_TEXT_QUALITY,
+        "text_lang_scores": _sql_lang_scores(),
+        "text_fingerprint": SQL_TEXT_FINGERPRINT,
+        "text_exact_dedup": SQL_TEXT_EXACT_DEDUP,
+        "text_minhash": _sql_minhash(16),
+        "text_lsh_pairs": _sql_lsh_pairs(16, 4),
+        "text_simhash": _sql_simhash(16),
+        "text_ngram_jaccard": SQL_TEXT_NGRAM_JACCARD,
+        "emb_knn": SQL_EMB_KNN,
+        "emb_norm_stats": SQL_EMB_NORM_STATS,
+        # emb_lsh_knn: rows-only
+    }

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
+same sf dir, then compare row count, column names, and an
+order-insensitive value hash.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+from datetime import date, datetime
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # repr of the double — bit-exact comparison across engines
+        return repr(v)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return repr(float(v))
+    except ImportError:
+        pass
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list) -> tuple[int, str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return len(rows), h
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    n_pass = n_fail = n_weak = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: rows={len(srows)} (no oracle; rows-only)")
+            n_weak += 1
+            continue
+        try:
+            res = con.sql(oracles[name])
+            ocols = [c.lower() for c in res.columns]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: ORACLE ERROR {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        sn, sh = table_hash([c.lower() for c in scols], srows)
+        on, oh = table_hash(ocols, orows)
+        dt = time.time() - t0
+        schema_ok = sorted(c.lower() for c in scols) == sorted(ocols)
+        if sn == on and sh == oh and schema_ok:
+            print(f"PASS  {name}: rows={sn} hash={sh} ({dt:.1f}s)")
+            n_pass += 1
+        else:
+            print(
+                f"FAIL  {name}: spark rows={sn} hash={sh} cols={sorted(scols)} | "
+                f"oracle rows={on} hash={oh} cols={sorted(ocols)} ({dt:.1f}s)"
+            )
+            if sn == on and schema_ok:
+                # show first differing rows for debugging
+                sset = {tuple(norm_cell(v) for v in r) for r in srows}
+                oset = {tuple(norm_cell(v) for v in r) for r in orows}
+                so = list(sset - oset)[:3]
+                os_ = list(oset - sset)[:3]
+                print(f"      spark-only: {so}")
+                print(f"      oracle-only: {os_}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
