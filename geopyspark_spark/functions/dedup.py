@@ -51,13 +51,41 @@ def exact_duplicates(df: DataFrame, key_expr=None) -> DataFrame:
     )
 
 
-def token_ids(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id, token_id for the distinct tokens of each document (the
-    1-shingle set; swap in n-gram shingles via ``shingles``)."""
-    toks = df.select(
-        "doc_id", F.explode(F.array_distinct(tokens_col(text_col))).alias("word")
+def shingles_col(text_col: str = "text", n: int = 2):
+    """Distinct word n-gram shingles as a Catalyst expression."""
+    t = tokens_col(text_col)
+    if n == 1:
+        return F.array_distinct(t)
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def shingle_vocabulary(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """shingle -> dense integer id (dense_rank over sorted distinct
+    shingles) — deterministic in any engine."""
+    s = df.select(F.explode(shingles_col(text_col, n)).alias("shingle")).distinct()
+    return s.withColumn("shingle_id", F.dense_rank().over(Window.orderBy("shingle")))
+
+
+def token_ids(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """doc_id, token_id for the distinct n-gram shingles of each document.
+
+    Scale note: the dense_rank vocabulary is a global sort — chosen for
+    engine-portable determinism in the oracle harness; at 100 TB swap in
+    ``xxhash64(shingle)`` (no vocabulary join, no sort) via hash_ids=True
+    semantics planned for the catalog path.
+    """
+    toks = df.select("doc_id", F.explode(shingles_col(text_col, n)).alias("shingle"))
+    vocab = shingle_vocabulary(df, text_col, n)
+    return toks.join(vocab, "shingle").select(
+        "doc_id", F.col("shingle_id").alias("token_id")
     )
-    return toks.join(vocabulary(df, text_col), "word").select("doc_id", "token_id")
 
 
 def minhash_signatures(df: DataFrame, num_hashes: int = 16,

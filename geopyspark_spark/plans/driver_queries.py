@@ -748,13 +748,14 @@ def _sql_minhash(num_hashes: int = 16) -> str:
     params = fdedup.minhash_params(num_hashes)
     hash_rows = ", ".join(f"({k}, {a}::BIGINT, {b}::BIGINT)" for k, (a, b) in enumerate(params))
     return f"""
-WITH vocab AS (SELECT word, CAST(dense_rank() OVER (ORDER BY word) AS INT) AS token_id
-               FROM (SELECT DISTINCT unnest(string_split(trim(text), ' ')) AS word FROM documents)),
-doc_tokens AS (
-  SELECT DISTINCT doc_id, w.word
-  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM documents) w
+WITH base AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] AS shingle
+  FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i FROM base)
 ),
-ids AS (SELECT doc_id, token_id FROM doc_tokens JOIN vocab USING (word)),
+vocab AS (SELECT shingle, CAST(dense_rank() OVER (ORDER BY shingle) AS INT) AS token_id
+          FROM (SELECT DISTINCT shingle FROM grams)),
+ids AS (SELECT doc_id, token_id FROM grams JOIN vocab USING (shingle)),
 hashes(k, a, b) AS (VALUES {hash_rows})
 SELECT doc_id, CAST(k AS INT) AS k,
        CAST(MIN((a * token_id + b) % {fdedup.MINHASH_PRIME}) AS BIGINT) AS minhash
@@ -776,13 +777,14 @@ def _sql_lsh_pairs(num_hashes: int = 16, bands: int = 8) -> str:
         f"({k}, {a}::BIGINT, {b}::BIGINT)" for k, (a, b) in enumerate(params)
     )
     return f"""
-WITH vocab AS (SELECT word, CAST(dense_rank() OVER (ORDER BY word) AS INT) AS token_id
-               FROM (SELECT DISTINCT unnest(string_split(trim(text), ' ')) AS word FROM documents)),
-doc_tokens AS (
-  SELECT DISTINCT doc_id, w.word
-  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM documents) w
+WITH base AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] AS shingle
+  FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i FROM base)
 ),
-ids AS (SELECT doc_id, token_id FROM doc_tokens JOIN vocab USING (word)),
+vocab AS (SELECT shingle, CAST(dense_rank() OVER (ORDER BY shingle) AS INT) AS token_id
+          FROM (SELECT DISTINCT shingle FROM grams)),
+ids AS (SELECT doc_id, token_id FROM grams JOIN vocab USING (shingle)),
 hashes(k, a, b) AS (VALUES {hash_rows}),
 sigs AS (
   SELECT doc_id, CAST(k AS INT) AS k,
@@ -807,14 +809,15 @@ def q_text_simhash(spark, sf_dir):
 def _sql_simhash(num_bits: int = 16) -> str:
     a, b = fdedup.minhash_params(1)[0]
     return f"""
-WITH vocab AS (SELECT word, CAST(dense_rank() OVER (ORDER BY word) AS INT) AS token_id
-               FROM (SELECT DISTINCT unnest(string_split(trim(text), ' ')) AS word FROM documents)),
-doc_tokens AS (
-  SELECT DISTINCT doc_id, w.word
-  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word FROM documents) w
+WITH base AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] AS shingle
+  FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i FROM base)
 ),
+vocab AS (SELECT shingle, CAST(dense_rank() OVER (ORDER BY shingle) AS INT) AS token_id
+          FROM (SELECT DISTINCT shingle FROM grams)),
 ids AS (SELECT doc_id, token_id, ({a}::BIGINT * token_id + {b}::BIGINT) % {fdedup.MINHASH_PRIME} AS h
-        FROM doc_tokens JOIN vocab USING (word)),
+        FROM grams JOIN vocab USING (shingle)),
 bits AS (SELECT doc_id, unnest(range({num_bits})) AS bit, h FROM ids),
 votes AS (
   SELECT doc_id, bit, SUM(CASE WHEN (h // (1 << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS v
