@@ -1,0 +1,170 @@
+"""Multimodal (image/audio/video) columns: opaque binary + typed metadata.
+
+Beyond-reference surface (BASELINE.json north star). Media ride as
+``binary`` columns with a ``media_meta`` struct — exactly the pattern the
+engine uses for tiles — and decode/feature-extract/resize/frame-sample
+run as Arrow-batched ``mapInPandas`` kernels.
+
+The image/audio codec libraries are NOT in this container, so the decode
+steps are STUBBED (documented ``NotImplementedError``) with a
+deterministic fake decoder for tests: the Spark-side plumbing — schema,
+batching, partitioning, UDF signatures — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct as _struct
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),     # image | audio | video
+        T.StructField("format", T.StringType()),   # png/jpeg/wav/mp4/...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def with_media_meta(df: DataFrame, data_col: str = "data", kind: str = "image",
+                    fmt: str = "bin") -> DataFrame:
+    """Attach the typed metadata struct (JVM-side; length from binary)."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.length(F.col(data_col)).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def _require_pillow():
+    try:
+        import PIL  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decoding requires Pillow, which is not available in this "
+            "environment; pass decoder= (bytes -> np.ndarray[h, w, c]) — "
+            "the Spark plumbing is fully functional with any decoder"
+        ) from e
+
+
+def fake_image_decoder(data: bytes) -> np.ndarray:
+    """Deterministic stand-in decoder: bytes -> pseudo-image whose pixels
+    derive from a rolling hash of the payload (used by tests)."""
+    h = hashlib.sha256(data).digest()
+    side = 8
+    vals = np.frombuffer((h * ((side * side * 3) // len(h) + 1))[: side * side * 3], dtype=np.uint8)
+    return vals.reshape(side, side, 3).astype(np.float64)
+
+
+def image_features(df: DataFrame, data_col: str = "data",
+                   decoder: Callable[[bytes], np.ndarray] | None = None) -> DataFrame:
+    """Decode + per-channel mean/std feature extraction.
+
+    Output: id columns + ``features: array<double>`` (c means then c stds).
+    """
+    if decoder is None:
+        _require_pillow()
+    id_cols = [c for c in df.columns if c != data_col]
+    schema = T.StructType(
+        [df.schema[c] for c in id_cols] + [T.StructField("features", T.ArrayType(T.DoubleType()))]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for data in pdf[data_col]:
+                arr = decoder(bytes(data))
+                means = arr.mean(axis=(0, 1)).tolist()
+                stds = arr.std(axis=(0, 1)).tolist()
+                feats.append([float(v) for v in means + stds])
+            out = pdf[id_cols].copy()
+            out["features"] = feats
+            yield out
+
+    return df.mapInPandas(extract, schema=schema)
+
+
+def image_resize(df: DataFrame, width: int, height: int, data_col: str = "data",
+                 decoder: Callable | None = None) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> re-encode as raw float array.
+
+    Output schema: id cols + ``pixels: array<double>`` (h*w*c row-major) —
+    the numeric form downstream training pipelines consume.
+    """
+    if decoder is None:
+        _require_pillow()
+    id_cols = [c for c in df.columns if c != data_col]
+    schema = T.StructType(
+        [df.schema[c] for c in id_cols] + [T.StructField("pixels", T.ArrayType(T.DoubleType()))]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for data in pdf[data_col]:
+                arr = decoder(bytes(data))
+                h0, w0 = arr.shape[:2]
+                ri = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+                ci = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+                res = arr[ri][:, ci]
+                out_rows.append(res.reshape(-1).tolist())
+            out = pdf[id_cols].copy()
+            out["pixels"] = out_rows
+            yield out
+
+    return df.mapInPandas(resize, schema=schema)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10, data_col: str = "data",
+                 frame_decoder: Callable[[bytes], list] | None = None) -> DataFrame:
+    """Video frame sampling: explode every n-th frame to its own row.
+
+    ``frame_decoder(bytes) -> list[np.ndarray]``; stubbed without a codec.
+    Output: id cols + frame_idx int + frame array<double>.
+    """
+    if frame_decoder is None:
+        raise NotImplementedError(
+            "video decoding requires an injected frame_decoder (no codec "
+            "libraries in this container); plumbing is functional with any "
+            "callable bytes -> list of frames"
+        )
+    id_cols = [c for c in df.columns if c != data_col]
+    schema = T.StructType(
+        [df.schema[c] for c in id_cols]
+        + [
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                rec = dict(zip(pdf.columns, tup))
+                frames = frame_decoder(bytes(rec[data_col]))
+                for i in range(0, len(frames), every_n):
+                    row = {c: rec[c] for c in id_cols}
+                    row["frame_idx"] = i
+                    row["frame"] = np.asarray(frames[i], dtype=np.float64).reshape(-1).tolist()
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=id_cols + ["frame_idx", "frame"])
+
+    return df.mapInPandas(sample, schema=schema)

@@ -1,0 +1,211 @@
+"""Layer catalog: z-ordered parquet store with metadata sidecars.
+
+Re-expresses the reference's catalog stack
+(``/root/reference/geopyspark/geotrellis/catalog.py``:
+``write`` 210-284, ``query`` 117-207, ``read_value`` 42-114,
+``read_layer_metadata`` 23-39, ``AttributeStore`` 332-485; Scala
+``io/LayerWriterWrapper.scala``, ``io/LayerReaderWrapper.scala``,
+``io/ValueReaderWrapper.scala``, ``io/AttributeStoreWrapper.scala``).
+
+Spark-native design:
+- a layer lives at ``<uri>/<name>/<zoom>/`` as parquet files SORTED BY the
+  Z2 (or Z3) Morton index — parquet row-group min/max statistics on
+  (zindex, key_col, key_row, instant) then give the reference's
+  SFC-range predicate pushdown for free through Catalyst;
+- layer metadata is a JSON sidecar (``.metadata.json``), arbitrary
+  attributes live in ``_attributes/<attr>.json`` — the AttributeStore;
+- ``query`` turns a geometry into key ranges driver-side (KeyTransform)
+  and emits plain column predicates, so `.explain` shows PushedFilters
+  reaching the scan;
+- ``read_value`` is the no-cluster random access path: DuckDB point read
+  over the same parquet (row-group pruned by the sort order).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.geom import Geometry
+from ..core.metadata import LayerMetadata
+from ..core.zindex import z2_col, z3_col
+from ..layer import TiledRasterLayer, _normalize_geoms
+
+
+def _layer_path(uri: str, layer_name: str, zoom: int) -> str:
+    return os.path.join(uri, layer_name, str(zoom))
+
+
+def write(uri: str, layer_name: str, layer: TiledRasterLayer,
+          zoom: int | None = None, time_resolution_ms: int = 86_400_000) -> str:
+    """Write a tiled layer, sorted by space-filling-curve index.
+
+    ``index_strategy`` of the reference collapses to the Z-order sort here
+    (ZORDER); Hilbert/rowmajor variants are alternative sort keys.
+    """
+    z = zoom if zoom is not None else (layer.metadata.zoom or 0)
+    path = _layer_path(uri, layer_name, z)
+    df = layer.df
+    if layer.is_temporal:
+        zi = z3_col(
+            "key_col", "key_row",
+            (F.unix_millis(F.col("instant")) / time_resolution_ms).cast("long"),
+        )
+    else:
+        zi = z2_col("key_col", "key_row")
+    out = df.withColumn("zindex", zi)
+    # sortWithinPartitions after range partitioning = global z-order;
+    # row-group stats then prune on key ranges
+    out = out.repartitionByRange(F.col("zindex")).sortWithinPartitions("zindex")
+    out.write.mode("overwrite").parquet(path)
+    meta_file = os.path.join(path, ".metadata.json")
+    with open(meta_file, "w") as f:
+        f.write(layer.metadata.to_json())
+    return path
+
+
+def read_layer_metadata(uri: str, layer_name: str, zoom: int) -> LayerMetadata:
+    with open(os.path.join(_layer_path(uri, layer_name, zoom), ".metadata.json")) as f:
+        return LayerMetadata.from_json(f.read())
+
+
+def read(spark: SparkSession, uri: str, layer_name: str, zoom: int) -> TiledRasterLayer:
+    md = read_layer_metadata(uri, layer_name, zoom)
+    df = spark.read.parquet(_layer_path(uri, layer_name, zoom)).drop("zindex")
+    return TiledRasterLayer(df, md)
+
+
+def query(spark: SparkSession, uri: str, layer_name: str, zoom: int,
+          query_geom: Geometry | str | bytes | None = None,
+          time_intervals: list | None = None) -> TiledRasterLayer:
+    """Read with spatial/temporal predicate pushdown.
+
+    The geometry resolves to candidate keys driver-side; the emitted
+    predicate is a plain (key_col, key_row) bound + IN-list, which
+    Catalyst pushes into the parquet scan (row-group pruning via the
+    z-order sort) — the DataFrame-native equivalent of
+    ``LayerReaderWrapper.applySpatialFilter`` (scala:162-190) and
+    ``getTemporalQuery`` (scala:192-216).
+    """
+    md = read_layer_metadata(uri, layer_name, zoom)
+    df = spark.read.parquet(_layer_path(uri, layer_name, zoom)).drop("zindex")
+    if query_geom is not None:
+        geoms = _normalize_geoms(query_geom)
+        from ..core.keys import KeyTransform
+
+        kt = KeyTransform(md.layout)
+        keys = set()
+        for g in geoms:
+            keys.update(kt.geometry_keys(g))
+        if not keys:
+            df = df.where(F.lit(False))
+        else:
+            cols = [c for c, _ in keys]
+            rows = [r for _, r in keys]
+            # bounding predicate first (pushes to row-group stats), exact
+            # key IN-list second
+            df = df.where(
+                F.col("key_col").between(min(cols), max(cols))
+                & F.col("key_row").between(min(rows), max(rows))
+            )
+            pairs = [
+                F.struct(F.lit(c).alias("key_col"), F.lit(r).alias("key_row"))
+                for c, r in sorted(keys)
+            ]
+            df = df.where(F.struct("key_col", "key_row").isin(pairs))
+    if time_intervals:
+        conds = None
+        i = 0
+        while i < len(time_intervals):
+            if i + 1 < len(time_intervals):
+                c = F.col("instant").between(time_intervals[i], time_intervals[i + 1])
+                i += 2
+            else:
+                c = F.col("instant") == time_intervals[i]
+                i += 1
+            conds = c if conds is None else (conds | c)
+        df = df.where(conds)
+    return TiledRasterLayer(df, md)
+
+
+def read_value(uri: str, layer_name: str, zoom: int, col: int, row: int,
+               instant=None, band: int | None = None):
+    """Single-tile random access WITHOUT Spark (reference ValueReader):
+    DuckDB point read over the sorted parquet — row-group pruning on the
+    key columns makes this an O(row-group) read, not a scan."""
+    import duckdb
+
+    path = os.path.join(_layer_path(uri, layer_name, zoom), "*.parquet")
+    con = duckdb.connect()
+    q = f"SELECT * FROM '{path}' WHERE key_col = {int(col)} AND key_row = {int(row)}"
+    if instant is not None:
+        q += f" AND instant = TIMESTAMP '{instant}'"
+    if band is not None:
+        q += f" AND band = {int(band)}"
+    return con.sql(q).fetchall()
+
+
+class AttributeStore:
+    """Per-(layer, zoom) JSON attribute CRUD (reference ``catalog.py:332-485``)."""
+
+    def __init__(self, uri: str):
+        self.uri = uri
+
+    def _attr_dir(self, layer_name: str, zoom: int) -> str:
+        return os.path.join(_layer_path(self.uri, layer_name, zoom), "_attributes")
+
+    def write(self, layer_name: str, zoom: int, name: str, value) -> None:
+        d = self._attr_dir(layer_name, zoom)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"{name}.json"), "w") as f:
+            json.dump(value, f)
+
+    def read(self, layer_name: str, zoom: int, name: str):
+        with open(os.path.join(self._attr_dir(layer_name, zoom), f"{name}.json")) as f:
+            return json.load(f)
+
+    def contains(self, layer_name: str, zoom: int, name: str) -> bool:
+        return os.path.exists(os.path.join(self._attr_dir(layer_name, zoom), f"{name}.json"))
+
+    def delete(self, layer_name: str, zoom: int, name: str) -> None:
+        p = os.path.join(self._attr_dir(layer_name, zoom), f"{name}.json")
+        if os.path.exists(p):
+            os.remove(p)
+
+    def list(self, layer_name: str, zoom: int) -> list[str]:
+        d = self._attr_dir(layer_name, zoom)
+        if not os.path.isdir(d):
+            return []
+        return sorted(os.path.splitext(os.path.basename(p))[0] for p in glob.glob(os.path.join(d, "*.json")))
+
+    def layers(self) -> list[tuple[str, int]]:
+        out = []
+        for meta in glob.glob(os.path.join(self.uri, "*", "*", ".metadata.json")):
+            zoom_dir = os.path.dirname(meta)
+            out.append((os.path.basename(os.path.dirname(zoom_dir)), int(os.path.basename(zoom_dir))))
+        return sorted(out)
+
+
+def update_layer(spark: SparkSession, uri: str, layer_name: str, zoom: int,
+                 new_layer: TiledRasterLayer) -> str:
+    """Merge-write (reference ``catalog.py:287-329``): union new tiles with
+    the existing layer, keep the newest per key (read-union-rewrite; a
+    Delta/Iceberg MERGE INTO when a table format is available)."""
+    existing = read(spark, uri, layer_name, zoom)
+    assert existing.metadata.layout == new_layer.metadata.layout, (
+        "update requires identical layouts"
+    )
+    # merge keeps the FIRST tile in ascending _gen order -> new wins
+    new = new_layer.df.withColumn("_gen", F.lit(0))
+    old = existing.df.withColumn("_gen", F.lit(1))
+    from ..layer import TiledRasterLayer as TRL
+    from ..operators.aggregate import merge as _merge
+
+    u = TRL(new.unionByName(old), existing.metadata.combine(new_layer.metadata))
+    merged = _merge(u, order_col="_gen")
+    out = TRL(merged.df.drop("_gen"), u.metadata)
+    return write(uri, layer_name, out, zoom)

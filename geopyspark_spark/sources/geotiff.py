@@ -1,0 +1,178 @@
+"""GeoTIFF / windowed raster ingest.
+
+Re-expresses ``geotiff.get`` (``/root/reference/geopyspark/geotrellis/geotiff.py:19-122``
+-> ``io/geotiff/GeoTiffRDD.scala:96-164``) and the pure-Python
+``rasterio.get`` (``geopyspark/geotrellis/rasterio.py:39-110``).
+
+Spark-native shape:
+- file discovery + window planning happen on the DRIVER (cheap metadata);
+- ``spark.read.format("binaryFile")`` (or a path list) distributes bytes;
+- decoding runs in an Arrow-batched ``mapInPandas`` kernel.
+
+This container has no rasterio/GDAL, so the decode step is STUBBED: a
+clearly-marked ``NotImplementedError`` unless a decoder is injected. The
+Spark plumbing (schema, windowing, partitioning, UDF batch shape) is real
+and tested with a deterministic fake decoder.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..core.extent import Extent
+
+#: schema of an untiled raster scan (FIXTURES.md F3): one row per window
+UNTILED_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+        T.StructField("crs", T.StringType()),
+        T.StructField("instant", T.TimestampType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("rows", T.IntegerType()),
+        T.StructField("cols", T.IntegerType()),
+        T.StructField("cells", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _default_decoder(path: str, window) -> Iterator[tuple]:
+    try:
+        import rasterio  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "GeoTIFF decoding requires rasterio/GDAL, which is not available "
+            "in this environment. Pass decoder= to geotiff.get(...) — the "
+            "Spark plumbing (windowing/partitioning/schema) is fully "
+            "functional with any callable (path, window) -> tile tuples."
+        ) from e
+    raise NotImplementedError("rasterio decode path not exercised in this container")
+
+
+def plan_windows(width: int, height: int, max_tile_size: int = 256) -> list[tuple[int, int, int, int]]:
+    """Split a raster into read windows (col_off, row_off, w, h) — the
+    reference's maxTileSize windowing (``GeoTiffRDD.scala:107-129``)."""
+    out = []
+    for r0 in range(0, height, max_tile_size):
+        for c0 in range(0, width, max_tile_size):
+            out.append((c0, r0, min(max_tile_size, width - c0), min(max_tile_size, height - r0)))
+    return out
+
+
+def get(
+    spark: SparkSession,
+    uris: list[str] | str,
+    crs: str = "epsg:4326",
+    max_tile_size: int = 256,
+    num_partitions: int | None = None,
+    decoder: Callable | None = None,
+    sizer: Callable | None = None,
+) -> DataFrame:
+    """Read raster files into an untiled scan DataFrame.
+
+    ``sizer(path) -> (width, height, extent, n_bands)`` provides raster
+    metadata (driver-side; rasterio when available). ``decoder(path,
+    window, band) -> np.ndarray`` reads one window. Both default to the
+    rasterio-backed implementations and raise a clear
+    ``NotImplementedError`` in environments without GDAL.
+    """
+    paths = [uris] if isinstance(uris, str) else list(uris)
+    if sizer is None or decoder is None:
+        # fail fast with the documented stub error
+        _default_decoder(paths[0], None)
+
+    tasks = []
+    for p in paths:
+        width, height, extent, n_bands = sizer(p)
+        cw = (extent.xmax - extent.xmin) / width
+        ch = (extent.ymax - extent.ymin) / height
+        for (c0, r0, w, h) in plan_windows(width, height, max_tile_size):
+            wext = Extent(
+                extent.xmin + c0 * cw,
+                extent.ymax - (r0 + h) * ch,
+                extent.xmin + (c0 + w) * cw,
+                extent.ymax - r0 * ch,
+            )
+            for b in range(n_bands):
+                tasks.append((p, c0, r0, w, h, b, wext.xmin, wext.ymin, wext.xmax, wext.ymax))
+
+    n_parts = num_partitions or max(1, math.ceil(len(tasks) / 64))
+    tdf = spark.createDataFrame(
+        tasks,
+        "path string, c0 int, r0 int, w int, h int, band int, "
+        "xmin double, ymin double, xmax double, ymax double",
+    ).repartition(n_parts)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                arr = np.asarray(
+                    decoder(t.path, (t.c0, t.r0, t.w, t.h), t.band), dtype=np.float64
+                )
+                rows.append(
+                    {
+                        "path": t.path,
+                        "xmin": t.xmin,
+                        "ymin": t.ymin,
+                        "xmax": t.xmax,
+                        "ymax": t.ymax,
+                        "crs": crs,
+                        "instant": None,
+                        "band": t.band,
+                        "rows": t.h,
+                        "cols": t.w,
+                        "cells": arr.reshape(-1).tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in UNTILED_SCHEMA.fields])
+
+    return tdf.mapInPandas(decode, schema=UNTILED_SCHEMA)
+
+
+def tile_untiled_to_layout(df: DataFrame, metadata) -> "DataFrame":
+    """Cut untiled windows to a layout grid — aligned fast path: window
+    origins must land on cell boundaries of the target layout. Returns the
+    long (key, band, pos, value) form ready for TiledRasterLayer.assemble."""
+    from pyspark.sql import functions as F
+
+    ld = metadata.layout
+    tl = ld.tile_layout
+    cw, ch = ld.cell_width, ld.cell_height
+    # explode each window's cells with global coordinates
+    long = df.select(
+        "band",
+        "rows",
+        "cols",
+        "xmin",
+        "ymax",
+        F.posexplode("cells").alias("pos", "value"),
+    )
+    long = long.withColumn("wrow", (F.col("pos") / F.col("cols")).cast("int")).withColumn(
+        "wcol", F.col("pos") % F.col("cols")
+    )
+    gx = ((F.col("xmin") - F.lit(ld.extent.xmin)) / cw).cast("int") + F.col("wcol")
+    gy = ((F.lit(ld.extent.ymax) - F.col("ymax")) / ch).cast("int") + F.col("wrow")
+    long = long.withColumn("gcol", gx).withColumn("grow", gy)
+    long = long.where(
+        (F.col("gcol") >= 0)
+        & (F.col("gcol") < tl.total_cols)
+        & (F.col("grow") >= 0)
+        & (F.col("grow") < tl.total_rows)
+    )
+    return long.select(
+        (F.col("gcol") / tl.tile_cols).cast("int").alias("key_col"),
+        (F.col("grow") / tl.tile_rows).cast("int").alias("key_row"),
+        "band",
+        ((F.col("grow") % tl.tile_rows) * tl.tile_cols + (F.col("gcol") % tl.tile_cols)).alias("pos"),
+        "value",
+    )

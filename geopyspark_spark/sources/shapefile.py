@@ -1,0 +1,91 @@
+"""Vector feature ingest (shapefile / GeoJSON-ish) -> feature DataFrame.
+
+Re-expresses ``shapefile.get`` (``/root/reference/geopyspark/geotools/shapefile.py:15-69``
+-> ``geotools/shapefile/ShapefileRDD.scala:24-57``).
+
+Feature DataFrame schema (FIXTURES.md F4):
+    geometry: binary (WKB, little-endian), properties: map<string,string>,
+    value: double, zindex: int
+
+Shapefile parsing needs pyogrio/fiona (absent here) — gated behind
+``NotImplementedError``; ``from_features`` (any iterable of (geometry,
+properties)) and GeoJSON dict ingest are fully functional with the
+package's own WKB encoder.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..core.geom import Geometry, MultiPolygon, Point, Polygon, from_wkt, to_wkb
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("geometry", T.BinaryType()),
+        T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("zindex", T.IntegerType()),
+    ]
+)
+
+
+def from_features(spark: SparkSession, features: Iterable, num_partitions: int | None = None) -> DataFrame:
+    """features: iterable of (geometry | wkt, properties_dict[, value[, zindex]])."""
+    rows = []
+    for feat in features:
+        geom = feat[0]
+        if isinstance(geom, str):
+            geom = from_wkt(geom)
+        props = {str(k): str(v) for k, v in (feat[1] or {}).items()}
+        value = float(feat[2]) if len(feat) > 2 and feat[2] is not None else None
+        zindex = int(feat[3]) if len(feat) > 3 and feat[3] is not None else 0
+        rows.append((to_wkb(geom), props, value, zindex))
+    df = spark.createDataFrame(rows, FEATURE_SCHEMA)
+    return df.repartition(num_partitions) if num_partitions else df
+
+
+def from_geojson(spark: SparkSession, geojson: dict | str, value_property: str | None = None) -> DataFrame:
+    """Ingest a GeoJSON FeatureCollection dict (or JSON string)."""
+    if isinstance(geojson, str):
+        geojson = json.loads(geojson)
+    feats = []
+    for f in geojson.get("features", []):
+        g = _geom_from_geojson(f["geometry"])
+        props = f.get("properties") or {}
+        value = props.get(value_property) if value_property else None
+        feats.append((g, props, value))
+    return from_features(spark, feats)
+
+
+def _geom_from_geojson(g: dict) -> Geometry:
+    t = g["type"]
+    c = g["coordinates"]
+    if t == "Point":
+        return Point(c[0], c[1])
+    if t == "Polygon":
+        return Polygon(tuple(map(tuple, c[0])), tuple(tuple(map(tuple, h)) for h in c[1:]))
+    if t == "MultiPolygon":
+        return MultiPolygon(
+            tuple(
+                Polygon(tuple(map(tuple, p[0])), tuple(tuple(map(tuple, h)) for h in p[1:]))
+                for p in c
+            )
+        )
+    raise ValueError(f"unsupported GeoJSON geometry type {t}")
+
+
+def get(spark: SparkSession, uri: str, extensions=(".shp",), num_partitions: int | None = None) -> DataFrame:
+    """Shapefile ingest — requires pyogrio/fiona (not in this container)."""
+    try:
+        import pyogrio  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "shapefile parsing requires pyogrio/fiona (absent here); use "
+            "from_features/from_geojson, which produce the identical feature "
+            "DataFrame schema"
+        ) from e
+    raise NotImplementedError("pyogrio path not exercised in this container")

@@ -1,0 +1,101 @@
+"""Structured Streaming surface over event/tile streams.
+
+The reference has NO streaming (SURVEY §2.12) — its SPACETIME layers are
+batch time-series. This module is the green-field Spark-native extension:
+the same (key, instant) semantics exposed over ``readStream`` with
+watermarked windowed aggregation.
+
+Shapes provided:
+- ``read_events_stream``: parquet-directory source (works with the
+  driver's events table layout; nanos timestamps handled);
+- ``tumbling_counts`` / ``sliding_counts``: event-time windows +
+  watermark late-data policy;
+- ``sessionize``: session windows per user;
+- ``run_available_now``: execute a streaming query over the existing
+  files and return the result as a batch DataFrame (how the tests verify
+  stream==batch equivalence).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str, ts_is_nanos: bool = True) -> DataFrame:
+    """Open a parquet directory as an append stream of events."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    if ts_is_nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+    else:
+        df = df.withColumn("ts", F.timestamp_micros(F.col("ts")))
+    return df
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Per-window per-type counts with a late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, window: str = "1 hour", slide: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes",
+               watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user: events within ``gap`` merge into one
+    session (the stateful operator the reference lacks entirely)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(streaming_df: DataFrame, query_name: str = "snap") -> DataFrame:
+    """Drain all available input through the streaming plan (Trigger.
+    AvailableNow) into an in-memory sink; returns the final batch result."""
+    spark = streaming_df.sparkSession
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name)

@@ -1,0 +1,205 @@
+"""Catalog (write/read/query/read_value/attributes/update), rasterize,
+euclidean distance, geotiff plumbing, shapefile/GeoJSON ingest tests."""
+
+import numpy as np
+import pytest
+
+import geopyspark_spark as gps
+from geopyspark_spark.operators.rasterize import euclidean_distance, rasterize, rasterize_features
+from geopyspark_spark.sources import catalog
+from geopyspark_spark.sources import geotiff as gt
+from geopyspark_spark.sources import shapefile as shp
+from geopyspark_spark.sources.numpy_source import to_numpy
+
+from conftest import f1_metadata
+
+
+class TestCatalog:
+    def test_write_read_roundtrip(self, spark, f1_layer, tmp_path):
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "ones", f1_layer, zoom=0)
+        back = catalog.read(spark, uri, "ones", 0)
+        assert back.count() == 4
+        assert back.metadata.cell_type == f1_layer.metadata.cell_type
+        assert back.metadata.layout == f1_layer.metadata.layout
+        a = {(t[0], t[1]): t[3] for t in to_numpy(back)}
+        assert a[(0, 0)][0, 0] == 0.0
+
+    def test_query_spatial_pushdown(self, spark, f1_layer, tmp_path):
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "ones", f1_layer, zoom=0)
+        out = catalog.query(spark, uri, "ones", 0, query_geom=gps.box(0, 0, 4, 4))
+        assert out.count() == 1  # only tile (0,1)
+        assert out.collect_keys()[0]["key_col"] == 0
+        # predicate reaches the scan
+        plan = out.df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "key_col" in plan
+
+    def test_query_no_intersection(self, spark, f1_layer, tmp_path):
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "ones", f1_layer, zoom=0)
+        out = catalog.query(spark, uri, "ones", 0, query_geom=gps.box(100, 100, 110, 110))
+        assert out.count() == 0
+
+    def test_read_value_no_spark(self, spark, f1_layer, tmp_path):
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "ones", f1_layer, zoom=0)
+        rows = catalog.read_value(uri, "ones", 0, 1, 1)
+        assert len(rows) == 1
+
+    def test_attribute_store(self, f1_layer, tmp_path, spark):
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "ones", f1_layer, zoom=0)
+        store = catalog.AttributeStore(uri)
+        store.write("ones", 0, "histogram", {"bins": [1, 2, 3]})
+        assert store.contains("ones", 0, "histogram")
+        assert store.read("ones", 0, "histogram") == {"bins": [1, 2, 3]}
+        assert store.list("ones", 0) == ["histogram"]
+        assert ("ones", 0) in store.layers()
+        store.delete("ones", 0, "histogram")
+        assert not store.contains("ones", 0, "histogram")
+
+    def test_update_layer(self, spark, f1_layer, tmp_path):
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "ones", f1_layer, zoom=0)
+        md = f1_metadata()
+        newtile = gps.from_numpy(spark, [(0, 0, 0, np.full((5, 5), 9.0))], md)
+        catalog.update_layer(spark, uri, "ones", 0, newtile)
+        back = catalog.read(spark, uri, "ones", 0)
+        a = {(t[0], t[1]): t[3] for t in to_numpy(back)}
+        assert a[(0, 0)][2, 2] == 9.0  # new tile wins
+        assert a[(1, 1)][2, 2] == 1.0  # untouched tiles remain
+
+    def test_temporal_query(self, spark, tmp_path):
+        from datetime import datetime, timezone
+
+        md = f1_metadata()
+        t1 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        t2 = datetime(2024, 2, 1, tzinfo=timezone.utc)
+        tiles = []
+        for kc in range(2):
+            for kr in range(2):
+                tiles.append((kc, kr, t1, 0, np.ones((5, 5))))
+                tiles.append((kc, kr, t2, 0, np.full((5, 5), 2.0)))
+        layer = gps.from_numpy(spark, tiles, md)
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "st", layer, zoom=0)
+        out = catalog.query(spark, uri, "st", 0, time_intervals=[t2])
+        assert out.count() == 4
+
+
+class TestRasterize:
+    def test_rasterize_box(self, spark):
+        layout = gps.LayoutDefinition(gps.Extent(0, 0, 10, 10), gps.TileLayout(2, 2, 5, 5))
+        layer = rasterize(spark, gps.box(0, 5, 5, 10), layout, fill_value=7.0)
+        tiles = {(t[0], t[1]): t[3] for t in to_numpy(layer)}
+        assert set(tiles) == {(0, 0)}
+        assert (tiles[(0, 0)] == 7.0).all()
+
+    def test_rasterize_zindex_priority(self, spark):
+        layout = gps.LayoutDefinition(gps.Extent(0, 0, 10, 10), gps.TileLayout(2, 2, 5, 5))
+        layer = rasterize_features(
+            spark,
+            [(gps.box(0, 0, 10, 10), 1.0, 0), (gps.box(0, 5, 5, 10), 2.0, 5)],
+            layout,
+        )
+        tiles = {(t[0], t[1]): t[3] for t in to_numpy(layer)}
+        assert (tiles[(0, 0)] == 2.0).all()   # higher z wins
+        assert (tiles[(1, 1)] == 1.0).all()
+
+    def test_rasterize_point(self, spark):
+        layout = gps.LayoutDefinition(gps.Extent(0, 0, 10, 10), gps.TileLayout(2, 2, 5, 5))
+        layer = rasterize(spark, gps.Point(2.5, 7.5), layout, fill_value=3.0)
+        tiles = {(t[0], t[1]): t[3] for t in to_numpy(layer)}
+        a = tiles[(0, 0)]
+        assert a[2, 2] == 3.0
+        assert (a == -1.0).sum() == 24
+
+    def test_euclidean_distance(self, spark):
+        layout = gps.LayoutDefinition(gps.Extent(0, 0, 10, 10), gps.TileLayout(2, 2, 5, 5))
+        layer = euclidean_distance(spark, gps.Point(0.5, 9.5), layout)
+        tiles = {(t[0], t[1]): t[3] for t in to_numpy(layer)}
+        a = tiles[(0, 0)]
+        assert a[0, 0] == 0.0
+        assert abs(a[0, 1] - 1.0) < 1e-12
+        assert abs(a[1, 1] - np.sqrt(2)) < 1e-12
+
+    def test_euclidean_distance_polygon_inside_zero(self, spark):
+        layout = gps.LayoutDefinition(gps.Extent(0, 0, 10, 10), gps.TileLayout(2, 2, 5, 5))
+        layer = euclidean_distance(spark, gps.box(0, 5, 5, 10), layout)
+        tiles = {(t[0], t[1]): t[3] for t in to_numpy(layer)}
+        assert (tiles[(0, 0)] == 0.0).all()
+        assert tiles[(1, 1)].min() > 0
+
+
+class TestGeoTiffPlumbing:
+    def test_stub_raises_without_decoder(self, spark):
+        with pytest.raises(NotImplementedError, match="rasterio"):
+            gt.get(spark, ["/tmp/fake.tif"])
+
+    def test_windowing(self):
+        wins = gt.plan_windows(512, 300, 256)
+        assert (0, 0, 256, 256) in wins
+        assert (256, 256, 256, 44) in wins
+        assert len(wins) == 4
+
+    def test_fake_decoder_end_to_end(self, spark):
+        """Full ingest -> tile_to_layout path with an injected decoder."""
+        def sizer(path):
+            return 10, 10, gps.Extent(0, 0, 10, 10), 1
+
+        def decoder(path, window, band):
+            c0, r0, w, h = window
+            a = np.ones((h, w))
+            if (c0, r0) == (0, 0):
+                a[0, 0] = 0.0
+            return a
+
+        df = gt.get(spark, ["mem://t1"], max_tile_size=5, sizer=sizer, decoder=decoder)
+        assert df.count() == 4
+        md = f1_metadata()
+        long = gt.tile_untiled_to_layout(df, md)
+        layer = gps.TiledRasterLayer.assemble(long, md)
+        tiles = {(t[0], t[1]): t[3] for t in to_numpy(layer)}
+        assert tiles[(0, 0)][0, 0] == 0.0
+        assert sum(t.sum() for t in tiles.values()) == 99.0
+
+
+class TestVectorIngest:
+    def test_from_features(self, spark):
+        df = shp.from_features(
+            spark,
+            [
+                (gps.box(0, 0, 1, 1), {"name": "a"}, 1.0, 2),
+                ("POINT (5 5)", {"name": "b"}),
+            ],
+        )
+        rows = df.collect()
+        assert rows[0]["properties"]["name"] == "a"
+        assert rows[0]["zindex"] == 2
+        g = gps.from_wkb(bytes(rows[1]["geometry"]))
+        assert (g.x, g.y) == (5.0, 5.0)
+
+    def test_from_geojson(self, spark):
+        gj = {
+            "type": "FeatureCollection",
+            "features": [
+                {
+                    "type": "Feature",
+                    "geometry": {
+                        "type": "Polygon",
+                        "coordinates": [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]],
+                    },
+                    "properties": {"v": 3},
+                }
+            ],
+        }
+        df = shp.from_geojson(spark, gj, value_property="v")
+        row = df.first()
+        assert row["value"] == 3.0
+        g = gps.from_wkb(bytes(row["geometry"]))
+        assert g.bounds == (0, 0, 2, 2)
+
+    def test_shapefile_stub(self, spark):
+        with pytest.raises(NotImplementedError, match="pyogrio"):
+            shp.get(spark, "/tmp/fake.shp")

@@ -1,0 +1,172 @@
+"""Text / dedup / similarity / multimodal pipeline operator tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geopyspark_spark.functions import dedup as fdedup
+from geopyspark_spark.functions import multimodal as fmm
+from geopyspark_spark.functions import similarity as fsim
+from geopyspark_spark.functions import text as ftext
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "src0", 43),
+        (1, "the quick brown fox jumps over the lazy cat", "en", "src0", 43),
+        (2, "le chat et le chien et les oiseaux", "fr", "src0", 34),
+        (3, "der hund und die katze und das haus", "de", "src1", 35),
+        (4, "el perro y los gatos y las casas y una mesa", "es", "src1", 43),
+        (5, "completely different words entirely unique tokens here", "en", "src1", 54),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+class TestText:
+    def test_token_count(self, docs):
+        got = {r["doc_id"]: r["n_tokens"] for r in ftext.token_count(docs).collect()}
+        assert got[0] == 9
+        assert got[5] == 7
+
+    def test_word_frequencies(self, docs):
+        got = {r["word"]: r["cnt"] for r in ftext.word_frequencies(docs).collect()}
+        assert got["the"] == 4
+        assert got["fox"] == 2
+
+    def test_quality_metrics(self, docs):
+        row = {r["doc_id"]: r for r in ftext.quality_metrics(docs).collect()}[0]
+        assert row["n_tokens"] == 9
+        assert row["n_distinct_tokens"] == 8  # 'the' twice
+        assert row["max_token_len"] == 5
+
+    def test_lang_scores(self, docs):
+        got = {r["doc_id"]: r for r in ftext.lang_scores(docs).collect()}
+        assert got[0]["lang_guess"] == "en"
+        assert got[2]["lang_guess"] == "fr"
+        assert got[3]["lang_guess"] == "de"
+        assert got[4]["lang_guess"] == "es"
+
+    def test_fingerprint_order_sensitive(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b"), (1, "b a")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r["fingerprint"] for r in ftext.fingerprint(df).collect()}
+        assert got[0] != got[1]
+
+
+class TestDedup:
+    def test_exact_duplicates(self, spark):
+        df = spark.createDataFrame(
+            [(0, "same text"), (1, "same text"), (2, "other")], "doc_id long, text string"
+        )
+        got = {r["canonical_doc"]: r["dup_count"] for r in fdedup.exact_duplicates(df).collect()}
+        assert got == {0: 2, 2: 1}
+
+    def test_minhash_identical_docs_match(self, spark):
+        df = spark.createDataFrame(
+            [(0, "w1 w2 w3 w4 w5"), (1, "w1 w2 w3 w4 w5"), (2, "x1 x2 x3 x4 x5")],
+            "doc_id long, text string",
+        )
+        sig = fdedup.minhash_signatures(df, num_hashes=8).collect()
+        s = {}
+        for r in sig:
+            s.setdefault(r["doc_id"], {})[r["k"]] = r["minhash"]
+        assert s[0] == s[1]
+        assert s[0] != s[2]
+
+    def test_lsh_finds_near_dups(self, docs):
+        pairs = {(r["doc_a"], r["doc_b"]) for r in fdedup.lsh_candidate_pairs(docs, 16, 4).collect()}
+        assert (0, 1) in pairs  # dog/cat docs share most bigrams
+        assert (0, 5) not in pairs
+
+    def test_simhash_similar_docs_close(self, docs):
+        sh = {r["doc_id"]: r["simhash"] for r in fdedup.simhash(docs, num_bits=16).collect()}
+        ham01 = bin(sh[0] ^ sh[1]).count("1")
+        ham05 = bin(sh[0] ^ sh[5]).count("1")
+        assert ham01 < ham05
+
+    def test_ngram_jaccard(self, docs):
+        rows = fdedup.ngram_jaccard_pairs(docs, n=2).collect()
+        got = {(r["doc_a"], r["doc_b"]): (r["inter_size"], r["union_size"]) for r in rows}
+        inter, union = got[(0, 1)]
+        assert inter == 7 and union == 9  # 8 bigrams each, differ in last
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.default_rng(7)
+        rows = []
+        for i in range(40):
+            v = rng.normal(size=8)
+            rows.append((i, [float(x) for x in v], i % 3))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    def test_knn_self_similarity_excluded(self, emb):
+        out = fsim.cosine_knn(emb, [0], k=3).collect()
+        assert len(out) == 3
+        assert all(r["neighbor_id"] != 0 for r in out)
+        assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3]
+
+    def test_knn_finds_duplicate_vector(self, spark):
+        rows = [(0, [1.0, 0.0, 0.0], 0), (1, [1.0, 0.0, 0.0], 0), (2, [0.0, 1.0, 0.0], 0)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        out = fsim.cosine_knn(df, [0], k=2).collect()
+        top = [r for r in out if r["rank"] == 1][0]
+        assert top["neighbor_id"] == 1
+
+    def test_lsh_knn_subset_of_bucket(self, emb):
+        out = fsim.lsh_knn(emb, [0, 1], k=3, num_planes=4)
+        rows = out.collect()
+        assert all(r["rank"] <= 3 for r in rows)
+
+    def test_norm_stats(self, emb):
+        rows = fsim.norm_stats(emb).collect()
+        assert sum(r["n_vectors"] for r in rows) == 40
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [(i, bytes([i]) * 32) for i in range(4)]
+        return spark.createDataFrame(rows, "media_id long, data binary")
+
+    def test_media_meta(self, media):
+        out = fmm.with_media_meta(media, kind="image", fmt="raw")
+        row = out.first()
+        assert row["media_meta"]["n_bytes"] == 32
+        assert row["media_meta"]["kind"] == "image"
+
+    def test_stub_raises_without_decoder(self, media):
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            fmm.image_features(media).collect()
+
+    def test_image_features_fake_decoder(self, media):
+        out = fmm.image_features(media, decoder=fmm.fake_image_decoder)
+        rows = out.collect()
+        assert len(rows) == 4
+        assert len(rows[0]["features"]) == 6  # 3 means + 3 stds
+        # deterministic: same bytes -> same features
+        again = fmm.image_features(media, decoder=fmm.fake_image_decoder).collect()
+        assert rows[0]["features"] == again[0]["features"]
+
+    def test_image_resize(self, media):
+        out = fmm.image_resize(media, 4, 4, decoder=fmm.fake_image_decoder)
+        row = out.first()
+        assert len(row["pixels"]) == 4 * 4 * 3
+
+    def test_frame_sample(self, media):
+        def fake_frames(data):
+            return [np.full((2, 2), float(i)) for i in range(25)]
+
+        out = fmm.frame_sample(media, every_n=10, frame_decoder=fake_frames)
+        rows = out.where(F.col("media_id") == 0).collect()
+        assert [r["frame_idx"] for r in rows] == [0, 10, 20]
+        assert rows[1]["frame"] == [10.0] * 4
+
+    def test_frame_sample_stub(self, media):
+        with pytest.raises(NotImplementedError, match="frame_decoder"):
+            fmm.frame_sample(media)

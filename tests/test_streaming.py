@@ -1,0 +1,48 @@
+"""Structured Streaming tests: stream results must equal batch results
+over the same files (Trigger.AvailableNow drains everything)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geopyspark_spark.streaming import events as sev
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return sev.read_events_stream(spark, "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+
+
+class TestStreaming:
+    def test_stream_is_streaming(self, events_stream):
+        assert events_stream.isStreaming
+
+    def test_tumbling_equals_batch(self, spark, events_stream, events_batch):
+        got = sev.run_available_now(sev.tumbling_counts(events_stream), "t_tumb")
+        expected = (
+            events_batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+        )
+        g = {(r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()}
+        e = {(r["w"]["start"], r["event_type"]): r["n_events"] for r in expected.collect()}
+        assert g == e
+        assert len(g) > 0
+
+    def test_sliding_window_doubles_rows(self, spark, events_stream, events_batch):
+        got = sev.run_available_now(sev.sliding_counts(events_stream), "t_slide")
+        n_events = events_batch.count()
+        assert got.agg(F.sum("n_events")).first()[0] == 2 * n_events
+
+    def test_sessionize(self, spark, events_stream):
+        got = sev.run_available_now(sev.sessionize(events_stream, gap="30 minutes"), "t_sess")
+        rows = got.collect()
+        assert len(rows) > 0
+        for r in rows[:20]:
+            assert r["session_end"] >= r["session_start"]
+            assert r["n_events"] >= 1
