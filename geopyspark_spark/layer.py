@@ -363,6 +363,16 @@ class TiledRasterLayer:
 
         return tiling.stitch(self)
 
+    def cost_distance(self, geometries, max_distance: float = float("inf")) -> "TiledRasterLayer":
+        from .operators import costdistance
+
+        return costdistance.cost_distance(self, geometries, max_distance)
+
+    def to_png_rdd(self, color_map) -> DataFrame:
+        from .operators import render
+
+        return render.to_png(self, color_map)
+
     def mean_series(self, geometry):
         from .operators import zonal
 

@@ -1,0 +1,187 @@
+"""Iterative least-cost-distance propagation (cost distance).
+
+Re-expresses ``cost_distance``
+(``/root/reference/geopyspark/geotrellis/cost_distance.py:8-33`` ->
+``TiledRasterLayer.scala:186-200`` -> GeoTrellis ``IterativeCostDistance``,
+wired at ``SpatialTiledRasterLayer.scala:363-385``).
+
+Semantics: given a friction layer and source geometries, the cost to step
+between 8-adjacent cells a->b is ``dist(a,b) * (f(a) + f(b)) / 2`` with
+dist 1 for rook moves and sqrt(2) for diagonal moves (cell units);
+``max_distance`` truncates the frontier.
+
+Spark physical plan (the reference's Pregel pattern, DataFrame-shaped):
+driver-coordinated fixpoint loop where each iteration
+  1. halo-exchanges the friction and distance planes (the same
+     single-projection fragment operator as focal, one per plane, joined
+     on target key),
+  2. runs a per-tile numpy local relaxation (alternating Bellman-Ford
+     sweeps — exact for a fixed boundary),
+  3. checks convergence with one scalar aggregate (max improvement).
+Each iteration shuffles tile-granular rows; state stays distributed, only
+the convergence scalar reaches the driver.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from .focal import _assemble_buffer, halo_exchange
+from .local import key_cols
+
+if TYPE_CHECKING:
+    from ..layer import TiledRasterLayer
+
+INF = float("inf")
+_SQRT2 = math.sqrt(2.0)
+_BIG = 1e300  # stands in for INF inside array columns (NaN-safe)
+
+
+def _local_relax(dist: np.ndarray, fric: np.ndarray, max_distance: float) -> np.ndarray:
+    """Alternating Bellman-Ford sweeps over one buffered tile until local
+    fixpoint; exact given fixed boundary values. Arrays are (r+2, c+2)."""
+    d = dist.copy()
+    moves = [(-1, -1, _SQRT2), (-1, 0, 1.0), (-1, 1, _SQRT2), (0, -1, 1.0)]
+    for _ in range(d.shape[0] + d.shape[1]):
+        changed = False
+        for sweep in (1, -1):
+            rows = range(1, d.shape[0] - 1) if sweep == 1 else range(d.shape[0] - 2, 0, -1)
+            cols_r = range(1, d.shape[1] - 1) if sweep == 1 else range(d.shape[1] - 2, 0, -1)
+            for r in rows:
+                for c in cols_r:
+                    f0 = fric[r, c]
+                    if np.isnan(f0):
+                        continue
+                    best = d[r, c]
+                    for dr, dc, w in moves:
+                        rr, cc = r + dr * sweep, c + dc * sweep
+                        fn = fric[rr, cc]
+                        nd = d[rr, cc]
+                        if not np.isnan(fn) and nd < _BIG:
+                            cand = nd + w * (f0 + fn) / 2.0
+                            if cand < best:
+                                best = cand
+                    if best < d[r, c] - 1e-12 and best <= max_distance:
+                        d[r, c] = best
+                        changed = True
+        if not changed:
+            break
+    return d
+
+
+def cost_distance(
+    friction: "TiledRasterLayer",
+    geometries,
+    max_distance: float = float("inf"),
+    max_iterations: int = 64,
+) -> "TiledRasterLayer":
+    """Least-cost distance from source geometries over a friction layer.
+
+    Returns a float64 layer: NoData (NaN) where unreachable or friction is
+    NoData.
+    """
+    from ..core.geom import MultiPolygon, Point, Polygon
+    from ..layer import TiledRasterLayer as TRL
+    from ..layer import _normalize_geoms
+
+    md = friction.metadata
+    tl = md.layout.tile_layout
+    tc, tr = tl.tile_cols, tl.tile_rows
+    nd = md.nodata
+    geoms = _normalize_geoms(geometries)
+    cw, ch = md.layout.cell_width, md.layout.cell_height
+    exmin, eymax = md.layout.extent.xmin, md.layout.extent.ymax
+
+    def seed_mask(kc: int, kr: int) -> np.ndarray:
+        col_idx = np.tile(np.arange(tc), tr).astype(float)
+        row_idx = np.repeat(np.arange(tr), tc).astype(float)
+        x = exmin + kc * tc * cw + (col_idx + 0.5) * cw
+        y = eymax - kr * tr * ch - (row_idx + 0.5) * ch
+        m = np.zeros(tc * tr, dtype=bool)
+        for g in geoms:
+            if isinstance(g, (Polygon, MultiPolygon)):
+                m |= g.contains_points(x, y)
+            elif isinstance(g, Point):
+                m |= (np.abs(x - g.x) <= cw / 2) & (np.abs(y - g.y) <= ch / 2)
+        return m
+
+    keys = key_cols(friction.df) + ["band"]
+    key_names = list(keys)
+
+    def init_batch(batches):
+        for pdf in batches:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                rec = dict(zip(pdf.columns, tup))
+                fr = np.asarray(rec["cells"], dtype=np.float64)
+                if nd is not None and not math.isnan(nd):
+                    fr = np.where(fr == nd, np.nan, fr)
+                m = seed_mask(int(rec["key_col"]), int(rec["key_row"]))
+                dist = np.where(m & ~np.isnan(fr), 0.0, _BIG)
+                rec["cells"] = fr.tolist()
+                rec["dist"] = dist.tolist()
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=list(pdf.columns) + ["dist"])
+
+    from pyspark.sql import types as T
+
+    # note: StructType.add mutates in place — build a fresh StructType
+    schema = T.StructType(
+        list(friction.df.schema.fields)
+        + [T.StructField("dist", T.ArrayType(T.DoubleType()))]
+    )
+    state = friction.df.mapInPandas(init_batch, schema=schema).persist()
+    state.count()
+
+    out_schema = ", ".join(
+        ["key_col int", "key_row int"]
+        + (["instant timestamp"] if friction.is_temporal else [])
+        + ["band int", "cells array<double>", "dist array<double>", "improved double"]
+    )
+    out_cols = [c.split(" ")[0] for c in out_schema.split(", ")]
+
+    for _ in range(max_iterations):
+        frag_f = halo_exchange(state.select(*key_names, "cells"), tc, tr, 1)
+        frag_d = halo_exchange(
+            state.select(*key_names, F.col("dist").alias("cells")), tc, tr, 1
+        ).withColumnRenamed("frag", "frag_d")
+        both = frag_f.join(frag_d, key_names + ["dc", "dr"], "full_outer")
+
+        def relax(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            fpdf = pdf[pdf["frag"].notna()]
+            fbuf = _assemble_buffer(fpdf, tc, tr, 1, np.nan) if len(fpdf) else None
+            dpdf = pdf[pdf["frag_d"].notna()].copy()
+            dpdf["frag"] = dpdf["frag_d"]
+            dbuf = _assemble_buffer(dpdf, tc, tr, 1, _BIG) if len(dpdf) else None
+            if fbuf is None or dbuf is None:
+                return pd.DataFrame({c: pd.Series([], dtype=object) for c in out_cols})
+            before = dbuf[1 : tr + 1, 1 : tc + 1].copy()
+            relaxed = _local_relax(dbuf, fbuf, max_distance)
+            center = relaxed[1 : tr + 1, 1 : tc + 1]
+            improved = float(np.max(np.where(before > center, before - center, 0.0)))
+            data = {k: [v] for k, v in zip(key_names, key)}
+            data["cells"] = [fbuf[1 : tr + 1, 1 : tc + 1].reshape(-1).tolist()]
+            data["dist"] = [center.reshape(-1).tolist()]
+            data["improved"] = [improved if np.isfinite(improved) else 0.0]
+            return pd.DataFrame(data, columns=out_cols)
+
+        new_state = both.groupBy(*key_names).applyInPandas(relax, schema=out_schema).persist()
+        max_improved = new_state.agg(F.max("improved")).first()[0] or 0.0
+        state.unpersist()
+        state = new_state.drop("improved")
+        if max_improved <= 1e-9:
+            break
+
+    result = state.withColumn(
+        "cells",
+        F.transform(
+            F.col("dist"),
+            lambda v: F.when(v >= F.lit(_BIG), F.lit(float("nan"))).otherwise(v),
+        ),
+    ).drop("dist")
+    return TRL(result, md.with_cell_type("float64"))

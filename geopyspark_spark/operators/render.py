@@ -1,0 +1,153 @@
+"""Rendering: ColorMap + PNG tile export (pure stdlib zlib, no PIL).
+
+Re-expresses:
+- ``ColorMap`` (``/root/reference/geopyspark/geotrellis/color.py:79-256``,
+  Scala ``ColorMap.scala:1-86``; ramps ``constants.py:233-253``)
+- ``to_png_rdd`` (``layer.py:524-540, 1326-1342`` -> ``TileLayer.scala:39-42``)
+
+The PNG encoder is a ~40-line pure-Python implementation (zlib + crc32)
+so the export path works in this container; the per-tile work runs as an
+Arrow-batched kernel and returns a DataFrame of (key, png bytes) — the
+serving layer (TMS-style) reads straight from it or from the catalog.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+if TYPE_CHECKING:
+    from ..layer import TiledRasterLayer
+
+# a compact viridis-ish ramp (public common knowledge color stops)
+DEFAULT_RAMP = [
+    0x440154FF, 0x46327EFF, 0x365C8DFF, 0x277F8EFF, 0x1FA187FF,
+    0x4AC16DFF, 0xA0DA39FF, 0xFDE725FF,
+]
+
+
+@dataclass
+class ColorMap:
+    """Break-map coloring: value -> RGBA int, with classification strategy
+    LESS_THAN_OR_EQUAL (reference default), NoData and fallback colors."""
+
+    breaks: list[float]
+    colors: list[int]                      # 0xRRGGBBAA per break
+    no_data_color: int = 0x00000000
+    fallback_color: int = 0x00000000
+
+    @staticmethod
+    def from_colors(breaks: list[float], colors: list[int], **kw) -> "ColorMap":
+        assert len(breaks) == len(colors), "one color per break"
+        order = np.argsort(breaks)
+        return ColorMap([breaks[i] for i in order], [colors[i] for i in order], **kw)
+
+    @staticmethod
+    def from_histogram(layer: "TiledRasterLayer", num_colors: int | None = None,
+                       ramp: list[int] | None = None, **kw) -> "ColorMap":
+        """Quantile breaks from the layer's value distribution."""
+        ramp = ramp or DEFAULT_RAMP
+        n = num_colors or len(ramp)
+        breaks = layer.get_quantile_breaks(n)
+        colors = [ramp[int(i * (len(ramp) - 1) / max(n - 1, 1))] for i in range(n)]
+        return ColorMap.from_colors(breaks, colors, **kw)
+
+    @staticmethod
+    def nlcd_colormap() -> "ColorMap":
+        """NLCD land-cover classes (public USGS palette excerpt)."""
+        classes = {
+            11: 0x5475A8FF, 21: 0xE8D1D1FF, 22: 0xE29E8CFF, 31: 0xD2CDC0FF,
+            41: 0x85C77EFF, 42: 0x38814EFF, 52: 0xDCCA8FFF, 71: 0xFDE9AAFF,
+            81: 0xFBF65DFF, 82: 0xCA9146FF, 90: 0xC8E6F8FF, 95: 0x64B3D5FF,
+        }
+        return ColorMap.from_colors(list(classes), list(classes.values()))
+
+    def apply(self, cells: np.ndarray, nodata: float | None) -> np.ndarray:
+        """Vectorized value -> RGBA uint32 (LESS_THAN_OR_EQUAL breaks)."""
+        out = np.full(cells.shape, self.fallback_color, dtype=np.uint32)
+        for b, c in zip(reversed(self.breaks), reversed(self.colors)):
+            out = np.where(cells <= b, np.uint32(c), out)
+        if nodata is not None:
+            if isinstance(nodata, float) and np.isnan(nodata):
+                nd_mask = np.isnan(cells)
+            else:
+                nd_mask = cells == nodata
+            out = np.where(nd_mask, np.uint32(self.no_data_color), out)
+        return out
+
+
+def encode_png_rgba(rgba: np.ndarray) -> bytes:
+    """Minimal RGBA8 PNG encoder (pure zlib; rows pre-filtered with 0)."""
+    h, w = rgba.shape[:2]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)  # 8-bit RGBA
+    raw = b"".join(b"\x00" + rgba[r].astype(np.uint8).tobytes() for r in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def rgba_from_packed(packed: np.ndarray) -> np.ndarray:
+    """0xRRGGBBAA uint32 grid -> (h, w, 4) uint8."""
+    return np.stack(
+        [
+            (packed >> 24) & 0xFF,
+            (packed >> 16) & 0xFF,
+            (packed >> 8) & 0xFF,
+            packed & 0xFF,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def to_png(layer: "TiledRasterLayer", color_map: ColorMap):
+    """Render band 0 of every tile through the ColorMap to PNG bytes.
+
+    Returns a DataFrame (key_col, key_row[, instant], png binary) — the
+    Spark-native ``to_png_rdd``.
+    """
+    from ..operators.local import key_cols
+
+    md = layer.metadata
+    tl = md.layout.tile_layout
+    nd = md.nodata
+    keys = key_cols(layer.df)
+    src = layer.df.where("band = 0").select(*keys, "cells")
+
+    def render(batches):
+        for pdf in batches:
+            out = []
+            for tup in pdf.itertuples(index=False):
+                rec = dict(zip(pdf.columns, tup))
+                a = np.asarray(rec["cells"], dtype=np.float64).reshape(
+                    tl.tile_rows, tl.tile_cols
+                )
+                packed = color_map.apply(a, nd)
+                png = encode_png_rgba(rgba_from_packed(packed))
+                row = {k: rec[k] for k in keys}
+                row["png"] = png
+                out.append(row)
+            yield pd.DataFrame(out, columns=keys + ["png"])
+
+    schema = ", ".join(
+        ["key_col int", "key_row int"]
+        + (["instant timestamp"] if layer.is_temporal else [])
+        + ["png binary"]
+    )
+    return src.mapInPandas(render, schema=schema)

@@ -390,9 +390,353 @@ FROM tcells GROUP BY 1, 2
 
 
 def q_raster_slope(spark, sf_dir):
-    """Slope (Horn) — no SQL oracle (rows-only check): float stencil."""
+    """Slope (Horn's method). Output rounded to 6 decimals: atan/hypot are
+    libm calls that may differ in the last ulp across engines; rounding
+    puts both under the same representation with ~1e-10 tie risk."""
     layer = lineitem_layer(spark, sf_dir)
-    return _explode_result(layer.slope(zfactor=1.0))
+    out = _explode_result(layer.slope(zfactor=1.0))
+    return out.select(
+        "key_col", "key_row", "pos", F.round(F.col("value"), 6).alias("value")
+    )
+
+
+# Horn 3x3 gradients via conditional aggregation over the 8 neighbors;
+# missing neighbors (layer edge) substitute the center value — matching
+# the engine kernel's NaN-substitution (operators/focal.py _horn_gradients).
+SQL_RASTER_SLOPE = CELLS_CTE + """
+, nb AS (
+  SELECT a.key_col, a.key_row, a.pos, a.value AS c,
+         MAX(CASE WHEN b.gcol = a.gcol - 1 AND b.grow = a.grow - 1 THEN b.value END) AS za,
+         MAX(CASE WHEN b.gcol = a.gcol     AND b.grow = a.grow - 1 THEN b.value END) AS zb,
+         MAX(CASE WHEN b.gcol = a.gcol + 1 AND b.grow = a.grow - 1 THEN b.value END) AS zc,
+         MAX(CASE WHEN b.gcol = a.gcol - 1 AND b.grow = a.grow     THEN b.value END) AS zd,
+         MAX(CASE WHEN b.gcol = a.gcol + 1 AND b.grow = a.grow     THEN b.value END) AS zf,
+         MAX(CASE WHEN b.gcol = a.gcol - 1 AND b.grow = a.grow + 1 THEN b.value END) AS zg,
+         MAX(CASE WHEN b.gcol = a.gcol     AND b.grow = a.grow + 1 THEN b.value END) AS zh,
+         MAX(CASE WHEN b.gcol = a.gcol + 1 AND b.grow = a.grow + 1 THEN b.value END) AS zi
+  FROM coords a JOIN coords b
+    ON b.gcol BETWEEN a.gcol - 1 AND a.gcol + 1
+   AND b.grow BETWEEN a.grow - 1 AND a.grow + 1
+  GROUP BY a.key_col, a.key_row, a.pos, a.value
+),
+grads AS (
+  SELECT key_col, key_row, pos,
+         ((COALESCE(zc,c) + 2*COALESCE(zf,c) + COALESCE(zi,c)) -
+          (COALESCE(za,c) + 2*COALESCE(zd,c) + COALESCE(zg,c))) / 8.0 AS dzdx,
+         ((COALESCE(zg,c) + 2*COALESCE(zh,c) + COALESCE(zi,c)) -
+          (COALESCE(za,c) + 2*COALESCE(zb,c) + COALESCE(zc,c))) / 8.0 AS dzdy
+  FROM nb
+)
+SELECT key_col, key_row, pos,
+       round(degrees(atan(sqrt(dzdx*dzdx + dzdy*dzdy))), 6) AS value
+FROM grads
+"""
+
+
+def _lineitem_layer_2band(spark, sf_dir):
+    """Two-band variant: band = l_linenumber % 2, pos within (key, band)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % LAYOUT_N).cast("int").alias("key_col"),
+        (F.col("l_suppkey") % LAYOUT_N).cast("int").alias("key_row"),
+        (F.col("l_linenumber") % 2).cast("int").alias("band"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        F.col("l_quantity").cast("double").alias("value"),
+    )
+    w = Window.partitionBy("key_col", "key_row", "band").orderBy(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    cells = (
+        li.withColumn("pos", F.row_number().over(w) - 1)
+        .where(F.col("pos") < TILE * TILE)
+        .select("key_col", "key_row", "band", "pos", "value")
+    )
+    from dataclasses import replace as _replace
+
+    return TiledRasterLayer.assemble(cells, _replace(RASTER_MD, num_bands=2))
+
+
+CELLS2_CTE = f"""
+WITH cells AS (
+  SELECT key_col, key_row, band, CAST(pos AS INT) AS pos, value
+  FROM (
+    SELECT CAST(l_orderkey % {LAYOUT_N} AS INT) AS key_col,
+           CAST(l_suppkey % {LAYOUT_N} AS INT) AS key_row,
+           CAST(l_linenumber % 2 AS INT) AS band,
+           row_number() OVER (PARTITION BY l_orderkey % {LAYOUT_N}, l_suppkey % {LAYOUT_N}, l_linenumber % 2
+                              ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) - 1 AS pos,
+           CAST(l_quantity AS DOUBLE) AS value
+    FROM lineitem
+  ) WHERE pos < {TILE * TILE}
+)
+"""
+
+
+def q_raster_bands(spark, sf_dir):
+    """Band selection: keep band 1, renumbered to 0 (``layer.py:1419-1447``)."""
+    layer = _lineitem_layer_2band(spark, sf_dir)
+    sel = layer.bands([1])
+    return sel.explode().select("key_col", "key_row", "band", "pos", "value")
+
+
+SQL_RASTER_BANDS = CELLS2_CTE + """
+SELECT key_col, key_row, CAST(0 AS INT) AS band, pos, value
+FROM cells WHERE band = 1
+"""
+
+
+def q_raster_combine_bands(spark, sf_dir):
+    """combine_bands of (value, value2) layers -> 2-band layer."""
+    a = lineitem_layer(spark, sf_dir, "value")
+    b = lineitem_layer(spark, sf_dir, "value2")
+    c = gps.combine_bands([a, b])
+    return c.explode().select("key_col", "key_row", "band", "pos", "value")
+
+
+SQL_RASTER_COMBINE_BANDS = CELLS_CTE + """
+SELECT key_col, key_row, CAST(0 AS INT) AS band, pos, value FROM cells
+UNION ALL
+SELECT key_col, key_row, CAST(1 AS INT) AS band, pos, value2 AS value FROM cells
+"""
+
+
+def q_raster_merge(spark, sf_dir):
+    """Deterministic merge: layer A (masked to the zonal box, NoData
+    elsewhere) over layer B (=value*2): A's valid cells win, B fills the
+    rest (``TiledRasterLayer.scala:439-450`` with explicit priority)."""
+    a = lineitem_layer(spark, sf_dir).mask(gps.box(ZX0, ZY0, ZX1, ZY1))
+    b = lineitem_layer(spark, sf_dir) * 2
+    from ..operators.aggregate import merge as _merge
+
+    adf = a.df.withColumn("prio", F.lit(0))
+    bdf = b.df.withColumn("prio", F.lit(1))
+    u = TiledRasterLayer(adf.unionByName(bdf), a.metadata)
+    merged = _merge(u, order_col="prio")
+    return _explode_result(merged)
+
+
+SQL_RASTER_MERGE = CELLS_CTE + f"""
+SELECT key_col, key_row, pos,
+       CASE WHEN gcol BETWEEN {_G0} AND {_G1} AND grow BETWEEN {_R0} AND {_R1}
+            THEN value ELSE value * CAST(2 AS DOUBLE) END AS value
+FROM coords
+"""
+
+
+def q_raster_focal_max(spark, sf_dir):
+    layer = lineitem_layer(spark, sf_dir)
+    return _explode_result(layer.focal("Max", "Square", 1))
+
+
+SQL_RASTER_FOCAL_MAX = CELLS_CTE + """
+SELECT a.key_col, a.key_row, a.pos, CAST(MAX(b.value) AS DOUBLE) AS value
+FROM coords a JOIN coords b
+  ON b.gcol BETWEEN a.gcol - 1 AND a.gcol + 1
+ AND b.grow BETWEEN a.grow - 1 AND a.grow + 1
+GROUP BY a.key_col, a.key_row, a.pos
+"""
+
+
+def q_raster_focal_median(spark, sf_dir):
+    layer = lineitem_layer(spark, sf_dir)
+    return _explode_result(layer.focal("Median", "Square", 1))
+
+
+SQL_RASTER_FOCAL_MEDIAN = CELLS_CTE + """
+SELECT a.key_col, a.key_row, a.pos, CAST(MEDIAN(b.value) AS DOUBLE) AS value
+FROM coords a JOIN coords b
+  ON b.gcol BETWEEN a.gcol - 1 AND a.gcol + 1
+ AND b.grow BETWEEN a.grow - 1 AND a.grow + 1
+GROUP BY a.key_col, a.key_row, a.pos
+"""
+
+
+def q_raster_focal_circle(spark, sf_dir):
+    """Circle(1) neighborhood = the 4-connected cross (+ center)."""
+    layer = lineitem_layer(spark, sf_dir)
+    return _explode_result(layer.focal("Sum", "Circle", 1))
+
+
+SQL_RASTER_FOCAL_CIRCLE = CELLS_CTE + """
+SELECT a.key_col, a.key_row, a.pos, CAST(SUM(b.value) AS DOUBLE) AS value
+FROM coords a JOIN coords b
+  ON (b.gcol - a.gcol) * (b.gcol - a.gcol) + (b.grow - a.grow) * (b.grow - a.grow) <= 1
+GROUP BY a.key_col, a.key_row, a.pos
+"""
+
+
+def q_raster_filter_by_times(spark, sf_dir):
+    """SPACETIME interval filter: per-month cell counts for Q2 1995."""
+    from datetime import datetime
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    li = li.select(
+        (F.col("l_orderkey") % LAYOUT_N).cast("int").alias("key_col"),
+        (F.col("l_suppkey") % LAYOUT_N).cast("int").alias("key_row"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("instant"),
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice",
+        F.col("l_quantity").cast("double").alias("value"),
+    )
+    w = Window.partitionBy("key_col", "key_row", "instant").orderBy(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    cells = (
+        li.withColumn("pos", F.row_number().over(w) - 1)
+        .where(F.col("pos") < TILE * TILE)
+        .select("key_col", "key_row", "instant", F.lit(0).alias("band"), "pos", "value")
+    )
+    layer = TiledRasterLayer.assemble(cells, RASTER_MD)
+    filt = layer.filter_by_times(
+        [datetime(1995, 4, 1), datetime(1995, 6, 30, 23, 59, 59)]
+    )
+    long = filt.explode().where(~_is_nd(F.col("value"), layer.nodata))
+    return long.groupBy(F.col("instant").cast("date").alias("month")).agg(
+        F.count("*").alias("n_cells"), F.sum("value").alias("sum_value")
+    )
+
+
+SQL_RASTER_FILTER_BY_TIMES = f"""
+WITH tcells AS (
+  SELECT * FROM (
+    SELECT CAST(l_orderkey % {LAYOUT_N} AS INT) AS key_col,
+           CAST(l_suppkey % {LAYOUT_N} AS INT) AS key_row,
+           date_trunc('month', l_shipdate) AS instant,
+           row_number() OVER (PARTITION BY l_orderkey % {LAYOUT_N}, l_suppkey % {LAYOUT_N},
+                                           date_trunc('month', l_shipdate)
+                              ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) - 1 AS pos,
+           CAST(l_quantity AS DOUBLE) AS value
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  ) WHERE pos < {TILE * TILE}
+)
+SELECT CAST(instant AS DATE) AS month, COUNT(*) AS n_cells, SUM(value) AS sum_value
+FROM tcells
+WHERE instant BETWEEN TIMESTAMP '1995-04-01' AND TIMESTAMP '1995-06-30 23:59:59'
+GROUP BY 1
+"""
+
+
+POINT_SAMPLES = [(2.5, 29.5), (10.5, 20.5), (17.5, 12.5), (25.5, 5.5), (31.5, 0.5)]
+
+
+def q_raster_point_values(spark, sf_dir):
+    """get_point_values at fixed coords -> (pt_id, band, value) DataFrame."""
+    layer = lineitem_layer(spark, sf_dir)
+    pts = [gps.Point(x, y) for x, y in POINT_SAMPLES]
+    got = layer.get_point_values(pts)
+    rows = []
+    for i, (p, bands) in enumerate(got):
+        for b, v in enumerate(bands or []):
+            rows.append((i, b, float(v)))
+    return spark.createDataFrame(rows, "pt_id int, band int, value double")
+
+
+def _sql_point_values() -> str:
+    cases = []
+    for i, (x, y) in enumerate(POINT_SAMPLES):
+        gcol = int(x)  # unit cells anchored at 0
+        grow = int(GRID - y)
+        cases.append(
+            f"SELECT {i} AS pt_id, CAST(0 AS INT) AS band, value "
+            f"FROM coords WHERE gcol = {gcol} AND grow = {grow}"
+        )
+    return CELLS_CTE + " UNION ALL ".join(cases)
+
+
+def q_raster_rasterize(spark, sf_dir):
+    """Burn two overlapping boxes (z-index priority) into the fixture
+    layout; output valid cells with global coords."""
+    from ..operators.rasterize import rasterize_features
+
+    layer = rasterize_features(
+        spark,
+        [(gps.box(2, 2, 18, 18), 1.0, 0), (gps.box(10, 10, 26, 26), 2.0, 5)],
+        RASTER_MD.layout,
+    )
+    long = layer.explode().where(F.col("value") != -1.0)
+    return long.select("key_col", "key_row", "pos", "value")
+
+
+# cell (gcol, grow) center = (gcol+.5, GRID-grow-.5); box (x0,y0,x1,y1)
+# covers centers with x0 <= gcol+.5 < x1  =>  gcol in [x0, x1-1] etc.
+SQL_RASTER_RASTERIZE = f"""
+WITH grid AS (
+  SELECT c.i AS gcol, r.i AS grow FROM range({GRID}) c(i), range({GRID}) r(i)
+),
+vals AS (
+  SELECT gcol, grow,
+         CASE WHEN gcol BETWEEN 10 AND 25 AND grow BETWEEN {GRID - 26} AND {GRID - 10 - 1} THEN 2.0
+              WHEN gcol BETWEEN 2 AND 17 AND grow BETWEEN {GRID - 18} AND {GRID - 2 - 1} THEN 1.0
+              END AS value
+  FROM grid
+)
+SELECT CAST(floor(gcol / {TILE}) AS INT) AS key_col,
+       CAST(floor(grow / {TILE}) AS INT) AS key_row,
+       CAST((grow % {TILE}) * {TILE} + gcol % {TILE} AS INT) AS pos,
+       value
+FROM vals WHERE value IS NOT NULL
+"""
+
+
+def q_raster_euclidean_distance(spark, sf_dir):
+    """Distance-to-point raster; closed-form oracle (rounded 6 dp)."""
+    from ..operators.rasterize import euclidean_distance
+
+    layer = euclidean_distance(spark, gps.Point(8.5, 23.5), RASTER_MD.layout)
+    long = layer.explode()
+    return long.select(
+        "key_col", "key_row", "pos", F.round(F.col("value"), 6).alias("value")
+    )
+
+
+# point (8.5, 23.5) sits at the center of cell gcol=8, grow=GRID-24=8
+SQL_RASTER_EUCLIDEAN = f"""
+WITH grid AS (
+  SELECT c.i AS gcol, r.i AS grow FROM range({GRID}) c(i), range({GRID}) r(i)
+)
+SELECT CAST(floor(gcol / {TILE}) AS INT) AS key_col,
+       CAST(floor(grow / {TILE}) AS INT) AS key_row,
+       CAST((grow % {TILE}) * {TILE} + gcol % {TILE} AS INT) AS pos,
+       round(sqrt((gcol - 8) * (gcol - 8) + (grow - 8) * (grow - 8)), 6) AS value
+FROM grid
+"""
+
+
+def q_raster_cost_distance(spark, sf_dir):
+    """Cost distance over uniform friction 1 from one source cell. With no
+    obstacles the geodesic is the octile metric — closed-form oracle."""
+    from ..operators.costdistance import cost_distance
+
+    ones = lineitem_layer(spark, sf_dir)
+    uniform = ones * 0 + 1  # friction 1 everywhere, same layout
+    out = cost_distance(uniform, gps.Point(8.5, 23.5))
+    long = out.explode()
+    return long.select(
+        "key_col", "key_row", "pos", F.round(F.col("value"), 6).alias("value")
+    )
+
+
+SQL_RASTER_COST_DISTANCE = f"""
+WITH grid AS (
+  SELECT c.i AS gcol, r.i AS grow FROM range({GRID}) c(i), range({GRID}) r(i)
+),
+d AS (
+  SELECT gcol, grow, abs(gcol - 8) AS dx, abs(grow - 8) AS dy FROM grid
+)
+SELECT CAST(floor(gcol / {TILE}) AS INT) AS key_col,
+       CAST(floor(grow / {TILE}) AS INT) AS key_row,
+       CAST((grow % {TILE}) * {TILE} + gcol % {TILE} AS INT) AS pos,
+       round(CASE WHEN dx > dy THEN (dx - dy) + sqrt(2.0) * dy
+                  ELSE (dy - dx) + sqrt(2.0) * dx END, 6) AS value
+FROM d
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -924,6 +1268,17 @@ def queries():
         "raster_pyramid": q_raster_pyramid,
         "raster_spacetime_series": q_raster_spacetime_series,
         "raster_slope": q_raster_slope,
+        "raster_bands": q_raster_bands,
+        "raster_combine_bands": q_raster_combine_bands,
+        "raster_merge": q_raster_merge,
+        "raster_focal_max": q_raster_focal_max,
+        "raster_focal_median": q_raster_focal_median,
+        "raster_focal_circle": q_raster_focal_circle,
+        "raster_filter_by_times": q_raster_filter_by_times,
+        "raster_point_values": q_raster_point_values,
+        "raster_rasterize": q_raster_rasterize,
+        "raster_euclidean_distance": q_raster_euclidean_distance,
+        "raster_cost_distance": q_raster_cost_distance,
         # relational surface
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -969,7 +1324,18 @@ def oracle_sql():
         "raster_tile_to_layout": SQL_RASTER_TILE_TO_LAYOUT,
         "raster_pyramid": SQL_RASTER_PYRAMID,
         "raster_spacetime_series": SQL_RASTER_SPACETIME_SERIES,
-        # raster_slope: rows-only (float stencil; no SQL oracle yet)
+        "raster_slope": SQL_RASTER_SLOPE,
+        "raster_bands": SQL_RASTER_BANDS,
+        "raster_combine_bands": SQL_RASTER_COMBINE_BANDS,
+        "raster_merge": SQL_RASTER_MERGE,
+        "raster_focal_max": SQL_RASTER_FOCAL_MAX,
+        "raster_focal_median": SQL_RASTER_FOCAL_MEDIAN,
+        "raster_focal_circle": SQL_RASTER_FOCAL_CIRCLE,
+        "raster_filter_by_times": SQL_RASTER_FILTER_BY_TIMES,
+        "raster_point_values": _sql_point_values(),
+        "raster_rasterize": SQL_RASTER_RASTERIZE,
+        "raster_euclidean_distance": SQL_RASTER_EUCLIDEAN,
+        "raster_cost_distance": SQL_RASTER_COST_DISTANCE,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,

@@ -1,0 +1,76 @@
+"""Cost-distance golden tests (hand-computed on tiny grids, mirroring the
+reference's costdistance_test.py strategy)."""
+
+import math
+
+import numpy as np
+import pytest
+
+import geopyspark_spark as gps
+from geopyspark_spark.operators.costdistance import cost_distance
+from geopyspark_spark.sources.numpy_source import to_numpy
+
+from conftest import f1_metadata
+
+
+def _stitched(layer):
+    return layer.stitch()[0]
+
+
+class TestCostDistance:
+    def test_uniform_friction_single_tile(self, spark):
+        """Friction 1 everywhere, source at one cell: cost = chessboard-ish
+        metric with diagonal sqrt(2)."""
+        md = f1_metadata("float64")
+        layout = gps.LayoutDefinition(gps.Extent(0, 0, 5, 5), gps.TileLayout(1, 1, 5, 5))
+        from dataclasses import replace
+
+        md = replace(md, layout=layout, bounds=((0, 0), (0, 0)))
+        layer = gps.from_numpy(spark, [(0, 0, 0, np.ones((5, 5)))], md)
+        out = cost_distance(layer, gps.Point(0.5, 4.5))  # top-left cell center
+        a = _stitched(out)
+        assert a[0, 0] == 0.0
+        assert a[0, 1] == 1.0
+        assert abs(a[1, 1] - math.sqrt(2)) < 1e-9
+        assert abs(a[0, 4] - 4.0) < 1e-9
+        assert abs(a[4, 4] - 4 * math.sqrt(2)) < 1e-9
+
+    def test_propagates_across_tiles(self, spark, f1_layer):
+        """2x2 tile layout: distances must cross tile boundaries via the
+        iterative halo loop."""
+        layer = f1_layer + 0.0  # all friction 1 (corner 0 -> friction 0 fine)
+        out = cost_distance(layer, gps.Point(0.5, 9.5))
+        a = _stitched(out)
+        assert a[0, 0] == 0.0
+        # straight line to the east edge: 9 rook steps over friction 1
+        # (first step prices (0+1)/2 = 0.5 due to the 0-friction corner)
+        assert abs(a[0, 9] - 8.5) < 1e-9
+        # cell in the far tile (9, 9): diagonal chain
+        assert abs(a[9, 9] - (0.5 * math.sqrt(2) + 8 * math.sqrt(2))) < 1e-9
+
+    def test_nodata_blocks_propagation(self, spark):
+        md = f1_metadata("float64ud-1.0")
+        layout = gps.LayoutDefinition(gps.Extent(0, 0, 5, 5), gps.TileLayout(1, 1, 5, 5))
+        from dataclasses import replace
+
+        md = replace(md, layout=layout, bounds=((0, 0), (0, 0)))
+        a = np.ones((5, 5))
+        a[:, 2] = -1.0  # NoData wall
+        layer = gps.from_numpy(spark, [(0, 0, 0, a)], md)
+        out = cost_distance(layer, gps.Point(0.5, 4.5))
+        d = _stitched(out)
+        assert np.isnan(d[2, 2])         # wall itself unreachable
+        assert np.isnan(d[0, 3]) and np.isnan(d[0, 4])  # behind the wall
+        assert d[4, 0] == 4.0            # same side reachable
+
+    def test_max_distance_truncates(self, spark):
+        md = f1_metadata("float64")
+        layout = gps.LayoutDefinition(gps.Extent(0, 0, 5, 5), gps.TileLayout(1, 1, 5, 5))
+        from dataclasses import replace
+
+        md = replace(md, layout=layout, bounds=((0, 0), (0, 0)))
+        layer = gps.from_numpy(spark, [(0, 0, 0, np.ones((5, 5)))], md)
+        out = cost_distance(layer, gps.Point(0.5, 4.5), max_distance=2.0)
+        d = _stitched(out)
+        assert d[0, 2] == 2.0
+        assert np.isnan(d[0, 4])

@@ -1,0 +1,82 @@
+"""ColorMap + PNG export tests (decode with stdlib zlib to verify pixels)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from geopyspark_spark.operators.render import (
+    ColorMap,
+    encode_png_rgba,
+    rgba_from_packed,
+)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, idat, w = 8, b"", None
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack_from(">IIBB", body)
+            assert (depth, ctype) == (8, 6)
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w * 4 + 1
+    rows = [raw[r * stride + 1 : (r + 1) * stride] for r in range(len(raw) // stride)]
+    return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(-1, w, 4)
+
+
+class TestColorMap:
+    def test_breaks(self):
+        cm = ColorMap.from_colors([10.0, 20.0], [0xFF0000FF, 0x00FF00FF])
+        out = cm.apply(np.array([5.0, 15.0, 25.0]), None)
+        assert out[0] == 0xFF0000FF  # <= 10
+        assert out[1] == 0x00FF00FF  # <= 20
+        assert out[2] == 0x00000000  # fallback
+
+    def test_nodata_color(self):
+        cm = ColorMap.from_colors([10.0], [0xFF0000FF], no_data_color=0x11223344)
+        out = cm.apply(np.array([-1.0, 5.0]), -1.0)
+        assert out[0] == 0x11223344
+        assert out[1] == 0xFF0000FF
+
+    def test_from_histogram(self, f1_layer):
+        cm = ColorMap.from_histogram(f1_layer, num_colors=4)
+        assert len(cm.breaks) == 4
+        assert cm.breaks == sorted(cm.breaks)
+
+    def test_nlcd(self):
+        cm = ColorMap.nlcd_colormap()
+        assert cm.apply(np.array([11.0]), None)[0] == 0x5475A8FF
+
+
+class TestPng:
+    def test_roundtrip(self):
+        rgba = np.zeros((4, 3, 4), dtype=np.uint8)
+        rgba[0, 0] = [255, 0, 0, 255]
+        rgba[3, 2] = [0, 255, 0, 128]
+        png = encode_png_rgba(rgba)
+        back = decode_png(png)
+        assert back.shape == (4, 3, 4)
+        assert (back == rgba).all()
+
+    def test_rgba_from_packed(self):
+        packed = np.array([[0x11223344]], dtype=np.uint32)
+        assert rgba_from_packed(packed)[0, 0].tolist() == [0x11, 0x22, 0x33, 0x44]
+
+    def test_to_png_layer(self, f1_layer):
+        cm = ColorMap.from_colors([0.5, 1.0], [0xFF0000FF, 0x00FF00FF])
+        out = f1_layer.to_png_rdd(cm)
+        rows = out.collect()
+        assert len(rows) == 4
+        tile00 = next(r for r in rows if (r["key_col"], r["key_row"]) == (0, 0))
+        img = decode_png(bytes(tile00["png"]))
+        assert img.shape == (5, 5, 4)
+        assert img[0, 0].tolist() == [255, 0, 0, 255]  # value 0 -> red
+        assert img[1, 1].tolist() == [0, 255, 0, 255]  # value 1 -> green
