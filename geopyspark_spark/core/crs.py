@@ -1,0 +1,135 @@
+"""Pure-Python CRS normalization and coordinate transforms.
+
+Re-expresses the reference's CRS surface
+(``/root/reference/geopyspark/geotrellis/__init__.py:98-115`` ``crs_to_proj4``;
+Scala normalization ``TileLayer.scala:288-295`` tries well-known name ->
+proj4 string -> EPSG int). The reference delegates actual math to
+GeoTrellis/proj4j; this engine ships the two transforms its layouts need —
+geographic (EPSG:4326) and spherical web mercator (EPSG:3857), the pair
+behind ``GlobalLayout`` — as vectorized numpy kernels usable inside pandas
+UDFs. The formulas are the standard spherical-mercator equations (e.g.
+OGC 05-047r3 / EPSG method 1024 "Popular Visualisation Pseudo Mercator").
+
+No external projection library exists in this environment; anything beyond
+these CRSs raises ``NotImplementedError`` with a clear message.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import numpy as np
+
+#: spherical earth radius used by web mercator (EPSG:3857 semi-major axis)
+R_MERC = 6378137.0
+
+_ALIASES = {
+    "epsg:4326": "epsg:4326",
+    "4326": "epsg:4326",
+    "wgs84": "epsg:4326",
+    "+proj=longlat +datum=wgs84 +no_defs": "epsg:4326",
+    "epsg:3857": "epsg:3857",
+    "3857": "epsg:3857",
+    "epsg:900913": "epsg:3857",
+    "web-mercator": "epsg:3857",
+    "webmercator": "epsg:3857",
+}
+
+
+def normalize_crs(crs: str | int) -> str:
+    """Normalize EPSG code / well-known name / proj4-ish string to ``epsg:n``."""
+    s = str(crs).strip().lower()
+    if s in _ALIASES:
+        return _ALIASES[s]
+    if s.startswith("+proj=merc"):
+        return "epsg:3857"
+    if s.startswith("+proj=longlat"):
+        return "epsg:4326"
+    return s
+
+
+# --- scalar + vectorized transform kernels ---------------------------------
+
+def _ll_to_merc(x, y):
+    mx = np.multiply(np.radians(x), R_MERC)
+    my = np.multiply(np.log(np.tan(np.pi / 4.0 + np.radians(y) / 2.0)), R_MERC)
+    return mx, my
+
+
+def _merc_to_ll(x, y):
+    lon = np.degrees(np.divide(x, R_MERC))
+    lat = np.degrees(2.0 * np.arctan(np.exp(np.divide(y, R_MERC))) - np.pi / 2.0)
+    return lon, lat
+
+
+def _identity(x, y):
+    return x, y
+
+
+Transform = Callable[[np.ndarray, np.ndarray], tuple[np.ndarray, np.ndarray]]
+
+
+def get_transform(src_crs: str | int, dst_crs: str | int) -> Transform:
+    """Vectorized (x[], y[]) -> (x'[], y'[]) transform between two CRSs."""
+    src, dst = normalize_crs(src_crs), normalize_crs(dst_crs)
+    if src == dst:
+        return _identity
+    if (src, dst) == ("epsg:4326", "epsg:3857"):
+        return _ll_to_merc
+    if (src, dst) == ("epsg:3857", "epsg:4326"):
+        return _merc_to_ll
+    raise NotImplementedError(
+        f"no transform {src} -> {dst}: this environment has no projection "
+        "library; supported pairs are epsg:4326 <-> epsg:3857 and identity"
+    )
+
+
+def transform_extent(extent, src_crs: str | int, dst_crs: str | int,
+                     densify: int = 16):
+    """Warp an extent by transforming a densified boundary ring.
+
+    Corner-only warping under-covers curved edges for general projections;
+    ``densify`` samples per edge bound the error (mercator is separable so
+    corners alone would suffice, but the dense ring keeps this correct for
+    any future transform).
+    """
+    from .extent import Extent
+
+    t = get_transform(src_crs, dst_crs)
+    xs = np.linspace(extent.xmin, extent.xmax, densify)
+    ys = np.linspace(extent.ymin, extent.ymax, densify)
+    bx = np.concatenate([xs, xs, np.full(densify, extent.xmin), np.full(densify, extent.xmax)])
+    by = np.concatenate([np.full(densify, extent.ymin), np.full(densify, extent.ymax), ys, ys])
+    tx, ty = t(bx, by)
+    return Extent(float(np.min(tx)), float(np.min(ty)), float(np.max(tx)), float(np.max(ty)))
+
+
+def approx_cell_size(extent, src_crs, dst_crs, cell_width: float, cell_height: float):
+    """Target-CRS cell size preserving the source cell count across the
+    warped extent (the resolution rule GeoTrellis's ``reproject`` uses when
+    no explicit layout is given)."""
+    warped = transform_extent(extent, src_crs, dst_crs)
+    ncols = max(round(extent.width / cell_width), 1)
+    nrows = max(round(extent.height / cell_height), 1)
+    return warped, warped.width / ncols, warped.height / nrows
+
+
+def sql_forward_expr(src_crs: str | int, dst_crs: str | int,
+                     x_expr: str, y_expr: str) -> tuple[str, str]:
+    """ANSI-SQL strings computing the forward transform — used by the DuckDB
+    oracle so engine and oracle share one formula."""
+    src, dst = normalize_crs(src_crs), normalize_crs(dst_crs)
+    if src == dst:
+        return x_expr, y_expr
+    if (src, dst) == ("epsg:4326", "epsg:3857"):
+        return (
+            f"radians({x_expr}) * {R_MERC!r}",
+            f"ln(tan(pi() / 4.0 + radians({y_expr}) / 2.0)) * {R_MERC!r}",
+        )
+    if (src, dst) == ("epsg:3857", "epsg:4326"):
+        return (
+            f"degrees(({x_expr}) / {R_MERC!r})",
+            f"degrees(2.0 * atan(exp(({y_expr}) / {R_MERC!r})) - pi() / 2.0)",
+        )
+    raise NotImplementedError(f"no SQL transform {src} -> {dst}")

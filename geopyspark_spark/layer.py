@@ -363,6 +363,12 @@ class TiledRasterLayer:
 
         return tiling.stitch(self)
 
+    def reproject(self, target_crs: str, layout=None,
+                  resample_method: str = "NearestNeighbor") -> "TiledRasterLayer":
+        from .operators import reproject as _reproject
+
+        return _reproject.reproject(self, target_crs, layout, resample_method)
+
     def cost_distance(self, geometries, max_distance: float = float("inf")) -> "TiledRasterLayer":
         from .operators import costdistance
 

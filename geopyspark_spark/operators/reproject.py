@@ -1,0 +1,210 @@
+"""Reproject (warp) a tiled layer to a new CRS.
+
+Re-expresses the reference's ``reproject``
+(``/root/reference/geopyspark/geotrellis/layer.py:876-898, 1668-1690``;
+Scala ``SpatialTiledRasterLayer.scala:71-120`` = GeoTrellis
+``TileRDDReproject``: buffered warp + re-tile). Semantics: every target
+cell samples the source raster at the inverse-projected cell center
+(NearestNeighbor or Bilinear); cells whose back-projection falls outside
+the source data are NoData.
+
+Spark shape (one shuffle, no driver collect — 100 TB safe):
+
+1. per source tile, warp its extent to the target CRS and explode to the
+   covering target keys (pandas UDF doing a handful of scalar transforms
+   per *tile*, not per cell);
+2. ``groupBy(target key)`` / ``applyInPandas``: inverse-project the target
+   tile's cell-center meshgrid once (vectorized numpy), locate each center
+   in the collected source tiles, sample.
+
+Source tiles are duplicated per overlapping target key (fan-out ~= warped
+tile area ratio, typically <= 4x) — the same fragment-shipping pattern as
+the focal halo exchange, so partition sizing holds at scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, IntegerType, StructField, StructType,
+)
+
+from ..core.crs import approx_cell_size, get_transform, normalize_crs, transform_extent
+from ..core.extent import Extent, LayoutDefinition, LocalLayout, TileLayout
+from ..core.keys import KeyTransform
+
+if TYPE_CHECKING:
+    from ..layer import TiledRasterLayer
+
+
+def _resolve_target_layout(layer: "TiledRasterLayer", target_crs: str,
+                           layout) -> LayoutDefinition:
+    src_ld = layer.layout
+    if isinstance(layout, LayoutDefinition):
+        return layout
+    if isinstance(layout, TileLayout):
+        warped = transform_extent(src_ld.extent, layer.metadata.crs, target_crs)
+        return LayoutDefinition(warped, layout)
+    if layout is None or isinstance(layout, LocalLayout):
+        tl = src_ld.tile_layout
+        warped, cw, ch = approx_cell_size(
+            src_ld.extent, layer.metadata.crs, target_crs,
+            src_ld.cell_width, src_ld.cell_height,
+        )
+        ll = layout if isinstance(layout, LocalLayout) else LocalLayout(tl.tile_cols, tl.tile_rows)
+        return ll.layout_for(warped, cw, ch)
+    raise TypeError(f"cannot resolve target layout from {layout!r}")
+
+
+def reproject(layer: "TiledRasterLayer", target_crs: str,
+              layout=None, resample_method: str = "NearestNeighbor") -> "TiledRasterLayer":
+    src_crs = normalize_crs(layer.metadata.crs)
+    dst_crs = normalize_crs(target_crs)
+    md = layer.metadata
+    src_ld = md.layout
+    if resample_method not in ("NearestNeighbor", "Bilinear"):
+        raise NotImplementedError(f"resample_method {resample_method!r}")
+
+    target_ld = _resolve_target_layout(layer, dst_crs, layout)
+    if src_crs == dst_crs and target_ld == src_ld:
+        return layer
+
+    tl_s = src_ld.tile_layout
+    tl_t = target_ld.tile_layout
+    tc_s, tr_s = tl_s.tile_cols, tl_s.tile_rows
+    tc_t, tr_t = tl_t.tile_cols, tl_t.tile_rows
+    fwd = get_transform(src_crs, dst_crs)
+    inv = get_transform(dst_crs, src_crs)
+    src_kt = KeyTransform(src_ld)
+    tgt_kt = KeyTransform(target_ld)
+    nodata = md.nodata
+    nd_fill = float("nan") if nodata is None else float(nodata)
+    bilinear = resample_method == "Bilinear"
+
+    # capture plain values (no self/layer refs) for the closures
+    s_ext, s_cw, s_ch = src_ld.extent, src_ld.cell_width, src_ld.cell_height
+    t_ext, t_cw, t_ch = target_ld.extent, target_ld.cell_width, target_ld.cell_height
+    t_ncols, t_nrows = tl_t.layout_cols, tl_t.layout_rows
+
+    # --- stage 1: source tile -> covering target keys ----------------------
+    cover_schema = StructType([
+        StructField("tkey_col", IntegerType()),
+        StructField("tkey_row", IntegerType()),
+        StructField("skey_col", IntegerType()),
+        StructField("skey_row", IntegerType()),
+        StructField("band", IntegerType()),
+        StructField("cells", ArrayType(DoubleType())),
+    ])
+
+    def cover(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("tkey_col", "tkey_row", "skey_col", "skey_row", "band", "cells")}
+            for row in pdf.itertuples(index=False):
+                ext = src_kt.key_extent(int(row.key_col), int(row.key_row))
+                warped = transform_extent(ext, src_crs, dst_crs, densify=4)
+                c0 = int(np.floor((warped.xmin - t_ext.xmin) / (t_cw * tc_t)))
+                c1 = int(np.floor((warped.xmax - t_ext.xmin) / (t_cw * tc_t)))
+                r0 = int(np.floor((t_ext.ymax - warped.ymax) / (t_ch * tr_t)))
+                r1 = int(np.floor((t_ext.ymax - warped.ymin) / (t_ch * tr_t)))
+                for tr in range(max(r0, 0), min(r1, t_nrows - 1) + 1):
+                    for tc in range(max(c0, 0), min(c1, t_ncols - 1) + 1):
+                        out["tkey_col"].append(tc)
+                        out["tkey_row"].append(tr)
+                        out["skey_col"].append(int(row.key_col))
+                        out["skey_row"].append(int(row.key_row))
+                        out["band"].append(int(row.band))
+                        out["cells"].append(row.cells)
+            yield pd.DataFrame(out)
+
+    covered = layer.df.select("key_col", "key_row", "band", "cells").mapInPandas(
+        cover, schema=cover_schema
+    )
+
+    # --- stage 2: assemble each target tile by inverse sampling ------------
+    out_schema = StructType([
+        StructField("key_col", IntegerType()),
+        StructField("key_row", IntegerType()),
+        StructField("band", IntegerType()),
+        StructField("cells", ArrayType(DoubleType())),
+    ])
+
+    def warp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tkc, tkr, band = int(key[0]), int(key[1]), int(key[2])
+        text = tgt_kt.key_extent(tkc, tkr)
+        # target cell centers, row-major
+        xs = text.xmin + (np.arange(tc_t) + 0.5) * t_cw
+        ys = text.ymax - (np.arange(tr_t) + 0.5) * t_ch
+        gx, gy = np.meshgrid(xs, ys)
+        sx, sy = inv(gx.ravel(), gy.ravel())
+        # fractional source grid coords (global, row-0-north)
+        fc = (sx - s_ext.xmin) / s_cw
+        fr = (s_ext.ymax - sy) / s_ch
+        out = np.full(fc.shape, np.nan)
+        tiles = {
+            (int(r.skey_col), int(r.skey_row)): np.asarray(r.cells, dtype=np.float64)
+            for r in pdf.itertuples(index=False)
+        }
+
+        def sample_at(ic: np.ndarray, ir: np.ndarray, valid: np.ndarray) -> np.ndarray:
+            """Nearest sample of global integer cells (ic, ir) from the shipped
+            tiles; NaN where the owning tile wasn't shipped or out of range."""
+            vals = np.full(ic.shape, np.nan)
+            kc = np.floor_divide(ic, tc_s)
+            kr = np.floor_divide(ir, tr_s)
+            for (skc, skr), cells in tiles.items():
+                m = valid & (kc == skc) & (kr == skr)
+                if not m.any():
+                    continue
+                pos = (ir[m] - skr * tr_s) * tc_s + (ic[m] - skc * tc_s)
+                vals[m] = cells[pos]
+            return vals
+
+        if not bilinear:
+            ic = np.floor(fc).astype(np.int64)
+            ir = np.floor(fr).astype(np.int64)
+            valid = (fc >= 0) & (fr >= 0)
+            out = sample_at(ic, ir, valid)
+        else:
+            # bilinear on the 4 surrounding cell centers
+            c0 = np.floor(fc - 0.5).astype(np.int64)
+            r0 = np.floor(fr - 0.5).astype(np.int64)
+            wx = (fc - 0.5) - c0
+            wy = (fr - 0.5) - r0
+            acc = np.zeros(fc.shape)
+            wsum = np.zeros(fc.shape)
+            for dc, dr, w in ((0, 0, (1 - wx) * (1 - wy)), (1, 0, wx * (1 - wy)),
+                              (0, 1, (1 - wx) * wy), (1, 1, wx * wy)):
+                v = sample_at(c0 + dc, r0 + dr, (c0 + dc >= 0) & (r0 + dr >= 0))
+                ok = ~np.isnan(v)
+                acc[ok] += v[ok] * w[ok]
+                wsum[ok] += w[ok]
+            out = np.where(wsum > 0, acc / np.maximum(wsum, 1e-300), np.nan)
+
+        if nodata is not None:
+            out = np.where(np.isnan(out), nd_fill, out)
+            # source NoData propagates (stays the sentinel after sampling)
+        return pd.DataFrame({
+            "key_col": [tkc], "key_row": [tkr], "band": [band],
+            "cells": [out.tolist()],
+        })
+
+    warped_df = covered.groupBy("tkey_col", "tkey_row", "band").applyInPandas(
+        warp, schema=out_schema
+    )
+
+    new_md = replace(
+        md,
+        crs=dst_crs,
+        layout=target_ld,
+        bounds=((0, 0), (tl_t.layout_cols - 1, tl_t.layout_rows - 1)),
+        extent=target_ld.extent,
+    )
+    from ..layer import TiledRasterLayer as TRL
+
+    return TRL(warped_df, new_md)

@@ -23,6 +23,7 @@ import geopyspark_spark as gps
 from ..functions import dedup as fdedup
 from ..functions import similarity as fsim
 from ..functions import text as ftext
+from ..core.crs import R_MERC
 from ..layer import TiledRasterLayer
 from ..operators import zonal as _zonal
 from ..operators.local import _is_nd
@@ -723,6 +724,50 @@ def q_raster_cost_distance(spark, sf_dir):
     )
 
 
+def q_raster_reproject(spark, sf_dir):
+    """Reproject the fixture layer (epsg:4326, unit-degree cells) to web
+    mercator on an explicit same-shape target grid; NearestNeighbor inverse
+    cell-center sampling (``SpatialTiledRasterLayer.scala:71-120``)."""
+    layer = lineitem_layer(spark, sf_dir)
+    out = layer.reproject("epsg:3857", layout=gps.TileLayout(LAYOUT_N, LAYOUT_N, TILE, TILE))
+    return _explode_result(out)
+
+
+def _sql_reproject() -> str:
+    """Oracle shares the engine's exact layout constants (computed with the
+    same numpy calls) and mirrors its fp expression shapes; mercator x is
+    linear in lon so columns map 1:1, rows exercise the real warp."""
+    from ..core.crs import transform_extent
+
+    warped = transform_extent(RASTER_MD.layout.extent, "epsg:4326", "epsg:3857")
+    ld = gps.LayoutDefinition(warped, gps.TileLayout(LAYOUT_N, LAYOUT_N, TILE, TILE))
+    ymax, xmin = repr(warped.ymax), repr(warped.xmin)
+    tw, th = repr(ld.tile_width), repr(ld.tile_height)
+    cw, ch = repr(ld.cell_width), repr(ld.cell_height)
+    return CELLS_CTE + f"""
+, tgrid AS (
+  SELECT c.i AS tgcol, r.i AS tgrow FROM range({GRID}) c(i), range({GRID}) r(i)
+),
+centers AS (
+  SELECT tgcol, tgrow,
+         ({xmin} + floor(tgcol / {TILE}) * {tw}) + ((tgcol % {TILE}) + 0.5) * {cw} AS tx,
+         ({ymax} - floor(tgrow / {TILE}) * {th}) - ((tgrow % {TILE}) + 0.5) * {ch} AS ty
+  FROM tgrid
+),
+srccell AS (
+  SELECT tgcol, tgrow,
+         CAST(floor(degrees(tx / {R_MERC!r}) / 1.0) AS INT) AS sgcol,
+         CAST(floor((32.0 - degrees(2.0 * atan(exp(ty / {R_MERC!r})) - pi() / 2.0)) / 1.0) AS INT) AS sgrow
+  FROM centers
+)
+SELECT CAST(floor(s.tgcol / {TILE}) AS INT) AS key_col,
+       CAST(floor(s.tgrow / {TILE}) AS INT) AS key_row,
+       CAST((s.tgrow % {TILE}) * {TILE} + s.tgcol % {TILE} AS INT) AS pos,
+       COALESCE(c.value, -1.0) AS value
+FROM srccell s LEFT JOIN coords c ON c.gcol = s.sgcol AND c.grow = s.sgrow
+"""
+
+
 SQL_RASTER_COST_DISTANCE = f"""
 WITH grid AS (
   SELECT c.i AS gcol, r.i AS grow FROM range({GRID}) c(i), range({GRID}) r(i)
@@ -1279,6 +1324,7 @@ def queries():
         "raster_rasterize": q_raster_rasterize,
         "raster_euclidean_distance": q_raster_euclidean_distance,
         "raster_cost_distance": q_raster_cost_distance,
+        "raster_reproject": q_raster_reproject,
         # relational surface
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -1336,6 +1382,7 @@ def oracle_sql():
         "raster_rasterize": SQL_RASTER_RASTERIZE,
         "raster_euclidean_distance": SQL_RASTER_EUCLIDEAN,
         "raster_cost_distance": SQL_RASTER_COST_DISTANCE,
+        "raster_reproject": _sql_reproject(),
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,

@@ -1,0 +1,119 @@
+"""Reproject golden tests (reference: ``reproject_test.py``,
+``SpatialTiledRasterLayer.scala:71-120``). The engine warps by inverse
+cell-center sampling; oracles are computed with independent numpy here."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+import geopyspark_spark as gps
+from geopyspark_spark.core.crs import R_MERC, get_transform, normalize_crs
+
+
+def _grid_values(layer):
+    """Stitch a layer into one global numpy array (row 0 = north)."""
+    tl = layer.layout.tile_layout
+    tc, tr = tl.tile_cols, tl.tile_rows
+    out = np.full((tl.layout_rows * tr, tl.layout_cols * tc), np.nan)
+    for row in layer.df.collect():
+        a = np.asarray(row.cells, dtype=float).reshape(tr, tc)
+        out[row.key_row * tr:(row.key_row + 1) * tr,
+            row.key_col * tc:(row.key_col + 1) * tc] = a
+    return out
+
+
+def _gradient_layer(spark):
+    """2x2 layout of 5x5 tiles over (0,0)-(10,10) deg; value = 100*grow+gcol
+    (unique per cell, so sampling errors are visible)."""
+    from tests.conftest import f1_metadata
+
+    md = f1_metadata()
+    tiles = []
+    for kr in range(2):
+        for kc in range(2):
+            a = np.zeros((5, 5))
+            for r in range(5):
+                for c in range(5):
+                    a[r, c] = 100 * (kr * 5 + r) + (kc * 5 + c)
+            tiles.append((kc, kr, 0, a))
+    return gps.from_numpy(spark, tiles, md)
+
+
+class TestReproject:
+    def test_identity_same_layout_is_noop(self, spark, f1_layer):
+        out = f1_layer.reproject("epsg:4326")
+        assert out is f1_layer
+
+    def test_4326_to_3857_nearest(self, spark):
+        layer = _gradient_layer(spark)
+        out = layer.reproject("epsg:3857")
+        assert normalize_crs(out.metadata.crs) == "epsg:3857"
+        got = _grid_values(out)
+        assert got.shape == (10, 10)
+
+        # oracle: same inverse-sampling math, independent numpy path
+        src = _grid_values(layer)
+        t_ld = out.layout
+        inv = get_transform("epsg:3857", "epsg:4326")
+        exp = np.full((10, 10), np.nan)
+        for gr in range(10):
+            for gc in range(10):
+                x = t_ld.extent.xmin + (gc + 0.5) * t_ld.cell_width
+                y = t_ld.extent.ymax - (gr + 0.5) * t_ld.cell_height
+                lon, lat = inv(np.array([x]), np.array([y]))
+                sc = math.floor((lon[0] - 0.0) / 1.0)
+                sr = math.floor((10.0 - lat[0]) / 1.0)
+                if 0 <= sc < 10 and 0 <= sr < 10:
+                    exp[gr, gc] = src[sr, sc]
+        np.testing.assert_allclose(got, exp, equal_nan=True)
+
+    def test_target_extent_is_warped_source_extent(self, spark):
+        layer = _gradient_layer(spark)
+        out = layer.reproject("epsg:3857")
+        e = out.layout.extent
+        assert e.xmin == pytest.approx(0.0)
+        assert e.xmax == pytest.approx(math.radians(10.0) * R_MERC)
+        assert e.ymin == pytest.approx(0.0)
+        assert e.ymax == pytest.approx(
+            math.log(math.tan(math.pi / 4 + math.radians(10.0) / 2)) * R_MERC
+        )
+
+    def test_bilinear_smooth_field(self, spark):
+        """Bilinear on a linear-in-lat/lon field reproduces the field exactly
+        (a plane is preserved by bilinear interpolation) away from edges."""
+        from tests.conftest import f1_metadata
+
+        md = f1_metadata()
+        tiles = []
+        for kr in range(2):
+            for kc in range(2):
+                a = np.zeros((5, 5))
+                for r in range(5):
+                    for c in range(5):
+                        # value = lon coordinate of the cell center
+                        a[r, c] = (kc * 5 + c) + 0.5
+                tiles.append((kc, kr, 0, a))
+        layer = gps.from_numpy(spark, tiles, md)
+        out = layer.reproject("epsg:3857", resample_method="Bilinear")
+        got = _grid_values(out)
+        t_ld = out.layout
+        inv = get_transform("epsg:3857", "epsg:4326")
+        for gr in range(3, 7):
+            for gc in range(3, 7):  # interior cells only (no edge clamping)
+                x = t_ld.extent.xmin + (gc + 0.5) * t_ld.cell_width
+                lon, _ = inv(np.array([x]), np.array([0.0]))
+                assert got[gr, gc] == pytest.approx(lon[0], abs=1e-9)
+
+    def test_roundtrip_preserves_values_nearest(self, spark):
+        """4326 -> 3857 -> 4326 with nearest sampling returns the original
+        cells wherever the double warp lands in the same cell (all interior
+        cells here, since distortion over 10 deg is < half a cell)."""
+        layer = _gradient_layer(spark)
+        back = layer.reproject("epsg:3857").reproject("epsg:4326", layout=layer.layout.tile_layout)
+        src = _grid_values(layer)
+        got = _grid_values(back)
+        assert np.nanmean(np.abs(got - src) < 1e-12) > 0.8
+        assert got.shape == src.shape
