@@ -52,18 +52,44 @@ def exact_duplicates(df: DataFrame, key_expr=None) -> DataFrame:
 
 
 def shingles_col(text_col: str = "text", n: int = 2):
-    """Distinct word n-gram shingles as a Catalyst expression."""
+    """Distinct word n-gram shingles as a Catalyst expression.
+
+    Built by zip_with-ing n shifted views of the token array — one O(L)
+    pass per gram order. (The obvious transform(sequence)+slice form is
+    O(L^2) per doc and ~6x slower: higher-order functions are interpreted,
+    and slice re-copies per element.)
+    """
     t = tokens_col(text_col)
     if n == 1:
         return F.array_distinct(t)
+    g = t
+    for k in range(1, n):
+        # zip pads the shorter side with null; the trailing partial grams
+        # that produces are sliced off below
+        g = F.zip_with(
+            g, F.slice(t, k + 1, F.greatest(F.size(t) - k, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     grams = F.when(
-        F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - n),
-            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
-        ),
+        F.size(t) >= n, F.slice(g, 1, F.size(t) - (n - 1))
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-heavy token work.
+
+    A small parquet arrives as 1-few partitions and would serialize the
+    whole shingle pipeline; at real scale the source already has many
+    partitions and this is a no-op (no blind repartition shuffle).
+    """
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, target // 2):
+            return df.repartition(target)
+    except Exception:
+        pass
+    return df
 
 
 def shingle_vocabulary(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
@@ -81,8 +107,11 @@ def token_ids(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
     ``xxhash64(shingle)`` (no vocabulary join, no sort) via hash_ids=True
     semantics planned for the catalog path.
     """
+    df = _parallelize(df)
     toks = df.select("doc_id", F.explode(shingles_col(text_col, n)).alias("shingle"))
     vocab = shingle_vocabulary(df, text_col, n)
+    # join strategy left to AQE: it broadcasts the vocab when small and
+    # falls back to shuffle join when the shingle space is large
     return toks.join(vocab, "shingle").select(
         "doc_id", F.col("shingle_id").alias("token_id")
     )
@@ -95,22 +124,21 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 16,
     hash-compare it without array-encoding concerns."""
     ids = token_ids(df, text_col)
     params = minhash_params(num_hashes)
-    hashes = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("k"),
-                (
-                    (F.lit(a).cast("long") * F.col("token_id") + F.lit(b).cast("long"))
-                    % MINHASH_PRIME
-                ).alias("h"),
-            )
-            for k, (a, b) in enumerate(params)
-        ]
-    )
-    exploded = ids.select("doc_id", F.explode(hashes).alias("kh"))
-    return (
-        exploded.groupBy("doc_id", F.col("kh.k").alias("k"))
-        .agg(F.min("kh.h").alias("minhash"))
+    # one shuffle of (doc_id -> num_hashes partial mins) instead of
+    # exploding num_hashes rows per token: 16x less shuffle volume, and the
+    # map-side partial agg reduces each partition to one row per doc
+    mins = [
+        F.min(
+            (F.lit(a).cast("long") * F.col("token_id") + F.lit(b).cast("long"))
+            % MINHASH_PRIME
+        ).alias(f"h{k}")
+        for k, (a, b) in enumerate(params)
+    ]
+    wide = ids.groupBy("doc_id").agg(*mins)
+    stack_args = ", ".join(f"{k}, h{k}" for k in range(num_hashes))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({num_hashes}, {stack_args}) AS (k, minhash)"),
     )
 
 

@@ -1,0 +1,117 @@
+"""Driver-side Histogram object.
+
+Re-expresses the reference's ``Histogram`` wrapper
+(``/root/reference/geopyspark/geotrellis/histogram.py:12-197``): min/max/
+mean/mode/median/cdf/bucket_count/item_count/values/quantile_breaks/merge +
+JSON round-trip. The reference holds a py4j handle to a GeoTrellis
+StreamingHistogram; here the object is a plain sorted (value, count) bucket
+list produced by the engine's distributed histogram queries
+(``operators/aggregate.py``), so it is serializable and mergeable anywhere.
+"""
+
+from __future__ import annotations
+
+import bisect
+import json
+
+
+class Histogram:
+    """Sorted (value, count) buckets. For fixed-width histograms ``value``
+    is the bucket center; for exact int histograms it is the exact value."""
+
+    def __init__(self, buckets: list[tuple[float, int]]):
+        self.buckets = sorted((float(v), int(c)) for v, c in buckets if c)
+
+    # --- stats -------------------------------------------------------------
+    def min(self) -> float | None:
+        return self.buckets[0][0] if self.buckets else None
+
+    def max(self) -> float | None:
+        return self.buckets[-1][0] if self.buckets else None
+
+    def min_max(self) -> tuple[float, float] | None:
+        return (self.min(), self.max()) if self.buckets else None
+
+    def item_count(self, value: float) -> int:
+        i = bisect.bisect_left([v for v, _ in self.buckets], float(value))
+        if i < len(self.buckets) and self.buckets[i][0] == float(value):
+            return self.buckets[i][1]
+        return 0
+
+    def total_count(self) -> int:
+        return sum(c for _, c in self.buckets)
+
+    def bucket_count(self) -> int:
+        return len(self.buckets)
+
+    def values(self) -> list[float]:
+        return [v for v, _ in self.buckets]
+
+    def mean(self) -> float | None:
+        n = self.total_count()
+        if not n:
+            return None
+        return sum(v * c for v, c in self.buckets) / n
+
+    def mode(self) -> float | None:
+        if not self.buckets:
+            return None
+        return max(self.buckets, key=lambda vc: (vc[1], -vc[0]))[0]
+
+    def median(self) -> float | None:
+        return self.quantile_breaks(2)[0] if self.buckets else None
+
+    def cdf(self) -> list[tuple[float, float]]:
+        """(value, cumulative fraction) pairs."""
+        n = self.total_count()
+        out, acc = [], 0
+        for v, c in self.buckets:
+            acc += c
+            out.append((v, acc / n))
+        return out
+
+    def quantile_breaks(self, num_breaks: int) -> list[float]:
+        """num_breaks - 1 interior break values (GeoTrellis semantics: the
+        values splitting the distribution into ``num_breaks`` equal-count
+        parts, snapped to bucket values)."""
+        n = self.total_count()
+        if not n or num_breaks < 2:
+            return []
+        targets = [n * i / num_breaks for i in range(1, num_breaks)]
+        out, acc, ti = [], 0, 0
+        for v, c in self.buckets:
+            acc += c
+            while ti < len(targets) and acc >= targets[ti]:
+                out.append(v)
+                ti += 1
+            if ti == len(targets):
+                break
+        return out
+
+    # --- algebra -----------------------------------------------------------
+    def merge(self, other: "Histogram") -> "Histogram":
+        m: dict[float, int] = {}
+        for v, c in self.buckets + other.buckets:
+            m[v] = m.get(v, 0) + c
+        return Histogram(list(m.items()))
+
+    # --- JSON round-trip ---------------------------------------------------
+    def to_dict(self) -> dict:
+        return {"buckets": [[v, c] for v, c in self.buckets]}
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict())
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Histogram":
+        return cls([(v, c) for v, c in d["buckets"]])
+
+    @classmethod
+    def from_json(cls, s: str) -> "Histogram":
+        return cls.from_dict(json.loads(s))
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Histogram) and self.buckets == other.buckets
+
+    def __repr__(self) -> str:
+        return f"Histogram({self.bucket_count()} buckets, n={self.total_count()})"

@@ -300,14 +300,31 @@ class TiledRasterLayer:
         return aggregate.merge(self)
 
     def get_histogram(self, num_buckets: int = 80):
+        """Per-band :class:`~geopyspark_spark.histogram.Histogram` built from
+        the distributed fixed-width bucket query (reference
+        ``layer.py:194-221``). Returns one Histogram for single-band layers,
+        else a list indexed by band."""
+        from .histogram import Histogram
         from .operators import aggregate
 
-        return aggregate.histogram(self, num_buckets)
+        rows = aggregate.histogram(self, num_buckets)
+        return self._rows_to_histograms(rows, Histogram, value_field="mean_value")
 
     def get_class_histogram(self):
+        """Exact int histogram as Histogram object(s) (reference
+        ``layer.py:206-221``)."""
+        from .histogram import Histogram
         from .operators import aggregate
 
-        return aggregate.class_histogram(self)
+        rows = aggregate.class_histogram(self)
+        return self._rows_to_histograms(rows, Histogram, value_field="value")
+
+    def _rows_to_histograms(self, rows, Histogram, value_field: str):
+        per_band: dict[int, list] = {}
+        for r in rows:
+            per_band.setdefault(r["band"], []).append((r[value_field], r["count"]))
+        hists = [Histogram(per_band.get(b, [])) for b in range(self.metadata.num_bands)]
+        return hists[0] if self.metadata.num_bands == 1 else hists
 
     def get_quantile_breaks(self, num_breaks: int) -> list[float]:
         from .operators import aggregate
@@ -363,6 +380,12 @@ class TiledRasterLayer:
 
         return tiling.stitch(self)
 
+    def resample_to_power_of_two(self, col_power: int, row_power: int,
+                                 resample_method: str = "NearestNeighbor") -> "TiledRasterLayer":
+        from .operators import resample
+
+        return resample.resample_to_power_of_two(self, col_power, row_power, resample_method)
+
     def reproject(self, target_crs: str, layout=None,
                   resample_method: str = "NearestNeighbor") -> "TiledRasterLayer":
         from .operators import reproject as _reproject
@@ -378,6 +401,16 @@ class TiledRasterLayer:
         from .operators import render
 
         return render.to_png(self, color_map)
+
+    def to_geotiff_rdd(self, compress: bool = True) -> DataFrame:
+        from .sources import geotiff_codec
+
+        return geotiff_codec.to_geotiff_rdd(self, compress=compress)
+
+    def save_stitched(self, path: str, compress: bool = True) -> None:
+        from .sources import geotiff_codec
+
+        geotiff_codec.save_stitched(self, path, compress=compress)
 
     def mean_series(self, geometry):
         from .operators import zonal

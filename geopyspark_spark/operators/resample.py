@@ -1,0 +1,130 @@
+"""Per-tile resampling.
+
+Re-expresses ``resample_to_power_of_two``
+(``/root/reference/geopyspark-backend/.../TemporalTiledRasterLayer.scala:65-88``)
+and the shared resample-method set (``constants.py:123-135``,
+``TileLayer.scala:259-274``): NearestNeighbor, Bilinear, Average, Mode,
+Median, Max, Min. CubicConvolution/CubicSpline/Lanczos raise
+``NotImplementedError`` (no scipy in this environment).
+
+Spark shape: a key-preserving ``mapInPandas`` — no shuffle; only the tile
+payload and the metadata's tile dimensions change. NoData cells are masked
+out of aggregating methods and propagate through interpolating ones.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+if TYPE_CHECKING:
+    from ..layer import TiledRasterLayer
+
+_AGG = {
+    "Average": np.nanmean,
+    "Median": np.nanmedian,
+    "Max": np.nanmax,
+    "Min": np.nanmin,
+}
+
+
+def _mode_reduce(blocks: np.ndarray) -> np.ndarray:
+    out = np.empty(blocks.shape[0])
+    for i, b in enumerate(blocks):
+        v = b[~np.isnan(b)]
+        if v.size == 0:
+            out[i] = np.nan
+            continue
+        vals, counts = np.unique(v, return_counts=True)
+        out[i] = vals[np.argmax(counts)]
+    return out
+
+
+def resample_tile(a: np.ndarray, out_rows: int, out_cols: int, method: str,
+                  nodata: float | None) -> np.ndarray:
+    """Resample one (rows, cols) array to (out_rows, out_cols)."""
+    rows, cols = a.shape
+    work = a.astype(np.float64)
+    if nodata is not None and not np.isnan(nodata):
+        work = np.where(work == nodata, np.nan, work)
+
+    if method == "NearestNeighbor":
+        ri = np.minimum(((np.arange(out_rows) + 0.5) * rows / out_rows).astype(int), rows - 1)
+        ci = np.minimum(((np.arange(out_cols) + 0.5) * cols / out_cols).astype(int), cols - 1)
+        out = work[np.ix_(ri, ci)]
+    elif method == "Bilinear":
+        fr = (np.arange(out_rows) + 0.5) * rows / out_rows - 0.5
+        fc = (np.arange(out_cols) + 0.5) * cols / out_cols - 0.5
+        r0 = np.clip(np.floor(fr).astype(int), 0, rows - 1)
+        c0 = np.clip(np.floor(fc).astype(int), 0, cols - 1)
+        r1 = np.clip(r0 + 1, 0, rows - 1)
+        c1 = np.clip(c0 + 1, 0, cols - 1)
+        wr = np.clip(fr - r0, 0.0, 1.0)[:, None]
+        wc = np.clip(fc - c0, 0.0, 1.0)[None, :]
+        out = (work[np.ix_(r0, c0)] * (1 - wr) * (1 - wc)
+               + work[np.ix_(r0, c1)] * (1 - wr) * wc
+               + work[np.ix_(r1, c0)] * wr * (1 - wc)
+               + work[np.ix_(r1, c1)] * wr * wc)
+    elif method in _AGG or method == "Mode":
+        if rows % out_rows or cols % out_cols:
+            raise ValueError(
+                f"{method} resampling requires integer downscale factors "
+                f"({rows}x{cols} -> {out_rows}x{out_cols})"
+            )
+        fr, fc = rows // out_rows, cols // out_cols
+        blocks = work.reshape(out_rows, fr, out_cols, fc).transpose(0, 2, 1, 3)
+        blocks = blocks.reshape(out_rows * out_cols, fr * fc)
+        if method == "Mode":
+            out = _mode_reduce(blocks).reshape(out_rows, out_cols)
+        else:
+            with np.errstate(invalid="ignore"):
+                all_nan = np.isnan(blocks).all(axis=1)
+                safe = np.where(np.isnan(blocks), 0.0 if method == "Average" else np.nan, blocks)
+                red = _AGG[method](np.where(all_nan[:, None], np.nan, blocks), axis=1) \
+                    if not all_nan.all() else np.full(blocks.shape[0], np.nan)
+                red = np.where(all_nan, np.nan, red)
+            out = red.reshape(out_rows, out_cols)
+    elif method in ("CubicConvolution", "CubicSpline", "Lanczos"):
+        raise NotImplementedError(f"{method} requires scipy, not present here")
+    else:
+        raise ValueError(f"unknown resample method {method!r}")
+
+    if nodata is not None and not np.isnan(nodata):
+        out = np.where(np.isnan(out), nodata, out)
+    return out
+
+
+def resample_to_power_of_two(layer: "TiledRasterLayer", col_power: int, row_power: int,
+                             resample_method: str = "NearestNeighbor") -> "TiledRasterLayer":
+    """Resample every tile to 2^col_power x 2^row_power cells (key-preserving)."""
+    from ..layer import TiledRasterLayer as TRL
+
+    md = layer.metadata
+    tl = md.layout.tile_layout
+    tc2, tr2 = 2 ** col_power, 2 ** row_power
+    nodata = md.nodata
+    tc, tr = tl.tile_cols, tl.tile_rows
+
+    def fn(batches):
+        for pdf in batches:
+            cells2 = [
+                resample_tile(
+                    np.asarray(c, dtype=np.float64).reshape(tr, tc),
+                    tr2, tc2, resample_method, nodata,
+                ).reshape(-1).tolist()
+                for c in pdf["cells"]
+            ]
+            pdf = pdf.copy()
+            pdf["cells"] = cells2
+            yield pdf
+
+    # validate the method eagerly (mapInPandas errors surface lazily)
+    resample_tile(np.zeros((tr, tc)), tr2, tc2, resample_method, nodata)
+
+    out = layer.df.mapInPandas(fn, schema=layer.df.schema)
+    new_tl = replace(tl, tile_cols=tc2, tile_rows=tr2)
+    new_md = replace(md, layout=replace(md.layout, tile_layout=new_tl))
+    return TRL(out, new_md)

@@ -1291,6 +1291,25 @@ def q_emb_lsh_knn(spark, sf_dir):
     return fsim.lsh_knn(_t(spark, sf_dir, "embeddings"), KNN_QUERIES, k=5, num_planes=6)
 
 
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup: exact all-pairs >= 0.45 (the synthetic
+    corpus peaks at ~0.51, so the result is non-empty with no pairs near the
+    threshold or a 6-dp rounding boundary)."""
+    return fsim.cosine_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+SQL_EMB_NEAR_DUP = """
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+         (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+          sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.45
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1351,6 +1370,7 @@ def queries():
         "emb_knn": q_emb_knn,
         "emb_norm_stats": q_emb_norm_stats,
         "emb_lsh_knn": q_emb_lsh_knn,
+        "emb_near_dup": q_emb_near_dup,
     }
 
 
@@ -1404,5 +1424,6 @@ def oracle_sql():
         "text_ngram_jaccard": SQL_TEXT_NGRAM_JACCARD,
         "emb_knn": SQL_EMB_KNN,
         "emb_norm_stats": SQL_EMB_NORM_STATS,
+        "emb_near_dup": SQL_EMB_NEAR_DUP,
         # emb_lsh_knn: rows-only
     }

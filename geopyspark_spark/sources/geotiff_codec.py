@@ -1,0 +1,291 @@
+"""Pure-Python GeoTIFF encode/decode (no GDAL dependency).
+
+Re-expresses the reference's GeoTIFF sinks
+(``/root/reference/geopyspark/geotrellis/layer.py:542-606, 1546-1610``
+``to_geotiff_rdd``; ``layer.py:1981-2012`` ``save_stitched`` ->
+``SpatialTiledRasterLayer.scala:320-361, 411-438``). The reference encodes
+through GeoTrellis's GeoTiff writer; this engine writes baseline TIFF 6.0 +
+the GeoTIFF 1.1 tag set directly (little-endian, single strip, optional
+DEFLATE), which common readers (GDAL, QGIS, rasterio, tifffile) open as-is.
+
+Scope: float64/float32/int32/uint8 samples, pixel-interleaved bands, strip
+layout. The decoder reads back exactly this subset (plus uncompressed
+baseline strips generally) — enough for a lossless engine round-trip, which
+the tests assert via :mod:`geotiff.get` with this decoder injected.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from ..core.crs import normalize_crs
+from ..core.extent import Extent
+
+# TIFF tag ids
+_IMAGE_WIDTH, _IMAGE_LENGTH = 256, 257
+_BITS_PER_SAMPLE, _COMPRESSION, _PHOTOMETRIC = 258, 259, 262
+_STRIP_OFFSETS, _SAMPLES_PER_PIXEL, _ROWS_PER_STRIP, _STRIP_BYTE_COUNTS = 273, 277, 278, 279
+_PLANAR_CONFIG, _SAMPLE_FORMAT = 284, 339
+_MODEL_PIXEL_SCALE, _MODEL_TIEPOINT, _GEO_KEY_DIRECTORY = 33550, 33922, 34735
+_GDAL_NODATA = 42113
+
+_TYPE_SHORT, _TYPE_LONG, _TYPE_DOUBLE, _TYPE_ASCII = 3, 4, 12, 2
+_TYPE_SIZE = {_TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_DOUBLE: 8, _TYPE_ASCII: 1}
+
+_DTYPES = {
+    np.dtype("float64"): (64, 3),  # (bits, SampleFormat: 3=IEEE float)
+    np.dtype("float32"): (32, 3),
+    np.dtype("int32"): (32, 2),
+    np.dtype("int16"): (16, 2),
+    np.dtype("uint8"): (8, 1),
+}
+_FMT_DTYPE = {(bits, fmt): dt for dt, (bits, fmt) in _DTYPES.items()}
+
+
+def _geo_keys(crs: str) -> list[int]:
+    c = normalize_crs(crs)
+    # KeyDirectoryVersion, KeyRevision, MinorRevision, NumberOfKeys, then
+    # (KeyID, TIFFTagLocation=0 -> value inline, Count=1, Value)
+    if c == "epsg:4326":
+        keys = [(1024, 0, 1, 2), (1025, 0, 1, 1), (2048, 0, 1, 4326)]
+    elif c == "epsg:3857":
+        keys = [(1024, 0, 1, 1), (1025, 0, 1, 1), (3072, 0, 1, 3857)]
+    else:
+        try:
+            code = int(c.split(":")[-1])
+        except ValueError:
+            code = 32767  # user-defined
+        keys = [(1024, 0, 1, 1), (1025, 0, 1, 1), (3072, 0, 1, code)]
+    out = [1, 1, 0, len(keys)]
+    for k in keys:
+        out.extend(k)
+    return out
+
+
+def encode_geotiff(cells: np.ndarray, extent: Extent, crs: str,
+                   nodata: float | None = None, compress: bool = True) -> bytes:
+    """Encode a (bands, rows, cols) array as GeoTIFF bytes."""
+    cells = np.asarray(cells)
+    if cells.ndim == 2:
+        cells = cells[None, :, :]
+    bands, rows, cols = cells.shape
+    if cells.dtype not in _DTYPES:
+        cells = cells.astype(np.float64)
+    bits, fmt = _DTYPES[cells.dtype]
+
+    # pixel-interleave: (rows, cols, bands), little-endian
+    pix = np.ascontiguousarray(np.moveaxis(cells, 0, -1)).astype(
+        cells.dtype.newbyteorder("<"), copy=False
+    )
+    raw = pix.tobytes()
+    data = zlib.compress(raw, 6) if compress else raw
+
+    cw = extent.width / cols
+    ch = extent.height / rows
+
+    entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, payload)
+
+    def add(tag: int, typ: int, values) -> None:
+        if typ == _TYPE_ASCII:
+            payload = values.encode() + b"\0"
+            entries.append((tag, typ, len(payload), payload))
+            return
+        pack = {_TYPE_SHORT: "<H", _TYPE_LONG: "<I", _TYPE_DOUBLE: "<d"}[typ]
+        vs = values if isinstance(values, (list, tuple)) else [values]
+        entries.append((tag, typ, len(vs), b"".join(struct.pack(pack, v) for v in vs)))
+
+    strip_offset = 8  # strip data goes right after the header
+    add(_IMAGE_WIDTH, _TYPE_LONG, cols)
+    add(_IMAGE_LENGTH, _TYPE_LONG, rows)
+    add(_BITS_PER_SAMPLE, _TYPE_SHORT, [bits] * bands)
+    add(_COMPRESSION, _TYPE_SHORT, 8 if compress else 1)
+    add(_PHOTOMETRIC, _TYPE_SHORT, 1)
+    add(_STRIP_OFFSETS, _TYPE_LONG, strip_offset)
+    add(_SAMPLES_PER_PIXEL, _TYPE_SHORT, bands)
+    add(_ROWS_PER_STRIP, _TYPE_LONG, rows)
+    add(_STRIP_BYTE_COUNTS, _TYPE_LONG, len(data))
+    add(_PLANAR_CONFIG, _TYPE_SHORT, 1)
+    add(_SAMPLE_FORMAT, _TYPE_SHORT, [fmt] * bands)
+    add(_MODEL_PIXEL_SCALE, _TYPE_DOUBLE, [cw, ch, 0.0])
+    add(_MODEL_TIEPOINT, _TYPE_DOUBLE, [0.0, 0.0, 0.0, extent.xmin, extent.ymax, 0.0])
+    add(_GEO_KEY_DIRECTORY, _TYPE_SHORT, _geo_keys(crs))
+    if nodata is not None:
+        nd = int(nodata) if float(nodata).is_integer() else nodata
+        add(_GDAL_NODATA, _TYPE_ASCII, str(nd))
+
+    # layout: header | strip | out-of-line tag values | IFD
+    aux_offset = strip_offset + len(data)
+    aux = bytearray()
+    ifd_entries = b""
+    ifd_offset_pos = aux_offset  # filled after aux is known
+    # first pass: compute aux placements
+    placed = []
+    for tag, typ, count, payload in sorted(entries):
+        size = count * _TYPE_SIZE[typ]
+        if size <= 4:
+            placed.append((tag, typ, count, payload.ljust(4, b"\0"), None))
+        else:
+            placed.append((tag, typ, count, None, aux_offset + len(aux)))
+            aux.extend(payload)
+            if len(aux) % 2:  # word-align
+                aux.extend(b"\0")
+    ifd_offset = aux_offset + len(aux)
+    for tag, typ, count, inline, off in placed:
+        val = inline if inline is not None else struct.pack("<I", off)
+        ifd_entries += struct.pack("<HHI", tag, typ, count) + val
+
+    header = struct.pack("<2sHI", b"II", 42, ifd_offset)
+    ifd = struct.pack("<H", len(placed)) + ifd_entries + struct.pack("<I", 0)
+    return header + data + bytes(aux) + ifd
+
+
+def decode_geotiff(buf: bytes):
+    """Decode GeoTIFF bytes -> (cells[bands,rows,cols], Extent, crs, nodata).
+
+    Supports the subset this module writes: little/big-endian classic TIFF,
+    strip layout, Compression 1 (none) or 8 (DEFLATE), PlanarConfig 1.
+    """
+    bo = {b"II": "<", b"MM": ">"}.get(buf[:2])
+    if bo is None or struct.unpack(bo + "H", buf[2:4])[0] != 42:
+        raise ValueError("not a classic TIFF")
+    (ifd_offset,) = struct.unpack(bo + "I", buf[4:8])
+    (n,) = struct.unpack(bo + "H", buf[ifd_offset:ifd_offset + 2])
+    tags: dict[int, list] = {}
+    for i in range(n):
+        e = ifd_offset + 2 + 12 * i
+        tag, typ, count = struct.unpack(bo + "HHI", buf[e:e + 8])
+        size = _TYPE_SIZE.get(typ, 1) * count
+        if size <= 4:
+            payload = buf[e + 8:e + 8 + size]
+        else:
+            (off,) = struct.unpack(bo + "I", buf[e + 8:e + 12])
+            payload = buf[off:off + size]
+        if typ == _TYPE_ASCII:
+            tags[tag] = [payload.rstrip(b"\0").decode()]
+        else:
+            pack = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d"}.get(typ)
+            if pack:
+                tags[tag] = list(struct.unpack(f"{bo}{count}{pack}", payload))
+
+    cols = int(tags[_IMAGE_WIDTH][0])
+    rows = int(tags[_IMAGE_LENGTH][0])
+    bands = int(tags.get(_SAMPLES_PER_PIXEL, [1])[0])
+    comp = int(tags.get(_COMPRESSION, [1])[0])
+    bits = int(tags.get(_BITS_PER_SAMPLE, [32])[0])
+    fmt = int(tags.get(_SAMPLE_FORMAT, [1])[0])
+    dtype = _FMT_DTYPE.get((bits, fmt))
+    if dtype is None:
+        raise ValueError(f"unsupported sample type bits={bits} format={fmt}")
+    if int(tags.get(_PLANAR_CONFIG, [1])[0]) != 1:
+        raise ValueError("only PlanarConfiguration=1 supported")
+
+    data = b""
+    for off, cnt in zip(tags[_STRIP_OFFSETS], tags[_STRIP_BYTE_COUNTS]):
+        chunk = buf[int(off):int(off) + int(cnt)]
+        data += zlib.decompress(chunk) if comp == 8 else chunk
+    if comp not in (1, 8):
+        raise ValueError(f"unsupported compression {comp}")
+    pix = np.frombuffer(data, dtype=np.dtype(dtype).newbyteorder(bo)).reshape(rows, cols, bands)
+    cells = np.moveaxis(pix, -1, 0).astype(dtype)
+
+    extent = None
+    if _MODEL_PIXEL_SCALE in tags and _MODEL_TIEPOINT in tags:
+        cw, ch = tags[_MODEL_PIXEL_SCALE][:2]
+        tp = tags[_MODEL_TIEPOINT]
+        xmin, ymax = tp[3] - tp[0] * cw, tp[4] + tp[1] * ch
+        extent = Extent(xmin, ymax - rows * ch, xmin + cols * cw, ymax)
+
+    crs = None
+    if _GEO_KEY_DIRECTORY in tags:
+        g = tags[_GEO_KEY_DIRECTORY]
+        keys = {g[i]: g[i + 3] for i in range(4, len(g), 4)}
+        if 2048 in keys:
+            crs = f"epsg:{keys[2048]}"
+        elif 3072 in keys:
+            crs = f"epsg:{keys[3072]}"
+
+    nodata = None
+    if _GDAL_NODATA in tags:
+        nodata = float(tags[_GDAL_NODATA][0])
+    return cells, extent, crs, nodata
+
+
+# --- layer-level sinks ------------------------------------------------------
+
+def to_geotiff_rdd(layer, compress: bool = True):
+    """Encode every tile of a layer as in-memory GeoTIFF bytes ->
+    DataFrame (key_col, key_row[, instant], tiff binary). Multiband tiles
+    are assembled per key (band rows gathered in one groupBy)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, StructField, StructType,
+    )
+
+    from ..core.keys import KeyTransform
+
+    md = layer.metadata
+    kt = KeyTransform(md.layout)
+    tl = md.layout.tile_layout
+    tc, tr = tl.tile_cols, tl.tile_rows
+    crs, nodata = md.crs, md.nodata
+
+    schema = StructType([
+        StructField("key_col", IntegerType()),
+        StructField("key_row", IntegerType()),
+        StructField("tiff", BinaryType()),
+    ])
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        kc, kr = int(key[0]), int(key[1])
+        pdf = pdf.sort_values("band")
+        cells = np.stack(
+            [np.asarray(c, dtype=np.float64).reshape(tr, tc) for c in pdf["cells"]]
+        )
+        ext = kt.key_extent(kc, kr)
+        buf = encode_geotiff(cells, ext, crs, nodata, compress=compress)
+        return pd.DataFrame({"key_col": [kc], "key_row": [kr], "tiff": [buf]})
+
+    return (
+        layer.df.select("key_col", "key_row", "band", "cells")
+        .groupBy("key_col", "key_row")
+        .applyInPandas(encode, schema=schema)
+    )
+
+
+def save_stitched(layer, path: str, compress: bool = True,
+                  max_cells: int = 512 * 1024 * 1024 // 8) -> None:
+    """Stitch the whole layer and write ONE GeoTIFF (driver-side collect,
+    size-guarded — reference ``layer.py:1981-2012``)."""
+    tl = layer.metadata.layout.tile_layout
+    total = tl.total_cols * tl.total_rows * layer.metadata.num_bands
+    if total > max_cells:
+        raise ValueError(
+            f"save_stitched would materialize {total} cells on the driver "
+            f"(> {max_cells}); write the layer to a catalog instead"
+        )
+    cells = layer.stitch()
+    with open(path, "wb") as f:
+        f.write(encode_geotiff(
+            cells, layer.metadata.layout.extent, layer.metadata.crs,
+            layer.metadata.nodata, compress=compress,
+        ))
+
+
+# --- reader-injection hooks for geotiff.get --------------------------------
+
+def sizer(path: str):
+    """``geotiff.get`` sizer for files this codec (or subset) wrote."""
+    with open(path, "rb") as f:
+        cells, extent, _, _ = decode_geotiff(f.read())
+    return cells.shape[2], cells.shape[1], extent, cells.shape[0]
+
+
+def decoder(path: str, window, band: int) -> np.ndarray:
+    """``geotiff.get`` decoder: read one (c0, r0, w, h) window of one band."""
+    with open(path, "rb") as f:
+        cells, _, _, _ = decode_geotiff(f.read())
+    c0, r0, w, h = window
+    return cells[band, r0:r0 + h, c0:c0 + w]

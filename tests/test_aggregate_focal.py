@@ -85,9 +85,18 @@ class TestMerge:
 
 class TestHistogram:
     def test_class_histogram(self, f1_layer):
-        rows = f1_layer.get_class_histogram()
-        got = {(r["band"], r["value"]): r["count"] for r in rows}
-        assert got == {(0, 0.0): 1, (0, 1.0): 99}
+        h = f1_layer.get_class_histogram()
+        assert h.item_count(0.0) == 1 and h.item_count(1.0) == 99
+        assert h.total_count() == 100 and h.min_max() == (0.0, 1.0)
+        assert h.mode() == 1.0 and h.median() == 1.0
+        assert h.mean() == pytest.approx(0.99)
+        # JSON round-trip + merge (reference histogram.py:12-197)
+        from geopyspark_spark.histogram import Histogram
+
+        h2 = Histogram.from_json(h.to_json())
+        assert h2 == h
+        m = h.merge(h2)
+        assert m.total_count() == 200 and m.item_count(1.0) == 198
 
     def test_quantile_breaks(self, f1_layer):
         breaks = f1_layer.get_quantile_breaks(4)

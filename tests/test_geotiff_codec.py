@@ -1,0 +1,93 @@
+"""GeoTIFF codec + sink tests (reference: ``to_geotiff_rdd``
+``layer.py:542-606``, ``save_stitched`` ``layer.py:1981-2012``)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+import geopyspark_spark as gps
+from geopyspark_spark.core.extent import Extent
+from geopyspark_spark.sources import geotiff, geotiff_codec
+
+
+class TestCodecRoundTrip:
+    def test_single_band_float64(self):
+        a = np.arange(20, dtype=np.float64).reshape(1, 4, 5)
+        ext = Extent(10.0, 20.0, 15.0, 24.0)
+        buf = geotiff_codec.encode_geotiff(a, ext, "epsg:4326", nodata=-1.0)
+        cells, e2, crs, nd = geotiff_codec.decode_geotiff(buf)
+        np.testing.assert_array_equal(cells, a)
+        assert (e2.xmin, e2.ymin, e2.xmax, e2.ymax) == (10.0, 20.0, 15.0, 24.0)
+        assert crs == "epsg:4326"
+        assert nd == -1.0
+
+    def test_multiband_and_uncompressed(self):
+        a = np.random.default_rng(7).normal(size=(3, 8, 8))
+        ext = Extent(0, 0, 8, 8)
+        for compress in (True, False):
+            buf = geotiff_codec.encode_geotiff(a, ext, "epsg:3857", compress=compress)
+            cells, _, crs, nd = geotiff_codec.decode_geotiff(buf)
+            np.testing.assert_array_equal(cells, a)
+            assert crs == "epsg:3857"
+            assert nd is None
+
+    def test_tiff_magic_and_tag_order(self):
+        buf = geotiff_codec.encode_geotiff(
+            np.ones((1, 2, 2)), Extent(0, 0, 2, 2), "epsg:4326"
+        )
+        assert buf[:4] == b"II\x2a\x00"
+        (ifd_off,) = struct.unpack("<I", buf[4:8])
+        (n,) = struct.unpack("<H", buf[ifd_off:ifd_off + 2])
+        tags = [struct.unpack("<H", buf[ifd_off + 2 + 12 * i:ifd_off + 4 + 12 * i])[0]
+                for i in range(n)]
+        assert tags == sorted(tags), "TIFF 6.0 requires ascending tag order"
+        assert 33550 in tags and 33922 in tags and 34735 in tags
+
+    def test_int_dtypes(self):
+        a = np.array([[[1, 2], [3, 4]]], dtype=np.int32)
+        buf = geotiff_codec.encode_geotiff(a, Extent(0, 0, 2, 2), "epsg:4326")
+        cells, _, _, _ = geotiff_codec.decode_geotiff(buf)
+        assert cells.dtype == np.int32
+        np.testing.assert_array_equal(cells, a)
+
+
+class TestLayerSinks:
+    def test_to_geotiff_rdd_roundtrip(self, spark, f1_layer):
+        rows = f1_layer.to_geotiff_rdd().collect()
+        assert len(rows) == 4
+        by_key = {(r.key_col, r.key_row): bytes(r.tiff) for r in rows}
+        cells, ext, crs, nd = geotiff_codec.decode_geotiff(by_key[(0, 0)])
+        assert cells.shape == (1, 5, 5)
+        assert cells[0, 0, 0] == 0.0 and cells[0, 1, 1] == 1.0
+        # tile (0,0) extent = NW corner of the layout
+        assert (ext.xmin, ext.ymax) == (0.0, 10.0)
+        assert crs == "epsg:4326"
+
+    def test_save_stitched_and_reread_via_get(self, spark, f1_layer, tmp_path):
+        """save_stitched -> geotiff.get with the pure-Python codec injected
+        -> tile to the original layout -> identical layer (full circle
+        through both the sink and the source)."""
+        p = str(tmp_path / "layer.tif")
+        f1_layer.save_stitched(p)
+
+        df = geotiff.get(
+            spark, p, crs="epsg:4326", max_tile_size=5,
+            sizer=geotiff_codec.sizer, decoder=geotiff_codec.decoder,
+        )
+        assert df.count() == 4  # 10x10 raster in 5x5 windows
+        long = geotiff.tile_untiled_to_layout(df, f1_layer.metadata)
+        relayer = gps.TiledRasterLayer.assemble(long, f1_layer.metadata)
+        orig = {(r.key_col, r.key_row): r.cells for r in f1_layer.df.collect()}
+        back = {(r.key_col, r.key_row): r.cells for r in relayer.df.collect()}
+        assert orig.keys() == back.keys()
+        for k in orig:
+            np.testing.assert_array_equal(orig[k], back[k])
+
+    def test_save_stitched_size_guard(self, f1_layer, tmp_path):
+        with pytest.raises(ValueError, match="cells on the driver"):
+            geotiff_codec.save_stitched(
+                f1_layer, str(tmp_path / "x.tif"), max_cells=10
+            )

@@ -1,0 +1,76 @@
+"""resample_to_power_of_two golden tests (reference
+``TemporalTiledRasterLayer.scala:65-88``; methods ``constants.py:123-135``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import geopyspark_spark as gps
+from geopyspark_spark.operators.resample import resample_tile
+
+
+class TestResampleTile:
+    def test_nearest_downscale(self):
+        a = np.arange(16, dtype=float).reshape(4, 4)
+        out = resample_tile(a, 2, 2, "NearestNeighbor", None)
+        # centers of 2x2 output sample input cells (1,1),(1,3),(3,1),(3,3)
+        np.testing.assert_array_equal(out, [[5.0, 7.0], [13.0, 15.0]])
+
+    def test_average_blocks(self):
+        a = np.arange(16, dtype=float).reshape(4, 4)
+        out = resample_tile(a, 2, 2, "Average", None)
+        np.testing.assert_array_equal(out, [[2.5, 4.5], [10.5, 12.5]])
+
+    def test_max_min_median(self):
+        a = np.arange(16, dtype=float).reshape(4, 4)
+        assert resample_tile(a, 2, 2, "Max", None)[0, 0] == 5.0
+        assert resample_tile(a, 2, 2, "Min", None)[0, 0] == 0.0
+        assert resample_tile(a, 2, 2, "Median", None)[0, 0] == 2.5
+
+    def test_mode(self):
+        a = np.array([[1, 1, 2, 2], [1, 3, 2, 4], [5, 5, 6, 6], [5, 5, 6, 7]], dtype=float)
+        out = resample_tile(a, 2, 2, "Mode", None)
+        np.testing.assert_array_equal(out, [[1.0, 2.0], [5.0, 6.0]])
+
+    def test_average_respects_nodata(self):
+        a = np.array([[1, -1], [-1, -1]], dtype=float)
+        out = resample_tile(a, 1, 1, "Average", nodata=-1.0)
+        assert out[0, 0] == 1.0
+        allnd = resample_tile(np.full((2, 2), -1.0), 1, 1, "Average", nodata=-1.0)
+        assert allnd[0, 0] == -1.0  # all-NoData block stays NoData
+
+    def test_bilinear_upscale_plane(self):
+        # a plane is reproduced exactly by bilinear away from edges
+        a = np.add.outer(np.arange(4.0), np.arange(4.0))
+        out = resample_tile(a, 8, 8, "Bilinear", None)
+        # interior: value at fractional coords equals the plane
+        fr = (np.arange(8) + 0.5) * 4 / 8 - 0.5
+        exp = np.add.outer(np.clip(fr, 0, 3), np.clip(fr, 0, 3))
+        np.testing.assert_allclose(out, exp)
+
+    def test_unsupported_methods(self):
+        a = np.ones((4, 4))
+        with pytest.raises(NotImplementedError):
+            resample_tile(a, 2, 2, "Lanczos", None)
+        with pytest.raises(ValueError, match="integer downscale"):
+            resample_tile(a, 3, 3, "Average", None)
+
+
+class TestLayerResample:
+    def test_power_of_two_roundtrip(self, spark, f1_layer):
+        """5x5 tiles -> 4x4 (nearest): metadata and cells update, keys kept."""
+        out = f1_layer.resample_to_power_of_two(2, 2)
+        tl = out.metadata.layout.tile_layout
+        assert (tl.tile_cols, tl.tile_rows) == (4, 4)
+        rows = out.df.collect()
+        assert sorted((r.key_col, r.key_row) for r in rows) == [(0, 0), (0, 1), (1, 0), (1, 1)]
+        for r in rows:
+            assert len(r.cells) == 16
+        cells00 = next(np.asarray(r.cells).reshape(4, 4) for r in rows
+                       if (r.key_col, r.key_row) == (0, 0))
+        assert cells00[0, 0] in (0.0, 1.0)
+
+    def test_bad_method_fails_eagerly(self, f1_layer):
+        with pytest.raises(NotImplementedError):
+            f1_layer.resample_to_power_of_two(2, 2, "CubicSpline")
