@@ -380,6 +380,58 @@ class TiledRasterLayer:
 
         return tiling.stitch(self)
 
+    def map_cells(self, fn) -> "TiledRasterLayer":
+        """Apply ``fn(cells: np.ndarray[rows,cols], nodata) -> np.ndarray``
+        to every (key, band) tile — the Arrow-native replacement for the
+        reference's protobuf round-trip (``layer.py:1472-1498``, SURVEY
+        §3.3). Output dtype is coerced to float64; shape must be preserved."""
+        import numpy as np
+
+        tl = self.metadata.layout.tile_layout
+        tc, tr = tl.tile_cols, tl.tile_rows
+        nodata = self.nodata
+
+        def mapper(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["cells"] = [
+                    np.asarray(
+                        fn(np.asarray(c, dtype=np.float64).reshape(tr, tc), nodata),
+                        dtype=np.float64,
+                    ).reshape(-1).tolist()
+                    for c in pdf["cells"]
+                ]
+                yield pdf
+
+        return self._with(self.df.mapInPandas(mapper, schema=self.df.schema))
+
+    def map_tiles(self, fn) -> "TiledRasterLayer":
+        """Apply ``fn(tile: np.ndarray[bands,rows,cols], nodata) -> ndarray``
+        to every key's full multiband tile (``layer.py:1449-1470``).
+        Band count may not change."""
+        import numpy as np
+        import pandas as pd
+
+        tl = self.metadata.layout.tile_layout
+        tc, tr = tl.tile_cols, tl.tile_rows
+        nodata = self.nodata
+        keys = [c for c in ("key_col", "key_row", "instant") if c in self.df.columns]
+        schema = self.df.schema
+
+        def apply_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("band")
+            tile = np.stack(
+                [np.asarray(c, dtype=np.float64).reshape(tr, tc) for c in pdf["cells"]]
+            )
+            out = np.asarray(fn(tile, nodata), dtype=np.float64)
+            if out.shape != tile.shape:
+                raise ValueError(f"map_tiles fn changed shape {tile.shape} -> {out.shape}")
+            pdf = pdf.copy()
+            pdf["cells"] = [out[b].reshape(-1).tolist() for b in range(out.shape[0])]
+            return pdf
+
+        return self._with(self.df.groupBy(*keys).applyInPandas(apply_fn, schema=schema))
+
     def resample_to_power_of_two(self, col_power: int, row_power: int,
                                  resample_method: str = "NearestNeighbor") -> "TiledRasterLayer":
         from .operators import resample

@@ -724,6 +724,175 @@ def q_raster_cost_distance(spark, sf_dir):
     )
 
 
+# shared Horn-gradient CTE (matches operators/focal.py _horn_gradients with
+# unit cells): nb collects the 8 neighbors, grads the dz/dx, dz/dy
+HORN_CTE = CELLS_CTE + """
+, nb2 AS (
+  SELECT a.key_col, a.key_row, a.pos, a.value AS c,
+         MAX(CASE WHEN b.gcol = a.gcol - 1 AND b.grow = a.grow - 1 THEN b.value END) AS za,
+         MAX(CASE WHEN b.gcol = a.gcol     AND b.grow = a.grow - 1 THEN b.value END) AS zb,
+         MAX(CASE WHEN b.gcol = a.gcol + 1 AND b.grow = a.grow - 1 THEN b.value END) AS zc,
+         MAX(CASE WHEN b.gcol = a.gcol - 1 AND b.grow = a.grow     THEN b.value END) AS zd,
+         MAX(CASE WHEN b.gcol = a.gcol + 1 AND b.grow = a.grow     THEN b.value END) AS zf,
+         MAX(CASE WHEN b.gcol = a.gcol - 1 AND b.grow = a.grow + 1 THEN b.value END) AS zg,
+         MAX(CASE WHEN b.gcol = a.gcol     AND b.grow = a.grow + 1 THEN b.value END) AS zh,
+         MAX(CASE WHEN b.gcol = a.gcol + 1 AND b.grow = a.grow + 1 THEN b.value END) AS zi
+  FROM coords a JOIN coords b
+    ON b.gcol BETWEEN a.gcol - 1 AND a.gcol + 1
+   AND b.grow BETWEEN a.grow - 1 AND a.grow + 1
+  GROUP BY a.key_col, a.key_row, a.pos, a.value
+),
+grads2 AS (
+  SELECT key_col, key_row, pos,
+         ((COALESCE(zc,c) + 2*COALESCE(zf,c) + COALESCE(zi,c)) -
+          (COALESCE(za,c) + 2*COALESCE(zd,c) + COALESCE(zg,c))) / 8.0 AS dzdx,
+         ((COALESCE(zg,c) + 2*COALESCE(zh,c) + COALESCE(zi,c)) -
+          (COALESCE(za,c) + 2*COALESCE(zb,c) + COALESCE(zc,c))) / 8.0 AS dzdy
+  FROM nb2
+)
+"""
+
+
+def q_raster_aspect(spark, sf_dir):
+    """Aspect (degrees clockwise from north; flat -> 0)."""
+    layer = lineitem_layer(spark, sf_dir)
+    out = _explode_result(layer.aspect())
+    return out.select(
+        "key_col", "key_row", "pos", F.round(F.col("value"), 6).alias("value")
+    )
+
+
+SQL_RASTER_ASPECT = HORN_CTE + """
+SELECT key_col, key_row, pos,
+       round(CASE WHEN dzdx = 0 AND dzdy = 0 THEN 0.0
+                  ELSE fmod(fmod(90.0 - degrees(atan2(dzdy, -dzdx)), 360.0) + 360.0, 360.0)
+             END, 6) AS value
+FROM grads2
+"""
+
+
+def q_raster_hillshade(spark, sf_dir):
+    """Hillshade 0..255 (azimuth 315, altitude 45) — integer output, so no
+    rounding concerns in the comparison."""
+    layer = lineitem_layer(spark, sf_dir)
+    return _explode_result(layer.hillshade())
+
+
+SQL_RASTER_HILLSHADE = HORN_CTE + """
+SELECT key_col, key_row, pos,
+       round(greatest(0.0, least(1.0,
+         cos(radians(45.0)) * cos(atan(sqrt(dzdx*dzdx + dzdy*dzdy))) +
+         sin(radians(45.0)) * sin(atan(sqrt(dzdx*dzdx + dzdy*dzdy))) *
+         cos(radians(135.0) - atan2(dzdy, -dzdx)))) * 255.0) AS value
+FROM grads2
+"""
+
+
+def q_raster_tobler(spark, sf_dir):
+    """Tobler hiking speed over the slope layer (pointwise compose)."""
+    layer = lineitem_layer(spark, sf_dir)
+    out = _explode_result(layer.slope(zfactor=1.0).tobler())
+    return out.select(
+        "key_col", "key_row", "pos", F.round(F.col("value"), 6).alias("value")
+    )
+
+
+SQL_RASTER_TOBLER = HORN_CTE + """
+SELECT key_col, key_row, pos,
+       round(6.0 * exp(-3.5 * abs(tan(radians(
+         degrees(atan(sqrt(dzdx*dzdx + dzdy*dzdy))))) + 0.05)), 6) AS value
+FROM grads2
+"""
+
+
+def q_raster_resample(spark, sf_dir):
+    """Per-tile 8x8 -> 4x4 Average downsample (2x2 block means)."""
+    layer = lineitem_layer(spark, sf_dir)
+    out = layer.resample_to_power_of_two(2, 2, "Average")
+    return _explode_result(out)
+
+
+# 4x4 output cell (oc, or) averages input block rows 2*or..2*or+1 x cols
+# 2*oc..2*oc+1; NoData (-1 fill) masked, all-NoData block -> -1
+SQL_RASTER_RESAMPLE = CELLS_CTE + f"""
+, blocks AS (
+  SELECT key_col, key_row,
+         CAST(floor((grow % {TILE}) / 2) AS INT) AS orow,
+         CAST(floor((gcol % {TILE}) / 2) AS INT) AS ocol,
+         AVG(CASE WHEN value <> -1.0 THEN value END) AS avg_v
+  FROM coords GROUP BY 1, 2, 3, 4
+)
+SELECT key_col, key_row, CAST(orow * 4 + ocol AS INT) AS pos,
+       COALESCE(avg_v, -1.0) AS value
+FROM blocks
+"""
+
+
+def q_events_session(spark, sf_dir):
+    """Session windows (30-min gap) per user over the events table — the
+    built-in session_window in batch mode; oracle is the classic
+    gaps-and-islands SQL."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_trunc("second", F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# DuckDB reads the nanos column as TIMESTAMP_NS natively; Spark truncates to
+# micros — both sides truncate session starts to whole seconds to compare.
+SQL_EVENTS_SESSION = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+),
+islands AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, date_trunc('second', MIN(ts)) AS session_start, COUNT(*) AS n_events
+FROM islands GROUP BY user_id, session_id
+"""
+
+
+def q_raster_map_cells(spark, sf_dir):
+    """The Arrow UDF surface under the oracle gate: map_cells applying
+    x -> x^2 + 1 (NoData preserved by the engine's kernel contract)."""
+    import numpy as np
+
+    layer = lineitem_layer(spark, sf_dir)
+    nd = layer.nodata
+
+    def fn(a, nodata):
+        out = a * a + 1.0
+        if nodata is not None:
+            out = np.where(a == nodata, nodata, out)
+        return out
+
+    return _explode_result(layer.map_cells(fn))
+
+
+SQL_RASTER_MAP_CELLS = CELLS_CTE + """
+SELECT key_col, key_row, pos,
+       CASE WHEN value = -1.0 THEN -1.0 ELSE value * value + 1.0 END AS value
+FROM coords
+"""
+
+
 def q_raster_reproject(spark, sf_dir):
     """Reproject the fixture layer (epsg:4326, unit-degree cells) to web
     mercator on an explicit same-shape target grid; NearestNeighbor inverse
@@ -1344,6 +1513,11 @@ def queries():
         "raster_euclidean_distance": q_raster_euclidean_distance,
         "raster_cost_distance": q_raster_cost_distance,
         "raster_reproject": q_raster_reproject,
+        "raster_aspect": q_raster_aspect,
+        "raster_hillshade": q_raster_hillshade,
+        "raster_tobler": q_raster_tobler,
+        "raster_resample": q_raster_resample,
+        "raster_map_cells": q_raster_map_cells,
         # relational surface
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -1355,6 +1529,7 @@ def queries():
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_user_stats": q_events_user_stats,
+        "events_session": q_events_session,
         # text / dedup
         "text_token_count": q_text_token_count,
         "text_word_freq": q_text_word_freq,
@@ -1403,6 +1578,11 @@ def oracle_sql():
         "raster_euclidean_distance": SQL_RASTER_EUCLIDEAN,
         "raster_cost_distance": SQL_RASTER_COST_DISTANCE,
         "raster_reproject": _sql_reproject(),
+        "raster_aspect": SQL_RASTER_ASPECT,
+        "raster_hillshade": SQL_RASTER_HILLSHADE,
+        "raster_tobler": SQL_RASTER_TOBLER,
+        "raster_resample": SQL_RASTER_RESAMPLE,
+        "raster_map_cells": SQL_RASTER_MAP_CELLS,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,
@@ -1412,6 +1592,7 @@ def oracle_sql():
         "events_tumbling": SQL_EVENTS_TUMBLING,
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_user_stats": SQL_EVENTS_USER_STATS,
+        "events_session": SQL_EVENTS_SESSION,
         "text_token_count": SQL_TEXT_TOKEN_COUNT,
         "text_word_freq": SQL_TEXT_WORD_FREQ,
         "text_quality": SQL_TEXT_QUALITY,

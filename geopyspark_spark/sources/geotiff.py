@@ -176,3 +176,38 @@ def tile_untiled_to_layout(df: DataFrame, metadata) -> "DataFrame":
         ((F.col("grow") % tl.tile_rows) * tl.tile_cols + (F.col("gcol") % tl.tile_cols)).alias("pos"),
         "value",
     )
+
+
+def collect_metadata(df: DataFrame, crs: str | None = None, cell_type: str = "float64",
+                     layout=None):
+    """Scan an untiled DF and infer LayerMetadata — an ACTION (reference
+    ``collect_metadata`` ``layer.py:858-874`` -> ``ProjectedRasterLayer.scala:33-52``).
+
+    One aggregate job computes the data envelope and finest cell size; the
+    layout is then resolved driver-side (LocalLayout default, 256-cell tiles).
+    """
+    from pyspark.sql import functions as F
+
+    from ..core.extent import LocalLayout
+    from ..core.metadata import LayerMetadata
+
+    agg = df.select(
+        F.min("xmin").alias("xmin"), F.min("ymin").alias("ymin"),
+        F.max("xmax").alias("xmax"), F.max("ymax").alias("ymax"),
+        F.min((F.col("xmax") - F.col("xmin")) / F.col("cols")).alias("cw"),
+        F.min((F.col("ymax") - F.col("ymin")) / F.col("rows")).alias("ch"),
+        F.max("band").alias("max_band"),
+        F.first("crs").alias("crs"),
+    ).first()
+    extent = Extent(agg.xmin, agg.ymin, agg.xmax, agg.ymax)
+    ll = layout if layout is not None else LocalLayout(256, 256)
+    ld = ll.layout_for(extent, agg.cw, agg.ch) if isinstance(ll, LocalLayout) else ll
+    tl = ld.tile_layout
+    return LayerMetadata(
+        crs=crs or agg.crs or "epsg:4326",
+        cell_type=cell_type,
+        layout=ld,
+        bounds=((0, 0), (tl.layout_cols - 1, tl.layout_rows - 1)),
+        extent=extent,
+        num_bands=int(agg.max_band) + 1,
+    )

@@ -84,18 +84,52 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
     )
 
 
-def run_available_now(streaming_df: DataFrame, query_name: str = "snap") -> DataFrame:
+def run_available_now(streaming_df: DataFrame, query_name: str = "snap",
+                      output_mode: str = "complete") -> DataFrame:
     """Drain all available input through the streaming plan (Trigger.
-    AvailableNow) into an in-memory sink; returns the final batch result."""
+    AvailableNow) into an in-memory sink; returns the final batch result.
+    Stateful ``update``-mode plans (e.g. ``running_user_totals``) pass
+    ``output_mode="update"``; the sink then holds every emitted update."""
     spark = streaming_df.sparkSession
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
             streaming_df.writeStream.format("memory")
             .queryName(query_name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     return spark.table(query_name)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    running event count / value sum maintained across micro-batches —
+    the arbitrary-state pattern the built-in window aggregations can't
+    express (e.g. lifetime counters, rate limiting, CDC upserts).
+
+    Emits one row per user per micro-batch with the updated totals.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,191 @@
+"""TMS tile serving over a catalog or in-memory pyramid.
+
+Re-expresses the reference's TMS stack
+(``/root/reference/geopyspark/geotrellis/tms.py:104-276``; Scala akka-http
+``tms/Server.scala:36-77``, ``tms/TileReader.scala:19-110`` — single-tile
+reads off the hot path, over-zoom by crop+resample at ``TileReader.scala:
+28-44``, rendering via ColorMap or a Python callback ``tms.py:15-102``).
+
+Spark-native translation: the serve path never touches Spark — tiles come
+from the catalog's z-ordered parquet via DuckDB row-group-pruned point reads
+(:func:`sources.catalog.read_value` semantics) or from a driver-held
+Pyramid; rendering is the pure-Python ColorMap -> PNG pipeline. The HTTP
+front is the stdlib server (threaded), suitable for dev/preview like the
+reference's; production serving would sit behind any WSGI container.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from .operators.render import ColorMap, encode_png_rgba, rgba_from_packed
+
+
+class TileFetcher:
+    """Resolve (zoom, col, row) -> (rows, cols) float array or None."""
+
+    def fetch(self, zoom: int, col: int, row: int):  # pragma: no cover
+        raise NotImplementedError
+
+
+class CatalogTileFetcher(TileFetcher):
+    """DuckDB point reads from a catalog layer (no Spark on the hot path).
+
+    Over-zoom: when z exceeds the deepest stored zoom, the parent tile is
+    cropped and nearest-upsampled (``TileReader.scala:28-44``).
+    """
+
+    def __init__(self, uri: str, layer_name: str, tile_cols: int | None = None,
+                 tile_rows: int | None = None, band: int = 0):
+        self.uri, self.layer_name = uri, layer_name
+        self.band = band
+        self._zooms = self._list_zooms()
+        if tile_cols is None and self._zooms:
+            from .sources.catalog import read_layer_metadata
+
+            tl = read_layer_metadata(uri, layer_name, self._zooms[-1]).layout.tile_layout
+            tile_cols, tile_rows = tl.tile_cols, tl.tile_rows
+        self.tc = tile_cols or 256
+        self.tr = tile_rows or self.tc
+
+    def _list_zooms(self) -> list[int]:
+        base = os.path.join(self.uri, self.layer_name)
+        if not os.path.isdir(base):
+            return []
+        return sorted(int(d) for d in os.listdir(base) if d.isdigit())
+
+    def _read(self, zoom: int, col: int, row: int):
+        from .sources.catalog import read_value
+
+        rows = read_value(self.uri, self.layer_name, zoom, col, row, band=self.band)
+        if not rows:
+            return None
+        # rows: catalog schema (key_col, key_row[, instant], band, cells, ...)
+        cells = None
+        for r in rows:
+            arr = [c for c in r if isinstance(c, (list, tuple)) and len(c) == self.tc * self.tr]
+            if arr:
+                cells = np.asarray(arr[0], dtype=np.float64)
+                break
+        if cells is None:
+            return None
+        return cells.reshape(self.tr, self.tc)
+
+    def fetch(self, zoom: int, col: int, row: int):
+        if not self._zooms:
+            return None
+        if zoom in self._zooms:
+            return self._read(zoom, col, row)
+        maxz = self._zooms[-1]
+        if zoom < self._zooms[0]:
+            return None
+        # over-zoom: nearest-sample the ancestor at maxz — each output cell
+        # (r, c) reads parent cell (((row % f) * tr + r) // f, ...), exact
+        # for any tile size (crop+repeat only works for power-of-two tiles)
+        dz = zoom - maxz
+        parent = self._read(maxz, col >> dz, row >> dz)
+        if parent is None:
+            return None
+        f = 1 << dz
+        pr = ((row % f) * self.tr + np.arange(self.tr)) // f
+        pc = ((col % f) * self.tc + np.arange(self.tc)) // f
+        return parent[np.ix_(pr, pc)]
+
+
+class PyramidTileFetcher(TileFetcher):
+    """Serve from a driver-held {zoom: TiledRasterLayer} pyramid (collects
+    the requested tile via ``lookup`` — dev-scale only, like the
+    reference's in-memory pyramid path)."""
+
+    def __init__(self, pyramid, band: int = 0):
+        self.pyramid = pyramid
+        self.band = band
+
+    def fetch(self, zoom: int, col: int, row: int):
+        try:
+            layer = self.pyramid[zoom]
+        except KeyError:
+            return None
+        rows = layer.lookup(col, row)
+        if not rows:
+            return None
+        tl = layer.metadata.layout.tile_layout
+        for r in rows:
+            if r["band"] == self.band:
+                return np.asarray(r["cells"], dtype=np.float64).reshape(
+                    tl.tile_rows, tl.tile_cols
+                )
+        return None
+
+
+def render_tile(fetcher: TileFetcher, zoom: int, col: int, row: int,
+                color_map: ColorMap | None = None, render_fn=None,
+                nodata: float | None = None) -> bytes | None:
+    """One tile -> PNG bytes. ``render_fn(cells) -> (h,w,4) uint8`` is the
+    reference's Python-callback hook (``TileRender``, ``tms.py:15-102``);
+    otherwise ``color_map`` classifies to RGBA."""
+    cells = fetcher.fetch(zoom, col, row)
+    if cells is None:
+        return None
+    if render_fn is not None:
+        rgba = np.asarray(render_fn(cells), dtype=np.uint8)
+    else:
+        if color_map is None:
+            raise ValueError("need color_map or render_fn")
+        rgba = rgba_from_packed(color_map.apply(cells, nodata))
+    return encode_png_rgba(rgba)
+
+
+class TmsServer:
+    """Threaded dev HTTP server: GET /{z}/{x}/{y}.png."""
+
+    def __init__(self, fetcher: TileFetcher, color_map: ColorMap | None = None,
+                 render_fn=None, nodata: float | None = None, port: int = 0):
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence
+                pass
+
+            def do_GET(self):
+                try:
+                    parts = self.path.strip("/").removesuffix(".png").split("/")
+                    z, x, y = (int(p) for p in parts[-3:])
+                except ValueError:
+                    self.send_response(400)
+                    self.end_headers()
+                    return
+                png = render_tile(outer.fetcher, z, x, y, outer.color_map,
+                                  outer.render_fn, outer.nodata)
+                if png is None:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(png)))
+                self.end_headers()
+                self.wfile.write(png)
+
+        self.fetcher, self.color_map = fetcher, color_map
+        self.render_fn, self.nodata = render_fn, nodata
+        self._srv = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port = self._srv.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    @property
+    def url_pattern(self) -> str:
+        return f"http://127.0.0.1:{self.port}/{{z}}/{{x}}/{{y}}.png"
+
+    def start(self) -> "TmsServer":
+        self._thread = threading.Thread(target=self._srv.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()

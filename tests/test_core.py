@@ -152,3 +152,45 @@ class TestGeom:
         assert keys == {(0, 1)}
         keys = set(kt.geometry_keys(gps.box(1, 1, 6, 9)))
         assert keys == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+
+class TestMapUDFSurface:
+    """map_cells / map_tiles — the Arrow-native UDF surface (SURVEY §2.13)."""
+
+    def test_map_cells(self, spark, f1_layer):
+        import numpy as np
+
+        out = f1_layer.map_cells(lambda a, nd: a * 10.0)
+        vals = {r.key_col * 2 + r.key_row: np.asarray(r.cells) for r in out.df.collect()}
+        assert vals[0][0] == 0.0 and vals[0][1] == 10.0
+        assert all(v.max() == 10.0 for v in vals.values())
+
+    def test_map_tiles_shape_guard(self, spark, f1_layer):
+        import numpy as np
+        import pytest as _pt
+
+        out = f1_layer.map_tiles(lambda t, nd: t + 1.0)
+        row = out.df.where("key_col = 1 AND key_row = 1").first()
+        assert np.asarray(row.cells).min() == 2.0
+        bad = f1_layer.map_tiles(lambda t, nd: t[:, :2, :2])
+        with _pt.raises(Exception, match="changed shape"):
+            bad.df.collect()
+
+
+class TestCollectMetadata:
+    def test_collect_metadata_from_untiled(self, spark):
+        from geopyspark_spark.core.extent import LocalLayout
+        from geopyspark_spark.sources.geotiff import collect_metadata
+
+        rows = [
+            ("a", 0.0, 5.0, 5.0, 10.0, "epsg:4326", None, 0, 5, 5, [1.0] * 25),
+            ("a", 5.0, 0.0, 10.0, 5.0, "epsg:4326", None, 0, 5, 5, [2.0] * 25),
+        ]
+        from geopyspark_spark.sources.geotiff import UNTILED_SCHEMA
+
+        df = spark.createDataFrame(rows, UNTILED_SCHEMA)
+        md = collect_metadata(df, layout=LocalLayout(5, 5))
+        assert (md.extent.xmin, md.extent.ymin, md.extent.xmax, md.extent.ymax) == (0, 0, 10, 10)
+        tl = md.layout.tile_layout
+        assert (tl.layout_cols, tl.layout_rows, tl.tile_cols) == (2, 2, 5)
+        assert md.num_bands == 1 and md.crs == "epsg:4326"

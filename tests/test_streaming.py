@@ -46,3 +46,29 @@ class TestStreaming:
         for r in rows[:20]:
             assert r["session_end"] >= r["session_start"]
             assert r["n_events"] >= 1
+
+
+class TestStatefulOperator:
+    def test_running_user_totals_equals_batch(self, spark, events_stream, events_batch):
+        """The applyInPandasWithState running totals, after draining all
+        input, must agree with a plain batch aggregation per user (take each
+        user's LAST update: totals are monotone in n_events)."""
+        # the module-scoped stream reads the whole sf directory; rows from
+        # non-event tables project to all-null under EVENTS_SCHEMA and are
+        # dropped here (windowed aggs drop them implicitly via null ts)
+        stream = events_stream.where("ts IS NOT NULL AND user_id IS NOT NULL")
+        got = sev.run_available_now(
+            sev.running_user_totals(stream), "t_state", output_mode="update"
+        )
+        last = (
+            got.groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "sum_value")).alias("s"))
+            .select("user_id", "s.n_events", "s.sum_value")
+        )
+        exp = events_batch.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("sum_value"),
+        )
+        g = {r.user_id: (r.n_events, round(r.sum_value, 6)) for r in last.collect()}
+        x = {r.user_id: (r.n_events, round(r.sum_value, 6)) for r in exp.collect()}
+        assert g == x

@@ -1,0 +1,97 @@
+"""TMS serving tests (reference ``tms.py:104-276``, ``TileReader.scala:19-110``):
+catalog point reads -> ColorMap/callback render -> PNG over HTTP."""
+
+from __future__ import annotations
+
+import struct
+import urllib.request
+import zlib
+
+import numpy as np
+import pytest
+
+from geopyspark_spark import tms as gtms
+from geopyspark_spark.operators.render import ColorMap
+from geopyspark_spark.sources import catalog
+
+
+def _decode_png(png: bytes):
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", png[16:24])
+    idat = b""
+    off = 8
+    while off < len(png):
+        ln, typ = struct.unpack(">I4s", png[off:off + 8])
+        if typ == b"IDAT":
+            idat += png[off + 8:off + 8 + ln]
+        off += 12 + ln
+    raw = zlib.decompress(idat)
+    rows = [raw[r * (1 + 4 * w) + 1:(r + 1) * (1 + 4 * w)] for r in range(h)]
+    return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w, 4)
+
+
+@pytest.fixture(scope="module")
+def served_catalog(spark, f1_layer, tmp_path_factory):
+    uri = str(tmp_path_factory.mktemp("cat"))
+    catalog.write(uri, "f1", f1_layer, zoom=3)
+    return uri
+
+
+class TestCatalogFetcher:
+    def test_fetch_stored_zoom(self, served_catalog):
+        f = gtms.CatalogTileFetcher(served_catalog, "f1")
+        cells = f.fetch(3, 0, 0)
+        assert cells.shape == (5, 5)
+        assert cells[0, 0] == 0.0 and cells[1, 1] == 1.0
+
+    def test_fetch_missing_tile(self, served_catalog):
+        f = gtms.CatalogTileFetcher(served_catalog, "f1")
+        assert f.fetch(3, 9, 9) is None
+
+    def test_over_zoom_crops_and_upsamples(self, served_catalog):
+        f = gtms.CatalogTileFetcher(served_catalog, "f1")
+        # z=4 quadrants of tile (0,0); NW quadrant holds the 0.0 corner
+        nw = f.fetch(4, 0, 0)
+        assert nw.shape == (5, 5)  # floor crop of 2.5 -> 2x2 repeated; shape kept?
+        # value content: corner cell 0 upsampled
+        assert nw[0, 0] == 0.0
+
+
+class TestRenderAndServe:
+    def test_render_tile_colormap(self, served_catalog):
+        f = gtms.CatalogTileFetcher(served_catalog, "f1")
+        cm = ColorMap.from_colors(breaks=[0.5, 2.0], colors=[0xFF0000FF, 0x00FF00FF])
+        png = gtms.render_tile(f, 3, 0, 0, color_map=cm)
+        rgba = _decode_png(png)
+        assert rgba.shape == (5, 5, 4)
+        assert tuple(rgba[0, 0]) == (255, 0, 0, 255)   # 0.0 <= 0.5 -> red
+        assert tuple(rgba[1, 1]) == (0, 255, 0, 255)   # 1.0 -> green
+
+    def test_render_tile_python_callback(self, served_catalog):
+        f = gtms.CatalogTileFetcher(served_catalog, "f1")
+
+        def render_fn(cells):
+            g = (cells * 200).astype(np.uint8)
+            return np.stack([g, g, g, np.full_like(g, 255)], axis=-1)
+
+        png = gtms.render_tile(f, 3, 0, 0, render_fn=render_fn)
+        rgba = _decode_png(png)
+        assert tuple(rgba[1, 1][:3]) == (200, 200, 200)
+
+    def test_http_server_end_to_end(self, served_catalog):
+        f = gtms.CatalogTileFetcher(served_catalog, "f1")
+        cm = ColorMap.from_colors(breaks=[0.5, 2.0], colors=[0xFF0000FF, 0x00FF00FF])
+        srv = gtms.TmsServer(f, color_map=cm).start()
+        try:
+            url = srv.url_pattern.format(z=3, x=0, y=0)
+            with urllib.request.urlopen(url, timeout=10) as resp:
+                assert resp.status == 200
+                assert resp.headers["Content-Type"] == "image/png"
+                rgba = _decode_png(resp.read())
+            assert rgba.shape == (5, 5, 4)
+            # missing tile -> 404
+            bad = srv.url_pattern.format(z=3, x=9, y=9)
+            with pytest.raises(urllib.error.HTTPError, match="404"):
+                urllib.request.urlopen(bad, timeout=10)
+        finally:
+            srv.stop()
