@@ -27,11 +27,15 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5_nation_revenue",
     "window_rank",
-    # events / text / embeddings pipelines
+    "raster_reproject",
+    # events / text / embeddings / multimodal pipelines
     "events_tumbling",
+    "events_session",
     "text_minhash",
     "text_lsh_pairs",
     "emb_knn",
+    "emb_near_dup",
+    "multimodal_features",
 ]
 
 

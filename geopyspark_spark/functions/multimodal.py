@@ -73,6 +73,20 @@ def fake_image_decoder(data: bytes) -> np.ndarray:
     return vals.reshape(side, side, 3).astype(np.float64)
 
 
+def payload_image_decoder(data: bytes, side: int = 8, channels: int = 3) -> np.ndarray:
+    """Deterministic fake decoder whose pixels are the payload bytes
+    themselves, cyclically repeated to fill (side, side, channels) — unlike
+    :func:`fake_image_decoder` this is reproducible in plain SQL
+    (``ascii(substr(payload, (3*i+c) % len + 1, 1))``), so multimodal
+    feature extraction can run under the DuckDB oracle gate."""
+    n = side * side * channels
+    if not data:
+        return np.zeros((side, side, channels))
+    buf = np.frombuffer(data, dtype=np.uint8)
+    idx = np.arange(n) % len(buf)
+    return buf[idx].reshape(side, side, channels).astype(np.float64)
+
+
 def image_features(df: DataFrame, data_col: str = "data",
                    decoder: Callable[[bytes], np.ndarray] | None = None) -> DataFrame:
     """Decode + per-channel mean/std feature extraction.

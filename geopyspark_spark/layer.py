@@ -252,6 +252,14 @@ class TiledRasterLayer:
 
     # --- operators implemented in sibling modules (bound late to avoid
     #     import cycles; see operators/*.py) ------------------------------
+    def mask_distributed(self, geom_df: DataFrame, geom_col: str = "geometry") -> "TiledRasterLayer":
+        """Mask by a DataFrame of WKB geometries (the reference's
+        RDD-of-geometries path, ``layer.py:2088-2103``) — spatial join:
+        explode geoms to keys, per-key collect, equi-join, mask kernel."""
+        from .operators import zonal
+
+        return zonal.mask_distributed(self, geom_df, geom_col)
+
     def mask(self, geometries, partial: bool = False) -> "TiledRasterLayer":
         from .operators import zonal
 

@@ -241,3 +241,83 @@ def point_values(layer: "TiledRasterLayer", points, resample_method: str = "Near
             bands = out.get(i)
             result.append((p, [bands[b] for b in sorted(bands)] if bands else None))
     return result
+
+
+def mask_distributed(layer: "TiledRasterLayer", geom_df: DataFrame,
+                     geom_col: str = "geometry") -> "TiledRasterLayer":
+    """Mask by a DataFrame of geometries — the reference's distributed mask
+    path (``TiledRasterLayer.scala:97-124``: clipToGrid -> groupByKey ->
+    join), re-expressed as the canonical Spark spatial join:
+
+    1. explode each geometry (WKB) to the layer keys its envelope covers,
+       with an exact intersects test (``mapInPandas``, per-geometry work);
+    2. ``groupBy(key).agg(collect_list(wkb))`` — one shuffle of geometry
+       bytes, not tiles;
+    3. inner equi-join with the tile DataFrame on the spatial key (AQE
+       broadcasts the geometry side when small) — non-covered tiles are
+       pruned by the join itself;
+    4. per-tile mask kernel (cell-center containment, NoData elsewhere).
+
+    Scales: geometry bytes shuffle ~ O(geoms x covered keys); tiles never
+    shuffle (the join key is the tiles' existing distribution when the
+    layer is z-order partitioned).
+    """
+    import pandas as pd
+
+    from ..core.geom import from_wkb
+
+    md = layer.metadata
+    layout = md.layout
+    tl = layout.tile_layout
+    kt = layer.key_transform
+    tc, tr = tl.tile_cols, tl.tile_rows
+    cw, ch = layout.cell_width, layout.cell_height
+    exmin, eymax = layout.extent.xmin, layout.extent.ymax
+    nd = float("nan") if md.nodata is None else float(md.nodata)
+
+    key_schema = "key_col int, key_row int, wkb binary"
+
+    def explode_keys(batches):
+        for pdf in batches:
+            out = {"key_col": [], "key_row": [], "wkb": []}
+            for data in pdf[geom_col]:
+                g = from_wkb(bytes(data))
+                for (kc, kr) in kt.geometry_keys(g):
+                    out["key_col"].append(kc)
+                    out["key_row"].append(kr)
+                    out["wkb"].append(bytes(data))
+            yield pd.DataFrame(out)
+
+    keyed = geom_df.select(geom_col).mapInPandas(explode_keys, schema=key_schema)
+    per_key = keyed.groupBy("key_col", "key_row").agg(
+        F.collect_list("wkb").alias("_geoms")
+    )
+
+    joined = layer.df.join(per_key, ["key_col", "key_row"], "inner")
+    schema = layer.df.schema
+
+    def mask_batch(batches):
+        col_idx = np.tile(np.arange(tc), tr).astype(float)
+        row_idx = np.repeat(np.arange(tr), tc).astype(float)
+        for pdf in batches:
+            cells_out = []
+            for kc, kr, cells, blobs in zip(
+                pdf["key_col"], pdf["key_row"], pdf["cells"], pdf["_geoms"]
+            ):
+                x = exmin + int(kc) * tc * cw + (col_idx + 0.5) * cw
+                y = eymax - int(kr) * tr * ch - (row_idx + 0.5) * ch
+                inside = np.zeros(tc * tr, dtype=bool)
+                for blob in blobs:
+                    g = from_wkb(bytes(blob))
+                    if isinstance(g, (Polygon, MultiPolygon)):
+                        inside |= g.contains_points(x, y)
+                    elif isinstance(g, Point):
+                        inside |= (np.abs(x - g.x) <= cw / 2) & (np.abs(y - g.y) <= ch / 2)
+                arr = np.asarray(cells, dtype=np.float64)
+                cells_out.append(np.where(inside, arr, nd))
+            out = pdf.drop(columns=["_geoms"]).copy()
+            out["cells"] = cells_out
+            yield out
+
+    out = joined.mapInPandas(mask_batch, schema=schema)
+    return layer._with(out)

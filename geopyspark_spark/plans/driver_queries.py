@@ -1460,6 +1460,82 @@ def q_emb_lsh_knn(spark, sf_dir):
     return fsim.lsh_knn(_t(spark, sf_dir, "embeddings"), KNN_QUERIES, k=5, num_planes=6)
 
 
+def q_raster_mask_distributed(spark, sf_dir):
+    """Distributed mask: two disjoint boxes arrive as a WKB geometry
+    DataFrame -> spatial join (explode-to-keys, per-key collect, equi-join,
+    kernel). Oracle: union of the two box interiors."""
+    from ..core.geom import to_wkb
+
+    layer = lineitem_layer(spark, sf_dir)
+    geoms = spark.createDataFrame(
+        [(bytearray(to_wkb(gps.box(2, 2, 10, 10))),),
+         (bytearray(to_wkb(gps.box(20, 20, 30, 30))),)],
+        "geometry binary",
+    )
+    masked = layer.mask_distributed(geoms)
+    long = masked.explode().where(~_is_nd(F.col("value"), layer.nodata))
+    return long.select("key_col", "key_row", "pos", "value")
+
+
+# box (x0,y0,x1,y1) keeps cell centers: gcol in [x0, x1-1], grow in
+# [GRID-y1, GRID-y0-1] (row-0-north)
+SQL_RASTER_MASK_DISTRIBUTED = CELLS_CTE + f"""
+SELECT key_col, key_row, pos, value
+FROM coords
+WHERE (gcol BETWEEN 2 AND 9 AND grow BETWEEN {GRID - 10} AND {GRID - 3})
+   OR (gcol BETWEEN 20 AND 29 AND grow BETWEEN {GRID - 30} AND {GRID - 21})
+"""
+
+
+def q_raster_union(spark, sf_dir):
+    """union keeps duplicate keys (``union.py:10-58``); summing per cell
+    over a layer unioned with its double gives 3x the value."""
+    layer = lineitem_layer(spark, sf_dir)
+    u = gps.union([layer, layer * 2])
+    agg = u.aggregate_by_cell("Sum")
+    return _explode_result(agg)
+
+
+SQL_RASTER_UNION = CELLS_CTE + """
+SELECT key_col, key_row, pos, value * 3.0 AS value FROM coords
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing under the oracle gate: documents' text bytes as
+    an opaque binary media column -> mapInPandas decode (payload-derived
+    deterministic decoder) -> per-channel mean/std features, long format."""
+    from ..functions import multimodal as fmm
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("data")
+    )
+    feats = fmm.image_features(docs, decoder=fmm.payload_image_decoder)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("feat_idx", "v")
+    ).select("doc_id", "feat_idx", F.round("v", 6).alias("value"))
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH d AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
+px AS (
+  SELECT doc_id, CAST(c.c AS INT) AS ch,
+         CASE WHEN len = 0 THEN 0.0
+              ELSE CAST(ascii(substr(text, CAST((3 * i.i + c.c) % len AS INT) + 1, 1)) AS DOUBLE)
+         END AS v
+  FROM d, range(64) i(i), range(3) c(c)
+),
+stats AS (
+  SELECT doc_id, ch, AVG(v) AS m,
+         sqrt(greatest(AVG(v * v) - AVG(v) * AVG(v), 0.0)) AS s
+  FROM px GROUP BY 1, 2
+)
+SELECT doc_id, ch AS feat_idx, round(m, 6) AS value FROM stats
+UNION ALL
+SELECT doc_id, ch + 3 AS feat_idx, round(s, 6) AS value FROM stats
+"""
+
+
 def q_emb_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup: exact all-pairs >= 0.45 (the synthetic
     corpus peaks at ~0.51, so the result is non-empty with no pairs near the
@@ -1518,6 +1594,8 @@ def queries():
         "raster_tobler": q_raster_tobler,
         "raster_resample": q_raster_resample,
         "raster_map_cells": q_raster_map_cells,
+        "raster_mask_distributed": q_raster_mask_distributed,
+        "raster_union": q_raster_union,
         # relational surface
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -1546,6 +1624,8 @@ def queries():
         "emb_norm_stats": q_emb_norm_stats,
         "emb_lsh_knn": q_emb_lsh_knn,
         "emb_near_dup": q_emb_near_dup,
+        # multimodal
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -1583,6 +1663,8 @@ def oracle_sql():
         "raster_tobler": SQL_RASTER_TOBLER,
         "raster_resample": SQL_RASTER_RESAMPLE,
         "raster_map_cells": SQL_RASTER_MAP_CELLS,
+        "raster_mask_distributed": SQL_RASTER_MASK_DISTRIBUTED,
+        "raster_union": SQL_RASTER_UNION,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,
@@ -1606,5 +1688,6 @@ def oracle_sql():
         "emb_knn": SQL_EMB_KNN,
         "emb_norm_stats": SQL_EMB_NORM_STATS,
         "emb_near_dup": SQL_EMB_NEAR_DUP,
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
         # emb_lsh_knn: rows-only
     }
