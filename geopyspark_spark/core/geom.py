@@ -83,6 +83,9 @@ class MultiPolygon:
             out |= p.contains_points(x, y)
         return out
 
+    def contains_point(self, px: float, py: float) -> bool:
+        return bool(self.contains_points(np.array([px]), np.array([py]))[0])
+
 
 Geometry = Point | Polygon | MultiPolygon
 

@@ -203,28 +203,63 @@ def point_values(layer: "TiledRasterLayer", points, resample_method: str = "Near
 
     Temporal layers return every instant per point (reference semantics).
     """
-    if resample_method != "NearestNeighbor":
+    if resample_method not in ("NearestNeighbor", "Bilinear"):
         raise NotImplementedError(
-            "only NearestNeighbor point sampling is implemented; the reference's "
-            "bilinear/cubic variants (layer.py:2215-2345) are planned"
+            f"point resampling {resample_method!r} not implemented (the "
+            "reference's cubic variants need scipy, absent here)"
         )
     from ..layer import _normalize_geoms
 
     pts = [g for g in _normalize_geoms(points)]
     kt = layer.key_transform
-    tl = layer.layout.tile_layout
+    layout = layer.layout
+    tl = layout.tile_layout
     rows = []
-    for i, p in enumerate(pts):
-        kc, kr, tc, tr = kt.point_cell(p.x, p.y)
-        rows.append((i, kc, kr, tr * tl.tile_cols + tc))
+    if resample_method == "NearestNeighbor":
+        for i, p in enumerate(pts):
+            kc, kr, tc, tr = kt.point_cell(p.x, p.y)
+            rows.append((i, kc, kr, tr * tl.tile_cols + tc, 1.0))
+    else:
+        # bilinear: 4 surrounding cell centers with tensor weights; points
+        # whose support extends past the layer edge return None (strict
+        # NoData propagation, matching the local-op rules)
+        import math as _m
+
+        cw, ch = layout.cell_width, layout.cell_height
+        e = layout.extent
+        for i, p in enumerate(pts):
+            fc = (p.x - e.xmin) / cw - 0.5
+            fr = (e.ymax - p.y) / ch - 0.5
+            c0, r0 = _m.floor(fc), _m.floor(fr)
+            wx, wy = fc - c0, fr - r0
+            for dc, dr, w in ((0, 0, (1 - wx) * (1 - wy)), (1, 0, wx * (1 - wy)),
+                              (0, 1, (1 - wx) * wy), (1, 1, wx * wy)):
+                gc, gr = c0 + dc, r0 + dr
+                if not (0 <= gc < tl.total_cols and 0 <= gr < tl.total_rows):
+                    continue
+                kc, kr = gc // tl.tile_cols, gr // tl.tile_rows
+                pos = (gr % tl.tile_rows) * tl.tile_cols + (gc % tl.tile_cols)
+                rows.append((i, kc, kr, pos, float(w)))
+
     spark = layer.df.sparkSession
-    pdf = spark.createDataFrame(rows, "pt_id int, key_col int, key_row int, pos int")
+    pdf = spark.createDataFrame(rows, "pt_id int, key_col int, key_row int, pos int, w double")
     joined = layer.df.join(F.broadcast(pdf), ["key_col", "key_row"])
-    sel = joined.select(
-        "pt_id",
-        *( ["instant"] if layer.is_temporal else [] ),
-        "band",
-        F.element_at(F.col("cells"), F.col("pos") + 1).alias("value"),
+    cell = F.element_at(F.col("cells"), F.col("pos") + 1)
+    nd = layer.nodata
+    gcols = ["pt_id"] + (["instant"] if layer.is_temporal else []) + ["band"]
+    per_cell = joined.select(*gcols, cell.alias("v"), "w")
+    agg = per_cell.groupBy(*gcols).agg(
+        F.sum(F.col("w") * F.col("v")).alias("wv"),
+        F.sum("w").alias("wsum"),
+        F.max(_is_nd(F.col("v"), nd).cast("int")).alias("any_nd"),
+        F.count("*").alias("n"),
+    )
+    expected = 1 if resample_method == "NearestNeighbor" else 4
+    sel = agg.select(
+        *gcols,
+        F.when(
+            (F.col("any_nd") == 0) & (F.col("n") == expected), F.col("wv")
+        ).alias("value"),
     )
     collected = sel.collect()
     out: dict = {}
@@ -239,7 +274,10 @@ def point_values(layer: "TiledRasterLayer", points, resample_method: str = "Near
                     result.append((p, instant, [bands[b] for b in sorted(bands)]))
         else:
             bands = out.get(i)
-            result.append((p, [bands[b] for b in sorted(bands)] if bands else None))
+            vals = [bands[b] for b in sorted(bands)] if bands else None
+            if vals is not None and all(v is None for v in vals):
+                vals = None  # nothing sampled (edge/NoData support)
+            result.append((p, vals))
     return result
 
 

@@ -651,6 +651,43 @@ def _sql_point_values() -> str:
     return CELLS_CTE + " UNION ALL ".join(cases)
 
 
+BILINEAR_SAMPLES = [(2.75, 29.25), (10.2, 20.8), (17.6, 12.3), (30.9, 1.1)]
+
+
+def q_raster_point_bilinear(spark, sf_dir):
+    """Bilinear point sampling at off-center coords (4-cell tensor weights)."""
+    layer = lineitem_layer(spark, sf_dir)
+    pts = [gps.Point(x, y) for x, y in BILINEAR_SAMPLES]
+    got = layer.get_point_values(pts, resample_method="Bilinear")
+    rows = []
+    for i, (p, bands) in enumerate(got):
+        for b, v in enumerate(bands or []):
+            if v is not None:
+                rows.append((i, b, round(float(v), 6)))
+    return spark.createDataFrame(rows, "pt_id int, band int, value double")
+
+
+def _sql_point_bilinear() -> str:
+    vals = ", ".join(f"({i}, {x!r}, {y!r})" for i, (x, y) in enumerate(BILINEAR_SAMPLES))
+    return CELLS_CTE + f"""
+, pts(pt_id, px, py) AS (VALUES {vals}),
+frac AS (
+  SELECT pt_id, px - 0.5 AS fc, (32.0 - py) - 0.5 AS fr FROM pts
+),
+cells4 AS (
+  SELECT pt_id,
+         CAST(floor(fc) AS INT) + dc.i AS gcol,
+         CAST(floor(fr) AS INT) + dr.i AS grow,
+         (CASE WHEN dc.i = 0 THEN 1 - (fc - floor(fc)) ELSE fc - floor(fc) END) *
+         (CASE WHEN dr.i = 0 THEN 1 - (fr - floor(fr)) ELSE fr - floor(fr) END) AS w
+  FROM frac, range(2) dc(i), range(2) dr(i)
+)
+SELECT c4.pt_id, CAST(0 AS INT) AS band, round(SUM(c4.w * coords.value), 6) AS value
+FROM cells4 c4 JOIN coords ON coords.gcol = c4.gcol AND coords.grow = c4.grow
+GROUP BY 1, 2
+"""
+
+
 def q_raster_rasterize(spark, sf_dir):
     """Burn two overlapping boxes (z-index priority) into the fixture
     layout; output valid cells with global coords."""
@@ -1585,6 +1622,7 @@ def queries():
         "raster_focal_circle": q_raster_focal_circle,
         "raster_filter_by_times": q_raster_filter_by_times,
         "raster_point_values": q_raster_point_values,
+        "raster_point_bilinear": q_raster_point_bilinear,
         "raster_rasterize": q_raster_rasterize,
         "raster_euclidean_distance": q_raster_euclidean_distance,
         "raster_cost_distance": q_raster_cost_distance,
@@ -1654,6 +1692,7 @@ def oracle_sql():
         "raster_focal_circle": SQL_RASTER_FOCAL_CIRCLE,
         "raster_filter_by_times": SQL_RASTER_FILTER_BY_TIMES,
         "raster_point_values": _sql_point_values(),
+        "raster_point_bilinear": _sql_point_bilinear(),
         "raster_rasterize": SQL_RASTER_RASTERIZE,
         "raster_euclidean_distance": SQL_RASTER_EUCLIDEAN,
         "raster_cost_distance": SQL_RASTER_COST_DISTANCE,

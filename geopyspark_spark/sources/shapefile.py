@@ -7,10 +7,10 @@ Feature DataFrame schema (FIXTURES.md F4):
     geometry: binary (WKB, little-endian), properties: map<string,string>,
     value: double, zindex: int
 
-Shapefile parsing needs pyogrio/fiona (absent here) — gated behind
-``NotImplementedError``; ``from_features`` (any iterable of (geometry,
-properties)) and GeoJSON dict ingest are fully functional with the
-package's own WKB encoder.
+Shapefile parsing is pure Python against the public ESRI spec (Point and
+Polygon shapes, dBASE III attributes) — no GDAL/pyogrio needed;
+``from_features`` (any iterable of (geometry, properties)) and GeoJSON
+dict ingest share the same WKB feature schema.
 """
 
 from __future__ import annotations
@@ -78,14 +78,131 @@ def _geom_from_geojson(g: dict) -> Geometry:
     raise ValueError(f"unsupported GeoJSON geometry type {t}")
 
 
+def _signed_area(ring) -> float:
+    a = 0.0
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+        a += x1 * y2 - x2 * y1
+    return a / 2.0
+
+
+def read_shp(path: str) -> list[Geometry]:
+    """Parse an ESRI shapefile (.shp) — the public spec (ESRI 1998 white
+    paper): 100-byte header, then records of (big-endian record header,
+    little-endian shape content). Supports Point (1) and Polygon (5);
+    polygon parts split into shells (clockwise = negative signed area in
+    the spec's orientation) and holes, holes attached to the preceding
+    shell, multiple shells -> MultiPolygon."""
+    import struct
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    (code,) = struct.unpack(">i", buf[:4])
+    if code != 9994:
+        raise ValueError(f"{path}: not a shapefile (file code {code})")
+    (flen_words,) = struct.unpack(">i", buf[24:28])
+    end = flen_words * 2
+    geoms: list[Geometry] = []
+    off = 100
+    while off < end:
+        (_recno, clen) = struct.unpack(">ii", buf[off:off + 8])
+        content = buf[off + 8:off + 8 + clen * 2]
+        off += 8 + clen * 2
+        (stype,) = struct.unpack("<i", content[:4])
+        if stype == 0:      # null shape
+            continue
+        if stype == 1:      # Point
+            x, y = struct.unpack("<dd", content[4:20])
+            geoms.append(Point(x, y))
+        elif stype == 5:    # Polygon
+            nparts, npoints = struct.unpack("<ii", content[36:44])
+            parts = struct.unpack(f"<{nparts}i", content[44:44 + 4 * nparts])
+            pts_off = 44 + 4 * nparts
+            pts = struct.unpack(f"<{2 * npoints}d", content[pts_off:pts_off + 16 * npoints])
+            rings = []
+            bounds = list(parts) + [npoints]
+            for i in range(nparts):
+                ring = [(pts[2 * j], pts[2 * j + 1]) for j in range(bounds[i], bounds[i + 1])]
+                rings.append(tuple(ring))
+            shells: list[tuple[tuple, list]] = []
+            for ring in rings:
+                if _signed_area(ring) <= 0:   # clockwise: outer ring
+                    shells.append((ring, []))
+                elif shells:                   # counter-clockwise: hole
+                    shells[-1][1].append(ring)
+                else:                          # malformed: promote to shell
+                    shells.append((ring, []))
+            polys = [Polygon(s, tuple(h)) for s, h in shells]
+            geoms.append(polys[0] if len(polys) == 1 else MultiPolygon(tuple(polys)))
+        else:
+            raise NotImplementedError(f"{path}: shape type {stype} (only Point/Polygon)")
+    return geoms
+
+
+def read_dbf(path: str) -> list[dict]:
+    """Parse the attribute table (.dbf, dBASE III): fixed-width ASCII
+    records described by 32-byte field descriptors."""
+    import struct
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    n_rec, hdr_size, rec_size = struct.unpack("<ihh", buf[4:12])
+    fields = []
+    off = 32
+    while buf[off] != 0x0D:
+        name = buf[off:off + 11].split(b"\0")[0].decode("ascii", "replace")
+        length = buf[off + 16]
+        fields.append((name, length))
+        off += 32
+    out = []
+    off = hdr_size
+    for _ in range(n_rec):
+        rec = buf[off:off + rec_size]
+        off += rec_size
+        if rec[:1] == b"*":   # deleted
+            continue
+        props, p = {}, 1
+        for name, length in fields:
+            props[name] = rec[p:p + length].decode("ascii", "replace").strip()
+            p += length
+        out.append(props)
+    return out
+
+
 def get(spark: SparkSession, uri: str, extensions=(".shp",), num_partitions: int | None = None) -> DataFrame:
-    """Shapefile ingest — requires pyogrio/fiona (not in this container)."""
-    try:
-        import pyogrio  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "shapefile parsing requires pyogrio/fiona (absent here); use "
-            "from_features/from_geojson, which produce the identical feature "
-            "DataFrame schema"
-        ) from e
-    raise NotImplementedError("pyogrio path not exercised in this container")
+    """Shapefile ingest with the pure-Python parser: file discovery on the
+    driver, per-file parse distributed via ``mapInPandas`` (the reference's
+    per-URI RDD union, ``ShapefileRDD.scala:24-57``). Attributes come from
+    the sibling .dbf when present."""
+    import os
+
+    import pandas as pd
+
+    if os.path.isdir(uri):
+        paths = sorted(
+            os.path.join(uri, p) for p in os.listdir(uri)
+            if any(p.endswith(e) for e in extensions)
+        )
+    else:
+        paths = [uri]
+    if not paths:
+        raise ValueError(f"no {extensions} files under {uri}")
+
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    if num_partitions:
+        pdf = pdf.repartition(num_partitions)
+
+    def parse(batches):
+        for b in batches:
+            rows = {"geometry": [], "properties": [], "value": [], "zindex": []}
+            for path in b["path"]:
+                geoms = read_shp(path)
+                dbf = path[:-4] + ".dbf"
+                props = read_dbf(dbf) if os.path.exists(dbf) else [{}] * len(geoms)
+                for g, pr in zip(geoms, props):
+                    rows["geometry"].append(to_wkb(g))
+                    rows["properties"].append({str(k): str(v) for k, v in pr.items()})
+                    rows["value"].append(None)
+                    rows["zindex"].append(0)
+            yield pd.DataFrame(rows)
+
+    return pdf.mapInPandas(parse, schema=FEATURE_SCHEMA)

@@ -200,6 +200,10 @@ class TestVectorIngest:
         g = gps.from_wkb(bytes(row["geometry"]))
         assert g.bounds == (0, 0, 2, 2)
 
-    def test_shapefile_stub(self, spark):
-        with pytest.raises(NotImplementedError, match="pyogrio"):
-            shp.get(spark, "/tmp/fake.shp")
+    def test_shapefile_bad_file(self, spark, tmp_path):
+        # the pure-Python parser rejects non-shapefile bytes with a clear
+        # error (full reader coverage lives in test_shapefile.py)
+        p = tmp_path / "fake.shp"
+        p.write_bytes(b"\0" * 128)
+        with pytest.raises(Exception, match="not a shapefile"):
+            shp.get(spark, str(p)).collect()

@@ -76,6 +76,20 @@ class TestPointValues:
         assert got[0][1] == [0.0]  # corner zero cell
         assert got[1][1] == [1.0]
 
+    def test_point_sample_bilinear(self, f1_layer):
+        """At a cell center bilinear == that cell; midway between the 0.0
+        corner cell center (0.5, 9.5) and its east neighbor (1.5, 9.5) the
+        interpolation is 0.5; past the layer edge -> None (strict)."""
+        pts = [gps.Point(7.5, 2.5), gps.Point(1.0, 9.5), gps.Point(0.1, 9.9)]
+        got = f1_layer.get_point_values(pts, resample_method="Bilinear")
+        assert got[0][1] == [1.0]
+        assert got[1][1] == [pytest.approx(0.5)]
+        assert got[2][1] is None  # support crosses the N/W layer edge
+
+    def test_unsupported_resample(self, f1_layer):
+        with pytest.raises(NotImplementedError):
+            f1_layer.get_point_values([gps.Point(1, 1)], resample_method="CubicSpline")
+
 
 class TestTemporal:
     @pytest.fixture(scope="class")
