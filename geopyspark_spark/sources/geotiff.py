@@ -211,3 +211,31 @@ def collect_metadata(df: DataFrame, crs: str | None = None, cell_type: str = "fl
         extent=extent,
         num_bands=int(agg.max_band) + 1,
     )
+
+
+def read_ordered_to_layout(spark: SparkSession, source_infos, metadata,
+                           sizer=None, decoder=None) -> "DataFrame":
+    """Band-mapped multi-source read (reference ``SourceInfo.
+    source_to_target_band``, ``vlm/RasterSource.scala:173-255``
+    ``readOrderedToLayout``): each source contributes selected bands at
+    chosen target positions; sources union and assemble per key.
+
+    ``source_infos``: list of (uri, {source_band: target_band}). Returns
+    the long (key, band, pos, value) DataFrame ready for
+    ``TiledRasterLayer.assemble`` (target band ids need not be dense).
+    """
+    from pyspark.sql import functions as F
+
+    parts = []
+    for uri, band_map in source_infos:
+        df = get(spark, uri, crs=metadata.crs, sizer=sizer, decoder=decoder)
+        df = df.where(F.col("band").isin(list(band_map.keys())))
+        mapping = F.create_map(
+            *[F.lit(x) for kv in band_map.items() for x in kv]
+        )
+        df = df.withColumn("band", mapping[F.col("band")])
+        parts.append(df)
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return tile_untiled_to_layout(unioned, metadata)

@@ -65,9 +65,15 @@ def _geo_keys(crs: str) -> list[int]:
     return out
 
 
-def encode_geotiff(cells: np.ndarray, extent: Extent, crs: str,
-                   nodata: float | None = None, compress: bool = True) -> bytes:
-    """Encode a (bands, rows, cols) array as GeoTIFF bytes."""
+_NEW_SUBFILE_TYPE = 254
+
+
+def _build_segment(cells: np.ndarray, extent: Extent, crs: str,
+                   nodata: float | None, compress: bool, base: int,
+                   overview: bool) -> tuple[bytes, int]:
+    """Build strip+aux+IFD bytes for one image page starting at absolute
+    file offset ``base``. Returns (segment_bytes, ifd_offset). The IFD's
+    next-IFD pointer is left zeroed at the segment's final 4 bytes."""
     cells = np.asarray(cells)
     if cells.ndim == 2:
         cells = cells[None, :, :]
@@ -82,6 +88,9 @@ def encode_geotiff(cells: np.ndarray, extent: Extent, crs: str,
     )
     raw = pix.tobytes()
     data = zlib.compress(raw, 6) if compress else raw
+    strip_len = len(data)           # byte count excludes the alignment pad
+    if len(data) % 2:
+        data += b"\0"
 
     cw = extent.width / cols
     ch = extent.height / rows
@@ -97,7 +106,9 @@ def encode_geotiff(cells: np.ndarray, extent: Extent, crs: str,
         vs = values if isinstance(values, (list, tuple)) else [values]
         entries.append((tag, typ, len(vs), b"".join(struct.pack(pack, v) for v in vs)))
 
-    strip_offset = 8  # strip data goes right after the header
+    strip_offset = base
+    if overview:
+        add(_NEW_SUBFILE_TYPE, _TYPE_LONG, 1)  # reduced-resolution page
     add(_IMAGE_WIDTH, _TYPE_LONG, cols)
     add(_IMAGE_LENGTH, _TYPE_LONG, rows)
     add(_BITS_PER_SAMPLE, _TYPE_SHORT, [bits] * bands)
@@ -106,7 +117,7 @@ def encode_geotiff(cells: np.ndarray, extent: Extent, crs: str,
     add(_STRIP_OFFSETS, _TYPE_LONG, strip_offset)
     add(_SAMPLES_PER_PIXEL, _TYPE_SHORT, bands)
     add(_ROWS_PER_STRIP, _TYPE_LONG, rows)
-    add(_STRIP_BYTE_COUNTS, _TYPE_LONG, len(data))
+    add(_STRIP_BYTE_COUNTS, _TYPE_LONG, strip_len)
     add(_PLANAR_CONFIG, _TYPE_SHORT, 1)
     add(_SAMPLE_FORMAT, _TYPE_SHORT, [fmt] * bands)
     add(_MODEL_PIXEL_SCALE, _TYPE_DOUBLE, [cw, ch, 0.0])
@@ -116,12 +127,9 @@ def encode_geotiff(cells: np.ndarray, extent: Extent, crs: str,
         nd = int(nodata) if float(nodata).is_integer() else nodata
         add(_GDAL_NODATA, _TYPE_ASCII, str(nd))
 
-    # layout: header | strip | out-of-line tag values | IFD
+    # layout within the segment: strip | out-of-line tag values | IFD
     aux_offset = strip_offset + len(data)
     aux = bytearray()
-    ifd_entries = b""
-    ifd_offset_pos = aux_offset  # filled after aux is known
-    # first pass: compute aux placements
     placed = []
     for tag, typ, count, payload in sorted(entries):
         size = count * _TYPE_SIZE[typ]
@@ -133,13 +141,43 @@ def encode_geotiff(cells: np.ndarray, extent: Extent, crs: str,
             if len(aux) % 2:  # word-align
                 aux.extend(b"\0")
     ifd_offset = aux_offset + len(aux)
+    ifd_entries = b""
     for tag, typ, count, inline, off in placed:
         val = inline if inline is not None else struct.pack("<I", off)
         ifd_entries += struct.pack("<HHI", tag, typ, count) + val
-
-    header = struct.pack("<2sHI", b"II", 42, ifd_offset)
     ifd = struct.pack("<H", len(placed)) + ifd_entries + struct.pack("<I", 0)
-    return header + data + bytes(aux) + ifd
+    return data + bytes(aux) + ifd, ifd_offset
+
+
+def encode_geotiff(cells: np.ndarray, extent: Extent, crs: str,
+                   nodata: float | None = None, compress: bool = True) -> bytes:
+    """Encode a (bands, rows, cols) array as GeoTIFF bytes."""
+    seg, ifd_offset = _build_segment(cells, extent, crs, nodata, compress, 8, False)
+    return struct.pack("<2sHI", b"II", 42, ifd_offset) + seg
+
+
+def encode_geotiff_with_overviews(levels: list[tuple[np.ndarray, Extent]], crs: str,
+                                  nodata: float | None = None,
+                                  compress: bool = True) -> bytes:
+    """Cloud-optimized-style GeoTIFF: full-resolution first IFD + chained
+    reduced-resolution overview IFDs (NewSubfileType=1), the overview
+    structure of the reference's COG export (``catalog.write use_cogs``,
+    ``to_geotiff_rdd`` overview decimations ``TileLayer.scala:44-114``).
+    ``levels`` is ordered finest -> coarsest."""
+    if not levels:
+        raise ValueError("need at least one level")
+    segments: list[bytes] = []
+    ifd_offsets: list[int] = []
+    base = 8
+    for i, (cells, extent) in enumerate(levels):
+        seg, ifd_off = _build_segment(cells, extent, crs, nodata, compress, base, i > 0)
+        segments.append(seg)
+        ifd_offsets.append(ifd_off)
+        base += len(seg)
+    # chain next-IFD pointers (last 4 bytes of each segment)
+    for i in range(len(segments) - 1):
+        segments[i] = segments[i][:-4] + struct.pack("<I", ifd_offsets[i + 1])
+    return struct.pack("<2sHI", b"II", 42, ifd_offsets[0]) + b"".join(segments)
 
 
 def decode_geotiff(buf: bytes):
@@ -152,6 +190,25 @@ def decode_geotiff(buf: bytes):
     if bo is None or struct.unpack(bo + "H", buf[2:4])[0] != 42:
         raise ValueError("not a classic TIFF")
     (ifd_offset,) = struct.unpack(bo + "I", buf[4:8])
+    tags, _next = _read_ifd(buf, bo, ifd_offset)
+    return _decode_page(buf, bo, tags)
+
+
+def decode_geotiff_pages(buf: bytes):
+    """Walk the full IFD chain: [(cells, extent, crs, nodata), ...] — page 0
+    is full resolution, later pages the overview levels."""
+    bo = {b"II": "<", b"MM": ">"}.get(buf[:2])
+    if bo is None or struct.unpack(bo + "H", buf[2:4])[0] != 42:
+        raise ValueError("not a classic TIFF")
+    (off,) = struct.unpack(bo + "I", buf[4:8])
+    pages = []
+    while off:
+        tags, off = _read_ifd(buf, bo, off)
+        pages.append(_decode_page(buf, bo, tags))
+    return pages
+
+
+def _read_ifd(buf: bytes, bo: str, ifd_offset: int):
     (n,) = struct.unpack(bo + "H", buf[ifd_offset:ifd_offset + 2])
     tags: dict[int, list] = {}
     for i in range(n):
@@ -169,7 +226,12 @@ def decode_geotiff(buf: bytes):
             pack = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d"}.get(typ)
             if pack:
                 tags[tag] = list(struct.unpack(f"{bo}{count}{pack}", payload))
+    nxt_pos = ifd_offset + 2 + 12 * n
+    (nxt,) = struct.unpack(bo + "I", buf[nxt_pos:nxt_pos + 4])
+    return tags, nxt
 
+
+def _decode_page(buf: bytes, bo: str, tags: dict):
     cols = int(tags[_IMAGE_WIDTH][0])
     rows = int(tags[_IMAGE_LENGTH][0])
     bands = int(tags.get(_SAMPLES_PER_PIXEL, [1])[0])
@@ -272,6 +334,33 @@ def save_stitched(layer, path: str, compress: bool = True,
             cells, layer.metadata.layout.extent, layer.metadata.crs,
             layer.metadata.nodata, compress=compress,
         ))
+
+
+def save_cog(pyramid, path: str, compress: bool = True,
+             max_cells: int = 512 * 1024 * 1024 // 8) -> None:
+    """Write a pyramid as one COG-style GeoTIFF: the deepest zoom is the
+    full-resolution page, shallower zooms become chained overview IFDs
+    (reference ``catalog.write(use_cogs=True)``). Driver-side stitch per
+    level, size-guarded like ``save_stitched``."""
+    zooms = sorted(pyramid.levels) if hasattr(pyramid, "levels") else sorted(pyramid)
+    levels_desc = list(reversed(zooms))  # finest first
+    first = pyramid[levels_desc[0]]
+    total = sum(
+        pyramid[z].metadata.layout.tile_layout.total_cols
+        * pyramid[z].metadata.layout.tile_layout.total_rows
+        * pyramid[z].metadata.num_bands
+        for z in levels_desc
+    )
+    if total > max_cells:
+        raise ValueError(f"save_cog would materialize {total} cells on the driver")
+    pages = [
+        (pyramid[z].stitch(), pyramid[z].metadata.layout.extent) for z in levels_desc
+    ]
+    buf = encode_geotiff_with_overviews(
+        pages, first.metadata.crs, first.metadata.nodata, compress=compress
+    )
+    with open(path, "wb") as f:
+        f.write(buf)
 
 
 # --- reader-injection hooks for geotiff.get --------------------------------

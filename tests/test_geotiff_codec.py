@@ -91,3 +91,78 @@ class TestLayerSinks:
             geotiff_codec.save_stitched(
                 f1_layer, str(tmp_path / "x.tif"), max_cells=10
             )
+
+
+class TestCogExport:
+    def test_multires_roundtrip(self):
+        import numpy as np
+
+        from geopyspark_spark.core.extent import Extent
+
+        full = np.arange(64, dtype=np.float64).reshape(1, 8, 8)
+        half = full[:, ::2, ::2].copy()
+        ext = Extent(0, 0, 8, 8)
+        buf = geotiff_codec.encode_geotiff_with_overviews(
+            [(full, ext), (half, ext)], "epsg:3857", nodata=-1.0
+        )
+        pages = geotiff_codec.decode_geotiff_pages(buf)
+        assert len(pages) == 2
+        np.testing.assert_array_equal(pages[0][0], full)
+        np.testing.assert_array_equal(pages[1][0], half)
+        assert pages[0][2] == "epsg:3857" and pages[1][3] == -1.0
+        # first-page decode (plain decoder) sees only full resolution
+        cells, _, _, _ = geotiff_codec.decode_geotiff(buf)
+        assert cells.shape == (1, 8, 8)
+
+    def test_save_cog_from_pyramid(self, spark, tmp_path):
+        import numpy as np
+
+        # pyramiding needs even tile dims: 2x2 layout of 4x4 tiles
+        layout = gps.LayoutDefinition(gps.Extent(0, 0, 8, 8), gps.TileLayout(2, 2, 4, 4))
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64ud-1.0", layout=layout,
+            bounds=((0, 0), (1, 1)), extent=layout.extent, num_bands=1,
+        )
+        tiles = [(kc, kr, 0, np.full((4, 4), float(kc * 2 + kr)))
+                 for kc in range(2) for kr in range(2)]
+        layer = gps.from_numpy(spark, tiles, md)
+        pyr = layer.pyramid()
+        p = str(tmp_path / "layer_cog.tif")
+        geotiff_codec.save_cog(pyr, p)
+        pages = geotiff_codec.decode_geotiff_pages(open(p, "rb").read())
+        assert len(pages) == len(pyr.levels)
+        # finest page first, each overview halves the grid
+        dims = [pg[0].shape[2] for pg in pages]
+        assert dims == sorted(dims, reverse=True)
+        assert pages[0][0].shape[1] == 8  # 2x2 layout of 4x4 tiles
+
+
+class TestReadOrdered:
+    def test_band_mapped_multi_source(self, spark, tmp_path):
+        """Two single-band files land at target bands 1 and 0 respectively
+        (the reference's SourceInfo band mapping)."""
+        import numpy as np
+
+        from geopyspark_spark.core.extent import Extent
+        from geopyspark_spark.sources.geotiff import read_ordered_to_layout
+        from tests.conftest import f1_metadata
+
+        md = f1_metadata()
+        a = np.full((1, 10, 10), 5.0)
+        b = np.full((1, 10, 10), 9.0)
+        ext = Extent(0, 0, 10, 10)
+        pa, pb = str(tmp_path / "a.tif"), str(tmp_path / "b.tif")
+        open(pa, "wb").write(geotiff_codec.encode_geotiff(a, ext, "epsg:4326"))
+        open(pb, "wb").write(geotiff_codec.encode_geotiff(b, ext, "epsg:4326"))
+
+        from dataclasses import replace
+        md2 = replace(md, num_bands=2)
+        long = read_ordered_to_layout(
+            spark, [(pa, {0: 1}), (pb, {0: 0})], md2,
+            sizer=geotiff_codec.sizer, decoder=geotiff_codec.decoder,
+        )
+        layer = gps.TiledRasterLayer.assemble(long, md2)
+        rows = layer.df.collect()
+        assert {r.band for r in rows} == {0, 1}
+        vals = {r.band: r.cells[0] for r in rows if (r.key_col, r.key_row) == (0, 0)}
+        assert vals == {0: 9.0, 1: 5.0}  # b.tif -> band 0, a.tif -> band 1
