@@ -142,23 +142,42 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 16,
     )
 
 
+def _minhash_wide(df: DataFrame, num_hashes: int, text_col: str) -> DataFrame:
+    """(doc_id, h0..h{n-1}) — the wide form ``minhash_signatures`` stacks."""
+    ids = token_ids(df, text_col)
+    params = minhash_params(num_hashes)
+    mins = [
+        F.min(
+            (F.lit(a).cast("long") * F.col("token_id") + F.lit(b).cast("long"))
+            % MINHASH_PRIME
+        ).alias(f"h{k}")
+        for k, (a, b) in enumerate(params)
+    ]
+    return ids.groupBy("doc_id").agg(*mins)
+
+
 def lsh_candidate_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
                         text_col: str = "text") -> DataFrame:
     """Banded LSH over minhash signatures: docs sharing any band's full
     signature become candidate pairs (a < b). The join is per-bucket —
     the scale-safe pattern (no all-pairs comparison)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, text_col)
-    banded = sig.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
-    band_sig = banded.groupBy("doc_id", "band").agg(
-        F.concat_ws(
-            "-",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("k", "minhash"))),
-                lambda s: s["minhash"].cast("string"),
-            ),
-        ).alias("band_key")
-    )
+    # band keys straight off the wide per-doc aggregate: one shuffle total
+    # (the groupBy(doc_id) in _minhash_wide); no long-form regroup
+    wide = _minhash_wide(df, num_hashes, text_col)
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-", *[F.col(f"h{b * rows_per_band + j}").cast("string")
+                       for j in range(rows_per_band)]
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    band_sig = wide.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a = band_sig.alias("a")
     b = band_sig.alias("b")
     pairs = (
