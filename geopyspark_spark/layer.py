@@ -373,9 +373,19 @@ class TiledRasterLayer:
             )
         )
 
-    def tile_to_layout(self, layout, resample_method: str = "NearestNeighbor") -> "TiledRasterLayer":
+    def tile_to_layout(self, layout, target_crs: str | None = None,
+                       resample_method: str = "NearestNeighbor") -> "TiledRasterLayer":
+        """Re-cut to a target grid (``layer.py:900-953, 1768-1830``). With
+        ``target_crs`` this is the README canonical flow
+        ``tile_to_layout(GlobalLayout(), 3857)``: warp + retile in one
+        shuffle via the reproject machinery."""
+        from .core.crs import normalize_crs
         from .operators import tiling
 
+        if target_crs is not None and normalize_crs(target_crs) != normalize_crs(self.metadata.crs):
+            from .operators import reproject as _reproject
+
+            return _reproject.reproject(self, target_crs, layout, resample_method)
         return tiling.tile_to_layout(self, layout, resample_method)
 
     def pyramid(self, resample_method: str = "Average", partition_strategy=None) -> "Pyramid":

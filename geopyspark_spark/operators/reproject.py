@@ -59,6 +59,19 @@ def _resolve_target_layout(layer: "TiledRasterLayer", target_crs: str,
         )
         ll = layout if isinstance(layout, LocalLayout) else LocalLayout(tl.tile_cols, tl.tile_rows)
         return ll.layout_for(warped, cw, ch)
+    from ..core.extent import GlobalLayout
+
+    if isinstance(layout, GlobalLayout):
+        if normalize_crs(target_crs) != "epsg:3857":
+            raise NotImplementedError(
+                "GlobalLayout targets the web-mercator ZXY grid (epsg:3857)"
+            )
+        warped, cw, _ch = approx_cell_size(
+            src_ld.extent, layer.metadata.crs, target_crs,
+            src_ld.cell_width, src_ld.cell_height,
+        )
+        z = layout.zoom if layout.zoom is not None else layout.zoom_for(warped, cw)
+        return layout.layout_for(z)
     raise TypeError(f"cannot resolve target layout from {layout!r}")
 
 

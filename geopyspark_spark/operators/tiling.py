@@ -40,6 +40,19 @@ def _resolve_layout(layer: "TiledRasterLayer", layout) -> LayoutDefinition:
     if isinstance(layout, LocalLayout):
         ld = layer.layout
         return layout.layout_for(ld.extent, ld.cell_width, ld.cell_height)
+    from ..core.extent import GlobalLayout
+
+    if isinstance(layout, GlobalLayout):
+        from ..core.crs import normalize_crs
+
+        if normalize_crs(layer.metadata.crs) != "epsg:3857":
+            raise NotImplementedError(
+                "GlobalLayout is the web-mercator ZXY grid; reproject the "
+                "layer to epsg:3857 first (reference ZoomedLayoutScheme)"
+            )
+        ld = layer.layout
+        z = layout.zoom if layout.zoom is not None else layout.zoom_for(ld.extent, ld.cell_width)
+        return layout.layout_for(z)
     raise TypeError(f"cannot resolve layout from {layout!r}")
 
 
@@ -57,20 +70,24 @@ def tile_to_layout(layer: "TiledRasterLayer", layout,
     src = layer.layout
     dst = _resolve_layout(layer, layout)
     cw, ch = src.cell_width, src.cell_height
-    if not (
-        math.isclose(cw, dst.cell_width, rel_tol=1e-12)
-        and math.isclose(ch, dst.cell_height, rel_tol=1e-12)
-    ):
-        raise NotImplementedError(
-            "tile_to_layout with resampling (cell size change) is not yet "
-            "implemented; aligned-grid re-key only"
+    aligned = math.isclose(cw, dst.cell_width, rel_tol=1e-12) and math.isclose(
+        ch, dst.cell_height, rel_tol=1e-12
+    )
+    if aligned:
+        # offset of dst origin from src origin, in cells (must be integral)
+        dx = (dst.extent.xmin - src.extent.xmin) / cw
+        dy = (src.extent.ymax - dst.extent.ymax) / ch
+        aligned = math.isclose(dx, round(dx), abs_tol=1e-9) and math.isclose(
+            dy, round(dy), abs_tol=1e-9
         )
-    # offset of dst origin from src origin, in cells (must be integral)
-    dx = (dst.extent.xmin - src.extent.xmin) / cw
-    dy = (src.extent.ymax - dst.extent.ymax) / ch
-    if not (math.isclose(dx, round(dx), abs_tol=1e-9) and math.isclose(dy, round(dy), abs_tol=1e-9)):
-        raise NotImplementedError("tile_to_layout requires cell-aligned grids")
-    dx, dy = int(round(dx)), int(round(dy))
+    if not aligned:
+        # general path: identity-CRS inverse-sampling warp (one shuffle) —
+        # same machinery as reproject, just no coordinate transform
+        from .reproject import reproject as _reproject
+
+        return _reproject(layer, layer.metadata.crs, dst, resample_method)
+    dx = int(round((dst.extent.xmin - src.extent.xmin) / cw))
+    dy = int(round((src.extent.ymax - dst.extent.ymax) / ch))
 
     stl, dtl = src.tile_layout, dst.tile_layout
     long = with_global_coords(layer.explode(), stl.tile_cols, stl.tile_rows)

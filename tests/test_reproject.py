@@ -117,3 +117,47 @@ class TestReproject:
         got = _grid_values(back)
         assert np.nanmean(np.abs(got - src) < 1e-12) > 0.8
         assert got.shape == src.shape
+
+
+class TestGlobalLayoutFlow:
+    def test_canonical_flow_tile_to_global_layout(self, spark):
+        """README canonical flow: 4326 layer -> tile_to_layout(GlobalLayout,
+        3857) lands on the web-mercator ZXY grid at the chosen zoom."""
+        from geopyspark_spark.core.extent import WORLD_EXTENT_WM, GlobalLayout
+
+        layer = _gradient_layer(spark)
+        out = layer.tile_to_layout(GlobalLayout(tile_size=8, zoom=6), target_crs="epsg:3857")
+        ld = out.layout
+        assert ld.extent == WORLD_EXTENT_WM
+        assert ld.tile_layout.layout_cols == 64 and ld.tile_layout.tile_cols == 8
+        rows = out.df.collect()
+        assert rows, "data tiles exist"
+        # data lon/lat (0..10, 0..10) sits just right/below world center
+        for r in rows:
+            assert 31 <= r.key_col <= 33 and 30 <= r.key_row <= 32
+        # values come from the source gradient (sanity: non-NaN cells exist)
+        import numpy as np
+
+        assert any(np.isfinite(np.asarray(r.cells)).any() for r in rows)
+
+    def test_non_aligned_tile_to_layout_resamples(self, spark):
+        """Halving the cell size through tile_to_layout now takes the
+        identity-CRS warp path instead of raising."""
+        import numpy as np
+
+        from geopyspark_spark.core.extent import Extent, LayoutDefinition, TileLayout
+
+        layer = _gradient_layer(spark)
+        dst = LayoutDefinition(Extent(0, 0, 10, 10), TileLayout(4, 4, 5, 5))  # 0.5-unit cells
+        out = layer.tile_to_layout(dst)
+        assert out.layout == dst
+        got = {(r.key_col, r.key_row): np.asarray(r.cells) for r in out.df.collect()}
+        # each source cell doubles: target cell (0,0) and (1,1) sample source (0,0)
+        a = got[(0, 0)].reshape(5, 5)
+        assert a[0, 0] == a[1, 1] == 0.0  # source value at grow=0,gcol=0
+
+    def test_global_layout_requires_mercator(self, spark, f1_layer):
+        from geopyspark_spark.core.extent import GlobalLayout
+
+        with pytest.raises(NotImplementedError, match="mercator|3857"):
+            f1_layer.tile_to_layout(GlobalLayout(tile_size=8, zoom=3))

@@ -37,10 +37,16 @@ class TestTileToLayout:
         assert tiles[0][3][0, 0] == 0.0
         assert tiles[0][3].sum() == 24.0
 
-    def test_non_aligned_raises(self, f1_layer):
+    def test_non_aligned_resamples(self, f1_layer):
+        # 15x15 cells over the same extent: 1.5x finer, non-aligned -> the
+        # identity-CRS warp path (nearest sampling) instead of raising
+        import numpy as np
+
         target = gps.LayoutDefinition(gps.Extent(0, 0, 10, 10), gps.TileLayout(3, 3, 5, 5))
-        with pytest.raises(NotImplementedError):
-            f1_layer.tile_to_layout(target)
+        out = f1_layer.tile_to_layout(target)
+        assert out.layout == target
+        vals = np.concatenate([r.cells for r in out.df.collect()])
+        assert set(np.unique(vals[np.isfinite(vals)])) == {0.0, 1.0}
 
 
 class TestPyramid:
