@@ -345,10 +345,10 @@ class TiledRasterLayer:
 
         return focal.focal(self, operation, neighborhood, param_1, param_2, param_3)
 
-    def slope(self, zfactor: float = 1.0) -> "TiledRasterLayer":
+    def slope(self, zfactor: float = 1.0, zfactor_calculator=None) -> "TiledRasterLayer":
         from .operators import focal
 
-        return focal.slope(self, zfactor)
+        return focal.slope(self, zfactor, zfactor_calculator)
 
     def aspect(self) -> "TiledRasterLayer":
         from .operators import focal

@@ -207,7 +207,8 @@ def _mode1d(a: np.ndarray) -> float:
     return float(vals[np.argmax(counts)])
 
 
-def _run_kernel(layer: "TiledRasterLayer", radius: int, kernel, out_cell_type: str | None = None) -> "TiledRasterLayer":
+def _run_kernel(layer: "TiledRasterLayer", radius: int, kernel,
+                out_cell_type: str | None = None, pass_key: bool = False) -> "TiledRasterLayer":
     """Shared halo → assemble → per-tile numpy kernel pipeline."""
     md = layer.metadata
     tl = md.layout.tile_layout
@@ -240,7 +241,7 @@ def _run_kernel(layer: "TiledRasterLayer", radius: int, kernel, out_cell_type: s
             )
         if nd is not None and not math.isnan(fill):
             buf = np.where(buf == fill, np.nan, buf)
-        res = kernel(buf)  # (tr, tc) float with NaN as nodata
+        res = kernel(buf, key) if pass_key else kernel(buf)  # (tr, tc), NaN=nodata
         flat = res.reshape(-1)
         if out_nd is not None and not (isinstance(out_nd, float) and math.isnan(out_nd)):
             flat = np.where(np.isnan(flat), out_fill, flat)
@@ -287,10 +288,73 @@ def _horn_gradients(buf: np.ndarray, cw: float, ch: float, z: float):
     return dzdx, dzdy, c
 
 
-def slope(layer: "TiledRasterLayer", zfactor: float = 1.0) -> "TiledRasterLayer":
+#: meters per degree of latitude on the GRS80-ish sphere (the constant the
+#: reference's LatLng ZFactorCalculator builds its table from)
+METERS_PER_DEGREE = 111_320.0
+
+_UNIT_METERS = {"meters": 1.0, "metres": 1.0, "feet": 0.3048}
+
+
+def zfactor_lat_lng_calculator(unit: str = "meters"):
+    """Per-latitude z-factor for elevation-in-``unit`` layers on degree
+    cells (reference ``zfactor_lat_lng_calculator`` ``__init__.py:30-52`` ->
+    ``ZFactorCalculator.scala``): horizontal degrees shrink by cos(lat), so
+    vertical units convert by 1 / (m-per-degree * cos(lat) / unit_m)."""
+    um = _UNIT_METERS[unit.lower()]
+
+    def calc(lat: float) -> float:
+        return um / (METERS_PER_DEGREE * max(math.cos(math.radians(lat)), 1e-12))
+
+    return calc
+
+
+def zfactor_calculator(mapped_zfactors: dict):
+    """Piecewise-linear latitude -> zfactor interpolation (reference
+    ``zfactor_calculator`` ``__init__.py:53-79``)."""
+    pts = sorted((float(k), float(v)) for k, v in mapped_zfactors.items())
+    if not pts:
+        raise ValueError("mapped_zfactors must not be empty")
+
+    def calc(lat: float) -> float:
+        if lat <= pts[0][0]:
+            return pts[0][1]
+        if lat >= pts[-1][0]:
+            return pts[-1][1]
+        for (l0, z0), (l1, z1) in zip(pts, pts[1:]):
+            if l0 <= lat <= l1:
+                t = (lat - l0) / (l1 - l0) if l1 > l0 else 0.0
+                return z0 + t * (z1 - z0)
+        return pts[-1][1]
+
+    return calc
+
+
+def slope(layer: "TiledRasterLayer", zfactor: float = 1.0,
+          zfactor_calculator=None) -> "TiledRasterLayer":
     """Slope in degrees (``SpatialTiledRasterLayer.scala:209-228``); output
-    FLOAT cell type like the reference (scala:226)."""
+    FLOAT cell type like the reference (scala:226). With
+    ``zfactor_calculator`` (a ``lat -> zfactor`` callable) each tile uses
+    the factor at its center latitude — the reference's per-key zfactor
+    (``scala:209-228`` + ``ZFactorCalculator.scala:1-52``). The per-row
+    factors are precomputed driver-side (latitude depends only on key_row)
+    and shipped in the kernel closure."""
     cw, ch = layer.layout.cell_width, layer.layout.cell_height
+
+    if zfactor_calculator is not None:
+        ld = layer.layout
+        nrows = ld.tile_layout.layout_rows
+        row_z = {
+            kr: float(zfactor_calculator(ld.extent.ymax - (kr + 0.5) * ld.tile_height))
+            for kr in range(nrows)
+        }
+
+        def kernel(buf, key):
+            z = row_z.get(int(key[1]), 1.0)
+            dzdx, dzdy, c = _horn_gradients(buf, cw, ch, z)
+            out = np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
+            return np.where(np.isnan(c), np.nan, out)
+
+        return _run_kernel(layer, 1, kernel, out_cell_type="float32", pass_key=True)
 
     def kernel(buf):
         dzdx, dzdy, c = _horn_gradients(buf, cw, ch, zfactor)

@@ -210,3 +210,76 @@ class TestTerrain:
         flat = f1_layer * 0
         out = _cells(flat.tobler())
         assert abs(out[2, 2] - 6.0 * math.exp(-3.5 * 0.05)) < 1e-9
+
+
+class TestZFactor:
+    def test_lat_lng_calculator(self):
+        from geopyspark_spark.operators.focal import (
+            METERS_PER_DEGREE, zfactor_calculator, zfactor_lat_lng_calculator,
+        )
+
+        calc = zfactor_lat_lng_calculator("meters")
+        assert calc(0.0) == pytest.approx(1.0 / METERS_PER_DEGREE)
+        assert calc(60.0) == pytest.approx(2.0 / METERS_PER_DEGREE, rel=1e-9)
+        feet = zfactor_lat_lng_calculator("feet")
+        assert feet(0.0) == pytest.approx(0.3048 / METERS_PER_DEGREE)
+
+        lerp = zfactor_calculator({0: 1.0, 10: 3.0})
+        assert lerp(5.0) == pytest.approx(2.0)
+        assert lerp(-5.0) == 1.0 and lerp(50.0) == 3.0
+
+    def test_slope_with_calculator_per_row(self, spark):
+        """A constant-gradient DEM sloped only in x: the per-row zfactor
+        scales the gradient, so tiles at different key_rows (latitudes) get
+        different slope values."""
+        import numpy as np
+
+        from tests.conftest import f1_metadata
+
+        md = f1_metadata()
+        tiles = []
+        for kr in range(2):
+            for kc in range(2):
+                a = np.zeros((5, 5))
+                for c in range(5):
+                    a[:, c] = (kc * 5 + c) * 1000.0  # steep x-gradient
+                tiles.append((kc, kr, 0, a))
+        layer = gps.from_numpy(spark, tiles, md)
+        out = layer.slope(zfactor_calculator=lambda lat: 0.001 if lat > 5 else 0.002)
+        rows = {(r.key_col, r.key_row): np.asarray(r.cells).reshape(5, 5)
+                for r in out.df.collect()}
+        # interior cells: dzdx = 1000*z per unit cell -> atan(1) vs atan(2)
+        top = rows[(0, 0)][2, 2]      # key_row 0: lat center 7.5 -> z=0.001
+        bottom = rows[(0, 1)][2, 2]   # key_row 1: lat center 2.5 -> z=0.002
+        assert top == pytest.approx(45.0, abs=1e-4)
+        assert bottom == pytest.approx(np.degrees(np.arctan(2.0)), abs=1e-4)
+
+
+class TestTemporalFocal:
+    def test_focal_sum_keeps_instants_separate(self, spark):
+        """SPACETIME focal: halo fragments must not cross instants — each
+        instant's tiles aggregate independently."""
+        from datetime import datetime, timezone
+
+        import numpy as np
+
+        from tests.conftest import f1_metadata
+
+        md = f1_metadata()
+        t1 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        t2 = datetime(2024, 2, 1, tzinfo=timezone.utc)
+        tiles = []
+        for kc in range(2):
+            for kr in range(2):
+                tiles.append((kc, kr, t1, 0, np.full((5, 5), 1.0)))
+                tiles.append((kc, kr, t2, 0, np.full((5, 5), 10.0)))
+        layer = gps.from_numpy(spark, tiles, md)
+        out = layer.focal("Sum", "Square", 1)
+        rows = out.df.collect()
+        assert len(rows) == 8
+        for r in rows:
+            a = np.asarray(r.cells).reshape(5, 5)
+            # interior cell = 9 * base value; cross-instant mixing would
+            # give 9*11=99 somewhere
+            expected = 9.0 if r.instant.month == 1 else 90.0
+            assert a[2, 2] == expected
