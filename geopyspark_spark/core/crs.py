@@ -10,8 +10,12 @@ behind ``GlobalLayout`` — as vectorized numpy kernels usable inside pandas
 UDFs. The formulas are the standard spherical-mercator equations (e.g.
 OGC 05-047r3 / EPSG method 1024 "Popular Visualisation Pseudo Mercator").
 
-No external projection library exists in this environment; anything beyond
-these CRSs raises ``NotImplementedError`` with a clear message.
+Beyond the mercator pair, WGS84 UTM zones (EPSG:32601-32660 north,
+32701-32760 south) are supported via the Krüger series in the form given by
+Karney, "Transverse Mercator with an accuracy of a few nanometers" (J.
+Geodesy 85, 2011) — 6th-order in the third flattening, sub-micrometer
+within a zone. Unknown CRSs raise ``NotImplementedError`` with a clear
+message.
 """
 
 from __future__ import annotations
@@ -46,6 +50,12 @@ def normalize_crs(crs: str | int) -> str:
         return "epsg:3857"
     if s.startswith("+proj=longlat"):
         return "epsg:4326"
+    if s.startswith("+proj=utm"):
+        import re
+
+        zone = re.search(r"\+zone=(\d+)", s)
+        if zone:
+            return f"epsg:{(32700 if '+south' in s else 32600) + int(zone.group(1))}"
     return s
 
 
@@ -67,6 +77,141 @@ def _identity(x, y):
     return x, y
 
 
+# --- WGS84 UTM (Krüger series, Karney 2011) --------------------------------
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_UTM_K0 = 0.9996
+_UTM_FE = 500000.0
+_UTM_FN_SOUTH = 10000000.0
+
+_E2 = _WGS84_F * (2.0 - _WGS84_F)
+_E = math.sqrt(_E2)
+_N = _WGS84_F / (2.0 - _WGS84_F)  # third flattening
+# rectifying radius A = a/(1+n) * (1 + n^2/4 + n^4/64 + n^6/256)
+_A_RECT = _WGS84_A / (1.0 + _N) * (1.0 + _N ** 2 / 4.0 + _N ** 4 / 64.0 + _N ** 6 / 256.0)
+
+_n = _N
+#: forward series coefficients alpha_j (Karney 2011 eq. 35, order n^6)
+_ALPHA = (
+    _n / 2 - 2 * _n ** 2 / 3 + 5 * _n ** 3 / 16 + 41 * _n ** 4 / 180
+    - 127 * _n ** 5 / 288 + 7891 * _n ** 6 / 37800,
+    13 * _n ** 2 / 48 - 3 * _n ** 3 / 5 + 557 * _n ** 4 / 1440
+    + 281 * _n ** 5 / 630 - 1983433 * _n ** 6 / 1935360,
+    61 * _n ** 3 / 240 - 103 * _n ** 4 / 140 + 15061 * _n ** 5 / 26880
+    + 167603 * _n ** 6 / 181440,
+    49561 * _n ** 4 / 161280 - 179 * _n ** 5 / 168 + 6601661 * _n ** 6 / 7257600,
+    34729 * _n ** 5 / 80640 - 3418889 * _n ** 6 / 1995840,
+    212378941 * _n ** 6 / 319334400,
+)
+#: inverse series coefficients beta_j (Karney 2011 eq. 36, order n^6)
+_BETA = (
+    _n / 2 - 2 * _n ** 2 / 3 + 37 * _n ** 3 / 96 - _n ** 4 / 360
+    - 81 * _n ** 5 / 512 + 96199 * _n ** 6 / 604800,
+    _n ** 2 / 48 + _n ** 3 / 15 - 437 * _n ** 4 / 1440 + 46 * _n ** 5 / 105
+    - 1118711 * _n ** 6 / 3870720,
+    17 * _n ** 3 / 480 - 37 * _n ** 4 / 840 - 209 * _n ** 5 / 4480
+    + 5569 * _n ** 6 / 90720,
+    4397 * _n ** 4 / 161280 - 11 * _n ** 5 / 504 - 830251 * _n ** 6 / 7257600,
+    4583 * _n ** 5 / 161280 - 108847 * _n ** 6 / 3991680,
+    20648693 * _n ** 6 / 638668800,
+)
+
+
+def _utm_zone_lon0(epsg_tail: int) -> float:
+    """Central meridian (degrees) for UTM zone number 1..60."""
+    return -183.0 + 6.0 * epsg_tail
+
+
+def _parse_utm(crs: str) -> tuple[int, bool] | None:
+    """``epsg:326NN``/``epsg:327NN`` -> (zone, is_south), else None."""
+    if not crs.startswith("epsg:") or len(crs) != 10:
+        return None
+    code = crs[5:]
+    if not code.isdigit():
+        return None
+    c = int(code)
+    if 32601 <= c <= 32660:
+        return c - 32600, False
+    if 32701 <= c <= 32760:
+        return c - 32700, True
+    return None
+
+
+def _tm_forward(lon, lat, lon0_deg: float):
+    """Ellipsoidal transverse mercator forward: degrees -> unitless (xi, eta)
+    scaled by k0*A outside. Vectorized over numpy arrays."""
+    lam = np.radians(np.subtract(lon, lon0_deg))
+    phi = np.radians(lat)
+    sphi = np.sin(phi)
+    # conformal latitude tau' = sinh(asinh(tan) - e atanh(e sin))
+    tau = np.tan(phi)
+    sigma = np.sinh(_E * np.arctanh(_E * sphi))
+    taup = tau * np.hypot(1.0, sigma) - sigma * np.hypot(1.0, tau)
+    xi_p = np.arctan2(taup, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.hypot(taup, np.cos(lam)))
+    xi, eta = xi_p, eta_p
+    for j, a in enumerate(_ALPHA, start=1):
+        xi = xi + a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta = eta + a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    return xi, eta
+
+
+def _tm_inverse(xi, eta, lon0_deg: float):
+    """Inverse of :func:`_tm_forward`; returns (lon, lat) degrees."""
+    xi_p, eta_p = np.asarray(xi, dtype=np.float64), np.asarray(eta, dtype=np.float64)
+    for j, b in enumerate(_BETA, start=1):
+        xi_p = xi_p - b * np.sin(2 * j * np.asarray(xi)) * np.cosh(2 * j * np.asarray(eta))
+        eta_p = eta_p - b * np.cos(2 * j * np.asarray(xi)) * np.sinh(2 * j * np.asarray(eta))
+    shp = np.sinh(eta_p)
+    cxp = np.cos(xi_p)
+    taup = np.sin(xi_p) / np.hypot(shp, cxp)
+    lam = np.arctan2(shp, cxp)
+    # invert conformal latitude by Newton on tau (Karney 2011 eq. 19-21,
+    # the GeographicLib Math::tauf iteration)
+    e2m = 1.0 - _E2
+    tau = taup / e2m
+    for _ in range(6):
+        sig = np.sinh(_E * np.arctanh(_E * tau / np.hypot(1.0, tau)))
+        taupa = tau * np.hypot(1.0, sig) - sig * np.hypot(1.0, tau)
+        tau = tau + (taup - taupa) * (1.0 + e2m * tau ** 2) / (
+            e2m * np.hypot(1.0, tau) * np.hypot(1.0, taupa))
+    lon = np.degrees(lam) + lon0_deg
+    lat = np.degrees(np.arctan(tau))
+    return lon, lat
+
+
+def _ll_to_utm(zone: int, south: bool) -> "Transform":
+    lon0 = _utm_zone_lon0(zone)
+    fn = _UTM_FN_SOUTH if south else 0.0
+
+    def fwd(x, y):
+        xi, eta = _tm_forward(x, y, lon0)
+        return _UTM_K0 * _A_RECT * eta + _UTM_FE, _UTM_K0 * _A_RECT * xi + fn
+
+    return fwd
+
+
+def _utm_to_ll(zone: int, south: bool) -> "Transform":
+    lon0 = _utm_zone_lon0(zone)
+    fn = _UTM_FN_SOUTH if south else 0.0
+
+    def inv(x, y):
+        xi = np.divide(np.subtract(y, fn), _UTM_K0 * _A_RECT)
+        eta = np.divide(np.subtract(x, _UTM_FE), _UTM_K0 * _A_RECT)
+        return _tm_inverse(xi, eta, lon0)
+
+    return inv
+
+
+def _compose(f: "Transform", g: "Transform") -> "Transform":
+    def h(x, y):
+        mx, my = f(x, y)
+        return g(mx, my)
+
+    return h
+
+
 Transform = Callable[[np.ndarray, np.ndarray], tuple[np.ndarray, np.ndarray]]
 
 
@@ -79,9 +224,30 @@ def get_transform(src_crs: str | int, dst_crs: str | int) -> Transform:
         return _ll_to_merc
     if (src, dst) == ("epsg:3857", "epsg:4326"):
         return _merc_to_ll
+
+    def to_ll(crs: str) -> Transform | None:
+        if crs == "epsg:4326":
+            return _identity
+        if crs == "epsg:3857":
+            return _merc_to_ll
+        utm = _parse_utm(crs)
+        return _utm_to_ll(*utm) if utm else None
+
+    def from_ll(crs: str) -> Transform | None:
+        if crs == "epsg:4326":
+            return _identity
+        if crs == "epsg:3857":
+            return _ll_to_merc
+        utm = _parse_utm(crs)
+        return _ll_to_utm(*utm) if utm else None
+
+    f, g = to_ll(src), from_ll(dst)
+    if f is not None and g is not None:
+        return f if g is _identity else (g if f is _identity else _compose(f, g))
     raise NotImplementedError(
         f"no transform {src} -> {dst}: this environment has no projection "
-        "library; supported pairs are epsg:4326 <-> epsg:3857 and identity"
+        "library; supported CRSs are epsg:4326, epsg:3857, and WGS84 UTM "
+        "zones epsg:326xx / epsg:327xx"
     )
 
 

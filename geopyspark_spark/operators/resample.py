@@ -3,9 +3,11 @@
 Re-expresses ``resample_to_power_of_two``
 (``/root/reference/geopyspark-backend/.../TemporalTiledRasterLayer.scala:65-88``)
 and the shared resample-method set (``constants.py:123-135``,
-``TileLayer.scala:259-274``): NearestNeighbor, Bilinear, Average, Mode,
-Median, Max, Min. CubicConvolution/CubicSpline/Lanczos raise
-``NotImplementedError`` (no scipy in this environment).
+``TileLayer.scala:259-274``): NearestNeighbor, Bilinear, CubicConvolution,
+CubicSpline, Lanczos, Average, Mode, Median, Max, Min. The cubic/Lanczos
+interpolators are separable fixed kernels (Keys a=-0.5 cubic convolution,
+cubic B-spline, Lanczos-3) evaluated as two dense weight-matrix matmuls —
+no scipy needed, and BLAS-fast for 256x256 tiles.
 
 Spark shape: a key-preserving ``mapInPandas`` — no shuffle; only the tile
 payload and the metadata's tile dimensions change. NoData cells are masked
@@ -41,6 +43,58 @@ def _mode_reduce(blocks: np.ndarray) -> np.ndarray:
         vals, counts = np.unique(v, return_counts=True)
         out[i] = vals[np.argmax(counts)]
     return out
+
+
+def cubic_convolution_kernel(t: np.ndarray, a: float = -0.5) -> np.ndarray:
+    """Keys (1981) cubic convolution weights; support radius 2."""
+    at = np.abs(t)
+    return np.where(
+        at <= 1.0, (a + 2.0) * at ** 3 - (a + 3.0) * at ** 2 + 1.0,
+        np.where(at < 2.0, a * (at ** 3 - 5.0 * at ** 2 + 8.0 * at - 4.0), 0.0),
+    )
+
+
+def _bspline_kernel(t: np.ndarray) -> np.ndarray:
+    """Cubic B-spline (smoothing 'CubicSpline'); support radius 2."""
+    at = np.abs(t)
+    return np.where(
+        at <= 1.0, 2.0 / 3.0 - at ** 2 + 0.5 * at ** 3,
+        np.where(at < 2.0, (2.0 - at) ** 3 / 6.0, 0.0),
+    )
+
+
+def _lanczos_kernel(t: np.ndarray, a: int = 3) -> np.ndarray:
+    """Lanczos-3 windowed sinc; support radius 3."""
+    at = np.abs(t)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        w = np.sinc(t) * np.sinc(t / a)
+    return np.where(at < a, w, 0.0)
+
+
+_KERNELS = {
+    "CubicConvolution": (cubic_convolution_kernel, 2),
+    "CubicSpline": (_bspline_kernel, 2),
+    "Lanczos": (_lanczos_kernel, 3),
+}
+
+
+def _kernel_weight_matrix(n_in: int, n_out: int, kernel, radius: int) -> np.ndarray:
+    """(n_out, n_in) row-stochastic weight matrix for a separable kernel.
+
+    Edge taps are clamped to the border sample (weight folded in), and each
+    row is renormalized so constant inputs stay constant (GDAL-style edge
+    handling — kernels whose taps don't sum to 1, e.g. Lanczos, need this
+    even in the interior).
+    """
+    f = (np.arange(n_out) + 0.5) * n_in / n_out - 0.5
+    base = np.floor(f).astype(int)
+    offs = np.arange(-radius + 1, radius + 1)  # 2*radius taps
+    idx = base[:, None] + offs[None, :]
+    w = kernel(f[:, None] - idx)
+    idx = np.clip(idx, 0, n_in - 1)
+    mat = np.zeros((n_out, n_in))
+    np.add.at(mat, (np.repeat(np.arange(n_out), offs.size), idx.ravel()), w.ravel())
+    return mat / mat.sum(axis=1, keepdims=True)
 
 
 def resample_tile(a: np.ndarray, out_rows: int, out_cols: int, method: str,
@@ -87,8 +141,22 @@ def resample_tile(a: np.ndarray, out_rows: int, out_cols: int, method: str,
                     if not all_nan.all() else np.full(blocks.shape[0], np.nan)
                 red = np.where(all_nan, np.nan, red)
             out = red.reshape(out_rows, out_cols)
-    elif method in ("CubicConvolution", "CubicSpline", "Lanczos"):
-        raise NotImplementedError(f"{method} requires scipy, not present here")
+    elif method in _KERNELS:
+        kernel, radius = _KERNELS[method]
+        wr = _kernel_weight_matrix(rows, out_rows, kernel, radius)
+        wc = _kernel_weight_matrix(cols, out_cols, kernel, radius)
+        nanmask = np.isnan(work)
+        if nanmask.any():
+            # strict NoData rule (same as Bilinear): output is NoData iff any
+            # nonzero-weight tap is NoData — computed as a mask matmul so a
+            # lone NaN doesn't poison the whole product via 0*NaN.
+            hit = ((np.abs(wr) > 1e-12).astype(np.float64)
+                   @ nanmask.astype(np.float64)
+                   @ (np.abs(wc) > 1e-12).astype(np.float64).T)
+            out = wr @ np.where(nanmask, 0.0, work) @ wc.T
+            out = np.where(hit > 0.0, np.nan, out)
+        else:
+            out = wr @ work @ wc.T
     else:
         raise ValueError(f"unknown resample method {method!r}")
 

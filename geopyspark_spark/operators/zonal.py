@@ -203,10 +203,9 @@ def point_values(layer: "TiledRasterLayer", points, resample_method: str = "Near
 
     Temporal layers return every instant per point (reference semantics).
     """
-    if resample_method not in ("NearestNeighbor", "Bilinear"):
+    if resample_method not in ("NearestNeighbor", "Bilinear", "CubicConvolution"):
         raise NotImplementedError(
-            f"point resampling {resample_method!r} not implemented (the "
-            "reference's cubic variants need scipy, absent here)"
+            f"point resampling {resample_method!r} not implemented"
         )
     from ..layer import _normalize_geoms
 
@@ -220,26 +219,35 @@ def point_values(layer: "TiledRasterLayer", points, resample_method: str = "Near
             kc, kr, tc, tr = kt.point_cell(p.x, p.y)
             rows.append((i, kc, kr, tr * tl.tile_cols + tc, 1.0))
     else:
-        # bilinear: 4 surrounding cell centers with tensor weights; points
-        # whose support extends past the layer edge return None (strict
-        # NoData propagation, matching the local-op rules)
-        import math as _m
+        # bilinear / cubic: tensor-product taps on the surrounding cell
+        # centers (2x2 bilinear, 4x4 Keys cubic); points whose support
+        # extends past the layer edge return None (strict NoData
+        # propagation, matching the local-op rules)
+        from .resample import cubic_convolution_kernel
 
+        cubic = resample_method == "CubicConvolution"
+        offs = (-1, 0, 1, 2) if cubic else (0, 1)
         cw, ch = layout.cell_width, layout.cell_height
         e = layout.extent
         for i, p in enumerate(pts):
             fc = (p.x - e.xmin) / cw - 0.5
             fr = (e.ymax - p.y) / ch - 0.5
-            c0, r0 = _m.floor(fc), _m.floor(fr)
-            wx, wy = fc - c0, fr - r0
-            for dc, dr, w in ((0, 0, (1 - wx) * (1 - wy)), (1, 0, wx * (1 - wy)),
-                              (0, 1, (1 - wx) * wy), (1, 1, wx * wy)):
-                gc, gr = c0 + dc, r0 + dr
-                if not (0 <= gc < tl.total_cols and 0 <= gr < tl.total_rows):
-                    continue
-                kc, kr = gc // tl.tile_cols, gr // tl.tile_rows
-                pos = (gr % tl.tile_rows) * tl.tile_cols + (gc % tl.tile_cols)
-                rows.append((i, kc, kr, pos, float(w)))
+            c0, r0 = math.floor(fc), math.floor(fr)
+            od = np.array(offs, dtype=np.float64)
+            if cubic:
+                wcol = cubic_convolution_kernel((fc - c0) - od)
+                wrow = cubic_convolution_kernel((fr - r0) - od)
+            else:
+                wcol = np.array([1.0 - (fc - c0), fc - c0])
+                wrow = np.array([1.0 - (fr - r0), fr - r0])
+            for di, dc in enumerate(offs):
+                for dj, dr in enumerate(offs):
+                    gc, gr = c0 + dc, r0 + dr
+                    if not (0 <= gc < tl.total_cols and 0 <= gr < tl.total_rows):
+                        continue
+                    kc, kr = gc // tl.tile_cols, gr // tl.tile_rows
+                    pos = (gr % tl.tile_rows) * tl.tile_cols + (gc % tl.tile_cols)
+                    rows.append((i, kc, kr, pos, float(wcol[di] * wrow[dj])))
 
     spark = layer.df.sparkSession
     pdf = spark.createDataFrame(rows, "pt_id int, key_col int, key_row int, pos int, w double")
@@ -254,7 +262,7 @@ def point_values(layer: "TiledRasterLayer", points, resample_method: str = "Near
         F.max(_is_nd(F.col("v"), nd).cast("int")).alias("any_nd"),
         F.count("*").alias("n"),
     )
-    expected = 1 if resample_method == "NearestNeighbor" else 4
+    expected = {"NearestNeighbor": 1, "Bilinear": 4, "CubicConvolution": 16}[resample_method]
     sel = agg.select(
         *gcols,
         F.when(

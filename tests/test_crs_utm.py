@@ -1,0 +1,137 @@
+"""WGS84 UTM transverse mercator (Krüger/Karney series) tests.
+
+The reference delegates arbitrary CRS pairs to proj4j
+(``/root/reference/geopyspark-backend/.../TileLayer.scala:288-295``); this
+engine implements the UTM family natively. Oracles here are independent of
+the implementation: a numerically integrated meridian arc, analytic
+symmetries, and round-trip closure — not the series itself.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from geopyspark_spark.core.crs import (
+    _UTM_K0,
+    get_transform,
+    normalize_crs,
+    transform_extent,
+)
+from geopyspark_spark.core.extent import Extent
+
+A = 6378137.0
+F = 1.0 / 298.257223563
+E2 = F * (2.0 - F)
+
+
+def meridian_arc(lat_deg: float, n: int = 200001) -> float:
+    """Meridian arc length from equator by Simpson-grade numeric integration
+    (independent of the Krüger series)."""
+    phi = np.linspace(0.0, np.radians(lat_deg), n)
+    integrand = A * (1.0 - E2) / (1.0 - E2 * np.sin(phi) ** 2) ** 1.5
+    return float(np.trapz(integrand, phi))
+
+
+class TestUtmCore:
+    def test_normalize_aliases(self):
+        assert normalize_crs("EPSG:32633") == "epsg:32633"
+        assert normalize_crs("+proj=utm +zone=33 +datum=WGS84") == "epsg:32633"
+        assert normalize_crs("+proj=utm +zone=19 +south") == "epsg:32719"
+
+    def test_central_meridian_maps_to_false_easting(self):
+        # zone 33 -> lon0 = 15E; points on the central meridian have
+        # easting exactly 500000 and northing = k0 * meridian arc
+        fwd = get_transform("epsg:4326", "epsg:32633")
+        for lat in (0.0, 12.0, 47.5, 80.0):
+            x, y = fwd(np.array([15.0]), np.array([lat]))
+            assert x[0] == pytest.approx(500000.0, abs=1e-6)
+            assert y[0] == pytest.approx(_UTM_K0 * meridian_arc(lat), abs=1e-3)
+
+    def test_south_zone_false_northing(self):
+        fwd_n = get_transform("epsg:4326", "epsg:32719")
+        x, y = fwd_n(np.array([-69.0]), np.array([-33.45]))  # Santiago-ish
+        assert 0.0 < y[0] < 10000000.0  # false northing applied
+        assert y[0] == pytest.approx(10000000.0 - _UTM_K0 * meridian_arc(33.45), abs=1e-3)
+
+    def test_east_west_symmetry(self):
+        # TM is symmetric about the central meridian: lon0 +/- d give
+        # mirrored eastings and identical northings
+        fwd = get_transform("epsg:4326", "epsg:32633")
+        xw, yw = fwd(np.array([13.0]), np.array([52.0]))
+        xe, ye = fwd(np.array([17.0]), np.array([52.0]))
+        assert xe[0] - 500000.0 == pytest.approx(500000.0 - xw[0], abs=1e-6)
+        assert ye[0] == pytest.approx(yw[0], abs=1e-6)
+
+    def test_roundtrip_micro_accuracy(self):
+        rng = np.random.default_rng(33)
+        lon = 15.0 + rng.uniform(-3.5, 3.5, 500)
+        lat = rng.uniform(-80.0, 84.0, 500)
+        fwd = get_transform("epsg:4326", "epsg:32633")
+        inv = get_transform("epsg:32633", "epsg:4326")
+        lon2, lat2 = inv(*fwd(lon, lat))
+        # < 1e-9 deg ~ 0.1 um on the ground
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_scale_factor_near_central_meridian(self):
+        # ground-truth property: scale along the central meridian is k0
+        fwd = get_transform("epsg:4326", "epsg:32633")
+        d = 1e-4
+        _, y0 = fwd(np.array([15.0]), np.array([45.0]))
+        _, y1 = fwd(np.array([15.0]), np.array([45.0 + d]))
+        arc = meridian_arc(45.0 + d) - meridian_arc(45.0)
+        assert (y1[0] - y0[0]) / arc == pytest.approx(_UTM_K0, rel=1e-7)
+
+    def test_composed_mercator_utm(self):
+        # 3857 -> UTM goes through lat/lon; verify against the direct path
+        ll = (np.array([14.2]), np.array([48.3]))
+        merc = get_transform("epsg:4326", "epsg:3857")(*ll)
+        via = get_transform("epsg:3857", "epsg:32633")(*merc)
+        direct = get_transform("epsg:4326", "epsg:32633")(*ll)
+        np.testing.assert_allclose(via, direct, atol=1e-6)
+
+    def test_utm_to_utm_rezone(self):
+        lon, lat = np.array([11.9]), np.array([60.0])  # zone 32, near 33 edge
+        z32 = get_transform("epsg:4326", "epsg:32632")(lon, lat)
+        rezoned = get_transform("epsg:32632", "epsg:32633")(*z32)
+        direct = get_transform("epsg:4326", "epsg:32633")(lon, lat)
+        np.testing.assert_allclose(rezoned, direct, atol=1e-6)
+
+    def test_transform_extent_utm(self):
+        e = Extent(14.0, 47.0, 16.0, 49.0)
+        w = transform_extent(e, "epsg:4326", "epsg:32633")
+        # zone 33 spans 12-18E; a 47-49N box straddling lon0=15 maps near FE
+        assert w.xmin < 500000.0 < w.xmax
+        assert 5_150_000 < w.ymin < w.ymax < 5_450_000
+
+    def test_unknown_crs_still_raises(self):
+        with pytest.raises(NotImplementedError):
+            get_transform("epsg:2154", "epsg:4326")
+
+
+class TestUtmReproject:
+    def test_layer_reproject_to_utm(self, spark):
+        """A 4326 layer over the zone-33 core reprojects; cell values
+        survive a nearest round-trip back to 4326."""
+        import geopyspark_spark as gps
+
+        layout = gps.LayoutDefinition(
+            Extent(14.0, 47.0, 16.0, 49.0), gps.TileLayout(2, 2, 8, 8)
+        )
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64", layout=layout,
+            bounds=((0, 0), (1, 1)), extent=layout.extent, num_bands=1,
+        )
+        tiles = []
+        for kr in range(2):
+            for kc in range(2):
+                tiles.append((kc, kr, 0, np.full((8, 8), float(10 * kr + kc))))
+        layer = gps.from_numpy(spark, tiles, md)
+        out = layer.reproject("epsg:32633")
+        assert out.metadata.crs == "epsg:32633"
+        rows = out.df.collect()
+        assert rows
+        vals = {v for r in rows for v in r.cells if not np.isnan(v)}
+        assert vals <= {0.0, 1.0, 10.0, 11.0}
+        assert len(vals) == 4

@@ -51,10 +51,47 @@ class TestResampleTile:
 
     def test_unsupported_methods(self):
         a = np.ones((4, 4))
-        with pytest.raises(NotImplementedError):
-            resample_tile(a, 2, 2, "Lanczos", None)
+        with pytest.raises(ValueError, match="unknown resample"):
+            resample_tile(a, 2, 2, "Sinc", None)
         with pytest.raises(ValueError, match="integer downscale"):
             resample_tile(a, 3, 3, "Average", None)
+
+    @pytest.mark.parametrize("method", ["CubicConvolution", "CubicSpline", "Lanczos"])
+    def test_kernel_constant_preserved(self, method):
+        # row-stochastic weights: a constant field is reproduced exactly
+        a = np.full((8, 8), 7.25)
+        out = resample_tile(a, 16, 16, method, None)
+        np.testing.assert_allclose(out, 7.25, rtol=1e-12)
+        down = resample_tile(a, 4, 4, method, None)
+        np.testing.assert_allclose(down, 7.25, rtol=1e-12)
+
+    @pytest.mark.parametrize("method", ["CubicConvolution", "Lanczos"])
+    def test_interpolating_kernel_hits_samples(self, method):
+        # at integer sample positions (2x upscale puts every other output
+        # exactly on an input center) interpolating kernels reproduce the
+        # sample away from the clamped border
+        rng = np.random.default_rng(7)
+        a = rng.normal(size=(16, 16))
+        # 3x upscale: f_j = (j+0.5)/3 - 0.5 = k exactly when j = 3k+1
+        out = resample_tile(a, 48, 48, method, None)
+        np.testing.assert_allclose(out[7:40:3, 7:40:3], a[2:13, 2:13], atol=1e-9)
+
+    def test_cubic_nodata_strict_but_local(self):
+        a = np.arange(64, dtype=float).reshape(8, 8)
+        a[0, 0] = -9.0
+        out = resample_tile(a, 16, 16, "CubicConvolution", nodata=-9.0)
+        # corner poisoned cells become NoData...
+        assert out[0, 0] == -9.0
+        # ...but the far corner (outside the 4x4 support of the NaN) is clean
+        assert out[15, 15] != -9.0 and not np.isnan(out[15, 15])
+
+    def test_cubic_upscale_plane(self):
+        # cubic convolution reproduces linear ramps exactly in the interior
+        a = np.add.outer(np.arange(8.0), np.arange(8.0))
+        out = resample_tile(a, 16, 16, "CubicConvolution", None)
+        fr = (np.arange(16) + 0.5) * 8 / 16 - 0.5
+        exp = np.add.outer(fr, fr)
+        np.testing.assert_allclose(out[4:12, 4:12], exp[4:12, 4:12], atol=1e-9)
 
 
 class TestLayerResample:
@@ -72,5 +109,12 @@ class TestLayerResample:
         assert cells00[0, 0] in (0.0, 1.0)
 
     def test_bad_method_fails_eagerly(self, f1_layer):
-        with pytest.raises(NotImplementedError):
-            f1_layer.resample_to_power_of_two(2, 2, "CubicSpline")
+        with pytest.raises(ValueError, match="unknown resample"):
+            f1_layer.resample_to_power_of_two(2, 2, "Sinc")
+
+    def test_cubic_layer_roundtrip(self, f1_layer):
+        out = f1_layer.resample_to_power_of_two(3, 3, "CubicConvolution")
+        tl = out.metadata.layout.tile_layout
+        assert (tl.tile_cols, tl.tile_rows) == (8, 8)
+        for r in out.df.collect():
+            assert len(r.cells) == 64

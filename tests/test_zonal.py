@@ -86,6 +86,16 @@ class TestPointValues:
         assert got[1][1] == [pytest.approx(0.5)]
         assert got[2][1] is None  # support crosses the N/W layer edge
 
+    def test_point_sample_cubic(self, f1_layer):
+        """Keys cubic over the all-ones interior reproduces 1.0 exactly
+        (kernel weights sum to 1 at any phase); a point whose 4x4 support
+        crosses the layer edge -> None (strict, same rule as bilinear)."""
+        pts = [gps.Point(7.5, 2.5), gps.Point(5.0, 5.0), gps.Point(0.6, 9.6)]
+        got = f1_layer.get_point_values(pts, resample_method="CubicConvolution")
+        assert got[0][1] == [pytest.approx(1.0)]
+        assert got[1][1] == [pytest.approx(1.0)]
+        assert got[2][1] is None
+
     def test_unsupported_resample(self, f1_layer):
         with pytest.raises(NotImplementedError):
             f1_layer.get_point_values([gps.Point(1, 1)], resample_method="CubicSpline")
