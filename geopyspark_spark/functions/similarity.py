@@ -125,6 +125,106 @@ def lsh_knn(df: DataFrame, query_ids: list[int], k: int = 5, num_planes: int = 8
     )
 
 
+def ivf_index(df: DataFrame, num_clusters: int = 16, train_limit: int = 4096,
+              iters: int = 5, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """IVF coarse quantizer: deterministic k-means over a bounded training
+    sample, then a distributed nearest-centroid assignment.
+
+    Returns ``(assigned_df, centroids)`` where ``assigned_df`` is the input
+    plus a ``cluster_id`` column and ``centroids`` is a (k, d) numpy array.
+
+    Scale shape: training touches only ``train_limit`` driver-side vectors
+    (sorted-id sample — reproducible run to run); assignment is one
+    broadcast (k x d floats) + a per-partition BLAS matmul, no shuffle. At
+    100 TB the assigned table would be written bucketed by ``cluster_id``
+    so probes become partition-pruned scans.
+
+    Determinism: init = first k training vectors by id, fixed Lloyd
+    iteration count, ties in assignment broken toward the lower cluster id
+    (numpy argmax on exact doubles) — no RNG anywhere.
+    """
+    import numpy as np
+    import pandas as pd
+
+    train = (df.orderBy(id_col).limit(train_limit)
+             .select(vec_col).collect())
+    M = np.array([r[0] for r in train], dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    k = min(num_clusters, len(M))
+    cent = M[:k].copy()
+    for _ in range(iters):
+        sims = M @ cent.T                          # cosine since normalized
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = M[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nrm = np.linalg.norm(v)
+                if nrm > 0:
+                    cent[c] = v / nrm
+    bc = df.sparkSession.sparkContext.broadcast(cent)
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+    def assign_part(batches):
+        cm = bc.value
+        for pdf in batches:
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            nrm = np.linalg.norm(V, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            cl = np.argmax((V / nrm) @ cm.T, axis=1)
+            out = pdf.copy()
+            out["cluster_id"] = cl.astype(np.int32)
+            yield out
+
+    assigned = df.mapInPandas(assign_part, schema=f"{fields}, cluster_id int")
+    return assigned, cent
+
+
+def ivf_knn(df: DataFrame, query_ids: list[int], k: int = 5,
+            num_clusters: int = 16, nprobe: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via an IVF probe: candidates are vectors in the
+    ``nprobe`` centroids nearest each query, exact-reranked by cosine.
+
+    The scale path alongside :func:`lsh_knn`: a (query x probed-cluster)
+    broadcast joined against the assigned corpus prunes ~(1 - nprobe/k) of
+    all comparisons, and with a cluster-bucketed table the scan itself
+    prunes. Output (query_id, rank, neighbor_id) is integer-only.
+    """
+    import numpy as np
+
+    assigned, cent = ivf_index(df, num_clusters, id_col=id_col, vec_col=vec_col)
+    spark = df.sparkSession
+    qrows = (df.where(F.col(id_col).isin(query_ids))
+             .select(id_col, vec_col).collect())
+    probe_rows = []
+    for r in qrows:
+        q = np.asarray(r[1], dtype=np.float64)
+        n = np.linalg.norm(q)
+        sims = cent @ (q / n if n > 0 else q)
+        for c in np.argsort(-sims, kind="stable")[:nprobe]:
+            probe_rows.append((int(r[0]), int(c)))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cluster_id int")
+    queries = (df.where(F.col(id_col).isin(query_ids))
+               .select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"),
+                       _norm(F.col(vec_col)).alias("qnrm")))
+    probes = probes.join(queries, "query_id")
+    nd = _with_norm(assigned, vec_col)
+    cand = nd.join(F.broadcast(probes), "cluster_id").where(
+        F.col(id_col) != F.col("query_id"))
+    sim = _dot(F.col(vec_col), F.col("qvec")) / (F.col("nrm") * F.col("qnrm"))
+    scored = cand.select("query_id", F.col(id_col).alias("neighbor_id"),
+                         sim.alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id"))
+
+
 def norm_stats(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
                label_col: str = "label") -> DataFrame:
     """Per-label corpus stats with integer outputs: count + id of the

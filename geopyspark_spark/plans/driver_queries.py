@@ -1497,6 +1497,13 @@ def q_emb_lsh_knn(spark, sf_dir):
     return fsim.lsh_knn(_t(spark, sf_dir, "embeddings"), KNN_QUERIES, k=5, num_planes=6)
 
 
+def q_emb_ivf_knn(spark, sf_dir):
+    """IVF ANN (deterministic k-means coarse quantizer + probe join) —
+    rows-only check: the quantizer's Lloyd iterations aren't SQL."""
+    return fsim.ivf_knn(_t(spark, sf_dir, "embeddings"), KNN_QUERIES, k=5,
+                        num_clusters=16, nprobe=4)
+
+
 def q_raster_mask_distributed(spark, sf_dir):
     """Distributed mask: two disjoint boxes arrive as a WKB geometry
     DataFrame -> spatial join (explode-to-keys, per-key collect, equi-join,
@@ -1661,6 +1668,7 @@ def queries():
         "emb_knn": q_emb_knn,
         "emb_norm_stats": q_emb_norm_stats,
         "emb_lsh_knn": q_emb_lsh_knn,
+        "emb_ivf_knn": q_emb_ivf_knn,
         "emb_near_dup": q_emb_near_dup,
         # multimodal
         "multimodal_features": q_multimodal_features,

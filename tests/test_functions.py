@@ -127,6 +127,30 @@ class TestSimilarity:
         rows = fsim.norm_stats(emb).collect()
         assert sum(r["n_vectors"] for r in rows) == 40
 
+    def test_ivf_index_partitions_corpus(self, emb):
+        assigned, cent = fsim.ivf_index(emb, num_clusters=4)
+        rows = assigned.collect()
+        assert len(rows) == 40
+        assert {r["cluster_id"] for r in rows} <= set(range(4))
+        assert cent.shape == (4, 8)
+        # deterministic: same input -> identical assignment
+        again, _ = fsim.ivf_index(emb, num_clusters=4)
+        assert sorted((r["vec_id"], r["cluster_id"]) for r in rows) == \
+            sorted((r["vec_id"], r["cluster_id"]) for r in again.collect())
+
+    def test_ivf_knn_full_probe_matches_exact(self, emb):
+        # probing every cluster makes IVF exhaustive -> must equal exact knn
+        exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+                 for r in fsim.cosine_knn(emb, [0, 7], k=3).collect()}
+        ivf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+               for r in fsim.ivf_knn(emb, [0, 7], k=3, num_clusters=4,
+                                     nprobe=4).collect()}
+        assert ivf == exact
+
+    def test_ivf_knn_pruned_probe_is_subset(self, emb):
+        rows = fsim.ivf_knn(emb, [0], k=3, num_clusters=8, nprobe=2).collect()
+        assert rows and all(r["rank"] <= 3 and r["neighbor_id"] != 0 for r in rows)
+
 
 class TestMultimodal:
     @pytest.fixture(scope="class")
