@@ -274,6 +274,46 @@ SELECT value, COUNT(*) AS count FROM cells GROUP BY value
 """
 
 
+def q_raster_class_histogram(spark, sf_dir):
+    """``get_class_histogram`` (reference ``layer.py:206-221``): exact
+    per-band value histogram — explode + groupBy, one partial-agg shuffle."""
+    from ..operators import aggregate as _agg
+
+    layer = lineitem_layer(spark, sf_dir)
+    return _agg.class_histogram_df(layer).select(
+        F.col("band").cast("int").alias("band"), "value", "count")
+
+
+SQL_RASTER_CLASS_HISTOGRAM = CELLS_CTE + """
+SELECT CAST(band AS INT) AS band, value, COUNT(*) AS count
+FROM cells GROUP BY band, value
+"""
+
+
+def q_raster_histogram(spark, sf_dir):
+    """``get_histogram`` (reference ``layer.py:194-205``): fixed-width
+    bucket histogram. min/max and the bucket width are computed with the
+    same expression shape on both engines over exact integer-valued
+    doubles, so bucket edges are bit-identical."""
+    from ..operators import aggregate as _agg
+
+    layer = lineitem_layer(spark, sf_dir)
+    return _agg.histogram_df(layer, num_buckets=16).select(
+        F.col("band").cast("int").alias("band"),
+        F.col("bucket").cast("int").alias("bucket"),
+        "count", "mean_value")
+
+
+SQL_RASTER_HISTOGRAM = CELLS_CTE + """
+, mm AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM cells)
+SELECT CAST(band AS INT) AS band,
+       CAST(LEAST(CAST(FLOOR((value - mn) / ((mx - mn) / 16)) AS INT), 15) AS INT) AS bucket,
+       COUNT(*) AS count, AVG(value) AS mean_value
+FROM cells CROSS JOIN mm
+GROUP BY 1, 2
+"""
+
+
 def q_raster_aggregate_by_cell(spark, sf_dir):
     layer = lineitem_layer(spark, sf_dir)
     u = gps.union([layer, layer * 3])
@@ -1615,6 +1655,8 @@ def queries():
         "raster_zonal_stats": q_raster_zonal_stats,
         "raster_mask": q_raster_mask,
         "raster_cell_value_counts": q_raster_cell_value_counts,
+        "raster_class_histogram": q_raster_class_histogram,
+        "raster_histogram": q_raster_histogram,
         "raster_aggregate_by_cell": q_raster_aggregate_by_cell,
         "raster_min_max": q_raster_min_max,
         "raster_tile_to_layout": q_raster_tile_to_layout,
@@ -1686,6 +1728,8 @@ def oracle_sql():
         "raster_zonal_stats": SQL_RASTER_ZONAL_STATS,
         "raster_mask": SQL_RASTER_MASK,
         "raster_cell_value_counts": SQL_RASTER_CELL_VALUE_COUNTS,
+        "raster_class_histogram": SQL_RASTER_CLASS_HISTOGRAM,
+        "raster_histogram": SQL_RASTER_HISTOGRAM,
         "raster_aggregate_by_cell": SQL_RASTER_AGGREGATE_BY_CELL,
         "raster_min_max": SQL_RASTER_MIN_MAX,
         "raster_tile_to_layout": SQL_RASTER_TILE_TO_LAYOUT,
