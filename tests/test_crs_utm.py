@@ -110,6 +110,52 @@ class TestUtmCore:
             get_transform("epsg:2154", "epsg:4326")
 
 
+class TestUtmProperties:
+    """Property-based invariants (hypothesis)."""
+
+    def test_roundtrip_any_zone(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            zone=st.integers(1, 60),
+            south=st.booleans(),
+            dlon=st.floats(-4.0, 4.0, allow_nan=False),
+            lat=st.floats(-80.0, 84.0, allow_nan=False),
+        )
+        def check(zone, south, dlon, lat):
+            code = (32700 if south else 32600) + zone
+            lon0 = -183.0 + 6.0 * zone
+            fwd = get_transform("epsg:4326", f"epsg:{code}")
+            inv = get_transform(f"epsg:{code}", "epsg:4326")
+            lon2, lat2 = inv(*fwd(np.array([lon0 + dlon]), np.array([lat])))
+            assert abs(lon2[0] - (lon0 + dlon)) < 1e-8
+            assert abs(lat2[0] - lat) < 1e-8
+
+        check()
+
+    def test_kernel_rows_sum_to_one(self):
+        from hypothesis import given, settings, strategies as st
+
+        from geopyspark_spark.operators.resample import (
+            _KERNELS,
+            _kernel_weight_matrix,
+        )
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            n_in=st.integers(2, 64),
+            n_out=st.integers(1, 64),
+            method=st.sampled_from(sorted(_KERNELS)),
+        )
+        def check(n_in, n_out, method):
+            kernel, radius = _KERNELS[method]
+            m = _kernel_weight_matrix(n_in, n_out, kernel, radius)
+            np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-12)
+
+        check()
+
+
 class TestUtmReproject:
     def test_layer_reproject_to_utm(self, spark):
         """A 4326 layer over the zone-33 core reprojects; cell values
