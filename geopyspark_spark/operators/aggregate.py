@@ -153,9 +153,26 @@ def class_histogram(layer: "TiledRasterLayer"):
     return class_histogram_df(layer).collect()
 
 
-def quantile_breaks(layer: "TiledRasterLayer", num_breaks: int) -> list[float]:
+def quantile_breaks(layer: "TiledRasterLayer", num_breaks: int,
+                    exact: bool = False) -> list[float]:
+    """Quantile break points (reference ``layer.py:233-255``).
+
+    ``exact=False`` (default) uses ``percentile_approx`` — the streaming
+    sketch that scales to any corpus. ``exact=True`` uses ``percentile``
+    (exact rank interpolation, same formula DuckDB's ``quantile_cont``
+    applies) — the oracle-comparable path, matching the reference's
+    exact-int variant."""
+    return quantile_breaks_df(layer, num_breaks, exact).toPandas()[
+        "break_value"].tolist()
+
+
+def quantile_breaks_df(layer: "TiledRasterLayer", num_breaks: int,
+                       exact: bool = False) -> DataFrame:
+    """(break_idx, break_value) rows for i/num_breaks quantiles, i=1..n."""
     nd = layer.metadata.nodata
     long = layer.explode().where(~_is_nd(F.col("value"), nd))
     qs = [i / num_breaks for i in range(1, num_breaks + 1)]
-    row = long.select(F.percentile_approx("value", qs).alias("q")).first()
-    return list(row["q"])
+    fn = F.percentile if exact else F.percentile_approx
+    arr = long.select(fn("value", F.array(*[F.lit(q) for q in qs])).alias("q"))
+    return arr.select(F.posexplode("q").alias("i", "break_value")).select(
+        (F.col("i") + 1).cast("int").alias("break_idx"), "break_value")

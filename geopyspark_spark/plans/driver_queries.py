@@ -314,6 +314,28 @@ GROUP BY 1, 2
 """
 
 
+def q_raster_quantile_breaks(spark, sf_dir):
+    """``get_quantile_breaks`` exact path: rank interpolation over the
+    cell values — Spark ``percentile`` and DuckDB ``quantile_cont`` share
+    the (n-1)*q lower+frac*(higher-lower) formula, exact over the
+    integer-valued doubles here."""
+    from ..operators import aggregate as _agg
+
+    layer = lineitem_layer(spark, sf_dir)
+    return _agg.quantile_breaks_df(layer, num_breaks=4, exact=True)
+
+
+SQL_RASTER_QUANTILE_BREAKS = CELLS_CTE + """
+SELECT 1 AS break_idx, quantile_cont(value, 0.25) AS break_value FROM cells
+UNION ALL
+SELECT 2, quantile_cont(value, 0.50) FROM cells
+UNION ALL
+SELECT 3, quantile_cont(value, 0.75) FROM cells
+UNION ALL
+SELECT 4, quantile_cont(value, 1.00) FROM cells
+"""
+
+
 def q_raster_aggregate_by_cell(spark, sf_dir):
     layer = lineitem_layer(spark, sf_dir)
     u = gps.union([layer, layer * 3])
@@ -1657,6 +1679,7 @@ def queries():
         "raster_cell_value_counts": q_raster_cell_value_counts,
         "raster_class_histogram": q_raster_class_histogram,
         "raster_histogram": q_raster_histogram,
+        "raster_quantile_breaks": q_raster_quantile_breaks,
         "raster_aggregate_by_cell": q_raster_aggregate_by_cell,
         "raster_min_max": q_raster_min_max,
         "raster_tile_to_layout": q_raster_tile_to_layout,
@@ -1730,6 +1753,7 @@ def oracle_sql():
         "raster_cell_value_counts": SQL_RASTER_CELL_VALUE_COUNTS,
         "raster_class_histogram": SQL_RASTER_CLASS_HISTOGRAM,
         "raster_histogram": SQL_RASTER_HISTOGRAM,
+        "raster_quantile_breaks": SQL_RASTER_QUANTILE_BREAKS,
         "raster_aggregate_by_cell": SQL_RASTER_AGGREGATE_BY_CELL,
         "raster_min_max": SQL_RASTER_MIN_MAX,
         "raster_tile_to_layout": SQL_RASTER_TILE_TO_LAYOUT,
