@@ -286,6 +286,32 @@ def lsh_knn(df: DataFrame, query_ids: list[int], k: int = 5, num_planes: int = 8
     return _winnow_then_fold_rank(cand, k)
 
 
+def lloyd_centroids(M, num_clusters: int, iters: int = 5):
+    """Deterministic spherical k-means on a (n, d) float64 matrix: init =
+    first k rows (after L2 normalization), fixed iteration count, argmax
+    ties toward the lower cluster id, empty clusters keep their centroid.
+
+    Factored out of :func:`ivf_index` so the DuckDB oracle can recompute
+    the exact same centroids from the exact same training rows (pure numpy
+    — bit-identical on any host running the same numpy build)."""
+    import numpy as np
+
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    k = min(num_clusters, len(M))
+    cent = M[:k].copy()
+    for _ in range(iters):
+        sims = M @ cent.T                          # cosine since normalized
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = M[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nrm = np.linalg.norm(v)
+                if nrm > 0:
+                    cent[c] = v / nrm
+    return cent
+
+
 def ivf_index(df: DataFrame, num_clusters: int = 16, train_limit: int = 4096,
               iters: int = 5, id_col: str = "vec_id",
               vec_col: str = "embedding"):
@@ -310,20 +336,8 @@ def ivf_index(df: DataFrame, num_clusters: int = 16, train_limit: int = 4096,
 
     train = (df.orderBy(id_col).limit(train_limit)
              .select(vec_col).collect())
-    M = np.array([r[0] for r in train], dtype=np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    k = min(num_clusters, len(M))
-    cent = M[:k].copy()
-    for _ in range(iters):
-        sims = M @ cent.T                          # cosine since normalized
-        assign = np.argmax(sims, axis=1)
-        for c in range(k):
-            members = M[assign == c]
-            if len(members):
-                v = members.sum(axis=0)
-                nrm = np.linalg.norm(v)
-                if nrm > 0:
-                    cent[c] = v / nrm
+    cent = lloyd_centroids(np.array([r[0] for r in train], dtype=np.float64),
+                           num_clusters, iters)
     bc = df.sparkSession.sparkContext.broadcast(cent)
 
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)

@@ -1588,15 +1588,135 @@ FROM counts c JOIN ranked r ON c.label = r.label AND r.rn = 1
 
 
 def q_emb_lsh_knn(spark, sf_dir):
-    """Bucketed ANN — rows-only check (no SQL oracle this round)."""
+    """Bucketed ANN: random-hyperplane signatures (deterministic rational
+    plane weights) -> bucket equi-join -> exact cosine rerank."""
     return fsim.lsh_knn(_t(spark, sf_dir, "embeddings"), KNN_QUERIES, k=5, num_planes=6)
 
 
 def q_emb_ivf_knn(spark, sf_dir):
-    """IVF ANN (deterministic k-means coarse quantizer + probe join) —
-    rows-only check: the quantizer's Lloyd iterations aren't SQL."""
+    """IVF ANN: deterministic k-means coarse quantizer + probe join."""
     return fsim.ivf_knn(_t(spark, sf_dir, "embeddings"), KNN_QUERIES, k=5,
                         num_clusters=16, nprobe=4)
+
+
+EMB_DIM = 64  # testdata embedding dimensionality (TESTDATA.md)
+
+#: sf dir the ORACLE SQL is generated against. The driver compares Spark
+#: vs DuckDB at sf0.01 (the documented contract), which is the default;
+#: tools/check_oracle.py overrides it to whatever sf it was pointed at.
+ORACLE_SF_DIR_ENV = "SPARK_GRAFT_ORACLE_SF_DIR"
+
+
+def _oracle_sf_dir() -> str:
+    import os
+
+    return os.environ.get(ORACLE_SF_DIR_ENV, "/root/testdata/sf0.01")
+
+
+def _sql_lsh_knn(num_planes: int = 6, k: int = 5) -> str:
+    """Oracle for q_emb_lsh_knn: the plane weights are exact rationals
+    (similarity.py:_plane_weight) whose float64 values are inlined via
+    repr — bit-identical to Spark's in-engine computation."""
+    planes = []
+    for j in range(num_planes):
+        w = [repr(((j * 1000003 + i * 7919) % 97 - 48) / 48.0) for i in range(EMB_DIM)]
+        planes.append(f"list_dot_product(v, [{', '.join(w)}])")
+    bucket = " + ".join(
+        f"(CASE WHEN {dot} > 0 THEN {2 ** j} ELSE 0 END)" for j, dot in enumerate(planes)
+    )
+    qlist = ", ".join(map(str, KNN_QUERIES))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+      FROM sig WHERE vec_id IN ({qlist})),
+scored AS (
+  SELECT query_id, s.vec_id AS neighbor_id,
+         list_dot_product(s.v, qv) /
+         (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(qv, qv))) AS sim
+  FROM sig s JOIN q ON s.bucket = q.qbucket AND s.vec_id != q.query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def _sql_ivf_knn(num_clusters: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    """Oracle for q_emb_ivf_knn. The coarse quantizer is driver-side
+    deterministic numpy (similarity.py:lloyd_centroids over the first 4096
+    vectors by id); the oracle recomputes those centroids AND the per-query
+    probe sets with the same pure-numpy routine on the same training rows,
+    then injects both as VALUES tables. Everything that runs distributed
+    in Spark (assignment argmax, candidate join, exact cosine rerank) is
+    re-expressed in SQL."""
+    import duckdb
+    import numpy as np
+
+    sf_dir = _oracle_sf_dir()
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT 4096"
+    ).fetchall()
+    con.close()
+    M = np.array([r[0] for r in rows], dtype=np.float64)
+    cent = fsim.lloyd_centroids(M, num_clusters, iters=5)
+
+    # probe sets: same numpy as ivf_knn (cent @ q/|q|, stable top-nprobe)
+    qcon = duckdb.connect()
+    qrows = qcon.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"WHERE vec_id IN ({', '.join(map(str, KNN_QUERIES))})"
+    ).fetchall()
+    qcon.close()
+    probe_rows = []
+    for vid, emb in qrows:
+        q = np.asarray(emb, dtype=np.float64)
+        n = np.linalg.norm(q)
+        sims = cent @ (q / n if n > 0 else q)
+        for c in np.argsort(-sims, kind="stable")[:nprobe]:
+            probe_rows.append((int(vid), int(c)))
+
+    cent_values = ", ".join(
+        f"({c}, [{', '.join(repr(x) for x in cent[c])}]::DOUBLE[])"
+        for c in range(len(cent))
+    )
+    probe_values = ", ".join(f"({q}, {c})" for q, c in probe_rows)
+    qlist = ", ".join(map(str, KNN_QUERIES))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent(cid, c) AS (VALUES {cent_values}),
+probes(query_id, cid) AS (VALUES {probe_values}),
+assign AS (
+  SELECT vec_id, v, cid AS cluster_id FROM (
+    SELECT e.vec_id, e.v, cent.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, cent.c) DESC, cent.cid) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({qlist})),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, a.v, q.qv
+  FROM probes p JOIN assign a ON a.cluster_id = p.cid
+                JOIN q ON q.query_id = p.query_id
+  WHERE a.vec_id != p.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(v, qv) /
+         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS sim
+  FROM cand
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
 
 
 def q_raster_mask_distributed(spark, sf_dir):
@@ -1783,7 +1903,7 @@ def queries():
 
 
 def oracle_sql():
-    return {
+    out = {
         "raster_local_algebra": SQL_RASTER_LOCAL_ALGEBRA,
         "raster_reclassify": SQL_RASTER_RECLASSIFY,
         "raster_layer_add": SQL_RASTER_LAYER_ADD,
@@ -1846,6 +1966,14 @@ def oracle_sql():
         "emb_knn": SQL_EMB_KNN,
         "emb_norm_stats": SQL_EMB_NORM_STATS,
         "emb_near_dup": SQL_EMB_NEAR_DUP,
+        "emb_lsh_knn": _sql_lsh_knn(num_planes=6, k=5),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
-        # emb_lsh_knn: rows-only
     }
+    # the IVF oracle reads the training rows from the oracle sf dir at
+    # build time; if that path is unreachable the query degrades to a
+    # rows-only check instead of poisoning the whole oracle dict
+    try:
+        out["emb_ivf_knn"] = _sql_ivf_knn(num_clusters=16, nprobe=4, k=5)
+    except Exception:
+        pass
+    return out

@@ -62,6 +62,12 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # sf-dependent oracles (e.g. the IVF centroid injection) must be built
+    # against the sf dir this run checks
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as entry
     from pyspark.sql import SparkSession
 
