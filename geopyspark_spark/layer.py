@@ -114,9 +114,20 @@ class TiledRasterLayer:
         info = parse_cell_type(ct)
         old_nd = self.nodata
         new_nd = info.nodata
+        from .core.celltype import _BASE
+
+        bounds = _BASE[info.base][3]
 
         def fn(c):
-            v = c if info.is_float else F.round(c, 0)
+            if info.is_float:
+                # quantize through the physical target precision
+                return c.cast("float").cast("double") if info.base == "float32" else c
+            v = F.round(c, 0)
+            if bounds is not None:
+                # clamp to the target range (GeoTrellis convert semantics);
+                # the NoData sentinel is untouched (cellwise_unary skips it)
+                lo, hi = bounds
+                v = F.least(F.greatest(v, F.lit(float(lo))), F.lit(float(hi)))
             return v
 
         df = _local.cellwise_unary(self.df, old_nd, fn)
@@ -462,10 +473,11 @@ class TiledRasterLayer:
 
         return _reproject.reproject(self, target_crs, layout, resample_method)
 
-    def cost_distance(self, geometries, max_distance: float = float("inf")) -> "TiledRasterLayer":
+    def cost_distance(self, geometries, max_distance: float = float("inf"),
+                      max_iterations: int | None = None) -> "TiledRasterLayer":
         from .operators import costdistance
 
-        return costdistance.cost_distance(self, geometries, max_distance)
+        return costdistance.cost_distance(self, geometries, max_distance, max_iterations)
 
     def to_png_rdd(self, color_map) -> DataFrame:
         from .operators import render

@@ -78,12 +78,19 @@ def cost_distance(
     friction: "TiledRasterLayer",
     geometries,
     max_distance: float = float("inf"),
-    max_iterations: int = 64,
+    max_iterations: int | None = None,
 ) -> "TiledRasterLayer":
     """Least-cost distance from source geometries over a friction layer.
 
     Returns a float64 layer: NoData (NaN) where unreachable or friction is
     NoData.
+
+    ``max_iterations`` defaults to ``layout_cols + layout_rows``: a
+    distance front advances at least one tile per halo-relaxation round,
+    so that bound always reaches convergence (reference
+    ``IterativeCostDistance`` runs to convergence). An explicit smaller
+    cap that exits unconverged emits a RuntimeWarning instead of silently
+    returning too-large distances.
     """
     from ..core.geom import MultiPolygon, Point, Polygon
     from ..layer import TiledRasterLayer as TRL
@@ -92,6 +99,9 @@ def cost_distance(
     md = friction.metadata
     tl = md.layout.tile_layout
     tc, tr = tl.tile_cols, tl.tile_rows
+    if max_iterations is None:
+        # worst case: a front crossing the whole grid corner to corner
+        max_iterations = max(2, tl.layout_cols + tl.layout_rows)
     nd = md.nodata
     geoms = _normalize_geoms(geometries)
     cw, ch = md.layout.cell_width, md.layout.cell_height
@@ -145,6 +155,7 @@ def cost_distance(
     )
     out_cols = [c.split(" ")[0] for c in out_schema.split(", ")]
 
+    converged = False
     for _ in range(max_iterations):
         frag_f = halo_exchange(state.select(*key_names, "cells"), tc, tr, 1)
         frag_d = halo_exchange(
@@ -175,7 +186,18 @@ def cost_distance(
         state.unpersist()
         state = new_state.drop("improved")
         if max_improved <= 1e-9:
+            converged = True
             break
+
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"cost_distance stopped after {max_iterations} iterations without "
+            "converging; distances may be incomplete (raise max_iterations)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     result = state.withColumn(
         "cells",

@@ -24,6 +24,7 @@ the focal halo exchange, so partition sizing holds at scale.
 
 from __future__ import annotations
 
+import math
 from dataclasses import replace
 from typing import TYPE_CHECKING
 
@@ -159,10 +160,16 @@ def reproject(layer: "TiledRasterLayer", target_crs: str,
         fc = (sx - s_ext.xmin) / s_cw
         fr = (s_ext.ymax - sy) / s_ch
         out = np.full(fc.shape, np.nan)
-        tiles = {
-            (int(r.skey_col), int(r.skey_row)): np.asarray(r.cells, dtype=np.float64)
-            for r in pdf.itertuples(index=False)
-        }
+        # normalize the NoData sentinel to NaN BEFORE sampling: bilinear's
+        # 4-tap average must skip NoData taps (NaN-aware renormalization
+        # below), not blend e.g. int32's -2147483648 into neighbors. The
+        # sentinel is restored on the way out.
+        tiles = {}
+        for r in pdf.itertuples(index=False):
+            cells = np.asarray(r.cells, dtype=np.float64)
+            if nodata is not None and not math.isnan(nodata):
+                cells = np.where(cells == nodata, np.nan, cells)
+            tiles[(int(r.skey_col), int(r.skey_row))] = cells
 
         def sample_at(ic: np.ndarray, ir: np.ndarray, valid: np.ndarray) -> np.ndarray:
             """Nearest sample of global integer cells (ic, ir) from the shipped

@@ -64,8 +64,8 @@ def tile_to_layout(layer: "TiledRasterLayer", layout,
     - *aligned* grids (same cell size, origin offset by a whole number of
       cells): exact JVM re-key, no resampling — covers retile-to-other-
       tile-size and extent crops, the dominant case;
-    - non-aligned grids raise (the resample path arrives with the
-      reproject operator).
+    - non-aligned grids fall through to the identity-CRS inverse-sampling
+      warp below (reproject's machinery with no coordinate transform).
     """
     src = layer.layout
     dst = _resolve_layout(layer, layout)
@@ -195,7 +195,20 @@ def _pyramid_up(layer: "TiledRasterLayer", resample_method: str) -> "TiledRaster
     )
     n_lc = max(1, (tl.layout_cols + 1) // 2)
     n_lr = max(1, (tl.layout_rows + 1) // 2)
-    new_layout = LayoutDefinition(md.layout.extent, TileLayout(n_lc, n_lr, tc, tr))
+    # parent cell = exactly 2x child cell, anchored at the grid's top-left
+    # (xmin, ymax). With odd layout dims, ceil(n/2) parent tiles cover MORE
+    # than the child extent — grow the extent to match, instead of keeping
+    # it and silently implying a non-2x cell size (mis-georeferenced keys).
+    ext = md.layout.extent
+    cw = (ext.xmax - ext.xmin) / (tl.layout_cols * tc)
+    ch = (ext.ymax - ext.ymin) / (tl.layout_rows * tr)
+    new_ext = Extent(
+        ext.xmin,
+        ext.ymax - n_lr * tr * 2 * ch,
+        ext.xmin + n_lc * tc * 2 * cw,
+        ext.ymax,
+    )
+    new_layout = LayoutDefinition(new_ext, TileLayout(n_lc, n_lr, tc, tr))
     (c0, r0), (c1, r1) = md.bounds
     new_md = md.with_layout(new_layout, ((c0 // 2, r0 // 2), (c1 // 2, r1 // 2)))
     fill = float("nan") if nd is None else float(nd)

@@ -208,4 +208,18 @@ def update_layer(spark: SparkSession, uri: str, layer_name: str, zoom: int,
     u = TRL(new.unionByName(old), existing.metadata.combine(new_layer.metadata))
     merged = _merge(u, order_col="_gen")
     out = TRL(merged.df.drop("_gen"), u.metadata)
-    return write(uri, layer_name, out, zoom)
+    # Never overwrite a path the lazy merged plan still reads (Spark's
+    # overwrite deletes the input before the scan finishes under some
+    # committers/object stores). Write to a temp sibling layer, then swap.
+    import shutil
+
+    tmp_name = f"{layer_name}__update_tmp"
+    tmp_path = write(uri, tmp_name, out, zoom)
+    final_path = _layer_path(uri, layer_name, zoom)
+    backup = final_path + ".old"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.replace(final_path, backup)
+    os.replace(tmp_path, final_path)
+    shutil.rmtree(backup, ignore_errors=True)
+    shutil.rmtree(os.path.join(uri, tmp_name), ignore_errors=True)
+    return final_path

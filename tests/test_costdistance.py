@@ -74,3 +74,31 @@ class TestCostDistance:
         d = _stitched(out)
         assert d[0, 2] == 2.0
         assert np.isnan(d[0, 4])
+
+
+def test_unconverged_warns(spark, friction_layer=None):
+    """ADVICE r1: exiting the fixpoint at max_iterations without converging
+    must warn instead of silently returning incomplete distances."""
+    import warnings
+
+    import numpy as np
+    import pytest
+
+    import geopyspark_spark as gps
+
+    layout = gps.LayoutDefinition(gps.Extent(0, 0, 12, 4), gps.TileLayout(3, 1, 4, 4))
+    md = gps.LayerMetadata(
+        crs="epsg:4326", cell_type="float64", layout=layout,
+        bounds=((0, 0), (2, 0)), extent=layout.extent, num_bands=1,
+    )
+    tiles = [(kc, 0, 0, np.ones((4, 4))) for kc in range(3)]
+    layer = gps.from_numpy(spark, tiles, md)
+    src = gps.Point(0.5, 3.5)
+    with pytest.warns(RuntimeWarning, match="without.*converging|converg"):
+        layer.cost_distance(src, max_iterations=1)
+    # default iteration budget reaches the far tile without warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = layer.cost_distance(src)
+    arr = out.stitch()
+    assert np.isfinite(arr[0, 3, 11])

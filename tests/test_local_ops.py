@@ -142,3 +142,24 @@ class TestUnionCombine:
         assert c.metadata.num_bands == 2
         got = {t[2]: t[3][1, 1] for t in to_numpy(c) if (t[0], t[1]) == (0, 0)}
         assert got == {0: 1.0, 1: 11.0}
+
+
+def test_convert_clamps_to_target_range(spark):
+    """ADVICE r1: integral converts clamp to the target type's range
+    (float64 300 -> int8 keeps 127, -300 -> -128), sentinel untouched."""
+    import numpy as np
+
+    import geopyspark_spark as gps
+
+    md = gps.LayerMetadata(
+        crs="epsg:4326", cell_type="float64ud-1.0",
+        layout=gps.LayoutDefinition(gps.Extent(0, 0, 2, 2), gps.TileLayout(1, 1, 2, 2)),
+        bounds=((0, 0), (0, 0)), extent=gps.Extent(0, 0, 2, 2), num_bands=1,
+    )
+    a = np.array([[300.0, -300.0], [12.4, -1.0]])
+    layer = gps.from_numpy(spark, [(0, 0, 0, a)], md)
+    out = layer.convert_data_type("int8")
+    cells = np.asarray(out.df.first()["cells"])
+    assert cells[0] == 127.0 and cells[1] == -128.0 and cells[2] == 12.0
+    # old sentinel (-1.0) rewritten to int8's default sentinel (-128)
+    assert cells[3] == -128.0

@@ -161,3 +161,39 @@ class TestGlobalLayoutFlow:
 
         with pytest.raises(NotImplementedError, match="mercator|3857"):
             f1_layer.tile_to_layout(GlobalLayout(tile_size=8, zoom=3))
+
+
+class TestBilinearNoData:
+    def test_bilinear_does_not_blend_sentinel(self, spark):
+        """ADVICE r1: a non-NaN NoData sentinel must be excluded from the
+        4-tap bilinear average, not blended in as a huge bogus value."""
+        md = gps.LayerMetadata(
+            crs="epsg:4326",
+            cell_type="float64ud-9999",
+            layout=gps.LayoutDefinition(
+                gps.Extent(0, 0, 10, 10), gps.TileLayout(2, 2, 5, 5)
+            ),
+            bounds=((0, 0), (1, 1)),
+            extent=gps.Extent(0, 0, 10, 10),
+            num_bands=1,
+        )
+        tiles = []
+        for kr in range(2):
+            for kc in range(2):
+                a = np.full((5, 5), 10.0)
+                if kc == 0 and kr == 0:
+                    a[:, :] = -9999.0  # whole NW tile is NoData
+                tiles.append((kc, kr, 0, a))
+        layer = gps.from_numpy(spark, tiles, md)
+        # half-cell-shifted target grid forces true 4-tap interpolation
+        target = gps.LayoutDefinition(
+            gps.Extent(0.5, 0.5, 10.5, 10.5), gps.TileLayout(2, 2, 5, 5)
+        )
+        out = layer.reproject("epsg:4326", layout=target, resample_method="Bilinear")
+        vals = _grid_values(out)
+        finite = vals[~np.isnan(vals) & (vals != -9999.0)]
+        # every interpolated value must come from 10.0 taps only
+        assert finite.size > 0
+        assert np.allclose(finite, 10.0), (
+            f"sentinel leaked into bilinear blend: {np.unique(finite)[:5]}"
+        )

@@ -111,3 +111,37 @@ class TestPartitioning:
         out = f1_layer.partition_by_zorder(2)
         assert out.df.rdd.getNumPartitions() == 2
         assert out.count() == 4
+
+
+class TestPyramidOddLayout:
+    def test_odd_layout_parent_georeference(self, spark):
+        """ADVICE r1: with an odd layout (3x3), the parent level must keep
+        parent cell = exactly 2x child cell by GROWING the extent, not
+        silently implying a non-2x cell size."""
+        from geopyspark_spark.operators.tiling import _pyramid_up
+
+        layout = gps.LayoutDefinition(gps.Extent(0, 0, 6, 6), gps.TileLayout(3, 3, 2, 2))
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64", layout=layout,
+            bounds=((0, 0), (2, 2)), extent=layout.extent, zoom=1,
+        )
+        tiles = []
+        for kc in range(3):
+            for kr in range(3):
+                a = np.zeros((2, 2))
+                for r in range(2):
+                    for c in range(2):
+                        a[r, c] = 10 * (kr * 2 + r) + (kc * 2 + c)  # 10*grow+gcol
+                tiles.append((kc, kr, 0, a))
+        layer = gps.from_numpy(spark, tiles, md)
+        up = _pyramid_up(layer, "Average")
+        new_ld = up.layout
+        # cell size must be exactly 2x the child cell (1.0 -> 2.0)
+        assert new_ld.cell_width == 2.0 and new_ld.cell_height == 2.0
+        # extent anchored at the top-left corner, grown east/south
+        assert new_ld.extent.xmin == 0 and new_ld.extent.ymax == 6
+        assert new_ld.extent.xmax == 8 and new_ld.extent.ymin == -2
+        # parent cell (0,0) = average of child cells (0,0),(0,1),(1,0),(1,1)
+        vals = {(t[0], t[1]): t[3] for t in to_numpy(up)}
+        a00 = vals[(0, 0)]
+        assert a00[0, 0] == (0 + 1 + 10 + 11) / 4.0
