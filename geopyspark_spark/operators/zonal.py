@@ -203,11 +203,18 @@ def point_values(layer: "TiledRasterLayer", points, resample_method: str = "Near
 
     Temporal layers return every instant per point (reference semantics).
     """
-    if resample_method not in ("NearestNeighbor", "Bilinear", "CubicConvolution"):
+    from ..layer import _normalize_geoms
+    from .resample import _KERNELS
+
+    # aggregate methods degenerate to the containing cell for a point query
+    # (reference semantics: they exist for area downsampling)
+    if resample_method in ("Average", "Mode", "Median", "Max", "Min"):
+        resample_method = "NearestNeighbor"
+    kernelized = resample_method in _KERNELS or resample_method == "Bilinear"
+    if resample_method != "NearestNeighbor" and not kernelized:
         raise NotImplementedError(
             f"point resampling {resample_method!r} not implemented"
         )
-    from ..layer import _normalize_geoms
 
     pts = [g for g in _normalize_geoms(points)]
     kt = layer.key_transform
@@ -219,14 +226,15 @@ def point_values(layer: "TiledRasterLayer", points, resample_method: str = "Near
             kc, kr, tc, tr = kt.point_cell(p.x, p.y)
             rows.append((i, kc, kr, tr * tl.tile_cols + tc, 1.0))
     else:
-        # bilinear / cubic: tensor-product taps on the surrounding cell
-        # centers (2x2 bilinear, 4x4 Keys cubic); points whose support
-        # extends past the layer edge return None (strict NoData
-        # propagation, matching the local-op rules)
-        from .resample import cubic_convolution_kernel
-
-        cubic = resample_method == "CubicConvolution"
-        offs = (-1, 0, 1, 2) if cubic else (0, 1)
+        # tensor-product taps on the surrounding cell centers: 2x2
+        # bilinear, 4x4 Keys cubic / cubic B-spline, 6x6 Lanczos-3.
+        # Points whose support extends past the layer edge return None
+        # (strict NoData propagation, matching the local-op rules).
+        if resample_method == "Bilinear":
+            kernel, radius = None, 1
+        else:
+            kernel, radius = _KERNELS[resample_method]
+        offs = tuple(range(-radius + 1, radius + 1))
         cw, ch = layout.cell_width, layout.cell_height
         e = layout.extent
         for i, p in enumerate(pts):
@@ -234,9 +242,9 @@ def point_values(layer: "TiledRasterLayer", points, resample_method: str = "Near
             fr = (e.ymax - p.y) / ch - 0.5
             c0, r0 = math.floor(fc), math.floor(fr)
             od = np.array(offs, dtype=np.float64)
-            if cubic:
-                wcol = cubic_convolution_kernel((fc - c0) - od)
-                wrow = cubic_convolution_kernel((fr - r0) - od)
+            if kernel is not None:
+                wcol = kernel((fc - c0) - od)
+                wrow = kernel((fr - r0) - od)
             else:
                 wcol = np.array([1.0 - (fc - c0), fc - c0])
                 wrow = np.array([1.0 - (fr - r0), fr - r0])
@@ -262,11 +270,21 @@ def point_values(layer: "TiledRasterLayer", points, resample_method: str = "Near
         F.max(_is_nd(F.col("v"), nd).cast("int")).alias("any_nd"),
         F.count("*").alias("n"),
     )
-    expected = {"NearestNeighbor": 1, "Bilinear": 4, "CubicConvolution": 16}[resample_method]
+    expected = {
+        "NearestNeighbor": 1, "Bilinear": 4, "CubicConvolution": 16,
+        "CubicSpline": 16, "Lanczos": 36,
+    }[resample_method]
+    # B-spline/Lanczos taps don't sum to exactly 1 in float — renormalize;
+    # the partition-of-unity kernels keep wv untouched (bit-stable oracles)
+    value_expr = (
+        F.col("wv") / F.col("wsum")
+        if resample_method in ("CubicSpline", "Lanczos")
+        else F.col("wv")
+    )
     sel = agg.select(
         *gcols,
         F.when(
-            (F.col("any_nd") == 0) & (F.col("n") == expected), F.col("wv")
+            (F.col("any_nd") == 0) & (F.col("n") == expected), value_expr
         ).alias("value"),
     )
     collected = sel.collect()

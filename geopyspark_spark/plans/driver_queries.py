@@ -764,6 +764,65 @@ GROUP BY 1, 2
 """
 
 
+def _q_point_kernel(spark, sf_dir, method):
+    layer = lineitem_layer(spark, sf_dir)
+    pts = [gps.Point(x, y) for x, y in BILINEAR_SAMPLES]
+    got = layer.get_point_values(pts, resample_method=method)
+    rows = []
+    for i, (p, bands) in enumerate(got):
+        for b, v in enumerate(bands or []):
+            if v is not None:
+                rows.append((i, b, round(float(v), 6)))
+    return spark.createDataFrame(rows, "pt_id int, band int, value double")
+
+
+def q_raster_point_cubicspline(spark, sf_dir):
+    """Cubic B-spline point sampling (4x4 tensor taps, renormalized)."""
+    return _q_point_kernel(spark, sf_dir, "CubicSpline")
+
+
+def q_raster_point_lanczos(spark, sf_dir):
+    """Lanczos-3 point sampling (6x6 tensor taps, renormalized)."""
+    return _q_point_kernel(spark, sf_dir, "Lanczos")
+
+
+def _sql_point_kernel(method: str) -> str:
+    """Oracle for kernel point sampling: the tap weights are the same
+    deterministic numpy kernels the operator uses (injected as VALUES);
+    the distributed part — tap join + weighted aggregate over the raster —
+    is re-verified relationally. Taps outside the grid drop the point
+    (strict support check), mirrored by HAVING COUNT(*) = n_taps."""
+    import math as _math
+
+    import numpy as np
+
+    from ..operators.resample import _KERNELS
+
+    kernel, radius = _KERNELS[method]
+    offs = tuple(range(-radius + 1, radius + 1))
+    n_taps = len(offs) ** 2
+    taps = []
+    for i, (x, y) in enumerate(BILINEAR_SAMPLES):
+        fc = x - 0.5          # unit cells anchored at extent origin 0
+        fr = (GRID - y) - 0.5
+        c0, r0 = _math.floor(fc), _math.floor(fr)
+        od = np.array(offs, dtype=np.float64)
+        wcol = kernel((fc - c0) - od)
+        wrow = kernel((fr - r0) - od)
+        for di, dc in enumerate(offs):
+            for dj, dr in enumerate(offs):
+                taps.append((i, c0 + dc, r0 + dr, float(wcol[di] * wrow[dj])))
+    vals = ", ".join(f"({i}, {gc}, {gr}, {w!r})" for i, gc, gr, w in taps)
+    return CELLS_CTE + f"""
+, taps(pt_id, tcol, trow, w) AS (VALUES {vals})
+SELECT t.pt_id, CAST(0 AS INT) AS band,
+       round(SUM(t.w * coords.value) / SUM(t.w), 6) AS value
+FROM taps t JOIN coords ON coords.gcol = t.tcol AND coords.grow = t.trow
+GROUP BY 1, 2
+HAVING COUNT(*) = {n_taps}
+"""
+
+
 def q_raster_rasterize(spark, sf_dir):
     """Burn two overlapping boxes (z-index priority) into the fixture
     layout; output valid cells with global coords."""
@@ -1893,6 +1952,8 @@ def queries():
         "raster_focal_circle": q_raster_focal_circle,
         "raster_filter_by_times": q_raster_filter_by_times,
         "raster_point_bilinear": q_raster_point_bilinear,
+        "raster_point_cubicspline": q_raster_point_cubicspline,
+        "raster_point_lanczos": q_raster_point_lanczos,
         "raster_euclidean_distance": q_raster_euclidean_distance,
         "raster_aspect": q_raster_aspect,
         "raster_hillshade": q_raster_hillshade,
@@ -1931,6 +1992,8 @@ def oracle_sql():
         "raster_filter_by_times": SQL_RASTER_FILTER_BY_TIMES,
         "raster_point_values": _sql_point_values(),
         "raster_point_bilinear": _sql_point_bilinear(),
+        "raster_point_cubicspline": _sql_point_kernel("CubicSpline"),
+        "raster_point_lanczos": _sql_point_kernel("Lanczos"),
         "raster_rasterize": SQL_RASTER_RASTERIZE,
         "raster_euclidean_distance": SQL_RASTER_EUCLIDEAN,
         "raster_cost_distance": SQL_RASTER_COST_DISTANCE,

@@ -98,7 +98,7 @@ class TestPointValues:
 
     def test_unsupported_resample(self, f1_layer):
         with pytest.raises(NotImplementedError):
-            f1_layer.get_point_values([gps.Point(1, 1)], resample_method="CubicSpline")
+            f1_layer.get_point_values([gps.Point(1, 1)], resample_method="NoSuchKernel")
 
 
 class TestTemporal:
@@ -134,3 +134,44 @@ class TestTemporal:
     def test_sum_series_subpoly(self, st_layer):
         series = st_layer.sum_series(gps.box(0, 0, 5, 5))
         assert [v for _, v in series] == [25.0, 75.0]
+
+
+class TestPointKernelModes:
+    def test_cubicspline_and_lanczos_interior(self, spark):
+        """Constant layer: every kernel is (re)normalized, so any interior
+        point samples exactly the constant; edge-support points are None."""
+        import numpy as np
+
+        import geopyspark_spark as gps
+
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64",
+            layout=gps.LayoutDefinition(gps.Extent(0, 0, 8, 8), gps.TileLayout(2, 2, 4, 4)),
+            bounds=((0, 0), (1, 1)), extent=gps.Extent(0, 0, 8, 8), num_bands=1,
+        )
+        tiles = [(kc, kr, 0, np.full((4, 4), 7.0)) for kc in range(2) for kr in range(2)]
+        layer = gps.from_numpy(spark, tiles, md)
+        for method, ok_pt, edge_pt in [
+            ("CubicSpline", (4.3, 4.6), (0.4, 7.6)),
+            ("Lanczos", (4.3, 4.6), (1.4, 6.6)),
+        ]:
+            (_, vals), (_, edge) = layer.get_point_values(
+                [gps.Point(*ok_pt), gps.Point(*edge_pt)], resample_method=method
+            )
+            assert vals is not None and abs(vals[0] - 7.0) < 1e-9, (method, vals)
+            assert edge is None  # support clipped -> strict None
+
+    def test_aggregate_methods_degenerate_to_cell(self, spark):
+        import numpy as np
+
+        import geopyspark_spark as gps
+
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64",
+            layout=gps.LayoutDefinition(gps.Extent(0, 0, 2, 2), gps.TileLayout(1, 1, 2, 2)),
+            bounds=((0, 0), (0, 0)), extent=gps.Extent(0, 0, 2, 2), num_bands=1,
+        )
+        layer = gps.from_numpy(spark, [(0, 0, 0, np.array([[1.0, 2.0], [3.0, 4.0]]))], md)
+        for method in ("Average", "Mode", "Median", "Max", "Min"):
+            (_, vals), = layer.get_point_values([gps.Point(1.5, 1.5)], resample_method=method)
+            assert vals == [2.0], method
