@@ -23,7 +23,8 @@ from .core.extent import (
     LocalLayout,
     TileLayout,
 )
-from .core.geom import MultiPolygon, Point, Polygon, box, from_wkb, from_wkt, to_wkb, to_wkt
+from .core.geom import (LineString, MultiLineString, MultiPoint, MultiPolygon,
+                        Point, Polygon, box, from_wkb, from_wkt, to_wkb, to_wkt)
 from .core.keys import KeyTransform
 from .core.metadata import LayerMetadata
 from .layer import Pyramid, TiledRasterLayer, combine_bands, union
@@ -39,6 +40,9 @@ __all__ = [
     "LayerMetadata",
     "LayoutDefinition",
     "LocalLayout",
+    "LineString",
+    "MultiLineString",
+    "MultiPoint",
     "MultiPolygon",
     "Point",
     "Polygon",

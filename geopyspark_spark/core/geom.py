@@ -87,7 +87,78 @@ class MultiPolygon:
         return bool(self.contains_points(np.array([px]), np.array([py]))[0])
 
 
-Geometry = Point | Polygon | MultiPolygon
+@dataclass(frozen=True)
+class MultiPoint:
+    points: tuple[Point, ...]
+
+    @property
+    def bounds(self) -> tuple[float, float, float, float]:
+        xs = [p.x for p in self.points]
+        ys = [p.y for p in self.points]
+        return (min(xs), min(ys), max(xs), max(ys))
+
+
+@dataclass(frozen=True)
+class LineString:
+    """Open polyline; coords are [(x, y), ...]."""
+
+    coords: tuple[tuple[float, float], ...]
+
+    @property
+    def bounds(self) -> tuple[float, float, float, float]:
+        xs = [p[0] for p in self.coords]
+        ys = [p[1] for p in self.coords]
+        return (min(xs), min(ys), max(xs), max(ys))
+
+    def intersects_boxes(self, cx: np.ndarray, cy: np.ndarray,
+                         w: float, h: float) -> np.ndarray:
+        """Vectorized: does any segment cross the axis-aligned box of size
+        (w, h) centered at each (cx, cy)? Liang-Barsky slab clip per
+        segment over all boxes at once — the line-burn test for rasterize
+        (GeoTrellis burns every cell a line touches)."""
+        hits = np.zeros(cx.shape, dtype=bool)
+        hw, hh = w / 2.0, h / 2.0
+        for (x1, y1), (x2, y2) in zip(self.coords, self.coords[1:]):
+            dx, dy = x2 - x1, y2 - y1
+            t0 = np.zeros(cx.shape)
+            t1 = np.ones(cx.shape)
+            ok = np.ones(cx.shape, dtype=bool)
+            for p, q_lo, q_hi in (
+                (dx, (cx - hw) - x1, (cx + hw) - x1),
+                (dy, (cy - hh) - y1, (cy + hh) - y1),
+            ):
+                if p == 0:
+                    ok &= (q_lo <= 0) & (q_hi >= 0)
+                else:
+                    ta, tb = q_lo / p, q_hi / p
+                    lo, hi = np.minimum(ta, tb), np.maximum(ta, tb)
+                    t0 = np.maximum(t0, lo)
+                    t1 = np.minimum(t1, hi)
+            hits |= ok & (t0 <= t1)
+        return hits
+
+
+@dataclass(frozen=True)
+class MultiLineString:
+    lines: tuple[LineString, ...]
+
+    @property
+    def bounds(self) -> tuple[float, float, float, float]:
+        bs = [l.bounds for l in self.lines]
+        return (
+            min(b[0] for b in bs), min(b[1] for b in bs),
+            max(b[2] for b in bs), max(b[3] for b in bs),
+        )
+
+    def intersects_boxes(self, cx: np.ndarray, cy: np.ndarray,
+                         w: float, h: float) -> np.ndarray:
+        out = np.zeros(cx.shape, dtype=bool)
+        for l in self.lines:
+            out |= l.intersects_boxes(cx, cy, w, h)
+        return out
+
+
+Geometry = Point | Polygon | MultiPolygon | MultiPoint | LineString | MultiLineString
 
 
 def box(xmin: float, ymin: float, xmax: float, ymax: float) -> Polygon:
@@ -145,6 +216,12 @@ def polygon_intersects_box(geom: Geometry, xmin, ymin, xmax, ymax) -> bool:
     reference's Intersects pushdown, ``LayerReaderWrapper.scala:162-190``)."""
     if isinstance(geom, Point):
         return xmin <= geom.x <= xmax and ymin <= geom.y <= ymax
+    if isinstance(geom, MultiPoint):
+        return any(xmin <= p.x <= xmax and ymin <= p.y <= ymax for p in geom.points)
+    if isinstance(geom, (LineString, MultiLineString)):
+        cx = np.array([(xmin + xmax) / 2.0])
+        cy = np.array([(ymin + ymax) / 2.0])
+        return bool(geom.intersects_boxes(cx, cy, xmax - xmin, ymax - ymin)[0])
     if isinstance(geom, MultiPolygon):
         return any(polygon_intersects_box(p, xmin, ymin, xmax, ymax) for p in geom.polygons)
     if not bounds_intersect(geom.bounds, (xmin, ymin, xmax, ymax)):
@@ -186,7 +263,26 @@ def from_wkt(wkt: str) -> Geometry:
     if up.startswith("POLYGON"):
         body = s[s.index("(") : s.rindex(")") + 1]
         return _parse_polygon_body(body)
+    if up.startswith("MULTILINESTRING"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        lines = []
+        for lm in re.finditer(r"\(([^()]+)\)", body):
+            lines.append(LineString(tuple(_parse_coord_list(lm.group(1)))))
+        return MultiLineString(tuple(lines))
+    if up.startswith("LINESTRING"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        return LineString(tuple(_parse_coord_list(body)))
+    if up.startswith("MULTIPOINT"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        return MultiPoint(tuple(Point(x, y) for x, y in _parse_coord_list(body)))
     raise ValueError(f"unsupported WKT: {wkt[:40]}")
+
+
+def _parse_coord_list(body: str) -> list[tuple[float, float]]:
+    return [
+        (float(m.group(1)), float(m.group(2)))
+        for m in re.finditer(rf"({_NUM})\s+({_NUM})", body)
+    ]
 
 
 def _parse_polygon_body(body: str) -> Polygon:
@@ -216,12 +312,21 @@ def to_wkt(geom: Geometry) -> str:
             "(" + ", ".join(ring_s(r) for r in (p.exterior, *p.holes)) + ")"
             for p in geom.polygons
         ) + ")"
+    if isinstance(geom, LineString):
+        return "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in geom.coords) + ")"
+    if isinstance(geom, MultiLineString):
+        return "MULTILINESTRING (" + ", ".join(
+            "(" + ", ".join(f"{x} {y}" for x, y in l.coords) + ")" for l in geom.lines
+        ) + ")"
+    if isinstance(geom, MultiPoint):
+        return "MULTIPOINT (" + ", ".join(f"({p.x} {p.y})" for p in geom.points) + ")"
     raise TypeError(type(geom))
 
 
 # --- WKB (little-endian, 2-D) --------------------------------------------
 
-_WKB_POINT, _WKB_POLYGON, _WKB_MULTIPOLYGON = 1, 3, 6
+_WKB_POINT, _WKB_LINESTRING, _WKB_POLYGON = 1, 2, 3
+_WKB_MULTIPOINT, _WKB_MULTILINESTRING, _WKB_MULTIPOLYGON = 4, 5, 6
 
 
 def to_wkb(geom: Geometry) -> bytes:
@@ -235,6 +340,21 @@ def to_wkb(geom: Geometry) -> bytes:
         out = struct.pack("<BII", 1, _WKB_MULTIPOLYGON, len(geom.polygons))
         for p in geom.polygons:
             out += struct.pack("<BI", 1, _WKB_POLYGON) + _wkb_poly_body(p)
+        return out
+    if isinstance(geom, LineString):
+        out = struct.pack("<BII", 1, _WKB_LINESTRING, len(geom.coords))
+        for x, y in geom.coords:
+            out += struct.pack("<dd", x, y)
+        return out
+    if isinstance(geom, MultiLineString):
+        out = struct.pack("<BII", 1, _WKB_MULTILINESTRING, len(geom.lines))
+        for l in geom.lines:
+            out += to_wkb(l)
+        return out
+    if isinstance(geom, MultiPoint):
+        out = struct.pack("<BII", 1, _WKB_MULTIPOINT, len(geom.points))
+        for p in geom.points:
+            out += to_wkb(p)
         return out
     raise TypeError(type(geom))
 
@@ -284,4 +404,26 @@ def _read_wkb(mv, off):
             p, off = _read_wkb(mv, off)
             polys.append(p)
         return MultiPolygon(tuple(polys)), off
+    if gtype == _WKB_LINESTRING:
+        (npts,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        vals = struct.unpack_from(bo + "d" * (2 * npts), mv, off)
+        off += 16 * npts
+        return LineString(tuple(zip(vals[0::2], vals[1::2]))), off
+    if gtype == _WKB_MULTILINESTRING:
+        (n,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        lines = []
+        for _ in range(n):
+            l, off = _read_wkb(mv, off)
+            lines.append(l)
+        return MultiLineString(tuple(lines)), off
+    if gtype == _WKB_MULTIPOINT:
+        (n,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        pts = []
+        for _ in range(n):
+            p, off = _read_wkb(mv, off)
+            pts.append(p)
+        return MultiPoint(tuple(pts)), off
     raise ValueError(f"unsupported WKB geometry type {gtype}")

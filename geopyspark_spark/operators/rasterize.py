@@ -22,7 +22,15 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..core.extent import LayoutDefinition
-from ..core.geom import Geometry, MultiPolygon, Point, Polygon
+from ..core.geom import (
+    Geometry,
+    LineString,
+    MultiLineString,
+    MultiPoint,
+    MultiPolygon,
+    Point,
+    Polygon,
+)
 from ..core.keys import KeyTransform
 from ..core.metadata import LayerMetadata
 from ..layer import TiledRasterLayer, _normalize_geoms
@@ -110,6 +118,14 @@ def rasterize_features(
                     g, value, z = feats_b[fid]
                     if isinstance(g, (Polygon, MultiPolygon)):
                         m = g.contains_points(x, y)
+                    elif isinstance(g, (LineString, MultiLineString)):
+                        # burn every cell the line touches (GeoTrellis
+                        # line rasterization semantics)
+                        m = g.intersects_boxes(x, y, cw, ch)
+                    elif isinstance(g, MultiPoint):
+                        m = np.zeros(x.shape, dtype=bool)
+                        for p in g.points:
+                            m |= (np.abs(x - p.x) <= cw / 2) & (np.abs(y - p.y) <= ch / 2)
                     else:
                         m = (np.abs(x - g.x) <= cw / 2) & (np.abs(y - g.y) <= ch / 2)
                     prio = z * 1e18 + value

@@ -7,8 +7,9 @@ Feature DataFrame schema (FIXTURES.md F4):
     geometry: binary (WKB, little-endian), properties: map<string,string>,
     value: double, zindex: int
 
-Shapefile parsing is pure Python against the public ESRI spec (Point and
-Polygon shapes, dBASE III attributes) — no GDAL/pyogrio needed;
+Shapefile parsing is pure Python against the public ESRI spec (Point /
+PolyLine / Polygon / MultiPoint shapes incl. Z/M variants, dBASE III
+attributes) — no GDAL/pyogrio needed;
 ``from_features`` (any iterable of (geometry, properties)) and GeoJSON
 dict ingest share the same WKB feature schema.
 """
@@ -21,7 +22,17 @@ from typing import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from ..core.geom import Geometry, MultiPolygon, Point, Polygon, from_wkt, to_wkb
+from ..core.geom import (
+    Geometry,
+    LineString,
+    MultiLineString,
+    MultiPoint,
+    MultiPolygon,
+    Point,
+    Polygon,
+    from_wkt,
+    to_wkb,
+)
 
 FEATURE_SCHEMA = T.StructType(
     [
@@ -85,13 +96,44 @@ def _signed_area(ring) -> float:
     return a / 2.0
 
 
+# shape type -> (base geometry kind, has Z, has M). Z/M coordinates trail
+# the XY point array and are ignored (XY parsing is offset-identical).
+_SHAPE_BASE = {
+    1: "point", 11: "point", 21: "point",
+    3: "line", 13: "line", 23: "line",
+    5: "polygon", 15: "polygon", 25: "polygon",
+    8: "multipoint", 18: "multipoint", 28: "multipoint",
+}
+
+
+def _parse_parts_points(content: bytes):
+    """Shared PolyLine/Polygon record layout: bbox(32) nparts npoints
+    parts[] points[] — returns the per-part coordinate tuples. Z/M arrays
+    (for the 1x/2x shape types) come after the XY points; the fixed
+    offsets below never touch them."""
+    import struct
+
+    nparts, npoints = struct.unpack("<ii", content[36:44])
+    parts = struct.unpack(f"<{nparts}i", content[44:44 + 4 * nparts])
+    pts_off = 44 + 4 * nparts
+    pts = struct.unpack(f"<{2 * npoints}d", content[pts_off:pts_off + 16 * npoints])
+    bounds = list(parts) + [npoints]
+    return [
+        tuple((pts[2 * j], pts[2 * j + 1]) for j in range(bounds[i], bounds[i + 1]))
+        for i in range(nparts)
+    ]
+
+
 def read_shp(path: str) -> list[Geometry]:
     """Parse an ESRI shapefile (.shp) — the public spec (ESRI 1998 white
     paper): 100-byte header, then records of (big-endian record header,
-    little-endian shape content). Supports Point (1) and Polygon (5);
-    polygon parts split into shells (clockwise = negative signed area in
-    the spec's orientation) and holes, holes attached to the preceding
-    shell, multiple shells -> MultiPolygon."""
+    little-endian shape content). Supports Point (1), PolyLine (3),
+    Polygon (5), MultiPoint (8) and their Z (1x) / M (2x) variants with
+    Z/M ordinates dropped — the reference reads everything GeoTools does
+    (``ShapefileRDD.scala:24-57``). Polygon parts split into shells
+    (clockwise = negative signed area in the spec's orientation) and
+    holes, holes attached to the preceding shell, multiple shells ->
+    MultiPolygon; multi-part polylines -> MultiLineString."""
     import struct
 
     with open(path, "rb") as f:
@@ -110,19 +152,22 @@ def read_shp(path: str) -> list[Geometry]:
         (stype,) = struct.unpack("<i", content[:4])
         if stype == 0:      # null shape
             continue
-        if stype == 1:      # Point
+        kind = _SHAPE_BASE.get(stype)
+        if kind is None:
+            raise NotImplementedError(f"{path}: unknown shape type {stype}")
+        if kind == "point":
             x, y = struct.unpack("<dd", content[4:20])
             geoms.append(Point(x, y))
-        elif stype == 5:    # Polygon
-            nparts, npoints = struct.unpack("<ii", content[36:44])
-            parts = struct.unpack(f"<{nparts}i", content[44:44 + 4 * nparts])
-            pts_off = 44 + 4 * nparts
-            pts = struct.unpack(f"<{2 * npoints}d", content[pts_off:pts_off + 16 * npoints])
-            rings = []
-            bounds = list(parts) + [npoints]
-            for i in range(nparts):
-                ring = [(pts[2 * j], pts[2 * j + 1]) for j in range(bounds[i], bounds[i + 1])]
-                rings.append(tuple(ring))
+        elif kind == "multipoint":
+            (npoints,) = struct.unpack("<i", content[36:40])
+            pts = struct.unpack(f"<{2 * npoints}d", content[40:40 + 16 * npoints])
+            geoms.append(MultiPoint(tuple(Point(pts[2 * j], pts[2 * j + 1])
+                                          for j in range(npoints))))
+        elif kind == "line":
+            lines = [LineString(p) for p in _parse_parts_points(content)]
+            geoms.append(lines[0] if len(lines) == 1 else MultiLineString(tuple(lines)))
+        else:               # polygon
+            rings = _parse_parts_points(content)
             shells: list[tuple[tuple, list]] = []
             for ring in rings:
                 if _signed_area(ring) <= 0:   # clockwise: outer ring
@@ -133,8 +178,6 @@ def read_shp(path: str) -> list[Geometry]:
                     shells.append((ring, []))
             polys = [Polygon(s, tuple(h)) for s, h in shells]
             geoms.append(polys[0] if len(polys) == 1 else MultiPolygon(tuple(polys)))
-        else:
-            raise NotImplementedError(f"{path}: shape type {stype} (only Point/Polygon)")
     return geoms
 
 

@@ -99,11 +99,115 @@ class TestShpParser:
         assert g.contains_point(2.0, 2.0) and g.contains_point(7.0, 7.0)
 
     def test_unsupported_shape_type(self, tmp_path):
-        rec = struct.pack("<i", 3) + b"\0" * 40  # PolyLine
-        p = tmp_path / "line.shp"
+        rec = struct.pack("<i", 99) + b"\0" * 40  # not in the ESRI spec
+        p = tmp_path / "bogus.shp"
         p.write_bytes(_shp_bytes([rec]))
-        with pytest.raises(NotImplementedError, match="shape type 3"):
+        with pytest.raises(NotImplementedError, match="shape type 99"):
             shapefile.read_shp(str(p))
+
+
+def _polyline_rec(parts: list[list[tuple]], stype: int = 3,
+                  with_z: bool = False) -> bytes:
+    pts = [p for part in parts for p in part]
+    content = struct.pack("<i4d", stype, 0, 0, 10, 10)
+    content += struct.pack("<ii", len(parts), len(pts))
+    off = 0
+    for part in parts:
+        content += struct.pack("<i", off)
+        off += len(part)
+    for (x, y) in pts:
+        content += struct.pack("<2d", x, y)
+    if with_z:  # trailing z-range + z values (the reader must skip them)
+        content += struct.pack("<2d", 0.0, 9.0)
+        content += struct.pack(f"<{len(pts)}d", *[1.0] * len(pts))
+    return content
+
+
+def _multipoint_rec(points: list[tuple], stype: int = 8,
+                    with_z: bool = False) -> bytes:
+    content = struct.pack("<i4d", stype, 0, 0, 10, 10)
+    content += struct.pack("<i", len(points))
+    for (x, y) in points:
+        content += struct.pack("<2d", x, y)
+    if with_z:
+        content += struct.pack("<2d", 0.0, 9.0)
+        content += struct.pack(f"<{len(points)}d", *[1.0] * len(points))
+    return content
+
+
+class TestNewShapeTypes:
+    def test_polyline_single_and_multi_part(self, tmp_path):
+        from geopyspark_spark.core.geom import LineString, MultiLineString
+
+        shp = _shp_bytes([
+            _polyline_rec([[(0, 0), (4, 4)]]),
+            _polyline_rec([[(0, 0), (2, 0)], [(5, 5), (5, 9)]]),
+        ])
+        p = tmp_path / "lines.shp"
+        p.write_bytes(shp)
+        g1, g2 = shapefile.read_shp(str(p))
+        assert isinstance(g1, LineString) and g1.coords == ((0, 0), (4, 4))
+        assert isinstance(g2, MultiLineString) and len(g2.lines) == 2
+
+    def test_multipoint(self, tmp_path):
+        from geopyspark_spark.core.geom import MultiPoint
+
+        p = tmp_path / "mp.shp"
+        p.write_bytes(_shp_bytes([_multipoint_rec([(1, 2), (3, 4)])]))
+        (g,) = shapefile.read_shp(str(p))
+        assert isinstance(g, MultiPoint)
+        assert [(pt.x, pt.y) for pt in g.points] == [(1, 2), (3, 4)]
+
+    def test_z_and_m_variants_drop_ordinates(self, tmp_path):
+        from geopyspark_spark.core.geom import LineString, MultiPoint, Point
+
+        # PointZ(11): x y z (+m) — XY parse is offset-identical
+        pz = struct.pack("<i4d", 11, 5.0, 6.0, 7.0, 0.0)
+        shp = _shp_bytes([
+            pz,
+            _polyline_rec([[(0, 0), (4, 4)]], stype=13, with_z=True),
+            _multipoint_rec([(1, 2), (3, 4)], stype=18, with_z=True),
+            _polyline_rec([[(0, 0), (2, 2)]], stype=23, with_z=True),  # M variant
+        ])
+        p = tmp_path / "zm.shp"
+        p.write_bytes(shp)
+        g = shapefile.read_shp(str(p))
+        assert isinstance(g[0], Point) and (g[0].x, g[0].y) == (5.0, 6.0)
+        assert isinstance(g[1], LineString) and g[1].coords == ((0, 0), (4, 4))
+        assert isinstance(g[2], MultiPoint)
+        assert isinstance(g[3], LineString)
+
+    def test_wkb_round_trip_new_types(self):
+        from geopyspark_spark.core.geom import (LineString, MultiLineString,
+                                                MultiPoint, Point, from_wkb,
+                                                from_wkt, to_wkb, to_wkt)
+
+        geoms = [
+            LineString(((0.0, 0.0), (4.0, 4.0), (8.0, 2.0))),
+            MultiLineString((LineString(((0.0, 0.0), (1.0, 1.0))),
+                             LineString(((5.0, 5.0), (5.0, 9.0))))),
+            MultiPoint((Point(1.0, 2.0), Point(3.0, 4.0))),
+        ]
+        for g in geoms:
+            assert from_wkb(to_wkb(g)) == g
+            assert from_wkt(to_wkt(g)) == g
+
+    def test_rasterize_line_and_multipoint(self, spark):
+        import geopyspark_spark as gps
+        from geopyspark_spark.core.geom import LineString, MultiPoint, Point
+        from geopyspark_spark.operators.rasterize import rasterize
+
+        layout = gps.LayoutDefinition(gps.Extent(0, 0, 8, 8), gps.TileLayout(2, 2, 4, 4))
+        # diagonal line: burns the cells it passes through
+        line = LineString(((0.0, 0.0), (8.0, 8.0)))
+        out = rasterize(spark, [line], layout).stitch()[0]
+        # row-0-north: the diagonal runs from SW to NE corner
+        assert out[7, 0] == 1.0 and out[0, 7] == 1.0 and out[4, 3] == 1.0
+        assert out[0, 0] == -1.0  # NW corner untouched (nodata fill)
+        mp = MultiPoint((Point(0.5, 7.5), Point(6.5, 1.5)))
+        out2 = rasterize(spark, [mp], layout).stitch()[0]
+        assert out2[0, 0] == 1.0 and out2[6, 6] == 1.0
+        assert (out2 == 1.0).sum() == 2
 
 
 class TestShapefileGet:
