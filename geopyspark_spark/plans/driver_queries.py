@@ -221,6 +221,39 @@ GROUP BY a.key_col, a.key_row, a.pos
 """
 
 
+def q_raster_focal_multiband(spark, sf_dir):
+    """Focal over a 2-band layer (band 0 = value, band 1 = value2): the
+    halo exchange and stencil group by band, so bands convolve
+    independently in one pass."""
+    from dataclasses import replace as _dc_replace
+
+    cells = lineitem_cells(spark, sf_dir)
+    b0 = cells.select("key_col", "key_row", F.lit(0).alias("band"), "pos", "value")
+    b1 = cells.select("key_col", "key_row", F.lit(1).alias("band"), "pos",
+                      F.col("value2").alias("value"))
+    md2 = _dc_replace(RASTER_MD, num_bands=2)
+    layer = TiledRasterLayer.assemble(b0.unionByName(b1), md2)
+    out = layer.focal("Sum", "Square", 1)
+    return out.explode().select("key_col", "key_row", "band", "pos", "value")
+
+
+SQL_RASTER_FOCAL_MULTIBAND = CELLS_CTE + """
+SELECT a.key_col, a.key_row, CAST(0 AS INT) AS band, a.pos,
+       CAST(SUM(b.value) AS DOUBLE) AS value
+FROM coords a JOIN coords b
+  ON b.gcol BETWEEN a.gcol - 1 AND a.gcol + 1
+ AND b.grow BETWEEN a.grow - 1 AND a.grow + 1
+GROUP BY a.key_col, a.key_row, a.pos
+UNION ALL
+SELECT a.key_col, a.key_row, CAST(1 AS INT) AS band, a.pos,
+       CAST(SUM(b.value2) AS DOUBLE) AS value
+FROM coords a JOIN coords b
+  ON b.gcol BETWEEN a.gcol - 1 AND a.gcol + 1
+ AND b.grow BETWEEN a.grow - 1 AND a.grow + 1
+GROUP BY a.key_col, a.key_row, a.pos
+"""
+
+
 def q_raster_focal_mean(spark, sf_dir):
     layer = lineitem_layer(spark, sf_dir)
     return _explode_result(layer.focal("Mean", "Square", 1))
@@ -1950,6 +1983,7 @@ def queries():
         "raster_focal_max": q_raster_focal_max,
         "raster_focal_median": q_raster_focal_median,
         "raster_focal_circle": q_raster_focal_circle,
+        "raster_focal_multiband": q_raster_focal_multiband,
         "raster_filter_by_times": q_raster_filter_by_times,
         "raster_point_bilinear": q_raster_point_bilinear,
         "raster_point_cubicspline": q_raster_point_cubicspline,
@@ -1989,6 +2023,7 @@ def oracle_sql():
         "raster_focal_max": SQL_RASTER_FOCAL_MAX,
         "raster_focal_median": SQL_RASTER_FOCAL_MEDIAN,
         "raster_focal_circle": SQL_RASTER_FOCAL_CIRCLE,
+        "raster_focal_multiband": SQL_RASTER_FOCAL_MULTIBAND,
         "raster_filter_by_times": SQL_RASTER_FILTER_BY_TIMES,
         "raster_point_values": _sql_point_values(),
         "raster_point_bilinear": _sql_point_bilinear(),

@@ -283,3 +283,23 @@ class TestTemporalFocal:
             # give 9*11=99 somewhere
             expected = 9.0 if r.instant.month == 1 else 90.0
             assert a[2, 2] == expected
+
+
+class TestMultibandFocal:
+    def test_bands_convolve_independently(self, spark):
+        import numpy as np
+
+        import geopyspark_spark as gps
+
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64",
+            layout=gps.LayoutDefinition(gps.Extent(0, 0, 4, 4), gps.TileLayout(1, 1, 4, 4)),
+            bounds=((0, 0), (0, 0)), extent=gps.Extent(0, 0, 4, 4), num_bands=2,
+        )
+        layer = gps.from_numpy(
+            spark, [(0, 0, 0, np.ones((4, 4))), (0, 0, 1, np.full((4, 4), 10.0))], md
+        )
+        out = layer.focal("Sum", "Square", 1)
+        rows = {r["band"]: np.asarray(r["cells"]).reshape(4, 4) for r in out.df.collect()}
+        assert rows[0][1, 1] == 9.0 and rows[1][1, 1] == 90.0
+        assert rows[0][0, 0] == 4.0 and rows[1][0, 0] == 40.0  # corner window
