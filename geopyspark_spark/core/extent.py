@@ -120,6 +120,9 @@ class LayoutDefinition:
 # --- Layout schemes -------------------------------------------------------
 
 #: Web-mercator-ish world extent used by GlobalLayout zoomed grids
+#: lat/lng world extent for the epsg:4326 zoom scheme
+WORLD_EXTENT_LL = Extent(-180.0, -90.0, 180.0, 90.0)
+
 WORLD_EXTENT_WM = Extent(
     -20037508.342789244, -20037508.342789244, 20037508.342789244, 20037508.342789244
 )
@@ -147,6 +150,24 @@ class GlobalLayout:
         z = 0
         while z < 30:
             res = world.width / (2 ** z * self.tile_size)
+            if res <= cell_size * (1 + self.threshold):
+                return z
+            z += 1
+        return z
+
+    # --- epsg:4326 zoom scheme (GeoTrellis ZoomedLayoutScheme(LatLng)):
+    # zoom z = 2^(z+1) x 2^z tiles over (-180,-90,180,90), square cells ---
+
+    def layout_for_latlng(self, zoom: int) -> LayoutDefinition:
+        n = 2 ** zoom
+        return LayoutDefinition(
+            WORLD_EXTENT_LL, TileLayout(2 * n, n, self.tile_size, self.tile_size)
+        )
+
+    def zoom_for_latlng(self, extent: Extent, cell_size: float) -> int:
+        z = 0
+        while z < 30:
+            res = WORLD_EXTENT_LL.height / (2 ** z * self.tile_size)
             if res <= cell_size * (1 + self.threshold):
                 return z
             z += 1

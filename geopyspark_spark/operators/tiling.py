@@ -45,14 +45,20 @@ def _resolve_layout(layer: "TiledRasterLayer", layout) -> LayoutDefinition:
     if isinstance(layout, GlobalLayout):
         from ..core.crs import normalize_crs
 
-        if normalize_crs(layer.metadata.crs) != "epsg:3857":
-            raise NotImplementedError(
-                "GlobalLayout is the web-mercator ZXY grid; reproject the "
-                "layer to epsg:3857 first (reference ZoomedLayoutScheme)"
-            )
+        crs = normalize_crs(layer.metadata.crs)
         ld = layer.layout
-        z = layout.zoom if layout.zoom is not None else layout.zoom_for(ld.extent, ld.cell_width)
-        return layout.layout_for(z)
+        if crs == "epsg:3857":
+            z = layout.zoom if layout.zoom is not None else layout.zoom_for(ld.extent, ld.cell_width)
+            return layout.layout_for(z)
+        if crs == "epsg:4326":
+            # GeoTrellis ZoomedLayoutScheme(LatLng): 2x1 tile world at z0
+            z = (layout.zoom if layout.zoom is not None
+                 else layout.zoom_for_latlng(ld.extent, ld.cell_width))
+            return layout.layout_for_latlng(z)
+        raise NotImplementedError(
+            f"GlobalLayout zoom schemes exist for epsg:3857 and epsg:4326; "
+            f"reproject the {crs} layer first (reference ZoomedLayoutScheme)"
+        )
     raise TypeError(f"cannot resolve layout from {layout!r}")
 
 

@@ -145,3 +145,32 @@ class TestPyramidOddLayout:
         vals = {(t[0], t[1]): t[3] for t in to_numpy(up)}
         a00 = vals[(0, 0)]
         assert a00[0, 0] == (0 + 1 + 10 + 11) / 4.0
+
+
+class TestGlobalLayout4326:
+    def test_tile_to_global_layout_latlng(self, f1_layer):
+        """tile_to_layout(GlobalLayout) on an epsg:4326 layer targets the
+        lat/lng zoom scheme (2^(z+1) x 2^z tiles over the world)."""
+        from geopyspark_spark.core.extent import GlobalLayout
+
+        out = f1_layer.tile_to_layout(GlobalLayout(tile_size=16, zoom=4))
+        ld = out.layout
+        tl = ld.tile_layout
+        assert (tl.layout_cols, tl.layout_rows) == (32, 16)
+        assert ld.extent.xmin == -180 and ld.extent.ymax == 90
+        # square cells: 360/(32*16) == 180/(16*16)
+        assert ld.cell_width == ld.cell_height == 0.703125
+        # data (extent (0,0)-(10,10)) landed in the tiles north-east of
+        # the meridian/equator corner
+        keys = {(r["key_col"], r["key_row"]) for r in out.df.select("key_col", "key_row").distinct().collect()}
+        # (16,7) holds the data; (16,8) is the boundary tile touching y=0
+        assert (16, 7) in keys and keys <= {(16, 7), (16, 8)}
+        assert out.df.count() > 0
+
+    def test_zoom_inferred_from_cell_size(self, f1_layer):
+        from geopyspark_spark.core.extent import GlobalLayout
+
+        # f1 cells are 1 degree; zoom_for_latlng(1.0) with 16px tiles:
+        # 180/(2^z*16) <= 1.1 -> z = 4
+        out = f1_layer.tile_to_layout(GlobalLayout(tile_size=16))
+        assert out.layout.tile_layout.layout_rows == 16
