@@ -424,6 +424,32 @@ FROM coords
 """
 
 
+def q_raster_tile_to_layout_warp(spark, sf_dir):
+    """Non-aligned retile: the target halves the resolution (cell size 2 vs
+    1), so the aligned re-key is impossible and tile_to_layout falls
+    through to the identity-CRS inverse-sampling warp. NearestNeighbor:
+    target cell center (2t+1, ...) lands in source cell (2t+1, ...)."""
+    layer = lineitem_layer(spark, sf_dir)
+    target = gps.LayoutDefinition(
+        gps.Extent(0, 0, GRID, GRID), gps.TileLayout(2, 2, 8, 8)
+    )
+    out = layer.tile_to_layout(target)
+    return _explode_result(out).where(F.col("value") != -1.0)
+
+
+SQL_RASTER_TILE_TO_LAYOUT_WARP = CELLS_CTE + f"""
+, tg AS (
+  SELECT c.i AS tgcol, r.i AS tgrow
+  FROM range({GRID // 2}) c(i), range({GRID // 2}) r(i)
+)
+SELECT CAST(floor(tgcol / 8) AS INT) AS key_col,
+       CAST(floor(tgrow / 8) AS INT) AS key_row,
+       CAST((tgrow % 8) * 8 + tgcol % 8 AS INT) AS pos,
+       value
+FROM tg JOIN coords ON coords.gcol = 2 * tgcol + 1 AND coords.grow = 2 * tgrow + 1
+"""
+
+
 def q_raster_pyramid(spark, sf_dir):
     layer = lineitem_layer(spark, sf_dir)
     pyr = layer.pyramid(resample_method="Average")
@@ -1977,6 +2003,7 @@ def queries():
         "raster_point_values": q_raster_point_values,
         # ---- entries below are past the driver's 50-entry window ----
         "raster_resample": q_raster_resample,
+        "raster_tile_to_layout_warp": q_raster_tile_to_layout_warp,
         "raster_bands": q_raster_bands,
         "raster_combine_bands": q_raster_combine_bands,
         "raster_merge": q_raster_merge,
@@ -2014,6 +2041,7 @@ def oracle_sql():
         "raster_aggregate_by_cell": SQL_RASTER_AGGREGATE_BY_CELL,
         "raster_min_max": SQL_RASTER_MIN_MAX,
         "raster_tile_to_layout": SQL_RASTER_TILE_TO_LAYOUT,
+        "raster_tile_to_layout_warp": SQL_RASTER_TILE_TO_LAYOUT_WARP,
         "raster_pyramid": SQL_RASTER_PYRAMID,
         "raster_spacetime_series": SQL_RASTER_SPACETIME_SERIES,
         "raster_slope": SQL_RASTER_SLOPE,
