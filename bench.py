@@ -35,6 +35,7 @@ HEADLINE = [
     "text_lsh_pairs",
     "emb_knn",
     "emb_near_dup",
+    "emb_near_dup_lsh",
     "multimodal_features",
 ]
 

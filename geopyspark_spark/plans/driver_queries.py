@@ -1731,17 +1731,22 @@ def _oracle_sf_dir() -> str:
     return os.environ.get(ORACLE_SF_DIR_ENV, "/root/testdata/sf0.01")
 
 
-def _sql_lsh_knn(num_planes: int = 6, k: int = 5) -> str:
-    """Oracle for q_emb_lsh_knn: the plane weights are exact rationals
-    (similarity.py:_plane_weight) whose float64 values are inlined via
-    repr — bit-identical to Spark's in-engine computation."""
+def _sql_bucket_expr(num_planes: int) -> str:
+    """Hyperplane-signature bucket as SQL: the plane weights are exact
+    rationals (similarity.py:_plane_weight) whose float64 values are
+    inlined via repr — bit-identical to Spark's in-engine computation."""
     planes = []
     for j in range(num_planes):
         w = [repr(((j * 1000003 + i * 7919) % 97 - 48) / 48.0) for i in range(EMB_DIM)]
         planes.append(f"list_dot_product(v, [{', '.join(w)}])")
-    bucket = " + ".join(
+    return " + ".join(
         f"(CASE WHEN {dot} > 0 THEN {2 ** j} ELSE 0 END)" for j, dot in enumerate(planes)
     )
+
+
+def _sql_lsh_knn(num_planes: int = 6, k: int = 5) -> str:
+    """Oracle for q_emb_lsh_knn (bucket join + exact cosine rerank)."""
+    bucket = _sql_bucket_expr(num_planes)
     qlist = ", ".join(map(str, KNN_QUERIES))
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1920,6 +1925,30 @@ def q_emb_near_dup(spark, sf_dir):
     return fsim.cosine_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+def q_emb_near_dup_lsh(spark, sf_dir):
+    """The 100 TB near-dup path: hyperplane-bucket blocking (no all-pairs,
+    no driver collect) then exact verification of in-bucket candidates."""
+    return fsim.cosine_near_dup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45,
+        blocking="lsh", num_planes=6,
+    )
+
+
+def _sql_near_dup_lsh(num_planes: int = 6, threshold: float = 0.45) -> str:
+    bucket = _sql_bucket_expr(num_planes)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v) /
+         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(sim, 6) AS sim FROM p WHERE sim >= {threshold}
+"""
+
+
 SQL_EMB_NEAR_DUP = """
 WITH p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1955,13 +1984,13 @@ def queries():
         "text_lsh_pairs": q_text_lsh_pairs,
         "text_simhash": q_text_simhash,
         "text_ngram_jaccard": q_text_ngram_jaccard,
-        "text_minhash_vocab": q_text_minhash_vocab,
         # embeddings (similarity search)
         "emb_knn": q_emb_knn,
         "emb_norm_stats": q_emb_norm_stats,
         "emb_lsh_knn": q_emb_lsh_knn,
         "emb_ivf_knn": q_emb_ivf_knn,
         "emb_near_dup": q_emb_near_dup,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
         # multimodal
         "multimodal_features": q_multimodal_features,
         # relational surface
@@ -2002,6 +2031,7 @@ def queries():
         "raster_mask_distributed": q_raster_mask_distributed,
         "raster_point_values": q_raster_point_values,
         # ---- entries below are past the driver's 50-entry window ----
+        "text_minhash_vocab": q_text_minhash_vocab,
         "raster_resample": q_raster_resample,
         "raster_tile_to_layout_warp": q_raster_tile_to_layout_warp,
         "raster_bands": q_raster_bands,
@@ -2093,6 +2123,7 @@ def oracle_sql():
         "emb_norm_stats": SQL_EMB_NORM_STATS,
         "emb_near_dup": SQL_EMB_NEAR_DUP,
         "emb_lsh_knn": _sql_lsh_knn(num_planes=6, k=5),
+        "emb_near_dup_lsh": _sql_near_dup_lsh(6, 0.45),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
     }
     # the IVF oracle reads the training rows from the oracle sf dir at

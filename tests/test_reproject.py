@@ -156,11 +156,15 @@ class TestGlobalLayoutFlow:
         a = got[(0, 0)].reshape(5, 5)
         assert a[0, 0] == a[1, 1] == 0.0  # source value at grow=0,gcol=0
 
-    def test_global_layout_requires_mercator(self, spark, f1_layer):
+    def test_global_layout_unsupported_crs_raises(self, spark, f1_layer):
+        """3857 and 4326 have zoom schemes; other CRSs still direct the
+        user to reproject first."""
         from geopyspark_spark.core.extent import GlobalLayout
 
-        with pytest.raises(NotImplementedError, match="mercator|3857"):
-            f1_layer.tile_to_layout(GlobalLayout(tile_size=8, zoom=3))
+        utm = f1_layer._with(f1_layer.df)
+        utm.metadata = utm.metadata.__class__(**{**utm.metadata.__dict__, "crs": "epsg:32633"})
+        with pytest.raises(NotImplementedError, match="3857"):
+            utm.tile_to_layout(GlobalLayout(tile_size=8, zoom=3))
 
 
 class TestBilinearNoData:
