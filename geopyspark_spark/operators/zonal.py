@@ -108,42 +108,39 @@ def mask(layer: "TiledRasterLayer", geoms: list[Geometry], partial: bool = False
     tc, tr = tl.tile_cols, tl.tile_rows
     cw, ch = layout.cell_width, layout.cell_height
     exmin, eymax = layout.extent.xmin, layout.extent.ymax
-    boundary_b = boundary
 
-    def mask_batch(batches):
-        # cache per-key boolean masks within a batch
-        mask_cache: dict[tuple[int, int], np.ndarray] = {}
-        col_idx = np.tile(np.arange(tc), tr).astype(float)
-        row_idx = np.repeat(np.arange(tr), tc).astype(float)
+    # Per-boundary-key cell masks are computed driver-side (bounded by the
+    # geometry PERIMETER in tiles — the same bound the interior/boundary
+    # split already pays) and shipped via a broadcast join; the apply is a
+    # pure JVM zip_with, so the whole mask path stays inside codegen with
+    # no Python workers. For huge geometry COUNTS use mask_distributed.
+    col_idx = np.tile(np.arange(tc), tr).astype(float)
+    row_idx = np.repeat(np.arange(tr), tc).astype(float)
+    mask_rows = []
+    for kc, kr in sorted(boundary):
+        x = exmin + kc * tc * cw + (col_idx + 0.5) * cw
+        y = eymax - kr * tr * ch - (row_idx + 0.5) * ch
+        inside = np.zeros(tc * tr, dtype=bool)
+        for g in geoms:
+            if isinstance(g, (Polygon, MultiPolygon)):
+                inside |= g.contains_points(x, y)
+            elif isinstance(g, Point):
+                inside |= (np.abs(x - g.x) <= cw / 2) & (np.abs(y - g.y) <= ch / 2)
+        mask_rows.append((kc, kr, [bool(b) for b in inside]))
 
-        def key_mask(kc: int, kr: int) -> np.ndarray:
-            got = mask_cache.get((kc, kr))
-            if got is not None:
-                return got
-            x = exmin + kc * tc * cw + (col_idx + 0.5) * cw
-            y = eymax - kr * tr * ch - (row_idx + 0.5) * ch
-            inside = np.zeros(tc * tr, dtype=bool)
-            for g in geoms:
-                if isinstance(g, (Polygon, MultiPolygon)):
-                    inside |= g.contains_points(x, y)
-                elif isinstance(g, Point):
-                    inside |= (np.abs(x - g.x) <= cw / 2) & (np.abs(y - g.y) <= ch / 2)
-            mask_cache[(kc, kr)] = inside
-            return inside
-
-        for pdf in batches:
-            cells_out = []
-            for kc, kr, cells in zip(pdf["key_col"], pdf["key_row"], pdf["cells"]):
-                arr = np.asarray(cells, dtype=np.float64)
-                if (kc, kr) in boundary_b:
-                    m = key_mask(int(kc), int(kr))
-                    arr = np.where(m, arr, nd)
-                cells_out.append(arr)
-            pdf = pdf.copy()
-            pdf["cells"] = cells_out
-            yield pdf
-
-    out = df.mapInPandas(mask_batch, schema=df.schema)
+    spark = layer.df.sparkSession
+    mdf = spark.createDataFrame(
+        mask_rows, "key_col int, key_row int, cell_mask array<boolean>"
+    )
+    out = df.join(F.broadcast(mdf), ["key_col", "key_row"], "left")
+    masked_cells = F.zip_with(
+        "cells", "cell_mask",
+        lambda c, m: F.when(m, c).otherwise(F.lit(nd)),
+    )
+    out = out.withColumn(
+        "cells",
+        F.when(F.col("cell_mask").isNull(), F.col("cells")).otherwise(masked_cells),
+    ).drop("cell_mask")
     return layer._with(out)
 
 
