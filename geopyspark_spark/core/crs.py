@@ -204,6 +204,334 @@ def _utm_to_ll(zone: int, south: bool) -> "Transform":
     return inv
 
 
+# --- general projected CRSs (national grids) -------------------------------
+#
+# The reference normalizes ANY EPSG/proj4/WKT through GeoTrellis/proj4j
+# (``__init__.py:98-115``). Without a projection library in this container
+# the engine carries the two projection families behind virtually every
+# national grid — Transverse Mercator and Lambert Conformal Conic (2SP) —
+# parameterized by ellipsoid + EPSG-registry constants, plus 7-parameter
+# Helmert datum shifts where the grid's datum is not WGS84. Formulas:
+# Karney 2011 (Krüger series, order n^6) and EPSG Guidance Note 7-2 /
+# Snyder 1987 (LCC); all public.
+
+
+class _Ellipsoid:
+    def __init__(self, a: float, inv_f: float):
+        self.a = a
+        self.f = 1.0 / inv_f
+        self.e2 = self.f * (2.0 - self.f)
+        self.e = math.sqrt(self.e2)
+        n = self.f / (2.0 - self.f)
+        self.n = n
+        self.A = a / (1.0 + n) * (1.0 + n ** 2 / 4.0 + n ** 4 / 64.0 + n ** 6 / 256.0)
+        # Krüger alpha/beta series in the third flattening (Karney eq. 35/36)
+        self.alpha = (
+            n / 2 - 2 * n ** 2 / 3 + 5 * n ** 3 / 16 + 41 * n ** 4 / 180
+            - 127 * n ** 5 / 288 + 7891 * n ** 6 / 37800,
+            13 * n ** 2 / 48 - 3 * n ** 3 / 5 + 557 * n ** 4 / 1440
+            + 281 * n ** 5 / 630 - 1983433 * n ** 6 / 1935360,
+            61 * n ** 3 / 240 - 103 * n ** 4 / 140 + 15061 * n ** 5 / 26880
+            + 167603 * n ** 6 / 181440,
+            49561 * n ** 4 / 161280 - 179 * n ** 5 / 168 + 6601661 * n ** 6 / 7257600,
+            34729 * n ** 5 / 80640 - 3418889 * n ** 6 / 1995840,
+            212378941 * n ** 6 / 319334400,
+        )
+        self.beta = (
+            n / 2 - 2 * n ** 2 / 3 + 37 * n ** 3 / 96 - n ** 4 / 360
+            - 81 * n ** 5 / 512 + 96199 * n ** 6 / 604800,
+            n ** 2 / 48 + n ** 3 / 15 - 437 * n ** 4 / 1440 + 46 * n ** 5 / 105
+            - 1118711 * n ** 6 / 3870720,
+            17 * n ** 3 / 480 - 37 * n ** 4 / 840 - 209 * n ** 5 / 4480
+            + 5569 * n ** 6 / 90720,
+            4397 * n ** 4 / 161280 - 11 * n ** 5 / 504 - 830251 * n ** 6 / 7257600,
+            4583 * n ** 5 / 161280 - 108847 * n ** 6 / 3991680,
+            20648693 * n ** 6 / 638668800,
+        )
+
+
+GRS80 = _Ellipsoid(6378137.0, 298.257222101)
+WGS84_ELL = _Ellipsoid(6378137.0, 298.257223563)
+AIRY1830 = _Ellipsoid(6377563.396, 299.3249646)
+INTL1924 = _Ellipsoid(6378388.0, 297.0)
+CLARKE1866 = _Ellipsoid(6378206.4, 294.978698214)
+BESSEL1841 = _Ellipsoid(6377397.155, 299.1528128)
+
+
+class TransverseMercator:
+    """Ellipsoidal TM via the Krüger series — the projection behind every
+    UTM zone and most national grids (OSGB, NZTM, MGA, ETRS89/UTM...)."""
+
+    def __init__(self, ell: _Ellipsoid, lat0: float, lon0: float, k0: float,
+                 fe: float, fn: float):
+        self.ell, self.lat0, self.lon0, self.k0, self.fe, self.fn = ell, lat0, lon0, k0, fe, fn
+        # rectifying latitude of lat0 (meridian-arc offset for grids with
+        # a non-equatorial natural origin, e.g. OSGB lat0=49)
+        if lat0 != 0.0:
+            xi0, _ = self._xieta(np.array([lon0]), np.array([lat0]))
+            self.m0 = float(xi0[0])
+        else:
+            self.m0 = 0.0
+
+    def _xieta(self, lon, lat):
+        e = self.ell.e
+        lam = np.radians(np.subtract(lon, self.lon0))
+        phi = np.radians(lat)
+        tau = np.tan(phi)
+        sigma = np.sinh(e * np.arctanh(e * np.sin(phi)))
+        taup = tau * np.hypot(1.0, sigma) - sigma * np.hypot(1.0, tau)
+        xi_p = np.arctan2(taup, np.cos(lam))
+        eta_p = np.arcsinh(np.sin(lam) / np.hypot(taup, np.cos(lam)))
+        xi, eta = xi_p, eta_p
+        for j, a in enumerate(self.ell.alpha, start=1):
+            xi = xi + a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+            eta = eta + a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+        return xi, eta
+
+    def forward(self, lon, lat):
+        xi, eta = self._xieta(np.asarray(lon, dtype=np.float64),
+                              np.asarray(lat, dtype=np.float64))
+        kA = self.k0 * self.ell.A
+        return kA * eta + self.fe, kA * (xi - self.m0) + self.fn
+
+    def inverse(self, x, y):
+        kA = self.k0 * self.ell.A
+        xi = np.divide(np.subtract(y, self.fn), kA) + self.m0
+        eta = np.divide(np.subtract(x, self.fe), kA)
+        xi_p, eta_p = np.asarray(xi, dtype=np.float64), np.asarray(eta, dtype=np.float64)
+        for j, b in enumerate(self.ell.beta, start=1):
+            xi_p = xi_p - b * np.sin(2 * j * np.asarray(xi)) * np.cosh(2 * j * np.asarray(eta))
+            eta_p = eta_p - b * np.cos(2 * j * np.asarray(xi)) * np.sinh(2 * j * np.asarray(eta))
+        shp = np.sinh(eta_p)
+        cxp = np.cos(xi_p)
+        taup = np.sin(xi_p) / np.hypot(shp, cxp)
+        lam = np.arctan2(shp, cxp)
+        e, e2 = self.ell.e, self.ell.e2
+        e2m = 1.0 - e2
+        tau = taup / e2m
+        for _ in range(6):
+            sig = np.sinh(e * np.arctanh(e * tau / np.hypot(1.0, tau)))
+            taupa = tau * np.hypot(1.0, sig) - sig * np.hypot(1.0, tau)
+            tau = tau + (taup - taupa) * (1.0 + e2m * tau ** 2) / (
+                e2m * np.hypot(1.0, tau) * np.hypot(1.0, taupa))
+        return np.degrees(lam) + self.lon0, np.degrees(np.arctan(tau))
+
+
+class LambertConformalConic:
+    """LCC 2SP (EPSG method 9802; Snyder 1987 §15) — France, Belgium,
+    large-country conic grids."""
+
+    def __init__(self, ell: _Ellipsoid, lat1: float, lat2: float,
+                 lat0: float, lon0: float, fe: float, fn: float):
+        self.ell, self.lon0, self.fe, self.fn = ell, lon0, fe, fn
+        e = ell.e
+
+        def m(phi):
+            return math.cos(phi) / math.sqrt(1 - ell.e2 * math.sin(phi) ** 2)
+
+        def t(phi):
+            s = math.sin(phi)
+            return math.tan(math.pi / 4 - phi / 2) / (
+                (1 - e * s) / (1 + e * s)) ** (e / 2)
+
+        p1, p2, p0 = map(math.radians, (lat1, lat2, lat0))
+        m1, m2 = m(p1), m(p2)
+        t1, t2, t0 = t(p1), t(p2), t(p0)
+        if abs(lat1 - lat2) < 1e-12:
+            self.n_cone = math.sin(p1)
+        else:
+            self.n_cone = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+        self.F = m1 / (self.n_cone * t1 ** self.n_cone)
+        self.rho0 = ell.a * self.F * t0 ** self.n_cone
+
+    def _t_arr(self, phi):
+        e = self.ell.e
+        s = np.sin(phi)
+        return np.tan(np.pi / 4 - phi / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        theta = self.n_cone * np.radians(np.subtract(lon, self.lon0))
+        rho = self.ell.a * self.F * self._t_arr(phi) ** self.n_cone
+        return (self.fe + rho * np.sin(theta),
+                self.fn + self.rho0 - rho * np.cos(theta))
+
+    def inverse(self, x, y):
+        dx = np.subtract(x, self.fe)
+        dy = self.rho0 - np.subtract(y, self.fn)
+        rho = np.hypot(dx, dy) * np.sign(self.n_cone)
+        theta = np.arctan2(dx, dy)
+        lon = np.degrees(theta / self.n_cone) + self.lon0
+        t = (rho / (self.ell.a * self.F)) ** (1.0 / self.n_cone)
+        # iterate phi = pi/2 - 2 atan(t * ((1-e sin)/(1+e sin))^(e/2))
+        e = self.ell.e
+        phi = np.pi / 2 - 2 * np.arctan(t)
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = np.pi / 2 - 2 * np.arctan(t * ((1 - e * s) / (1 + e * s)) ** (e / 2))
+        return lon, np.degrees(phi)
+
+
+class Helmert:
+    """7-parameter position-vector datum shift (EPSG method 9606), applied
+    between geodetic coordinates on two ellipsoids via geocentric XYZ."""
+
+    def __init__(self, tx, ty, tz, rx_as, ry_as, rz_as, s_ppm,
+                 src_ell: _Ellipsoid, dst_ell: _Ellipsoid):
+        self.t = (tx, ty, tz)
+        as2rad = math.pi / (180.0 * 3600.0)
+        self.r = (rx_as * as2rad, ry_as * as2rad, rz_as * as2rad)
+        self.s = 1.0 + s_ppm * 1e-6
+        self.src_ell, self.dst_ell = src_ell, dst_ell
+
+    @staticmethod
+    def _to_xyz(ell, lon, lat):
+        phi = np.radians(lat)
+        lam = np.radians(lon)
+        sp, cp = np.sin(phi), np.cos(phi)
+        nu = ell.a / np.sqrt(1 - ell.e2 * sp ** 2)
+        return nu * cp * np.cos(lam), nu * cp * np.sin(lam), nu * (1 - ell.e2) * sp
+
+    @staticmethod
+    def _to_geodetic(ell, X, Y, Z):
+        lon = np.arctan2(Y, X)
+        p = np.hypot(X, Y)
+        phi = np.arctan2(Z, p * (1 - ell.e2))
+        for _ in range(6):
+            sp = np.sin(phi)
+            nu = ell.a / np.sqrt(1 - ell.e2 * sp ** 2)
+            phi = np.arctan2(Z + ell.e2 * nu * sp, p)
+        return np.degrees(lon), np.degrees(phi)
+
+    def _apply(self, lon, lat, invert: bool):
+        src = self.dst_ell if invert else self.src_ell
+        dst = self.src_ell if invert else self.dst_ell
+        X, Y, Z = self._to_xyz(src, np.asarray(lon, dtype=np.float64),
+                               np.asarray(lat, dtype=np.float64))
+        tx, ty, tz = self.t
+        rx, ry, rz = self.r
+        s = self.s
+        if not invert:
+            X2 = tx + s * (X - rz * Y + ry * Z)
+            Y2 = ty + s * (rz * X + Y - rx * Z)
+            Z2 = tz + s * (-ry * X + rx * Y + Z)
+        else:
+            Xs, Ys, Zs = (X - tx) / s, (Y - ty) / s, (Z - tz) / s
+            X2 = Xs + rz * Ys - ry * Zs
+            Y2 = -rz * Xs + Ys + rx * Zs
+            Z2 = ry * Xs - rx * Ys + Zs
+        return self._to_geodetic(dst, X2, Y2, Z2)
+
+    def to_wgs84(self, lon, lat):
+        return self._apply(lon, lat, invert=False)
+
+    def from_wgs84(self, lon, lat):
+        return self._apply(lon, lat, invert=True)
+
+
+#: EPSG registry extracts for common national grids:
+#: code -> (projection, datum shift to WGS84 or None)
+_NO_SHIFT = None
+CRS_REGISTRY: dict[str, tuple] = {
+    # OSGB36 / British National Grid (Helmert EPSG:1314)
+    "epsg:27700": (
+        TransverseMercator(AIRY1830, 49.0, -2.0, 0.9996012717, 400000.0, -100000.0),
+        Helmert(446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894,
+                AIRY1830, WGS84_ELL),
+    ),
+    # NZGD2000 / New Zealand Transverse Mercator (NZGD2000 == WGS84 here)
+    "epsg:2193": (
+        TransverseMercator(GRS80, 0.0, 173.0, 0.9996, 1600000.0, 10000000.0),
+        _NO_SHIFT,
+    ),
+    # RGF93 / Lambert-93 (France; RGF93 == WGS84 at this accuracy)
+    "epsg:2154": (
+        LambertConformalConic(GRS80, 49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0),
+        _NO_SHIFT,
+    ),
+    # ETRS89 / UTM zones 32N, 33N (pan-European; ETRS89 == WGS84 here)
+    "epsg:25832": (
+        TransverseMercator(GRS80, 0.0, 9.0, 0.9996, 500000.0, 0.0), _NO_SHIFT,
+    ),
+    "epsg:25833": (
+        TransverseMercator(GRS80, 0.0, 15.0, 0.9996, 500000.0, 0.0), _NO_SHIFT,
+    ),
+    # GDA94 / MGA zones 55, 56 (Australia; GDA94 == WGS84 at this accuracy)
+    "epsg:28355": (
+        TransverseMercator(GRS80, 0.0, 147.0, 0.9996, 500000.0, 10000000.0),
+        _NO_SHIFT,
+    ),
+    "epsg:28356": (
+        TransverseMercator(GRS80, 0.0, 153.0, 0.9996, 500000.0, 10000000.0),
+        _NO_SHIFT,
+    ),
+    # NAD83 / Conus Albers is NOT conic-conformal — omitted deliberately;
+    # NAD83 / UTM zones (NAD83 == WGS84 at raster accuracy)
+    "epsg:26910": (
+        TransverseMercator(GRS80, 0.0, -123.0, 0.9996, 500000.0, 0.0), _NO_SHIFT,
+    ),
+    "epsg:26917": (
+        TransverseMercator(GRS80, 0.0, -81.0, 0.9996, 500000.0, 0.0), _NO_SHIFT,
+    ),
+}
+
+
+def register_crs(code: str | int, projection, datum_shift: "Helmert | None" = None) -> None:
+    """Extend the registry at runtime (the escape hatch for any TM/LCC
+    grid not shipped above — parameters come straight from the EPSG
+    registry entry)."""
+    CRS_REGISTRY[normalize_crs(code)] = (projection, datum_shift)
+
+
+def _registry_to_ll(crs: str) -> "Transform | None":
+    got = CRS_REGISTRY.get(crs)
+    if got is None:
+        return None
+    proj, shift = got
+
+    def inv(x, y):
+        lon, lat = proj.inverse(x, y)
+        if shift is not None:
+            lon, lat = shift.to_wgs84(lon, lat)
+        return lon, lat
+
+    return inv
+
+
+def _registry_from_ll(crs: str) -> "Transform | None":
+    got = CRS_REGISTRY.get(crs)
+    if got is None:
+        return None
+    proj, shift = got
+
+    def fwd(x, y):
+        if shift is not None:
+            x, y = shift.from_wgs84(x, y)
+        return proj.forward(x, y)
+
+    return fwd
+
+
+def _parse_proj4(s: str):
+    """Build a projection from a +proj=tmerc/+proj=lcc proj4 string —
+    covers ad-hoc grids without an EPSG code."""
+    import re
+
+    kv = dict(re.findall(r"\+([a-z_0-9]+)=([^\s]+)", s))
+    ell = {
+        "grs80": GRS80, "wgs84": WGS84_ELL, "airy": AIRY1830,
+        "intl": INTL1924, "clrk66": CLARKE1866, "bessel": BESSEL1841,
+    }.get(kv.get("ellps", kv.get("datum", "wgs84")).lower(), WGS84_ELL)
+    g = lambda k, d=0.0: float(kv.get(k, d))
+    if s.startswith("+proj=tmerc"):
+        return TransverseMercator(ell, g("lat_0"), g("lon_0"), g("k", g("k_0", 1.0)),
+                                  g("x_0"), g("y_0"))
+    if s.startswith("+proj=lcc"):
+        return LambertConformalConic(ell, g("lat_1"), g("lat_2", g("lat_1")),
+                                     g("lat_0"), g("lon_0"), g("x_0"), g("y_0"))
+    return None
+
+
 def _compose(f: "Transform", g: "Transform") -> "Transform":
     def h(x, y):
         mx, my = f(x, y)
@@ -231,7 +559,16 @@ def get_transform(src_crs: str | int, dst_crs: str | int) -> Transform:
         if crs == "epsg:3857":
             return _merc_to_ll
         utm = _parse_utm(crs)
-        return _utm_to_ll(*utm) if utm else None
+        if utm:
+            return _utm_to_ll(*utm)
+        got = _registry_to_ll(crs)
+        if got is not None:
+            return got
+        if crs.startswith("+proj="):
+            proj = _parse_proj4(crs)
+            if proj is not None:
+                return proj.inverse
+        return None
 
     def from_ll(crs: str) -> Transform | None:
         if crs == "epsg:4326":
@@ -239,15 +576,26 @@ def get_transform(src_crs: str | int, dst_crs: str | int) -> Transform:
         if crs == "epsg:3857":
             return _ll_to_merc
         utm = _parse_utm(crs)
-        return _ll_to_utm(*utm) if utm else None
+        if utm:
+            return _ll_to_utm(*utm)
+        got = _registry_from_ll(crs)
+        if got is not None:
+            return got
+        if crs.startswith("+proj="):
+            proj = _parse_proj4(crs)
+            if proj is not None:
+                return proj.forward
+        return None
 
     f, g = to_ll(src), from_ll(dst)
     if f is not None and g is not None:
         return f if g is _identity else (g if f is _identity else _compose(f, g))
     raise NotImplementedError(
         f"no transform {src} -> {dst}: this environment has no projection "
-        "library; supported CRSs are epsg:4326, epsg:3857, and WGS84 UTM "
-        "zones epsg:326xx / epsg:327xx"
+        "library; supported CRSs are epsg:4326, epsg:3857, WGS84 UTM zones "
+        "epsg:326xx / epsg:327xx, the registered national grids "
+        f"({', '.join(sorted(CRS_REGISTRY))}), +proj=tmerc / +proj=lcc "
+        "strings, and anything added via register_crs()"
     )
 
 

@@ -134,6 +134,11 @@ def reproject(layer: "TiledRasterLayer", target_crs: str,
                         out["skey_row"].append(int(row.key_row))
                         out["band"].append(int(row.band))
                         out["cells"].append(row.cells)
+            if not out["tkey_col"]:
+                # fully outside the target grid: yielding an empty frame
+                # would carry numpy dtypes Arrow can't cast to list<double>
+                continue
+            out["cells"] = pd.Series(out["cells"], dtype="object")
             yield pd.DataFrame(out)
 
     covered = layer.df.select("key_col", "key_row", "band", "cells").mapInPandas(

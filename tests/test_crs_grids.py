@@ -1,0 +1,130 @@
+"""National-grid CRS tests: EPSG worked examples + round-trip closure.
+
+Golden value: EPSG Guidance Note 7-2's Transverse Mercator worked example
+(OSGB36 / British National Grid, Airy 1830): lat 50d30'N lon 0d30'E ->
+E 577274.99 N 69740.50 (published to cm)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geopyspark_spark.core import crs as C
+
+
+class TestWorkedExamples:
+    def test_osgb_epsg_guidance_note(self):
+        tm = C.CRS_REGISTRY["epsg:27700"][0]
+        E, N = tm.forward(np.array([0.5]), np.array([50.5]))
+        assert abs(E[0] - 577274.99) < 0.02
+        assert abs(N[0] - 69740.50) < 0.02
+
+    def test_lambert93_paris(self):
+        f = C.get_transform("epsg:4326", "epsg:2154")
+        x, y = f(np.array([2.3522]), np.array([48.8566]))
+        assert abs(x[0] - 652469.0) < 5.0
+        assert abs(y[0] - 6862035.3) < 5.0
+
+    def test_bng_london_with_datum_shift(self):
+        """The OSGB36 Helmert shift moves coordinates ~120 m vs a no-shift
+        projection — check the shifted value (Charing Cross area)."""
+        f = C.get_transform("epsg:4326", "epsg:27700")
+        x, y = f(np.array([-0.1276]), np.array([51.5074]))
+        assert abs(x[0] - 530042.6) < 10.0
+        assert abs(y[0] - 180380.4) < 10.0
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("code,lon_range,lat_range", [
+        ("epsg:27700", (-6, 1.5), (50, 58)),
+        ("epsg:2193", (167, 178), (-46, -35)),
+        ("epsg:2154", (-4, 8), (42, 51)),
+        ("epsg:25832", (6, 12), (47, 55)),
+        ("epsg:28355", (144, 150), (-43, -30)),
+        ("epsg:26917", (-84, -78), (25, 45)),
+    ])
+    def test_closure(self, code, lon_range, lat_range):
+        f = C.get_transform("epsg:4326", code)
+        i = C.get_transform(code, "epsg:4326")
+        lons = np.linspace(*lon_range, 7)
+        lats = np.linspace(*lat_range, 7)
+        gx, gy = np.meshgrid(lons, lats)
+        x, y = f(gx.ravel(), gy.ravel())
+        lon2, lat2 = i(x, y)
+        assert np.max(np.abs(lon2 - gx.ravel())) < 1e-7
+        assert np.max(np.abs(lat2 - gy.ravel())) < 1e-7
+
+    @settings(max_examples=30, deadline=None)
+    @given(lon=st.floats(-5.5, 1.5), lat=st.floats(50.0, 58.0))
+    def test_bng_closure_property(self, lon, lat):
+        f = C.get_transform("epsg:4326", "epsg:27700")
+        i = C.get_transform("epsg:27700", "epsg:4326")
+        x, y = f(np.array([lon]), np.array([lat]))
+        lon2, lat2 = i(x, y)
+        assert abs(lon2[0] - lon) < 1e-7 and abs(lat2[0] - lat) < 1e-7
+
+
+class TestProj4Strings:
+    def test_tmerc_proj4(self):
+        s = "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 +y_0=-100000 +ellps=airy"
+        f = C.get_transform("epsg:4326", s)
+        # no datum shift in the raw proj4 path: compare against the
+        # registry projection applied to WGS84 coords directly
+        tm = C.CRS_REGISTRY["epsg:27700"][0]
+        x, y = f(np.array([0.5]), np.array([50.5]))
+        xe, ye = tm.forward(np.array([0.5]), np.array([50.5]))
+        assert abs(x[0] - xe[0]) < 1e-6 and abs(y[0] - ye[0]) < 1e-6
+
+    def test_lcc_proj4_round_trip(self):
+        s = "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 +x_0=700000 +y_0=6600000 +ellps=grs80"
+        f = C.get_transform("epsg:4326", s)
+        i = C.get_transform(s, "epsg:4326")
+        x, y = f(np.array([2.3522]), np.array([48.8566]))
+        lon, lat = i(x, y)
+        assert abs(lon[0] - 2.3522) < 1e-7 and abs(lat[0] - 48.8566) < 1e-7
+
+
+class TestRegisterCrs:
+    def test_register_and_use(self):
+        proj = C.TransverseMercator(C.BESSEL1841, 0.0, 9.0, 1.0, 3500000.0, 0.0)
+        C.register_crs("epsg:31467", proj)  # DHDN GK3 (no datum shift here)
+        try:
+            f = C.get_transform("epsg:4326", "epsg:31467")
+            i = C.get_transform("epsg:31467", "epsg:4326")
+            x, y = f(np.array([9.5]), np.array([50.0]))
+            lon, lat = i(x, y)
+            assert abs(lon[0] - 9.5) < 1e-7 and abs(lat[0] - 50.0) < 1e-7
+        finally:
+            C.CRS_REGISTRY.pop("epsg:31467", None)
+
+
+class TestReprojectNationalGrid:
+    def test_reproject_layer_to_bng(self, spark):
+        """End-to-end: a 4326 layer over southern England warps onto the
+        British National Grid and keeps its data."""
+        import geopyspark_spark as gps
+
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64",
+            layout=gps.LayoutDefinition(
+                gps.Extent(-2.0, 51.0, 0.0, 53.0), gps.TileLayout(2, 2, 5, 5)
+            ),
+            bounds=((0, 0), (1, 1)), extent=gps.Extent(-2.0, 51.0, 0.0, 53.0),
+            num_bands=1,
+        )
+        tiles = [(kc, kr, 0, np.full((5, 5), 7.0)) for kc in range(2) for kr in range(2)]
+        layer = gps.from_numpy(spark, tiles, md)
+        # BNG window around that block: E 350k-550k, N 100k-350k
+        target = gps.LayoutDefinition(
+            gps.Extent(350000.0, 100000.0, 550000.0, 350000.0),
+            gps.TileLayout(2, 2, 20, 25),
+        )
+        out = layer.reproject("epsg:27700", layout=target)
+        assert out.metadata.crs == "epsg:27700"
+        vals = np.concatenate(
+            [np.asarray(r["cells"], dtype=np.float64) for r in out.df.collect()]
+        )
+        finite = vals[~np.isnan(vals)]
+        assert finite.size > 0 and np.all(finite == 7.0)

@@ -107,7 +107,7 @@ class TestUtmCore:
 
     def test_unknown_crs_still_raises(self):
         with pytest.raises(NotImplementedError):
-            get_transform("epsg:2154", "epsg:4326")
+            get_transform("epsg:99999", "epsg:4326")
 
 
 class TestUtmProperties:
