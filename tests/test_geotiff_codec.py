@@ -166,3 +166,40 @@ class TestReadOrdered:
         assert {r.band for r in rows} == {0, 1}
         vals = {r.band: r.cells[0] for r in rows if (r.key_col, r.key_row) == (0, 0)}
         assert vals == {0: 9.0, 1: 5.0}  # b.tif -> band 0, a.tif -> band 1
+
+
+class TestRasterioAdapters:
+    def test_seam_error_without_rasterio(self, spark):
+        """Without rasterio the injection seam raises its documented error
+        (the adapters are the production default when GDAL exists)."""
+        from geopyspark_spark.sources import geotiff as gt
+
+        try:
+            import rasterio  # noqa: F401
+
+            pytest.skip("rasterio installed; adapter path exercised for real")
+        except ImportError:
+            pass
+        with pytest.raises(NotImplementedError, match="rasterio"):
+            gt.get(spark, ["/tmp/nonexistent.tif"])
+
+    def test_rasterio_adapters_when_available(self, spark, tmp_path):
+        """With rasterio installed, get() decodes a real file end-to-end
+        through the default adapters (skipped in this container)."""
+        rasterio = pytest.importorskip("rasterio")
+        import numpy as np
+
+        from geopyspark_spark.sources import geotiff as gt
+
+        path = str(tmp_path / "t.tif")
+        data = np.arange(64, dtype="float64").reshape(8, 8)
+        with rasterio.open(
+            path, "w", driver="GTiff", height=8, width=8, count=1,
+            dtype="float64",
+            transform=rasterio.transform.from_bounds(0, 0, 8, 8, 8, 8),
+        ) as dst:
+            dst.write(data, 1)
+        df = gt.get(spark, [path], max_tile_size=8)
+        row = df.first()
+        assert row["rows"] == 8 and row["cols"] == 8
+        assert np.allclose(np.asarray(row["cells"]).reshape(8, 8), data)
