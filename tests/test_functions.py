@@ -218,3 +218,46 @@ class TestMultimodal:
     def test_frame_sample_stub(self, media):
         with pytest.raises(NotImplementedError, match="frame_decoder"):
             fmm.frame_sample(media)
+
+
+class TestPlanShapes:
+    """Physical-plan assertions: the scale contracts hold in the EXECUTED
+    plan, not just in intent (VERDICT r1: 'explain() of the hashed path
+    shows no single-partition window')."""
+
+    def test_hashed_minhash_has_no_window(self, spark, docs):
+        plan = (
+            fdedup.minhash_signatures(docs, 8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
+        # exactly one shuffle: the groupBy(doc_id) aggregate
+        assert plan.count("Exchange") <= 2  # agg exchange (+AQE reuse)
+
+    def test_vocab_minhash_documents_its_global_sort(self, spark, docs):
+        plan = (
+            fdedup.minhash_signatures(docs, 8, hash_ids=False)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" in plan  # the reference path IS the global sort
+
+    def test_lsh_pairs_is_bucket_join_not_cross(self, spark, docs):
+        plan = (
+            fdedup.lsh_candidate_pairs(docs, 16, 4)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "Join" in plan or "SortMergeJoin" in plan or "HashJoin" in plan
+
+    def test_knn_broadcasts_queries_not_corpus(self, spark):
+        rng = np.random.default_rng(3)
+        rows = [(i, [float(x) for x in rng.normal(size=8)], 0) for i in range(20)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        plan = (
+            fsim.cosine_knn(emb, [0, 1], k=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # candidate winnow is mapInPandas over the corpus; the only join
+        # is the broadcast of the tiny query set for the fold rescore
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
