@@ -1312,6 +1312,105 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-0
 """
 
 
+def q_tpch_q10_returned(spark, sf_dir):
+    """Q10-ish returned-item reporting: revenue per customer over
+    l_returnflag='R' lineitems — a 4-table join tree Catalyst reorders,
+    with the two small dims (customer, nation) broadcast."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(12,2)") - _dec(F.col("l_discount")))
+    j = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")))
+    return j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_TPCH_Q10_RETURNED = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+"""
+
+
+def q_tpch_q4_priority(spark, sf_dir):
+    """Q4-ish order-priority checking: LEFT SEMI join (EXISTS) against
+    returned lineitems, counted per priority — the semi-join operator."""
+    orders = _t(spark, sf_dir, "orders")
+    returned = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    j = orders.join(
+        returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    )
+    return j.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+SQL_TPCH_Q4_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q14_promo(spark, sf_dir):
+    """Q14-ish promotion effect: conditional aggregate over a broadcast
+    part join — exact DECIMAL math, ratio left to the consumer."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(12,2)") - _dec(F.col("l_discount")))
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(24,4)")))
+        .cast("double").alias("promo_revenue"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+    )
+
+
+SQL_TPCH_Q14_PROMO = """
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+                          (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                     ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q_events_enriched_segment(spark, sf_dir):
+    """Stream-dim enrichment: events broadcast-joined to the customer dim
+    (user_id ⊂ c_custkey), aggregated per market segment — the canonical
+    streaming enrichment shape, run here on the batch frame the stream
+    shares its plan with."""
+    ev = _events(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer")
+    j = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+SQL_EVENTS_ENRICHED_SEGMENT = """
+SELECT c_mktsegment, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def q_window_rank(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -2032,6 +2131,10 @@ def queries():
         "raster_point_values": q_raster_point_values,
         # ---- entries below are past the driver's 50-entry window ----
         "text_minhash_vocab": q_text_minhash_vocab,
+        "tpch_q10_returned": q_tpch_q10_returned,
+        "tpch_q4_priority": q_tpch_q4_priority,
+        "tpch_q14_promo": q_tpch_q14_promo,
+        "events_enriched_segment": q_events_enriched_segment,
         "raster_resample": q_raster_resample,
         "raster_tile_to_layout_warp": q_raster_tile_to_layout_warp,
         "raster_bands": q_raster_bands,
@@ -2102,6 +2205,10 @@ def oracle_sql():
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,
         "tpch_q6": SQL_TPCH_Q6,
+        "tpch_q10_returned": SQL_TPCH_Q10_RETURNED,
+        "tpch_q4_priority": SQL_TPCH_Q4_PRIORITY,
+        "tpch_q14_promo": SQL_TPCH_Q14_PROMO,
+        "events_enriched_segment": SQL_EVENTS_ENRICHED_SEGMENT,
         "window_rank": SQL_WINDOW_RANK,
         "set_intersect": SQL_SET_INTERSECT,
         "events_tumbling": SQL_EVENTS_TUMBLING,
