@@ -39,6 +39,25 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer: English contractions, letter runs, digit runs,
+#: single other-symbols — the GPT-2-style split shape, restricted to a
+#: pattern whose semantics are identical in Java regex (Spark) and RE2
+#: (DuckDB) so the oracle gate hash-matches. Counting these is the usual
+#: cheap proxy for "LLM tokens" in corpus budgeting.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id -> (whitespace tokens, BPE-ish subword pieces) — both pure
+    Catalyst expressions (regexp_extract_all stays JVM-side)."""
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    return df.select(
+        "doc_id",
+        F.size(tokens_col(text_col)).alias("n_ws_tokens"),
+        F.size(pieces).alias("n_bpe_tokens"),
+    )
+
+
 def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-wide word -> count (the classic map-side-combined groupBy)."""
     return (

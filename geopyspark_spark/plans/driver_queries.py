@@ -1542,6 +1542,20 @@ SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens FROM 
 """
 
 
+def q_text_bpe_tokens(spark, sf_dir):
+    return ftext.bpe_token_count(_t(spark, sf_dir, "documents"))
+
+
+def _sql_bpe_tokens() -> str:
+    pat = ftext.BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(len(string_split(trim(text), ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_text_word_freq(spark, sf_dir):
     return ftext.word_frequencies(_t(spark, sf_dir, "documents"))
 
@@ -2131,6 +2145,7 @@ def queries():
         "raster_point_values": q_raster_point_values,
         # ---- entries below are past the driver's 50-entry window ----
         "text_minhash_vocab": q_text_minhash_vocab,
+        "text_bpe_tokens": q_text_bpe_tokens,
         "tpch_q10_returned": q_tpch_q10_returned,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q14_promo": q_tpch_q14_promo,
@@ -2216,6 +2231,7 @@ def oracle_sql():
         "events_user_stats": SQL_EVENTS_USER_STATS,
         "events_session": SQL_EVENTS_SESSION,
         "text_token_count": SQL_TEXT_TOKEN_COUNT,
+        "text_bpe_tokens": _sql_bpe_tokens(),
         "text_word_freq": SQL_TEXT_WORD_FREQ,
         "text_quality": SQL_TEXT_QUALITY,
         "text_lang_scores": _sql_lang_scores(),

@@ -261,3 +261,16 @@ class TestPlanShapes:
         # is the broadcast of the tiny query set for the fold rescore
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestBpeTokens:
+    def test_contractions_and_symbols(self, spark):
+        df = spark.createDataFrame(
+            [(0, "it's a test-case, 42 items"), (1, "plain words only")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+               for r in ftext.bpe_token_count(df).collect()}
+        # it|'s|a|test|-|case|,|42|items = 9 pieces from 5 ws tokens
+        assert got[0] == (5, 9)
+        assert got[1] == (3, 3)
