@@ -278,3 +278,57 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 2, block_col: str = "source",
         )
     )
     return out
+
+
+def duplicate_components(df: DataFrame, num_hashes: int = 16, bands: int = 4,
+                         text_col: str = "text", hash_ids: bool = True,
+                         max_iterations: int = 20) -> DataFrame:
+    """Group near-duplicate documents into clusters: connected components
+    over the banded-LSH candidate-pair graph, labeled by the smallest
+    doc_id in each component (the canonical representative a dedup
+    pipeline keeps).
+
+    Spark shape: the standard large-graph CC pattern — iterative min-label
+    propagation. Each round is one join (labels x edges) + one min
+    aggregate, both on the doc_id key; rounds needed = graph diameter,
+    which for near-dup clusters is tiny (dup clusters are dense). No
+    driver-side graph materialization — at 100 TB the edge list and label
+    table stay distributed end to end.
+
+    Returns (doc_id, component) for EVERY document (singletons map to
+    themselves).
+    """
+    edges = lsh_candidate_pairs(df, num_hashes, bands, text_col, hash_ids=hash_ids)
+    # undirected: propagate labels both ways
+    fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    und = fwd.unionByName(rev).persist()
+
+    labels = df.select("doc_id", F.col("doc_id").alias("component")).persist()
+    labels.count()
+    for _ in range(max_iterations):
+        # smallest label among each node's neighbors
+        nbr = (
+            und.join(labels, und.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "component")
+            .groupBy("doc_id").agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.join(labels.withColumnRenamed("component", "old"), "doc_id")
+            .where(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels

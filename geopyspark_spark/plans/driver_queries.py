@@ -1724,6 +1724,39 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def q_text_dup_components(spark, sf_dir):
+    """Near-duplicate clustering: connected components over the LSH
+    candidate-pair graph (iterative min-label propagation), each doc
+    labeled with its cluster's smallest doc_id."""
+    return fdedup.duplicate_components(_t(spark, sf_dir, "documents"),
+                                       num_hashes=16, bands=4)
+
+
+def _sql_dup_components(num_hashes: int = 16, bands: int = 4) -> str:
+    """Oracle: the same LSH pair CTEs, then a recursive transitive-closure
+    CTE; component = MIN over each doc's reachable set."""
+    pairs_sql = _sql_lsh_pairs(num_hashes, bands)
+    marker = "SELECT DISTINCT a.doc_id AS doc_a"
+    head, tail = pairs_sql.rsplit(marker, 1)
+    head = head.replace("WITH base", "WITH RECURSIVE base", 1)
+    return head.rstrip().rstrip(")") + """),
+pairs AS (
+  """ + marker + tail.rstrip() + """
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id
+"""
+
+
 def q_text_simhash(spark, sf_dir):
     return fdedup.simhash(_t(spark, sf_dir, "documents"), num_bits=16)
 
@@ -2146,6 +2179,7 @@ def queries():
         # ---- entries below are past the driver's 50-entry window ----
         "text_minhash_vocab": q_text_minhash_vocab,
         "text_bpe_tokens": q_text_bpe_tokens,
+        "text_dup_components": q_text_dup_components,
         "tpch_q10_returned": q_tpch_q10_returned,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q14_promo": q_tpch_q14_promo,
@@ -2232,6 +2266,7 @@ def oracle_sql():
         "events_session": SQL_EVENTS_SESSION,
         "text_token_count": SQL_TEXT_TOKEN_COUNT,
         "text_bpe_tokens": _sql_bpe_tokens(),
+        "text_dup_components": _sql_dup_components(16, 4),
         "text_word_freq": SQL_TEXT_WORD_FREQ,
         "text_quality": SQL_TEXT_QUALITY,
         "text_lang_scores": _sql_lang_scores(),

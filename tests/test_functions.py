@@ -274,3 +274,28 @@ class TestBpeTokens:
         # it|'s|a|test|-|case|,|42|items = 9 pieces from 5 ws tokens
         assert got[0] == (5, 9)
         assert got[1] == (3, 3)
+
+
+class TestDupComponents:
+    def test_clusters_labeled_by_min_doc(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b c d e f"), (1, "a b c d e f"), (2, "a b c d e f"),
+             (3, "x y z w v u"), (4, "x y z w v u"), (5, "q r s t u p")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["component"]
+               for r in fdedup.duplicate_components(df).collect()}
+        assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+
+    def test_chain_converges_transitively(self, spark):
+        # 0-1 and 1-2 are near-dups, 0-2 may not pair directly: the
+        # component must still merge all three via propagation
+        df = spark.createDataFrame(
+            [(0, "a b c d e f g h"), (1, "a b c d e f g h"),
+             (2, "a b c d e f g h i"), (3, "completely different text here now")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["component"]
+               for r in fdedup.duplicate_components(df).collect()}
+        assert got[0] == got[1] == 0
+        assert got[3] == 3
