@@ -133,3 +133,36 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame,
+                    join_expr, segment_col: str = "c_mktsegment") -> DataFrame:
+    """Stream-static enrichment: the streaming frame broadcast-joins a
+    static dimension (re-read per micro-batch by Spark, so slowly-changing
+    dims pick up updates), then aggregates per segment — the canonical
+    'enrich the firehose with the customer table' pattern.
+
+    The dim side is static => Spark plans a broadcast join per batch; no
+    stream-stream state is involved, so any output mode works.
+    """
+    from pyspark.sql import functions as F
+
+    j = events.join(F.broadcast(dim), join_expr)
+    return j.groupBy(segment_col).agg(
+        F.count("*").alias("n_events"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def dedup_events(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "1 hour", ts_col: str = "ts") -> DataFrame:
+    """Streaming exact deduplication: watermark + dropDuplicates on the
+    event identity — state is bounded by the watermark horizon (late
+    duplicates beyond it are admitted; that is the documented trade).
+
+    The streaming face of the batch ``exact_duplicates`` operator: at
+    100 TB/day the watermark bound is what keeps the dedup state finite.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicates(keys)

@@ -72,3 +72,50 @@ class TestStatefulOperator:
         g = {r.user_id: (r.n_events, round(r.sum_value, 6)) for r in last.collect()}
         x = {r.user_id: (r.n_events, round(r.sum_value, 6)) for r in exp.collect()}
         assert g == x
+
+
+class TestEnrichAndDedup:
+    def test_stream_static_enrichment_equals_batch(self, spark, events_stream, events_batch):
+        from pyspark.sql import functions as F
+
+        from geopyspark_spark.streaming import events as se
+
+        cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        streamed = se.run_available_now(
+            se.enrich_with_dim(
+                events_stream, cust, F.col("user_id") == F.col("c_custkey")
+            ),
+            "enriched",
+        )
+        batch = (
+            events_batch.join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        )
+        got = {r["c_mktsegment"]: (r["n_events"], round(r["sum_value"], 6))
+               for r in streamed.collect()}
+        want = {r["c_mktsegment"]: (r["n_events"], round(r["sum_value"], 6))
+                for r in batch.collect()}
+        assert got == want
+
+    def test_streaming_dedup_drops_replays(self, spark, tmp_path):
+        import pandas as pd
+
+        from geopyspark_spark.streaming import events as se
+
+        # write a parquet batch that repeats event_ids (replayed events)
+        pdf = pd.DataFrame({
+            "event_id": [1, 1, 2, 3, 3, 3],
+            "ts": pd.to_datetime(["2024-01-01 10:00"] * 6),
+            "user_id": [7] * 6,
+            "event_type": ["click"] * 6,
+            "value": [1.0] * 6,
+            "props": ["{}"] * 6,
+        })
+        path = str(tmp_path / "replays")
+        spark.createDataFrame(pdf).write.parquet(path)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+        )
+        out = se.run_available_now(se.dedup_events(stream), "dedup", output_mode="append")
+        assert sorted(r["event_id"] for r in out.collect()) == [1, 2, 3]
