@@ -490,3 +490,69 @@ def _near_dup_matmul(df: DataFrame, threshold: float, id_col: str,
     return df.select(id_col, vec_col).mapInPandas(
         block, schema=f"id_a long, id_b long, sim double"
     )
+
+
+def ivf_write(df: DataFrame, path: str, num_clusters: int = 16,
+              train_limit: int = 4096, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> None:
+    """Materialize the IVF index: the assigned corpus written
+    ``partitionBy(cluster_id)`` (one directory per coarse cell) plus a
+    centroid sidecar. At 100 TB this is THE similarity-search layout —
+    a probe then reads only ``nprobe`` directories, so the scan itself
+    prunes ~(1 - nprobe/k) of the corpus before any compute.
+    """
+    import json
+    import os
+
+    assigned, cent = ivf_index(df, num_clusters, train_limit,
+                               id_col=id_col, vec_col=vec_col)
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump({"centroids": cent.tolist(),
+                   "id_col": id_col, "vec_col": vec_col}, f)
+
+
+def ivf_read_knn(spark, path: str, query_ids: list[int], k: int = 5,
+                 nprobe: int = 4) -> DataFrame:
+    """kNN against a written IVF index: centroids from the sidecar, probe
+    sets driver-side, then a ``cluster_id IN (...)`` filtered read —
+    Catalyst partition pruning keeps unprobed directories untouched
+    (assert via PartitionFilters in the scan node)."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        meta = json.load(f)
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+
+    corpus = spark.read.parquet(path)
+    qrows = (corpus.where(F.col(id_col).isin(query_ids))
+             .select(id_col, vec_col).collect())
+    probe_rows = []
+    for r in qrows:
+        q = np.asarray(r[1], dtype=np.float64)
+        n = np.linalg.norm(q)
+        sims = cent @ (q / n if n > 0 else q)
+        for c in np.argsort(-sims, kind="stable")[:nprobe]:
+            probe_rows.append((int(r[0]), int(c)))
+    probes = spark.createDataFrame(probe_rows, "query_id long, cluster_id int")
+    queries = spark.createDataFrame(
+        [(int(r[0]), list(map(float, r[1]))) for r in qrows],
+        f"query_id long, qvec array<float>",
+    )
+    probes = probes.join(F.broadcast(queries), "query_id")
+
+    probed_clusters = sorted({c for _, c in probe_rows})
+    # the IN-filter lands in PartitionFilters: unprobed directories are
+    # never opened
+    pruned = corpus.where(F.col("cluster_id").isin(probed_clusters))
+    cand = pruned.join(F.broadcast(probes), "cluster_id").where(
+        F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id", F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"), "qvec",
+    )
+    return _winnow_then_fold_rank(cand, k)

@@ -299,3 +299,22 @@ class TestDupComponents:
                for r in fdedup.duplicate_components(df).collect()}
         assert got[0] == got[1] == 0
         assert got[3] == 3
+
+
+class TestIvfIndexOnDisk:
+    def test_written_index_prunes_and_matches(self, spark, tmp_path):
+        rng = np.random.default_rng(11)
+        rows = [(i, [float(x) for x in rng.normal(size=8)], i % 3) for i in range(60)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        path = str(tmp_path / "ivf")
+        fsim.ivf_write(emb, path, num_clusters=8)
+        out = fsim.ivf_read_knn(spark, path, [0, 5], k=3, nprobe=8)
+        direct = fsim.ivf_knn(emb, [0, 5], k=3, num_clusters=8, nprobe=8)
+        got = sorted(tuple(r) for r in out.collect())
+        want = sorted(tuple(r) for r in direct.collect())
+        assert got == want
+        # pruning reaches the scan: with nprobe=2 the filtered read's plan
+        # carries the cluster_id partition filter
+        pruned = fsim.ivf_read_knn(spark, path, [0], k=3, nprobe=2)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "cluster_id" in plan and ("PartitionFilters" in plan or "partition" in plan.lower())
