@@ -182,3 +182,57 @@ def frame_sample(df: DataFrame, every_n: int = 10, data_col: str = "data",
             yield pd.DataFrame(rows, columns=id_cols + ["frame_idx", "frame"])
 
     return df.mapInPandas(sample, schema=schema)
+
+
+def payload_audio_decoder(data: bytes) -> np.ndarray:
+    """Deterministic fake PCM decoder: each payload byte is one sample,
+    centered at 64 (printable ASCII straddles it, so sign changes exist).
+    Reproducible in plain SQL (``ascii(substr(payload, i, 1)) - 64``), so
+    audio feature extraction runs under the DuckDB oracle gate. Swap in a
+    soundfile/librosa-backed decoder where those libs exist — the Spark
+    plumbing is identical."""
+    if not data:
+        return np.zeros(0)
+    return np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 64.0
+
+
+def audio_features(df: DataFrame, data_col: str = "data",
+                   decoder: Callable[[bytes], np.ndarray] | None = None) -> DataFrame:
+    """Decode + per-clip scalar features: sample count, RMS energy, and
+    zero-crossing count — the standard cheap audio-quality signals.
+
+    Output: id columns + n_samples long, rms double (6 dp),
+    zero_crossings long. Arrow-batched mapInPandas, no driver collect.
+    """
+    if decoder is None:
+        _require_pillow()  # stands in for "no media libs in this env"
+    id_cols = [c for c in df.columns if c != data_col]
+    schema = T.StructType(
+        [df.schema[c] for c in id_cols]
+        + [
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zero_crossings", T.LongType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, rms, zc = [], [], []
+            for data in pdf[data_col]:
+                s = decoder(bytes(data))
+                ns.append(len(s))
+                if len(s) == 0:
+                    rms.append(0.0)
+                    zc.append(0)
+                    continue
+                rms.append(round(float(np.sqrt(np.mean(s * s))), 6))
+                prod = s[:-1] * s[1:]
+                zc.append(int(np.count_nonzero(prod < 0)))
+            out = pdf[id_cols].copy()
+            out["n_samples"] = pd.Series(ns, dtype="int64")
+            out["rms"] = pd.Series(rms, dtype="float64")
+            out["zero_crossings"] = pd.Series(zc, dtype="int64")
+            yield out
+
+    return df.mapInPandas(extract, schema=schema)

@@ -2064,6 +2064,42 @@ SELECT doc_id, ch + 3 AS feat_idx, round(s, 6) AS value FROM stats
 """
 
 
+def q_multimodal_audio(spark, sf_dir):
+    """Audio-leg multimodal plumbing under the oracle gate: document bytes
+    as fake PCM -> per-clip sample count / RMS / zero-crossings."""
+    from ..functions import multimodal as fmm
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("data")
+    )
+    return fmm.audio_features(docs, decoder=fmm.payload_audio_decoder)
+
+
+SQL_MULTIMODAL_AUDIO = """
+WITH d AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
+s AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         CAST(ascii(substr(text, CAST(pos AS INT) + 1, 1)) - 64 AS DOUBLE) AS v
+  FROM (SELECT doc_id, text, unnest(range(len)) AS pos FROM d)
+),
+rms AS (
+  SELECT doc_id, COUNT(*) AS n_samples,
+         round(sqrt(AVG(v * v)), 6) AS rms
+  FROM s GROUP BY doc_id
+),
+zc AS (
+  SELECT a.doc_id, COUNT(*) FILTER (a.v * b.v < 0) AS zero_crossings
+  FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.doc_id
+)
+SELECT d.doc_id, COALESCE(r.n_samples, 0) AS n_samples,
+       COALESCE(r.rms, 0.0) AS rms,
+       COALESCE(z.zero_crossings, 0) AS zero_crossings
+FROM d LEFT JOIN rms r ON d.doc_id = r.doc_id
+       LEFT JOIN zc z ON d.doc_id = z.doc_id
+"""
+
+
 def q_emb_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup: exact all-pairs >= 0.45 (the synthetic
     corpus peaks at ~0.51, so the result is non-empty with no pairs near the
@@ -2180,6 +2216,7 @@ def queries():
         "text_minhash_vocab": q_text_minhash_vocab,
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_dup_components": q_text_dup_components,
+        "multimodal_audio": q_multimodal_audio,
         "tpch_q10_returned": q_tpch_q10_returned,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q14_promo": q_tpch_q14_promo,
@@ -2283,6 +2320,7 @@ def oracle_sql():
         "emb_lsh_knn": _sql_lsh_knn(num_planes=6, k=5),
         "emb_near_dup_lsh": _sql_near_dup_lsh(6, 0.45),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     }
     # the IVF oracle reads the training rows from the oracle sf dir at
     # build time; if that path is unreachable the query degrades to a

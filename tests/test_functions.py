@@ -318,3 +318,18 @@ class TestIvfIndexOnDisk:
         pruned = fsim.ivf_read_knn(spark, path, [0], k=3, nprobe=2)
         plan = pruned._jdf.queryExecution().executedPlan().toString()
         assert "cluster_id" in plan and ("PartitionFilters" in plan or "partition" in plan.lower())
+
+
+class TestAudioFeatures:
+    def test_payload_pcm_features(self, spark):
+        df = spark.createDataFrame(
+            [(0, bytearray(b"@A?@")), (1, bytearray(b""))],  # @=64 -> 0.0
+            "doc_id long, data binary",
+        )
+        rows = {r["doc_id"]: r for r in fmm.audio_features(
+            df, decoder=fmm.payload_audio_decoder).collect()}
+        # samples: 0, 1, -1, 0 -> rms = sqrt(2/4) ~ 0.707107; one sign change
+        assert rows[0]["n_samples"] == 4
+        assert abs(rows[0]["rms"] - 0.707107) < 1e-6
+        assert rows[0]["zero_crossings"] == 1
+        assert rows[1]["n_samples"] == 0 and rows[1]["rms"] == 0.0
