@@ -107,18 +107,13 @@ def reproject(layer: "TiledRasterLayer", target_crs: str,
     t_ncols, t_nrows = tl_t.layout_cols, tl_t.layout_rows
 
     # --- stage 1: source tile -> covering target keys ----------------------
-    cover_schema = StructType([
-        StructField("tkey_col", IntegerType()),
-        StructField("tkey_row", IntegerType()),
-        StructField("skey_col", IntegerType()),
-        StructField("skey_row", IntegerType()),
-        StructField("band", IntegerType()),
-        StructField("cells", ArrayType(DoubleType())),
-    ])
-
+    # The cover computation needs only GRID GEOMETRY, never cell data —
+    # run it over the distinct source keys (rows = tiles, not cells) and
+    # JVM-join the result back, so tile payloads cross the Python boundary
+    # exactly once (in the warp kernel), not twice.
     def cover(batches):
         for pdf in batches:
-            out = {k: [] for k in ("tkey_col", "tkey_row", "skey_col", "skey_row", "band", "cells")}
+            out = {k: [] for k in ("skey_col", "skey_row", "tkey_col", "tkey_row")}
             for row in pdf.itertuples(index=False):
                 ext = src_kt.key_extent(int(row.key_col), int(row.key_row))
                 warped = transform_extent(ext, src_crs, dst_crs, densify=4)
@@ -128,22 +123,24 @@ def reproject(layer: "TiledRasterLayer", target_crs: str,
                 r1 = int(np.floor((t_ext.ymax - warped.ymin) / (t_ch * tr_t)))
                 for tr in range(max(r0, 0), min(r1, t_nrows - 1) + 1):
                     for tc in range(max(c0, 0), min(c1, t_ncols - 1) + 1):
-                        out["tkey_col"].append(tc)
-                        out["tkey_row"].append(tr)
                         out["skey_col"].append(int(row.key_col))
                         out["skey_row"].append(int(row.key_row))
-                        out["band"].append(int(row.band))
-                        out["cells"].append(row.cells)
+                        out["tkey_col"].append(tc)
+                        out["tkey_row"].append(tr)
             if not out["tkey_col"]:
-                # fully outside the target grid: yielding an empty frame
-                # would carry numpy dtypes Arrow can't cast to list<double>
                 continue
-            out["cells"] = pd.Series(out["cells"], dtype="object")
             yield pd.DataFrame(out)
 
-    covered = layer.df.select("key_col", "key_row", "band", "cells").mapInPandas(
-        cover, schema=cover_schema
+    src_keys = layer.df.select("key_col", "key_row").distinct()
+    cover_df = src_keys.mapInPandas(
+        cover, schema="skey_col int, skey_row int, tkey_col int, tkey_row int"
     )
+    covered = layer.df.select(
+        F.col("key_col").alias("skey_col"),
+        F.col("key_row").alias("skey_row"),
+        "band",
+        "cells",
+    ).join(cover_df, ["skey_col", "skey_row"])
 
     # --- stage 2: assemble each target tile by inverse sampling ------------
     out_schema = StructType([
