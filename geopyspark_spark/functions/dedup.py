@@ -175,10 +175,21 @@ def _minhash_wide(df: DataFrame, num_hashes: int, text_col: str,
 
 
 def lsh_candidate_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
-                        text_col: str = "text", hash_ids: bool = True) -> DataFrame:
+                        text_col: str = "text", hash_ids: bool = True,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Banded LSH over minhash signatures: docs sharing any band's full
     signature become candidate pairs (a < b). The join is per-bucket —
-    the scale-safe pattern (no all-pairs comparison)."""
+    the scale-safe pattern (no all-pairs comparison).
+
+    ``max_bucket_size`` is the skew guard: a bucket with B docs emits
+    B(B-1)/2 pairs, so one hot, non-discriminative band key (think
+    boilerplate headers shared by millions of documents) turns the bucket
+    join quadratic. Capping drops buckets larger than the threshold
+    BEFORE the self-join — standard MinHash-LSH practice: such buckets
+    carry almost no signal (everything matches) and their members still
+    pair through their other, more selective bands. Default None keeps
+    exact recall for the oracle gate; at 100 TB set it (e.g. 10_000).
+    """
     rows_per_band = num_hashes // bands
     # band keys straight off the wide per-doc aggregate: one shuffle total
     # (the groupBy(doc_id) in _minhash_wide); no long-form regroup
@@ -196,6 +207,11 @@ def lsh_candidate_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     band_sig = wide.select(
         "doc_id", F.explode(F.array(*band_rows)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    if max_bucket_size is not None:
+        sizes = band_sig.groupBy("band", "band_key").agg(
+            F.count("*").alias("_bsz")
+        ).where(F.col("_bsz") <= max_bucket_size)
+        band_sig = band_sig.join(sizes.drop("_bsz"), ["band", "band_key"], "left_semi")
     a = band_sig.alias("a")
     b = band_sig.alias("b")
     pairs = (

@@ -135,6 +135,13 @@ def reproject(layer: "TiledRasterLayer", target_crs: str,
     cover_df = src_keys.mapInPandas(
         cover, schema="skey_col int, skey_row int, tkey_col int, tkey_row int"
     )
+    # the cover table is O(tiles), not O(cells): broadcast it whenever the
+    # layer bounds say it fits (mapInPandas output has no stats, so AQE
+    # alone would default to a shuffle join)
+    (bc0, br0), (bc1, br1) = md.bounds
+    n_tiles = (bc1 - bc0 + 1) * (br1 - br0 + 1)
+    if n_tiles <= 1_000_000:
+        cover_df = F.broadcast(cover_df)
     covered = layer.df.select(
         F.col("key_col").alias("skey_col"),
         F.col("key_row").alias("skey_row"),

@@ -333,3 +333,26 @@ class TestAudioFeatures:
         assert abs(rows[0]["rms"] - 0.707107) < 1e-6
         assert rows[0]["zero_crossings"] == 1
         assert rows[1]["n_samples"] == 0 and rows[1]["rms"] == 0.0
+
+
+class TestLshBucketCap:
+    def test_hot_bucket_dropped_selective_bands_survive(self, spark):
+        # 5 identical docs form a hot bucket in EVERY band; cap 4 drops all
+        # their buckets -> no pairs. Two near-identical docs (selective
+        # buckets of size 2) keep pairing.
+        rows = [(i, "common boiler plate text here") for i in range(5)]
+        rows += [(10, "rare unique sentence apples bananas"),
+                 (11, "rare unique sentence apples bananas")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = {
+            (r["doc_a"], r["doc_b"])
+            for r in fdedup.lsh_candidate_pairs(df, 16, 4, max_bucket_size=4).collect()
+        }
+        assert (10, 11) in capped
+        assert not any(a < 5 and b < 5 for a, b in capped)
+        # uncapped keeps the hot cluster's pairs
+        full = {
+            (r["doc_a"], r["doc_b"])
+            for r in fdedup.lsh_candidate_pairs(df, 16, 4).collect()
+        }
+        assert (0, 1) in full and (10, 11) in full
