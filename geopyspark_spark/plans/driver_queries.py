@@ -1100,6 +1100,38 @@ FROM islands GROUP BY user_id, session_id
 """
 
 
+def q_raster_convert_int8(spark, sf_dir):
+    """convert_data_type with clamping under the gate: value*3 reaches 150,
+    so int8 conversion clamps at 127; the old -1.0 sentinel rewrites to
+    int8's default -128."""
+    layer = lineitem_layer(spark, sf_dir) * 3
+    out = layer.convert_data_type("int8")
+    return out.explode().select("key_col", "key_row", "pos", "value")
+
+
+SQL_RASTER_CONVERT_INT8 = CELLS_CTE + """
+SELECT key_col, key_row, pos,
+       CASE WHEN value = -1.0 THEN -128.0
+            ELSE LEAST(GREATEST(round(value * 3.0, 0), -128.0), 127.0)
+       END AS value
+FROM coords
+"""
+
+
+def q_raster_lookup(spark, sf_dir):
+    """lookup(key) — the driver-side single-tile fetch, exposed as the
+    tile's exploded cells so the oracle can re-derive it."""
+    layer = lineitem_layer(spark, sf_dir)
+    (tile,) = layer.lookup(1, 2)
+    rows = [(i, float(v)) for i, v in enumerate(tile["cells"])]
+    return spark.createDataFrame(rows, "pos int, value double")
+
+
+SQL_RASTER_LOOKUP = CELLS_CTE + """
+SELECT pos, value FROM cells WHERE key_col = 1 AND key_row = 2
+"""
+
+
 def q_raster_map_cells(spark, sf_dir):
     """The Arrow UDF surface under the oracle gate: map_cells applying
     x -> x^2 + 1 (NoData preserved by the engine's kernel contract)."""
@@ -2238,6 +2270,8 @@ def queries():
         "raster_aspect": q_raster_aspect,
         "raster_hillshade": q_raster_hillshade,
         "raster_tobler": q_raster_tobler,
+        "raster_convert_int8": q_raster_convert_int8,
+        "raster_lookup": q_raster_lookup,
         "raster_map_cells": q_raster_map_cells,
         "raster_union": q_raster_union,
     }
@@ -2284,6 +2318,8 @@ def oracle_sql():
         "raster_hillshade": SQL_RASTER_HILLSHADE,
         "raster_tobler": SQL_RASTER_TOBLER,
         "raster_resample": SQL_RASTER_RESAMPLE,
+        "raster_convert_int8": SQL_RASTER_CONVERT_INT8,
+        "raster_lookup": SQL_RASTER_LOOKUP,
         "raster_map_cells": SQL_RASTER_MAP_CELLS,
         "raster_mask_distributed": SQL_RASTER_MASK_DISTRIBUTED,
         "raster_union": SQL_RASTER_UNION,
