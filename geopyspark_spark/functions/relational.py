@@ -1,0 +1,104 @@
+"""Relational operators Spark's DataFrame API lacks as primitives,
+re-expressed as compositions of built-in operators (the brief's "custom
+operators" rule: composition first, UDFs only when semantics demand).
+
+- :func:`asof_join` — each left row picks the latest right row at-or-
+  before its timestamp per key (DuckDB/kdb ``ASOF JOIN`` semantics);
+- :func:`interval_join` — point-in-interval matching without the
+  nested-loop/cartesian plan a naive inequality join produces.
+
+Both are single-shuffle plans; neither collects anything driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, ts_col: str = "ts",
+              by_cols: tuple[str, ...] = ("user_id",),
+              prefix: str = "asof_") -> DataFrame:
+    """Left as-of join: for every left row, the right row with the
+    greatest ``ts_col`` <= the left row's, within the same ``by_cols``
+    group; unmatched left rows keep NULLs (ASOF LEFT JOIN).
+
+    Plan shape — the union + window-fill composition: tag both sides,
+    union, then ``last(payload, ignorenulls) over (partition by key order
+    by ts, side)`` carries each right payload forward to the left rows it
+    answers. ONE shuffle (the window partition), no inequality join, no
+    nested loop — at 100 TB this beats the naive
+    ``l JOIN r ON l.ts >= r.ts`` (a cartesian-per-key) by the group size.
+
+    Right rows must be unique per (by, ts); pre-aggregate if not (ties
+    would otherwise be nondeterministic in ANY engine's asof).
+    """
+    by = list(by_cols)
+    rcols = [c for c in right.columns if c not in set(by) | {ts_col}]
+    pay_fields = [F.col(ts_col).alias(f"{prefix}{ts_col}")] + [
+        F.col(c).alias(f"{prefix}{c}") for c in rcols
+    ]
+    r2 = right.select(
+        *by,
+        F.col(ts_col).alias("_ats"),
+        F.struct(*pay_fields).alias("_pay"),
+        F.lit(0).alias("_prio"),
+    )
+    pay_t = r2.schema["_pay"].dataType
+    l2 = left.select(
+        "*",
+        F.col(ts_col).alias("_ats"),
+        F.lit(None).cast(pay_t).alias("_pay"),
+        F.lit(1).alias("_prio"),
+    )
+    for c, t in left.dtypes:
+        if c not in r2.columns:
+            r2 = r2.withColumn(c, F.lit(None).cast(t))
+    u = l2.unionByName(r2.select(*l2.columns))
+    # right (prio 0) sorts before left at the same instant, so a
+    # same-timestamp right row is visible to that left row (>= semantics)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("_ats", "_prio")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("_asof", F.last("_pay", ignorenulls=True).over(w))
+    return (
+        filled.where(F.col("_prio") == 1)
+        .select(*left.columns, F.col("_asof.*"))
+    )
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  ts_col: str = "ts", start_col: str = "start",
+                  end_col: str = "end", by_cols: tuple[str, ...] = (),
+                  bin_width_seconds: int = 3600) -> DataFrame:
+    """All (point, interval) pairs with ``start <= ts < end`` (and equal
+    ``by_cols``), as an EQUI-join: both sides map to time bins of
+    ``bin_width_seconds`` (intervals explode to every bin they touch),
+    join on (by, bin), then the exact containment filter runs on the
+    pre-pruned pairs.
+
+    A naive inequality join plans as BroadcastNestedLoop / cartesian-
+    per-key; the bin trick turns it into a hash join whose fan-out is
+    bounded by interval_length / bin_width — pick the bin near the median
+    interval length. A point lives in exactly one bin, so no duplicate
+    pairs appear.
+    """
+    by = list(by_cols)
+    p = points.withColumn(
+        "_bin", F.floor(F.unix_timestamp(F.col(ts_col)) / bin_width_seconds)
+    )
+    i = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / bin_width_seconds),
+                F.floor(F.unix_timestamp(F.col(end_col)) / bin_width_seconds),
+            )
+        ),
+    )
+    joined = p.join(i, by + ["_bin"])
+    return joined.where(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    ).drop("_bin")

@@ -1443,6 +1443,68 @@ GROUP BY c_mktsegment
 """
 
 
+def q_events_asof_join(spark, sf_dir):
+    """As-of join: each purchase picks the user's latest view at-or-before
+    it (union + window-fill composition — functions/relational.py); the
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    from ..functions.relational import asof_join
+
+    ev = _events(spark, sf_dir)
+    views = (ev.where(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("view_event")))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(purchases, views, ts_col="ts", by_cols=("user_id",))
+    return out.select("event_id", "user_id", "asof_ts", "asof_view_event")
+
+
+SQL_EVENTS_ASOF_JOIN = """
+WITH v AS (
+  SELECT user_id, ts, MAX(event_id) AS view_event
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, v.ts AS asof_ts, v.view_event AS asof_view_event
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def q_events_interval_join(spark, sf_dir):
+    """Range join: clicks falling inside [signup, signup + 1h) windows of
+    the same user — executed as a binned equi-join (no nested loop); the
+    oracle is the plain inequality join."""
+    from ..functions.relational import interval_join
+
+    ev = _events(spark, sf_dir)
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_event"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event"), "user_id", "ts"
+    )
+    out = interval_join(clicks, signups, ts_col="ts", start_col="start",
+                        end_col="end", by_cols=("user_id",),
+                        bin_width_seconds=3600)
+    return out.select("click_event", "signup_event", "user_id")
+
+
+SQL_EVENTS_INTERVAL_JOIN = """
+WITH s AS (
+  SELECT user_id, event_id AS signup_event, ts AS s_start,
+         ts + INTERVAL 1 HOUR AS s_end
+  FROM events WHERE event_type = 'signup'
+),
+c AS (SELECT event_id AS click_event, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.click_event, s.signup_event, c.user_id
+FROM c JOIN s ON c.user_id = s.user_id AND c.ts >= s.s_start AND c.ts < s.s_end
+"""
+
+
 def q_window_rank(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -2253,6 +2315,8 @@ def queries():
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q14_promo": q_tpch_q14_promo,
         "events_enriched_segment": q_events_enriched_segment,
+        "events_asof_join": q_events_asof_join,
+        "events_interval_join": q_events_interval_join,
         "raster_resample": q_raster_resample,
         "raster_tile_to_layout_warp": q_raster_tile_to_layout_warp,
         "raster_bands": q_raster_bands,
@@ -2331,6 +2395,8 @@ def oracle_sql():
         "tpch_q4_priority": SQL_TPCH_Q4_PRIORITY,
         "tpch_q14_promo": SQL_TPCH_Q14_PROMO,
         "events_enriched_segment": SQL_EVENTS_ENRICHED_SEGMENT,
+        "events_asof_join": SQL_EVENTS_ASOF_JOIN,
+        "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
         "window_rank": SQL_WINDOW_RANK,
         "set_intersect": SQL_SET_INTERSECT,
         "events_tumbling": SQL_EVENTS_TUMBLING,

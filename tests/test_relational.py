@@ -1,0 +1,72 @@
+"""as-of / interval join semantics on handcrafted frames."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from geopyspark_spark.functions.relational import asof_join, interval_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def test_latest_at_or_before_and_null_branch(self, spark):
+        left = spark.createDataFrame(
+            [(1, 7, _ts("2024-01-01 10:00")), (2, 7, _ts("2024-01-01 12:00")),
+             (3, 8, _ts("2024-01-01 09:00"))],
+            "event_id long, user_id long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(7, _ts("2024-01-01 09:30"), 100.0),
+             (7, _ts("2024-01-01 11:00"), 200.0),
+             (8, _ts("2024-01-01 09:30"), 300.0)],  # after left's 09:00
+            "user_id long, ts timestamp, price double",
+        )
+        got = {r["event_id"]: (r["asof_ts"], r["asof_price"])
+               for r in asof_join(left, right).collect()}
+        assert got[1] == (_ts("2024-01-01 09:30"), 100.0)
+        assert got[2] == (_ts("2024-01-01 11:00"), 200.0)
+        assert got[3] == (None, None)  # no right row at-or-before
+
+    def test_same_instant_right_row_is_visible(self, spark):
+        left = spark.createDataFrame(
+            [(1, 7, _ts("2024-01-01 10:00"))],
+            "event_id long, user_id long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(7, _ts("2024-01-01 10:00"), 5.0)],
+            "user_id long, ts timestamp, price double",
+        )
+        (row,) = asof_join(left, right).collect()
+        assert row["asof_price"] == 5.0  # >= semantics, not strict >
+
+
+class TestIntervalJoin:
+    def test_containment_and_bin_crossing(self, spark):
+        pts = spark.createDataFrame(
+            [(1, 7, _ts("2024-01-01 10:30")), (2, 7, _ts("2024-01-01 13:00")),
+             (3, 9, _ts("2024-01-01 10:30"))],
+            "pid long, user_id long, ts timestamp",
+        )
+        iv = spark.createDataFrame(
+            # crosses two hourly bins: 10:15 - 11:45
+            [(7, 55, _ts("2024-01-01 10:15"), _ts("2024-01-01 11:45"))],
+            "user_id long, iid long, start timestamp, end timestamp",
+        )
+        rows = interval_join(pts, iv, by_cols=("user_id",),
+                             bin_width_seconds=3600).collect()
+        assert [(r["pid"], r["iid"]) for r in rows] == [(1, 55)]
+
+    def test_half_open_end_excluded(self, spark):
+        pts = spark.createDataFrame(
+            [(1, _ts("2024-01-01 11:00"))], "pid long, ts timestamp"
+        )
+        iv = spark.createDataFrame(
+            [(5, _ts("2024-01-01 10:00"), _ts("2024-01-01 11:00"))],
+            "iid long, start timestamp, end timestamp",
+        )
+        assert interval_join(pts, iv).count() == 0
