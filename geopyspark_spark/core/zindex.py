@@ -86,3 +86,68 @@ def z3_col(key_col: Column | str, key_row: Column | str, t: Column | str) -> Col
         .bitwiseOR(F.shiftleft(_spread2(r.cast("long")), 1))
         .bitwiseOR(F.shiftleft(_spread2(tt.cast("long")), 2))
     ).alias("zindex")
+
+
+def hilbert_py(col: int, row: int, bits: int = 16) -> int:
+    """Hilbert curve distance d of cell (col, row) on a 2^bits grid —
+    the standard xy2d bit walk (Wikipedia/Hamilton); pure-Python mirror
+    of the vectorized kernel for tests."""
+    x, y, d = col, row, 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def hilbert_udf(bits: int = 16):
+    """Hilbert index as a vectorized pandas UDF.
+
+    Unlike Morton (pure bit-spread, codegen-friendly), the Hilbert walk
+    carries rotation state across bit levels — unrolling it as a Catalyst
+    expression multiplies the subexpression tree ~4x per level, so the
+    16-level numpy loop behind Arrow is the better engine trade. Indexing
+    runs once per WRITE, not per query, so the Python cost is off the
+    read path entirely.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _hilbert(col, row):
+        x = col.to_numpy(dtype=np.int64, na_value=0).copy()
+        y = row.to_numpy(dtype=np.int64, na_value=0).copy()
+        d = np.zeros(len(x), dtype=np.int64)
+        s = np.int64(1 << (bits - 1))
+        while s > 0:
+            rx = ((x & s) > 0).astype(np.int64)
+            ry = ((y & s) > 0).astype(np.int64)
+            d += s * s * ((3 * rx) ^ ry)
+            m = ry == 0
+            fl = m & (rx == 1)
+            x[fl] = s - 1 - x[fl]
+            y[fl] = s - 1 - y[fl]
+            xs = x.copy()
+            x[m] = y[m]
+            y[m] = xs[m]
+            s >>= 1
+        return pd.Series(d)
+
+    _hilbert.__annotations__ = {"col": pd.Series, "row": pd.Series,
+                                "return": pd.Series}
+    return pandas_udf(_hilbert, "long")
+
+
+def rowmajor_col(key_col, key_row, stride: int = 1 << 20):
+    """Row-major index (reference ``constants.py`` IndexingMethod
+    rowmajor): row * stride + col — codegen-friendly."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    r = F.col(key_row) if isinstance(key_row, str) else key_row
+    return (r.cast("long") * stride + c.cast("long")).alias("zindex")

@@ -41,12 +41,18 @@ def _layer_path(uri: str, layer_name: str, zoom: int) -> str:
 
 
 def write(uri: str, layer_name: str, layer: TiledRasterLayer,
-          zoom: int | None = None, time_resolution_ms: int = 86_400_000) -> str:
+          zoom: int | None = None, time_resolution_ms: int = 86_400_000,
+          index_strategy: str = "zorder") -> str:
     """Write a tiled layer, sorted by space-filling-curve index.
 
-    ``index_strategy`` of the reference collapses to the Z-order sort here
-    (ZORDER); Hilbert/rowmajor variants are alternative sort keys.
+    ``index_strategy`` mirrors the reference's IndexingMethod
+    (``constants.py:98-120``): ``zorder`` (default; Morton, pure codegen),
+    ``hilbert`` (better locality — no diagonal jumps — via a write-time
+    vectorized kernel), ``rowmajor`` (scanline order). Temporal layers
+    always use Z3 over (col, row, time bucket).
     """
+    from ..core.zindex import hilbert_udf, rowmajor_col
+
     z = zoom if zoom is not None else (layer.metadata.zoom or 0)
     path = _layer_path(uri, layer_name, z)
     df = layer.df
@@ -55,8 +61,14 @@ def write(uri: str, layer_name: str, layer: TiledRasterLayer,
             "key_col", "key_row",
             (F.unix_millis(F.col("instant")) / time_resolution_ms).cast("long"),
         )
-    else:
+    elif index_strategy == "zorder":
         zi = z2_col("key_col", "key_row")
+    elif index_strategy == "hilbert":
+        zi = hilbert_udf()(F.col("key_col"), F.col("key_row")).alias("zindex")
+    elif index_strategy == "rowmajor":
+        zi = rowmajor_col("key_col", "key_row")
+    else:
+        raise ValueError(f"unknown index_strategy {index_strategy!r}")
     out = df.withColumn("zindex", zi)
     # sortWithinPartitions after range partitioning = global z-order;
     # row-group stats then prune on key ranges

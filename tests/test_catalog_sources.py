@@ -207,3 +207,42 @@ class TestVectorIngest:
         p.write_bytes(b"\0" * 128)
         with pytest.raises(Exception, match="not a shapefile"):
             shp.get(spark, str(p)).collect()
+
+
+class TestIndexStrategies:
+    @pytest.mark.parametrize("strategy", ["zorder", "hilbert", "rowmajor"])
+    def test_write_read_round_trip(self, spark, f1_layer, tmp_path, strategy):
+        from geopyspark_spark.sources import catalog
+
+        uri = str(tmp_path / strategy)
+        catalog.write(uri, "L", f1_layer, zoom=0, index_strategy=strategy)
+        back = catalog.read(spark, uri, "L", 0)
+        want = sorted(
+            (r["key_col"], r["key_row"], tuple(r["cells"])) for r in f1_layer.df.collect()
+        )
+        got = sorted(
+            (r["key_col"], r["key_row"], tuple(r["cells"])) for r in back.df.collect()
+        )
+        assert got == want
+
+    def test_hilbert_udf_matches_python_mirror(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from geopyspark_spark.core.zindex import hilbert_py, hilbert_udf
+
+        random.seed(5)
+        pts = [(random.randrange(1 << 16), random.randrange(1 << 16)) for _ in range(200)]
+        df = spark.createDataFrame(pts, "c int, r int")
+        got = [row["h"] for row in
+               df.select(hilbert_udf()(F.col("c"), F.col("r")).alias("h")).collect()]
+        want = [hilbert_py(c, r) for c, r in pts]
+        assert got == want
+
+    def test_unknown_strategy_raises(self, f1_layer, tmp_path):
+        from geopyspark_spark.sources import catalog
+
+        with pytest.raises(ValueError, match="index_strategy"):
+            catalog.write(str(tmp_path / "x"), "L", f1_layer, zoom=0,
+                          index_strategy="peano")
