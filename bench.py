@@ -31,6 +31,7 @@ HEADLINE = [
     # events / text / embeddings / multimodal pipelines
     "events_tumbling",
     "events_session",
+    "events_asof_join",
     "text_minhash",
     "text_lsh_pairs",
     "emb_knn",

@@ -320,21 +320,22 @@ def duplicate_components(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     und = fwd.unionByName(rev).persist()
 
-    labels = df.select("doc_id", F.col("doc_id").alias("component")).persist()
+    # singleton docs (no candidate pair) can never change label — keep the
+    # loop's working set to the CONNECTED nodes only and union the
+    # singletons back at the end. In a deduped corpus that shrinks each
+    # round's join by orders of magnitude.
+    connected = und.select(F.col("src").alias("doc_id")).distinct()
+    labels = connected.select("doc_id", F.col("doc_id").alias("component")).persist()
     labels.count()
     for _ in range(max_iterations):
-        # smallest label among each node's neighbors
-        nbr = (
-            und.join(labels, und.src == labels.doc_id)
-            .select(F.col("dst").alias("doc_id"), "component")
-            .groupBy("doc_id").agg(F.min("component").alias("nbr_min"))
+        # message-union min: each node takes min(self, neighbors) in ONE
+        # join + ONE aggregate (the aggregateMessages shape)
+        msgs = und.join(labels, und.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "component"
         )
         updated = (
-            labels.join(nbr, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias("component"),
-            )
+            labels.unionByName(msgs)
+            .groupBy("doc_id").agg(F.min("component").alias("component"))
             .persist()
         )
         changed = (
@@ -347,4 +348,8 @@ def duplicate_components(df: DataFrame, num_hashes: int = 16, bands: int = 4,
         if changed == 0:
             break
     und.unpersist()
-    return labels
+    singletons = (
+        df.select("doc_id").join(connected, "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("component"))
+    )
+    return labels.unionByName(singletons)
