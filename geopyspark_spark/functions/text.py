@@ -81,6 +81,32 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: high-frequency English stopwords for the quality ratio (public list
+#: prefix; marker semantics, not linguistics)
+STOPWORDS_EN = (
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+)
+
+
+def quality_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Punctuation / stopword quality signals (exact integer numerators +
+    denominators; the classic pretraining-filter features alongside
+    :func:`quality_metrics`). All pure Catalyst expressions."""
+    toks = tokens_col(text_col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    punct_stripped = F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9\s]", "")
+    return df.select(
+        "doc_id",
+        F.length(F.col(text_col)).alias("n_chars"),
+        (F.length(F.col(text_col)) - F.length(punct_stripped)).alias("n_punct_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))).alias(
+            "n_stopwords"
+        ),
+    )
+
+
 def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-language marker-word hit counts + argmax language guess.
 

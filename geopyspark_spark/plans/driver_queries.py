@@ -1676,6 +1676,23 @@ FROM t
 """
 
 
+def q_text_quality_ratios(spark, sf_dir):
+    return ftext.quality_ratios(_t(spark, sf_dir, "documents"))
+
+
+def _sql_quality_ratios() -> str:
+    sw = ", ".join(f"'{w}'" for w in ftext.STOPWORDS_EN)
+    return f"""
+WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS INT) AS n_punct_chars,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_filter(toks, x -> list_contains([{sw}], lower(x)))) AS INT) AS n_stopwords
+FROM t
+"""
+
+
 def q_text_lang_scores(spark, sf_dir):
     return ftext.lang_scores(_t(spark, sf_dir, "documents"))
 
@@ -2310,6 +2327,7 @@ def queries():
         "text_minhash_vocab": q_text_minhash_vocab,
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_dup_components": q_text_dup_components,
+        "text_quality_ratios": q_text_quality_ratios,
         "multimodal_audio": q_multimodal_audio,
         "tpch_q10_returned": q_tpch_q10_returned,
         "tpch_q4_priority": q_tpch_q4_priority,
@@ -2405,6 +2423,7 @@ def oracle_sql():
         "events_session": SQL_EVENTS_SESSION,
         "text_token_count": SQL_TEXT_TOKEN_COUNT,
         "text_bpe_tokens": _sql_bpe_tokens(),
+        "text_quality_ratios": _sql_quality_ratios(),
         "text_dup_components": _sql_dup_components(16, 4),
         "text_word_freq": SQL_TEXT_WORD_FREQ,
         "text_quality": SQL_TEXT_QUALITY,

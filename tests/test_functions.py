@@ -356,3 +356,15 @@ class TestLshBucketCap:
             for r in fdedup.lsh_candidate_pairs(df, 16, 4).collect()
         }
         assert (0, 1) in full and (10, 11) in full
+
+
+class TestQualityRatios:
+    def test_punct_and_stopword_counts(self, spark):
+        df = spark.createDataFrame(
+            [(0, "The cat, and THE dog!"), (1, "xyz qrs")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in ftext.quality_ratios(df).collect()}
+        assert got[0]["n_punct_chars"] == 2          # ',' and '!'
+        assert got[0]["n_stopwords"] == 3            # the, and, the (cased)
+        assert got[1]["n_punct_chars"] == 0 and got[1]["n_stopwords"] == 0
