@@ -2277,6 +2277,9 @@ def queries():
         "text_lsh_pairs": q_text_lsh_pairs,
         "text_simhash": q_text_simhash,
         "text_ngram_jaccard": q_text_ngram_jaccard,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "text_quality_ratios": q_text_quality_ratios,
+        "text_dup_components": q_text_dup_components,
         # embeddings (similarity search)
         "emb_knn": q_emb_knn,
         "emb_norm_stats": q_emb_norm_stats,
@@ -2286,6 +2289,7 @@ def queries():
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         # multimodal
         "multimodal_features": q_multimodal_features,
+        "multimodal_audio": q_multimodal_audio,
         # relational surface
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -2303,17 +2307,13 @@ def queries():
         "raster_local_algebra": q_raster_local_algebra,
         "raster_reclassify": q_raster_reclassify,
         "raster_layer_add": q_raster_layer_add,
-        "raster_normalize": q_raster_normalize,
         "raster_focal_sum": q_raster_focal_sum,
         "raster_focal_mean": q_raster_focal_mean,
         "raster_zonal_stats": q_raster_zonal_stats,
         "raster_mask": q_raster_mask,
-        "raster_cell_value_counts": q_raster_cell_value_counts,
         "raster_class_histogram": q_raster_class_histogram,
-        "raster_histogram": q_raster_histogram,
         "raster_quantile_breaks": q_raster_quantile_breaks,
         "raster_aggregate_by_cell": q_raster_aggregate_by_cell,
-        "raster_min_max": q_raster_min_max,
         "raster_tile_to_layout": q_raster_tile_to_layout,
         "raster_pyramid": q_raster_pyramid,
         "raster_spacetime_series": q_raster_spacetime_series,
@@ -2324,11 +2324,11 @@ def queries():
         "raster_mask_distributed": q_raster_mask_distributed,
         "raster_point_values": q_raster_point_values,
         # ---- entries below are past the driver's 50-entry window ----
+        "raster_normalize": q_raster_normalize,
+        "raster_cell_value_counts": q_raster_cell_value_counts,
+        "raster_histogram": q_raster_histogram,
+        "raster_min_max": q_raster_min_max,
         "text_minhash_vocab": q_text_minhash_vocab,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "text_dup_components": q_text_dup_components,
-        "text_quality_ratios": q_text_quality_ratios,
-        "multimodal_audio": q_multimodal_audio,
         "tpch_q10_returned": q_tpch_q10_returned,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q14_promo": q_tpch_q14_promo,
