@@ -1132,6 +1132,41 @@ SELECT pos, value FROM cells WHERE key_col = 1 AND key_row = 2
 """
 
 
+def q_raster_colormap(spark, sf_dir):
+    """ColorMap assignment under the gate: value -> RGBA int with
+    LESS_THAN_OR_EQUAL breaks, NoData and fallback colors (the color half
+    of to_png_rdd; PNG byte encoding itself is pytest-pinned)."""
+    from ..operators.render import ColorMap
+
+    layer = lineitem_layer(spark, sf_dir)
+    cm = ColorMap.from_colors(
+        [10.0, 25.0, 40.0],
+        [0xFF0000FF, 0x00FF00FF, 0x0000FFFF],  # red/green/blue, opaque
+        fallback_color=0x000000FF,
+    )
+    import numpy as np
+
+    # drive the SAME vectorized kernel the PNG path uses, via map_cells
+    def colorize(a, nodata):
+        return cm.apply(a, nodata).astype(np.float64)
+
+    colored = layer.map_cells(colorize)
+    return colored.explode().select(
+        "key_col", "key_row", "pos", F.col("value").cast("long").alias("rgba")
+    )
+
+
+SQL_RASTER_COLORMAP = CELLS_CTE + """
+SELECT key_col, key_row, pos,
+       CAST(CASE WHEN value = -1.0 THEN 0
+                 WHEN value <= 10.0 THEN 4278190335
+                 WHEN value <= 25.0 THEN 16711935
+                 WHEN value <= 40.0 THEN 65535
+                 ELSE 255 END AS BIGINT) AS rgba
+FROM coords
+"""
+
+
 def q_raster_map_cells(spark, sf_dir):
     """The Arrow UDF surface under the oracle gate: map_cells applying
     x -> x^2 + 1 (NoData preserved by the engine's kernel contract)."""
@@ -2328,6 +2363,7 @@ def queries():
         "raster_cell_value_counts": q_raster_cell_value_counts,
         "raster_histogram": q_raster_histogram,
         "raster_min_max": q_raster_min_max,
+        "raster_colormap": q_raster_colormap,
         "text_minhash_vocab": q_text_minhash_vocab,
         "tpch_q10_returned": q_tpch_q10_returned,
         "tpch_q4_priority": q_tpch_q4_priority,
@@ -2403,6 +2439,7 @@ def oracle_sql():
         "raster_convert_int8": SQL_RASTER_CONVERT_INT8,
         "raster_lookup": SQL_RASTER_LOOKUP,
         "raster_map_cells": SQL_RASTER_MAP_CELLS,
+        "raster_colormap": SQL_RASTER_COLORMAP,
         "raster_mask_distributed": SQL_RASTER_MASK_DISTRIBUTED,
         "raster_union": SQL_RASTER_UNION,
         "tpch_q1": SQL_TPCH_Q1,
