@@ -474,30 +474,7 @@ FROM parents
 def q_raster_spacetime_series(spark, sf_dir):
     """SPACETIME layer keyed by month of l_shipdate (1995 only); zonal mean
     per instant over the full extent — the reference's mean_series."""
-    li = _t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
-    )
-    li = li.select(
-        (F.col("l_orderkey") % LAYOUT_N).cast("int").alias("key_col"),
-        (F.col("l_suppkey") % LAYOUT_N).cast("int").alias("key_row"),
-        F.date_trunc("month", F.col("l_shipdate")).alias("instant"),
-        "l_orderkey",
-        "l_linenumber",
-        "l_partkey",
-        "l_suppkey",
-        "l_quantity",
-        "l_extendedprice",
-        F.col("l_quantity").cast("double").alias("value"),
-    )
-    w = Window.partitionBy("key_col", "key_row", "instant").orderBy(
-        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
-    )
-    cells = (
-        li.withColumn("pos", F.row_number().over(w) - 1)
-        .where(F.col("pos") < TILE * TILE)
-        .select("key_col", "key_row", "instant", F.lit(0).alias("band"), "pos", "value")
-    )
-    layer = TiledRasterLayer.assemble(cells, RASTER_MD)
+    layer = _spacetime_layer(spark, sf_dir)
     stat = _zonal.polygonal_stat_df(
         layer, [gps.box(0, 0, GRID, GRID)], "mean", by_instant=True
     )
@@ -522,6 +499,58 @@ WITH tcells AS (
 )
 SELECT CAST(instant AS DATE) AS month, CAST(0 AS INT) AS band, AVG(value) AS mean_q
 FROM tcells GROUP BY 1, 2
+"""
+
+
+def _spacetime_layer(spark, sf_dir) -> TiledRasterLayer:
+    """The SPACETIME fixture (monthly instants over 1995 lineitem)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    li = li.select(
+        (F.col("l_orderkey") % LAYOUT_N).cast("int").alias("key_col"),
+        (F.col("l_suppkey") % LAYOUT_N).cast("int").alias("key_row"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("instant"),
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice",
+        F.col("l_quantity").cast("double").alias("value"),
+    )
+    w = Window.partitionBy("key_col", "key_row", "instant").orderBy(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    cells = (
+        li.withColumn("pos", F.row_number().over(w) - 1)
+        .where(F.col("pos") < TILE * TILE)
+        .select("key_col", "key_row", "instant", F.lit(0).alias("band"), "pos", "value")
+    )
+    return TiledRasterLayer.assemble(cells, RASTER_MD)
+
+
+def q_raster_to_spatial(spark, sf_dir):
+    """to_spatial_layer(target_time): slice one instant out of a SPACETIME
+    layer and drop the time dimension."""
+    layer = _spacetime_layer(spark, sf_dir)
+    spatial = layer.to_spatial_layer(target_time="1995-03-01")
+    long = spatial.explode().where(~_is_nd(F.col("value"), layer.nodata))
+    return long.select("key_col", "key_row", "pos", "value")
+
+
+SQL_RASTER_TO_SPATIAL = f"""
+WITH tcells AS (
+  SELECT * FROM (
+    SELECT CAST(l_orderkey % {LAYOUT_N} AS INT) AS key_col,
+           CAST(l_suppkey % {LAYOUT_N} AS INT) AS key_row,
+           date_trunc('month', l_shipdate) AS instant,
+           row_number() OVER (PARTITION BY l_orderkey % {LAYOUT_N}, l_suppkey % {LAYOUT_N},
+                                           date_trunc('month', l_shipdate)
+                              ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) - 1 AS pos,
+           CAST(l_quantity AS DOUBLE) AS value
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  ) WHERE pos < {TILE * TILE}
+)
+SELECT key_col, key_row, CAST(pos AS INT) AS pos, value
+FROM tcells WHERE instant = TIMESTAMP '1995-03-01'
 """
 
 
@@ -2364,6 +2393,7 @@ def queries():
         "raster_histogram": q_raster_histogram,
         "raster_min_max": q_raster_min_max,
         "raster_colormap": q_raster_colormap,
+        "raster_to_spatial": q_raster_to_spatial,
         "text_minhash_vocab": q_text_minhash_vocab,
         "tpch_q10_returned": q_tpch_q10_returned,
         "tpch_q4_priority": q_tpch_q4_priority,
@@ -2440,6 +2470,7 @@ def oracle_sql():
         "raster_lookup": SQL_RASTER_LOOKUP,
         "raster_map_cells": SQL_RASTER_MAP_CELLS,
         "raster_colormap": SQL_RASTER_COLORMAP,
+        "raster_to_spatial": SQL_RASTER_TO_SPATIAL,
         "raster_mask_distributed": SQL_RASTER_MASK_DISTRIBUTED,
         "raster_union": SQL_RASTER_UNION,
         "tpch_q1": SQL_TPCH_Q1,
