@@ -213,8 +213,38 @@ def _plane_weight(j, i):
 
 
 def hyperplane_signature(df: DataFrame, num_planes: int = 8,
-                         vec_col: str = "embedding") -> DataFrame:
-    """Random-hyperplane LSH signature: bit j = sign(dot(plane_j, vec))."""
+                         vec_col: str = "embedding",
+                         method: str = "blas") -> DataFrame:
+    """Random-hyperplane LSH signature: bit j = sign(dot(plane_j, vec)).
+
+    ``method="blas"`` (default): one vectorized pandas UDF computes all
+    plane dots per Arrow batch as a single matmul — num_planes
+    interpreted folds per row collapse into one BLAS call. The plane
+    weights are the same exact rationals either way; a sign flip between
+    the two summation orders needs |dot| ~ 1e-13, measure-zero for real
+    embeddings. ``method="fold"`` keeps the Catalyst-fold reference.
+    """
+    if method == "blas":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _bucket(vs):
+            if len(vs) == 0:
+                return pd.Series([], dtype="int64")
+            V = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+            d = V.shape[1]
+            P = np.array([
+                [((j * 1000003 + i * 7919) % 97 - 48) / 48.0 for i in range(d)]
+                for j in range(num_planes)
+            ])
+            bits = (V @ P.T) > 0                       # (n, planes)
+            weights = (1 << np.arange(num_planes)).astype(np.int64)
+            return pd.Series(bits @ weights)
+
+        _bucket.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+        return df.withColumn("bucket", pandas_udf(_bucket, "long")(F.col(vec_col)))
+
     dim_idx = F.sequence(F.lit(0), F.size(vec_col) - 1)
     bits = []
     for j in range(num_planes):
