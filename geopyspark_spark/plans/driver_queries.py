@@ -1072,6 +1072,42 @@ def q_raster_resample(spark, sf_dir):
     return _explode_result(out)
 
 
+def q_raster_resample_cubic(spark, sf_dir):
+    """Kernel tile resample under the gate: 8x8 -> 16x16 cubic-convolution
+    upsample (separable weight-matrix matmuls). Rounded to 6 dp: the SQL
+    mirror sums tap products in one pass vs the engine's two matmuls."""
+    layer = lineitem_layer(spark, sf_dir)
+    out = layer.resample_to_power_of_two(4, 4, "CubicConvolution")
+    long = out.explode()
+    return long.select("key_col", "key_row", "pos",
+                       F.round(F.col("value"), 6).alias("value"))
+
+
+def _sql_resample_cubic(out_n: int = 16) -> str:
+    """Inject the engine's own row/col kernel weight matrices as VALUES
+    (deterministic numpy, same floats via repr) and re-derive the
+    separable resample as a relational tap sum."""
+    from ..operators.resample import _KERNELS, _kernel_weight_matrix
+
+    kernel, radius = _KERNELS["CubicConvolution"]
+    W = _kernel_weight_matrix(TILE, out_n, kernel, radius)  # (out_n, TILE)
+    taps = ", ".join(
+        f"({o}, {i}, {W[o, i]!r})"
+        for o in range(out_n) for i in range(TILE) if W[o, i] != 0.0
+    )
+    return CELLS_CTE + f"""
+, wr(orow, irow, w) AS (VALUES {taps}),
+wc(ocol, icol, w) AS (VALUES {taps})
+SELECT c.key_col, c.key_row,
+       CAST(wr.orow * {out_n} + wc.ocol AS INT) AS pos,
+       round(SUM(wr.w * wc.w * c.value), 6) AS value
+FROM coords c
+JOIN wr ON wr.irow = c.grow % {TILE}
+JOIN wc ON wc.icol = c.gcol % {TILE}
+GROUP BY c.key_col, c.key_row, wr.orow, wc.ocol
+"""
+
+
 # 4x4 output cell (oc, or) averages input block rows 2*or..2*or+1 x cols
 # 2*oc..2*oc+1; NoData (-1 fill) masked, all-NoData block -> -1
 SQL_RASTER_RESAMPLE = CELLS_CTE + f"""
@@ -2394,6 +2430,7 @@ def queries():
         "raster_min_max": q_raster_min_max,
         "raster_colormap": q_raster_colormap,
         "raster_to_spatial": q_raster_to_spatial,
+        "raster_resample_cubic": q_raster_resample_cubic,
         "text_minhash_vocab": q_text_minhash_vocab,
         "tpch_q10_returned": q_tpch_q10_returned,
         "tpch_q4_priority": q_tpch_q4_priority,
@@ -2471,6 +2508,7 @@ def oracle_sql():
         "raster_map_cells": SQL_RASTER_MAP_CELLS,
         "raster_colormap": SQL_RASTER_COLORMAP,
         "raster_to_spatial": SQL_RASTER_TO_SPATIAL,
+        "raster_resample_cubic": _sql_resample_cubic(16),
         "raster_mask_distributed": SQL_RASTER_MASK_DISTRIBUTED,
         "raster_union": SQL_RASTER_UNION,
         "tpch_q1": SQL_TPCH_Q1,
