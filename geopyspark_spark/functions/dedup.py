@@ -319,10 +319,16 @@ def duplicate_components(df: DataFrame, num_hashes: int = 16, bands: int = 4,
 
 
 def components_from_edges(df: DataFrame, edges: DataFrame,
-                          max_iterations: int = 20) -> DataFrame:
+                          max_iterations: int = 20,
+                          id_col: str = "doc_id") -> DataFrame:
     """Connected components over an arbitrary (doc_a, doc_b) edge list —
     the label-propagation core of :func:`duplicate_components`, reusable
-    for verified-edge graphs (see :func:`dedup_documents`)."""
+    for verified-edge graphs (see :func:`dedup_documents`) and for
+    embedding ids (see :func:`similarity.dedup_by_embedding`)."""
+    if id_col != "doc_id":
+        df = df.select(F.col(id_col).alias("doc_id"))
+        out = components_from_edges(df, edges, max_iterations)
+        return out.select(F.col("doc_id").alias(id_col), "component")
     # undirected: propagate labels both ways
     fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))

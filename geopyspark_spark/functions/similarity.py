@@ -586,3 +586,30 @@ def ivf_read_knn(spark, path: str, query_ids: list[int], k: int = 5,
         F.col(vec_col).alias("nvec"), "qvec",
     )
     return _winnow_then_fold_rank(cand, k)
+
+
+def dedup_by_embedding(df: DataFrame, threshold: float = 0.45,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       blocking: str | None = "lsh", num_planes: int = 8,
+                       max_iterations: int = 20) -> DataFrame:
+    """Embedding-cosine near-duplicate REMOVAL: near-dup pairs (>=
+    threshold, LSH-blocked by default — the 100 TB path) -> connected
+    components -> keep the smallest id per cluster.
+
+    Returns (id, component, keep) for every vector — the embedding-space
+    sibling of ``dedup.dedup_documents`` for semantic dedup of training
+    corpora.
+    """
+    from .dedup import components_from_edges
+
+    pairs = cosine_near_dup(df, threshold, id_col, vec_col,
+                            blocking=blocking, num_planes=num_planes)
+    comp = components_from_edges(
+        df,
+        pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")),
+        max_iterations, id_col=id_col,
+    )
+    return comp.select(
+        id_col, "component",
+        (F.col(id_col) == F.col("component")).alias("keep"),
+    )

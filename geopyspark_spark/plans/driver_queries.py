@@ -2327,6 +2327,41 @@ SELECT doc_id, ch + 3 AS feat_idx, round(s, 6) AS value FROM stats
 """
 
 
+def q_emb_dedup_pipeline(spark, sf_dir):
+    """Semantic dedup end-to-end: LSH-blocked cosine near-dup pairs ->
+    connected components -> keep the smallest vec_id per cluster."""
+    return fsim.dedup_by_embedding(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45,
+        blocking="lsh", num_planes=6,
+    )
+
+
+def _sql_emb_dedup_pipeline(num_planes: int = 6, threshold: float = 0.45) -> str:
+    bucket = _sql_bucket_expr(num_planes)
+    return f"""
+WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {threshold}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM p
+),
+reach(vec_id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.vec_id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+)
+SELECT vec_id, MIN(r) AS component, vec_id = MIN(r) AS keep
+FROM reach GROUP BY vec_id
+"""
+
+
 def q_multimodal_audio(spark, sf_dir):
     """Audio-leg multimodal plumbing under the oracle gate: document bytes
     as fake PCM -> per-clip sample count / RMS / zero-crossings."""
@@ -2440,6 +2475,7 @@ def queries():
         "emb_ivf_knn": q_emb_ivf_knn,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        "emb_dedup_pipeline": q_emb_dedup_pipeline,
         # multimodal
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
@@ -2474,8 +2510,8 @@ def queries():
         "raster_rasterize": q_raster_rasterize,
         "raster_cost_distance": q_raster_cost_distance,
         "raster_reproject": q_raster_reproject,
-        "raster_point_values": q_raster_point_values,
         # ---- entries below are past the driver's 50-entry window ----
+        "raster_point_values": q_raster_point_values,
         "raster_mask_distributed": q_raster_mask_distributed,
         "raster_normalize": q_raster_normalize,
         "raster_cell_value_counts": q_raster_cell_value_counts,
@@ -2600,6 +2636,7 @@ def oracle_sql():
         "emb_near_dup": SQL_EMB_NEAR_DUP,
         "emb_lsh_knn": _sql_lsh_knn(num_planes=6, k=5),
         "emb_near_dup_lsh": _sql_near_dup_lsh(6, 0.45),
+        "emb_dedup_pipeline": _sql_emb_dedup_pipeline(6, 0.45),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     }

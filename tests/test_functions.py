@@ -386,3 +386,18 @@ class TestDedupPipeline:
         assert got[2] == (0, False)   # jaccard 7/8 >= 0.5 via LSH candidate
         assert got[3] == (3, True)
         assert got[4][1] is True      # low overlap -> fails verification
+
+
+class TestEmbDedup:
+    def test_semantic_dedup_keep_flags(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [1.0, 0.001, 0.0, 0.0], 0),   # near-identical to 0
+            (2, [0.0, 1.0, 0.0, 0.0], 0),     # orthogonal
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        got = {r["vec_id"]: (r["component"], r["keep"])
+               for r in fsim.dedup_by_embedding(df, threshold=0.9, num_planes=4).collect()}
+        assert got[0] == (0, True)
+        assert got[1] == (0, False)
+        assert got[2] == (2, True)
