@@ -1605,6 +1605,93 @@ FROM c JOIN s ON c.user_id = s.user_id AND c.ts >= s.s_start AND c.ts < s.s_end
 """
 
 
+def q_events_anomaly(spark, sf_dir):
+    """Per-user anomaly flags: events whose value deviates from the user's
+    mean by more than 2 population-stddevs — one window pass (the
+    streaming-monitoring z-score shape). Integer outputs only."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    flagged = (
+        ev.withColumn("mu", F.avg("value").over(w))
+        .withColumn("sigma", F.stddev_pop("value").over(w))
+        .where(F.col("sigma") > 0)
+        .where(F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sigma"))
+    )
+    return flagged.groupBy("user_id").agg(F.count("*").alias("n_anomalies"))
+
+
+SQL_EVENTS_ANOMALY = """
+WITH s AS (
+  SELECT user_id, value,
+         AVG(value) OVER (PARTITION BY user_id) AS mu,
+         stddev_pop(value) OVER (PARTITION BY user_id) AS sigma
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_anomalies
+FROM s WHERE sigma > 0 AND abs(value - mu) > 2 * sigma
+GROUP BY user_id
+"""
+
+
+def q_events_funnel(spark, sf_dir):
+    """Conversion funnel: users who signed up, then viewed after signing
+    up, then purchased after viewing — ordered-sequence matching via
+    per-user min-timestamps (one aggregate, no self-joins)."""
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.count(F.when(F.col("event_type") == "signup", 1)).alias("n_signup"),
+    )
+    # earliest view AFTER signup, earliest purchase AFTER that view
+    v = ev.where(F.col("event_type") == "view").select("user_id", F.col("ts").alias("t_view"))
+    p = ev.where(F.col("event_type") == "purchase").select("user_id", F.col("ts").alias("t_buy"))
+    step2 = (
+        agg.where(F.col("n_signup") > 0)
+        .join(v, "user_id")
+        .where(F.col("t_view") > F.col("t_signup"))
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("t_view").alias("t_view"))
+    )
+    step3 = (
+        step2.join(p, "user_id")
+        .where(F.col("t_buy") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t_buy").alias("t_buy"))
+    )
+    n1 = agg.where(F.col("n_signup") > 0).count()
+    n2 = step2.select("user_id").distinct().count()
+    n3 = step3.count()
+    return spark.createDataFrame(
+        [("signup", n1), ("view_after_signup", n2), ("purchase_after_view", n3)],
+        "step string, n_users long",
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH su AS (
+  SELECT user_id, MIN(ts) AS t_signup FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+v2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_view
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'view' AND e.ts > su.t_signup
+  GROUP BY e.user_id
+),
+p3 AS (
+  SELECT e.user_id
+  FROM events e JOIN v2 ON e.user_id = v2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v2.t_view
+  GROUP BY e.user_id
+)
+SELECT 'signup' AS step, (SELECT COUNT(*) FROM su) AS n_users
+UNION ALL
+SELECT 'view_after_signup', (SELECT COUNT(*) FROM v2)
+UNION ALL
+SELECT 'purchase_after_view', (SELECT COUNT(*) FROM p3)
+"""
+
+
 def q_window_rank(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -2527,6 +2614,8 @@ def queries():
         "events_enriched_segment": q_events_enriched_segment,
         "events_asof_join": q_events_asof_join,
         "events_interval_join": q_events_interval_join,
+        "events_anomaly": q_events_anomaly,
+        "events_funnel": q_events_funnel,
         "raster_resample": q_raster_resample,
         "raster_tile_to_layout_warp": q_raster_tile_to_layout_warp,
         "raster_bands": q_raster_bands,
@@ -2610,6 +2699,8 @@ def oracle_sql():
         "events_enriched_segment": SQL_EVENTS_ENRICHED_SEGMENT,
         "events_asof_join": SQL_EVENTS_ASOF_JOIN,
         "events_interval_join": SQL_EVENTS_INTERVAL_JOIN,
+        "events_anomaly": SQL_EVENTS_ANOMALY,
+        "events_funnel": SQL_EVENTS_FUNNEL,
         "window_rank": SQL_WINDOW_RANK,
         "set_intersect": SQL_SET_INTERSECT,
         "events_tumbling": SQL_EVENTS_TUMBLING,
