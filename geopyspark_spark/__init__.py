@@ -27,7 +27,7 @@ from .core.geom import (LineString, MultiLineString, MultiPoint, MultiPolygon,
                         Point, Polygon, box, from_wkb, from_wkt, to_wkb, to_wkt)
 from .core.keys import KeyTransform
 from .core.metadata import LayerMetadata
-from .layer import Pyramid, TiledRasterLayer, combine_bands, union
+from .layer import Pyramid, TiledRasterLayer, combine_bands, local_add, union
 from .sources.numpy_source import from_numpy, to_numpy
 
 __version__ = "0.1.0"
@@ -43,6 +43,7 @@ __all__ = [
     "LineString",
     "MultiLineString",
     "MultiPoint",
+    "local_add",
     "MultiPolygon",
     "Point",
     "Polygon",

@@ -545,6 +545,16 @@ def union(layers: list[TiledRasterLayer]) -> TiledRasterLayer:
     return TiledRasterLayer(df, md)
 
 
+def local_add(layers: list[TiledRasterLayer]) -> TiledRasterLayer:
+    """n-ary cellwise sum (``TiledRasterLayer.scala:232-240``): union +
+    groupBy key + elementwise array sum — ONE shuffle with map-side
+    partials, instead of chaining n-1 binary joins."""
+    assert layers, "need at least one layer"
+    md = layers[0].metadata
+    df = _local.local_add_many([l.df for l in layers], layers[0].nodata)
+    return TiledRasterLayer(df, md)
+
+
 def combine_bands(layers: list[TiledRasterLayer]) -> TiledRasterLayer:
     """Concatenate band stacks across layers in list order
     (``combine_bands.py:10-69`` / ``TileLayer.scala:322-357``).

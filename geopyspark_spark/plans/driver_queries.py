@@ -1165,6 +1165,72 @@ FROM islands GROUP BY user_id, session_id
 """
 
 
+def q_raster_local_add_n(spark, sf_dir):
+    """n-ary localAdd (one shuffle, not n-1 joins): L + 2L + 3L = 6L."""
+    layer = lineitem_layer(spark, sf_dir)
+    out = gps.local_add([layer, layer * 2, layer * 3])
+    long = out.explode().where(~_is_nd(F.col("value"), layer.nodata))
+    return long.select("key_col", "key_row", "pos", "value")
+
+
+SQL_RASTER_LOCAL_ADD_N = CELLS_CTE + """
+SELECT key_col, key_row, pos, value * 6.0 AS value FROM coords
+"""
+
+
+def q_raster_zindex(spark, sf_dir):
+    """The Z2 Morton index itself under the gate: the codegen bit-spread
+    (core/zindex.py) vs the same shifts/masks written in DuckDB SQL."""
+    from ..core.zindex import z2_col
+
+    cells = lineitem_cells(spark, sf_dir)
+    return cells.select("key_col", "key_row").distinct().select(
+        "key_col", "key_row", z2_col("key_col", "key_row")
+    )
+
+
+def _sql_spread1(col: str) -> str:
+    n = f"CAST({col} AS BIGINT) & 65535"
+    n = f"(({n}) | (({n}) << 8)) & 16711935"
+    n = f"(({n}) | (({n}) << 4)) & 252645135"
+    n = f"(({n}) | (({n}) << 2)) & 858993459"
+    n = f"(({n}) | (({n}) << 1)) & 1431655765"
+    return n
+
+
+SQL_RASTER_ZINDEX = CELLS_CTE + f"""
+SELECT DISTINCT key_col, key_row,
+       ({_sql_spread1('key_col')}) | (({_sql_spread1('key_row')}) << 1) AS zindex
+FROM cells
+"""
+
+
+def q_raster_catalog_roundtrip(spark, sf_dir):
+    """Catalog write -> read under the gate: the z-sorted parquet layer
+    round-trips bit-exactly (scratch dir inside the repo, cleaned up)."""
+    import shutil
+    import tempfile
+
+    from ..sources import catalog as cat
+
+    layer = lineitem_layer(spark, sf_dir)
+    uri = tempfile.mkdtemp(prefix="catalog_rt_", dir="/root/repo/.scratch")
+    try:
+        cat.write(uri, "rt", layer, zoom=0)
+        back = cat.read(spark, uri, "rt", 0)
+        long = back.explode().where(~_is_nd(F.col("value"), layer.nodata))
+        # materialize before the scratch dir disappears
+        rows = long.select("key_col", "key_row", "pos", "value").collect()
+    finally:
+        shutil.rmtree(uri, ignore_errors=True)
+    return spark.createDataFrame(rows, "key_col int, key_row int, pos int, value double")
+
+
+SQL_RASTER_CATALOG_ROUNDTRIP = CELLS_CTE + """
+SELECT key_col, key_row, pos, value FROM coords
+"""
+
+
 def q_raster_convert_int8(spark, sf_dir):
     """convert_data_type with clamping under the gate: value*3 reaches 150,
     so int8 conversion clamps at 127; the old -1.0 sentinel rewrites to
@@ -2633,6 +2699,9 @@ def queries():
         "raster_aspect": q_raster_aspect,
         "raster_hillshade": q_raster_hillshade,
         "raster_tobler": q_raster_tobler,
+        "raster_local_add_n": q_raster_local_add_n,
+        "raster_zindex": q_raster_zindex,
+        "raster_catalog_roundtrip": q_raster_catalog_roundtrip,
         "raster_convert_int8": q_raster_convert_int8,
         "raster_lookup": q_raster_lookup,
         "raster_map_cells": q_raster_map_cells,
@@ -2681,6 +2750,9 @@ def oracle_sql():
         "raster_hillshade": SQL_RASTER_HILLSHADE,
         "raster_tobler": SQL_RASTER_TOBLER,
         "raster_resample": SQL_RASTER_RESAMPLE,
+        "raster_local_add_n": SQL_RASTER_LOCAL_ADD_N,
+        "raster_zindex": SQL_RASTER_ZINDEX,
+        "raster_catalog_roundtrip": SQL_RASTER_CATALOG_ROUNDTRIP,
         "raster_convert_int8": SQL_RASTER_CONVERT_INT8,
         "raster_lookup": SQL_RASTER_LOOKUP,
         "raster_map_cells": SQL_RASTER_MAP_CELLS,

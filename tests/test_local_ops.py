@@ -163,3 +163,20 @@ def test_convert_clamps_to_target_range(spark):
     assert cells[0] == 127.0 and cells[1] == -128.0 and cells[2] == 12.0
     # old sentinel (-1.0) rewritten to int8's default sentinel (-128)
     assert cells[3] == -128.0
+
+
+def test_local_add_nary(spark):
+    import numpy as np
+
+    import geopyspark_spark as gps
+
+    md = gps.LayerMetadata(
+        crs="epsg:4326", cell_type="float64ud-1.0",
+        layout=gps.LayoutDefinition(gps.Extent(0, 0, 2, 2), gps.TileLayout(1, 1, 2, 2)),
+        bounds=((0, 0), (0, 0)), extent=gps.Extent(0, 0, 2, 2), num_bands=1,
+    )
+    a = np.array([[1.0, 2.0], [3.0, -1.0]])  # -1 = nodata
+    layer = gps.from_numpy(spark, [(0, 0, 0, a)], md)
+    out = gps.local_add([layer, layer * 2, layer * 3])
+    cells = np.asarray(out.df.first()["cells"])
+    assert list(cells) == [6.0, 12.0, 18.0, -1.0]  # nodata propagates
