@@ -1205,6 +1205,51 @@ FROM cells
 """
 
 
+def q_raster_zindex_temporal(spark, sf_dir):
+    """Z3 Morton index (col, row, day bucket) — the spacetime catalog sort
+    key — vs the same 21-bit spreads in SQL."""
+    from ..core.zindex import z3_col
+
+    layer = _spacetime_layer(spark, sf_dir)
+    keys = layer.df.select("key_col", "key_row", "instant").distinct()
+    day = (F.unix_millis(F.col("instant")) / 86_400_000).cast("long")
+    return keys.select(
+        "key_col", "key_row",
+        F.col("instant").cast("date").alias("day"),
+        z3_col("key_col", "key_row", day),
+    )
+
+
+def _sql_spread2(col: str) -> str:
+    n = f"CAST({col} AS BIGINT) & 2097151"
+    masks = [
+        (32, 0x1F00000000FFFF), (16, 0x1F0000FF0000FF),
+        (8, 0x100F00F00F00F00F), (4, 0x10C30C30C30C30C3),
+        (2, 0x1249249249249249),
+    ]
+    for shift, mask in masks:
+        n = f"(({n}) | (({n}) << {shift})) & {mask}"
+    return n
+
+
+def _sql_zindex_temporal() -> str:
+    day_expr = "CAST(floor(epoch_ms(instant) / 86400000) AS BIGINT)"
+    return f"""
+WITH tk AS (
+  SELECT DISTINCT CAST(l_orderkey % {LAYOUT_N} AS INT) AS key_col,
+                  CAST(l_suppkey % {LAYOUT_N} AS INT) AS key_row,
+                  date_trunc('month', l_shipdate) AS instant
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+)
+SELECT key_col, key_row, CAST(instant AS DATE) AS day,
+       ({_sql_spread2('key_col')}) |
+       (({_sql_spread2('key_row')}) << 1) |
+       (({_sql_spread2(day_expr)}) << 2) AS zindex
+FROM tk
+"""
+
+
 def q_raster_catalog_roundtrip(spark, sf_dir):
     """Catalog write -> read under the gate: the z-sorted parquet layer
     round-trips bit-exactly (scratch dir inside the repo, cleaned up)."""
@@ -2701,6 +2746,7 @@ def queries():
         "raster_tobler": q_raster_tobler,
         "raster_local_add_n": q_raster_local_add_n,
         "raster_zindex": q_raster_zindex,
+        "raster_zindex_temporal": q_raster_zindex_temporal,
         "raster_catalog_roundtrip": q_raster_catalog_roundtrip,
         "raster_convert_int8": q_raster_convert_int8,
         "raster_lookup": q_raster_lookup,
@@ -2752,6 +2798,7 @@ def oracle_sql():
         "raster_resample": SQL_RASTER_RESAMPLE,
         "raster_local_add_n": SQL_RASTER_LOCAL_ADD_N,
         "raster_zindex": SQL_RASTER_ZINDEX,
+        "raster_zindex_temporal": _sql_zindex_temporal(),
         "raster_catalog_roundtrip": SQL_RASTER_CATALOG_ROUNDTRIP,
         "raster_convert_int8": SQL_RASTER_CONVERT_INT8,
         "raster_lookup": SQL_RASTER_LOOKUP,
