@@ -514,6 +514,25 @@ class TiledRasterLayer:
 
         return zonal.series(self, _normalize_geoms(geometry), "max")
 
+    def histogram_series(self, geometry):
+        """Per-instant zonal histogram (reference ``histogram_series``,
+        ``layer.py:2024-2027``): [(instant, Histogram)] sorted by time.
+        One distributed groupBy(instant, value) under the mask; only the
+        bucket summaries reach the driver."""
+        from .histogram import Histogram
+        from .operators import zonal
+
+        rows = zonal.value_counts_by_instant(
+            self, _normalize_geoms(geometry)
+        ).collect()
+        by_instant: dict = {}
+        for r in rows:
+            by_instant.setdefault(r["instant"], []).append((r["value"], r["count"]))
+        return [
+            (instant, Histogram(buckets))
+            for instant, buckets in sorted(by_instant.items())
+        ]
+
 
 class Pyramid:
     """Zoom-level stack (``layer.py:2585-2630``): {zoom: TiledRasterLayer}."""

@@ -179,6 +179,18 @@ def series(layer: "TiledRasterLayer", geoms: list[Geometry], op: str) -> list[tu
     return [(row["instant"], row[op]) for row in rows]
 
 
+def value_counts_by_instant(layer: "TiledRasterLayer",
+                            geoms: list[Geometry]) -> DataFrame:
+    """(instant, value, count) of valid masked cells — the distributed
+    core of ``histogram_series`` (one masked groupBy, map-side combined)."""
+    assert layer.is_temporal, "histogram_series requires a SPACETIME layer"
+    masked = mask(layer, geoms)
+    nd = layer.metadata.nodata
+    long = masked.explode()
+    valid = long.where(~_is_nd(F.col("value"), nd))
+    return valid.groupBy("instant", "value").agg(F.count("*").alias("count"))
+
+
 def cell_value_counts(layer: "TiledRasterLayer", aoi: list[Geometry] | None, band: int = 0) -> dict:
     df = cell_value_counts_df(layer, aoi, band)
     return {row["value"]: row["count"] for row in df.collect()}

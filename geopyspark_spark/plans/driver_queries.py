@@ -554,6 +554,34 @@ FROM tcells WHERE instant = TIMESTAMP '1995-03-01'
 """
 
 
+def q_raster_histogram_series(spark, sf_dir):
+    """Per-instant zonal value counts (the distributed core of
+    histogram_series) over the full extent."""
+    layer = _spacetime_layer(spark, sf_dir)
+    return _zonal.value_counts_by_instant(
+        layer, [gps.box(0, 0, GRID, GRID)]
+    ).select(F.col("instant").cast("date").alias("month"), "value", "count")
+
+
+SQL_RASTER_HISTOGRAM_SERIES = f"""
+WITH tcells AS (
+  SELECT * FROM (
+    SELECT CAST(l_orderkey % {LAYOUT_N} AS INT) AS key_col,
+           CAST(l_suppkey % {LAYOUT_N} AS INT) AS key_row,
+           date_trunc('month', l_shipdate) AS instant,
+           row_number() OVER (PARTITION BY l_orderkey % {LAYOUT_N}, l_suppkey % {LAYOUT_N},
+                                           date_trunc('month', l_shipdate)
+                              ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) - 1 AS pos,
+           CAST(l_quantity AS DOUBLE) AS value
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  ) WHERE pos < {TILE * TILE}
+)
+SELECT CAST(instant AS DATE) AS month, value, COUNT(*) AS count
+FROM tcells GROUP BY 1, 2
+"""
+
+
 def q_raster_slope(spark, sf_dir):
     """Slope (Horn's method). Output rounded to 6 decimals: atan/hypot are
     libm calls that may differ in the last ulp across engines; rounding
@@ -2717,6 +2745,7 @@ def queries():
         "raster_min_max": q_raster_min_max,
         "raster_colormap": q_raster_colormap,
         "raster_to_spatial": q_raster_to_spatial,
+        "raster_histogram_series": q_raster_histogram_series,
         "raster_resample_cubic": q_raster_resample_cubic,
         "text_minhash_vocab": q_text_minhash_vocab,
         "tpch_q10_returned": q_tpch_q10_returned,
@@ -2805,6 +2834,7 @@ def oracle_sql():
         "raster_map_cells": SQL_RASTER_MAP_CELLS,
         "raster_colormap": SQL_RASTER_COLORMAP,
         "raster_to_spatial": SQL_RASTER_TO_SPATIAL,
+        "raster_histogram_series": SQL_RASTER_HISTOGRAM_SERIES,
         "raster_resample_cubic": _sql_resample_cubic(16),
         "raster_mask_distributed": SQL_RASTER_MASK_DISTRIBUTED,
         "raster_union": SQL_RASTER_UNION,

@@ -175,3 +175,33 @@ class TestPointKernelModes:
         for method in ("Average", "Mode", "Median", "Max", "Min"):
             (_, vals), = layer.get_point_values([gps.Point(1.5, 1.5)], resample_method=method)
             assert vals == [2.0], method
+
+
+class TestHistogramSeries:
+    def test_per_instant_histograms(self, spark):
+        from datetime import datetime
+
+        import numpy as np
+
+        import geopyspark_spark as gps
+
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64ud-1.0",
+            layout=gps.LayoutDefinition(gps.Extent(0, 0, 2, 2), gps.TileLayout(1, 1, 2, 2)),
+            bounds=((0, 0), (0, 0)), extent=gps.Extent(0, 0, 2, 2), num_bands=1,
+        )
+        t1, t2 = datetime(2024, 1, 1), datetime(2024, 2, 1)
+        rows = [
+            (0, 0, t1, 0, [2.0, 2.0, 3.0, -1.0]),
+            (0, 0, t2, 0, [5.0, 5.0, 5.0, 5.0]),
+        ]
+        df = spark.createDataFrame(
+            rows, "key_col int, key_row int, instant timestamp, band int, cells array<double>"
+        )
+        layer = gps.TiledRasterLayer(df, md)
+        series = layer.histogram_series(gps.box(0, 0, 2, 2))
+        assert [t for t, _ in series] == [t1, t2]
+        h1, h2 = series[0][1], series[1][1]
+        assert h1.item_count(2.0) == 2 and h1.item_count(3.0) == 1
+        assert h1.total_count() == 3          # nodata excluded
+        assert h2.mode() == 5.0 and h2.total_count() == 4
