@@ -33,19 +33,51 @@ DEFAULT_RAMP = [
 
 @dataclass
 class ColorMap:
-    """Break-map coloring: value -> RGBA int, with classification strategy
-    LESS_THAN_OR_EQUAL (reference default), NoData and fallback colors."""
+    """Break-map coloring: value -> RGBA int, with a classification
+    strategy (reference ``color.py:92-200``: LESS_THAN_OR_EQUAL default,
+    GREATER_THAN[_OR_EQUAL]/LESS_THAN/EXACT supported), NoData and
+    fallback colors."""
 
     breaks: list[float]
     colors: list[int]                      # 0xRRGGBBAA per break
     no_data_color: int = 0x00000000
     fallback_color: int = 0x00000000
+    classification_strategy: str = "LESS_THAN_OR_EQUAL"
 
     @staticmethod
     def from_colors(breaks: list[float], colors: list[int], **kw) -> "ColorMap":
         assert len(breaks) == len(colors), "one color per break"
         order = np.argsort(breaks)
         return ColorMap([breaks[i] for i in order], [colors[i] for i in order], **kw)
+
+    @staticmethod
+    def from_break_map(break_map: dict, **kw) -> "ColorMap":
+        """dict of tile value -> color int (reference ``from_break_map``)."""
+        return ColorMap.from_colors(
+            [float(k) for k in break_map], list(break_map.values()), **kw
+        )
+
+    @staticmethod
+    def build(breaks, colors=None, **kw) -> "ColorMap":
+        """Reference ``ColorMap.build`` dispatcher: dict -> break map;
+        list/ndarray of breaks + colors -> from_colors; a Histogram +
+        color ramp -> quantile-ish assignment over its values."""
+        if isinstance(breaks, dict):
+            return ColorMap.from_break_map(breaks, **kw)
+        from ..histogram import Histogram
+
+        if isinstance(breaks, Histogram):
+            values = breaks.values()
+            ramp = colors or DEFAULT_RAMP
+            n = len(values)
+            cs = [ramp[int(i * (len(ramp) - 1) / max(n - 1, 1))] for i in range(n)]
+            return ColorMap.from_colors([float(v) for v in values], cs, **kw)
+        blist = [float(b) for b in breaks]
+        if colors is None:
+            ramp = DEFAULT_RAMP
+            colors = [ramp[int(i * (len(ramp) - 1) / max(len(blist) - 1, 1))]
+                      for i in range(len(blist))]
+        return ColorMap.from_colors(blist, list(colors), **kw)
 
     @staticmethod
     def from_histogram(layer: "TiledRasterLayer", num_colors: int | None = None,
@@ -68,10 +100,28 @@ class ColorMap:
         return ColorMap.from_colors(list(classes), list(classes.values()))
 
     def apply(self, cells: np.ndarray, nodata: float | None) -> np.ndarray:
-        """Vectorized value -> RGBA uint32 (LESS_THAN_OR_EQUAL breaks)."""
+        """Vectorized value -> RGBA uint32 per the classification strategy."""
         out = np.full(cells.shape, self.fallback_color, dtype=np.uint32)
-        for b, c in zip(reversed(self.breaks), reversed(self.colors)):
-            out = np.where(cells <= b, np.uint32(c), out)
+        s = self.classification_strategy.upper().replace("TO", "").rstrip("_")
+        if s in ("LESS_THAN_OR_EQUAL", "LESS_THAN_OR_EQUAL_"):
+            for b, c in zip(reversed(self.breaks), reversed(self.colors)):
+                out = np.where(cells <= b, np.uint32(c), out)
+        elif s == "LESS_THAN":
+            for b, c in zip(reversed(self.breaks), reversed(self.colors)):
+                out = np.where(cells < b, np.uint32(c), out)
+        elif s == "GREATER_THAN_OR_EQUAL":
+            for b, c in zip(self.breaks, self.colors):
+                out = np.where(cells >= b, np.uint32(c), out)
+        elif s == "GREATER_THAN":
+            for b, c in zip(self.breaks, self.colors):
+                out = np.where(cells > b, np.uint32(c), out)
+        elif s == "EXACT":
+            for b, c in zip(self.breaks, self.colors):
+                out = np.where(cells == b, np.uint32(c), out)
+        else:
+            raise ValueError(
+                f"unknown classification strategy {self.classification_strategy!r}"
+            )
         if nodata is not None:
             if isinstance(nodata, float) and np.isnan(nodata):
                 nd_mask = np.isnan(cells)
@@ -151,3 +201,31 @@ def to_png(layer: "TiledRasterLayer", color_map: ColorMap):
         + ["png binary"]
     )
     return src.mapInPandas(render, schema=schema)
+
+
+def get_colors_from_matplotlib(ramp_name: str, num_colors: int = 256) -> list[int]:
+    """Color ints from a named matplotlib ramp (reference
+    ``color.py:30-60``) — import-gated; matplotlib is not in this
+    container."""
+    try:
+        import matplotlib.cm as cm
+    except ImportError as e:
+        raise NotImplementedError(
+            "get_colors_from_matplotlib requires matplotlib (not installed "
+            "here); pass explicit color ints or use DEFAULT_RAMP"
+        ) from e
+    ramp = cm.get_cmap(ramp_name, num_colors)
+    out = []
+    for i in range(num_colors):
+        r, g, b, a = ramp(i / max(num_colors - 1, 1))
+        out.append(
+            (int(r * 255) << 24) | (int(g * 255) << 16)
+            | (int(b * 255) << 8) | int(a * 255)
+        )
+    return out
+
+
+def get_colors_from_colors(colors) -> list[int]:
+    """Color ints from colortools.Color-like objects (reference
+    ``color.py:17-27``): anything exposing ``.rgba``."""
+    return [int(c.rgba) for c in colors]

@@ -80,3 +80,48 @@ class TestPng:
         assert img.shape == (5, 5, 4)
         assert img[0, 0].tolist() == [255, 0, 0, 255]  # value 0 -> red
         assert img[1, 1].tolist() == [0, 255, 0, 255]  # value 1 -> green
+
+
+class TestColorMapParity:
+    def test_from_break_map_and_build(self):
+        from geopyspark_spark.operators.render import ColorMap
+
+        cm1 = ColorMap.from_break_map({2.0: 10, 1.0: 20})
+        assert cm1.breaks == [1.0, 2.0] and cm1.colors == [20, 10]
+        cm2 = ColorMap.build({1.0: 20, 2.0: 10})
+        assert cm2.breaks == cm1.breaks
+        cm3 = ColorMap.build([1.0, 2.0], [20, 10])
+        assert cm3.colors == [20, 10]
+        from geopyspark_spark.histogram import Histogram
+
+        cm4 = ColorMap.build(Histogram([(1.0, 3), (5.0, 2)]))
+        assert cm4.breaks == [1.0, 5.0]
+
+    def test_classification_strategies(self):
+        import numpy as np
+
+        from geopyspark_spark.operators.render import ColorMap
+
+        cells = np.array([0.5, 1.0, 1.5, 2.0, 2.5])
+        le = ColorMap([1.0, 2.0], [1, 2], fallback_color=9)
+        assert le.apply(cells, None).tolist() == [1, 1, 2, 2, 9]
+        gt = ColorMap([1.0, 2.0], [1, 2], fallback_color=9,
+                      classification_strategy="GREATER_THAN")
+        assert gt.apply(cells, None).tolist() == [9, 9, 1, 1, 2]
+        ex = ColorMap([1.0, 2.0], [1, 2], fallback_color=9,
+                      classification_strategy="EXACT")
+        assert ex.apply(cells, None).tolist() == [9, 1, 9, 2, 9]
+
+    def test_matplotlib_gate(self):
+        import pytest
+
+        from geopyspark_spark.operators.render import get_colors_from_matplotlib
+
+        try:
+            import matplotlib  # noqa: F401
+
+            pytest.skip("matplotlib present; gate not exercised")
+        except ImportError:
+            pass
+        with pytest.raises(NotImplementedError, match="matplotlib"):
+            get_colors_from_matplotlib("viridis")
