@@ -35,6 +35,21 @@ class Extent:
     def height(self) -> float:
         return self.ymax - self.ymin
 
+    @classmethod
+    def from_polygon(cls, polygon) -> "Extent":
+        """Envelope of any geometry with ``bounds`` (reference
+        ``Extent.from_polygon``; works with this package's geometry types
+        or anything shapely-like)."""
+        xmin, ymin, xmax, ymax = polygon.bounds
+        return cls(float(xmin), float(ymin), float(xmax), float(ymax))
+
+    @property
+    def to_polygon(self):
+        """This extent as a box Polygon (reference ``Extent.to_polygon``)."""
+        from .geom import box
+
+        return box(self.xmin, self.ymin, self.xmax, self.ymax)
+
     def intersects(self, other: "Extent") -> bool:
         return not (
             self.xmax < other.xmin

@@ -194,3 +194,15 @@ class TestCollectMetadata:
         tl = md.layout.tile_layout
         assert (tl.layout_cols, tl.layout_rows, tl.tile_cols) == (2, 2, 5)
         assert md.num_bands == 1 and md.crs == "epsg:4326"
+
+
+def test_extent_polygon_round_trip():
+    import geopyspark_spark as gps
+    from geopyspark_spark.core.extent import Extent
+
+    e = Extent(1.0, 2.0, 5.0, 7.0)
+    p = e.to_polygon
+    assert Extent.from_polygon(p) == e
+    # any geometry with .bounds works (envelope semantics)
+    tri = gps.Polygon(((0.0, 0.0), (4.0, 0.0), (0.0, 3.0), (0.0, 0.0)))
+    assert Extent.from_polygon(tri) == Extent(0.0, 0.0, 4.0, 3.0)
