@@ -1286,8 +1286,13 @@ def q_raster_catalog_roundtrip(spark, sf_dir):
 
     from ..sources import catalog as cat
 
+    import os
+
     layer = lineitem_layer(spark, sf_dir)
-    uri = tempfile.mkdtemp(prefix="catalog_rt_", dir="/root/repo/.scratch")
+    scratch = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+    os.makedirs(scratch, exist_ok=True)
+    uri = tempfile.mkdtemp(prefix="catalog_rt_", dir=scratch)
     try:
         cat.write(uri, "rt", layer, zoom=0)
         back = cat.read(spark, uri, "rt", 0)
