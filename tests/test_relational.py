@@ -70,3 +70,52 @@ class TestIntervalJoin:
             "iid long, start timestamp, end timestamp",
         )
         assert interval_join(pts, iv).count() == 0
+
+
+class TestPropertyBased:
+    def test_asof_matches_bruteforce_on_random_inputs(self, spark):
+        import random
+        from datetime import datetime, timedelta
+
+        random.seed(11)
+        base = datetime(2024, 1, 1)
+        lrows = [(i, random.randrange(3), base + timedelta(minutes=random.randrange(500)))
+                 for i in range(40)]
+        rts = random.sample(range(500), 30)
+        rrows = [(random.randrange(3), base + timedelta(minutes=m), float(m))
+                 for m in rts]
+        # unique (user, ts) on the right by construction per user? enforce:
+        seen = set()
+        rrows = [r for r in rrows if not (k := (r[0], r[1])) in seen and not seen.add(k)]
+        left = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp")
+        right = spark.createDataFrame(rrows, "user_id long, ts timestamp, price double")
+        got = {r["event_id"]: r["asof_price"] for r in asof_join(left, right).collect()}
+        for eid, uid, ts in lrows:
+            cand = [(t, p) for (u, t, p) in rrows if u == uid and t <= ts]
+            want = max(cand)[1] if cand else None  # latest right row wins
+            assert got[eid] == want, (eid, uid, ts)
+
+    def test_interval_join_matches_bruteforce(self, spark):
+        import random
+        from datetime import datetime, timedelta
+
+        random.seed(7)
+        base = datetime(2024, 1, 1)
+        pts = [(i, random.randrange(2), base + timedelta(minutes=random.randrange(600)))
+               for i in range(30)]
+        ivs = []
+        for j in range(10):
+            s = random.randrange(550)
+            ivs.append((random.randrange(2), j,
+                        base + timedelta(minutes=s),
+                        base + timedelta(minutes=s + random.randrange(1, 180))))
+        p = spark.createDataFrame(pts, "pid long, user_id long, ts timestamp")
+        iv = spark.createDataFrame(ivs, "user_id long, iid long, start timestamp, end timestamp")
+        got = {(r["pid"], r["iid"])
+               for r in interval_join(p, iv, by_cols=("user_id",),
+                                      bin_width_seconds=1800).collect()}
+        want = {(pid, iid)
+                for pid, pu, pt_ in pts
+                for iu, iid, s, e in ivs
+                if pu == iu and s <= pt_ < e}
+        assert got == want
