@@ -345,6 +345,15 @@ class TiledRasterLayer:
         hists = [Histogram(per_band.get(b, [])) for b in range(self.metadata.num_bands)]
         return hists[0] if self.metadata.num_bands == 1 else hists
 
+    def get_quantile_breaks_exact_int(self, num_breaks: int) -> list[float]:
+        """Exact quantile breaks (reference ``get_quantile_breaks_exact_int``,
+        ``layer.py:244-255``): exact rank interpolation instead of the
+        percentile_approx sketch — memory scales with distinct values, as
+        the reference's FastMapHistogram variant does."""
+        from .operators import aggregate
+
+        return aggregate.quantile_breaks(self, num_breaks, exact=True)
+
     def get_quantile_breaks(self, num_breaks: int) -> list[float]:
         from .operators import aggregate
 

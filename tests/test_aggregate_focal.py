@@ -303,3 +303,9 @@ class TestMultibandFocal:
         rows = {r["band"]: np.asarray(r["cells"]).reshape(4, 4) for r in out.df.collect()}
         assert rows[0][1, 1] == 9.0 and rows[1][1, 1] == 90.0
         assert rows[0][0, 0] == 4.0 and rows[1][0, 0] == 40.0  # corner window
+
+
+def test_quantile_breaks_exact_int_name(f1_layer):
+    exact = f1_layer.get_quantile_breaks_exact_int(4)
+    assert len(exact) == 4
+    assert exact[-1] == 1.0  # max of the ones layer
