@@ -184,7 +184,7 @@ def _stencil(buf: np.ndarray, op: str, mask: np.ndarray, nodata: float | None) -
             out = np.nanmedian(w, axis=-1)
     elif o == "MODE":
         w = np.where(valid, win, np.nan).reshape(*win.shape[:2], -1)
-        out = np.apply_along_axis(_mode1d, -1, w)
+        out = mode_along_axis(w)
     elif o == "VARIANCE":
         w = np.where(valid, win, np.nan).reshape(*win.shape[:2], -1)
         with np.errstate(all="ignore"):
@@ -205,6 +205,33 @@ def _mode1d(a: np.ndarray) -> float:
         return float("nan")
     vals, counts = np.unique(a, return_counts=True)
     return float(vals[np.argmax(counts)])
+
+
+def mode_along_axis(w: np.ndarray) -> np.ndarray:
+    """NaN-aware mode along the last axis, vectorized (ties -> smallest value,
+    matching ``np.unique`` + first-argmax semantics).
+
+    Sorted-run counting: sort each lane (NaNs sort last), mark run starts and
+    ends, recover per-element run lengths with two accumulates, then pick the
+    first element of the longest run — no Python call per output cell.
+    """
+    sw = np.sort(w, axis=-1)
+    n = sw.shape[-1]
+    pos = np.arange(n)
+    start = np.ones(sw.shape, dtype=bool)
+    # NaN != NaN, so every NaN is its own length-1 run; they get count 0 below
+    start[..., 1:] = sw[..., 1:] != sw[..., :-1]
+    run_start = np.maximum.accumulate(np.where(start, pos, 0), axis=-1)
+    end = np.ones(sw.shape, dtype=bool)
+    end[..., :-1] = start[..., 1:]
+    rev = np.where(end, pos, n - 1)[..., ::-1]
+    run_end = np.minimum.accumulate(rev, axis=-1)[..., ::-1]
+    counts = run_end - run_start + 1
+    counts = np.where(np.isnan(sw), 0, counts)
+    idx = np.argmax(counts, axis=-1)
+    out = np.take_along_axis(sw, idx[..., None], axis=-1)[..., 0]
+    maxc = np.take_along_axis(counts, idx[..., None], axis=-1)[..., 0]
+    return np.where(maxc == 0, np.nan, out)
 
 
 def _run_kernel(layer: "TiledRasterLayer", radius: int, kernel,

@@ -34,15 +34,9 @@ _AGG = {
 
 
 def _mode_reduce(blocks: np.ndarray) -> np.ndarray:
-    out = np.empty(blocks.shape[0])
-    for i, b in enumerate(blocks):
-        v = b[~np.isnan(b)]
-        if v.size == 0:
-            out[i] = np.nan
-            continue
-        vals, counts = np.unique(v, return_counts=True)
-        out[i] = vals[np.argmax(counts)]
-    return out
+    from .focal import mode_along_axis
+
+    return mode_along_axis(blocks)
 
 
 def cubic_convolution_kernel(t: np.ndarray, a: float = -0.5) -> np.ndarray:
