@@ -4,8 +4,10 @@ Re-expresses the reference's ``reproject``
 (``/root/reference/geopyspark/geotrellis/layer.py:876-898, 1668-1690``;
 Scala ``SpatialTiledRasterLayer.scala:71-120`` = GeoTrellis
 ``TileRDDReproject``: buffered warp + re-tile). Semantics: every target
-cell samples the source raster at the inverse-projected cell center
-(NearestNeighbor or Bilinear); cells whose back-projection falls outside
+cell samples the source raster at the inverse-projected cell center with
+the full resample enum (NearestNeighbor, Bilinear, CubicConvolution,
+CubicSpline, Lanczos, Average, Mode, Median, Max, Min — reference
+``TileLayer.scala:259-274``); cells whose back-projection falls outside
 the source data are NoData.
 
 Spark shape (one shuffle, no driver collect — 100 TB safe):
@@ -39,6 +41,7 @@ from pyspark.sql.types import (
 from ..core.crs import approx_cell_size, get_transform, normalize_crs, transform_extent
 from ..core.extent import Extent, LayoutDefinition, LocalLayout, TileLayout
 from ..core.keys import KeyTransform
+from .focal import mode_along_axis
 
 if TYPE_CHECKING:
     from ..layer import TiledRasterLayer
@@ -63,17 +66,31 @@ def _resolve_target_layout(layer: "TiledRasterLayer", target_crs: str,
     from ..core.extent import GlobalLayout
 
     if isinstance(layout, GlobalLayout):
-        if normalize_crs(target_crs) != "epsg:3857":
-            raise NotImplementedError(
-                "GlobalLayout targets the web-mercator ZXY grid (epsg:3857)"
-            )
+        tcrs = normalize_crs(target_crs)
         warped, cw, _ch = approx_cell_size(
             src_ld.extent, layer.metadata.crs, target_crs,
             src_ld.cell_width, src_ld.cell_height,
         )
-        z = layout.zoom if layout.zoom is not None else layout.zoom_for(warped, cw)
-        return layout.layout_for(z)
+        if tcrs == "epsg:3857":
+            z = layout.zoom if layout.zoom is not None else layout.zoom_for(warped, cw)
+            return layout.layout_for(z)
+        if tcrs == "epsg:4326":
+            # GeoTrellis ZoomedLayoutScheme(LatLng): 2x1 tile world at z0
+            # (ProjectedRasterLayer.scala:108-134)
+            z = (layout.zoom if layout.zoom is not None
+                 else layout.zoom_for_latlng(warped, cw))
+            return layout.layout_for_latlng(z)
+        raise NotImplementedError(
+            "GlobalLayout zoom schemes exist for epsg:3857 and epsg:4326 "
+            "(reference ZoomedLayoutScheme)"
+        )
     raise TypeError(f"cannot resolve target layout from {layout!r}")
+
+
+#: resample enum (reference constants.py:123-135, TileLayer.scala:259-274)
+_KERNEL_METHODS = ("CubicConvolution", "CubicSpline", "Lanczos")
+_AGG_METHODS = ("Average", "Mode", "Median", "Max", "Min")
+RESAMPLE_METHODS = ("NearestNeighbor", "Bilinear") + _KERNEL_METHODS + _AGG_METHODS
 
 
 def reproject(layer: "TiledRasterLayer", target_crs: str,
@@ -82,8 +99,10 @@ def reproject(layer: "TiledRasterLayer", target_crs: str,
     dst_crs = normalize_crs(target_crs)
     md = layer.metadata
     src_ld = md.layout
-    if resample_method not in ("NearestNeighbor", "Bilinear"):
-        raise NotImplementedError(f"resample_method {resample_method!r}")
+    if resample_method not in RESAMPLE_METHODS:
+        raise ValueError(
+            f"resample_method {resample_method!r}; one of {RESAMPLE_METHODS}"
+        )
 
     target_ld = _resolve_target_layout(layer, dst_crs, layout)
     if src_crs == dst_crs and target_ld == src_ld:
@@ -100,6 +119,19 @@ def reproject(layer: "TiledRasterLayer", target_crs: str,
     nodata = md.nodata
     nd_fill = float("nan") if nodata is None else float(nodata)
     bilinear = resample_method == "Bilinear"
+    kernel_radius = 0
+    kernel_fn = None
+    if resample_method in _KERNEL_METHODS:
+        from .resample import _KERNELS
+
+        kernel_fn, kernel_radius = _KERNELS[resample_method]
+    # cover pad (source cells): kernel taps reach `radius` cells beyond the
+    # back-projected target tile, so neighbor source tiles must ship their
+    # edge cells; aggregates get 1 cell of densification slack. NN/Bilinear
+    # keep the historical pad-free cover.
+    cover_pad = kernel_radius if kernel_radius else (
+        1 if resample_method in _AGG_METHODS else 0
+    )
 
     # capture plain values (no self/layer refs) for the closures
     s_ext, s_cw, s_ch = src_ld.extent, src_ld.cell_width, src_ld.cell_height
@@ -116,6 +148,11 @@ def reproject(layer: "TiledRasterLayer", target_crs: str,
             out = {k: [] for k in ("skey_col", "skey_row", "tkey_col", "tkey_row")}
             for row in pdf.itertuples(index=False):
                 ext = src_kt.key_extent(int(row.key_col), int(row.key_row))
+                if cover_pad:
+                    ext = Extent(
+                        ext.xmin - cover_pad * s_cw, ext.ymin - cover_pad * s_ch,
+                        ext.xmax + cover_pad * s_cw, ext.ymax + cover_pad * s_ch,
+                    )
                 warped = transform_extent(ext, src_crs, dst_crs, densify=4)
                 c0 = int(np.floor((warped.xmin - t_ext.xmin) / (t_cw * tc_t)))
                 c1 = int(np.floor((warped.xmax - t_ext.xmin) / (t_cw * tc_t)))
@@ -194,12 +231,12 @@ def reproject(layer: "TiledRasterLayer", target_crs: str,
                 vals[m] = cells[pos]
             return vals
 
-        if not bilinear:
+        if resample_method == "NearestNeighbor":
             ic = np.floor(fc).astype(np.int64)
             ir = np.floor(fr).astype(np.int64)
             valid = (fc >= 0) & (fr >= 0)
             out = sample_at(ic, ir, valid)
-        else:
+        elif bilinear:
             # bilinear on the 4 surrounding cell centers
             c0 = np.floor(fc - 0.5).astype(np.int64)
             r0 = np.floor(fr - 0.5).astype(np.int64)
@@ -214,6 +251,89 @@ def reproject(layer: "TiledRasterLayer", target_crs: str,
                 acc[ok] += v[ok] * w[ok]
                 wsum[ok] += w[ok]
             out = np.where(wsum > 0, acc / np.maximum(wsum, 1e-300), np.nan)
+        elif kernel_radius:
+            # separable fixed kernel (Keys cubic / B-spline / Lanczos-3) on
+            # the (2*radius)^2 surrounding cell centers. Strict window rule
+            # (reference BicubicResample: NaN taps propagate): any NoData or
+            # out-of-raster tap makes the output NoData, so edges grow a
+            # radius-wide NoData ring exactly like the reference's D2D warp.
+            base_c = np.floor(fc - 0.5).astype(np.int64)
+            base_r = np.floor(fr - 0.5).astype(np.int64)
+            offs = range(-kernel_radius + 1, kernel_radius + 1)
+            wc = {j: kernel_fn((fc - 0.5) - (base_c + j)) for j in offs}
+            wr = {j: kernel_fn((fr - 0.5) - (base_r + j)) for j in offs}
+            acc = np.zeros(fc.shape)
+            wsum = np.zeros(fc.shape)
+            for jr in offs:
+                ir = base_r + jr
+                for jc in offs:
+                    ic = base_c + jc
+                    w = wr[jr] * wc[jc]
+                    v = sample_at(ic, ir, (ic >= 0) & (ir >= 0))
+                    acc = acc + v * w
+                    wsum = wsum + w
+            # normalize by the total tap weight (Lanczos doesn't sum to 1)
+            out = acc / wsum
+        else:
+            # aggregating methods: reduce the source cells whose centers fall
+            # in the back-projected target-cell bbox (corner mesh, exact per
+            # cell); empty footprint (upscale) falls back to nearest.
+            # Reference AggregateResample: contributing cells from the target
+            # cell extent.
+            xs_e = text.xmin + np.arange(tc_t + 1) * t_cw
+            ys_e = text.ymax - np.arange(tr_t + 1) * t_ch
+            gxe, gye = np.meshgrid(xs_e, ys_e)
+            sxe, sye = inv(gxe.ravel(), gye.ravel())
+            fce = ((sxe - s_ext.xmin) / s_cw).reshape(tr_t + 1, tc_t + 1)
+            fre = ((s_ext.ymax - sye) / s_ch).reshape(tr_t + 1, tc_t + 1)
+            cc = np.stack([fce[:-1, :-1], fce[:-1, 1:], fce[1:, :-1], fce[1:, 1:]])
+            cr = np.stack([fre[:-1, :-1], fre[:-1, 1:], fre[1:, :-1], fre[1:, 1:]])
+            c0 = np.ceil(cc.min(axis=0).ravel() - 0.5).astype(np.int64)
+            c1 = np.floor(cc.max(axis=0).ravel() - 0.5).astype(np.int64)
+            r0 = np.ceil(cr.min(axis=0).ravel() - 0.5).astype(np.int64)
+            r1 = np.floor(cr.max(axis=0).ravel() - 0.5).astype(np.int64)
+            nc = c1 - c0 + 1
+            nr = r1 - r0 + 1
+            kc_max = max(int(nc.max(initial=0)), 0)
+            kr_max = max(int(nr.max(initial=0)), 0)
+            if kc_max * kr_max > 256:
+                raise ValueError(
+                    f"{resample_method} warp footprint is {kr_max}x{kc_max} "
+                    "source cells per target cell; coarsen in steps "
+                    "(pyramid / tile_to_layout) before an extreme downscale warp"
+                )
+            npx = fc.size
+            samples = np.full((npx, max(kr_max * kc_max, 1)), np.nan)
+            for a in range(kr_max):
+                ir = r0 + a
+                rmask = a < nr
+                for b in range(kc_max):
+                    ic = c0 + b
+                    m = rmask & (b < nc) & (ic >= 0) & (ir >= 0)
+                    samples[:, a * kc_max + b] = sample_at(ic, ir, m)
+            has = (~np.isnan(samples)).any(axis=1)
+            agg = np.full(npx, np.nan)
+            if resample_method == "Average":
+                cnt = (~np.isnan(samples)).sum(axis=1)
+                s = np.where(np.isnan(samples), 0.0, samples).sum(axis=1)
+                agg = np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)
+            elif resample_method == "Max":
+                agg[has] = np.where(np.isnan(samples[has]), -np.inf, samples[has]).max(axis=1)
+            elif resample_method == "Min":
+                agg[has] = np.where(np.isnan(samples[has]), np.inf, samples[has]).min(axis=1)
+            elif resample_method == "Median":
+                if has.any():
+                    agg[has] = np.nanmedian(samples[has], axis=1)
+            else:  # Mode (ties -> smallest value, as everywhere else)
+                agg = mode_along_axis(samples)
+            empty = (nc <= 0) | (nr <= 0)
+            if empty.any():
+                nnv = sample_at(
+                    np.floor(fc).astype(np.int64), np.floor(fr).astype(np.int64),
+                    empty & (fc >= 0) & (fr >= 0),
+                )
+                agg = np.where(empty, nnv, agg)
+            out = agg
 
         if nodata is not None:
             out = np.where(np.isnan(out), nd_fill, out)

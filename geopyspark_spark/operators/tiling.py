@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..core.extent import Extent, LayoutDefinition, LocalLayout, TileLayout
 from ..core.metadata import LayerMetadata
-from .local import _is_nd
+from .local import _is_nd, key_cols
 from .reshape import assemble_cells, with_global_coords
 
 if TYPE_CHECKING:
@@ -138,8 +138,12 @@ def tile_to_layout(layer: "TiledRasterLayer", layout,
 def pyramid(layer: "TiledRasterLayer", resample_method: str = "Average") -> "Pyramid":
     """Build the zoom stack down to a 1-tile-ish level by 2x2 reduction.
 
-    Each level is one groupBy shuffle (parent cell = child cell // 2);
-    Average or NearestNeighbor (= upper-left child) resampling.
+    Each level is one groupBy shuffle. Aggregating methods (Average,
+    NearestNeighbor = upper-left child, Max, Min, Mode, Median) reduce
+    cell rows JVM-side; interpolating methods (Bilinear, CubicConvolution,
+    CubicSpline, Lanczos) assemble each parent's 2x2 children and run the
+    separable kernels per tile (reference accepts any resample method,
+    ``SpatialTiledRasterLayer.scala:146-171``).
     """
     from ..layer import Pyramid as Pyr
     from ..layer import TiledRasterLayer as TRL
@@ -166,6 +170,14 @@ def pyramid(layer: "TiledRasterLayer", resample_method: str = "Average") -> "Pyr
     return Pyr(levels)
 
 
+#: methods reduced as JVM cell aggregates (one narrow shuffle, rows = cells)
+_PYR_AGG = {"AVERAGE", "NEARESTNEIGHBOR", "NEAREST_NEIGHBOR", "MAX", "MIN",
+            "MODE", "MEDIAN"}
+#: interpolating methods reduced per parent tile via resample_tile's
+#: separable kernels (one tile-granular shuffle)
+_PYR_TILE = {"BILINEAR", "CUBICCONVOLUTION", "CUBICSPLINE", "LANCZOS"}
+
+
 def _pyramid_up(layer: "TiledRasterLayer", resample_method: str) -> "TiledRasterLayer":
     from ..layer import TiledRasterLayer as TRL
 
@@ -173,32 +185,52 @@ def _pyramid_up(layer: "TiledRasterLayer", resample_method: str) -> "TiledRaster
     tl = md.layout.tile_layout
     tc, tr = tl.tile_cols, tl.tile_rows
     nd = md.nodata
-    long = with_global_coords(layer.explode(), tc, tr)
-    valid = long.where(~_is_nd(F.col("value"), nd))
-    parent = valid.withColumn("pgcol", (F.col("gcol") / 2).cast("int")).withColumn(
-        "pgrow", (F.col("grow") / 2).cast("int")
-    )
-    keys = [c for c in long.columns if c == "instant"]
-    if resample_method.upper() == "AVERAGE":
-        aggv = F.avg("value")
-    elif resample_method.upper() in ("NEARESTNEIGHBOR", "NEAREST_NEIGHBOR"):
-        # upper-left child wins: min (grow, gcol) order
-        aggv = F.min_by("value", F.struct(F.col("grow"), F.col("gcol")))
-    elif resample_method.upper() == "MAX":
-        aggv = F.max("value")
-    elif resample_method.upper() == "MIN":
-        aggv = F.min("value")
-    else:
+    m = resample_method.upper()
+    if m not in _PYR_AGG and m not in _PYR_TILE:
         raise NotImplementedError(f"pyramid resample {resample_method}")
-    agg = parent.groupBy(*keys, "band", "pgcol", "pgrow").agg(aggv.alias("value"))
-    out_long = agg.select(
-        (F.col("pgcol") / tc).cast("int").alias("key_col"),
-        (F.col("pgrow") / tr).cast("int").alias("key_row"),
-        *keys,
-        "band",
-        ((F.col("pgrow") % tr) * tc + (F.col("pgcol") % tc)).alias("pos"),
-        "value",
-    )
+    if m in _PYR_TILE:
+        out_long = None
+        agg = None
+    else:
+        long = with_global_coords(layer.explode(), tc, tr)
+        valid = long.where(~_is_nd(F.col("value"), nd))
+        parent = valid.withColumn("pgcol", (F.col("gcol") / 2).cast("int")).withColumn(
+            "pgrow", (F.col("grow") / 2).cast("int")
+        )
+        keys = [c for c in long.columns if c == "instant"]
+        if m == "MODE":
+            # deterministic mode: max count, ties -> smallest value (same
+            # tie-break as every mode kernel in this package)
+            cnt = parent.groupBy(*keys, "band", "pgcol", "pgrow", "value").agg(
+                F.count("*").alias("cnt")
+            )
+            agg = cnt.groupBy(*keys, "band", "pgcol", "pgrow").agg(
+                F.min_by(
+                    "value", F.struct((-F.col("cnt")).alias("nc"), F.col("value").alias("v"))
+                ).alias("value")
+            )
+        else:
+            if m == "AVERAGE":
+                aggv = F.avg("value")
+            elif m in ("NEARESTNEIGHBOR", "NEAREST_NEIGHBOR"):
+                # upper-left child wins: min (grow, gcol) order
+                aggv = F.min_by("value", F.struct(F.col("grow"), F.col("gcol")))
+            elif m == "MAX":
+                aggv = F.max("value")
+            elif m == "MIN":
+                aggv = F.min("value")
+            else:  # MEDIAN
+                aggv = F.median("value")
+            agg = parent.groupBy(*keys, "band", "pgcol", "pgrow").agg(aggv.alias("value"))
+    if agg is not None:
+        out_long = agg.select(
+            (F.col("pgcol") / tc).cast("int").alias("key_col"),
+            (F.col("pgrow") / tr).cast("int").alias("key_row"),
+            *keys,
+            "band",
+            ((F.col("pgrow") % tr) * tc + (F.col("pgcol") % tc)).alias("pos"),
+            "value",
+        )
     n_lc = max(1, (tl.layout_cols + 1) // 2)
     n_lr = max(1, (tl.layout_rows + 1) // 2)
     # parent cell = exactly 2x child cell, anchored at the grid's top-left
@@ -218,7 +250,51 @@ def _pyramid_up(layer: "TiledRasterLayer", resample_method: str) -> "TiledRaster
     (c0, r0), (c1, r1) = md.bounds
     new_md = md.with_layout(new_layout, ((c0 // 2, r0 // 2), (c1 // 2, r1 // 2)))
     fill = float("nan") if nd is None else float(nd)
-    return TRL(assemble_cells(out_long, tc, tr, fill), new_md)
+    if out_long is not None:
+        return TRL(assemble_cells(out_long, tc, tr, fill), new_md)
+
+    # interpolating path: assemble each parent's 2x2 children into a
+    # (2tr, 2tc) buffer and run the separable resample kernels on it —
+    # one tile-granular shuffle, Arrow-batched kernel, strict NaN rule
+    # (a missing/NoData child region propagates NoData, matching the
+    # kernel-warp semantics in reproject.py)
+    from .resample import resample_tile
+
+    resample_tile(np.zeros((2 * tr, 2 * tc)), tr, tc, resample_method, None)
+    import pandas as pd
+
+    keys2 = key_cols(layer.df) + ["band"]
+    child = layer.df.select(
+        (F.col("key_col") / 2).cast("int").alias("key_col"),
+        (F.col("key_row") / 2).cast("int").alias("key_row"),
+        *[c for c in keys2 if c not in ("key_col", "key_row")],
+        (F.col("key_col") % 2).alias("qc"),
+        (F.col("key_row") % 2).alias("qr"),
+        "cells",
+    )
+    schema = ", ".join(
+        ["key_col int", "key_row int"]
+        + (["instant timestamp"] if layer.is_temporal else [])
+        + ["band int", "cells array<double>"]
+    )
+
+    def reduce_fn(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        buf = np.full((2 * tr, 2 * tc), np.nan)
+        for row in pdf.itertuples(index=False):
+            a = np.asarray(row.cells, dtype=np.float64).reshape(tr, tc)
+            if nd is not None and not math.isnan(fill):
+                a = np.where(a == nd, np.nan, a)
+            qr, qc = int(row.qr), int(row.qc)
+            buf[qr * tr:(qr + 1) * tr, qc * tc:(qc + 1) * tc] = a
+        out = resample_tile(buf, tr, tc, resample_method, None)
+        if nd is not None and not math.isnan(fill):
+            out = np.where(np.isnan(out), fill, out)
+        data = {k: [v] for k, v in zip(keys2, key)}
+        data["cells"] = [out.reshape(-1).tolist()]
+        return pd.DataFrame(data)
+
+    out_df = child.groupBy(*keys2).applyInPandas(reduce_fn, schema=schema)
+    return TRL(out_df, new_md)
 
 
 MAX_STITCH_CELLS = 512 * 1024 * 1024 // 8  # 512 MiB of doubles

@@ -1460,6 +1460,296 @@ FROM d
 """
 
 
+def q_raster_focal_mode(spark, sf_dir):
+    """Focal Mode over Square(1) (vectorized sorted-run kernel; ties ->
+    smallest value). Edge cells see only in-grid neighbors."""
+    layer = lineitem_layer(spark, sf_dir)
+    return _explode_result(layer.focal("Mode", "Square", 1))
+
+
+SQL_RASTER_FOCAL_MODE = CELLS_CTE + """
+, nbc AS (
+  SELECT a.key_col, a.key_row, a.pos, b.value AS v, COUNT(*) AS cnt
+  FROM coords a JOIN coords b
+    ON b.gcol BETWEEN a.gcol - 1 AND a.gcol + 1
+   AND b.grow BETWEEN a.grow - 1 AND a.grow + 1
+  GROUP BY a.key_col, a.key_row, a.pos, b.value
+)
+SELECT key_col, key_row, pos, v AS value FROM (
+  SELECT key_col, key_row, pos, v,
+         row_number() OVER (PARTITION BY key_col, key_row, pos
+                            ORDER BY cnt DESC, v ASC) AS rn
+  FROM nbc
+) WHERE rn = 1
+"""
+
+
+def q_raster_pyramid_mode(spark, sf_dir):
+    """Pyramid level -1 with Mode resampling: per parent cell, the most
+    frequent child value, ties -> smallest (deterministic min_by on
+    (-count, value))."""
+    layer = lineitem_layer(spark, sf_dir)
+    pyr = layer.pyramid(resample_method="Mode")
+    return _explode_result(pyr[pyr.max_zoom - 1])
+
+
+SQL_RASTER_PYRAMID_MODE = CELLS_CTE + f"""
+, pcand AS (
+  SELECT CAST(floor(gcol / 2) AS INT) AS pgcol, CAST(floor(grow / 2) AS INT) AS pgrow,
+         value, COUNT(*) AS cnt
+  FROM coords GROUP BY 1, 2, 3
+),
+parents AS (
+  SELECT pgcol, pgrow, value FROM (
+    SELECT pgcol, pgrow, value,
+           row_number() OVER (PARTITION BY pgcol, pgrow ORDER BY cnt DESC, value ASC) AS rn
+    FROM pcand
+  ) WHERE rn = 1
+)
+SELECT CAST(floor(pgcol / {TILE}) AS INT) AS key_col,
+       CAST(floor(pgrow / {TILE}) AS INT) AS key_row,
+       CAST((pgrow % {TILE}) * {TILE} + pgcol % {TILE} AS INT) AS pos,
+       value
+FROM parents
+"""
+
+
+def q_raster_reproject_cubic(spark, sf_dir):
+    """4326 -> 3857 warp with CubicConvolution: 4x4 Keys taps, strict
+    window rule (any out-of-raster tap -> NoData ring)."""
+    layer = lineitem_layer(spark, sf_dir)
+    out = layer.reproject(
+        "epsg:3857", layout=gps.TileLayout(LAYOUT_N, LAYOUT_N, TILE, TILE),
+        resample_method="CubicConvolution",
+    )
+    return _explode_result(out)
+
+
+def _sql_reproject_cubic() -> str:
+    """Oracle: per-axis tap bases and Keys weights are recomputed driver-side
+    with the ENGINE's own transforms/kernels (same numpy ops on the same
+    floats => bitwise-equal weights) and injected as VALUES; the 16-term
+    weighted sum is written in the engine's exact accumulation order, so
+    the division reproduces the engine doubles bit-for-bit."""
+    import numpy as np
+
+    from ..core.crs import get_transform, transform_extent
+    from ..core.keys import KeyTransform
+    from ..operators.resample import cubic_convolution_kernel as _K
+
+    warped = transform_extent(RASTER_MD.layout.extent, "epsg:4326", "epsg:3857")
+    ld = gps.LayoutDefinition(warped, gps.TileLayout(LAYOUT_N, LAYOUT_N, TILE, TILE))
+    kt = KeyTransform(ld)
+    inv = get_transform("epsg:3857", "epsg:4326")
+    s_ld = RASTER_MD.layout
+    offs = (-1, 0, 1, 2)
+    crows, rrows = [], []
+    for tk in range(LAYOUT_N):
+        text = kt.key_extent(tk, tk)
+        xs = text.xmin + (np.arange(TILE) + 0.5) * ld.cell_width
+        ys = text.ymax - (np.arange(TILE) + 0.5) * ld.cell_height
+        sx, sy = inv(xs, ys)
+        fc = (sx - s_ld.extent.xmin) / s_ld.cell_width
+        fr = (s_ld.extent.ymax - sy) / s_ld.cell_height
+        bc = np.floor(fc - 0.5).astype(np.int64)
+        br = np.floor(fr - 0.5).astype(np.int64)
+        wcs = [_K((fc - 0.5) - (bc + j)) for j in offs]
+        wrs = [_K((fr - 0.5) - (br + j)) for j in offs]
+        for i in range(TILE):
+            crows.append((tk * TILE + i, int(bc[i]), *[float(w[i]) for w in wcs]))
+            rrows.append((tk * TILE + i, int(br[i]), *[float(w[i]) for w in wrs]))
+    cvals = ", ".join(
+        f"({g}, {b}, {w0!r}, {w1!r}, {w2!r}, {w3!r})" for g, b, w0, w1, w2, w3 in crows
+    )
+    rvals = ", ".join(
+        f"({g}, {b}, {w0!r}, {w1!r}, {w2!r}, {w3!r})" for g, b, w0, w1, w2, w3 in rrows
+    )
+    # pivot the 4x4 window; term order matches the engine loop (jr outer,
+    # jc inner, offsets -1, 0, 1, 2)
+    piv, terms, wts = [], [], []
+    for jr_i, jr in enumerate(offs):
+        for jc_i, jc in enumerate(offs):
+            name = f"v{jr_i}{jc_i}"
+            piv.append(
+                f"MAX(CASE WHEN c.grow = rt.br + {jr} AND c.gcol = ct.bc + {jc} "
+                f"THEN c.value END) AS {name}"
+            )
+            terms.append(f"{name} * (wr_{jr_i} * wc_{jc_i})")
+            wts.append(f"(wr_{jr_i} * wc_{jc_i})")
+    null_check = " OR ".join(f"v{jr_i}{jc_i} IS NULL" for jr_i in range(4) for jc_i in range(4))
+    wcols = ", ".join([f"ct.wc_{i}" for i in range(4)] + [f"rt.wr_{i}" for i in range(4)])
+    return CELLS_CTE + f"""
+, ctap(tgcol, bc, wc_0, wc_1, wc_2, wc_3) AS (VALUES {cvals}),
+rtap(tgrow, br, wr_0, wr_1, wr_2, wr_3) AS (VALUES {rvals}),
+tv AS (
+  SELECT ct.tgcol, rt.tgrow, {wcols},
+         {', '.join(piv)}
+  FROM ctap ct CROSS JOIN rtap rt
+  LEFT JOIN coords c ON c.gcol BETWEEN ct.bc - 1 AND ct.bc + 2
+                    AND c.grow BETWEEN rt.br - 1 AND rt.br + 2
+  GROUP BY ct.tgcol, rt.tgrow, {wcols}
+)
+SELECT CAST(floor(tgcol / {TILE}) AS INT) AS key_col,
+       CAST(floor(tgrow / {TILE}) AS INT) AS key_row,
+       CAST((tgrow % {TILE}) * {TILE} + tgcol % {TILE} AS INT) AS pos,
+       CASE WHEN {null_check} THEN -1.0
+            ELSE ({' + '.join(terms)}) / ({' + '.join(wts)}) END AS value
+FROM tv
+"""
+
+
+def q_raster_reproject_global(spark, sf_dir):
+    """Web-mercator layer -> the epsg:4326 LatLng ZoomedLayoutScheme grid
+    (GlobalLayout), NearestNeighbor; only data cells returned."""
+    from dataclasses import replace as _dc_replace
+
+    from ..core.extent import GlobalLayout
+
+    layer = lineitem_layer(spark, sf_dir)
+    merc = TiledRasterLayer(layer.df, _dc_replace(RASTER_MD, crs="epsg:3857"))
+    out = merc.reproject("epsg:4326", layout=GlobalLayout(tile_size=TILE, zoom=22))
+    return _explode_result(out).where(F.col("value") != -1.0)
+
+
+def _sql_reproject_global() -> str:
+    """Oracle: the LatLng-z22 target cols/rows that sample into the 32x32
+    source grid, with their NN source indices recomputed driver-side via the
+    engine's own KeyTransform + transform (floor is fp-robust), injected as
+    two VALUES maps."""
+    import math as _math
+
+    import numpy as np
+
+    from ..core.crs import get_transform
+    from ..core.extent import GlobalLayout
+    from ..core.keys import KeyTransform
+
+    zoom = 22
+    ld = GlobalLayout(tile_size=TILE, zoom=zoom).layout_for_latlng(zoom)
+    kt = KeyTransform(ld)
+    inv = get_transform("epsg:4326", "epsg:3857")
+    s_ld = RASTER_MD.layout
+    r_merc = R_MERC
+    lon_hi = _math.degrees(GRID / r_merc)
+    lat_hi = _math.degrees(2.0 * _math.atan(_math.exp(GRID / r_merc)) - _math.pi / 2.0)
+    tk_c_lo = int((180.0) / (ld.cell_width * TILE)) - 1
+    tk_c_hi = int((180.0 + lon_hi) / (ld.cell_width * TILE)) + 1
+    tk_r_lo = int((90.0 - lat_hi) / (ld.cell_height * TILE)) - 1
+    tk_r_hi = int(90.0 / (ld.cell_height * TILE)) + 1
+    cmap, rmap = [], []
+    for tk in range(tk_c_lo, tk_c_hi + 1):
+        text = kt.key_extent(tk, 0)
+        xs = text.xmin + (np.arange(TILE) + 0.5) * ld.cell_width
+        sx, _ = inv(xs, np.zeros(TILE))
+        fc = (sx - s_ld.extent.xmin) / s_ld.cell_width
+        ic = np.floor(fc).astype(np.int64)
+        for i in range(TILE):
+            if fc[i] >= 0 and 0 <= ic[i] < GRID:
+                cmap.append((tk * TILE + i, int(ic[i])))
+    for tk in range(tk_r_lo, tk_r_hi + 1):
+        text = kt.key_extent(0, tk)
+        ys = text.ymax - (np.arange(TILE) + 0.5) * ld.cell_height
+        _, sy = inv(np.zeros(TILE), ys)
+        fr = (s_ld.extent.ymax - sy) / s_ld.cell_height
+        ir = np.floor(fr).astype(np.int64)
+        for i in range(TILE):
+            if fr[i] >= 0 and 0 <= ir[i] < GRID:
+                rmap.append((tk * TILE + i, int(ir[i])))
+    cvals = ", ".join(f"({t}, {s})" for t, s in cmap)
+    rvals = ", ".join(f"({t}, {s})" for t, s in rmap)
+    return CELLS_CTE + f"""
+, cmap(tgcol, scol) AS (VALUES {cvals}),
+rmap(tgrow, srow) AS (VALUES {rvals})
+SELECT CAST(floor(tgcol / {TILE}) AS INT) AS key_col,
+       CAST(floor(tgrow / {TILE}) AS INT) AS key_row,
+       CAST((tgrow % {TILE}) * {TILE} + tgcol % {TILE} AS INT) AS pos,
+       c.value AS value
+FROM cmap CROSS JOIN rmap
+JOIN coords c ON c.gcol = scol AND c.grow = srow
+"""
+
+
+def q_raster_rasterize_features(spark, sf_dir):
+    """rasterize_features priority semantics in one query: higher z-index
+    wins regardless of value, z-ties resolve to the larger value, negative
+    z loses to z 0 (``fromFeatureWithZIndex``,
+    ``SpatialTiledRasterLayer.scala:658-702``)."""
+    from ..operators.rasterize import rasterize_features
+
+    feats = [
+        (gps.box(2, 2, 18, 18), 1.0, 0),
+        (gps.box(10, 10, 26, 26), 2.0, 0),    # z-tie with the first -> 2.0 wins
+        (gps.box(12, 12, 20, 20), 0.5, 3),    # higher z wins despite value 0.5
+        (gps.box(4, 14, 8, 22), 5.0, -1),     # negative z loses where covered
+        (gps.Point(30.5, 30.5), 9.0, 0),
+    ]
+    layer = rasterize_features(spark, feats, RASTER_MD.layout)
+    long = layer.explode().where(F.col("value") != -1.0)
+    return long.select("key_col", "key_row", "pos", "value")
+
+
+# cell (gcol, grow) covered by box (x0,y0,x1,y1) iff gcol in [x0, x1-1] and
+# grow in [GRID-y1, GRID-y0-1]; CASE ordered by (z, value) descending
+SQL_RASTER_RASTERIZE_FEATURES = f"""
+WITH grid AS (
+  SELECT c.i AS gcol, r.i AS grow FROM range({GRID}) c(i), range({GRID}) r(i)
+),
+vals AS (
+  SELECT gcol, grow,
+         CASE WHEN gcol BETWEEN 12 AND 19 AND grow BETWEEN {GRID - 20} AND {GRID - 13} THEN 0.5
+              WHEN gcol = 30 AND grow = 1 THEN 9.0
+              WHEN gcol BETWEEN 10 AND 25 AND grow BETWEEN {GRID - 26} AND {GRID - 11} THEN 2.0
+              WHEN gcol BETWEEN 2 AND 17 AND grow BETWEEN {GRID - 18} AND {GRID - 3} THEN 1.0
+              WHEN gcol BETWEEN 4 AND 7 AND grow BETWEEN {GRID - 22} AND {GRID - 15} THEN 5.0
+              END AS value
+  FROM grid
+)
+SELECT CAST(floor(gcol / {TILE}) AS INT) AS key_col,
+       CAST(floor(grow / {TILE}) AS INT) AS key_row,
+       CAST((grow % {TILE}) * {TILE} + gcol % {TILE} AS INT) AS pos,
+       value
+FROM vals WHERE value IS NOT NULL
+"""
+
+
+def q_raster_histogram_object(spark, sf_dir):
+    """The driver-side Histogram object's derived stats (mode/median/cdf
+    quantiles — reference ``histogram.py:12-197``) as a relational result:
+    built from get_class_histogram (exact value counts), so every stat is
+    SQL-recomputable."""
+    layer = lineitem_layer(spark, sf_dir)
+    h = layer.get_class_histogram()
+    qb = h.quantile_breaks(4)
+    rows = [
+        ("count", float(h.total_count())),
+        ("min", float(h.min())),
+        ("max", float(h.max())),
+        ("mean", float(h.mean())),
+        ("mode", float(h.mode())),
+        ("median", float(h.median())),
+        ("qb1", float(qb[0])),
+        ("qb2", float(qb[1])),
+        ("qb3", float(qb[2])),
+    ]
+    return spark.createDataFrame(rows, "stat string, value double")
+
+
+SQL_RASTER_HISTOGRAM_OBJECT = CELLS_CTE + """
+, h AS (SELECT value AS v, COUNT(*) AS c FROM cells GROUP BY value),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, SUM(v * c) AS s FROM h),
+cum AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS acc FROM h)
+SELECT 'count' AS stat, CAST(n AS DOUBLE) AS value FROM tot
+UNION ALL SELECT 'min', (SELECT MIN(v) FROM h)
+UNION ALL SELECT 'max', (SELECT MAX(v) FROM h)
+UNION ALL SELECT 'mean', s / n FROM tot
+UNION ALL SELECT 'mode', (SELECT v FROM h ORDER BY c DESC, v ASC LIMIT 1)
+UNION ALL SELECT 'median', (SELECT MIN(v) FROM cum WHERE acc >= (SELECT n * 1 / 2 FROM tot))
+UNION ALL SELECT 'qb1', (SELECT MIN(v) FROM cum WHERE acc >= (SELECT n * 1 / 4 FROM tot))
+UNION ALL SELECT 'qb2', (SELECT MIN(v) FROM cum WHERE acc >= (SELECT n * 2 / 4 FROM tot))
+UNION ALL SELECT 'qb3', (SELECT MIN(v) FROM cum WHERE acc >= (SELECT n * 3 / 4 FROM tot))
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational queries (TPC-H-style on the star schema)
 # ---------------------------------------------------------------------------
@@ -2786,6 +3076,13 @@ def queries():
         "raster_lookup": q_raster_lookup,
         "raster_map_cells": q_raster_map_cells,
         "raster_union": q_raster_union,
+        # ---- round 3 ----
+        "raster_focal_mode": q_raster_focal_mode,
+        "raster_pyramid_mode": q_raster_pyramid_mode,
+        "raster_reproject_cubic": q_raster_reproject_cubic,
+        "raster_reproject_global": q_raster_reproject_global,
+        "raster_rasterize_features": q_raster_rasterize_features,
+        "raster_histogram_object": q_raster_histogram_object,
     }
 
 
@@ -2884,6 +3181,13 @@ def oracle_sql():
         "emb_dedup_pipeline": _sql_emb_dedup_pipeline(6, 0.45),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_audio": SQL_MULTIMODAL_AUDIO,
+        # ---- round 3 ----
+        "raster_focal_mode": SQL_RASTER_FOCAL_MODE,
+        "raster_pyramid_mode": SQL_RASTER_PYRAMID_MODE,
+        "raster_reproject_cubic": _sql_reproject_cubic(),
+        "raster_reproject_global": _sql_reproject_global(),
+        "raster_rasterize_features": SQL_RASTER_RASTERIZE_FEATURES,
+        "raster_histogram_object": SQL_RASTER_HISTOGRAM_OBJECT,
     }
     # the IVF oracle reads the training rows from the oracle sf dir at
     # build time; if that path is unreachable the query degrades to a

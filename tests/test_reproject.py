@@ -201,3 +201,177 @@ class TestBilinearNoData:
         assert np.allclose(finite, 10.0), (
             f"sentinel leaked into bilinear blend: {np.unique(finite)[:5]}"
         )
+
+
+class TestWarpResampleEnum:
+    """Round-3: the full resample enum in the warp sampler (reference
+    ``TileLayer.scala:259-274``, ``RasterLayer.scala:108-149``)."""
+
+    def _shifted_target(self):
+        # half-cell-shifted identity-CRS grid: forces the warp path with
+        # exactly representable fractional phases (no mercator fp fuzz)
+        return gps.LayoutDefinition(
+            gps.Extent(0.5, 0.5, 10.5, 10.5), gps.TileLayout(2, 2, 5, 5)
+        )
+
+    def test_cubic_preserves_plane(self, spark):
+        """Keys cubic convolution reproduces linear fields exactly; interior
+        cells of a plane-valued layer must match the plane at the shifted
+        sample points."""
+        from tests.conftest import f1_metadata
+
+        md = f1_metadata()
+        tiles = []
+        for kr in range(2):
+            for kc in range(2):
+                a = np.zeros((5, 5))
+                for r in range(5):
+                    for c in range(5):
+                        a[r, c] = 2.0 * (kc * 5 + c) + 3.0 * (kr * 5 + r)
+                tiles.append((kc, kr, 0, a))
+        layer = gps.from_numpy(spark, tiles, md)
+        out = layer.reproject("epsg:4326", layout=self._shifted_target(),
+                              resample_method="CubicConvolution")
+        got = _grid_values(out)
+        # target cell (gr, gc) center back-projects to source fractional
+        # cell (gc + 0.5, gr - 0.5) offsets => plane value 2*(gc+1)+3*(gr... )
+        for gr in range(2, 7):
+            for gc in range(2, 7):
+                # source coords of target center: x = gc+1.0, y = 10 - gr (gr cells down from 10.5)
+                fx = (0.5 + gc + 0.5) - 0.0      # lon of center
+                fy = (10.5 - gr - 0.5)
+                sc = fx - 0.5                    # fractional col (center units)
+                sr = 10.0 - fy - 0.5             # fractional row
+                exp = 2.0 * sc + 3.0 * sr
+                assert got[gr, gc] == pytest.approx(exp, abs=1e-9), (gr, gc)
+
+    def test_kernel_strict_nodata_ring(self, spark):
+        """Any out-of-raster tap poisons the output: the shifted cubic warp
+        grows a radius-wide NoData ring at the data edge."""
+        layer = _gradient_layer(spark)
+        out = layer.reproject("epsg:4326", layout=self._shifted_target(),
+                              resample_method="CubicConvolution")
+        got = _grid_values(out)
+        nd = out.metadata.nodata
+        is_nd = np.isnan(got) if nd is None or math.isnan(nd) else (got == nd) | np.isnan(got)
+        assert is_nd[0, :].all() and is_nd[:, 0].all()
+        assert (~is_nd[2:7, 2:7]).all()
+
+    def test_lanczos_constant_field(self, spark):
+        """Lanczos taps don't sum to 1; the normalization keeps constants."""
+        from tests.conftest import f1_metadata
+
+        md = f1_metadata()
+        tiles = [(kc, kr, 0, np.full((5, 5), 7.0)) for kr in range(2) for kc in range(2)]
+        layer = gps.from_numpy(spark, tiles, md)
+        out = layer.reproject("epsg:4326", layout=self._shifted_target(),
+                              resample_method="Lanczos")
+        got = _grid_values(out)
+        assert np.allclose(got[3:7, 3:7], 7.0, atol=1e-9)
+
+    @pytest.mark.parametrize("method,expected", [
+        ("Average", 101.5 + 0.5),        # mean of {g, g+1, g+100, g+101} for g=1*... see below
+        ("Max", 203.0), ("Min", 0.0), ("Median", None), ("Mode", None),
+    ])
+    def test_aggregate_downscale_2x(self, spark, method, expected):
+        """2x downscale identity warp: each target cell aggregates its 2x2
+        source block (centers inside the back-projected cell extent)."""
+        layer = _gradient_layer(spark)   # value = 100*grow + gcol, 10x10
+        target = gps.LayoutDefinition(
+            gps.Extent(0, 0, 10, 10), gps.TileLayout(1, 1, 5, 5)  # 2-deg cells
+        )
+        out = layer.reproject("epsg:4326", layout=target, resample_method=method)
+        got = _grid_values(out)
+        assert got.shape == (5, 5)
+        src = _grid_values(layer)
+        for gr in range(5):
+            for gc in range(5):
+                block = src[2 * gr:2 * gr + 2, 2 * gc:2 * gc + 2].ravel()
+                if method == "Average":
+                    exp = block.mean()
+                elif method == "Max":
+                    exp = block.max()
+                elif method == "Min":
+                    exp = block.min()
+                elif method == "Median":
+                    exp = np.median(block)
+                else:  # Mode: all distinct -> smallest wins
+                    exp = block.min()
+                assert got[gr, gc] == pytest.approx(exp), (method, gr, gc)
+
+    def test_aggregate_upscale_falls_back_to_nearest(self, spark):
+        """Upscale (empty contributing set) falls back to nearest sampling."""
+        layer = _gradient_layer(spark)
+        target = gps.LayoutDefinition(
+            gps.Extent(0, 0, 10, 10), gps.TileLayout(4, 4, 5, 5)  # 0.5-deg cells
+        )
+        out = layer.reproject("epsg:4326", layout=target, resample_method="Average")
+        nn = layer.reproject("epsg:4326", layout=target, resample_method="NearestNeighbor")
+        np.testing.assert_allclose(_grid_values(out), _grid_values(nn), equal_nan=True)
+
+    def test_mercator_cubic_matches_manual(self, spark):
+        """CubicConvolution through the real 4326->3857 warp agrees with a
+        per-cell manual tap computation (independent loop, same kernel)."""
+        from geopyspark_spark.operators.resample import cubic_convolution_kernel
+
+        layer = _gradient_layer(spark)
+        out = layer.reproject("epsg:3857", resample_method="CubicConvolution")
+        got = _grid_values(out)
+        src = _grid_values(layer)
+        t_ld = out.layout
+        inv = get_transform("epsg:3857", "epsg:4326")
+        for gr in range(3, 7):
+            for gc in range(3, 7):
+                x = t_ld.extent.xmin + (gc + 0.5) * t_ld.cell_width
+                y = t_ld.extent.ymax - (gr + 0.5) * t_ld.cell_height
+                lon, lat = inv(np.array([x]), np.array([y]))
+                fc = (lon[0] - 0.0) / 1.0
+                fr = (10.0 - lat[0]) / 1.0
+                bc, br = math.floor(fc - 0.5), math.floor(fr - 0.5)
+                acc = wsum = 0.0
+                for jr in (-1, 0, 1, 2):
+                    for jc in (-1, 0, 1, 2):
+                        wr = cubic_convolution_kernel(np.array([(fr - 0.5) - (br + jr)]))[0]
+                        wc = cubic_convolution_kernel(np.array([(fc - 0.5) - (bc + jc)]))[0]
+                        acc += src[br + jr, bc + jc] * wr * wc
+                        wsum += wr * wc
+                assert got[gr, gc] == pytest.approx(acc / wsum, rel=1e-12), (gr, gc)
+
+
+class TestGlobalLayout4326:
+    def test_reproject_3857_to_latlng_zoomed_grid(self, spark):
+        """Round-3: GlobalLayout reproject now supports the LatLng zoom
+        scheme (reference ``ProjectedRasterLayer.scala:108-134``)."""
+        from geopyspark_spark.core.extent import WORLD_EXTENT_LL, GlobalLayout
+
+        # a 3857 layer over ~(0..10, 0..10) degrees worth of meters
+        xmax = math.radians(10.0) * R_MERC
+        ymax = math.log(math.tan(math.pi / 4 + math.radians(10.0) / 2)) * R_MERC
+        md = gps.LayerMetadata(
+            crs="epsg:3857",
+            cell_type="float64",
+            layout=gps.LayoutDefinition(
+                gps.Extent(0, 0, xmax, ymax), gps.TileLayout(2, 2, 5, 5)
+            ),
+            bounds=((0, 0), (1, 1)),
+            extent=gps.Extent(0, 0, xmax, ymax),
+            num_bands=1,
+        )
+        tiles = [(kc, kr, 0, np.full((5, 5), float(10 * kr + kc)))
+                 for kr in range(2) for kc in range(2)]
+        layer = gps.from_numpy(spark, tiles, md)
+        out = layer.reproject("epsg:4326", layout=GlobalLayout(tile_size=8, zoom=6))
+        ld = out.layout
+        assert normalize_crs(out.metadata.crs) == "epsg:4326"
+        assert ld.extent == WORLD_EXTENT_LL
+        # z=6 LatLng scheme: 2^(6+1) x 2^6 tiles of 8 cells
+        assert ld.tile_layout.layout_cols == 128 and ld.tile_layout.layout_rows == 64
+        rows = out.df.collect()
+        assert rows
+        vals = np.concatenate([np.asarray(r.cells, dtype=float) for r in rows])
+        finite = vals[np.isfinite(vals)]
+        assert finite.size > 0
+        assert set(np.unique(finite)) <= {0.0, 1.0, 10.0, 11.0}
+        # data spans lon 0..10 (cols 64..67), lat 0..10 (rows 28..32) at z6
+        for r in rows:
+            assert 64 <= r.key_col <= 67 and 28 <= r.key_row <= 32

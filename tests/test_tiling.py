@@ -174,3 +174,69 @@ class TestGlobalLayout4326:
         # 180/(2^z*16) <= 1.1 -> z = 4
         out = f1_layer.tile_to_layout(GlobalLayout(tile_size=16))
         assert out.layout.tile_layout.layout_rows == 16
+
+
+class TestPyramidResampleEnum:
+    """Round-3: the full resample enum for pyramid (reference
+    ``SpatialTiledRasterLayer.scala:146-171`` accepts any method)."""
+
+    @pytest.fixture(scope="class")
+    def base_layer(self, spark):
+        layout = gps.LayoutDefinition(gps.Extent(0, 0, 16, 16), gps.TileLayout(4, 4, 4, 4))
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float32", layout=layout,
+            bounds=((0, 0), (3, 3)), extent=layout.extent, zoom=2,
+        )
+        tiles = []
+        for kc in range(4):
+            for kr in range(4):
+                a = np.zeros((4, 4))
+                for c in range(4):
+                    a[:, c] = kc * 4 + c
+                tiles.append((kc, kr, 0, a))
+        return gps.from_numpy(spark, tiles, md)
+
+    def _level1_grid(self, pyr):
+        l1 = pyr[1]
+        tl = l1.layout.tile_layout
+        tc, tr = tl.tile_cols, tl.tile_rows
+        out = np.full((tl.layout_rows * tr, tl.layout_cols * tc), np.nan)
+        for row in l1.df.collect():
+            a = np.asarray(row.cells, dtype=float).reshape(tr, tc)
+            out[row.key_row * tr:(row.key_row + 1) * tr,
+                row.key_col * tc:(row.key_col + 1) * tc] = a
+        return out
+
+    def test_pyramid_mode_tie_breaks_to_smallest(self, base_layer):
+        # children of parent col gc are {2gc x2, 2gc+1 x2}: tie -> 2gc
+        g = self._level1_grid(base_layer.pyramid(resample_method="Mode"))
+        for gc in range(8):
+            assert np.all(g[:, gc] == 2 * gc), gc
+
+    def test_pyramid_median(self, base_layer):
+        # median of {2gc, 2gc, 2gc+1, 2gc+1} = 2gc + 0.5
+        g = self._level1_grid(base_layer.pyramid(resample_method="Median"))
+        for gc in range(8):
+            assert np.allclose(g[:, gc], 2 * gc + 0.5), gc
+
+    def test_pyramid_bilinear(self, base_layer):
+        # 2x bilinear reduce = plain 2x2 average on this field
+        g = self._level1_grid(base_layer.pyramid(resample_method="Bilinear"))
+        for gc in range(8):
+            assert np.allclose(g[:, gc], 2 * gc + 0.5), gc
+
+    def test_pyramid_cubic(self, base_layer):
+        # separable Keys taps [-1/16, 9/16, 9/16, -1/16]: parent col gc
+        # reduces source cols 2gc-1..2gc+2 -> 2gc + 0.5 on a ramp, wherever
+        # the taps stay inside the parent's 2x2 child buffer (gc % 4 in
+        # {1, 2}); buffer-edge cols fold the outermost tap (per-block
+        # reduction, same seam behavior as the reference's Pyramid.up)
+        g = self._level1_grid(base_layer.pyramid(resample_method="CubicConvolution"))
+        for gc in (1, 2, 5, 6):
+            assert np.allclose(g[:, gc], 2 * gc + 0.5), gc
+        # seam col 3: taps 5,6,7,[8->7] -> -5/16 + 9/16*6 + (9/16-1/16)*7
+        assert np.allclose(g[:, 3], 6.5625)
+
+    def test_pyramid_unknown_method_raises(self, base_layer):
+        with pytest.raises((NotImplementedError, ValueError)):
+            base_layer.pyramid(resample_method="Sinc")
