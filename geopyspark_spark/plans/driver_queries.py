@@ -1516,13 +1516,18 @@ FROM parents
 
 def q_raster_reproject_cubic(spark, sf_dir):
     """4326 -> 3857 warp with CubicConvolution: 4x4 Keys taps, strict
-    window rule (any out-of-raster tap -> NoData ring)."""
+    window rule (any out-of-raster tap -> NoData ring). Output rounded to
+    6 decimals (the ``raster_slope`` convention): the 16-term weighted sum
+    does not survive DuckDB's evaluation order bit-for-bit (VERDICT r4 #1,
+    max observed |delta| 1.4e-14)."""
     layer = lineitem_layer(spark, sf_dir)
     out = layer.reproject(
         "epsg:3857", layout=gps.TileLayout(LAYOUT_N, LAYOUT_N, TILE, TILE),
         resample_method="CubicConvolution",
     )
-    return _explode_result(out)
+    return _explode_result(out).select(
+        "key_col", "key_row", "pos", F.round(F.col("value"), 6).alias("value")
+    )
 
 
 def _sql_reproject_cubic() -> str:
@@ -1592,8 +1597,8 @@ tv AS (
 SELECT CAST(floor(tgcol / {TILE}) AS INT) AS key_col,
        CAST(floor(tgrow / {TILE}) AS INT) AS key_row,
        CAST((tgrow % {TILE}) * {TILE} + tgcol % {TILE} AS INT) AS pos,
-       CASE WHEN {null_check} THEN -1.0
-            ELSE ({' + '.join(terms)}) / ({' + '.join(wts)}) END AS value
+       ROUND(CASE WHEN {null_check} THEN -1.0
+            ELSE ({' + '.join(terms)}) / ({' + '.join(wts)}) END, 6) AS value
 FROM tv
 """
 

@@ -18,6 +18,7 @@ Shapes provided:
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,8 +29,38 @@ EVENTS_SCHEMA = (
 )
 
 
+def _events_ts_dtype(spark: SparkSession, path: str) -> str | None:
+    """Probe how this Spark build reads the events parquet ``ts`` column.
+
+    The driver's events table stores TIMESTAMP(NANOS). Depending on the
+    Spark version the batch read either yields ``timestamp_ntz`` natively
+    (nanos truncated to micros) or fails unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set (then: ``bigint``
+    nanos). Mirrors the probe in ``plans/driver_queries._events``.
+    """
+    probe = os.path.join(path, "events.parquet")
+    if not os.path.exists(probe):
+        probe = path
+    try:
+        return dict(spark.read.parquet(probe).dtypes).get("ts")
+    except Exception:
+        return None
+
+
 def read_events_stream(spark: SparkSession, path: str, ts_is_nanos: bool = True) -> DataFrame:
-    """Open a parquet directory as an append stream of events."""
+    """Open a parquet directory as an append stream of events.
+
+    The result always exposes ``ts`` as a session-local TIMESTAMP so the
+    downstream watermark/window/session operators behave identically on
+    every Spark build (see ``_events_ts_dtype``).
+    """
+    dtype = _events_ts_dtype(spark, path)
+    if dtype in ("timestamp_ntz", "timestamp"):
+        schema = EVENTS_SCHEMA.replace("ts long", f"ts {dtype}")
+        df = spark.readStream.schema(schema).parquet(path)
+        if dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
     if ts_is_nanos:
@@ -37,6 +68,24 @@ def read_events_stream(spark: SparkSession, path: str, ts_is_nanos: bool = True)
     else:
         df = df.withColumn("ts", F.timestamp_micros(F.col("ts")))
     return df
+
+
+def read_events_batch(spark: SparkSession, path: str) -> DataFrame:
+    """Batch read of the same events data, with ``ts`` normalized exactly
+    as ``read_events_stream`` does — the reference frame for the
+    stream==batch equivalence tests."""
+    probe = os.path.join(path, "events.parquet")
+    if not os.path.exists(probe):
+        probe = path
+    dtype = _events_ts_dtype(spark, path)
+    if dtype in ("timestamp_ntz", "timestamp"):
+        df = spark.read.parquet(probe)
+        if dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(probe)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",

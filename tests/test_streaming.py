@@ -14,9 +14,7 @@ def events_stream(spark):
 
 @pytest.fixture(scope="module")
 def events_batch(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+    return sev.read_events_batch(spark, "/root/testdata/sf0.001")
 
 
 class TestStreaming:
