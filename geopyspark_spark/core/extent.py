@@ -134,59 +134,99 @@ class LayoutDefinition:
 
 # --- Layout schemes -------------------------------------------------------
 
-#: Web-mercator-ish world extent used by GlobalLayout zoomed grids
 #: lat/lng world extent for the epsg:4326 zoom scheme
 WORLD_EXTENT_LL = Extent(-180.0, -90.0, 180.0, 90.0)
 
+#: web-mercator world extent for the epsg:3857 zoom scheme
 WORLD_EXTENT_WM = Extent(
     -20037508.342789244, -20037508.342789244, 20037508.342789244, 20037508.342789244
 )
-WORLD_EXTENT_LL = Extent(-180.0, -90.0, 180.0, 90.0)
+
+#: CRS -> world extent used by GlobalLayout zoomed grids (the reference's
+#: ``ZoomedLayoutScheme`` grids ``crs.worldExtent``, ``LayoutType.scala:18-30``;
+#: any CRS with a registered world extent gets the same square 2^z pyramid).
+#: UTM zones use the nominal zone envelope (easting 0..1e6 m around the
+#: 500 km false easting, northing 0..1e7 m) — an engine-defined convention,
+#: as the reference's proj4j world extents for UTM are not published.
+WORLD_EXTENTS: dict[str, Extent] = {
+    "epsg:4326": WORLD_EXTENT_LL,
+    "epsg:3857": WORLD_EXTENT_WM,
+}
+
+
+def register_world_extent(crs: str, extent: Extent) -> None:
+    """Register the world extent a ``GlobalLayout`` grid spans for ``crs``."""
+    WORLD_EXTENTS[str(crs).lower()] = extent
+
+
+def world_extent(crs: str) -> Extent:
+    """World extent for a CRS's zoomed layout scheme.
+
+    Registered CRSs win; UTM zones (epsg:326xx/327xx) fall back to the
+    nominal zone envelope. Anything else raises — register an extent via
+    :func:`register_world_extent` (the reference accepts any CRS with a
+    proj4j ``worldExtent``; same contract, explicit registry).
+    """
+    key = str(crs).lower()
+    got = WORLD_EXTENTS.get(key)
+    if got is not None:
+        return got
+    if key.startswith("epsg:326") or key.startswith("epsg:327"):
+        return Extent(0.0, 0.0, 1.0e6, 1.0e7)
+    raise NotImplementedError(
+        f"no world extent registered for {crs!r}; use register_world_extent"
+    )
 
 
 @dataclass(frozen=True)
 class GlobalLayout:
     """Power-of-two pyramid grid (ZXY / slippy-map style).
 
-    Reference: ``__init__.py:349-381``; zoom z => 2^z x 2^z tiles of
-    ``tile_size`` cells over the world extent.
+    Reference: ``__init__.py:349-381``; the backing ``ZoomedLayoutScheme``
+    (``LayoutType.scala:18-30``) grids zoom z as a SQUARE 2^z x 2^z tile
+    layout over ``crs.worldExtent`` for every CRS — non-square cells for
+    lat/lng — and rejects zoom < 1 (``levelForZoom``).
     """
 
     tile_size: int = 256
     zoom: int | None = None
     threshold: float = 0.1
 
-    def layout_for(self, zoom: int, world: Extent = WORLD_EXTENT_WM) -> LayoutDefinition:
+    def layout_for_zoom(self, zoom: int, world: Extent) -> LayoutDefinition:
+        """ZoomedLayoutScheme.levelForZoom: square 2^z grid, zoom >= 1."""
+        if zoom < 1:
+            raise ValueError(
+                "TMS tiling scheme does not have levels below 1 "
+                "(ZoomedLayoutScheme.levelForZoom)"
+            )
         n = 2 ** zoom
         return LayoutDefinition(world, TileLayout(n, n, self.tile_size, self.tile_size))
 
-    def zoom_for(self, extent: Extent, cell_size: float, world: Extent = WORLD_EXTENT_WM) -> int:
-        """Smallest zoom whose resolution is at least as fine as cell_size."""
-        z = 0
+    def zoom_for_extent(self, extent: Extent, cell_size: float, world: Extent) -> int:
+        """Smallest zoom (>= 1) whose resolution is at least as fine as
+        cell_size (within ``threshold`` slack), measured on the y axis."""
+        z = 1
         while z < 30:
-            res = world.width / (2 ** z * self.tile_size)
+            res = world.height / (2 ** z * self.tile_size)
             if res <= cell_size * (1 + self.threshold):
                 return z
             z += 1
         return z
+
+    def layout_for(self, zoom: int, world: Extent = WORLD_EXTENT_WM) -> LayoutDefinition:
+        return self.layout_for_zoom(zoom, world)
+
+    def zoom_for(self, extent: Extent, cell_size: float, world: Extent = WORLD_EXTENT_WM) -> int:
+        return self.zoom_for_extent(extent, cell_size, world)
 
     # --- epsg:4326 zoom scheme (GeoTrellis ZoomedLayoutScheme(LatLng)):
-    # zoom z = 2^(z+1) x 2^z tiles over (-180,-90,180,90), square cells ---
+    # square 2^z x 2^z tiles over (-180,-90,180,90) => non-square cells ---
 
     def layout_for_latlng(self, zoom: int) -> LayoutDefinition:
-        n = 2 ** zoom
-        return LayoutDefinition(
-            WORLD_EXTENT_LL, TileLayout(2 * n, n, self.tile_size, self.tile_size)
-        )
+        return self.layout_for_zoom(zoom, WORLD_EXTENT_LL)
 
     def zoom_for_latlng(self, extent: Extent, cell_size: float) -> int:
-        z = 0
-        while z < 30:
-            res = WORLD_EXTENT_LL.height / (2 ** z * self.tile_size)
-            if res <= cell_size * (1 + self.threshold):
-                return z
-            z += 1
-        return z
+        return self.zoom_for_extent(extent, cell_size, WORLD_EXTENT_LL)
 
 
 @dataclass(frozen=True)

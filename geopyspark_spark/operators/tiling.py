@@ -43,22 +43,17 @@ def _resolve_layout(layer: "TiledRasterLayer", layout) -> LayoutDefinition:
     from ..core.extent import GlobalLayout
 
     if isinstance(layout, GlobalLayout):
+        # ZoomedLayoutScheme(crs): square 2^z grid over crs.worldExtent for
+        # any registered CRS (LayoutType.scala:18-30).
         from ..core.crs import normalize_crs
+        from ..core.extent import world_extent
 
         crs = normalize_crs(layer.metadata.crs)
+        world = world_extent(crs)
         ld = layer.layout
-        if crs == "epsg:3857":
-            z = layout.zoom if layout.zoom is not None else layout.zoom_for(ld.extent, ld.cell_width)
-            return layout.layout_for(z)
-        if crs == "epsg:4326":
-            # GeoTrellis ZoomedLayoutScheme(LatLng): 2x1 tile world at z0
-            z = (layout.zoom if layout.zoom is not None
-                 else layout.zoom_for_latlng(ld.extent, ld.cell_width))
-            return layout.layout_for_latlng(z)
-        raise NotImplementedError(
-            f"GlobalLayout zoom schemes exist for epsg:3857 and epsg:4326; "
-            f"reproject the {crs} layer first (reference ZoomedLayoutScheme)"
-        )
+        z = (layout.zoom if layout.zoom is not None
+             else layout.zoom_for_extent(ld.extent, ld.cell_height, world))
+        return layout.layout_for_zoom(z, world)
     raise TypeError(f"cannot resolve layout from {layout!r}")
 
 

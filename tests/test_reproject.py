@@ -156,15 +156,30 @@ class TestGlobalLayoutFlow:
         a = got[(0, 0)].reshape(5, 5)
         assert a[0, 0] == a[1, 1] == 0.0  # source value at grow=0,gcol=0
 
-    def test_global_layout_unsupported_crs_raises(self, spark, f1_layer):
-        """3857 and 4326 have zoom schemes; other CRSs still direct the
-        user to reproject first."""
+    def test_global_layout_utm_zone_world_extent(self, spark, f1_layer):
+        """ZoomedLayoutScheme works over any CRS worldExtent
+        (LayoutType.scala:18-30): UTM zones grid the nominal zone envelope
+        (easting 0..1e6, northing 0..1e7) as square 2^z tile layouts."""
         from geopyspark_spark.core.extent import GlobalLayout
 
         utm = f1_layer._with(f1_layer.df)
         utm.metadata = utm.metadata.__class__(**{**utm.metadata.__dict__, "crs": "epsg:32633"})
-        with pytest.raises(NotImplementedError, match="3857"):
-            utm.tile_to_layout(GlobalLayout(tile_size=8, zoom=3))
+        out = utm.tile_to_layout(GlobalLayout(tile_size=8, zoom=3))
+        ld = out.layout
+        assert (ld.tile_layout.layout_cols, ld.tile_layout.layout_rows) == (8, 8)
+        assert (ld.extent.xmin, ld.extent.ymin, ld.extent.xmax, ld.extent.ymax) == (
+            0.0, 0.0, 1.0e6, 1.0e7
+        )
+
+    def test_global_layout_unregistered_crs_raises(self, spark, f1_layer):
+        """A CRS with no registered world extent still raises and points at
+        register_world_extent."""
+        from geopyspark_spark.core.extent import GlobalLayout
+
+        osgb = f1_layer._with(f1_layer.df)
+        osgb.metadata = osgb.metadata.__class__(**{**osgb.metadata.__dict__, "crs": "epsg:27700"})
+        with pytest.raises(NotImplementedError, match="register_world_extent"):
+            osgb.tile_to_layout(GlobalLayout(tile_size=8, zoom=3))
 
 
 class TestBilinearNoData:
@@ -364,14 +379,76 @@ class TestGlobalLayout4326:
         ld = out.layout
         assert normalize_crs(out.metadata.crs) == "epsg:4326"
         assert ld.extent == WORLD_EXTENT_LL
-        # z=6 LatLng scheme: 2^(6+1) x 2^6 tiles of 8 cells
-        assert ld.tile_layout.layout_cols == 128 and ld.tile_layout.layout_rows == 64
+        # z=6 LatLng scheme: square 2^6 x 2^6 tiles of 8 cells
+        # (GeoTrellis ZoomedLayoutScheme grid, LayoutType.scala:18-30)
+        assert ld.tile_layout.layout_cols == 64 and ld.tile_layout.layout_rows == 64
         rows = out.df.collect()
         assert rows
         vals = np.concatenate([np.asarray(r.cells, dtype=float) for r in rows])
         finite = vals[np.isfinite(vals)]
         assert finite.size > 0
         assert set(np.unique(finite)) <= {0.0, 1.0, 10.0, 11.0}
-        # data spans lon 0..10 (cols 64..67), lat 0..10 (rows 28..32) at z6
+        # data spans lon 0..10 (cols 32..33), lat 0..10 (rows 28..32) at z6
+        # (tile width 360/64 = 5.625 deg, tile height 180/64 = 2.8125 deg)
         for r in rows:
-            assert 64 <= r.key_col <= 67 and 28 <= r.key_row <= 32
+            assert 32 <= r.key_col <= 33 and 28 <= r.key_row <= 32
+
+
+class TestAggregateWarpSeams:
+    """Round-5 (VERDICT r4 next-round #8): aggregate warp windows can span
+    several source cells, so the cover pad is derived from the actual max
+    back-projected window span — tile seams must not drop taps."""
+
+    @pytest.mark.parametrize("method", ["Average", "Max", "Min", "Median", "Mode"])
+    def test_multi_tile_equals_single_tile(self, spark, method):
+        """The same raster warped as 4x4 tiles and as ONE tile (no seams
+        possible) must produce identical aggregate results, including on a
+        curved transform (4326 -> UTM far from the central meridian) with a
+        4x downscale (window ~4x4 source cells > the old 1-cell slack)."""
+        import numpy as np
+
+        from geopyspark_spark.core.crs import transform_extent
+
+        rng = np.random.default_rng(11)
+        grid = rng.integers(0, 9, size=(32, 32)).astype(float)
+        ext = gps.Extent(20.0, 48.0, 28.0, 56.0)  # lon 20..28, CM 15 deg
+
+        def build(n_tiles, tile_px):
+            layout = gps.LayoutDefinition(
+                ext, gps.TileLayout(n_tiles, n_tiles, tile_px, tile_px)
+            )
+            md = gps.LayerMetadata(
+                crs="epsg:4326", cell_type="float64", layout=layout,
+                bounds=((0, 0), (n_tiles - 1, n_tiles - 1)), extent=ext,
+                num_bands=1,
+            )
+            tiles = []
+            for kr in range(n_tiles):
+                for kc in range(n_tiles):
+                    tiles.append((kc, kr, 0, grid[
+                        kr * tile_px:(kr + 1) * tile_px,
+                        kc * tile_px:(kc + 1) * tile_px,
+                    ]))
+            return gps.from_numpy(spark, tiles, md)
+
+        # 8x8 single-cell target tiles: with the old fixed 1-cell pad, 5 of
+        # these tiles lose their contributing source tiles entirely (probed
+        # during round 5); the span-derived pad ships them
+        warped = transform_extent(ext, "epsg:4326", "epsg:32633")
+        target = gps.LayoutDefinition(warped, gps.TileLayout(8, 8, 1, 1))
+
+        multi = build(4, 8).reproject("epsg:32633", layout=target,
+                                      resample_method=method)
+        single = build(1, 32).reproject("epsg:32633", layout=target,
+                                        resample_method=method)
+        as_float = lambda cells: np.array(
+            [np.nan if v is None else v for v in cells], dtype=float
+        )
+        got = {(r.key_col, r.key_row): as_float(r.cells)
+               for r in multi.df.collect()}
+        want = {(r.key_col, r.key_row): as_float(r.cells)
+                for r in single.df.collect()}
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], equal_nan=True,
+                                       err_msg=f"tile {k} ({method})")

@@ -150,27 +150,44 @@ class TestPyramidOddLayout:
 class TestGlobalLayout4326:
     def test_tile_to_global_layout_latlng(self, f1_layer):
         """tile_to_layout(GlobalLayout) on an epsg:4326 layer targets the
-        lat/lng zoom scheme (2^(z+1) x 2^z tiles over the world)."""
+        lat/lng zoom scheme: SQUARE 2^z x 2^z tiles over (-180,-90,180,90)
+        with non-square cells, exactly as GeoTrellis
+        ZoomedLayoutScheme(LatLng) grids it (LayoutType.scala:18-30)."""
         from geopyspark_spark.core.extent import GlobalLayout
 
         out = f1_layer.tile_to_layout(GlobalLayout(tile_size=16, zoom=4))
         ld = out.layout
         tl = ld.tile_layout
-        assert (tl.layout_cols, tl.layout_rows) == (32, 16)
+        assert (tl.layout_cols, tl.layout_rows) == (16, 16)
         assert ld.extent.xmin == -180 and ld.extent.ymax == 90
-        # square cells: 360/(32*16) == 180/(16*16)
-        assert ld.cell_width == ld.cell_height == 0.703125
+        # non-square cells: 360/(16*16) x 180/(16*16)
+        assert ld.cell_width == 1.40625 and ld.cell_height == 0.703125
         # data (extent (0,0)-(10,10)) landed in the tiles north-east of
         # the meridian/equator corner
         keys = {(r["key_col"], r["key_row"]) for r in out.df.select("key_col", "key_row").distinct().collect()}
-        # (16,7) holds the data; (16,8) is the boundary tile touching y=0
-        assert (16, 7) in keys and keys <= {(16, 7), (16, 8)}
+        # (8,7) holds the data; (8,8) is the boundary tile touching y=0
+        assert (8, 7) in keys and keys <= {(8, 7), (8, 8)}
         assert out.df.count() > 0
+
+    def test_z1_grid_is_2x2_world_halves(self, f1_layer):
+        """z1 = 2x2 tiles of (180 deg, 90 deg) extent each (the VERDICT r4
+        pin for the reference grid shape); zoom 0 is rejected like
+        ZoomedLayoutScheme.levelForZoom."""
+        import pytest as _pytest
+
+        from geopyspark_spark.core.extent import GlobalLayout
+
+        ld = GlobalLayout(tile_size=16).layout_for_latlng(1)
+        tl = ld.tile_layout
+        assert (tl.layout_cols, tl.layout_rows) == (2, 2)
+        assert ld.tile_width == 180.0 and ld.tile_height == 90.0
+        with _pytest.raises(ValueError, match="levels below 1"):
+            GlobalLayout(tile_size=16).layout_for_latlng(0)
 
     def test_zoom_inferred_from_cell_size(self, f1_layer):
         from geopyspark_spark.core.extent import GlobalLayout
 
-        # f1 cells are 1 degree; zoom_for_latlng(1.0) with 16px tiles:
+        # f1 cells are 1 degree; zoom_for_extent with 16px tiles:
         # 180/(2^z*16) <= 1.1 -> z = 4
         out = f1_layer.tile_to_layout(GlobalLayout(tile_size=16))
         assert out.layout.tile_layout.layout_rows == 16
