@@ -102,3 +102,78 @@ def test_unconverged_warns(spark, friction_layer=None):
         out = layer.cost_distance(src)
     arr = out.stitch()
     assert np.isfinite(arr[0, 3, 11])
+
+
+class TestGaussSeidelKernel:
+    """Round-5: the per-tile relaxation is Gauss-Seidel row sweeps with
+    exact in-row prefix scans — sweep count tracks path direction
+    reversals, not tile width (VERDICT r4 next-round #7)."""
+
+    def test_256_tile_converges_in_few_sweeps(self):
+        from geopyspark_spark.operators import costdistance as cd
+
+        n = 256
+        fric = np.ones((n + 2, n + 2))
+        dist = np.full((n + 2, n + 2), cd._BIG)
+        dist[1, 1] = 0.0
+        out = cd._local_relax(dist, fric, float("inf"))
+        # straight/diagonal unit-friction distances are exact
+        assert out[1, n] == pytest.approx(n - 1)          # due east
+        assert out[n, n] == pytest.approx((n - 1) * np.sqrt(2.0))  # diagonal
+        assert out[n, 1] == pytest.approx(n - 1)          # due south
+        # Jacobi needed ~one pass per crossed cell (>= 255 here); the
+        # Gauss-Seidel kernel settles in a handful of sweep pairs
+        assert cd._relax_stats["passes"] <= 255 // 5
+
+    def test_serpentine_wall_maze_exact(self):
+        """A maze forcing repeated vertical reversals: compare against the
+        plain Jacobi fixpoint (unique, so any relaxation must match)."""
+        from geopyspark_spark.operators import costdistance as cd
+
+        rng = np.random.default_rng(7)
+        n = 24
+        fric = rng.uniform(0.5, 3.0, size=(n + 2, n + 2))
+        # serpentine walls (NaN = impassable)
+        for i, r in enumerate(range(3, n, 5)):
+            if i % 2 == 0:
+                fric[r, 1:n - 2] = np.nan
+            else:
+                fric[r, 4:n + 1] = np.nan
+        dist = np.full((n + 2, n + 2), cd._BIG)
+        dist[1, 1] = 0.0
+        got = cd._local_relax(dist, fric, float("inf"))
+
+        # reference fixpoint: naive synchronous Jacobi
+        d = dist.copy()
+        passable = ~np.isnan(fric)
+        half = np.where(passable, 0.5 * fric, np.inf)
+        for _ in range((n + 2) ** 2):
+            best = np.full_like(d, np.inf)
+            for dr, dc, wgt in cd._MOVES:
+                nh = cd._shifted(half, dr, dc, np.inf)
+                cand = (half + nh) * wgt + cd._shifted(d, dr, dc, cd._BIG)
+                best = np.minimum(best, cand)
+            improve = passable & (best < d - 1e-12)
+            improve[0, :] = improve[-1, :] = False
+            improve[:, 0] = improve[:, -1] = False
+            if not improve.any():
+                break
+            d = np.where(improve, best, d)
+        assert np.allclose(
+            np.where(got > 1e200, np.nan, got),
+            np.where(d > 1e200, np.nan, d),
+            equal_nan=True,
+        )
+
+    def test_max_distance_cap_respected(self):
+        from geopyspark_spark.operators import costdistance as cd
+
+        n = 16
+        fric = np.ones((n + 2, n + 2))
+        dist = np.full((n + 2, n + 2), cd._BIG)
+        dist[1, 1] = 0.0
+        out = cd._local_relax(dist, fric, 5.0)
+        inner = out[1:-1, 1:-1]
+        reached = inner[inner < cd._BIG]
+        assert reached.max() <= 5.0
+        assert (inner >= cd._BIG).any()
