@@ -28,10 +28,12 @@ HEADLINE = [
     "tpch_q5_nation_revenue",
     "window_rank",
     "raster_reproject",
+    "raster_cost_distance",
     # events / text / embeddings / multimodal pipelines
     "events_tumbling",
     "events_session",
     "events_asof_join",
+    "events_interval_join",
     "text_minhash",
     "text_lsh_pairs",
     "emb_knn",
@@ -75,19 +77,22 @@ def main():
         print(f"# warm-up skipped: {exc}", file=sys.stderr)
 
     # Host-noise robustness: this box shows +/-50-300% swings between
-    # identical runs (noisy neighbors). Each query runs twice and reports
-    # the MIN — the standard repetition estimator for true operator cost.
+    # identical runs (noisy neighbors) — min-of-2 still let a phantom 1.7x
+    # "regression" through in BENCH_r04 (VERDICT r4 perf section). Each
+    # query runs three times and reports the MIN — the standard repetition
+    # estimator for true operator cost.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         best, n = float("inf"), 0
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {best:.2f}s (min of 2)", file=sys.stderr)
+        print(f"# {name}: {n} rows in {best:.2f}s (min of {reps})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
