@@ -41,16 +41,38 @@ _ALIASES = {
 }
 
 
+def _is_wgs84_datum(s: str) -> bool:
+    """True when a proj4 string carries no datum change relative to WGS84
+    (no ``+towgs84`` and datum/ellps absent or wgs84/GRS80-equivalent)."""
+    import re
+
+    if "+towgs84" in s:
+        return False
+    kv = dict(re.findall(r"\+([a-z_0-9]+)=([^\s]+)", s))
+    datum = kv.get("datum", "").lower()
+    if datum and datum not in ("wgs84", "nad83"):
+        return False
+    ellps = kv.get("ellps", "").lower()
+    if ellps and ellps not in ("wgs84", "grs80"):
+        return False
+    return True
+
+
 def normalize_crs(crs: str | int) -> str:
-    """Normalize EPSG code / well-known name / proj4-ish string to ``epsg:n``."""
+    """Normalize EPSG code / well-known name / proj4-ish string to ``epsg:n``
+    (reference ``TileLayer.scala:288-295`` getCRS: name -> proj4 -> EPSG).
+
+    proj4 strings that carry a datum shift (``+towgs84`` / non-WGS84
+    datum) keep their string identity so the shift is not silently
+    dropped; the transform layer parses them via :func:`_parse_proj4`."""
     s = str(crs).strip().lower()
     if s in _ALIASES:
         return _ALIASES[s]
     if s.startswith("+proj=merc"):
         return "epsg:3857"
-    if s.startswith("+proj=longlat"):
+    if s.startswith("+proj=longlat") and _is_wgs84_datum(s):
         return "epsg:4326"
-    if s.startswith("+proj=utm"):
+    if s.startswith("+proj=utm") and _is_wgs84_datum(s):
         import re
 
         zone = re.search(r"\+zone=(\d+)", s)
@@ -512,23 +534,84 @@ def _registry_from_ll(crs: str) -> "Transform | None":
     return fwd
 
 
+class _Geographic:
+    """Identity 'projection' for ``+proj=longlat`` CRSs (geographic
+    coordinates on some datum; any ``+towgs84`` shift composes outside)."""
+
+    def forward(self, lon, lat):
+        return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+
+    inverse = forward
+
+
+_ELLPS_TABLE = {
+    "grs80": GRS80, "wgs84": WGS84_ELL, "airy": AIRY1830,
+    "intl": INTL1924, "clrk66": CLARKE1866, "bessel": BESSEL1841,
+    "krass": _Ellipsoid(6378245.0, 298.3),
+}
+
+#: proj4 +datum= shorthands: ellipsoid + implied towgs84 (published EPSG
+#: position-vector parameters; wgs84/nad83 need no shift at raster accuracy)
+_DATUM_TABLE: dict[str, tuple[_Ellipsoid, tuple | None]] = {
+    "wgs84": (WGS84_ELL, None),
+    "nad83": (GRS80, None),
+    "osgb36": (AIRY1830, (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)),
+    "potsdam": (BESSEL1841, (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)),
+}
+
+
 def _parse_proj4(s: str):
-    """Build a projection from a +proj=tmerc/+proj=lcc proj4 string —
-    covers ad-hoc grids without an EPSG code."""
+    """Build (projection, datum_shift|None) from a proj4 string — the
+    reference accepts arbitrary proj4 via proj4j (``TileLayer.scala:
+    288-295`` getCRS); this covers the ``+proj=tmerc/lcc/longlat/utm``
+    families over ``+ellps/+datum/+a/+rf/+b/+towgs84/+k/+x_0/+y_0/...``
+    parameters, feeding the existing Krueger/LCC/Helmert kernels.
+    Returns None for unsupported projections."""
     import re
 
     kv = dict(re.findall(r"\+([a-z_0-9]+)=([^\s]+)", s))
-    ell = {
-        "grs80": GRS80, "wgs84": WGS84_ELL, "airy": AIRY1830,
-        "intl": INTL1924, "clrk66": CLARKE1866, "bessel": BESSEL1841,
-    }.get(kv.get("ellps", kv.get("datum", "wgs84")).lower(), WGS84_ELL)
+
+    shift_params = None
+    ell = None
+    datum = kv.get("datum", "").lower()
+    if datum in _DATUM_TABLE:
+        ell, shift_params = _DATUM_TABLE[datum]
+    if kv.get("ellps", "").lower() in _ELLPS_TABLE:
+        ell = _ELLPS_TABLE[kv["ellps"].lower()]
+    if "a" in kv:  # explicit ellipsoid: +a with +rf or +b
+        a = float(kv["a"])
+        if "rf" in kv:
+            ell = _Ellipsoid(a, float(kv["rf"]))
+        elif "b" in kv:
+            b = float(kv["b"])
+            ell = WGS84_ELL if a == b else _Ellipsoid(a, a / (a - b))
+    if ell is None:
+        ell = WGS84_ELL
+    if "towgs84" in kv:  # explicit shift overrides any datum-implied one
+        vals = [float(v) for v in kv["towgs84"].split(",")]
+        if len(vals) == 3:
+            vals += [0.0, 0.0, 0.0, 0.0]
+        shift_params = tuple(vals[:7])
+
+    shift = (
+        Helmert(*shift_params, src_ell=ell, dst_ell=WGS84_ELL)
+        if shift_params is not None else None
+    )
     g = lambda k, d=0.0: float(kv.get(k, d))
-    if s.startswith("+proj=tmerc"):
+    proj = kv.get("proj", "")
+    if proj == "tmerc":
         return TransverseMercator(ell, g("lat_0"), g("lon_0"), g("k", g("k_0", 1.0)),
-                                  g("x_0"), g("y_0"))
-    if s.startswith("+proj=lcc"):
+                                  g("x_0"), g("y_0")), shift
+    if proj == "lcc":
         return LambertConformalConic(ell, g("lat_1"), g("lat_2", g("lat_1")),
-                                     g("lat_0"), g("lon_0"), g("x_0"), g("y_0"))
+                                     g("lat_0"), g("lon_0"), g("x_0"), g("y_0")), shift
+    if proj == "utm" and "zone" in kv:
+        return TransverseMercator(
+            ell, 0.0, _utm_zone_lon0(int(kv["zone"])), _UTM_K0, _UTM_FE,
+            _UTM_FN_SOUTH if "+south" in s else 0.0,
+        ), shift
+    if proj == "longlat":
+        return _Geographic(), shift
     return None
 
 
@@ -565,9 +648,17 @@ def get_transform(src_crs: str | int, dst_crs: str | int) -> Transform:
         if got is not None:
             return got
         if crs.startswith("+proj="):
-            proj = _parse_proj4(crs)
-            if proj is not None:
-                return proj.inverse
+            parsed = _parse_proj4(crs)
+            if parsed is not None:
+                proj, shift = parsed
+                if shift is None:
+                    return proj.inverse
+
+                def inv(x, y, _p=proj, _s=shift):
+                    lon, lat = _p.inverse(x, y)
+                    return _s.to_wgs84(lon, lat)
+
+                return inv
         return None
 
     def from_ll(crs: str) -> Transform | None:
@@ -582,9 +673,17 @@ def get_transform(src_crs: str | int, dst_crs: str | int) -> Transform:
         if got is not None:
             return got
         if crs.startswith("+proj="):
-            proj = _parse_proj4(crs)
-            if proj is not None:
-                return proj.forward
+            parsed = _parse_proj4(crs)
+            if parsed is not None:
+                proj, shift = parsed
+                if shift is None:
+                    return proj.forward
+
+                def fwd(x, y, _p=proj, _s=shift):
+                    lon, lat = _s.from_wgs84(x, y)
+                    return _p.forward(lon, lat)
+
+                return fwd
         return None
 
     f, g = to_ll(src), from_ll(dst)

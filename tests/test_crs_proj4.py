@@ -1,0 +1,116 @@
+"""proj4-string CRS parsing (round 5, VERDICT r4 next-round #6).
+
+The reference accepts arbitrary proj4 through proj4j
+(``geopyspark-backend/.../TileLayer.scala:288-295`` getCRS); here the
+``+proj=tmerc/lcc/utm/longlat`` families parse into the existing
+Krueger / LCC / Helmert kernels. Golden values are the published EPSG
+Guidance Note 7-2 worked examples (methods 9807 and 9802), so these two
+grids are validated against EPSG sample points without being in the
+registry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from geopyspark_spark.core.crs import get_transform, normalize_crs
+
+#: EPSG GN7-2 method 9807 worked example grid (OSGB36/BNG as a raw proj4
+#: string — exercises _parse_proj4, not the epsg:27700 registry entry)
+OSGB_PROJ4 = ("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+              "+x_0=400000 +y_0=-100000 +ellps=airy")
+OSGB_TOWGS84 = (" +towgs84=446.448,-125.157,542.06,"
+                "0.1502,0.247,0.8421,-20.4894")
+
+#: US survey foot (EPSG unit 9003)
+USFT = 12.0 / 39.37
+
+
+class TestProj4TM:
+    def test_epsg_worked_example_9807(self):
+        """GN7-2 TM example: 50d30'N 0d30'E (OSGB36 geodetic) ->
+        E 577274.99, N 69740.50 (published to cm)."""
+        fwd = get_transform("epsg:4326", OSGB_PROJ4)
+        E, N = fwd(np.array([0.5]), np.array([50.5]))
+        assert E[0] == pytest.approx(577274.99, abs=0.02)
+        assert N[0] == pytest.approx(69740.50, abs=0.02)
+
+    def test_round_trip(self):
+        fwd = get_transform("epsg:4326", OSGB_PROJ4)
+        inv = get_transform(OSGB_PROJ4, "epsg:4326")
+        lon = np.array([-5.0, -2.0, 0.5, 1.7])
+        lat = np.array([50.1, 52.0, 54.5, 57.3])
+        lo, la = inv(*fwd(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+
+
+class TestProj4LCC:
+    #: GN7-2 LCC 2SP example: NAD27 Texas South Central (Clarke 1866),
+    #: lat1 28d23' lat2 30d17' lat0 27d50' lon0 -99, FE 2,000,000 USft
+    LCC = ("+proj=lcc +lat_1=28.383333333333333 +lat_2=30.283333333333333 "
+           "+lat_0=27.833333333333332 +lon_0=-99 "
+           f"+x_0={2000000 * USFT!r} +y_0=0 +ellps=clrk66")
+
+    def test_epsg_worked_example_9802(self):
+        """GN7-2 LCC example: 28d30'N 96dW -> E 2963503.91, N 254759.80
+        US survey feet (published to 0.01 ft)."""
+        fwd = get_transform("epsg:4326", self.LCC)
+        E, N = fwd(np.array([-96.0]), np.array([28.5]))
+        assert E[0] / USFT == pytest.approx(2963503.91, abs=0.02)
+        assert N[0] / USFT == pytest.approx(254759.80, abs=0.02)
+
+    def test_round_trip(self):
+        fwd = get_transform("epsg:4326", self.LCC)
+        inv = get_transform(self.LCC, "epsg:4326")
+        lon = np.array([-99.0, -96.0, -94.2])
+        lat = np.array([28.0, 29.1, 30.0])
+        lo, la = inv(*fwd(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+
+
+class TestProj4Datum:
+    def test_towgs84_matches_registry_helmert(self):
+        """The full OSGB proj4 (+towgs84 7-parameter) composes the same
+        Helmert the epsg:27700 registry entry carries — bit-identical."""
+        f_proj4 = get_transform("epsg:4326", OSGB_PROJ4 + OSGB_TOWGS84)
+        f_reg = get_transform("epsg:4326", "epsg:27700")
+        lon = np.array([-3.0, -1.5, 0.2])
+        lat = np.array([50.5, 52.0, 54.0])
+        ax, ay = f_proj4(lon, lat)
+        bx, by = f_reg(lon, lat)
+        np.testing.assert_allclose(ax, bx, atol=1e-6)
+        np.testing.assert_allclose(ay, by, atol=1e-6)
+
+    def test_longlat_with_shift_is_a_datum_change(self):
+        """+proj=longlat +towgs84 is a geographic CRS on another datum:
+        it must NOT normalize to epsg:4326, and transforming to WGS84
+        moves coordinates by the expected ~100 m."""
+        s = "+proj=longlat +ellps=airy" + OSGB_TOWGS84
+        assert normalize_crs(s) != "epsg:4326"
+        g = get_transform(s, "epsg:4326")
+        lo, la = g(np.array([-1.5]), np.array([52.0]))
+        # OSGB36 -> WGS84 shifts are ~2-5 arcsec in Britain
+        assert 1e-4 < abs(lo[0] + 1.5) < 3e-3
+        assert 1e-4 < abs(la[0] - 52.0) < 3e-3
+
+    def test_plain_wgs84_strings_still_normalize(self):
+        assert normalize_crs("+proj=longlat +ellps=WGS84 +no_defs") == "epsg:4326"
+        assert normalize_crs("+proj=utm +zone=33 +datum=WGS84") == "epsg:32633"
+        # a NAD27 UTM zone is NOT the WGS84 zone; identity is preserved
+        assert normalize_crs("+proj=utm +zone=17 +datum=NAD27") != "epsg:32617"
+
+    def test_utm_proj4_with_custom_ellipsoid(self):
+        """+proj=utm over an explicit +a/+rf ellipsoid (here: the WGS84
+        parameters spelled out) matches the built-in WGS84 UTM kernel."""
+        s = "+proj=utm +zone=31 +a=6378137 +rf=298.257223563 +towgs84=0,0,0"
+        f_proj4 = get_transform("epsg:4326", s)
+        f_epsg = get_transform("epsg:4326", "epsg:32631")
+        lon = np.array([1.0, 3.0, 5.5])
+        lat = np.array([40.0, 48.0, 55.0])
+        ax, ay = f_proj4(lon, lat)
+        bx, by = f_epsg(lon, lat)
+        np.testing.assert_allclose(ax, bx, atol=1e-6)
+        np.testing.assert_allclose(ay, by, atol=1e-6)
