@@ -1674,6 +1674,80 @@ JOIN coords c ON c.gcol = scol AND c.grow = srow
 """
 
 
+def q_raster_reproject_utm(spark, sf_dir):
+    """GlobalLayout over a UTM zone (round-5): ZoomedLayoutScheme's
+    any-CRS contract (``LayoutType.scala:18-30``) — square 2^z tile grid
+    over the zone's registered world extent; NN warp 4326 -> epsg:32631,
+    data cells only."""
+    from ..core.extent import GlobalLayout
+
+    layer = lineitem_layer(spark, sf_dir)
+    out = layer.reproject(
+        "epsg:32631", layout=GlobalLayout(tile_size=TILE, zoom=3),
+    )
+    return _explode_result(out).where(F.col("value") != -1.0)
+
+
+def _sql_reproject_utm() -> str:
+    """Oracle: Transverse Mercator is not axis-separable, so the full 2-D
+    (target cell -> NN source cell) map is recomputed driver-side with the
+    engine's own Krueger transform on bit-identical cell-center doubles
+    (the UTM world extent 0..1e6 x 0..1e7 makes every center an exact
+    half-integer multiple) and injected as one VALUES relation."""
+    import numpy as np
+
+    from ..core.crs import get_transform
+    from ..core.extent import GlobalLayout, world_extent
+
+    zoom = 3
+    world = world_extent("epsg:32631")
+    ld = GlobalLayout(tile_size=TILE, zoom=zoom).layout_for_zoom(zoom, world)
+    fwd = get_transform("epsg:4326", "epsg:32631")
+    inv = get_transform("epsg:32631", "epsg:4326")
+    s_ld = RASTER_MD.layout
+    cw, ch = ld.cell_width, ld.cell_height
+    # bound the target window by forward-transforming a dense grid over the
+    # source extent (TM curvature: corners alone under-cover)
+    lons = np.linspace(s_ld.extent.xmin, s_ld.extent.xmax, 65)
+    lats = np.linspace(s_ld.extent.ymin, s_ld.extent.ymax, 65)
+    gx, gy = np.meshgrid(lons, lats)
+    tx, ty = fwd(gx.ravel(), gy.ravel())
+    c_lo = int(np.floor((tx.min() - world.xmin) / cw)) - 2
+    c_hi = int(np.floor((tx.max() - world.xmin) / cw)) + 2
+    r_lo = int(np.floor((world.ymax - ty.max()) / ch)) - 2
+    r_hi = int(np.floor((world.ymax - ty.min()) / ch)) + 2
+    cols = np.arange(c_lo, c_hi + 1)
+    rows = np.arange(r_lo, r_hi + 1)
+    xs = world.xmin + (cols + 0.5) * cw
+    ys = world.ymax - (rows + 0.5) * ch
+    xx, yy = np.meshgrid(xs, ys)
+    sx, sy = inv(xx.ravel(), yy.ravel())
+    fc = (sx - s_ld.extent.xmin) / s_ld.cell_width
+    fr = (s_ld.extent.ymax - sy) / s_ld.cell_height
+    ic = np.floor(fc).astype(np.int64)
+    ir = np.floor(fr).astype(np.int64)
+    ok = (fc >= 0) & (fr >= 0) & (ic >= 0) & (ic < GRID) & (ir >= 0) & (ir < GRID)
+    tuples = []
+    ncols = len(cols)
+    n_world = (2 ** zoom) * TILE  # engine clips tiles to the world grid:
+    # cells beyond the zone envelope have no TMS tile address
+    for k in np.nonzero(ok)[0]:
+        i, j = divmod(int(k), ncols)
+        tgc, tgr = int(cols[j]), int(rows[i])
+        if 0 <= tgc < n_world and 0 <= tgr < n_world:
+            tuples.append((tgc, tgr, int(ic[k]), int(ir[k])))
+    tvals = ", ".join(f"({c}, {r}, {s}, {t})" for c, r, s, t in tuples)
+    return CELLS_CTE + f"""
+, tmap(tgcol, tgrow, scol, srow) AS (VALUES {tvals})
+SELECT CAST(floor(tgcol / {TILE}) AS INT) AS key_col,
+       CAST(floor(tgrow / {TILE}) AS INT) AS key_row,
+       CAST((tgrow % {TILE}) * {TILE} + tgcol % {TILE} AS INT) AS pos,
+       c.value AS value
+FROM tmap
+JOIN coords c ON c.gcol = scol AND c.grow = srow
+"""
+
+
 def q_raster_rasterize_features(spark, sf_dir):
     """rasterize_features priority semantics in one query: higher z-index
     wins regardless of value, z-ties resolve to the larger value, negative
@@ -2972,95 +3046,105 @@ SELECT id_a, id_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.45
 # ---------------------------------------------------------------------------
 
 def queries():
-    # NOTE on ordering: the round-1 driver recorded exactly the FIRST 50
-    # registry entries in CORRECTNESS_r01.json. The LLM-data-pipeline
-    # operators (text/emb/multimodal — first-class per the brief) therefore
-    # lead, followed by relational/streaming, then the 24 most
-    # representative raster queries. Entries past #50 are redundant raster
-    # variants that stay pytest- and check_oracle-covered.
+    # NOTE on ordering: the driver records exactly the FIRST 50 registry
+    # entries in CORRECTNESS_r{N}.json. The same 50 sat in the window for
+    # rounds 1-4, which let a round-3 regression hide outside it
+    # (VERDICT r4 "What's missing"); round 5 ROTATES the window — 25
+    # representative entries stay (one per operator family), 25
+    # previously-unwindowed entries (rounds 2/3/5 additions) move in.
+    # Entries past #50 remain pytest- and check_oracle-covered.
     return {
+        # ---- driver window (50): 25 carried + 25 rotated in ----
         # text / dedup (LLM pipeline)
         "text_token_count": q_text_token_count,
-        "text_word_freq": q_text_word_freq,
-        "text_quality": q_text_quality,
-        "text_lang_scores": q_text_lang_scores,
-        "text_fingerprint": q_text_fingerprint,
         "text_exact_dedup": q_text_exact_dedup,
         "text_minhash": q_text_minhash,
         "text_lsh_pairs": q_text_lsh_pairs,
         "text_simhash": q_text_simhash,
-        "text_ngram_jaccard": q_text_ngram_jaccard,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "text_quality_ratios": q_text_quality_ratios,
         "text_dup_components": q_text_dup_components,
         "text_dedup_pipeline": q_text_dedup_pipeline,
         # embeddings (similarity search)
         "emb_knn": q_emb_knn,
-        "emb_norm_stats": q_emb_norm_stats,
-        "emb_lsh_knn": q_emb_lsh_knn,
         "emb_ivf_knn": q_emb_ivf_knn,
-        "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
-        "emb_dedup_pipeline": q_emb_dedup_pipeline,
         # multimodal
         "multimodal_features": q_multimodal_features,
-        "multimodal_audio": q_multimodal_audio,
-        # relational surface
+        # relational surface (rotated in: q4/q10/q14)
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
-        "tpch_q5_nation_revenue": q_tpch_q5_nation_revenue,
-        "tpch_q6": q_tpch_q6,
-        "window_rank": q_window_rank,
-        "set_intersect": q_set_intersect,
-        # events
-        "events_tumbling": q_events_tumbling,
-        "events_sliding": q_events_sliding,
-        "events_user_stats": q_events_user_stats,
-        "events_session": q_events_session,
-        # raster operators (SURVEY §2) — one query per family inside the
-        # 50-entry window
-        "raster_local_algebra": q_raster_local_algebra,
-        "raster_reclassify": q_raster_reclassify,
-        "raster_layer_add": q_raster_layer_add,
-        "raster_focal_sum": q_raster_focal_sum,
-        "raster_focal_mean": q_raster_focal_mean,
-        "raster_zonal_stats": q_raster_zonal_stats,
-        "raster_mask": q_raster_mask,
-        "raster_class_histogram": q_raster_class_histogram,
-        "raster_quantile_breaks": q_raster_quantile_breaks,
-        "raster_aggregate_by_cell": q_raster_aggregate_by_cell,
-        "raster_tile_to_layout": q_raster_tile_to_layout,
-        "raster_pyramid": q_raster_pyramid,
-        "raster_spacetime_series": q_raster_spacetime_series,
-        "raster_slope": q_raster_slope,
-        "raster_rasterize": q_raster_rasterize,
-        "raster_cost_distance": q_raster_cost_distance,
-        "raster_reproject": q_raster_reproject,
-        # ---- entries below are past the driver's 50-entry window ----
-        "raster_point_values": q_raster_point_values,
-        "raster_mask_distributed": q_raster_mask_distributed,
-        "raster_normalize": q_raster_normalize,
-        "raster_cell_value_counts": q_raster_cell_value_counts,
-        "raster_histogram": q_raster_histogram,
-        "raster_min_max": q_raster_min_max,
-        "raster_colormap": q_raster_colormap,
-        "raster_to_spatial": q_raster_to_spatial,
-        "raster_histogram_series": q_raster_histogram_series,
-        "raster_resample_cubic": q_raster_resample_cubic,
-        "text_minhash_vocab": q_text_minhash_vocab,
         "tpch_q10_returned": q_tpch_q10_returned,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q14_promo": q_tpch_q14_promo,
-        "events_enriched_segment": q_events_enriched_segment,
+        "window_rank": q_window_rank,
+        # events (rotated in: asof/interval/anomaly/funnel/enriched)
+        "events_tumbling": q_events_tumbling,
+        "events_session": q_events_session,
         "events_asof_join": q_events_asof_join,
         "events_interval_join": q_events_interval_join,
         "events_anomaly": q_events_anomaly,
         "events_funnel": q_events_funnel,
+        "events_enriched_segment": q_events_enriched_segment,
+        # raster operators (SURVEY §2) — carried representatives
+        "raster_local_algebra": q_raster_local_algebra,
+        "raster_focal_sum": q_raster_focal_sum,
+        "raster_zonal_stats": q_raster_zonal_stats,
+        "raster_mask": q_raster_mask,
+        "raster_tile_to_layout": q_raster_tile_to_layout,
+        "raster_pyramid": q_raster_pyramid,
+        "raster_slope": q_raster_slope,
+        "raster_cost_distance": q_raster_cost_distance,
+        "raster_reproject": q_raster_reproject,
+        # raster operators — rotated in (rounds 2/3/5 additions)
+        "raster_reproject_cubic": q_raster_reproject_cubic,
+        "raster_reproject_global": q_raster_reproject_global,
+        "raster_reproject_utm": q_raster_reproject_utm,
+        "raster_focal_mode": q_raster_focal_mode,
+        "raster_pyramid_mode": q_raster_pyramid_mode,
+        "raster_rasterize_features": q_raster_rasterize_features,
+        "raster_histogram_object": q_raster_histogram_object,
+        "raster_point_values": q_raster_point_values,
+        "raster_mask_distributed": q_raster_mask_distributed,
+        "raster_normalize": q_raster_normalize,
+        "raster_histogram": q_raster_histogram,
+        "raster_min_max": q_raster_min_max,
+        "raster_colormap": q_raster_colormap,
+        "raster_histogram_series": q_raster_histogram_series,
+        "raster_resample_cubic": q_raster_resample_cubic,
+        "raster_merge": q_raster_merge,
+        "raster_local_add_n": q_raster_local_add_n,
+        # ---- entries below are past the driver's 50-entry window ----
+        "text_word_freq": q_text_word_freq,
+        "text_quality": q_text_quality,
+        "text_lang_scores": q_text_lang_scores,
+        "text_fingerprint": q_text_fingerprint,
+        "text_ngram_jaccard": q_text_ngram_jaccard,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "text_quality_ratios": q_text_quality_ratios,
+        "text_minhash_vocab": q_text_minhash_vocab,
+        "emb_norm_stats": q_emb_norm_stats,
+        "emb_lsh_knn": q_emb_lsh_knn,
+        "emb_near_dup": q_emb_near_dup,
+        "emb_dedup_pipeline": q_emb_dedup_pipeline,
+        "multimodal_audio": q_multimodal_audio,
+        "tpch_q5_nation_revenue": q_tpch_q5_nation_revenue,
+        "tpch_q6": q_tpch_q6,
+        "set_intersect": q_set_intersect,
+        "events_sliding": q_events_sliding,
+        "events_user_stats": q_events_user_stats,
+        "raster_reclassify": q_raster_reclassify,
+        "raster_layer_add": q_raster_layer_add,
+        "raster_focal_mean": q_raster_focal_mean,
+        "raster_class_histogram": q_raster_class_histogram,
+        "raster_quantile_breaks": q_raster_quantile_breaks,
+        "raster_aggregate_by_cell": q_raster_aggregate_by_cell,
+        "raster_spacetime_series": q_raster_spacetime_series,
+        "raster_rasterize": q_raster_rasterize,
+        "raster_cell_value_counts": q_raster_cell_value_counts,
+        "raster_to_spatial": q_raster_to_spatial,
         "raster_resample": q_raster_resample,
         "raster_tile_to_layout_warp": q_raster_tile_to_layout_warp,
         "raster_bands": q_raster_bands,
         "raster_combine_bands": q_raster_combine_bands,
-        "raster_merge": q_raster_merge,
         "raster_focal_max": q_raster_focal_max,
         "raster_focal_median": q_raster_focal_median,
         "raster_focal_circle": q_raster_focal_circle,
@@ -3073,7 +3157,6 @@ def queries():
         "raster_aspect": q_raster_aspect,
         "raster_hillshade": q_raster_hillshade,
         "raster_tobler": q_raster_tobler,
-        "raster_local_add_n": q_raster_local_add_n,
         "raster_zindex": q_raster_zindex,
         "raster_zindex_temporal": q_raster_zindex_temporal,
         "raster_catalog_roundtrip": q_raster_catalog_roundtrip,
@@ -3081,13 +3164,6 @@ def queries():
         "raster_lookup": q_raster_lookup,
         "raster_map_cells": q_raster_map_cells,
         "raster_union": q_raster_union,
-        # ---- round 3 ----
-        "raster_focal_mode": q_raster_focal_mode,
-        "raster_pyramid_mode": q_raster_pyramid_mode,
-        "raster_reproject_cubic": q_raster_reproject_cubic,
-        "raster_reproject_global": q_raster_reproject_global,
-        "raster_rasterize_features": q_raster_rasterize_features,
-        "raster_histogram_object": q_raster_histogram_object,
     }
 
 
@@ -3193,6 +3269,8 @@ def oracle_sql():
         "raster_reproject_global": _sql_reproject_global(),
         "raster_rasterize_features": SQL_RASTER_RASTERIZE_FEATURES,
         "raster_histogram_object": SQL_RASTER_HISTOGRAM_OBJECT,
+        # ---- round 5 ----
+        "raster_reproject_utm": _sql_reproject_utm(),
     }
     # the IVF oracle reads the training rows from the oracle sf dir at
     # build time; if that path is unreachable the query degrades to a
