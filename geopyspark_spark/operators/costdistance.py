@@ -222,16 +222,25 @@ def cost_distance(
     state = friction.df.mapInPandas(init_batch, schema=schema).persist()
     state.count()
 
+    # relax emits only the dist plane + the convergence scalar: the
+    # friction cells live in the persisted static fragments, so shipping
+    # them through every round's applyInPandas would double state for
+    # nothing (r5)
     out_schema = ", ".join(
         ["key_col int", "key_row int"]
         + (["instant timestamp"] if friction.is_temporal else [])
-        + ["band int", "cells array<double>", "dist array<double>", "improved double"]
+        + ["band int", "dist array<double>", "improved double"]
     )
     out_cols = [c.split(" ")[0] for c in out_schema.split(", ")]
 
+    # the friction plane never changes across iterations — exchange its
+    # halo fragments ONCE and persist them; each round then ships only the
+    # dist plane (halves the per-round shuffle volume, r5)
+    frag_f = halo_exchange(state.select(*key_names, "cells"), tc, tr, 1).persist()
+    frag_f.count()
+
     converged = False
     for _ in range(max_iterations):
-        frag_f = halo_exchange(state.select(*key_names, "cells"), tc, tr, 1)
         frag_d = halo_exchange(
             state.select(*key_names, F.col("dist").alias("cells")), tc, tr, 1
         ).withColumnRenamed("frag", "frag_d")
@@ -250,7 +259,6 @@ def cost_distance(
             center = relaxed[1 : tr + 1, 1 : tc + 1]
             improved = float(np.max(np.where(before > center, before - center, 0.0)))
             data = {k: [v] for k, v in zip(key_names, key)}
-            data["cells"] = [fbuf[1 : tr + 1, 1 : tc + 1].reshape(-1).tolist()]
             data["dist"] = [center.reshape(-1).tolist()]
             data["improved"] = [improved if np.isfinite(improved) else 0.0]
             return pd.DataFrame(data, columns=out_cols)
@@ -263,6 +271,7 @@ def cost_distance(
             converged = True
             break
 
+    frag_f.unpersist()
     if not converged:
         import warnings
 
@@ -273,11 +282,11 @@ def cost_distance(
             stacklevel=2,
         )
 
-    result = state.withColumn(
-        "cells",
+    result = state.select(
+        *key_names,
         F.transform(
             F.col("dist"),
             lambda v: F.when(v >= F.lit(_BIG), F.lit(float("nan"))).otherwise(v),
-        ),
-    ).drop("dist")
+        ).alias("cells"),
+    )
     return TRL(result, md.with_cell_type("float64"))
