@@ -394,6 +394,134 @@ class LambertConformalConic:
         return lon, np.degrees(phi)
 
 
+class AlbersEqualArea:
+    """Albers equal-area conic (EPSG method 9822; Snyder 1987 §14) — the
+    projection behind the US CONUS/Alaska analysis grids (epsg:5070...)."""
+
+    def __init__(self, ell: _Ellipsoid, lat1: float, lat2: float,
+                 lat0: float, lon0: float, fe: float, fn: float):
+        self.ell, self.lon0, self.fe, self.fn = ell, lon0, fe, fn
+        e, e2 = ell.e, ell.e2
+
+        def m(phi):
+            return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+
+        def q(phi):
+            s = math.sin(phi)
+            return (1 - e2) * (
+                s / (1 - e2 * s * s)
+                - (1.0 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+            )
+
+        p1, p2, p0 = map(math.radians, (lat1, lat2, lat0))
+        m1, m2 = m(p1), m(p2)
+        q1, q2, q0 = q(p1), q(p2), q(p0)
+        if abs(lat1 - lat2) < 1e-12:
+            self.n_cone = math.sin(p1)
+        else:
+            self.n_cone = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.C = m1 * m1 + self.n_cone * q1
+        self.rho0 = ell.a * math.sqrt(self.C - self.n_cone * q0) / self.n_cone
+
+    def _q_arr(self, phi):
+        e, e2 = self.ell.e, self.ell.e2
+        s = np.sin(phi)
+        return (1 - e2) * (
+            s / (1 - e2 * s * s) - (1.0 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        theta = self.n_cone * np.radians(np.subtract(lon, self.lon0))
+        rho = self.ell.a * np.sqrt(self.C - self.n_cone * self._q_arr(phi)) / self.n_cone
+        return (self.fe + rho * np.sin(theta),
+                self.fn + self.rho0 - rho * np.cos(theta))
+
+    def inverse(self, x, y):
+        e, e2 = self.ell.e, self.ell.e2
+        dx = np.subtract(x, self.fe)
+        dy = self.rho0 - np.subtract(y, self.fn)
+        rho = np.hypot(dx, dy)
+        if self.n_cone < 0:
+            rho, dx, dy = -rho, -dx, -dy
+        theta = np.arctan2(dx, dy)
+        lon = np.degrees(theta / self.n_cone) + self.lon0
+        qv = (self.C - (rho * self.n_cone / self.ell.a) ** 2) / self.n_cone
+        # Snyder eq. 3-16 iteration for phi from the authalic q
+        phi = np.arcsin(np.clip(qv / 2.0, -1.0, 1.0))
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = phi + (1 - e2 * s * s) ** 2 / (2 * np.cos(phi)) * (
+                qv / (1 - e2)
+                - s / (1 - e2 * s * s)
+                + (1.0 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+            )
+        return lon, np.degrees(phi)
+
+
+class PolarStereographic:
+    """Polar stereographic (EPSG methods 9810/9829; Snyder 1987 §21) —
+    the polar research grids (epsg:3031/3413/3976...). ``lat_ts`` is the
+    standard parallel (variant B); ``k0`` applies at the pole (variant A,
+    used when lat_ts is +-90)."""
+
+    def __init__(self, ell: _Ellipsoid, lat_ts: float, lon0: float,
+                 k0: float, fe: float, fn: float, south: bool):
+        self.ell, self.lon0, self.fe, self.fn, self.south = ell, lon0, fe, fn, south
+        e, e2 = ell.e, ell.e2
+        if abs(abs(lat_ts) - 90.0) < 1e-12:
+            # variant A: scale given at the pole
+            self.rho_factor = (
+                2 * ell.a * k0 / math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+            )
+        else:
+            # variant B: scale 1 at lat_ts => rho = a mF / tF * t
+            pts = math.radians(abs(lat_ts))
+            s = math.sin(pts)
+            mF = math.cos(pts) / math.sqrt(1 - e2 * s * s)
+            tF = math.tan(math.pi / 4 - pts / 2) / (
+                (1 - e * s) / (1 + e * s)) ** (e / 2)
+            self.rho_factor = ell.a * mF / tF
+
+    def _t_arr(self, phi):
+        e = self.ell.e
+        s = np.sin(phi)
+        return np.tan(np.pi / 4 - phi / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+
+    def forward(self, lon, lat):
+        lam = np.radians(np.subtract(lon, self.lon0))
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        if self.south:
+            lam, phi = -lam, -phi
+        rho = self.rho_factor * self._t_arr(phi)
+        dE = rho * np.sin(lam)
+        dN = -rho * np.cos(lam)
+        if self.south:
+            dE, dN = -dE, -dN
+        return self.fe + dE, self.fn + dN
+
+    def inverse(self, x, y):
+        dx = np.subtract(x, self.fe)
+        dy = np.subtract(y, self.fn)
+        if self.south:
+            dx, dy = -dx, -dy
+        rho = np.hypot(dx, dy)
+        t = rho / self.rho_factor
+        e = self.ell.e
+        phi = np.pi / 2 - 2 * np.arctan(t)
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = np.pi / 2 - 2 * np.arctan(t * ((1 - e * s) / (1 + e * s)) ** (e / 2))
+        lam = np.arctan2(dx, -dy)
+        lon = np.degrees(lam)
+        lat = np.degrees(phi)
+        if self.south:
+            lon, lat = -lon, -lat
+        # wrap into (-180, 180]: the pole-centered azimuth plus lon0 can
+        # cross the antimeridian (seen for epsg:3413, lon0=-45)
+        return -(np.mod(-(lon + self.lon0) + 180.0, 360.0) - 180.0), lat
+
+
 class Helmert:
     """7-parameter position-vector datum shift (EPSG method 9606), applied
     between geodetic coordinates on two ellipsoids via geocentric XYZ."""
@@ -487,13 +615,26 @@ CRS_REGISTRY: dict[str, tuple] = {
         TransverseMercator(GRS80, 0.0, 153.0, 0.9996, 500000.0, 10000000.0),
         _NO_SHIFT,
     ),
-    # NAD83 / Conus Albers is NOT conic-conformal — omitted deliberately;
     # NAD83 / UTM zones (NAD83 == WGS84 at raster accuracy)
     "epsg:26910": (
         TransverseMercator(GRS80, 0.0, -123.0, 0.9996, 500000.0, 0.0), _NO_SHIFT,
     ),
     "epsg:26917": (
         TransverseMercator(GRS80, 0.0, -81.0, 0.9996, 500000.0, 0.0), _NO_SHIFT,
+    ),
+    # NAD83 / Conus Albers (the US analysis grid; equal-area conic, r5)
+    "epsg:5070": (
+        AlbersEqualArea(GRS80, 29.5, 45.5, 23.0, -96.0, 0.0, 0.0), _NO_SHIFT,
+    ),
+    # WGS84 / Antarctic Polar Stereographic (r5)
+    "epsg:3031": (
+        PolarStereographic(WGS84_ELL, -71.0, 0.0, 1.0, 0.0, 0.0, south=True),
+        _NO_SHIFT,
+    ),
+    # WGS84 / NSIDC Sea Ice Polar Stereographic North (r5)
+    "epsg:3413": (
+        PolarStereographic(WGS84_ELL, 70.0, -45.0, 1.0, 0.0, 0.0, south=False),
+        _NO_SHIFT,
     ),
 }
 
@@ -605,6 +746,13 @@ def _parse_proj4(s: str):
     if proj == "lcc":
         return LambertConformalConic(ell, g("lat_1"), g("lat_2", g("lat_1")),
                                      g("lat_0"), g("lon_0"), g("x_0"), g("y_0")), shift
+    if proj == "aea":
+        return AlbersEqualArea(ell, g("lat_1"), g("lat_2", g("lat_1")),
+                               g("lat_0"), g("lon_0"), g("x_0"), g("y_0")), shift
+    if proj == "stere" and abs(abs(g("lat_0")) - 90.0) < 1e-9:
+        lat_ts = g("lat_ts", g("lat_0"))
+        return PolarStereographic(ell, lat_ts, g("lon_0"), g("k", g("k_0", 1.0)),
+                                  g("x_0"), g("y_0"), south=g("lat_0") < 0), shift
     if proj == "utm" and "zone" in kv:
         return TransverseMercator(
             ell, 0.0, _utm_zone_lon0(int(kv["zone"])), _UTM_K0, _UTM_FE,

@@ -114,3 +114,80 @@ class TestProj4Datum:
         bx, by = f_epsg(lon, lat)
         np.testing.assert_allclose(ax, bx, atol=1e-6)
         np.testing.assert_allclose(ay, by, atol=1e-6)
+
+
+class TestAlbersEqualArea:
+    """+proj=aea (EPSG method 9822). Golden value: Snyder 1987 ellipsoidal
+    Albers numerical example (Clarke 1866, lat1 29.5 lat2 45.5 lat0 23
+    lon0 -96): 35N 75W -> x 1885472.7, y 1535925.0 (published to 0.1 m)."""
+
+    AEA = "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +ellps=clrk66"
+
+    def test_snyder_worked_example(self):
+        f = get_transform("epsg:4326", self.AEA)
+        x, y = f(np.array([-75.0]), np.array([35.0]))
+        assert x[0] == pytest.approx(1885472.7, abs=0.1)
+        assert y[0] == pytest.approx(1535925.0, abs=0.1)
+
+    def test_conus_albers_5070(self):
+        """epsg:5070 (NAD83 Conus Albers): origin maps to (0,0); round
+        trips are exact; the equal-area property holds to 1e-6 relative
+        (projected quad area == ellipsoidal patch area)."""
+        import math
+
+        f = get_transform("epsg:4326", "epsg:5070")
+        i = get_transform("epsg:5070", "epsg:4326")
+        x0, y0 = f(np.array([-96.0]), np.array([23.0]))
+        assert abs(x0[0]) < 1e-6 and abs(y0[0]) < 1e-6
+        lon = np.array([-120.0, -96.0, -75.0])
+        lat = np.array([30.0, 40.0, 48.0])
+        lo, la = i(*f(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+        a, e2 = 6378137.0, 0.0066943800229034  # GRS80
+        for L, P in [(-110.0, 30.0), (-80.0, 45.0)]:
+            d = 0.05
+            xs, ys = f(np.array([L - d, L + d, L + d, L - d]),
+                       np.array([P - d, P - d, P + d, P + d]))
+            area = 0.5 * abs(sum(
+                xs[k] * ys[(k + 1) % 4] - xs[(k + 1) % 4] * ys[k] for k in range(4)
+            ))
+            phi = math.radians(P)
+            M = a * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+            N = a / (1 - e2 * math.sin(phi) ** 2) ** 0.5
+            ell_area = (M * math.radians(2 * d)) * (N * math.cos(phi) * math.radians(2 * d))
+            assert area / ell_area == pytest.approx(1.0, abs=1e-5)
+
+
+class TestPolarStereographic:
+    """+proj=stere at the poles (EPSG methods 9810/9829). Golden value:
+    the EPSG GN7-2 variant-B worked example (lat_ts -71, lon0 70E,
+    FE=FN=6000000): 75S 120E -> E 7255380.79, N 7053389.56."""
+
+    def test_epsg_worked_example_9829(self):
+        s = ("+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=70 "
+             "+x_0=6000000 +y_0=6000000 +ellps=WGS84")
+        f = get_transform("epsg:4326", s)
+        x, y = f(np.array([120.0]), np.array([-75.0]))
+        assert x[0] == pytest.approx(7255380.79, abs=0.02)
+        assert y[0] == pytest.approx(7053389.56, abs=0.02)
+
+    def test_antarctic_3031_round_trip(self):
+        f = get_transform("epsg:4326", "epsg:3031")
+        i = get_transform("epsg:3031", "epsg:4326")
+        lon = np.array([0.0, 90.0, -120.0, 179.0])
+        lat = np.array([-75.0, -80.0, -71.0, -89.0])
+        lo, la = i(*f(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+
+    def test_nsidc_3413_round_trip_wraps_antimeridian(self):
+        """lon0=-45 pushes azimuths across the antimeridian; the inverse
+        must wrap back into (-180, 180]."""
+        f = get_transform("epsg:4326", "epsg:3413")
+        i = get_transform("epsg:3413", "epsg:4326")
+        lon = np.array([-45.0, 10.0, 170.0, -179.5, 135.0])
+        lat = np.array([70.0, 75.0, 85.0, 72.0, 66.0])
+        lo, la = i(*f(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
