@@ -151,6 +151,11 @@ WORLD_EXTENT_WM = Extent(
 WORLD_EXTENTS: dict[str, Extent] = {
     "epsg:4326": WORLD_EXTENT_LL,
     "epsg:3857": WORLD_EXTENT_WM,
+    # polar stereographic research grids: the conventional power-of-two
+    # square (+-2^22 m) used by polar TMS stacks — engine-defined, like
+    # the UTM envelope below
+    "epsg:3031": Extent(-4194304.0, -4194304.0, 4194304.0, 4194304.0),
+    "epsg:3413": Extent(-4194304.0, -4194304.0, 4194304.0, 4194304.0),
 }
 
 

@@ -257,3 +257,16 @@ class TestPyramidResampleEnum:
     def test_pyramid_unknown_method_raises(self, base_layer):
         with pytest.raises((NotImplementedError, ValueError)):
             base_layer.pyramid(resample_method="Sinc")
+
+
+class TestGlobalLayoutPolar:
+    def test_polar_grids_have_world_extents(self, f1_layer):
+        """epsg:3031/3413 GlobalLayout grids the conventional +-2^22 m
+        square as 2^z x 2^z tiles (power-of-two cells at every zoom)."""
+        from geopyspark_spark.core.extent import GlobalLayout, world_extent
+
+        w = world_extent("epsg:3031")
+        assert (w.xmin, w.ymax) == (-4194304.0, 4194304.0)
+        ld = GlobalLayout(tile_size=256).layout_for_zoom(2, w)
+        assert ld.tile_layout.layout_cols == 4
+        assert ld.cell_width == ld.cell_height == 2 * 4194304.0 / (4 * 256)
