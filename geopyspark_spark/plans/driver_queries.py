@@ -2332,6 +2332,40 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_events_stream_tumbling(spark, sf_dir):
+    """The ACTUAL Structured Streaming engine through the oracle gate
+    (round 5): readStream over the events parquet -> watermarked 1-hour
+    tumbling window -> Trigger.AvailableNow drain into a memory sink ->
+    the SAME DuckDB SQL as the batch query. Decimal-cast sum for
+    accumulation-order-independent values (the events_tumbling
+    convention)."""
+    import uuid
+
+    from ..streaming.events import read_events_stream, run_available_now
+
+    # the file stream source needs a directory: read the whole sf dir with
+    # the forced events schema — non-events rows project to null ts and
+    # drop out of the event-time window (the test-suite convention)
+    ev = read_events_stream(spark, sf_dir)
+    ev = ev.where(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        )
+    )
+    out = run_available_now(agg, f"stream_tumb_{uuid.uuid4().hex[:8]}")
+    return out.select(
+        F.col("w.start").cast("date").alias("day"),
+        F.hour(F.col("w.start")).alias("hour"),
+        "event_type",
+        "n_events",
+        F.col("sv").cast("double").alias("sum_value"),
+    )
+
+
 def q_events_sliding(spark, sf_dir):
     """1-hour windows sliding every 30 min: each event lands in 2 windows.
     Output window start as (date, minutes-of-day) ints for portability."""
@@ -3224,6 +3258,7 @@ def queries():
         "raster_union": q_raster_union,
         # ---- round 5 additions (past the window) ----
         "raster_reproject_albers": q_raster_reproject_albers,
+        "events_stream_tumbling": q_events_stream_tumbling,
     }
 
 
@@ -3332,6 +3367,7 @@ def oracle_sql():
         # ---- round 5 ----
         "raster_reproject_utm": _sql_reproject_utm(),
         "raster_reproject_albers": _sql_reproject_albers(),
+        "events_stream_tumbling": SQL_EVENTS_TUMBLING,
     }
     # the IVF oracle reads the training rows from the oracle sf dir at
     # build time; if that path is unreachable the query degrades to a
