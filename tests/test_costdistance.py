@@ -177,3 +177,48 @@ class TestGaussSeidelKernel:
         reached = inner[inner < cd._BIG]
         assert reached.max() <= 5.0
         assert (inner >= cd._BIG).any()
+
+
+class TestGaussSeidelProperty:
+    def test_random_mazes_match_jacobi_fixpoint(self):
+        """Property check: on random friction fields with random walls and
+        random seeds, the Gauss-Seidel kernel lands on the same (unique)
+        min-relaxation fixpoint as naive synchronous Jacobi."""
+        from geopyspark_spark.operators import costdistance as cd
+
+        for seed in range(6):
+            rng = np.random.default_rng(100 + seed)
+            n = 12
+            fric = rng.uniform(0.2, 4.0, size=(n + 2, n + 2))
+            walls = rng.random((n + 2, n + 2)) < 0.18
+            fric[walls] = np.nan
+            dist = np.full((n + 2, n + 2), cd._BIG)
+            # 1-3 random seed cells (may land on walls: then nothing seeds)
+            for _ in range(rng.integers(1, 4)):
+                r, c = rng.integers(1, n + 1, size=2)
+                if not np.isnan(fric[r, c]):
+                    dist[r, c] = 0.0
+            max_d = float(rng.choice([np.inf, 8.0, 20.0]))
+            got = cd._local_relax(dist, fric, max_d)
+
+            d = dist.copy()
+            passable = ~np.isnan(fric)
+            half = np.where(passable, 0.5 * fric, np.inf)
+            for _ in range((n + 2) ** 2):
+                best = np.full_like(d, np.inf)
+                for dr, dc, wgt in cd._MOVES:
+                    nh = cd._shifted(half, dr, dc, np.inf)
+                    cand = (half + nh) * wgt + cd._shifted(d, dr, dc, cd._BIG)
+                    best = np.minimum(best, cand)
+                improve = passable & (best <= max_d) & (best < d - 1e-12)
+                improve[0, :] = improve[-1, :] = False
+                improve[:, 0] = improve[:, -1] = False
+                if not improve.any():
+                    break
+                d = np.where(improve, best, d)
+            np.testing.assert_allclose(
+                np.where(got > 1e200, np.nan, got),
+                np.where(d > 1e200, np.nan, d),
+                equal_nan=True, atol=1e-9,
+                err_msg=f"maze seed {seed} (max_distance={max_d})",
+            )
