@@ -69,7 +69,15 @@ def normalize_crs(crs: str | int) -> str:
     if s in _ALIASES:
         return _ALIASES[s]
     if s.startswith("+proj=merc"):
-        return "epsg:3857"
+        import re
+
+        kv = dict(re.findall(r"\+([a-z_0-9]+)=([^\s]+)", s))
+        spherical = ("a" in kv and kv.get("b") == kv["a"]) or not any(
+            k in kv for k in ("ellps", "datum", "a")
+        )
+        if spherical:
+            return "epsg:3857"
+        return s  # ellipsoidal Mercator (EPSG 9804/9805) — parsed later
     if s.startswith("+proj=longlat") and _is_wgs84_datum(s):
         return "epsg:4326"
     if s.startswith("+proj=utm") and _is_wgs84_datum(s):
@@ -394,6 +402,76 @@ class LambertConformalConic:
         return lon, np.degrees(phi)
 
 
+class Mercator1SP:
+    """Ellipsoidal Mercator (EPSG method 9804; Snyder 1987 §7) — World
+    Mercator epsg:3395 (marine charts). Distinct from the SPHERICAL web
+    mercator epsg:3857."""
+
+    def __init__(self, ell: _Ellipsoid, lon0: float, k0: float,
+                 fe: float, fn: float):
+        self.ell, self.lon0, self.k0, self.fe, self.fn = ell, lon0, k0, fe, fn
+
+    def forward(self, lon, lat):
+        e = self.ell.e
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        s = np.sin(phi)
+        x = self.ell.a * self.k0 * np.radians(np.subtract(lon, self.lon0))
+        y = self.ell.a * self.k0 * np.log(
+            np.tan(np.pi / 4 + phi / 2) * ((1 - e * s) / (1 + e * s)) ** (e / 2)
+        )
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y):
+        e = self.ell.e
+        lon = np.degrees(np.subtract(x, self.fe) / (self.ell.a * self.k0)) + self.lon0
+        t = np.exp(-np.subtract(y, self.fn) / (self.ell.a * self.k0))
+        phi = np.pi / 2 - 2 * np.arctan(t)
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = np.pi / 2 - 2 * np.arctan(t * ((1 - e * s) / (1 + e * s)) ** (e / 2))
+        return lon, np.degrees(phi)
+
+
+class LambertCylindricalEqualArea:
+    """Lambert cylindrical equal-area (EPSG method 9835; Snyder 1987 §10)
+    — the EASE-Grid 2.0 family (epsg:6933 global) behind many satellite /
+    climate training-data grids."""
+
+    def __init__(self, ell: _Ellipsoid, lat_ts: float, lon0: float,
+                 fe: float, fn: float):
+        self.ell, self.lon0, self.fe, self.fn = ell, lon0, fe, fn
+        e2 = ell.e2
+        pts = math.radians(lat_ts)
+        self.k0 = math.cos(pts) / math.sqrt(1 - e2 * math.sin(pts) ** 2)
+
+    def _q_arr(self, phi):
+        e, e2 = self.ell.e, self.ell.e2
+        s = np.sin(phi)
+        return (1 - e2) * (
+            s / (1 - e2 * s * s) - (1.0 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        x = self.ell.a * self.k0 * np.radians(np.subtract(lon, self.lon0))
+        y = self.ell.a * self._q_arr(phi) / (2 * self.k0)
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y):
+        e, e2 = self.ell.e, self.ell.e2
+        lon = np.degrees(np.subtract(x, self.fe) / (self.ell.a * self.k0)) + self.lon0
+        qv = 2 * self.k0 * np.subtract(y, self.fn) / self.ell.a
+        phi = np.arcsin(np.clip(qv / 2.0, -1.0, 1.0))
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = phi + (1 - e2 * s * s) ** 2 / (2 * np.cos(phi)) * (
+                qv / (1 - e2)
+                - s / (1 - e2 * s * s)
+                + (1.0 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+            )
+        return lon, np.degrees(phi)
+
+
 class AlbersEqualArea:
     """Albers equal-area conic (EPSG method 9822; Snyder 1987 §14) — the
     projection behind the US CONUS/Alaska analysis grids (epsg:5070...)."""
@@ -636,6 +714,14 @@ CRS_REGISTRY: dict[str, tuple] = {
         PolarStereographic(WGS84_ELL, 70.0, -45.0, 1.0, 0.0, 0.0, south=False),
         _NO_SHIFT,
     ),
+    # WGS84 / World Mercator — ELLIPSOIDAL mercator, not 3857 (r5)
+    "epsg:3395": (
+        Mercator1SP(WGS84_ELL, 0.0, 1.0, 0.0, 0.0), _NO_SHIFT,
+    ),
+    # WGS84 / NSIDC EASE-Grid 2.0 Global (cylindrical equal-area, r5)
+    "epsg:6933": (
+        LambertCylindricalEqualArea(WGS84_ELL, 30.0, 0.0, 0.0, 0.0), _NO_SHIFT,
+    ),
 }
 
 
@@ -753,6 +839,17 @@ def _parse_proj4(s: str):
         lat_ts = g("lat_ts", g("lat_0"))
         return PolarStereographic(ell, lat_ts, g("lon_0"), g("k", g("k_0", 1.0)),
                                   g("x_0"), g("y_0"), south=g("lat_0") < 0), shift
+    if proj == "cea":
+        return LambertCylindricalEqualArea(ell, g("lat_ts"), g("lon_0"),
+                                           g("x_0"), g("y_0")), shift
+    if proj == "merc":
+        # EPSG 9805 (lat_ts standard parallel) or 9804 (k scale factor)
+        if "lat_ts" in kv:
+            pts = math.radians(g("lat_ts"))
+            k0 = math.cos(pts) / math.sqrt(1 - ell.e2 * math.sin(pts) ** 2)
+        else:
+            k0 = g("k", g("k_0", 1.0))
+        return Mercator1SP(ell, g("lon_0"), k0, g("x_0"), g("y_0")), shift
     if proj == "utm" and "zone" in kv:
         return TransverseMercator(
             ell, 0.0, _utm_zone_lon0(int(kv["zone"])), _UTM_K0, _UTM_FE,

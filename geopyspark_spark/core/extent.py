@@ -156,6 +156,10 @@ WORLD_EXTENTS: dict[str, Extent] = {
     # the UTM envelope below
     "epsg:3031": Extent(-4194304.0, -4194304.0, 4194304.0, 4194304.0),
     "epsg:3413": Extent(-4194304.0, -4194304.0, 4194304.0, 4194304.0),
+    # NSIDC EASE-Grid 2.0 Global envelope (published grid constants:
+    # +-17367530.445161 m easting, +-7314540.8306 m at the 85.0445664 deg
+    # cutoff latitude)
+    "epsg:6933": Extent(-17367530.445161, -7314540.8306, 17367530.445161, 7314540.8306),
 }
 
 

@@ -191,3 +191,92 @@ class TestPolarStereographic:
         lo, la = i(*f(lon, lat))
         np.testing.assert_allclose(lo, lon, atol=1e-9)
         np.testing.assert_allclose(la, lat, atol=1e-9)
+
+
+class TestEllipsoidalMercator:
+    """epsg:3395 World Mercator (EPSG method 9804) is ELLIPSOIDAL —
+    distinct from spherical web mercator 3857 by ~0.54% in y."""
+
+    def test_equator_scale_exact(self):
+        import math
+
+        f = get_transform("epsg:4326", "epsg:3395")
+        x, y = f(np.array([1.0]), np.array([0.0]))
+        assert x[0] == pytest.approx(6378137.0 * math.pi / 180, abs=1e-6)
+        assert abs(y[0]) < 1e-9
+
+    def test_differs_from_3857_by_ellipsoidal_correction(self):
+        f95 = get_transform("epsg:4326", "epsg:3395")
+        f57 = get_transform("epsg:4326", "epsg:3857")
+        _, y95 = f95(np.array([10.0]), np.array([45.0]))
+        _, y57 = f57(np.array([10.0]), np.array([45.0]))
+        assert y95[0] / y57[0] == pytest.approx(0.99462, abs=2e-4)
+
+    def test_proj4_merc_routes_by_ellipsoid(self):
+        """Spherical merc strings stay 3857; ellipsoidal ones parse to
+        the 9804 kernel (bit-equal with the 3395 registry entry)."""
+        sph = ("+proj=merc +a=6378137 +b=6378137 +lat_ts=0.0 +lon_0=0.0 "
+               "+x_0=0.0 +y_0=0 +k=1.0 +units=m +no_defs")
+        assert normalize_crs(sph) == "epsg:3857"
+        ell = "+proj=merc +lon_0=0 +k=1 +x_0=0 +y_0=0 +ellps=WGS84"
+        assert normalize_crs(ell) != "epsg:3857"
+        fp = get_transform("epsg:4326", ell)
+        fr = get_transform("epsg:4326", "epsg:3395")
+        lon = np.array([10.0, -60.0]); lat = np.array([45.0, -30.0])
+        ax, ay = fp(lon, lat); bx, by = fr(lon, lat)
+        np.testing.assert_allclose(ax, bx, atol=1e-9)
+        np.testing.assert_allclose(ay, by, atol=1e-9)
+
+    def test_round_trip(self):
+        f = get_transform("epsg:4326", "epsg:3395")
+        i = get_transform("epsg:3395", "epsg:4326")
+        lon = np.array([-120.0, 0.0, 60.0]); lat = np.array([-70.0, 10.0, 70.0])
+        lo, la = i(*f(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+
+
+class TestEaseGrid2:
+    """epsg:6933 NSIDC EASE-Grid 2.0 Global (Lambert cylindrical
+    equal-area, EPSG method 9835, lat_ts=30). Golden values: the published
+    NSIDC grid constants — x_max 17367530.445161 m at lon 180 and
+    y 7314540.8306 m at the 85.0445664 deg cutoff latitude."""
+
+    def test_nsidc_grid_constants(self):
+        f = get_transform("epsg:4326", "epsg:6933")
+        x, _ = f(np.array([180.0]), np.array([0.0]))
+        assert x[0] == pytest.approx(17367530.445161, abs=1e-3)
+        _, y = f(np.array([0.0]), np.array([85.0445664]))
+        assert y[0] == pytest.approx(7314540.8306, abs=1e-3)
+
+    def test_equal_area_property(self):
+        import math
+
+        f = get_transform("epsg:4326", "epsg:6933")
+        a, e2 = 6378137.0, 0.0066943799901413165
+        for P in (10.0, 55.0):
+            d = 0.05
+            xs, ys = f(np.array([30 - d, 30 + d, 30 + d, 30 - d]),
+                       np.array([P - d, P - d, P + d, P + d]))
+            area = 0.5 * abs(sum(
+                xs[k] * ys[(k + 1) % 4] - xs[(k + 1) % 4] * ys[k] for k in range(4)
+            ))
+            phi = math.radians(P)
+            M = a * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+            N = a / (1 - e2 * math.sin(phi) ** 2) ** 0.5
+            ell = (M * math.radians(2 * d)) * (N * math.cos(phi) * math.radians(2 * d))
+            assert area / ell == pytest.approx(1.0, abs=1e-5)
+
+    def test_round_trip_and_proj4_cea(self):
+        f = get_transform("epsg:4326", "epsg:6933")
+        i = get_transform("epsg:6933", "epsg:4326")
+        lon = np.array([-170.0, 0.0, 45.0, 179.0])
+        lat = np.array([-60.0, 0.0, 30.0, 80.0])
+        lo, la = i(*f(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+        s = "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84"
+        fp = get_transform("epsg:4326", s)
+        ax, ay = fp(lon, lat); bx, by = f(lon, lat)
+        np.testing.assert_allclose(ax, bx, atol=1e-9)
+        np.testing.assert_allclose(ay, by, atol=1e-9)
