@@ -1806,6 +1806,80 @@ LEFT JOIN coords c ON c.gcol = scol AND c.grow = srow
 """
 
 
+def q_raster_reproject_ease(spark, sf_dir):
+    """NN warp 4326 -> the NSIDC EASE-Grid 2.0 Global GlobalLayout
+    (epsg:6933, round-5 cylindrical equal-area kernel + registered grid
+    envelope); data cells only."""
+    from ..core.extent import GlobalLayout
+
+    layer = lineitem_layer(spark, sf_dir)
+    out = layer.reproject(
+        "epsg:6933", layout=GlobalLayout(tile_size=TILE, zoom=6),
+    )
+    return _explode_result(out).where(F.col("value") != -1.0)
+
+
+def _sql_reproject_ease() -> str:
+    """Oracle: cylindrical equal-area is axis-separable (x<->lon, y<->lat),
+    so per-axis NN maps are recomputed driver-side with the engine's own
+    transform on engine-identical per-tile cell centers and injected as
+    two VALUES relations (the ``raster_reproject_global`` pattern)."""
+    import numpy as np
+
+    from ..core.crs import get_transform
+    from ..core.extent import GlobalLayout, world_extent
+    from ..core.keys import KeyTransform
+
+    zoom = 6
+    world = world_extent("epsg:6933")
+    ld = GlobalLayout(tile_size=TILE, zoom=zoom).layout_for_zoom(zoom, world)
+    kt = KeyTransform(ld)
+    fwd = get_transform("epsg:4326", "epsg:6933")
+    inv = get_transform("epsg:6933", "epsg:4326")
+    s_ld = RASTER_MD.layout
+    # separable + monotone: corner forwards bound the target window
+    cx, cy = fwd(
+        np.array([s_ld.extent.xmin, s_ld.extent.xmax]),
+        np.array([s_ld.extent.ymin, s_ld.extent.ymax]),
+    )
+    tk_c_lo = int((cx.min() - world.xmin) / (ld.cell_width * TILE)) - 1
+    tk_c_hi = int((cx.max() - world.xmin) / (ld.cell_width * TILE)) + 1
+    tk_r_lo = int((world.ymax - cy.max()) / (ld.cell_height * TILE)) - 1
+    tk_r_hi = int((world.ymax - cy.min()) / (ld.cell_height * TILE)) + 1
+    n_world = 2 ** zoom
+    cmap, rmap = [], []
+    for tk in range(max(tk_c_lo, 0), min(tk_c_hi, n_world - 1) + 1):
+        text = kt.key_extent(tk, 0)
+        xs = text.xmin + (np.arange(TILE) + 0.5) * ld.cell_width
+        sx, _ = inv(xs, np.zeros(TILE))
+        fc = (sx - s_ld.extent.xmin) / s_ld.cell_width
+        ic = np.floor(fc).astype(np.int64)
+        for i in range(TILE):
+            if fc[i] >= 0 and 0 <= ic[i] < GRID:
+                cmap.append((tk * TILE + i, int(ic[i])))
+    for tk in range(max(tk_r_lo, 0), min(tk_r_hi, n_world - 1) + 1):
+        text = kt.key_extent(0, tk)
+        ys = text.ymax - (np.arange(TILE) + 0.5) * ld.cell_height
+        _, sy = inv(np.zeros(TILE), ys)
+        fr = (s_ld.extent.ymax - sy) / s_ld.cell_height
+        ir = np.floor(fr).astype(np.int64)
+        for i in range(TILE):
+            if fr[i] >= 0 and 0 <= ir[i] < GRID:
+                rmap.append((tk * TILE + i, int(ir[i])))
+    cvals = ", ".join(f"({t}, {s})" for t, s in cmap)
+    rvals = ", ".join(f"({t}, {s})" for t, s in rmap)
+    return CELLS_CTE + f"""
+, cmap(tgcol, scol) AS (VALUES {cvals}),
+rmap(tgrow, srow) AS (VALUES {rvals})
+SELECT CAST(floor(tgcol / {TILE}) AS INT) AS key_col,
+       CAST(floor(tgrow / {TILE}) AS INT) AS key_row,
+       CAST((tgrow % {TILE}) * {TILE} + tgcol % {TILE} AS INT) AS pos,
+       c.value AS value
+FROM cmap CROSS JOIN rmap
+JOIN coords c ON c.gcol = scol AND c.grow = srow
+"""
+
+
 def q_raster_rasterize_features(spark, sf_dir):
     """rasterize_features priority semantics in one query: higher z-index
     wins regardless of value, z-ties resolve to the larger value, negative
@@ -3259,6 +3333,7 @@ def queries():
         # ---- round 5 additions (past the window) ----
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
+        "raster_reproject_ease": q_raster_reproject_ease,
     }
 
 
@@ -3368,6 +3443,7 @@ def oracle_sql():
         "raster_reproject_utm": _sql_reproject_utm(),
         "raster_reproject_albers": _sql_reproject_albers(),
         "events_stream_tumbling": SQL_EVENTS_TUMBLING,
+        "raster_reproject_ease": _sql_reproject_ease(),
     }
     # the IVF oracle reads the training rows from the oracle sf dir at
     # build time; if that path is unreachable the query degrades to a
