@@ -12,14 +12,20 @@ dist 1 for rook moves and sqrt(2) for diagonal moves (cell units);
 
 Spark physical plan (the reference's Pregel pattern, DataFrame-shaped):
 driver-coordinated fixpoint loop where each iteration
-  1. halo-exchanges the friction and distance planes (the same
-     single-projection fragment operator as focal, one per plane, joined
-     on target key),
-  2. runs a per-tile numpy local relaxation (alternating Bellman-Ford
-     sweeps — exact for a fixed boundary),
-  3. checks convergence with one scalar aggregate (max improvement).
-Each iteration shuffles tile-granular rows; state stays distributed, only
-the convergence scalar reaches the driver.
+  1. computes the ACTIVE frontier — tiles whose own or 8-neighbor
+     ``improved`` was > 0 last round (the reference's
+     ``IterativeCostDistance`` is likewise change-driven),
+  2. halo-exchanges the distance plane only for donor tiles within
+     Chebyshev distance 1 of the active set (the friction halo is
+     exchanged once up front and persisted),
+  3. runs a per-tile numpy local relaxation (alternating Gauss-Seidel
+     sweeps + exact min-plus row scans — exact for a fixed boundary)
+     over active tiles only; untouched tiles pass through via a
+     broadcast anti-join (a scan, not a shuffle),
+  4. checks convergence with one scalar aggregate (max improvement).
+Per-round shuffle volume is O(frontier), not O(grid): on a 10k x 10k
+tile layout a thin wavefront ring touches thousands of tiles per round,
+not a hundred million.
 """
 
 from __future__ import annotations
@@ -59,6 +65,10 @@ def _shifted(a: np.ndarray, dr: int, dc: int, fill: float) -> np.ndarray:
 
 #: last _local_relax sweep count (micro-bench / test instrumentation)
 _relax_stats = {"passes": 0}
+
+#: per-call fixpoint-loop instrumentation: tiles relaxed in each round vs
+#: the total tile count (frontier-filter effectiveness; reset per call)
+_loop_stats: dict = {"relaxed_per_round": [], "total_tiles": 0}
 
 #: snap threshold: any candidate this large came from an unreached (_BIG)
 #: cell — the prefix-scan's subtract-then-add can perturb _BIG by its ulp
@@ -148,6 +158,22 @@ def _local_relax(dist: np.ndarray, fric: np.ndarray, max_distance: float) -> np.
     return d
 
 
+def _expand_keys(keys_df, key_names: list[str], radius: int):
+    """Dilate a tile-key set by ``radius`` in (key_col, key_row) Chebyshev
+    distance; other key columns (instant, band) pass through unchanged —
+    the wavefront propagates within a single (instant, band) plane."""
+    offs = F.array(*[
+        F.struct(F.lit(dc).alias("dc"), F.lit(dr).alias("dr"))
+        for dc in range(-radius, radius + 1)
+        for dr in range(-radius, radius + 1)
+    ])
+    return keys_df.select(*key_names, F.explode(offs).alias("o")).select(
+        (F.col("key_col") + F.col("o.dc")).alias("key_col"),
+        (F.col("key_row") + F.col("o.dr")).alias("key_row"),
+        *[c for c in key_names if c not in ("key_col", "key_row")],
+    ).distinct()
+
+
 def cost_distance(
     friction: "TiledRasterLayer",
     geometries,
@@ -206,21 +232,32 @@ def cost_distance(
                 if nd is not None and not math.isnan(nd):
                     fr = np.where(fr == nd, np.nan, fr)
                 m = seed_mask(int(rec["key_col"]), int(rec["key_row"]))
-                dist = np.where(m & ~np.isnan(fr), 0.0, _BIG)
+                seeded = m & ~np.isnan(fr)
+                dist = np.where(seeded, 0.0, _BIG)
                 rec["cells"] = fr.tolist()
                 rec["dist"] = dist.tolist()
+                # only tiles holding a source cell start the wavefront;
+                # everything else is all-_BIG and relaxing it against
+                # all-_BIG boundaries is a provable no-op
+                rec["improved"] = 1.0 if seeded.any() else 0.0
                 rows.append(rec)
-            yield pd.DataFrame(rows, columns=list(pdf.columns) + ["dist"])
+            yield pd.DataFrame(
+                rows, columns=list(pdf.columns) + ["dist", "improved"]
+            )
 
     from pyspark.sql import types as T
 
     # note: StructType.add mutates in place — build a fresh StructType
     schema = T.StructType(
         list(friction.df.schema.fields)
-        + [T.StructField("dist", T.ArrayType(T.DoubleType()))]
+        + [
+            T.StructField("dist", T.ArrayType(T.DoubleType())),
+            T.StructField("improved", T.DoubleType()),
+        ]
     )
     state = friction.df.mapInPandas(init_batch, schema=schema).persist()
-    state.count()
+    _loop_stats["relaxed_per_round"] = []
+    _loop_stats["total_tiles"] = state.count()
 
     # relax emits only the dist plane + the convergence scalar: the
     # friction cells live in the persisted static fragments, so shipping
@@ -229,7 +266,7 @@ def cost_distance(
     out_schema = ", ".join(
         ["key_col int", "key_row int"]
         + (["instant timestamp"] if friction.is_temporal else [])
-        + ["band int", "dist array<double>", "improved double"]
+        + ["band int", "dist array<double>", "improved double", "touched double"]
     )
     out_cols = [c.split(" ")[0] for c in out_schema.split(", ")]
 
@@ -241,10 +278,22 @@ def cost_distance(
 
     converged = False
     for _ in range(max_iterations):
+        # frontier: a tile needs re-relaxing iff its own or any 8-neighbor
+        # boundary changed last round (relaxation is monotone + the local
+        # fixpoint is unique, so unchanged inputs => unchanged output)
+        imp_keys = state.filter(F.col("improved") > 0).select(*key_names)
+        active = _expand_keys(imp_keys, key_names, 1)
+        # donors: every existing neighbor of an active target (<=2 from an
+        # improved tile) must contribute its dist boundary fragment
+        donors = _expand_keys(imp_keys, key_names, 2)
+        dist_src = state.join(F.broadcast(donors), key_names, "left_semi")
         frag_d = halo_exchange(
-            state.select(*key_names, F.col("dist").alias("cells")), tc, tr, 1
-        ).withColumnRenamed("frag", "frag_d")
-        both = frag_f.join(frag_d, key_names + ["dc", "dr"], "full_outer")
+            dist_src.select(*key_names, F.col("dist").alias("cells")), tc, tr, 1
+        ).withColumnRenamed("frag", "frag_d").join(
+            F.broadcast(active), key_names, "left_semi"
+        )
+        frag_f_round = frag_f.join(F.broadcast(active), key_names, "left_semi")
+        both = frag_f_round.join(frag_d, key_names + ["dc", "dr"], "full_outer")
 
         def relax(key, pdf: pd.DataFrame) -> pd.DataFrame:
             fpdf = pdf[pdf["frag"].notna()]
@@ -261,12 +310,30 @@ def cost_distance(
             data = {k: [v] for k, v in zip(key_names, key)}
             data["dist"] = [center.reshape(-1).tolist()]
             data["improved"] = [improved if np.isfinite(improved) else 0.0]
+            data["touched"] = [1.0]
             return pd.DataFrame(data, columns=out_cols)
 
-        new_state = both.groupBy(*key_names).applyInPandas(relax, schema=out_schema).persist()
-        max_improved = new_state.agg(F.max("improved")).first()[0] or 0.0
+        relaxed = both.groupBy(*key_names).applyInPandas(relax, schema=out_schema)
+        # tiles outside the frontier pass through untouched — broadcast
+        # anti-join, so the persisted state is scanned, never shuffled
+        untouched = state.join(F.broadcast(active), key_names, "left_anti").select(
+            *key_names,
+            "dist",
+            F.lit(0.0).alias("improved"),
+            F.lit(0.0).alias("touched"),
+        )
+        # localCheckpoint truncates lineage: the frontier plan references
+        # `state` several times per round (active/donors/dist_src/
+        # passthrough), so without truncation the logical plan would grow
+        # exponentially across rounds
+        new_state = relaxed.unionByName(untouched).localCheckpoint(eager=True)
+        agg = new_state.agg(
+            F.max("improved").alias("mi"), F.sum("touched").alias("nt")
+        ).first()
+        max_improved = agg["mi"] or 0.0
+        _loop_stats["relaxed_per_round"].append(int(agg["nt"] or 0))
         state.unpersist()
-        state = new_state.drop("improved")
+        state = new_state
         if max_improved <= 1e-9:
             converged = True
             break

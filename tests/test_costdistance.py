@@ -104,6 +104,45 @@ def test_unconverged_warns(spark, friction_layer=None):
     assert np.isfinite(arr[0, 3, 11])
 
 
+def test_frontier_filter_relaxes_only_wavefront(spark):
+    """Round-6 (VERDICT r5 next-round #1): the fixpoint loop is change-
+    driven — each round relaxes only tiles whose own or neighbor state
+    improved, so a point source on an 8x8-tile layout touches a corner
+    wedge, never the whole grid every round."""
+    from geopyspark_spark.operators import costdistance as cd
+
+    n_tiles = 8
+    layout = gps.LayoutDefinition(
+        gps.Extent(0, 0, 8 * n_tiles, 8 * n_tiles),
+        gps.TileLayout(n_tiles, n_tiles, 8, 8),
+    )
+    md = gps.LayerMetadata(
+        crs="epsg:4326", cell_type="float64", layout=layout,
+        bounds=((0, 0), (n_tiles - 1, n_tiles - 1)),
+        extent=layout.extent, num_bands=1,
+    )
+    tiles = [
+        (kc, kr, 0, np.ones((8, 8)))
+        for kc in range(n_tiles) for kr in range(n_tiles)
+    ]
+    layer = gps.from_numpy(spark, tiles, md)
+    out = cost_distance(layer, gps.Point(0.5, 8 * n_tiles - 0.5))  # top-left corner
+    a = _stitched(out)
+    assert a[0, 0] == 0.0
+    assert abs(a[0, 63] - 63.0) < 1e-9      # reaches the far edge
+    assert abs(a[63, 63] - 63 * math.sqrt(2)) < 1e-9
+
+    total = cd._loop_stats["total_tiles"]
+    per_round = cd._loop_stats["relaxed_per_round"]
+    assert total == n_tiles * n_tiles
+    # round 1 relaxes only the seed tile + its neighbors (corner => <= 4)
+    assert per_round[0] <= 4
+    # no round ever touches the whole grid, and total relaxed work is far
+    # below rounds x tiles (the Jacobi-loop cost this replaces)
+    assert max(per_round) < total
+    assert sum(per_round) < 0.5 * len(per_round) * total
+
+
 class TestGaussSeidelKernel:
     """Round-5: the per-tile relaxation is Gauss-Seidel row sweeps with
     exact in-row prefix scans — sweep count tracks path direction
