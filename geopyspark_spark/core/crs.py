@@ -72,12 +72,18 @@ def normalize_crs(crs: str | int) -> str:
         import re
 
         kv = dict(re.findall(r"\+([a-z_0-9]+)=([^\s]+)", s))
-        spherical = ("a" in kv and kv.get("b") == kv["a"]) or not any(
+        a = float(kv["a"]) if "a" in kv else None
+        b = float(kv["b"]) if "b" in kv else None
+        # numeric compare (ADVICE r5): '+a=6378137 +b=6378137.0' is the
+        # web-mercator sphere even though the strings differ
+        spherical = (a is not None and b == a) or not any(
             k in kv for k in ("ellps", "datum", "a")
         )
-        if spherical:
+        if spherical and (a is None or a == 6378137.0):
             return "epsg:3857"
-        return s  # ellipsoidal Mercator (EPSG 9804/9805) — parsed later
+        # ellipsoidal Mercator (EPSG 9804/9805) or a sphere of non-web-
+        # mercator radius (e.g. EASE-Grid 1.0 authalic) — parsed later
+        return s
     if s.startswith("+proj=longlat") and _is_wgs84_datum(s):
         return "epsg:4326"
     if s.startswith("+proj=utm") and _is_wgs84_datum(s):
@@ -432,6 +438,30 @@ class Mercator1SP:
         return lon, np.degrees(phi)
 
 
+def _authalic_q(s, e, e2):
+    """Snyder eq. 3-12 authalic ``q`` from sin(lat); works on scalars and
+    arrays. The sphere (e=0) limit is ``q = 2 sin(lat)`` — computed
+    explicitly rather than dividing by e (ADVICE r5)."""
+    if e == 0.0:
+        return 2.0 * s
+    return (1 - e2) * (
+        s / (1 - e2 * s * s) - (1.0 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+    )
+
+
+def _authalic_phi_step(qv, s, cosphi, e, e2):
+    """One Snyder eq. 3-16 iteration increment for recovering lat from
+    authalic q; sphere limit is ``(q - 2 sin(lat)) / (2 cos(lat))``."""
+    cosphi = np.maximum(cosphi, 1e-12)  # pole-safe: increment -> 0 there
+    if e == 0.0:
+        return (qv - 2.0 * s) / (2.0 * cosphi)
+    return (1 - e2 * s * s) ** 2 / (2 * cosphi) * (
+        qv / (1 - e2)
+        - s / (1 - e2 * s * s)
+        + (1.0 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+    )
+
+
 class LambertCylindricalEqualArea:
     """Lambert cylindrical equal-area (EPSG method 9835; Snyder 1987 §10)
     — the EASE-Grid 2.0 family (epsg:6933 global) behind many satellite /
@@ -445,11 +475,7 @@ class LambertCylindricalEqualArea:
         self.k0 = math.cos(pts) / math.sqrt(1 - e2 * math.sin(pts) ** 2)
 
     def _q_arr(self, phi):
-        e, e2 = self.ell.e, self.ell.e2
-        s = np.sin(phi)
-        return (1 - e2) * (
-            s / (1 - e2 * s * s) - (1.0 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
-        )
+        return _authalic_q(np.sin(phi), self.ell.e, self.ell.e2)
 
     def forward(self, lon, lat):
         phi = np.radians(np.asarray(lat, dtype=np.float64))
@@ -464,11 +490,7 @@ class LambertCylindricalEqualArea:
         phi = np.arcsin(np.clip(qv / 2.0, -1.0, 1.0))
         for _ in range(8):
             s = np.sin(phi)
-            phi = phi + (1 - e2 * s * s) ** 2 / (2 * np.cos(phi)) * (
-                qv / (1 - e2)
-                - s / (1 - e2 * s * s)
-                + (1.0 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
-            )
+            phi = phi + _authalic_phi_step(qv, s, np.cos(phi), e, e2)
         return lon, np.degrees(phi)
 
 
@@ -485,11 +507,7 @@ class AlbersEqualArea:
             return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
 
         def q(phi):
-            s = math.sin(phi)
-            return (1 - e2) * (
-                s / (1 - e2 * s * s)
-                - (1.0 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
-            )
+            return float(_authalic_q(math.sin(phi), e, e2))
 
         p1, p2, p0 = map(math.radians, (lat1, lat2, lat0))
         m1, m2 = m(p1), m(p2)
@@ -502,11 +520,7 @@ class AlbersEqualArea:
         self.rho0 = ell.a * math.sqrt(self.C - self.n_cone * q0) / self.n_cone
 
     def _q_arr(self, phi):
-        e, e2 = self.ell.e, self.ell.e2
-        s = np.sin(phi)
-        return (1 - e2) * (
-            s / (1 - e2 * s * s) - (1.0 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
-        )
+        return _authalic_q(np.sin(phi), self.ell.e, self.ell.e2)
 
     def forward(self, lon, lat):
         phi = np.radians(np.asarray(lat, dtype=np.float64))
@@ -529,11 +543,7 @@ class AlbersEqualArea:
         phi = np.arcsin(np.clip(qv / 2.0, -1.0, 1.0))
         for _ in range(8):
             s = np.sin(phi)
-            phi = phi + (1 - e2 * s * s) ** 2 / (2 * np.cos(phi)) * (
-                qv / (1 - e2)
-                - s / (1 - e2 * s * s)
-                + (1.0 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
-            )
+            phi = phi + _authalic_phi_step(qv, s, np.cos(phi), e, e2)
         return lon, np.degrees(phi)
 
 
@@ -805,14 +815,28 @@ def _parse_proj4(s: str):
         ell, shift_params = _DATUM_TABLE[datum]
     if kv.get("ellps", "").lower() in _ELLPS_TABLE:
         ell = _ELLPS_TABLE[kv["ellps"].lower()]
-    if "a" in kv:  # explicit ellipsoid: +a with +rf or +b
+    if "a" in kv:  # explicit ellipsoid: +a with +rf / +b, or sphere
         a = float(kv["a"])
         if "rf" in kv:
             ell = _Ellipsoid(a, float(kv["rf"]))
         elif "b" in kv:
             b = float(kv["b"])
-            ell = WGS84_ELL if a == b else _Ellipsoid(a, a / (a - b))
+            # a == b is a true sphere of radius a (e = 0) — e.g. the
+            # EASE-Grid 1.0 authalic sphere 6371228 — NOT the WGS84
+            # ellipsoid (ADVICE r5: substituting WGS84 was ~33 km off)
+            ell = _Ellipsoid(a, float("inf")) if a == b else _Ellipsoid(a, a / (a - b))
+        else:
+            ell = _Ellipsoid(a, float("inf"))  # bare +a: sphere
     if ell is None:
+        if datum:
+            # +datum present but unrecognized, and nothing else pinned the
+            # ellipsoid: defaulting to WGS84 with no shift would be tens
+            # to hundreds of meters wrong (ADVICE r5) — refuse instead
+            raise NotImplementedError(
+                f"proj4 +datum={datum!r} is not supported (known: "
+                f"{sorted(_DATUM_TABLE)}); give an explicit +ellps/+a "
+                "and +towgs84 instead"
+            )
         ell = WGS84_ELL
     if "towgs84" in kv:  # explicit shift overrides any datum-implied one
         vals = [float(v) for v in kv["towgs84"].split(",")]

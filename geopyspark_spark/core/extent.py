@@ -176,11 +176,16 @@ def world_extent(crs: str) -> Extent:
     :func:`register_world_extent` (the reference accepts any CRS with a
     proj4j ``worldExtent``; same contract, explicit registry).
     """
+    import re
+
     key = str(crs).lower()
     got = WORLD_EXTENTS.get(key)
     if got is not None:
         return got
-    if key.startswith("epsg:326") or key.startswith("epsg:327"):
+    # exact UTM codes only (zones 01-60): a prefix match would also grab
+    # the UPS codes 32661/32761 and 4-digit epsg:326x/327x (ADVICE r5)
+    m = re.fullmatch(r"epsg:32[67](\d{2})", key)
+    if m and 1 <= int(m.group(1)) <= 60:
         return Extent(0.0, 0.0, 1.0e6, 1.0e7)
     raise NotImplementedError(
         f"no world extent registered for {crs!r}; use register_world_extent"

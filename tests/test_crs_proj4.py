@@ -280,3 +280,78 @@ class TestEaseGrid2:
         ax, ay = fp(lon, lat); bx, by = f(lon, lat)
         np.testing.assert_allclose(ax, bx, atol=1e-9)
         np.testing.assert_allclose(ay, by, atol=1e-9)
+
+
+class TestAdviceR5Fixes:
+    """ADVICE r5: datum fallback, spherical ellipsoids, numeric a==b
+    compare, precise UTM world-extent matching."""
+
+    def test_unknown_datum_raises(self):
+        # +datum=NAD27 is not in the datum table and carries no explicit
+        # ellipsoid: silently parsing as WGS84/no-shift would be tens to
+        # hundreds of meters wrong
+        with pytest.raises(NotImplementedError, match="nad27"):
+            get_transform("epsg:4326", "+proj=utm +zone=17 +datum=NAD27")
+
+    def test_unknown_datum_with_explicit_ellps_still_parses(self):
+        # an explicit +ellps pins the ellipsoid, so the parse proceeds
+        # (shift-free, as proj4 semantics without +towgs84)
+        fwd = get_transform(
+            "epsg:4326", "+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=500000 "
+            "+ellps=bessel +datum=unknowable"
+        )
+        x, y = fwd(np.array([9.0]), np.array([50.0]))
+        assert x[0] == pytest.approx(500000.0, abs=1e-6)
+
+    def test_ease1_authalic_sphere_cea(self):
+        """EASE-Grid 1.0 sphere (R=6371228): x at lon 180 must use the
+        actual radius, not WGS84 (which lands ~33 km east)."""
+        s = "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +a=6371228 +b=6371228"
+        fwd = get_transform("epsg:4326", s)
+        x, y = fwd(np.array([180.0]), np.array([0.0]))
+        import math
+        expect = 6371228 * math.cos(math.radians(30.0)) * math.pi
+        assert x[0] == pytest.approx(expect, abs=0.5)
+        assert abs(x[0] - 17334194) < 2.0
+        # round trip on the sphere (e=0 branch of the q-formulas)
+        inv = get_transform(s, "epsg:4326")
+        lon = np.array([-170.0, 0.0, 45.0, 179.0])
+        lat = np.array([-60.0, 0.0, 30.0, 80.0])
+        lo, la = inv(*fwd(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+
+    def test_sphere_mercator_not_web_mercator(self):
+        # GRS80 authalic sphere Mercator is NOT epsg:3857 (R differs)
+        s = "+proj=merc +a=6371007 +b=6371007"
+        assert normalize_crs(s) != "epsg:3857"
+        fwd = get_transform("epsg:4326", s)
+        x, _ = fwd(np.array([180.0]), np.array([0.0]))
+        assert x[0] == pytest.approx(6371007 * np.pi, abs=0.5)
+
+    def test_numeric_a_b_compare_is_web_mercator(self):
+        # textually different, numerically equal: still the 3857 sphere
+        assert normalize_crs("+proj=merc +a=6378137 +b=6378137.0") == "epsg:3857"
+
+    def test_sphere_albers_roundtrip(self):
+        s = ("+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+             "+a=6370997 +b=6370997")
+        fwd = get_transform("epsg:4326", s)
+        inv = get_transform(s, "epsg:4326")
+        lon = np.array([-120.0, -96.0, -75.0])
+        lat = np.array([25.0, 40.0, 48.0])
+        lo, la = inv(*fwd(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+
+    def test_ups_codes_do_not_get_utm_world_extent(self):
+        from geopyspark_spark.core.extent import world_extent
+
+        for code in ("epsg:32661", "epsg:32761", "epsg:3260", "epsg:3267"):
+            with pytest.raises(NotImplementedError):
+                world_extent(code)
+        # real UTM zones still fall back to the nominal envelope
+        e = world_extent("epsg:32617")
+        assert (e.xmin, e.ymin, e.xmax, e.ymax) == (0.0, 0.0, 1.0e6, 1.0e7)
+        with pytest.raises(NotImplementedError):
+            world_extent("epsg:32661")
