@@ -472,9 +472,11 @@ def cosine_near_dup(df: DataFrame, threshold: float = 0.45,
     )
 
 
-#: brute-force near-dup refuses corpora beyond this (broadcast matrix size);
-#: the LSH-blocked path is the scale route past it
-MAX_BRUTE_FORCE_VECTORS = 1_000_000
+#: brute-force near-dup refuses corpora beyond this (broadcast matrix
+#: size: 100k x d=128 doubles ~ 100 MB on the driver — a sane broadcast
+#: ceiling; r5's 1M ceiling allowed ~1 GB); the LSH-blocked path is the
+#: scale route past it
+MAX_BRUTE_FORCE_VECTORS = 100_000
 
 
 def _near_dup_matmul(df: DataFrame, threshold: float, id_col: str,
