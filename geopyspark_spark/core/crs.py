@@ -441,25 +441,38 @@ class Mercator1SP:
 def _authalic_q(s, e, e2):
     """Snyder eq. 3-12 authalic ``q`` from sin(lat); works on scalars and
     arrays. The sphere (e=0) limit is ``q = 2 sin(lat)`` — computed
-    explicitly rather than dividing by e (ADVICE r5)."""
+    explicitly rather than dividing by e (ADVICE r5).
+
+    Computed as sign(s) * q(|s|) so q is odd to the last ulp — otherwise
+    log((1+es)/(1-es)) vs its reciprocal differ by roundoff and the south
+    pole lands ~0.2 m off the north pole's image."""
     if e == 0.0:
         return 2.0 * s
-    return (1 - e2) * (
-        s / (1 - e2 * s * s) - (1.0 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+    sa = np.abs(s)
+    return np.sign(s) * (1 - e2) * (
+        sa / (1 - e2 * sa * sa)
+        - (1.0 / (2 * e)) * np.log((1 - e * sa) / (1 + e * sa))
     )
 
 
 def _authalic_phi_step(qv, s, cosphi, e, e2):
     """One Snyder eq. 3-16 iteration increment for recovering lat from
-    authalic q; sphere limit is ``(q - 2 sin(lat)) / (2 cos(lat))``."""
-    cosphi = np.maximum(cosphi, 1e-12)  # pole-safe: increment -> 0 there
+    authalic q; sphere limit is ``(q - 2 sin(lat)) / (2 cos(lat))``.
+
+    At the exact pole the correction is the 0/0 limit; dividing the
+    ~1e-16 numerator roundoff by a clamped cos would amplify it into a
+    runaway step, so the increment is forced to 0 there."""
+    at_pole = cosphi < 1e-9
+    cosphi = np.maximum(cosphi, 1e-9)
     if e == 0.0:
-        return (qv - 2.0 * s) / (2.0 * cosphi)
-    return (1 - e2 * s * s) ** 2 / (2 * cosphi) * (
-        qv / (1 - e2)
-        - s / (1 - e2 * s * s)
-        + (1.0 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
-    )
+        step = (qv - 2.0 * s) / (2.0 * cosphi)
+    else:
+        step = (1 - e2 * s * s) ** 2 / (2 * cosphi) * (
+            qv / (1 - e2)
+            - s / (1 - e2 * s * s)
+            + (1.0 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+    return np.where(at_pole, 0.0, step)
 
 
 class LambertCylindricalEqualArea:
@@ -610,6 +623,134 @@ class PolarStereographic:
         return -(np.mod(-(lon + self.lon0) + 180.0, 360.0) - 180.0), lat
 
 
+class LambertAzimuthalEqualArea:
+    """Lambert azimuthal equal-area (EPSG method 9820; Snyder 1987 §24) —
+    the standard European statistics grid (epsg:3035) and the EASE-Grid
+    2.0 polar grids (epsg:6931/6932). Oblique and polar aspects; the
+    reference reaches it through proj4j's ``+proj=laea``
+    (``TileLayer.scala:288-295`` getCRS)."""
+
+    def __init__(self, ell: _Ellipsoid, lat0: float, lon0: float,
+                 fe: float, fn: float):
+        self.ell, self.lat0, self.lon0, self.fe, self.fn = ell, lat0, lon0, fe, fn
+        e, e2 = ell.e, ell.e2
+        self.qp = float(_authalic_q(1.0, e, e2))
+        self.polar = abs(abs(lat0) - 90.0) < 1e-9
+        self.south = lat0 < 0
+        if not self.polar:
+            p0 = math.radians(lat0)
+            s0 = math.sin(p0)
+            q0 = float(_authalic_q(s0, e, e2))
+            self.beta0 = math.asin(min(1.0, max(-1.0, q0 / self.qp)))
+            self.rq = ell.a * math.sqrt(self.qp / 2.0)
+            self.d = (ell.a * math.cos(p0) / math.sqrt(1 - e2 * s0 * s0)) / (
+                self.rq * math.cos(self.beta0)
+            )
+
+    def forward(self, lon, lat):
+        e, e2 = self.ell.e, self.ell.e2
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.subtract(lon, self.lon0))
+        q = _authalic_q(np.sin(phi), e, e2)
+        if self.polar:
+            if self.south:
+                rho = self.ell.a * np.sqrt(np.maximum(self.qp + q, 0.0))
+                return self.fe + rho * np.sin(lam), self.fn + rho * np.cos(lam)
+            rho = self.ell.a * np.sqrt(np.maximum(self.qp - q, 0.0))
+            return self.fe + rho * np.sin(lam), self.fn - rho * np.cos(lam)
+        beta = np.arcsin(np.clip(q / self.qp, -1.0, 1.0))
+        sb0, cb0 = math.sin(self.beta0), math.cos(self.beta0)
+        sb, cb = np.sin(beta), np.cos(beta)
+        denom = 1.0 + sb0 * sb + cb0 * cb * np.cos(lam)
+        b = self.rq * np.sqrt(2.0 / np.maximum(denom, 1e-300))
+        x = self.fe + (b * self.d) * cb * np.sin(lam)
+        y = self.fn + (b / self.d) * (cb0 * sb - sb0 * cb * np.cos(lam))
+        return x, y
+
+    def inverse(self, x, y):
+        e, e2 = self.ell.e, self.ell.e2
+        dx = np.subtract(x, self.fe)
+        dy = np.subtract(y, self.fn)
+        if self.polar:
+            rho = np.hypot(dx, dy)
+            if self.south:
+                qv = (rho / self.ell.a) ** 2 - self.qp
+                lam = np.arctan2(dx, dy)
+            else:
+                qv = self.qp - (rho / self.ell.a) ** 2
+                lam = np.arctan2(dx, -dy)
+        else:
+            sb0, cb0 = math.sin(self.beta0), math.cos(self.beta0)
+            rho = np.hypot(dx / self.d, self.d * dy)
+            c = 2.0 * np.arcsin(np.clip(rho / (2.0 * self.rq), -1.0, 1.0))
+            sc, cc = np.sin(c), np.cos(c)
+            with np.errstate(invalid="ignore"):
+                qv = np.where(
+                    rho > 0,
+                    self.qp * (cc * sb0 + self.d * dy * sc * cb0 / np.where(rho > 0, rho, 1.0)),
+                    self.qp * sb0,
+                )
+            lam = np.arctan2(
+                dx * sc, self.d * rho * cb0 * cc - self.d ** 2 * dy * sb0 * sc
+            )
+        phi = np.arcsin(np.clip(qv / self.qp, -1.0, 1.0))
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = phi + _authalic_phi_step(qv, s, np.cos(phi), e, e2)
+        lon = np.degrees(lam) + self.lon0
+        # wrap into [-180, 180] (polar aspects cross the antimeridian)
+        return -(np.mod(-lon + 180.0, 360.0) - 180.0), np.degrees(phi)
+
+
+class Sinusoidal:
+    """Sinusoidal (Sanson-Flamsteed; Snyder 1987 §30) — the MODIS land
+    tile grid (sphere R=6371007.181). Equal-area pseudocylindrical;
+    ellipsoidal form uses the rectifying-latitude meridian arc."""
+
+    def __init__(self, ell: _Ellipsoid, lon0: float, fe: float, fn: float):
+        self.ell, self.lon0, self.fe, self.fn = ell, lon0, fe, fn
+        n = ell.n
+        # meridian-arc series in the third flattening (rectifying lat mu):
+        # M = A*mu(phi); phi = mu + series (Helmert/Bessel, n^4 terms)
+        self._mu_c = (
+            -(3 * n / 2 - 9 * n ** 3 / 16),
+            (15 * n ** 2 / 16 - 15 * n ** 4 / 32),
+            -(35 * n ** 3 / 48),
+            (315 * n ** 4 / 512),
+        )
+        self._phi_c = (
+            (3 * n / 2 - 27 * n ** 3 / 32),
+            (21 * n ** 2 / 16 - 55 * n ** 4 / 32),
+            (151 * n ** 3 / 96),
+            (1097 * n ** 4 / 512),
+        )
+
+    def _merid(self, phi):
+        mu = phi
+        for k, c in enumerate(self._mu_c, start=1):
+            mu = mu + c * np.sin(2 * k * phi)
+        return self.ell.A * mu
+
+    def forward(self, lon, lat):
+        e2 = self.ell.e2
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        s = np.sin(phi)
+        lam = np.radians(np.subtract(lon, self.lon0))
+        x = self.ell.a * lam * np.cos(phi) / np.sqrt(1 - e2 * s * s)
+        return self.fe + x, self.fn + self._merid(phi)
+
+    def inverse(self, x, y):
+        e2 = self.ell.e2
+        mu = np.subtract(y, self.fn) / self.ell.A
+        phi = mu
+        for k, c in enumerate(self._phi_c, start=1):
+            phi = phi + c * np.sin(2 * k * mu)
+        s = np.sin(phi)
+        cosphi = np.maximum(np.cos(phi), 1e-12)
+        lam = np.subtract(x, self.fe) * np.sqrt(1 - e2 * s * s) / (self.ell.a * cosphi)
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
 class Helmert:
     """7-parameter position-vector datum shift (EPSG method 9606), applied
     between geodetic coordinates on two ellipsoids via geocentric XYZ."""
@@ -732,6 +873,19 @@ CRS_REGISTRY: dict[str, tuple] = {
     "epsg:6933": (
         LambertCylindricalEqualArea(WGS84_ELL, 30.0, 0.0, 0.0, 0.0), _NO_SHIFT,
     ),
+    # ETRS89-extended / LAEA Europe — the standard European statistics
+    # grid (EEA reference grid); ETRS89 == WGS84 at raster accuracy (r6)
+    "epsg:3035": (
+        LambertAzimuthalEqualArea(GRS80, 52.0, 10.0, 4321000.0, 3210000.0),
+        _NO_SHIFT,
+    ),
+    # WGS84 / NSIDC EASE-Grid 2.0 North + South (polar azimuthal, r6)
+    "epsg:6931": (
+        LambertAzimuthalEqualArea(WGS84_ELL, 90.0, 0.0, 0.0, 0.0), _NO_SHIFT,
+    ),
+    "epsg:6932": (
+        LambertAzimuthalEqualArea(WGS84_ELL, -90.0, 0.0, 0.0, 0.0), _NO_SHIFT,
+    ),
 }
 
 
@@ -800,9 +954,10 @@ _DATUM_TABLE: dict[str, tuple[_Ellipsoid, tuple | None]] = {
 def _parse_proj4(s: str):
     """Build (projection, datum_shift|None) from a proj4 string — the
     reference accepts arbitrary proj4 via proj4j (``TileLayer.scala:
-    288-295`` getCRS); this covers the ``+proj=tmerc/lcc/longlat/utm``
-    families over ``+ellps/+datum/+a/+rf/+b/+towgs84/+k/+x_0/+y_0/...``
-    parameters, feeding the existing Krueger/LCC/Helmert kernels.
+    288-295`` getCRS); this covers the ``+proj=tmerc/lcc/utm/longlat/
+    merc/cea/aea/stere(polar)/laea/sinu`` families over
+    ``+ellps/+datum/+a/+rf/+b/+towgs84/+k/+x_0/+y_0/...`` parameters,
+    feeding the existing Krueger/LCC/Helmert kernels.
     Returns None for unsupported projections."""
     import re
 
@@ -866,6 +1021,11 @@ def _parse_proj4(s: str):
     if proj == "cea":
         return LambertCylindricalEqualArea(ell, g("lat_ts"), g("lon_0"),
                                            g("x_0"), g("y_0")), shift
+    if proj == "laea":
+        return LambertAzimuthalEqualArea(ell, g("lat_0"), g("lon_0"),
+                                         g("x_0"), g("y_0")), shift
+    if proj == "sinu":
+        return Sinusoidal(ell, g("lon_0"), g("x_0"), g("y_0")), shift
     if proj == "merc":
         # EPSG 9805 (lat_ts standard parallel) or 9804 (k scale factor)
         if "lat_ts" in kv:
@@ -962,8 +1122,9 @@ def get_transform(src_crs: str | int, dst_crs: str | int) -> Transform:
         f"no transform {src} -> {dst}: this environment has no projection "
         "library; supported CRSs are epsg:4326, epsg:3857, WGS84 UTM zones "
         "epsg:326xx / epsg:327xx, the registered national grids "
-        f"({', '.join(sorted(CRS_REGISTRY))}), +proj=tmerc / +proj=lcc "
-        "strings, and anything added via register_crs()"
+        f"({', '.join(sorted(CRS_REGISTRY))}), proj4 strings in the "
+        "tmerc/lcc/utm/longlat/merc/cea/aea/polar-stere/laea/sinu "
+        "families, and anything added via register_crs()"
     )
 
 

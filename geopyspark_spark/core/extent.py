@@ -160,6 +160,11 @@ WORLD_EXTENTS: dict[str, Extent] = {
     # +-17367530.445161 m easting, +-7314540.8306 m at the 85.0445664 deg
     # cutoff latitude)
     "epsg:6933": Extent(-17367530.445161, -7314540.8306, 17367530.445161, 7314540.8306),
+    # ETRS89 / LAEA Europe: the EEA reference-grid square (4.5M x 4.5M m)
+    "epsg:3035": Extent(2000000.0, 1000000.0, 6500000.0, 5500000.0),
+    # NSIDC EASE-Grid 2.0 North/South envelopes (published: +-9000000 m)
+    "epsg:6931": Extent(-9000000.0, -9000000.0, 9000000.0, 9000000.0),
+    "epsg:6932": Extent(-9000000.0, -9000000.0, 9000000.0, 9000000.0),
 }
 
 

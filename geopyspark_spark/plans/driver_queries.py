@@ -1880,6 +1880,63 @@ JOIN coords c ON c.gcol = scol AND c.grow = srow
 """
 
 
+def q_raster_reproject_laea(spark, sf_dir):
+    """NN warp 4326 -> epsg:3035 (ETRS89 / LAEA Europe, the round-6
+    azimuthal equal-area kernel, EPSG method 9820) onto the standard 4x4
+    grid over the warped extent; NoData ring kept (-1.0), so all 1024
+    cells return."""
+    layer = lineitem_layer(spark, sf_dir)
+    out = layer.reproject(
+        "epsg:3035", layout=gps.TileLayout(LAYOUT_N, LAYOUT_N, TILE, TILE),
+    )
+    return _explode_result(out)
+
+
+def _sql_reproject_laea() -> str:
+    """Oracle: LAEA is not axis-separable (azimuthal), so the full 2-D NN
+    map is rebuilt driver-side exactly as for Albers (engine-identical
+    per-tile cell centers, injected VALUES relation, NoData fill)."""
+    import numpy as np
+
+    from ..core.crs import get_transform, transform_extent
+    from ..core.keys import KeyTransform
+
+    warped = transform_extent(RASTER_MD.layout.extent, "epsg:4326", "epsg:3035")
+    ld = gps.LayoutDefinition(warped, gps.TileLayout(LAYOUT_N, LAYOUT_N, TILE, TILE))
+    kt = KeyTransform(ld)
+    inv = get_transform("epsg:3035", "epsg:4326")
+    s_ld = RASTER_MD.layout
+    tuples = []
+    for tkr in range(LAYOUT_N):
+        for tkc in range(LAYOUT_N):
+            text = kt.key_extent(tkc, tkr)
+            xs = text.xmin + (np.arange(TILE) + 0.5) * ld.cell_width
+            ys = text.ymax - (np.arange(TILE) + 0.5) * ld.cell_height
+            gx, gy = np.meshgrid(xs, ys)
+            sx, sy = inv(gx.ravel(), gy.ravel())
+            fc = (sx - s_ld.extent.xmin) / s_ld.cell_width
+            fr = (s_ld.extent.ymax - sy) / s_ld.cell_height
+            ic = np.floor(fc).astype(np.int64)
+            ir = np.floor(fr).astype(np.int64)
+            ok = (fc >= 0) & (fr >= 0) & (ic >= 0) & (ic < GRID) & (ir >= 0) & (ir < GRID)
+            for k in range(TILE * TILE):
+                i, j = divmod(k, TILE)
+                tuples.append((
+                    tkc * TILE + j, tkr * TILE + i,
+                    int(ic[k]) if ok[k] else -1, int(ir[k]) if ok[k] else -1,
+                ))
+    tvals = ", ".join(f"({c}, {r}, {s}, {t})" for c, r, s, t in tuples)
+    return CELLS_CTE + f"""
+, tmap(tgcol, tgrow, scol, srow) AS (VALUES {tvals})
+SELECT CAST(floor(tgcol / {TILE}) AS INT) AS key_col,
+       CAST(floor(tgrow / {TILE}) AS INT) AS key_row,
+       CAST((tgrow % {TILE}) * {TILE} + tgcol % {TILE} AS INT) AS pos,
+       COALESCE(c.value, -1.0) AS value
+FROM tmap
+LEFT JOIN coords c ON c.gcol = scol AND c.grow = srow
+"""
+
+
 def q_raster_rasterize_features(spark, sf_dir):
     """rasterize_features priority semantics in one query: higher z-index
     wins regardless of value, z-ties resolve to the larger value, negative
@@ -3334,6 +3391,8 @@ def queries():
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
         "raster_reproject_ease": q_raster_reproject_ease,
+        # ---- round 6 additions ----
+        "raster_reproject_laea": q_raster_reproject_laea,
     }
 
 
@@ -3444,6 +3503,7 @@ def oracle_sql():
         "raster_reproject_albers": _sql_reproject_albers(),
         "events_stream_tumbling": SQL_EVENTS_TUMBLING,
         "raster_reproject_ease": _sql_reproject_ease(),
+        "raster_reproject_laea": _sql_reproject_laea(),
     }
     # the IVF oracle reads the training rows from the oracle sf dir at
     # build time; if that path is unreachable the query degrades to a

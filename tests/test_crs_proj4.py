@@ -355,3 +355,142 @@ class TestAdviceR5Fixes:
         assert (e.xmin, e.ymin, e.xmax, e.ymax) == (0.0, 0.0, 1.0e6, 1.0e7)
         with pytest.raises(NotImplementedError):
             world_extent("epsg:32661")
+
+
+class TestLAEA:
+    """Lambert azimuthal equal-area (EPSG 9820) — VERDICT r5 #4."""
+
+    def test_epsg_worked_example_9820(self):
+        """GN7-2 LAEA example (ETRS89-extended / LAEA Europe): 50N 5E ->
+        E 3962799.45, N 2999718.85 (published to cm)."""
+        fwd = get_transform("epsg:4326", "epsg:3035")
+        E, N = fwd(np.array([5.0]), np.array([50.0]))
+        assert E[0] == pytest.approx(3962799.45, abs=0.02)
+        assert N[0] == pytest.approx(2999718.85, abs=0.02)
+
+    def test_natural_origin_maps_to_false_origin(self):
+        fwd = get_transform("epsg:4326", "epsg:3035")
+        E, N = fwd(np.array([10.0]), np.array([52.0]))
+        assert E[0] == pytest.approx(4321000.0, abs=1e-6)
+        assert N[0] == pytest.approx(3210000.0, abs=1e-6)
+
+    def test_round_trip_oblique(self):
+        fwd = get_transform("epsg:4326", "epsg:3035")
+        inv = get_transform("epsg:3035", "epsg:4326")
+        lon = np.array([-10.0, 5.0, 10.0, 30.0, 44.0])
+        lat = np.array([35.0, 50.0, 52.0, 70.0, 66.0])
+        lo, la = inv(*fwd(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+
+    def test_equal_area_property(self):
+        """The defining property: a small quad keeps its ellipsoidal area
+        (same independent check as the CEA suite)."""
+        import math
+
+        f = get_transform("epsg:4326", "epsg:3035")
+        a, e2 = 6378137.0, 0.00669438002290  # GRS80
+        for lon_c, lat_c in ((5.0, 45.0), (20.0, 60.0), (10.0, 52.0)):
+            d = 0.05
+            xs, ys = f(np.array([lon_c - d, lon_c + d, lon_c + d, lon_c - d]),
+                       np.array([lat_c - d, lat_c - d, lat_c + d, lat_c + d]))
+            area = 0.5 * abs(sum(
+                xs[k] * ys[(k + 1) % 4] - xs[(k + 1) % 4] * ys[k] for k in range(4)
+            ))
+            phi = math.radians(lat_c)
+            M = a * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+            Nr = a / (1 - e2 * math.sin(phi) ** 2) ** 0.5
+            ell = (M * math.radians(2 * d)) * (Nr * math.cos(phi) * math.radians(2 * d))
+            assert area / ell == pytest.approx(1.0, abs=1e-4)
+
+    def test_polar_ease2_north_south(self):
+        """EASE-Grid 2.0 N/S (epsg:6931/6932): pole at the origin, and
+        round trips across the antimeridian."""
+        for code, pole_lat in (("epsg:6931", 90.0), ("epsg:6932", -90.0)):
+            fwd = get_transform("epsg:4326", code)
+            inv = get_transform(code, "epsg:4326")
+            x, y = fwd(np.array([0.0]), np.array([pole_lat]))
+            assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+            sgn = 1.0 if pole_lat > 0 else -1.0
+            lon = np.array([0.0, 90.0, -135.0, 179.5])
+            lat = sgn * np.array([80.0, 45.0, 60.0, 70.0])
+            lo, la = inv(*fwd(lon, lat))
+            np.testing.assert_allclose(lo, lon, atol=1e-9)
+            np.testing.assert_allclose(la, lat, atol=1e-9)
+
+    def test_proj4_laea_string_matches_registry(self):
+        s = ("+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+             "+ellps=GRS80")
+        fa = get_transform("epsg:4326", s)
+        fb = get_transform("epsg:4326", "epsg:3035")
+        lon = np.array([5.0, 25.0]); lat = np.array([50.0, 62.0])
+        ax, ay = fa(lon, lat); bx, by = fb(lon, lat)
+        np.testing.assert_allclose(ax, bx, atol=1e-9)
+        np.testing.assert_allclose(ay, by, atol=1e-9)
+
+
+class TestSinusoidal:
+    """Sinusoidal (MODIS land grid) — VERDICT r5 #8."""
+
+    MODIS = ("+proj=sinu +lon_0=0 +x_0=0 +y_0=0 "
+             "+a=6371007.181 +b=6371007.181")
+
+    def test_modis_tile_constant(self):
+        """10 deg of longitude at the equator = one MODIS tile width:
+        R * 10deg = 1111950.52 m (NASA grid constant, published to mm as
+        1111950.519667 from the rounded 20015109.354 earth width)."""
+        import math
+
+        fwd = get_transform("epsg:4326", self.MODIS)
+        x, y = fwd(np.array([10.0, 0.0]), np.array([0.0, 10.0]))
+        expect = 6371007.181 * math.radians(10.0)
+        assert x[0] == pytest.approx(expect, abs=1e-6)
+        assert y[1] == pytest.approx(expect, abs=1e-6)   # meridian arc on sphere
+        assert x[0] == pytest.approx(1111950.519667, abs=1e-3)
+
+    def test_round_trip_sphere(self):
+        fwd = get_transform("epsg:4326", self.MODIS)
+        inv = get_transform(self.MODIS, "epsg:4326")
+        rng = np.random.default_rng(3)
+        lon = rng.uniform(-179.0, 179.0, 50)
+        lat = rng.uniform(-85.0, 85.0, 50)
+        lo, la = inv(*fwd(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+
+    def test_round_trip_ellipsoidal(self):
+        s = "+proj=sinu +lon_0=-90 +x_0=0 +y_0=0 +ellps=WGS84"
+        fwd = get_transform("epsg:4326", s)
+        inv = get_transform(s, "epsg:4326")
+        rng = np.random.default_rng(4)
+        lon = rng.uniform(-179.0, 0.0, 50)
+        lat = rng.uniform(-85.0, 85.0, 50)
+        lo, la = inv(*fwd(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-8)
+        np.testing.assert_allclose(la, lat, atol=1e-8)
+
+    def test_equal_area_property_ellipsoidal(self):
+        import math
+
+        s = "+proj=sinu +ellps=WGS84"
+        f = get_transform("epsg:4326", s)
+        a, e2 = 6378137.0, 0.0066943799901413165
+        for lon_c, lat_c in ((0.0, 0.0), (45.0, 40.0), (-120.0, -60.0)):
+            d = 0.05
+            xs, ys = f(np.array([lon_c - d, lon_c + d, lon_c + d, lon_c - d]),
+                       np.array([lat_c - d, lat_c - d, lat_c + d, lat_c + d]))
+            area = 0.5 * abs(sum(
+                xs[k] * ys[(k + 1) % 4] - xs[(k + 1) % 4] * ys[k] for k in range(4)
+            ))
+            phi = math.radians(lat_c)
+            M = a * (1 - e2) / (1 - e2 * math.sin(phi) ** 2) ** 1.5
+            Nr = a / (1 - e2 * math.sin(phi) ** 2) ** 0.5
+            ell = (M * math.radians(2 * d)) * (Nr * math.cos(phi) * math.radians(2 * d))
+            assert area / ell == pytest.approx(1.0, abs=1e-4)
+
+    def test_meridian_arc_quarter(self):
+        """Meridian arc equator->pole on WGS84 = 10001965.729 m
+        (published quadrant length)."""
+        fwd = get_transform("epsg:4326", "+proj=sinu +ellps=WGS84")
+        _, y = fwd(np.array([0.0]), np.array([90.0]))
+        assert y[0] == pytest.approx(10001965.729, abs=0.01)
