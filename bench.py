@@ -85,6 +85,12 @@ def main():
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        # one untimed warm-up rep PER QUERY (round 6, VERDICT r5 #6):
+        # the first execution pays plan compilation, python-worker
+        # spin-up, broadcast builds, and OS page-cache misses — min-of-3
+        # WITHOUT it still recorded 3-4x phantom swings (r5 emb queries);
+        # with it, every timed rep measures steady-state operator cost
+        fn(spark, sf_dir).count()
         best, n = float("inf"), 0
         for _ in range(reps):
             t0 = time.time()
@@ -92,7 +98,7 @@ def main():
             n = df.count()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {best:.2f}s (min of {reps})", file=sys.stderr)
+        print(f"# {name}: {n} rows in {best:.2f}s (min of {reps}, warmed)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

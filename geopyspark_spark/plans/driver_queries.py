@@ -1937,6 +1937,48 @@ LEFT JOIN coords c ON c.gcol = scol AND c.grow = srow
 """
 
 
+def q_raster_geotiff_roundtrip(spark, sf_dir):
+    """Encoder path under the oracle gate (round 6, VERDICT r5 #9): every
+    tile -> in-memory GeoTIFF bytes (pure-Python codec, DEFLATE strips,
+    ``to_geotiff_rdd``) -> decode -> cell plane. Lossless float64 encode,
+    so the oracle is the identity fixture with the NoData fill."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.geotiff_codec import decode_geotiff, to_geotiff_rdd
+
+    layer = lineitem_layer(spark, sf_dir)
+    tiffs = to_geotiff_rdd(layer, compress=True)
+
+    def decode(batches):
+        for pdf in batches:
+            for kc, kr, buf in zip(pdf["key_col"], pdf["key_row"], pdf["tiff"]):
+                cells, _ext, _crs, _nd = decode_geotiff(bytes(buf))
+                flat = cells[0].reshape(-1)
+                yield pd.DataFrame({
+                    "key_col": int(kc), "key_row": int(kr),
+                    "pos": np.arange(flat.size, dtype=np.int32),
+                    "value": flat,
+                })
+
+    return tiffs.mapInPandas(
+        decode, schema="key_col int, key_row int, pos int, value double"
+    )
+
+
+SQL_RASTER_GEOTIFF_ROUNDTRIP = CELLS_CTE + f"""
+, allpos AS (
+  SELECT CAST(c.range AS INT) AS key_col,
+         CAST(r.range AS INT) AS key_row,
+         CAST(p.range AS INT) AS pos
+  FROM range({LAYOUT_N}) c, range({LAYOUT_N}) r, range({TILE * TILE}) p
+)
+SELECT a.key_col, a.key_row, a.pos, COALESCE(co.value, -1.0) AS value
+FROM allpos a
+LEFT JOIN coords co USING (key_col, key_row, pos)
+"""
+
+
 def q_raster_rasterize_features(spark, sf_dir):
     """rasterize_features priority semantics in one query: higher z-index
     wins regardless of value, z-ties resolve to the larger value, negative
@@ -2494,6 +2536,26 @@ def q_events_stream_tumbling(spark, sf_dir):
         "event_type",
         "n_events",
         F.col("sv").cast("double").alias("sum_value"),
+    )
+
+
+def q_events_stream_session(spark, sf_dir):
+    """Stateful streaming session windows through the oracle gate
+    (round 6, VERDICT r5 #5): readStream -> watermarked session_window
+    per user -> Trigger.AvailableNow drain -> the SAME gaps-and-islands
+    DuckDB SQL as the batch ``events_session`` query."""
+    import uuid
+
+    from ..streaming.events import read_events_stream, sessionize, run_available_now
+
+    ev = read_events_stream(spark, sf_dir)
+    ev = ev.where(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+    sess = sessionize(ev, gap="30 minutes", watermark="2 hours")
+    out = run_available_now(sess, f"stream_sess_{uuid.uuid4().hex[:8]}")
+    return out.select(
+        "user_id",
+        F.date_trunc("second", F.col("session_start")).alias("session_start"),
+        "n_events",
     )
 
 
@@ -3272,9 +3334,13 @@ def queries():
     # NOTE on ordering: the driver records exactly the FIRST 50 registry
     # entries in CORRECTNESS_r{N}.json. The same 50 sat in the window for
     # rounds 1-4, which let a round-3 regression hide outside it
-    # (VERDICT r4 "What's missing"); round 5 ROTATES the window — 25
-    # representative entries stay (one per operator family), 25
-    # previously-unwindowed entries (rounds 2/3/5 additions) move in.
+    # (VERDICT r4 "What's missing"); round 5 ROTATED the window; round 6
+    # rotates again (VERDICT r5 #2): the three round-5 additions the
+    # driver never validated (albers/ease/stream_tumbling) plus the three
+    # round-6 additions (laea/stream_session/geotiff_roundtrip) move IN;
+    # six r5-window-validated entries (histogram/min_max/colormap/
+    # histogram_series/merge/local_add_n) move out — their families stay
+    # represented (histogram_object, normalize, local_algebra in-window).
     # Entries past #50 remain pytest- and check_oracle-covered.
     return {
         # ---- driver window (50): 25 carried + 25 rotated in ----
@@ -3328,14 +3394,21 @@ def queries():
         "raster_point_values": q_raster_point_values,
         "raster_mask_distributed": q_raster_mask_distributed,
         "raster_normalize": q_raster_normalize,
+        "raster_resample_cubic": q_raster_resample_cubic,
+        # rotated in r6: never driver-validated (r5) + new (r6)
+        "raster_reproject_albers": q_raster_reproject_albers,
+        "events_stream_tumbling": q_events_stream_tumbling,
+        "raster_reproject_ease": q_raster_reproject_ease,
+        "raster_reproject_laea": q_raster_reproject_laea,
+        "events_stream_session": q_events_stream_session,
+        "raster_geotiff_roundtrip": q_raster_geotiff_roundtrip,
+        # ---- entries below are past the driver's 50-entry window ----
         "raster_histogram": q_raster_histogram,
         "raster_min_max": q_raster_min_max,
         "raster_colormap": q_raster_colormap,
         "raster_histogram_series": q_raster_histogram_series,
-        "raster_resample_cubic": q_raster_resample_cubic,
         "raster_merge": q_raster_merge,
         "raster_local_add_n": q_raster_local_add_n,
-        # ---- entries below are past the driver's 50-entry window ----
         "text_word_freq": q_text_word_freq,
         "text_quality": q_text_quality,
         "text_lang_scores": q_text_lang_scores,
@@ -3387,12 +3460,6 @@ def queries():
         "raster_lookup": q_raster_lookup,
         "raster_map_cells": q_raster_map_cells,
         "raster_union": q_raster_union,
-        # ---- round 5 additions (past the window) ----
-        "raster_reproject_albers": q_raster_reproject_albers,
-        "events_stream_tumbling": q_events_stream_tumbling,
-        "raster_reproject_ease": q_raster_reproject_ease,
-        # ---- round 6 additions ----
-        "raster_reproject_laea": q_raster_reproject_laea,
     }
 
 
@@ -3504,6 +3571,8 @@ def oracle_sql():
         "events_stream_tumbling": SQL_EVENTS_TUMBLING,
         "raster_reproject_ease": _sql_reproject_ease(),
         "raster_reproject_laea": _sql_reproject_laea(),
+        "events_stream_session": SQL_EVENTS_SESSION,
+        "raster_geotiff_roundtrip": SQL_RASTER_GEOTIFF_ROUNDTRIP,
     }
     # the IVF oracle reads the training rows from the oracle sf dir at
     # build time; if that path is unreachable the query degrades to a
