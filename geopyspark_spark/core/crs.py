@@ -751,6 +751,109 @@ class Sinusoidal:
         return np.degrees(lam) + self.lon0, np.degrees(phi)
 
 
+class ObliqueStereographic:
+    """Oblique/equatorial stereographic (EPSG method 9809, the "double
+    stereographic": ellipsoid -> conformal sphere -> plane; GN7-2 §1.3.7.1)
+    — the Dutch RD grid (epsg:28992) and proj4 ``+proj=sterea``."""
+
+    def __init__(self, ell: _Ellipsoid, lat0: float, lon0: float,
+                 k0: float, fe: float, fn: float):
+        self.ell, self.lon0, self.k0, self.fe, self.fn = ell, lon0, k0, fe, fn
+        a, e, e2 = ell.a, ell.e, ell.e2
+        p0 = math.radians(lat0)
+        s0 = math.sin(p0)
+        rho0 = a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+        nu0 = a / math.sqrt(1 - e2 * s0 * s0)
+        self.R = math.sqrt(rho0 * nu0)
+        self.n = math.sqrt(1 + e2 * math.cos(p0) ** 4 / (1 - e2))
+        S1 = (1 + s0) / (1 - s0)
+        S2 = (1 - e * s0) / (1 + e * s0)
+        w1 = (S1 * S2 ** e) ** self.n
+        sin_chi0 = (w1 - 1) / (w1 + 1)
+        self.c = ((self.n + s0) * (1 - sin_chi0)) / ((self.n - s0) * (1 + sin_chi0))
+        w2 = self.c * w1
+        self.chi0 = math.asin((w2 - 1) / (w2 + 1))
+        self.lam0 = math.radians(lon0)
+
+    def forward(self, lon, lat):
+        e = self.ell.e
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        big_lam = self.n * (lam - self.lam0) + self.lam0
+        s = np.sin(phi)
+        Sa = (1 + s) / (1 - s)
+        Sb = (1 - e * s) / (1 + e * s)
+        w = self.c * (Sa * Sb ** e) ** self.n
+        chi = np.arcsin((w - 1) / (w + 1))
+        dl = big_lam - self.lam0
+        sc0, cc0 = math.sin(self.chi0), math.cos(self.chi0)
+        B = 1 + np.sin(chi) * sc0 + np.cos(chi) * cc0 * np.cos(dl)
+        x = self.fe + 2 * self.R * self.k0 * np.cos(chi) * np.sin(dl) / B
+        y = self.fn + 2 * self.R * self.k0 * (
+            np.sin(chi) * cc0 - np.cos(chi) * sc0 * np.cos(dl)
+        ) / B
+        return x, y
+
+    def inverse(self, x, y):
+        e, e2 = self.ell.e, self.ell.e2
+        dx = np.subtract(x, self.fe)
+        dy = np.subtract(y, self.fn)
+        g = 2 * self.R * self.k0 * math.tan(math.pi / 4 - self.chi0 / 2)
+        h = 4 * self.R * self.k0 * math.tan(self.chi0) + g
+        i = np.arctan2(dx, h + dy)
+        j = np.arctan2(dx, g - dy) - i
+        chi = self.chi0 + 2 * np.arctan(
+            (dy - dx * np.tan(j / 2)) / (2 * self.R * self.k0)
+        )
+        big_lam = j + 2 * i + self.lam0
+        lam = (big_lam - self.lam0) / self.n + self.lam0
+        # isometric latitude of chi on the conformal sphere -> ellipsoid phi
+        psi = 0.5 * np.log((1 + np.sin(chi)) / (self.c * (1 - np.sin(chi)))) / self.n
+        phi = 2 * np.arctan(np.exp(psi)) - np.pi / 2
+        for _ in range(8):
+            s = np.sin(phi)
+            psi_i = np.log(
+                np.tan(phi / 2 + np.pi / 4) * ((1 - e * s) / (1 + e * s)) ** (e / 2)
+            )
+            phi = phi - (psi_i - psi) * np.cos(phi) * (1 - e2 * s * s) / (1 - e2)
+        return np.degrees(lam), np.degrees(phi)
+
+
+class Mollweide:
+    """Mollweide pseudocylindrical equal-area (Snyder 1987 §31). Spherical
+    formulas on R = a, matching proj4's ``+proj=moll`` convention (proj4j
+    treats moll as spherical — the reference contract)."""
+
+    def __init__(self, ell: _Ellipsoid, lon0: float, fe: float, fn: float):
+        self.r, self.lon0, self.fe, self.fn = ell.a, lon0, fe, fn
+
+    @staticmethod
+    def _theta(phi):
+        """Solve 2*theta + sin(2*theta) = pi * sin(phi) by Newton."""
+        t = np.asarray(phi, dtype=np.float64).copy()
+        ps = np.pi * np.sin(phi)
+        for _ in range(12):
+            f = 2 * t + np.sin(2 * t) - ps
+            fp = 2 + 2 * np.cos(2 * t)
+            t = t - f / np.maximum(fp, 1e-12)
+        return np.clip(t, -np.pi / 2, np.pi / 2)
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        th = self._theta(phi)
+        x = (2 * math.sqrt(2) / math.pi) * self.r * \
+            np.radians(np.subtract(lon, self.lon0)) * np.cos(th)
+        y = math.sqrt(2) * self.r * np.sin(th)
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y):
+        th = np.arcsin(np.clip(np.subtract(y, self.fn) / (math.sqrt(2) * self.r), -1.0, 1.0))
+        phi = np.arcsin(np.clip((2 * th + np.sin(2 * th)) / np.pi, -1.0, 1.0))
+        costh = np.maximum(np.cos(th), 1e-12)  # pole guard
+        lam = np.pi * np.subtract(x, self.fe) / (2 * math.sqrt(2) * self.r * costh)
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
 class Helmert:
     """7-parameter position-vector datum shift (EPSG method 9606), applied
     between geodetic coordinates on two ellipsoids via geocentric XYZ."""
@@ -885,6 +988,15 @@ CRS_REGISTRY: dict[str, tuple] = {
     ),
     "epsg:6932": (
         LambertAzimuthalEqualArea(WGS84_ELL, -90.0, 0.0, 0.0, 0.0), _NO_SHIFT,
+    ),
+    # Amersfoort / RD New (Dutch national grid; double stereographic
+    # EPSG 9809 on Bessel 1841 + published Amersfoort Helmert, r6)
+    "epsg:28992": (
+        ObliqueStereographic(BESSEL1841, 52.0 + 9.0 / 60 + 22.178 / 3600,
+                             5.0 + 23.0 / 60 + 15.5 / 3600,
+                             0.9999079, 155000.0, 463000.0),
+        Helmert(565.417, 50.3319, 465.552, -0.398957, 0.343988, -1.8774,
+                4.0725, BESSEL1841, WGS84_ELL),
     ),
 }
 
@@ -1026,6 +1138,12 @@ def _parse_proj4(s: str):
                                          g("x_0"), g("y_0")), shift
     if proj == "sinu":
         return Sinusoidal(ell, g("lon_0"), g("x_0"), g("y_0")), shift
+    if proj == "sterea":
+        return ObliqueStereographic(ell, g("lat_0"), g("lon_0"),
+                                    g("k", g("k_0", 1.0)),
+                                    g("x_0"), g("y_0")), shift
+    if proj == "moll":
+        return Mollweide(ell, g("lon_0"), g("x_0"), g("y_0")), shift
     if proj == "merc":
         # EPSG 9805 (lat_ts standard parallel) or 9804 (k scale factor)
         if "lat_ts" in kv:

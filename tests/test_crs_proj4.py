@@ -494,3 +494,90 @@ class TestSinusoidal:
         fwd = get_transform("epsg:4326", "+proj=sinu +ellps=WGS84")
         _, y = fwd(np.array([0.0]), np.array([90.0]))
         assert y[0] == pytest.approx(10001965.729, abs=0.01)
+
+
+class TestObliqueStereographic:
+    """EPSG method 9809 (double stereographic) — Dutch RD (epsg:28992)."""
+
+    def test_epsg_worked_example_9809(self):
+        """GN7-2 example (Amersfoort / RD New): 53N 6E (Amersfoort
+        geodetic) -> E 196105.283, N 557057.739 (published to mm)."""
+        from geopyspark_spark.core.crs import CRS_REGISTRY
+
+        proj, _ = CRS_REGISTRY["epsg:28992"]
+        x, y = proj.forward(np.array([6.0]), np.array([53.0]))
+        assert x[0] == pytest.approx(196105.283, abs=0.005)
+        assert y[0] == pytest.approx(557057.739, abs=0.005)
+
+    def test_round_trip_with_datum_shift(self):
+        fwd = get_transform("epsg:4326", "epsg:28992")
+        inv = get_transform("epsg:28992", "epsg:4326")
+        lon = np.array([3.5, 5.38, 6.8])
+        lat = np.array([50.8, 52.16, 53.4])
+        lo, la = inv(*fwd(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-8)
+        np.testing.assert_allclose(la, lat, atol=1e-8)
+
+    def test_rd_origin_from_wgs84(self):
+        """The WGS84 position of the Amersfoort datum point lands on the
+        false origin (155000, 463000) to within the shift accuracy."""
+        fwd = get_transform("epsg:4326", "epsg:28992")
+        x, y = fwd(np.array([5.3872035]), np.array([52.1551723]))
+        assert x[0] == pytest.approx(155000.0, abs=5.0)
+        assert y[0] == pytest.approx(463000.0, abs=5.0)
+
+    def test_proj4_sterea_string(self):
+        from geopyspark_spark.core.crs import CRS_REGISTRY
+
+        s = ("+proj=sterea +lat_0=52.15616055555555 "
+             "+lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 "
+             "+y_0=463000 +ellps=bessel")
+        fwd = get_transform("epsg:4326", s)  # no shift in the raw string
+        proj, _ = CRS_REGISTRY["epsg:28992"]
+        lon = np.array([4.5, 6.2]); lat = np.array([51.5, 52.9])
+        ax, ay = fwd(lon, lat)
+        bx, by = proj.forward(lon, lat)
+        np.testing.assert_allclose(ax, bx, atol=1e-6)
+        np.testing.assert_allclose(ay, by, atol=1e-6)
+
+
+class TestMollweide:
+    MOLL = "+proj=moll +lon_0=0 +x_0=0 +y_0=0 +a=6371000 +b=6371000"
+
+    def test_snyder_closed_forms(self):
+        """Closed-form anchors: the 90E equator point and the pole both
+        sit at sqrt(2)*R; total width is 2*sqrt(2)*R * 2 / ... i.e. the
+        antimeridian maps to 2*sqrt(2)*R."""
+        import math
+
+        f = get_transform("epsg:4326", self.MOLL)
+        x, y = f(np.array([90.0, 0.0, 180.0]), np.array([0.0, 90.0, 0.0]))
+        assert x[0] == pytest.approx(math.sqrt(2) * 6371000, abs=1e-3)
+        assert y[1] == pytest.approx(math.sqrt(2) * 6371000, abs=1e-3)
+        assert x[2] == pytest.approx(2 * math.sqrt(2) * 6371000, abs=1e-3)
+
+    def test_round_trip(self):
+        f = get_transform("epsg:4326", self.MOLL)
+        i = get_transform(self.MOLL, "epsg:4326")
+        rng = np.random.default_rng(11)
+        lon = rng.uniform(-179.0, 179.0, 60)
+        lat = rng.uniform(-89.5, 89.5, 60)
+        lo, la = i(*f(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-7)
+        np.testing.assert_allclose(la, lat, atol=1e-7)
+
+    def test_equal_area_property_sphere(self):
+        import math
+
+        f = get_transform("epsg:4326", self.MOLL)
+        R = 6371000.0
+        for lon_c, lat_c in ((0.0, 0.0), (60.0, 45.0), (-150.0, -70.0)):
+            d = 0.05
+            xs, ys = f(np.array([lon_c - d, lon_c + d, lon_c + d, lon_c - d]),
+                       np.array([lat_c - d, lat_c - d, lat_c + d, lat_c + d]))
+            area = 0.5 * abs(sum(
+                xs[k] * ys[(k + 1) % 4] - xs[(k + 1) % 4] * ys[k] for k in range(4)
+            ))
+            sphere = (R * math.radians(2 * d)) * \
+                (R * math.cos(math.radians(lat_c)) * math.radians(2 * d))
+            assert area / sphere == pytest.approx(1.0, abs=1e-4)
