@@ -1937,6 +1937,62 @@ LEFT JOIN coords c ON c.gcol = scol AND c.grow = srow
 """
 
 
+def q_raster_reproject_rd(spark, sf_dir):
+    """NN warp 4326 -> epsg:28992 (Amersfoort / RD New: double
+    stereographic EPSG 9809 on Bessel 1841 + the published Amersfoort
+    Helmert) — the first query to push a real DATUM SHIFT through the
+    distributed warp under the oracle gate (round 6)."""
+    layer = lineitem_layer(spark, sf_dir)
+    out = layer.reproject(
+        "epsg:28992", layout=gps.TileLayout(LAYOUT_N, LAYOUT_N, TILE, TILE),
+    )
+    return _explode_result(out)
+
+
+def _sql_reproject_rd() -> str:
+    """Oracle: same driver-side NN-map rebuild as Albers/LAEA (the warp
+    is not axis-separable), with the full projection+Helmert transform."""
+    import numpy as np
+
+    from ..core.crs import get_transform, transform_extent
+    from ..core.keys import KeyTransform
+
+    warped = transform_extent(RASTER_MD.layout.extent, "epsg:4326", "epsg:28992")
+    ld = gps.LayoutDefinition(warped, gps.TileLayout(LAYOUT_N, LAYOUT_N, TILE, TILE))
+    kt = KeyTransform(ld)
+    inv = get_transform("epsg:28992", "epsg:4326")
+    s_ld = RASTER_MD.layout
+    tuples = []
+    for tkr in range(LAYOUT_N):
+        for tkc in range(LAYOUT_N):
+            text = kt.key_extent(tkc, tkr)
+            xs = text.xmin + (np.arange(TILE) + 0.5) * ld.cell_width
+            ys = text.ymax - (np.arange(TILE) + 0.5) * ld.cell_height
+            gx, gy = np.meshgrid(xs, ys)
+            sx, sy = inv(gx.ravel(), gy.ravel())
+            fc = (sx - s_ld.extent.xmin) / s_ld.cell_width
+            fr = (s_ld.extent.ymax - sy) / s_ld.cell_height
+            ic = np.floor(fc).astype(np.int64)
+            ir = np.floor(fr).astype(np.int64)
+            ok = (fc >= 0) & (fr >= 0) & (ic >= 0) & (ic < GRID) & (ir >= 0) & (ir < GRID)
+            for k in range(TILE * TILE):
+                i, j = divmod(k, TILE)
+                tuples.append((
+                    tkc * TILE + j, tkr * TILE + i,
+                    int(ic[k]) if ok[k] else -1, int(ir[k]) if ok[k] else -1,
+                ))
+    tvals = ", ".join(f"({c}, {r}, {s}, {t})" for c, r, s, t in tuples)
+    return CELLS_CTE + f"""
+, tmap(tgcol, tgrow, scol, srow) AS (VALUES {tvals})
+SELECT CAST(floor(tgcol / {TILE}) AS INT) AS key_col,
+       CAST(floor(tgrow / {TILE}) AS INT) AS key_row,
+       CAST((tgrow % {TILE}) * {TILE} + tgcol % {TILE} AS INT) AS pos,
+       COALESCE(c.value, -1.0) AS value
+FROM tmap
+LEFT JOIN coords c ON c.gcol = scol AND c.grow = srow
+"""
+
+
 def q_raster_geotiff_roundtrip(spark, sf_dir):
     """Encoder path under the oracle gate (round 6, VERDICT r5 #9): every
     tile -> in-memory GeoTIFF bytes (pure-Python codec, DEFLATE strips,
@@ -2555,6 +2611,31 @@ def q_events_stream_session(spark, sf_dir):
     return out.select(
         "user_id",
         F.date_trunc("second", F.col("session_start")).alias("session_start"),
+        "n_events",
+    )
+
+
+def q_events_stream_sliding(spark, sf_dir):
+    """Streaming sliding windows through the oracle gate (round 6):
+    readStream -> watermarked 1-hour/30-min sliding window ->
+    AvailableNow drain -> the SAME DuckDB SQL as the batch
+    ``events_sliding`` query."""
+    import uuid
+
+    from ..streaming.events import read_events_stream, run_available_now
+
+    ev = read_events_stream(spark, sf_dir)
+    ev = ev.where(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_available_now(agg, f"stream_slide_{uuid.uuid4().hex[:8]}")
+    return out.select(
+        F.col("w.start").cast("date").alias("day"),
+        (F.hour("w.start") * 60 + F.minute("w.start")).alias("start_min"),
+        "event_type",
         "n_events",
     )
 
@@ -3460,6 +3541,9 @@ def queries():
         "raster_lookup": q_raster_lookup,
         "raster_map_cells": q_raster_map_cells,
         "raster_union": q_raster_union,
+        # ---- round 6 additions (past the window) ----
+        "raster_reproject_rd": q_raster_reproject_rd,
+        "events_stream_sliding": q_events_stream_sliding,
     }
 
 
@@ -3573,6 +3657,8 @@ def oracle_sql():
         "raster_reproject_laea": _sql_reproject_laea(),
         "events_stream_session": SQL_EVENTS_SESSION,
         "raster_geotiff_roundtrip": SQL_RASTER_GEOTIFF_ROUNDTRIP,
+        "raster_reproject_rd": _sql_reproject_rd(),
+        "events_stream_sliding": SQL_EVENTS_SLIDING,
     }
     # the IVF oracle reads the training rows from the oracle sf dir at
     # build time; if that path is unreachable the query degrades to a
