@@ -292,6 +292,7 @@ AIRY1830 = _Ellipsoid(6377563.396, 299.3249646)
 INTL1924 = _Ellipsoid(6378388.0, 297.0)
 CLARKE1866 = _Ellipsoid(6378206.4, 294.978698214)
 BESSEL1841 = _Ellipsoid(6377397.155, 299.1528128)
+EVEREST1967 = _Ellipsoid(6377298.556, 300.8017)  # Everest 1830 (1967 Definition)
 
 
 class TransverseMercator:
@@ -854,6 +855,250 @@ class Mollweide:
         return np.degrees(lam) + self.lon0, np.degrees(phi)
 
 
+class HotineObliqueMercator:
+    """Hotine oblique Mercator (EPSG methods 9812 variant A / 9815
+    variant B; GN7-2 §1.3.6; proj4 ``+proj=omerc`` with ``+alpha``) —
+    RSO Borneo/Malaysia (epsg:29873, 3375), Alaska zone 1, and the
+    Swiss-style rotated grids proj4j accepts through the reference's
+    getCRS (``TileLayer.scala:288-295``).
+
+    ``variant_b=True`` applies the u_c offset at the projection centre
+    (EPSG 9815, proj4's default); ``variant_b=False`` is the natural-
+    origin form (EPSG 9812, proj4 ``+no_off``).
+    """
+
+    def __init__(self, ell: _Ellipsoid, latc: float, lonc: float,
+                 alphac: float, gammac: float, k0: float,
+                 fe: float, fn: float, variant_b: bool = True):
+        self.ell, self.fe, self.fn = ell, fe, fn
+        self.variant_b = variant_b
+        a, e, e2 = ell.a, ell.e, ell.e2
+        pc = math.radians(latc)
+        sc = math.sin(pc)
+        self.B = math.sqrt(1 + e2 * math.cos(pc) ** 4 / (1 - e2))
+        self.A = a * self.B * k0 * math.sqrt(1 - e2) / (1 - e2 * sc * sc)
+        t0 = math.tan(math.pi / 4 - pc / 2) / (
+            (1 - e * sc) / (1 + e * sc)
+        ) ** (e / 2)
+        D = self.B * math.sqrt(1 - e2) / (math.cos(pc) * math.sqrt(1 - e2 * sc * sc))
+        D2 = max(D * D, 1.0)
+        sign = 1.0 if latc >= 0 else -1.0
+        F = D + math.sqrt(D2 - 1.0) * sign
+        self.H = F * t0 ** self.B
+        G = (F - 1.0 / F) / 2.0
+        ac = math.radians(alphac)
+        self.gamma0 = math.asin(math.sin(ac) / D)
+        self.lam0 = math.radians(lonc) - math.asin(G * math.tan(self.gamma0)) / self.B
+        self.grc = math.radians(gammac)
+        if variant_b:
+            if abs(alphac - 90.0) < 1e-12:
+                self.uc = self.A * (math.radians(lonc) - self.lam0)
+            else:
+                self.uc = (self.A / self.B) * math.atan2(
+                    math.sqrt(D2 - 1.0), math.cos(ac)
+                ) * sign
+        else:
+            self.uc = 0.0
+
+    def forward(self, lon, lat):
+        e = self.ell.e
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        s = np.sin(phi)
+        t = np.tan(np.pi / 4 - phi / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+        Q = self.H / t ** self.B
+        S = (Q - 1.0 / Q) / 2.0
+        T = (Q + 1.0 / Q) / 2.0
+        dl = self.B * (lam - self.lam0)
+        V = np.sin(dl)
+        sg0, cg0 = math.sin(self.gamma0), math.cos(self.gamma0)
+        U = (-V * cg0 + S * sg0) / T
+        v = self.A * np.log((1.0 - U) / (1.0 + U)) / (2.0 * self.B)
+        u = self.A * np.arctan2(S * cg0 + V * sg0, np.cos(dl)) / self.B - self.uc
+        cgr, sgr = math.cos(self.grc), math.sin(self.grc)
+        return self.fe + v * cgr + u * sgr, self.fn + u * cgr - v * sgr
+
+    def inverse(self, x, y):
+        e, e2 = self.ell.e, self.ell.e2
+        dx = np.subtract(x, self.fe)
+        dy = np.subtract(y, self.fn)
+        cgr, sgr = math.cos(self.grc), math.sin(self.grc)
+        v = dx * cgr - dy * sgr
+        u = dy * cgr + dx * sgr + self.uc
+        Q = np.exp(-self.B * v / self.A)
+        S = (Q - 1.0 / Q) / 2.0
+        T = (Q + 1.0 / Q) / 2.0
+        du = self.B * u / self.A
+        V = np.sin(du)
+        sg0, cg0 = math.sin(self.gamma0), math.cos(self.gamma0)
+        U = (V * cg0 + S * sg0) / T
+        t = (self.H / np.sqrt((1.0 + U) / (1.0 - U))) ** (1.0 / self.B)
+        chi = np.pi / 2 - 2.0 * np.arctan(t)
+        # conformal -> geodetic latitude series (GN7-2 §1.3.6 reverse)
+        phi = chi + \
+            np.sin(2 * chi) * (e2 / 2 + 5 * e2 ** 2 / 24 + e2 ** 3 / 12
+                               + 13 * e2 ** 4 / 360) + \
+            np.sin(4 * chi) * (7 * e2 ** 2 / 48 + 29 * e2 ** 3 / 240
+                               + 811 * e2 ** 4 / 11520) + \
+            np.sin(6 * chi) * (7 * e2 ** 3 / 120 + 81 * e2 ** 4 / 1120) + \
+            np.sin(8 * chi) * (4279 * e2 ** 4 / 161280)
+        lam = self.lam0 - np.arctan2(S * cg0 - V * sg0, np.cos(du)) / self.B
+        return np.degrees(lam), np.degrees(phi)
+
+
+class SwissObliqueMercator:
+    """Swiss oblique Mercator / "oblique cylindrical" (EPSG method 9814;
+    proj4 ``+proj=somerc``) — CH1903 / LV03 (epsg:21781) and CH1903+ /
+    LV95 (epsg:2056). Double projection: ellipsoid -> conformal sphere
+    at the centre -> rotate the centre to the pseudo-equator -> sphere
+    Mercator (the exact swisstopo formulation, "Formulas and constants
+    for the calculation of the Swiss conformal cylindrical projection",
+    swisstopo 2016)."""
+
+    def __init__(self, ell: _Ellipsoid, lat0: float, lon0: float,
+                 k0: float, fe: float, fn: float):
+        self.ell, self.fe, self.fn = ell, fe, fn
+        a, e, e2 = ell.a, ell.e, ell.e2
+        p0 = math.radians(lat0)
+        s0 = math.sin(p0)
+        self.alpha = math.sqrt(1 + e2 * math.cos(p0) ** 4 / (1 - e2))
+        self.R = k0 * a * math.sqrt(1 - e2) / (1 - e2 * s0 * s0)
+        self.b0 = math.asin(s0 / self.alpha)
+        # K fixes S(phi0) = isometric latitude of b0 on the sphere
+        q0 = math.log(math.tan(math.pi / 4 + p0 / 2)) - \
+            (e / 2) * math.log((1 + e * s0) / (1 - e * s0))
+        self.K = math.log(math.tan(math.pi / 4 + self.b0 / 2)) - self.alpha * q0
+        self.lam0 = math.radians(lon0)
+
+    def forward(self, lon, lat):
+        e = self.ell.e
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        s = np.sin(phi)
+        q = np.log(np.tan(np.pi / 4 + phi / 2)) - \
+            (e / 2) * np.log((1 + e * s) / (1 - e * s))
+        b = 2.0 * np.arctan(np.exp(self.alpha * q + self.K)) - np.pi / 2
+        ell_ = self.alpha * (lam - self.lam0)
+        sb0, cb0 = math.sin(self.b0), math.cos(self.b0)
+        sb, cb = np.sin(b), np.cos(b)
+        # rotate (ell, b) so the projection centre lands on the equator
+        bbar = np.arcsin(np.clip(cb0 * sb - sb0 * cb * np.cos(ell_), -1.0, 1.0))
+        lbar = np.arctan2(cb * np.sin(ell_), cb0 * cb * np.cos(ell_) + sb0 * sb)
+        E = self.fe + self.R * lbar
+        N = self.fn + self.R * np.log(np.tan(np.pi / 4 + bbar / 2))
+        return E, N
+
+    def inverse(self, x, y):
+        e, e2 = self.ell.e, self.ell.e2
+        lbar = np.subtract(x, self.fe) / self.R
+        bbar = 2.0 * np.arctan(np.exp(np.subtract(y, self.fn) / self.R)) - np.pi / 2
+        sb0, cb0 = math.sin(self.b0), math.cos(self.b0)
+        sbb, cbb = np.sin(bbar), np.cos(bbar)
+        b = np.arcsin(np.clip(cb0 * sbb + sb0 * cbb * np.cos(lbar), -1.0, 1.0))
+        ell_ = np.arctan2(cbb * np.sin(lbar), cb0 * cbb * np.cos(lbar) - sb0 * sbb)
+        lam = self.lam0 + ell_ / self.alpha
+        # sphere isometric latitude -> ellipsoid phi (fixed-point on q)
+        q = (np.log(np.tan(np.pi / 4 + b / 2)) - self.K) / self.alpha
+        phi = 2.0 * np.arctan(np.exp(q)) - np.pi / 2
+        for _ in range(8):
+            s = np.sin(phi)
+            qi = np.log(np.tan(np.pi / 4 + phi / 2)) - \
+                (e / 2) * np.log((1 + e * s) / (1 - e * s))
+            phi = phi - (qi - q) * np.cos(phi) * (1 - e2 * s * s) / (1 - e2)
+        return np.degrees(lam), np.degrees(phi)
+
+
+class Krovak:
+    """Krovak oblique conformal conic (EPSG method 9819; GN7-2 §1.3.2;
+    proj4 ``+proj=krovak``) — the Czech/Slovak S-JTSK grids. Double
+    projection: ellipsoid -> conformal (Gauss) sphere -> rotate to the
+    oblique cone axis -> conformal conic at the pseudo-standard
+    parallel. Outputs GIS east/north (epsg:5514: negative easting =
+    westing, negative northing = southing); ``czech=True`` flips signs
+    to the positive southing/westing convention (epsg:2065)."""
+
+    def __init__(self, ell: _Ellipsoid, latc: float = 49.5,
+                 lon0: float = 24.0 + 50.0 / 60.0,
+                 alphac: float = 30.0 + 17.0 / 60.0 + 17.3031 / 3600.0,
+                 latp: float = 78.5, kp: float = 0.9999,
+                 fe: float = 0.0, fn: float = 0.0, czech: bool = False):
+        self.ell, self.fe, self.fn, self.czech = ell, fe, fn, czech
+        a, e, e2 = ell.a, ell.e, ell.e2
+        pc = math.radians(latc)
+        sc = math.sin(pc)
+        self.A = a * math.sqrt(1 - e2) / (1 - e2 * sc * sc)
+        self.B = math.sqrt(1 + e2 * math.cos(pc) ** 4 / (1 - e2))
+        self.g0 = math.asin(sc / self.B)
+        self.t0 = math.tan(math.pi / 4 + self.g0 / 2) * (
+            (1 + e * sc) / (1 - e * sc)
+        ) ** (e * self.B / 2) / math.tan(math.pi / 4 + pc / 2) ** self.B
+        self.n = math.sin(math.radians(latp))
+        self.r0 = kp * self.A / math.tan(math.radians(latp))
+        self.alphac = math.radians(alphac)
+        self.lam0 = math.radians(lon0)
+
+    def forward(self, lon, lat):
+        e = self.ell.e
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        s = np.sin(phi)
+        # conformal sphere latitude U, rotated longitude V (GN7-2 names)
+        U = 2.0 * (np.arctan(
+            self.t0 * np.tan(phi / 2 + np.pi / 4) ** self.B
+            / ((1 + e * s) / (1 - e * s)) ** (e * self.B / 2)
+        ) - np.pi / 4)
+        V = self.B * (self.lam0 - lam)
+        sg0, cg0 = math.sin(self.g0), math.cos(self.g0)
+        ca, sa = math.cos(self.alphac), math.sin(self.alphac)
+        sU, cU = np.sin(U), np.cos(U)
+        T = np.arcsin(np.clip(ca * sU + sa * cU * np.cos(V), -1.0, 1.0))
+        D = np.arcsin(np.clip(cU * np.sin(V) / np.maximum(np.cos(T), 1e-300),
+                              -1.0, 1.0))
+        theta = self.n * D
+        latp_r = math.asin(self.n)
+        r = self.r0 * math.tan(np.pi / 4 + latp_r / 2) ** self.n \
+            / np.tan(T / 2 + np.pi / 4) ** self.n
+        Xs = r * np.cos(theta)  # southing (toward the south)
+        Ys = r * np.sin(theta)  # westing
+        if self.czech:
+            return Ys + self.fe, Xs + self.fn
+        return self.fe - Ys, self.fn - Xs
+
+    def inverse(self, x, y):
+        e, e2 = self.ell.e, self.ell.e2
+        if self.czech:
+            Ys = np.subtract(x, self.fe)
+            Xs = np.subtract(y, self.fn)
+        else:
+            Ys = -np.subtract(x, self.fe)
+            Xs = -np.subtract(y, self.fn)
+        r = np.hypot(Xs, Ys)
+        theta = np.arctan2(Ys, Xs)
+        D = theta / self.n
+        latp_r = math.asin(self.n)
+        T = 2.0 * (np.arctan(
+            (self.r0 / np.maximum(r, 1e-300)) ** (1.0 / self.n)
+            * math.tan(np.pi / 4 + latp_r / 2)
+        ) - np.pi / 4)
+        sg0, cg0 = math.sin(self.g0), math.cos(self.g0)
+        ca, sa = math.cos(self.alphac), math.sin(self.alphac)
+        sT, cT = np.sin(T), np.cos(T)
+        U = np.arcsin(np.clip(ca * sT - sa * cT * np.cos(D), -1.0, 1.0))
+        V = np.arcsin(np.clip(cT * np.sin(D) / np.maximum(np.cos(U), 1e-300),
+                              -1.0, 1.0))
+        lam = self.lam0 - V / self.B
+        # conformal sphere -> ellipsoid (fixed point, GN7-2 reverse)
+        phi = U
+        for _ in range(10):
+            s = np.sin(phi)
+            phi = 2.0 * (np.arctan(
+                self.t0 ** (-1.0 / self.B)
+                * np.tan(U / 2 + np.pi / 4) ** (1.0 / self.B)
+                * ((1 + e * s) / (1 - e * s)) ** (e / 2)
+            ) - np.pi / 4)
+        return np.degrees(lam), np.degrees(phi)
+
+
 class Helmert:
     """7-parameter position-vector datum shift (EPSG method 9606), applied
     between geodetic coordinates on two ellipsoids via geocentric XYZ."""
@@ -989,6 +1234,39 @@ CRS_REGISTRY: dict[str, tuple] = {
     "epsg:6932": (
         LambertAzimuthalEqualArea(WGS84_ELL, -90.0, 0.0, 0.0, 0.0), _NO_SHIFT,
     ),
+    # CH1903+ / LV95 and CH1903 / LV03 (Swiss oblique Mercator EPSG 9814
+    # on Bessel 1841 + published swisstopo 3-param shift, r6)
+    "epsg:2056": (
+        SwissObliqueMercator(BESSEL1841, 46.0 + 57.0 / 60 + 8.66 / 3600,
+                             7.0 + 26.0 / 60 + 22.50 / 3600,
+                             1.0, 2600000.0, 1200000.0),
+        Helmert(674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0,
+                BESSEL1841, WGS84_ELL),
+    ),
+    "epsg:21781": (
+        SwissObliqueMercator(BESSEL1841, 46.0 + 57.0 / 60 + 8.66 / 3600,
+                             7.0 + 26.0 / 60 + 22.50 / 3600,
+                             1.0, 600000.0, 200000.0),
+        Helmert(674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0,
+                BESSEL1841, WGS84_ELL),
+    ),
+    # S-JTSK / Krovak East North (Czech/Slovak national grid; EPSG 9819
+    # on Bessel 1841 + published S-JTSK->WGS84 3-param shift, r6)
+    "epsg:5514": (
+        Krovak(BESSEL1841, czech=False),
+        Helmert(589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0,
+                BESSEL1841, WGS84_ELL),
+    ),
+    # Timbalai 1948 / RSO Borneo (m) (Hotine oblique Mercator variant B
+    # EPSG 9815 on Everest 1830 (1967) + published Timbalai shift, r6)
+    "epsg:29873": (
+        HotineObliqueMercator(EVEREST1967, 4.0, 115.0,
+                              53.0 + 18.0 / 60 + 56.9537 / 3600,
+                              53.0 + 7.0 / 60 + 48.3685 / 3600,
+                              0.99984, 590476.87, 442857.65, variant_b=True),
+        Helmert(-679.0, 669.0, -48.0, 0.0, 0.0, 0.0, 0.0,
+                EVEREST1967, WGS84_ELL),
+    ),
     # Amersfoort / RD New (Dutch national grid; double stereographic
     # EPSG 9809 on Bessel 1841 + published Amersfoort Helmert, r6)
     "epsg:28992": (
@@ -1051,6 +1329,7 @@ _ELLPS_TABLE = {
     "grs80": GRS80, "wgs84": WGS84_ELL, "airy": AIRY1830,
     "intl": INTL1924, "clrk66": CLARKE1866, "bessel": BESSEL1841,
     "krass": _Ellipsoid(6378245.0, 298.3),
+    "evrstss": EVEREST1967,
 }
 
 #: proj4 +datum= shorthands: ellipsoid + implied towgs84 (published EPSG
@@ -1067,7 +1346,8 @@ def _parse_proj4(s: str):
     """Build (projection, datum_shift|None) from a proj4 string — the
     reference accepts arbitrary proj4 via proj4j (``TileLayer.scala:
     288-295`` getCRS); this covers the ``+proj=tmerc/lcc/utm/longlat/
-    merc/cea/aea/stere(polar)/laea/sinu`` families over
+    merc/cea/aea/stere/sterea/laea/sinu/moll/omerc/somerc/krovak``
+    families over
     ``+ellps/+datum/+a/+rf/+b/+towgs84/+k/+x_0/+y_0/...`` parameters,
     feeding the existing Krueger/LCC/Helmert kernels.
     Returns None for unsupported projections."""
@@ -1144,6 +1424,29 @@ def _parse_proj4(s: str):
                                     g("x_0"), g("y_0")), shift
     if proj == "moll":
         return Mollweide(ell, g("lon_0"), g("x_0"), g("y_0")), shift
+    if proj == "omerc" and ("alpha" in kv or "lonc" in kv):
+        # azimuth form only (EPSG 9812/9815); the two-point form
+        # (+lon_1/+lat_1/+lon_2/+lat_2) is not supported -> None
+        if "lon_1" in kv or "lat_1" in kv:
+            return None
+        alpha = g("alpha", 90.0)
+        return HotineObliqueMercator(
+            ell, g("lat_0"), g("lonc", g("lon_0")), alpha,
+            g("gamma", alpha), g("k", g("k_0", 1.0)), g("x_0"), g("y_0"),
+            variant_b="+no_off" not in s and "+no_uoff" not in s,
+        ), shift
+    if proj == "somerc":
+        return SwissObliqueMercator(ell, g("lat_0"), g("lon_0"),
+                                    g("k", g("k_0", 1.0)),
+                                    g("x_0"), g("y_0")), shift
+    if proj == "krovak":
+        # proj4 pins the cone azimuth internally (30d17'17.3031") and
+        # defaults lat_0=49.5, lon_0=24d50' (42d30' east of Ferro)
+        return Krovak(
+            ell, g("lat_0", 49.5), g("lon_0", 24.0 + 50.0 / 60.0),
+            latp=g("lat_1", 78.5), kp=g("k", g("k_0", 0.9999)),
+            fe=g("x_0"), fn=g("y_0"), czech="+czech" in s,
+        ), shift
     if proj == "merc":
         # EPSG 9805 (lat_ts standard parallel) or 9804 (k scale factor)
         if "lat_ts" in kv:
@@ -1241,8 +1544,9 @@ def get_transform(src_crs: str | int, dst_crs: str | int) -> Transform:
         "library; supported CRSs are epsg:4326, epsg:3857, WGS84 UTM zones "
         "epsg:326xx / epsg:327xx, the registered national grids "
         f"({', '.join(sorted(CRS_REGISTRY))}), proj4 strings in the "
-        "tmerc/lcc/utm/longlat/merc/cea/aea/polar-stere/laea/sinu "
-        "families, and anything added via register_crs()"
+        "tmerc/lcc/utm/longlat/merc/cea/aea/stere/sterea/laea/sinu/"
+        "moll/omerc/somerc/krovak families, and anything added via "
+        "register_crs()"
     )
 
 

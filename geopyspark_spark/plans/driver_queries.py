@@ -1993,6 +1993,83 @@ LEFT JOIN coords c ON c.gcol = scol AND c.grow = srow
 """
 
 
+def _make_reproject_nn_query(dst_crs: str, doc: str):
+    """Factory for an NN 4326 -> ``dst_crs`` warp query (the same shape
+    as the albers/laea/rd queries above, parameterized by CRS)."""
+
+    def q(spark, sf_dir):
+        layer = lineitem_layer(spark, sf_dir)
+        out = layer.reproject(
+            dst_crs, layout=gps.TileLayout(LAYOUT_N, LAYOUT_N, TILE, TILE),
+        )
+        return _explode_result(out)
+
+    q.__doc__ = doc
+    return q
+
+
+def _sql_reproject_nn(dst_crs: str) -> str:
+    """Oracle for :func:`_make_reproject_nn_query`: driver-side NN-map
+    rebuild through the same full projection(+Helmert) transform."""
+    import numpy as np
+
+    from ..core.crs import get_transform, transform_extent
+    from ..core.keys import KeyTransform
+
+    warped = transform_extent(RASTER_MD.layout.extent, "epsg:4326", dst_crs)
+    ld = gps.LayoutDefinition(warped, gps.TileLayout(LAYOUT_N, LAYOUT_N, TILE, TILE))
+    kt = KeyTransform(ld)
+    inv = get_transform(dst_crs, "epsg:4326")
+    s_ld = RASTER_MD.layout
+    tuples = []
+    for tkr in range(LAYOUT_N):
+        for tkc in range(LAYOUT_N):
+            text = kt.key_extent(tkc, tkr)
+            xs = text.xmin + (np.arange(TILE) + 0.5) * ld.cell_width
+            ys = text.ymax - (np.arange(TILE) + 0.5) * ld.cell_height
+            gx, gy = np.meshgrid(xs, ys)
+            sx, sy = inv(gx.ravel(), gy.ravel())
+            fc = (sx - s_ld.extent.xmin) / s_ld.cell_width
+            fr = (s_ld.extent.ymax - sy) / s_ld.cell_height
+            with np.errstate(invalid="ignore"):
+                ic = np.floor(np.nan_to_num(fc, nan=-1.0)).astype(np.int64)
+                ir = np.floor(np.nan_to_num(fr, nan=-1.0)).astype(np.int64)
+                ok = (fc >= 0) & (fr >= 0) & (ic >= 0) & (ic < GRID) & \
+                    (ir >= 0) & (ir < GRID)
+            for k in range(TILE * TILE):
+                i, j = divmod(k, TILE)
+                tuples.append((
+                    tkc * TILE + j, tkr * TILE + i,
+                    int(ic[k]) if ok[k] else -1, int(ir[k]) if ok[k] else -1,
+                ))
+    tvals = ", ".join(f"({c}, {r}, {s}, {t})" for c, r, s, t in tuples)
+    return CELLS_CTE + f"""
+, tmap(tgcol, tgrow, scol, srow) AS (VALUES {tvals})
+SELECT CAST(floor(tgcol / {TILE}) AS INT) AS key_col,
+       CAST(floor(tgrow / {TILE}) AS INT) AS key_row,
+       CAST((tgrow % {TILE}) * {TILE} + tgcol % {TILE} AS INT) AS pos,
+       COALESCE(c.value, -1.0) AS value
+FROM tmap
+LEFT JOIN coords c ON c.gcol = scol AND c.grow = srow
+"""
+
+
+q_raster_reproject_swiss = _make_reproject_nn_query(
+    "epsg:2056",
+    """NN warp 4326 -> epsg:2056 (CH1903+ / LV95: Swiss oblique Mercator
+    EPSG 9814 on Bessel 1841 + the published swisstopo 3-param shift)
+    through the distributed warp under the oracle gate (round 6).""",
+)
+
+q_raster_reproject_krovak = _make_reproject_nn_query(
+    "epsg:5514",
+    """NN warp 4326 -> epsg:5514 (S-JTSK / Krovak East North: oblique
+    conformal conic EPSG 9819, Bessel 1841 + S-JTSK Helmert) — exercises
+    the all-negative East-North axis convention through the distributed
+    warp (round 6).""",
+)
+
+
 def q_raster_geotiff_roundtrip(spark, sf_dir):
     """Encoder path under the oracle gate (round 6, VERDICT r5 #9): every
     tile -> in-memory GeoTIFF bytes (pure-Python codec, DEFLATE strips,
@@ -3544,6 +3621,8 @@ def queries():
         # ---- round 6 additions (past the window) ----
         "raster_reproject_rd": q_raster_reproject_rd,
         "events_stream_sliding": q_events_stream_sliding,
+        "raster_reproject_swiss": q_raster_reproject_swiss,
+        "raster_reproject_krovak": q_raster_reproject_krovak,
     }
 
 
@@ -3659,6 +3738,8 @@ def oracle_sql():
         "raster_geotiff_roundtrip": SQL_RASTER_GEOTIFF_ROUNDTRIP,
         "raster_reproject_rd": _sql_reproject_rd(),
         "events_stream_sliding": SQL_EVENTS_SLIDING,
+        "raster_reproject_swiss": _sql_reproject_nn("epsg:2056"),
+        "raster_reproject_krovak": _sql_reproject_nn("epsg:5514"),
     }
     # the IVF oracle reads the training rows from the oracle sf dir at
     # build time; if that path is unreachable the query degrades to a

@@ -581,3 +581,226 @@ class TestMollweide:
             sphere = (R * math.radians(2 * d)) * \
                 (R * math.cos(math.radians(lat_c)) * math.radians(2 * d))
             assert area / sphere == pytest.approx(1.0, abs=1e-4)
+
+
+class TestHotineObliqueMercator:
+    """EPSG method 9812/9815 (GN7-2 §1.3.6): Timbalai 1948 / RSO Borneo
+    worked example. The reference reaches omerc through proj4j
+    (``TileLayer.scala:288-295`` getCRS)."""
+
+    #: GN7-2 publishes the test point in radians (2.021187362,
+    #: 0.094025313); the DMS rendering rounds coarser than the cm-level
+    #: expectations, so anchor on the radian values.
+    LON = float(np.degrees(2.021187362))
+    LAT = float(np.degrees(0.094025313))
+
+    RSO = ("+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582047222222 "
+           "+gamma=53.13010236111111 +k=0.99984 "
+           "+x_0=590476.87 +y_0=442857.65 +ellps=evrstSS")
+
+    def test_gn72_worked_example_variant_b(self):
+        fwd = get_transform("epsg:4326", self.RSO)
+        E, N = fwd(np.array([self.LON]), np.array([self.LAT]))
+        assert E[0] == pytest.approx(679245.73, abs=0.02)
+        assert N[0] == pytest.approx(596562.78, abs=0.02)
+
+    def test_registry_29873_applies_timbalai_shift(self):
+        from geopyspark_spark.core.crs import CRS_REGISTRY
+
+        fwd = get_transform("epsg:4326", "epsg:29873")
+        raw = get_transform("epsg:4326", self.RSO)
+        E, N = fwd(np.array([self.LON]), np.array([self.LAT]))
+        E0, N0 = raw(np.array([self.LON]), np.array([self.LAT]))
+        # the Timbalai datum shift moves WGS84 input by hundreds of m
+        d = float(np.hypot(E - E0, N - N0))
+        assert 100.0 < d < 1000.0
+        proj, shift = CRS_REGISTRY["epsg:29873"]
+        assert shift is not None
+
+    def test_no_off_is_variant_a(self):
+        """+no_off drops the u_c offset: same point shifts along the
+        skew grid by u_c*(sin gamma, cos gamma)."""
+        import math
+
+        a = self.RSO + " +no_off"
+        fa = get_transform("epsg:4326", a)
+        fb = get_transform("epsg:4326", self.RSO)
+        Ea, Na = fa(np.array([self.LON]), np.array([self.LAT]))
+        Eb, Nb = fb(np.array([self.LON]), np.array([self.LAT]))
+        uc = 738096.09
+        g = math.radians(53.0 + 7.0 / 60 + 48.3685 / 3600)
+        assert Ea[0] - Eb[0] == pytest.approx(uc * math.sin(g), abs=0.5)
+        assert Na[0] - Nb[0] == pytest.approx(uc * math.cos(g), abs=0.5)
+
+    def test_round_trip(self):
+        fwd = get_transform("epsg:4326", self.RSO)
+        inv = get_transform(self.RSO, "epsg:4326")
+        rng = np.random.default_rng(7)
+        lon = rng.uniform(109.0, 119.0, 50)
+        lat = rng.uniform(0.5, 7.5, 50)
+        lo, la = inv(*fwd(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-8)
+        np.testing.assert_allclose(la, lat, atol=1e-8)
+
+
+class TestSwissObliqueMercator:
+    """EPSG method 9814 (swisstopo exact formulas): CH1903 / LV03 and
+    CH1903+ / LV95."""
+
+    def dms(self, d, m, s):
+        return d + m / 60.0 + s / 3600.0
+
+    def test_projection_centre_is_false_origin(self):
+        """Bern old observatory maps to (600000, 200000) in LV03 and
+        (2600000, 1200000) in LV95 by definition (no datum shift on
+        the raw projection)."""
+        from geopyspark_spark.core.crs import CRS_REGISTRY
+
+        lon = self.dms(7, 26, 22.50)
+        lat = self.dms(46, 57, 8.66)
+        for code, e0, n0 in (("epsg:21781", 600000.0, 200000.0),
+                             ("epsg:2056", 2600000.0, 1200000.0)):
+            proj, _ = CRS_REGISTRY[code]
+            E, N = proj.forward(np.array([lon]), np.array([lat]))
+            assert E[0] == pytest.approx(e0, abs=1e-6)
+            assert N[0] == pytest.approx(n0, abs=1e-6)
+
+    def test_swisstopo_rigi_worked_example(self):
+        """swisstopo's published Rigi test point ("Formulas and constants
+        for the calculation of the Swiss conformal cylindrical
+        projection...", test point): CH1903 geodetic -> LV03
+        E 679520.05, N 212273.44."""
+        from geopyspark_spark.core.crs import CRS_REGISTRY
+
+        proj, _ = CRS_REGISTRY["epsg:21781"]
+        E, N = proj.forward(np.array([self.dms(8, 29, 11.11127154)]),
+                            np.array([self.dms(47, 3, 28.95659233)]))
+        assert E[0] == pytest.approx(679520.05, abs=0.01)
+        assert N[0] == pytest.approx(212273.44, abs=0.01)
+
+    def test_proj4_somerc_string_matches_registry(self):
+        from geopyspark_spark.core.crs import CRS_REGISTRY
+
+        s = ("+proj=somerc +lat_0=46.95240555555556 "
+             "+lon_0=7.439583333333333 +k_0=1 +x_0=2600000 +y_0=1200000 "
+             "+ellps=bessel")
+        fwd = get_transform("epsg:4326", s)  # raw string: no shift
+        proj, _ = CRS_REGISTRY["epsg:2056"]
+        lon = np.array([6.6, 9.8]); lat = np.array([46.2, 47.6])
+        ax, ay = fwd(lon, lat)
+        bx, by = proj.forward(lon, lat)
+        np.testing.assert_allclose(ax, bx, atol=1e-5)
+        np.testing.assert_allclose(ay, by, atol=1e-5)
+
+    def test_round_trip_with_datum_shift(self):
+        fwd = get_transform("epsg:4326", "epsg:2056")
+        inv = get_transform("epsg:2056", "epsg:4326")
+        rng = np.random.default_rng(13)
+        lon = rng.uniform(6.0, 10.5, 50)
+        lat = rng.uniform(45.8, 47.8, 50)
+        lo, la = inv(*fwd(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-8)
+        np.testing.assert_allclose(la, lat, atol=1e-8)
+
+    def test_conformality(self):
+        """Oblique Mercator is conformal: a tiny square of ground
+        distance maps to a square (aspect ratio 1, right angles)."""
+        import math
+
+        from geopyspark_spark.core.crs import CRS_REGISTRY
+
+        from geopyspark_spark.core.crs import BESSEL1841
+
+        proj, _ = CRS_REGISTRY["epsg:2056"]
+        for lon_c, lat_c in ((7.44, 46.95), (9.5, 46.3), (6.2, 47.5)):
+            d = 1e-4
+            # equal GROUND arcs on the ellipsoid: east = N cos(phi) dlam,
+            # north = M dphi
+            sp = math.sin(math.radians(lat_c))
+            w = 1 - BESSEL1841.e2 * sp * sp
+            m_over_n = (1 - BESSEL1841.e2) / w
+            dlat = d
+            dlon = d * m_over_n / math.cos(math.radians(lat_c))
+            x0, y0 = proj.forward(np.array([lon_c]), np.array([lat_c]))
+            xe, ye = proj.forward(np.array([lon_c + dlon]), np.array([lat_c]))
+            xn, yn = proj.forward(np.array([lon_c]), np.array([lat_c + dlat]))
+            ve = np.array([xe[0] - x0[0], ye[0] - y0[0]])
+            vn = np.array([xn[0] - x0[0], yn[0] - y0[0]])
+            # same length (isotropic scale) and orthogonal
+            assert np.linalg.norm(ve) / np.linalg.norm(vn) == \
+                pytest.approx(1.0, abs=2e-4)
+            assert abs(float(ve @ vn)) / (np.linalg.norm(ve) *
+                                          np.linalg.norm(vn)) < 2e-4
+
+
+class TestKrovak:
+    """EPSG method 9819 (GN7-2 §1.3.2): S-JTSK (Ferro) / Krovak worked
+    example; epsg:5514 East-North axis convention."""
+
+    LON = 16.0 + 50.0 / 60 + 59.1790 / 3600
+    LAT = 50.0 + 12.0 / 60 + 32.4416 / 3600
+
+    def test_gn72_worked_example_czech_signs(self):
+        """+czech gives positive Southing/Westing (EPSG 2065 style):
+        X (southing) 1050538.63, Y (westing) 568991.00."""
+        s = "+proj=krovak +czech +ellps=bessel"
+        fwd = get_transform("epsg:4326", s)
+        W, S = fwd(np.array([self.LON]), np.array([self.LAT]))
+        assert W[0] == pytest.approx(568991.00, abs=0.02)
+        assert S[0] == pytest.approx(1050538.63, abs=0.02)
+
+    def test_5514_east_north_negated(self):
+        from geopyspark_spark.core.crs import CRS_REGISTRY
+
+        proj, shift = CRS_REGISTRY["epsg:5514"]
+        E, N = proj.forward(np.array([self.LON]), np.array([self.LAT]))
+        assert E[0] == pytest.approx(-568991.00, abs=0.02)
+        assert N[0] == pytest.approx(-1050538.63, abs=0.02)
+        assert shift is not None  # S-JTSK -> WGS84 published 3-param
+
+    def test_proj4_defaults_match_gn72_parameters(self):
+        """A bare +proj=krovak carries the S-JTSK defaults (lat_0=49.5,
+        lon_0=24d50', pseudo parallel 78.5, k=0.9999)."""
+        from geopyspark_spark.core.crs import CRS_REGISTRY
+
+        fwd = get_transform("epsg:4326", "+proj=krovak +ellps=bessel")
+        proj, _ = CRS_REGISTRY["epsg:5514"]
+        lon = np.array([14.4, 17.1]); lat = np.array([50.1, 48.7])
+        ax, ay = fwd(lon, lat)
+        bx, by = proj.forward(lon, lat)
+        np.testing.assert_allclose(ax, bx, atol=1e-6)
+        np.testing.assert_allclose(ay, by, atol=1e-6)
+
+    def test_round_trip_with_datum_shift(self):
+        fwd = get_transform("epsg:4326", "epsg:5514")
+        inv = get_transform("epsg:5514", "epsg:4326")
+        rng = np.random.default_rng(17)
+        lon = rng.uniform(12.1, 22.5, 50)
+        lat = rng.uniform(47.8, 51.0, 50)
+        lo, la = inv(*fwd(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-8)
+        np.testing.assert_allclose(la, lat, atol=1e-8)
+
+    def test_conformality(self):
+        import math
+
+        from geopyspark_spark.core.crs import CRS_REGISTRY
+
+        from geopyspark_spark.core.crs import BESSEL1841
+
+        proj, _ = CRS_REGISTRY["epsg:5514"]
+        for lon_c, lat_c in ((14.42, 50.09), (17.1, 48.15), (21.2, 49.0)):
+            d = 1e-4
+            sp = math.sin(math.radians(lat_c))
+            w = 1 - BESSEL1841.e2 * sp * sp
+            m_over_n = (1 - BESSEL1841.e2) / w
+            dlon = d * m_over_n / math.cos(math.radians(lat_c))
+            x0, y0 = proj.forward(np.array([lon_c]), np.array([lat_c]))
+            xe, ye = proj.forward(np.array([lon_c + dlon]), np.array([lat_c]))
+            xn, yn = proj.forward(np.array([lon_c]), np.array([lat_c + d]))
+            ve = np.array([xe[0] - x0[0], ye[0] - y0[0]])
+            vn = np.array([xn[0] - x0[0], yn[0] - y0[0]])
+            assert np.linalg.norm(ve) / np.linalg.norm(vn) == \
+                pytest.approx(1.0, abs=2e-4)
+            assert abs(float(ve @ vn)) / (np.linalg.norm(ve) *
+                                          np.linalg.norm(vn)) < 2e-4
