@@ -855,6 +855,121 @@ class Mollweide:
         return np.degrees(lam) + self.lon0, np.degrees(phi)
 
 
+class EquidistantCylindrical:
+    """Equidistant cylindrical (EPSG method 1028/9823; Snyder §12) —
+    Plate Carrée world grids (epsg:4087, 32662) and the common
+    quick-look rasters proj4j accepts as ``+proj=eqc``. x scales by
+    cos(lat_ts) on the prime-vertical radius; y is the meridian arc."""
+
+    def __init__(self, ell: _Ellipsoid, lat_ts: float, lon0: float,
+                 fe: float, fn: float):
+        self.ell, self.lon0, self.fe, self.fn = ell, lon0, fe, fn
+        pts = math.radians(lat_ts)
+        sts = math.sin(pts)
+        self.nu_cos = ell.a * math.cos(pts) / math.sqrt(1 - ell.e2 * sts * sts)
+        n = ell.n
+        self._mu_c = (
+            -(3 * n / 2 - 9 * n ** 3 / 16),
+            (15 * n ** 2 / 16 - 15 * n ** 4 / 32),
+            -(35 * n ** 3 / 48),
+            (315 * n ** 4 / 512),
+        )
+        self._phi_c = (
+            (3 * n / 2 - 27 * n ** 3 / 32),
+            (21 * n ** 2 / 16 - 55 * n ** 4 / 32),
+            (151 * n ** 3 / 96),
+            (1097 * n ** 4 / 512),
+        )
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        mu = phi
+        for k, c in enumerate(self._mu_c, start=1):
+            mu = mu + c * np.sin(2 * k * phi)
+        x = self.nu_cos * np.radians(np.subtract(lon, self.lon0))
+        return self.fe + x, self.fn + self.ell.A * mu
+
+    def inverse(self, x, y):
+        mu = np.subtract(y, self.fn) / self.ell.A
+        phi = mu
+        for k, c in enumerate(self._phi_c, start=1):
+            phi = phi + c * np.sin(2 * k * mu)
+        lam = np.subtract(x, self.fe) / self.nu_cos
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
+class Geostationary:
+    """Geostationary satellite view (proj4 ``+proj=geos``; CGMS
+    LRIT/HRIT normalized geostationary projection) — the native CRS of
+    GOES-R ABI (``+sweep=x``) and Meteosat SEVIRI (``+sweep=y``)
+    imagery. Coordinates are scan angles times the satellite height
+    ``h`` above the ellipsoid; points beyond the visible disc map to
+    NaN."""
+
+    def __init__(self, ell: _Ellipsoid, h: float, lon0: float,
+                 fe: float, fn: float, sweep_x: bool = False):
+        self.ell, self.h, self.lon0 = ell, h, lon0
+        self.fe, self.fn, self.sweep_x = fe, fn, sweep_x
+        a = ell.a
+        self.radius_p = math.sqrt(1.0 - ell.e2)       # b/a
+        self.radius_p2 = 1.0 - ell.e2                  # (b/a)^2
+        self.radius_p_inv2 = 1.0 / self.radius_p2
+        self.radius_g = 1.0 + h / a                    # satellite distance / a
+        self.radius_g_1 = h / a                        # scan-angle scale / a
+        self.C = self.radius_g ** 2 - 1.0
+
+    def forward(self, lon, lat):
+        a = self.ell.a
+        phi = np.arctan(self.radius_p2 * np.tan(
+            np.radians(np.asarray(lat, dtype=np.float64))
+        ))  # geocentric latitude
+        lam = np.radians(np.subtract(lon, self.lon0))
+        r = self.radius_p / np.hypot(self.radius_p * np.cos(phi), np.sin(phi))
+        vx = r * np.cos(lam) * np.cos(phi)
+        vy = r * np.sin(lam) * np.cos(phi)
+        vz = r * np.sin(phi)
+        # visibility: the satellite->P direction must oppose P's outward
+        # normal direction (P on the near side of the globe)
+        visible = ((self.radius_g - vx) * vx - vy * vy
+                   - vz * vz * self.radius_p_inv2) >= 0.0
+        tmp = self.radius_g - vx
+        with np.errstate(invalid="ignore"):
+            if self.sweep_x:
+                x = self.radius_g_1 * np.arctan(vy / np.hypot(vz, tmp))
+                y = self.radius_g_1 * np.arctan(vz / tmp)
+            else:
+                x = self.radius_g_1 * np.arctan(vy / tmp)
+                y = self.radius_g_1 * np.arctan(vz / np.hypot(vy, tmp))
+            x = np.where(visible, x, np.nan)
+            y = np.where(visible, y, np.nan)
+        return self.fe + a * x, self.fn + a * y
+
+    def inverse(self, x, y):
+        a = self.ell.a
+        xs = np.subtract(x, self.fe) / (a * self.radius_g_1)
+        ys = np.subtract(y, self.fn) / (a * self.radius_g_1)
+        # view-ray direction from the satellite
+        if self.sweep_x:
+            vz = np.tan(ys)
+            vy = np.tan(xs) * np.hypot(1.0, vz)
+        else:
+            vy = np.tan(xs)
+            vz = np.tan(ys) * np.hypot(1.0, vy)
+        # intersect the ray with the ellipsoid (near solution)
+        A = vy * vy + vz * vz * self.radius_p_inv2 + 1.0
+        B = -2.0 * self.radius_g
+        det = B * B - 4.0 * A * self.C
+        with np.errstate(invalid="ignore"):
+            k = (-B - np.sqrt(det)) / (2.0 * A)
+            vxg = self.radius_g - k
+            vyg = vy * k
+            vzg = vz * k
+            r = np.hypot(vxg, vyg)
+            lam = np.arctan2(vyg, vxg)
+            phi = np.arctan(self.radius_p_inv2 * vzg / r)
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
 class HotineObliqueMercator:
     """Hotine oblique Mercator (EPSG methods 9812 variant A / 9815
     variant B; GN7-2 §1.3.6; proj4 ``+proj=omerc`` with ``+alpha``) —
@@ -1346,8 +1461,8 @@ def _parse_proj4(s: str):
     """Build (projection, datum_shift|None) from a proj4 string — the
     reference accepts arbitrary proj4 via proj4j (``TileLayer.scala:
     288-295`` getCRS); this covers the ``+proj=tmerc/lcc/utm/longlat/
-    merc/cea/aea/stere/sterea/laea/sinu/moll/omerc/somerc/krovak``
-    families over
+    merc/cea/aea/stere/sterea/laea/sinu/moll/eqc/geos/omerc/somerc/
+    krovak`` families over
     ``+ellps/+datum/+a/+rf/+b/+towgs84/+k/+x_0/+y_0/...`` parameters,
     feeding the existing Krueger/LCC/Helmert kernels.
     Returns None for unsupported projections."""
@@ -1424,6 +1539,12 @@ def _parse_proj4(s: str):
                                     g("x_0"), g("y_0")), shift
     if proj == "moll":
         return Mollweide(ell, g("lon_0"), g("x_0"), g("y_0")), shift
+    if proj in ("eqc", "latlong_m"):
+        return EquidistantCylindrical(ell, g("lat_ts"), g("lon_0"),
+                                      g("x_0"), g("y_0")), shift
+    if proj == "geos" and "h" in kv:
+        return Geostationary(ell, g("h"), g("lon_0"), g("x_0"), g("y_0"),
+                             sweep_x=kv.get("sweep", "y") == "x"), shift
     if proj == "omerc" and ("alpha" in kv or "lonc" in kv):
         # azimuth form only (EPSG 9812/9815); the two-point form
         # (+lon_1/+lat_1/+lon_2/+lat_2) is not supported -> None
@@ -1545,8 +1666,8 @@ def get_transform(src_crs: str | int, dst_crs: str | int) -> Transform:
         "epsg:326xx / epsg:327xx, the registered national grids "
         f"({', '.join(sorted(CRS_REGISTRY))}), proj4 strings in the "
         "tmerc/lcc/utm/longlat/merc/cea/aea/stere/sterea/laea/sinu/"
-        "moll/omerc/somerc/krovak families, and anything added via "
-        "register_crs()"
+        "moll/eqc/geos/omerc/somerc/krovak families, and anything added "
+        "via register_crs()"
     )
 
 

@@ -3492,13 +3492,13 @@ def queries():
     # NOTE on ordering: the driver records exactly the FIRST 50 registry
     # entries in CORRECTNESS_r{N}.json. The same 50 sat in the window for
     # rounds 1-4, which let a round-3 regression hide outside it
-    # (VERDICT r4 "What's missing"); round 5 ROTATED the window; round 6
-    # rotates again (VERDICT r5 #2): the three round-5 additions the
-    # driver never validated (albers/ease/stream_tumbling) plus the three
-    # round-6 additions (laea/stream_session/geotiff_roundtrip) move IN;
-    # six r5-window-validated entries (histogram/min_max/colormap/
-    # histogram_series/merge/local_add_n) move out — their families stay
-    # represented (histogram_object, normalize, local_algebra in-window).
+    # (VERDICT r4 "What's missing"); rounds 5+ ROTATE the window each
+    # round so every query is driver-validated within a couple of rounds.
+    # Round 6 second rotation: the four late-r6 additions the driver has
+    # never seen (rd/stream_sliding/swiss/krovak) move IN; four
+    # r5-window-validated entries (simhash/q3/reproject_cubic/
+    # reproject_global) move out — their families stay represented
+    # (minhash+lsh_pairs, q1/q10/q4/q14, 7 other reproject variants).
     # Entries past #50 remain pytest- and check_oracle-covered.
     return {
         # ---- driver window (50): 25 carried + 25 rotated in ----
@@ -3507,7 +3507,6 @@ def queries():
         "text_exact_dedup": q_text_exact_dedup,
         "text_minhash": q_text_minhash,
         "text_lsh_pairs": q_text_lsh_pairs,
-        "text_simhash": q_text_simhash,
         "text_dup_components": q_text_dup_components,
         "text_dedup_pipeline": q_text_dedup_pipeline,
         # embeddings (similarity search)
@@ -3518,7 +3517,6 @@ def queries():
         "multimodal_features": q_multimodal_features,
         # relational surface (rotated in: q4/q10/q14)
         "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
         "tpch_q10_returned": q_tpch_q10_returned,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q14_promo": q_tpch_q14_promo,
@@ -3542,8 +3540,6 @@ def queries():
         "raster_cost_distance": q_raster_cost_distance,
         "raster_reproject": q_raster_reproject,
         # raster operators — rotated in (rounds 2/3/5 additions)
-        "raster_reproject_cubic": q_raster_reproject_cubic,
-        "raster_reproject_global": q_raster_reproject_global,
         "raster_reproject_utm": q_raster_reproject_utm,
         "raster_focal_mode": q_raster_focal_mode,
         "raster_pyramid_mode": q_raster_pyramid_mode,
@@ -3560,7 +3556,16 @@ def queries():
         "raster_reproject_laea": q_raster_reproject_laea,
         "events_stream_session": q_events_stream_session,
         "raster_geotiff_roundtrip": q_raster_geotiff_roundtrip,
+        # rotated in (second r6 rotation): late-r6 additions
+        "raster_reproject_rd": q_raster_reproject_rd,
+        "events_stream_sliding": q_events_stream_sliding,
+        "raster_reproject_swiss": q_raster_reproject_swiss,
+        "raster_reproject_krovak": q_raster_reproject_krovak,
         # ---- entries below are past the driver's 50-entry window ----
+        "text_simhash": q_text_simhash,
+        "tpch_q3": q_tpch_q3,
+        "raster_reproject_cubic": q_raster_reproject_cubic,
+        "raster_reproject_global": q_raster_reproject_global,
         "raster_histogram": q_raster_histogram,
         "raster_min_max": q_raster_min_max,
         "raster_colormap": q_raster_colormap,
@@ -3618,11 +3623,6 @@ def queries():
         "raster_lookup": q_raster_lookup,
         "raster_map_cells": q_raster_map_cells,
         "raster_union": q_raster_union,
-        # ---- round 6 additions (past the window) ----
-        "raster_reproject_rd": q_raster_reproject_rd,
-        "events_stream_sliding": q_events_stream_sliding,
-        "raster_reproject_swiss": q_raster_reproject_swiss,
-        "raster_reproject_krovak": q_raster_reproject_krovak,
     }
 
 

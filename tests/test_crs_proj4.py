@@ -804,3 +804,101 @@ class TestKrovak:
                 pytest.approx(1.0, abs=2e-4)
             assert abs(float(ve @ vn)) / (np.linalg.norm(ve) *
                                           np.linalg.norm(vn)) < 2e-4
+
+
+class TestEquidistantCylindrical:
+    """EPSG method 1028 (GN7-2): World Equidistant Cylindrical
+    (epsg:4087) worked example."""
+
+    def test_gn72_worked_example_1028(self):
+        """55dN 10dE -> E 1113194.91, N 6097230.31 (published to cm)."""
+        f = get_transform("epsg:4326", "+proj=eqc +lat_ts=0 +lon_0=0 +ellps=wgs84")
+        E, N = f(np.array([10.0]), np.array([55.0]))
+        assert E[0] == pytest.approx(1113194.91, abs=0.02)
+        assert N[0] == pytest.approx(6097230.31, abs=0.02)
+
+    def test_lat_ts_scales_x_only(self):
+        import math
+
+        f0 = get_transform("epsg:4326", "+proj=eqc +lat_ts=0 +ellps=wgs84")
+        f60 = get_transform("epsg:4326", "+proj=eqc +lat_ts=60 +ellps=wgs84")
+        x0, y0 = f0(np.array([20.0]), np.array([40.0]))
+        x6, y6 = f60(np.array([20.0]), np.array([40.0]))
+        assert y6[0] == pytest.approx(y0[0], abs=1e-9)  # meridian arc unchanged
+        # x ratio = nu(60)cos60 / nu(0)cos0 (ellipsoidal, not plain cos)
+        from geopyspark_spark.core.crs import WGS84_ELL
+        e2 = WGS84_ELL.e2
+        s = math.sin(math.radians(60.0))
+        ratio = math.cos(math.radians(60.0)) / math.sqrt(1 - e2 * s * s)
+        assert x6[0] / x0[0] == pytest.approx(ratio, abs=1e-12)
+
+    def test_round_trip(self):
+        s = "+proj=eqc +lat_ts=30 +lon_0=12 +ellps=wgs84"
+        f = get_transform("epsg:4326", s)
+        i = get_transform(s, "epsg:4326")
+        rng = np.random.default_rng(23)
+        lon = rng.uniform(-179.0, 179.0, 60)
+        lat = rng.uniform(-89.0, 89.0, 60)
+        lo, la = i(*f(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+
+
+class TestGeostationary:
+    """proj4 ``+proj=geos`` (CGMS normalized geostationary) — GOES-R ABI
+    (+sweep=x) and Meteosat SEVIRI (+sweep=y) fixed grids."""
+
+    GOES = "+proj=geos +h=35786023 +lon_0=-75 +sweep=x +ellps=grs80"
+
+    def test_subsatellite_point_is_origin(self):
+        f = get_transform("epsg:4326", self.GOES)
+        x, y = f(np.array([-75.0]), np.array([0.0]))
+        assert x[0] == pytest.approx(0.0, abs=1e-9)
+        assert y[0] == pytest.approx(0.0, abs=1e-9)
+
+    def test_sphere_scan_angle_first_principles(self):
+        """Spherical case is hand-derivable: for an equator point at
+        dlon, the scan angle subtended at the satellite is
+        atan(R sin dlon / (R+h - R cos dlon)); x = h * angle."""
+        import math
+
+        a = 6370000.0
+        h = 35786023.0
+        s = f"+proj=geos +h={h} +lon_0=0 +sweep=y +a={a} +b={a}"
+        f = get_transform("epsg:4326", s)
+        for dlon in (5.0, 25.0, 60.0):
+            x, y = f(np.array([dlon]), np.array([0.0]))
+            expect = h * math.atan(
+                a * math.sin(math.radians(dlon))
+                / (a + h - a * math.cos(math.radians(dlon)))
+            )
+            assert x[0] == pytest.approx(expect, abs=1e-6)
+            assert y[0] == pytest.approx(0.0, abs=1e-9)
+
+    def test_far_side_is_nan(self):
+        f = get_transform("epsg:4326", self.GOES)
+        x, y = f(np.array([105.0, -75.0]), np.array([0.0, 85.0]))
+        assert np.isnan(x[0]) and np.isnan(y[0])   # antipode region
+        assert np.isnan(x[1]) and np.isnan(y[1])   # beyond the limb
+
+    def test_round_trip_visible_disc(self):
+        f = get_transform("epsg:4326", self.GOES)
+        i = get_transform(self.GOES, "epsg:4326")
+        rng = np.random.default_rng(3)
+        lon = rng.uniform(-140.0, -10.0, 200)
+        lat = rng.uniform(-60.0, 60.0, 200)
+        x, y = f(lon, lat)
+        ok = ~np.isnan(x)
+        assert ok.sum() > 150
+        lo, la = i(x[ok], y[ok])
+        np.testing.assert_allclose(lo, lon[ok], atol=1e-9)
+        np.testing.assert_allclose(la, lat[ok], atol=1e-9)
+
+    def test_sweep_axes_differ_off_axis(self):
+        """sweep=x vs sweep=y agree on the axes but differ off-axis
+        (the CGMS vs GOES gimbal ordering)."""
+        fx = get_transform("epsg:4326", self.GOES)
+        fy = get_transform("epsg:4326", self.GOES.replace("sweep=x", "sweep=y"))
+        ax, ay = fx(np.array([-60.0]), np.array([30.0]))
+        bx, by = fy(np.array([-60.0]), np.array([30.0]))
+        assert abs(ax[0] - bx[0]) > 100.0 and abs(ay[0] - by[0]) > 100.0
