@@ -56,6 +56,11 @@ def main():
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 16)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # let AQE re-coalesce the output partitioning of cached plans —
+        # iterative operators (cost_distance, pyramid) persist per-round
+        # state, and without this every downstream stage inherits the
+        # full spark.sql.shuffle.partitions task count
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

@@ -106,12 +106,19 @@ def _frag_expr(tc: int, tr: int, dc: int, dr: int, r: int) -> str:
     )
 
 
-def halo_exchange(df: DataFrame, tile_cols: int, tile_rows: int, radius: int) -> DataFrame:
+def halo_exchange(df: DataFrame, tile_cols: int, tile_rows: int, radius: int,
+                  carry: list[str] | None = None) -> DataFrame:
     """Emit fragments to the 9 neighbor targets in ONE projection (inline of
-    an array of structs — single scan, no unions), keyed by target."""
+    an array of structs — single scan, no unions), keyed by target.
+
+    ``carry`` names donor-side scalar columns duplicated onto every emitted
+    fragment (e.g. a per-tile change flag), letting the receiver reason
+    about its neighborhood without a second join.
+    """
     assert radius <= tile_cols and radius <= tile_rows, (
         "halo radius must not exceed tile size; retile first"
     )
+    carry = carry or []
     frags = []
     for dr in (-1, 0, 1):
         for dc in (-1, 0, 1):
@@ -121,13 +128,15 @@ def halo_exchange(df: DataFrame, tile_cols: int, tile_rows: int, radius: int) ->
             )
     keys = key_cols(df)
     exploded = df.select(
-        *keys, "band", F.expr("inline(array(" + ",".join(frags) + "))")
+        *keys, "band", *carry,
+        F.expr("inline(array(" + ",".join(frags) + "))"),
     )
     out = exploded.select(
         (F.col("key_col") + F.col("dc")).alias("key_col"),
         (F.col("key_row") + F.col("dr")).alias("key_row"),
         *[c for c in keys if c not in ("key_col", "key_row")],
         "band",
+        *carry,
         "dc",
         "dr",
         "frag",
