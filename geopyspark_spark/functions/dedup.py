@@ -220,7 +220,10 @@ def lsh_candidate_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     """
     rows_per_band = num_hashes // bands
     # band keys straight off the wide per-doc aggregate: one shuffle total
-    # (the groupBy(doc_id) in _minhash_wide); no long-form regroup
+    # (the groupBy(doc_id) in _minhash_wide); no long-form regroup.
+    # The self-join below consumes this subtree on both sides; AQE stage
+    # reuse dedupes the identical scans at runtime (verified: an explicit
+    # localCheckpoint here only added overhead)
     wide = _minhash_wide(df, num_hashes, text_col, hash_ids=hash_ids)
     band_rows = [
         F.struct(
@@ -236,17 +239,23 @@ def lsh_candidate_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
         "doc_id", F.explode(F.array(*band_rows)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     if max_bucket_size is not None:
-        sizes = band_sig.groupBy("band", "band_key").agg(
-            F.count("*").alias("_bsz")
-        )
-        band_sig = band_sig.join(
-            sizes.where(F.col("_bsz") <= max_bucket_size).drop("_bsz"),
-            ["band", "band_key"], "left_semi",
-        )
+        # bucket-size filter as a window count over the SAME partition
+        # keys the self-join below shuffles on: one pass, and both join
+        # sides stay identical subtrees so Spark reuses the exchange
+        # (the earlier groupBy-sizes + semi-join recomputed the minhash
+        # upstream an extra 2x — measured 1.26 s -> 2.1 s at sf0.1)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "band_key")
+        sized = band_sig.withColumn("_bsz", F.count(F.lit(1)).over(w))
         # truncation is never silent: the over-cap buckets are published
         # as a plan for skew_guard_report() to aggregate on demand
-        _skew_stats["dropped_df"] = sizes.where(F.col("_bsz") > max_bucket_size)
+        _skew_stats["dropped_df"] = (
+            sized.where(F.col("_bsz") > max_bucket_size)
+            .groupBy("band", "band_key").agg(F.first("_bsz").alias("_bsz"))
+        )
         _skew_stats["max_bucket_size"] = max_bucket_size
+        band_sig = sized.where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
     a = band_sig.alias("a")
     b = band_sig.alias("b")
     pairs = (
