@@ -11,20 +11,31 @@ dist 1 for rook moves and sqrt(2) for diagonal moves (cell units);
 ``max_distance`` truncates the frontier.
 
 Spark physical plan (the reference's Pregel pattern, DataFrame-shaped):
-driver-coordinated fixpoint loop where each iteration
-  1. computes the ACTIVE frontier — tiles whose own or 8-neighbor
-     ``improved`` was > 0 last round (the reference's
-     ``IterativeCostDistance`` is likewise change-driven),
-  2. halo-exchanges the distance plane only for donor tiles within
-     Chebyshev distance 1 of the active set (the friction halo is
-     exchanged once up front and persisted),
-  3. runs a per-tile numpy local relaxation (alternating Gauss-Seidel
-     sweeps + exact min-plus row scans — exact for a fixed boundary)
-     over active tiles only; untouched tiles pass through via a
-     broadcast anti-join (a scan, not a shuffle),
-  4. checks convergence with one scalar aggregate (max improvement).
-Per-round shuffle volume is O(frontier), not O(grid): on a 10k x 10k
-tile layout a thin wavefront ring touches thousands of tiles per round,
+driver-coordinated fixpoint loop. Each round the ACTIVE frontier is the
+set of tiles whose own or 8-neighbor ``improved`` was > 0 last round
+(the reference's ``IterativeCostDistance`` is likewise change-driven);
+the round's physical strategy adapts to the frontier's width:
+
+  1. **isin** (spatial frontiers <= 8192 keys): the packed frontier
+     keys ride back to the driver on the convergence aggregate itself
+     (zero extra jobs); Python dilates them and pushes InSet filters,
+     so the round is one O(frontier) fragment shuffle + one job.
+  2. **broadcast-join** (wider or temporal thin frontiers): a radius-2
+     Chebyshev-tagged dilation on the cluster + semi-joins; still
+     O(frontier) shuffle, a few extra small jobs.
+  3. **dense** (frontier dilation would cover most of the grid, or
+     grids under ~256 tiles): full dist-plane halo exchange like the
+     focal ops, with each donor's ``improved`` flag carried on the
+     fragment so quiet neighborhoods skip the relaxation kernel
+     inside the UDF.
+
+The friction halo is exchanged once up front and persisted; per-round
+state persists with a lineage-truncating localCheckpoint every 8th
+round (checkpoint costs ~2x a persisted round in fixed overhead).
+Active tiles run a per-tile numpy local relaxation (alternating
+Gauss-Seidel sweeps + exact min-plus row scans — exact for a fixed
+boundary); convergence is one scalar aggregate. On a 10k x 10k tile
+layout a thin wavefront ring shuffles thousands of tiles per round,
 not a hundred million.
 """
 
