@@ -160,3 +160,95 @@ def fingerprint(df: DataFrame, text_col: str = "text",
             (F.sum((F.col("pos") + 1) * F.col("token_id")) % modulus).alias("fingerprint")
         )
     )
+
+
+#: PII patterns applied IN ORDER by :func:`pii_scrub`. Restricted to
+#: constructs whose semantics agree between Java regex (Spark,
+#: leftmost-first backtracking) and RE2 (DuckDB, leftmost-longest):
+#: character classes, bounded quantifiers, \b — no alternation whose
+#: branches overlap, no lookaround, no backrefs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d{3}[- ]\d{3,4}[- ]\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact common PII shapes (emails, phone numbers, IPv4 addresses,
+    SSN-style ids) with typed placeholders — the standard scrub pass a
+    training-data pipeline runs before anything else sees the text.
+
+    Pure Catalyst ``regexp_replace`` chain (JVM-side, no Python in the
+    hot path); per-category match counts come from
+    ``regexp_extract_all`` BEFORE replacement so partially-overlapping
+    categories report what they actually matched. Patterns are applied
+    in :data:`PII_PATTERNS` order (email first so user@host never
+    half-matches as a phone).
+    """
+    out = df
+    clean = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(clean, F.lit(pat), 0)).alias(f"n_{name}")
+        )
+        clean = F.regexp_replace(clean, pat, repl)
+    return out.select("doc_id", clean.alias("clean_text"), *counts)
+
+
+def pack_sequences(df: DataFrame, budget: int = 512,
+                   text_col: str = "text",
+                   partition_col: str | None = None) -> DataFrame:
+    """Concatenate-then-chunk sequence packing: documents (ordered by
+    doc_id) form one token stream; bin k holds the tokens in
+    ``[k*budget, (k+1)*budget)``. Each doc reports the bin its FIRST
+    token lands in plus its offset in the stream — exactly the
+    "concat and split at the context window" packing LLM training uses.
+
+    ``partition_col=None`` packs one global stream (a total-sort window
+    — exact, oracle-able, fine to a few hundred million rows);
+    at 100 TB pass ``partition_col`` (e.g. ``lang`` or a shard key) so
+    each partition packs independently with no global sort.
+    """
+    counted = df.select(
+        "doc_id",
+        *( [partition_col] if partition_col else [] ),
+        F.size(tokens_col(text_col)).alias("n_tokens"),
+    )
+    w = Window.orderBy("doc_id")
+    if partition_col:
+        w = Window.partitionBy(partition_col).orderBy("doc_id")
+    w = w.rowsBetween(Window.unboundedPreceding, -1)
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return counted.select(
+        "doc_id",
+        *( [partition_col] if partition_col else [] ),
+        "n_tokens",
+        offset.alias("tok_offset"),
+        F.floor(offset / budget).cast("int").alias("bin_id"),
+    )
+
+
+def deterministic_sample(df: DataFrame, rate_ppm: int = 250_000,
+                         seed: int = 42, id_col: str = "doc_id") -> DataFrame:
+    """Seeded hash sampling: keep a row iff
+    ``md5(id ':' seed) mod 1e6 < rate_ppm``.
+
+    Unlike ``df.sample``, membership depends only on (id, seed) — stable
+    across reruns, partitioning, and cluster size, so a 25% corpus
+    sample is the SAME 25% tomorrow (the property training-data ablations
+    need). md5 of the UTF-8 bytes is identical in every engine, so the
+    oracle reproduces the exact row set.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                ":", F.col(id_col).cast("string"), F.lit(str(seed))
+            )),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    return df.where(h % 1_000_000 < rate_ppm)

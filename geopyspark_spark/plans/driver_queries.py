@@ -2836,6 +2836,101 @@ FROM t
 """
 
 
+def _pii_docs(spark, sf_dir):
+    """documents with deterministic synthetic PII appended (the fixture
+    text itself is PII-free word salad): doc-derived email, phone, IPv4
+    and SSN shapes — the oracle builds the SAME text in SQL."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("-1234 from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 ssn 123-45-6789"),
+        ).alias("text"),
+    )
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction pass (round 6): Catalyst regexp_replace chain over
+    emails/phones/IPv4/SSN shapes with per-category match counts."""
+    return ftext.pii_scrub(_pii_docs(spark, sf_dir))
+
+
+def _sql_pii_scrub() -> str:
+    synth = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+             "'@example.com or +1 555-' || "
+             "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+             "'-1234 from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+             "'.1 ssn 123-45-6789'")
+    # mirror functions/text.py pii_scrub exactly: each category counts
+    # matches on the text AFTER the previous categories' replacements,
+    # then replaces ('g' = replace all, Spark's regexp_replace default)
+    stages = []
+    cur = "t0"
+    sql = [f"WITH base AS (SELECT doc_id, {synth} AS t0 FROM documents)"]
+    frm = "base"
+    for i, (name, pat, repl) in enumerate(ftext.PII_PATTERNS):
+        p = pat.replace("'", "''")
+        nxt = f"t{i + 1}"
+        sql.append(
+            f", s{i} AS (SELECT doc_id, "
+            f"CAST(len(regexp_extract_all({cur}, '{p}')) AS INT) AS n_{name}, "
+            f"regexp_replace({cur}, '{p}', '{repl}', 'g') AS {nxt}"
+            + "".join(f", n_{n}" for n, _, _ in ftext.PII_PATTERNS[:i]) +
+            f" FROM {frm})"
+        )
+        cur, frm = nxt, f"s{i}"
+    names = ", ".join(f"n_{n}" for n, _, _ in ftext.PII_PATTERNS)
+    sql.append(f"SELECT doc_id, {cur} AS clean_text, {names} FROM {frm}")
+    return "\n".join(sql)
+
+
+def q_text_pack_sequences(spark, sf_dir):
+    """Concatenate-then-chunk sequence packing into 512-token bins,
+    packed independently per lang (the partitioned 100 TB path)."""
+    return ftext.pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=512, partition_col="lang"
+    )
+
+
+SQL_TEXT_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS tok_offset
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, tok_offset,
+       CAST(floor(tok_offset / 512.0) AS INT) AS bin_id
+FROM o
+"""
+
+
+def q_text_sample(spark, sf_dir):
+    """Seeded md5-hash 25% sample — membership depends only on
+    (doc_id, seed), reproducible in any engine / partitioning."""
+    return ftext.deterministic_sample(
+        _t(spark, sf_dir, "documents"), rate_ppm=250_000, seed=42
+    ).select("doc_id", "lang", "source")
+
+
+SQL_TEXT_SAMPLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+      % 1000000 < 250000
+"""
+
+
 def q_text_lang_scores(spark, sf_dir):
     return ftext.lang_scores(_t(spark, sf_dir, "documents"))
 
@@ -3623,6 +3718,10 @@ def queries():
         "raster_lookup": q_raster_lookup,
         "raster_map_cells": q_raster_map_cells,
         "raster_union": q_raster_union,
+        # ---- round 6 second-half additions (past the window) ----
+        "text_pii_scrub": q_text_pii_scrub,
+        "text_pack_sequences": q_text_pack_sequences,
+        "text_sample": q_text_sample,
     }
 
 
@@ -3740,6 +3839,9 @@ def oracle_sql():
         "events_stream_sliding": SQL_EVENTS_SLIDING,
         "raster_reproject_swiss": _sql_reproject_nn("epsg:2056"),
         "raster_reproject_krovak": _sql_reproject_nn("epsg:5514"),
+        "text_pii_scrub": _sql_pii_scrub(),
+        "text_pack_sequences": SQL_TEXT_PACK_SEQUENCES,
+        "text_sample": SQL_TEXT_SAMPLE,
     }
     # the IVF oracle reads the training rows from the oracle sf dir at
     # build time; if that path is unreachable the query degrades to a

@@ -456,3 +456,73 @@ class TestBruteForceGuard:
         monkeypatch.setattr(fsim, "MAX_BRUTE_FORCE_VECTORS", 100_000)
         out = fsim.cosine_near_dup(df, 0.99).count()
         assert out >= 1
+
+
+class TestPipelineOps:
+    """Round-6 second half: PII scrub, sequence packing, hash sampling."""
+
+    def test_pii_scrub_redacts_and_counts(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at jo.doe+x@corp.io or call 555-123-4567 now"),
+                (2, "server 192.168.0.1 ssn 123-45-6789"),
+                (3, "nothing sensitive here"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r.doc_id: r for r in ftext.pii_scrub(df).collect()}
+        assert rows[1].clean_text == "mail me at <EMAIL> or call <PHONE> now"
+        assert rows[1].n_email == 1 and rows[1].n_phone == 1
+        assert rows[2].clean_text == "server <IP> ssn <ID>"
+        assert rows[2].n_ipv4 == 1 and rows[2].n_ssn == 1
+        assert rows[3].clean_text == "nothing sensitive here"
+        assert rows[3].n_email == rows[3].n_phone == 0
+
+    def test_pii_email_not_half_matched_as_phone(self, spark):
+        """Digit-heavy emails scrub as EMAIL (applied first), never
+        leaving a phone fragment behind."""
+        df = spark.createDataFrame(
+            [(1, "reach 555123@4567-888.com today")], ["doc_id", "text"]
+        )
+        r = ftext.pii_scrub(df).first()
+        assert r.clean_text == "reach <EMAIL> today"
+        assert r.n_email == 1 and r.n_phone == 0
+
+    def test_pack_sequences_concat_then_chunk(self, spark):
+        df = spark.createDataFrame(
+            [(i, " ".join(["w"] * n)) for i, n in
+             [(0, 300), (1, 300), (2, 100), (3, 500), (4, 50)]],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in
+               ftext.pack_sequences(df, budget=512).collect()}
+        # stream offsets 0, 300, 600, 700, 1200 -> bins 0, 0, 1, 1, 2
+        assert [out[i].tok_offset for i in range(5)] == [0, 300, 600, 700, 1200]
+        assert [out[i].bin_id for i in range(5)] == [0, 0, 1, 1, 2]
+
+    def test_pack_sequences_partitioned_streams_are_independent(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a", " ".join(["w"] * 400)), (1, "b", " ".join(["w"] * 400)),
+             (2, "a", " ".join(["w"] * 400)), (3, "b", " ".join(["w"] * 400))],
+            ["doc_id", "lang", "text"],
+        )
+        out = {r.doc_id: r for r in
+               ftext.pack_sequences(df, budget=512, partition_col="lang").collect()}
+        # each lang packs its own stream: offsets restart per lang
+        assert out[0].tok_offset == 0 and out[1].tok_offset == 0
+        assert out[2].tok_offset == 400 and out[3].tok_offset == 400
+        assert out[2].bin_id == 0 and out[3].bin_id == 0
+
+    def test_deterministic_sample_stable_and_seeded(self, spark):
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id for r in
+             ftext.deterministic_sample(df, 250_000, seed=7).collect()}
+        # same seed, different partitioning -> identical membership
+        b = {r.doc_id for r in
+             ftext.deterministic_sample(df.repartition(17), 250_000, seed=7).collect()}
+        assert a == b
+        # different seed -> different set; rate lands near 25%
+        c = {r.doc_id for r in
+             ftext.deterministic_sample(df, 250_000, seed=8).collect()}
+        assert a != c
+        assert 0.18 < len(a) / 2000 < 0.32
