@@ -2717,6 +2717,33 @@ def q_events_stream_sliding(spark, sf_dir):
     )
 
 
+def q_events_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup through the oracle gate (round 6): the
+    stream unioned with itself (every event twice) -> watermark +
+    dropDuplicates(event_id) (bounded state) -> AvailableNow drain in
+    append mode -> each event exactly once, vs a plain DISTINCT oracle.
+    Both union branches are identical rows, so keep-first is
+    value-deterministic."""
+    import uuid
+
+    from ..streaming.events import (dedup_events, read_events_stream,
+                                    run_available_now)
+
+    ev = read_events_stream(spark, sf_dir)
+    ev = ev.where(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+    doubled = ev.unionByName(ev)
+    deduped = dedup_events(doubled, keys=["event_id"], watermark="2 hours")
+    out = run_available_now(
+        deduped, f"stream_dedup_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    return out.select("event_id", "event_type", "user_id")
+
+
+SQL_EVENTS_STREAM_DEDUP = """
+SELECT DISTINCT event_id, event_type, user_id FROM events
+"""
+
+
 def q_events_sliding(spark, sf_dir):
     """1-hour windows sliding every 30 min: each event lands in 2 windows.
     Output window start as (date, minutes-of-day) ints for portability."""
@@ -3722,6 +3749,7 @@ def queries():
         "text_pii_scrub": q_text_pii_scrub,
         "text_pack_sequences": q_text_pack_sequences,
         "text_sample": q_text_sample,
+        "events_stream_dedup": q_events_stream_dedup,
     }
 
 
@@ -3842,6 +3870,7 @@ def oracle_sql():
         "text_pii_scrub": _sql_pii_scrub(),
         "text_pack_sequences": SQL_TEXT_PACK_SEQUENCES,
         "text_sample": SQL_TEXT_SAMPLE,
+        "events_stream_dedup": SQL_EVENTS_STREAM_DEDUP,
     }
     # the IVF oracle reads the training rows from the oracle sf dir at
     # build time; if that path is unreachable the query degrades to a
