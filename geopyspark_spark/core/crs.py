@@ -984,7 +984,8 @@ class HotineObliqueMercator:
 
     def __init__(self, ell: _Ellipsoid, latc: float, lonc: float,
                  alphac: float, gammac: float, k0: float,
-                 fe: float, fn: float, variant_b: bool = True):
+                 fe: float, fn: float, variant_b: bool = True,
+                 _lam0_override: float | None = None):
         self.ell, self.fe, self.fn = ell, fe, fn
         self.variant_b = variant_b
         a, e, e2 = ell.a, ell.e, ell.e2
@@ -1003,7 +1004,12 @@ class HotineObliqueMercator:
         G = (F - 1.0 / F) / 2.0
         ac = math.radians(alphac)
         self.gamma0 = math.asin(math.sin(ac) / D)
-        self.lam0 = math.radians(lonc) - math.asin(G * math.tan(self.gamma0)) / self.B
+        if _lam0_override is not None:
+            # two-point form: lam0 was derived directly (Snyder 9-22)
+            self.lam0 = _lam0_override
+        else:
+            self.lam0 = math.radians(lonc) - \
+                math.asin(G * math.tan(self.gamma0)) / self.B
         self.grc = math.radians(gammac)
         if variant_b:
             if abs(alphac - 90.0) < 1e-12:
@@ -1014,6 +1020,50 @@ class HotineObliqueMercator:
                 ) * sign
         else:
             self.uc = 0.0
+
+    @classmethod
+    def from_two_points(cls, ell: _Ellipsoid, lat0: float,
+                        lat1: float, lon1: float, lat2: float, lon2: float,
+                        k0: float, fe: float, fn: float,
+                        variant_b: bool = False) -> "HotineObliqueMercator":
+        """Two-point form (Snyder 1987 §9, eqs. 9-16..9-24; proj4
+        ``+proj=omerc +lat_1/+lon_1/+lat_2/+lon_2``): the initial line
+        is the geodesic-like projection line through two given points;
+        azimuth and the rectified-grid angle are derived, gamma = the
+        derived gamma0 (proj4 semantics)."""
+        e, e2 = ell.e, ell.e2
+        p0 = math.radians(lat0)
+        s0 = math.sin(p0)
+        B = math.sqrt(1 + e2 * math.cos(p0) ** 4 / (1 - e2))
+
+        def tsf(lat_deg):
+            p = math.radians(lat_deg)
+            s = math.sin(p)
+            return math.tan(math.pi / 4 - p / 2) / (
+                (1 - e * s) / (1 + e * s)
+            ) ** (e / 2)
+
+        D = B * math.sqrt(1 - e2) / (math.cos(p0) * math.sqrt(1 - e2 * s0 * s0))
+        D2 = max(D * D, 1.0)
+        sign = 1.0 if lat0 >= 0 else -1.0
+        E = (D + math.sqrt(D2 - 1.0) * sign) * tsf(lat0) ** B
+        H = tsf(lat1) ** B
+        L = tsf(lat2) ** B
+        Fk = E / H
+        G = (Fk - 1.0 / Fk) / 2.0
+        J = (E * E - L * H) / (E * E + L * H)
+        P = (L - H) / (L + H)
+        l1, l2 = math.radians(lon1), math.radians(lon2)
+        lam0 = (l1 + l2) / 2.0 - math.atan2(
+            J * math.tan(B * (l1 - l2) / 2.0), P
+        ) / B
+        gamma0 = math.atan2(math.sin(B * (l1 - lam0)), G)
+        alphac = math.degrees(math.asin(
+            min(1.0, max(-1.0, D * math.sin(gamma0)))
+        ))
+        return cls(ell, lat0, math.degrees(lam0) + 0.0, alphac,
+                   math.degrees(gamma0), k0, fe, fn, variant_b=variant_b,
+                   _lam0_override=lam0)
 
     def forward(self, lon, lat):
         e = self.ell.e
@@ -1545,11 +1595,15 @@ def _parse_proj4(s: str):
     if proj == "geos" and "h" in kv:
         return Geostationary(ell, g("h"), g("lon_0"), g("x_0"), g("y_0"),
                              sweep_x=kv.get("sweep", "y") == "x"), shift
+    if proj == "omerc" and all(k in kv for k in ("lat_1", "lon_1", "lat_2", "lon_2")):
+        # two-point form (Snyder 9-16..9-24): initial line through the
+        # two given points; azimuth/gamma derived
+        return HotineObliqueMercator.from_two_points(
+            ell, g("lat_0"), g("lat_1"), g("lon_1"), g("lat_2"), g("lon_2"),
+            g("k", g("k_0", 1.0)), g("x_0"), g("y_0"),
+            variant_b="+no_off" not in s and "+no_uoff" not in s,
+        ), shift
     if proj == "omerc" and ("alpha" in kv or "lonc" in kv):
-        # azimuth form only (EPSG 9812/9815); the two-point form
-        # (+lon_1/+lat_1/+lon_2/+lat_2) is not supported -> None
-        if "lon_1" in kv or "lat_1" in kv:
-            return None
         alpha = g("alpha", 90.0)
         return HotineObliqueMercator(
             ell, g("lat_0"), g("lonc", g("lon_0")), alpha,

@@ -902,3 +902,44 @@ class TestGeostationary:
         ax, ay = fx(np.array([-60.0]), np.array([30.0]))
         bx, by = fy(np.array([-60.0]), np.array([30.0]))
         assert abs(ax[0] - bx[0]) > 100.0 and abs(ay[0] - by[0]) > 100.0
+
+
+class TestHotineTwoPoint:
+    """omerc two-point form (Snyder 9-16..9-24; proj4 +lat_1/+lon_1/
+    +lat_2/+lon_2): the initial line passes through the two defining
+    points, so both must project to v=0 in the un-offset skew grid."""
+
+    S = ("+proj=omerc +lat_0=40 +lat_1=47.5 +lon_1=-122.3 +lat_2=25.7 "
+         "+lon_2=-80.2 +no_off +ellps=clrk66")
+
+    def test_defining_points_on_initial_line(self):
+        import math
+
+        from geopyspark_spark.core.crs import (CLARKE1866,
+                                               HotineObliqueMercator)
+
+        p = HotineObliqueMercator.from_two_points(
+            CLARKE1866, lat0=40.0, lat1=47.5, lon1=-122.3,
+            lat2=25.7, lon2=-80.2, k0=1.0, fe=0.0, fn=0.0,
+            variant_b=False)
+        g = p.grc
+        for lon, lat in ((-122.3, 47.5), (-80.2, 25.7)):
+            E, N = p.forward(np.array([lon]), np.array([lat]))
+            v = E[0] * math.cos(g) - N[0] * math.sin(g)
+            assert abs(v) < 1e-5  # metres
+        # u orders along the line: P2 (SE) before P1 (NW)
+        E1, N1 = p.forward(np.array([-122.3]), np.array([47.5]))
+        E2, N2 = p.forward(np.array([-80.2]), np.array([25.7]))
+        u1 = N1[0] * math.cos(g) + E1[0] * math.sin(g)
+        u2 = N2[0] * math.cos(g) + E2[0] * math.sin(g)
+        assert u1 > u2 > 0
+
+    def test_parser_and_round_trip(self):
+        f = get_transform("epsg:4326", self.S)
+        i = get_transform(self.S, "epsg:4326")
+        rng = np.random.default_rng(29)
+        lon = rng.uniform(-130.0, -70.0, 50)
+        lat = rng.uniform(20.0, 55.0, 50)
+        lo, la = i(*f(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-8)
+        np.testing.assert_allclose(la, lat, atol=1e-8)
