@@ -2069,6 +2069,21 @@ q_raster_reproject_krovak = _make_reproject_nn_query(
     warp (round 6).""",
 )
 
+q_raster_reproject_eqc = _make_reproject_nn_query(
+    "+proj=eqc +lat_ts=30 +lon_0=5 +ellps=WGS84",
+    """NN warp 4326 -> equidistant cylindrical (EPSG 1028, proj4 string
+    rather than an EPSG code — exercises the raw-proj4 path through the
+    distributed warp; round 6).""",
+)
+
+q_raster_reproject_geos = _make_reproject_nn_query(
+    "+proj=geos +h=35786023 +lon_0=15 +sweep=y +ellps=GRS80",
+    """NN warp 4326 -> geostationary satellite view (CGMS normalized
+    geostationary, Meteosat sweep=y at 15E; the fixture extent sits
+    fully inside the visible disc) through the distributed warp
+    (round 6).""",
+)
+
 
 def q_raster_geotiff_roundtrip(spark, sf_dir):
     """Encoder path under the oracle gate (round 6, VERDICT r5 #9): every
@@ -3750,6 +3765,8 @@ def queries():
         "text_pack_sequences": q_text_pack_sequences,
         "text_sample": q_text_sample,
         "events_stream_dedup": q_events_stream_dedup,
+        "raster_reproject_eqc": q_raster_reproject_eqc,
+        "raster_reproject_geos": q_raster_reproject_geos,
     }
 
 
@@ -3871,6 +3888,10 @@ def oracle_sql():
         "text_pack_sequences": SQL_TEXT_PACK_SEQUENCES,
         "text_sample": SQL_TEXT_SAMPLE,
         "events_stream_dedup": SQL_EVENTS_STREAM_DEDUP,
+        "raster_reproject_eqc": _sql_reproject_nn(
+            "+proj=eqc +lat_ts=30 +lon_0=5 +ellps=WGS84"),
+        "raster_reproject_geos": _sql_reproject_nn(
+            "+proj=geos +h=35786023 +lon_0=15 +sweep=y +ellps=GRS80"),
     }
     # the IVF oracle reads the training rows from the oracle sf dir at
     # build time; if that path is unreachable the query degrades to a
