@@ -1520,13 +1520,33 @@ def _parse_proj4(s: str):
 
     kv = dict(re.findall(r"\+([a-z_0-9]+)=([^\s]+)", s))
 
+    # NTv2/NADCON grid-shift files cannot be applied without the grids;
+    # the @null sentinel (common in web-mercator strings) means "no
+    # shift" and is safe to accept
+    nadgrids = kv.get("nadgrids", "")
+    if nadgrids and nadgrids.lstrip("@").lower() not in ("null", "none"):
+        raise NotImplementedError(
+            f"proj4 +nadgrids={nadgrids!r} grid-shift files are not "
+            "supported (no grid data in this environment); use a "
+            "+towgs84 Helmert approximation instead"
+        )
+
     shift_params = None
     ell = None
     datum = kv.get("datum", "").lower()
     if datum in _DATUM_TABLE:
         ell, shift_params = _DATUM_TABLE[datum]
-    if kv.get("ellps", "").lower() in _ELLPS_TABLE:
-        ell = _ELLPS_TABLE[kv["ellps"].lower()]
+    ellps = kv.get("ellps", "").lower()
+    if ellps in _ELLPS_TABLE:
+        ell = _ELLPS_TABLE[ellps]
+    elif ellps and "a" not in kv:
+        # same silent-fallback class ADVICE r5 flagged for +datum:
+        # an unrecognized +ellps must not quietly become WGS84
+        raise NotImplementedError(
+            f"proj4 +ellps={kv['ellps']!r} is not supported (known: "
+            f"{sorted(_ELLPS_TABLE)}); give explicit +a with +rf/+b "
+            "instead"
+        )
     if "a" in kv:  # explicit ellipsoid: +a with +rf / +b, or sphere
         a = float(kv["a"])
         if "rf" in kv:

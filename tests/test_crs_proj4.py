@@ -943,3 +943,39 @@ class TestHotineTwoPoint:
         lo, la = i(*f(lon, lat))
         np.testing.assert_allclose(lo, lon, atol=1e-8)
         np.testing.assert_allclose(la, lat, atol=1e-8)
+
+
+class TestSilentFallbackGuards:
+    """Round-6: the ADVICE-r5 silent-WGS84-fallback class, closed for
+    +ellps and +nadgrids too (not just +datum)."""
+
+    def test_unknown_ellps_raises(self):
+        with pytest.raises(NotImplementedError, match="ellps"):
+            get_transform("epsg:4326", "+proj=tmerc +lat_0=0 +lon_0=9 "
+                                       "+k=1 +ellps=GRS67")
+
+    def test_unknown_ellps_with_explicit_a_still_parses(self):
+        s = ("+proj=tmerc +lat_0=0 +lon_0=9 +k=1 "
+             "+ellps=weird +a=6378137 +rf=298.257223563")
+        f = get_transform("epsg:4326", s)
+        x, y = f(np.array([9.5]), np.array([48.0]))
+        assert np.isfinite(x[0]) and np.isfinite(y[0])
+
+    def test_nadgrids_null_accepted(self):
+        s = ("+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 "
+             "+x_0=0 +y_0=0 +k=1 +units=m +nadgrids=@null")
+        f = get_transform("epsg:4326", s)
+        g = get_transform("epsg:4326", "epsg:3857")
+        lon = np.array([12.0]); lat = np.array([34.0])
+        ax, ay = f(lon, lat)
+        bx, by = g(lon, lat)
+        np.testing.assert_allclose(ax, bx, atol=1e-6)
+        np.testing.assert_allclose(ay, by, atol=1e-6)
+
+    def test_real_nadgrids_raises(self):
+        with pytest.raises(NotImplementedError, match="nadgrids"):
+            get_transform(
+                "epsg:4326",
+                "+proj=lcc +lat_1=49 +lat_2=77 +lat_0=49 +lon_0=-95 "
+                "+ellps=clrk66 +nadgrids=ntv2_0.gsb",
+            )
