@@ -1309,6 +1309,39 @@ SELECT key_col, key_row, pos, value FROM coords
 """
 
 
+def q_raster_catalog_query(spark, sf_dir):
+    """catalog.query spatial predicate pushdown under the gate (round
+    6): write the z-sorted layer, query it back with a polygon strictly
+    inside tiles (1..2, 1..2) — the driver-resolved key predicate must
+    prune the scan to exactly those four tiles."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import catalog as cat
+
+    layer = lineitem_layer(spark, sf_dir)
+    scratch = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+    os.makedirs(scratch, exist_ok=True)
+    uri = tempfile.mkdtemp(prefix="catalog_q_", dir=scratch)
+    try:
+        cat.write(uri, "cq", layer, zoom=0)
+        # box strictly inside the 8-unit tiles at cols/rows 1..2
+        sub = cat.query(spark, uri, "cq", 0, query_geom=gps.box(9, 9, 23, 23))
+        long = sub.explode().where(~_is_nd(F.col("value"), layer.nodata))
+        rows = long.select("key_col", "key_row", "pos", "value").collect()
+    finally:
+        shutil.rmtree(uri, ignore_errors=True)
+    return spark.createDataFrame(rows, "key_col int, key_row int, pos int, value double")
+
+
+SQL_RASTER_CATALOG_QUERY = CELLS_CTE + """
+SELECT key_col, key_row, pos, value FROM coords
+WHERE key_col IN (1, 2) AND key_row IN (1, 2)
+"""
+
+
 def q_raster_convert_int8(spark, sf_dir):
     """convert_data_type with clamping under the gate: value*3 reaches 150,
     so int8 conversion clamps at 127; the old -1.0 sentinel rewrites to
@@ -3767,6 +3800,7 @@ def queries():
         "events_stream_dedup": q_events_stream_dedup,
         "raster_reproject_eqc": q_raster_reproject_eqc,
         "raster_reproject_geos": q_raster_reproject_geos,
+        "raster_catalog_query": q_raster_catalog_query,
     }
 
 
@@ -3892,6 +3926,7 @@ def oracle_sql():
             "+proj=eqc +lat_ts=30 +lon_0=5 +ellps=WGS84"),
         "raster_reproject_geos": _sql_reproject_nn(
             "+proj=geos +h=35786023 +lon_0=15 +sweep=y +ellps=GRS80"),
+        "raster_catalog_query": SQL_RASTER_CATALOG_QUERY,
     }
     # the IVF oracle reads the training rows from the oracle sf dir at
     # build time; if that path is unreachable the query degrades to a
