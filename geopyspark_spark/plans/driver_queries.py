@@ -3664,35 +3664,33 @@ def queries():
     # rounds 1-4, which let a round-3 regression hide outside it
     # (VERDICT r4 "What's missing"); rounds 5+ ROTATE the window each
     # round so every query is driver-validated within a couple of rounds.
-    # Round 6 second rotation: the four late-r6 additions the driver has
-    # never seen (rd/stream_sliding/swiss/krovak) move IN; four
-    # r5-window-validated entries (simhash/q3/reproject_cubic/
-    # reproject_global) move out — their families stay represented
-    # (minhash+lsh_pairs, q1/q10/q4/q14, 7 other reproject variants).
+    # Round 6 rotations (2nd + 3rd): every round-6 addition moves IN so
+    # the driver validates it this round (rd/stream_sliding/swiss/krovak,
+    # then pii/pack/sample/stream_dedup/eqc/geos/catalog_query); eleven
+    # r5-window-validated entries move out (simhash/q3/reproject_cubic/
+    # reproject_global/exact_dedup/dup_components/ivf_knn/q1/tumbling/
+    # slope/tile_to_layout) — every family stays represented in-window
+    # (minhash+lsh_pairs+pii, q4/q10/q14, stream_tumbling, focal_sum,
+    # pyramid+reproject, 10 reproject variants).
     # Entries past #50 remain pytest- and check_oracle-covered.
     return {
         # ---- driver window (50): 25 carried + 25 rotated in ----
         # text / dedup (LLM pipeline)
         "text_token_count": q_text_token_count,
-        "text_exact_dedup": q_text_exact_dedup,
         "text_minhash": q_text_minhash,
         "text_lsh_pairs": q_text_lsh_pairs,
-        "text_dup_components": q_text_dup_components,
         "text_dedup_pipeline": q_text_dedup_pipeline,
         # embeddings (similarity search)
         "emb_knn": q_emb_knn,
-        "emb_ivf_knn": q_emb_ivf_knn,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         # multimodal
         "multimodal_features": q_multimodal_features,
         # relational surface (rotated in: q4/q10/q14)
-        "tpch_q1": q_tpch_q1,
         "tpch_q10_returned": q_tpch_q10_returned,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q14_promo": q_tpch_q14_promo,
         "window_rank": q_window_rank,
         # events (rotated in: asof/interval/anomaly/funnel/enriched)
-        "events_tumbling": q_events_tumbling,
         "events_session": q_events_session,
         "events_asof_join": q_events_asof_join,
         "events_interval_join": q_events_interval_join,
@@ -3704,9 +3702,7 @@ def queries():
         "raster_focal_sum": q_raster_focal_sum,
         "raster_zonal_stats": q_raster_zonal_stats,
         "raster_mask": q_raster_mask,
-        "raster_tile_to_layout": q_raster_tile_to_layout,
         "raster_pyramid": q_raster_pyramid,
-        "raster_slope": q_raster_slope,
         "raster_cost_distance": q_raster_cost_distance,
         "raster_reproject": q_raster_reproject,
         # raster operators — rotated in (rounds 2/3/5 additions)
@@ -3731,7 +3727,22 @@ def queries():
         "events_stream_sliding": q_events_stream_sliding,
         "raster_reproject_swiss": q_raster_reproject_swiss,
         "raster_reproject_krovak": q_raster_reproject_krovak,
+        # rotated in (third r6 rotation): second-half additions
+        "text_pii_scrub": q_text_pii_scrub,
+        "text_pack_sequences": q_text_pack_sequences,
+        "text_sample": q_text_sample,
+        "events_stream_dedup": q_events_stream_dedup,
+        "raster_reproject_eqc": q_raster_reproject_eqc,
+        "raster_reproject_geos": q_raster_reproject_geos,
+        "raster_catalog_query": q_raster_catalog_query,
         # ---- entries below are past the driver's 50-entry window ----
+        "text_exact_dedup": q_text_exact_dedup,
+        "text_dup_components": q_text_dup_components,
+        "emb_ivf_knn": q_emb_ivf_knn,
+        "tpch_q1": q_tpch_q1,
+        "events_tumbling": q_events_tumbling,
+        "raster_slope": q_raster_slope,
+        "raster_tile_to_layout": q_raster_tile_to_layout,
         "text_simhash": q_text_simhash,
         "tpch_q3": q_tpch_q3,
         "raster_reproject_cubic": q_raster_reproject_cubic,
@@ -3793,14 +3804,6 @@ def queries():
         "raster_lookup": q_raster_lookup,
         "raster_map_cells": q_raster_map_cells,
         "raster_union": q_raster_union,
-        # ---- round 6 second-half additions (past the window) ----
-        "text_pii_scrub": q_text_pii_scrub,
-        "text_pack_sequences": q_text_pack_sequences,
-        "text_sample": q_text_sample,
-        "events_stream_dedup": q_events_stream_dedup,
-        "raster_reproject_eqc": q_raster_reproject_eqc,
-        "raster_reproject_geos": q_raster_reproject_geos,
-        "raster_catalog_query": q_raster_catalog_query,
     }
 
 
