@@ -153,6 +153,32 @@ def encode_png_rgba(rgba: np.ndarray) -> bytes:
     )
 
 
+def decode_png_rgba(data: bytes) -> np.ndarray:
+    """Inverse of :func:`encode_png_rgba` for PNGs this module wrote
+    (8-bit RGBA, filter 0 scanlines) — lets the export path be verified
+    end-to-end without PIL (reference round-trips through geotrellis
+    ``PngEncoder``; here the decode side closes the oracle gate)."""
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos, idat, w = 8, b"", None
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack_from(">IIBB", body)
+            assert (depth, ctype) == (8, 6), "decode_png_rgba handles RGBA8 only"
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w * 4 + 1
+    assert all(raw[r * stride] == 0 for r in range(len(raw) // stride)), (
+        "only filter-0 scanlines supported"
+    )
+    rows = [raw[r * stride + 1 : (r + 1) * stride] for r in range(len(raw) // stride)]
+    return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(-1, w, 4)
+
+
 def rgba_from_packed(packed: np.ndarray) -> np.ndarray:
     """0xRRGGBBAA uint32 grid -> (h, w, 4) uint8."""
     return np.stack(

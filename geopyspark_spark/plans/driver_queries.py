@@ -16,6 +16,7 @@ Determinism rules used throughout (see also functions/*.py):
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3658,6 +3659,327 @@ SELECT id_a, id_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.45
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# round 6 (second half): oracle gates for the remaining pytest-only §2 rows —
+# stitch, PNG render, catalog update/read_value, with_no_data, shapefile
+# ingest, COG overview decode (VERDICT r5 rows 4/6/10/13/14/18/59 carried
+# "tests" only; these close them with driver-checkable queries).
+# ---------------------------------------------------------------------------
+
+def _scratch_dir():
+    import os
+    import tempfile
+
+    scratch = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+    os.makedirs(scratch, exist_ok=True)
+    return scratch
+
+
+def q_raster_stitch(spark, sf_dir):
+    """``stitch`` under the gate (reference ``layer.py:1488-1502`` ->
+    ``SpatialTiledRasterLayer.scala:173-186``): assemble the whole layer
+    into one (band, rows, cols) grid on the driver (size-guarded), then
+    emit every global cell. NoData fill where no tile/cell exists."""
+    import pandas as pd
+
+    layer = lineitem_layer(spark, sf_dir)
+    arr = layer.stitch()  # (1, 32, 32)
+    nb, nrows, ncols = arr.shape
+    grow, gcol = np.divmod(np.arange(nrows * ncols, dtype=np.int64), ncols)
+    pdf = pd.DataFrame({
+        "grow": grow.astype("int32"),
+        "gcol": gcol.astype("int32"),
+        "value": arr[0].reshape(-1),
+    })
+    return spark.createDataFrame(pdf, "grow int, gcol int, value double")
+
+
+SQL_RASTER_STITCH = CELLS_CTE + f"""
+, allg AS (
+  SELECT CAST(r.range AS INT) AS grow, CAST(c.range AS INT) AS gcol
+  FROM range({GRID}) r, range({GRID}) c
+)
+SELECT a.grow, a.gcol, COALESCE(co.value, -1.0) AS value
+FROM allg a LEFT JOIN coords co USING (grow, gcol)
+"""
+
+
+def q_raster_png_roundtrip(spark, sf_dir):
+    """``to_png_rdd`` under the gate (reference ``layer.py:524-540`` ->
+    PngEncoder): every tile renders through a LESS_THAN_OR_EQUAL ColorMap
+    to PNG bytes, which are decoded back pixel-by-pixel — the oracle is
+    the same classification as a SQL CASE. Exercises ColorMap.apply, the
+    NoData color, and the PNG encoder/decoder pair end-to-end."""
+    import pandas as pd
+
+    from ..operators.render import ColorMap, decode_png_rgba, to_png
+
+    layer = lineitem_layer(spark, sf_dir)
+    cm = ColorMap.from_colors(
+        [10.0, 25.0, 50.0], [0xFF0000FF, 0x00FF00FF, 0x0000FFFF]
+    )
+    pngs = to_png(layer, cm)
+
+    def decode(batches):
+        for pdf in batches:
+            for kc, kr, buf in zip(pdf["key_col"], pdf["key_row"], pdf["png"]):
+                rgba = decode_png_rgba(bytes(buf)).astype(np.int64)
+                packed = (
+                    (rgba[..., 0] << 24) | (rgba[..., 1] << 16)
+                    | (rgba[..., 2] << 8) | rgba[..., 3]
+                ).reshape(-1)
+                yield pd.DataFrame({
+                    "key_col": int(kc), "key_row": int(kr),
+                    "pos": np.arange(packed.size, dtype=np.int32),
+                    "rgba": packed,
+                })
+
+    return pngs.mapInPandas(
+        decode, schema="key_col int, key_row int, pos int, rgba bigint"
+    )
+
+
+SQL_RASTER_PNG_ROUNDTRIP = CELLS_CTE + f"""
+, allpos AS (
+  SELECT CAST(c.range AS INT) AS key_col,
+         CAST(r.range AS INT) AS key_row,
+         CAST(p.range AS INT) AS pos
+  FROM range({LAYOUT_N}) c, range({LAYOUT_N}) r, range({TILE * TILE}) p
+)
+SELECT a.key_col, a.key_row, a.pos,
+       CAST(CASE
+         WHEN co.value IS NULL THEN 0
+         WHEN co.value <= 10 THEN {0xFF0000FF}
+         WHEN co.value <= 25 THEN {0x00FF00FF}
+         ELSE {0x0000FFFF}
+       END AS BIGINT) AS rgba
+FROM allpos a
+LEFT JOIN coords co USING (key_col, key_row, pos)
+"""
+
+
+def q_raster_catalog_update(spark, sf_dir):
+    """``update_layer`` under the gate (reference ``catalog.py:287-329``):
+    write the layer, then merge-write a patch (+100 on the key_col=0
+    column of tiles) — new tiles must win over old on overlapping keys,
+    untouched keys must survive the swap-rewrite."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import catalog as cat
+
+    layer = lineitem_layer(spark, sf_dir)
+    uri = tempfile.mkdtemp(prefix="catalog_upd_", dir=_scratch_dir())
+    try:
+        cat.write(uri, "upd", layer, zoom=0)
+        patch = TiledRasterLayer(
+            layer.df.where(F.col("key_col") == 0), layer.metadata
+        ) + 100.0
+        cat.update_layer(spark, uri, "upd", 0, patch)
+        back = cat.read(spark, uri, "upd", 0)
+        long = back.explode().where(~_is_nd(F.col("value"), layer.nodata))
+        rows = long.select("key_col", "key_row", "pos", "value").collect()
+    finally:
+        shutil.rmtree(uri, ignore_errors=True)
+    return spark.createDataFrame(rows, "key_col int, key_row int, pos int, value double")
+
+
+SQL_RASTER_CATALOG_UPDATE = CELLS_CTE + """
+SELECT key_col, key_row, pos,
+       CASE WHEN key_col = 0 THEN value + 100 ELSE value END AS value
+FROM coords
+"""
+
+
+def q_raster_read_value(spark, sf_dir):
+    """ValueReader point reads under the gate (reference ``catalog.py:
+    165-219`` ValueReader): two single-tile random-access reads straight
+    off the z-ordered parquet (DuckDB, no Spark job), re-emitted as cell
+    rows. The catalog's row-group pruning is the scale path."""
+    import pandas as pd
+    import shutil
+    import tempfile
+
+    from ..sources import catalog as cat
+
+    layer = lineitem_layer(spark, sf_dir)
+    uri = tempfile.mkdtemp(prefix="catalog_rv_", dir=_scratch_dir())
+    try:
+        cat.write(uri, "rv", layer, zoom=0)
+        frames = []
+        for col, row in ((2, 1), (0, 3)):
+            for rec in cat.read_value(uri, "rv", 0, col, row):
+                flat = np.asarray(rec["cells"], dtype=np.float64)
+                frames.append(pd.DataFrame({
+                    "key_col": col, "key_row": row,
+                    "pos": np.arange(flat.size, dtype=np.int32),
+                    "value": flat,
+                }))
+    finally:
+        shutil.rmtree(uri, ignore_errors=True)
+    pdf = pd.concat(frames, ignore_index=True)
+    return spark.createDataFrame(pdf, "key_col int, key_row int, pos int, value double")
+
+
+SQL_RASTER_READ_VALUE = CELLS_CTE + f"""
+, allpos AS (
+  SELECT CAST(c.range AS INT) AS key_col,
+         CAST(r.range AS INT) AS key_row,
+         CAST(p.range AS INT) AS pos
+  FROM range({LAYOUT_N}) c, range({LAYOUT_N}) r, range({TILE * TILE}) p
+)
+SELECT a.key_col, a.key_row, a.pos, COALESCE(co.value, -1.0) AS value
+FROM allpos a
+LEFT JOIN coords co USING (key_col, key_row, pos)
+WHERE (a.key_col, a.key_row) IN ((2, 1), (0, 3))
+"""
+
+
+def q_raster_with_no_data(spark, sf_dir):
+    """``with_no_data`` semantics under the gate (reference ``layer.py:
+    1644-1666``): reinterpreting the sentinel from -1.0 to 5.0 is a pure
+    metadata change — afterwards the old -1.0 fills are DATA and every
+    5.0 cell is NoData. Output = all non-NoData cells under the NEW
+    sentinel."""
+    layer = lineitem_layer(spark, sf_dir)
+    remapped = layer.with_no_data(5.0)
+    long = remapped.explode().where(~_is_nd(F.col("value"), remapped.nodata))
+    return long.select("key_col", "key_row", "pos", "value")
+
+
+SQL_RASTER_WITH_NO_DATA = CELLS_CTE + f"""
+, allpos AS (
+  SELECT CAST(c.range AS INT) AS key_col,
+         CAST(r.range AS INT) AS key_row,
+         CAST(p.range AS INT) AS pos
+  FROM range({LAYOUT_N}) c, range({LAYOUT_N}) r, range({TILE * TILE}) p
+)
+SELECT a.key_col, a.key_row, a.pos, COALESCE(co.value, -1.0) AS value
+FROM allpos a
+LEFT JOIN coords co USING (key_col, key_row, pos)
+WHERE COALESCE(co.value, -1.0) <> 5.0
+"""
+
+
+def q_vector_shapefile(spark, sf_dir):
+    """``shapefile.get`` under the gate (reference ``geotiff/shapefile.py``
+    -> ``ShapefileRDD.scala:24-57``): write a deterministic ESRI
+    shapefile (points + polygon + polyline, .dbf attributes), ingest it
+    distributed (file list -> mapInPandas parse), emit WKT + attribute.
+    The oracle is the literal expected feature set."""
+    import os
+    import shutil
+    import struct
+    import tempfile
+
+    from ..core.geom import from_wkb, to_wkt
+    from ..sources import shapefile as shp
+
+    def shp_bytes(shape_type: int, records: list[bytes]) -> bytes:
+        body = b""
+        for i, content in enumerate(records):
+            body += struct.pack(">ii", i + 1, len(content) // 2) + content
+        total_words = (100 + len(body)) // 2
+        header = struct.pack(">i", 9994) + b"\0" * 20 + struct.pack(">i", total_words)
+        header += struct.pack("<i", 1000) + struct.pack("<i", shape_type)
+        header += struct.pack("<4d", 0, 0, 100, 100) + b"\0" * 32
+        return header + body
+
+    def dbf_bytes(rows: list[str]) -> bytes:
+        # one C(8) field named "name"
+        hdr_size = 32 + 32 + 1
+        rec_size = 1 + 8
+        out = bytearray(struct.pack("<B3Bihh", 3, 24, 1, 1, len(rows), hdr_size, rec_size))
+        out += b"\0" * 20
+        out += b"name".ljust(11, b"\0") + b"C" + b"\0" * 4 + bytes([8]) + b"\0" * 15
+        out += b"\x0d"
+        for v in rows:
+            out += b" " + v.encode().ljust(8)
+        out += b"\x1a"
+        return bytes(out)
+
+    d = tempfile.mkdtemp(prefix="shp_", dir=_scratch_dir())
+    try:
+        # file 1: three points
+        pts = [struct.pack("<i2d", 1, float(x), float(y))
+               for x, y in ((1, 2), (30, 40), (99, 7))]
+        with open(os.path.join(d, "a_points.shp"), "wb") as f:
+            f.write(shp_bytes(1, pts))
+        with open(os.path.join(d, "a_points.dbf"), "wb") as f:
+            f.write(dbf_bytes(["alpha", "beta", "gamma"]))
+        # file 2: one square polygon (clockwise shell, per spec)
+        ring = [(10, 10), (10, 20), (20, 20), (20, 10), (10, 10)]
+        content = struct.pack("<i4d", 5, 10, 10, 20, 20)
+        content += struct.pack("<ii", 1, len(ring)) + struct.pack("<i", 0)
+        for x, y in ring:
+            content += struct.pack("<2d", float(x), float(y))
+        with open(os.path.join(d, "b_poly.shp"), "wb") as f:
+            f.write(shp_bytes(5, [content]))
+        with open(os.path.join(d, "b_poly.dbf"), "wb") as f:
+            f.write(dbf_bytes(["square"]))
+        feats = shp.get(spark, d)
+        rows = feats.select("geometry", "properties").collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    out = [(to_wkt(from_wkb(bytes(r["geometry"]))), r["properties"].get("name", ""))
+           for r in rows]
+    return spark.createDataFrame(out, "wkt string, name string")
+
+
+SQL_VECTOR_SHAPEFILE = """
+SELECT * FROM (VALUES
+  ('POINT (1.0 2.0)', 'alpha'),
+  ('POINT (30.0 40.0)', 'beta'),
+  ('POINT (99.0 7.0)', 'gamma'),
+  ('POLYGON ((10.0 10.0, 10.0 20.0, 20.0 20.0, 20.0 10.0, 10.0 10.0))', 'square')
+) AS t(wkt, name)
+"""
+
+
+def q_raster_cog_overview(spark, sf_dir):
+    """COG export under the gate (reference ``catalog.write(use_cogs=
+    True)``): the pyramid is written as one GeoTIFF whose overview IFDs
+    are the shallower zooms; decoding overview page 1 must reproduce the
+    zoom-(max-1) Average pyramid level exactly."""
+    import os
+    import pandas as pd
+    import shutil
+    import tempfile
+
+    from ..sources.geotiff_codec import decode_geotiff_pages, save_cog
+
+    layer = lineitem_layer(spark, sf_dir)
+    pyr = layer.pyramid(resample_method="Average")
+    d = tempfile.mkdtemp(prefix="cog_", dir=_scratch_dir())
+    path = os.path.join(d, "pyr.tif")
+    try:
+        save_cog(pyr, path)
+        with open(path, "rb") as f:
+            pages = decode_geotiff_pages(f.read())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    cells = pages[1][0]  # first overview = zoom max-1 (16x16)
+    nb, nrows, ncols = cells.shape
+    grow, gcol = np.divmod(np.arange(nrows * ncols, dtype=np.int64), ncols)
+    pdf = pd.DataFrame({
+        "grow": grow.astype("int32"),
+        "gcol": gcol.astype("int32"),
+        "value": cells[0].reshape(-1),
+    })
+    pdf = pdf[pdf["value"] != -1.0]
+    return spark.createDataFrame(pdf, "grow int, gcol int, value double")
+
+
+SQL_RASTER_COG_OVERVIEW = CELLS_CTE + """
+SELECT CAST(floor(grow / 2) AS INT) AS grow,
+       CAST(floor(gcol / 2) AS INT) AS gcol,
+       SUM(value) / COUNT(*) AS value
+FROM coords GROUP BY 1, 2
+"""
+
+
 def queries():
     # NOTE on ordering: the driver records exactly the FIRST 50 registry
     # entries in CORRECTNESS_r{N}.json. The same 50 sat in the window for
@@ -3674,24 +3996,18 @@ def queries():
     # pyramid+reproject, 10 reproject variants).
     # Entries past #50 remain pytest- and check_oracle-covered.
     return {
-        # ---- driver window (50): 25 carried + 25 rotated in ----
+        # ---- driver window (50) ----
         # text / dedup (LLM pipeline)
-        "text_token_count": q_text_token_count,
         "text_minhash": q_text_minhash,
         "text_lsh_pairs": q_text_lsh_pairs,
-        "text_dedup_pipeline": q_text_dedup_pipeline,
         # embeddings (similarity search)
-        "emb_knn": q_emb_knn,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
-        # multimodal
-        "multimodal_features": q_multimodal_features,
         # relational surface (rotated in: q4/q10/q14)
         "tpch_q10_returned": q_tpch_q10_returned,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q14_promo": q_tpch_q14_promo,
         "window_rank": q_window_rank,
         # events (rotated in: asof/interval/anomaly/funnel/enriched)
-        "events_session": q_events_session,
         "events_asof_join": q_events_asof_join,
         "events_interval_join": q_events_interval_join,
         "events_anomaly": q_events_anomaly,
@@ -3700,8 +4016,6 @@ def queries():
         # raster operators (SURVEY §2) — carried representatives
         "raster_local_algebra": q_raster_local_algebra,
         "raster_focal_sum": q_raster_focal_sum,
-        "raster_zonal_stats": q_raster_zonal_stats,
-        "raster_mask": q_raster_mask,
         "raster_pyramid": q_raster_pyramid,
         "raster_cost_distance": q_raster_cost_distance,
         "raster_reproject": q_raster_reproject,
@@ -3735,7 +4049,25 @@ def queries():
         "raster_reproject_eqc": q_raster_reproject_eqc,
         "raster_reproject_geos": q_raster_reproject_geos,
         "raster_catalog_query": q_raster_catalog_query,
+        # rotated in (fourth r6 rotation): oracle gates for previously
+        # pytest-only §2 rows (stitch/png/update/read_value/with_no_data/
+        # shapefile/COG); seven r5-validated entries move out
+        # (token_count/dedup_pipeline/emb_knn/multimodal/session/zonal/mask)
+        "raster_stitch": q_raster_stitch,
+        "raster_png_roundtrip": q_raster_png_roundtrip,
+        "raster_catalog_update": q_raster_catalog_update,
+        "raster_read_value": q_raster_read_value,
+        "raster_with_no_data": q_raster_with_no_data,
+        "vector_shapefile": q_vector_shapefile,
+        "raster_cog_overview": q_raster_cog_overview,
         # ---- entries below are past the driver's 50-entry window ----
+        "text_token_count": q_text_token_count,
+        "text_dedup_pipeline": q_text_dedup_pipeline,
+        "emb_knn": q_emb_knn,
+        "multimodal_features": q_multimodal_features,
+        "events_session": q_events_session,
+        "raster_zonal_stats": q_raster_zonal_stats,
+        "raster_mask": q_raster_mask,
         "text_exact_dedup": q_text_exact_dedup,
         "text_dup_components": q_text_dup_components,
         "emb_ivf_knn": q_emb_ivf_knn,
@@ -3930,6 +4262,13 @@ def oracle_sql():
         "raster_reproject_geos": _sql_reproject_nn(
             "+proj=geos +h=35786023 +lon_0=15 +sweep=y +ellps=GRS80"),
         "raster_catalog_query": SQL_RASTER_CATALOG_QUERY,
+        "raster_stitch": SQL_RASTER_STITCH,
+        "raster_png_roundtrip": SQL_RASTER_PNG_ROUNDTRIP,
+        "raster_catalog_update": SQL_RASTER_CATALOG_UPDATE,
+        "raster_read_value": SQL_RASTER_READ_VALUE,
+        "raster_with_no_data": SQL_RASTER_WITH_NO_DATA,
+        "vector_shapefile": SQL_VECTOR_SHAPEFILE,
+        "raster_cog_overview": SQL_RASTER_COG_OVERVIEW,
     }
     # the IVF oracle reads the training rows from the oracle sf dir at
     # build time; if that path is unreachable the query degrades to a

@@ -158,7 +158,9 @@ def read_value(uri: str, layer_name: str, zoom: int, col: int, row: int,
         q += f" AND instant = TIMESTAMP '{instant}'"
     if band is not None:
         q += f" AND band = {int(band)}"
-    return con.sql(q).fetchall()
+    rel = con.sql(q)
+    cols = rel.columns
+    return [dict(zip(cols, r)) for r in rel.fetchall()]
 
 
 class AttributeStore:
