@@ -820,6 +820,400 @@ class ObliqueStereographic:
         return np.degrees(lam), np.degrees(phi)
 
 
+# --- shared meridian-arc series (Helmert/Bessel, third flattening) --------
+
+def _merid_series(ell: _Ellipsoid):
+    """(mu_coeffs, phi_coeffs): M = A*(phi + sum c_k sin 2k phi) and its
+    inverse phi(mu). Same series the Sinusoidal kernel uses."""
+    n = ell.n
+    mu_c = (
+        -(3 * n / 2 - 9 * n ** 3 / 16),
+        (15 * n ** 2 / 16 - 15 * n ** 4 / 32),
+        -(35 * n ** 3 / 48),
+        (315 * n ** 4 / 512),
+    )
+    phi_c = (
+        (3 * n / 2 - 27 * n ** 3 / 32),
+        (21 * n ** 2 / 16 - 55 * n ** 4 / 32),
+        (151 * n ** 3 / 96),
+        (1097 * n ** 4 / 512),
+    )
+    return mu_c, phi_c
+
+
+def _meridian_arc(ell: _Ellipsoid, phi):
+    """Meridian arc length from the equator to latitude phi (radians)."""
+    mu_c, _ = _merid_series(ell)
+    mu = np.asarray(phi, dtype=np.float64)
+    out = mu.copy()
+    for k, c in enumerate(mu_c, start=1):
+        out = out + c * np.sin(2 * k * mu)
+    return ell.A * out
+
+
+def _phi_from_merid(ell: _Ellipsoid, M):
+    """Footpoint latitude from a meridian arc length."""
+    _, phi_c = _merid_series(ell)
+    mu = np.asarray(M, dtype=np.float64) / ell.A
+    phi = mu.copy()
+    for k, c in enumerate(phi_c, start=1):
+        phi = phi + c * np.sin(2 * k * mu)
+    return phi
+
+
+def _ssfn(phi, sinphi, e):
+    """Snyder's ssfn: tan(pi/4 + phi/2) * ((1 - e sinphi)/(1 + e sinphi))^(e/2)."""
+    return np.tan(np.pi / 4 + np.asarray(phi) / 2) * (
+        (1 - e * np.asarray(sinphi)) / (1 + e * np.asarray(sinphi))
+    ) ** (e / 2)
+
+
+class StereographicOblique:
+    """Oblique/equatorial stereographic in proj4 ``+proj=stere`` semantics
+    (Snyder 1987 §21 formulas 21-2..21-4, 21-27..21-39: ellipsoid ->
+    conformal latitude -> plane) — DISTINCT from EPSG 9809 ``sterea``
+    (the double/conformal-sphere stereographic): the two differ by ~cm
+    over a national grid. The reference reaches it through proj4j
+    (``TileLayer.scala:288-295`` getCRS)."""
+
+    def __init__(self, ell: _Ellipsoid, lat0: float, lon0: float,
+                 k0: float, fe: float, fn: float):
+        self.ell, self.lon0, self.fe, self.fn = ell, lon0, fe, fn
+        e, e2 = ell.e, ell.e2
+        p0 = math.radians(lat0)
+        s0 = math.sin(p0)
+        self.chi0 = float(2 * np.arctan(_ssfn(p0, s0, e)) - np.pi / 2)
+        # 2 a k0 m1, m1 = cos(phi0)/sqrt(1 - e2 sin^2 phi0) (Snyder 21-34)
+        self.akm1 = 2 * ell.a * k0 * math.cos(p0) / math.sqrt(1 - e2 * s0 * s0)
+
+    def forward(self, lon, lat):
+        e = self.ell.e
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.subtract(lon, self.lon0))
+        chi = 2 * np.arctan(_ssfn(phi, np.sin(phi), e)) - np.pi / 2
+        sc0, cc0 = math.sin(self.chi0), math.cos(self.chi0)
+        sc, cc = np.sin(chi), np.cos(chi)
+        A = self.akm1 / (cc0 * (1 + sc0 * sc + cc0 * cc * np.cos(lam)))
+        x = self.fe + A * cc * np.sin(lam)
+        y = self.fn + A * (cc0 * sc - sc0 * cc * np.cos(lam))
+        return x, y
+
+    def inverse(self, x, y):
+        e, e2 = self.ell.e, self.ell.e2
+        dx = np.subtract(x, self.fe)
+        dy = np.subtract(y, self.fn)
+        sc0, cc0 = math.sin(self.chi0), math.cos(self.chi0)
+        rho = np.hypot(dx, dy)
+        ce = 2 * np.arctan2(rho * cc0, self.akm1)
+        sce, cce = np.sin(ce), np.cos(ce)
+        safe = np.where(rho > 0, rho, 1.0)
+        chi = np.where(
+            rho > 0,
+            np.arcsin(np.clip(cce * sc0 + dy * sce * cc0 / safe, -1.0, 1.0)),
+            self.chi0,
+        )
+        lam = np.arctan2(dx * sce, rho * cc0 * cce - dy * sc0 * sce)
+        # conformal -> geodetic latitude (Snyder 3-4 iteration)
+        phi = chi.copy() if hasattr(chi, "copy") else np.asarray(chi)
+        for _ in range(8):
+            s = e * np.sin(phi)
+            phi = 2 * np.arctan(
+                np.tan(np.pi / 4 + chi / 2) * ((1 + s) / (1 - s)) ** (e / 2)
+            ) - np.pi / 2
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
+class CassiniSoldner:
+    """Cassini-Soldner (EPSG method 9806; GN7-2 §1.3.2) — the historic
+    cadastral grids (Trinidad, several German/Caribbean states). True
+    scale along the central meridian; transverse equidistant."""
+
+    def __init__(self, ell: _Ellipsoid, lat0: float, lon0: float,
+                 fe: float, fn: float):
+        self.ell, self.lat0, self.lon0, self.fe, self.fn = ell, lat0, lon0, fe, fn
+        self.M0 = float(_meridian_arc(ell, math.radians(lat0)))
+
+    def forward(self, lon, lat):
+        e2 = self.ell.e2
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.subtract(lon, self.lon0))
+        s, c = np.sin(phi), np.cos(phi)
+        t = np.tan(phi)
+        A = lam * c
+        T = t * t
+        C = e2 * c * c / (1 - e2)
+        nu = self.ell.a / np.sqrt(1 - e2 * s * s)
+        M = _meridian_arc(self.ell, phi)
+        X = M - self.M0 + nu * t * (A ** 2 / 2 + (5 - T + 6 * C) * A ** 4 / 24)
+        E = self.fe + nu * (A - T * A ** 3 / 6 - (8 - T + 8 * C) * T * A ** 5 / 120)
+        return E, self.fn + X
+
+    def inverse(self, x, y):
+        e2 = self.ell.e2
+        M1 = self.M0 + np.subtract(y, self.fn)
+        phi1 = _phi_from_merid(self.ell, M1)
+        s1, c1 = np.sin(phi1), np.cos(phi1)
+        t1 = np.tan(phi1)
+        T1 = t1 * t1
+        nu1 = self.ell.a / np.sqrt(1 - e2 * s1 * s1)
+        rho1 = self.ell.a * (1 - e2) / (1 - e2 * s1 * s1) ** 1.5
+        D = np.subtract(x, self.fe) / nu1
+        phi = phi1 - (nu1 * t1 / rho1) * (D ** 2 / 2 - (1 + 3 * T1) * D ** 4 / 24)
+        lam = (D - T1 * D ** 3 / 3 + (1 + 3 * T1) * T1 * D ** 5 / 15) / np.maximum(
+            c1, 1e-12
+        )
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
+class AzimuthalEquidistant:
+    """Azimuthal equidistant ``+proj=aeqd``. Sphere: exact closed form
+    (Snyder 1987 §25). Ellipsoid: the EPSG 9832 Modified Azimuthal
+    Equidistant series (GN7-2 §1.3.7.3 — Guam/Yap grids), accurate to mm
+    within a few hundred km of the origin; long-range ellipsoidal aeqd
+    needs true geodesics and is out of scope (documented divergence from
+    PROJ's geodesic implementation at continental range)."""
+
+    def __init__(self, ell: _Ellipsoid, lat0: float, lon0: float,
+                 fe: float, fn: float):
+        self.ell, self.lat0, self.lon0, self.fe, self.fn = ell, lat0, lon0, fe, fn
+        self.sphere = ell.e2 == 0.0
+        p0 = math.radians(lat0)
+        self.p0 = p0
+        if not self.sphere:
+            e2 = ell.e2
+            self.nu0 = ell.a / math.sqrt(1 - e2 * math.sin(p0) ** 2)
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.subtract(lon, self.lon0))
+        s0, c0 = math.sin(self.p0), math.cos(self.p0)
+        if self.sphere:
+            R = self.ell.a
+            cosc = np.clip(s0 * np.sin(phi) + c0 * np.cos(phi) * np.cos(lam), -1, 1)
+            c = np.arccos(cosc)
+            sinc = np.sin(c)
+            k = np.where(sinc > 1e-12, c / np.where(sinc > 1e-12, sinc, 1.0), 1.0)
+            x = self.fe + R * k * np.cos(phi) * np.sin(lam)
+            y = self.fn + R * k * (c0 * np.sin(phi) - s0 * np.cos(phi) * np.cos(lam))
+            return x, y
+        e2 = self.ell.e2
+        e = self.ell.e
+        s, c = np.sin(phi), np.cos(phi)
+        nu = self.ell.a / np.sqrt(1 - e2 * s * s)
+        psi = np.arctan((1 - e2) * np.tan(phi) + e2 * self.nu0 * s0 / (nu * np.maximum(c, 1e-300)))
+        alpha = np.arctan2(np.sin(lam), c0 * np.tan(psi) - s0 * np.cos(lam))
+        G = e * s0 / math.sqrt(1 - e2)
+        H = e * c0 * np.cos(alpha) / math.sqrt(1 - e2)
+        sin_a = np.sin(alpha)
+        # geodesic-ish arc s (GN7-2): two branches for sin(alpha) ~ 0
+        s_arc = np.where(
+            np.abs(sin_a) < 1e-12,
+            np.arcsin(np.clip(c0 * np.sin(psi) - s0 * np.cos(psi), -1, 1))
+            * np.sign(np.where(np.cos(alpha) == 0, 1.0, np.cos(alpha))),
+            np.arcsin(np.sin(lam) * np.cos(psi) / np.where(np.abs(sin_a) < 1e-12, 1.0, sin_a)),
+        )
+        s2, s3, s4, s5 = s_arc ** 2, s_arc ** 3, s_arc ** 4, s_arc ** 5
+        H2 = H * H
+        cdist = self.nu0 * s_arc * (
+            1
+            - s2 * H2 * (1 - H2) / 6
+            + (s3 / 8) * G * H * (1 - 2 * H2)
+            + (s4 / 120) * (H2 * (4 - 7 * H2) - 3 * G * G * (1 - 7 * H2))
+            - (s5 / 48) * G * H
+        )
+        return self.fe + cdist * np.sin(alpha), self.fn + cdist * np.cos(alpha)
+
+    def inverse(self, x, y):
+        dx = np.subtract(x, self.fe)
+        dy = np.subtract(y, self.fn)
+        s0, c0 = math.sin(self.p0), math.cos(self.p0)
+        if self.sphere:
+            R = self.ell.a
+            rho = np.hypot(dx, dy)
+            c = rho / R
+            safe = np.where(rho > 0, rho, 1.0)
+            phi = np.arcsin(
+                np.clip(np.cos(c) * s0 + dy * np.sin(c) * c0 / safe, -1, 1)
+            )
+            lam = np.arctan2(
+                dx * np.sin(c), safe * c0 * np.cos(c) - dy * s0 * np.sin(c)
+            )
+            lam = np.where(rho > 0, lam, 0.0)
+            phi = np.where(rho > 0, phi, self.p0)
+            return np.degrees(lam) + self.lon0, np.degrees(phi)
+        e2 = self.ell.e2
+        cdist = np.hypot(dx, dy)
+        alpha = np.arctan2(dx, dy)
+        ca = np.cos(alpha)
+        A = -e2 * c0 * c0 * ca * ca / (1 - e2)
+        B = 3 * e2 * (1 - A) * s0 * c0 * ca / (1 - e2)
+        D = cdist / self.nu0
+        J = D - A * (1 + A) * D ** 3 / 6 - B * (1 + 3 * A) * D ** 4 / 24
+        K = 1 - A * J ** 2 / 2 - B * J ** 3 / 6
+        psi = np.arcsin(np.clip(s0 * np.cos(J) + c0 * np.sin(J) * ca, -1, 1))
+        sp = np.sin(psi)
+        phi = np.arctan(
+            (1 - e2 * K * s0 / np.where(np.abs(sp) > 1e-300, sp, 1e-300))
+            * np.tan(psi) / (1 - e2)
+        )
+        lam = np.arcsin(np.clip(np.sin(alpha) * np.sin(J) / np.maximum(np.cos(psi), 1e-12), -1, 1))
+        phi = np.where(cdist > 0, phi, self.p0)
+        lam = np.where(cdist > 0, lam, 0.0)
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
+class EquidistantConic:
+    """Equidistant conic ``+proj=eqdc`` (Snyder 1987 §16, ellipsoidal) —
+    true scale along all meridians and the two standard parallels;
+    common for mid-latitude regional maps (e.g. historic US state
+    atlases)."""
+
+    def __init__(self, ell: _Ellipsoid, lat1: float, lat2: float,
+                 lat0: float, lon0: float, fe: float, fn: float):
+        self.ell, self.lon0, self.fe, self.fn = ell, lon0, fe, fn
+        e2 = ell.e2
+        p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+
+        def m(p):
+            return math.cos(p) / math.sqrt(1 - e2 * math.sin(p) ** 2)
+
+        M1 = float(_meridian_arc(ell, p1))
+        M2 = float(_meridian_arc(ell, p2))
+        if abs(p1 - p2) < 1e-12:
+            # tangent-cone limit of Snyder 16-14: n -> -a m'(phi1)/M'(phi1),
+            # which reduces exactly to sin(phi1) on any ellipsoid
+            self.n = math.sin(p1)
+            self.G = m(p1) / self.n + M1 / ell.a
+        else:
+            self.n = ell.a * (m(p1) - m(p2)) / (M2 - M1)
+            self.G = m(p1) / self.n + M1 / ell.a
+        self.rho0 = ell.a * self.G - float(_meridian_arc(ell, p0))
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.subtract(lon, self.lon0))
+        rho = self.ell.a * self.G - _meridian_arc(self.ell, phi)
+        th = self.n * lam
+        return self.fe + rho * np.sin(th), self.fn + self.rho0 - rho * np.cos(th)
+
+    def inverse(self, x, y):
+        dx = np.subtract(x, self.fe)
+        dy = self.rho0 - np.subtract(y, self.fn)
+        rho = np.sign(self.n) * np.hypot(dx, dy)
+        th = np.arctan2(np.sign(self.n) * dx, np.sign(self.n) * dy)
+        M = self.ell.a * self.G - rho
+        phi = _phi_from_merid(self.ell, M)
+        return np.degrees(th / self.n) + self.lon0, np.degrees(phi)
+
+
+class Orthographic:
+    """Orthographic (EPSG method 9840; GN7-2 §1.3.12) — the view-from-
+    infinity projection used for seismic bin grids and local engineering
+    frames. Ellipsoidal forward per GN7-2; inverse by damped Newton on
+    the forward (converges in <8 steps within the visible hemisphere)."""
+
+    def __init__(self, ell: _Ellipsoid, lat0: float, lon0: float,
+                 fe: float, fn: float):
+        self.ell, self.lat0, self.lon0, self.fe, self.fn = ell, lat0, lon0, fe, fn
+        p0 = math.radians(lat0)
+        self.p0 = p0
+        e2 = ell.e2
+        self.nu0 = ell.a / math.sqrt(1 - e2 * math.sin(p0) ** 2)
+
+    def forward(self, lon, lat):
+        e2 = self.ell.e2
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.subtract(lon, self.lon0))
+        s0, c0 = math.sin(self.p0), math.cos(self.p0)
+        s, c = np.sin(phi), np.cos(phi)
+        nu = self.ell.a / np.sqrt(1 - e2 * s * s)
+        E = self.fe + nu * c * np.sin(lam)
+        N = self.fn + nu * (s * c0 - c * s0 * np.cos(lam)) + e2 * (
+            self.nu0 * s0 - nu * s
+        ) * c0
+        # behind-the-planet mask (cos of angular distance <= 0)
+        cosc = s0 * s + c0 * c * np.cos(lam)
+        bad = cosc < -1e-12
+        if np.ndim(E):
+            E = np.where(bad, np.nan, E)
+            N = np.where(bad, np.nan, N)
+        elif bad:
+            return float("nan"), float("nan")
+        return E, N
+
+    def inverse(self, x, y):
+        # damped Newton with the spherical Jacobian (exact for e=0,
+        # near-exact locally): J = [[nu cos(phi) cos(lam), ...]]
+        xt = np.asarray(np.subtract(x, self.fe), dtype=np.float64)
+        yt = np.asarray(np.subtract(y, self.fn), dtype=np.float64)
+        s0, c0 = math.sin(self.p0), math.cos(self.p0)
+        R = self.ell.a
+        # spherical first guess
+        rho = np.minimum(np.hypot(xt, yt), R * (1 - 1e-12))
+        c = np.arcsin(np.clip(rho / R, -1, 1))
+        safe = np.where(rho > 0, rho, 1.0)
+        phi = np.arcsin(np.clip(np.cos(c) * s0 + yt * np.sin(c) * c0 / safe, -1, 1))
+        lam = np.arctan2(xt * np.sin(c), safe * c0 * np.cos(c) - yt * s0 * np.sin(c))
+        phi = np.where(rho > 0, phi, self.p0)
+        lam = np.where(rho > 0, lam, 0.0)
+        for _ in range(10):
+            lon_d = np.degrees(lam) + self.lon0
+            lat_d = np.degrees(phi)
+            Ex, Ny = self.forward(lon_d, lat_d)
+            fx = np.nan_to_num(np.asarray(Ex) - self.fe - xt)
+            fy = np.nan_to_num(np.asarray(Ny) - self.fn - yt)
+            s, cph = np.sin(phi), np.maximum(np.cos(phi), 1e-9)
+            # Jacobian of the spherical orthographic (good preconditioner)
+            dE_dlam = R * cph * np.cos(lam)
+            dE_dphi = -R * s * np.sin(lam)
+            dN_dlam = R * cph * s0 * np.sin(lam)
+            dN_dphi = R * (cph * c0 + s * s0 * np.cos(lam))
+            det = dE_dlam * dN_dphi - dE_dphi * dN_dlam
+            det = np.where(np.abs(det) < 1e-6, np.sign(det) * 1e-6 + 1e-9, det)
+            dlam = (fx * dN_dphi - fy * dE_dphi) / det
+            dphi = (fy * dE_dlam - fx * dN_dlam) / det
+            lam = lam - dlam
+            phi = phi - dphi
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
+class Gnomonic:
+    """Gnomonic ``+proj=gnom`` (Snyder 1987 §22) — spherical on R = a,
+    matching proj4's convention; great circles map to straight lines
+    (the property used for radio/seismic ray plotting). Points at or
+    beyond 90 degrees from the center are unprojectable (NaN)."""
+
+    def __init__(self, ell: _Ellipsoid, lat0: float, lon0: float,
+                 fe: float, fn: float):
+        self.r = ell.a
+        self.lat0, self.lon0, self.fe, self.fn = lat0, lon0, fe, fn
+        self.p0 = math.radians(lat0)
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.subtract(lon, self.lon0))
+        s0, c0 = math.sin(self.p0), math.cos(self.p0)
+        cosc = s0 * np.sin(phi) + c0 * np.cos(phi) * np.cos(lam)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            k = np.where(cosc > 1e-9, 1.0 / np.where(cosc > 1e-9, cosc, 1.0), np.nan)
+        x = self.fe + self.r * k * np.cos(phi) * np.sin(lam)
+        y = self.fn + self.r * k * (c0 * np.sin(phi) - s0 * np.cos(phi) * np.cos(lam))
+        return x, y
+
+    def inverse(self, x, y):
+        dx = np.subtract(x, self.fe)
+        dy = np.subtract(y, self.fn)
+        s0, c0 = math.sin(self.p0), math.cos(self.p0)
+        rho = np.hypot(dx, dy)
+        c = np.arctan(rho / self.r)
+        safe = np.where(rho > 0, rho, 1.0)
+        phi = np.arcsin(np.clip(np.cos(c) * s0 + dy * np.sin(c) * c0 / safe, -1, 1))
+        lam = np.arctan2(dx * np.sin(c), safe * c0 * np.cos(c) - dy * s0 * np.sin(c))
+        phi = np.where(rho > 0, phi, self.p0)
+        lam = np.where(rho > 0, lam, 0.0)
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
 class Mollweide:
     """Mollweide pseudocylindrical equal-area (Snyder 1987 §31). Spherical
     formulas on R = a, matching proj4's ``+proj=moll`` convention (proj4j
@@ -1512,7 +1906,7 @@ def _parse_proj4(s: str):
     reference accepts arbitrary proj4 via proj4j (``TileLayer.scala:
     288-295`` getCRS); this covers the ``+proj=tmerc/lcc/utm/longlat/
     merc/cea/aea/stere/sterea/laea/sinu/moll/eqc/geos/omerc/somerc/
-    krovak`` families over
+    krovak/cass/aeqd/eqdc/ortho/gnom`` families over
     ``+ellps/+datum/+a/+rf/+b/+towgs84/+k/+x_0/+y_0/...`` parameters,
     feeding the existing Krueger/LCC/Helmert kernels.
     Returns None for unsupported projections."""
@@ -1595,6 +1989,25 @@ def _parse_proj4(s: str):
         lat_ts = g("lat_ts", g("lat_0"))
         return PolarStereographic(ell, lat_ts, g("lon_0"), g("k", g("k_0", 1.0)),
                                   g("x_0"), g("y_0"), south=g("lat_0") < 0), shift
+    if proj == "stere":
+        return StereographicOblique(ell, g("lat_0"), g("lon_0"),
+                                    g("k", g("k_0", 1.0)),
+                                    g("x_0"), g("y_0")), shift
+    if proj == "cass":
+        return CassiniSoldner(ell, g("lat_0"), g("lon_0"),
+                              g("x_0"), g("y_0")), shift
+    if proj == "aeqd":
+        return AzimuthalEquidistant(ell, g("lat_0"), g("lon_0"),
+                                    g("x_0"), g("y_0")), shift
+    if proj == "eqdc":
+        return EquidistantConic(ell, g("lat_1"), g("lat_2", g("lat_1")),
+                                g("lat_0"), g("lon_0"), g("x_0"), g("y_0")), shift
+    if proj == "ortho":
+        return Orthographic(ell, g("lat_0"), g("lon_0"),
+                            g("x_0"), g("y_0")), shift
+    if proj == "gnom":
+        return Gnomonic(ell, g("lat_0"), g("lon_0"),
+                        g("x_0"), g("y_0")), shift
     if proj == "cea":
         return LambertCylindricalEqualArea(ell, g("lat_ts"), g("lon_0"),
                                            g("x_0"), g("y_0")), shift

@@ -2118,6 +2118,20 @@ q_raster_reproject_geos = _make_reproject_nn_query(
     (round 6).""",
 )
 
+q_raster_reproject_cass = _make_reproject_nn_query(
+    "+proj=cass +lat_0=16 +lon_0=16 +ellps=WGS84",
+    """NN warp 4326 -> Cassini-Soldner (EPSG 9806) centered in the
+    fixture extent — gates the meridian-arc forward/inverse pair added
+    in round 6 through the distributed warp.""",
+)
+
+q_raster_reproject_aeqd = _make_reproject_nn_query(
+    "+proj=aeqd +lat_0=16 +lon_0=16 +ellps=WGS84",
+    """NN warp 4326 -> Modified Azimuthal Equidistant (EPSG 9832
+    ellipsoidal series; proj4 aeqd) centered in the fixture extent —
+    gates the new azimuthal family through the distributed warp.""",
+)
+
 
 def q_raster_geotiff_roundtrip(spark, sf_dir):
     """Encoder path under the oracle gate (round 6, VERDICT r5 #9): every
@@ -4020,11 +4034,9 @@ def queries():
         "raster_cost_distance": q_raster_cost_distance,
         "raster_reproject": q_raster_reproject,
         # raster operators — rotated in (rounds 2/3/5 additions)
-        "raster_reproject_utm": q_raster_reproject_utm,
         "raster_focal_mode": q_raster_focal_mode,
         "raster_pyramid_mode": q_raster_pyramid_mode,
         "raster_rasterize_features": q_raster_rasterize_features,
-        "raster_histogram_object": q_raster_histogram_object,
         "raster_point_values": q_raster_point_values,
         "raster_mask_distributed": q_raster_mask_distributed,
         "raster_normalize": q_raster_normalize,
@@ -4053,6 +4065,8 @@ def queries():
         # pytest-only §2 rows (stitch/png/update/read_value/with_no_data/
         # shapefile/COG); seven r5-validated entries move out
         # (token_count/dedup_pipeline/emb_knn/multimodal/session/zonal/mask)
+        "raster_reproject_cass": q_raster_reproject_cass,
+        "raster_reproject_aeqd": q_raster_reproject_aeqd,
         "raster_stitch": q_raster_stitch,
         "raster_png_roundtrip": q_raster_png_roundtrip,
         "raster_catalog_update": q_raster_catalog_update,
@@ -4061,6 +4075,8 @@ def queries():
         "vector_shapefile": q_vector_shapefile,
         "raster_cog_overview": q_raster_cog_overview,
         # ---- entries below are past the driver's 50-entry window ----
+        "raster_reproject_utm": q_raster_reproject_utm,
+        "raster_histogram_object": q_raster_histogram_object,
         "text_token_count": q_text_token_count,
         "text_dedup_pipeline": q_text_dedup_pipeline,
         "emb_knn": q_emb_knn,
@@ -4262,6 +4278,10 @@ def oracle_sql():
         "raster_reproject_geos": _sql_reproject_nn(
             "+proj=geos +h=35786023 +lon_0=15 +sweep=y +ellps=GRS80"),
         "raster_catalog_query": SQL_RASTER_CATALOG_QUERY,
+        "raster_reproject_cass": _sql_reproject_nn(
+            "+proj=cass +lat_0=16 +lon_0=16 +ellps=WGS84"),
+        "raster_reproject_aeqd": _sql_reproject_nn(
+            "+proj=aeqd +lat_0=16 +lon_0=16 +ellps=WGS84"),
         "raster_stitch": SQL_RASTER_STITCH,
         "raster_png_roundtrip": SQL_RASTER_PNG_ROUNDTRIP,
         "raster_catalog_update": SQL_RASTER_CATALOG_UPDATE,

@@ -979,3 +979,304 @@ class TestSilentFallbackGuards:
                 "+proj=lcc +lat_1=49 +lat_2=77 +lat_0=49 +lon_0=-95 "
                 "+ellps=clrk66 +nadgrids=ntv2_0.gsb",
             )
+
+
+class TestCassiniSoldner:
+    """EPSG method 9806, GN7-2 worked example: Trinidad 1903 / Trinidad
+    Grid (Clarke 1858, Clarke's links). phi0=10d26'30"N, lam0=61d20'W,
+    FE=430000, FN=325000 links; P(10N, 62W) -> E 66644.94, N 82536.22."""
+
+    A_LINKS = 20926348 / 0.66
+    B_LINKS = 20855233 / 0.66
+
+    def _proj(self):
+        from geopyspark_spark.core.crs import CassiniSoldner, _Ellipsoid
+
+        ell = _Ellipsoid(self.A_LINKS, self.A_LINKS / (self.A_LINKS - self.B_LINKS))
+        return CassiniSoldner(
+            ell, 10 + 26 / 60 + 30 / 3600, -(61 + 20 / 60), 430000.0, 325000.0
+        )
+
+    def test_gn72_worked_example(self):
+        E, N = self._proj().forward(-62.0, 10.0)
+        assert abs(E - 66644.94) < 0.02
+        assert abs(N - 82536.22) < 0.02
+
+    def test_roundtrip(self):
+        p = self._proj()
+        rng = np.random.default_rng(7)
+        lon = rng.uniform(-62.5, -60.0, 100)
+        lat = rng.uniform(9.5, 11.5, 100)
+        lo, la = p.inverse(*p.forward(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+
+    def test_proj4_string_parses(self):
+        f = get_transform(
+            "epsg:4326",
+            "+proj=cass +lat_0=10.44166666666667 +lon_0=-61.33333333333334 "
+            "+x_0=430000 +y_0=325000 +a=31706587.88 +b=31598496.94 "
+            "+towgs84=-61.7,284.5,472.9",
+        )
+        x, y = f(np.array([-62.0]), np.array([10.0]))
+        assert np.isfinite(x[0]) and np.isfinite(y[0])
+
+
+class TestOrthographic:
+    """EPSG method 9840, GN7-2 worked example (WGS84, topocentric origin
+    55N 5E): P(53d48'33.82"N, 2d07'46.38"E) -> E -189011.711,
+    N -128640.567."""
+
+    LAT = 53 + 48 / 60 + 33.82 / 3600
+    LON = 2 + 7 / 60 + 46.38 / 3600
+
+    def _proj(self):
+        from geopyspark_spark.core.crs import Orthographic, WGS84_ELL
+
+        return Orthographic(WGS84_ELL, 55.0, 5.0, 0.0, 0.0)
+
+    def test_gn72_worked_example(self):
+        E, N = self._proj().forward(self.LON, self.LAT)
+        assert abs(E - (-189011.711)) < 0.005
+        assert abs(N - (-128640.567)) < 0.005
+
+    def test_newton_inverse(self):
+        p = self._proj()
+        rng = np.random.default_rng(11)
+        lon = rng.uniform(-5.0, 15.0, 100)
+        lat = rng.uniform(45.0, 65.0, 100)
+        lo, la = p.inverse(*p.forward(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-7)
+        np.testing.assert_allclose(la, lat, atol=1e-7)
+
+    def test_far_side_is_nan(self):
+        E, N = self._proj().forward(-175.0, -55.0)
+        assert not np.isfinite(E) and not np.isfinite(N)
+
+    def test_proj4_string_parses(self):
+        f = get_transform("epsg:4326", "+proj=ortho +lat_0=55 +lon_0=5 +ellps=WGS84")
+        x, y = f(np.array([self.LON]), np.array([self.LAT]))
+        assert abs(x[0] - (-189011.711)) < 0.005
+
+
+class TestAzimuthalEquidistant:
+    """Sphere: Snyder §25 exact closed form. Ellipsoid: EPSG 9832
+    Modified AEQD, GN7-2 worked example (Guam 1963 / Yap Islands,
+    Clarke 1866): P -> E 42665.90, N 65509.82."""
+
+    def test_gn72_yap_worked_example(self):
+        from geopyspark_spark.core.crs import AzimuthalEquidistant, CLARKE1866
+
+        p = AzimuthalEquidistant(
+            CLARKE1866, 9 + 32 / 60 + 48.15 / 3600,
+            138 + 10 / 60 + 7.48 / 3600, 40000.0, 60000.0,
+        )
+        E, N = p.forward(138 + 11 / 60 + 34.908 / 3600, 9 + 35 / 60 + 47.493 / 3600)
+        assert abs(E - 42665.90) < 0.02
+        assert abs(N - 65509.82) < 0.02
+        lo, la = p.inverse(E, N)
+        assert abs(lo - (138 + 11 / 60 + 34.908 / 3600)) < 1e-7
+        assert abs(la - (9 + 35 / 60 + 47.493 / 3600)) < 1e-7
+
+    def test_sphere_closed_form(self):
+        from geopyspark_spark.core.crs import AzimuthalEquidistant, _Ellipsoid
+
+        R = 6371000.0
+        p = AzimuthalEquidistant(_Ellipsoid(R, float("inf")), 40.0, -100.0, 0, 0)
+        # independent Snyder 25-3/25-4 computation
+        import math
+
+        p1, ph, dl = (math.radians(v) for v in (40.0, 30.0, -10.0))
+        cosc = math.sin(p1) * math.sin(ph) + math.cos(p1) * math.cos(ph) * math.cos(dl)
+        c = math.acos(cosc)
+        k = c / math.sin(c)
+        ex = R * k * math.cos(ph) * math.sin(dl)
+        ey = R * k * (math.cos(p1) * math.sin(ph) - math.sin(p1) * math.cos(ph) * math.cos(dl))
+        x, y = p.forward(-110.0, 30.0)
+        assert abs(x - ex) < 1e-6 and abs(y - ey) < 1e-6
+        # distance from center is the great-circle distance (the defining
+        # property of the azimuthal equidistant)
+        assert abs(math.hypot(x, y) - R * c) < 1e-6
+
+    def test_sphere_roundtrip(self):
+        from geopyspark_spark.core.crs import AzimuthalEquidistant, _Ellipsoid
+
+        p = AzimuthalEquidistant(_Ellipsoid(6371000.0, float("inf")), 40.0, -100.0, 0, 0)
+        rng = np.random.default_rng(3)
+        lon = rng.uniform(-160.0, -40.0, 100)
+        lat = rng.uniform(-20.0, 80.0, 100)
+        lo, la = p.inverse(*p.forward(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-8)
+        np.testing.assert_allclose(la, lat, atol=1e-8)
+
+    def test_proj4_string_parses(self):
+        f = get_transform("epsg:4326", "+proj=aeqd +lat_0=9.546708333 "
+                                       "+lon_0=138.168744 +x_0=40000 "
+                                       "+y_0=60000 +ellps=clrk66")
+        x, y = f(np.array([138.2]), np.array([9.6]))
+        assert np.isfinite(x[0])
+
+
+class TestGnomonic:
+    """Snyder 1987 §22 numeric example (p. 319): R=1, center 40N 100W;
+    P(30N, 110W) -> x -0.1542826, y -0.1694739."""
+
+    def test_snyder_worked_example(self):
+        from geopyspark_spark.core.crs import Gnomonic, _Ellipsoid
+
+        p = Gnomonic(_Ellipsoid(1.0, float("inf")), 40.0, -100.0, 0, 0)
+        x, y = p.forward(-110.0, 30.0)
+        assert abs(x - (-0.1542826)) < 1e-7
+        assert abs(y - (-0.1694739)) < 1e-7
+
+    def test_antipodal_hemisphere_nan(self):
+        from geopyspark_spark.core.crs import Gnomonic, _Ellipsoid
+
+        p = Gnomonic(_Ellipsoid(1.0, float("inf")), 40.0, -100.0, 0, 0)
+        x, y = p.forward(np.array([80.0]), np.array([-40.0]))
+        assert not np.isfinite(x[0])
+
+    def test_great_circles_are_straight(self):
+        from geopyspark_spark.core.crs import Gnomonic, _Ellipsoid
+        import math
+
+        p = Gnomonic(_Ellipsoid(1.0, float("inf")), 30.0, 10.0, 0, 0)
+        # sample a great circle through two points and assert collinearity
+        a = np.radians([20.0, 35.0]); b = np.radians([5.0, 20.0])
+        va = np.array([math.cos(a[1]) * math.cos(a[0]),
+                       math.cos(a[1]) * math.sin(a[0]), math.sin(a[1])])
+        vb = np.array([math.cos(b[1]) * math.cos(b[0]),
+                       math.cos(b[1]) * math.sin(b[0]), math.sin(b[1])])
+        ts = np.linspace(0.1, 0.9, 7)
+        pts = (1 - ts)[:, None] * va + ts[:, None] * vb
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        lon = np.degrees(np.arctan2(pts[:, 1], pts[:, 0]))
+        lat = np.degrees(np.arcsin(pts[:, 2]))
+        x, y = p.forward(lon, lat)
+        # fit a line through first/last, max deviation ~ 0
+        t = (x - x[0]) / (x[-1] - x[0])
+        y_line = y[0] + t * (y[-1] - y[0])
+        assert np.max(np.abs(y - y_line)) < 1e-9
+
+    def test_roundtrip(self):
+        from geopyspark_spark.core.crs import Gnomonic, _Ellipsoid
+
+        p = Gnomonic(_Ellipsoid(6371000.0, float("inf")), 40.0, -100.0, 0, 0)
+        rng = np.random.default_rng(5)
+        lon = rng.uniform(-140.0, -60.0, 100)
+        lat = rng.uniform(10.0, 70.0, 100)
+        lo, la = p.inverse(*p.forward(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-8)
+        np.testing.assert_allclose(la, lat, atol=1e-8)
+
+
+class TestStereographicOblique:
+    """proj4 non-polar ``+proj=stere`` (Snyder §21 conformal-latitude
+    form) — previously only the polar aspect parsed."""
+
+    def test_sphere_reduces_to_closed_form(self):
+        from geopyspark_spark.core.crs import StereographicOblique, _Ellipsoid
+        import math
+
+        p = StereographicOblique(_Ellipsoid(1.0, float("inf")), 40.0, -100.0, 1.0, 0, 0)
+        p1, ph, dl = (math.radians(v) for v in (40.0, 30.0, -10.0))
+        A = 2.0 / (1 + math.sin(p1) * math.sin(ph)
+                   + math.cos(p1) * math.cos(ph) * math.cos(dl))
+        ex = A * math.cos(ph) * math.sin(dl)
+        ey = A * (math.cos(p1) * math.sin(ph)
+                  - math.sin(p1) * math.cos(ph) * math.cos(dl))
+        x, y = p.forward(-110.0, 30.0)
+        assert abs(x - ex) < 1e-12 and abs(y - ey) < 1e-12
+
+    def test_conformal_scale_at_center_is_k0(self):
+        from geopyspark_spark.core.crs import StereographicOblique, WGS84_ELL
+        import math
+
+        k0 = 0.9999
+        p = StereographicOblique(WGS84_ELL, 52.0, 10.0, k0, 0, 0)
+        # local scale: project two tiny orthogonal displacements
+        d = 1e-7
+        x0, y0 = p.forward(10.0, 52.0)
+        xe, ye = p.forward(10.0 + d, 52.0)
+        xn, yn = p.forward(10.0, 52.0 + d)
+        e2, s = WGS84_ELL.e2, math.sin(math.radians(52.0))
+        nu = WGS84_ELL.a / math.sqrt(1 - e2 * s * s)
+        rho = WGS84_ELL.a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+        de = math.radians(d) * nu * math.cos(math.radians(52.0))
+        dn = math.radians(d) * rho
+        ke = math.hypot(xe - x0, ye - y0) / de
+        kn = math.hypot(xn - x0, yn - y0) / dn
+        assert abs(ke - k0) < 1e-6 and abs(kn - k0) < 1e-6  # isotropy + k0
+
+    def test_ellipsoid_roundtrip(self):
+        from geopyspark_spark.core.crs import StereographicOblique, WGS84_ELL
+
+        p = StereographicOblique(WGS84_ELL, 52.0, 10.0, 0.9999, 100000.0, 200000.0)
+        rng = np.random.default_rng(13)
+        lon = rng.uniform(-30.0, 50.0, 100)
+        lat = rng.uniform(10.0, 85.0, 100)
+        lo, la = p.inverse(*p.forward(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-8)
+        np.testing.assert_allclose(la, lat, atol=1e-8)
+
+    def test_proj4_string_parses_oblique(self):
+        f = get_transform("epsg:4326", "+proj=stere +lat_0=52 +lon_0=10 "
+                                       "+k=0.9999 +ellps=WGS84")
+        x, y = f(np.array([12.0]), np.array([53.0]))
+        assert np.isfinite(x[0])
+
+
+class TestEquidistantConic:
+    """Snyder 1987 §16 ellipsoidal eqdc: true scale along every meridian
+    and both standard parallels."""
+
+    def _proj(self):
+        from geopyspark_spark.core.crs import EquidistantConic, WGS84_ELL
+
+        return EquidistantConic(WGS84_ELL, 30.0, 45.0, 37.0, -96.0, 0, 0)
+
+    def test_meridian_distances_true(self):
+        from geopyspark_spark.core.crs import WGS84_ELL, _meridian_arc
+
+        p = self._proj()
+        # along any meridian, planar distance == meridian arc difference
+        lats = np.array([20.0, 30.0, 37.0, 45.0, 55.0])
+        x, y = p.forward(np.full_like(lats, -110.0), lats)
+        planar = np.hypot(np.diff(x), np.diff(y))
+        arc = np.abs(np.diff(_meridian_arc(WGS84_ELL, np.radians(lats))))
+        np.testing.assert_allclose(planar, arc, rtol=1e-9)
+
+    def test_standard_parallels_true_scale(self):
+        import math
+
+        from geopyspark_spark.core.crs import WGS84_ELL
+
+        p = self._proj()
+        for lat in (30.0, 45.0):
+            d = 1e-7
+            x0, y0 = p.forward(-100.0, lat)
+            x1, y1 = p.forward(-100.0 + d, lat)
+            e2, s = WGS84_ELL.e2, math.sin(math.radians(lat))
+            nu = WGS84_ELL.a / math.sqrt(1 - e2 * s * s)
+            truth = math.radians(d) * nu * math.cos(math.radians(lat))
+            assert abs(math.hypot(x1 - x0, y1 - y0) / truth - 1.0) < 1e-7
+
+    def test_tangent_cone_single_parallel(self):
+        from geopyspark_spark.core.crs import EquidistantConic, WGS84_ELL
+
+        p = EquidistantConic(WGS84_ELL, 40.0, 40.0, 40.0, -96.0, 0, 0)
+        lo, la = p.inverse(*p.forward(-90.0, 42.0))
+        assert abs(lo - (-90.0)) < 1e-9 and abs(la - 42.0) < 1e-7
+
+    def test_roundtrip_and_proj4(self):
+        p = self._proj()
+        rng = np.random.default_rng(17)
+        lon = rng.uniform(-130.0, -60.0, 100)
+        lat = rng.uniform(15.0, 60.0, 100)
+        lo, la = p.inverse(*p.forward(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-8)
+        np.testing.assert_allclose(la, lat, atol=1e-6)
+        f = get_transform("epsg:4326", "+proj=eqdc +lat_1=30 +lat_2=45 "
+                                       "+lat_0=37 +lon_0=-96 +ellps=WGS84")
+        x, y = f(np.array([-90.0]), np.array([40.0]))
+        assert np.isfinite(x[0])
