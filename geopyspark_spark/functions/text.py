@@ -252,3 +252,90 @@ def deterministic_sample(df: DataFrame, rate_ppm: int = 250_000,
         16, 10,
     ).cast("long")
     return df.where(h % 1_000_000 < rate_ppm)
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1:
+    repetitious documents are low-quality): per-document token/2-gram/
+    3-gram totals vs distinct counts, the top n-gram frequency, and
+    line-level duplication. All integers, all per-row Catalyst
+    expressions — no shuffle, no UDF; the per-doc top-count transform is
+    O(distinct^2) on the tokens of ONE document (bounded by doc length),
+    which stays embarrassingly parallel at 100 TB."""
+    d = df.select(
+        "doc_id",
+        tokens_col(text_col).alias("toks"),
+        F.split(F.col(text_col), "\n").alias("lines"),
+    )
+
+    def grams(size_expr: int) -> str:
+        k = size_expr
+        return (
+            f"CASE WHEN size(toks) < {k} THEN array() "
+            f"ELSE transform(sequence(1, size(toks) - {k - 1}), "
+            f"i -> concat_ws(' ', slice(toks, i, {k}))) END"
+        )
+
+    def top_count(col: str) -> str:
+        return (
+            f"coalesce(array_max(transform(array_distinct({col}), "
+            f"x -> size(filter({col}, y -> y = x)))), 0)"
+        )
+
+    d = d.withColumn("g2", F.expr(grams(2))).withColumn("g3", F.expr(grams(3)))
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+        F.size("g2").alias("n_2grams"),
+        F.size(F.array_distinct("g2")).alias("n_distinct_2grams"),
+        F.expr(top_count("g2")).alias("top_2gram_count"),
+        F.size("g3").alias("n_3grams"),
+        F.size(F.array_distinct("g3")).alias("n_distinct_3grams"),
+        F.expr(top_count("g3")).alias("top_3gram_count"),
+        F.size("lines").alias("n_lines"),
+        F.size(F.array_distinct("lines")).alias("n_distinct_lines"),
+    )
+
+
+def benchmark_overlap(df: DataFrame, bench_df: DataFrame, n: int = 5,
+                      text_col: str = "text") -> DataFrame:
+    """Benchmark-contamination check (the standard n-gram collision test
+    run before training): for every document, how many of its distinct
+    word n-grams appear in the benchmark corpus. The benchmark side is
+    deduplicated and broadcast (eval sets are small by construction);
+    the corpus side is one explode + broadcast-hash-join + partial
+    count-agg — no corpus shuffle, scales linearly at 100 TB."""
+    def with_ngrams(frame: DataFrame) -> DataFrame:
+        return frame.withColumn("toks", tokens_col(text_col)).withColumn(
+            "ngrams",
+            F.expr(
+                f"CASE WHEN size(toks) < {n} THEN array() "
+                f"ELSE transform(sequence(1, size(toks) - {n - 1}), "
+                f"i -> concat_ws(' ', slice(toks, i, {n}))) END"
+            ),
+        )
+
+    doc = with_ngrams(df).select("doc_id", "ngrams")
+    bench_grams = (
+        with_ngrams(bench_df)
+        .select(F.explode("ngrams").alias("g"))
+        .distinct()
+    )
+    doc_grams = doc.select(
+        "doc_id", F.explode(F.array_distinct("ngrams")).alias("g")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        doc.select("doc_id", F.size(F.array_distinct("ngrams")).alias("n_distinct_ngrams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_distinct_ngrams",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        )
+    )

@@ -3994,6 +3994,86 @@ FROM coords GROUP BY 1, 2
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (round 6): total vs
+    distinct token/2-gram/3-gram counts, top n-gram frequency, line
+    duplication — the classic pretraining repetition filters, as pure
+    per-row Catalyst expressions."""
+    return ftext.repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), g AS (
+  SELECT doc_id, toks, lines,
+    CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i + 1]) END AS g2,
+    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) END AS g3
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+       CAST(len(g2) AS INT) AS n_2grams,
+       CAST(len(list_distinct(g2)) AS INT) AS n_distinct_2grams,
+       CAST(COALESCE(list_max(list_transform(list_distinct(g2),
+            x -> len(list_filter(g2, y -> y = x)))), 0) AS INT) AS top_2gram_count,
+       CAST(len(g3) AS INT) AS n_3grams,
+       CAST(len(list_distinct(g3)) AS INT) AS n_distinct_3grams,
+       CAST(COALESCE(list_max(list_transform(list_distinct(g3),
+            x -> len(list_filter(g3, y -> y = x)))), 0) AS INT) AS top_3gram_count,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(list_distinct(lines)) AS INT) AS n_distinct_lines
+FROM g
+"""
+
+
+def q_text_contamination(spark, sf_dir):
+    """Benchmark n-gram contamination check (round 6): every doc's
+    distinct 5-grams vs a deterministic 'benchmark' subset (doc_id %%
+    97 == 0) — distinct-collision counts via one explode + broadcast
+    join + partial agg."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return ftext.benchmark_overlap(docs, bench, n=5)
+
+
+SQL_TEXT_CONTAMINATION = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, len(toks) - 4),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                   || toks[i+3] || ' ' || toks[i+4]) END AS ng
+  FROM t
+), bench AS (
+  SELECT DISTINCT gr FROM (
+    SELECT unnest(ng) AS gr FROM g WHERE doc_id % 97 = 0
+  )
+), dg AS (
+  SELECT doc_id, gr FROM (
+    SELECT doc_id, unnest(list_distinct(ng)) AS gr FROM g
+  )
+), hits AS (
+  SELECT doc_id, COUNT(*) AS n_overlap
+  FROM dg JOIN bench USING (gr) GROUP BY doc_id
+)
+SELECT g.doc_id,
+       CAST(len(list_distinct(ng)) AS INT) AS n_distinct_ngrams,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap
+FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+"""
+
+
 def queries():
     # NOTE on ordering: the driver records exactly the FIRST 50 registry
     # entries in CORRECTNESS_r{N}.json. The same 50 sat in the window for
@@ -4037,9 +4117,7 @@ def queries():
         "raster_focal_mode": q_raster_focal_mode,
         "raster_pyramid_mode": q_raster_pyramid_mode,
         "raster_rasterize_features": q_raster_rasterize_features,
-        "raster_point_values": q_raster_point_values,
         "raster_mask_distributed": q_raster_mask_distributed,
-        "raster_normalize": q_raster_normalize,
         "raster_resample_cubic": q_raster_resample_cubic,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
@@ -4067,6 +4145,8 @@ def queries():
         # (token_count/dedup_pipeline/emb_knn/multimodal/session/zonal/mask)
         "raster_reproject_cass": q_raster_reproject_cass,
         "raster_reproject_aeqd": q_raster_reproject_aeqd,
+        "text_repetition": q_text_repetition,
+        "text_contamination": q_text_contamination,
         "raster_stitch": q_raster_stitch,
         "raster_png_roundtrip": q_raster_png_roundtrip,
         "raster_catalog_update": q_raster_catalog_update,
@@ -4075,6 +4155,8 @@ def queries():
         "vector_shapefile": q_vector_shapefile,
         "raster_cog_overview": q_raster_cog_overview,
         # ---- entries below are past the driver's 50-entry window ----
+        "raster_point_values": q_raster_point_values,
+        "raster_normalize": q_raster_normalize,
         "raster_reproject_utm": q_raster_reproject_utm,
         "raster_histogram_object": q_raster_histogram_object,
         "text_token_count": q_text_token_count,
@@ -4282,6 +4364,8 @@ def oracle_sql():
             "+proj=cass +lat_0=16 +lon_0=16 +ellps=WGS84"),
         "raster_reproject_aeqd": _sql_reproject_nn(
             "+proj=aeqd +lat_0=16 +lon_0=16 +ellps=WGS84"),
+        "text_repetition": SQL_TEXT_REPETITION,
+        "text_contamination": SQL_TEXT_CONTAMINATION,
         "raster_stitch": SQL_RASTER_STITCH,
         "raster_png_roundtrip": SQL_RASTER_PNG_ROUNDTRIP,
         "raster_catalog_update": SQL_RASTER_CATALOG_UPDATE,

@@ -526,3 +526,69 @@ class TestPipelineOps:
              ftext.deterministic_sample(df, 250_000, seed=8).collect()}
         assert a != c
         assert 0.18 < len(a) / 2000 < 0.32
+
+
+class TestRepetitionMetrics:
+    """Gopher-style repetition signals (round 6)."""
+
+    def test_known_document(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a b c"), (2, "x"), (3, "l1\nl1\nl2")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r.asDict() for r in
+               ftext.repetition_metrics(df).collect()}
+        d1 = out[1]
+        # tokens: a b a b c -> 5 total, 3 distinct
+        assert d1["n_tokens"] == 5 and d1["n_distinct_tokens"] == 3
+        # 2-grams: ab, ba, ab, bc -> 4 total, 3 distinct, top 'a b' x2
+        assert d1["n_2grams"] == 4 and d1["n_distinct_2grams"] == 3
+        assert d1["top_2gram_count"] == 2
+        # 3-grams: aba bab abc -> all distinct
+        assert d1["n_3grams"] == 3 and d1["n_distinct_3grams"] == 3
+        assert d1["top_3gram_count"] == 1
+        # single token: no n-grams, counts zero not null
+        d2 = out[2]
+        assert d2["n_tokens"] == 1 and d2["n_2grams"] == 0
+        assert d2["top_2gram_count"] == 0 and d2["top_3gram_count"] == 0
+        # duplicate lines
+        d3 = out[3]
+        assert d3["n_lines"] == 3 and d3["n_distinct_lines"] == 2
+
+    def test_repetitious_doc_flags_high(self, spark):
+        df = spark.createDataFrame(
+            [(1, " ".join(["spam ham"] * 50)), (2, " ".join(f"w{i}" for i in range(100)))],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r.asDict() for r in
+               ftext.repetition_metrics(df).collect()}
+        # doc 1: top 2-gram dominates; doc 2: everything distinct
+        assert out[1]["top_2gram_count"] >= 49
+        assert out[2]["n_distinct_2grams"] == out[2]["n_2grams"]
+
+
+class TestBenchmarkOverlap:
+    def test_collisions_counted_distinct(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "one two three four five six"),      # contains bench 5-gram x2 windows
+             (2, "totally different words here now"),
+             (3, "one two three four five")],         # exactly the bench doc
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(99, "one two three four five")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r.asDict() for r in
+               ftext.benchmark_overlap(corpus, bench, n=5).collect()}
+        assert out[3]["n_overlap"] == 1 and out[3]["n_distinct_ngrams"] == 1
+        # doc 1 has 5-grams {one..five, two..six}; only the first collides
+        assert out[1]["n_distinct_ngrams"] == 2 and out[1]["n_overlap"] == 1
+        assert out[2]["n_overlap"] == 0
+
+    def test_short_docs_no_ngrams(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "too short")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+        row = ftext.benchmark_overlap(corpus, bench, n=5).collect()[0]
+        assert row["n_distinct_ngrams"] == 0 and row["n_overlap"] == 0
