@@ -2807,6 +2807,37 @@ SELECT DISTINCT event_id, event_type, user_id FROM events
 """
 
 
+def q_events_stream_stateful(spark, sf_dir):
+    """The ``applyInPandasWithState`` custom stateful operator under the
+    gate (round 6): per-user lifetime counters maintained across
+    micro-batches, drained with AvailableNow in update mode. The memory
+    sink holds one row per user per batch; the FINAL state per user
+    (max n_events, its paired sum) must equal the batch aggregate —
+    true for any micro-batch split, so the oracle is batching-agnostic."""
+    import uuid
+
+    from ..streaming.events import (read_events_stream, run_available_now,
+                                    running_user_totals)
+
+    ev = read_events_stream(spark, sf_dir)
+    ev = ev.where(F.col("user_id").isNotNull())
+    tot = running_user_totals(ev.select("user_id", "value"))
+    out = run_available_now(
+        tot, f"stream_state_{uuid.uuid4().hex[:8]}", output_mode="update"
+    )
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.expr("max_by(sum_value, n_events)"), 2).alias("sum_value"),
+    )
+
+
+SQL_EVENTS_STREAM_STATEFUL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+"""
+
+
 def q_events_sliding(spark, sf_dir):
     """1-hour windows sliding every 30 min: each event lands in 2 windows.
     Output window start as (date, minutes-of-day) ints for portability."""
@@ -4117,7 +4148,6 @@ def queries():
         "raster_focal_mode": q_raster_focal_mode,
         "raster_pyramid_mode": q_raster_pyramid_mode,
         "raster_rasterize_features": q_raster_rasterize_features,
-        "raster_mask_distributed": q_raster_mask_distributed,
         "raster_resample_cubic": q_raster_resample_cubic,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
@@ -4147,6 +4177,7 @@ def queries():
         "raster_reproject_aeqd": q_raster_reproject_aeqd,
         "text_repetition": q_text_repetition,
         "text_contamination": q_text_contamination,
+        "events_stream_stateful": q_events_stream_stateful,
         "raster_stitch": q_raster_stitch,
         "raster_png_roundtrip": q_raster_png_roundtrip,
         "raster_catalog_update": q_raster_catalog_update,
@@ -4155,6 +4186,7 @@ def queries():
         "vector_shapefile": q_vector_shapefile,
         "raster_cog_overview": q_raster_cog_overview,
         # ---- entries below are past the driver's 50-entry window ----
+        "raster_mask_distributed": q_raster_mask_distributed,
         "raster_point_values": q_raster_point_values,
         "raster_normalize": q_raster_normalize,
         "raster_reproject_utm": q_raster_reproject_utm,
@@ -4366,6 +4398,7 @@ def oracle_sql():
             "+proj=aeqd +lat_0=16 +lon_0=16 +ellps=WGS84"),
         "text_repetition": SQL_TEXT_REPETITION,
         "text_contamination": SQL_TEXT_CONTAMINATION,
+        "events_stream_stateful": SQL_EVENTS_STREAM_STATEFUL,
         "raster_stitch": SQL_RASTER_STITCH,
         "raster_png_roundtrip": SQL_RASTER_PNG_ROUNDTRIP,
         "raster_catalog_update": SQL_RASTER_CATALOG_UPDATE,
