@@ -184,6 +184,22 @@ def frame_sample(df: DataFrame, every_n: int = 10, data_col: str = "data",
     return df.mapInPandas(sample, schema=schema)
 
 
+def payload_video_decoder(data: bytes, frame_bytes: int = 16) -> list:
+    """Deterministic fake video decoder: the payload is a sequence of
+    ``frame_bytes``-byte grayscale frames (trailing partial frame
+    dropped), each byte one pixel. Reproducible in plain SQL
+    (``ascii(substr(payload, f*16 + p + 1, 1))``), so the frame-sampling
+    plumbing runs under the DuckDB oracle gate. Swap in an
+    av/ffmpeg-backed decoder where those libs exist — the Spark-side
+    ``frame_sample`` plumbing is identical."""
+    n = len(data) // frame_bytes
+    return [
+        np.frombuffer(data[i * frame_bytes : (i + 1) * frame_bytes], dtype=np.uint8)
+        .astype(np.float64)
+        for i in range(n)
+    ]
+
+
 def payload_audio_decoder(data: bytes) -> np.ndarray:
     """Deterministic fake PCM decoder: each payload byte is one sample,
     centered at 64 (printable ASCII straddles it, so sign changes exist).

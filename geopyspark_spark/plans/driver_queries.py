@@ -2838,6 +2838,45 @@ FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 """
 
 
+def q_multimodal_video(spark, sf_dir):
+    """Video-leg multimodal plumbing under the gate (round 6): document
+    bytes as a fake 16-byte-per-frame grayscale stream -> ``frame_sample``
+    (every 2nd frame explodes to its own row via mapInPandas) -> per-frame
+    mean pixel value. The decode is the documented environment seam; the
+    Spark plumbing (schema, batching, explode shape) is the real path."""
+    from ..functions import multimodal as fmm
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("data")
+    )
+    frames = fmm.frame_sample(docs, every_n=2,
+                              frame_decoder=fmm.payload_video_decoder)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.round(
+            F.expr("aggregate(frame, 0D, (a, x) -> a + x) / size(frame)"), 6
+        ).alias("mean_px"),
+    )
+
+
+SQL_MULTIMODAL_VIDEO = """
+WITH d AS (SELECT doc_id, text, strlen(text) // 16 AS nf FROM documents),
+f AS (
+  SELECT doc_id, text, CAST(fi AS INT) AS frame_idx
+  FROM (SELECT doc_id, text, unnest(range(nf)) AS fi FROM d)
+  WHERE fi % 2 = 0
+),
+px AS (
+  SELECT doc_id, frame_idx,
+         CAST(ascii(substr(text, CAST(frame_idx * 16 + p.p AS INT) + 1, 1)) AS DOUBLE) AS v
+  FROM f, range(16) p(p)
+)
+SELECT doc_id, frame_idx, round(AVG(v), 6) AS mean_px
+FROM px GROUP BY doc_id, frame_idx
+"""
+
+
 def q_events_sliding(spark, sf_dir):
     """1-hour windows sliding every 30 min: each event lands in 2 windows.
     Output window start as (date, minutes-of-day) ints for portability."""
@@ -4148,7 +4187,6 @@ def queries():
         "raster_focal_mode": q_raster_focal_mode,
         "raster_pyramid_mode": q_raster_pyramid_mode,
         "raster_rasterize_features": q_raster_rasterize_features,
-        "raster_resample_cubic": q_raster_resample_cubic,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -4178,6 +4216,7 @@ def queries():
         "text_repetition": q_text_repetition,
         "text_contamination": q_text_contamination,
         "events_stream_stateful": q_events_stream_stateful,
+        "multimodal_video": q_multimodal_video,
         "raster_stitch": q_raster_stitch,
         "raster_png_roundtrip": q_raster_png_roundtrip,
         "raster_catalog_update": q_raster_catalog_update,
@@ -4186,6 +4225,7 @@ def queries():
         "vector_shapefile": q_vector_shapefile,
         "raster_cog_overview": q_raster_cog_overview,
         # ---- entries below are past the driver's 50-entry window ----
+        "raster_resample_cubic": q_raster_resample_cubic,
         "raster_mask_distributed": q_raster_mask_distributed,
         "raster_point_values": q_raster_point_values,
         "raster_normalize": q_raster_normalize,
@@ -4399,6 +4439,7 @@ def oracle_sql():
         "text_repetition": SQL_TEXT_REPETITION,
         "text_contamination": SQL_TEXT_CONTAMINATION,
         "events_stream_stateful": SQL_EVENTS_STREAM_STATEFUL,
+        "multimodal_video": SQL_MULTIMODAL_VIDEO,
         "raster_stitch": SQL_RASTER_STITCH,
         "raster_png_roundtrip": SQL_RASTER_PNG_ROUNDTRIP,
         "raster_catalog_update": SQL_RASTER_CATALOG_UPDATE,

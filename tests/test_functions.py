@@ -592,3 +592,30 @@ class TestBenchmarkOverlap:
         bench = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
         row = ftext.benchmark_overlap(corpus, bench, n=5).collect()[0]
         assert row["n_distinct_ngrams"] == 0 and row["n_overlap"] == 0
+
+
+class TestVideoFrameSample:
+    """payload_video_decoder + frame_sample (round 6): the video leg of
+    the multimodal plumbing with the SQL-reproducible fake decoder."""
+
+    def test_frames_and_sampling(self, spark):
+        # 40 bytes -> 2 full 16-byte frames, 8 trailing bytes dropped
+        data = bytes(range(40))
+        df = spark.createDataFrame([(1, data)], "media_id long, data binary")
+        out = fmm.frame_sample(df, every_n=2,
+                               frame_decoder=fmm.payload_video_decoder).collect()
+        # every 2nd of frames [0, 1] -> only frame 0
+        assert [r["frame_idx"] for r in out] == [0]
+        assert out[0]["frame"] == [float(b) for b in range(16)]
+
+    def test_every_n_one_keeps_all(self, spark):
+        df = spark.createDataFrame([(1, bytes(48))], "media_id long, data binary")
+        out = fmm.frame_sample(df, every_n=1,
+                               frame_decoder=fmm.payload_video_decoder).collect()
+        assert sorted(r["frame_idx"] for r in out) == [0, 1, 2]
+
+    def test_short_payload_no_frames(self, spark):
+        df = spark.createDataFrame([(1, bytes(10))], "media_id long, data binary")
+        out = fmm.frame_sample(df, every_n=1,
+                               frame_decoder=fmm.payload_video_decoder).collect()
+        assert out == []
