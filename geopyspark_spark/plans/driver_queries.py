@@ -2877,6 +2877,80 @@ FROM px GROUP BY doc_id, frame_idx
 """
 
 
+def q_tms_render_tile(spark, sf_dir):
+    """The TMS serving path under the gate (round 6): catalog write ->
+    DuckDB point-read fetch (no Spark on the hot path) -> ColorMap
+    render -> PNG decode, at the stored zoom AND over-zoomed one level
+    (parent quadrant crop + nearest upsample, ``TileReader.scala:
+    28-44``). Output = RGBA of every pixel of both served tiles."""
+    import pandas as pd
+    import shutil
+    import tempfile
+
+    from ..operators.render import ColorMap, decode_png_rgba
+    from ..sources import catalog as cat
+    from ..tms import CatalogTileFetcher, render_tile
+
+    layer = lineitem_layer(spark, sf_dir)
+    cm = ColorMap.from_colors(
+        [10.0, 25.0, 50.0], [0xFF0000FF, 0x00FF00FF, 0x0000FFFF]
+    )
+    uri = tempfile.mkdtemp(prefix="tms_", dir=_scratch_dir())
+    frames = []
+    try:
+        cat.write(uri, "tms", layer, zoom=0)
+        fetcher = CatalogTileFetcher(uri, "tms")
+        for level, z, c, r in (("z0", 0, 2, 1), ("z1", 1, 5, 3)):
+            png = render_tile(fetcher, z, c, r, color_map=cm, nodata=layer.nodata)
+            rgba = decode_png_rgba(png).astype(np.int64)
+            packed = (
+                (rgba[..., 0] << 24) | (rgba[..., 1] << 16)
+                | (rgba[..., 2] << 8) | rgba[..., 3]
+            ).reshape(-1)
+            frames.append(pd.DataFrame({
+                "level": level,
+                "pos": np.arange(packed.size, dtype=np.int32),
+                "rgba": packed,
+            }))
+    finally:
+        shutil.rmtree(uri, ignore_errors=True)
+    return spark.createDataFrame(
+        pd.concat(frames, ignore_index=True), "level string, pos int, rgba bigint"
+    )
+
+
+_TMS_COLOR_CASE = f"""CAST(CASE
+         WHEN {{v}} = -1.0 THEN 0
+         WHEN {{v}} <= 10 THEN {0xFF0000FF}
+         WHEN {{v}} <= 25 THEN {0x00FF00FF}
+         ELSE {0x0000FFFF}
+       END AS BIGINT)"""
+
+SQL_TMS_RENDER_TILE = CELLS_CTE + f"""
+, tile AS (
+  SELECT pos, value FROM coords WHERE key_col = 2 AND key_row = 1
+), allp AS (
+  SELECT CAST(range AS INT) AS pos FROM range({TILE * TILE})
+), grid AS (
+  -- over-zoom tile (z=1, col=5, row=3): bottom-right quadrant of parent
+  -- (2,1), nearest-upsampled: out(r,c) <- parent(4 + r//2, 4 + c//2)
+  SELECT CAST(r.range * {TILE} + c.range AS INT) AS pos,
+         CAST(({TILE // 2} + r.range // 2) * {TILE}
+              + ({TILE // 2} + c.range // 2) AS INT) AS ppos
+  FROM range({TILE}) r, range({TILE}) c
+), z0 AS (
+  SELECT 'z0' AS level, p.pos,
+         {_TMS_COLOR_CASE.format(v="COALESCE(t.value, -1.0)")} AS rgba
+  FROM allp p LEFT JOIN tile t ON t.pos = p.pos
+), z1 AS (
+  SELECT 'z1' AS level, g.pos,
+         {_TMS_COLOR_CASE.format(v="COALESCE(t.value, -1.0)")} AS rgba
+  FROM grid g LEFT JOIN tile t ON t.pos = g.ppos
+)
+SELECT * FROM z0 UNION ALL SELECT * FROM z1
+"""
+
+
 def q_events_sliding(spark, sf_dir):
     """1-hour windows sliding every 30 min: each event lands in 2 windows.
     Output window start as (date, minutes-of-day) ints for portability."""
@@ -4186,7 +4260,6 @@ def queries():
         # raster operators — rotated in (rounds 2/3/5 additions)
         "raster_focal_mode": q_raster_focal_mode,
         "raster_pyramid_mode": q_raster_pyramid_mode,
-        "raster_rasterize_features": q_raster_rasterize_features,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -4217,6 +4290,7 @@ def queries():
         "text_contamination": q_text_contamination,
         "events_stream_stateful": q_events_stream_stateful,
         "multimodal_video": q_multimodal_video,
+        "tms_render_tile": q_tms_render_tile,
         "raster_stitch": q_raster_stitch,
         "raster_png_roundtrip": q_raster_png_roundtrip,
         "raster_catalog_update": q_raster_catalog_update,
@@ -4225,6 +4299,7 @@ def queries():
         "vector_shapefile": q_vector_shapefile,
         "raster_cog_overview": q_raster_cog_overview,
         # ---- entries below are past the driver's 50-entry window ----
+        "raster_rasterize_features": q_raster_rasterize_features,
         "raster_resample_cubic": q_raster_resample_cubic,
         "raster_mask_distributed": q_raster_mask_distributed,
         "raster_point_values": q_raster_point_values,
@@ -4440,6 +4515,7 @@ def oracle_sql():
         "text_contamination": SQL_TEXT_CONTAMINATION,
         "events_stream_stateful": SQL_EVENTS_STREAM_STATEFUL,
         "multimodal_video": SQL_MULTIMODAL_VIDEO,
+        "tms_render_tile": SQL_TMS_RENDER_TILE,
         "raster_stitch": SQL_RASTER_STITCH,
         "raster_png_roundtrip": SQL_RASTER_PNG_ROUNDTRIP,
         "raster_catalog_update": SQL_RASTER_CATALOG_UPDATE,

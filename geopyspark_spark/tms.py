@@ -64,12 +64,12 @@ class CatalogTileFetcher(TileFetcher):
         rows = read_value(self.uri, self.layer_name, zoom, col, row, band=self.band)
         if not rows:
             return None
-        # rows: catalog schema (key_col, key_row[, instant], band, cells, ...)
+        # rows: named records from read_value (catalog parquet schema)
         cells = None
         for r in rows:
-            arr = [c for c in r if isinstance(c, (list, tuple)) and len(c) == self.tc * self.tr]
-            if arr:
-                cells = np.asarray(arr[0], dtype=np.float64)
+            arr = r.get("cells")
+            if arr is not None and len(arr) == self.tc * self.tr:
+                cells = np.asarray(arr, dtype=np.float64)
                 break
         if cells is None:
             return None
