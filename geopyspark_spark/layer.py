@@ -78,9 +78,32 @@ class TiledRasterLayer:
         self.df.persist()
         return self
 
+    def cache(self) -> "TiledRasterLayer":
+        """Reference ``cache()`` (``layer.py:231-235``): persist at the
+        default storage level."""
+        return self.persist()
+
     def unpersist(self) -> "TiledRasterLayer":
         self.df.unpersist()
         return self
+
+    def get_partition_strategy(self) -> str | None:
+        """Reference ``get_partition_strategy`` (``layer.py:340-360``):
+        describe how the layer is currently partitioned. DataFrame plans
+        carry the partitioning, not a named strategy object; this
+        reports the outputPartitioning class of the analyzed plan
+        (``RangePartitioning`` after :meth:`partition_by_zorder`,
+        ``HashPartitioning`` after an aggregation, ``None`` for an
+        unshuffled scan)."""
+        try:
+            plan = self.df._jdf.queryExecution().executedPlan().toString().lower()
+        except Exception:
+            return None
+        if "rangepartitioning" in plan:
+            return "RangePartitioning"
+        if "hashpartitioning" in plan:
+            return "HashPartitioning"
+        return None
 
     def repartition(self, n: int) -> "TiledRasterLayer":
         return self._with(self.df.repartition(n))

@@ -206,3 +206,21 @@ def test_extent_polygon_round_trip():
     # any geometry with .bounds works (envelope semantics)
     tri = gps.Polygon(((0.0, 0.0), (4.0, 0.0), (0.0, 3.0), (0.0, 0.0)))
     assert Extent.from_polygon(tri) == Extent(0.0, 0.0, 4.0, 3.0)
+
+
+class TestCachePartitionStrategy:
+    """cache() alias + get_partition_strategy (round 6 parity sweep)."""
+
+    def test_cache_alias(self, f1_layer):
+        out = f1_layer.cache()
+        assert out is f1_layer
+        assert f1_layer.df.is_cached
+        f1_layer.unpersist()
+
+    def test_partition_strategy_after_zorder(self, f1_layer):
+        name = f1_layer.partition_by_zorder(4).get_partition_strategy()
+        assert name == "RangePartitioning"
+
+    def test_partition_strategy_plain_scan(self, f1_layer):
+        # a freshly-assembled layer has no declared partitioning
+        assert f1_layer.get_partition_strategy() in (None, "RoundRobinPartitioning")
