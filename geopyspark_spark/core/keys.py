@@ -20,7 +20,40 @@ from .extent import Extent, LayoutDefinition
 class KeyTransform:
     """Bidirectional mapping between spatial keys and map coordinates for a layout."""
 
-    def __init__(self, layout: LayoutDefinition):
+    def __init__(self, layout, crs=None, extent=None, cellsize=None,
+                 dimensions=None):
+        """Accepts a concrete :class:`LayoutDefinition`, or the reference's
+        scheme-style forms (``key_conversion.py:46-104``):
+
+        - ``LocalLayout`` + ``extent`` + exactly one of ``cellsize`` /
+          ``dimensions``;
+        - ``GlobalLayout`` (with ``zoom``) + ``crs`` — square 2^z grid
+          over the registered world extent of that CRS.
+        """
+        from .extent import GlobalLayout, LocalLayout, world_extent
+
+        if isinstance(layout, LocalLayout):
+            if extent is None:
+                raise ValueError("Must specify an extent when using LocalLayout")
+            if (cellsize is None) == (dimensions is None):
+                raise ValueError(
+                    "For LocalLayout, must specify exactly one: cellsize or dimensions"
+                )
+            if dimensions is not None:
+                cellsize = (
+                    (extent.xmax - extent.xmin) / dimensions[0],
+                    (extent.ymax - extent.ymin) / dimensions[1],
+                )
+            layout = layout.layout_for(extent, cellsize[0], cellsize[1])
+        elif isinstance(layout, GlobalLayout):
+            if not layout.zoom:
+                raise ValueError("Must specify a zoom level when using GlobalLayout")
+            if crs is None:
+                raise ValueError("Must specify a crs when using GlobalLayout")
+            from .crs import normalize_crs
+
+            key = normalize_crs(f"epsg:{crs}" if isinstance(crs, int) else crs)
+            layout = layout.layout_for_zoom(layout.zoom, world_extent(key))
         self.layout = layout
 
     # --- key -> extent ----------------------------------------------------
@@ -85,6 +118,26 @@ class KeyTransform:
             if polygon_intersects_box(geom, ke.xmin, ke.ymin, ke.xmax, ke.ymax):
                 out.append((col, row))
         return out
+
+    # --- reference-named aliases (``key_conversion.py:106-153``) ---------
+    def key_to_extent(self, key, *args) -> Extent:
+        """Reference name: accepts a key-like object (``.col``/``.row``),
+        a ``(col, row)`` tuple, or two ints."""
+        if hasattr(key, "col") and hasattr(key, "row"):
+            return self.key_extent(int(key.col), int(key.row))
+        if isinstance(key, tuple):
+            return self.key_extent(int(key[0]), int(key[1]))
+        if isinstance(key, int) and len(args) == 1:
+            return self.key_extent(key, int(args[0]))
+        raise ValueError("supply a key object, a (col, row) tuple, or two ints")
+
+    def extent_to_keys(self, extent: Extent) -> list[tuple[int, int]]:
+        """Reference name for :meth:`extent_keys` (materialized)."""
+        return list(self.extent_keys(extent))
+
+    def geometry_to_keys(self, geom) -> list[tuple[int, int]]:
+        """Reference name for :meth:`geometry_keys`."""
+        return self.geometry_keys(geom)
 
     # --- cell-level transforms -------------------------------------------
     def cell_center(self, col: int, row: int, tile_col: int, tile_row: int) -> tuple[float, float]:

@@ -224,3 +224,49 @@ class TestCachePartitionStrategy:
     def test_partition_strategy_plain_scan(self, f1_layer):
         # a freshly-assembled layer has no declared partitioning
         assert f1_layer.get_partition_strategy() in (None, "RoundRobinPartitioning")
+
+
+class TestKeyTransformSchemes:
+    """Scheme-style KeyTransform construction (reference
+    ``key_conversion.py:46-104``), round-6 parity sweep."""
+
+    def test_local_layout_cellsize(self):
+        kt = gps.KeyTransform(gps.LocalLayout(8), extent=gps.Extent(0, 0, 32, 32),
+                              cellsize=(1.0, 1.0))
+        tl = kt.layout.tile_layout
+        assert (tl.layout_cols, tl.layout_rows) == (4, 4)
+        assert kt.layout.extent == gps.Extent(0, 0, 32, 32)
+
+    def test_local_layout_dimensions(self):
+        kt = gps.KeyTransform(gps.LocalLayout(16), extent=gps.Extent(0, 0, 32, 32),
+                              dimensions=(32, 32))
+        assert kt.layout.tile_layout.layout_cols == 2
+
+    def test_local_layout_requires_exactly_one(self):
+        with pytest.raises(ValueError, match="exactly one"):
+            gps.KeyTransform(gps.LocalLayout(8), extent=gps.Extent(0, 0, 8, 8))
+        with pytest.raises(ValueError, match="exactly one"):
+            gps.KeyTransform(gps.LocalLayout(8), extent=gps.Extent(0, 0, 8, 8),
+                             cellsize=(1, 1), dimensions=(8, 8))
+
+    def test_global_layout_epsg_int(self):
+        kt = gps.KeyTransform(gps.GlobalLayout(tile_size=256, zoom=2), crs=3857)
+        tl = kt.layout.tile_layout
+        assert (tl.layout_cols, tl.layout_rows) == (4, 4)
+        assert abs(kt.layout.extent.xmin + 20037508.342789244) < 1e-3
+
+    def test_global_layout_requires_crs(self):
+        with pytest.raises(ValueError, match="crs"):
+            gps.KeyTransform(gps.GlobalLayout(zoom=2))
+
+
+class TestKeyTransformAliases:
+    def test_reference_names(self):
+        kt = gps.KeyTransform(gps.LayoutDefinition(
+            gps.Extent(0, 0, 32, 32), gps.TileLayout(4, 4, 8, 8)))
+        assert kt.key_to_extent((0, 0)) == kt.key_extent(0, 0)
+        assert kt.key_to_extent(1, 2) == kt.key_extent(1, 2)
+        assert kt.extent_to_keys(gps.Extent(0, 0, 16, 16)) == \
+            list(kt.extent_keys(gps.Extent(0, 0, 16, 16)))
+        with pytest.raises(ValueError):
+            kt.key_to_extent("bogus")
