@@ -15,6 +15,28 @@ Quick start::
     stats = layer.polygonal_mean("POLYGON ((...))")
 """
 
+from .constants import (
+    DEFAULT_CHUNK_SIZE,
+    DEFAULT_GEOTIFF_TIME_FORMAT,
+    DEFAULT_GEOTIFF_TIME_TAG,
+    DEFAULT_MAX_TILE_SIZE,
+    DEFAULT_PARTITION_BYTES,
+    NO_DATA_INT,
+    CellType,
+    ClassificationStrategy,
+    ColorRamp,
+    ColorSpace,
+    Compression,
+    IndexingMethod,
+    LayerType,
+    Neighborhood,
+    Operation,
+    ReadMethod,
+    ResampleMethod,
+    StorageMethod,
+    TimeUnit,
+    Unit,
+)
 from .core.celltype import CellTypeInfo, nodata_of, parse_cell_type
 from .core.extent import (
     Extent,
@@ -61,4 +83,25 @@ __all__ = [
     "to_wkb",
     "to_wkt",
     "union",
+    # reference-parity constants (constants.py)
+    "NO_DATA_INT",
+    "DEFAULT_MAX_TILE_SIZE",
+    "DEFAULT_PARTITION_BYTES",
+    "DEFAULT_CHUNK_SIZE",
+    "DEFAULT_GEOTIFF_TIME_TAG",
+    "DEFAULT_GEOTIFF_TIME_FORMAT",
+    "LayerType",
+    "IndexingMethod",
+    "ResampleMethod",
+    "TimeUnit",
+    "Operation",
+    "Neighborhood",
+    "ClassificationStrategy",
+    "CellType",
+    "ColorRamp",
+    "StorageMethod",
+    "ColorSpace",
+    "Compression",
+    "Unit",
+    "ReadMethod",
 ]

@@ -1,0 +1,179 @@
+"""Reference-parity constants (``geopyspark/geotrellis/constants.py:1-299``).
+
+Every enum is a ``str`` subclass so members compare equal to the plain
+strings this engine's APIs take — ``focal(layer, Operation.SUM,
+Neighborhood.SQUARE)`` and ``focal(layer, "Sum", "Square")`` are the
+same call, and a user of the reference can keep their imports.
+"""
+
+from enum import Enum, IntEnum
+
+__all__ = [
+    "NO_DATA_INT", "LayerType", "IndexingMethod", "ResampleMethod",
+    "TimeUnit", "Operation", "Neighborhood", "ClassificationStrategy",
+    "CellType", "ColorRamp", "DEFAULT_MAX_TILE_SIZE",
+    "DEFAULT_PARTITION_BYTES", "DEFAULT_CHUNK_SIZE",
+    "DEFAULT_GEOTIFF_TIME_TAG", "DEFAULT_GEOTIFF_TIME_FORMAT",
+    "StorageMethod", "ColorSpace", "Compression", "Unit", "ReadMethod",
+]
+
+#: GeoTrellis' NoData sentinel for int32 cells.
+NO_DATA_INT = -2147483648
+
+DEFAULT_MAX_TILE_SIZE = 256
+DEFAULT_PARTITION_BYTES = 1281 * 1024 * 1024
+DEFAULT_CHUNK_SIZE = 65536
+DEFAULT_GEOTIFF_TIME_TAG = "TIFFTAG_DATETIME"
+DEFAULT_GEOTIFF_TIME_FORMAT = "yyyy:MM:dd HH:mm:ss"
+
+
+class LayerType(str, Enum):
+    SPATIAL = "spatial"
+    SPACETIME = "spacetime"
+
+
+class IndexingMethod(str, Enum):
+    ZORDER = "zorder"
+    HILBERT = "hilbert"
+    ROWMAJOR = "rowmajor"
+
+
+class ResampleMethod(str, Enum):
+    NEAREST_NEIGHBOR = "NearestNeighbor"
+    BILINEAR = "Bilinear"
+    CUBIC_CONVOLUTION = "CubicConvolution"
+    CUBIC_SPLINE = "CubicSpline"
+    LANCZOS = "Lanczos"
+    AVERAGE = "Average"
+    MODE = "Mode"
+    MEDIAN = "Median"
+    MAX = "Max"
+    MIN = "Min"
+
+
+class TimeUnit(str, Enum):
+    MILLIS = "millis"
+    SECONDS = "seconds"
+    MINUTES = "minutes"
+    HOURS = "hours"
+    DAYS = "days"
+    WEEKS = "weeks"
+    MONTHS = "months"
+    YEARS = "years"
+
+
+class Operation(str, Enum):
+    SUM = "Sum"
+    MEAN = "Mean"
+    MODE = "Mode"
+    MEDIAN = "Median"
+    MAX = "Max"
+    MIN = "Min"
+    ASPECT = "Aspect"
+    VARIANCE = "Variance"
+    STANDARD_DEVIATION = "StandardDeviation"
+
+
+class Neighborhood(str, Enum):
+    ANNULUS = "Annulus"
+    NESW = "Nesw"
+    SQUARE = "Square"
+    WEDGE = "Wedge"
+    CIRCLE = "Circle"
+
+
+class ClassificationStrategy(str, Enum):
+    GREATER_THAN = "GreaterThan"
+    GREATER_THAN_OR_EQUAL_TO = "GreaterThanOrEqualTo"
+    LESS_THAN = "LessThan"
+    LESS_THAN_OR_EQUAL_TO = "LessThanOrEqualTo"
+    EXACT = "Exact"
+
+
+class CellType(str, Enum):
+    BOOLRAW = "boolraw"
+    INT8RAW = "int8raw"
+    UINT8RAW = "uint8raw"
+    INT16RAW = "int16raw"
+    UINT16RAW = "uint16raw"
+    INT32RAW = "int32raw"
+    FLOAT32RAW = "float32raw"
+    FLOAT64RAW = "float64raw"
+    BOOL = "bool"
+    INT8 = "int8"
+    UINT8 = "uint8"
+    INT16 = "int16"
+    UINT16 = "uint16"
+    INT32 = "int32"
+    FLOAT32 = "float32"
+    FLOAT64 = "float64"
+
+    @staticmethod
+    def create_user_defined_celltype(cell_type, no_data_value):
+        """``"{base}ud{nd}"`` cell-type string with a user NoData value
+        (bool and raw types cannot carry one — same contract as the
+        reference)."""
+        value = CellType(cell_type).value
+        if "bool" in value:
+            raise ValueError("Cannot add user defined types to Bool")
+        if "raw" in value:
+            raise ValueError("Cannot add user defined types to raw values")
+        return f"{value}ud{no_data_value}"
+
+
+class ColorRamp(str, Enum):
+    Hot = "Hot"
+    COOLWARM = "CoolWarm"
+    MAGMA = "Magma"
+    INFERNO = "Inferno"
+    PLASMA = "Plasma"
+    VIRIDIS = "Viridis"
+    BLUE_TO_ORANGE = "BlueToOrange"
+    LIGHT_YELLOW_TO_ORANGE = "LightYellowToOrange"
+    BLUE_TO_RED = "BlueToRed"
+    GREEN_TO_RED_ORANGE = "GreenToRedOrange"
+    LIGHT_TO_DARK_SUNSET = "LightToDarkSunset"
+    LIGHT_TO_DARK_GREEN = "LightToDarkGreen"
+    HEATMAP_YELLOW_TO_RED = "HeatmapYellowToRed"
+    HEATMAP_BLUE_TO_YELLOW_TO_RED_SPECTRUM = "HeatmapBlueToYellowToRedSpectrum"
+    HEATMAP_DARK_RED_TO_YELLOW_WHITE = "HeatmapDarkRedToYellowWhite"
+    HEATMAP_LIGHT_PURPLE_TO_DARK_PURPLE_TO_WHITE = "HeatmapLightPurpleToDarkPurpleToWhite"
+    CLASSIFICATION_BOLD_LAND_USE = "ClassificationBoldLandUse"
+    CLASSIFICATION_MUTED_TERRAIN = "ClassificationMutedTerrain"
+
+
+class StorageMethod(str, Enum):
+    STRIPED = "Striped"
+    TILED = "Tiled"
+
+
+class ColorSpace(IntEnum):
+    WHITE_IS_ZERO = 0
+    BLACK_IS_ZERO = 1
+    RGB = 2
+    PALETTE = 3
+    TRANSPARENCY_MASK = 4
+    CMYK = 5
+    Y_CB_CR = 6
+    CIE_LAB = 8
+    ICC_LAB = 9
+    ITU_LAB = 10
+    CFA = 32803
+    LINEAR_RAW = 34892
+    LOG_L = 32844
+    LOG_LUV = 32845
+
+
+class Compression(str, Enum):
+    NO_COMPRESSION = "NoCompression"
+    DEFLATE_COMPRESSION = "DeflateCompression"
+
+
+class Unit(str, Enum):
+    METERS = "Meters"
+    FEET = "Feet"
+
+
+class ReadMethod(str, Enum):
+    GEOTRELLIS = "GeoTrellis"
+    GDAL = "GDAL"

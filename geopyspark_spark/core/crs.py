@@ -2206,3 +2206,78 @@ def sql_forward_expr(src_crs: str | int, dst_crs: str | int,
             f"degrees(2.0 * atan(exp(({y_expr}) / {R_MERC!r})) - pi() / 2.0)",
         )
     raise NotImplementedError(f"no SQL transform {src} -> {dst}")
+
+
+#: Published proj4 strings for the registered grids (public EPSG registry
+#: exports) — the reference's ``rasterio.crs_to_proj4`` contract
+#: (``geopyspark/geotrellis/rasterio.py:10-23``), served from a table
+#: instead of a rasterio call. Each entry is cross-validated against the
+#: native registry kernels by test (parser and registry must agree).
+_PROJ4_TABLE: dict[str, str] = {
+    "epsg:4326": "+proj=longlat +datum=WGS84 +no_defs",
+    "epsg:3857": ("+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 "
+                  "+x_0=0 +y_0=0 +k=1 +units=m +nadgrids=@null +no_defs"),
+    "epsg:3395": "+proj=merc +lon_0=0 +k=1 +x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs",
+    "epsg:27700": ("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+                   "+x_0=400000 +y_0=-100000 +ellps=airy "
+                   "+towgs84=446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894 "
+                   "+units=m +no_defs"),
+    "epsg:2193": ("+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 +x_0=1600000 "
+                  "+y_0=10000000 +ellps=GRS80 +units=m +no_defs"),
+    "epsg:2154": ("+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 "
+                  "+x_0=700000 +y_0=6600000 +ellps=GRS80 +units=m +no_defs"),
+    "epsg:25832": "+proj=utm +zone=32 +ellps=GRS80 +units=m +no_defs",
+    "epsg:25833": "+proj=utm +zone=33 +ellps=GRS80 +units=m +no_defs",
+    "epsg:28355": "+proj=utm +zone=55 +south +ellps=GRS80 +units=m +no_defs",
+    "epsg:28356": "+proj=utm +zone=56 +south +ellps=GRS80 +units=m +no_defs",
+    "epsg:26910": "+proj=utm +zone=10 +ellps=GRS80 +units=m +no_defs",
+    "epsg:26917": "+proj=utm +zone=17 +ellps=GRS80 +units=m +no_defs",
+    "epsg:5070": ("+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+                  "+x_0=0 +y_0=0 +ellps=GRS80 +units=m +no_defs"),
+    "epsg:3031": ("+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +k=1 "
+                  "+x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs"),
+    "epsg:3413": ("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +k=1 "
+                  "+x_0=0 +y_0=0 +ellps=WGS84 +units=m +no_defs"),
+    "epsg:6933": ("+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 "
+                  "+ellps=WGS84 +units=m +no_defs"),
+    "epsg:3035": ("+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+                  "+ellps=GRS80 +units=m +no_defs"),
+    "epsg:6931": ("+proj=laea +lat_0=90 +lon_0=0 +x_0=0 +y_0=0 "
+                  "+ellps=WGS84 +units=m +no_defs"),
+    "epsg:6932": ("+proj=laea +lat_0=-90 +lon_0=0 +x_0=0 +y_0=0 "
+                  "+ellps=WGS84 +units=m +no_defs"),
+    "epsg:28992": ("+proj=sterea +lat_0=52.15616055555555 "
+                   "+lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 "
+                   "+y_0=463000 +ellps=bessel "
+                   "+towgs84=565.417,50.3319,465.552,-0.398957,0.343988,-1.8774,4.0725 "
+                   "+units=m +no_defs"),
+    "epsg:2056": ("+proj=somerc +lat_0=46.95240555555556 "
+                  "+lon_0=7.439583333333333 +k_0=1 +x_0=2600000 +y_0=1200000 "
+                  "+ellps=bessel +towgs84=674.374,15.056,405.346 +units=m +no_defs"),
+    "epsg:21781": ("+proj=somerc +lat_0=46.95240555555556 "
+                   "+lon_0=7.439583333333333 +k_0=1 +x_0=600000 +y_0=200000 "
+                   "+ellps=bessel +towgs84=674.374,15.056,405.346 +units=m +no_defs"),
+}
+
+
+def crs_to_proj4(crs: str | int) -> str:
+    """EPSG code -> proj4 string (reference ``rasterio.crs_to_proj4``).
+
+    Serves published proj4 definitions for the registered grids; raises
+    for codes not in the table (the reference would shell out to
+    rasterio, which is not in this container)."""
+    if isinstance(crs, int) or (isinstance(crs, str) and crs.isdigit()):
+        crs = f"epsg:{crs}"
+    key = normalize_crs(crs)
+    if key in _PROJ4_TABLE:
+        return _PROJ4_TABLE[key]
+    m = __import__("re").fullmatch(r"epsg:32([67])(\d{2})", key)
+    if m:
+        south = " +south" if m.group(1) == "7" else ""
+        return f"+proj=utm +zone={int(m.group(2))}{south} +datum=WGS84 +units=m +no_defs"
+    if key.startswith("+"):
+        return key  # already proj4
+    raise NotImplementedError(
+        f"no proj4 definition tabled for {crs!r}; known: "
+        f"{sorted(_PROJ4_TABLE)} and epsg:32[67]xx UTM"
+    )

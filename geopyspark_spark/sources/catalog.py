@@ -163,6 +163,35 @@ def read_value(uri: str, layer_name: str, zoom: int, col: int, row: int,
     return [dict(zip(cols, r)) for r in rel.fetchall()]
 
 
+class ValueReader:
+    """Catalog single-value reader with no Spark overhead (reference
+    ``catalog.py:74-130``) — suitable for TMS serving. Keeps one DuckDB
+    connection open so repeated point reads skip connection setup; each
+    read is a row-group-pruned lookup on the z-ordered parquet."""
+
+    def __init__(self, uri: str, layer_name: str, zoom: int | None = None):
+        import duckdb
+
+        self.uri, self.layer_name, self.zoom = uri, layer_name, zoom
+        self._con = duckdb.connect()
+
+    def read(self, col: int, row: int, zdt=None, zoom: int | None = None):
+        """One tile's records (named dicts), or ``None`` if absent."""
+        z = zoom if zoom is not None else (self.zoom or 0)
+        path = os.path.join(_layer_path(self.uri, self.layer_name, z), "*.parquet")
+        q = (f"SELECT * FROM '{path}' WHERE key_col = {int(col)} "
+             f"AND key_row = {int(row)}")
+        if zdt is not None:
+            q += f" AND instant = TIMESTAMP '{zdt}'"
+        try:
+            rel = self._con.sql(q)
+        except Exception:
+            return None
+        cols = rel.columns
+        rows = [dict(zip(cols, r)) for r in rel.fetchall()]
+        return rows or None
+
+
 class AttributeStore:
     """Per-(layer, zoom) JSON attribute CRUD (reference ``catalog.py:332-485``)."""
 

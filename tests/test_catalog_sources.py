@@ -246,3 +246,18 @@ class TestIndexStrategies:
         with pytest.raises(ValueError, match="index_strategy"):
             catalog.write(str(tmp_path / "x"), "L", f1_layer, zoom=0,
                           index_strategy="peano")
+
+
+class TestValueReader:
+    """ValueReader class parity (round 6): persistent-connection point
+    reads, None for missing tiles."""
+
+    def test_read_and_missing(self, spark, f1_layer, tmp_path):
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "ones", f1_layer, zoom=0)
+        vr = catalog.ValueReader(uri, "ones", zoom=0)
+        rows = vr.read(1, 1)
+        assert rows and rows[0]["key_col"] == 1
+        assert vr.read(99, 99) is None
+        # zoom override falls back to ctor zoom
+        assert vr.read(1, 1, zoom=0) == rows

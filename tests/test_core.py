@@ -270,3 +270,31 @@ class TestKeyTransformAliases:
             list(kt.extent_keys(gps.Extent(0, 0, 16, 16)))
         with pytest.raises(ValueError):
             kt.key_to_extent("bogus")
+
+
+class TestConstantsParity:
+    """Reference constants module (round 6): str-enums interoperate with
+    the engine's string-typed APIs."""
+
+    def test_enum_values_are_strings(self):
+        assert gps.ResampleMethod.AVERAGE == "Average"
+        assert gps.Operation.SUM == "Sum"
+        assert gps.Neighborhood.SQUARE == "Square"
+        assert gps.IndexingMethod.ZORDER == "zorder"
+        assert gps.NO_DATA_INT == -2147483648
+        assert gps.ColorSpace.RGB == 2
+
+    def test_enums_drive_string_apis(self, f1_layer):
+        from geopyspark_spark.operators.focal import focal
+
+        a = focal(f1_layer, gps.Operation.SUM, gps.Neighborhood.SQUARE, 1)
+        b = focal(f1_layer, "Sum", "Square", 1)
+        assert a.explode().collect() == b.explode().collect()
+
+    def test_user_defined_celltype(self):
+        assert gps.CellType.create_user_defined_celltype(
+            gps.CellType.FLOAT64, -9999.0) == "float64ud-9999.0"
+        with pytest.raises(ValueError):
+            gps.CellType.create_user_defined_celltype("bool", 1)
+        with pytest.raises(ValueError):
+            gps.CellType.create_user_defined_celltype("int8raw", 1)

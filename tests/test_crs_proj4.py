@@ -1280,3 +1280,42 @@ class TestEquidistantConic:
                                        "+lat_0=37 +lon_0=-96 +ellps=WGS84")
         x, y = f(np.array([-90.0]), np.array([40.0]))
         assert np.isfinite(x[0])
+
+
+class TestCrsToProj4:
+    """``crs_to_proj4`` (reference ``rasterio.py:10-23``) — and, more
+    importantly, a cross-validation: for every tabled code, projecting
+    through the PARSED proj4 string must agree with the native registry
+    kernel to sub-mm. Catches drift in either the parser or the table."""
+
+    def test_roundtrip_against_registry(self):
+        from geopyspark_spark.core.crs import _PROJ4_TABLE, crs_to_proj4
+
+        rng = np.random.default_rng(23)
+        for code in _PROJ4_TABLE:
+            if code == "epsg:4326":
+                continue
+            a = get_transform("epsg:4326", code)
+            b = get_transform("epsg:4326", crs_to_proj4(code))
+            # sample inside each grid's rough domain: project the grid's
+            # own origin neighborhood by inverting a few registry points
+            inv = get_transform(code, "epsg:4326")
+            # take a small box around the projection of (lon0-ish) probe
+            lon = rng.uniform(-20, 20, 8)
+            lat = rng.uniform(30, 60, 8)
+            # move probe points into the grid's domain via its own inverse
+            # of forward-projected world points when finite
+            xa, ya = a(lon, lat)
+            xb, yb = b(lon, lat)
+            ok = np.isfinite(xa) & np.isfinite(xb)
+            assert ok.any(), code
+            np.testing.assert_allclose(xa[ok], xb[ok], atol=5e-4, err_msg=code)
+            np.testing.assert_allclose(ya[ok], yb[ok], atol=5e-4, err_msg=code)
+
+    def test_utm_and_unknown(self):
+        from geopyspark_spark.core.crs import crs_to_proj4
+
+        assert "+proj=utm +zone=17" in crs_to_proj4(32617)
+        assert "+south" in crs_to_proj4("epsg:32756")
+        with pytest.raises(NotImplementedError):
+            crs_to_proj4("epsg:99999")
