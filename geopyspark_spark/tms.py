@@ -140,6 +140,48 @@ def render_tile(fetcher: TileFetcher, zoom: int, col: int, row: int,
     return encode_png_rgba(rgba)
 
 
+class TileRender:
+    """Reference ``tms.py:14-55`` TileRender: wraps a user render callback.
+    Here the callback takes the decoded (rows, cols) cell array and
+    returns an (h, w, 4) uint8 RGBA array (no PIL dependency); ``render``
+    produces the PNG bytes."""
+
+    def __init__(self, render_function):
+        self.render_function = render_function
+
+    def requires_encoding(self) -> bool:
+        return False  # cells arrive decoded; no protobuf leg in this engine
+
+    def render(self, cells: np.ndarray) -> bytes:
+        rgba = np.asarray(self.render_function(cells), dtype=np.uint8)
+        return encode_png_rgba(rgba)
+
+
+class TileCompositer:
+    """Reference ``tms.py:58-96`` TileCompositer: composite the same
+    (zoom, col, row) tile from MULTIPLE fetchers into one image. The
+    callback takes a list of cell arrays (None where a layer has no
+    tile) and returns an (h, w, 4) uint8 RGBA array."""
+
+    def __init__(self, composite_function):
+        self.composite_function = composite_function
+
+    def composite(self, all_cells: list) -> bytes:
+        rgba = np.asarray(self.composite_function(all_cells), dtype=np.uint8)
+        return encode_png_rgba(rgba)
+
+
+def render_composite(fetchers: list, zoom: int, col: int, row: int,
+                     compositer: TileCompositer) -> bytes | None:
+    """Fetch one tile address from every layer and composite (the
+    reference's multi-layer TMS route). Returns None when NO layer has
+    the tile."""
+    all_cells = [f.fetch(zoom, col, row) for f in fetchers]
+    if all(c is None for c in all_cells):
+        return None
+    return compositer.composite(all_cells)
+
+
 class TmsServer:
     """Threaded dev HTTP server: GET /{z}/{x}/{y}.png."""
 
@@ -189,3 +231,38 @@ class TmsServer:
     def stop(self) -> None:
         self._srv.shutdown()
         self._srv.server_close()
+
+
+class TMS(TmsServer):
+    """Reference-named facade (``tms.py:104-276``): ``TMS.build(source,
+    display)`` where source is a ``(catalog_uri, layer_name)`` tuple or a
+    Pyramid, and display is a ColorMap, a render callable
+    (cells -> RGBA array), or a :class:`TileRender`."""
+
+    @classmethod
+    def build(cls, source, display, allow_overzooming: bool = True,
+              port: int = 0, nodata: float | None = None) -> "TMS":
+        if isinstance(source, tuple):
+            fetcher = CatalogTileFetcher(source[0], source[1])
+        else:
+            fetcher = PyramidTileFetcher(source)
+        cm, render_fn = None, None
+        if isinstance(display, ColorMap):
+            cm = display
+        elif isinstance(display, TileRender):
+            render_fn = lambda cells: np.asarray(
+                display.render_function(cells), dtype=np.uint8
+            )
+        elif callable(display):
+            render_fn = display
+        else:
+            raise ValueError("display must be a ColorMap, TileRender, or callable")
+        return cls(fetcher, color_map=cm, render_fn=render_fn,
+                   nodata=nodata, port=port)
+
+    def bind(self, requested_port: int | None = None) -> None:
+        """Reference name for :meth:`start` (port chosen at construction)."""
+        self.start()
+
+    def unbind(self) -> None:
+        self.stop()

@@ -95,3 +95,54 @@ class TestRenderAndServe:
                 urllib.request.urlopen(bad, timeout=10)
         finally:
             srv.stop()
+
+
+class TestReferenceFacade:
+    """TMS.build / TileRender / TileCompositer parity (round 6)."""
+
+    def test_tms_build_catalog_and_serve(self, served_catalog):
+        from urllib.request import urlopen
+
+        from geopyspark_spark.operators.render import ColorMap
+        from geopyspark_spark.tms import TMS
+
+        cm = ColorMap.from_colors([0.5, 2.0], [0xFF0000FF, 0x00FF00FF])
+        server = TMS.build((served_catalog, "f1"), cm)
+        server.bind()
+        try:
+            url = server.url_pattern.format(z=3, x=1, y=1)
+            png = urlopen(url, timeout=10).read()
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        finally:
+            server.unbind()
+
+    def test_tile_render_callback(self, served_catalog):
+        import numpy as np
+
+        from geopyspark_spark.tms import CatalogTileFetcher, TileRender
+
+        tr = TileRender(lambda cells: np.full(cells.shape + (4,), 7, dtype=np.uint8))
+        fetcher = CatalogTileFetcher(served_catalog, "f1")
+        png = tr.render(fetcher.fetch(3, 1, 1))
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        decoded = _decode_png(png)
+        assert (decoded == 7).all()
+
+    def test_compositer_multi_layer(self, served_catalog):
+        import numpy as np
+
+        from geopyspark_spark.tms import (CatalogTileFetcher, TileCompositer,
+                                          render_composite)
+
+        f = CatalogTileFetcher(served_catalog, "f1")
+
+        def comp(all_cells):
+            # average available layers, render as grayscale
+            avail = [c for c in all_cells if c is not None]
+            mean = np.mean(avail, axis=0)
+            g = np.clip(mean * 100, 0, 255).astype(np.uint8)
+            return np.stack([g, g, g, np.full_like(g, 255)], axis=-1)
+
+        png = render_composite([f, f], 3, 1, 1, TileCompositer(comp))
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        assert render_composite([f], 3, 99, 99, TileCompositer(comp)) is None
