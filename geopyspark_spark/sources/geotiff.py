@@ -99,6 +99,39 @@ def plan_windows(width: int, height: int, max_tile_size: int = 256) -> list[tupl
     return out
 
 
+#: Java SimpleDateFormat tokens -> strptime (the subset the reference's
+#: DEFAULT_GEOTIFF_TIME_FORMAT family uses)
+_JAVA_TIME_TOKENS = [
+    ("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"),
+    ("HH", "%H"), ("mm", "%M"), ("ss", "%S"),
+]
+
+
+def _java_time_format_to_strptime(fmt: str) -> str:
+    for j, p in _JAVA_TIME_TOKENS:
+        fmt = fmt.replace(j, p)
+    return fmt
+
+
+def codec_time_of(path: str, time_tag: str = "TIFFTAG_DATETIME",
+                  time_format: str = "yyyy:MM:dd HH:mm:ss"):
+    """Default SPACETIME timestamp reader for files this engine's codec
+    wrote: parse the TIFF DateTime tag (306). Returns ``datetime`` or
+    None. Only the standard DateTime tag is supported — other time tags
+    need a rasterio-backed ``time_of``."""
+    import datetime as _dt
+
+    if time_tag != "TIFFTAG_DATETIME":
+        return None
+    from .geotiff_codec import read_datetime
+
+    with open(path, "rb") as f:
+        s = read_datetime(f.read())
+    if s is None:
+        return None
+    return _dt.datetime.strptime(s, _java_time_format_to_strptime(time_format))
+
+
 def get(
     spark: SparkSession,
     uris: list[str] | str,
@@ -107,6 +140,10 @@ def get(
     num_partitions: int | None = None,
     decoder: Callable | None = None,
     sizer: Callable | None = None,
+    layer_type: str = "spatial",
+    time_tag: str = "TIFFTAG_DATETIME",
+    time_format: str = "yyyy:MM:dd HH:mm:ss",
+    time_of: Callable | None = None,
 ) -> DataFrame:
     """Read raster files into an untiled scan DataFrame.
 
@@ -115,6 +152,13 @@ def get(
     window, band) -> np.ndarray`` reads one window. Both default to the
     rasterio-backed implementations and raise a clear
     ``NotImplementedError`` in environments without GDAL.
+
+    ``layer_type="spacetime"`` (reference ``geotiff.get(layer_type=
+    LayerType.SPACETIME, time_tag=..., time_format=...)``,
+    ``geotiff.py:18-130``) stamps every window with the timestamp parsed
+    from the file's time tag via ``time_of(path)`` (default: the TIFF
+    DateTime tag for codec-written files); files without one raise, as
+    the reference's temporal ingest does.
     """
     paths = [uris] if isinstance(uris, str) else list(uris)
     if sizer is None or decoder is None:
@@ -124,9 +168,21 @@ def get(
         sizer = sizer or rasterio_sizer
         decoder = decoder or rasterio_decoder
 
+    temporal = str(layer_type).lower() == "spacetime"
+    if temporal and time_of is None:
+        time_of = lambda p: codec_time_of(p, time_tag, time_format)
+
     tasks = []
     for p in paths:
         width, height, extent, n_bands = sizer(p)
+        instant = None
+        if temporal:
+            instant = time_of(p)
+            if instant is None:
+                raise ValueError(
+                    f"layer_type='spacetime' but no {time_tag} timestamp "
+                    f"found in {p!r}"
+                )
         cw = (extent.xmax - extent.xmin) / width
         ch = (extent.ymax - extent.ymin) / height
         for (c0, r0, w, h) in plan_windows(width, height, max_tile_size):
@@ -137,13 +193,14 @@ def get(
                 extent.ymax - r0 * ch,
             )
             for b in range(n_bands):
-                tasks.append((p, c0, r0, w, h, b, wext.xmin, wext.ymin, wext.xmax, wext.ymax))
+                tasks.append((p, c0, r0, w, h, b, wext.xmin, wext.ymin,
+                              wext.xmax, wext.ymax, instant))
 
     n_parts = num_partitions or max(1, math.ceil(len(tasks) / 64))
     tdf = spark.createDataFrame(
         tasks,
         "path string, c0 int, r0 int, w int, h int, band int, "
-        "xmin double, ymin double, xmax double, ymax double",
+        "xmin double, ymin double, xmax double, ymax double, instant timestamp",
     ).repartition(n_parts)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -161,7 +218,7 @@ def get(
                         "xmax": t.xmax,
                         "ymax": t.ymax,
                         "crs": crs,
-                        "instant": None,
+                        "instant": t.instant,
                         "band": t.band,
                         "rows": t.h,
                         "cols": t.w,

@@ -31,6 +31,7 @@ _STRIP_OFFSETS, _SAMPLES_PER_PIXEL, _ROWS_PER_STRIP, _STRIP_BYTE_COUNTS = 273, 2
 _PLANAR_CONFIG, _SAMPLE_FORMAT = 284, 339
 _MODEL_PIXEL_SCALE, _MODEL_TIEPOINT, _GEO_KEY_DIRECTORY = 33550, 33922, 34735
 _GDAL_NODATA = 42113
+_TIFF_DATETIME = 306  # ASCII "yyyy:MM:dd HH:mm:ss" (TIFF 6.0 DateTime)
 
 _TYPE_SHORT, _TYPE_LONG, _TYPE_DOUBLE, _TYPE_ASCII = 3, 4, 12, 2
 _TYPE_SIZE = {_TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_DOUBLE: 8, _TYPE_ASCII: 1}
@@ -70,7 +71,7 @@ _NEW_SUBFILE_TYPE = 254
 
 def _build_segment(cells: np.ndarray, extent: Extent, crs: str,
                    nodata: float | None, compress: bool, base: int,
-                   overview: bool) -> tuple[bytes, int]:
+                   overview: bool, datetime_str: str | None = None) -> tuple[bytes, int]:
     """Build strip+aux+IFD bytes for one image page starting at absolute
     file offset ``base``. Returns (segment_bytes, ifd_offset). The IFD's
     next-IFD pointer is left zeroed at the segment's final 4 bytes."""
@@ -126,6 +127,8 @@ def _build_segment(cells: np.ndarray, extent: Extent, crs: str,
     if nodata is not None:
         nd = int(nodata) if float(nodata).is_integer() else nodata
         add(_GDAL_NODATA, _TYPE_ASCII, str(nd))
+    if datetime_str is not None:
+        add(_TIFF_DATETIME, _TYPE_ASCII, datetime_str)
 
     # layout within the segment: strip | out-of-line tag values | IFD
     aux_offset = strip_offset + len(data)
@@ -150,10 +153,25 @@ def _build_segment(cells: np.ndarray, extent: Extent, crs: str,
 
 
 def encode_geotiff(cells: np.ndarray, extent: Extent, crs: str,
-                   nodata: float | None = None, compress: bool = True) -> bytes:
-    """Encode a (bands, rows, cols) array as GeoTIFF bytes."""
-    seg, ifd_offset = _build_segment(cells, extent, crs, nodata, compress, 8, False)
+                   nodata: float | None = None, compress: bool = True,
+                   datetime_str: str | None = None) -> bytes:
+    """Encode a (bands, rows, cols) array as GeoTIFF bytes. Pass
+    ``datetime_str`` ("yyyy:MM:dd HH:mm:ss") to stamp the TIFF DateTime
+    tag — the timestamp source for SPACETIME ``geotiff.get`` ingest."""
+    seg, ifd_offset = _build_segment(cells, extent, crs, nodata, compress, 8,
+                                     False, datetime_str)
     return struct.pack("<2sHI", b"II", 42, ifd_offset) + seg
+
+
+def read_datetime(buf: bytes) -> str | None:
+    """The page-0 TIFF DateTime tag string, or None if absent."""
+    bo = {b"II": "<", b"MM": ">"}.get(buf[:2])
+    if bo is None:
+        return None
+    (off,) = struct.unpack(bo + "I", buf[4:8])
+    tags, _ = _read_ifd(buf, bo, off)
+    vals = tags.get(_TIFF_DATETIME)
+    return vals[0] if vals else None
 
 
 def encode_geotiff_with_overviews(levels: list[tuple[np.ndarray, Extent]], crs: str,

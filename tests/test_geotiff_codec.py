@@ -203,3 +203,57 @@ class TestRasterioAdapters:
         row = df.first()
         assert row["rows"] == 8 and row["cols"] == 8
         assert np.allclose(np.asarray(row["cells"]).reshape(8, 8), data)
+
+
+class TestSpacetimeGet:
+    """SPACETIME geotiff.get (round 6): the TIFF DateTime tag drives the
+    instant column, matching the reference's time_tag/time_format ingest
+    (``geotiff.py:18-130``)."""
+
+    def test_datetime_tag_roundtrip(self):
+        import numpy as np
+
+        buf = geotiff_codec.encode_geotiff(
+            np.zeros((1, 4, 4)), gps.Extent(0, 0, 4, 4), "epsg:4326",
+            datetime_str="2001:02:03 04:05:06",
+        )
+        assert geotiff_codec.read_datetime(buf) == "2001:02:03 04:05:06"
+        # absent when not stamped
+        plain = geotiff_codec.encode_geotiff(
+            np.zeros((1, 4, 4)), gps.Extent(0, 0, 4, 4), "epsg:4326")
+        assert geotiff_codec.read_datetime(plain) is None
+        # decode still works with the extra tag
+        cells, ext, crs, nd = geotiff_codec.decode_geotiff(buf)
+        assert cells.shape == (1, 4, 4)
+
+    def test_spacetime_get_fills_instant(self, spark, tmp_path):
+        import datetime
+        import numpy as np
+
+        for i, stamp in enumerate(["2020:01:01 00:00:00", "2020:02:01 00:00:00"]):
+            buf = geotiff_codec.encode_geotiff(
+                np.full((1, 6, 6), float(i)), gps.Extent(0, 0, 6, 6),
+                "epsg:4326", datetime_str=stamp,
+            )
+            (tmp_path / f"t{i}.tif").write_bytes(buf)
+        df = geotiff.get(
+            spark, [str(tmp_path / "t0.tif"), str(tmp_path / "t1.tif")],
+            max_tile_size=6, layer_type="spacetime",
+            sizer=geotiff_codec.sizer, decoder=geotiff_codec.decoder,
+        )
+        rows = df.select("path", "instant").distinct().collect()
+        got = {r["path"].rsplit("/", 1)[-1]: r["instant"] for r in rows}
+        assert got["t0.tif"] == datetime.datetime(2020, 1, 1)
+        assert got["t1.tif"] == datetime.datetime(2020, 2, 1)
+
+    def test_spacetime_requires_timestamp(self, spark, tmp_path):
+        import numpy as np
+
+        buf = geotiff_codec.encode_geotiff(
+            np.zeros((1, 4, 4)), gps.Extent(0, 0, 4, 4), "epsg:4326")
+        (tmp_path / "no_time.tif").write_bytes(buf)
+        with pytest.raises(ValueError, match="spacetime"):
+            geotiff.get(
+                spark, str(tmp_path / "no_time.tif"), layer_type="spacetime",
+                sizer=geotiff_codec.sizer, decoder=geotiff_codec.decoder,
+            )
