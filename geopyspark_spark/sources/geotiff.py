@@ -144,6 +144,8 @@ def get(
     time_tag: str = "TIFFTAG_DATETIME",
     time_format: str = "yyyy:MM:dd HH:mm:ss",
     time_of: Callable | None = None,
+    partition_bytes: int = 1281 * 1024 * 1024,
+    extensions: tuple = (".tif", ".tiff"),
 ) -> DataFrame:
     """Read raster files into an untiled scan DataFrame.
 
@@ -160,7 +162,20 @@ def get(
     DateTime tag for codec-written files); files without one raise, as
     the reference's temporal ingest does.
     """
-    paths = [uris] if isinstance(uris, str) else list(uris)
+    import os
+
+    paths = []
+    for u in ([uris] if isinstance(uris, str) else list(uris)):
+        if os.path.isdir(u):  # reference: directory URIs scan recursively
+            for root, _dirs, files in os.walk(u):
+                paths.extend(
+                    os.path.join(root, f) for f in sorted(files)
+                    if f.lower().endswith(extensions)
+                )
+        else:
+            paths.append(u)
+    if not paths:
+        raise ValueError(f"no {extensions} files under {uris!r}")
     if sizer is None or decoder is None:
         # default to the rasterio adapters; without rasterio this raises
         # the documented injection-seam error
@@ -196,7 +211,15 @@ def get(
                 tasks.append((p, c0, r0, w, h, b, wext.xmin, wext.ymin,
                               wext.xmax, wext.ymax, instant))
 
-    n_parts = num_partitions or max(1, math.ceil(len(tasks) / 64))
+    if num_partitions:
+        n_parts = num_partitions
+    else:
+        # reference partition_bytes sizing: bound decoded bytes per
+        # partition (float64 cells), floor at one window batch of 64
+        est_bytes = sum(t[3] * t[4] * 8 for t in tasks)
+        n_parts = max(
+            1, math.ceil(len(tasks) / 64), math.ceil(est_bytes / partition_bytes)
+        )
     tdf = spark.createDataFrame(
         tasks,
         "path string, c0 int, r0 int, w int, h int, band int, "

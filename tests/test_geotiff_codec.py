@@ -257,3 +257,32 @@ class TestSpacetimeGet:
                 spark, str(tmp_path / "no_time.tif"), layer_type="spacetime",
                 sizer=geotiff_codec.sizer, decoder=geotiff_codec.decoder,
             )
+
+
+class TestGetDirectoryAndPartitionBytes:
+    def test_directory_uri_scans_recursively(self, spark, f1_layer, tmp_path):
+        sub = tmp_path / "a" / "b"
+        sub.mkdir(parents=True)
+        f1_layer.save_stitched(str(sub / "x.tif"))
+        f1_layer.save_stitched(str(tmp_path / "a" / "y.tiff"))
+        (tmp_path / "a" / "ignore.txt").write_text("not a tiff")
+        df = geotiff.get(
+            spark, str(tmp_path / "a"), max_tile_size=10,
+            sizer=geotiff_codec.sizer, decoder=geotiff_codec.decoder,
+        )
+        assert df.select("path").distinct().count() == 2
+
+    def test_empty_directory_raises(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="no .*files"):
+            geotiff.get(spark, str(tmp_path), sizer=geotiff_codec.sizer,
+                        decoder=geotiff_codec.decoder)
+
+    def test_partition_bytes_sizing(self, spark, f1_layer, tmp_path):
+        p = str(tmp_path / "t.tif")
+        f1_layer.save_stitched(p)
+        # 10x10 float64 = 800 bytes; force byte-bound partitioning
+        df = geotiff.get(
+            spark, p, max_tile_size=5, partition_bytes=300,
+            sizer=geotiff_codec.sizer, decoder=geotiff_codec.decoder,
+        )
+        assert df.rdd.getNumPartitions() >= 3
