@@ -47,6 +47,10 @@ class Histogram:
     def values(self) -> list[float]:
         return [v for v, _ in self.buckets]
 
+    def bin_counts(self) -> list[tuple[float, int]]:
+        """(label, count) pairs (reference ``histogram.py:149-160``)."""
+        return list(self.buckets)
+
     def mean(self) -> float | None:
         n = self.total_count()
         if not n:

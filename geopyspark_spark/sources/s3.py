@@ -1,0 +1,53 @@
+"""S3 credential helpers (reference ``geopyspark/geotrellis/s3.py``).
+
+The reference sets fs.s3/s3a/s3n keys on the Hadoop configuration for
+the duration of a read; Spark's S3A connector reads the same keys, so
+the translation is direct. No network access happens here — it only
+writes configuration.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+_S3_URI_PREFIXES = ("s3", "s3a", "s3n")
+
+
+def is_s3_uri(uri: str) -> bool:
+    """True when the URI uses an S3 scheme (reference ``s3.py:87-95``)."""
+    return any(str(uri).startswith(f"{p}://") for p in _S3_URI_PREFIXES)
+
+
+@contextmanager
+def set_s3_credentials(spark, access_key: str | None, secret_key: str | None,
+                       uri_type: str = "s3a", session_token: str | None = None,
+                       endpoint: str | None = None):
+    """Temporarily set S3 credentials on the session's Hadoop config
+    (reference ``s3.py:34-77``); restores prior values on exit."""
+    if uri_type not in _S3_URI_PREFIXES:
+        raise RuntimeError(
+            f"Cannot set S3 credentials for unrecognized URI type {uri_type}"
+        )
+    if access_key is None:
+        yield
+        return
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    keys = {
+        f"fs.{uri_type}.access.key": access_key,
+        f"fs.{uri_type}.secret.key": secret_key or "",
+    }
+    if session_token:
+        keys[f"fs.{uri_type}.session.token"] = session_token
+    if endpoint:
+        keys[f"fs.{uri_type}.endpoint"] = endpoint
+    old = {k: conf.get(k) for k in keys}
+    for k, v in keys.items():
+        conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

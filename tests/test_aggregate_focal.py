@@ -97,6 +97,8 @@ class TestHistogram:
         assert h2 == h
         m = h.merge(h2)
         assert m.total_count() == 200 and m.item_count(1.0) == 198
+        # bin_counts (reference histogram.py:149-160)
+        assert h.bin_counts() == [(0.0, 1), (1.0, 99)]
 
     def test_quantile_breaks(self, f1_layer):
         breaks = f1_layer.get_quantile_breaks(4)

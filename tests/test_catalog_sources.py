@@ -261,3 +261,24 @@ class TestValueReader:
         assert vr.read(99, 99) is None
         # zoom override falls back to ctor zoom
         assert vr.read(1, 1, zoom=0) == rows
+
+
+class TestS3Helpers:
+    def test_is_s3_uri(self):
+        from geopyspark_spark.sources.s3 import is_s3_uri
+
+        assert is_s3_uri("s3://bucket/key") and is_s3_uri("s3a://b/k")
+        assert not is_s3_uri("/local/path") and not is_s3_uri("hdfs://x")
+
+    def test_set_s3_credentials_scoped(self, spark):
+        from geopyspark_spark.sources.s3 import set_s3_credentials
+
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        with set_s3_credentials(spark, "AK", "SK", "s3a", session_token="TOK"):
+            assert conf.get("fs.s3a.access.key") == "AK"
+            assert conf.get("fs.s3a.secret.key") == "SK"
+            assert conf.get("fs.s3a.session.token") == "TOK"
+        assert conf.get("fs.s3a.session.token") is None
+        with pytest.raises(RuntimeError, match="URI type"):
+            with set_s3_credentials(spark, "a", "b", "gs"):
+                pass
