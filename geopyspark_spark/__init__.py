@@ -49,7 +49,8 @@ from .core.geom import (LineString, MultiLineString, MultiPoint, MultiPolygon,
                         Point, Polygon, box, from_wkb, from_wkt, to_wkb, to_wkt)
 from .core.keys import KeyTransform
 from .core.metadata import LayerMetadata
-from .layer import Pyramid, TiledRasterLayer, combine_bands, local_add, union
+from .layer import (Pyramid, RasterLayer, TiledRasterLayer, combine_bands,
+                    local_add, union)
 from .sources.numpy_source import from_numpy, to_numpy
 
 __version__ = "0.1.0"
@@ -70,6 +71,7 @@ __all__ = [
     "Point",
     "Polygon",
     "Pyramid",
+    "RasterLayer",
     "TileLayout",
     "TiledRasterLayer",
     "box",

@@ -641,3 +641,85 @@ def _normalize_geoms(geometries) -> list[Geometry]:
         else:
             out.append(g)
     return out
+
+
+class RasterLayer:
+    """Untiled scan layer — the reference's ``RasterLayer`` (``layer.py:
+    396-1100``): the stage between ``geotiff.get`` and a tiled layer.
+    Wraps the untiled window DataFrame (path, window extent, band, cells)
+    and carries the tile-time cell-type choice; every heavy method either
+    stays declarative or hands off to :class:`TiledRasterLayer`.
+    """
+
+    def __init__(self, df: DataFrame, layer_type: str = "spatial",
+                 cell_type: str = "float64"):
+        self.df = df
+        self.layer_type = str(layer_type).lower()
+        self.cell_type = cell_type
+
+    # --- inspection -------------------------------------------------------
+    def count(self) -> int:
+        return self.df.count()
+
+    def get_min_max(self) -> tuple[float, float]:
+        """Min/max over every window's cells (one aggregate job)."""
+        row = (
+            self.df.select(F.explode("cells").alias("v"))
+            .where(~F.isnan("v"))
+            .agg(F.min("v"), F.max("v"))
+            .first()
+        )
+        return float(row[0]), float(row[1])
+
+    def bands(self, band) -> "RasterLayer":
+        bs = [band] if isinstance(band, int) else list(band)
+        return RasterLayer(
+            self.df.where(F.col("band").isin(bs)), self.layer_type, self.cell_type
+        )
+
+    def convert_data_type(self, new_type: str,
+                          no_data_value=None) -> "RasterLayer":
+        """Records the target cell type; applied when tiling (the
+        reference converts at tile materialization too)."""
+        ct = new_type if no_data_value is None else f"{new_type}ud{no_data_value}"
+        return RasterLayer(self.df, self.layer_type, ct)
+
+    def to_spatial_layer(self) -> "RasterLayer":
+        assert self.layer_type == "spacetime", "already spatial"
+        return RasterLayer(
+            self.df.withColumn("instant", F.lit(None).cast("timestamp")),
+            "spatial", self.cell_type,
+        )
+
+    # --- tiling -----------------------------------------------------------
+    def collect_metadata(self, layout=None) -> "LayerMetadata":
+        from .sources.geotiff import collect_metadata as _cm
+
+        return _cm(self.df, cell_type=self.cell_type, layout=layout)
+
+    def tile_to_layout(self, layout_or_metadata=None,
+                       resample_method: str = "NearestNeighbor") -> TiledRasterLayer:
+        """Cut the scan to a layout grid -> :class:`TiledRasterLayer`
+        (reference ``layer.py:1018-1100``). Accepts a LayerMetadata, a
+        LocalLayout/LayoutDefinition (metadata inferred), or None
+        (LocalLayout default)."""
+        md = layout_or_metadata
+        if md is None or not isinstance(md, LayerMetadata):
+            md = self.collect_metadata(layout_or_metadata)
+        from .sources.geotiff import tile_untiled_to_layout
+
+        long = tile_untiled_to_layout(self.df, md)
+        out = TiledRasterLayer.assemble(long, md)
+        # a convert_data_type recorded on THIS scan wins over whatever
+        # cell type the supplied metadata carries
+        if self.cell_type != "float64":
+            out = out.convert_data_type(self.cell_type)
+        return out
+
+    def reproject(self, target_crs, layout=None,
+                  resample_method: str = "NearestNeighbor") -> TiledRasterLayer:
+        """Tile at the native grid, then warp (the reference's
+        RasterLayer.reproject also resolves a layout first)."""
+        return self.tile_to_layout(layout).reproject(
+            target_crs, resample_method=resample_method
+        )

@@ -286,3 +286,47 @@ class TestGetDirectoryAndPartitionBytes:
             sizer=geotiff_codec.sizer, decoder=geotiff_codec.decoder,
         )
         assert df.rdd.getNumPartitions() >= 3
+
+
+class TestRasterLayerClass:
+    """The reference's untiled RasterLayer workflow (round 6):
+    geotiff.get -> RasterLayer -> collect_metadata/tile_to_layout."""
+
+    @pytest.fixture()
+    def raster_layer(self, spark, f1_layer, tmp_path):
+        p = str(tmp_path / "rl.tif")
+        f1_layer.save_stitched(p)
+        df = geotiff.get(spark, p, max_tile_size=5,
+                         sizer=geotiff_codec.sizer, decoder=geotiff_codec.decoder)
+        return gps.RasterLayer(df), f1_layer
+
+    def test_count_and_min_max(self, raster_layer):
+        rl, f1 = raster_layer
+        assert rl.count() == 4
+        assert rl.get_min_max() == (0.0, 1.0)
+
+    def test_tile_to_layout_roundtrip(self, raster_layer):
+        rl, f1 = raster_layer
+        tiled = rl.tile_to_layout(f1.metadata)
+        orig = {(r.key_col, r.key_row): r.cells for r in f1.df.collect()}
+        back = {(r.key_col, r.key_row): r.cells for r in tiled.df.collect()}
+        assert orig.keys() == back.keys()
+        for k in orig:
+            np.testing.assert_array_equal(orig[k], back[k])
+
+    def test_tile_to_layout_infers_metadata(self, raster_layer):
+        rl, f1 = raster_layer
+        tiled = rl.tile_to_layout(gps.LocalLayout(5))
+        tl = tiled.metadata.layout.tile_layout
+        assert (tl.tile_cols, tl.layout_cols) == (5, 2)
+        assert tiled.count() == 4
+
+    def test_convert_data_type_applies_at_tiling(self, raster_layer):
+        rl, f1 = raster_layer
+        tiled = rl.convert_data_type("int8").tile_to_layout(f1.metadata)
+        assert tiled.metadata.cell_type.startswith("int8")
+
+    def test_bands_filter(self, raster_layer):
+        rl, _ = raster_layer
+        assert rl.bands(0).count() == 4
+        assert rl.bands([1]).count() == 0
