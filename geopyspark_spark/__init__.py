@@ -52,6 +52,10 @@ from .core.metadata import LayerMetadata
 from .layer import (Pyramid, RasterLayer, TiledRasterLayer, combine_bands,
                     local_add, union)
 from .sources.numpy_source import from_numpy, to_numpy
+from .types import (Bounds, CellValue, Feature, HashPartitionStrategy,
+                    RasterizerOptions, SourceInfo, SpaceTimeKey,
+                    SpaceTimePartitionStrategy, SpatialKey,
+                    SpatialPartitionStrategy, Tile, apply_partition_strategy)
 
 __version__ = "0.1.0"
 
@@ -85,6 +89,19 @@ __all__ = [
     "to_wkb",
     "to_wkt",
     "union",
+    # reference value types (types.py)
+    "Bounds",
+    "CellValue",
+    "Feature",
+    "HashPartitionStrategy",
+    "RasterizerOptions",
+    "SourceInfo",
+    "SpaceTimeKey",
+    "SpaceTimePartitionStrategy",
+    "SpatialKey",
+    "SpatialPartitionStrategy",
+    "Tile",
+    "apply_partition_strategy",
     # reference-parity constants (constants.py)
     "NO_DATA_INT",
     "DEFAULT_MAX_TILE_SIZE",

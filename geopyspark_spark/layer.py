@@ -434,7 +434,12 @@ class TiledRasterLayer:
     def pyramid(self, resample_method: str = "Average", partition_strategy=None) -> "Pyramid":
         from .operators import tiling
 
-        return tiling.pyramid(self, resample_method)
+        base = self
+        if partition_strategy is not None:
+            from .types import apply_partition_strategy
+
+            base = apply_partition_strategy(self, partition_strategy)
+        return tiling.pyramid(base, resample_method)
 
     def stitch(self):
         from .operators import tiling

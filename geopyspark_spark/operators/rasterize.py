@@ -72,6 +72,9 @@ def rasterize_features(
     tasks: dict[tuple[int, int], list] = {}
     norm = []
     for feat in features:
+        if hasattr(feat, "geometry") and hasattr(feat, "properties"):
+            # reference Feature(geometry, CellValue(value, zindex))
+            feat = (feat.geometry, feat.properties.value, feat.properties.zindex)
         g = feat[0]
         if isinstance(g, str):
             from ..core.geom import from_wkt

@@ -1,0 +1,109 @@
+"""Reference value types (``geopyspark/geotrellis/__init__.py:138-745``).
+
+Lightweight namedtuples a switching user's code constructs directly:
+keys, Tile, Feature/CellValue for ``rasterize_features``, partition
+strategies, SourceInfo for ordered multi-source reads. The engine's
+internal currency stays DataFrame columns; these types adapt at the API
+boundary (``rasterize_features`` accepts ``Feature``s, partition
+strategies resolve to repartition/z-order calls).
+"""
+
+from __future__ import annotations
+
+from collections import namedtuple
+
+import numpy as np
+
+
+class SpatialKey(namedtuple("SpatialKey", "col row")):
+    __slots__ = ()
+
+
+class SpaceTimeKey(namedtuple("SpaceTimeKey", "col row instant")):
+    __slots__ = ()
+
+
+class Bounds(namedtuple("Bounds", "minKey maxKey")):
+    __slots__ = ()
+
+
+class RasterizerOptions(namedtuple("RasterizerOptions", "includePartial sampleType")):
+    __slots__ = ()
+
+    def __new__(cls, includePartial=True, sampleType="PixelIsPoint"):
+        return super().__new__(cls, includePartial, sampleType)
+
+
+class CellValue(namedtuple("CellValue", "value zindex")):
+    __slots__ = ()
+
+
+class Feature(namedtuple("Feature", "geometry properties")):
+    __slots__ = ()
+
+
+class SourceInfo(namedtuple("SourceInfo", "source source_to_target_band")):
+    __slots__ = ()
+
+
+class HashPartitionStrategy(namedtuple("HashPartitionStrategy", "num_partitions")):
+    __slots__ = ()
+
+    def __new__(cls, num_partitions=None):
+        return super().__new__(cls, num_partitions)
+
+
+class SpatialPartitionStrategy(namedtuple("SpatialPartitionStrategy", "num_partitions bits")):
+    __slots__ = ()
+
+    def __new__(cls, num_partitions=None, bits=8):
+        return super().__new__(cls, num_partitions, bits)
+
+
+class SpaceTimePartitionStrategy(
+    namedtuple("SpaceTimePartitionStrategy", "time_unit num_partitions bits time_resolution")
+):
+    __slots__ = ()
+
+    def __new__(cls, time_unit, num_partitions=None, bits=8, time_resolution=None):
+        return super().__new__(cls, time_unit, num_partitions, bits, time_resolution)
+
+
+def apply_partition_strategy(layer, strategy):
+    """Resolve a reference partition strategy against a layer: Hash ->
+    ``repartition``, Spatial/SpaceTime -> z-order range partitioning
+    (the DataFrame-native equivalent of the reference's partitioners)."""
+    if strategy is None:
+        return layer
+    if isinstance(strategy, HashPartitionStrategy):
+        n = strategy.num_partitions or layer.df.rdd.getNumPartitions()
+        return layer.repartition(n)
+    if isinstance(strategy, (SpatialPartitionStrategy, SpaceTimePartitionStrategy)):
+        return layer.partition_by_zorder(strategy.num_partitions)
+    raise ValueError(f"unknown partition strategy {strategy!r}")
+
+
+class Tile(namedtuple("Tile", "cells cell_type no_data_value")):
+    """The reference's driver-side raster record (``__init__.py:138-218``)."""
+
+    __slots__ = ()
+
+    @staticmethod
+    def dtype_to_cell_type(dtype) -> str:
+        name = np.dtype(dtype).name
+        table = {
+            "int8": "BYTE", "uint8": "UBYTE", "int16": "SHORT",
+            "uint16": "USHORT", "int32": "INT",
+        }
+        if name in table:
+            return table[name]
+        if name in ("uint32", "float16", "float32"):
+            return "FLOAT"
+        if name in ("int64", "uint64", "float64"):
+            return "DOUBLE"
+        raise TypeError(name, "Is not a supported data type.")
+
+    @classmethod
+    def from_numpy_array(cls, numpy_array, no_data_value=None) -> "Tile":
+        arr = np.asarray(numpy_array)
+        return cls(arr, cls.dtype_to_cell_type(arr.dtype), no_data_value)

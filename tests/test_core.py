@@ -298,3 +298,46 @@ class TestConstantsParity:
             gps.CellType.create_user_defined_celltype("bool", 1)
         with pytest.raises(ValueError):
             gps.CellType.create_user_defined_celltype("int8raw", 1)
+
+
+class TestReferenceValueTypes:
+    """types.py parity (round 6): the namedtuples a reference user's
+    code constructs, adapted at the API boundary."""
+
+    def test_tile_from_numpy(self):
+        import numpy as np
+
+        t = gps.Tile.from_numpy_array(np.zeros((1, 2, 2), dtype=np.int16), -9)
+        assert t.cell_type == "SHORT" and t.no_data_value == -9
+        assert gps.Tile.dtype_to_cell_type(np.dtype("float32")) == "FLOAT"
+        with pytest.raises(TypeError):
+            gps.Tile.dtype_to_cell_type(np.dtype("complex64"))
+
+    def test_keys_and_bounds(self):
+        b = gps.Bounds(gps.SpatialKey(0, 0), gps.SpatialKey(3, 3))
+        assert b.maxKey.col == 3
+        assert gps.RasterizerOptions().sampleType == "PixelIsPoint"
+
+    def test_feature_accepted_by_rasterize_features(self, spark):
+        from geopyspark_spark.operators.rasterize import rasterize_features
+
+        md_layout = gps.LayoutDefinition(
+            gps.Extent(0, 0, 8, 8), gps.TileLayout(1, 1, 8, 8))
+        feats = [gps.Feature(gps.box(0, 0, 8, 8), gps.CellValue(3.0, 0))]
+        layer = rasterize_features(spark, feats, md_layout)
+        vals = {r["value"] for r in layer.explode().collect()}
+        assert vals == {3.0}
+
+    def test_partition_strategies(self, f1_layer):
+        out = gps.apply_partition_strategy(f1_layer, gps.HashPartitionStrategy(3))
+        assert out.df.rdd.getNumPartitions() == 3
+        out2 = gps.apply_partition_strategy(
+            f1_layer, gps.SpatialPartitionStrategy(2))
+        assert out2.get_partition_strategy() == "RangePartitioning"
+        with pytest.raises(ValueError):
+            gps.apply_partition_strategy(f1_layer, "bogus")
+
+    def test_source_info_is_tuple_compatible(self):
+        si = gps.SourceInfo("a.tif", {0: 1})
+        uri, band_map = si
+        assert uri == "a.tif" and band_map == {0: 1}
