@@ -37,6 +37,7 @@ from .constants import (
     TimeUnit,
     Unit,
 )
+from .conf import geopyspark_conf, get_spark_context
 from .core.celltype import CellTypeInfo, nodata_of, parse_cell_type
 from .core.extent import (
     Extent,
@@ -89,6 +90,8 @@ __all__ = [
     "to_wkb",
     "to_wkt",
     "union",
+    "geopyspark_conf",
+    "get_spark_context",
     # reference value types (types.py)
     "Bounds",
     "CellValue",

@@ -1,0 +1,44 @@
+"""Session bootstrap (reference ``geopyspark/__init__.py:45-110``
+``geopyspark_conf`` / ``get_spark_context``) — tuned for the DataFrame
+engine instead of the py4j/Kryo bridge: no JAR shipping, no Kryo
+registrator; what matters here is AQE, Arrow, and a sane shuffle
+partition count.
+"""
+
+from __future__ import annotations
+
+
+def geopyspark_conf(master: str | None = None, appName: str | None = None,
+                    additional_jar_dirs: list | None = None):
+    """Base SparkConf for this engine. Same calling convention as the
+    reference (appName required); ``additional_jar_dirs`` is accepted
+    for drop-in compatibility but unused — there is no JVM sidecar to
+    ship."""
+    from pyspark import SparkConf
+
+    if not appName:
+        raise ValueError("An appName must be provided")
+    conf = SparkConf()
+    conf.setAppName(appName)
+    if master:
+        conf.setMaster(master)
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    conf.set("spark.sql.session.timeZone", "UTC")
+    conf.set("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    return conf
+
+
+def get_spark_context():
+    """The active SparkContext (reference ``get_spark_context``); raises
+    if no session is up."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        raise RuntimeError(
+            "No active SparkContext; build one with "
+            "SparkSession.builder.config(conf=geopyspark_conf(...)).getOrCreate()"
+        )
+    return sc

@@ -341,3 +341,21 @@ class TestReferenceValueTypes:
         si = gps.SourceInfo("a.tif", {0: 1})
         uri, band_map = si
         assert uri == "a.tif" and band_map == {0: 1}
+
+
+class TestConfBootstrap:
+    def test_geopyspark_conf(self):
+        from geopyspark_spark.conf import geopyspark_conf
+
+        conf = geopyspark_conf(master="local[2]", appName="t")
+        d = dict(conf.getAll())
+        assert d["spark.app.name"] == "t"
+        assert d["spark.master"] == "local[2]"
+        assert d["spark.sql.adaptive.enabled"] == "true"
+        with pytest.raises(ValueError, match="appName"):
+            geopyspark_conf(master="local")
+
+    def test_get_spark_context(self, spark):
+        from geopyspark_spark.conf import get_spark_context
+
+        assert get_spark_context() is spark.sparkContext
