@@ -50,6 +50,8 @@ from .core.geom import (LineString, MultiLineString, MultiPoint, MultiPolygon,
                         Point, Polygon, box, from_wkb, from_wkt, to_wkb, to_wkt)
 from .core.keys import KeyTransform
 from .core.metadata import LayerMetadata
+# the reference calls this class Metadata (``__init__.py:717-790``)
+Metadata = LayerMetadata
 from .layer import (Pyramid, RasterLayer, TiledRasterLayer, combine_bands,
                     local_add, union)
 from .sources.numpy_source import from_numpy, to_numpy
@@ -66,6 +68,7 @@ __all__ = [
     "GlobalLayout",
     "KeyTransform",
     "LayerMetadata",
+    "Metadata",
     "LayoutDefinition",
     "LocalLayout",
     "LineString",

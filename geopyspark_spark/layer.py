@@ -62,6 +62,24 @@ class TiledRasterLayer:
         return "instant" in self.df.columns
 
     @property
+    def layer_type(self) -> str:
+        """Reference ``layer_type`` attribute: LayerType.SPATIAL /
+        SPACETIME (str-enum, compares equal to the plain strings)."""
+        from .constants import LayerType
+
+        return LayerType.SPACETIME if self.is_temporal else LayerType.SPATIAL
+
+    @property
+    def layer_metadata(self) -> LayerMetadata:
+        """Reference name for :attr:`metadata`."""
+        return self.metadata
+
+    @property
+    def zoom_level(self) -> int | None:
+        """Reference ``zoom_level`` attribute."""
+        return self.metadata.zoom
+
+    @property
     def key_transform(self) -> KeyTransform:
         return KeyTransform(self.layout)
 

@@ -359,3 +359,11 @@ class TestConfBootstrap:
         from geopyspark_spark.conf import get_spark_context
 
         assert get_spark_context() is spark.sparkContext
+
+
+class TestLayerReferenceAttrs:
+    def test_layer_type_metadata_zoom(self, f1_layer):
+        assert f1_layer.layer_type == "spatial"
+        assert f1_layer.layer_metadata is f1_layer.metadata
+        assert f1_layer.zoom_level == f1_layer.metadata.zoom
+        assert gps.Metadata is gps.LayerMetadata
