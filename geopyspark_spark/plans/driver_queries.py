@@ -4096,6 +4096,69 @@ SELECT * FROM (VALUES
 """
 
 
+def q_raster_untiled_ingest(spark, sf_dir):
+    """The full reference ingest workflow under the gate (round 6):
+    ``save_stitched`` -> ``geotiff.get`` (windowed scan, pure-Python
+    codec on the seam) -> ``RasterLayer.collect_metadata`` ->
+    ``tile_to_layout`` -> identity with the fixture. Gates the untiled
+    scan schema, window planning, metadata inference, and the
+    aligned-cut path in one query."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import geotiff as gt
+    from ..sources import geotiff_codec as codec
+
+    layer = lineitem_layer(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="ingest_", dir=_scratch_dir())
+    path = os.path.join(d, "layer.tif")
+    try:
+        codec.save_stitched(layer, path)
+        df = gt.get(spark, path, max_tile_size=TILE,
+                    sizer=codec.sizer, decoder=codec.decoder)
+        rl = gps.RasterLayer(df)
+        md = rl.collect_metadata(gps.LocalLayout(TILE))
+        tiled = rl.tile_to_layout(md)
+        long = tiled.explode().where(~_is_nd(F.col("value"), layer.nodata))
+        rows = long.select("key_col", "key_row", "pos", "value").collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "key_col int, key_row int, pos int, value double")
+
+
+SQL_RASTER_UNTILED_INGEST = CELLS_CTE + """
+SELECT key_col, key_row, pos, value FROM coords
+"""
+
+
+def q_raster_catalog_hilbert(spark, sf_dir):
+    """catalog.write with the Hilbert space-filling-curve index under
+    the gate (round 6): the write-time vectorized Hilbert kernel must
+    not disturb the data — write with index_strategy='hilbert', read
+    back, identity."""
+    import shutil
+    import tempfile
+
+    from ..sources import catalog as cat
+
+    layer = lineitem_layer(spark, sf_dir)
+    uri = tempfile.mkdtemp(prefix="catalog_hb_", dir=_scratch_dir())
+    try:
+        cat.write(uri, "hb", layer, zoom=0, index_strategy="hilbert")
+        back = cat.read(spark, uri, "hb", 0)
+        long = back.explode().where(~_is_nd(F.col("value"), layer.nodata))
+        rows = long.select("key_col", "key_row", "pos", "value").collect()
+    finally:
+        shutil.rmtree(uri, ignore_errors=True)
+    return spark.createDataFrame(rows, "key_col int, key_row int, pos int, value double")
+
+
+SQL_RASTER_CATALOG_HILBERT = CELLS_CTE + """
+SELECT key_col, key_row, pos, value FROM coords
+"""
+
+
 def q_raster_cog_overview(spark, sf_dir):
     """COG export under the gate (reference ``catalog.write(use_cogs=
     True)``): the pyramid is written as one GeoTIFF whose overview IFDs
@@ -4244,7 +4307,6 @@ def queries():
         "tpch_q10_returned": q_tpch_q10_returned,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q14_promo": q_tpch_q14_promo,
-        "window_rank": q_window_rank,
         # events (rotated in: asof/interval/anomaly/funnel/enriched)
         "events_asof_join": q_events_asof_join,
         "events_interval_join": q_events_interval_join,
@@ -4257,9 +4319,6 @@ def queries():
         "raster_pyramid": q_raster_pyramid,
         "raster_cost_distance": q_raster_cost_distance,
         "raster_reproject": q_raster_reproject,
-        # raster operators — rotated in (rounds 2/3/5 additions)
-        "raster_focal_mode": q_raster_focal_mode,
-        "raster_pyramid_mode": q_raster_pyramid_mode,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -4291,6 +4350,8 @@ def queries():
         "events_stream_stateful": q_events_stream_stateful,
         "multimodal_video": q_multimodal_video,
         "tms_render_tile": q_tms_render_tile,
+        "raster_untiled_ingest": q_raster_untiled_ingest,
+        "raster_catalog_hilbert": q_raster_catalog_hilbert,
         "raster_stitch": q_raster_stitch,
         "raster_png_roundtrip": q_raster_png_roundtrip,
         "raster_catalog_update": q_raster_catalog_update,
@@ -4299,6 +4360,9 @@ def queries():
         "vector_shapefile": q_vector_shapefile,
         "raster_cog_overview": q_raster_cog_overview,
         # ---- entries below are past the driver's 50-entry window ----
+        "window_rank": q_window_rank,
+        "raster_focal_mode": q_raster_focal_mode,
+        "raster_pyramid_mode": q_raster_pyramid_mode,
         "raster_rasterize_features": q_raster_rasterize_features,
         "raster_resample_cubic": q_raster_resample_cubic,
         "raster_mask_distributed": q_raster_mask_distributed,
@@ -4516,6 +4580,8 @@ def oracle_sql():
         "events_stream_stateful": SQL_EVENTS_STREAM_STATEFUL,
         "multimodal_video": SQL_MULTIMODAL_VIDEO,
         "tms_render_tile": SQL_TMS_RENDER_TILE,
+        "raster_untiled_ingest": SQL_RASTER_UNTILED_INGEST,
+        "raster_catalog_hilbert": SQL_RASTER_CATALOG_HILBERT,
         "raster_stitch": SQL_RASTER_STITCH,
         "raster_png_roundtrip": SQL_RASTER_PNG_ROUNDTRIP,
         "raster_catalog_update": SQL_RASTER_CATALOG_UPDATE,
