@@ -40,6 +40,9 @@ HEADLINE = [
     "emb_near_dup",
     "emb_near_dup_lsh",
     "multimodal_features",
+    # round-6 additions: repetition-quality + contamination filters
+    "text_repetition",
+    "text_contamination",
 ]
 
 
