@@ -339,3 +339,70 @@ def benchmark_overlap(df: DataFrame, bench_df: DataFrame, n: int = 5,
             F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
         )
     )
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text",
+                  min_tokens: int = 5, max_tokens: int = 100_000,
+                  min_mean_word_len: float = 2.0, max_mean_word_len: float = 12.0,
+                  max_dup_line_frac: float = 0.5,
+                  max_top_2gram_frac: float = 0.4,
+                  min_stopword_hits: int = 0) -> DataFrame:
+    """Composite Gopher-style document quality filter (Rae et al. 2021
+    §A1.1 rule shapes, thresholds configurable): token-count bounds,
+    mean-word-length bounds, duplicate-line fraction, top-2-gram
+    fraction, and a stopword-presence floor. Emits one row per document
+    with each rule's verdict (int 0/1) and the final ``keep`` — the
+    standard "filter with reasons" shape so downstream can audit drop
+    rates per rule. Pure per-row Catalyst expressions; at 100 TB this is
+    a single scan with no shuffle."""
+    toks = tokens_col(text_col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    d = df.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.split(F.col(text_col), "\n").alias("lines"),
+    )
+    d = d.withColumn(
+        "g2",
+        F.expr(
+            "CASE WHEN size(toks) < 2 THEN array() "
+            "ELSE transform(sequence(1, size(toks) - 1), "
+            "i -> concat_ws(' ', slice(toks, i, 2))) END"
+        ),
+    )
+    n_tok = F.size("toks")
+    mean_len = F.when(
+        n_tok > 0,
+        F.aggregate(F.transform(F.col("toks"), F.length), F.lit(0),
+                    lambda a, x: a + x).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    dup_line_frac = F.when(
+        F.size("lines") > 0,
+        (F.size("lines") - F.size(F.array_distinct("lines")))
+        .cast("double") / F.size("lines"),
+    ).otherwise(F.lit(0.0))
+    top2 = F.expr(
+        "coalesce(array_max(transform(array_distinct(g2), "
+        "x -> size(filter(g2, y -> y = x)))), 0)"
+    )
+    top2_frac = F.when(
+        F.size("g2") > 0, top2.cast("double") / F.size("g2")
+    ).otherwise(F.lit(0.0))
+    sw_hits = F.size(F.filter(F.col("toks"), lambda t: F.array_contains(sw, F.lower(t))))
+
+    rules = {
+        "ok_token_count": (n_tok >= min_tokens) & (n_tok <= max_tokens),
+        "ok_word_len": (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len),
+        "ok_dup_lines": dup_line_frac <= max_dup_line_frac,
+        "ok_top_2gram": top2_frac <= max_top_2gram_frac,
+        "ok_stopwords": sw_hits >= min_stopword_hits,
+    }
+    out = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        *[v.cast("int").alias(k) for k, v in rules.items()],
+    )
+    keep = F.lit(True)
+    for k in rules:
+        keep = keep & (F.col(k) == 1)
+    return out.withColumn("keep", keep.cast("int"))

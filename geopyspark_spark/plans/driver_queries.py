@@ -4242,6 +4242,107 @@ FROM g
 """
 
 
+def q_text_gopher_filter(spark, sf_dir):
+    """Composite Gopher-rules quality filter (round 6): per-document
+    rule verdicts + keep flag, one shuffle-free scan."""
+    return ftext.gopher_filter(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=20, max_mean_word_len=6.0, max_top_2gram_frac=0.12,
+        min_stopword_hits=1,
+    )
+
+
+SQL_TEXT_GOPHER_FILTER = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), g AS (
+  SELECT doc_id, toks, lines,
+    CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i + 1]) END AS g2
+  FROM t
+), m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CASE WHEN len(toks) > 0
+         THEN CAST(list_aggregate(list_transform(toks, x -> strlen(x)), 'sum') AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS mean_len,
+    CASE WHEN len(lines) > 0
+         THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+         ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN len(g2) > 0
+         THEN CAST(COALESCE(list_max(list_transform(list_distinct(g2),
+              x -> len(list_filter(g2, y -> y = x)))), 0) AS DOUBLE) / len(g2)
+         ELSE 0.0 END AS top2_frac,
+    len(list_filter(toks, x -> list_contains([{SW}], lower(x)))) AS sw_hits
+  FROM g
+)
+SELECT doc_id, n_tokens,
+  CAST(n_tokens >= 20 AND n_tokens <= 100000 AS INT) AS ok_token_count,
+  CAST(mean_len >= 2.0 AND mean_len <= 6.0 AS INT) AS ok_word_len,
+  CAST(dup_line_frac <= 0.5 AS INT) AS ok_dup_lines,
+  CAST(top2_frac <= 0.12 AS INT) AS ok_top_2gram,
+  CAST(sw_hits >= 1 AS INT) AS ok_stopwords,
+  CAST(n_tokens >= 20 AND n_tokens <= 100000
+       AND mean_len >= 2.0 AND mean_len <= 6.0
+       AND dup_line_frac <= 0.5 AND top2_frac <= 0.12
+       AND sw_hits >= 1 AS INT) AS keep
+FROM m
+""".replace("{SW}", ", ".join(f"'{w}'" for w in ftext.STOPWORDS_EN))
+
+
+def q_emb_quantize(spark, sf_dir):
+    """int8 embedding quantization under the gate (round 6): symmetric
+    per-vector scale, half-up rounding (engine-portable), plus the
+    round-trip quality report (max abs error, original-vs-dequantized
+    cosine). The storage-scale path for a 100 TB embedding corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = fsim.quantize_embeddings(emb)
+    flat = q.select("vec_id", F.posexplode("qvec").alias("pos", "qv"))
+    err = fsim.quantization_error(emb)
+    return flat.join(err.select("vec_id", "max_abs_err", "cosine"), "vec_id").select(
+        "vec_id", "pos", "qv", "max_abs_err", "cosine"
+    )
+
+
+SQL_EMB_QUANTIZE = """
+WITH x AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, e -> abs(e))) / 127.0 AS scale
+  FROM x
+), q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, e -> CASE WHEN scale > 0
+            THEN CAST(greatest(-127.0, least(127.0, floor(e / scale + 0.5))) AS INT)
+            ELSE 0 END) AS qvec
+  FROM s
+), d AS (
+  SELECT vec_id, v, scale, qvec,
+         list_transform(qvec, e -> CAST(e AS DOUBLE) * scale) AS deq
+  FROM q
+), err AS (
+  SELECT vec_id,
+         round(list_max(list_transform(generate_series(1, len(v)),
+               i -> abs(v[i] - deq[i]))), 6) AS max_abs_err,
+         round(CASE WHEN sqrt(list_dot_product(v, v)) > 0
+                     AND sqrt(list_dot_product(deq, deq)) > 0
+               THEN list_dot_product(v, deq) /
+                    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(deq, deq)))
+               ELSE 0.0 END, 6) AS cosine
+  FROM d
+)
+SELECT q.vec_id, CAST(p.i - 1 AS INT) AS pos, q.qvec[p.i] AS qv,
+       e.max_abs_err, e.cosine
+FROM q, LATERAL (SELECT unnest(generate_series(1, len(q.qvec))) AS i) p
+JOIN err e ON e.vec_id = q.vec_id
+"""
+
+
 def q_text_contamination(spark, sf_dir):
     """Benchmark n-gram contamination check (round 6): every doc's
     distinct 5-grams vs a deterministic 'benchmark' subset (doc_id %%
@@ -4304,9 +4405,7 @@ def queries():
         # embeddings (similarity search)
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         # relational surface (rotated in: q4/q10/q14)
-        "tpch_q10_returned": q_tpch_q10_returned,
         "tpch_q4_priority": q_tpch_q4_priority,
-        "tpch_q14_promo": q_tpch_q14_promo,
         # events (rotated in: asof/interval/anomaly/funnel/enriched)
         "events_asof_join": q_events_asof_join,
         "events_interval_join": q_events_interval_join,
@@ -4347,6 +4446,8 @@ def queries():
         "raster_reproject_aeqd": q_raster_reproject_aeqd,
         "text_repetition": q_text_repetition,
         "text_contamination": q_text_contamination,
+        "text_gopher_filter": q_text_gopher_filter,
+        "emb_quantize": q_emb_quantize,
         "events_stream_stateful": q_events_stream_stateful,
         "multimodal_video": q_multimodal_video,
         "tms_render_tile": q_tms_render_tile,
@@ -4360,6 +4461,8 @@ def queries():
         "vector_shapefile": q_vector_shapefile,
         "raster_cog_overview": q_raster_cog_overview,
         # ---- entries below are past the driver's 50-entry window ----
+        "tpch_q10_returned": q_tpch_q10_returned,
+        "tpch_q14_promo": q_tpch_q14_promo,
         "window_rank": q_window_rank,
         "raster_focal_mode": q_raster_focal_mode,
         "raster_pyramid_mode": q_raster_pyramid_mode,
@@ -4577,6 +4680,8 @@ def oracle_sql():
             "+proj=aeqd +lat_0=16 +lon_0=16 +ellps=WGS84"),
         "text_repetition": SQL_TEXT_REPETITION,
         "text_contamination": SQL_TEXT_CONTAMINATION,
+        "text_gopher_filter": SQL_TEXT_GOPHER_FILTER,
+        "emb_quantize": SQL_EMB_QUANTIZE,
         "events_stream_stateful": SQL_EVENTS_STREAM_STATEFUL,
         "multimodal_video": SQL_MULTIMODAL_VIDEO,
         "tms_render_tile": SQL_TMS_RENDER_TILE,

@@ -619,3 +619,56 @@ class TestVideoFrameSample:
         out = fmm.frame_sample(df, every_n=1,
                                frame_decoder=fmm.payload_video_decoder).collect()
         assert out == []
+
+
+class TestGopherFilter:
+    def test_rules_and_keep(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),  # clean
+                (2, "x y"),                                                # too short
+                (3, " ".join(["spam ham"] * 30)),                          # repetitious
+                (4, "Supercalifragilisticexpialidocious " * 10),           # long words
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r.asDict() for r in ftext.gopher_filter(
+            df, min_tokens=5, max_top_2gram_frac=0.3).collect()}
+        assert out[1]["keep"] == 1
+        assert out[2]["keep"] == 0 and out[2]["ok_token_count"] == 0
+        assert out[3]["keep"] == 0 and out[3]["ok_top_2gram"] == 0
+        assert out[4]["keep"] == 0 and out[4]["ok_word_len"] == 0
+
+    def test_all_rules_reported(self, spark):
+        df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+        cols = set(ftext.gopher_filter(df).columns)
+        assert {"ok_token_count", "ok_word_len", "ok_dup_lines",
+                "ok_top_2gram", "ok_stopwords", "keep"} <= cols
+
+
+class TestEmbeddingQuantization:
+    def test_roundtrip_quality(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        vecs = [(i, rng.normal(size=16).astype("float32").tolist()) for i in range(20)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        err = {r["vec_id"]: r.asDict() for r in fsim.quantization_error(df).collect()}
+        # int8 symmetric quantization keeps cosine ~1 and bounded error
+        for e in err.values():
+            assert e["cosine"] > 0.999
+            assert e["max_abs_err"] <= 1.0 / 127.0 * 3.1  # half a step * max|x|
+
+    def test_zero_vector_safe(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        q = fsim.quantize_embeddings(df).collect()[0]
+        assert q["qvec"] == [0, 0, 0] and q["scale"] == 0.0
+
+    def test_quantized_values_bounded(self, spark):
+        df = spark.createDataFrame(
+            [(1, [3.0, -3.0, 1.5])], "vec_id long, embedding array<float>"
+        )
+        q = fsim.quantize_embeddings(df).collect()[0]
+        assert q["qvec"] == [127, -127, 64]  # 1.5/ (3/127) = 63.5 -> half-up 64
