@@ -161,9 +161,19 @@ def get(
     from the file's time tag via ``time_of(path)`` (default: the TIFF
     DateTime tag for codec-written files); files without one raise, as
     the reference's temporal ingest does.
+
+    Reference calling convention also accepted: ``get(layer_type, uri,
+    ...)`` with no session argument (reference ``geotiff.py:18``) — the
+    active session is resolved from the running context.
     """
     import os
 
+    if isinstance(spark, str) and spark.lower() in ("spatial", "spacetime"):
+        # reference positional form: get(layer_type, uri, ...)
+        from pyspark.sql import SparkSession
+
+        layer_type = spark.lower()
+        spark = SparkSession.active()
     paths = []
     for u in ([uris] if isinstance(uris, str) else list(uris)):
         if os.path.isdir(u):  # reference: directory URIs scan recursively

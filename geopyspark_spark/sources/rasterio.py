@@ -1,0 +1,14 @@
+"""Reference ``geopyspark.geotrellis.rasterio`` module shape
+(``rasterio.py:1-80``): windowed python-side raster reads. In this
+engine that IS the ``geotiff.get`` scan (same window planning, same
+mapInPandas decode), so this module re-exports it under the reference
+name, plus the proj4 helper.
+"""
+
+from __future__ import annotations
+
+from ..core.crs import crs_to_proj4  # noqa: F401  (reference rasterio.crs_to_proj4)
+from .geotiff import get, plan_windows  # noqa: F401
+
+#: reference name for the window planner (``rasterio.py:26-49``)
+_read_windows = plan_windows

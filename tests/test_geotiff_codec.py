@@ -330,3 +330,19 @@ class TestRasterLayerClass:
         rl, _ = raster_layer
         assert rl.bands(0).count() == 4
         assert rl.bands([1]).count() == 0
+
+
+class TestReferenceCallingConventions:
+    def test_get_reference_positional_form(self, spark, f1_layer, tmp_path):
+        p = str(tmp_path / "c.tif")
+        f1_layer.save_stitched(p)
+        df = geotiff.get("spatial", p, max_tile_size=5,
+                         sizer=geotiff_codec.sizer, decoder=geotiff_codec.decoder)
+        assert df.count() == 4
+
+    def test_rasterio_module_alias(self):
+        from geopyspark_spark.sources import rasterio as rio
+
+        assert rio.get is geotiff.get
+        assert rio.crs_to_proj4(4326).startswith("+proj=longlat")
+        assert len(rio._read_windows(10, 10, 5)) == 4
