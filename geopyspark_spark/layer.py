@@ -608,9 +608,15 @@ class Pyramid:
         return out
 
 
-def union(layers: list[TiledRasterLayer]) -> TiledRasterLayer:
+def union(layers: list):
     """Bag union (``geopyspark/geotrellis/union.py:10-58``): UNION ALL,
-    duplicate keys kept, metadata combined."""
+    duplicate keys kept, metadata combined. Accepts tiled layers OR
+    untiled :class:`RasterLayer` scans (the reference unions both)."""
+    if isinstance(layers[0], RasterLayer):
+        df = layers[0].df
+        for l in layers[1:]:
+            df = df.unionByName(l.df)
+        return RasterLayer(df, layers[0].layer_type, layers[0].cell_type)
     md = layers[0].metadata
     df = layers[0].df
     for l in layers[1:]:

@@ -211,12 +211,22 @@ def read_dbf(path: str) -> list[dict]:
     return out
 
 
-def get(spark: SparkSession, uri: str, extensions=(".shp",), num_partitions: int | None = None) -> DataFrame:
+def get(spark: SparkSession, uri: str | None = None, extensions=(".shp",),
+        num_partitions: int | None = None) -> DataFrame:
     """Shapefile ingest with the pure-Python parser: file discovery on the
     driver, per-file parse distributed via ``mapInPandas`` (the reference's
     per-URI RDD union, ``ShapefileRDD.scala:24-57``). Attributes come from
-    the sibling .dbf when present."""
+    the sibling .dbf when present.
+
+    Also accepts the reference calling convention ``get(uri, ...)``
+    (``geotools/shapefile.py:15``): when the first argument is a path
+    string, the active session is resolved from the running context."""
     import os
+
+    if isinstance(spark, str):
+        from pyspark.sql import SparkSession as _SS
+
+        spark, uri = _SS.active(), spark
 
     import pandas as pd
 

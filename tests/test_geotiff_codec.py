@@ -346,3 +346,14 @@ class TestReferenceCallingConventions:
         assert rio.get is geotiff.get
         assert rio.crs_to_proj4(4326).startswith("+proj=longlat")
         assert len(rio._read_windows(10, 10, 5)) == 4
+
+
+class TestRasterLayerUnion:
+    def test_union_untiled(self, spark, f1_layer, tmp_path):
+        p = str(tmp_path / "u.tif")
+        f1_layer.save_stitched(p)
+        df = geotiff.get(spark, p, max_tile_size=5,
+                         sizer=geotiff_codec.sizer, decoder=geotiff_codec.decoder)
+        u = gps.union([gps.RasterLayer(df), gps.RasterLayer(df)])
+        assert isinstance(u, gps.RasterLayer)
+        assert u.count() == 8

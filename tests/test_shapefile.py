@@ -224,3 +224,9 @@ class TestShapefileGet:
     def test_get_empty_dir(self, spark, tmp_path):
         with pytest.raises(ValueError, match="no"):
             shapefile.get(spark, str(tmp_path))
+
+
+class TestReferenceCallingConvention:
+    def test_get_uri_first(self, spark, shp_dir):
+        out = shapefile.get(str(shp_dir))
+        assert out.count() >= 1
