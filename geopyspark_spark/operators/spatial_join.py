@@ -1,0 +1,100 @@
+"""Distributed point-in-polygon spatial join — grid-binned, never
+all-pairs.
+
+The classic big-data spatial join (points table x polygon set): bin
+every point to a grid cell with pure Catalyst arithmetic, explode each
+polygon to the grid cells its envelope covers (driver-side for
+broadcastable polygon sets — the common case; the polygon list is a
+dimension), equi-join on the cell, then run the exact containment test
+vectorized per Arrow batch. A point lives in exactly one cell and a
+polygon covers each cell at most once, so the equi-join emits each
+candidate pair exactly once — no dedup pass.
+
+At 100 TB: the points side streams (one narrow projection + an
+equi-join against a broadcast cell index); shuffle volume is zero on the
+points side and the exact test touches only envelope-candidate pairs.
+Skewed cells (a polygon covering many points) parallelize naturally
+because candidates stay partitioned by the points side.
+
+Reference scope note: geopyspark keeps vectors as driver-side lists
+(``geopyspark/vector_pipe`` was never part of this package); this
+operator is part of the beyond-reference training-pipeline surface, like
+the dedup/similarity families.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.geom import Geometry, from_wkt
+
+
+def _norm_polys(polys: Sequence) -> list[tuple]:
+    out = []
+    for pid, g in polys:
+        out.append((pid, from_wkt(g) if isinstance(g, str) else g))
+    return out
+
+
+def point_in_polygon_join(points: DataFrame, polys: Sequence[tuple],
+                          cell_size: float = 8.0,
+                          x_col: str = "x", y_col: str = "y",
+                          how: str = "inner") -> DataFrame:
+    """Join a points DataFrame against a polygon dimension.
+
+    ``polys``: sequence of (poly_id, Geometry | WKT). Returns the points
+    columns + ``poly_id`` (``how="inner"``: matching pairs only;
+    ``how="left"``: unmatched points keep a null poly_id). Boundary
+    semantics follow :meth:`Geometry.contains_points` (edges inclusive
+    per the even-odd rule of the geom kernel).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    normed = _norm_polys(polys)
+
+    # polygon envelope -> covering cells (driver-side; polys are a dim)
+    rows = []
+    for pid, geom in normed:
+        xmin, ymin, xmax, ymax = geom.bounds
+        for cx in range(int(math.floor(xmin / cell_size)),
+                        int(math.floor(xmax / cell_size)) + 1):
+            for cy in range(int(math.floor(ymin / cell_size)),
+                            int(math.floor(ymax / cell_size)) + 1):
+                rows.append((cx, cy, pid))
+    spark = points.sparkSession
+    cells = spark.createDataFrame(rows, "cx long, cy long, poly_id string")
+
+    binned = points.withColumn("cx", F.floor(F.col(x_col) / cell_size)) \
+                   .withColumn("cy", F.floor(F.col(y_col) / cell_size))
+    cand = binned.join(F.broadcast(cells), ["cx", "cy"], "inner")
+
+    geoms = {pid: g for pid, g in normed}
+    out_cols = [f.name for f in points.schema.fields] + ["poly_id"]
+    schema_str = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in points.schema.fields]
+        + ["poly_id string"]
+    )
+
+    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            xs = pdf[x_col].to_numpy(dtype=np.float64)
+            ys = pdf[y_col].to_numpy(dtype=np.float64)
+            for pid in pdf["poly_id"].unique():
+                m = (pdf["poly_id"] == pid).to_numpy()
+                keep[m] = geoms[pid].contains_points(xs[m], ys[m])
+            yield pdf.loc[keep, out_cols]
+
+    matched = cand.mapInPandas(exact, schema=schema_str)
+    if how == "inner":
+        return matched
+    pts_keys = [f.name for f in points.schema.fields]
+    return points.join(matched, pts_keys, "left")

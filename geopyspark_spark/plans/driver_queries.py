@@ -4294,6 +4294,49 @@ FROM m
 """.replace("{SW}", ", ".join(f"'{w}'" for w in ftext.STOPWORDS_EN))
 
 
+def q_vector_spatial_join(spark, sf_dir):
+    """Grid-binned point-in-polygon join under the gate (round 6):
+    lineitem-derived points x (2 boxes + 1 triangle) dimension — bin,
+    broadcast the cell index, exact test only on envelope candidates.
+    Polygon bounds sit off the 0.1 point lattice so open/closed boundary
+    conventions cannot differ between the engines."""
+    from ..operators.spatial_join import point_in_polygon_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pt_id"),
+        ((F.col("l_orderkey") % 1000).cast("double") / 10.0).alias("x"),
+        ((F.col("l_partkey") % 1000).cast("double") / 10.0).alias("y"),
+    )
+    polys = [
+        ("boxA", gps.box(10.05, 20.05, 30.05, 45.05)),
+        ("boxB", gps.box(60.15, 5.05, 95.05, 15.15)),
+        ("tri", "POLYGON ((5.13 60.17, 47.71 62.39, 20.23 95.31, 5.13 60.17))"),
+    ]
+    out = point_in_polygon_join(pts, polys, cell_size=16.0)
+    return out.select("pt_id", "poly_id")
+
+
+SQL_VECTOR_SPATIAL_JOIN = """
+WITH p AS (
+  SELECT l_orderkey * 10 + l_linenumber AS pt_id,
+         CAST(l_orderkey % 1000 AS DOUBLE) / 10.0 AS x,
+         CAST(l_partkey % 1000 AS DOUBLE) / 10.0 AS y
+  FROM lineitem
+)
+SELECT pt_id, 'boxA' AS poly_id FROM p
+WHERE x > 10.05 AND x < 30.05 AND y > 20.05 AND y < 45.05
+UNION ALL
+SELECT pt_id, 'boxB' FROM p
+WHERE x > 60.15 AND x < 95.05 AND y > 5.05 AND y < 15.15
+UNION ALL
+SELECT pt_id, 'tri' FROM p
+WHERE (47.71 - 5.13) * (y - 60.17) - (62.39 - 60.17) * (x - 5.13) > 0
+  AND (20.23 - 47.71) * (y - 62.39) - (95.31 - 62.39) * (x - 47.71) > 0
+  AND (5.13 - 20.23) * (y - 95.31) - (60.17 - 95.31) * (x - 20.23) > 0
+"""
+
+
 def q_emb_quantize(spark, sf_dir):
     """int8 embedding quantization under the gate (round 6): symmetric
     per-vector scale, half-up rounding (engine-portable), plus the
@@ -4405,7 +4448,6 @@ def queries():
         # embeddings (similarity search)
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         # relational surface (rotated in: q4/q10/q14)
-        "tpch_q4_priority": q_tpch_q4_priority,
         # events (rotated in: asof/interval/anomaly/funnel/enriched)
         "events_asof_join": q_events_asof_join,
         "events_interval_join": q_events_interval_join,
@@ -4448,6 +4490,7 @@ def queries():
         "text_contamination": q_text_contamination,
         "text_gopher_filter": q_text_gopher_filter,
         "emb_quantize": q_emb_quantize,
+        "vector_spatial_join": q_vector_spatial_join,
         "events_stream_stateful": q_events_stream_stateful,
         "multimodal_video": q_multimodal_video,
         "tms_render_tile": q_tms_render_tile,
@@ -4461,6 +4504,7 @@ def queries():
         "vector_shapefile": q_vector_shapefile,
         "raster_cog_overview": q_raster_cog_overview,
         # ---- entries below are past the driver's 50-entry window ----
+        "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q10_returned": q_tpch_q10_returned,
         "tpch_q14_promo": q_tpch_q14_promo,
         "window_rank": q_window_rank,
@@ -4682,6 +4726,7 @@ def oracle_sql():
         "text_contamination": SQL_TEXT_CONTAMINATION,
         "text_gopher_filter": SQL_TEXT_GOPHER_FILTER,
         "emb_quantize": SQL_EMB_QUANTIZE,
+        "vector_spatial_join": SQL_VECTOR_SPATIAL_JOIN,
         "events_stream_stateful": SQL_EVENTS_STREAM_STATEFUL,
         "multimodal_video": SQL_MULTIMODAL_VIDEO,
         "tms_render_tile": SQL_TMS_RENDER_TILE,

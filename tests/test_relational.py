@@ -119,3 +119,53 @@ class TestPropertyBased:
                 for iu, iid, s, e in ivs
                 if pu == iu and s <= pt_ < e}
         assert got == want
+
+
+class TestPointInPolygonJoin:
+    """Grid-binned spatial join (round 6): never all-pairs, exact test
+    only on envelope candidates."""
+
+    @pytest.fixture(scope="class")
+    def pts(self, spark):
+        rows = [(i, float(i % 20), float(i // 20)) for i in range(400)]
+        return spark.createDataFrame(rows, "pt_id long, x double, y double")
+
+    def test_box_join(self, spark, pts):
+        from geopyspark_spark.operators.spatial_join import point_in_polygon_join
+
+        import geopyspark_spark as gps
+
+        polys = [("a", gps.box(2.5, 2.5, 7.5, 7.5)), ("b", gps.box(15.5, 0.5, 18.5, 3.5))]
+        out = point_in_polygon_join(pts, polys, cell_size=4.0).collect()
+        got_a = {r["pt_id"] for r in out if r["poly_id"] == "a"}
+        expect_a = {i for i in range(400)
+                    if 2.5 <= (i % 20) <= 7.5 and 2.5 <= (i // 20) <= 7.5}
+        # interior semantics: strict vs closed only differs ON the boundary;
+        # compare on strictly-interior points
+        strict_a = {i for i in range(400)
+                    if 2.5 < (i % 20) < 7.5 and 2.5 < (i // 20) < 7.5}
+        assert strict_a <= got_a <= expect_a
+        assert all(0.5 <= (p % 20) for p in
+                   {r["pt_id"] for r in out if r["poly_id"] == "b"})
+
+    def test_wkt_and_left_join(self, spark, pts):
+        from geopyspark_spark.operators.spatial_join import point_in_polygon_join
+
+        polys = [("tri", "POLYGON ((0.2 0.2, 10.7 0.3, 0.3 10.9, 0.2 0.2))")]
+        inner = point_in_polygon_join(pts, polys, cell_size=8.0)
+        left = point_in_polygon_join(pts, polys, cell_size=8.0, how="left")
+        n_in = inner.count()
+        assert 0 < n_in < 400
+        lc = left.collect()
+        assert len(lc) == 400  # every point kept
+        assert sum(1 for r in lc if r["poly_id"] is not None) == n_in
+
+    def test_no_cartesian_in_plan(self, spark, pts):
+        from geopyspark_spark.operators.spatial_join import point_in_polygon_join
+
+        import geopyspark_spark as gps
+
+        out = point_in_polygon_join(pts, [("a", gps.box(1, 1, 5, 5))])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in plan and "NestedLoop" not in plan
+        assert "BroadcastHashJoin" in plan
