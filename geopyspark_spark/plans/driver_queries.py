@@ -4294,6 +4294,46 @@ FROM m
 """.replace("{SW}", ", ".join(f"'{w}'" for w in ftext.STOPWORDS_EN))
 
 
+def q_raster_stream_ingest(spark, sf_dir):
+    """Streaming raster ingest under the gate (round 6): the fixture
+    layer split into two DISJOINT-key parquet chunks, drained through
+    readStream -> foreachBatch catalog merge (maxFilesPerTrigger=1 so
+    the second batch exercises the update path), then read back — the
+    final catalog must equal the whole layer regardless of batch order,
+    because the chunks are key-disjoint."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import catalog as cat
+    from ..streaming.raster import read_tile_stream, stream_into_catalog
+
+    layer = lineitem_layer(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="stream_ingest_", dir=_scratch_dir())
+    src = os.path.join(base, "src")
+    uri = os.path.join(base, "cat")
+    try:
+        left = layer.df.where(F.col("key_col") < 2)
+        right = layer.df.where(F.col("key_col") >= 2)
+        left.write.mode("append").parquet(src)
+        right.write.mode("append").parquet(src)
+        stream = read_tile_stream(spark, src, layer.metadata,
+                                  max_files_per_trigger=1)
+        stream_into_catalog(stream, uri, "live", 0, layer.metadata,
+                            query_name="ingest_gate")
+        back = cat.read(spark, uri, "live", 0)
+        long = back.explode().where(~_is_nd(F.col("value"), layer.nodata))
+        rows = long.select("key_col", "key_row", "pos", "value").collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "key_col int, key_row int, pos int, value double")
+
+
+SQL_RASTER_STREAM_INGEST = CELLS_CTE + """
+SELECT key_col, key_row, pos, value FROM coords
+"""
+
+
 def q_vector_spatial_join(spark, sf_dir):
     """Grid-binned point-in-polygon join under the gate (round 6):
     lineitem-derived points x (2 boxes + 1 triangle) dimension — bin,
@@ -4453,7 +4493,6 @@ def queries():
         "events_interval_join": q_events_interval_join,
         "events_anomaly": q_events_anomaly,
         "events_funnel": q_events_funnel,
-        "events_enriched_segment": q_events_enriched_segment,
         # raster operators (SURVEY §2) — carried representatives
         "raster_local_algebra": q_raster_local_algebra,
         "raster_focal_sum": q_raster_focal_sum,
@@ -4491,6 +4530,7 @@ def queries():
         "text_gopher_filter": q_text_gopher_filter,
         "emb_quantize": q_emb_quantize,
         "vector_spatial_join": q_vector_spatial_join,
+        "raster_stream_ingest": q_raster_stream_ingest,
         "events_stream_stateful": q_events_stream_stateful,
         "multimodal_video": q_multimodal_video,
         "tms_render_tile": q_tms_render_tile,
@@ -4504,6 +4544,7 @@ def queries():
         "vector_shapefile": q_vector_shapefile,
         "raster_cog_overview": q_raster_cog_overview,
         # ---- entries below are past the driver's 50-entry window ----
+        "events_enriched_segment": q_events_enriched_segment,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q10_returned": q_tpch_q10_returned,
         "tpch_q14_promo": q_tpch_q14_promo,
@@ -4727,6 +4768,7 @@ def oracle_sql():
         "text_gopher_filter": SQL_TEXT_GOPHER_FILTER,
         "emb_quantize": SQL_EMB_QUANTIZE,
         "vector_spatial_join": SQL_VECTOR_SPATIAL_JOIN,
+        "raster_stream_ingest": SQL_RASTER_STREAM_INGEST,
         "events_stream_stateful": SQL_EVENTS_STREAM_STATEFUL,
         "multimodal_video": SQL_MULTIMODAL_VIDEO,
         "tms_render_tile": SQL_TMS_RENDER_TILE,

@@ -1,0 +1,68 @@
+"""Streaming raster ingest: tiles arrive as files, the catalog stays
+current.
+
+Beyond-reference surface (the reference has no streaming at all): a
+file-source stream of tile rows (the layer's own parquet schema) drains
+through ``foreachBatch``; every micro-batch merge-writes into the
+z-ordered catalog via :func:`~..sources.catalog.update_layer` semantics
+(new tiles win on key collisions). The pattern scales because each batch
+touches only the keys it carries — a satellite-swath or sensor feed
+updates a continental layer without rewriting it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_tile_stream(spark: SparkSession, path: str, metadata,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of tile rows (key_col, key_row, band, cells).
+    ``max_files_per_trigger`` bounds each micro-batch (AvailableNow
+    still drains everything, in multiple batches)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("key_col", T.IntegerType()),
+        T.StructField("key_row", T.IntegerType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("cells", T.ArrayType(T.DoubleType())),
+    ])
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_into_catalog(stream_df: DataFrame, uri: str, layer_name: str,
+                        zoom: int, metadata, query_name: str = "raster_ingest"):
+    """Drain the stream into the catalog with AvailableNow; each batch
+    merge-writes (new tiles win). Returns after the drain completes.
+
+    The first batch creates the layer; later batches go through the
+    read-union-rewrite merge (a Delta/Iceberg MERGE INTO when a table
+    format is available — same logical plan)."""
+    import os
+
+    from ..layer import TiledRasterLayer
+    from ..sources import catalog as cat
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        layer = TiledRasterLayer(batch_df, metadata)
+        existing = os.path.isdir(cat._layer_path(uri, layer_name, zoom))
+        if not existing:
+            cat.write(uri, layer_name, layer, zoom=zoom)
+        else:
+            cat.update_layer(batch_df.sparkSession, uri, layer_name, zoom, layer)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{uri}/_checkpoints/{query_name}")
+        .queryName(query_name)
+        .start()
+    )
+    q.awaitTermination()
+    return q

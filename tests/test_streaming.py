@@ -117,3 +117,47 @@ class TestEnrichAndDedup:
         )
         out = se.run_available_now(se.dedup_events(stream), "dedup", output_mode="append")
         assert sorted(r["event_id"] for r in out.collect()) == [1, 2, 3]
+
+
+class TestStreamingRasterIngest:
+    """Streaming tiles -> catalog merge (round 6, beyond-reference)."""
+
+    def _write_chunk(self, spark, path, keys, value, md):
+        import pandas as pd
+
+        tl = md.layout.tile_layout
+        n = tl.tile_cols * tl.tile_rows
+        rows = [{"key_col": c, "key_row": r, "band": 0,
+                 "cells": [float(value)] * n} for c, r in keys]
+        spark.createDataFrame(
+            pd.DataFrame(rows),
+            "key_col int, key_row int, band int, cells array<double>",
+        ).write.mode("append").parquet(path)
+
+    def test_two_drain_merge_new_wins(self, spark, tmp_path):
+        import geopyspark_spark as gps
+        from geopyspark_spark.sources import catalog as cat
+        from geopyspark_spark.streaming.raster import (read_tile_stream,
+                                                       stream_into_catalog)
+
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64ud-1.0",
+            layout=gps.LayoutDefinition(gps.Extent(0, 0, 8, 8),
+                                        gps.TileLayout(2, 2, 4, 4)),
+            bounds=((0, 0), (1, 1)), extent=gps.Extent(0, 0, 8, 8), num_bands=1,
+        )
+        src = str(tmp_path / "stream_src")
+        uri = str(tmp_path / "cat")
+        # drain 1: all four tiles value 1
+        self._write_chunk(spark, src, [(0, 0), (0, 1), (1, 0), (1, 1)], 1.0, md)
+        stream_into_catalog(read_tile_stream(spark, src, md), uri, "live", 0, md)
+        back = cat.read(spark, uri, "live", 0)
+        assert back.count() == 4
+        # drain 2: only NEW files are processed (checkpoint); patch 2 tiles
+        self._write_chunk(spark, src, [(0, 0), (1, 1)], 9.0, md)
+        stream_into_catalog(read_tile_stream(spark, src, md), uri, "live", 0, md)
+        back = cat.read(spark, uri, "live", 0)
+        got = {(r["key_col"], r["key_row"]): r["cells"][0] for r in back.df.collect()}
+        assert got[(0, 0)] == 9.0 and got[(1, 1)] == 9.0  # new wins
+        assert got[(0, 1)] == 1.0 and got[(1, 0)] == 1.0  # untouched survive
+        assert back.count() == 4
