@@ -1214,6 +1214,135 @@ class Gnomonic:
         return np.degrees(lam) + self.lon0, np.degrees(phi)
 
 
+class AmericanPolyconic:
+    """American polyconic ``+proj=poly`` (EPSG method 9818; Snyder 1987
+    §18 ellipsoidal) — the historic USGS quad and South American grids.
+    Each parallel is an arc of its own tangent cone: radius nu*cot(phi)
+    centered on the central meridian at M(phi) + nu*cot(phi). Forward is
+    closed-form; inverse is a damped 2-D Newton on the forward (the same
+    scheme the Orthographic kernel uses), seeded from the equirectangular
+    estimate."""
+
+    def __init__(self, ell: _Ellipsoid, lat0: float, lon0: float,
+                 fe: float, fn: float):
+        self.ell, self.lat0, self.lon0, self.fe, self.fn = ell, lat0, lon0, fe, fn
+        self.M0 = float(_meridian_arc(ell, math.radians(lat0)))
+
+    def forward(self, lon, lat):
+        e2 = self.ell.e2
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.subtract(lon, self.lon0))
+        s = np.sin(phi)
+        nu = self.ell.a / np.sqrt(1 - e2 * s * s)
+        M = _meridian_arc(self.ell, phi)
+        small = np.abs(phi) < 1e-10
+        cot = 1.0 / np.tan(np.where(small, 1.0, phi))
+        Ep = lam * s
+        x = np.where(small, self.ell.a * lam, nu * cot * np.sin(Ep))
+        y = np.where(small, -self.M0, M - self.M0 + nu * cot * (1 - np.cos(Ep)))
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y):
+        xt = np.asarray(np.subtract(x, self.fe), dtype=np.float64)
+        yt = np.asarray(np.subtract(y, self.fn), dtype=np.float64)
+        # equirectangular seed
+        phi = (yt + self.M0) / self.ell.A
+        lam = xt / (self.ell.a * np.maximum(np.cos(np.clip(phi, -1.5, 1.5)), 0.1))
+        d = 1e-7
+        for _ in range(12):
+            lon_d = np.degrees(lam) + self.lon0
+            lat_d = np.degrees(phi)
+            fx0, fy0 = self.forward(lon_d, lat_d)
+            fx0 = np.asarray(fx0) - self.fe - xt
+            fy0 = np.asarray(fy0) - self.fn - yt
+            fx1, fy1 = self.forward(lon_d + d, lat_d)
+            fx2, fy2 = self.forward(lon_d, lat_d + d)
+            j11 = (np.asarray(fx1) - self.fe - xt - fx0) / d   # dE/dlon
+            j21 = (np.asarray(fy1) - self.fn - yt - fy0) / d
+            j12 = (np.asarray(fx2) - self.fe - xt - fx0) / d   # dE/dlat
+            j22 = (np.asarray(fy2) - self.fn - yt - fy0) / d
+            det = j11 * j22 - j12 * j21
+            det = np.where(np.abs(det) < 1e-12, 1e-12, det)
+            dlon = (fx0 * j22 - fy0 * j12) / det
+            dlat = (fy0 * j11 - fx0 * j21) / det
+            lam = lam - np.radians(dlon)
+            phi = phi - np.radians(dlat)
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
+class VanDerGrinten:
+    """Van der Grinten I ``+proj=vandg`` (Snyder 1987 §29, spherical on
+    R = a per proj4 convention) — the old world-map circle projection.
+    Closed-form forward (Snyder 29-6..29-17); inverse via Snyder
+    29-18..29-23."""
+
+    def __init__(self, ell: _Ellipsoid, lon0: float, fe: float, fn: float):
+        self.r, self.lon0, self.fe, self.fn = ell.a, lon0, fe, fn
+
+    def forward(self, lon, lat):
+        R = self.r
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.subtract(lon, self.lon0))
+        theta = np.arcsin(np.clip(np.abs(2.0 * phi / np.pi), 0, 1))
+        on_eq = np.abs(phi) < 1e-12
+        on_cm = np.abs(lam) < 1e-12
+        # general case (Snyder 29-6a..29-17)
+        safe_lam = np.where(on_cm, 1.0, lam)
+        A = 0.5 * np.abs(np.pi / safe_lam - safe_lam / np.pi)
+        sth = np.where(on_eq, 1.0, np.sin(theta))  # eq branch selected out below
+        cth = np.cos(theta)
+        G = cth / (sth + cth - 1.0)
+        P = G * (2.0 / sth - 1.0)
+        Q = A * A + G
+        P2A2 = P * P + A * A
+        with np.errstate(invalid="ignore", divide="ignore"):
+            xg = (
+                np.pi * R * (A * (G - P * P)
+                + np.sqrt(np.maximum(A * A * (G - P * P) ** 2 - P2A2 * (G * G - P * P), 0.0)))
+                / P2A2
+            )
+            yg = (
+                np.pi * R * np.abs(P * Q - A * np.sqrt(
+                    np.maximum((A * A + 1.0) * P2A2 - Q * Q, 0.0))) / P2A2
+            )
+        x = np.where(on_eq, R * lam, np.where(on_cm, 0.0, np.sign(lam) * xg))
+        th_cm = np.where(on_eq, 0.0, theta)
+        y_cm = np.pi * R * np.tan(th_cm / 2.0)
+        y = np.where(on_eq, 0.0, np.where(on_cm, np.sign(phi) * y_cm,
+                                          np.sign(phi) * yg))
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y):
+        R = self.r
+        X = np.subtract(x, self.fe) / (np.pi * R)
+        Y = np.subtract(y, self.fn) / (np.pi * R)
+        x2y2 = X * X + Y * Y
+        # Snyder 29-18..29-23
+        c1 = -np.abs(Y) * (1.0 + x2y2)
+        c2 = c1 - 2.0 * Y * Y + X * X
+        c3 = -2.0 * c1 + 1.0 + 2.0 * Y * Y + x2y2 ** 2
+        with np.errstate(invalid="ignore", divide="ignore"):
+            d = Y * Y / c3 + (2.0 * c2 ** 3 / c3 ** 3
+                              - 9.0 * c1 * c2 / c3 ** 2) / 27.0
+            a1 = (c1 - c2 * c2 / (3.0 * c3)) / c3
+            m1 = 2.0 * np.sqrt(np.maximum(-a1 / 3.0, 1e-300))
+            cos_t1 = np.clip(3.0 * d / (a1 * m1), -1.0, 1.0)
+            t1 = np.arccos(cos_t1) / 3.0
+            phi = np.pi * np.sign(Y) * (
+                -m1 * np.cos(t1 + np.pi / 3.0) - c2 / (3.0 * c3)
+            )
+            lam = np.where(
+                np.abs(X) < 1e-12,
+                0.0,
+                np.pi * (x2y2 - 1.0 + np.sqrt(
+                    1.0 + 2.0 * (X * X - Y * Y) + x2y2 ** 2
+                )) / np.where(np.abs(X) < 1e-12, 1.0, 2.0 * X),
+            )
+        phi = np.where(x2y2 < 1e-24, 0.0, phi)
+        lam = np.where(x2y2 < 1e-24, 0.0, lam)
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
 class Mollweide:
     """Mollweide pseudocylindrical equal-area (Snyder 1987 §31). Spherical
     formulas on R = a, matching proj4's ``+proj=moll`` convention (proj4j
@@ -1906,7 +2035,7 @@ def _parse_proj4(s: str):
     reference accepts arbitrary proj4 via proj4j (``TileLayer.scala:
     288-295`` getCRS); this covers the ``+proj=tmerc/lcc/utm/longlat/
     merc/cea/aea/stere/sterea/laea/sinu/moll/eqc/geos/omerc/somerc/
-    krovak/cass/aeqd/eqdc/ortho/gnom`` families over
+    krovak/cass/aeqd/eqdc/ortho/gnom/poly/vandg`` families over
     ``+ellps/+datum/+a/+rf/+b/+towgs84/+k/+x_0/+y_0/...`` parameters,
     feeding the existing Krueger/LCC/Helmert kernels.
     Returns None for unsupported projections."""
@@ -2008,6 +2137,11 @@ def _parse_proj4(s: str):
     if proj == "gnom":
         return Gnomonic(ell, g("lat_0"), g("lon_0"),
                         g("x_0"), g("y_0")), shift
+    if proj == "poly":
+        return AmericanPolyconic(ell, g("lat_0"), g("lon_0"),
+                                 g("x_0"), g("y_0")), shift
+    if proj == "vandg":
+        return VanDerGrinten(ell, g("lon_0"), g("x_0"), g("y_0")), shift
     if proj == "cea":
         return LambertCylindricalEqualArea(ell, g("lat_ts"), g("lon_0"),
                                            g("x_0"), g("y_0")), shift

@@ -1319,3 +1319,106 @@ class TestCrsToProj4:
         assert "+south" in crs_to_proj4("epsg:32756")
         with pytest.raises(NotImplementedError):
             crs_to_proj4("epsg:99999")
+
+
+class TestAmericanPolyconic:
+    """EPSG 9818 / Snyder §18 — validated by the projection's defining
+    geometry: every parallel is an arc of radius nu*cot(phi) centered on
+    the central meridian at M - M0 + nu*cot(phi); the central meridian
+    is true-scale."""
+
+    def _proj(self):
+        from geopyspark_spark.core.crs import AmericanPolyconic, WGS84_ELL
+
+        return AmericanPolyconic(WGS84_ELL, 30.0, -96.0, 0, 0)
+
+    def test_central_meridian_true(self):
+        import math
+
+        from geopyspark_spark.core.crs import WGS84_ELL, _meridian_arc
+
+        p = self._proj()
+        x, y = p.forward(-96.0, 45.0)
+        arc = float(_meridian_arc(WGS84_ELL, math.radians(45.0))
+                    - _meridian_arc(WGS84_ELL, math.radians(30.0)))
+        assert abs(float(x)) < 1e-9 and abs(float(y) - arc) < 1e-9
+
+    def test_parallels_are_cone_circles(self):
+        import math
+
+        from geopyspark_spark.core.crs import WGS84_ELL, _meridian_arc
+
+        p = self._proj()
+        phi = math.radians(40.0)
+        s = math.sin(phi)
+        nu = WGS84_ELL.a / math.sqrt(1 - WGS84_ELL.e2 * s * s)
+        rad = nu / math.tan(phi)
+        cy = float(_meridian_arc(WGS84_ELL, phi)
+                   - _meridian_arc(WGS84_ELL, math.radians(30.0))) + rad
+        for lon in (-96.0, -88.0, -75.0, -60.0):
+            x, y = p.forward(lon, 40.0)
+            assert abs(math.hypot(float(x), float(y) - cy) - rad) < 1e-6
+
+    def test_equator_is_straight_true_scale(self):
+        from geopyspark_spark.core.crs import WGS84_ELL
+
+        p = self._proj()
+        x, y = p.forward(-90.0, 0.0)
+        import math
+        assert abs(float(x) - WGS84_ELL.a * math.radians(6.0)) < 1e-6
+
+    def test_newton_inverse_roundtrip(self):
+        p = self._proj()
+        rng = np.random.default_rng(29)
+        lon = rng.uniform(-120.0, -70.0, 200)
+        lat = rng.uniform(5.0, 60.0, 200)
+        lo, la = p.inverse(*p.forward(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-10)
+        np.testing.assert_allclose(la, lat, atol=1e-10)
+
+    def test_proj4_string_parses(self):
+        f = get_transform("epsg:4326", "+proj=poly +lat_0=30 +lon_0=-96 +ellps=WGS84")
+        x, y = f(np.array([-90.0]), np.array([40.0]))
+        assert np.isfinite(x[0])
+
+
+class TestVanDerGrinten:
+    """Snyder §29 — validated by the projection's defining geometry: the
+    whole world maps inside a circle of radius pi*R; the +-180 meridian
+    lies ON it, poles at (0, +-pi R), equator x = R*lambda."""
+
+    def _proj(self):
+        from geopyspark_spark.core.crs import VanDerGrinten, _Ellipsoid
+
+        return VanDerGrinten(_Ellipsoid(1.0, float("inf")), 0.0, 0, 0)
+
+    def test_bounding_circle(self):
+        import math
+
+        v = self._proj()
+        for lat in (0.0, 30.0, 60.0, 85.0, -45.0):
+            x, y = v.forward(180.0, lat)
+            assert abs(math.hypot(float(x), float(y)) - math.pi) < 1e-12
+
+    def test_pole_and_equator(self):
+        import math
+
+        v = self._proj()
+        x, y = v.forward(0.0, 90.0)
+        assert abs(float(x)) < 1e-12 and abs(float(y) - math.pi) < 1e-12
+        x, y = v.forward(90.0, 0.0)
+        assert abs(float(x) - math.pi / 2) < 1e-12 and abs(float(y)) < 1e-12
+
+    def test_roundtrip(self):
+        v = self._proj()
+        rng = np.random.default_rng(31)
+        lon = rng.uniform(-179.0, 179.0, 300)
+        lat = rng.uniform(-85.0, 85.0, 300)
+        lo, la = v.inverse(*v.forward(lon, lat))
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-7)
+
+    def test_proj4_string_parses(self):
+        f = get_transform("epsg:4326", "+proj=vandg +lon_0=0 +a=6371000 +b=6371000")
+        x, y = f(np.array([90.0]), np.array([0.0]))
+        assert abs(x[0] - 6371000 * np.pi / 2) < 1e-3
