@@ -752,3 +752,49 @@ class RasterLayer:
         return self.tile_to_layout(layout).reproject(
             target_crs, resample_method=resample_method
         )
+
+    # --- distributed stats (reference RasterLayer.get_*histogram) --------
+    def _finite_cells(self):
+        return (
+            self.df.select("band", F.explode("cells").alias("v"))
+            .where(~F.isnan("v"))
+        )
+
+    def get_class_histogram(self):
+        """Exact value histogram over the scan (reference ``layer.py:
+        206-221`` on RasterLayer). NoData handling happens at tile time;
+        here every finite cell counts."""
+        from .histogram import Histogram
+
+        rows = (
+            self._finite_cells().groupBy("band", "v").count()
+            .withColumnRenamed("v", "value").collect()
+        )
+        return self._scan_histograms(rows, Histogram, "value")
+
+    def get_histogram(self, num_buckets: int = 80):
+        """Fixed-width bucket histogram over the scan."""
+        from .histogram import Histogram
+
+        lo, hi = self.get_min_max()
+        width = (hi - lo) / num_buckets or 1.0
+        b = F.least(
+            F.lit(num_buckets - 1),
+            F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("int"),
+        )
+        rows = (
+            self._finite_cells().withColumn("bucket", b)
+            .groupBy("band", "bucket").count()
+            .withColumn(
+                "mean_value",
+                (F.lit(lo) + (F.col("bucket") + 0.5) * F.lit(width)),
+            ).collect()
+        )
+        return self._scan_histograms(rows, Histogram, "mean_value")
+
+    def _scan_histograms(self, rows, Histogram, value_field: str):
+        per_band: dict[int, list] = {}
+        for r in rows:
+            per_band.setdefault(r["band"], []).append((r[value_field], r["count"]))
+        hists = [Histogram(v) for _, v in sorted(per_band.items())]
+        return hists[0] if len(hists) == 1 else hists

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import glob
 import json
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -161,6 +162,43 @@ def read_value(uri: str, layer_name: str, zoom: int, col: int, row: int,
     rel = con.sql(q)
     cols = rel.columns
     return [dict(zip(cols, r)) for r in rel.fetchall()]
+
+
+def compact(spark: SparkSession, uri: str, layer_name: str, zoom: int,
+            target_file_mb: int = 128) -> str:
+    """Rewrite a layer with right-sized, z-ordered files.
+
+    Streaming ingest (``streaming/raster.py``) and repeated
+    ``update_layer`` calls leave many small files; small files are the
+    classic object-store scan killer at 100 TB (per-file open latency
+    dominates). Compaction reads the layer, recomputes the file count
+    from the actual on-disk bytes, and rewrites through the same
+    z-ordered writer — the maintenance job every table format schedules
+    (OPTIMIZE in Delta, rewrite_data_files in Iceberg)."""
+    import glob
+    import shutil
+
+    path = _layer_path(uri, layer_name, zoom)
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n = max(1, int(math.ceil(total_bytes / (target_file_mb * 1024 * 1024))))
+    layer = read(spark, uri, layer_name, zoom)
+    from ..core.zindex import z2_col
+
+    out = layer.df.withColumn("zindex", z2_col("key_col", "key_row"))
+    out = out.repartitionByRange(n, "zindex").sortWithinPartitions("zindex")
+    tmp_name = f"{layer_name}__compact_tmp"
+    tmp_path = _layer_path(uri, tmp_name, zoom)
+    out.write.mode("overwrite").parquet(tmp_path)
+    shutil.copy(os.path.join(path, ".metadata.json"),
+                os.path.join(tmp_path, ".metadata.json"))
+    backup = path + ".old"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.replace(path, backup)
+    os.replace(tmp_path, path)
+    shutil.rmtree(backup, ignore_errors=True)
+    shutil.rmtree(os.path.join(uri, tmp_name), ignore_errors=True)
+    return path
 
 
 class ValueReader:

@@ -282,3 +282,27 @@ class TestS3Helpers:
         with pytest.raises(RuntimeError, match="URI type"):
             with set_s3_credentials(spark, "a", "b", "gs"):
                 pass
+
+
+class TestCompaction:
+    """catalog.compact (round 6): the small-files maintenance job."""
+
+    def test_compact_preserves_data_and_shrinks_files(self, spark, f1_layer, tmp_path):
+        import glob as _glob
+
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "c", f1_layer, zoom=0)
+        # fragment: three updates leave extra files
+        for _ in range(2):
+            catalog.update_layer(spark, uri, "c", 0, f1_layer)
+        before = catalog.read(spark, uri, "c", 0)
+        data_before = {(r.key_col, r.key_row): r.cells for r in before.df.collect()}
+        path = catalog.compact(spark, uri, "c", 0, target_file_mb=128)
+        files = _glob.glob(path + "/*.parquet")
+        assert len(files) == 1  # tiny layer -> one right-sized file
+        after = catalog.read(spark, uri, "c", 0)
+        data_after = {(r.key_col, r.key_row): r.cells for r in after.df.collect()}
+        assert data_before == data_after
+        # metadata survives the swap
+        md = catalog.read_layer_metadata(uri, "c", 0)
+        assert md.layout == f1_layer.metadata.layout

@@ -357,3 +357,21 @@ class TestRasterLayerUnion:
         u = gps.union([gps.RasterLayer(df), gps.RasterLayer(df)])
         assert isinstance(u, gps.RasterLayer)
         assert u.count() == 8
+
+
+class TestRasterLayerHistograms:
+    def test_class_histogram(self, spark, f1_layer, tmp_path):
+        p = str(tmp_path / "h.tif")
+        f1_layer.save_stitched(p)
+        df = geotiff.get(spark, p, max_tile_size=5,
+                         sizer=geotiff_codec.sizer, decoder=geotiff_codec.decoder)
+        h = gps.RasterLayer(df).get_class_histogram()
+        assert h.item_count(1.0) == 99 and h.item_count(0.0) == 1
+
+    def test_bucket_histogram(self, spark, f1_layer, tmp_path):
+        p = str(tmp_path / "h2.tif")
+        f1_layer.save_stitched(p)
+        df = geotiff.get(spark, p, max_tile_size=5,
+                         sizer=geotiff_codec.sizer, decoder=geotiff_codec.decoder)
+        h = gps.RasterLayer(df).get_histogram(num_buckets=4)
+        assert h.total_count() == 100
