@@ -102,3 +102,30 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     return joined.where(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     ).drop("_bin")
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: str | list,
+                num_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-resistant equi-join: explode the build side ``num_salts``
+    ways and scatter the probe side with a random-but-deterministic salt
+    (hash of the whole row), so one hot key spreads across
+    ``num_salts`` tasks instead of melting a single reducer.
+
+    The classic manual remedy when AQE's skew-join split cannot engage
+    (e.g. the skew is in a broadcast-ineligible mid-size dim, or the
+    aggregation ABOVE the join is what skews). At 100 TB, one hot join
+    key (a null-ish default id, an empty-text hash) is the rule, not the
+    exception — the salt bound turns the worst task from O(hot-key
+    count) into O(hot-key count / num_salts).
+
+    ``on`` must be equi-join column name(s); ``how``: inner/left.
+    """
+    on_cols = [on] if isinstance(on, str) else list(on)
+    all_left = [F.col(c) for c in left.columns]
+    salted_left = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), num_salts)
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))).alias("_salt")
+    salted_right = right.select("*", salts)
+    out = salted_left.join(salted_right, on_cols + ["_salt"], how)
+    return out.drop("_salt")

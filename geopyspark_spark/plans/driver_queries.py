@@ -4334,6 +4334,38 @@ SELECT key_col, key_row, pos, value FROM coords
 """
 
 
+def q_rel_salted_join(spark, sf_dir):
+    """Skew-resistant salted equi-join under the gate (round 6):
+    lineitem's l_linenumber is a textbook hot key (value 1 dominates);
+    the salt spreads it across num_salts shuffle keys while the result
+    stays identical to the plain join."""
+    from ..functions.relational import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber",
+                                              "l_quantity")
+    dim = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 8)], "l_linenumber int, weight int"
+    )
+    j = salted_join(li, dim.withColumn("l_linenumber",
+                                       F.col("l_linenumber").cast("int")),
+                    "l_linenumber", num_salts=8)
+    return j.groupBy("l_linenumber").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)") * F.col("weight"))
+        .cast("double").alias("wsum"),
+    )
+
+
+SQL_REL_SALTED_JOIN = """
+WITH dim AS (SELECT CAST(r.range + 1 AS INT) AS l_linenumber,
+                    CAST((r.range + 1) * 10 AS INT) AS weight FROM range(7) r)
+SELECT l.l_linenumber, COUNT(*) AS n,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)) * d.weight) AS DOUBLE) AS wsum
+FROM lineitem l JOIN dim d ON CAST(l.l_linenumber AS INT) = d.l_linenumber
+GROUP BY l.l_linenumber
+"""
+
+
 def q_vector_spatial_join(spark, sf_dir):
     """Grid-binned point-in-polygon join under the gate (round 6):
     lineitem-derived points x (2 boxes + 1 triangle) dimension — bin,
@@ -4491,7 +4523,6 @@ def queries():
         # events (rotated in: asof/interval/anomaly/funnel/enriched)
         "events_asof_join": q_events_asof_join,
         "events_interval_join": q_events_interval_join,
-        "events_anomaly": q_events_anomaly,
         "events_funnel": q_events_funnel,
         # raster operators (SURVEY §2) — carried representatives
         "raster_local_algebra": q_raster_local_algebra,
@@ -4531,6 +4562,7 @@ def queries():
         "emb_quantize": q_emb_quantize,
         "vector_spatial_join": q_vector_spatial_join,
         "raster_stream_ingest": q_raster_stream_ingest,
+        "rel_salted_join": q_rel_salted_join,
         "events_stream_stateful": q_events_stream_stateful,
         "multimodal_video": q_multimodal_video,
         "tms_render_tile": q_tms_render_tile,
@@ -4543,6 +4575,7 @@ def queries():
         "raster_with_no_data": q_raster_with_no_data,
         "vector_shapefile": q_vector_shapefile,
         "raster_cog_overview": q_raster_cog_overview,
+        "events_anomaly": q_events_anomaly,
         # ---- entries below are past the driver's 50-entry window ----
         "events_enriched_segment": q_events_enriched_segment,
         "tpch_q4_priority": q_tpch_q4_priority,
@@ -4769,6 +4802,7 @@ def oracle_sql():
         "emb_quantize": SQL_EMB_QUANTIZE,
         "vector_spatial_join": SQL_VECTOR_SPATIAL_JOIN,
         "raster_stream_ingest": SQL_RASTER_STREAM_INGEST,
+        "rel_salted_join": SQL_REL_SALTED_JOIN,
         "events_stream_stateful": SQL_EVENTS_STREAM_STATEFUL,
         "multimodal_video": SQL_MULTIMODAL_VIDEO,
         "tms_render_tile": SQL_TMS_RENDER_TILE,

@@ -169,3 +169,37 @@ class TestPointInPolygonJoin:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Cartesian" not in plan and "NestedLoop" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join(self, spark):
+        from geopyspark_spark.functions.relational import salted_join
+
+        left = spark.createDataFrame(
+            [(i % 3, i) for i in range(300)], "k long, v long"
+        )
+        right = spark.createDataFrame(
+            [(0, "a"), (1, "b"), (2, "c"), (7, "zz")], "k long, tag string"
+        )
+        got = salted_join(left, right, "k").orderBy("v").collect()
+        want = left.join(right, "k").orderBy("v").collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    def test_left_join_keeps_unmatched(self, spark):
+        from geopyspark_spark.functions.relational import salted_join
+
+        left = spark.createDataFrame([(1, 10), (99, 20)], "k long, v long")
+        right = spark.createDataFrame([(1, "x")], "k long, tag string")
+        rows = {r["k"]: r["tag"] for r in salted_join(left, right, "k", how="left").collect()}
+        assert rows[1] == "x" and rows[99] is None
+
+    def test_spreads_hot_key(self, spark):
+        from geopyspark_spark.functions.relational import salted_join
+
+        left = spark.createDataFrame([(0, i) for i in range(1000)], "k long, v long")
+        right = spark.createDataFrame([(0, "hot")], "k long, tag string")
+        out = salted_join(left, right, "k", num_salts=8)
+        # the join key now includes the salt -> 8 distinct shuffle keys
+        assert out.count() == 1000
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" in plan
