@@ -406,3 +406,32 @@ def gopher_filter(df: DataFrame, text_col: str = "text",
     for k in rules:
         keep = keep & (F.col(k) == 1)
     return out.withColumn("keep", keep.cast("int"))
+
+
+def stratified_sample(df: DataFrame, rates_ppm: dict[str, int],
+                      strata_col: str = "source", seed: int = 42,
+                      id_col: str = "doc_id",
+                      default_ppm: int = 0) -> DataFrame:
+    """Per-stratum deterministic sampling — the domain-mixing primitive
+    (upsample curated sources, downsample web crawl): each stratum gets
+    its own keep-rate, membership still depends only on (id, seed) so the
+    mix is stable across reruns and cluster sizes. Strata missing from
+    ``rates_ppm`` fall back to ``default_ppm`` (0 = drop).
+
+    One scan, no shuffle: the per-stratum threshold joins in as a
+    CASE expression, the hash test is the same seeded md5 as
+    :func:`deterministic_sample`.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                ":", F.col(id_col).cast("string"), F.lit(str(seed))
+            )),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    thr = F.lit(int(default_ppm))
+    for k, v in sorted(rates_ppm.items()):
+        thr = F.when(F.col(strata_col) == k, F.lit(int(v))).otherwise(thr)
+    return df.where(h % 1_000_000 < thr)

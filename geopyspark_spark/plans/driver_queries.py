@@ -3165,6 +3165,25 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
 """
 
 
+def q_text_stratified_sample(spark, sf_dir):
+    """Per-source deterministic sampling under the gate (round 6): the
+    domain-mixing primitive — each source stratum keeps its own rate,
+    unlisted strata drop, membership depends only on (doc_id, seed)."""
+    return ftext.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 600_000, "src1": 150_000}, strata_col="source", seed=42,
+    ).select("doc_id", "lang", "source")
+
+
+SQL_TEXT_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+      % 1000000 <
+      CASE WHEN source = 'src0' THEN 600000
+           WHEN source = 'src1' THEN 150000 ELSE 0 END
+"""
+
+
 def q_text_lang_scores(spark, sf_dir):
     return ftext.lang_scores(_t(spark, sf_dir, "documents"))
 
@@ -4563,6 +4582,7 @@ def queries():
         "vector_spatial_join": q_vector_spatial_join,
         "raster_stream_ingest": q_raster_stream_ingest,
         "rel_salted_join": q_rel_salted_join,
+        "text_stratified_sample": q_text_stratified_sample,
         "events_stream_stateful": q_events_stream_stateful,
         "multimodal_video": q_multimodal_video,
         "tms_render_tile": q_tms_render_tile,
@@ -4575,8 +4595,8 @@ def queries():
         "raster_with_no_data": q_raster_with_no_data,
         "vector_shapefile": q_vector_shapefile,
         "raster_cog_overview": q_raster_cog_overview,
-        "events_anomaly": q_events_anomaly,
         # ---- entries below are past the driver's 50-entry window ----
+        "events_anomaly": q_events_anomaly,
         "events_enriched_segment": q_events_enriched_segment,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q10_returned": q_tpch_q10_returned,
@@ -4803,6 +4823,7 @@ def oracle_sql():
         "vector_spatial_join": SQL_VECTOR_SPATIAL_JOIN,
         "raster_stream_ingest": SQL_RASTER_STREAM_INGEST,
         "rel_salted_join": SQL_REL_SALTED_JOIN,
+        "text_stratified_sample": SQL_TEXT_STRATIFIED_SAMPLE,
         "events_stream_stateful": SQL_EVENTS_STREAM_STATEFUL,
         "multimodal_video": SQL_MULTIMODAL_VIDEO,
         "tms_render_tile": SQL_TMS_RENDER_TILE,

@@ -672,3 +672,30 @@ class TestEmbeddingQuantization:
         )
         q = fsim.quantize_embeddings(df).collect()[0]
         assert q["qvec"] == [127, -127, 64]  # 1.5/ (3/127) = 63.5 -> half-up 64
+
+
+class TestStratifiedSample:
+    def test_per_stratum_rates(self, spark):
+        rows = [(i, f"src{i % 2}") for i in range(4000)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = ftext.stratified_sample(
+            df, {"src0": 500_000, "src1": 100_000}).collect()
+        n0 = sum(1 for r in out if r["source"] == "src0")
+        n1 = sum(1 for r in out if r["source"] == "src1")
+        assert 0.4 < n0 / 2000 < 0.6
+        assert 0.05 < n1 / 2000 < 0.16
+
+    def test_default_drops_unlisted(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "doc_id long, source string"
+        )
+        assert ftext.stratified_sample(df, {"a": 1_000_000}).count() == 1
+
+    def test_membership_is_stable_and_consistent_with_uniform(self, spark):
+        rows = [(i, "s") for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        a = {r["doc_id"] for r in
+             ftext.stratified_sample(df, {"s": 250_000}, seed=7).collect()}
+        b = {r["doc_id"] for r in
+             ftext.deterministic_sample(df, 250_000, seed=7).collect()}
+        assert a == b  # same hash stream -> same members at equal rates
