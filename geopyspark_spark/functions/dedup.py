@@ -477,3 +477,41 @@ def dedup_documents(df: DataFrame, num_hashes: int = 16, bands: int = 4,
         "doc_id", "component",
         (F.col("doc_id") == F.col("component")).alias("keep"),
     )
+
+
+def duplicate_spans(df: DataFrame, n: int = 20, text_col: str = "text",
+                    min_occurrences: int = 2) -> DataFrame:
+    """Cross-document duplicated n-token span detection — the distributed
+    core of exact-substring deduplication (Lee et al. 2022: removing
+    long repeated substrings beats document-level dedup). Every n-token
+    window becomes a row keyed by its span text; spans occurring
+    ``min_occurrences``+ times across the corpus come back with every
+    (doc_id, token position) they occur at, ready for span-masking or
+    doc filtering.
+
+    One explode + one groupBy-count (map-side combined) + one semi-join
+    back to positions — shuffle keys are span texts, so load spreads by
+    content; degenerate all-identical corpora are the LSH skew guard's
+    territory, not this operator's.
+    """
+    toks = df.select("doc_id", tokens_col(text_col).alias("toks"))
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(toks) < {n} THEN array() "
+                f"ELSE transform(sequence(1, size(toks) - {n - 1}), "
+                f"i -> concat_ws(' ', slice(toks, i, {n}))) END"
+            )
+        ).alias("pos", "span"),
+    )
+    counts = (
+        spans.groupBy("span")
+        .agg(F.count("*").alias("n_occurrences"),
+             F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_occurrences") >= min_occurrences)
+    )
+    return (
+        spans.join(counts, "span")
+        .select("doc_id", "pos", "span", "n_occurrences", "n_docs")
+    )

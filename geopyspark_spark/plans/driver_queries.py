@@ -3184,6 +3184,37 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
 """
 
 
+def q_text_duplicate_spans(spark, sf_dir):
+    """Cross-document duplicated n-token spans under the gate (round 6):
+    the exact-substring-dedup primitive (Lee et al. 2022). Summarized
+    per document (spark-side span rows hash-match the SQL recompute via
+    the per-doc aggregate, keeping the result compact)."""
+    out = fdedup.duplicate_spans(_t(spark, sf_dir, "documents"), n=8)
+    return out.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_windows"),
+        F.max("n_occurrences").alias("max_occ"),
+    )
+
+
+SQL_TEXT_DUPLICATE_SPANS = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+         || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6]
+         || ' ' || toks[i+7] AS span
+  FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i)
+), c AS (
+  SELECT span, COUNT(*) AS n_occurrences FROM s GROUP BY span
+  HAVING COUNT(*) >= 2
+)
+SELECT s.doc_id, COUNT(*) AS n_dup_windows, MAX(c.n_occurrences) AS max_occ
+FROM s JOIN c USING (span)
+GROUP BY s.doc_id
+"""
+
+
 def q_text_lang_scores(spark, sf_dir):
     return ftext.lang_scores(_t(spark, sf_dir, "documents"))
 
@@ -4542,7 +4573,6 @@ def queries():
         # events (rotated in: asof/interval/anomaly/funnel/enriched)
         "events_asof_join": q_events_asof_join,
         "events_interval_join": q_events_interval_join,
-        "events_funnel": q_events_funnel,
         # raster operators (SURVEY §2) — carried representatives
         "raster_local_algebra": q_raster_local_algebra,
         "raster_focal_sum": q_raster_focal_sum,
@@ -4583,6 +4613,7 @@ def queries():
         "raster_stream_ingest": q_raster_stream_ingest,
         "rel_salted_join": q_rel_salted_join,
         "text_stratified_sample": q_text_stratified_sample,
+        "text_duplicate_spans": q_text_duplicate_spans,
         "events_stream_stateful": q_events_stream_stateful,
         "multimodal_video": q_multimodal_video,
         "tms_render_tile": q_tms_render_tile,
@@ -4597,6 +4628,7 @@ def queries():
         "raster_cog_overview": q_raster_cog_overview,
         # ---- entries below are past the driver's 50-entry window ----
         "events_anomaly": q_events_anomaly,
+        "events_funnel": q_events_funnel,
         "events_enriched_segment": q_events_enriched_segment,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q10_returned": q_tpch_q10_returned,
@@ -4824,6 +4856,7 @@ def oracle_sql():
         "raster_stream_ingest": SQL_RASTER_STREAM_INGEST,
         "rel_salted_join": SQL_REL_SALTED_JOIN,
         "text_stratified_sample": SQL_TEXT_STRATIFIED_SAMPLE,
+        "text_duplicate_spans": SQL_TEXT_DUPLICATE_SPANS,
         "events_stream_stateful": SQL_EVENTS_STREAM_STATEFUL,
         "multimodal_video": SQL_MULTIMODAL_VIDEO,
         "tms_render_tile": SQL_TMS_RENDER_TILE,

@@ -699,3 +699,33 @@ class TestStratifiedSample:
         b = {r["doc_id"] for r in
              ftext.deterministic_sample(df, 250_000, seed=7).collect()}
         assert a == b  # same hash stream -> same members at equal rates
+
+
+class TestDuplicateSpans:
+    def test_cross_doc_spans_found(self, spark):
+        shared = "one two three four five"
+        df = spark.createDataFrame(
+            [(1, f"aa bb {shared} cc"),
+             (2, f"xx {shared} yy zz"),
+             (3, "totally unrelated words here indeed")],
+            "doc_id long, text string",
+        )
+        out = fdedup.duplicate_spans(df, n=5).collect()
+        hits = {(r["doc_id"], r["span"]) for r in out}
+        assert (1, shared) in hits and (2, shared) in hits
+        assert all(r["doc_id"] != 3 for r in out)
+        # position is the token offset of the window
+        pos = {r["doc_id"]: r["pos"] for r in out if r["span"] == shared}
+        assert pos[1] == 2 and pos[2] == 1
+
+    def test_within_doc_repeat_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "p q r p q r p q r")], "doc_id long, text string"
+        )
+        out = fdedup.duplicate_spans(df, n=3).collect()
+        reps = [r for r in out if r["span"] == "p q r"]
+        assert len(reps) == 3 and all(r["n_docs"] == 1 for r in reps)
+
+    def test_short_docs_no_spans(self, spark):
+        df = spark.createDataFrame([(1, "too short")], "doc_id long, text string")
+        assert fdedup.duplicate_spans(df, n=5).count() == 0
