@@ -435,3 +435,71 @@ def stratified_sample(df: DataFrame, rates_ppm: dict[str, int],
     for k, v in sorted(rates_ppm.items()):
         thr = F.when(F.col(strata_col) == k, F.lit(int(v))).otherwise(thr)
     return df.where(h % 1_000_000 < thr)
+
+
+def prepare_corpus(df: DataFrame, bench_df: DataFrame | None = None,
+                   text_col: str = "text", strata_rates_ppm: dict | None = None,
+                   strata_col: str = "source", seed: int = 42,
+                   contamination_n: int = 5,
+                   **gopher_kwargs) -> DataFrame:
+    """End-to-end corpus preparation with per-document drop reasons —
+    the composition a training-data pipeline actually runs:
+
+    1. Gopher-rules quality filter (:func:`gopher_filter`);
+    2. exact dedup (identical text keeps only the smallest doc_id);
+    3. benchmark n-gram contamination (:func:`benchmark_overlap`,
+       skipped when ``bench_df`` is None);
+    4. stratified sampling (:func:`stratified_sample` semantics,
+       skipped when ``strata_rates_ppm`` is None).
+
+    Output: (doc_id, keep int, reason string) with the FIRST failing
+    stage as the reason ('quality' | 'exact_dup' | 'contaminated' |
+    'sampled_out' | 'kept') — auditable drop attribution per stage.
+    Every stage is one scan or one hash aggregate; the whole pipeline
+    shuffles on text (dedup) and n-grams (contamination) only.
+    """
+    from pyspark.sql import Window as W
+
+    q = gopher_filter(df, text_col=text_col, **gopher_kwargs).select(
+        "doc_id", F.col("keep").alias("_q_ok")
+    )
+    first = df.select(
+        "doc_id",
+        (F.row_number().over(
+            W.partitionBy(F.col(text_col)).orderBy("doc_id")) == 1
+         ).cast("int").alias("_first_of_text"),
+    )
+    out = df.select("doc_id", *( [strata_col] if strata_rates_ppm else [] )) \
+            .join(q, "doc_id").join(first, "doc_id")
+    if bench_df is not None:
+        cont = benchmark_overlap(df, bench_df, n=contamination_n,
+                                 text_col=text_col).select(
+            "doc_id", (F.col("n_overlap") > 0).cast("int").alias("_contaminated")
+        )
+        out = out.join(cont, "doc_id")
+    else:
+        out = out.withColumn("_contaminated", F.lit(0))
+    if strata_rates_ppm is not None:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                                  F.lit(str(seed)))), 1, 15), 16, 10
+        ).cast("long")
+        thr = F.lit(0)
+        for k, v in sorted(strata_rates_ppm.items()):
+            thr = F.when(F.col(strata_col) == k, F.lit(int(v))).otherwise(thr)
+        out = out.withColumn("_sampled", (h % 1_000_000 < thr).cast("int"))
+    else:
+        out = out.withColumn("_sampled", F.lit(1))
+    reason = (
+        F.when(F.col("_q_ok") == 0, F.lit("quality"))
+        .when(F.col("_first_of_text") == 0, F.lit("exact_dup"))
+        .when(F.col("_contaminated") == 1, F.lit("contaminated"))
+        .when(F.col("_sampled") == 0, F.lit("sampled_out"))
+        .otherwise(F.lit("kept"))
+    )
+    return out.select(
+        "doc_id",
+        (reason == "kept").cast("int").alias("keep"),
+        reason.alias("reason"),
+    )

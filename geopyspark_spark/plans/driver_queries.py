@@ -3215,6 +3215,83 @@ GROUP BY s.doc_id
 """
 
 
+def q_text_prepare_corpus(spark, sf_dir):
+    """The end-to-end corpus-preparation pipeline under the gate (round
+    6): gopher quality -> exact dedup -> benchmark contamination ->
+    stratified sampling, with first-failing-stage attribution per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return ftext.prepare_corpus(
+        docs, bench_df=bench,
+        strata_rates_ppm={"src0": 900_000, "src1": 400_000, "src2": 900_000,
+                          "src3": 900_000, "src4": 900_000},
+        min_tokens=20, max_mean_word_len=6.0, max_top_2gram_frac=0.12,
+        min_stopword_hits=1,
+    )
+
+
+SQL_TEXT_PREPARE_CORPUS = (r"""
+WITH t AS (
+  SELECT doc_id, text, source,
+         string_split_regex(trim(text), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), g AS (
+  SELECT doc_id, text, source, toks, lines,
+    CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i + 1]) END AS g2
+  FROM t
+), q AS (
+  SELECT doc_id, text, source, toks,
+    CAST(len(toks) >= 20 AND len(toks) <= 100000
+     AND (CASE WHEN len(toks) > 0
+          THEN CAST(list_aggregate(list_transform(toks, x -> strlen(x)), 'sum') AS DOUBLE) / len(toks)
+          ELSE 0.0 END) BETWEEN 2.0 AND 6.0
+     AND (CASE WHEN len(lines) > 0
+          THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+          ELSE 0.0 END) <= 0.5
+     AND (CASE WHEN len(g2) > 0
+          THEN CAST(COALESCE(list_max(list_transform(list_distinct(g2),
+               x -> len(list_filter(g2, y -> y = x)))), 0) AS DOUBLE) / len(g2)
+          ELSE 0.0 END) <= 0.12
+     AND len(list_filter(toks, x -> list_contains([{SW}], lower(x)))) >= 1
+     AS INT) AS q_ok,
+    CAST(row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1 AS INT) AS first_of_text
+  FROM g
+), ng AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, len(toks) - 4),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                   || toks[i+3] || ' ' || toks[i+4]) END AS ng
+  FROM t
+), bench AS (
+  SELECT DISTINCT gr FROM (SELECT unnest(ng) AS gr FROM ng WHERE doc_id % 97 = 0)
+), hits AS (
+  SELECT doc_id, COUNT(*) AS n FROM (
+    SELECT doc_id, unnest(list_distinct(ng)) AS gr FROM ng
+  ) JOIN bench USING (gr) GROUP BY doc_id
+), lab AS (
+  SELECT q.doc_id,
+    CASE
+      WHEN q.q_ok = 0 THEN 'quality'
+      WHEN q.first_of_text = 0 THEN 'exact_dup'
+      WHEN COALESCE(h.n, 0) > 0 THEN 'contaminated'
+      WHEN ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+           % 1000000 >=
+           CASE q.source WHEN 'src0' THEN 900000 WHEN 'src1' THEN 400000
+                WHEN 'src2' THEN 900000 WHEN 'src3' THEN 900000
+                WHEN 'src4' THEN 900000 ELSE 0 END
+        THEN 'sampled_out'
+      ELSE 'kept'
+    END AS reason
+  FROM q LEFT JOIN hits h ON q.doc_id = h.doc_id
+)
+SELECT doc_id, CAST(reason = 'kept' AS INT) AS keep, reason FROM lab
+""").replace("{SW}", ", ".join(f"'{w}'" for w in ftext.STOPWORDS_EN))
+
+
 def q_text_lang_scores(spark, sf_dir):
     return ftext.lang_scores(_t(spark, sf_dir, "documents"))
 
@@ -4572,7 +4649,6 @@ def queries():
         # relational surface (rotated in: q4/q10/q14)
         # events (rotated in: asof/interval/anomaly/funnel/enriched)
         "events_asof_join": q_events_asof_join,
-        "events_interval_join": q_events_interval_join,
         # raster operators (SURVEY §2) — carried representatives
         "raster_local_algebra": q_raster_local_algebra,
         "raster_focal_sum": q_raster_focal_sum,
@@ -4614,6 +4690,7 @@ def queries():
         "rel_salted_join": q_rel_salted_join,
         "text_stratified_sample": q_text_stratified_sample,
         "text_duplicate_spans": q_text_duplicate_spans,
+        "text_prepare_corpus": q_text_prepare_corpus,
         "events_stream_stateful": q_events_stream_stateful,
         "multimodal_video": q_multimodal_video,
         "tms_render_tile": q_tms_render_tile,
@@ -4627,6 +4704,7 @@ def queries():
         "vector_shapefile": q_vector_shapefile,
         "raster_cog_overview": q_raster_cog_overview,
         # ---- entries below are past the driver's 50-entry window ----
+        "events_interval_join": q_events_interval_join,
         "events_anomaly": q_events_anomaly,
         "events_funnel": q_events_funnel,
         "events_enriched_segment": q_events_enriched_segment,
@@ -4857,6 +4935,7 @@ def oracle_sql():
         "rel_salted_join": SQL_REL_SALTED_JOIN,
         "text_stratified_sample": SQL_TEXT_STRATIFIED_SAMPLE,
         "text_duplicate_spans": SQL_TEXT_DUPLICATE_SPANS,
+        "text_prepare_corpus": SQL_TEXT_PREPARE_CORPUS,
         "events_stream_stateful": SQL_EVENTS_STREAM_STATEFUL,
         "multimodal_video": SQL_MULTIMODAL_VIDEO,
         "tms_render_tile": SQL_TMS_RENDER_TILE,

@@ -729,3 +729,36 @@ class TestDuplicateSpans:
     def test_short_docs_no_spans(self, spark):
         df = spark.createDataFrame([(1, "too short")], "doc_id long, text string")
         assert fdedup.duplicate_spans(df, n=5).count() == 0
+
+
+class TestPrepareCorpus:
+    def test_stage_attribution(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog today", "s"),
+            (2, "the quick brown fox jumps over the lazy dog today", "s"),  # exact dup of 1
+            (3, "x", "s"),                                                  # too short
+            (4, "the contaminated document matches benchmark five gram text here", "s"),
+            (5, "a perfectly unique and reasonable document about the weather", "s"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        bench = spark.createDataFrame(
+            [(99, "document matches benchmark five gram")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r["reason"] for r in ftext.prepare_corpus(
+            df, bench_df=bench, min_tokens=5).collect()}
+        assert out[1] == "kept"
+        assert out[2] == "exact_dup"
+        assert out[3] == "quality"
+        assert out[4] == "contaminated"
+        assert out[5] == "kept"
+
+    def test_sampling_stage(self, spark):
+        rows = [(i, f"unique document number {i} with plenty of distinct words", "web")
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = ftext.prepare_corpus(df, strata_rates_ppm={"web": 300_000},
+                                   min_tokens=3).collect()
+        reasons = {r["reason"] for r in out}
+        assert reasons == {"kept", "sampled_out"}
+        kept = sum(1 for r in out if r["keep"] == 1)
+        assert 0.2 < kept / 200 < 0.4
