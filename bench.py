@@ -40,9 +40,12 @@ HEADLINE = [
     "emb_near_dup",
     "emb_near_dup_lsh",
     "multimodal_features",
-    # round-6 additions: repetition-quality + contamination filters
+    # round-6 additions: repetition-quality + contamination filters,
+    # the end-to-end corpus pipeline, and the grid-binned spatial join
     "text_repetition",
     "text_contamination",
+    "text_prepare_corpus",
+    "vector_spatial_join",
 ]
 
 

@@ -2132,6 +2132,14 @@ q_raster_reproject_aeqd = _make_reproject_nn_query(
     gates the new azimuthal family through the distributed warp.""",
 )
 
+q_raster_reproject_ortho = _make_reproject_nn_query(
+    "+proj=ortho +lat_0=16 +lon_0=16 +ellps=WGS84",
+    """NN warp 4326 -> ellipsoidal orthographic (EPSG 9840; GN7-2-pinned
+    kernel with the damped-Newton inverse) centered in the fixture
+    extent — gates the view-from-infinity family through the
+    distributed warp (round 6).""",
+)
+
 
 def q_raster_geotiff_roundtrip(spark, sf_dir):
     """Encoder path under the oracle gate (round 6, VERDICT r5 #9): every
@@ -4642,7 +4650,6 @@ def queries():
     return {
         # ---- driver window (50) ----
         # text / dedup (LLM pipeline)
-        "text_minhash": q_text_minhash,
         "text_lsh_pairs": q_text_lsh_pairs,
         # embeddings (similarity search)
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
@@ -4681,6 +4688,7 @@ def queries():
         # (token_count/dedup_pipeline/emb_knn/multimodal/session/zonal/mask)
         "raster_reproject_cass": q_raster_reproject_cass,
         "raster_reproject_aeqd": q_raster_reproject_aeqd,
+        "raster_reproject_ortho": q_raster_reproject_ortho,
         "text_repetition": q_text_repetition,
         "text_contamination": q_text_contamination,
         "text_gopher_filter": q_text_gopher_filter,
@@ -4704,6 +4712,7 @@ def queries():
         "vector_shapefile": q_vector_shapefile,
         "raster_cog_overview": q_raster_cog_overview,
         # ---- entries below are past the driver's 50-entry window ----
+        "text_minhash": q_text_minhash,
         "events_interval_join": q_events_interval_join,
         "events_anomaly": q_events_anomaly,
         "events_funnel": q_events_funnel,
@@ -4926,6 +4935,8 @@ def oracle_sql():
             "+proj=cass +lat_0=16 +lon_0=16 +ellps=WGS84"),
         "raster_reproject_aeqd": _sql_reproject_nn(
             "+proj=aeqd +lat_0=16 +lon_0=16 +ellps=WGS84"),
+        "raster_reproject_ortho": _sql_reproject_nn(
+            "+proj=ortho +lat_0=16 +lon_0=16 +ellps=WGS84"),
         "text_repetition": SQL_TEXT_REPETITION,
         "text_contamination": SQL_TEXT_CONTAMINATION,
         "text_gopher_filter": SQL_TEXT_GOPHER_FILTER,
