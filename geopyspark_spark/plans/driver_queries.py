@@ -2581,6 +2581,41 @@ GROUP BY user_id
 """
 
 
+def q_events_retention(spark, sf_dir):
+    """Cohort retention matrix (round 6): users cohorted by first-seen
+    week, counted per (cohort week, weeks-since-cohort) — the classic
+    product-analytics triangle. Two hash aggregates (first-seen, then
+    the matrix); integers throughout so the oracle is exact."""
+    ev = _events(spark, sf_dir)
+    wk = F.floor(F.unix_timestamp("ts") / (7 * 86400)).cast("long")
+    base = ev.where(F.col("user_id").isNotNull()).select(
+        "user_id", wk.alias("week")
+    )
+    cohort = base.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    j = base.join(cohort, "user_id")
+    return (
+        j.groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH base AS (
+  SELECT user_id, CAST(floor(epoch(ts) / (7 * 86400)) AS BIGINT) AS week
+  FROM events WHERE user_id IS NOT NULL
+), cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM base GROUP BY user_id
+)
+SELECT c.cohort_week, b.week - c.cohort_week AS week_offset,
+       COUNT(DISTINCT b.user_id) AS n_users
+FROM base b JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_events_funnel(spark, sf_dir):
     """Conversion funnel: users who signed up, then viewed after signing
     up, then purchased after viewing — ordered-sequence matching via
@@ -4652,7 +4687,6 @@ def queries():
         # text / dedup (LLM pipeline)
         "text_lsh_pairs": q_text_lsh_pairs,
         # embeddings (similarity search)
-        "emb_near_dup_lsh": q_emb_near_dup_lsh,
         # relational surface (rotated in: q4/q10/q14)
         # events (rotated in: asof/interval/anomaly/funnel/enriched)
         "events_asof_join": q_events_asof_join,
@@ -4699,6 +4733,7 @@ def queries():
         "text_stratified_sample": q_text_stratified_sample,
         "text_duplicate_spans": q_text_duplicate_spans,
         "text_prepare_corpus": q_text_prepare_corpus,
+        "events_retention": q_events_retention,
         "events_stream_stateful": q_events_stream_stateful,
         "multimodal_video": q_multimodal_video,
         "tms_render_tile": q_tms_render_tile,
@@ -4712,6 +4747,7 @@ def queries():
         "vector_shapefile": q_vector_shapefile,
         "raster_cog_overview": q_raster_cog_overview,
         # ---- entries below are past the driver's 50-entry window ----
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "text_minhash": q_text_minhash,
         "events_interval_join": q_events_interval_join,
         "events_anomaly": q_events_anomaly,
@@ -4947,6 +4983,7 @@ def oracle_sql():
         "text_stratified_sample": SQL_TEXT_STRATIFIED_SAMPLE,
         "text_duplicate_spans": SQL_TEXT_DUPLICATE_SPANS,
         "text_prepare_corpus": SQL_TEXT_PREPARE_CORPUS,
+        "events_retention": SQL_EVENTS_RETENTION,
         "events_stream_stateful": SQL_EVENTS_STREAM_STATEFUL,
         "multimodal_video": SQL_MULTIMODAL_VIDEO,
         "tms_render_tile": SQL_TMS_RENDER_TILE,
