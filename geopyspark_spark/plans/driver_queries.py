@@ -2616,6 +2616,34 @@ GROUP BY 1, 2
 """
 
 
+def q_events_percentiles(spark, sf_dir):
+    """Exact per-type value percentiles (round 6): Spark's ``percentile``
+    and DuckDB's ``quantile_cont`` share the linear-interpolation (type
+    7) definition, so p50/p90/p99 hash-match exactly. The exact
+    percentile is a sort-based aggregate; the documented scale path is
+    ``approx_percentile`` (t-digest) when a full sort per group is too
+    dear — the fixture gate pins the exact semantics."""
+    ev = _events(spark, sf_dir)
+    p = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("p")
+    )
+    return p.select(
+        "event_type",
+        F.round(F.col("p")[0], 6).alias("p50"),
+        F.round(F.col("p")[1], 6).alias("p90"),
+        F.round(F.col("p")[2], 6).alias("p99"),
+    )
+
+
+SQL_EVENTS_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def q_events_funnel(spark, sf_dir):
     """Conversion funnel: users who signed up, then viewed after signing
     up, then purchased after viewing — ordered-sequence matching via
@@ -4685,7 +4713,6 @@ def queries():
     return {
         # ---- driver window (50) ----
         # text / dedup (LLM pipeline)
-        "text_lsh_pairs": q_text_lsh_pairs,
         # embeddings (similarity search)
         # relational surface (rotated in: q4/q10/q14)
         # events (rotated in: asof/interval/anomaly/funnel/enriched)
@@ -4734,6 +4761,7 @@ def queries():
         "text_duplicate_spans": q_text_duplicate_spans,
         "text_prepare_corpus": q_text_prepare_corpus,
         "events_retention": q_events_retention,
+        "events_percentiles": q_events_percentiles,
         "events_stream_stateful": q_events_stream_stateful,
         "multimodal_video": q_multimodal_video,
         "tms_render_tile": q_tms_render_tile,
@@ -4747,6 +4775,7 @@ def queries():
         "vector_shapefile": q_vector_shapefile,
         "raster_cog_overview": q_raster_cog_overview,
         # ---- entries below are past the driver's 50-entry window ----
+        "text_lsh_pairs": q_text_lsh_pairs,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "text_minhash": q_text_minhash,
         "events_interval_join": q_events_interval_join,
@@ -4984,6 +5013,7 @@ def oracle_sql():
         "text_duplicate_spans": SQL_TEXT_DUPLICATE_SPANS,
         "text_prepare_corpus": SQL_TEXT_PREPARE_CORPUS,
         "events_retention": SQL_EVENTS_RETENTION,
+        "events_percentiles": SQL_EVENTS_PERCENTILES,
         "events_stream_stateful": SQL_EVENTS_STREAM_STATEFUL,
         "multimodal_video": SQL_MULTIMODAL_VIDEO,
         "tms_render_tile": SQL_TMS_RENDER_TILE,
