@@ -203,3 +203,44 @@ class TestSaltedJoin:
         assert out.count() == 1000
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "_salt" in plan
+
+
+class TestDistributedPolygonJoin:
+    def test_matches_driver_list_variant(self, spark):
+        import geopyspark_spark as gps
+        from geopyspark_spark.core.geom import to_wkb
+        from geopyspark_spark.operators.spatial_join import (
+            point_in_polygon_join, point_in_polygon_join_distributed)
+
+        rows = [(i, float(i % 25), float(i // 25)) for i in range(625)]
+        pts = spark.createDataFrame(rows, "pt_id long, x double, y double")
+        geoms = [
+            ("a", gps.box(2.3, 2.3, 9.7, 9.7)),
+            ("b", gps.from_wkt("POLYGON ((12.1 0.4, 24.3 1.2, 14.2 18.9, 12.1 0.4))")),
+            ("c", gps.box(-5.0, -5.0, 0.7, 0.7)),
+        ]
+        ref = {(r["pt_id"], r["poly_id"])
+               for r in point_in_polygon_join(pts, geoms, cell_size=6.0).collect()}
+        polys_df = spark.createDataFrame(
+            [(pid, bytearray(to_wkb(g))) for pid, g in geoms],
+            "poly_id string, wkb binary",
+        )
+        got = {(r["pt_id"], r["poly_id"])
+               for r in point_in_polygon_join_distributed(
+                   pts, polys_df, cell_size=6.0).collect()}
+        assert got == ref and len(got) > 0
+
+    def test_no_cartesian(self, spark):
+        import geopyspark_spark as gps
+        from geopyspark_spark.core.geom import to_wkb
+        from geopyspark_spark.operators.spatial_join import (
+            point_in_polygon_join_distributed)
+
+        pts = spark.createDataFrame([(1, 1.0, 1.0)], "pt_id long, x double, y double")
+        polys_df = spark.createDataFrame(
+            [("a", bytearray(to_wkb(gps.box(0, 0, 2, 2))))],
+            "poly_id string, wkb binary",
+        )
+        out = point_in_polygon_join_distributed(pts, polys_df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in plan and "NestedLoop" not in plan
