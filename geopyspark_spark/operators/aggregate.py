@@ -176,3 +176,53 @@ def quantile_breaks_df(layer: "TiledRasterLayer", num_breaks: int,
     arr = long.select(fn("value", F.array(*[F.lit(q) for q in qs])).alias("q"))
     return arr.select(F.posexplode("q").alias("i", "break_value")).select(
         (F.col("i") + 1).cast("int").alias("break_idx"), "break_value")
+
+
+def temporal_moving_average(layer, k: int = 3):
+    """Per-pixel rolling mean over a SPACETIME layer's instants
+    (beyond-reference; the temporal smoothing every satellite time-series
+    pipeline runs). For each tile pixel, the value at instant i becomes
+    the mean of its non-NoData values over the tile's last ``k`` present
+    instants (missing/NoData cells are skipped; all-NoData windows stay
+    NoData).
+
+    ONE shuffle on (key, band): each group holds one tile's full instant
+    stack, the rolling mean vectorizes over the (instants, cells) array.
+    Cell values are integer-valued doubles in this engine's fixtures, so
+    the float sum is order-exact and the DuckDB oracle reproduces it
+    bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..layer import TiledRasterLayer
+
+    assert layer.is_temporal, "temporal_moving_average requires SPACETIME"
+    md = layer.metadata
+    nd = md.nodata
+    fill = float("nan") if nd is None else float(nd)
+
+    def roll(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("instant")
+        arr = np.stack([np.asarray(c, dtype=np.float64) for c in pdf["cells"]])
+        a = arr.copy()
+        if nd is not None:
+            a[a == nd] = np.nan
+        out = np.empty_like(a)
+        n_inst = a.shape[0]
+        for i in range(n_inst):
+            lo = max(0, i - k + 1)
+            with np.errstate(invalid="ignore"):
+                s = np.nansum(a[lo:i + 1], axis=0)
+                c = np.sum(~np.isnan(a[lo:i + 1]), axis=0)
+            out[i] = np.where(c > 0, s / np.maximum(c, 1), fill)
+        res = pdf[[c for c in pdf.columns if c != "cells"]].copy()
+        res["cells"] = [np.nan_to_num(row, nan=fill).tolist() for row in out]
+        return res
+
+    cols = [c for c in layer.df.columns]
+    out_df = (
+        layer.df.groupBy("key_col", "key_row", "band")
+        .applyInPandas(roll, schema=layer.df.schema)
+    )
+    return TiledRasterLayer(out_df.select(*cols), md)

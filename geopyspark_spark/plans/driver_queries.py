@@ -555,6 +555,65 @@ FROM tcells WHERE instant = TIMESTAMP '1995-03-01'
 """
 
 
+def q_raster_temporal_rolling(spark, sf_dir):
+    """Per-pixel rolling mean over a SPACETIME layer's instants (round
+    6): one shuffle on (key, band), each tile's instant stack rolled
+    vectorized; NoData skipped inside the window. Integer-valued cells
+    keep the float mean order-exact vs the SQL window AVG."""
+    from ..operators.aggregate import temporal_moving_average
+
+    layer = _spacetime_layer(spark, sf_dir)
+    out = temporal_moving_average(layer, k=3)
+    long = out.explode().where(~_is_nd(F.col("value"), layer.nodata))
+    return long.select(
+        "key_col", "key_row",
+        F.col("instant").cast("date").alias("month"),
+        "pos", "value",
+    )
+
+
+SQL_RASTER_TEMPORAL_ROLLING = f"""
+WITH tcells AS (
+  SELECT * FROM (
+    SELECT CAST(l_orderkey % {LAYOUT_N} AS INT) AS key_col,
+           CAST(l_suppkey % {LAYOUT_N} AS INT) AS key_row,
+           date_trunc('month', l_shipdate) AS instant,
+           row_number() OVER (PARTITION BY l_orderkey % {LAYOUT_N}, l_suppkey % {LAYOUT_N},
+                                           date_trunc('month', l_shipdate)
+                              ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) - 1 AS pos,
+           CAST(l_quantity AS DOUBLE) AS value
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  ) WHERE pos < {TILE * TILE}
+), tile_instants AS (
+  SELECT key_col, key_row, instant,
+         dense_rank() OVER (PARTITION BY key_col, key_row ORDER BY instant) AS rk
+  FROM (SELECT DISTINCT key_col, key_row, instant FROM tcells)
+), ranked AS (
+  SELECT t.key_col, t.key_row, t.instant, ti.rk, t.pos, t.value
+  FROM tcells t JOIN tile_instants ti
+    ON t.key_col = ti.key_col AND t.key_row = ti.key_row AND t.instant = ti.instant
+), base AS (
+  -- every (tile instant) x (pos with any data in that tile) slot, so the
+  -- window sees NoData gaps exactly as the engine's stacked tiles do
+  SELECT ti.key_col, ti.key_row, ti.instant, ti.rk, p.pos, r.value
+  FROM tile_instants ti
+  JOIN (SELECT DISTINCT key_col, key_row, pos FROM tcells) p
+    ON p.key_col = ti.key_col AND p.key_row = ti.key_row
+  LEFT JOIN ranked r
+    ON r.key_col = ti.key_col AND r.key_row = ti.key_row
+   AND r.instant = ti.instant AND r.pos = p.pos
+)
+SELECT key_col, key_row, CAST(instant AS DATE) AS month, CAST(pos AS INT) AS pos, value
+FROM (
+  SELECT key_col, key_row, instant, pos,
+         AVG(value) OVER (PARTITION BY key_col, key_row, pos ORDER BY rk
+                          RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS value
+  FROM base
+) WHERE value IS NOT NULL
+"""
+
+
 def q_raster_histogram_series(spark, sf_dir):
     """Per-instant zonal value counts (the distributed core of
     histogram_series) over the full extent."""
@@ -4718,7 +4777,6 @@ def queries():
         # events (rotated in: asof/interval/anomaly/funnel/enriched)
         "events_asof_join": q_events_asof_join,
         # raster operators (SURVEY §2) — carried representatives
-        "raster_local_algebra": q_raster_local_algebra,
         "raster_focal_sum": q_raster_focal_sum,
         "raster_pyramid": q_raster_pyramid,
         "raster_cost_distance": q_raster_cost_distance,
@@ -4762,6 +4820,7 @@ def queries():
         "text_prepare_corpus": q_text_prepare_corpus,
         "events_retention": q_events_retention,
         "events_percentiles": q_events_percentiles,
+        "raster_temporal_rolling": q_raster_temporal_rolling,
         "events_stream_stateful": q_events_stream_stateful,
         "multimodal_video": q_multimodal_video,
         "tms_render_tile": q_tms_render_tile,
@@ -4775,6 +4834,7 @@ def queries():
         "vector_shapefile": q_vector_shapefile,
         "raster_cog_overview": q_raster_cog_overview,
         # ---- entries below are past the driver's 50-entry window ----
+        "raster_local_algebra": q_raster_local_algebra,
         "text_lsh_pairs": q_text_lsh_pairs,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "text_minhash": q_text_minhash,
@@ -5014,6 +5074,7 @@ def oracle_sql():
         "text_prepare_corpus": SQL_TEXT_PREPARE_CORPUS,
         "events_retention": SQL_EVENTS_RETENTION,
         "events_percentiles": SQL_EVENTS_PERCENTILES,
+        "raster_temporal_rolling": SQL_RASTER_TEMPORAL_ROLLING,
         "events_stream_stateful": SQL_EVENTS_STREAM_STATEFUL,
         "multimodal_video": SQL_MULTIMODAL_VIDEO,
         "tms_render_tile": SQL_TMS_RENDER_TILE,

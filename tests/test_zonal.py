@@ -205,3 +205,35 @@ class TestHistogramSeries:
         assert h1.item_count(2.0) == 2 and h1.item_count(3.0) == 1
         assert h1.total_count() == 3          # nodata excluded
         assert h2.mode() == 5.0 and h2.total_count() == 4
+
+
+class TestTemporalMovingAverage:
+    def test_rolling_skips_nodata(self, spark):
+        import geopyspark_spark as gps
+        from geopyspark_spark.operators.aggregate import temporal_moving_average
+
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64ud-1.0",
+            layout=gps.LayoutDefinition(gps.Extent(0, 0, 2, 2),
+                                        gps.TileLayout(1, 1, 2, 2)),
+            bounds=((0, 0), (0, 0)), extent=gps.Extent(0, 0, 2, 2), num_bands=1,
+        )
+        from datetime import datetime
+        rows = [
+            (0, 0, datetime(2020, 1, 1), 0, [2.0, -1.0, 4.0, 8.0]),
+            (0, 0, datetime(2020, 2, 1), 0, [4.0, 6.0, -1.0, 8.0]),
+            (0, 0, datetime(2020, 3, 1), 0, [6.0, -1.0, -1.0, 2.0]),
+        ]
+        df = spark.createDataFrame(
+            rows, "key_col int, key_row int, instant timestamp, band int, cells array<double>"
+        )
+        out = temporal_moving_average(gps.TiledRasterLayer(df, md), k=3)
+        got = {r["instant"].month: r["cells"] for r in out.df.collect()}
+        # pixel 0: cumulative means 2, 3, 4
+        assert [got[m][0] for m in (1, 2, 3)] == [2.0, 3.0, 4.0]
+        # pixel 1: nd, 6 (only Feb), 6 (Feb only in window)
+        assert [got[m][1] for m in (1, 2, 3)] == [-1.0, 6.0, 6.0]
+        # pixel 2: 4, 4, 4 (only Jan has data)
+        assert [got[m][2] for m in (1, 2, 3)] == [4.0, 4.0, 4.0]
+        # pixel 3: 8, 8, 6
+        assert [got[m][3] for m in (1, 2, 3)] == [8.0, 8.0, 6.0]
