@@ -312,11 +312,25 @@ class TiledRasterLayer:
 
         return zonal.mask_distributed(self, geom_df, geom_col)
 
-    def mask(self, geometries, partial: bool = False) -> "TiledRasterLayer":
+    def mask(self, geometries, partial: bool = False,
+             partition_strategy=None, options=None) -> "TiledRasterLayer":
+        """Reference signature accepted (``layer.py:2044-2103``):
+        ``options`` maps RasterizerOptions.includePartial to ``partial``;
+        a DataFrame of geometries routes to the distributed path; a
+        partition strategy re-partitions the result."""
         from .operators import zonal
 
-        geoms = _normalize_geoms(geometries)
-        return zonal.mask(self, geoms, partial)
+        if options is not None and hasattr(options, "includePartial"):
+            partial = bool(options.includePartial)
+        if isinstance(geometries, DataFrame):
+            out = zonal.mask_distributed(self, geometries)
+        else:
+            out = zonal.mask(self, _normalize_geoms(geometries), partial)
+        if partition_strategy is not None:
+            from .types import apply_partition_strategy
+
+            out = apply_partition_strategy(out, partition_strategy)
+        return out
 
     def polygonal_sum(self, geometry):
         from .operators import zonal

@@ -237,3 +237,31 @@ class TestTemporalMovingAverage:
         assert [got[m][2] for m in (1, 2, 3)] == [4.0, 4.0, 4.0]
         # pixel 3: 8, 8, 6
         assert [got[m][3] for m in (1, 2, 3)] == [8.0, 8.0, 6.0]
+
+
+class TestMaskReferenceSignature:
+    def test_options_and_strategy(self, spark, f1_layer):
+        import geopyspark_spark as gps
+
+        # RasterizerOptions.includePartial drives the partial flag
+        a = f1_layer.mask([gps.box(0, 0, 5, 5)],
+                          options=gps.RasterizerOptions(includePartial=True))
+        b = f1_layer.mask([gps.box(0, 0, 5, 5)], partial=True)
+        assert sorted(map(tuple, a.explode().collect())) == \
+            sorted(map(tuple, b.explode().collect()))
+        # partition strategy applies to the result
+        c = f1_layer.mask([gps.box(0, 0, 5, 5)],
+                          partition_strategy=gps.HashPartitionStrategy(3))
+        assert c.df.rdd.getNumPartitions() == 3
+
+    def test_dataframe_routes_to_distributed(self, spark, f1_layer):
+        import geopyspark_spark as gps
+        from geopyspark_spark.core.geom import to_wkb
+
+        gdf = spark.createDataFrame(
+            [(bytearray(to_wkb(gps.box(0, 0, 5, 5))),)], "geometry binary"
+        )
+        d = f1_layer.mask(gdf)
+        e = f1_layer.mask_distributed(gdf)
+        assert sorted(map(tuple, d.explode().collect())) == \
+            sorted(map(tuple, e.explode().collect()))
