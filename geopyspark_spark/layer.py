@@ -449,19 +449,32 @@ class TiledRasterLayer:
         )
 
     def tile_to_layout(self, layout, target_crs: str | None = None,
-                       resample_method: str = "NearestNeighbor") -> "TiledRasterLayer":
+                       resample_method: str = "NearestNeighbor",
+                       partition_strategy=None) -> "TiledRasterLayer":
         """Re-cut to a target grid (``layer.py:900-953, 1768-1830``). With
         ``target_crs`` this is the README canonical flow
         ``tile_to_layout(GlobalLayout(), 3857)``: warp + retile in one
-        shuffle via the reproject machinery."""
+        shuffle via the reproject machinery. A Metadata or another
+        TiledRasterLayer is accepted as the layout source (reference
+        contract), and ``partition_strategy`` re-partitions the result."""
         from .core.crs import normalize_crs
         from .operators import tiling
 
+        if isinstance(layout, TiledRasterLayer):
+            layout = layout.metadata.layout
+        elif isinstance(layout, LayerMetadata):
+            layout = layout.layout
         if target_crs is not None and normalize_crs(target_crs) != normalize_crs(self.metadata.crs):
             from .operators import reproject as _reproject
 
-            return _reproject.reproject(self, target_crs, layout, resample_method)
-        return tiling.tile_to_layout(self, layout, resample_method)
+            out = _reproject.reproject(self, target_crs, layout, resample_method)
+        else:
+            out = tiling.tile_to_layout(self, layout, resample_method)
+        if partition_strategy is not None:
+            from .types import apply_partition_strategy
+
+            out = apply_partition_strategy(out, partition_strategy)
+        return out
 
     def pyramid(self, resample_method: str = "Average", partition_strategy=None) -> "Pyramid":
         from .operators import tiling

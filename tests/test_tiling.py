@@ -270,3 +270,21 @@ class TestGlobalLayoutPolar:
         ld = GlobalLayout(tile_size=256).layout_for_zoom(2, w)
         assert ld.tile_layout.layout_cols == 4
         assert ld.cell_width == ld.cell_height == 2 * 4194304.0 / (4 * 256)
+
+
+class TestTileToLayoutReferenceSignature:
+    def test_metadata_and_layer_as_layout_source(self, spark, f1_layer):
+        a = f1_layer.tile_to_layout(f1_layer.metadata)
+        b = f1_layer.tile_to_layout(f1_layer)
+        c = f1_layer.tile_to_layout(f1_layer.metadata.layout)
+        ra = sorted(map(tuple, a.explode().collect()))
+        assert ra == sorted(map(tuple, b.explode().collect()))
+        assert ra == sorted(map(tuple, c.explode().collect()))
+
+    def test_partition_strategy_applies(self, spark, f1_layer):
+        import geopyspark_spark as gps
+
+        out = f1_layer.tile_to_layout(
+            f1_layer.metadata.layout,
+            partition_strategy=gps.HashPartitionStrategy(2))
+        assert out.df.rdd.getNumPartitions() == 2
