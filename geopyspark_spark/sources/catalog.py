@@ -164,6 +164,20 @@ def read_value(uri: str, layer_name: str, zoom: int, col: int, row: int,
     return [dict(zip(cols, r)) for r in rel.fetchall()]
 
 
+def write_pyramid(uri: str, layer_name: str, pyramid,
+                  index_strategy: str = "zorder") -> list[str]:
+    """Write every zoom of a Pyramid as one catalog layer tree (the
+    reference ingest loop ``for zoom, layer in pyramid.levels.items():
+    write(...)``) — exactly the multi-zoom layout
+    :class:`~..tms.CatalogTileFetcher` serves, so
+    ``write_pyramid -> TMS.build`` is the full publish path."""
+    paths = []
+    for zoom, layer in sorted(pyramid.levels.items()):
+        paths.append(write(uri, layer_name, layer, zoom=zoom,
+                           index_strategy=index_strategy))
+    return paths
+
+
 def compact(spark: SparkSession, uri: str, layer_name: str, zoom: int,
             target_file_mb: int = 128) -> str:
     """Rewrite a layer with right-sized, z-ordered files.

@@ -146,3 +146,38 @@ class TestReferenceFacade:
         png = render_composite([f, f], 3, 1, 1, TileCompositer(comp))
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
         assert render_composite([f], 3, 99, 99, TileCompositer(comp)) is None
+
+
+class TestPyramidPublish:
+    def test_write_pyramid_serves_all_zooms(self, spark, tmp_path):
+        import numpy as np
+
+        import geopyspark_spark as gps
+        from geopyspark_spark.sources import catalog
+        from geopyspark_spark.tms import CatalogTileFetcher
+
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64ud-1.0",
+            layout=gps.LayoutDefinition(gps.Extent(0, 0, 16, 16),
+                                        gps.TileLayout(4, 4, 4, 4)),
+            bounds=((0, 0), (3, 3)), extent=gps.Extent(0, 0, 16, 16),
+            num_bands=1, zoom=2,
+        )
+        rows = [(c, r, 0, [float(c * 4 + r)] * 16)
+                for c in range(4) for r in range(4)]
+        df = spark.createDataFrame(
+            rows, "key_col int, key_row int, band int, cells array<double>")
+        layer = gps.TiledRasterLayer(df, md)
+        pyr = layer.pyramid(resample_method="Average")
+        uri = str(tmp_path / "pubcat")
+        paths = catalog.write_pyramid(uri, "pub", pyr)
+        assert len(paths) == len(pyr.levels)
+        fetcher = CatalogTileFetcher(uri, "pub")
+        # deepest zoom serves stored tiles; shallower zooms stored too
+        deep = fetcher.fetch(2, 1, 1)
+        assert deep is not None and deep.shape == (4, 4)
+        shallow = fetcher.fetch(1, 0, 0)
+        assert shallow is not None
+        # over-zoom past the deepest still works (nearest upsample)
+        over = fetcher.fetch(3, 2, 2)
+        assert over is not None and np.isfinite(over).all()
