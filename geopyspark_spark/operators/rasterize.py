@@ -39,15 +39,37 @@ from ..layer import TiledRasterLayer, _normalize_geoms
 def rasterize(
     spark: SparkSession,
     geometries,
-    layout: LayoutDefinition,
+    layout: LayoutDefinition | int | None = None,
     fill_value: float = 1.0,
     cell_type: str = "float64ud-1.0",
     crs: str = "epsg:4326",
+    zoom: int | None = None,
+    options=None,
+    partition_strategy=None,
 ) -> TiledRasterLayer:
-    """Burn geometries with a single fill value."""
+    """Burn geometries with a single fill value.
+
+    Reference form also accepted (``rasterize.py:13-83``): pass ``zoom``
+    (or an int as ``layout``) with ``crs`` and the grid resolves to the
+    square 2^z GlobalLayout over that CRS's registered world extent."""
+    if isinstance(layout, int) and zoom is None:
+        zoom, layout = layout, None
+    if layout is None:
+        if zoom is None:
+            raise ValueError("pass a LayoutDefinition or a zoom level")
+        from ..core.crs import normalize_crs
+        from ..core.extent import GlobalLayout, world_extent
+
+        key = normalize_crs(f"epsg:{crs}" if isinstance(crs, int) else crs)
+        layout = GlobalLayout(zoom=zoom).layout_for_zoom(zoom, world_extent(key))
     geoms = _normalize_geoms(geometries)
     feats = [(g, float(fill_value), 0) for g in geoms]
-    return rasterize_features(spark, feats, layout, cell_type=cell_type, crs=crs)
+    out = rasterize_features(spark, feats, layout, cell_type=cell_type, crs=crs)
+    if partition_strategy is not None:
+        from ..types import apply_partition_strategy
+
+        out = apply_partition_strategy(out, partition_strategy)
+    return out
 
 
 def rasterize_features(

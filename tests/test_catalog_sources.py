@@ -306,3 +306,31 @@ class TestCompaction:
         # metadata survives the swap
         md = catalog.read_layer_metadata(uri, "c", 0)
         assert md.layout == f1_layer.metadata.layout
+
+
+class TestRasterizeReferenceSignature:
+    def test_zoom_crs_form(self, spark):
+        import geopyspark_spark as gps
+        from geopyspark_spark.operators.rasterize import rasterize
+
+        # web-mercator zoom-2 grid over a box near the origin
+        g = gps.box(-1000000, -1000000, 1000000, 1000000)
+        layer = rasterize(spark, [g], zoom=2, crs="epsg:3857", fill_value=7.0)
+        tl = layer.metadata.layout.tile_layout
+        assert (tl.layout_cols, tl.layout_rows) == (4, 4)
+        vals = {r["value"] for r in layer.explode().collect()} - {-1.0}
+        assert vals == {7.0}
+
+    def test_int_layout_is_zoom(self, spark):
+        import geopyspark_spark as gps
+        from geopyspark_spark.operators.rasterize import rasterize
+
+        layer = rasterize(spark, [gps.box(0, 40, 20, 60)], 1, crs=4326)
+        assert layer.metadata.layout.tile_layout.layout_cols == 2
+
+    def test_requires_layout_or_zoom(self, spark):
+        import geopyspark_spark as gps
+        from geopyspark_spark.operators.rasterize import rasterize
+
+        with pytest.raises(ValueError, match="zoom"):
+            rasterize(spark, [gps.box(0, 0, 1, 1)])
