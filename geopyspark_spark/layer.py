@@ -634,6 +634,24 @@ class Pyramid:
             out = d if out is None else out.unionByName(d)
         return out
 
+    def write(self, uri: str, layer_name: str,
+              index_strategy: str = "zorder") -> list[str]:
+        """Publish every zoom as one catalog tree (the reference ingest
+        loop); serves directly through :class:`~.tms.CatalogTileFetcher`."""
+        from .sources.catalog import write_pyramid
+
+        return write_pyramid(uri, layer_name, self, index_strategy)
+
+    def cache(self) -> "Pyramid":
+        for layer in self.levels.values():
+            layer.persist()
+        return self
+
+    def unpersist(self) -> "Pyramid":
+        for layer in self.levels.values():
+            layer.unpersist()
+        return self
+
 
 def union(layers: list):
     """Bag union (``geopyspark/geotrellis/union.py:10-58``): UNION ALL,

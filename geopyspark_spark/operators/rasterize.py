@@ -75,13 +75,27 @@ def rasterize(
 def rasterize_features(
     spark: SparkSession,
     features: Sequence[tuple],
-    layout: LayoutDefinition,
+    layout: LayoutDefinition | int | None = None,
     cell_type: str = "float64ud-1.0",
     crs: str = "epsg:4326",
+    zoom: int | None = None,
 ) -> TiledRasterLayer:
     """features: (geometry | wkt, value[, zindex]); higher zindex wins per
-    cell, ties resolve to the larger value (deterministic)."""
+    cell, ties resolve to the larger value (deterministic). Like
+    :func:`rasterize`, the reference zoom/crs form resolves a square 2^z
+    GlobalLayout grid."""
     from ..core.celltype import parse_cell_type
+
+    if isinstance(layout, int) and zoom is None:
+        zoom, layout = layout, None
+    if layout is None:
+        if zoom is None:
+            raise ValueError("pass a LayoutDefinition or a zoom level")
+        from ..core.crs import normalize_crs
+        from ..core.extent import GlobalLayout, world_extent
+
+        key = normalize_crs(f"epsg:{crs}" if isinstance(crs, int) else crs)
+        layout = GlobalLayout(zoom=zoom).layout_for_zoom(zoom, world_extent(key))
 
     info = parse_cell_type(cell_type)
     nd = float("nan") if info.nodata is None else float(info.nodata)

@@ -86,7 +86,23 @@ def read_layer_metadata(uri: str, layer_name: str, zoom: int) -> LayerMetadata:
         return LayerMetadata.from_json(f.read())
 
 
-def read(spark: SparkSession, uri: str, layer_name: str, zoom: int) -> TiledRasterLayer:
+def list_zooms(uri: str, layer_name: str) -> list[int]:
+    """Zoom levels stored for a layer (ascending)."""
+    base = os.path.join(uri, layer_name)
+    if not os.path.isdir(base):
+        return []
+    return sorted(int(d) for d in os.listdir(base) if d.isdigit())
+
+
+def read(spark: SparkSession, uri: str, layer_name: str,
+         zoom: int | None = None) -> TiledRasterLayer:
+    """Read a stored layer; ``zoom=None`` reads the deepest stored zoom
+    (the reference's query convenience for single-resolution use)."""
+    if zoom is None:
+        zooms = list_zooms(uri, layer_name)
+        if not zooms:
+            raise FileNotFoundError(f"no zooms stored for {layer_name!r} under {uri}")
+        zoom = zooms[-1]
     md = read_layer_metadata(uri, layer_name, zoom)
     df = spark.read.parquet(_layer_path(uri, layer_name, zoom)).drop("zindex")
     return TiledRasterLayer(df, md)

@@ -334,3 +334,46 @@ class TestRasterizeReferenceSignature:
 
         with pytest.raises(ValueError, match="zoom"):
             rasterize(spark, [gps.box(0, 0, 1, 1)])
+
+
+class TestCatalogConveniences:
+    def test_read_defaults_to_deepest_zoom(self, spark, f1_layer, tmp_path):
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "d", f1_layer, zoom=2)
+        catalog.write(uri, "d", f1_layer, zoom=5)
+        assert catalog.list_zooms(uri, "d") == [2, 5]
+        back = catalog.read(spark, uri, "d")  # no zoom -> deepest
+        assert back.count() == f1_layer.count()
+        with pytest.raises(FileNotFoundError):
+            catalog.read(spark, uri, "missing")
+
+    def test_rasterize_features_zoom_form(self, spark):
+        import geopyspark_spark as gps
+        from geopyspark_spark.operators.rasterize import rasterize_features
+
+        layer = rasterize_features(
+            spark, [(gps.box(0, 40, 20, 60), 3.0, 0)], zoom=1, crs=4326)
+        assert layer.metadata.layout.tile_layout.layout_cols == 2
+
+    def test_pyramid_write_and_cache(self, spark, tmp_path):
+        import geopyspark_spark as gps
+        from geopyspark_spark.sources import catalog as cat
+
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64ud-1.0",
+            layout=gps.LayoutDefinition(gps.Extent(0, 0, 8, 8),
+                                        gps.TileLayout(2, 2, 4, 4)),
+            bounds=((0, 0), (1, 1)), extent=gps.Extent(0, 0, 8, 8),
+            num_bands=1, zoom=1,
+        )
+        rows = [(c, r, 0, [1.0] * 16) for c in range(2) for r in range(2)]
+        df = spark.createDataFrame(
+            rows, "key_col int, key_row int, band int, cells array<double>")
+        pyr = gps.TiledRasterLayer(df, md).pyramid()
+        uri = str(tmp_path / "pyrcat")
+        paths = pyr.write(uri, "p")
+        assert len(paths) == len(pyr.levels)
+        assert cat.list_zooms(uri, "p") == sorted(pyr.levels)
+        pyr.cache()
+        assert all(l.df.is_cached for l in pyr.levels.values())
+        pyr.unpersist()
