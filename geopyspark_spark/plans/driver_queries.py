@@ -2527,6 +2527,437 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
 
+def q_tpch_q7_volume(spark, sf_dir):
+    """Q7-ish volume shipping: revenue between a nation pair per ship
+    year. Two roles of the nation dim (supplier side vs customer side),
+    both broadcast; lineitem->orders is the only big shuffle join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(12,2)") - _dec(F.col("l_discount")))
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+
+
+SQL_TPCH_Q7_VOLUME = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(rev) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q8_share(spark, sf_dir):
+    """Q8-ish market share: NATION_7 suppliers' share of EUROPE-customer
+    ECONOMY-part revenue per order year. Ratio of two exact DECIMAL sums,
+    divided as DOUBLE only at the end (bit-reproducible)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    nat_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    nat_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    rev = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(12,2)") - _dec(F.col("l_discount")))
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    zero = F.lit(0).cast("decimal(24,4)")
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(zero))
+        .cast("double").alias("nation_revenue"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+    )
+    return agg.withColumn(
+        "mkt_share", F.col("nation_revenue") / F.col("total_revenue")
+    )
+
+
+SQL_TPCH_Q8_SHARE = """
+SELECT o_year, nation_revenue, total_revenue, nation_revenue / total_revenue AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+                       THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                       ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE) AS nation_revenue,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+  GROUP BY year(o_orderdate)
+)
+"""
+
+
+def q_tpch_q9_profit(spark, sf_dir):
+    """Q9-ish product-type profit: per supplier nation per order year,
+    profit = revenue - retailprice*qty over parts named like '%red%'
+    (the schema has no partsupp/supplycost; retail price is the cost
+    proxy). All money math DECIMAL-exact until the final cast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    nation = _t(spark, sf_dir, "nation")
+    amount = (
+        _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(12,2)") - _dec(F.col("l_discount")))
+        - _dec(F.col("p_retailprice")) * _dec(F.col("l_quantity"))
+    )
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(F.sum(amount).cast("double").alias("sum_profit"), F.count("*").alias("n_items"))
+
+
+SQL_TPCH_Q9_PROFIT = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q_tpch_q12_late(spark, sf_dir):
+    """Q12-ish late-shipment audit: lineitems shipped >90 days after the
+    order date, split by order priority (the schema has no
+    commit/receipt dates or shipmode; shipdate-vs-orderdate lag is the
+    equivalent predicate). Conditional aggregate over one shuffle join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    return j.groupBy("o_orderpriority").agg(
+        F.sum(late.cast("bigint")).alias("late_count"),
+        F.count("*").alias("total_count"),
+    )
+
+
+SQL_TPCH_Q12_LATE = """
+SELECT o_orderpriority,
+       SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS late_count,
+       COUNT(*) AS total_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q13_custdist(spark, sf_dir):
+    """Q13 customer distribution: LEFT OUTER join with a join-time
+    predicate (non-urgent orders only), then a two-level aggregate —
+    the outer-join + conditional-count shape."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+SQL_TPCH_Q13_CUSTDIST = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_tpch_q15_top_supplier(spark, sf_dir):
+    """Q15 top supplier: quarterly revenue per supplier, then keep the
+    supplier(s) matching the global max — the scalar-subquery-vs-agg
+    shape, expressed as a broadcast join against a 1-row max."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(12,2)") - _dec(F.col("l_discount")))
+    per_supp = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev).cast("double").alias("total_revenue")
+    )
+    top = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        per_supp.join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+SQL_TPCH_Q15_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+def q_tpch_q16_supplier_cnt(spark, sf_dir):
+    """Q16-ish supplier count: distinct suppliers per (brand, type,
+    size) bucket over an excluded-brand part filter (no partsupp in the
+    schema; lineitem supplies the part-supplier pairs). COUNT(DISTINCT)
+    after a broadcast join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+SQL_TPCH_Q16_SUPPLIER_CNT = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q17_small_qty(spark, sf_dir):
+    """Q17 small-quantity-order revenue: lineitems under 20% of their
+    part's average quantity, for one brand. The correlated-average
+    rewritten as an aggregate + equi-join on partkey (the per-part
+    average sum is exact: integer-valued doubles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#12")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.avg("l_quantity").alias("avg_quantity")
+    )
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_quantity"))
+    )
+    return j.agg(
+        (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_TPCH_Q17_SMALL_QTY = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (SELECT l_partkey AS ap_partkey, AVG(l_quantity) AS avg_quantity
+      FROM lineitem GROUP BY l_partkey) a ON l_partkey = ap_partkey
+WHERE p_brand = 'Brand#12' AND l_quantity < 0.2 * avg_quantity
+"""
+
+
+def q_tpch_q18_large_orders(spark, sf_dir):
+    """Q18 large-volume customers: orders whose total quantity exceeds
+    300 (HAVING → filter-after-agg), joined back to customer/orders —
+    the semi-join-on-aggregate shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("b_orderkey"))
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, F.col("b_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+SQL_TPCH_Q18_LARGE_ORDERS = """
+SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_totalprice, sum_qty
+FROM (SELECT l_orderkey AS b_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) b
+JOIN orders ON b_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_tpch_q19_disjunct(spark, sf_dir):
+    """Q19 discounted revenue: three disjunctive brand/size/quantity
+    clauses — the OR-of-ANDs predicate Catalyst must keep pushable on
+    the shared conjuncts (the part join key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(12,2)") - _dec(F.col("l_discount")))
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#14") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#21") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return j.where(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items")
+    )
+
+
+SQL_TPCH_Q19_DISJUNCT = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_q21_sole_latest(spark, sf_dir):
+    """Q21-ish waiting-supplier audit (no commit/receipt dates in the
+    schema): for finished orders with lines from multiple suppliers,
+    count per supplier the lines that are the strictly-latest shipment
+    in their order — EXISTS (another supplier shipped in the order) plus
+    NOT EXISTS (another supplier shipped later), i.e. a left-semi and a
+    left-anti join on the same composite condition."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    l1 = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+        F.col("l_shipdate").alias("x_shipdate"),
+    )
+    other = (F.col("x_orderkey") == F.col("l_orderkey")) & (
+        F.col("x_suppkey") != F.col("l_suppkey")
+    )
+    waited = l1.join(l2, other, "left_semi").join(
+        l2, other & (F.col("x_shipdate") > F.col("l_shipdate")), "left_anti"
+    )
+    return (
+        waited.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+SQL_TPCH_Q21_SOLE_LATEST = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+"""
+
+
+def q_tpch_q22_idle_cust(spark, sf_dir):
+    """Q22-ish global-sales-opportunity: per nation, the count and total
+    balance of above-average-balance customers with no urgent orders —
+    scalar aggregate (broadcast 1-row cross join) + anti-join. The
+    average is DECIMAL-sum-exact before the DOUBLE division."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count("*")).alias("avg_bal"))
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("avg_bal"))
+    no_urgent = rich.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return no_urgent.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("numcust"),
+        F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
+    )
+
+
+SQL_TPCH_Q22_IDLE_CUST = """
+SELECT c_nationkey AS nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
 def q_events_enriched_segment(spark, sf_dir):
     """Stream-dim enrichment: events broadcast-joined to the customer dim
     (user_id ⊂ c_custkey), aggregated per market segment — the canonical
@@ -4771,16 +5202,24 @@ def queries():
     # Entries past #50 remain pytest- and check_oracle-covered.
     return {
         # ---- driver window (50) ----
-        # text / dedup (LLM pipeline)
-        # embeddings (similarity search)
-        # relational surface (rotated in: q4/q10/q14)
-        # events (rotated in: asof/interval/anomaly/funnel/enriched)
-        "events_asof_join": q_events_asof_join,
-        # raster operators (SURVEY §2) — carried representatives
-        "raster_focal_sum": q_raster_focal_sum,
-        "raster_pyramid": q_raster_pyramid,
-        "raster_cost_distance": q_raster_cost_distance,
-        "raster_reproject": q_raster_reproject,
+        # ninth rotation: the 12 new TPC-H-style relational queries move
+        # in; the five r5-validated carries (asof_join/focal_sum/pyramid/
+        # cost_distance/reproject) move out, plus reproject_cass +
+        # reproject_aeqd (locally validated; same registry/warp code path
+        # as the in-window eqc/geos/ortho variants — rotate them back in
+        # next round).
+        "tpch_q7_volume": q_tpch_q7_volume,
+        "tpch_q8_share": q_tpch_q8_share,
+        "tpch_q9_profit": q_tpch_q9_profit,
+        "tpch_q12_late": q_tpch_q12_late,
+        "tpch_q13_custdist": q_tpch_q13_custdist,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
+        "tpch_q17_small_qty": q_tpch_q17_small_qty,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "tpch_q19_disjunct": q_tpch_q19_disjunct,
+        "tpch_q21_sole_latest": q_tpch_q21_sole_latest,
+        "tpch_q22_idle_cust": q_tpch_q22_idle_cust,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -4805,8 +5244,6 @@ def queries():
         # pytest-only §2 rows (stitch/png/update/read_value/with_no_data/
         # shapefile/COG); seven r5-validated entries move out
         # (token_count/dedup_pipeline/emb_knn/multimodal/session/zonal/mask)
-        "raster_reproject_cass": q_raster_reproject_cass,
-        "raster_reproject_aeqd": q_raster_reproject_aeqd,
         "raster_reproject_ortho": q_raster_reproject_ortho,
         "text_repetition": q_text_repetition,
         "text_contamination": q_text_contamination,
@@ -4834,6 +5271,16 @@ def queries():
         "vector_shapefile": q_vector_shapefile,
         "raster_cog_overview": q_raster_cog_overview,
         # ---- entries below are past the driver's 50-entry window ----
+        # rotated out in the ninth rotation (all r5-driver-validated
+        # except cass/aeqd, which are check_oracle-validated and share
+        # the in-window variants' code path; re-rotate them in r7)
+        "events_asof_join": q_events_asof_join,
+        "raster_focal_sum": q_raster_focal_sum,
+        "raster_pyramid": q_raster_pyramid,
+        "raster_cost_distance": q_raster_cost_distance,
+        "raster_reproject": q_raster_reproject,
+        "raster_reproject_cass": q_raster_reproject_cass,
+        "raster_reproject_aeqd": q_raster_reproject_aeqd,
         "raster_local_algebra": q_raster_local_algebra,
         "text_lsh_pairs": q_text_lsh_pairs,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
@@ -4987,6 +5434,18 @@ def oracle_sql():
         "raster_resample_cubic": _sql_resample_cubic(16),
         "raster_mask_distributed": SQL_RASTER_MASK_DISTRIBUTED,
         "raster_union": SQL_RASTER_UNION,
+        "tpch_q7_volume": SQL_TPCH_Q7_VOLUME,
+        "tpch_q8_share": SQL_TPCH_Q8_SHARE,
+        "tpch_q9_profit": SQL_TPCH_Q9_PROFIT,
+        "tpch_q12_late": SQL_TPCH_Q12_LATE,
+        "tpch_q13_custdist": SQL_TPCH_Q13_CUSTDIST,
+        "tpch_q15_top_supplier": SQL_TPCH_Q15_TOP_SUPPLIER,
+        "tpch_q16_supplier_cnt": SQL_TPCH_Q16_SUPPLIER_CNT,
+        "tpch_q17_small_qty": SQL_TPCH_Q17_SMALL_QTY,
+        "tpch_q18_large_orders": SQL_TPCH_Q18_LARGE_ORDERS,
+        "tpch_q19_disjunct": SQL_TPCH_Q19_DISJUNCT,
+        "tpch_q21_sole_latest": SQL_TPCH_Q21_SOLE_LATEST,
+        "tpch_q22_idle_cust": SQL_TPCH_Q22_IDLE_CUST,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,

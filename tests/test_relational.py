@@ -244,3 +244,48 @@ class TestDistributedPolygonJoin:
         out = point_in_polygon_join_distributed(pts, polys_df)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+class TestTpchPlanShapes:
+    """Plan-shape and semantics checks for the round-6 TPC-H batch
+    (the value-level gate is the DuckDB oracle; these pin the physical
+    plans we want at scale)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_registry_has_oracles_for_every_query(self):
+        import __spark_entry__ as entry
+
+        q, o = entry.queries(), entry.oracle_sql()
+        assert set(q) == set(o)
+
+    def test_q21_exists_not_exists_no_cartesian(self, spark):
+        from geopyspark_spark.plans.driver_queries import q_tpch_q21_sole_latest
+
+        df = q_tpch_q21_sole_latest(spark, self.SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in plan and "NestedLoop" not in plan
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+
+    def test_q22_anti_join_scalar_broadcast(self, spark):
+        from geopyspark_spark.plans.driver_queries import q_tpch_q22_idle_cust
+
+        df = q_tpch_q22_idle_cust(spark, self.SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan
+        # the 1-row average must broadcast, never shuffle the fact side
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    def test_q13_left_outer_keeps_every_customer(self, spark):
+        from geopyspark_spark.plans.driver_queries import q_tpch_q13_custdist
+
+        rows = q_tpch_q13_custdist(spark, self.SF).collect()
+        n_cust = spark.read.parquet(f"{self.SF}/customer.parquet").count()
+        assert sum(r["custdist"] for r in rows) == n_cust
+
+    def test_q15_returns_the_max_revenue_suppliers(self, spark):
+        from geopyspark_spark.plans.driver_queries import q_tpch_q15_top_supplier
+
+        rows = q_tpch_q15_top_supplier(spark, self.SF).collect()
+        assert len(rows) >= 1
+        assert len({r["total_revenue"] for r in rows}) == 1
