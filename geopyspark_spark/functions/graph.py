@@ -1,0 +1,82 @@
+"""Distributed graph analytics over DataFrame edge lists.
+
+Beyond-reference surface (like functions/dedup.py's connected
+components): iterative algorithms expressed as joins + aggregates so
+they run at 100 TB with no driver-side graph. The integer-arithmetic
+PageRank here is the oracle-able variant: every operation is exact
+integer math (sum order never matters), so any SQL engine reproduces
+the result bit-for-bit — the same determinism contract the dedup and
+text modules use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+def pagerank(edges: DataFrame, iterations: int = 5,
+             damping_ppm: int = 850_000, rank_scale: int = 1_000_000,
+             src_col: str = "src", dst_col: str = "dst",
+             undirected: bool = False) -> DataFrame:
+    """Fixed-iteration PageRank in exact integer arithmetic.
+
+    Ranks are integers scaled by ``rank_scale`` (1e6 = 6 fractional
+    digits); one round computes, per node::
+
+        pr' = base + (damping_ppm * sum(pr_src DIV out_deg_src)) DIV 1e6
+        base = ((1e6 - damping_ppm) * rank_scale) DIV 1e6
+
+    Truncating integer division replaces the float division of textbook
+    PageRank — the ordering is preserved, and because integer addition
+    commutes exactly, the result is independent of partitioning, task
+    order, and engine (the property the DuckDB oracle gate checks).
+    Dangling nodes (no out-edges) keep their rank out of circulation,
+    the usual simplification.
+
+    Spark shape (the Pregel/aggregateMessages pattern): per round, one
+    equi-join ranks⨝edges on src + one shuffle aggregate on dst. The
+    edge list is hash-partitioned on src once and persisted, so every
+    round's join reuses the same partitioning; only the (node, pr)
+    table — tiny next to the edges — reshuffles. Rounds are a fixed
+    constant, not data-dependent, so the job graph is static.
+
+    Returns (node, pr) for every node appearing in the edge list.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if undirected:
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct()
+
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # pre-join degree onto the edges once; repartition by src so each
+    # round's ranks-join co-locates without reshuffling the edges
+    e = e.join(deg, "src").repartition("src").persist()
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    base = ((PPM - damping_ppm) * rank_scale) // PPM
+    ranks = nodes.select("node", F.lit(rank_scale).cast("long").alias("pr"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .select("dst", F.expr("pr DIV out_deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("sum_contrib"))
+        )
+        ranks = nodes.join(contribs, nodes.node == contribs.dst, "left_outer").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"({damping_ppm} * coalesce(sum_contrib, 0L)) DIV {PPM}")
+            ).alias("pr"),
+        )
+    return ranks

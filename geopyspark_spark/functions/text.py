@@ -231,6 +231,45 @@ def pack_sequences(df: DataFrame, budget: int = 512,
     )
 
 
+def chunk_documents(df: DataFrame, size: int = 200, overlap: int = 50,
+                    text_col: str = "text") -> DataFrame:
+    """Split each document into fixed-size character chunks with overlap
+    — the retrieval / context-window prep step (stride = size - overlap;
+    the final chunk may be shorter; a doc shorter than one stride still
+    yields one chunk).
+
+    Pure Catalyst: ``sequence`` + ``explode`` + ``substring`` — no
+    Python in the row path, and the explode is narrow (no shuffle), so
+    at 100 TB this is a map-only pass whose output partitioning follows
+    the input. Output: (doc_id, chunk_id, chunk_start, chunk_text,
+    n_chunk_chars); chunk_start is 0-based.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {size=} {overlap=}")
+    stride = size - overlap
+    # integer ceil-div without floats: (n - overlap + stride - 1) DIV stride
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(
+            f"(length({text_col}) - {overlap} + {stride - 1}) DIV {stride}"
+        ),
+    )
+    exploded = df.select(
+        "doc_id",
+        F.col(text_col),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = (F.col("chunk_id") * stride).cast("int")
+    chunk = F.substring(F.col(text_col), start + 1, size)
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        start.alias("chunk_start"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).alias("n_chunk_chars"),
+    )
+
+
 def deterministic_sample(df: DataFrame, rate_ppm: int = 250_000,
                          seed: int = 42, id_col: str = "doc_id") -> DataFrame:
     """Seeded hash sampling: keep a row iff

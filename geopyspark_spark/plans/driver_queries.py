@@ -2958,6 +2958,82 @@ GROUP BY c_nationkey
 """
 
 
+def q_text_chunks(spark, sf_dir):
+    """Overlapping fixed-size chunking over documents (size=120,
+    overlap=30): map-only sequence+explode+substring, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return ftext.chunk_documents(docs, size=120, overlap=30)
+
+
+SQL_TEXT_CHUNKS = """
+SELECT doc_id, chunk_id,
+       CAST(chunk_id * 90 AS INT) AS chunk_start,
+       SUBSTRING(text, CAST(chunk_id * 90 + 1 AS INT), 120) AS chunk_text,
+       CAST(length(SUBSTRING(text, CAST(chunk_id * 90 + 1 AS INT), 120)) AS INT) AS n_chunk_chars
+FROM (
+  SELECT doc_id, text,
+         UNNEST(range(0, GREATEST(CAST(1 AS BIGINT), (length(text) - 30 + 89) // 90))) AS chunk_id
+  FROM documents
+)
+"""
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Integer-exact PageRank (5 rounds) over the undirected bipartite
+    customer-supplier graph derived from lineitem x orders — the
+    iterative join+aggregate (Pregel) shape, oracle-checked against a
+    fully unrolled SQL recursion."""
+    from ..functions import graph as fgraph
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10_000_000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return fgraph.pagerank(edges, iterations=5, undirected=True)
+
+
+def _sql_pagerank(iterations: int = 5) -> str:
+    """Unrolled integer-PageRank oracle (DuckDB lacks grouped recursion
+    in recursive CTEs; a fixed iteration count unrolls cleanly)."""
+    ctes = [
+        """pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)""",
+        """edges AS (
+  SELECT c AS src, 10000000 + s AS dst FROM pairs
+  UNION ALL
+  SELECT 10000000 + s AS src, c AS dst FROM pairs
+)""",
+        "deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src)",
+        """nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)
+)""",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""r{i} AS (
+  SELECT n.node,
+         CAST(150000 + (850000 * COALESCE(SUM(r.pr // d.out_deg), 0)) // 1000000 AS BIGINT) AS pr
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN r{i - 1} r ON r.node = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY n.node
+)""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, pr FROM r{iterations}"
+
+
+SQL_GRAPH_PAGERANK = _sql_pagerank(5)
+
+
 def q_events_enriched_segment(spark, sf_dir):
     """Stream-dim enrichment: events broadcast-joined to the customer dim
     (user_id ⊂ c_custkey), aggregated per market segment — the canonical
@@ -5220,6 +5296,8 @@ def queries():
         "tpch_q19_disjunct": q_tpch_q19_disjunct,
         "tpch_q21_sole_latest": q_tpch_q21_sole_latest,
         "tpch_q22_idle_cust": q_tpch_q22_idle_cust,
+        "text_chunks": q_text_chunks,
+        "graph_pagerank": q_graph_pagerank,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -5237,8 +5315,6 @@ def queries():
         "text_pack_sequences": q_text_pack_sequences,
         "text_sample": q_text_sample,
         "events_stream_dedup": q_events_stream_dedup,
-        "raster_reproject_eqc": q_raster_reproject_eqc,
-        "raster_reproject_geos": q_raster_reproject_geos,
         "raster_catalog_query": q_raster_catalog_query,
         # rotated in (fourth r6 rotation): oracle gates for previously
         # pytest-only §2 rows (stitch/png/update/read_value/with_no_data/
@@ -5281,6 +5357,8 @@ def queries():
         "raster_reproject": q_raster_reproject,
         "raster_reproject_cass": q_raster_reproject_cass,
         "raster_reproject_aeqd": q_raster_reproject_aeqd,
+        "raster_reproject_eqc": q_raster_reproject_eqc,
+        "raster_reproject_geos": q_raster_reproject_geos,
         "raster_local_algebra": q_raster_local_algebra,
         "text_lsh_pairs": q_text_lsh_pairs,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
@@ -5446,6 +5524,8 @@ def oracle_sql():
         "tpch_q19_disjunct": SQL_TPCH_Q19_DISJUNCT,
         "tpch_q21_sole_latest": SQL_TPCH_Q21_SOLE_LATEST,
         "tpch_q22_idle_cust": SQL_TPCH_Q22_IDLE_CUST,
+        "text_chunks": SQL_TEXT_CHUNKS,
+        "graph_pagerank": SQL_GRAPH_PAGERANK,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,

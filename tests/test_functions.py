@@ -762,3 +762,76 @@ class TestPrepareCorpus:
         assert reasons == {"kept", "sampled_out"}
         kept = sum(1 for r in out if r["keep"] == 1)
         assert 0.2 < kept / 200 < 0.4
+
+
+class TestChunkDocuments:
+    def test_exact_chunks_with_overlap(self, spark):
+        df = spark.createDataFrame(
+            [(1, "abcdefghij")], "doc_id long, text string"
+        )
+        rows = sorted(
+            ftext.chunk_documents(df, size=4, overlap=2).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        # stride 2 over 10 chars: ceil((10-2)/2) = 4 chunks
+        assert [(r["chunk_start"], r["chunk_text"]) for r in rows] == [
+            (0, "abcd"), (2, "cdef"), (4, "efgh"), (6, "ghij")
+        ]
+        assert all(r["n_chunk_chars"] == 4 for r in rows)
+
+    def test_short_doc_yields_one_chunk(self, spark):
+        df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+        rows = ftext.chunk_documents(df, size=100, overlap=20).collect()
+        assert len(rows) == 1
+        assert rows[0]["chunk_text"] == "ab" and rows[0]["n_chunk_chars"] == 2
+
+    def test_no_overlap_partitions_text(self, spark):
+        df = spark.createDataFrame([(1, "abcdefg")], "doc_id long, text string")
+        rows = sorted(
+            ftext.chunk_documents(df, size=3, overlap=0).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        assert "".join(r["chunk_text"] for r in rows) == "abcdefg"
+
+    def test_rejects_bad_overlap(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            ftext.chunk_documents(df, size=4, overlap=4)
+
+
+class TestPagerank:
+    def test_two_node_cycle_is_a_fixpoint(self, spark):
+        from geopyspark_spark.functions.graph import pagerank
+
+        edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        got = {r["node"]: r["pr"] for r in pagerank(edges, iterations=5).collect()}
+        # contrib == pr (out_deg 1); 150000 + 850000*1e6//1e6 == 1e6 exactly
+        assert got == {1: 1_000_000, 2: 1_000_000}
+
+    def test_star_matches_hand_integer_rollout(self, spark):
+        from geopyspark_spark.functions.graph import pagerank
+
+        # hub 0 <-> spokes 1..3 (undirected)
+        edges = spark.createDataFrame(
+            [(0, i) for i in (1, 2, 3)], "src long, dst long"
+        )
+        got = {r["node"]: r["pr"] for r in
+               pagerank(edges, iterations=3, undirected=True).collect()}
+        # hand rollout with the same integer truncation
+        pr = {0: 1_000_000, 1: 1_000_000, 2: 1_000_000, 3: 1_000_000}
+        for _ in range(3):
+            contrib = {n: 0 for n in pr}
+            for s, d in [(0, 1), (0, 2), (0, 3), (1, 0), (2, 0), (3, 0)]:
+                deg = 3 if s == 0 else 1
+                contrib[d] += pr[s] // deg
+            pr = {n: 150_000 + (850_000 * c) // 1_000_000
+                  for n, c in contrib.items()}
+        assert got == pr
+
+    def test_zero_iterations_returns_uniform(self, spark):
+        from geopyspark_spark.functions.graph import pagerank
+
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+        got = {r["node"]: r["pr"] for r in pagerank(edges, iterations=0).collect()}
+        assert got == {1: 1_000_000, 2: 1_000_000}
