@@ -337,6 +337,59 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Self-trained bigram language-model fluency score — the
+    perplexity-proxy quality filter of training pipelines (CCNet-style,
+    without an external model): train bigram statistics ON the corpus,
+    then score each document by its average bigram probability.
+
+    Integer contract (oracle-exact): each bigram occurrence contributes
+    ``(1e6 * count(w1 w2)) DIV count(w1 *)`` — parts-per-million of the
+    conditional probability P(w2|w1), truncated; a document reports the
+    sum, the bigram count, and their integer ratio. Repetitive or
+    in-domain text scores high; token soup scores low.
+
+    Spark shape: one narrow explode (no shuffle), two hash aggregates
+    (bigram and context counts, both map-side combined), and two
+    equi-joins of occurrences to counts. At 100 TB the count tables are
+    vocab-sized (millions of rows, far smaller than the corpus) and
+    typically auto-broadcast; the hot-context skew ("the", "of") is
+    bounded because the join is against the AGGREGATED table, never
+    occurrence-x-occurrence.
+    """
+    d = df.select("doc_id", tokens_col(text_col).alias("toks"))
+    b = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 2 THEN array() "
+                "ELSE transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2)) END"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    c_bi = b.groupBy("w1", "w2").agg(F.count("*").alias("c_bi"))
+    c_ctx = b.groupBy("w1").agg(F.count("*").alias("c_ctx"))
+    scored = (
+        b.join(c_bi, ["w1", "w2"])
+        .join(c_ctx, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("(1000000 * c_bi) DIV c_ctx")).alias("lm_sum"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+    return df.select("doc_id").join(scored, "doc_id", "left_outer").select(
+        "doc_id",
+        F.coalesce(F.col("lm_sum"), F.lit(0)).alias("lm_sum"),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.expr(
+            "CASE WHEN coalesce(n_bigrams, 0) > 0 "
+            "THEN lm_sum DIV n_bigrams ELSE 0 END"
+        ).alias("avg_score_ppm"),
+    )
+
+
 def benchmark_overlap(df: DataFrame, bench_df: DataFrame, n: int = 5,
                       text_col: str = "text") -> DataFrame:
     """Benchmark-contamination check (the standard n-gram collision test

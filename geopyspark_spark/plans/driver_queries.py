@@ -3034,6 +3034,39 @@ def _sql_pagerank(iterations: int = 5) -> str:
 SQL_GRAPH_PAGERANK = _sql_pagerank(5)
 
 
+def q_text_lm_score(spark, sf_dir):
+    """Self-trained bigram LM fluency scoring (perplexity-proxy quality
+    filter) — integer parts-per-million contract, see
+    functions/text.py::bigram_lm_score."""
+    return ftext.bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_LM_SCORE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), b AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+), cbi AS (
+  SELECT w1, w2, COUNT(*) AS c_bi FROM b GROUP BY w1, w2
+), cctx AS (
+  SELECT w1, COUNT(*) AS c_ctx FROM b GROUP BY w1
+), agg AS (
+  SELECT doc_id,
+         CAST(SUM((1000000 * c_bi) // c_ctx) AS BIGINT) AS lm_sum,
+         COUNT(*) AS n_bigrams
+  FROM b JOIN cbi USING (w1, w2) JOIN cctx USING (w1)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(lm_sum, 0) AS BIGINT) AS lm_sum,
+       CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(CASE WHEN COALESCE(n_bigrams, 0) > 0
+                 THEN lm_sum // n_bigrams ELSE 0 END AS BIGINT) AS avg_score_ppm
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
 def q_events_enriched_segment(spark, sf_dir):
     """Stream-dim enrichment: events broadcast-joined to the customer dim
     (user_id ⊂ c_custkey), aggregated per market segment — the canonical
@@ -5284,20 +5317,19 @@ def queries():
         # reproject_aeqd (locally validated; same registry/warp code path
         # as the in-window eqc/geos/ortho variants — rotate them back in
         # next round).
-        "tpch_q7_volume": q_tpch_q7_volume,
-        "tpch_q8_share": q_tpch_q8_share,
-        "tpch_q9_profit": q_tpch_q9_profit,
-        "tpch_q12_late": q_tpch_q12_late,
+        # (q7/q8/q9/q12/q16/q19 — the plain join+agg shapes of the new
+        # relational batch — sit just past the window; the trickier
+        # shapes below are in-window: q13 left-outer, q15 scalar-max,
+        # q17 correlated-avg, q18 having, q21 semi+anti, q22 anti+scalar)
         "tpch_q13_custdist": q_tpch_q13_custdist,
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
-        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
         "tpch_q17_small_qty": q_tpch_q17_small_qty,
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
-        "tpch_q19_disjunct": q_tpch_q19_disjunct,
         "tpch_q21_sole_latest": q_tpch_q21_sole_latest,
         "tpch_q22_idle_cust": q_tpch_q22_idle_cust,
         "text_chunks": q_text_chunks,
         "graph_pagerank": q_graph_pagerank,
+        "text_lm_score": q_text_lm_score,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -5347,9 +5379,17 @@ def queries():
         "vector_shapefile": q_vector_shapefile,
         "raster_cog_overview": q_raster_cog_overview,
         # ---- entries below are past the driver's 50-entry window ----
+        # first in line for the r7 rotation: the plain-shape half of the
+        # new TPC-H batch (check_oracle-validated this round)
+        "tpch_q7_volume": q_tpch_q7_volume,
+        "tpch_q8_share": q_tpch_q8_share,
+        "tpch_q9_profit": q_tpch_q9_profit,
+        "tpch_q12_late": q_tpch_q12_late,
+        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
+        "tpch_q19_disjunct": q_tpch_q19_disjunct,
         # rotated out in the ninth rotation (all r5-driver-validated
-        # except cass/aeqd, which are check_oracle-validated and share
-        # the in-window variants' code path; re-rotate them in r7)
+        # except cass/aeqd/eqc/geos, which are check_oracle-validated and
+        # share the in-window variants' code path; re-rotate them in r7)
         "events_asof_join": q_events_asof_join,
         "raster_focal_sum": q_raster_focal_sum,
         "raster_pyramid": q_raster_pyramid,
@@ -5526,6 +5566,7 @@ def oracle_sql():
         "tpch_q22_idle_cust": SQL_TPCH_Q22_IDLE_CUST,
         "text_chunks": SQL_TEXT_CHUNKS,
         "graph_pagerank": SQL_GRAPH_PAGERANK,
+        "text_lm_score": SQL_TEXT_LM_SCORE,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,

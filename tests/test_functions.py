@@ -835,3 +835,33 @@ class TestPagerank:
         edges = spark.createDataFrame([(1, 2)], "src long, dst long")
         got = {r["node"]: r["pr"] for r in pagerank(edges, iterations=0).collect()}
         assert got == {1: 1_000_000, 2: 1_000_000}
+
+
+class TestBigramLmScore:
+    def test_deterministic_text_scores_million(self, spark):
+        # every bigram occurs exactly once in a one-doc corpus -> each
+        # contributes P(w2|w1) = 1 -> 1e6 ppm
+        df = spark.createDataFrame(
+            [(1, "a b c d")], "doc_id long, text string"
+        )
+        r = ftext.bigram_lm_score(df).collect()[0]
+        assert r["n_bigrams"] == 3
+        assert r["lm_sum"] == 3_000_000 and r["avg_score_ppm"] == 1_000_000
+
+    def test_ambiguous_context_splits_probability(self, spark):
+        # corpus: "a b" and "a c" -> P(b|a) = P(c|a) = 1/2
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a c")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r["avg_score_ppm"]
+               for r in ftext.bigram_lm_score(df).collect()}
+        assert got == {1: 500_000, 2: 500_000}
+
+    def test_short_doc_scores_zero(self, spark):
+        df = spark.createDataFrame(
+            [(1, "solo"), (2, "x y")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: (r["n_bigrams"], r["avg_score_ppm"])
+               for r in ftext.bigram_lm_score(df).collect()}
+        assert got[1] == (0, 0)
+        assert got[2][0] == 1
