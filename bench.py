@@ -46,6 +46,12 @@ HEADLINE = [
     "text_contamination",
     "text_prepare_corpus",
     "vector_spatial_join",
+    # second-half round-6 additions: iterative graph analytics, the
+    # bigram-LM quality filter, and two of the heavier TPC-H shapes
+    "graph_pagerank",
+    "text_lm_score",
+    "tpch_q9_profit",
+    "tpch_q21_sole_latest",
 ]
 
 

@@ -425,6 +425,134 @@ def ivf_knn(df: DataFrame, query_ids: list[int], k: int = 5,
     return _winnow_then_fold_rank(cand, k)
 
 
+def l2_lloyd_centroids(M, num_clusters: int, iters: int = 5):
+    """Deterministic plain-L2 k-means (the PQ sub-quantizer): init = first
+    k rows, fixed iterations, argmin ties toward the lower id, empty
+    clusters keep their centroid. Pure numpy, no RNG — the DuckDB oracle
+    recomputes identical codebooks from the same training rows."""
+    import numpy as np
+
+    k = min(num_clusters, len(M))
+    cent = M[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        d2 = (
+            (M * M).sum(axis=1, keepdims=True)
+            - 2.0 * (M @ cent.T)
+            + (cent * cent).sum(axis=1)
+        )
+        assign = np.argmin(d2, axis=1)
+        for c in range(k):
+            members = M[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def pq_train(df: DataFrame, m: int = 4, ksub: int = 16,
+             train_limit: int = 4096, iters: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Train product-quantization codebooks: split the dimension into
+    ``m`` subspaces and run deterministic L2 k-means in each over a
+    bounded sorted-id training sample. Returns a (m, ksub, d/m) array."""
+    import numpy as np
+
+    train = df.orderBy(id_col).limit(train_limit).select(vec_col).collect()
+    M = np.array([r[0] for r in train], dtype=np.float64)
+    d = M.shape[1]
+    if d % m:
+        raise ValueError(f"dimension {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack([
+        l2_lloyd_centroids(M[:, j * dsub:(j + 1) * dsub], ksub, iters)
+        for j in range(m)
+    ])
+
+
+def pq_encode(df: DataFrame, books, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector to ``m`` codebook ids (one byte-sized int per
+    subspace at ksub<=256): broadcast the (m, ksub, dsub) codebooks, one
+    per-partition numpy argmin per subspace — map-only, no shuffle. The
+    codes table is the 100 TB ANN layout: d*4 bytes/vector shrink to m
+    bytes (64x at d=64, m=4, float32)."""
+    import numpy as np
+
+    m, ksub, dsub = books.shape
+    bc = df.sparkSession.sparkContext.broadcast(books)
+
+    def encode_part(batches):
+        B = bc.value
+        for pdf in batches:
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            out_codes = []
+            if len(V):
+                codes = np.empty((len(V), m), dtype=np.int32)
+                for j in range(m):
+                    S = V[:, j * dsub:(j + 1) * dsub]
+                    C = B[j]
+                    d2 = (
+                        (S * S).sum(axis=1, keepdims=True)
+                        - 2.0 * (S @ C.T)
+                        + (C * C).sum(axis=1)
+                    )
+                    codes[:, j] = np.argmin(d2, axis=1)
+                out_codes = [c.tolist() for c in codes]
+            yield __import__("pandas").DataFrame(
+                {id_col: pdf[id_col], "codes": out_codes}
+            )
+
+    return df.mapInPandas(encode_part, schema=f"{id_col} long, codes array<int>")
+
+
+def pq_knn(df: DataFrame, query_ids: list[int], k: int = 5, m: int = 4,
+           ksub: int = 16, train_limit: int = 4096,
+           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate max-inner-product top-k by asymmetric distance
+    computation (ADC) over PQ codes: per query, an (m, ksub) table of
+    subspace dot products is built driver-side and broadcast; the corpus
+    scan is then pure integer array lookups plus a fixed-order m-term
+    sum — no vector math per row.
+
+    Determinism: the ADC sum is written as an explicit left-to-right
+    expression (``t[0][c0] + t[1][c1] + ...``), so the float result is
+    bit-identical in any engine evaluating the same literals — ranks
+    (the integer output) hash-match the oracle. Spark's WindowGroupLimit
+    turns the rank<=k filter into per-partition top-k, so no global sort
+    materializes at scale.
+    """
+    import numpy as np
+
+    books = pq_train(df, m, ksub, train_limit, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(df, books, id_col=id_col, vec_col=vec_col)
+    dsub = books.shape[2]
+    qrows = (df.where(F.col(id_col).isin(query_ids))
+             .select(id_col, vec_col).collect())
+    table_rows = []
+    for r in qrows:
+        q = np.asarray(r[1], dtype=np.float64)
+        t = [[float(books[j][c] @ q[j * dsub:(j + 1) * dsub])
+              for c in range(books.shape[1])] for j in range(m)]
+        table_rows.append((int(r[0]), t))
+    tabs = df.sparkSession.createDataFrame(
+        table_rows, "query_id long, t array<array<double>>"
+    )
+    cand = codes.crossJoin(F.broadcast(tabs)).where(
+        F.col(id_col) != F.col("query_id")
+    )
+    approx = " + ".join(f"t[{j}][codes[{j}]]" for j in range(m))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.expr(approx)), F.col(id_col)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                F.col(id_col).alias("neighbor_id"))
+    )
+
+
 def norm_stats(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
                label_col: str = "label") -> DataFrame:
     """Per-label corpus stats with integer outputs: count + id of the

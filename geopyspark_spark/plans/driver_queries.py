@@ -2883,26 +2883,47 @@ def q_tpch_q21_sole_latest(spark, sf_dir):
     """Q21-ish waiting-supplier audit (no commit/receipt dates in the
     schema): for finished orders with lines from multiple suppliers,
     count per supplier the lines that are the strictly-latest shipment
-    in their order — EXISTS (another supplier shipped in the order) plus
-    NOT EXISTS (another supplier shipped later), i.e. a left-semi and a
-    left-anti join on the same composite condition."""
+    in their order.
+
+    The naive plan is EXISTS + NOT EXISTS — two lineitem self-joins
+    (three shuffles of the fact table). This rewrite aggregates instead:
+    per-(order, supplier) max shipdate, then per-order top-2 of those
+    maxima (suppliers-per-order is bounded, so the collect_list is O(1)
+    per key); a line is "latest vs the other suppliers" iff its
+    shipdate >= the other-supplier maximum, derived from (m1, how many
+    suppliers hit m1, m2). One shuffle family on l_orderkey, map-side
+    combined — the 100 TB shape. The DuckDB oracle keeps the
+    declarative EXISTS form, so the gate also proves the rewrite."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     supp = _t(spark, sf_dir, "supplier")
-    l1 = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
-        "l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber"
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("ms")
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("x_orderkey"),
-        F.col("l_suppkey").alias("x_suppkey"),
-        F.col("l_shipdate").alias("x_shipdate"),
+    per_o = (
+        per_os.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.expr("sort_array(collect_list(ms), false)").alias("arr"),
+        )
+        .select(
+            "l_orderkey",
+            "n_supp",
+            F.col("arr")[0].alias("m1"),
+            F.expr("size(filter(arr, x -> x = arr[0]))").alias("cnt_m1"),
+            F.expr("array_max(filter(arr, x -> x < arr[0]))").alias("m2"),
+        )
     )
-    other = (F.col("x_orderkey") == F.col("l_orderkey")) & (
-        F.col("x_suppkey") != F.col("l_suppkey")
+    l1 = (
+        li.join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(per_os, ["l_orderkey", "l_suppkey"])
+        .join(per_o, "l_orderkey")
+        .where(F.col("n_supp") > 1)
     )
-    waited = l1.join(l2, other, "left_semi").join(
-        l2, other & (F.col("x_shipdate") > F.col("l_shipdate")), "left_anti"
-    )
+    other_max = F.when(
+        (F.col("ms") < F.col("m1")) | (F.col("cnt_m1") > 1), F.col("m1")
+    ).otherwise(F.col("m2"))
+    waited = l1.where(F.col("l_shipdate") >= other_max)
     return (
         waited.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
@@ -4420,6 +4441,96 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
 """
 
 
+def q_emb_pq_knn(spark, sf_dir):
+    """Product-quantization ANN (ADC over m=4 x ksub=16 codes): the
+    memory-compressed scan path for 100 TB embedding corpora. Integer
+    rank output; see functions/similarity.py::pq_knn."""
+    return fsim.pq_knn(
+        _t(spark, sf_dir, "embeddings"), KNN_QUERIES, k=5, m=4, ksub=16
+    )
+
+
+def _sql_pq_knn(m: int = 4, ksub: int = 16, k: int = 5) -> str:
+    """Oracle for q_emb_pq_knn. Codebooks are recomputed with the exact
+    deterministic numpy routine on the same sorted-id training rows and
+    injected as VALUES; encoding (per-subspace argmin) and the ADC scan
+    run in SQL. The ADC sum is written in the same left-to-right order
+    as the Spark expression, so the doubles are bit-identical."""
+    import duckdb
+    import numpy as np
+
+    sf_dir = _oracle_sf_dir()
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT 4096"
+    ).fetchall()
+    qrows = con.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"WHERE vec_id IN ({', '.join(map(str, KNN_QUERIES))})"
+    ).fetchall()
+    con.close()
+    M = np.array([r[0] for r in rows], dtype=np.float64)
+    d = M.shape[1]
+    dsub = d // m
+    books = np.stack([
+        fsim.l2_lloyd_centroids(M[:, j * dsub:(j + 1) * dsub], ksub, 5)
+        for j in range(m)
+    ])
+    book_values = ", ".join(
+        f"({j}, {c}, [{', '.join(repr(x) for x in books[j][c])}]::DOUBLE[])"
+        for j in range(m) for c in range(ksub)
+    )
+    tab_values = []
+    for vid, emb in qrows:
+        q = np.asarray(emb, dtype=np.float64)
+        t = "[" + ", ".join(
+            "[" + ", ".join(
+                repr(float(books[j][c] @ q[j * dsub:(j + 1) * dsub]))
+                for c in range(ksub)
+            ) + "]"
+            for j in range(m)
+        ) + "]::DOUBLE[][]"
+        tab_values.append(f"({int(vid)}, {t})")
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN j = {j} THEN cid END) AS c{j}" for j in range(m)
+    )
+    adc = " + ".join(f"t.t[{j + 1}][c.c{j} + 1]" for j in range(m))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+books(j, cid, c) AS (VALUES {book_values}),
+tabs(query_id, t) AS (VALUES {', '.join(tab_values)}),
+sub AS (
+  SELECT vec_id, u.j, v[u.j * {dsub} + 1 : (u.j + 1) * {dsub}] AS vs
+  FROM e, UNNEST([{', '.join(str(j) for j in range(m))}]) AS u(j)
+),
+assign AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT s.vec_id, s.j, b.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY list_dot_product(s.vs, s.vs)
+                      - 2 * list_dot_product(s.vs, b.c)
+                      + list_dot_product(b.c, b.c) ASC, b.cid
+           ) AS rn
+    FROM sub s JOIN books b ON b.j = s.j
+  ) WHERE rn = 1
+),
+codes AS (SELECT vec_id, {code_cols} FROM assign GROUP BY vec_id),
+scored AS (
+  SELECT t.query_id, c.vec_id AS neighbor_id, {adc} AS approx
+  FROM codes c CROSS JOIN tabs t
+  WHERE c.vec_id != t.query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def q_raster_mask_distributed(spark, sf_dir):
     """Distributed mask: two disjoint boxes arrive as a WKB geometry
     DataFrame -> spatial join (explode-to-keys, per-key collect, equi-join,
@@ -5345,7 +5456,9 @@ def queries():
         # rotated in (third r6 rotation): second-half additions
         "text_pii_scrub": q_text_pii_scrub,
         "text_pack_sequences": q_text_pack_sequences,
-        "text_sample": q_text_sample,
+        # (text_sample — a single md5-filter scan — rotated just past the
+        # window to make room for the PQ code path, which is new)
+        "emb_pq_knn": q_emb_pq_knn,
         "events_stream_dedup": q_events_stream_dedup,
         "raster_catalog_query": q_raster_catalog_query,
         # rotated in (fourth r6 rotation): oracle gates for previously
@@ -5387,6 +5500,7 @@ def queries():
         "tpch_q12_late": q_tpch_q12_late,
         "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
         "tpch_q19_disjunct": q_tpch_q19_disjunct,
+        "text_sample": q_text_sample,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -5673,6 +5787,7 @@ def oracle_sql():
     # rows-only check instead of poisoning the whole oracle dict
     try:
         out["emb_ivf_knn"] = _sql_ivf_knn(num_clusters=16, nprobe=4, k=5)
+        out["emb_pq_knn"] = _sql_pq_knn(m=4, ksub=16, k=5)
     except Exception:
         pass
     return out

@@ -865,3 +865,47 @@ class TestBigramLmScore:
                for r in ftext.bigram_lm_score(df).collect()}
         assert got[1] == (0, 0)
         assert got[2][0] == 1
+
+
+class TestProductQuantization:
+    def test_codes_shape_and_range(self, spark):
+        import numpy as np
+
+        rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(20)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        books = fsim.pq_train(df, m=2, ksub=4)
+        assert books.shape == (2, 4, 4)
+        codes = fsim.pq_encode(df, books).collect()
+        assert len(codes) == 20
+        for r in codes:
+            assert len(r["codes"]) == 2
+            assert all(0 <= c < 4 for c in r["codes"])
+
+    def test_enough_codes_reproduce_exact_mips_ranks(self, spark):
+        # with ksub >= n the sub-quantizers memorize every subvector, so
+        # ADC equals the exact inner product and ranks match brute force
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        V = rng.randn(8, 8).astype(np.float64)
+        rows = [(i, [float(x) for x in V[i]]) for i in range(8)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {}
+        for r in fsim.pq_knn(df, [0, 1], k=3, m=2, ksub=8).collect():
+            got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+        for qid in (0, 1):
+            q = V[qid]
+            dots = sorted(
+                ((float(V[i] @ q), -i) for i in range(8) if i != qid),
+                reverse=True,
+            )
+            expect = [(-mi) for _, mi in dots[:3]]
+            assert [n for _, n in sorted(got[qid])] == expect
+
+    def test_dimension_must_divide(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+        )
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            fsim.pq_train(df, m=2, ksub=2)

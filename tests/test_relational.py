@@ -259,13 +259,45 @@ class TestTpchPlanShapes:
         q, o = entry.queries(), entry.oracle_sql()
         assert set(q) == set(o)
 
-    def test_q21_exists_not_exists_no_cartesian(self, spark):
+    def test_q21_aggregate_rewrite_matches_semi_anti(self, spark):
+        from pyspark.sql import functions as F
+
         from geopyspark_spark.plans.driver_queries import q_tpch_q21_sole_latest
 
         df = q_tpch_q21_sole_latest(spark, self.SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Cartesian" not in plan and "NestedLoop" not in plan
-        assert "LeftSemi" in plan and "LeftAnti" in plan
+
+        # reference semantics: EXISTS other supplier + NOT EXISTS a
+        # strictly-later other-supplier shipment (the naive two-self-join
+        # form the aggregate rewrite replaces)
+        li = spark.read.parquet(f"{self.SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{self.SF}/orders.parquet").where(
+            F.col("o_orderstatus") == "F"
+        )
+        supp = spark.read.parquet(f"{self.SF}/supplier.parquet")
+        l1 = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+            "l_orderkey", "l_suppkey", "l_shipdate"
+        )
+        l2 = li.select(
+            F.col("l_orderkey").alias("x_orderkey"),
+            F.col("l_suppkey").alias("x_suppkey"),
+            F.col("l_shipdate").alias("x_shipdate"),
+        )
+        other = (F.col("x_orderkey") == F.col("l_orderkey")) & (
+            F.col("x_suppkey") != F.col("l_suppkey")
+        )
+        naive = (
+            l1.join(l2, other, "left_semi")
+            .join(l2, other & (F.col("x_shipdate") > F.col("l_shipdate")), "left_anti")
+            .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count("*").alias("numwait"))
+        )
+        assert (
+            sorted((r["s_name"], r["numwait"]) for r in df.collect())
+            == sorted((r["s_name"], r["numwait"]) for r in naive.collect())
+        )
 
     def test_q22_anti_join_scalar_broadcast(self, spark):
         from geopyspark_spark.plans.driver_queries import q_tpch_q22_idle_cust
