@@ -3088,6 +3088,56 @@ FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
 
 
+def q_events_hll_users(spark, sf_dir):
+    """HyperLogLog distinct users per event type (m=256 registers,
+    md5-hashed, exact-integer harmonic denominator) side-by-side with
+    the exact COUNT(DISTINCT) — the mergeable-sketch path for 100 TB
+    distinct counts. See functions/sketch.py for the bit-exactness
+    argument."""
+    from ..functions import sketch as fsketch
+
+    ev = _events(spark, sf_dir)
+    hll = fsketch.hll_distinct(ev, ["event_type"], "user_id", m=256)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return hll.join(exact, "event_type")
+
+
+def _sql_events_hll_users() -> str:
+    from ..functions.sketch import hll_alpha_m2_scaled
+
+    amx = hll_alpha_m2_scaled(256)  # same literal the Spark plan uses
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), r AS (
+  SELECT event_type, CAST(h % 256 AS INT) AS j, h // 256 AS w FROM h
+), regs AS (
+  SELECT event_type, j,
+         MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mx
+  FROM r GROUP BY event_type, j
+), agg AS (
+  SELECT event_type, CAST(COUNT(*) AS INT) AS n_registers_hit,
+         SUM((1::BIGINT << (53 - mx))) AS s_hit
+  FROM regs GROUP BY event_type
+), ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type, n_registers_hit,
+       CAST(s_hit + CAST(256 - n_registers_hit AS BIGINT) * (1::BIGINT << 53) AS BIGINT) AS sum_inv_scaled,
+       {amx!r} / CAST(s_hit + CAST(256 - n_registers_hit AS BIGINT) * (1::BIGINT << 53) AS DOUBLE) AS hll_estimate,
+       exact_distinct
+FROM agg a JOIN ex USING (event_type)
+"""
+
+
+SQL_EVENTS_HLL_USERS = _sql_events_hll_users()
+
+
 def q_events_enriched_segment(spark, sf_dir):
     """Stream-dim enrichment: events broadcast-joined to the customer dim
     (user_id ⊂ c_custkey), aggregated per market segment — the canonical
@@ -5441,6 +5491,7 @@ def queries():
         "text_chunks": q_text_chunks,
         "graph_pagerank": q_graph_pagerank,
         "text_lm_score": q_text_lm_score,
+        "events_hll_users": q_events_hll_users,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -5450,7 +5501,9 @@ def queries():
         "raster_geotiff_roundtrip": q_raster_geotiff_roundtrip,
         # rotated in (second r6 rotation): late-r6 additions
         "raster_reproject_rd": q_raster_reproject_rd,
-        "events_stream_sliding": q_events_stream_sliding,
+        # (events_stream_sliding — same readStream/watermark path as the
+        # in-window tumbling + session entries — rotated just past the
+        # window to make room for the HLL sketch, which is new)
         "raster_reproject_swiss": q_raster_reproject_swiss,
         "raster_reproject_krovak": q_raster_reproject_krovak,
         # rotated in (third r6 rotation): second-half additions
@@ -5501,6 +5554,7 @@ def queries():
         "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
         "tpch_q19_disjunct": q_tpch_q19_disjunct,
         "text_sample": q_text_sample,
+        "events_stream_sliding": q_events_stream_sliding,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -5681,6 +5735,7 @@ def oracle_sql():
         "text_chunks": SQL_TEXT_CHUNKS,
         "graph_pagerank": SQL_GRAPH_PAGERANK,
         "text_lm_score": SQL_TEXT_LM_SCORE,
+        "events_hll_users": SQL_EVENTS_HLL_USERS,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,

@@ -909,3 +909,52 @@ class TestProductQuantization:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             fsim.pq_train(df, m=2, ksub=2)
+
+
+class TestHllSketch:
+    def test_estimate_within_expected_error(self, spark):
+        from geopyspark_spark.functions.sketch import hll_distinct
+
+        n = 5000
+        df = spark.createDataFrame(
+            [("g", i) for i in range(n)], "grp string, uid long"
+        )
+        r = hll_distinct(df, ["grp"], "uid", m=256).collect()[0]
+        # raw HLL at m=256: ~6.5% typical error; allow 4 sigma
+        assert abs(r["hll_estimate"] - n) / n < 0.26
+        assert 0 < r["n_registers_hit"] <= 256
+
+    def test_registers_merge_by_max(self, spark):
+        from geopyspark_spark.functions.sketch import hll_registers
+
+        a = spark.createDataFrame([("g", i) for i in range(500)],
+                                  "grp string, uid long")
+        b = spark.createDataFrame([("g", i) for i in range(300, 800)],
+                                  "grp string, uid long")
+        both = a.unionByName(b)
+        direct = {(r["j"]): r["mx"]
+                  for r in hll_registers(both, ["grp"], "uid").collect()}
+        ra = {(r["j"]): r["mx"] for r in hll_registers(a, ["grp"], "uid").collect()}
+        rb = {(r["j"]): r["mx"] for r in hll_registers(b, ["grp"], "uid").collect()}
+        merged = {j: max(ra.get(j, 0), rb.get(j, 0)) for j in set(ra) | set(rb)}
+        assert direct == merged
+
+    def test_duplicates_do_not_change_registers(self, spark):
+        from geopyspark_spark.functions.sketch import hll_distinct
+
+        once = spark.createDataFrame([("g", i) for i in range(100)],
+                                     "grp string, uid long")
+        thrice = spark.createDataFrame([("g", i) for i in range(100)] * 3,
+                                       "grp string, uid long")
+        r1 = hll_distinct(once, ["grp"], "uid").collect()[0]
+        r3 = hll_distinct(thrice, ["grp"], "uid").collect()[0]
+        assert r1["sum_inv_scaled"] == r3["sum_inv_scaled"]
+        assert r1["hll_estimate"] == r3["hll_estimate"]
+
+    def test_rejects_non_power_of_two(self, spark):
+        from geopyspark_spark.functions.sketch import hll_distinct
+
+        df = spark.createDataFrame([("g", 1)], "grp string, uid long")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            hll_distinct(df, ["grp"], "uid", m=100)
