@@ -17,6 +17,62 @@ from pyspark.sql import functions as F
 PPM = 1_000_000
 
 
+def triangle_count(edges: DataFrame, src_col: str = "src",
+                   dst_col: str = "dst") -> DataFrame:
+    """Exact per-node triangle counts over an undirected edge list.
+
+    The classic two-join formulation with id-orientation: every
+    undirected edge is kept once as (lo, hi); a triangle a<b<c is found
+    exactly once by joining (a,b)x(b,c) and closing with (a,c). Each
+    corner node then gets credit for the triangle via one explode +
+    hash aggregate.
+
+    Scale shape: two shuffle equi-joins on single node keys plus one
+    aggregate — no enumeration of wedges at hub nodes beyond what the
+    join produces; at 100 TB the standard refinement is degree
+    orientation (lo = lower-degree endpoint) to cap wedge counts at
+    O(m^1.5); id orientation keeps the oracle trivially expressible
+    and is exact regardless.
+
+    Returns (node, n_triangles) for every node in the edge list
+    (nodes in no triangle report 0).
+    """
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    o = (
+        und.where(F.col("a") < F.col("b"))
+        .distinct()
+        .persist()
+    )
+    ab = o.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
+    bc = o.select(F.col("a").alias("t_b2"), F.col("b").alias("t_c"))
+    ac = o.select(F.col("a").alias("t_a2"), F.col("b").alias("t_c2"))
+    tris = (
+        ab.join(bc, F.col("t_b") == F.col("t_b2"))
+        .join(
+            ac,
+            (F.col("t_a") == F.col("t_a2")) & (F.col("t_c") == F.col("t_c2")),
+            "left_semi",
+        )
+        .select("t_a", "t_b", "t_c")
+    )
+    corners = (
+        tris.select(F.col("t_a").alias("node"))
+        .unionByName(tris.select(F.col("t_b").alias("node")))
+        .unionByName(tris.select(F.col("t_c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    nodes = (
+        o.select(F.col("a").alias("node"))
+        .unionByName(o.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    return nodes.join(corners, "node", "left_outer").select(
+        "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )
+
+
 def pagerank(edges: DataFrame, iterations: int = 5,
              damping_ppm: int = 850_000, rank_scale: int = 1_000_000,
              src_col: str = "src", dst_col: str = "dst",

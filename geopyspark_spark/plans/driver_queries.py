@@ -3138,6 +3138,53 @@ FROM agg a JOIN ex USING (event_type)
 SQL_EVENTS_HLL_USERS = _sql_events_hll_users()
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Exact per-node triangle counts over the supplier co-occurrence
+    graph (suppliers sharing >= 30 orders) — the two-join oriented
+    triangle enumeration; see functions/graph.py::triangle_count."""
+    from ..functions import graph as fgraph
+
+    li = _t(spark, sf_dir, "lineitem")
+    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    edges = (
+        x.join(y, "ok")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .agg(F.countDistinct("ok").alias("w"))
+        .where(F.col("w") >= 30)
+        .select("src", "dst")
+    )
+    return fgraph.triangle_count(edges)
+
+
+SQL_GRAPH_TRIANGLES = """
+WITH pairs AS (
+  SELECT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+  GROUP BY x.l_suppkey, y.l_suppkey
+  HAVING COUNT(DISTINCT x.l_orderkey) >= 30
+), tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM pairs e1 JOIN pairs e2 ON e2.a = e1.b
+  WHERE EXISTS (SELECT 1 FROM pairs e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+), corners AS (
+  SELECT node, COUNT(*) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT a AS node FROM pairs UNION ALL SELECT b AS node FROM pairs
+  )
+)
+SELECT n.node, CAST(COALESCE(c.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN corners c ON c.node = n.node
+"""
+
+
 def q_events_enriched_segment(spark, sf_dir):
     """Stream-dim enrichment: events broadcast-joined to the customer dim
     (user_id ⊂ c_custkey), aggregated per market segment — the canonical
@@ -5492,6 +5539,7 @@ def queries():
         "graph_pagerank": q_graph_pagerank,
         "text_lm_score": q_text_lm_score,
         "events_hll_users": q_events_hll_users,
+        "graph_triangles": q_graph_triangles,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -5512,7 +5560,9 @@ def queries():
         # (text_sample — a single md5-filter scan — rotated just past the
         # window to make room for the PQ code path, which is new)
         "emb_pq_knn": q_emb_pq_knn,
-        "events_stream_dedup": q_events_stream_dedup,
+        # (events_stream_dedup — same readStream drain harness as the
+        # three remaining in-window stream entries — rotated just past
+        # the window to make room for the triangle-count code path)
         "raster_catalog_query": q_raster_catalog_query,
         # rotated in (fourth r6 rotation): oracle gates for previously
         # pytest-only §2 rows (stitch/png/update/read_value/with_no_data/
@@ -5555,6 +5605,7 @@ def queries():
         "tpch_q19_disjunct": q_tpch_q19_disjunct,
         "text_sample": q_text_sample,
         "events_stream_sliding": q_events_stream_sliding,
+        "events_stream_dedup": q_events_stream_dedup,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -5736,6 +5787,7 @@ def oracle_sql():
         "graph_pagerank": SQL_GRAPH_PAGERANK,
         "text_lm_score": SQL_TEXT_LM_SCORE,
         "events_hll_users": SQL_EVENTS_HLL_USERS,
+        "graph_triangles": SQL_GRAPH_TRIANGLES,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,

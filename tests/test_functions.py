@@ -958,3 +958,34 @@ class TestHllSketch:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             hll_distinct(df, ["grp"], "uid", m=100)
+
+
+class TestTriangleCount:
+    def test_single_triangle_plus_tail(self, spark):
+        from geopyspark_spark.functions.graph import triangle_count
+
+        # triangle 1-2-3 plus a pendant edge 3-4
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+        )
+        got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 0}
+
+    def test_k4_gives_three_per_node(self, spark):
+        from geopyspark_spark.functions.graph import triangle_count
+
+        edges = spark.createDataFrame(
+            [(a, b) for a in range(4) for b in range(a + 1, 4)],
+            "src long, dst long",
+        )
+        got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        from geopyspark_spark.functions.graph import triangle_count
+
+        edges = spark.createDataFrame(
+            [(2, 1), (1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+        )
+        got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
