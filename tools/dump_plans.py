@@ -51,6 +51,24 @@ SECTIONS = [
     ("emb_quantize", "int8 quantization + quality report (r6). Look for: "
      "scan-side transform expressions only; the error-report self-join "
      "stays broadcast/local because both sides derive from the same scan."),
+    ("tpch_q21_sole_latest", "Aggregate rewrite of the EXISTS/NOT-EXISTS "
+     "audit (r6). Look for: NO lineitem self-join — two HashAggregates on "
+     "l_orderkey(+l_suppkey) with partial_ map-side combine, then equi-joins "
+     "that AQE keeps on the same key family; supplier dim broadcast."),
+    ("graph_pagerank", "Integer PageRank, 5 unrolled rounds (r6). Look for: "
+     "the edge list built ONCE (ReusedExchange under each round's join), "
+     "per-round joins on src, aggregates on dst — no Python nodes at all."),
+    ("emb_pq_knn", "PQ/ADC scan (r6). Look for: MapInPandas only for the "
+     "encode step; the ADC scan is pure codegen expressions over integer "
+     "codes joined BroadcastExchange-side to the tiny query tables; "
+     "WindowGroupLimit bounds the rank filter per partition."),
+    ("events_hll_users", "HLL sketch (r6). Look for: two chained "
+     "HashAggregates (register max, then per-group fold), both with "
+     "partial_ combines — register cardinality caps the shuffle at "
+     "m rows per group regardless of input size."),
+    ("text_lm_score", "Self-trained bigram LM (r6). Look for: one explode "
+     "(Generate) with NO shuffle before the two count aggregates; the "
+     "occurrence-to-counts joins should broadcast the aggregated side."),
 ]
 
 
