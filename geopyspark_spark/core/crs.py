@@ -1343,6 +1343,28 @@ class VanDerGrinten:
         return np.degrees(lam) + self.lon0, np.degrees(phi)
 
 
+class MillerCylindrical:
+    """Miller cylindrical (Snyder 1987 §11). Spherical formulas on
+    R = a, matching proj4's ``+proj=mill`` convention: the Mercator
+    vertical compressed by 0.8 so the poles stay finite."""
+
+    def __init__(self, ell: _Ellipsoid, lon0: float, fe: float, fn: float):
+        self.r, self.lon0, self.fe, self.fn = ell.a, lon0, fe, fn
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.subtract(lon, self.lon0))
+        x = self.r * lam
+        y = self.r * 1.25 * np.log(np.tan(np.pi / 4 + 0.4 * phi))
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y):
+        lam = np.subtract(x, self.fe) / self.r
+        phi = 2.5 * (np.arctan(np.exp(0.8 * np.subtract(y, self.fn) / self.r))
+                     - np.pi / 4)
+        return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
 class Mollweide:
     """Mollweide pseudocylindrical equal-area (Snyder 1987 §31). Spherical
     formulas on R = a, matching proj4's ``+proj=moll`` convention (proj4j
@@ -2034,7 +2056,7 @@ def _parse_proj4(s: str):
     """Build (projection, datum_shift|None) from a proj4 string — the
     reference accepts arbitrary proj4 via proj4j (``TileLayer.scala:
     288-295`` getCRS); this covers the ``+proj=tmerc/lcc/utm/longlat/
-    merc/cea/aea/stere/sterea/laea/sinu/moll/eqc/geos/omerc/somerc/
+    merc/cea/aea/stere/sterea/laea/sinu/moll/mill/eqc/geos/omerc/somerc/
     krovak/cass/aeqd/eqdc/ortho/gnom/poly/vandg`` families over
     ``+ellps/+datum/+a/+rf/+b/+towgs84/+k/+x_0/+y_0/...`` parameters,
     feeding the existing Krueger/LCC/Helmert kernels.
@@ -2156,6 +2178,8 @@ def _parse_proj4(s: str):
                                     g("x_0"), g("y_0")), shift
     if proj == "moll":
         return Mollweide(ell, g("lon_0"), g("x_0"), g("y_0")), shift
+    if proj == "mill":
+        return MillerCylindrical(ell, g("lon_0"), g("x_0"), g("y_0")), shift
     if proj in ("eqc", "latlong_m"):
         return EquidistantCylindrical(ell, g("lat_ts"), g("lon_0"),
                                       g("x_0"), g("y_0")), shift
@@ -2287,7 +2311,7 @@ def get_transform(src_crs: str | int, dst_crs: str | int) -> Transform:
         "epsg:326xx / epsg:327xx, the registered national grids "
         f"({', '.join(sorted(CRS_REGISTRY))}), proj4 strings in the "
         "tmerc/lcc/utm/longlat/merc/cea/aea/stere/sterea/laea/sinu/"
-        "moll/eqc/geos/omerc/somerc/krovak families, and anything added "
+        "moll/mill/eqc/geos/omerc/somerc/krovak families, and anything added "
         "via register_crs()"
     )
 

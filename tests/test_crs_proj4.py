@@ -1422,3 +1422,28 @@ class TestVanDerGrinten:
         f = get_transform("epsg:4326", "+proj=vandg +lon_0=0 +a=6371000 +b=6371000")
         x, y = f(np.array([90.0]), np.array([0.0]))
         assert abs(x[0] - 6371000 * np.pi / 2) < 1e-3
+
+
+class TestMillerCylindrical:
+    MILL = "+proj=mill +lon_0=0 +x_0=0 +y_0=0 +a=6371000 +b=6371000"
+
+    def test_snyder_worked_example(self):
+        """Snyder 1987 p. 287 (Miller, R=1 sphere): lam=-75, phi=50 ->
+        x=-1.3089969, y=0.9536371."""
+        from geopyspark_spark.core.crs import _parse_proj4
+
+        p, _ = _parse_proj4("+proj=mill +a=1 +b=1 +lon_0=0 +x_0=0 +y_0=0")
+        x, y = p.forward(-75.0, 50.0)
+        assert float(x) == pytest.approx(-1.3089969, abs=1e-7)
+        assert float(y) == pytest.approx(0.9536371, abs=1e-7)
+
+    def test_poles_finite_and_round_trip(self):
+        f = get_transform("epsg:4326", self.MILL)
+        inv = get_transform(self.MILL, "epsg:4326")
+        lons = np.array([-170.0, -60.0, 0.0, 45.0, 179.0])
+        lats = np.array([-89.0, -45.0, 0.0, 60.0, 89.0])
+        x, y = f(lons, lats)
+        assert np.all(np.isfinite(x)) and np.all(np.isfinite(y))
+        lo, la = inv(x, y)
+        np.testing.assert_allclose(lo, lons, atol=1e-9)
+        np.testing.assert_allclose(la, lats, atol=1e-9)
