@@ -774,6 +774,52 @@ def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
     )
 
 
+def quantized_knn(df: DataFrame, query_ids: list[int], k: int = 5,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate max-inner-product top-k over int8-quantized vectors:
+    the compressed-scan ANN mode that pairs with
+    :func:`quantize_embeddings` (4x less IO than float32; SIMD int8
+    dot products on real hardware).
+
+    Determinism contract: the int8xint8 dot product accumulates exact
+    integers (order-free); floats appear only as the final
+    ``(scale * q_scale) * dot`` two-multiply in fixed order, so ranks
+    hash-match any engine. Scan shape: one broadcast of the quantized
+    queries, per-row Catalyst ``zip_with``/``aggregate`` (no Python),
+    WindowGroupLimit caps the rank filter per partition.
+    """
+    qd = quantize_embeddings(df, id_col, vec_col)
+    qq = (
+        qd.where(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("scale").alias("q_scale"),
+            F.col("qvec").alias("q_qvec"),
+        )
+    )
+    cand = (
+        qd.crossJoin(F.broadcast(qq))
+        .where(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "int_dot",
+            F.expr(
+                "aggregate(zip_with(qvec, q_qvec, (a, b) -> CAST(a AS BIGINT) * b), "
+                "0L, (acc, v) -> acc + v)"
+            ),
+        )
+        .withColumn("approx", F.expr("(scale * q_scale) * CAST(int_dot AS DOUBLE)"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.col(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                F.col(id_col).alias("neighbor_id"))
+    )
+
+
 def dequantize_embeddings(qdf: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Inverse of :func:`quantize_embeddings`: x_i ~ q_i * scale."""
     return qdf.select(

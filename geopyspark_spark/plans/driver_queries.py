@@ -4628,6 +4628,46 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
 """
 
 
+def q_emb_int8_knn(spark, sf_dir):
+    """int8-quantized MIPS top-k: exact integer dot products over the
+    compressed vectors, fixed-order scale multiply — see
+    functions/similarity.py::quantized_knn."""
+    return fsim.quantized_knn(_t(spark, sf_dir, "embeddings"), KNN_QUERIES, k=5)
+
+
+SQL_EMB_INT8_KNN = f"""
+WITH x AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, e -> abs(e))) / 127.0 AS scale
+  FROM x
+), q AS (
+  SELECT vec_id, scale,
+         list_transform(v, e -> CASE WHEN scale > 0
+            THEN CAST(greatest(-127.0, least(127.0, floor(e / scale + 0.5))) AS INT)
+            ELSE 0 END) AS qvec
+  FROM s
+), qq AS (
+  SELECT vec_id AS query_id, scale AS q_scale, qvec AS q_qvec
+  FROM q WHERE vec_id IN ({', '.join(map(str, KNN_QUERIES))})
+), scored AS (
+  SELECT qq.query_id, q.vec_id AS neighbor_id,
+         (q.scale * qq.q_scale) * CAST(list_sum(list_transform(
+             generate_series(1, len(q.qvec)),
+             i -> CAST(q.qvec[i] AS BIGINT) * qq.q_qvec[i])) AS DOUBLE) AS approx
+  FROM q CROSS JOIN qq
+  WHERE q.vec_id != qq.query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def q_raster_mask_distributed(spark, sf_dir):
     """Distributed mask: two disjoint boxes arrive as a WKB geometry
     DataFrame -> spatial join (explode-to-keys, per-key collect, equi-join,
@@ -5540,6 +5580,7 @@ def queries():
         "text_lm_score": q_text_lm_score,
         "events_hll_users": q_events_hll_users,
         "graph_triangles": q_graph_triangles,
+        "emb_int8_knn": q_emb_int8_knn,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -5586,7 +5627,9 @@ def queries():
         "multimodal_video": q_multimodal_video,
         "tms_render_tile": q_tms_render_tile,
         "raster_untiled_ingest": q_raster_untiled_ingest,
-        "raster_catalog_hilbert": q_raster_catalog_hilbert,
+        # (raster_catalog_hilbert — same SFC write/read identity harness
+        # as the in-window catalog query/update/stream-ingest gates —
+        # rotated just past the window for the int8-kNN code path)
         "raster_stitch": q_raster_stitch,
         "raster_png_roundtrip": q_raster_png_roundtrip,
         "raster_catalog_update": q_raster_catalog_update,
@@ -5606,6 +5649,7 @@ def queries():
         "text_sample": q_text_sample,
         "events_stream_sliding": q_events_stream_sliding,
         "events_stream_dedup": q_events_stream_dedup,
+        "raster_catalog_hilbert": q_raster_catalog_hilbert,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -5788,6 +5832,7 @@ def oracle_sql():
         "text_lm_score": SQL_TEXT_LM_SCORE,
         "events_hll_users": SQL_EVENTS_HLL_USERS,
         "graph_triangles": SQL_GRAPH_TRIANGLES,
+        "emb_int8_knn": SQL_EMB_INT8_KNN,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,

@@ -989,3 +989,28 @@ class TestTriangleCount:
         )
         got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
         assert got == {1: 1, 2: 1, 3: 1}
+
+
+class TestQuantizedKnn:
+    def test_matches_exact_ranks_on_well_separated_vectors(self, spark):
+        import numpy as np
+
+        # vectors with distinct magnitudes in orthogonal-ish directions:
+        # int8 rounding cannot reorder a 2x-separated similarity ladder
+        rows = [(i, [0.0] * i + [float(2 ** i)] + [0.0] * (7 - i)) for i in range(8)]
+        rows.append((100, [1.0] * 8))  # query overlaps all
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = sorted(
+            (r["rank"], r["neighbor_id"])
+            for r in fsim.quantized_knn(df, [100], k=3).collect()
+        )
+        # true inner products with the all-ones query: 2^i -> 7, 6, 5 win
+        assert [n for _, n in got] == [7, 6, 5]
+
+    def test_zero_vector_is_harmless(self, spark):
+        df = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.5, 0.5])],
+            "vec_id long, embedding array<double>",
+        )
+        out = fsim.quantized_knn(df, [1], k=2).collect()
+        assert {r["neighbor_id"] for r in out} == {0, 2}
