@@ -28,34 +28,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def hll_registers(df: DataFrame, group_cols: list[str], id_col: str,
-                  m: int = 256) -> DataFrame:
-    """Per-group HLL registers: (group..., register j, rho max).
+def hll_register_terms(id_col: str, m: int = 256):
+    """Per-row (j, rho) column expressions — the composable form of the
+    register computation, usable inside ANY aggregation including a
+    watermarked Structured Streaming groupBy (registers are max-merged
+    incrementally by the state store; the estimate folds at read time).
 
     h = top 60 bits of md5(id); j = h mod m; rho = 1 + leading zeros of
-    the remaining wbits = 60 - log2(m) bits. One hash aggregate with
-    map-side combine — at most m rows per group regardless of input
-    size; merge two register tables with ``max`` per (group, j).
+    the remaining wbits = 60 - log2(m) bits. ``bin()`` drops leading
+    zeros in both Spark and DuckDB, so bit_length == length(bin(w)).
     """
     if m & (m - 1) or m < 2:
         raise ValueError(f"m must be a power of two >= 2, got {m}")
     mbits = m.bit_length() - 1
     wbits = 60 - mbits
-    h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    d = df.select(*group_cols, h.alias("h")).select(
-        *group_cols,
-        (F.col("h") % m).cast("int").alias("j"),
-        F.expr(f"h DIV {m}").alias("w"),
+    h = (
+        f"CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 15), 16, 10) "
+        f"AS BIGINT)"
     )
-    # rho = wbits - bit_length(w) + 1; bin() drops leading zeros in both
-    # Spark and DuckDB, so bit_length == length(bin(w)) for w > 0
-    rho = F.when(F.col("w") == 0, F.lit(wbits + 1)).otherwise(
-        F.lit(wbits + 1) - F.length(F.expr("bin(w)"))
+    j = F.expr(f"CAST(({h}) % {m} AS INT)")
+    w = f"(({h}) DIV {m})"
+    rho = F.expr(
+        f"CAST(CASE WHEN {w} = 0 THEN {wbits + 1} "
+        f"ELSE {wbits + 1} - length(bin({w})) END AS INT)"
     )
+    return j, rho
+
+
+def hll_registers(df: DataFrame, group_cols: list[str], id_col: str,
+                  m: int = 256) -> DataFrame:
+    """Per-group HLL registers: (group..., register j, rho max).
+
+    One hash aggregate with map-side combine — at most m rows per group
+    regardless of input size; merge two register tables with ``max``
+    per (group, j).
+    """
+    j, rho = hll_register_terms(id_col, m)
     return (
-        d.select(*group_cols, "j", rho.cast("int").alias("rho"))
+        df.select(*group_cols, j.alias("j"), rho.alias("rho"))
         .groupBy(*group_cols, "j")
         .agg(F.max("rho").alias("mx"))
     )

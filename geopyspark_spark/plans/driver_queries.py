@@ -3138,6 +3138,76 @@ FROM agg a JOIN ex USING (event_type)
 SQL_EVENTS_HLL_USERS = _sql_events_hll_users()
 
 
+def q_events_stream_hll(spark, sf_dir):
+    """Streaming HLL: the register maxima are maintained BY the
+    Structured Streaming state store (readStream -> watermarked
+    groupBy(day-window, type, register) -> max), drained with
+    AvailableNow; the estimate folds over the drained registers in
+    batch — the production sketch pattern (registers persist, estimates
+    are read-time). Oracle: the same registers recomputed relationally
+    over the batch frame."""
+    import uuid
+
+    from ..functions.sketch import hll_alpha_m2_scaled, hll_register_terms
+    from ..streaming.events import read_events_stream, run_available_now
+
+    ev = read_events_stream(spark, sf_dir)
+    ev = ev.where(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+    j, rho = hll_register_terms("user_id", 256)
+    regs = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type", j.alias("j"))
+        .agg(F.max(rho).alias("mx"))
+    )
+    out = run_available_now(regs, f"stream_hll_{uuid.uuid4().hex[:8]}")
+    agg = out.groupBy(
+        F.col("w.start").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.count("*").cast("int").alias("n_registers_hit"),
+        F.sum(F.expr("shiftleft(1L, 53 - mx)")).alias("s_hit"),
+    )
+    sum_scaled = (
+        F.col("s_hit")
+        + (F.lit(256) - F.col("n_registers_hit")).cast("long") * F.lit(1 << 53)
+    )
+    amx = hll_alpha_m2_scaled(256)
+    return agg.select(
+        "day", "event_type", "n_registers_hit",
+        sum_scaled.alias("sum_inv_scaled"),
+        (F.lit(amx) / sum_scaled.cast("double")).alias("hll_estimate"),
+    )
+
+
+def _sql_events_stream_hll() -> str:
+    from ..functions.sketch import hll_alpha_m2_scaled
+
+    amx = hll_alpha_m2_scaled(256)
+    return f"""
+WITH h AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), r AS (
+  SELECT day, event_type, CAST(h % 256 AS INT) AS j, h // 256 AS w FROM h
+), regs AS (
+  SELECT day, event_type, j,
+         MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mx
+  FROM r GROUP BY day, event_type, j
+), agg AS (
+  SELECT day, event_type, CAST(COUNT(*) AS INT) AS n_registers_hit,
+         SUM((1::BIGINT << (53 - mx))) AS s_hit
+  FROM regs GROUP BY day, event_type
+)
+SELECT day, event_type, n_registers_hit,
+       CAST(s_hit + CAST(256 - n_registers_hit AS BIGINT) * (1::BIGINT << 53) AS BIGINT) AS sum_inv_scaled,
+       {amx!r} / CAST(s_hit + CAST(256 - n_registers_hit AS BIGINT) * (1::BIGINT << 53) AS DOUBLE) AS hll_estimate
+FROM agg
+"""
+
+
+SQL_EVENTS_STREAM_HLL = _sql_events_stream_hll()
+
+
 def q_graph_triangles(spark, sf_dir):
     """Exact per-node triangle counts over the supplier co-occurrence
     graph (suppliers sharing >= 30 orders) — the two-join oriented
@@ -5581,6 +5651,7 @@ def queries():
         "events_hll_users": q_events_hll_users,
         "graph_triangles": q_graph_triangles,
         "emb_int8_knn": q_emb_int8_knn,
+        "events_stream_hll": q_events_stream_hll,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -5630,7 +5701,9 @@ def queries():
         # (raster_catalog_hilbert — same SFC write/read identity harness
         # as the in-window catalog query/update/stream-ingest gates —
         # rotated just past the window for the int8-kNN code path)
-        "raster_stitch": q_raster_stitch,
+        # (raster_stitch — single-collect assembly also pinned by pytest
+        # goldens — rotated just past the window for the streaming-HLL
+        # code path)
         "raster_png_roundtrip": q_raster_png_roundtrip,
         "raster_catalog_update": q_raster_catalog_update,
         "raster_read_value": q_raster_read_value,
@@ -5650,6 +5723,7 @@ def queries():
         "events_stream_sliding": q_events_stream_sliding,
         "events_stream_dedup": q_events_stream_dedup,
         "raster_catalog_hilbert": q_raster_catalog_hilbert,
+        "raster_stitch": q_raster_stitch,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -5833,6 +5907,7 @@ def oracle_sql():
         "events_hll_users": SQL_EVENTS_HLL_USERS,
         "graph_triangles": SQL_GRAPH_TRIANGLES,
         "emb_int8_knn": SQL_EMB_INT8_KNN,
+        "events_stream_hll": SQL_EVENTS_STREAM_HLL,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,

@@ -161,3 +161,26 @@ class TestStreamingRasterIngest:
         assert got[(0, 0)] == 9.0 and got[(1, 1)] == 9.0  # new wins
         assert got[(0, 1)] == 1.0 and got[(1, 0)] == 1.0  # untouched survive
         assert back.count() == 4
+
+
+class TestStreamingHll:
+    def test_stream_registers_equal_batch_registers(self, spark, events_stream, events_batch):
+        from geopyspark_spark.functions.sketch import hll_register_terms
+
+        j, rho = hll_register_terms("user_id", 256)
+        regs = (
+            events_stream.where(F.col("ts").isNotNull())
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 day").alias("w"), j.alias("j"))
+            .agg(F.max(rho).alias("mx"))
+        )
+        got = sev.run_available_now(regs, "t_hll")
+        jb, rhob = hll_register_terms("user_id", 256)
+        expected = (
+            events_batch.where(F.col("ts").isNotNull())
+            .groupBy(F.window("ts", "1 day").alias("w"), jb.alias("j"))
+            .agg(F.max(rhob).alias("mx"))
+        )
+        g = {(r["w"]["start"], r["j"]): r["mx"] for r in got.collect()}
+        e = {(r["w"]["start"], r["j"]): r["mx"] for r in expected.collect()}
+        assert g == e and len(g) > 0
