@@ -52,6 +52,11 @@ HEADLINE = [
     "text_lm_score",
     "tpch_q9_profit",
     "tpch_q21_sole_latest",
+    # sketch + compressed-ANN paths
+    "events_hll_users",
+    "emb_pq_knn",
+    "emb_int8_knn",
+    "graph_triangles",
 ]
 
 
