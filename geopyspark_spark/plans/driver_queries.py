@@ -3208,6 +3208,59 @@ FROM agg
 SQL_EVENTS_STREAM_HLL = _sql_events_stream_hll()
 
 
+def q_events_stream_join(spark, sf_dir):
+    """Stream-stream interval join through the oracle gate: views
+    joined to purchases by the same user within the preceding 30
+    minutes, both sides live streams with watermarks (state expires at
+    the time bound — the O(rate x horizon) requirement). Drained with
+    AvailableNow; aggregated per day so the output is integer-exact."""
+    import uuid
+
+    from ..streaming.events import (read_events_stream, run_available_now,
+                                    stream_stream_join)
+
+    ev = read_events_stream(spark, sf_dir)
+    ev = ev.where(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    ).withColumnRenamed("p_ts", "ts").withColumnRenamed("p_user_id", "user_id")
+    joined = stream_stream_join(
+        views.alias("l"), purchases.alias("r"), key="user_id",
+        time_bound="30 minutes", watermark="2 hours",
+    )
+    pairs = joined.select(
+        F.col("l.ts").cast("date").alias("day"),
+        F.col("view_id"),
+        F.col("purchase_id"),
+    )
+    out = run_available_now(
+        pairs, f"stream_join_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    return out.groupBy("day").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("view_id").alias("n_views"),
+        F.countDistinct("purchase_id").alias("n_purchases"),
+    )
+
+
+SQL_EVENTS_STREAM_JOIN = """
+SELECT CAST(v.ts AS DATE) AS day,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT v.event_id) AS n_views,
+       COUNT(DISTINCT p.event_id) AS n_purchases
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 30 MINUTE
+GROUP BY CAST(v.ts AS DATE)
+"""
+
+
 def q_graph_triangles(spark, sf_dir):
     """Exact per-node triangle counts over the supplier co-occurrence
     graph (suppliers sharing >= 30 orders) — the two-join oriented
@@ -5652,6 +5705,7 @@ def queries():
         "graph_triangles": q_graph_triangles,
         "emb_int8_knn": q_emb_int8_knn,
         "events_stream_hll": q_events_stream_hll,
+        "events_stream_join": q_events_stream_join,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -5680,7 +5734,9 @@ def queries():
         # pytest-only §2 rows (stitch/png/update/read_value/with_no_data/
         # shapefile/COG); seven r5-validated entries move out
         # (token_count/dedup_pipeline/emb_knn/multimodal/session/zonal/mask)
-        "raster_reproject_ortho": q_raster_reproject_ortho,
+        # (raster_reproject_ortho — same registry/warp path as the six
+        # in-window reproject variants — rotated just past the window
+        # for the stream-stream join code path)
         "text_repetition": q_text_repetition,
         "text_contamination": q_text_contamination,
         "text_gopher_filter": q_text_gopher_filter,
@@ -5724,6 +5780,7 @@ def queries():
         "events_stream_dedup": q_events_stream_dedup,
         "raster_catalog_hilbert": q_raster_catalog_hilbert,
         "raster_stitch": q_raster_stitch,
+        "raster_reproject_ortho": q_raster_reproject_ortho,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -5908,6 +5965,7 @@ def oracle_sql():
         "graph_triangles": SQL_GRAPH_TRIANGLES,
         "emb_int8_knn": SQL_EMB_INT8_KNN,
         "events_stream_hll": SQL_EVENTS_STREAM_HLL,
+        "events_stream_join": SQL_EVENTS_STREAM_JOIN,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,

@@ -204,6 +204,33 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame,
     )
 
 
+def stream_stream_join(left: DataFrame, right: DataFrame,
+                       key: str = "user_id", time_bound: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join with an event-time bound: for every
+    right-side event, the left-side events by the same key in the
+    preceding ``time_bound`` — attribution/conversion tracking on two
+    live streams.
+
+    Both sides carry watermarks and the join condition bounds
+    ``l.ts`` to ``[r.ts - time_bound, r.ts]``, which is exactly what
+    lets Spark expire join state: each side's buffer holds only the
+    watermark + bound horizon, so state is O(rate x horizon), not
+    O(stream). Without the time bound the state grows forever — the
+    bound is the 100 TB/day requirement, not an optimization.
+    """
+    from pyspark.sql import functions as F
+
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("l.ts") <= F.col("r.ts"))
+        & (F.col("l.ts") >= F.col("r.ts") - F.expr(f"INTERVAL {time_bound}"))
+    )
+    return l.join(r, cond)
+
+
 def dedup_events(events: DataFrame, keys: list[str] | None = None,
                  watermark: str = "1 hour", ts_col: str = "ts") -> DataFrame:
     """Streaming exact deduplication: watermark + dropDuplicates on the

@@ -184,3 +184,34 @@ class TestStreamingHll:
         g = {(r["w"]["start"], r["j"]): r["mx"] for r in got.collect()}
         e = {(r["w"]["start"], r["j"]): r["mx"] for r in expected.collect()}
         assert g == e and len(g) > 0
+
+
+class TestStreamStreamJoin:
+    def test_join_equals_batch_within_bound(self, spark, events_stream, events_batch):
+        views = events_stream.where(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"), "user_id", "ts"
+        )
+        purch = events_stream.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id", "ts"
+        )
+        j = sev.stream_stream_join(views, purch, time_bound="30 minutes")
+        got = sev.run_available_now(
+            j.select("view_id", "purchase_id"), "t_ssj", output_mode="append"
+        )
+        g = {(r["view_id"], r["purchase_id"]) for r in got.collect()}
+
+        bv = events_batch.where(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("vu"), F.col("ts").alias("vts"),
+        )
+        bp = events_batch.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+        )
+        e = {(r["view_id"], r["purchase_id"]) for r in bv.join(
+            bp,
+            (F.col("vu") == F.col("pu"))
+            & (F.col("vts") <= F.col("pts"))
+            & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 30 MINUTES")),
+        ).collect()}
+        assert g == e and len(g) > 0
