@@ -4791,6 +4791,75 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
 """
 
 
+def q_emb_pq_recall(spark, sf_dir):
+    """Recall@5 of the PQ/ADC index against exact max-inner-product —
+    the evaluation job a pipeline runs before trusting a compressed
+    index. Integer overlap counts per query; both rank sets are
+    recomputed independently by the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pq = fsim.pq_knn(emb, KNN_QUERIES, k=5, m=4, ksub=16)
+    qq = emb.where(F.col("vec_id").isin(KNN_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(qq))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(zip_with(embedding, qv, "
+                "(a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), "
+                "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.col("vec_id"))
+    exact_top = (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    overlap = (
+        pq.select("query_id", "neighbor_id")
+        .join(exact_top, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    all_q = qq.select("query_id")
+    return all_q.join(overlap, "query_id", "left_outer").select(
+        "query_id", F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap")
+    )
+
+
+def _sql_pq_recall() -> str:
+    qlist = ", ".join(map(str, KNN_QUERIES))
+    pq_sql = _sql_pq_knn(m=4, ksub=16, k=5)
+    return f"""
+WITH pq AS ({pq_sql}),
+e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q2 AS (SELECT vec_id AS query_id, v AS qv FROM e2 WHERE vec_id IN ({qlist})),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q2.query_id, e2.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q2.query_id
+             ORDER BY list_dot_product(e2.v, q2.qv) DESC, e2.vec_id
+           ) AS rank
+    FROM e2 CROSS JOIN q2 WHERE e2.vec_id != q2.query_id
+  ) WHERE rank <= 5
+), ov AS (
+  SELECT pq.query_id, COUNT(*) AS n_overlap
+  FROM pq JOIN exact ON pq.query_id = exact.query_id
+                    AND pq.neighbor_id = exact.neighbor_id
+  GROUP BY pq.query_id
+)
+SELECT q2.query_id, CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+FROM q2 LEFT JOIN ov ON ov.query_id = q2.query_id
+"""
+
+
 def q_raster_mask_distributed(spark, sf_dir):
     """Distributed mask: two disjoint boxes arrive as a WKB geometry
     DataFrame -> spatial join (explode-to-keys, per-key collect, equi-join,
@@ -5706,6 +5775,7 @@ def queries():
         "emb_int8_knn": q_emb_int8_knn,
         "events_stream_hll": q_events_stream_hll,
         "events_stream_join": q_events_stream_join,
+        "emb_pq_recall": q_emb_pq_recall,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -5744,7 +5814,9 @@ def queries():
         "vector_spatial_join": q_vector_spatial_join,
         "raster_stream_ingest": q_raster_stream_ingest,
         "rel_salted_join": q_rel_salted_join,
-        "text_stratified_sample": q_text_stratified_sample,
+        # (text_stratified_sample — the same per-stratum hash-sampling
+        # code runs inside the in-window text_prepare_corpus pipeline —
+        # rotated just past the window for the PQ-recall gate)
         "text_duplicate_spans": q_text_duplicate_spans,
         "text_prepare_corpus": q_text_prepare_corpus,
         "events_retention": q_events_retention,
@@ -5781,6 +5853,7 @@ def queries():
         "raster_catalog_hilbert": q_raster_catalog_hilbert,
         "raster_stitch": q_raster_stitch,
         "raster_reproject_ortho": q_raster_reproject_ortho,
+        "text_stratified_sample": q_text_stratified_sample,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -6073,6 +6146,7 @@ def oracle_sql():
     try:
         out["emb_ivf_knn"] = _sql_ivf_knn(num_clusters=16, nprobe=4, k=5)
         out["emb_pq_knn"] = _sql_pq_knn(m=4, ksub=16, k=5)
+        out["emb_pq_recall"] = _sql_pq_recall()
     except Exception:
         pass
     return out
