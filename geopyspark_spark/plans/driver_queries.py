@@ -4670,12 +4670,14 @@ def q_emb_pq_knn(spark, sf_dir):
     )
 
 
-def _sql_pq_knn(m: int = 4, ksub: int = 16, k: int = 5) -> str:
+def _sql_pq_knn(m: int = 4, ksub: int = 16, k: int = 5,
+                rerank: int | None = None) -> str:
     """Oracle for q_emb_pq_knn. Codebooks are recomputed with the exact
     deterministic numpy routine on the same sorted-id training rows and
     injected as VALUES; encoding (per-subspace argmin) and the ADC scan
     run in SQL. The ADC sum is written in the same left-to-right order
-    as the Spark expression, so the doubles are bit-identical."""
+    as the Spark expression, so the doubles are bit-identical.
+    ``rerank=N`` mirrors the shortlist+exact-rerank mode."""
     import duckdb
     import numpy as np
 
@@ -4716,6 +4718,57 @@ def _sql_pq_knn(m: int = 4, ksub: int = 16, k: int = 5) -> str:
         f"MAX(CASE WHEN j = {j} THEN cid END) AS c{j}" for j in range(m)
     )
     adc = " + ".join(f"t.t[{j + 1}][c.c{j} + 1]" for j in range(m))
+    if rerank:
+        return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+books(j, cid, c) AS (VALUES {book_values}),
+tabs(query_id, t) AS (VALUES {', '.join(tab_values)}),
+sub AS (
+  SELECT vec_id, u.j, v[u.j * {dsub} + 1 : (u.j + 1) * {dsub}] AS vs
+  FROM e, UNNEST([{', '.join(str(j) for j in range(m))}]) AS u(j)
+),
+assign AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT s.vec_id, s.j, b.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.j
+             ORDER BY list_dot_product(s.vs, s.vs)
+                      - 2 * list_dot_product(s.vs, b.c)
+                      + list_dot_product(b.c, b.c) ASC, b.cid
+           ) AS rn
+    FROM sub s JOIN books b ON b.j = s.j
+  ) WHERE rn = 1
+),
+codes AS (SELECT vec_id, {code_cols} FROM assign GROUP BY vec_id),
+scored AS (
+  SELECT t.query_id, c.vec_id AS neighbor_id, {adc} AS approx
+  FROM codes c CROSS JOIN tabs t
+  WHERE c.vec_id != t.query_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= {rerank}
+),
+qv AS (SELECT vec_id AS query_id, v AS qvec FROM e
+       WHERE vec_id IN (SELECT query_id FROM tabs)),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(e.v, qv.qvec) AS dot
+  FROM shortlist s
+  JOIN e ON e.vec_id = s.neighbor_id
+  JOIN qv ON qv.query_id = s.query_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, neighbor_id) AS rank
+  FROM exact
+) WHERE rank <= {k}
+"""
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 books(j, cid, c) AS (VALUES {book_values}),
@@ -4792,12 +4845,14 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
 
 
 def q_emb_pq_recall(spark, sf_dir):
-    """Recall@5 of the PQ/ADC index against exact max-inner-product —
-    the evaluation job a pipeline runs before trusting a compressed
-    index. Integer overlap counts per query; both rank sets are
-    recomputed independently by the oracle."""
+    """Recall@5 of the production PQ config (m=8, ksub=64, ADC
+    shortlist 32 + exact rerank) against exact max-inner-product — the
+    evaluation job a pipeline runs before trusting a compressed index.
+    Integer overlap counts per query; both rank sets are recomputed
+    independently by the oracle. (The raw-ADC path stays gated
+    separately by emb_pq_knn.)"""
     emb = _t(spark, sf_dir, "embeddings")
-    pq = fsim.pq_knn(emb, KNN_QUERIES, k=5, m=4, ksub=16)
+    pq = fsim.pq_knn(emb, KNN_QUERIES, k=5, m=8, ksub=64, rerank=32)
     qq = emb.where(F.col("vec_id").isin(KNN_QUERIES)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -4835,7 +4890,7 @@ def q_emb_pq_recall(spark, sf_dir):
 
 def _sql_pq_recall() -> str:
     qlist = ", ".join(map(str, KNN_QUERIES))
-    pq_sql = _sql_pq_knn(m=4, ksub=16, k=5)
+    pq_sql = _sql_pq_knn(m=8, ksub=64, k=5, rerank=32)
     return f"""
 WITH pq AS ({pq_sql}),
 e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

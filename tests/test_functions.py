@@ -1014,3 +1014,22 @@ class TestQuantizedKnn:
         )
         out = fsim.quantized_knn(df, [1], k=2).collect()
         assert {r["neighbor_id"] for r in out} == {0, 2}
+
+
+class TestPqRerank:
+    def test_rerank_recovers_exact_ranks(self, spark):
+        # coarse codebooks (m=1, ksub=2) give terrible ADC ranks; a
+        # full-width shortlist + exact rerank must recover brute force
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        V = rng.randn(10, 4).astype(np.float64)
+        rows = [(i, [float(x) for x in V[i]]) for i in range(10)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {}
+        for r in fsim.pq_knn(df, [0], k=3, m=1, ksub=2, rerank=9).collect():
+            got[r["rank"]] = r["neighbor_id"]
+        q = V[0]
+        dots = sorted(((float(V[i] @ q), -i) for i in range(1, 10)), reverse=True)
+        expect = {rk + 1: -mi for rk, (_, mi) in enumerate(dots[:3])}
+        assert got == expect
