@@ -4915,6 +4915,84 @@ FROM q2 LEFT JOIN ov ON ov.query_id = q2.query_id
 """
 
 
+def q_emb_ivf_recall(spark, sf_dir):
+    """Recall@5 of the IVF probe (16 clusters, nprobe=4) against exact
+    max-inner-product — alongside emb_pq_recall this completes the
+    accuracy report for every compressed/pruned ANN mode."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ivf = fsim.ivf_knn(emb, KNN_QUERIES, k=5, num_clusters=16, nprobe=4)
+    qq = emb.where(F.col("vec_id").isin(KNN_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    def _fold_dot(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    # IVF ranks by COSINE (ivf_knn's exact rerank), so the reference
+    # ranking must be cosine too
+    exact = (
+        emb.crossJoin(F.broadcast(qq))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            F.expr(
+                f"{_fold_dot('embedding', 'qv')} / "
+                f"(sqrt({_fold_dot('embedding', 'embedding')}) * "
+                f"sqrt({_fold_dot('qv', 'qv')}))"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("vec_id"))
+    exact_top = (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    overlap = (
+        ivf.select("query_id", "neighbor_id")
+        .join(exact_top, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return qq.select("query_id").join(overlap, "query_id", "left_outer").select(
+        "query_id", F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap")
+    )
+
+
+def _sql_ivf_recall() -> str:
+    qlist = ", ".join(map(str, KNN_QUERIES))
+    ivf_sql = _sql_ivf_knn(num_clusters=16, nprobe=4, k=5)
+    return f"""
+WITH ivf AS ({ivf_sql}),
+e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q2 AS (SELECT vec_id AS query_id, v AS qv FROM e2 WHERE vec_id IN ({qlist})),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q2.query_id, e2.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q2.query_id
+             ORDER BY list_dot_product(e2.v, q2.qv) /
+                      (sqrt(list_dot_product(e2.v, e2.v)) *
+                       sqrt(list_dot_product(q2.qv, q2.qv))) DESC, e2.vec_id
+           ) AS rank
+    FROM e2 CROSS JOIN q2 WHERE e2.vec_id != q2.query_id
+  ) WHERE rank <= 5
+), ov AS (
+  SELECT ivf.query_id, COUNT(*) AS n_overlap
+  FROM ivf JOIN exact ON ivf.query_id = exact.query_id
+                     AND ivf.neighbor_id = exact.neighbor_id
+  GROUP BY ivf.query_id
+)
+SELECT q2.query_id, CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+FROM q2 LEFT JOIN ov ON ov.query_id = q2.query_id
+"""
+
+
 def q_raster_mask_distributed(spark, sf_dir):
     """Distributed mask: two disjoint boxes arrive as a WKB geometry
     DataFrame -> spatial join (explode-to-keys, per-key collect, equi-join,
@@ -5831,6 +5909,7 @@ def queries():
         "events_stream_hll": q_events_stream_hll,
         "events_stream_join": q_events_stream_join,
         "emb_pq_recall": q_emb_pq_recall,
+        "emb_ivf_recall": q_emb_ivf_recall,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -5874,7 +5953,9 @@ def queries():
         # rotated just past the window for the PQ-recall gate)
         "text_duplicate_spans": q_text_duplicate_spans,
         "text_prepare_corpus": q_text_prepare_corpus,
-        "events_retention": q_events_retention,
+        # (events_retention — two plain hash aggregates, the lowest-risk
+        # events entry — rotated just past the window for the IVF-recall
+        # gate)
         "events_percentiles": q_events_percentiles,
         "raster_temporal_rolling": q_raster_temporal_rolling,
         "events_stream_stateful": q_events_stream_stateful,
@@ -5909,6 +5990,7 @@ def queries():
         "raster_stitch": q_raster_stitch,
         "raster_reproject_ortho": q_raster_reproject_ortho,
         "text_stratified_sample": q_text_stratified_sample,
+        "events_retention": q_events_retention,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -6202,6 +6284,7 @@ def oracle_sql():
         out["emb_ivf_knn"] = _sql_ivf_knn(num_clusters=16, nprobe=4, k=5)
         out["emb_pq_knn"] = _sql_pq_knn(m=4, ksub=16, k=5)
         out["emb_pq_recall"] = _sql_pq_recall()
+        out["emb_ivf_recall"] = _sql_ivf_recall()
     except Exception:
         pass
     return out
