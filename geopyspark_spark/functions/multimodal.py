@@ -115,6 +115,101 @@ def image_features(df: DataFrame, data_col: str = "data",
     return df.mapInPandas(extract, schema=schema)
 
 
+def image_ahash(df: DataFrame, data_col: str = "data",
+                decoder: Callable[[bytes], np.ndarray] | None = None) -> DataFrame:
+    """64-bit average-hash (aHash) per image: decode to an 8x8 grid,
+    gray = integer channel sum per pixel, bit i set iff
+    ``gray_i * 64 > total`` — every step integer-exact, so the hash is
+    engine-reproducible (unlike DCT-based pHash, whose float transforms
+    differ across math libraries).
+
+    Output: id columns + ``ahash_lo``/``ahash_hi`` (two 32-bit halves in
+    BIGINTs — avoids the sign bit of a single int64). The dedup scan
+    over hashes touches 8 bytes per image instead of the media blob —
+    the 100 TB image-dedup layout.
+    """
+    if decoder is None:
+        _require_pillow()
+    id_cols = [c for c in df.columns if c != data_col]
+    schema = T.StructType(
+        [df.schema[c] for c in id_cols]
+        + [T.StructField("ahash_lo", T.LongType()),
+           T.StructField("ahash_hi", T.LongType())]
+    )
+
+    def hash_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lo, hi = [], []
+            for data in pdf[data_col]:
+                arr = decoder(bytes(data))
+                gray = arr.sum(axis=2).astype(np.int64).reshape(-1)[:64]
+                total = int(gray.sum())
+                bits = (gray * 64 > total).astype(np.int64)
+                lo.append(int((bits[:32] << np.arange(32)).sum()))
+                hi.append(int((bits[32:] << np.arange(32)).sum()))
+            out = pdf[id_cols].copy()
+            out["ahash_lo"] = lo
+            out["ahash_hi"] = hi
+            yield out
+
+    return df.mapInPandas(hash_part, schema=schema)
+
+
+def ahash_near_dup(hashes: DataFrame, id_col: str, max_hamming: int = 8,
+                   bands: int = 8) -> DataFrame:
+    """Near-duplicate image pairs from aHashes: band the 64 bits into
+    byte buckets, equi-join on (band, byte) — candidate pairs share at
+    least one identical band, never all-pairs — then verify by exact
+    Hamming distance (``bit_count(xor)``, integer). The standard
+    LSH-for-Hamming blocking; recall is governed by bands vs
+    max_hamming (identical-band probability), and the SAME blocking is
+    what any engine reproduces.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    from pyspark.sql import functions as F
+
+    half = bands // 2
+    b = hashes.select(
+        F.col(id_col), "ahash_lo", "ahash_hi",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.expr(
+                        f"(shiftrightunsigned({'ahash_lo' if i < half else 'ahash_hi'}, "
+                        f"{(i % half) * 8}) & 255)"
+                    ).alias("byte"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "ahash_lo", "ahash_hi", "bk.band", "bk.byte")
+    a = b.alias("a")
+    c = b.alias("b")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.ahash_lo").alias("lo_a"), F.col("a.ahash_hi").alias("hi_a"),
+            F.col("b.ahash_lo").alias("lo_b"), F.col("b.ahash_hi").alias("hi_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", "hamming")
+
+
 def image_resize(df: DataFrame, width: int, height: int, data_col: str = "data",
                  decoder: Callable | None = None) -> DataFrame:
     """Decode -> nearest-neighbor resize -> re-encode as raw float array.

@@ -5069,6 +5069,63 @@ SELECT doc_id, ch + 3 AS feat_idx, round(s, 6) AS value FROM stats
 """
 
 
+def q_multimodal_ahash(spark, sf_dir):
+    """Perceptual-hash image dedup under the gate: payload-decoded 8x8
+    images -> integer-exact 64-bit aHash -> byte-banded bucket join ->
+    exact Hamming verify. Every step integer arithmetic, so pairs are
+    engine-reproducible; see functions/multimodal.py::image_ahash."""
+    from ..functions import multimodal as fmm
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("data")
+    )
+    hashes = fmm.image_ahash(docs, decoder=fmm.payload_image_decoder)
+    return fmm.ahash_near_dup(hashes, "doc_id", max_hamming=8)
+
+
+SQL_MULTIMODAL_AHASH = """
+WITH d AS (SELECT doc_id, text, strlen(text) AS len FROM documents),
+px AS (
+  SELECT doc_id, CAST(i.i AS INT) AS i,
+         CASE WHEN len = 0 THEN 0
+              ELSE ascii(substr(text, CAST((3 * i.i + 0) % len AS INT) + 1, 1))
+                 + ascii(substr(text, CAST((3 * i.i + 1) % len AS INT) + 1, 1))
+                 + ascii(substr(text, CAST((3 * i.i + 2) % len AS INT) + 1, 1))
+         END AS gray
+  FROM d, range(64) i(i)
+),
+tot AS (SELECT doc_id, SUM(gray) AS total FROM px GROUP BY doc_id),
+bits AS (
+  SELECT px.doc_id, px.i,
+         CASE WHEN px.gray * 64 > tot.total THEN 1 ELSE 0 END AS bit
+  FROM px JOIN tot ON px.doc_id = tot.doc_id
+),
+h AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN i < 32 THEN bit * (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS ahash_lo,
+         CAST(SUM(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi
+  FROM bits GROUP BY doc_id
+),
+bk AS (
+  SELECT doc_id, ahash_lo, ahash_hi, b.b AS band,
+         CASE WHEN b.b < 4 THEN (ahash_lo >> (b.b * 8)) & 255
+              ELSE (ahash_hi >> ((b.b - 4) * 8)) & 255 END AS byte
+  FROM h, range(8) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.ahash_lo AS lo_a, a.ahash_hi AS hi_a,
+         b.ahash_lo AS lo_b, b.ahash_hi AS hi_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.byte = b.byte
+                     AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 8
+"""
+
+
 def q_emb_dedup_pipeline(spark, sf_dir):
     """Semantic dedup end-to-end: LSH-blocked cosine near-dup pairs ->
     connected components -> keep the smallest vec_id per cluster."""
@@ -5910,6 +5967,7 @@ def queries():
         "events_stream_join": q_events_stream_join,
         "emb_pq_recall": q_emb_pq_recall,
         "emb_ivf_recall": q_emb_ivf_recall,
+        "multimodal_ahash": q_multimodal_ahash,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -5943,7 +6001,9 @@ def queries():
         # for the stream-stream join code path)
         "text_repetition": q_text_repetition,
         "text_contamination": q_text_contamination,
-        "text_gopher_filter": q_text_gopher_filter,
+        # (text_gopher_filter — the same rules run inside the in-window
+        # text_prepare_corpus pipeline — rotated just past the window
+        # for the aHash image-dedup gate)
         "emb_quantize": q_emb_quantize,
         "vector_spatial_join": q_vector_spatial_join,
         "raster_stream_ingest": q_raster_stream_ingest,
@@ -5991,6 +6051,7 @@ def queries():
         "raster_reproject_ortho": q_raster_reproject_ortho,
         "text_stratified_sample": q_text_stratified_sample,
         "events_retention": q_events_retention,
+        "text_gopher_filter": q_text_gopher_filter,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -6176,6 +6237,7 @@ def oracle_sql():
         "emb_int8_knn": SQL_EMB_INT8_KNN,
         "events_stream_hll": SQL_EVENTS_STREAM_HLL,
         "events_stream_join": SQL_EVENTS_STREAM_JOIN,
+        "multimodal_ahash": SQL_MULTIMODAL_AHASH,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,

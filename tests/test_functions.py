@@ -1033,3 +1033,37 @@ class TestPqRerank:
         dots = sorted(((float(V[i] @ q), -i) for i in range(1, 10)), reverse=True)
         expect = {rk + 1: -mi for rk, (_, mi) in enumerate(dots[:3])}
         assert got == expect
+
+
+class TestImageAhash:
+    def test_identical_payloads_hash_equal(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"same-bytes")), (2, bytearray(b"same-bytes")),
+             (3, bytearray(b"other-payload"))],
+            "doc_id long, data binary",
+        )
+        h = {r["doc_id"]: (r["ahash_lo"], r["ahash_hi"])
+             for r in fmm.image_ahash(df, decoder=fmm.payload_image_decoder).collect()}
+        assert h[1] == h[2] and h[1] != h[3]
+        for lo, hi in h.values():
+            assert 0 <= lo < 2 ** 32 and 0 <= hi < 2 ** 32
+
+    def test_near_dup_pairs_and_hamming(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"aaaabbbbccccdddd")), (2, bytearray(b"aaaabbbbccccdddd")),
+             (3, bytearray(b"zzzzyyyyxxxxwwww"))],
+            "doc_id long, data binary",
+        )
+        hashes = fmm.image_ahash(df, decoder=fmm.payload_image_decoder)
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in fmm.ahash_near_dup(hashes, "doc_id", max_hamming=0).collect()}
+        assert pairs == {(1, 2): 0}
+
+    def test_no_cartesian_in_plan(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"x"))], "doc_id long, data binary"
+        )
+        hashes = fmm.image_ahash(df, decoder=fmm.payload_image_decoder)
+        out = fmm.ahash_near_dup(hashes, "doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in plan and "NestedLoop" not in plan
