@@ -81,6 +81,71 @@ def hll_alpha_m2_scaled(m: int) -> float:
     return alpha * m * m * float(2 ** (wbits + 1))
 
 
+def bloom_build(df: DataFrame, key_col: str, m_bits: int = 1 << 16,
+                k: int = 4) -> DataFrame:
+    """Distributed Bloom filter build: each key sets ``k`` md5-derived
+    bits; the filter materializes as (word, bits) rows — ``m_bits/32``
+    32-bit words OR-merged with a ``bit_or`` aggregate (associative, so
+    map-side combine and cross-shard merge are exact). This is the
+    structure behind runtime semi-join pushdown (ship the small side's
+    filter to the big side's scan instead of shuffling the big side).
+    """
+    if m_bits & (m_bits - 1) or m_bits < 64:
+        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
+    rows = df.select(F.col(key_col).cast("string").alias("_k")).distinct()
+    probes = rows.select(
+        "_k", F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
+    ).select(
+        F.expr(
+            f"CAST(conv(substring(md5(concat(_k, ':', i)), 1, 15), 16, 10) "
+            f"AS BIGINT) % {m_bits}"
+        ).alias("p")
+    )
+    # 32-bit words: shifting into bit 63 of a signed long overflows in
+    # strict engines (DuckDB rejects 1<<63); 32-bit masks in BIGINTs are
+    # sign-safe everywhere
+    return (
+        probes.select(
+            F.expr("p DIV 32").cast("int").alias("word"),
+            F.expr("shiftleft(1L, CAST(p % 32 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_might_contain(candidates: DataFrame, bloom: DataFrame, key_col: str,
+                        m_bits: int = 1 << 16, k: int = 4) -> DataFrame:
+    """Membership test against a built filter: every candidate key
+    probes its ``k`` bits via an equi-join on the word index (the
+    filter is tiny — broadcast); a key passes iff all ``k`` bits are
+    set. Returns the candidate rows plus ``bloom_pass`` (0/1) —
+    guaranteed 1 for true members; false positives at the standard
+    (1 - e^(-kn/m))^k rate.
+    """
+    key_cols = candidates.columns
+    probes = candidates.withColumn(
+        "_i", F.explode(F.array(*[F.lit(i) for i in range(k)]))
+    ).withColumn(
+        "_p",
+        F.expr(
+            f"CAST(conv(substring(md5(concat(CAST({key_col} AS STRING), ':', _i)), "
+            f"1, 15), 16, 10) AS BIGINT) % {m_bits}"
+        ),
+    ).withColumn("word", F.expr("CAST(_p DIV 32 AS INT)")).withColumn(
+        "mask", F.expr("shiftleft(1L, CAST(_p % 32 AS INT))")
+    )
+    joined = probes.join(F.broadcast(bloom), "word", "left_outer").withColumn(
+        "hit",
+        F.when(F.col("bits").isNotNull() & (F.expr("bits & mask") != 0), 1)
+        .otherwise(0),
+    )
+    return (
+        joined.groupBy(*key_cols)
+        .agg((F.sum("hit") == k).cast("int").alias("bloom_pass"))
+    )
+
+
 def hll_distinct(df: DataFrame, group_cols: list[str], id_col: str,
                  m: int = 256) -> DataFrame:
     """Approximate distinct count per group via HLL (raw estimator,

@@ -3261,6 +3261,83 @@ GROUP BY CAST(v.ts AS DATE)
 """
 
 
+def q_rel_bloom_filter(spark, sf_dir):
+    """Bloom-filter semi-join pushdown, measured: build the filter over
+    urgent-order keys, probe every distinct lineitem order key, and
+    report pass/true/false-positive counts against the exact semi-join
+    — integer-only, so the false-positive behavior itself is under the
+    gate. See functions/sketch.py::bloom_build."""
+    from ..functions.sketch import bloom_build, bloom_might_contain
+
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    bloom = bloom_build(urgent, "o_orderkey", m_bits=1 << 15, k=4)
+    li_keys = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    tested = bloom_might_contain(li_keys, bloom, "l_orderkey",
+                                 m_bits=1 << 15, k=4)
+    truth = tested.join(
+        urgent.withColumnRenamed("o_orderkey", "l_orderkey")
+        .withColumn("is_urgent", F.lit(1)),
+        "l_orderkey", "left_outer",
+    ).withColumn("is_urgent", F.coalesce("is_urgent", F.lit(0)))
+    return truth.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("bloom_pass").alias("n_pass"),
+        F.sum("is_urgent").alias("n_true"),
+        F.sum(F.expr("CASE WHEN bloom_pass = 1 AND is_urgent = 0 THEN 1 ELSE 0 END"))
+        .alias("n_false_pos"),
+        F.sum(F.expr("CASE WHEN bloom_pass = 0 AND is_urgent = 1 THEN 1 ELSE 0 END"))
+        .alias("n_false_neg"),
+    )
+
+
+SQL_REL_BLOOM_FILTER = """
+WITH urgent AS (
+  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+probes AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS kk, i.i AS i
+  FROM urgent, range(4) i(i)
+),
+pos AS (
+  SELECT (('0x' || substr(md5(kk || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT) % 32768 AS p
+  FROM probes
+),
+bloom AS (
+  SELECT CAST(p // 32 AS INT) AS word, BIT_OR(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+  FROM pos GROUP BY 1
+),
+li AS (SELECT DISTINCT l_orderkey FROM lineitem),
+cand AS (
+  SELECT l_orderkey, i.i AS i,
+         (('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 15))::BIGINT) % 32768 AS p
+  FROM li, range(4) i(i)
+),
+hits AS (
+  SELECT c.l_orderkey,
+         CASE WHEN b.bits IS NOT NULL
+               AND (b.bits & (1::BIGINT << CAST(c.p % 32 AS INT))) != 0
+              THEN 1 ELSE 0 END AS hit
+  FROM cand c LEFT JOIN bloom b ON b.word = CAST(c.p // 32 AS INT)
+),
+verdict AS (
+  SELECT l_orderkey, CASE WHEN SUM(hit) = 4 THEN 1 ELSE 0 END AS bloom_pass
+  FROM hits GROUP BY l_orderkey
+),
+truth AS (
+  SELECT v.l_orderkey, v.bloom_pass,
+         CASE WHEN u.o_orderkey IS NULL THEN 0 ELSE 1 END AS is_urgent
+  FROM verdict v LEFT JOIN urgent u ON u.o_orderkey = v.l_orderkey
+)
+SELECT COUNT(*) AS n_keys,
+       SUM(bloom_pass) AS n_pass,
+       SUM(is_urgent) AS n_true,
+       SUM(CASE WHEN bloom_pass = 1 AND is_urgent = 0 THEN 1 ELSE 0 END) AS n_false_pos,
+       SUM(CASE WHEN bloom_pass = 0 AND is_urgent = 1 THEN 1 ELSE 0 END) AS n_false_neg
+FROM truth
+"""
+
+
 def q_graph_triangles(spark, sf_dir):
     """Exact per-node triangle counts over the supplier co-occurrence
     graph (suppliers sharing >= 30 orders) — the two-join oriented
@@ -5968,6 +6045,7 @@ def queries():
         "emb_pq_recall": q_emb_pq_recall,
         "emb_ivf_recall": q_emb_ivf_recall,
         "multimodal_ahash": q_multimodal_ahash,
+        "rel_bloom_filter": q_rel_bloom_filter,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -6033,10 +6111,11 @@ def queries():
         "raster_read_value": q_raster_read_value,
         "raster_with_no_data": q_raster_with_no_data,
         "vector_shapefile": q_vector_shapefile,
-        "raster_cog_overview": q_raster_cog_overview,
         # ---- entries below are past the driver's 50-entry window ----
-        # first in line for the r7 rotation: the plain-shape half of the
-        # new TPC-H batch (check_oracle-validated this round)
+        # first in line for the r7 rotation: raster_cog_overview (also
+        # pinned by codec pytest goldens) plus the plain-shape half of
+        # the new TPC-H batch (all check_oracle-validated this round)
+        "raster_cog_overview": q_raster_cog_overview,
         "tpch_q7_volume": q_tpch_q7_volume,
         "tpch_q8_share": q_tpch_q8_share,
         "tpch_q9_profit": q_tpch_q9_profit,
@@ -6238,6 +6317,7 @@ def oracle_sql():
         "events_stream_hll": SQL_EVENTS_STREAM_HLL,
         "events_stream_join": SQL_EVENTS_STREAM_JOIN,
         "multimodal_ahash": SQL_MULTIMODAL_AHASH,
+        "rel_bloom_filter": SQL_REL_BLOOM_FILTER,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,

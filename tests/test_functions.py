@@ -1067,3 +1067,34 @@ class TestImageAhash:
         out = fmm.ahash_near_dup(hashes, "doc_id")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_low_fp(self, spark):
+        from geopyspark_spark.functions.sketch import (bloom_build,
+                                                       bloom_might_contain)
+
+        members = spark.createDataFrame([(i,) for i in range(500)], "k long")
+        bloom = bloom_build(members, "k", m_bits=1 << 14, k=4)
+        cand = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+        got = {r["k"]: r["bloom_pass"]
+               for r in bloom_might_contain(cand, bloom, "k",
+                                            m_bits=1 << 14, k=4).collect()}
+        assert all(got[i] == 1 for i in range(500))          # no false negatives
+        fps = sum(got[i] for i in range(500, 2000))
+        assert fps / 1500 < 0.05                              # ~(1-e^-kn/m)^k ≈ 0.3%
+
+    def test_filter_size_is_bounded(self, spark):
+        from geopyspark_spark.functions.sketch import bloom_build
+
+        members = spark.createDataFrame([(i,) for i in range(100)], "k long")
+        bloom = bloom_build(members, "k", m_bits=1 << 10, k=4)
+        assert bloom.count() <= (1 << 10) // 32
+
+    def test_rejects_bad_m(self, spark):
+        from geopyspark_spark.functions.sketch import bloom_build
+
+        df = spark.createDataFrame([(1,)], "k long")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            bloom_build(df, "k", m_bits=1000)
