@@ -146,6 +146,54 @@ def bloom_might_contain(candidates: DataFrame, bloom: DataFrame, key_col: str,
     )
 
 
+def cms_build(df: DataFrame, key_col: str, depth: int = 4,
+              width: int = 512) -> DataFrame:
+    """Count-Min sketch build: every occurrence increments one counter
+    per row r at column ``md5(key:r) % width``. The sketch is a
+    (depth x width)-bounded (r, c, cnt) table of exact integer sums —
+    associative, so map-side combine and cross-shard merge are exact,
+    and the whole structure is engine-reproducible (no floats at all).
+    Frequency estimates overcount only (never undercount); error is
+    ~2N/width with probability 1 - 2^-depth.
+    """
+    probes = df.select(F.col(key_col).cast("string").alias("_k")).select(
+        "_k", F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
+    )
+    return (
+        probes.select(
+            "r",
+            F.expr(
+                f"CAST(CAST(conv(substring(md5(concat(_k, ':', r)), 1, 15), "
+                f"16, 10) AS BIGINT) % {width} AS INT)"
+            ).alias("c"),
+        )
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(keys: DataFrame, cms: DataFrame, key_col: str,
+                 depth: int = 4, width: int = 512) -> DataFrame:
+    """Point-frequency estimates: each key probes its ``depth`` cells
+    (broadcast join on (r, c) — the sketch is tiny) and takes the MIN —
+    the Count-Min estimator. Returns the key rows plus
+    ``cms_count`` (long, >= the true count)."""
+    key_cols = keys.columns
+    probes = keys.withColumn(
+        "r", F.explode(F.array(*[F.lit(r) for r in range(depth)]))
+    ).withColumn(
+        "c",
+        F.expr(
+            f"CAST(CAST(conv(substring(md5(concat(CAST({key_col} AS STRING), "
+            f"':', r)), 1, 15), 16, 10) AS BIGINT) % {width} AS INT)"
+        ),
+    )
+    joined = probes.join(F.broadcast(cms), ["r", "c"], "left_outer").withColumn(
+        "cnt", F.coalesce("cnt", F.lit(0))
+    )
+    return joined.groupBy(*key_cols).agg(F.min("cnt").alias("cms_count"))
+
+
 def hll_distinct(df: DataFrame, group_cols: list[str], id_col: str,
                  m: int = 256) -> DataFrame:
     """Approximate distinct count per group via HLL (raw estimator,

@@ -3338,6 +3338,50 @@ FROM truth
 """
 
 
+def q_events_cms_counts(spark, sf_dir):
+    """Count-Min frequency estimation beside the exact counts: per-user
+    event frequencies from a (4 x 512) integer sketch, overcount-only
+    by construction — the mergeable heavy-hitter structure for 100 TB
+    firehoses. See functions/sketch.py::cms_build."""
+    from ..functions.sketch import cms_build, cms_estimate
+
+    ev = _events(spark, sf_dir).select("user_id")
+    cms = cms_build(ev, "user_id", depth=4, width=512)
+    keys = ev.distinct()
+    est = cms_estimate(keys, cms, "user_id", depth=4, width=512)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    return est.join(exact, "user_id").select(
+        "user_id", "exact_count", "cms_count",
+        (F.col("cms_count") - F.col("exact_count")).alias("overcount"),
+    )
+
+
+SQL_EVENTS_CMS_COUNTS = """
+WITH k AS (SELECT CAST(user_id AS VARCHAR) AS kk, user_id FROM events),
+probes AS (
+  SELECT kk, user_id, r.r AS r,
+         CAST((('0x' || substr(md5(kk || ':' || CAST(r.r AS VARCHAR)), 1, 15))::BIGINT) % 512 AS INT) AS c
+  FROM k, range(4) r(r)
+),
+cms AS (SELECT r, c, COUNT(*) AS cnt FROM probes GROUP BY r, c),
+keys AS (SELECT DISTINCT user_id FROM events),
+kp AS (
+  SELECT keys.user_id, r.r AS r,
+         CAST((('0x' || substr(md5(CAST(keys.user_id AS VARCHAR) || ':' || CAST(r.r AS VARCHAR)), 1, 15))::BIGINT) % 512 AS INT) AS c
+  FROM keys, range(4) r(r)
+),
+est AS (
+  SELECT kp.user_id, MIN(COALESCE(cms.cnt, 0)) AS cms_count
+  FROM kp LEFT JOIN cms ON cms.r = kp.r AND cms.c = kp.c
+  GROUP BY kp.user_id
+),
+exact AS (SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id)
+SELECT est.user_id, exact.exact_count, est.cms_count,
+       est.cms_count - exact.exact_count AS overcount
+FROM est JOIN exact ON est.user_id = exact.user_id
+"""
+
+
 def q_graph_triangles(spark, sf_dir):
     """Exact per-node triangle counts over the supplier co-occurrence
     graph (suppliers sharing >= 30 orders) — the two-join oriented
@@ -6046,6 +6090,7 @@ def queries():
         "emb_ivf_recall": q_emb_ivf_recall,
         "multimodal_ahash": q_multimodal_ahash,
         "rel_bloom_filter": q_rel_bloom_filter,
+        "events_cms_counts": q_events_cms_counts,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -6085,7 +6130,9 @@ def queries():
         "emb_quantize": q_emb_quantize,
         "vector_spatial_join": q_vector_spatial_join,
         "raster_stream_ingest": q_raster_stream_ingest,
-        "rel_salted_join": q_rel_salted_join,
+        # (rel_salted_join — deterministic salt-mod arithmetic with its
+        # own equivalence test — rotated just past the window for the
+        # Count-Min gate)
         # (text_stratified_sample — the same per-stratum hash-sampling
         # code runs inside the in-window text_prepare_corpus pipeline —
         # rotated just past the window for the PQ-recall gate)
@@ -6131,6 +6178,7 @@ def queries():
         "text_stratified_sample": q_text_stratified_sample,
         "events_retention": q_events_retention,
         "text_gopher_filter": q_text_gopher_filter,
+        "rel_salted_join": q_rel_salted_join,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -6318,6 +6366,7 @@ def oracle_sql():
         "events_stream_join": SQL_EVENTS_STREAM_JOIN,
         "multimodal_ahash": SQL_MULTIMODAL_AHASH,
         "rel_bloom_filter": SQL_REL_BLOOM_FILTER,
+        "events_cms_counts": SQL_EVENTS_CMS_COUNTS,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,

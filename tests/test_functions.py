@@ -1098,3 +1098,33 @@ class TestBloomFilter:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             bloom_build(df, "k", m_bits=1000)
+
+
+class TestCountMinSketch:
+    def test_never_undercounts_and_exact_when_wide(self, spark):
+        from geopyspark_spark.functions.sketch import cms_build, cms_estimate
+
+        rows = [(i % 10,) for i in range(1000)]  # 10 keys x 100 each
+        df = spark.createDataFrame(rows, "k long")
+        cms = cms_build(df, "k", depth=4, width=1024)
+        keys = df.distinct()
+        got = {r["k"]: r["cms_count"]
+               for r in cms_estimate(keys, cms, "k", depth=4, width=1024).collect()}
+        assert all(got[k] >= 100 for k in range(10))
+        # 10 keys in 1024 columns: collisions essentially impossible
+        assert all(got[k] == 100 for k in range(10))
+
+    def test_merge_is_cellwise_sum(self, spark):
+        from pyspark.sql import functions as F
+
+        from geopyspark_spark.functions.sketch import cms_build
+
+        a = spark.createDataFrame([(i,) for i in range(50)], "k long")
+        b = spark.createDataFrame([(i,) for i in range(25, 75)], "k long")
+        both = a.unionByName(b)
+        direct = {(r["r"], r["c"]): r["cnt"]
+                  for r in cms_build(both, "k", depth=2, width=64).collect()}
+        ca = {(r["r"], r["c"]): r["cnt"] for r in cms_build(a, "k", 2, 64).collect()}
+        cb = {(r["r"], r["c"]): r["cnt"] for r in cms_build(b, "k", 2, 64).collect()}
+        merged = {cell: ca.get(cell, 0) + cb.get(cell, 0) for cell in set(ca) | set(cb)}
+        assert direct == merged
