@@ -129,3 +129,51 @@ def salted_join(left: DataFrame, right: DataFrame, on: str | list,
     salted_right = right.select("*", salts)
     out = salted_left.join(salted_right, on_cols + ["_salt"], how)
     return out.drop("_salt")
+
+
+def gap_fill(df: DataFrame, key_col: str, ts_col: str = "ts",
+             value_col: str = "value", step: str = "1 hour") -> DataFrame:
+    """Regularize an event series onto a fixed time grid with forward
+    fill — the feature-prep step before windowed training joins: per
+    key, a spine of ``step``-spaced instants spans the key's own
+    [min(ts), max(ts)]; observed buckets aggregate (count + exact
+    DECIMAL sum), empty buckets emit 0 events and carry the last
+    observed bucket sum forward.
+
+    Spark shape: one aggregate builds the per-key span (two columns per
+    key — tiny), ``sequence()`` + ``explode`` generates the spine with
+    no shuffle beyond the span aggregate, one left join against the
+    bucketed aggregates on (key, instant), and the forward fill is
+    ``last(ignorenulls)`` over a per-key window — Spark keeps it one
+    partition-local sort per key. All arithmetic DECIMAL/integer, so
+    any engine reproduces the frame bit-for-bit.
+    """
+    bucket = F.date_trunc("hour", F.col(ts_col)) if step == "1 hour" else \
+        F.window(F.col(ts_col), step)["start"]
+    per_bucket = (
+        df.select(key_col, bucket.alias("t"),
+                  F.col(value_col).cast("decimal(18,6)").alias("_v"))
+        .groupBy(key_col, "t")
+        .agg(F.count("*").alias("n_events"), F.sum("_v").alias("_sv"))
+    )
+    span = per_bucket.groupBy(key_col).agg(
+        F.min("t").alias("_t0"), F.max("t").alias("_t1")
+    )
+    spine = span.select(
+        key_col,
+        F.explode(
+            F.expr(f"sequence(_t0, _t1, interval {step})")
+        ).alias("t"),
+    )
+    joined = spine.join(per_bucket, [key_col, "t"], "left_outer")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        key_col,
+        F.col("t").alias("bucket_ts"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("_sv", ignorenulls=True).over(w).cast("double").alias("filled_sum"),
+    )

@@ -3338,6 +3338,41 @@ FROM truth
 """
 
 
+def q_events_gap_fill(spark, sf_dir):
+    """Time-spine regularization + forward fill per user (1-hour grid)
+    — the feature-prep step before windowed training joins. DECIMAL
+    sums, integer counts; see functions/relational.py::gap_fill."""
+    from ..functions.relational import gap_fill
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    return gap_fill(ev, "user_id", step="1 hour")
+
+
+SQL_EVENTS_GAP_FILL = """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS t,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sv
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+),
+span AS (SELECT user_id, MIN(t) AS t0, MAX(t) AS t1 FROM b GROUP BY user_id),
+spine AS (
+  SELECT span.user_id, g.g AS t
+  FROM span, LATERAL (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS g) g
+),
+j AS (
+  SELECT s.user_id, s.t, COALESCE(b.n_events, 0) AS n_events, b.sv
+  FROM spine s LEFT JOIN b ON b.user_id = s.user_id AND b.t = s.t
+)
+SELECT user_id, t AS bucket_ts, n_events,
+       CAST(last_value(sv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY t
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS filled_sum
+FROM j
+"""
+
+
 def q_events_cms_counts(spark, sf_dir):
     """Count-Min frequency estimation beside the exact counts: per-user
     event frequencies from a (4 x 512) integer sketch, overcount-only
@@ -6091,6 +6126,7 @@ def queries():
         "multimodal_ahash": q_multimodal_ahash,
         "rel_bloom_filter": q_rel_bloom_filter,
         "events_cms_counts": q_events_cms_counts,
+        "events_gap_fill": q_events_gap_fill,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -6144,7 +6180,9 @@ def queries():
         "events_percentiles": q_events_percentiles,
         "raster_temporal_rolling": q_raster_temporal_rolling,
         "events_stream_stateful": q_events_stream_stateful,
-        "multimodal_video": q_multimodal_video,
+        # (multimodal_video — the frame_sample mapInPandas shape shares
+        # its harness with the in-window multimodal_ahash gate — rotated
+        # just past the window for the gap-fill gate)
         "tms_render_tile": q_tms_render_tile,
         "raster_untiled_ingest": q_raster_untiled_ingest,
         # (raster_catalog_hilbert — same SFC write/read identity harness
@@ -6179,6 +6217,7 @@ def queries():
         "events_retention": q_events_retention,
         "text_gopher_filter": q_text_gopher_filter,
         "rel_salted_join": q_rel_salted_join,
+        "multimodal_video": q_multimodal_video,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -6367,6 +6406,7 @@ def oracle_sql():
         "multimodal_ahash": SQL_MULTIMODAL_AHASH,
         "rel_bloom_filter": SQL_REL_BLOOM_FILTER,
         "events_cms_counts": SQL_EVENTS_CMS_COUNTS,
+        "events_gap_fill": SQL_EVENTS_GAP_FILL,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,

@@ -321,3 +321,33 @@ class TestTpchPlanShapes:
         rows = q_tpch_q15_top_supplier(spark, self.SF).collect()
         assert len(rows) >= 1
         assert len({r["total_revenue"] for r in rows}) == 1
+
+
+class TestGapFill:
+    def test_spine_and_forward_fill(self, spark):
+        from geopyspark_spark.functions.relational import gap_fill
+
+        ev = spark.createDataFrame(
+            [(7, _ts("2024-01-01 10:15"), 1.5),
+             (7, _ts("2024-01-01 10:45"), 2.5),
+             (7, _ts("2024-01-01 13:10"), 4.0)],   # 11:00 and 12:00 are gaps
+            "user_id long, ts timestamp, value double",
+        )
+        rows = sorted(gap_fill(ev, "user_id").collect(), key=lambda r: r["bucket_ts"])
+        assert [r["bucket_ts"].hour for r in rows] == [10, 11, 12, 13]
+        assert [r["n_events"] for r in rows] == [2, 0, 0, 1]
+        assert [r["filled_sum"] for r in rows] == [4.0, 4.0, 4.0, 4.0]
+
+    def test_keys_do_not_leak_across_partitions(self, spark):
+        from geopyspark_spark.functions.relational import gap_fill
+
+        ev = spark.createDataFrame(
+            [(1, _ts("2024-01-01 00:30"), 10.0),
+             (2, _ts("2024-01-01 05:30"), 99.0)],
+            "user_id long, ts timestamp, value double",
+        )
+        rows = gap_fill(ev, "user_id").collect()
+        # each key spans only its own [min, max]: exactly one bucket each
+        assert sorted((r["user_id"], r["filled_sum"]) for r in rows) == [
+            (1, 10.0), (2, 99.0)
+        ]
