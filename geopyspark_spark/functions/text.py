@@ -529,6 +529,47 @@ def stratified_sample(df: DataFrame, rates_ppm: dict[str, int],
     return df.where(h % 1_000_000 < thr)
 
 
+def temperature_mix_rates(counts: dict[str, int], tau: float = 0.7,
+                          target_total: int | None = None) -> dict[str, int]:
+    """Temperature-weighted mixing rates from per-source counts — the
+    standard LLM data-mixing schedule (tau < 1 upweights small curated
+    sources relative to bulk crawl; tau = 1 is natural proportions):
+    ``p_s ∝ n_s^tau``, and source s keeps
+    ``rate_s = target_total * p_s / n_s`` of its documents.
+
+    Pure driver-side arithmetic on the (tiny) per-source count map;
+    returns integer ppm rates for :func:`stratified_sample`, capped at
+    1e6 (can't keep more than everything). Deterministic given the same
+    counts, so an oracle recomputing from the same counts matches.
+    """
+    if not counts:
+        return {}
+    if target_total is None:
+        target_total = sum(counts.values()) // 2
+    weights = {s: float(n) ** tau for s, n in counts.items() if n > 0}
+    z = sum(weights.values())
+    return {
+        s: min(1_000_000, int(1_000_000 * target_total * w / z / counts[s]))
+        for s, w in weights.items()
+    }
+
+
+def temperature_mix(df: DataFrame, tau: float = 0.7,
+                    target_total: int | None = None,
+                    strata_col: str = "source", seed: int = 42,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Temperature-mixed corpus sample: count per source (one tiny
+    aggregate collected to the driver — #sources is bounded), derive
+    rates with :func:`temperature_mix_rates`, apply with the
+    deterministic :func:`stratified_sample` scan."""
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+    rates = temperature_mix_rates(counts, tau, target_total)
+    return stratified_sample(df, rates, strata_col, seed, id_col)
+
+
 def prepare_corpus(df: DataFrame, bench_df: DataFrame | None = None,
                    text_col: str = "text", strata_rates_ppm: dict | None = None,
                    strata_col: str = "source", seed: int = 42,

@@ -4251,6 +4251,35 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
 """
 
 
+def q_text_temperature_mix(spark, sf_dir):
+    """Temperature-weighted domain mixing (tau=0.7) under the gate: the
+    per-source rates derive from the corpus's own counts, the sample
+    membership from the seeded hash — both deterministic, so the oracle
+    recomputes the identical mix. See text.py::temperature_mix."""
+    docs = _t(spark, sf_dir, "documents")
+    return ftext.temperature_mix(docs, tau=0.7).select("doc_id", "lang", "source")
+
+
+def _sql_temperature_mix(tau: float = 0.7) -> str:
+    import duckdb
+
+    sf_dir = _oracle_sf_dir()
+    con = duckdb.connect()
+    counts = dict(con.sql(
+        f"SELECT source, COUNT(*) FROM '{sf_dir}/documents.parquet' GROUP BY source"
+    ).fetchall())
+    con.close()
+    rates = ftext.temperature_mix_rates(counts, tau)
+    case = " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in sorted(rates.items())
+    )
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+      % 1000000 < CASE {case} ELSE 0 END
+"""
+
+
 def q_text_duplicate_spans(spark, sf_dir):
     """Cross-document duplicated n-token spans under the gate (round 6):
     the exact-substring-dedup primitive (Lee et al. 2022). Summarized
@@ -6127,6 +6156,7 @@ def queries():
         "rel_bloom_filter": q_rel_bloom_filter,
         "events_cms_counts": q_events_cms_counts,
         "events_gap_fill": q_events_gap_fill,
+        "text_temperature_mix": q_text_temperature_mix,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -6177,7 +6207,9 @@ def queries():
         # (events_retention — two plain hash aggregates, the lowest-risk
         # events entry — rotated just past the window for the IVF-recall
         # gate)
-        "events_percentiles": q_events_percentiles,
+        # (events_percentiles — engine-matched exact quantiles with its
+        # own pytest pinning — rotated just past the window for the
+        # temperature-mix gate)
         "raster_temporal_rolling": q_raster_temporal_rolling,
         "events_stream_stateful": q_events_stream_stateful,
         # (multimodal_video — the frame_sample mapInPandas shape shares
@@ -6218,6 +6250,7 @@ def queries():
         "text_gopher_filter": q_text_gopher_filter,
         "rel_salted_join": q_rel_salted_join,
         "multimodal_video": q_multimodal_video,
+        "events_percentiles": q_events_percentiles,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -6516,6 +6549,7 @@ def oracle_sql():
         out["emb_pq_knn"] = _sql_pq_knn(m=4, ksub=16, k=5)
         out["emb_pq_recall"] = _sql_pq_recall()
         out["emb_ivf_recall"] = _sql_ivf_recall()
+        out["text_temperature_mix"] = _sql_temperature_mix(tau=0.7)
     except Exception:
         pass
     return out

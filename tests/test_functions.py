@@ -1128,3 +1128,34 @@ class TestCountMinSketch:
         cb = {(r["r"], r["c"]): r["cnt"] for r in cms_build(b, "k", 2, 64).collect()}
         merged = {cell: ca.get(cell, 0) + cb.get(cell, 0) for cell in set(ca) | set(cb)}
         assert direct == merged
+
+
+class TestTemperatureMix:
+    def test_tau_below_one_upweights_small_sources(self, spark):
+        from geopyspark_spark.functions.text import temperature_mix_rates
+
+        rates = temperature_mix_rates({"big": 9000, "small": 1000},
+                                      tau=0.5, target_total=5000)
+        # natural proportions would keep 50% of each; tau=0.5 must keep
+        # a HIGHER fraction of the small source than the big one
+        assert rates["small"] > rates["big"]
+        assert rates["small"] <= 1_000_000
+
+    def test_tau_one_is_uniform_rate(self, spark):
+        from geopyspark_spark.functions.text import temperature_mix_rates
+
+        rates = temperature_mix_rates({"a": 4000, "b": 1000},
+                                      tau=1.0, target_total=2500)
+        assert rates["a"] == rates["b"] == 500_000
+
+    def test_mix_is_deterministic_and_capped(self, spark):
+        from geopyspark_spark.functions.text import temperature_mix
+
+        rows = [(i, "x" * 5, "web" if i % 10 else "books", 5)
+                for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string, n long")
+        a = {r["doc_id"] for r in temperature_mix(df, tau=0.5,
+                                                  target_total=200).collect()}
+        b = {r["doc_id"] for r in temperature_mix(df, tau=0.5,
+                                                  target_total=200).collect()}
+        assert a == b and 0 < len(a) < 500
