@@ -3373,6 +3373,62 @@ FROM j
 """
 
 
+def q_events_rollup(spark, sf_dir):
+    """OLAP rollup: day x event_type counts and exact DECIMAL sums with
+    the ROLLUP lattice (per-day subtotals + grand total), grouping_id
+    distinguishing the levels — the cube surface of the engine."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            F.col("ts").cast("date").alias("day"), "event_type",
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .rollup("day", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       GROUPING(CAST(ts AS DATE)) * 2 + GROUPING(event_type) AS gid
+FROM events
+GROUP BY ROLLUP (CAST(ts AS DATE), event_type)
+"""
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot: per-day event counts spread into one column per event
+    type — Spark's pivot() against the oracle's conditional aggregates
+    (the portable formulation of the same plan)."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.select(F.col("ts").cast("date").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT CAST(ts AS DATE) AS day,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+FROM events
+GROUP BY CAST(ts AS DATE)
+"""
+
+
 def q_events_cms_counts(spark, sf_dir):
     """Count-Min frequency estimation beside the exact counts: per-user
     event frequencies from a (4 x 512) integer sketch, overcount-only
@@ -6157,6 +6213,8 @@ def queries():
         "events_cms_counts": q_events_cms_counts,
         "events_gap_fill": q_events_gap_fill,
         "text_temperature_mix": q_text_temperature_mix,
+        "events_rollup": q_events_rollup,
+        "events_pivot": q_events_pivot,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -6188,8 +6246,10 @@ def queries():
         # (raster_reproject_ortho — same registry/warp path as the six
         # in-window reproject variants — rotated just past the window
         # for the stream-stream join code path)
-        "text_repetition": q_text_repetition,
-        "text_contamination": q_text_contamination,
+        # (text_repetition + text_contamination — per-row Catalyst /
+        # broadcast shapes whose logic also runs inside the in-window
+        # text_prepare_corpus — rotated just past the window for the
+        # rollup + pivot gates)
         # (text_gopher_filter — the same rules run inside the in-window
         # text_prepare_corpus pipeline — rotated just past the window
         # for the aHash image-dedup gate)
@@ -6251,6 +6311,8 @@ def queries():
         "rel_salted_join": q_rel_salted_join,
         "multimodal_video": q_multimodal_video,
         "events_percentiles": q_events_percentiles,
+        "text_repetition": q_text_repetition,
+        "text_contamination": q_text_contamination,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -6440,6 +6502,8 @@ def oracle_sql():
         "rel_bloom_filter": SQL_REL_BLOOM_FILTER,
         "events_cms_counts": SQL_EVENTS_CMS_COUNTS,
         "events_gap_fill": SQL_EVENTS_GAP_FILL,
+        "events_rollup": SQL_EVENTS_ROLLUP,
+        "events_pivot": SQL_EVENTS_PIVOT,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,
