@@ -177,3 +177,48 @@ def gap_fill(df: DataFrame, key_col: str, ts_col: str = "ts",
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.last("_sv", ignorenulls=True).over(w).cast("double").alias("filled_sum"),
     )
+
+
+def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Column-profile report — the data-quality summary a pipeline runs
+    on every new drop before joining it in: per column, row count, null
+    count, distinct count, and numeric min/max (timestamps as epoch
+    seconds; strings report only counts).
+
+    One pass for the null/min/max aggregates plus one count-distinct
+    aggregate per column (Spark fuses them into a single expand-based
+    aggregate); output is one row per column, so the result is
+    driver-sized regardless of input.
+    """
+    cols = columns or df.columns
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"_nd_{c}"))
+        t = dtypes[c]
+        if t.startswith(("int", "bigint", "smallint", "tinyint", "double",
+                         "float", "decimal")):
+            num = F.col(c).cast("double")
+        elif t.startswith("timestamp"):
+            num = F.unix_timestamp(F.col(c)).cast("double")
+        elif t == "date":
+            num = F.unix_date(F.col(c)).cast("double")
+        else:
+            num = F.lit(None).cast("double")
+        aggs.append(F.min(num).alias(f"_mn_{c}"))
+        aggs.append(F.max(num).alias(f"_mx_{c}"))
+    row = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        parts.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_mn_{c}").alias("min_num"),
+                F.col(f"_mx_{c}").alias("max_num"),
+            )
+        )
+    return row.select(F.explode(F.array(*parts)).alias("p")).select("p.*")

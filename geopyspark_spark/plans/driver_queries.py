@@ -3373,6 +3373,41 @@ FROM j
 """
 
 
+PROFILE_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+]
+
+
+def q_rel_profile(spark, sf_dir):
+    """Column-profile report over lineitem — per column: rows, nulls,
+    distincts, numeric min/max. One fused aggregate pass; the output is
+    one row per column regardless of input size. (The timestamp branch
+    is pytest-covered; the gate profiles the tz-free columns.)"""
+    from ..functions.relational import profile
+
+    return profile(_t(spark, sf_dir, "lineitem"), columns=PROFILE_COLS)
+
+
+def _sql_rel_profile() -> str:
+    num = {"l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+           "l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+    selects = []
+    for c in PROFILE_COLS:
+        mn = f"CAST(MIN({c}) AS DOUBLE)" if c in num else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(MAX({c}) AS DOUBLE)" if c in num else "CAST(NULL AS DOUBLE)"
+        selects.append(
+            f"SELECT '{c}' AS column, COUNT(*) AS n_rows, "
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+            f"COUNT(DISTINCT {c}) AS n_distinct, {mn} AS min_num, {mx} AS max_num "
+            f"FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+SQL_REL_PROFILE = _sql_rel_profile()
+
+
 def q_events_rollup(spark, sf_dir):
     """OLAP rollup: day x event_type counts and exact DECIMAL sums with
     the ROLLUP lattice (per-day subtotals + grand total), grouping_id
@@ -6215,6 +6250,7 @@ def queries():
         "text_temperature_mix": q_text_temperature_mix,
         "events_rollup": q_events_rollup,
         "events_pivot": q_events_pivot,
+        "rel_profile": q_rel_profile,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -6231,7 +6267,9 @@ def queries():
         "raster_reproject_krovak": q_raster_reproject_krovak,
         # rotated in (third r6 rotation): second-half additions
         "text_pii_scrub": q_text_pii_scrub,
-        "text_pack_sequences": q_text_pack_sequences,
+        # (text_pack_sequences — prefix-sum window arithmetic with its
+        # own pytest pinning — rotated just past the window for the
+        # profile gate)
         # (text_sample — a single md5-filter scan — rotated just past the
         # window to make room for the PQ code path, which is new)
         "emb_pq_knn": q_emb_pq_knn,
@@ -6313,6 +6351,7 @@ def queries():
         "events_percentiles": q_events_percentiles,
         "text_repetition": q_text_repetition,
         "text_contamination": q_text_contamination,
+        "text_pack_sequences": q_text_pack_sequences,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -6504,6 +6543,7 @@ def oracle_sql():
         "events_gap_fill": SQL_EVENTS_GAP_FILL,
         "events_rollup": SQL_EVENTS_ROLLUP,
         "events_pivot": SQL_EVENTS_PIVOT,
+        "rel_profile": SQL_REL_PROFILE,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,

@@ -351,3 +351,20 @@ class TestGapFill:
         assert sorted((r["user_id"], r["filled_sum"]) for r in rows) == [
             (1, 10.0), (2, 99.0)
         ]
+
+
+class TestProfile:
+    def test_counts_nulls_distincts_and_ranges(self, spark):
+        from geopyspark_spark.functions.relational import profile
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.5, _ts("2024-01-01 00:00")),
+             (2, None, -2.0, _ts("2024-01-02 00:00")),
+             (2, "b", None, None)],
+            "k long, s string, v double, t timestamp",
+        )
+        got = {r["column"]: r for r in profile(df).collect()}
+        assert got["k"]["n_rows"] == 3 and got["k"]["n_distinct"] == 2
+        assert got["s"]["n_nulls"] == 1 and got["s"]["min_num"] is None
+        assert got["v"]["min_num"] == -2.0 and got["v"]["max_num"] == 1.5
+        assert got["t"]["n_nulls"] == 1 and got["t"]["min_num"] is not None
