@@ -373,10 +373,14 @@ def components_from_edges(df: DataFrame, edges: DataFrame,
         df = df.select(F.col(id_col).alias("doc_id"))
         out = components_from_edges(df, edges, max_iterations)
         return out.select(F.col("doc_id").alias(id_col), "component")
-    # undirected: propagate labels both ways
+    # undirected: propagate labels both ways. localCheckpoint (not just
+    # persist) so the edge-building plan — which may itself be a large
+    # join tree — is not re-embedded into every iteration's lineage;
+    # without the truncation a 20-round loop over derived edges can OOM
+    # the driver just STRINGIFYING the final plan.
     fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    und = fwd.unionByName(rev).persist()
+    und = fwd.unionByName(rev).localCheckpoint()
 
     # singleton docs (no candidate pair) can never change label — keep the
     # loop's working set to the CONNECTED nodes only and union the
@@ -391,10 +395,13 @@ def components_from_edges(df: DataFrame, edges: DataFrame,
         msgs = und.join(labels, und.src == labels.doc_id).select(
             F.col("dst").alias("doc_id"), "component"
         )
+        # localCheckpoint doubles as persist AND lineage truncation: the
+        # label table stays O(connected nodes), so eager materialization
+        # per round is cheap, and the plan depth stays constant
         updated = (
             labels.unionByName(msgs)
             .groupBy("doc_id").agg(F.min("component").alias("component"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             updated.join(labels.withColumnRenamed("component", "old"), "doc_id")

@@ -3408,6 +3408,87 @@ def _sql_rel_profile() -> str:
 SQL_REL_PROFILE = _sql_rel_profile()
 
 
+def q_events_scd2(spark, sf_dir):
+    """Changelog-to-snapshot (SCD type 2): each user's event stream
+    becomes validity intervals [valid_from, valid_to) per state via
+    lead() over a per-key window — one shuffle, the standard dimension
+    build from a CDC feed. Open intervals mark the current state."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().cast("int").alias("is_current"),
+        F.col("event_id"),
+    )
+
+
+SQL_EVENTS_SCD2 = """
+SELECT user_id, event_type AS state, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CAST(lead(ts) OVER w IS NULL AS INT) AS is_current,
+       event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_graph_components(spark, sf_dir):
+    """Connected components over the thresholded supplier co-occurrence
+    graph (same edges as graph_triangles) — iterative min-label
+    propagation from functions/dedup.py::components_from_edges, checked
+    against a recursive-CTE reachability oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    edges = (
+        x.join(y, "ok")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy(F.col("sa").alias("doc_a"), F.col("sb").alias("doc_b"))
+        .agg(F.countDistinct("ok").alias("w"))
+        .where(F.col("w") >= 35)
+        .select("doc_a", "doc_b")
+    )
+    nodes = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    out = fdedup.components_from_edges(nodes, edges)
+    return out.select(F.col("doc_id").alias("node"), "component")
+
+
+SQL_GRAPH_COMPONENTS = """
+WITH RECURSIVE pairs AS (
+  SELECT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+  GROUP BY x.l_suppkey, y.l_suppkey
+  HAVING COUNT(DISTINCT x.l_orderkey) >= 35
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT a AS node FROM pairs UNION ALL SELECT b AS node FROM pairs
+  )
+),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+)
+SELECT node, MIN(r) AS component FROM reach GROUP BY node
+"""
+
+
 def q_events_rollup(spark, sf_dir):
     """OLAP rollup: day x event_type counts and exact DECIMAL sums with
     the ROLLUP lattice (per-day subtotals + grand total), grouping_id
@@ -6251,6 +6332,8 @@ def queries():
         "events_rollup": q_events_rollup,
         "events_pivot": q_events_pivot,
         "rel_profile": q_rel_profile,
+        "events_scd2": q_events_scd2,
+        "graph_components": q_graph_components,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -6291,7 +6374,9 @@ def queries():
         # (text_gopher_filter — the same rules run inside the in-window
         # text_prepare_corpus pipeline — rotated just past the window
         # for the aHash image-dedup gate)
-        "emb_quantize": q_emb_quantize,
+        # (emb_quantize — the same quantize_embeddings path runs inside
+        # the in-window emb_int8_knn gate — rotated just past the
+        # window for the SCD2 gate)
         "vector_spatial_join": q_vector_spatial_join,
         "raster_stream_ingest": q_raster_stream_ingest,
         # (rel_salted_join — deterministic salt-mod arithmetic with its
@@ -6322,7 +6407,9 @@ def queries():
         # goldens — rotated just past the window for the streaming-HLL
         # code path)
         "raster_png_roundtrip": q_raster_png_roundtrip,
-        "raster_catalog_update": q_raster_catalog_update,
+        # (raster_catalog_update — the update path also runs inside the
+        # in-window raster_stream_ingest gate (create-then-update merge)
+        # — rotated just past the window for the components gate)
         "raster_read_value": q_raster_read_value,
         "raster_with_no_data": q_raster_with_no_data,
         "vector_shapefile": q_vector_shapefile,
@@ -6352,6 +6439,8 @@ def queries():
         "text_repetition": q_text_repetition,
         "text_contamination": q_text_contamination,
         "text_pack_sequences": q_text_pack_sequences,
+        "emb_quantize": q_emb_quantize,
+        "raster_catalog_update": q_raster_catalog_update,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -6544,6 +6633,8 @@ def oracle_sql():
         "events_rollup": SQL_EVENTS_ROLLUP,
         "events_pivot": SQL_EVENTS_PIVOT,
         "rel_profile": SQL_REL_PROFILE,
+        "events_scd2": SQL_EVENTS_SCD2,
+        "graph_components": SQL_GRAPH_COMPONENTS,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,
