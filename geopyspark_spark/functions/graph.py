@@ -68,9 +68,14 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
         .unionByName(o.select(F.col("b").alias("node")))
         .distinct()
     )
-    return nodes.join(corners, "node", "left_outer").select(
+    out = nodes.join(corners, "node", "left_outer").select(
         "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
     )
+    # materialize, then release the cached oriented edge list (no
+    # persisted-RDD leak from a library call)
+    out = out.localCheckpoint()
+    o.unpersist()
+    return out
 
 
 def pagerank(edges: DataFrame, iterations: int = 5,
@@ -121,7 +126,7 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     )
     base = ((PPM - damping_ppm) * rank_scale) // PPM
     ranks = nodes.select("node", F.lit(rank_scale).cast("long").alias("pr"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
             e.join(ranks, e.src == ranks.node)
             .select("dst", F.expr("pr DIV out_deg").alias("contrib"))
@@ -135,4 +140,15 @@ def pagerank(edges: DataFrame, iterations: int = 5,
                 + F.expr(f"({damping_ppm} * coalesce(sum_contrib, 0L)) DIV {PPM}")
             ).alias("pr"),
         )
+        # truncate lineage every few rounds so plan depth stays bounded
+        # at high iteration counts (the ranks table is O(nodes) — cheap
+        # to materialize)
+        if (i + 1) % 8 == 0:
+            ranks = ranks.localCheckpoint()
+    if iterations > 0:
+        # materialize the result, then release the cached inputs — a
+        # library call must not leak persisted RDDs into the session
+        ranks = ranks.localCheckpoint()
+        e.unpersist()
+        nodes.unpersist()
     return ranks
