@@ -57,6 +57,10 @@ HEADLINE = [
     "emb_pq_knn",
     "emb_int8_knn",
     "graph_triangles",
+    # warehouse utilities
+    "events_gap_fill",
+    "rel_bloom_filter",
+    "events_rollup",
 ]
 
 

@@ -3489,6 +3489,36 @@ SELECT node, MIN(r) AS component FROM reach GROUP BY node
 """
 
 
+def q_events_rolling_window(spark, sf_dir):
+    """Trailing-24h rolling aggregates per user via a RANGE window
+    (value-based frame on the event-time axis, not row counts) — one
+    shuffle on the partition key; counts + exact DECIMAL sums."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-86400, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.count("*").over(w).alias("n_24h"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+        .cast("double").alias("sum_24h"),
+    )
+
+
+SQL_EVENTS_ROLLING_WINDOW = """
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_24h,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_events_rollup(spark, sf_dir):
     """OLAP rollup: day x event_type counts and exact DECIMAL sums with
     the ROLLUP lattice (per-day subtotals + grand total), grouping_id
@@ -6334,6 +6364,7 @@ def queries():
         "rel_profile": q_rel_profile,
         "events_scd2": q_events_scd2,
         "graph_components": q_graph_components,
+        "events_rolling_window": q_events_rolling_window,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -6411,7 +6442,9 @@ def queries():
         # in-window raster_stream_ingest gate (create-then-update merge)
         # — rotated just past the window for the components gate)
         "raster_read_value": q_raster_read_value,
-        "raster_with_no_data": q_raster_with_no_data,
+        # (raster_with_no_data — a per-cell CASE remap in the family of
+        # the r5-validated raster_convert_int8 — rotated just past the
+        # window for the RANGE-window gate)
         "vector_shapefile": q_vector_shapefile,
         # ---- entries below are past the driver's 50-entry window ----
         # first in line for the r7 rotation: raster_cog_overview (also
@@ -6441,6 +6474,7 @@ def queries():
         "text_pack_sequences": q_text_pack_sequences,
         "emb_quantize": q_emb_quantize,
         "raster_catalog_update": q_raster_catalog_update,
+        "raster_with_no_data": q_raster_with_no_data,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -6635,6 +6669,7 @@ def oracle_sql():
         "rel_profile": SQL_REL_PROFILE,
         "events_scd2": SQL_EVENTS_SCD2,
         "graph_components": SQL_GRAPH_COMPONENTS,
+        "events_rolling_window": SQL_EVENTS_ROLLING_WINDOW,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,
