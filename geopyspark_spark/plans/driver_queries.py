@@ -6317,15 +6317,19 @@ def queries():
     # rounds 1-4, which let a round-3 regression hide outside it
     # (VERDICT r4 "What's missing"); rounds 5+ ROTATE the window each
     # round so every query is driver-validated within a couple of rounds.
-    # Round 6 rotations (2nd + 3rd): every round-6 addition moves IN so
-    # the driver validates it this round (rd/stream_sliding/swiss/krovak,
-    # then pii/pack/sample/stream_dedup/eqc/geos/catalog_query); eleven
-    # r5-window-validated entries move out (simhash/q3/reproject_cubic/
-    # reproject_global/exact_dedup/dup_components/ivf_knn/q1/tumbling/
-    # slope/tile_to_layout) — every family stays represented in-window
-    # (minhash+lsh_pairs+pii, q4/q10/q14, stream_tumbling, focal_sum,
-    # pyramid+reproject, 10 reproject variants).
-    # Entries past #50 remain pytest- and check_oracle-covered.
+    # Round 6 end state: the window holds the round's genuinely NEW code
+    # paths — the hard-shape TPC-H half (q13/q15/q17/q18/q21/q22),
+    # chunking / PageRank / triangles / components / bigram-LM, the
+    # sketch family (HLL batch+stream, Bloom, Count-Min), compressed ANN
+    # (PQ raw + reranked recall, IVF recall, int8), aHash image dedup,
+    # stream-stream join + streaming HLL, gap-fill / temperature-mix /
+    # rollup / pivot / profile / SCD2 / RANGE window, seven reproject
+    # variants (albers/ease/laea/rd/swiss/krovak + the geotiff
+    # roundtrip), and the catalog/stream-ingest/TMS/shapefile gates.
+    # Everything rotated just past the line is check_oracle-validated
+    # this round (see ORACLE_r06_local.txt) and queued for r7; each
+    # out-rotation names the in-window gate that still covers its code
+    # path. Entries past #50 remain pytest- and check_oracle-covered.
     return {
         # ---- driver window (50) ----
         # ninth rotation: the 12 new TPC-H-style relational queries move
