@@ -37,7 +37,13 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     Returns (node, n_triangles) for every node in the edge list
     (nodes in no triangle report 0).
     """
-    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    # one eager checkpoint cuts the caller's edge-building plan before
+    # the swap-union consumes it twice
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
     und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     o = (
         und.where(F.col("a") < F.col("b"))
@@ -75,6 +81,7 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     # persisted-RDD leak from a library call)
     out = out.localCheckpoint()
     o.unpersist()
+    e.unpersist()
     return out
 
 
@@ -108,16 +115,33 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     """
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # cut the caller's (possibly expensive) edge-building plan with ONE
+    # eager checkpoint — everything below consumes the materialized rows,
+    # never the original plan (which would otherwise re-execute once per
+    # consuming branch: swap-union, degree, node set)
+    e0 = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    und = e0
     if undirected:
-        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = e.distinct()
+        und = (
+            e0.unionByName(
+                e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ).distinct()
+        )
 
-    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # pre-join degree onto the edges once; repartition by src so each
-    # round's ranks-join co-locates without reshuffling the edges
-    e = e.join(deg, "src").repartition("src").persist()
+    deg = und.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # pre-join degree onto the edges once; the src-key join leaves the
+    # result hash-partitioned on src, and persist() (NOT checkpoint — a
+    # checkpointed scan forgets its partitioning) keeps that layout, so
+    # each round's ranks-join co-locates against the same exchange
+    e = und.join(deg, "src").persist()
+    e.count()
 
+    # node set from the CACHED edge table, not from the lazy union plan
+    # (which would re-run the undirected distinct per consuming job)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -145,10 +169,10 @@ def pagerank(edges: DataFrame, iterations: int = 5,
         # to materialize)
         if (i + 1) % 8 == 0:
             ranks = ranks.localCheckpoint()
-    if iterations > 0:
-        # materialize the result, then release the cached inputs — a
-        # library call must not leak persisted RDDs into the session
-        ranks = ranks.localCheckpoint()
-        e.unpersist()
-        nodes.unpersist()
+    # materialize the result, then release the cached inputs — a
+    # library call must not leak persisted RDDs into the session
+    ranks = ranks.localCheckpoint()
+    e.unpersist()
+    nodes.unpersist()
+    e0.unpersist()
     return ranks

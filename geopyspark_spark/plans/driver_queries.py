@@ -3438,20 +3438,13 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 
 def q_graph_components(spark, sf_dir):
-    """Connected components over the thresholded supplier co-occurrence
-    graph (same edges as graph_triangles) — iterative min-label
-    propagation from functions/dedup.py::components_from_edges, checked
-    against a recursive-CTE reachability oracle."""
-    li = _t(spark, sf_dir, "lineitem")
-    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
-    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
-    edges = (
-        x.join(y, "ok")
-        .where(F.col("sa") < F.col("sb"))
-        .groupBy(F.col("sa").alias("doc_a"), F.col("sb").alias("doc_b"))
-        .agg(F.countDistinct("ok").alias("w"))
-        .where(F.col("w") >= 35)
-        .select("doc_a", "doc_b")
+    """Connected components over the supplier co-occurrence graph (pair
+    weight above its own 99.8th percentile — sparser than the triangle
+    gate, so the graph fragments) — iterative min-label propagation
+    from functions/dedup.py::components_from_edges, checked against a
+    recursive-CTE reachability oracle."""
+    edges = _cooccurrence_edges(spark, sf_dir, quantile=0.998).select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
     )
     nodes = (
         edges.select(F.col("doc_a").alias("doc_id"))
@@ -3463,12 +3456,16 @@ def q_graph_components(spark, sf_dir):
 
 
 SQL_GRAPH_COMPONENTS = """
-WITH RECURSIVE pairs AS (
-  SELECT x.l_suppkey AS a, y.l_suppkey AS b
+WITH RECURSIVE pairsw AS (
+  SELECT x.l_suppkey AS a, y.l_suppkey AS b,
+         COUNT(DISTINCT x.l_orderkey) AS w
   FROM lineitem x JOIN lineitem y
     ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
   GROUP BY x.l_suppkey, y.l_suppkey
-  HAVING COUNT(DISTINCT x.l_orderkey) >= 35
+),
+pairs AS (
+  SELECT a, b FROM pairsw
+  WHERE w >= (SELECT quantile_cont(w, 0.998) FROM pairsw)
 ),
 edges AS (
   SELECT a AS src, b AS dst FROM pairs
@@ -3619,34 +3616,57 @@ FROM est JOIN exact ON est.user_id = exact.user_id
 """
 
 
-def q_graph_triangles(spark, sf_dir):
-    """Exact per-node triangle counts over the supplier co-occurrence
-    graph (suppliers sharing >= 30 orders) — the two-join oriented
-    triangle enumeration; see functions/graph.py::triangle_count."""
-    from ..functions import graph as fgraph
-
+def _cooccurrence_edges(spark, sf_dir, quantile: float = 0.995):
+    """Supplier co-occurrence edges above a DATA-DERIVED weight
+    threshold (the ``quantile`` of the pair-weight distribution) — a
+    fixed count would go empty or complete as the scale factor moves
+    the supplier count; the percentile keeps the graph sparse at any
+    sf. The scalar threshold broadcasts (the q22 pattern); Spark's
+    exact ``percentile`` matches DuckDB's ``quantile_cont`` (the
+    events_percentiles-established contract)."""
     li = _t(spark, sf_dir, "lineitem")
     x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
     y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
-    edges = (
+    weighted = (
         x.join(y, "ok")
         .where(F.col("sa") < F.col("sb"))
         .groupBy(F.col("sa").alias("src"), F.col("sb").alias("dst"))
         .agg(F.countDistinct("ok").alias("w"))
-        .where(F.col("w") >= 30)
+    )
+    thr = weighted.agg(
+        F.expr(f"percentile(w, {quantile})").alias("thr")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(thr))
+        .where(F.col("w") >= F.col("thr"))
         .select("src", "dst")
     )
-    return fgraph.triangle_count(edges)
 
 
-SQL_GRAPH_TRIANGLES = """
-WITH pairs AS (
-  SELECT x.l_suppkey AS a, y.l_suppkey AS b
+_SQL_COOCCURRENCE_PAIRS = """pairsw AS (
+  SELECT x.l_suppkey AS a, y.l_suppkey AS b,
+         COUNT(DISTINCT x.l_orderkey) AS w
   FROM lineitem x JOIN lineitem y
     ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
   GROUP BY x.l_suppkey, y.l_suppkey
-  HAVING COUNT(DISTINCT x.l_orderkey) >= 30
-), tri AS (
+),
+pairs AS (
+  SELECT a, b FROM pairsw
+  WHERE w >= (SELECT quantile_cont(w, 0.995) FROM pairsw)
+)"""
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Exact per-node triangle counts over the supplier co-occurrence
+    graph (pair weight above its own 99.5th percentile) — the two-join
+    oriented triangle enumeration; see graph.py::triangle_count."""
+    from ..functions import graph as fgraph
+
+    return fgraph.triangle_count(_cooccurrence_edges(spark, sf_dir))
+
+
+SQL_GRAPH_TRIANGLES = f"""
+WITH {_SQL_COOCCURRENCE_PAIRS}, tri AS (
   SELECT e1.a, e1.b, e2.b AS c
   FROM pairs e1 JOIN pairs e2 ON e2.a = e1.b
   WHERE EXISTS (SELECT 1 FROM pairs e3 WHERE e3.a = e1.a AND e3.b = e2.b)
