@@ -3493,10 +3493,20 @@ def q_events_rolling_window(spark, sf_dir):
     ev = _events(spark, sf_dir)
     from pyspark.sql import Window
 
+    # microsecond ordering axis: unix_timestamp would truncate to whole
+    # seconds and admit rows just past the 24h boundary that the
+    # microsecond-exact SQL RANGE frame excludes; the NTZ branch stays
+    # timezone-free (unix_micros rejects TIMESTAMP_NTZ)
+    if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        axis = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        )
+    else:
+        axis = F.expr("unix_micros(ts)")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-86400, 0)
+        .orderBy(axis)
+        .rangeBetween(-86_400_000_000, 0)
     )
     return ev.select(
         "event_id", "user_id", "ts",
