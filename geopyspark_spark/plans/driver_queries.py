@@ -4176,6 +4176,58 @@ FROM px GROUP BY doc_id, frame_idx
 """
 
 
+def q_multimodal_frame_dedup(spark, sf_dir):
+    """Cross-video duplicate-frame detection: frame_sample explodes
+    every 2nd fake-decoded frame, each frame fingerprints to
+    md5(pixel-int CSV), and duplicated fingerprints report occurrence /
+    distinct-video counts — the frame-level dedup a video corpus runs
+    before training (sampled frames scan; the blobs are never
+    re-read)."""
+    from ..functions import multimodal as fmm
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("data")
+    )
+    frames = fmm.frame_sample(docs, every_n=2,
+                              frame_decoder=fmm.payload_video_decoder)
+    fp = F.md5(F.expr(
+        "concat_ws(',', transform(frame, x -> CAST(CAST(x AS INT) AS STRING)))"
+    ))
+    return (
+        frames.select("doc_id", fp.alias("frame_fp"))
+        .groupBy("frame_fp")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_frames") > 1)
+    )
+
+
+SQL_MULTIMODAL_FRAME_DEDUP = """
+WITH d AS (SELECT doc_id, text, strlen(text) // 16 AS nf FROM documents),
+f AS (
+  SELECT doc_id, text, CAST(fi AS INT) AS frame_idx
+  FROM (SELECT doc_id, text, unnest(range(nf)) AS fi FROM d)
+  WHERE fi % 2 = 0
+),
+px AS (
+  SELECT doc_id, frame_idx, p.p AS p,
+         ascii(substr(text, CAST(frame_idx * 16 + p.p AS INT) + 1, 1)) AS v
+  FROM f, range(16) p(p)
+),
+fp AS (
+  SELECT doc_id, frame_idx,
+         md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY p)) AS frame_fp
+  FROM px GROUP BY doc_id, frame_idx
+)
+SELECT frame_fp, COUNT(*) AS n_frames, COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(doc_id) AS first_doc
+FROM fp GROUP BY frame_fp HAVING COUNT(*) > 1
+"""
+
+
 def q_tms_render_tile(spark, sf_dir):
     """The TMS serving path under the gate (round 6): catalog write ->
     DuckDB point-read fetch (no Spark on the hot path) -> ColorMap
@@ -6399,6 +6451,7 @@ def queries():
         "events_scd2": q_events_scd2,
         "graph_components": q_graph_components,
         "events_rolling_window": q_events_rolling_window,
+        "multimodal_frame_dedup": q_multimodal_frame_dedup,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -6471,7 +6524,9 @@ def queries():
         # (raster_stitch — single-collect assembly also pinned by pytest
         # goldens — rotated just past the window for the streaming-HLL
         # code path)
-        "raster_png_roundtrip": q_raster_png_roundtrip,
+        # (raster_png_roundtrip — the PNG codec carries pytest goldens
+        # and the tms_render_tile gate decodes PNGs in-window — rotated
+        # just past the window for the frame-dedup gate)
         # (raster_catalog_update — the update path also runs inside the
         # in-window raster_stream_ingest gate (create-then-update merge)
         # — rotated just past the window for the components gate)
@@ -6509,6 +6564,7 @@ def queries():
         "emb_quantize": q_emb_quantize,
         "raster_catalog_update": q_raster_catalog_update,
         "raster_with_no_data": q_raster_with_no_data,
+        "raster_png_roundtrip": q_raster_png_roundtrip,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -6704,6 +6760,7 @@ def oracle_sql():
         "events_scd2": SQL_EVENTS_SCD2,
         "graph_components": SQL_GRAPH_COMPONENTS,
         "events_rolling_window": SQL_EVENTS_ROLLING_WINDOW,
+        "multimodal_frame_dedup": SQL_MULTIMODAL_FRAME_DEDUP,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,
