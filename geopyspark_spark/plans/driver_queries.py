@@ -3526,6 +3526,100 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def q_rel_frequent_pairs(spark, sf_dir):
+    """Market-basket frequent pairs over orders (basket = the parts of
+    one order): support counts from one self-join bounded by
+    lines-per-order, plus integer-ppm confidence and lift against the
+    single-item supports — the association-rules primitive, all exact
+    arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n_orders = items.select("ok").distinct().agg(F.count("*").alias("n_orders"))
+    single = items.groupBy("item").agg(F.count("*").alias("c_item"))
+    a = items.select(F.col("ok"), F.col("item").alias("item_a"))
+    b = items.select(F.col("ok"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 3)
+    )
+    ca = single.select(F.col("item").alias("item_a"), F.col("c_item").alias("c_a"))
+    cb = single.select(F.col("item").alias("item_b"), F.col("c_item").alias("c_b"))
+    return (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a", "item_b", "support",
+            F.expr("(1000000 * support) DIV c_a").alias("conf_a_to_b_ppm"),
+            F.expr("(1000000 * support) DIV c_b").alias("conf_b_to_a_ppm"),
+            F.expr("(1000000 * support * n_orders) DIV (c_a * c_b)")
+            .alias("lift_ppm"),
+        )
+    )
+
+
+SQL_REL_FREQUENT_PAIRS = """
+WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+single AS (SELECT item, COUNT(*) AS c_item FROM items GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS support
+  FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
+  GROUP BY a.item, b.item HAVING COUNT(*) >= 3
+)
+SELECT item_a, item_b, support,
+       (1000000 * support) // ca.c_item AS conf_a_to_b_ppm,
+       (1000000 * support) // cb.c_item AS conf_b_to_a_ppm,
+       (1000000 * support * n.n_orders) // (ca.c_item * cb.c_item) AS lift_ppm
+FROM pairs
+JOIN single ca ON ca.item = pairs.item_a
+JOIN single cb ON cb.item = pairs.item_b
+CROSS JOIN n
+"""
+
+
+def q_events_transitions(spark, sf_dir):
+    """Per-user event-type transition matrix (the Markov-chain view of
+    a clickstream): lead() pairs each event with its successor, counts
+    aggregate per (from, to), and row-normalized probabilities report
+    in integer ppm."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return counts.join(totals, "from_type").select(
+        "from_type", "to_type", "n",
+        F.expr("(1000000 * n) DIV n_from").alias("p_ppm"),
+    )
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH steps AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM steps WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+),
+totals AS (SELECT from_type, SUM(n) AS n_from FROM counts GROUP BY from_type)
+SELECT c.from_type, c.to_type, c.n, (1000000 * c.n) // t.n_from AS p_ppm
+FROM counts c JOIN totals t ON c.from_type = t.from_type
+"""
+
+
 def q_events_rollup(spark, sf_dir):
     """OLAP rollup: day x event_type counts and exact DECIMAL sums with
     the ROLLUP lattice (per-day subtotals + grand total), grouping_id
@@ -6452,6 +6546,8 @@ def queries():
         "graph_components": q_graph_components,
         "events_rolling_window": q_events_rolling_window,
         "multimodal_frame_dedup": q_multimodal_frame_dedup,
+        "rel_frequent_pairs": q_rel_frequent_pairs,
+        "events_transitions": q_events_transitions,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         "events_stream_tumbling": q_events_stream_tumbling,
@@ -6467,7 +6563,9 @@ def queries():
         "raster_reproject_swiss": q_raster_reproject_swiss,
         "raster_reproject_krovak": q_raster_reproject_krovak,
         # rotated in (third r6 rotation): second-half additions
-        "text_pii_scrub": q_text_pii_scrub,
+        # (text_pii_scrub — a per-row Catalyst regexp chain with its own
+        # pattern-by-pattern pytest pinning — rotated just past the
+        # window for the frequent-pairs gate)
         # (text_pack_sequences — prefix-sum window arithmetic with its
         # own pytest pinning — rotated just past the window for the
         # profile gate)
@@ -6530,7 +6628,9 @@ def queries():
         # (raster_catalog_update — the update path also runs inside the
         # in-window raster_stream_ingest gate (create-then-update merge)
         # — rotated just past the window for the components gate)
-        "raster_read_value": q_raster_read_value,
+        # (raster_read_value — the ValueReader point-read also runs
+        # inside the in-window tms_render_tile fetch path — rotated just
+        # past the window for the transition-matrix gate)
         # (raster_with_no_data — a per-cell CASE remap in the family of
         # the r5-validated raster_convert_int8 — rotated just past the
         # window for the RANGE-window gate)
@@ -6565,6 +6665,8 @@ def queries():
         "raster_catalog_update": q_raster_catalog_update,
         "raster_with_no_data": q_raster_with_no_data,
         "raster_png_roundtrip": q_raster_png_roundtrip,
+        "text_pii_scrub": q_text_pii_scrub,
+        "raster_read_value": q_raster_read_value,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -6761,6 +6863,8 @@ def oracle_sql():
         "graph_components": SQL_GRAPH_COMPONENTS,
         "events_rolling_window": SQL_EVENTS_ROLLING_WINDOW,
         "multimodal_frame_dedup": SQL_MULTIMODAL_FRAME_DEDUP,
+        "rel_frequent_pairs": SQL_REL_FREQUENT_PAIRS,
+        "events_transitions": SQL_EVENTS_TRANSITIONS,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,
