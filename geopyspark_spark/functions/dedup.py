@@ -362,6 +362,48 @@ def duplicate_components(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     return components_from_edges(df, edges, max_iterations)
 
 
+def sorted_neighborhood_pairs(df: DataFrame, window: int = 3,
+                              key_chars: int = 24, prefix_chars: int = 1,
+                              text_col: str = "text") -> DataFrame:
+    """Sorted-neighborhood candidate pairs — the third classic dedup
+    blocking family beside hash buckets and LSH banding: documents sort
+    by a normalized key (first ``key_chars`` lowercased characters) and
+    each document pairs with its ``window - 1`` successors in sort
+    order, catching near-duplicates whose edits fall OUTSIDE the key.
+
+    Scale shape: the sort partitions by a ``prefix_chars`` key prefix
+    (blocked SNM — pairs never cross a prefix boundary, which is the
+    standard distributed formulation), so it is a per-prefix window
+    with ``lead()``, one shuffle, no self-join and no global sort.
+    Output: (doc_a, doc_b, key_distance) with doc_a the sort-order
+    predecessor; key_distance = how many sort positions apart.
+    """
+    key = F.lower(F.substring(F.trim(F.col(text_col)), 1, key_chars))
+    keyed = df.select("doc_id", key.alias("sn_key")).withColumn(
+        "sn_prefix", F.substring("sn_key", 1, prefix_chars)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("sn_prefix").orderBy("sn_key", "doc_id")
+    # window expressions first (they cannot nest under explode in the
+    # same projection), then one narrow explode over the lead columns
+    led = keyed.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.lead("doc_id", off).over(w).alias(f"_b{off}")
+          for off in range(1, window)],
+    )
+    offs = [
+        F.struct(
+            F.col(f"_b{off}").alias("doc_b"), F.lit(off).alias("key_distance")
+        )
+        for off in range(1, window)
+    ]
+    exploded = led.select(
+        "doc_a", F.explode(F.array(*offs)).alias("nb")
+    ).select("doc_a", "nb.doc_b", "nb.key_distance")
+    return exploded.where(F.col("doc_b").isNotNull())
+
+
 def components_from_edges(df: DataFrame, edges: DataFrame,
                           max_iterations: int = 20,
                           id_col: str = "doc_id") -> DataFrame:

@@ -3526,6 +3526,48 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def q_text_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood dedup blocking under the gate: per-prefix
+    sort by the normalized 24-char key, each doc pairs with its 2
+    successors — summarized per doc_a with the count and nearest
+    neighbor (compact, order-insensitive output)."""
+    pairs = fdedup.sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "documents"), window=3
+    )
+    # distances are unique per doc_a (one lead per offset), so min_by
+    # is tie-free deterministic in any engine
+    return pairs.groupBy("doc_a").agg(
+        F.count("*").alias("n_candidates"),
+        F.expr("min_by(doc_b, key_distance)").alias("nearest_doc"),
+        F.min("key_distance").alias("nearest_distance"),
+    )
+
+
+SQL_TEXT_SORTED_NEIGHBORHOOD = """
+WITH keyed AS (
+  SELECT doc_id, lower(substr(trim(text), 1, 24)) AS sn_key,
+         substr(lower(substr(trim(text), 1, 24)), 1, 1) AS sn_prefix
+  FROM documents
+),
+nb AS (
+  SELECT doc_id AS doc_a,
+         lead(doc_id, 1) OVER w AS b1,
+         lead(doc_id, 2) OVER w AS b2
+  FROM keyed
+  WINDOW w AS (PARTITION BY sn_prefix ORDER BY sn_key, doc_id)
+),
+pairs AS (
+  SELECT doc_a, b1 AS doc_b, 1 AS key_distance FROM nb WHERE b1 IS NOT NULL
+  UNION ALL
+  SELECT doc_a, b2 AS doc_b, 2 AS key_distance FROM nb WHERE b2 IS NOT NULL
+)
+SELECT doc_a, COUNT(*) AS n_candidates,
+       arg_min(doc_b, key_distance) AS nearest_doc,
+       MIN(key_distance) AS nearest_distance
+FROM pairs GROUP BY doc_a
+"""
+
+
 def q_rel_frequent_pairs(spark, sf_dir):
     """Market-basket frequent pairs over orders (basket = the parts of
     one order): support counts from one self-join bounded by
@@ -6548,9 +6590,12 @@ def queries():
         "multimodal_frame_dedup": q_multimodal_frame_dedup,
         "rel_frequent_pairs": q_rel_frequent_pairs,
         "events_transitions": q_events_transitions,
+        "text_sorted_neighborhood": q_text_sorted_neighborhood,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
-        "events_stream_tumbling": q_events_stream_tumbling,
+        # (events_stream_tumbling — the watermark+window+AvailableNow
+        # path also runs in the in-window stream_session and stream_hll
+        # gates — rotated just past the window for the SNM gate)
         "raster_reproject_ease": q_raster_reproject_ease,
         "raster_reproject_laea": q_raster_reproject_laea,
         "events_stream_session": q_events_stream_session,
@@ -6667,6 +6712,7 @@ def queries():
         "raster_png_roundtrip": q_raster_png_roundtrip,
         "text_pii_scrub": q_text_pii_scrub,
         "raster_read_value": q_raster_read_value,
+        "events_stream_tumbling": q_events_stream_tumbling,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -6865,6 +6911,7 @@ def oracle_sql():
         "multimodal_frame_dedup": SQL_MULTIMODAL_FRAME_DEDUP,
         "rel_frequent_pairs": SQL_REL_FREQUENT_PAIRS,
         "events_transitions": SQL_EVENTS_TRANSITIONS,
+        "text_sorted_neighborhood": SQL_TEXT_SORTED_NEIGHBORHOOD,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,

@@ -1159,3 +1159,25 @@ class TestTemperatureMix:
         b = {r["doc_id"] for r in temperature_mix(df, tau=0.5,
                                                   target_total=200).collect()}
         assert a == b and 0 < len(a) < 500
+
+
+class TestSortedNeighborhood:
+    def test_adjacent_keys_pair_within_prefix(self, spark):
+        df = spark.createDataFrame(
+            [(1, "apple pie recipe"), (2, "apple pie recipes"),
+             (3, "apple tart"), (4, "zebra stripes")],
+            "doc_id long, text string",
+        )
+        pairs = {(r["doc_a"], r["doc_b"], r["key_distance"])
+                 for r in fdedup.sorted_neighborhood_pairs(df, window=2).collect()}
+        # sort order within prefix 'a': 1 < 2 < 3; 'z' is alone
+        assert pairs == {(1, 2, 1), (2, 3, 1)}
+
+    def test_window_three_reaches_two_ahead(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"aaa doc {i:03d}") for i in range(4)],
+            "doc_id long, text string",
+        )
+        pairs = {(r["doc_a"], r["doc_b"])
+                 for r in fdedup.sorted_neighborhood_pairs(df, window=3).collect()}
+        assert pairs == {(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)}
