@@ -3832,6 +3832,48 @@ FROM nodes n LEFT JOIN corners c ON c.node = n.node
 """
 
 
+def q_tpch_q20_dominant(spark, sf_dir):
+    """Q20-ish dominant-supplier audit (no partsupp in the schema):
+    suppliers who shipped more than half of some part's total quantity
+    — two stacked aggregates, an integer-exact share test
+    (2*q_ps > q_p, no division), a semi-join back to the supplier dim,
+    and the nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).agg(F.sum("l_quantity").alias("q"))
+    pt = ps.groupBy("p").agg(F.sum("q").alias("tq"))
+    dom = (
+        ps.join(pt, "p")
+        .where(F.lit(2) * F.col("q") > F.col("tq"))
+        .select("s")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(dom, supp.s_suppkey == dom.s, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+SQL_TPCH_Q20_DOMINANT = """
+WITH ps AS (
+  SELECT l_partkey AS p, l_suppkey AS s, SUM(l_quantity) AS q
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+pt AS (SELECT p, SUM(q) AS tq FROM ps GROUP BY p),
+dom AS (
+  SELECT DISTINCT ps.s FROM ps JOIN pt ON ps.p = pt.p WHERE 2 * ps.q > pt.tq
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT s FROM dom)
+"""
+
+
 def q_events_enriched_segment(spark, sf_dir):
     """Stream-dim enrichment: events broadcast-joined to the customer dim
     (user_id ⊂ c_custkey), aggregated per market segment — the canonical
@@ -6591,12 +6633,16 @@ def queries():
         "rel_frequent_pairs": q_rel_frequent_pairs,
         "events_transitions": q_events_transitions,
         "text_sorted_neighborhood": q_text_sorted_neighborhood,
+        "tpch_q20_dominant": q_tpch_q20_dominant,
         # rotated in r6: never driver-validated (r5) + new (r6)
         "raster_reproject_albers": q_raster_reproject_albers,
         # (events_stream_tumbling — the watermark+window+AvailableNow
         # path also runs in the in-window stream_session and stream_hll
         # gates — rotated just past the window for the SNM gate)
-        "raster_reproject_ease": q_raster_reproject_ease,
+        # (raster_reproject_ease — the cylindrical-equal-area kernel is
+        # pinned by the r6 sphere-fix worked-example tests and five
+        # reproject variants stay in-window — rotated just past the
+        # window for the q20 gate)
         "raster_reproject_laea": q_raster_reproject_laea,
         "events_stream_session": q_events_stream_session,
         "raster_geotiff_roundtrip": q_raster_geotiff_roundtrip,
@@ -6713,6 +6759,7 @@ def queries():
         "text_pii_scrub": q_text_pii_scrub,
         "raster_read_value": q_raster_read_value,
         "events_stream_tumbling": q_events_stream_tumbling,
+        "raster_reproject_ease": q_raster_reproject_ease,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -6912,6 +6959,7 @@ def oracle_sql():
         "rel_frequent_pairs": SQL_REL_FREQUENT_PAIRS,
         "events_transitions": SQL_EVENTS_TRANSITIONS,
         "text_sorted_neighborhood": SQL_TEXT_SORTED_NEIGHBORHOOD,
+        "tpch_q20_dominant": SQL_TPCH_Q20_DOMINANT,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,
