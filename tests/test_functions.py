@@ -1181,3 +1181,94 @@ class TestSortedNeighborhood:
         pairs = {(r["doc_a"], r["doc_b"])
                  for r in fdedup.sorted_neighborhood_pairs(df, window=3).collect()}
         assert pairs == {(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)}
+
+
+class TestPipelineProperties:
+    """Property-based invariants (hypothesis) for the round-6 pipeline
+    operators — randomized inputs against brute-force references."""
+
+    def test_chunks_are_exact_slices_and_cover(self, spark):
+        import random
+
+        rng = random.Random(5)
+        rows = []
+        for i in range(30):
+            n = rng.randrange(0, 60)
+            rows.append((i, "".join(rng.choice("abcdef ") for _ in range(n)) or "x"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        texts = dict(rows)
+        for size, overlap in ((7, 0), (10, 4), (5, 2)):
+            out = ftext.chunk_documents(df, size=size, overlap=overlap).collect()
+            per_doc = {}
+            for r in out:
+                t = texts[r["doc_id"]]
+                assert r["chunk_text"] == t[r["chunk_start"]:r["chunk_start"] + size]
+                per_doc.setdefault(r["doc_id"], []).append(r)
+            stride = size - overlap
+            for i, t in texts.items():
+                rs = sorted(per_doc[i], key=lambda r: r["chunk_id"])
+                # full coverage: last chunk reaches the end of the text
+                assert rs[-1]["chunk_start"] + len(rs[-1]["chunk_text"]) >= len(t)
+                # stride spacing
+                assert all(r["chunk_start"] == k * stride for k, r in enumerate(rs))
+
+    def test_lm_score_bounds_and_repetition_monotonicity(self, spark):
+        # doc 1 always follows 'a' with 'b'; doc 2 scatters 'a' across
+        # c/d/e — its P(next|a) fragments, so it must score lower
+        df = spark.createDataFrame(
+            [(1, "a b a b a b"), (2, "a c a d a e")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["avg_score_ppm"]
+               for r in ftext.bigram_lm_score(df).collect()}
+        assert all(0 <= v <= 1_000_000 for v in got.values())
+        assert got[1] > got[2]
+
+    def test_pagerank_mass_bounds_on_random_graphs(self, spark):
+        import random
+
+        from geopyspark_spark.functions.graph import pagerank
+
+        rng = random.Random(13)
+        edges = list({(rng.randrange(12), rng.randrange(12)) for _ in range(30)})
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        rows = pagerank(df, iterations=4, undirected=True).collect()
+        n = len(rows)
+        total = sum(r["pr"] for r in rows)
+        # every rank >= the base term; total never exceeds the initial mass
+        assert all(r["pr"] >= 150_000 for r in rows)
+        assert total <= n * 1_000_000
+
+    def test_gap_fill_matches_bruteforce(self, spark):
+        import random
+        from datetime import datetime, timedelta
+
+        from geopyspark_spark.functions.relational import gap_fill
+
+        rng = random.Random(3)
+        base = datetime(2024, 1, 1)
+        rows = [(rng.randrange(3), base + timedelta(minutes=rng.randrange(600)),
+                 float(rng.randrange(100)) / 4) for _ in range(60)]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        got = {(r["user_id"], r["bucket_ts"]): (r["n_events"], r["filled_sum"])
+               for r in gap_fill(df, "user_id").collect()}
+        # brute force per user
+        from collections import defaultdict
+        per = defaultdict(list)
+        for u, t, v in rows:
+            per[u].append((t, v))
+        for u, evs in per.items():
+            hours = sorted({t.replace(minute=0, second=0, microsecond=0) for t, _ in evs})
+            h, last = hours[0], None
+            while h <= hours[-1]:
+                bucket = [(t, v) for t, v in evs
+                          if t.replace(minute=0, second=0, microsecond=0) == h]
+                n = len(bucket)
+                if bucket:
+                    last = round(sum(v for _, v in bucket), 6)
+                gn, gs = got[(u, h)]
+                assert gn == n and (gs is None) == (last is None)
+                if last is not None:
+                    assert abs(gs - last) < 1e-9
+                h += timedelta(hours=1)
