@@ -5640,6 +5640,52 @@ FROM q2 LEFT JOIN ov ON ov.query_id = q2.query_id
 """
 
 
+def q_raster_kernel_density(spark, sf_dir):
+    """Kernel density under the gate: 20 weighted points derived from
+    the part table stamp a uniform disk (radius 5) onto the 32x32
+    grid — integer weights, half-integer centers and point coordinates,
+    so every distance comparison and sum is exact. See
+    operators/rasterize.py::kernel_density."""
+    from ..operators.rasterize import kernel_density
+
+    rows = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") < 20)
+        .select(
+            ((F.col("p_partkey") * 7) % 32 + 0.5).alias("x"),
+            ((F.col("p_partkey") * 13) % 32 + 0.5).alias("y"),
+            F.col("p_size").cast("double").alias("w"),
+        )
+        .collect()
+    )
+    pts = [(r["x"], r["y"], r["w"]) for r in rows]
+    layer = kernel_density(spark, pts, RASTER_MD.layout, radius=5.0)
+    return _explode_result(layer)
+
+
+SQL_RASTER_KERNEL_DENSITY = f"""
+WITH pts AS (
+  SELECT (p_partkey * 7) % 32 + 0.5 AS px,
+         (p_partkey * 13) % 32 + 0.5 AS py,
+         CAST(p_size AS DOUBLE) AS w
+  FROM part WHERE p_partkey < 20
+),
+grid AS (
+  SELECT CAST(c.c // {TILE} AS INT) AS key_col,
+         CAST(r.r // {TILE} AS INT) AS key_row,
+         CAST((r.r % {TILE}) * {TILE} + (c.c % {TILE}) AS INT) AS pos,
+         c.c + 0.5 AS cx, {GRID} - r.r - 0.5 AS cy
+  FROM range({GRID}) c(c), range({GRID}) r(r)
+)
+SELECT g.key_col, g.key_row, g.pos,
+       COALESCE(SUM(CASE WHEN (g.cx - p.px) * (g.cx - p.px)
+                             + (g.cy - p.py) * (g.cy - p.py) <= 25.0
+                         THEN p.w ELSE 0.0 END), 0.0) AS value
+FROM grid g CROSS JOIN pts p
+GROUP BY g.key_col, g.key_row, g.pos
+"""
+
+
 def q_raster_mask_distributed(spark, sf_dir):
     """Distributed mask: two disjoint boxes arrive as a WKB geometry
     DataFrame -> spatial join (explode-to-keys, per-key collect, equi-join,
@@ -6634,8 +6680,11 @@ def queries():
         "events_transitions": q_events_transitions,
         "text_sorted_neighborhood": q_text_sorted_neighborhood,
         "tpch_q20_dominant": q_tpch_q20_dominant,
+        "raster_kernel_density": q_raster_kernel_density,
         # rotated in r6: never driver-validated (r5) + new (r6)
-        "raster_reproject_albers": q_raster_reproject_albers,
+        # (raster_reproject_albers — the aea kernel carries its EPSG
+        # worked-example test and four sibling variants stay in-window —
+        # rotated just past the window for the kernel-density gate)
         # (events_stream_tumbling — the watermark+window+AvailableNow
         # path also runs in the in-window stream_session and stream_hll
         # gates — rotated just past the window for the SNM gate)
@@ -6760,6 +6809,7 @@ def queries():
         "raster_read_value": q_raster_read_value,
         "events_stream_tumbling": q_events_stream_tumbling,
         "raster_reproject_ease": q_raster_reproject_ease,
+        "raster_reproject_albers": q_raster_reproject_albers,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -6960,6 +7010,7 @@ def oracle_sql():
         "events_transitions": SQL_EVENTS_TRANSITIONS,
         "text_sorted_neighborhood": SQL_TEXT_SORTED_NEIGHBORHOOD,
         "tpch_q20_dominant": SQL_TPCH_Q20_DOMINANT,
+        "raster_kernel_density": SQL_RASTER_KERNEL_DENSITY,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,

@@ -367,3 +367,45 @@ class TestLayerReferenceAttrs:
         assert f1_layer.layer_metadata is f1_layer.metadata
         assert f1_layer.zoom_level == f1_layer.metadata.zoom
         assert gps.Metadata is gps.LayerMetadata
+
+
+class TestKernelDensity:
+    def test_uniform_disk_counts(self, spark):
+        import geopyspark_spark as gps
+        from geopyspark_spark.operators.rasterize import kernel_density
+
+        layout = gps.LayoutDefinition(
+            gps.Extent(0, 0, 8, 8), gps.TileLayout(1, 1, 8, 8)
+        )
+        out = kernel_density(spark, [(4.5, 4.5, 2.0)], layout, radius=1.0)
+        cells = {(r["key_col"], r["key_row"], r["pos"]): r["value"]
+                 for r in out.explode().collect()}
+        # radius 1 around a cell center covers exactly the 4-neighborhood
+        # plus itself (diagonals are sqrt(2) > 1 away)
+        hits = [v for v in cells.values() if v > 0]
+        assert sorted(hits) == [2.0] * 5
+
+    def test_triangular_peaks_at_center(self, spark):
+        import geopyspark_spark as gps
+        from geopyspark_spark.operators.rasterize import kernel_density
+
+        layout = gps.LayoutDefinition(
+            gps.Extent(0, 0, 8, 8), gps.TileLayout(1, 1, 8, 8)
+        )
+        out = kernel_density(spark, [(4.5, 4.5, 1.0)], layout,
+                             radius=3.0, kernel="triangular")
+        cells = {r["pos"]: r["value"] for r in out.explode().collect()}
+        center = max(cells.values())
+        assert center == 1.0  # d = 0 at the point's own cell center
+        assert sum(1 for v in cells.values() if v > 0) > 5
+
+    def test_rejects_unknown_kernel(self, spark):
+        import geopyspark_spark as gps
+        import pytest as _pytest
+        from geopyspark_spark.operators.rasterize import kernel_density
+
+        layout = gps.LayoutDefinition(
+            gps.Extent(0, 0, 8, 8), gps.TileLayout(1, 1, 8, 8)
+        )
+        with _pytest.raises(ValueError):
+            kernel_density(spark, [], layout, radius=1.0, kernel="gauss")
