@@ -4992,6 +4992,80 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def q_text_lsh_calibration(spark, sf_dir):
+    """MinHash estimator calibration: for every LSH candidate pair, the
+    signature-agreement estimate of Jaccard (matching minhash
+    components / num_hashes, integer ppm) beside the exact distinct-
+     2-gram Jaccard — the quality report that justifies trusting the
+    sketch, in the same gated style as the ANN recall reports."""
+    docs = _t(spark, sf_dir, "documents")
+    vp = fdedup.verified_pairs(docs, num_hashes=16, bands=4, min_jaccard=0.0)
+    wide = fdedup._minhash_wide(docs, 16, "text")
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{k}").alias(f"xa{k}") for k in range(16)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{k}").alias(f"xb{k}") for k in range(16)],
+    )
+    est = sum(
+        (F.col(f"xa{k}") == F.col(f"xb{k}")).cast("long") for k in range(16)
+    )
+    return (
+        vp.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "inter_size", "union_size",
+            est.alias("est_matches"),
+            F.expr(
+                "(1000000 * ("
+                + " + ".join(f"CAST(xa{k} = xb{k} AS BIGINT)" for k in range(16))
+                + ")) DIV 16"
+            ).alias("est_ppm"),
+            F.expr("(1000000 * inter_size) DIV union_size").alias("jac_ppm"),
+        )
+    )
+
+
+def _sql_lsh_calibration(num_hashes: int = 16, bands: int = 4) -> str:
+    pairs_sql = _sql_lsh_pairs(num_hashes, bands)
+    marker = "SELECT DISTINCT a.doc_id AS doc_a"
+    head, _ = pairs_sql.rsplit(marker, 1)
+    return head.rstrip().rstrip(")") + f""")
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT p.doc_a, p.doc_b,
+         SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS est_matches
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.doc_a
+  JOIN sigs sb ON sb.doc_id = p.doc_b AND sb.k = sa.k
+  GROUP BY p.doc_a, p.doc_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS inter_size
+  FROM pairs p
+  JOIN grams ga ON ga.doc_id = p.doc_a
+  JOIN grams gb ON gb.doc_id = p.doc_b AND gb.shingle = ga.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.inter_size,
+       sa.ng + sb.ng - i.inter_size AS union_size,
+       CAST(a.est_matches AS BIGINT) AS est_matches,
+       (1000000 * CAST(a.est_matches AS BIGINT)) // {num_hashes} AS est_ppm,
+       (1000000 * i.inter_size) // (sa.ng + sb.ng - i.inter_size) AS jac_ppm
+FROM inter i
+JOIN agree a ON a.doc_a = i.doc_a AND a.doc_b = i.doc_b
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+"""
+
+
 def q_text_dup_components(spark, sf_dir):
     """Near-duplicate clustering: connected components over the LSH
     candidate-pair graph (iterative min-label propagation), each doc
@@ -6681,6 +6755,7 @@ def queries():
         "text_sorted_neighborhood": q_text_sorted_neighborhood,
         "tpch_q20_dominant": q_tpch_q20_dominant,
         "raster_kernel_density": q_raster_kernel_density,
+        "text_lsh_calibration": q_text_lsh_calibration,
         # rotated in r6: never driver-validated (r5) + new (r6)
         # (raster_reproject_albers — the aea kernel carries its EPSG
         # worked-example test and four sibling variants stay in-window —
@@ -6700,7 +6775,10 @@ def queries():
         # (events_stream_sliding — same readStream/watermark path as the
         # in-window tumbling + session entries — rotated just past the
         # window to make room for the HLL sketch, which is new)
-        "raster_reproject_swiss": q_raster_reproject_swiss,
+        # (raster_reproject_swiss — the somerc kernel carries a sub-mm
+        # swisstopo test and rd/krovak keep the datum-shift warps
+        # in-window — rotated just past the window for the LSH
+        # calibration gate)
         "raster_reproject_krovak": q_raster_reproject_krovak,
         # rotated in (third r6 rotation): second-half additions
         # (text_pii_scrub — a per-row Catalyst regexp chain with its own
@@ -6810,6 +6888,7 @@ def queries():
         "events_stream_tumbling": q_events_stream_tumbling,
         "raster_reproject_ease": q_raster_reproject_ease,
         "raster_reproject_albers": q_raster_reproject_albers,
+        "raster_reproject_swiss": q_raster_reproject_swiss,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -7042,6 +7121,7 @@ def oracle_sql():
         "text_minhash": _sql_minhash(16),
         "text_minhash_vocab": _sql_minhash(8, hash_ids=False),
         "text_lsh_pairs": _sql_lsh_pairs(16, 4),
+        "text_lsh_calibration": _sql_lsh_calibration(16, 4),
         "text_simhash": _sql_simhash(16),
         "text_ngram_jaccard": SQL_TEXT_NGRAM_JACCARD,
         "emb_knn": SQL_EMB_KNN,
