@@ -3662,6 +3662,49 @@ FROM counts c JOIN totals t ON c.from_type = t.from_type
 """
 
 
+def q_events_user_features(spark, sf_dir):
+    """Feature-store assembly: one wide training row per user — counts
+    per event type (conditional aggregates), exact DECIMAL value total,
+    first/last timestamps, active-day count, and the deterministic
+    last event type (max_by on the unique (ts, event_id) axis) — the
+    single-pass feature-engineering shape that feeds offline training
+    joins."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    aggs = [
+        F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{t}")
+        for t in types
+    ]
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        *aggs,
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+        .alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_active_days"),
+        F.expr("max_by(event_type, struct(ts, event_id))").alias("last_type"),
+    )
+
+
+SQL_EVENTS_USER_FEATURES = """
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+       arg_max(event_type,
+               CAST(ts AS VARCHAR) || '#' || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+         AS last_type
+FROM events GROUP BY user_id
+"""
+
+
 def q_events_rollup(spark, sf_dir):
     """OLAP rollup: day x event_type counts and exact DECIMAL sums with
     the ROLLUP lattice (per-day subtotals + grand total), grouping_id
@@ -6722,7 +6765,9 @@ def queries():
         # relational batch — sit just past the window; the trickier
         # shapes below are in-window: q13 left-outer, q15 scalar-max,
         # q17 correlated-avg, q18 having, q21 semi+anti, q22 anti+scalar)
-        "tpch_q13_custdist": q_tpch_q13_custdist,
+        # (tpch_q13_custdist — the join-condition left-outer shape, also
+        # exercised by the gap-fill/profile left joins in-window —
+        # rotated just past the window for the user-features gate)
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "tpch_q17_small_qty": q_tpch_q17_small_qty,
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
@@ -6756,6 +6801,7 @@ def queries():
         "tpch_q20_dominant": q_tpch_q20_dominant,
         "raster_kernel_density": q_raster_kernel_density,
         "text_lsh_calibration": q_text_lsh_calibration,
+        "events_user_features": q_events_user_features,
         # rotated in r6: never driver-validated (r5) + new (r6)
         # (raster_reproject_albers — the aea kernel carries its EPSG
         # worked-example test and four sibling variants stay in-window —
@@ -6889,6 +6935,7 @@ def queries():
         "raster_reproject_ease": q_raster_reproject_ease,
         "raster_reproject_albers": q_raster_reproject_albers,
         "raster_reproject_swiss": q_raster_reproject_swiss,
+        "tpch_q13_custdist": q_tpch_q13_custdist,
         # rotated out in the ninth rotation (all r5-driver-validated
         # except cass/aeqd/eqc/geos, which are check_oracle-validated and
         # share the in-window variants' code path; re-rotate them in r7)
@@ -7090,6 +7137,7 @@ def oracle_sql():
         "text_sorted_neighborhood": SQL_TEXT_SORTED_NEIGHBORHOOD,
         "tpch_q20_dominant": SQL_TPCH_Q20_DOMINANT,
         "raster_kernel_density": SQL_RASTER_KERNEL_DENSITY,
+        "events_user_features": SQL_EVENTS_USER_FEATURES,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5_nation_revenue": SQL_TPCH_Q5_NATION_REVENUE,
