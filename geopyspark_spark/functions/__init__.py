@@ -1,0 +1,63 @@
+"""Beyond-reference pipeline operators, re-exported for discoverability.
+
+Submodules stay importable directly (``from geopyspark_spark.functions
+import dedup``); the names below are the headline entry points a
+training-data pipeline composes.
+"""
+
+from .dedup import (
+    dedup_documents,
+    duplicate_components,
+    duplicate_spans,
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    sorted_neighborhood_pairs,
+    verified_pairs,
+)
+from .graph import pagerank, triangle_count
+from .relational import asof_join, gap_fill, interval_join, profile, salted_join
+from .similarity import (
+    cosine_knn,
+    ivf_knn,
+    lsh_knn,
+    pq_encode,
+    pq_knn,
+    pq_train,
+    quantize_embeddings,
+    quantized_knn,
+)
+from .sketch import (
+    bloom_build,
+    bloom_might_contain,
+    cms_build,
+    cms_estimate,
+    hll_distinct,
+    hll_registers,
+)
+from .text import (
+    bigram_lm_score,
+    chunk_documents,
+    deterministic_sample,
+    gopher_filter,
+    pack_sequences,
+    pii_scrub,
+    prepare_corpus,
+    stratified_sample,
+    temperature_mix,
+)
+
+__all__ = [
+    "asof_join", "bigram_lm_score", "bloom_build", "bloom_might_contain",
+    "chunk_documents", "cms_build", "cms_estimate", "cosine_knn",
+    "dedup_documents", "deterministic_sample", "duplicate_components",
+    "duplicate_spans", "exact_duplicates", "gap_fill", "gopher_filter",
+    "hll_distinct", "hll_registers", "interval_join", "ivf_knn",
+    "lsh_candidate_pairs", "lsh_knn", "minhash_signatures",
+    "pack_sequences", "pagerank", "pii_scrub", "pq_encode", "pq_knn",
+    "pq_train", "prepare_corpus", "profile", "quantize_embeddings",
+    "quantized_knn", "salted_join", "simhash", "sorted_neighborhood_pairs",
+    "stratified_sample", "temperature_mix", "triangle_count",
+    "verified_pairs",
+]
