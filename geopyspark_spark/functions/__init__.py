@@ -13,10 +13,12 @@ from .dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     simhash,
+    skew_guard_metrics,
+    skew_guard_report,
     sorted_neighborhood_pairs,
     verified_pairs,
 )
-from .graph import pagerank, triangle_count
+from .graph import orient_by_degree, pagerank, triangle_count
 from .relational import asof_join, gap_fill, interval_join, profile, salted_join
 from .similarity import (
     cosine_knn,
@@ -57,7 +59,8 @@ __all__ = [
     "lsh_candidate_pairs", "lsh_knn", "minhash_signatures",
     "pack_sequences", "pagerank", "pii_scrub", "pq_encode", "pq_knn",
     "pq_train", "prepare_corpus", "profile", "quantize_embeddings",
-    "quantized_knn", "salted_join", "simhash", "sorted_neighborhood_pairs",
+    "orient_by_degree", "quantized_knn", "salted_join", "simhash",
+    "skew_guard_metrics", "skew_guard_report", "sorted_neighborhood_pairs",
     "stratified_sample", "temperature_mix", "triangle_count",
     "verified_pairs",
 ]

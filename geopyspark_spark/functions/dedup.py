@@ -163,15 +163,14 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 16,
 _skew_stats: dict = {"dropped_df": None, "max_bucket_size": None}
 
 
-def skew_guard_report() -> dict | None:
-    """Dropped-bucket metrics for the most recent guarded
-    ``lsh_candidate_pairs`` plan: ``{"dropped_buckets": n,
-    "dropped_rows": m, "max_bucket_size": cap}``. Returns None if no
-    guarded plan has been built (guard explicitly disabled). Runs one
-    small aggregate job over the band signatures — call it after the
-    pipeline action to make truncation visible (production pipelines
-    should log this next to their row counts)."""
-    dropped = _skew_stats["dropped_df"]
+def skew_guard_metrics(skew_report: dict) -> dict | None:
+    """Aggregate a per-call skew report (the dict passed as
+    ``skew_report=`` to :func:`lsh_candidate_pairs` /
+    :func:`dedup_documents`) into ``{"dropped_buckets": n,
+    "dropped_rows": m, "max_bucket_size": cap}``. Returns None if the
+    plan was built with the guard disabled. One small aggregate job —
+    production pipelines should log this next to their row counts."""
+    dropped = skew_report.get("dropped_df")
     if dropped is None:
         return None
     row = dropped.agg(
@@ -180,8 +179,17 @@ def skew_guard_report() -> dict | None:
     return {
         "dropped_buckets": row["b"],
         "dropped_rows": int(row["r"]),
-        "max_bucket_size": _skew_stats["max_bucket_size"],
+        "max_bucket_size": skew_report["max_bucket_size"],
     }
+
+
+def skew_guard_report() -> dict | None:
+    """Dropped-bucket metrics for the most recent guarded
+    ``lsh_candidate_pairs`` plan built IN THIS PROCESS. Module-global
+    state — convenient interactively, but lost across sessions and racy
+    in multi-pipeline processes; prefer passing ``skew_report={}``
+    per call and reading it with :func:`skew_guard_metrics`."""
+    return skew_guard_metrics(_skew_stats)
 
 
 def _minhash_wide(df: DataFrame, num_hashes: int, text_col: str,
@@ -201,7 +209,8 @@ def _minhash_wide(df: DataFrame, num_hashes: int, text_col: str,
 
 def lsh_candidate_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
                         text_col: str = "text", hash_ids: bool = True,
-                        max_bucket_size: int | None = 10_000) -> DataFrame:
+                        max_bucket_size: int | None = 10_000,
+                        skew_report: dict | None = None) -> DataFrame:
     """Banded LSH over minhash signatures: docs sharing any band's full
     signature become candidate pairs (a < b). The join is per-bucket —
     the scale-safe pattern (no all-pairs comparison).
@@ -215,8 +224,10 @@ def lsh_candidate_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     pair through their other, more selective bands. ON by default
     (10_000; VERDICT r5 #3) — pass None only to force exact recall on
     corpora known to have no degenerate keys. Truncation is never
-    silent: the number of dropped buckets/rows is published through
-    :func:`skew_guard_report` (one small on-demand aggregate).
+    silent: pass a dict as ``skew_report`` and it is populated with the
+    dropped-bucket plan for :func:`skew_guard_metrics` to aggregate per
+    call (the module-level :func:`skew_guard_report` convenience also
+    still sees the most recent plan).
     """
     rows_per_band = num_hashes // bands
     # band keys straight off the wide per-doc aggregate: one shuffle total
@@ -249,12 +260,17 @@ def lsh_candidate_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
         w = Window.partitionBy("band", "band_key")
         sized = band_sig.withColumn("_bsz", F.count(F.lit(1)).over(w))
         # truncation is never silent: the over-cap buckets are published
-        # as a plan for skew_guard_report() to aggregate on demand
-        _skew_stats["dropped_df"] = (
+        # as a plan for skew_guard_metrics() to aggregate on demand —
+        # per-call via the caller's skew_report dict, plus the module
+        # global for the interactive skew_guard_report() convenience
+        dropped = (
             sized.where(F.col("_bsz") > max_bucket_size)
             .groupBy("band", "band_key").agg(F.first("_bsz").alias("_bsz"))
         )
-        _skew_stats["max_bucket_size"] = max_bucket_size
+        for sink in (_skew_stats, skew_report):
+            if sink is not None:
+                sink["dropped_df"] = dropped
+                sink["max_bucket_size"] = max_bucket_size
         band_sig = sized.where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
     a = band_sig.alias("a")
     b = band_sig.alias("b")
@@ -465,7 +481,8 @@ def components_from_edges(df: DataFrame, edges: DataFrame,
 def verified_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
                    n: int = 2, min_jaccard: float = 0.5,
                    text_col: str = "text", hash_ids: bool = True,
-                   max_bucket_size: int | None = 10_000) -> DataFrame:
+                   max_bucket_size: int | None = 10_000,
+                   skew_report: dict | None = None) -> DataFrame:
     """LSH candidate pairs exact-verified by n-gram Jaccard >= threshold.
 
     The two-stage shape every production dedup uses: the probabilistic
@@ -475,7 +492,8 @@ def verified_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     """
     pairs = lsh_candidate_pairs(df, num_hashes, bands, text_col,
                                 hash_ids=hash_ids,
-                                max_bucket_size=max_bucket_size)
+                                max_bucket_size=max_bucket_size,
+                                skew_report=skew_report)
     grams = df.select(
         "doc_id", F.explode(shingles_col(text_col, n)).alias("gram")
     )
@@ -504,7 +522,8 @@ def dedup_documents(df: DataFrame, num_hashes: int = 16, bands: int = 4,
                     n: int = 2, min_jaccard: float = 0.5,
                     text_col: str = "text", hash_ids: bool = True,
                     max_bucket_size: int | None = 10_000,
-                    max_iterations: int = 20) -> DataFrame:
+                    max_iterations: int = 20,
+                    skew_report: dict | None = None) -> DataFrame:
     """The complete near-duplicate removal pipeline as one operator:
 
     shingle -> minhash -> banded LSH candidates -> exact n-gram Jaccard
@@ -515,10 +534,13 @@ def dedup_documents(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     the cluster representative (singletons keep themselves). Filtering
     ``keep`` is the pretraining-corpus dedup step; at 100 TB every stage
     is bucket-bounded (set ``max_bucket_size``) and nothing ever leaves
-    the executors.
+    the executors. Pass a dict as ``skew_report`` to receive this call's
+    skew-guard truncation plan (aggregate it with
+    :func:`skew_guard_metrics` and log it next to the row counts).
     """
     edges = verified_pairs(df, num_hashes, bands, n, min_jaccard, text_col,
-                           hash_ids=hash_ids, max_bucket_size=max_bucket_size)
+                           hash_ids=hash_ids, max_bucket_size=max_bucket_size,
+                           skew_report=skew_report)
     comp = components_from_edges(
         df, edges.select("doc_a", "doc_b"), max_iterations
     )

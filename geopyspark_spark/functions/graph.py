@@ -17,50 +17,92 @@ from pyspark.sql import functions as F
 PPM = 1_000_000
 
 
+def orient_by_degree(edges: DataFrame, src_col: str = "src",
+                     dst_col: str = "dst") -> DataFrame:
+    """Orient an undirected edge list by the total order (degree, id):
+    each undirected edge {u, v} becomes the single row u -> v where
+    (deg(u), u) < (deg(v), v). The oriented out-degree of EVERY node —
+    hubs included — is then O(sqrt(m)), which caps the wedge count of
+    the triangle join at O(m^1.5) on power-law graphs (a hub with 10^6
+    spokes contributes zero wedges instead of ~10^12 under
+    id-orientation). Self-loops and duplicate/reverse duplicates are
+    dropped.
+
+    Returns (a, b, deg_b): the edge a -> b plus the target's degree,
+    kept so downstream wedge joins can order the two far endpoints by
+    the same (degree, id) key without re-joining degrees.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count("*").alias("deg"))
+    with_deg = (
+        und.join(deg, "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("deg").alias("deg_b")), "b"
+        )
+    )
+    return with_deg.where(
+        (F.col("deg_a") < F.col("deg_b"))
+        | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
+    ).select("a", "b", "deg_b")
+
+
 def triangle_count(edges: DataFrame, src_col: str = "src",
                    dst_col: str = "dst") -> DataFrame:
     """Exact per-node triangle counts over an undirected edge list.
 
-    The classic two-join formulation with id-orientation: every
-    undirected edge is kept once as (lo, hi); a triangle a<b<c is found
-    exactly once by joining (a,b)x(b,c) and closing with (a,c). Each
-    corner node then gets credit for the triangle via one explode +
-    hash aggregate.
+    The two-join formulation with DEGREE orientation (the 100 TB-safe
+    variant): edges are oriented low -> high by the total order
+    (degree, id) — see :func:`orient_by_degree` — so every node's
+    oriented out-degree is O(sqrt(m)) and the wedge join cannot blow up
+    at hub nodes the way id-orientation does on power-law graphs. A
+    triangle with nodes n1 < n2 < n3 (by that order) is found exactly
+    once as the wedge (n1->n2, n1->n3) closed by the probe n2->n3.
+    Each corner node then gets credit via one explode + hash aggregate.
 
-    Scale shape: two shuffle equi-joins on single node keys plus one
-    aggregate — no enumeration of wedges at hub nodes beyond what the
-    join produces; at 100 TB the standard refinement is degree
-    orientation (lo = lower-degree endpoint) to cap wedge counts at
-    O(m^1.5); id orientation keeps the oracle trivially expressible
-    and is exact regardless.
+    Orientation changes only the join schedule, never the result: the
+    per-node counts are identical to id-orientation (the oracle keeps
+    the simple a<b formulation).
 
     Returns (node, n_triangles) for every node in the edge list
     (nodes in no triangle report 0).
     """
-    # one eager checkpoint cuts the caller's edge-building plan before
-    # the swap-union consumes it twice
-    e = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .distinct()
-        .localCheckpoint()
+    o = orient_by_degree(edges, src_col, dst_col).persist()
+    ab = o.select(
+        F.col("a").alias("w_x"), F.col("b").alias("w_y"),
+        F.col("deg_b").alias("ky"),
     )
-    und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    o = (
-        und.where(F.col("a") < F.col("b"))
-        .distinct()
-        .persist()
+    ac = o.select(
+        F.col("a").alias("w_x2"), F.col("b").alias("w_z"),
+        F.col("deg_b").alias("kz"),
     )
-    ab = o.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
-    bc = o.select(F.col("a").alias("t_b2"), F.col("b").alias("t_c"))
-    ac = o.select(F.col("a").alias("t_a2"), F.col("b").alias("t_c2"))
-    tris = (
-        ab.join(bc, F.col("t_b") == F.col("t_b2"))
-        .join(
-            ac,
-            (F.col("t_a") == F.col("t_a2")) & (F.col("t_c") == F.col("t_c2")),
-            "left_semi",
-        )
-        .select("t_a", "t_b", "t_c")
+    # far endpoints ordered by the SAME (degree, id) key as the
+    # orientation, so the closing edge y -> z is oriented exactly this way
+    wedges = ab.join(
+        ac,
+        (F.col("w_x") == F.col("w_x2"))
+        & (
+            (F.col("ky") < F.col("kz"))
+            | ((F.col("ky") == F.col("kz")) & (F.col("w_y") < F.col("w_z")))
+        ),
+    )
+    closing = o.select(F.col("a").alias("c_y"), F.col("b").alias("c_z"))
+    tris = wedges.join(
+        closing,
+        (F.col("w_y") == F.col("c_y")) & (F.col("w_z") == F.col("c_z")),
+        "left_semi",
+    ).select(
+        F.col("w_x").alias("t_a"), F.col("w_y").alias("t_b"),
+        F.col("w_z").alias("t_c"),
     )
     corners = (
         tris.select(F.col("t_a").alias("node"))
@@ -81,7 +123,6 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     # persisted-RDD leak from a library call)
     out = out.localCheckpoint()
     o.unpersist()
-    e.unpersist()
     return out
 
 

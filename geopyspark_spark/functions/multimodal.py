@@ -53,15 +53,27 @@ def with_media_meta(df: DataFrame, data_col: str = "data", kind: str = "image",
     )
 
 
-def _require_pillow():
+def _default_image_decoder() -> Callable[[bytes], np.ndarray]:
+    """Return a Pillow-backed decoder (bytes -> float64 ndarray[h, w, 3]),
+    or raise NotImplementedError when Pillow is absent (this container).
+    Used whenever a caller passes ``decoder=None``."""
     try:
-        import PIL  # noqa: F401
+        from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
             "image decoding requires Pillow, which is not available in this "
             "environment; pass decoder= (bytes -> np.ndarray[h, w, c]) — "
             "the Spark plumbing is fully functional with any decoder"
         ) from e
+    import io
+
+    def decode(data: bytes) -> np.ndarray:
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(data)).convert("RGB")
+        return np.asarray(img, dtype=np.float64)
+
+    return decode
 
 
 def fake_image_decoder(data: bytes) -> np.ndarray:
@@ -94,7 +106,7 @@ def image_features(df: DataFrame, data_col: str = "data",
     Output: id columns + ``features: array<double>`` (c means then c stds).
     """
     if decoder is None:
-        _require_pillow()
+        decoder = _default_image_decoder()
     id_cols = [c for c in df.columns if c != data_col]
     schema = T.StructType(
         [df.schema[c] for c in id_cols] + [T.StructField("features", T.ArrayType(T.DoubleType()))]
@@ -115,13 +127,45 @@ def image_features(df: DataFrame, data_col: str = "data",
     return df.mapInPandas(extract, schema=schema)
 
 
+def _ahash_bits(arr: np.ndarray) -> np.ndarray:
+    """64 aHash bits from a decoded image of ANY size: gray = integer
+    channel sum per pixel, mean-pool the grays onto an 8x8 grid of bins
+    (pixel (r, c) -> bin (r*8//h, c*8//w)), bit set iff the bin's mean
+    exceeds the global pixel mean. The comparison is done on cross-
+    multiplied integers (``bin_sum * n_pixels > total_sum * bin_count``)
+    so it is exact for every input size — no float division anywhere.
+    For an exactly-8x8 input every bin is one pixel and this reduces to
+    the classic ``gray_i * 64 > total`` rule."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[0] < 1 or arr.shape[1] < 1:
+        raise ValueError(
+            f"decoder must return ndarray[h, w, c] with h, w >= 1; "
+            f"got shape {arr.shape}"
+        )
+    gray = arr.sum(axis=2).astype(np.int64)
+    h, w = gray.shape
+    ri = np.arange(h) * 8 // h
+    ci = np.arange(w) * 8 // w
+    sums = np.zeros((8, 8), dtype=np.int64)
+    counts = np.zeros((8, 8), dtype=np.int64)
+    np.add.at(sums, (ri[:, None], ci[None, :]), gray)
+    np.add.at(counts, (ri[:, None], ci[None, :]), np.int64(1))
+    total = int(gray.sum())
+    n = int(h) * int(w)
+    # bin_mean > global_mean  <=>  bin_sum * n > total * bin_count
+    return (sums.reshape(-1) * n > total * counts.reshape(-1)).astype(np.int64)
+
+
 def image_ahash(df: DataFrame, data_col: str = "data",
                 decoder: Callable[[bytes], np.ndarray] | None = None) -> DataFrame:
-    """64-bit average-hash (aHash) per image: decode to an 8x8 grid,
-    gray = integer channel sum per pixel, bit i set iff
-    ``gray_i * 64 > total`` — every step integer-exact, so the hash is
+    """64-bit average-hash (aHash) per image: decode, integer mean-pool
+    to an 8x8 grid, bit set iff the cell mean exceeds the global mean —
+    every step integer-exact (see :func:`_ahash_bits`), so the hash is
     engine-reproducible (unlike DCT-based pHash, whose float transforms
-    differ across math libraries).
+    differ across math libraries). Works for any decoded size; with no
+    ``decoder`` a Pillow-backed default is used (NotImplementedError
+    where Pillow is absent).
 
     Output: id columns + ``ahash_lo``/``ahash_hi`` (two 32-bit halves in
     BIGINTs — avoids the sign bit of a single int64). The dedup scan
@@ -129,7 +173,7 @@ def image_ahash(df: DataFrame, data_col: str = "data",
     the 100 TB image-dedup layout.
     """
     if decoder is None:
-        _require_pillow()
+        decoder = _default_image_decoder()
     id_cols = [c for c in df.columns if c != data_col]
     schema = T.StructType(
         [df.schema[c] for c in id_cols]
@@ -141,10 +185,7 @@ def image_ahash(df: DataFrame, data_col: str = "data",
         for pdf in batches:
             lo, hi = [], []
             for data in pdf[data_col]:
-                arr = decoder(bytes(data))
-                gray = arr.sum(axis=2).astype(np.int64).reshape(-1)[:64]
-                total = int(gray.sum())
-                bits = (gray * 64 > total).astype(np.int64)
+                bits = _ahash_bits(decoder(bytes(data)))
                 lo.append(int((bits[:32] << np.arange(32)).sum()))
                 hi.append(int((bits[32:] << np.arange(32)).sum()))
             out = pdf[id_cols].copy()
@@ -218,7 +259,7 @@ def image_resize(df: DataFrame, width: int, height: int, data_col: str = "data",
     the numeric form downstream training pipelines consume.
     """
     if decoder is None:
-        _require_pillow()
+        decoder = _default_image_decoder()
     id_cols = [c for c in df.columns if c != data_col]
     schema = T.StructType(
         [df.schema[c] for c in id_cols] + [T.StructField("pixels", T.ArrayType(T.DoubleType()))]
@@ -316,7 +357,12 @@ def audio_features(df: DataFrame, data_col: str = "data",
     zero_crossings long. Arrow-batched mapInPandas, no driver collect.
     """
     if decoder is None:
-        _require_pillow()  # stands in for "no media libs in this env"
+        raise NotImplementedError(
+            "audio decoding requires an injected decoder (no soundfile/"
+            "librosa in this container); pass decoder= (bytes -> 1-D "
+            "np.ndarray of samples) — e.g. payload_audio_decoder, or a "
+            "soundfile-backed one where that lib exists"
+        )
     id_cols = [c for c in df.columns if c != data_col]
     schema = T.StructType(
         [df.schema[c] for c in id_cols]

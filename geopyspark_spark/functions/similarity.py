@@ -376,9 +376,12 @@ def ivf_index(df: DataFrame, num_clusters: int = 16, train_limit: int = 4096,
         cm = bc.value
         for pdf in batches:
             V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            nrm = np.linalg.norm(V, axis=1, keepdims=True)
-            nrm[nrm == 0] = 1.0
-            cl = np.argmax((V / nrm) @ cm.T, axis=1)
+            # argmax of v.c over c is norm-invariant, so assign on the RAW
+            # dot (the same quantity a SQL engine computes), rounded to
+            # 6 dp so near-tie assignments are engine-portable (BLAS vs
+            # sequential summation); ties -> lowest cluster id, matching
+            # the oracle's (round(dot, 6) DESC, cid) ordering
+            cl = np.argmax(np.round(V @ cm.T, 6), axis=1)
             out = pdf.copy()
             out["cluster_id"] = cl.astype(np.int32)
             yield out
@@ -495,7 +498,13 @@ def pq_encode(df: DataFrame, books, id_col: str = "vec_id",
                         - 2.0 * (S @ C.T)
                         + (C * C).sum(axis=1)
                     )
-                    codes[:, j] = np.argmin(d2, axis=1)
+                    # epsilon-quantized argmin (ties -> lowest cid): BLAS
+                    # summation order differs from a sequential engine's
+                    # (e.g. DuckDB list_dot_product), so near-tie subspace
+                    # distances could otherwise assign different codes
+                    # across engines/hardware; rounding to 6 dp makes the
+                    # argmin portable (the oracle rounds identically)
+                    codes[:, j] = np.argmin(np.round(d2, 6), axis=1)
                 out_codes = [c.tolist() for c in codes]
             yield __import__("pandas").DataFrame(
                 {id_col: pdf[id_col], "codes": out_codes}
@@ -766,9 +775,28 @@ def dedup_by_embedding(df: DataFrame, threshold: float = 0.45,
     Returns (id, component, keep) for every vector — the embedding-space
     sibling of ``dedup.dedup_documents`` for semantic dedup of training
     corpora.
+
+    Pipeline-entry contract: LSH blocking is the default; if a caller
+    forces ``blocking=None`` (exact all-pairs) on a corpus past the
+    brute-force guard, the pipeline DEGRADES to LSH with a warning
+    instead of raising — an end-to-end dedup run should complete with
+    approximate recall, not die mid-corpus (the raw
+    :func:`cosine_near_dup` primitive still raises, so the explicit
+    exact API keeps its guard).
     """
     from .dedup import components_from_edges
 
+    if blocking is None and df.count() > MAX_BRUTE_FORCE_VECTORS:
+        import warnings
+
+        warnings.warn(
+            f"dedup_by_embedding: corpus exceeds the exact-path guard "
+            f"({MAX_BRUTE_FORCE_VECTORS} vectors); degrading to "
+            f"blocking='lsh' (num_planes={num_planes})",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        blocking = "lsh"
     pairs = cosine_near_dup(df, threshold, id_col, vec_col,
                             blocking=blocking, num_planes=num_planes)
     comp = components_from_edges(

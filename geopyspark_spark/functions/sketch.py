@@ -116,33 +116,61 @@ def bloom_build(df: DataFrame, key_col: str, m_bits: int = 1 << 16,
 
 def bloom_might_contain(candidates: DataFrame, bloom: DataFrame, key_col: str,
                         m_bits: int = 1 << 16, k: int = 4) -> DataFrame:
-    """Membership test against a built filter: every candidate key
-    probes its ``k`` bits via an equi-join on the word index (the
-    filter is tiny — broadcast); a key passes iff all ``k`` bits are
-    set. Returns the candidate rows plus ``bloom_pass`` (0/1) —
-    guaranteed 1 for true members; false positives at the standard
+    """Membership test against a built filter: each DISTINCT candidate
+    key probes its ``k`` bits via an equi-join on the word index (the
+    filter is tiny — broadcast), passes iff all ``k`` bits are set, and
+    the per-key verdict joins back onto the ORIGINAL rows — duplicate
+    candidate rows are preserved, every input column passes through
+    untouched (internal columns are ``__bloom_``-prefixed, so caller
+    columns named word/mask/bits/hit cannot collide), and only the one
+    new ``bloom_pass`` (0/1) column is added. NULL keys get 0.
+    Guaranteed 1 for true members; false positives at the standard
     (1 - e^(-kn/m))^k rate.
     """
-    key_cols = candidates.columns
-    probes = candidates.withColumn(
-        "_i", F.explode(F.array(*[F.lit(i) for i in range(k)]))
-    ).withColumn(
-        "_p",
-        F.expr(
-            f"CAST(conv(substring(md5(concat(CAST({key_col} AS STRING), ':', _i)), "
-            f"1, 15), 16, 10) AS BIGINT) % {m_bits}"
-        ),
-    ).withColumn("word", F.expr("CAST(_p DIV 32 AS INT)")).withColumn(
-        "mask", F.expr("shiftleft(1L, CAST(_p % 32 AS INT))")
+    if "bloom_pass" in candidates.columns:
+        raise ValueError(
+            "candidates already has a 'bloom_pass' column; rename it "
+            "before calling bloom_might_contain"
+        )
+    probes = (
+        candidates.select(F.col(key_col).alias("__bloom_key"))
+        .where(F.col("__bloom_key").isNotNull())
+        .distinct()
+        .withColumn(
+            "__bloom_i", F.explode(F.array(*[F.lit(i) for i in range(k)]))
+        )
+        .withColumn(
+            "__bloom_p",
+            F.expr(
+                f"CAST(conv(substring(md5(concat(CAST(__bloom_key AS STRING), "
+                f"':', __bloom_i)), 1, 15), 16, 10) AS BIGINT) % {m_bits}"
+            ),
+        )
+        .withColumn("__bloom_word", F.expr("CAST(__bloom_p DIV 32 AS INT)"))
+        .withColumn(
+            "__bloom_mask", F.expr("shiftleft(1L, CAST(__bloom_p % 32 AS INT))")
+        )
     )
-    joined = probes.join(F.broadcast(bloom), "word", "left_outer").withColumn(
-        "hit",
-        F.when(F.col("bits").isNotNull() & (F.expr("bits & mask") != 0), 1)
-        .otherwise(0),
+    filt = bloom.select(
+        F.col("word").alias("__bloom_word"), F.col("bits").alias("__bloom_bits")
     )
-    return (
-        joined.groupBy(*key_cols)
-        .agg((F.sum("hit") == k).cast("int").alias("bloom_pass"))
+    joined = probes.join(F.broadcast(filt), "__bloom_word", "left_outer").withColumn(
+        "__bloom_hit",
+        F.when(
+            F.col("__bloom_bits").isNotNull()
+            & (F.expr("__bloom_bits & __bloom_mask") != 0),
+            1,
+        ).otherwise(0),
+    )
+    verdict = joined.groupBy("__bloom_key").agg(
+        (F.sum("__bloom_hit") == k).cast("int").alias("bloom_pass")
+    )
+    out = candidates.join(
+        verdict, candidates[key_col] == verdict["__bloom_key"], "left_outer"
+    )
+    return out.select(
+        *[candidates[c] for c in candidates.columns],
+        F.coalesce(out["bloom_pass"], F.lit(0)).alias("bloom_pass"),
     )
 
 

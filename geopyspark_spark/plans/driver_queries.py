@@ -1029,7 +1029,7 @@ vals AS (
 SELECT CAST(floor(gcol / {TILE}) AS INT) AS key_col,
        CAST(floor(grow / {TILE}) AS INT) AS key_row,
        CAST((grow % {TILE}) * {TILE} + gcol % {TILE} AS INT) AS pos,
-       value
+       CAST(value AS DOUBLE) AS value
 FROM vals WHERE value IS NOT NULL
 """
 
@@ -2280,7 +2280,7 @@ vals AS (
 SELECT CAST(floor(gcol / {TILE}) AS INT) AS key_col,
        CAST(floor(grow / {TILE}) AS INT) AS key_row,
        CAST((grow % {TILE}) * {TILE} + gcol % {TILE} AS INT) AS pos,
-       value
+       CAST(value AS DOUBLE) AS value
 FROM vals WHERE value IS NOT NULL
 """
 
@@ -2694,7 +2694,7 @@ def q_tpch_q12_late(spark, sf_dir):
 
 SQL_TPCH_Q12_LATE = """
 SELECT o_orderpriority,
-       SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS late_count,
+       CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
        COUNT(*) AS total_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
@@ -3330,10 +3330,10 @@ truth AS (
   FROM verdict v LEFT JOIN urgent u ON u.o_orderkey = v.l_orderkey
 )
 SELECT COUNT(*) AS n_keys,
-       SUM(bloom_pass) AS n_pass,
-       SUM(is_urgent) AS n_true,
-       SUM(CASE WHEN bloom_pass = 1 AND is_urgent = 0 THEN 1 ELSE 0 END) AS n_false_pos,
-       SUM(CASE WHEN bloom_pass = 0 AND is_urgent = 1 THEN 1 ELSE 0 END) AS n_false_neg
+       CAST(SUM(bloom_pass) AS BIGINT) AS n_pass,
+       CAST(SUM(is_urgent) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN bloom_pass = 1 AND is_urgent = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN bloom_pass = 0 AND is_urgent = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
 FROM truth
 """
 
@@ -3398,7 +3398,7 @@ def _sql_rel_profile() -> str:
         mx = f"CAST(MAX({c}) AS DOUBLE)" if c in num else "CAST(NULL AS DOUBLE)"
         selects.append(
             f"SELECT '{c}' AS column, COUNT(*) AS n_rows, "
-            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
             f"COUNT(DISTINCT {c}) AS n_distinct, {mn} AS min_num, {mx} AS max_num "
             f"FROM lineitem"
         )
@@ -3657,7 +3657,7 @@ counts AS (
   FROM steps WHERE to_type IS NOT NULL GROUP BY from_type, to_type
 ),
 totals AS (SELECT from_type, SUM(n) AS n_from FROM counts GROUP BY from_type)
-SELECT c.from_type, c.to_type, c.n, (1000000 * c.n) // t.n_from AS p_ppm
+SELECT c.from_type, c.to_type, c.n, CAST((1000000 * c.n) // t.n_from AS BIGINT) AS p_ppm
 FROM counts c JOIN totals t ON c.from_type = t.from_type
 """
 
@@ -3689,11 +3689,11 @@ def q_events_user_features(spark, sf_dir):
 
 SQL_EVENTS_USER_FEATURES = """
 SELECT user_id, COUNT(*) AS n_events,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
        MIN(ts) AS first_ts,
        MAX(ts) AS last_ts,
@@ -3751,11 +3751,11 @@ def q_events_pivot(spark, sf_dir):
 
 SQL_EVENTS_PIVOT = """
 SELECT CAST(ts AS DATE) AS day,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
 FROM events
 GROUP BY CAST(ts AS DATE)
 """
@@ -5400,7 +5400,7 @@ assign AS (
   SELECT vec_id, v, cid AS cluster_id FROM (
     SELECT e.vec_id, e.v, cent.cid,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_dot_product(e.v, cent.c) DESC, cent.cid) AS rn
+                              ORDER BY round(list_dot_product(e.v, cent.c), 6) DESC, cent.cid) AS rn
     FROM e CROSS JOIN cent
   ) WHERE rn = 1
 ),
@@ -5496,9 +5496,9 @@ assign AS (
     SELECT s.vec_id, s.j, b.cid,
            row_number() OVER (
              PARTITION BY s.vec_id, s.j
-             ORDER BY list_dot_product(s.vs, s.vs)
+             ORDER BY round(list_dot_product(s.vs, s.vs)
                       - 2 * list_dot_product(s.vs, b.c)
-                      + list_dot_product(b.c, b.c) ASC, b.cid
+                      + list_dot_product(b.c, b.c), 6) ASC, b.cid
            ) AS rn
     FROM sub s JOIN books b ON b.j = s.j
   ) WHERE rn = 1
@@ -5546,9 +5546,9 @@ assign AS (
     SELECT s.vec_id, s.j, b.cid,
            row_number() OVER (
              PARTITION BY s.vec_id, s.j
-             ORDER BY list_dot_product(s.vs, s.vs)
+             ORDER BY round(list_dot_product(s.vs, s.vs)
                       - 2 * list_dot_product(s.vs, b.c)
-                      + list_dot_product(b.c, b.c) ASC, b.cid
+                      + list_dot_product(b.c, b.c), 6) ASC, b.cid
            ) AS rn
     FROM sub s JOIN books b ON b.j = s.j
   ) WHERE rn = 1
@@ -6734,25 +6734,12 @@ FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
 """
 
 
-def queries():
-    # NOTE on ordering: the driver records exactly the FIRST 50 registry
-    # entries in CORRECTNESS_r{N}.json. The same 50 sat in the window for
-    # rounds 1-4, which let a round-3 regression hide outside it
-    # (VERDICT r4 "What's missing"); rounds 5+ ROTATE the window each
-    # round so every query is driver-validated within a couple of rounds.
-    # Round 6 end state: the window holds the round's genuinely NEW code
-    # paths — the hard-shape TPC-H half (q13/q15/q17/q18/q21/q22),
-    # chunking / PageRank / triangles / components / bigram-LM, the
-    # sketch family (HLL batch+stream, Bloom, Count-Min), compressed ANN
-    # (PQ raw + reranked recall, IVF recall, int8), aHash image dedup,
-    # stream-stream join + streaming HLL, gap-fill / temperature-mix /
-    # rollup / pivot / profile / SCD2 / RANGE window, seven reproject
-    # variants (albers/ease/laea/rd/swiss/krovak + the geotiff
-    # roundtrip), and the catalog/stream-ingest/TMS/shapefile gates.
-    # Everything rotated just past the line is check_oracle-validated
-    # this round (see ORACLE_r06_local.txt) and queued for r7; each
-    # out-rotation names the in-window gate that still covers its code
-    # path. Entries past #50 remain pytest- and check_oracle-covered.
+def _canonical_queries():
+    # CANONICAL registry: name -> callable, in the historical (round-6)
+    # order. As of round 7 this order no longer decides the driver's
+    # 50-entry window — ``queries()`` below reorders it by the generated
+    # ``_WINDOW_ORDER`` schedule (see tools/rotate_window.py), so the
+    # in-dict "window" comments are historical rationale only.
     return {
         # ---- driver window (50) ----
         # ninth rotation: the 12 new TPC-H-style relational queries move
@@ -7045,6 +7032,221 @@ def queries():
         "raster_map_cells": q_raster_map_cells,
         "raster_union": q_raster_union,
     }
+
+
+# ---- driver-window rotation (mechanical) -----------------------------------
+# The driver records exactly the FIRST 50 entries of ``queries()`` each
+# round. ``_WINDOW_ORDER`` is GENERATED by ``tools/rotate_window.py`` from
+# the committed CORRECTNESS_r*.json history with a deterministic priority:
+#   1. never in any driver window yet (by canonical position),
+#   2. windowed but never green — i.e. carried a red (by canonical position),
+#   3. green before — oldest last-green round first (ties by canonical
+#      position),
+# so every registry entry cycles through the window within ceil(188/50) = 4
+# rounds and a CHANGELOG window claim is checkable by re-running the tool.
+# Regenerate with ``python tools/rotate_window.py --write``; do not
+# hand-edit between the markers.
+# BEGIN WINDOW_ORDER (generated)
+_WINDOW_ORDER: list = [
+    "raster_cog_overview",
+    "tpch_q7_volume",
+    "tpch_q8_share",
+    "tpch_q9_profit",
+    "tpch_q12_late",
+    "tpch_q16_supplier_cnt",
+    "tpch_q19_disjunct",
+    "text_sample",
+    "events_stream_sliding",
+    "events_stream_dedup",
+    "raster_catalog_hilbert",
+    "raster_stitch",
+    "raster_reproject_ortho",
+    "text_stratified_sample",
+    "events_retention",
+    "text_gopher_filter",
+    "rel_salted_join",
+    "multimodal_video",
+    "events_percentiles",
+    "text_repetition",
+    "text_contamination",
+    "text_pack_sequences",
+    "emb_quantize",
+    "raster_catalog_update",
+    "raster_with_no_data",
+    "raster_png_roundtrip",
+    "text_pii_scrub",
+    "raster_read_value",
+    "events_stream_tumbling",
+    "raster_reproject_ease",
+    "raster_reproject_albers",
+    "raster_reproject_swiss",
+    "tpch_q13_custdist",
+    "raster_reproject_cass",
+    "raster_reproject_aeqd",
+    "raster_reproject_eqc",
+    "raster_reproject_geos",
+    "text_minhash_vocab",
+    "raster_to_spatial",
+    "raster_tile_to_layout_warp",
+    "raster_focal_multiband",
+    "raster_point_cubicspline",
+    "raster_point_lanczos",
+    "raster_zindex",
+    "raster_zindex_temporal",
+    "raster_catalog_roundtrip",
+    "raster_convert_int8",
+    "raster_lookup",
+    "rel_bloom_filter",
+    "events_pivot",
+    "rel_profile",
+    "events_transitions",
+    "events_user_features",
+    "raster_cell_value_counts",
+    "raster_resample",
+    "raster_bands",
+    "raster_combine_bands",
+    "raster_focal_max",
+    "raster_focal_median",
+    "raster_focal_circle",
+    "raster_filter_by_times",
+    "raster_point_bilinear",
+    "raster_euclidean_distance",
+    "raster_aspect",
+    "raster_hillshade",
+    "raster_tobler",
+    "raster_map_cells",
+    "raster_union",
+    "text_word_freq",
+    "text_quality",
+    "text_lang_scores",
+    "text_fingerprint",
+    "text_ngram_jaccard",
+    "text_bpe_tokens",
+    "text_quality_ratios",
+    "emb_norm_stats",
+    "emb_lsh_knn",
+    "emb_near_dup",
+    "emb_dedup_pipeline",
+    "multimodal_audio",
+    "tpch_q5_nation_revenue",
+    "tpch_q6",
+    "set_intersect",
+    "events_sliding",
+    "events_user_stats",
+    "raster_reclassify",
+    "raster_layer_add",
+    "raster_focal_mean",
+    "raster_class_histogram",
+    "raster_quantile_breaks",
+    "raster_aggregate_by_cell",
+    "raster_spacetime_series",
+    "raster_rasterize",
+    "events_asof_join",
+    "raster_focal_sum",
+    "raster_pyramid",
+    "raster_cost_distance",
+    "raster_reproject",
+    "raster_local_algebra",
+    "text_lsh_pairs",
+    "emb_near_dup_lsh",
+    "text_minhash",
+    "events_interval_join",
+    "events_anomaly",
+    "events_funnel",
+    "events_enriched_segment",
+    "tpch_q4_priority",
+    "tpch_q10_returned",
+    "tpch_q14_promo",
+    "window_rank",
+    "raster_focal_mode",
+    "raster_pyramid_mode",
+    "raster_rasterize_features",
+    "raster_resample_cubic",
+    "raster_mask_distributed",
+    "raster_point_values",
+    "raster_normalize",
+    "raster_reproject_utm",
+    "raster_histogram_object",
+    "text_token_count",
+    "text_dedup_pipeline",
+    "emb_knn",
+    "multimodal_features",
+    "events_session",
+    "raster_zonal_stats",
+    "raster_mask",
+    "text_exact_dedup",
+    "text_dup_components",
+    "emb_ivf_knn",
+    "tpch_q1",
+    "events_tumbling",
+    "raster_slope",
+    "raster_tile_to_layout",
+    "text_simhash",
+    "tpch_q3",
+    "raster_reproject_cubic",
+    "raster_reproject_global",
+    "raster_histogram",
+    "raster_min_max",
+    "raster_colormap",
+    "raster_histogram_series",
+    "raster_merge",
+    "raster_local_add_n",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty",
+    "tpch_q18_large_orders",
+    "tpch_q21_sole_latest",
+    "tpch_q22_idle_cust",
+    "text_chunks",
+    "graph_pagerank",
+    "text_lm_score",
+    "events_hll_users",
+    "graph_triangles",
+    "emb_int8_knn",
+    "events_stream_hll",
+    "events_stream_join",
+    "emb_pq_recall",
+    "emb_ivf_recall",
+    "multimodal_ahash",
+    "events_cms_counts",
+    "events_gap_fill",
+    "text_temperature_mix",
+    "events_rollup",
+    "events_scd2",
+    "graph_components",
+    "events_rolling_window",
+    "multimodal_frame_dedup",
+    "rel_frequent_pairs",
+    "text_sorted_neighborhood",
+    "tpch_q20_dominant",
+    "raster_kernel_density",
+    "text_lsh_calibration",
+    "raster_reproject_laea",
+    "events_stream_session",
+    "raster_geotiff_roundtrip",
+    "raster_reproject_rd",
+    "raster_reproject_krovak",
+    "emb_pq_knn",
+    "raster_catalog_query",
+    "vector_spatial_join",
+    "raster_stream_ingest",
+    "text_duplicate_spans",
+    "text_prepare_corpus",
+    "raster_temporal_rolling",
+    "events_stream_stateful",
+    "tms_render_tile",
+    "raster_untiled_ingest",
+    "vector_shapefile",
+]
+# END WINDOW_ORDER
+
+
+def queries():
+    base = _canonical_queries()
+    ordered = {n: base[n] for n in _WINDOW_ORDER if n in base}
+    for n, fn in base.items():
+        if n not in ordered:
+            ordered[n] = fn
+    return ordered
 
 
 def oracle_sql():

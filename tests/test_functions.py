@@ -391,6 +391,29 @@ class TestLshBucketCap:
         assert got["dropped_buckets"] == 0 and got["dropped_rows"] == 0
         assert got["max_bucket_size"] == 10_000
 
+    def test_per_call_skew_report_through_pipeline(self, spark):
+        """Round-7 (VERDICT r6 #9): the report is returned per call via
+        the skew_report dict, not only through module-global state."""
+        rows = [(i, "same same same text") for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        report: dict = {}
+        out = fdedup.dedup_documents(df, 16, 4, max_bucket_size=5,
+                                     skew_report=report)
+        # every doc survives as its own component (all pairs were dropped)
+        assert out.where("keep").count() == 6
+        got = fdedup.skew_guard_metrics(report)
+        assert got == {"dropped_buckets": 4, "dropped_rows": 24,
+                       "max_bucket_size": 5}
+        # two concurrent reports don't clobber each other
+        ok = spark.createDataFrame(
+            [(0, "alpha beta gamma"), (1, "delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        report2: dict = {}
+        fdedup.lsh_candidate_pairs(ok, 16, 4, skew_report=report2).count()
+        assert fdedup.skew_guard_metrics(report)["dropped_rows"] == 24
+        assert fdedup.skew_guard_metrics(report2)["dropped_rows"] == 0
+
 
 class TestQualityRatios:
     def test_punct_and_stopword_counts(self, spark):
@@ -456,6 +479,34 @@ class TestBruteForceGuard:
         monkeypatch.setattr(fsim, "MAX_BRUTE_FORCE_VECTORS", 100_000)
         out = fsim.cosine_near_dup(df, 0.99).count()
         assert out >= 1
+
+    def test_dedup_pipeline_degrades_to_lsh_not_raise(self, spark, monkeypatch):
+        """Round-7 (VERDICT r6 #8): the PIPELINE entry completes via LSH
+        over a beyond-guard corpus instead of raising; the raw primitive
+        keeps its guard."""
+        import warnings
+
+        import geopyspark_spark.functions.similarity as fsim
+
+        monkeypatch.setattr(fsim, "MAX_BRUTE_FORCE_VECTORS", 3)
+        rows = [(i, [1.0, 0.0]) for i in range(3)] + [
+            (3, [0.0, 1.0]), (4, [0.0, 1.0])
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            got = {r["vec_id"]: r["keep"] for r in
+                   fsim.dedup_by_embedding(df, threshold=0.99,
+                                           blocking=None).collect()}
+        assert any("degrading" in str(x.message) for x in w)
+        assert len(got) == 5                       # completed, full output
+        assert got[0] and not got[1] and not got[2]   # identicals collapse
+        assert got[3] and not got[4]
+        # the primitive still raises past the guard
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="lsh"):
+            fsim.cosine_near_dup(df, 0.5).collect()
 
 
 class TestPipelineOps:
@@ -990,6 +1041,35 @@ class TestTriangleCount:
         got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
         assert got == {1: 1, 2: 1, 3: 1}
 
+    def test_degree_orientation_starves_hub_wedges(self, spark):
+        from pyspark.sql import functions as F
+
+        from geopyspark_spark.functions.graph import orient_by_degree
+
+        # star: hub 0 (lowest id, degree 40) + 40 degree-1 spokes.
+        # id-orientation would give the hub out-degree 40 -> C(40,2)=780
+        # wedges; degree orientation points every edge INTO the hub.
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 41)], "src long, dst long"
+        )
+        o = orient_by_degree(edges)
+        outdeg = {r["a"]: r["n"] for r in
+                  o.groupBy("a").agg(F.count("*").alias("n")).collect()}
+        assert 0 not in outdeg                     # hub emits no wedges
+        assert all(v == 1 for v in outdeg.values())
+        wedge_pairs = sum(v * (v - 1) // 2 for v in outdeg.values())
+        assert wedge_pairs == 0                    # vs 780 under id-orientation
+
+    def test_hub_star_with_one_triangle_counts_right(self, spark):
+        from geopyspark_spark.functions.graph import triangle_count
+
+        # star at hub 0 plus one spoke-spoke edge closing one triangle
+        rows = [(0, i) for i in range(1, 41)] + [(1, 2)]
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+        assert got[0] == 1 and got[1] == 1 and got[2] == 1
+        assert all(got[i] == 0 for i in range(3, 41))
+
 
 class TestQuantizedKnn:
     def test_matches_exact_ranks_on_well_separated_vectors(self, spark):
@@ -1068,6 +1148,60 @@ class TestImageAhash:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Cartesian" not in plan and "NestedLoop" not in plan
 
+    def test_ahash_bits_pools_whole_image_not_first_64(self):
+        import numpy as np
+
+        # 16x16: bright only in the BOTTOM half — a first-64-pixels scan
+        # (top rows) would see a flat image and produce garbage bits.
+        arr = np.zeros((16, 16, 3), dtype=np.float64)
+        arr[8:, :, :] = 255.0
+        bits = fmm._ahash_bits(arr)
+        grid = bits.reshape(8, 8)
+        assert grid[:4].sum() == 0 and grid[4:].sum() == 32
+
+    def test_ahash_bits_8x8_matches_classic_rule(self):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        arr = rng.integers(0, 256, size=(8, 8, 3)).astype(np.float64)
+        gray = arr.sum(axis=2).astype(np.int64).reshape(-1)
+        classic = (gray * 64 > int(gray.sum())).astype(np.int64)
+        assert (fmm._ahash_bits(arr) == classic).all()
+
+    def test_ahash_bits_small_and_gray_inputs(self):
+        import numpy as np
+
+        # smaller than 8x8 (old code crashed on the bit-pack broadcast)
+        bits = fmm._ahash_bits(np.array([[1.0, 9.0], [1.0, 1.0]])[:, :, None])
+        assert bits.shape == (64,) and set(bits.tolist()) <= {0, 1}
+        # 2-D grayscale accepted
+        bits2 = fmm._ahash_bits(np.ones((5, 5)))
+        assert bits2.sum() == 0  # flat image: no bin exceeds the mean
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            fmm._ahash_bits(np.zeros((0, 4, 3)))
+
+    def test_default_decoder_requires_pillow_or_works(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"not-an-image"))], "doc_id long, data binary"
+        )
+        try:
+            import PIL  # noqa: F401
+            has_pillow = True
+        except ImportError:
+            has_pillow = False
+        if has_pillow:
+            # decoder=None must resolve to a REAL callable (the r6 advice
+            # bug: it validated Pillow but left decoder as None)
+            dec = fmm._default_image_decoder()
+            assert callable(dec)
+        else:
+            import pytest as _pytest
+
+            with _pytest.raises(NotImplementedError):
+                fmm.image_ahash(df).collect()
+
 
 class TestBloomFilter:
     def test_no_false_negatives_and_low_fp(self, spark):
@@ -1090,6 +1224,41 @@ class TestBloomFilter:
         members = spark.createDataFrame([(i,) for i in range(100)], "k long")
         bloom = bloom_build(members, "k", m_bits=1 << 10, k=4)
         assert bloom.count() <= (1 << 10) // 32
+
+    def test_duplicates_preserved_and_no_column_collisions(self, spark):
+        from geopyspark_spark.functions.sketch import (bloom_build,
+                                                       bloom_might_contain)
+
+        members = spark.createDataFrame([(1,), (2,)], "k long")
+        bloom = bloom_build(members, "k", m_bits=1 << 10, k=4)
+        # duplicate candidate rows + caller columns named like internals
+        cand = spark.createDataFrame(
+            [(1, "a", 7), (1, "b", 8), (9, "c", 9), (None, "d", 10)],
+            "k long, word string, bits long",
+        )
+        rows = bloom_might_contain(cand, bloom, "k", m_bits=1 << 10, k=4)
+        assert rows.columns == ["k", "word", "bits", "bloom_pass"]
+        got = sorted(
+            ((r["k"], r["word"], r["bits"], r["bloom_pass"])
+             for r in rows.collect()),
+            key=lambda t: t[1],
+        )
+        assert len(got) == 4                       # dups NOT collapsed
+        by_word = {w: p for _, w, _, p in got}
+        assert by_word["a"] == 1 and by_word["b"] == 1   # member, both rows
+        assert by_word["d"] == 0                          # NULL key -> 0
+
+    def test_rejects_existing_bloom_pass_column(self, spark):
+        import pytest as _pytest
+
+        from geopyspark_spark.functions.sketch import (bloom_build,
+                                                       bloom_might_contain)
+
+        members = spark.createDataFrame([(1,)], "k long")
+        bloom = bloom_build(members, "k", m_bits=1 << 10, k=4)
+        cand = spark.createDataFrame([(1, 0)], "k long, bloom_pass int")
+        with _pytest.raises(ValueError):
+            bloom_might_contain(cand, bloom, "k", m_bits=1 << 10, k=4)
 
     def test_rejects_bad_m(self, spark):
         from geopyspark_spark.functions.sketch import bloom_build

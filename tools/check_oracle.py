@@ -106,6 +106,25 @@ def main():
         try:
             res = con.sql(oracles[name])
             ocols = [c.lower() for c in res.columns]
+            # Result-type lint: the driver's normalizer fetches via
+            # pandas/arrow, where DuckDB HUGEINT (int128, e.g. an un-cast
+            # SUM(<integer>)) renders float64 ("3.0") while Spark's BIGINT
+            # renders "3" — a guaranteed hash mismatch that a tuple fetch
+            # here would never see. Fail loudly so it can't ship.
+            bad = [
+                f"{c}:{t}"
+                for c, t in zip(res.columns, res.types)
+                if "HUGEINT" in str(t).upper() or "INT128" in str(t).upper()
+                or str(t).upper().startswith("DECIMAL")
+            ]
+            if bad:
+                print(
+                    f"FAIL  {name}: ORACLE TYPE LINT — final schema has "
+                    f"HUGEINT/DECIMAL columns {bad}; CAST them (AS BIGINT/"
+                    f"DOUBLE) so the driver's arrow fetch matches Spark"
+                )
+                n_fail += 1
+                continue
             orows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: ORACLE ERROR {type(e).__name__}: {e}")

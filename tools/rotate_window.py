@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Regenerate the driver-window schedule in
+``geopyspark_spark/plans/driver_queries.py``.
+
+The driver validates exactly the FIRST 50 entries of ``queries()`` per
+round. This tool orders the full registry with a deterministic priority
+computed from the committed ``CORRECTNESS_r*.json`` history, so the
+window provably cycles through all entries and window claims in the
+CHANGELOG can be re-derived by anyone:
+
+  priority 1: never appeared in any driver window (by canonical position)
+  priority 2: appeared but never green — carried a red  (by canonical pos.)
+  priority 3: green before — oldest last-green round first
+              (ties by canonical position)
+
+Usage:
+  python tools/rotate_window.py          # print the computed order + stats
+  python tools/rotate_window.py --write  # rewrite the marked section
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+TARGET = "geopyspark_spark/plans/driver_queries.py"
+BEGIN = "# BEGIN WINDOW_ORDER (generated)"
+END = "# END WINDOW_ORDER"
+WINDOW = 50
+
+
+def is_green(rec: dict) -> bool:
+    return bool(
+        rec.get("rows_match")
+        and rec.get("schema_match")
+        and rec.get("hash_match")
+        and not rec.get("err")
+    )
+
+
+def main() -> int:
+    from geopyspark_spark.plans import driver_queries as dq
+
+    canonical = list(dq._canonical_queries().keys())
+    idx = {n: i for i, n in enumerate(canonical)}
+
+    windowed: dict[str, list[int]] = {}
+    last_green: dict[str, int] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path)
+        rnd = int(m.group(1)) if m else 0
+        data = json.load(open(path))
+        for name, rec in data.items():
+            if name not in idx:
+                continue  # renamed/retired entries
+            windowed.setdefault(name, []).append(rnd)
+            if is_green(rec):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+
+    def key(name: str):
+        if name not in windowed:
+            return (0, 0, idx[name])
+        if name not in last_green:
+            return (1, 0, idx[name])
+        return (2, last_green[name], idx[name])
+
+    order = sorted(canonical, key=key)
+    n_never = sum(1 for n in order if n not in windowed)
+    n_red = sum(1 for n in order if n in windowed and n not in last_green)
+    print(
+        f"# registry={len(order)} never-windowed={n_never} "
+        f"windowed-never-green={n_red} window={WINDOW}"
+    )
+    print("# next window:")
+    for i, n in enumerate(order[:WINDOW]):
+        print(f"#   {i + 1:2d}. {n}  {key(n)}")
+
+    if "--write" in sys.argv:
+        src = open(TARGET).read()
+        lines = ",\n".join(f'    "{n}"' for n in order)
+        block = f"{BEGIN}\n_WINDOW_ORDER: list = [\n{lines},\n]\n{END}"
+        pat = re.compile(re.escape(BEGIN) + r".*?" + re.escape(END), re.S)
+        new, n = pat.subn(block, src)
+        if n != 1:
+            print(f"ERROR: expected 1 marker block in {TARGET}, found {n}")
+            return 1
+        open(TARGET, "w").write(new)
+        print(f"wrote {TARGET} ({len(order)} entries)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
