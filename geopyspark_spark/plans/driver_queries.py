@@ -7048,56 +7048,6 @@ def _canonical_queries():
 # hand-edit between the markers.
 # BEGIN WINDOW_ORDER (generated)
 _WINDOW_ORDER: list = [
-    "raster_cog_overview",
-    "tpch_q7_volume",
-    "tpch_q8_share",
-    "tpch_q9_profit",
-    "tpch_q12_late",
-    "tpch_q16_supplier_cnt",
-    "tpch_q19_disjunct",
-    "text_sample",
-    "events_stream_sliding",
-    "events_stream_dedup",
-    "raster_catalog_hilbert",
-    "raster_stitch",
-    "raster_reproject_ortho",
-    "text_stratified_sample",
-    "events_retention",
-    "text_gopher_filter",
-    "rel_salted_join",
-    "multimodal_video",
-    "events_percentiles",
-    "text_repetition",
-    "text_contamination",
-    "text_pack_sequences",
-    "emb_quantize",
-    "raster_catalog_update",
-    "raster_with_no_data",
-    "raster_png_roundtrip",
-    "text_pii_scrub",
-    "raster_read_value",
-    "events_stream_tumbling",
-    "raster_reproject_ease",
-    "raster_reproject_albers",
-    "raster_reproject_swiss",
-    "tpch_q13_custdist",
-    "raster_reproject_cass",
-    "raster_reproject_aeqd",
-    "raster_reproject_eqc",
-    "raster_reproject_geos",
-    "text_minhash_vocab",
-    "raster_to_spatial",
-    "raster_tile_to_layout_warp",
-    "raster_focal_multiband",
-    "raster_point_cubicspline",
-    "raster_point_lanczos",
-    "raster_zindex",
-    "raster_zindex_temporal",
-    "raster_catalog_roundtrip",
-    "raster_convert_int8",
-    "raster_lookup",
-    "rel_bloom_filter",
-    "events_pivot",
     "rel_profile",
     "events_transitions",
     "events_user_features",
@@ -7236,6 +7186,56 @@ _WINDOW_ORDER: list = [
     "tms_render_tile",
     "raster_untiled_ingest",
     "vector_shapefile",
+    "rel_bloom_filter",
+    "events_pivot",
+    "raster_cog_overview",
+    "tpch_q7_volume",
+    "tpch_q8_share",
+    "tpch_q9_profit",
+    "tpch_q12_late",
+    "tpch_q16_supplier_cnt",
+    "tpch_q19_disjunct",
+    "text_sample",
+    "events_stream_sliding",
+    "events_stream_dedup",
+    "raster_catalog_hilbert",
+    "raster_stitch",
+    "raster_reproject_ortho",
+    "text_stratified_sample",
+    "events_retention",
+    "text_gopher_filter",
+    "rel_salted_join",
+    "multimodal_video",
+    "events_percentiles",
+    "text_repetition",
+    "text_contamination",
+    "text_pack_sequences",
+    "emb_quantize",
+    "raster_catalog_update",
+    "raster_with_no_data",
+    "raster_png_roundtrip",
+    "text_pii_scrub",
+    "raster_read_value",
+    "events_stream_tumbling",
+    "raster_reproject_ease",
+    "raster_reproject_albers",
+    "raster_reproject_swiss",
+    "tpch_q13_custdist",
+    "raster_reproject_cass",
+    "raster_reproject_aeqd",
+    "raster_reproject_eqc",
+    "raster_reproject_geos",
+    "text_minhash_vocab",
+    "raster_to_spatial",
+    "raster_tile_to_layout_warp",
+    "raster_focal_multiband",
+    "raster_point_cubicspline",
+    "raster_point_lanczos",
+    "raster_zindex",
+    "raster_zindex_temporal",
+    "raster_catalog_roundtrip",
+    "raster_convert_int8",
+    "raster_lookup",
 ]
 # END WINDOW_ORDER
 

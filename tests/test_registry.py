@@ -1,0 +1,97 @@
+"""Registry-level invariants: the driver-window rotation is pinned to the
+committed CORRECTNESS history, and every oracle passes the result-type
+lint (no HUGEINT/DECIMAL columns that would render differently through
+the driver's arrow fetch than through Spark).
+
+These guard the mechanized 50-query driver window (``tools/
+rotate_window.py``): a manual reorder of ``queries()`` or an un-cast
+``SUM()`` in an oracle fails here instead of silently costing a round.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_LINT_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def test_window_order_matches_correctness_history():
+    """queries() order must equal rotate_window.compute_order() output.
+
+    This is what makes the 50-entry driver window provably cycle: the
+    ordering is a pure function of the committed CORRECTNESS_r*.json
+    files, so any hand-edit of the registry order (or a forgotten
+    ``rotate_window.py --write`` after a new CORRECTNESS file lands)
+    breaks this test instead of the rotation guarantee.
+    """
+    from rotate_window import compute_order
+
+    from geopyspark_spark.plans import driver_queries as dq
+
+    expected, keys = compute_order(REPO)
+    actual = list(dq.queries().keys())
+    assert actual == expected, (
+        "driver_queries.py window order is stale — run "
+        "`python tools/rotate_window.py --write` "
+        f"(first mismatch: {next((i, a, e) for i, (a, e) in enumerate(zip(actual, expected)) if a != e)})"
+    )
+
+
+def test_window_order_covers_registry():
+    from geopyspark_spark.plans import driver_queries as dq
+
+    canonical = set(dq._canonical_queries().keys())
+    ordered = list(dq.queries().keys())
+    assert len(ordered) == len(set(ordered)), "duplicate names in window order"
+    assert set(ordered) == canonical, "window order must be a permutation of the registry"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason=f"{SF_DIR} missing")
+def test_oracle_type_lint_all():
+    """Bind (not execute) every oracle in DuckDB and fail on any final
+    schema containing HUGEINT/INT128/DECIMAL — the class behind the r6
+    hash-reds (un-cast SUM(<int>) renders float through arrow but int
+    through Spark). Mirrors the per-run lint in tools/check_oracle.py so
+    an oracle edit can't reintroduce it between driver rounds.
+    """
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    bad: dict[str, list[str]] = {}
+    errors: dict[str, str] = {}
+    for name, sql in entry.oracle_sql().items():
+        try:
+            rel = con.sql(sql)
+            hits = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(t).upper()
+                or "INT128" in str(t).upper()
+                or str(t).upper().startswith("DECIMAL")
+            ]
+        except Exception as e:  # binding error — also a lint failure
+            errors[name] = f"{type(e).__name__}: {e}"
+            continue
+        if hits:
+            bad[name] = hits
+    assert not errors, f"oracles failed to bind: {errors}"
+    assert not bad, (
+        f"oracles with HUGEINT/DECIMAL result columns (CAST to BIGINT/DOUBLE): {bad}"
+    )

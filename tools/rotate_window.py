@@ -42,7 +42,12 @@ def is_green(rec: dict) -> bool:
     )
 
 
-def main() -> int:
+def compute_order(repo_root: str = ".") -> tuple[list, dict]:
+    """Deterministic registry ordering from the committed CORRECTNESS
+    history. Returns (order, key_fn_results) so callers (this CLI and the
+    pin test in ``tests/test_registry.py``) share one definition."""
+    import os
+
     from geopyspark_spark.plans import driver_queries as dq
 
     canonical = list(dq._canonical_queries().keys())
@@ -50,8 +55,8 @@ def main() -> int:
 
     windowed: dict[str, list[int]] = {}
     last_green: dict[str, int] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
-        m = re.search(r"r(\d+)", path)
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(path))
         rnd = int(m.group(1)) if m else 0
         data = json.load(open(path))
         for name, rec in data.items():
@@ -69,6 +74,16 @@ def main() -> int:
         return (2, last_green[name], idx[name])
 
     order = sorted(canonical, key=key)
+    return order, {n: key(n) for n in canonical}
+
+
+def main() -> int:
+    order, keys = compute_order()
+    windowed = {n for n in order if keys[n][0] > 0}
+    last_green = {n for n in order if keys[n][0] == 2}
+
+    def key(name: str):
+        return keys[name]
     n_never = sum(1 for n in order if n not in windowed)
     n_red = sum(1 for n in order if n in windowed and n not in last_green)
     print(
