@@ -104,10 +104,12 @@ def main():
 
     # Host-noise robustness: this box shows +/-50-300% swings between
     # identical runs (noisy neighbors) — min-of-2 still let a phantom 1.7x
-    # "regression" through in BENCH_r04 (VERDICT r4 perf section). Each
-    # query runs three times and reports the MIN — the standard repetition
-    # estimator for true operator cost.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # "regression" through in BENCH_r04 (VERDICT r4 perf section), and
+    # min-of-3 left six 37-55% drifts unattributable in BENCH_r07 (queries
+    # whose code had not changed since r6). Each query runs five times and
+    # reports the MIN — the standard repetition estimator for true
+    # operator cost.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

@@ -32,28 +32,41 @@ def orient_by_degree(edges: DataFrame, src_col: str = "src",
     kept so downstream wedge joins can order the two far endpoints by
     the same (degree, id) key without re-joining degrees.
     """
-    e = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .where(F.col("a") != F.col("b"))
+    u, v = F.col(src_col), F.col(dst_col)
+    # canonical undirected form in ONE distinct: least/greatest folds
+    # (u,v) and (v,u) onto the same row, so reverse duplicates die in the
+    # same shuffle that dedups the edge list (the previous formulation
+    # paid a directed distinct AND a swap-union distinct over 2m rows)
+    canon = (
+        edges.select(F.least(u, v).alias("lo"), F.greatest(u, v).alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
         .distinct()
-        .localCheckpoint()
     )
-    und = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
+    # undirected degree from the canonical set; the canon subtree appears
+    # in both the degree branch and the join branch of one plan, so
+    # Spark's ReuseExchange executes its shuffle once — no checkpoint
+    # (and no leaked cached blocks) needed
+    deg = (
+        canon.select(F.col("lo").alias("n"))
+        .unionByName(canon.select(F.col("hi").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
     )
-    deg = und.groupBy("a").agg(F.count("*").alias("deg"))
-    with_deg = (
-        und.join(deg, "a")
-        .withColumnRenamed("deg", "deg_a")
-        .join(
-            deg.select(F.col("a").alias("b"), F.col("deg").alias("deg_b")), "b"
-        )
+    with_deg = canon.join(
+        deg.select(F.col("n").alias("lo"), F.col("deg").alias("deg_lo")), "lo"
+    ).join(
+        deg.select(F.col("n").alias("hi"), F.col("deg").alias("deg_hi")), "hi"
     )
-    return with_deg.where(
-        (F.col("deg_a") < F.col("deg_b"))
-        | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
-    ).select("a", "b", "deg_b")
+    # orient by (degree, id): emit lo -> hi unless hi sorts first. lo < hi
+    # always holds, so equal degrees keep lo first.
+    lo_first = (F.col("deg_lo") < F.col("deg_hi")) | (
+        (F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi"))
+    )
+    return with_deg.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("a"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("b"),
+        F.when(lo_first, F.col("deg_hi")).otherwise(F.col("deg_lo")).alias("deg_b"),
+    )
 
 
 def triangle_count(edges: DataFrame, src_col: str = "src",
@@ -76,7 +89,14 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     Returns (node, n_triangles) for every node in the edge list
     (nodes in no triangle report 0).
     """
-    o = orient_by_degree(edges, src_col, dst_col).persist()
+    # NO persist/checkpoint: the orientation subtree feeds four branches
+    # (two wedge sides, the closing probe, the node set), but they are all
+    # part of ONE returned plan, so Spark's ReuseExchange executes the
+    # canonical-edge shuffle once and the other branches read its shuffle
+    # files — cheaper than a cache (no materialization job, no memory
+    # blocks to leak, and shuffle files already sit on local disk at
+    # cluster scale)
+    o = orient_by_degree(edges, src_col, dst_col)
     ab = o.select(
         F.col("a").alias("w_x"), F.col("b").alias("w_y"),
         F.col("deg_b").alias("ky"),
@@ -116,14 +136,9 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
         .unionByName(o.select(F.col("b").alias("node")))
         .distinct()
     )
-    out = nodes.join(corners, "node", "left_outer").select(
+    return nodes.join(corners, "node", "left_outer").select(
         "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
     )
-    # materialize, then release the cached oriented edge list (no
-    # persisted-RDD leak from a library call)
-    out = out.localCheckpoint()
-    o.unpersist()
-    return out
 
 
 def pagerank(edges: DataFrame, iterations: int = 5,

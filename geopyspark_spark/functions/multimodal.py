@@ -5,10 +5,14 @@ Beyond-reference surface (BASELINE.json north star). Media ride as
 engine uses for tiles — and decode/feature-extract/resize/frame-sample
 run as Arrow-batched ``mapInPandas`` kernels.
 
-The image/audio codec libraries are NOT in this container, so the decode
-steps are STUBBED (documented ``NotImplementedError``) with a
-deterministic fake decoder for tests: the Spark-side plumbing — schema,
-batching, partitioning, UDF signatures — is real and tested.
+Image decode: Pillow where installed; without it, PNG bytes decode via
+the engine's own pure-zlib baseline codec (``operators/render.py::
+decode_png``) so ``image_features``/``image_ahash``/``image_resize``
+run end-to-end on PNGs with zero injection. Other image formats, audio,
+and video codecs are NOT in this container, so those decode steps stay
+STUBBED (documented ``NotImplementedError``) with deterministic fake
+decoders for tests: the Spark-side plumbing — schema, batching,
+partitioning, UDF signatures — is real and tested.
 """
 
 from __future__ import annotations
@@ -54,17 +58,29 @@ def with_media_meta(df: DataFrame, data_col: str = "data", kind: str = "image",
 
 
 def _default_image_decoder() -> Callable[[bytes], np.ndarray]:
-    """Return a Pillow-backed decoder (bytes -> float64 ndarray[h, w, 3]),
-    or raise NotImplementedError when Pillow is absent (this container).
-    Used whenever a caller passes ``decoder=None``."""
+    """Return the default decoder used when a caller passes
+    ``decoder=None``: Pillow-backed (any format, converted to RGB) where
+    Pillow is installed, else the engine's own pure-zlib baseline PNG
+    decoder (``operators/render.py::decode_png`` — 8-bit gray/RGB/RGBA/
+    palette, all five scanline filters). Only non-PNG bytes without
+    Pillow raise NotImplementedError — PNG media decode end-to-end in
+    this container with zero injection."""
     try:
         from PIL import Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decoding requires Pillow, which is not available in this "
-            "environment; pass decoder= (bytes -> np.ndarray[h, w, c]) — "
-            "the Spark plumbing is fully functional with any decoder"
-        ) from e
+    except ImportError:
+        from ..operators.render import _PNG_MAGIC, decode_png
+
+        def decode_pure(data: bytes) -> np.ndarray:
+            if data[:8] == _PNG_MAGIC:
+                return decode_png(data)
+            raise NotImplementedError(
+                "non-PNG image decoding requires Pillow (not in this "
+                "environment); PNG bytes decode via the built-in pure-"
+                "Python codec, or pass decoder= (bytes -> "
+                "np.ndarray[h, w, c]) for other formats"
+            )
+
+        return decode_pure
     import io
 
     def decode(data: bytes) -> np.ndarray:
@@ -153,8 +169,17 @@ def _ahash_bits(arr: np.ndarray) -> np.ndarray:
     np.add.at(counts, (ri[:, None], ci[None, :]), np.int64(1))
     total = int(gray.sum())
     n = int(h) * int(w)
-    # bin_mean > global_mean  <=>  bin_sum * n > total * bin_count
-    return (sums.reshape(-1) * n > total * counts.reshape(-1)).astype(np.int64)
+    # bin_mean > global_mean  <=>  bin_sum * n > total * bin_count.
+    # Python-int math on the 64 bins: the cross products reach ~765*n^2,
+    # which overflows int64 past ~1e8 pixels; arbitrary-precision ints
+    # keep the rule exact at any image size for 64 cheap comparisons.
+    return np.array(
+        [
+            1 if int(s) * n > total * int(c) else 0
+            for s, c in zip(sums.reshape(-1), counts.reshape(-1))
+        ],
+        dtype=np.int64,
+    )
 
 
 def image_ahash(df: DataFrame, data_col: str = "data",

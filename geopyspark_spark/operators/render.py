@@ -153,6 +153,158 @@ def encode_png_rgba(rgba: np.ndarray) -> bytes:
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_CTYPE_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _filter_row(ft: int, cur: bytearray, prev: bytes, bpp: int) -> bytes:
+    """Forward-apply PNG filter ``ft`` to raw scanline ``cur``."""
+    n = len(cur)
+    out = bytearray(n)
+    for i in range(n):
+        a = cur[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) >> 1
+        else:  # 4 = Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[i] = (cur[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _unfilter_row(ft: int, cur: bytearray, prev: bytes, bpp: int) -> bytearray:
+    """Invert PNG filter ``ft`` in place on scanline ``cur``."""
+    n = len(cur)
+    if ft == 0:
+        return cur
+    if ft == 1:
+        for i in range(bpp, n):
+            cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        return cur
+    if ft == 2:
+        for i in range(n):
+            cur[i] = (cur[i] + prev[i]) & 0xFF
+        return cur
+    if ft == 3:
+        for i in range(n):
+            a = cur[i - bpp] if i >= bpp else 0
+            cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        return cur
+    if ft == 4:
+        for i in range(n):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            cur[i] = (cur[i] + pred) & 0xFF
+        return cur
+    raise ValueError(f"invalid PNG filter type {ft}")
+
+
+def encode_png(arr: np.ndarray, filter_cycle: bool = False) -> bytes:
+    """8-bit PNG encoder for gray (h, w), gray+alpha (h, w, 2), RGB
+    (h, w, 3), or RGBA (h, w, 4) arrays (values clipped to uint8).
+    ``filter_cycle=True`` writes row r with filter type ``r % 5`` —
+    lossless either way, but it forces a decoder through every
+    Sub/Up/Average/Paeth path, which is how the round-trip oracle query
+    proves :func:`decode_png` end-to-end."""
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    a = np.clip(a, 0, 255).astype(np.uint8)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    lines = []
+    prev = bytes(w * c)
+    for r in range(h):
+        cur = bytearray(a[r].tobytes())
+        ft = (r % 5) if filter_cycle else 0
+        lines.append(bytes([ft]) + _filter_row(ft, cur, prev, c))
+        prev = bytes(cur)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """General baseline PNG decoder (pure zlib, no PIL): bit depth 8,
+    color types 0 (gray), 2 (RGB), 3 (palette -> RGB), 4 (gray+alpha),
+    6 (RGBA), all five scanline filters, non-interlaced. Returns
+    float64 ndarray[h, w, c]. Interlaced (Adam7) and 1/2/4/16-bit
+    depths raise NotImplementedError. The sequential per-byte unfilter
+    is O(h*w*c) Python — fine for tiles and thumbnails, not a codec for
+    gigapixel scans (that path wants GDAL/Pillow where available)."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG (bad magic)")
+    pos, idat, plte = 8, [], b""
+    w = h = ctype = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack_from(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} (8 only)")
+            if interlace:
+                raise NotImplementedError("interlaced (Adam7) PNG")
+            if ctype not in _CTYPE_CHANNELS:
+                raise ValueError(f"invalid PNG color type {ctype}")
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    c = _CTYPE_CHANNELS[ctype]
+    stride = w * c
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = bytearray(h * stride)
+    prev = bytes(stride)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        cur = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        cur = _unfilter_row(ft, cur, prev, c)
+        out[r * stride : (r + 1) * stride] = cur
+        prev = bytes(cur)
+    arr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, c)
+    if ctype == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        arr = pal[arr[:, :, 0]]
+    return arr.astype(np.float64)
+
+
 def decode_png_rgba(data: bytes) -> np.ndarray:
     """Inverse of :func:`encode_png_rgba` for PNGs this module wrote
     (8-bit RGBA, filter 0 scanlines) — lets the export path be verified

@@ -3814,14 +3814,25 @@ def _cooccurrence_edges(spark, sf_dir, quantile: float = 0.995):
     exact ``percentile`` matches DuckDB's ``quantile_cont`` (the
     events_percentiles-established contract)."""
     li = _t(spark, sf_dir, "lineitem")
-    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
-    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
-    weighted = (
-        x.join(y, "ok")
-        .where(F.col("sa") < F.col("sb"))
-        .groupBy(F.col("sa").alias("src"), F.col("sb").alias("dst"))
-        .agg(F.countDistinct("ok").alias("w"))
+    # suppliers per order as a sorted set, unique pairs exploded JVM-side:
+    # ONE shuffle on l_orderkey replaces the self-join's two exchanges +
+    # join, and set semantics make count(*) per pair exactly the
+    # COUNT(DISTINCT orderkey) the oracle computes (each order emits each
+    # pair at most once). Orders fan out ~O(items/order)^2 pairs inside
+    # the executor — no shuffle grows.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_suppkey")).alias("ss")
     )
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) -> "
+                "transform(slice(ss, i + 2, greatest(size(ss) - i - 1, 0)), "
+                "y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    weighted = pairs.groupBy("src", "dst").agg(F.count("*").alias("w"))
     thr = weighted.agg(
         F.expr(f"percentile(w, {quantile})").alias("thr")
     )
@@ -5879,6 +5890,52 @@ SELECT doc_id, ch + 3 AS feat_idx, round(s, 6) AS value FROM stats
 """
 
 
+def q_multimodal_png_features(spark, sf_dir):
+    """Real-PNG decode under the gate, ZERO injected decoders: payload-
+    derived 8x8 RGB pixels -> the engine's pure-zlib PNG ENCODER with row
+    filters cycling 0-4 (None/Sub/Up/Average/Paeth) -> ``image_features``
+    with ``decoder=None``, which resolves to the built-in pure-Python PNG
+    decoder where Pillow is absent (functions/multimodal.py::
+    _default_image_decoder -> operators/render.py::decode_png). The
+    oracle recomputes the features straight from the pixel formula, so a
+    hash match proves the full encode -> filter -> deflate -> unfilter ->
+    decode loop is byte-exact. Reference parity: geopyspark renders/reads
+    PNG tiles through geotrellis PngEncoder (geopyspark/geotrellis/
+    layer.py:524-540)."""
+    from ..functions import multimodal as fmm
+    from ..operators.render import encode_png
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("data")
+    )
+
+    def to_png(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            png = [
+                encode_png(
+                    fmm.payload_image_decoder(bytes(d)).astype(np.uint8),
+                    filter_cycle=True,
+                )
+                for d in pdf["data"]
+            ]
+            out = pdf[["doc_id"]].copy()
+            out["data"] = png
+            yield out
+
+    pngs = docs.mapInPandas(to_png, schema="doc_id long, data binary")
+    feats = fmm.image_features(pngs)  # decoder=None -> built-in PNG decode
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("feat_idx", "v")
+    ).select("doc_id", "feat_idx", F.round("v", 6).alias("value"))
+
+
+# identical pixel formula to SQL_MULTIMODAL_FEATURES: the PNG round trip
+# is lossless, so the features are those of the payload image itself
+SQL_MULTIMODAL_PNG_FEATURES = SQL_MULTIMODAL_FEATURES
+
+
 def q_multimodal_ahash(spark, sf_dir):
     """Perceptual-hash image dedup under the gate: payload-decoded 8x8
     images -> integer-exact 64-bit aHash -> byte-banded bucket join ->
@@ -6960,6 +7017,7 @@ def _canonical_queries():
         "text_dedup_pipeline": q_text_dedup_pipeline,
         "emb_knn": q_emb_knn,
         "multimodal_features": q_multimodal_features,
+        "multimodal_png_features": q_multimodal_png_features,
         "events_session": q_events_session,
         "raster_zonal_stats": q_raster_zonal_stats,
         "raster_mask": q_raster_mask,
@@ -7048,6 +7106,7 @@ def _canonical_queries():
 # hand-edit between the markers.
 # BEGIN WINDOW_ORDER (generated)
 _WINDOW_ORDER: list = [
+    "multimodal_png_features",
     "rel_profile",
     "events_transitions",
     "events_user_features",
@@ -7381,6 +7440,7 @@ def oracle_sql():
         "emb_near_dup_lsh": _sql_near_dup_lsh(6, 0.45),
         "emb_dedup_pipeline": _sql_emb_dedup_pipeline(6, 0.45),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "multimodal_png_features": SQL_MULTIMODAL_PNG_FEATURES,
         "multimodal_audio": SQL_MULTIMODAL_AUDIO,
         # ---- round 3 ----
         "raster_focal_mode": SQL_RASTER_FOCAL_MODE,

@@ -188,9 +188,26 @@ class TestMultimodal:
         assert row["media_meta"]["n_bytes"] == 32
         assert row["media_meta"]["kind"] == "image"
 
-    def test_stub_raises_without_decoder(self, media):
-        with pytest.raises(NotImplementedError, match="Pillow"):
+    def test_non_png_raises_without_decoder(self, media):
+        # without Pillow the default decoder handles PNG bytes only; the
+        # media fixture is raw bytes, so the error now surfaces from the
+        # executor (wrapped by Spark) rather than eagerly at plan time
+        with pytest.raises(Exception, match="Pillow"):
             fmm.image_features(media).collect()
+
+    def test_default_decoder_decodes_png_in_pipeline(self, spark):
+        from geopyspark_spark.operators.render import encode_png
+
+        rng = np.random.default_rng(5)
+        imgs = [rng.integers(0, 256, (8, 8, 3)).astype(np.uint8) for _ in range(3)]
+        rows = [(i, encode_png(a, filter_cycle=True)) for i, a in enumerate(imgs)]
+        df = spark.createDataFrame(rows, "media_id long, data binary")
+        out = {r["media_id"]: r["features"] for r in fmm.image_features(df).collect()}
+        for i, a in enumerate(imgs):
+            exp = a.astype(np.float64)
+            means = exp.mean(axis=(0, 1)).tolist()
+            stds = exp.std(axis=(0, 1)).tolist()
+            assert out[i] == pytest.approx(means + stds)
 
     def test_image_features_fake_decoder(self, media):
         out = fmm.image_features(media, decoder=fmm.fake_image_decoder)
@@ -1191,15 +1208,16 @@ class TestImageAhash:
             has_pillow = True
         except ImportError:
             has_pillow = False
-        if has_pillow:
-            # decoder=None must resolve to a REAL callable (the r6 advice
-            # bug: it validated Pillow but left decoder as None)
-            dec = fmm._default_image_decoder()
-            assert callable(dec)
-        else:
+        # decoder=None must resolve to a REAL callable either way (the r6
+        # advice bug: it validated Pillow but left decoder as None); the
+        # no-Pillow callable decodes PNG and rejects everything else
+        dec = fmm._default_image_decoder()
+        assert callable(dec)
+        if not has_pillow:
             import pytest as _pytest
 
-            with _pytest.raises(NotImplementedError):
+            # non-image bytes fail at decode (in the executor, wrapped)
+            with _pytest.raises(Exception, match="Pillow"):
                 fmm.image_ahash(df).collect()
 
 

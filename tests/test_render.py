@@ -125,3 +125,95 @@ class TestColorMapParity:
             pass
         with pytest.raises(NotImplementedError, match="matplotlib"):
             get_colors_from_matplotlib("viridis")
+
+
+class TestGeneralPngCodec:
+    """encode_png/decode_png: baseline 8-bit PNGs, all color types and
+    scanline filters — the no-Pillow default image decoder's codec."""
+
+    def test_roundtrip_all_shapes_and_filters(self):
+        from geopyspark_spark.operators.render import decode_png, encode_png
+
+        rng = np.random.default_rng(7)
+        for shape in [(8, 8), (8, 8, 2), (8, 8, 3), (8, 8, 4), (17, 5, 3), (1, 1, 3)]:
+            a = rng.integers(0, 256, size=shape).astype(np.uint8)
+            exp = (a if a.ndim == 3 else a[:, :, None]).astype(np.float64)
+            for cycle in (False, True):
+                got = decode_png(encode_png(a, filter_cycle=cycle))
+                assert got.shape == exp.shape
+                assert (got == exp).all(), (shape, cycle)
+
+    def test_filter_cycle_exercises_every_filter(self):
+        from geopyspark_spark.operators.render import encode_png
+
+        png = encode_png(np.zeros((7, 4, 3), dtype=np.uint8), filter_cycle=True)
+        # pull scanline filter bytes back out of the IDAT
+        pos, idat = 8, b""
+        while pos + 8 <= len(png):
+            (length,) = struct.unpack_from(">I", png, pos)
+            tag = png[pos + 4 : pos + 8]
+            if tag == b"IDAT":
+                idat += png[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+        raw = zlib.decompress(idat)
+        stride = 4 * 3 + 1
+        fts = [raw[r * stride] for r in range(7)]
+        assert fts == [0, 1, 2, 3, 4, 0, 1]
+
+    def test_palette_png_decodes_to_rgb(self):
+        from geopyspark_spark.operators.render import decode_png
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        rng = np.random.default_rng(3)
+        pal = bytes(range(48))  # 16 RGB colors
+        idx = rng.integers(0, 16, size=(4, 6)).astype(np.uint8)
+        raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(4))
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 4, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", pal)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        exp = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)[idx]
+        assert (decode_png(png) == exp.astype(np.float64)).all()
+
+    def test_rejects_non_png_and_16bit(self):
+        from geopyspark_spark.operators.render import decode_png
+
+        with pytest.raises(ValueError, match="magic"):
+            decode_png(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        png16 = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        )
+        with pytest.raises(NotImplementedError, match="depth"):
+            decode_png(png16)
+
+    def test_default_image_decoder_handles_png_without_pillow(self):
+        from geopyspark_spark.functions.multimodal import _default_image_decoder
+        from geopyspark_spark.operators.render import encode_png
+
+        try:
+            import PIL  # noqa: F401
+
+            pytest.skip("Pillow present; pure-PNG fallback not exercised")
+        except ImportError:
+            pass
+        dec = _default_image_decoder()
+        a = np.random.default_rng(11).integers(0, 256, (8, 8, 3)).astype(np.uint8)
+        assert (dec(encode_png(a, filter_cycle=True)) == a.astype(np.float64)).all()
+        with pytest.raises(NotImplementedError, match="non-PNG"):
+            dec(b"\xff\xd8\xff\xe0 not a png")
