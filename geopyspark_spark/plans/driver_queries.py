@@ -451,6 +451,93 @@ FROM tg JOIN coords ON coords.gcol = 2 * tgcol + 1 AND coords.grow = 2 * tgrow +
 """
 
 
+# second fixture size for the retile family: 16x16 layout of 32x32 tiles
+# (512x512 grid, 256 keys, partially-filled tiles at small sf) — catches
+# layout-constant assumptions the 4x4x8x8 fixture can't
+BIG_N, BIG_TILE = 16, 32
+BIG_GRID = BIG_N * BIG_TILE
+
+BIG_RASTER_MD = gps.LayerMetadata(
+    crs="epsg:4326",
+    cell_type="float64ud-1.0",
+    layout=gps.LayoutDefinition(
+        gps.Extent(0, 0, BIG_GRID, BIG_GRID),
+        gps.TileLayout(BIG_N, BIG_N, BIG_TILE, BIG_TILE),
+    ),
+    bounds=((0, 0), (BIG_N - 1, BIG_N - 1)),
+    extent=gps.Extent(0, 0, BIG_GRID, BIG_GRID),
+    num_bands=1,
+)
+
+
+def big_lineitem_layer(spark: SparkSession, sf_dir: str) -> TiledRasterLayer:
+    """The lineitem fixture at the second layout size (keys from
+    (orderkey, suppkey) mod 16, first 1024 rows per key fill a 32x32
+    tile — tiles are PARTIALLY filled at small sf, so assemble's nodata
+    fill is exercised too)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % BIG_N).cast("int").alias("key_col"),
+        (F.col("l_suppkey") % BIG_N).cast("int").alias("key_row"),
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice",
+        F.col("l_quantity").cast("double").alias("value"),
+    )
+    w = Window.partitionBy("key_col", "key_row").orderBy(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice"
+    )
+    cells = (
+        li.withColumn("pos", F.row_number().over(w) - 1)
+        .where(F.col("pos") < BIG_TILE * BIG_TILE)
+        .select("key_col", "key_row", F.lit(0).alias("band"), "pos", "value")
+    )
+    return TiledRasterLayer.assemble(cells, BIG_RASTER_MD)
+
+
+BIG_CELLS_CTE = f"""
+WITH cells AS (
+  SELECT key_col, key_row, CAST(pos AS INT) AS pos, value
+  FROM (
+    SELECT CAST(l_orderkey % {BIG_N} AS INT) AS key_col,
+           CAST(l_suppkey % {BIG_N} AS INT) AS key_row,
+           row_number() OVER (PARTITION BY l_orderkey % {BIG_N}, l_suppkey % {BIG_N}
+                              ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) - 1 AS pos,
+           CAST(l_quantity AS DOUBLE) AS value
+    FROM lineitem
+  ) WHERE pos < {BIG_TILE * BIG_TILE}
+),
+coords AS (
+  SELECT key_col, key_row, pos, value,
+         key_col * {BIG_TILE} + pos % {BIG_TILE} AS gcol,
+         key_row * {BIG_TILE} + CAST(floor(pos / {BIG_TILE}) AS INT) AS grow
+  FROM cells
+)
+"""
+
+
+def q_raster_tile_to_layout_big(spark, sf_dir):
+    """Aligned re-key at the SECOND layout size (r6 verdict #7): the
+    16x16x32x32 fixture retiled to a 32x32 layout of 16x16 tiles — every
+    source tile explodes into 4 fragments, a different key fan-out than
+    the 4x4x8x8 fixture's retile queries, over partially-filled tiles."""
+    layer = big_lineitem_layer(spark, sf_dir)
+    target = gps.LayoutDefinition(
+        gps.Extent(0, 0, BIG_GRID, BIG_GRID),
+        gps.TileLayout(2 * BIG_N, 2 * BIG_N, BIG_TILE // 2, BIG_TILE // 2),
+    )
+    out = layer.tile_to_layout(target)
+    return _explode_result(out).where(F.col("value") != -1.0)
+
+
+SQL_RASTER_TILE_TO_LAYOUT_BIG = BIG_CELLS_CTE + f"""
+SELECT CAST(floor(gcol / {BIG_TILE // 2}) AS INT) AS key_col,
+       CAST(floor(grow / {BIG_TILE // 2}) AS INT) AS key_row,
+       CAST((grow % {BIG_TILE // 2}) * {BIG_TILE // 2} + gcol % {BIG_TILE // 2} AS INT) AS pos,
+       value
+FROM coords
+"""
+
+
 def q_raster_pyramid(spark, sf_dir):
     layer = lineitem_layer(spark, sf_dir)
     pyr = layer.pyramid(resample_method="Average")
@@ -1399,6 +1486,129 @@ def q_raster_catalog_query(spark, sf_dir):
 SQL_RASTER_CATALOG_QUERY = CELLS_CTE + """
 SELECT key_col, key_row, pos, value FROM coords
 WHERE key_col IN (1, 2) AND key_row IN (1, 2)
+"""
+
+
+def q_raster_windowed_source(spark, sf_dir):
+    """rasterio.get windowed-source plumbing under the gate: a synthetic
+    2-band 48x48 raster read through ``geotiff.get`` with an injected
+    sizer/decoder pair whose cells follow a closed formula
+    (value = (global_row*48 + global_col) * (band+1)), max_tile_size=20
+    (so plan_windows emits ragged 20/20/8 edges). The oracle regenerates
+    every window, its georeferenced extent, and every cell from the same
+    formula relationally — gating the window decomposition, extent math,
+    band fan-out, and the mapInPandas decode batch shape. Reference:
+    geopyspark/geotrellis/rasterio.py:39-110 and the maxTileSize windowed
+    reads of io/geotiff/GeoTiffRDD.scala:107-129."""
+    from ..sources import geotiff as gt
+
+    W = H = 48
+
+    def sizer(path):
+        return W, H, gps.Extent(0.0, 0.0, float(W), float(H)), 2
+
+    def decoder(path, window, band):
+        c0, r0, w, h = window
+        gr = np.arange(r0, r0 + h)[:, None]
+        gc = np.arange(c0, c0 + w)[None, :]
+        return ((gr * W + gc) * (band + 1)).astype(np.float64)
+
+    df = gt.get(spark, "synthetic://w48.tif", max_tile_size=20,
+                sizer=sizer, decoder=decoder)
+    return df.select(
+        F.col("xmin").alias("wxmin"), F.col("ymin").alias("wymin"),
+        F.col("xmax").alias("wxmax"), F.col("ymax").alias("wymax"),
+        "band", F.col("rows").alias("win_rows"), F.col("cols").alias("win_cols"),
+        F.posexplode("cells").alias("pos", "value"),
+    )
+
+
+SQL_RASTER_WINDOWED_SOURCE = """
+WITH win AS (
+  SELECT CAST(ci.i * 20 AS INT) AS c0, CAST(ri.i * 20 AS INT) AS r0,
+         CAST(least(20, 48 - ci.i * 20) AS INT) AS w,
+         CAST(least(20, 48 - ri.i * 20) AS INT) AS h
+  FROM range(3) ci(i), range(3) ri(i)
+),
+wb AS (SELECT win.*, CAST(b.b AS INT) AS band FROM win, range(2) b(b))
+SELECT CAST(c0 AS DOUBLE) AS wxmin,
+       CAST(48 - (r0 + h) AS DOUBLE) AS wymin,
+       CAST(c0 + w AS DOUBLE) AS wxmax,
+       CAST(48 - r0 AS DOUBLE) AS wymax,
+       band, h AS win_rows, w AS win_cols,
+       CAST(p.p AS INT) AS pos,
+       CAST(((r0 + p.p // w) * 48 + (c0 + p.p % w)) * (band + 1) AS DOUBLE) AS value
+FROM wb, range(400) p(p)
+WHERE p.p < w * h
+"""
+
+
+def q_raster_attribute_store(spark, sf_dir):
+    """AttributeStore CRUD + read_layer_metadata under the gate: write a
+    layer, exercise write/read/contains/list/delete on its JSON
+    attributes, then read the metadata sidecar back; the observed trace
+    (one row per step) must equal the oracle's expected-literal table.
+    Reference: geopyspark/geotrellis/catalog.py:23-39
+    (read_layer_metadata) and 332-485 (AttributeStore)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import catalog as cat
+
+    layer = lineitem_layer(spark, sf_dir)
+    scratch = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+    os.makedirs(scratch, exist_ok=True)
+    uri = tempfile.mkdtemp(prefix="attrs_", dir=scratch)
+    try:
+        cat.write(uri, "al", layer, zoom=0)
+        store = cat.AttributeStore(uri)
+        store.write("al", 0, "histogram", {"bins": [1, 2, 3]})
+        store.write("al", 0, "color_ramp", ["#000000", "#ffffff"])
+        obs = [
+            ("contains_histogram", str(store.contains("al", 0, "histogram")).lower()),
+            ("list_initial", ",".join(store.list("al", 0))),
+            ("read_histogram_bins",
+             ",".join(str(v) for v in store.read("al", 0, "histogram")["bins"])),
+        ]
+        store.delete("al", 0, "color_ramp")
+        obs += [
+            ("contains_deleted", str(store.contains("al", 0, "color_ramp")).lower()),
+            ("list_after_delete", ",".join(store.list("al", 0))),
+            ("layers", ";".join(f"{n}:{z}" for n, z in store.layers())),
+        ]
+        md = cat.read_layer_metadata(uri, "al", 0)
+        tl = md.layout.tile_layout
+        obs += [
+            ("md_crs", md.crs),
+            ("md_cell_type", md.cell_type),
+            ("md_layout",
+             f"{tl.layout_cols}x{tl.layout_rows}x{tl.tile_cols}x{tl.tile_rows}"),
+            ("md_extent",
+             f"{md.extent.xmin:.0f},{md.extent.ymin:.0f},"
+             f"{md.extent.xmax:.0f},{md.extent.ymax:.0f}"),
+            ("md_bands", str(md.num_bands)),
+        ]
+    finally:
+        shutil.rmtree(uri, ignore_errors=True)
+    return spark.createDataFrame(obs, "step string, observed string")
+
+
+SQL_RASTER_ATTRIBUTE_STORE = f"""
+SELECT * FROM (VALUES
+  ('contains_histogram', 'true'),
+  ('list_initial', 'color_ramp,histogram'),
+  ('read_histogram_bins', '1,2,3'),
+  ('contains_deleted', 'false'),
+  ('list_after_delete', 'histogram'),
+  ('layers', 'al:0'),
+  ('md_crs', 'epsg:4326'),
+  ('md_cell_type', 'float64ud-1.0'),
+  ('md_layout', '{LAYOUT_N}x{LAYOUT_N}x{TILE}x{TILE}'),
+  ('md_extent', '0,0,{GRID},{GRID}'),
+  ('md_bands', '1')
+) t(step, observed)
 """
 
 
@@ -6884,6 +7094,8 @@ def _canonical_queries():
         # three remaining in-window stream entries — rotated just past
         # the window to make room for the triangle-count code path)
         "raster_catalog_query": q_raster_catalog_query,
+        "raster_windowed_source": q_raster_windowed_source,
+        "raster_attribute_store": q_raster_attribute_store,
         # rotated in (fourth r6 rotation): oracle gates for previously
         # pytest-only §2 rows (stitch/png/update/read_value/with_no_data/
         # shapefile/COG); seven r5-validated entries move out
@@ -7068,6 +7280,7 @@ def _canonical_queries():
         "raster_to_spatial": q_raster_to_spatial,
         "raster_resample": q_raster_resample,
         "raster_tile_to_layout_warp": q_raster_tile_to_layout_warp,
+        "raster_tile_to_layout_big": q_raster_tile_to_layout_big,
         "raster_bands": q_raster_bands,
         "raster_combine_bands": q_raster_combine_bands,
         "raster_focal_max": q_raster_focal_max,
@@ -7106,7 +7319,10 @@ def _canonical_queries():
 # hand-edit between the markers.
 # BEGIN WINDOW_ORDER (generated)
 _WINDOW_ORDER: list = [
+    "raster_windowed_source",
+    "raster_attribute_store",
     "multimodal_png_features",
+    "raster_tile_to_layout_big",
     "rel_profile",
     "events_transitions",
     "events_user_features",
@@ -7326,6 +7542,7 @@ def oracle_sql():
         "raster_min_max": SQL_RASTER_MIN_MAX,
         "raster_tile_to_layout": SQL_RASTER_TILE_TO_LAYOUT,
         "raster_tile_to_layout_warp": SQL_RASTER_TILE_TO_LAYOUT_WARP,
+        "raster_tile_to_layout_big": SQL_RASTER_TILE_TO_LAYOUT_BIG,
         "raster_pyramid": SQL_RASTER_PYRAMID,
         "raster_spacetime_series": SQL_RASTER_SPACETIME_SERIES,
         "raster_slope": SQL_RASTER_SLOPE,
@@ -7470,6 +7687,8 @@ def oracle_sql():
         "raster_reproject_geos": _sql_reproject_nn(
             "+proj=geos +h=35786023 +lon_0=15 +sweep=y +ellps=GRS80"),
         "raster_catalog_query": SQL_RASTER_CATALOG_QUERY,
+        "raster_windowed_source": SQL_RASTER_WINDOWED_SOURCE,
+        "raster_attribute_store": SQL_RASTER_ATTRIBUTE_STORE,
         "raster_reproject_cass": _sql_reproject_nn(
             "+proj=cass +lat_0=16 +lon_0=16 +ellps=WGS84"),
         "raster_reproject_aeqd": _sql_reproject_nn(

@@ -8,10 +8,15 @@ through GeoTrellis's GeoTiff writer; this engine writes baseline TIFF 6.0 +
 the GeoTIFF 1.1 tag set directly (little-endian, single strip, optional
 DEFLATE), which common readers (GDAL, QGIS, rasterio, tifffile) open as-is.
 
-Scope: float64/float32/int32/uint8 samples, pixel-interleaved bands, strip
-layout. The decoder reads back exactly this subset (plus uncompressed
-baseline strips generally) — enough for a lossless engine round-trip, which
-the tests assert via :mod:`geotiff.get` with this decoder injected.
+Encoder scope: float64/float32/int32/int16/uint8 samples,
+pixel-interleaved bands, single-strip layout, none/DEFLATE.
+Decoder scope (wider — the common wild-file baseline): strip OR tile
+layout, none/DEFLATE/LZW/PackBits compression, horizontal-differencing
+predictor (tag 317), uint8/int8/uint16/int16/int32/uint32/float32/
+float64 samples, little- or big-endian classic TIFF. Enough that
+``geotiff.get`` ingests typical externally-produced integer GeoTIFFs
+without GDAL; exotics (JPEG, 1/2/4-bit, planar=2, BigTIFF) still want
+the rasterio seam.
 """
 
 from __future__ import annotations
@@ -29,6 +34,8 @@ _IMAGE_WIDTH, _IMAGE_LENGTH = 256, 257
 _BITS_PER_SAMPLE, _COMPRESSION, _PHOTOMETRIC = 258, 259, 262
 _STRIP_OFFSETS, _SAMPLES_PER_PIXEL, _ROWS_PER_STRIP, _STRIP_BYTE_COUNTS = 273, 277, 278, 279
 _PLANAR_CONFIG, _SAMPLE_FORMAT = 284, 339
+_PREDICTOR = 317
+_TILE_WIDTH, _TILE_LENGTH, _TILE_OFFSETS, _TILE_BYTE_COUNTS = 322, 323, 324, 325
 _MODEL_PIXEL_SCALE, _MODEL_TIEPOINT, _GEO_KEY_DIRECTORY = 33550, 33922, 34735
 _GDAL_NODATA = 42113
 _TIFF_DATETIME = 306  # ASCII "yyyy:MM:dd HH:mm:ss" (TIFF 6.0 DateTime)
@@ -44,6 +51,16 @@ _DTYPES = {
     np.dtype("uint8"): (8, 1),
 }
 _FMT_DTYPE = {(bits, fmt): dt for dt, (bits, fmt) in _DTYPES.items()}
+
+# decode-only sample types (common in wild files this codec never writes)
+_FMT_DTYPE_DECODE = dict(_FMT_DTYPE)
+_FMT_DTYPE_DECODE.update(
+    {
+        (16, 1): np.dtype("uint16"),
+        (32, 1): np.dtype("uint32"),
+        (8, 2): np.dtype("int8"),
+    }
+)
 
 
 def _geo_keys(crs: str) -> list[int]:
@@ -201,8 +218,10 @@ def encode_geotiff_with_overviews(levels: list[tuple[np.ndarray, Extent]], crs: 
 def decode_geotiff(buf: bytes):
     """Decode GeoTIFF bytes -> (cells[bands,rows,cols], Extent, crs, nodata).
 
-    Supports the subset this module writes: little/big-endian classic TIFF,
-    strip layout, Compression 1 (none) or 8 (DEFLATE), PlanarConfig 1.
+    Little/big-endian classic TIFF, strip or tile layout, Compression 1
+    (none), 5 (LZW), 8/32946 (DEFLATE), 32773 (PackBits), optional
+    horizontal predictor, PlanarConfig 1 — the common external baseline,
+    not just this module's own output.
     """
     bo = {b"II": "<", b"MM": ">"}.get(buf[:2])
     if bo is None or struct.unpack(bo + "H", buf[2:4])[0] != 42:
@@ -249,6 +268,94 @@ def _read_ifd(buf: bytes, bo: str, ifd_offset: int):
     return tags, nxt
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (Compression=5): MSB-first codes, ClearCode=256,
+    EOI=257, 9->12-bit code widths with the TIFF 'early change' (the
+    width grows when the NEXT table slot is 2^width - 1). Clean-room from
+    the TIFF 6.0 spec §13."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitpos, nbits = 0, 9
+    total_bits = len(data) * 8
+    table: list[bytes] = []
+    prev: bytes | None = None
+    while True:
+        if bitpos + nbits > total_bits:
+            break  # truncated stream without EOI: tolerate (common in the wild)
+        b0 = bitpos // 8
+        b1 = (bitpos + nbits + 7) // 8
+        chunk = int.from_bytes(data[b0:b1], "big")
+        code = (chunk >> (b1 * 8 - bitpos - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            nbits, prev = 9, None
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt LZW stream (code before CLEAR)")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt LZW stream (code gap)")
+            table.append(prev + entry[:1])
+            if len(table) == (1 << nbits) - 1 and nbits < 12:
+                nbits += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits RLE (Compression=32773), TIFF 6.0 spec §9."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def _decompress_segment(chunk: bytes, comp: int) -> bytes:
+    if comp == 1:
+        return chunk
+    if comp in (8, 32946):  # DEFLATE (Adobe + legacy code)
+        return zlib.decompress(chunk)
+    if comp == 5:
+        return _lzw_decode(chunk)
+    if comp == 32773:
+        return _packbits_decode(chunk)
+    raise ValueError(f"unsupported compression {comp}")
+
+
+def _unpredict(arr: np.ndarray, predictor: int) -> np.ndarray:
+    """Invert the horizontal-differencing predictor (tag 317 = 2) on a
+    (rows, cols, bands) integer array — cumulative sum along columns with
+    the dtype's natural modular wraparound."""
+    if predictor == 1:
+        return arr
+    if predictor != 2:
+        raise ValueError(f"unsupported predictor {predictor}")
+    if arr.dtype.kind not in "iu":
+        raise ValueError("predictor=2 requires an integer sample type")
+    arr = np.ascontiguousarray(arr)
+    np.add.accumulate(arr, axis=1, dtype=arr.dtype, out=arr)
+    return arr
+
+
 def _decode_page(buf: bytes, bo: str, tags: dict):
     cols = int(tags[_IMAGE_WIDTH][0])
     rows = int(tags[_IMAGE_LENGTH][0])
@@ -256,19 +363,42 @@ def _decode_page(buf: bytes, bo: str, tags: dict):
     comp = int(tags.get(_COMPRESSION, [1])[0])
     bits = int(tags.get(_BITS_PER_SAMPLE, [32])[0])
     fmt = int(tags.get(_SAMPLE_FORMAT, [1])[0])
-    dtype = _FMT_DTYPE.get((bits, fmt))
+    predictor = int(tags.get(_PREDICTOR, [1])[0])
+    dtype = _FMT_DTYPE_DECODE.get((bits, fmt))
     if dtype is None:
         raise ValueError(f"unsupported sample type bits={bits} format={fmt}")
     if int(tags.get(_PLANAR_CONFIG, [1])[0]) != 1:
         raise ValueError("only PlanarConfiguration=1 supported")
+    rdtype = np.dtype(dtype).newbyteorder(bo)
 
-    data = b""
-    for off, cnt in zip(tags[_STRIP_OFFSETS], tags[_STRIP_BYTE_COUNTS]):
-        chunk = buf[int(off):int(off) + int(cnt)]
-        data += zlib.decompress(chunk) if comp == 8 else chunk
-    if comp not in (1, 8):
-        raise ValueError(f"unsupported compression {comp}")
-    pix = np.frombuffer(data, dtype=np.dtype(dtype).newbyteorder(bo)).reshape(rows, cols, bands)
+    if _TILE_OFFSETS in tags:
+        # tiled layout (tags 322-325): decode each tile, unpredict within
+        # the tile, place into the image grid, crop ragged edges
+        tw = int(tags[_TILE_WIDTH][0])
+        th = int(tags[_TILE_LENGTH][0])
+        across = (cols + tw - 1) // tw
+        pix = np.zeros((rows, cols, bands), dtype=dtype)
+        for idx, (off, cnt) in enumerate(
+            zip(tags[_TILE_OFFSETS], tags[_TILE_BYTE_COUNTS])
+        ):
+            data = _decompress_segment(buf[int(off) : int(off) + int(cnt)], comp)
+            tile = np.frombuffer(data, dtype=rdtype, count=th * tw * bands)
+            tile = _unpredict(
+                tile.reshape(th, tw, bands).astype(dtype), predictor
+            )
+            r0 = (idx // across) * th
+            c0 = (idx % across) * tw
+            h = min(th, rows - r0)
+            w = min(tw, cols - c0)
+            pix[r0 : r0 + h, c0 : c0 + w] = tile[:h, :w]
+    else:
+        data = b""
+        for off, cnt in zip(tags[_STRIP_OFFSETS], tags[_STRIP_BYTE_COUNTS]):
+            data += _decompress_segment(buf[int(off) : int(off) + int(cnt)], comp)
+        pix = np.frombuffer(data, dtype=rdtype, count=rows * cols * bands).reshape(
+            rows, cols, bands
+        )
+        pix = _unpredict(pix.astype(dtype), predictor)
     cells = np.moveaxis(pix, -1, 0).astype(dtype)
 
     extent = None

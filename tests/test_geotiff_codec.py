@@ -375,3 +375,261 @@ class TestRasterLayerHistograms:
                          sizer=geotiff_codec.sizer, decoder=geotiff_codec.decoder)
         h = gps.RasterLayer(df).get_histogram(num_buckets=4)
         assert h.total_count() == 100
+
+
+# ---------------------------------------------------------------------------
+# External-file decode: LZW / PackBits / predictor / tiled layout, decoded
+# against an INDEPENDENT spec-based writer implemented here (no TIFF lib in
+# this container). Clean-room from TIFF 6.0 spec §9 (PackBits), §13 (LZW),
+# §14 (differencing predictor), §15 (tiles).
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode_ref(data: bytes) -> bytes:
+    """Independent TIFF-LZW encoder (MSB-first, CLEAR=256, EOI=257,
+    early-change width bumps)."""
+    out = bytearray()
+    acc = 0
+    accbits = 0
+
+    def emit(code, nb):
+        nonlocal acc, accbits
+        acc = (acc << nb) | code
+        accbits += nb
+        while accbits >= 8:
+            out.append((acc >> (accbits - 8)) & 0xFF)
+            accbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, nbits = 258, 9
+    emit(256, nbits)  # CLEAR
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w], nbits)
+        table[w + c] = next_code
+        next_code += 1
+        # encoder early change happens one entry after the decoder's
+        # (the decoder's table construction lags one code behind)
+        if next_code == (1 << nbits) and nbits < 12:
+            nbits += 1
+        assert next_code < 4094, "test input too large for no-reset encoder"
+        w = c
+    if w:
+        emit(table[w], nbits)
+    emit(257, nbits)  # EOI
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode_ref(data: bytes) -> bytes:
+    """Independent PackBits encoder (emits both RLE runs and literals)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # run?
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        if j - i >= 2:
+            out += bytes([257 - (j - i + 1), data[i]])
+            i = j + 1
+            continue
+        # literal until next run of >= 3 (max 128)
+        j = i
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _write_tiff_ref(pix, bo="<", comp=1, predictor=1, tile=None,
+                    rows_per_strip=None):
+    """Independent minimal TIFF writer: (rows, cols, bands) array ->
+    classic TIFF bytes with the requested layout/compression/predictor."""
+    import struct as _s
+
+    rows, cols, bands = pix.shape
+    dt = pix.dtype
+    bits = dt.itemsize * 8
+    fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+
+    def enc_seg(arr):
+        if predictor == 2:
+            d = arr.copy()
+            d[:, 1:, :] = arr[:, 1:, :] - arr[:, :-1, :]
+            arr = d
+        raw = np.ascontiguousarray(arr).astype(dt.newbyteorder(bo)).tobytes()
+        if comp == 5:
+            return _lzw_encode_ref(raw)
+        if comp == 32773:
+            return _packbits_encode_ref(raw)
+        if comp == 8:
+            return zlib.compress(raw)
+        return raw
+
+    segs = []
+    if tile is not None:
+        tw, th = tile
+        for r0 in range(0, rows, th):
+            for c0 in range(0, cols, tw):
+                t = np.zeros((th, tw, bands), dt)
+                h, w = min(th, rows - r0), min(tw, cols - c0)
+                t[:h, :w] = pix[r0:r0 + h, c0:c0 + w]
+                segs.append(enc_seg(t))
+    else:
+        rps = rows_per_strip or rows
+        for r0 in range(0, rows, rps):
+            segs.append(enc_seg(pix[r0:r0 + rps]))
+
+    # data layout: header | segments | aux values | IFD
+    data = b""
+    seg_offsets, seg_counts = [], []
+    base = 8
+    for s in segs:
+        seg_offsets.append(base + len(data))
+        seg_counts.append(len(s))
+        data += s + (b"\0" if len(s) % 2 else b"")
+
+    TYPE_SHORT, TYPE_LONG = 3, 4
+    entries = [
+        (256, TYPE_LONG, [cols]),
+        (257, TYPE_LONG, [rows]),
+        (258, TYPE_SHORT, [bits] * bands),
+        (259, TYPE_SHORT, [comp]),
+        (262, TYPE_SHORT, [1]),
+        (277, TYPE_SHORT, [bands]),
+        (284, TYPE_SHORT, [1]),
+        (339, TYPE_SHORT, [fmt] * bands),
+    ]
+    if predictor != 1:
+        entries.append((317, TYPE_SHORT, [predictor]))
+    if tile is not None:
+        entries += [
+            (322, TYPE_LONG, [tile[0]]),
+            (323, TYPE_LONG, [tile[1]]),
+            (324, TYPE_LONG, seg_offsets),
+            (325, TYPE_LONG, seg_counts),
+        ]
+    else:
+        entries += [
+            (273, TYPE_LONG, seg_offsets),
+            (278, TYPE_LONG, [rows_per_strip or rows]),
+            (279, TYPE_LONG, seg_counts),
+        ]
+    entries.sort()
+
+    size_of = {TYPE_SHORT: 2, TYPE_LONG: 4}
+    pack_of = {TYPE_SHORT: "H", TYPE_LONG: "I"}
+    aux = bytearray()
+    aux_base = 8 + len(data)
+    placed = []
+    for tag, typ, vals in entries:
+        payload = b"".join(_s.pack(bo + pack_of[typ], v) for v in vals)
+        if len(payload) <= 4:
+            placed.append((tag, typ, len(vals), payload.ljust(4, b"\0")))
+        else:
+            placed.append((tag, typ, len(vals),
+                           _s.pack(bo + "I", aux_base + len(aux))))
+            aux += payload
+            if len(aux) % 2:
+                aux += b"\0"
+    ifd_offset = aux_base + len(aux)
+    ifd = _s.pack(bo + "H", len(placed))
+    for tag, typ, count, val in placed:
+        ifd += _s.pack(bo + "HHI", tag, typ, count) + val
+    ifd += _s.pack(bo + "I", 0)
+    magic = b"II" if bo == "<" else b"MM"
+    return _s.pack(bo + "2sHI", magic, 42, ifd_offset) + data + bytes(aux) + ifd
+
+
+class TestExternalTiffDecode:
+    """decode_geotiff against independently-written wild-style files."""
+
+    def _check(self, pix, **kw):
+        from geopyspark_spark.sources.geotiff_codec import decode_geotiff
+
+        buf = _write_tiff_ref(pix, **kw)
+        cells, extent, crs, nodata = decode_geotiff(buf)
+        assert cells.shape == (pix.shape[2], pix.shape[0], pix.shape[1])
+        got = np.moveaxis(cells, 0, -1)
+        assert got.dtype == pix.dtype
+        assert (got == pix).all()
+
+    def test_lzw_bytes_roundtrip(self):
+        from geopyspark_spark.sources.geotiff_codec import _lzw_decode
+
+        rng = np.random.default_rng(0)
+        for payload in [
+            b"",
+            b"A",
+            b"TOBEORNOTTOBEORTOBEORNOT" * 20,
+            bytes(rng.integers(0, 256, 3000).astype(np.uint8)),
+            bytes(rng.integers(0, 4, 3000).astype(np.uint8)),  # grows table fast
+        ]:
+            assert _lzw_decode(_lzw_encode_ref(payload)) == payload
+
+    def test_packbits_bytes_roundtrip(self):
+        from geopyspark_spark.sources.geotiff_codec import _packbits_decode
+
+        rng = np.random.default_rng(1)
+        for payload in [
+            b"",
+            b"\x00" * 300,
+            b"abcdef",
+            bytes(rng.integers(0, 3, 500).astype(np.uint8)),
+        ]:
+            assert _packbits_decode(_packbits_encode_ref(payload)) == payload
+
+    def test_stripped_lzw_uint8_predictor(self):
+        rng = np.random.default_rng(2)
+        pix = rng.integers(0, 256, (20, 13, 1)).astype(np.uint8)
+        self._check(pix, comp=5, predictor=2, rows_per_strip=4)
+
+    def test_stripped_lzw_int16_predictor_multiband(self):
+        rng = np.random.default_rng(3)
+        pix = rng.integers(-3000, 3000, (11, 9, 3)).astype(np.int16)
+        self._check(pix, comp=5, predictor=2, rows_per_strip=5)
+
+    def test_tiled_packbits_int16_predictor_ragged(self):
+        rng = np.random.default_rng(4)
+        pix = rng.integers(-500, 500, (20, 13, 1)).astype(np.int16)
+        self._check(pix, comp=32773, predictor=2, tile=(16, 16))
+
+    def test_tiled_lzw_uint16(self):
+        rng = np.random.default_rng(5)
+        pix = rng.integers(0, 65535, (33, 18, 1)).astype(np.uint16)
+        self._check(pix, comp=5, tile=(16, 16))
+
+    def test_bigendian_uncompressed_uint16(self):
+        rng = np.random.default_rng(6)
+        pix = rng.integers(0, 65535, (7, 5, 2)).astype(np.uint16)
+        self._check(pix, bo=">", comp=1)
+
+    def test_packbits_uint8_strips(self):
+        rng = np.random.default_rng(7)
+        pix = rng.integers(0, 8, (16, 16, 1)).astype(np.uint8)  # runs likely
+        self._check(pix, comp=32773, rows_per_strip=4)
+
+    def test_external_lzw_file_through_geotiff_get_path(self, tmp_path):
+        """An externally-produced LZW+predictor TIFF ingests through the
+        geotiff.get codec seam (sizer/decoder pair) byte-exact."""
+        from geopyspark_spark.sources import geotiff_codec as gc
+
+        rng = np.random.default_rng(8)
+        pix = rng.integers(0, 256, (24, 17, 1)).astype(np.uint8)
+        buf = _write_tiff_ref(pix, comp=5, predictor=2, rows_per_strip=6)
+        p = tmp_path / "ext_lzw.tif"
+        p.write_bytes(buf)
+        # sizer: no georeferencing tags in the external file -> extent None
+        cells, extent, crs, nodata = gc.decode_geotiff(p.read_bytes())
+        assert extent is None and crs is None
+        window = gc.decoder(str(p), (3, 5, 10, 12), 0)
+        assert (window == pix[5:17, 3:13, 0]).all()
