@@ -380,7 +380,12 @@ def ivf_index(df: DataFrame, num_clusters: int = 16, train_limit: int = 4096,
             # dot (the same quantity a SQL engine computes), rounded to
             # 6 dp so near-tie assignments are engine-portable (BLAS vs
             # sequential summation); ties -> lowest cluster id, matching
-            # the oracle's (round(dot, 6) DESC, cid) ordering
+            # the oracle's (round(dot, 6) DESC, cid) ordering. Residual
+            # boundary case (accepted heuristic): a dot landing EXACTLY on
+            # an x.xxxxx5 boundary can still round differently across
+            # engines (np.round is half-to-even, DuckDB half-away-from-
+            # zero); if a drift ever reproduces, move both sides to a
+            # shared decimal-string rounding.
             cl = np.argmax(np.round(V @ cm.T, 6), axis=1)
             out = pdf.copy()
             out["cluster_id"] = cl.astype(np.int32)
@@ -616,7 +621,8 @@ def norm_stats(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 
 def cosine_near_dup(df: DataFrame, threshold: float = 0.45,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    blocking: str | None = None, num_planes: int = 8) -> DataFrame:
+                    blocking: str | None = None, num_planes: int = 8,
+                    _known_count: int | None = None) -> DataFrame:
     """All vector pairs with cosine similarity >= threshold (embedding
     near-duplicate detection for training-data pipelines).
 
@@ -628,7 +634,8 @@ def cosine_near_dup(df: DataFrame, threshold: float = 0.45,
     the 100 TB path; trades recall for ~2^planes fewer comparisons.
     """
     if blocking is None:
-        return _near_dup_matmul(df, threshold, id_col, vec_col)
+        return _near_dup_matmul(df, threshold, id_col, vec_col,
+                                _known_count=_known_count)
     if blocking == "lsh":
         sig = hyperplane_signature(df, num_planes, vec_col)
         sa = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
@@ -654,7 +661,7 @@ MAX_BRUTE_FORCE_VECTORS = 100_000
 
 
 def _near_dup_matmul(df: DataFrame, threshold: float, id_col: str,
-                     vec_col: str) -> DataFrame:
+                     vec_col: str, _known_count: int | None = None) -> DataFrame:
     """Exact all-pairs via broadcast + BLAS: the normalized corpus matrix is
     broadcast once; each partition matmuls its row block against it
     (vectorized double-precision, ~1000x the throughput of an interpreted
@@ -664,7 +671,7 @@ def _near_dup_matmul(df: DataFrame, threshold: float, id_col: str,
     import pandas as pd
 
     spark = df.sparkSession
-    n = df.count()
+    n = _known_count if _known_count is not None else df.count()
     if n > MAX_BRUTE_FORCE_VECTORS:
         raise ValueError(
             f"{n} vectors exceeds the brute-force near-dup guard "
@@ -786,19 +793,25 @@ def dedup_by_embedding(df: DataFrame, threshold: float = 0.45,
     """
     from .dedup import components_from_edges
 
-    if blocking is None and df.count() > MAX_BRUTE_FORCE_VECTORS:
-        import warnings
+    known_count = None
+    if blocking is None:
+        # count ONCE and hand it down so _near_dup_matmul's guard doesn't
+        # trigger a second full pass over the corpus
+        known_count = df.count()
+        if known_count > MAX_BRUTE_FORCE_VECTORS:
+            import warnings
 
-        warnings.warn(
-            f"dedup_by_embedding: corpus exceeds the exact-path guard "
-            f"({MAX_BRUTE_FORCE_VECTORS} vectors); degrading to "
-            f"blocking='lsh' (num_planes={num_planes})",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-        blocking = "lsh"
+            warnings.warn(
+                f"dedup_by_embedding: corpus exceeds the exact-path guard "
+                f"({MAX_BRUTE_FORCE_VECTORS} vectors); degrading to "
+                f"blocking='lsh' (num_planes={num_planes})",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            blocking = "lsh"
     pairs = cosine_near_dup(df, threshold, id_col, vec_col,
-                            blocking=blocking, num_planes=num_planes)
+                            blocking=blocking, num_planes=num_planes,
+                            _known_count=known_count)
     comp = components_from_edges(
         df,
         pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")),

@@ -6601,12 +6601,14 @@ SELECT * FROM (VALUES
 
 
 def q_raster_untiled_ingest(spark, sf_dir):
-    """The full reference ingest workflow under the gate (round 6):
-    ``save_stitched`` -> ``geotiff.get`` (windowed scan, pure-Python
-    codec on the seam) -> ``RasterLayer.collect_metadata`` ->
-    ``tile_to_layout`` -> identity with the fixture. Gates the untiled
-    scan schema, window planning, metadata inference, and the
-    aligned-cut path in one query."""
+    """The full reference ingest workflow under the gate (round 6, r8:
+    zero injection): ``save_stitched`` -> ``geotiff.get`` with NO
+    sizer/decoder arguments (the default seam resolves to rasterio where
+    GDAL exists, else the pure-Python codec — identical cells either
+    way) -> ``RasterLayer.collect_metadata`` -> ``tile_to_layout`` ->
+    identity with the fixture. Gates the untiled scan schema, window
+    planning, metadata inference, and the aligned-cut path in one
+    query."""
     import os
     import shutil
     import tempfile
@@ -6619,8 +6621,7 @@ def q_raster_untiled_ingest(spark, sf_dir):
     path = os.path.join(d, "layer.tif")
     try:
         codec.save_stitched(layer, path)
-        df = gt.get(spark, path, max_tile_size=TILE,
-                    sizer=codec.sizer, decoder=codec.decoder)
+        df = gt.get(spark, path, max_tile_size=TILE)
         rl = gps.RasterLayer(df)
         md = rl.collect_metadata(gps.LocalLayout(TILE))
         tiled = rl.tile_to_layout(md)

@@ -9,10 +9,13 @@ Spark-native shape:
 - ``spark.read.format("binaryFile")`` (or a path list) distributes bytes;
 - decoding runs in an Arrow-batched ``mapInPandas`` kernel.
 
-This container has no rasterio/GDAL, so the decode step is STUBBED: a
-clearly-marked ``NotImplementedError`` unless a decoder is injected. The
-Spark plumbing (schema, windowing, partitioning, UDF batch shape) is real
-and tested with a deterministic fake decoder.
+Decode defaults: rasterio/GDAL where installed (any GDAL format, true
+partial windowed reads); otherwise the engine's pure-Python TIFF codec
+(``geotiff_codec`` — baseline strip/tile layout, none/DEFLATE/LZW/
+PackBits, horizontal predictor), so common external GeoTIFFs ingest in
+this container with zero injection. Exotic variants (JPEG-in-TIFF,
+BigTIFF, sub-byte depths) still raise a clear error at decode time —
+that remaining seam takes any ``(path, window, band) -> ndarray``.
 """
 
 from __future__ import annotations
@@ -74,19 +77,21 @@ def rasterio_decoder(path: str, window, band: int):
         return src.read(band + 1, window=Window(c0, r0, w, h)).astype("float64")
 
 
-def _default_decoder(path: str, window) -> Iterator[tuple]:
+def _resolve_default_adapters() -> tuple[Callable, Callable]:
+    """(sizer, decoder) defaults: rasterio/GDAL where installed (any
+    format GDAL reads, true partial windowed reads), else the engine's
+    pure-Python TIFF codec (``geotiff_codec``: baseline strip/tile
+    layout, none/DEFLATE/LZW/PackBits, horizontal predictor — the common
+    external-file baseline; exotics like JPEG-in-TIFF or BigTIFF raise a
+    clear error at decode time, the remaining injection seam)."""
     try:
         import rasterio  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "GeoTIFF decoding requires rasterio/GDAL, which is not available "
-            "in this environment. Pass decoder= to geotiff.get(...) — the "
-            "Spark plumbing (windowing/partitioning/schema) is fully "
-            "functional with any callable (path, window, band) -> ndarray; "
-            "with rasterio installed, geotiff.get defaults to the "
-            "rasterio_sizer/rasterio_decoder adapters above."
-        ) from e
-    return None  # rasterio available: caller falls back to the adapters
+
+        return rasterio_sizer, rasterio_decoder
+    except ImportError:
+        from . import geotiff_codec as gc
+
+        return gc.sizer, gc.decoder
 
 
 def plan_windows(width: int, height: int, max_tile_size: int = 256) -> list[tuple[int, int, int, int]]:
@@ -187,11 +192,10 @@ def get(
     if not paths:
         raise ValueError(f"no {extensions} files under {uris!r}")
     if sizer is None or decoder is None:
-        # default to the rasterio adapters; without rasterio this raises
-        # the documented injection-seam error
-        _default_decoder(paths[0], None)
-        sizer = sizer or rasterio_sizer
-        decoder = decoder or rasterio_decoder
+        # rasterio where installed, else the pure-Python TIFF codec
+        default_sizer, default_decoder = _resolve_default_adapters()
+        sizer = sizer or default_sizer
+        decoder = decoder or default_decoder
 
     temporal = str(layer_type).lower() == "spacetime"
     if temporal and time_of is None:

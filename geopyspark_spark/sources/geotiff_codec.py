@@ -513,16 +513,35 @@ def save_cog(pyramid, path: str, compress: bool = True,
 
 # --- reader-injection hooks for geotiff.get --------------------------------
 
-def sizer(path: str):
-    """``geotiff.get`` sizer for files this codec (or subset) wrote."""
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=4)
+def _cached_decode(path: str, mtime: float):
+    """Decode a file once per (path, mtime) per process — sizer + every
+    window of the same file share one decode (the pure codec has no
+    partial-read path, so without this each window re-decoded the file).
+    mtime is part of the key purely to invalidate on rewrite."""
     with open(path, "rb") as f:
-        cells, extent, _, _ = decode_geotiff(f.read())
+        return decode_geotiff(f.read())
+
+
+def sizer(path: str):
+    """``geotiff.get`` sizer over the pure codec (baseline strip/tile
+    TIFFs, none/DEFLATE/LZW/PackBits). Files without georeferencing tags
+    get the GDAL-style pixel-space extent (0, 0, width, height)."""
+    import os as _os
+
+    cells, extent, _, _ = _cached_decode(path, _os.path.getmtime(path))
+    if extent is None:
+        extent = Extent(0.0, 0.0, float(cells.shape[2]), float(cells.shape[1]))
     return cells.shape[2], cells.shape[1], extent, cells.shape[0]
 
 
 def decoder(path: str, window, band: int) -> np.ndarray:
     """``geotiff.get`` decoder: read one (c0, r0, w, h) window of one band."""
-    with open(path, "rb") as f:
-        cells, _, _, _ = decode_geotiff(f.read())
+    import os as _os
+
+    cells, _, _, _ = _cached_decode(path, _os.path.getmtime(path))
     c0, r0, w, h = window
     return cells[band, r0:r0 + h, c0:c0 + w]

@@ -133,9 +133,43 @@ class TestRasterize:
 
 
 class TestGeoTiffPlumbing:
-    def test_stub_raises_without_decoder(self, spark):
-        with pytest.raises(NotImplementedError, match="rasterio"):
-            gt.get(spark, ["/tmp/fake.tif"])
+    def test_default_adapters_resolve_to_pure_codec(self):
+        try:
+            import rasterio  # noqa: F401
+
+            pytest.skip("rasterio present; pure-codec fallback not exercised")
+        except ImportError:
+            pass
+        from geopyspark_spark.sources import geotiff_codec as gc
+
+        s, d = gt._resolve_default_adapters()
+        assert s is gc.sizer and d is gc.decoder
+
+    def test_get_reads_tiff_with_no_injected_decoder(self, spark, tmp_path):
+        """Zero-injection ingest: a codec-written GeoTIFF reads through
+        geotiff.get's DEFAULT seam (pure codec when rasterio is absent)."""
+        from geopyspark_spark.sources.geotiff_codec import encode_geotiff
+
+        cells = np.arange(100, dtype=np.float64).reshape(1, 10, 10)
+        p = tmp_path / "default_seam.tif"
+        p.write_bytes(encode_geotiff(cells, gps.Extent(0, 0, 10, 10), "epsg:4326"))
+        df = gt.get(spark, str(p), max_tile_size=6)
+        rows = df.collect()
+        assert {(r["rows"], r["cols"]) for r in rows} == {(6, 6), (6, 4), (4, 6), (4, 4)}
+        total = sorted(v for r in rows for v in r["cells"])
+        assert total == sorted(float(i) for i in range(100))
+
+    def test_get_non_tiff_raises_at_decode(self, spark, tmp_path):
+        try:
+            import rasterio  # noqa: F401
+
+            pytest.skip("rasterio present; codec error path not exercised")
+        except ImportError:
+            pass
+        p = tmp_path / "fake.tif"
+        p.write_bytes(b"definitely not a tiff")
+        with pytest.raises(ValueError, match="classic TIFF"):
+            gt.get(spark, str(p))
 
     def test_windowing(self):
         wins = gt.plan_windows(512, 300, 256)

@@ -169,9 +169,10 @@ class TestReadOrdered:
 
 
 class TestRasterioAdapters:
-    def test_seam_error_without_rasterio(self, spark):
-        """Without rasterio the injection seam raises its documented error
-        (the adapters are the production default when GDAL exists)."""
+    def test_pure_codec_fallback_without_rasterio(self, spark):
+        """Without rasterio the default seam now resolves to the pure
+        codec (baseline TIFFs decode with zero injection); a missing
+        file surfaces the OS error, not a stub NotImplementedError."""
         from geopyspark_spark.sources import geotiff as gt
 
         try:
@@ -180,7 +181,7 @@ class TestRasterioAdapters:
             pytest.skip("rasterio installed; adapter path exercised for real")
         except ImportError:
             pass
-        with pytest.raises(NotImplementedError, match="rasterio"):
+        with pytest.raises(FileNotFoundError):
             gt.get(spark, ["/tmp/nonexistent.tif"])
 
     def test_rasterio_adapters_when_available(self, spark, tmp_path):
