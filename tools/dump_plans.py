@@ -69,6 +69,12 @@ SECTIONS = [
     ("text_lm_score", "Self-trained bigram LM (r6). Look for: one explode "
      "(Generate) with NO shuffle before the two count aggregates; the "
      "occurrence-to-counts joins should broadcast the aggregated side."),
+    ("graph_triangles", "Degree-oriented triangle enumeration (r8 rewrite). "
+     "Look for: ONE distinct over least/greatest canonical edges feeding "
+     "degree aggregate + both wedge-join sides + the closing probe "
+     "(exchange reuse, no persist), equi-joins only — the (degree, id) "
+     "orientation caps every node's oriented out-degree at O(sqrt(m)), so "
+     "the wedge join is O(m^1.5) even on power-law hubs."),
 ]
 
 
