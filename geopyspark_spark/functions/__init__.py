@@ -40,6 +40,7 @@ from .sketch import (
 )
 from .text import (
     bigram_lm_score,
+    bm25_score,
     chunk_documents,
     deterministic_sample,
     gopher_filter,
@@ -52,6 +53,7 @@ from .text import (
 
 __all__ = [
     "asof_join", "bigram_lm_score", "bloom_build", "bloom_might_contain",
+    "bm25_score",
     "chunk_documents", "cms_build", "cms_estimate", "cosine_knn",
     "dedup_documents", "deterministic_sample", "duplicate_components",
     "duplicate_spans", "exact_duplicates", "gap_fill", "gopher_filter",

@@ -390,6 +390,72 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bm25_score(df: DataFrame, query_terms: list, k1_x10: int = 12,
+               b_x100: int = 75, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """BM25 relevance of every document against a fixed term set — the
+    standard retrieval/quality scorer, here in the integer-exact variant
+    (same doctrine as :func:`bigram_lm_score` and graph.pagerank): no
+    floats anywhere, so any engine reproduces the scores bit-for-bit.
+
+    Two documented departures from textbook BM25, both monotone in the
+    quantities they replace:
+    - the log-idf is the RATIO itself in milli units,
+      ``idf_milli = (1000 * (2*(N - df) + 1)) DIV (2*df + 1)``
+      (ppk of (N - df + 0.5)/(df + 0.5) — same ordering, no ln);
+    - the length normalization quantizes ``dl/avgdl`` through one
+      integer division (``D DIV T`` below).
+
+    With k1 = k1_x10/10 and b = b_x100/100 the per-(doc, term)
+    contribution reduces to exact integers::
+
+        D = 1000*tf*T + k1_x10*(100 - b_x100)*T + k1_x10*b_x100*dl*N
+        contrib_milli = (idf_milli * tf * (k1_x10 + 10) * 100)
+                         DIV (D DIV T)
+
+    where N = corpus docs, T = corpus tokens, dl = doc tokens. Overflow
+    bound: idf_milli*tf*(k1_x10+10)*100 < 2^63 needs N*tf < ~4e15 —
+    fine for any real corpus/term (a billion docs x thousand-token tf).
+
+    Spark shape (100 TB-safe): one explode filtered to the query terms
+    (tiny IN-list, pushed into the scan of the exploded column), hash
+    aggregates for tf/df, the df table and the 1-row corpus stats
+    broadcast — the corpus is never shuffled, only the O(docs x terms)
+    tf table is.
+
+    Returns (id, score_milli, n_terms_hit) for every input document.
+    """
+    terms = sorted({str(t) for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = df.select(id_col, tokens_col(text_col).alias("toks"))
+    dl = toks.select(id_col, F.size("toks").alias("dl"), "toks")
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("dl").cast("long")).alias("t_tokens"),
+    )
+    occ = dl.select(id_col, "dl", F.explode("toks").alias("w")).where(
+        F.col("w").isin(terms)
+    )
+    tf = occ.groupBy(id_col, "dl", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    j = tf.join(F.broadcast(dfreq), "w").crossJoin(F.broadcast(stats))
+    contrib = F.expr(
+        f"((1000 * (2 * (n_docs - df) + 1)) DIV (2 * df + 1)) * tf "
+        f"* {(k1_x10 + 10) * 100} DIV "
+        f"((1000 * tf * t_tokens + {k1_x10 * (100 - b_x100)} * t_tokens "
+        f"+ {k1_x10 * b_x100} * dl * n_docs) DIV t_tokens)"
+    )
+    scored = j.select(id_col, contrib.alias("c")).groupBy(id_col).agg(
+        F.sum("c").alias("score_milli"), F.count("*").alias("n_terms_hit")
+    )
+    return df.select(id_col).join(scored, id_col, "left_outer").select(
+        id_col,
+        F.coalesce("score_milli", F.lit(0)).cast("long").alias("score_milli"),
+        F.coalesce("n_terms_hit", F.lit(0)).cast("long").alias("n_terms_hit"),
+    )
+
+
 def benchmark_overlap(df: DataFrame, bench_df: DataFrame, n: int = 5,
                       text_col: str = "text") -> DataFrame:
     """Benchmark-contamination check (the standard n-gram collision test

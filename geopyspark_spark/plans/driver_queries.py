@@ -3272,6 +3272,49 @@ def q_text_lm_score(spark, sf_dir):
     return ftext.bigram_lm_score(_t(spark, sf_dir, "documents"))
 
 
+BM25_TERMS = ["hash", "join", "stream", "vector"]
+
+
+def q_text_bm25(spark, sf_dir):
+    """Integer-exact BM25 relevance of every document against a fixed
+    term set (retrieval/quality scoring for corpus curation) — rational
+    idf in milli units + integer length normalization, bit-reproducible
+    in any engine; see functions/text.py::bm25_score."""
+    return ftext.bm25_score(_t(spark, sf_dir, "documents"), BM25_TERMS)
+
+
+SQL_TEXT_BM25 = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), d AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS t_tokens FROM d
+), occ AS (
+  SELECT doc_id, dl, u.w AS w FROM d, UNNEST(toks) AS u(w)
+  WHERE u.w IN ('hash', 'join', 'stream', 'vector')
+), tft AS (
+  SELECT doc_id, dl, w, COUNT(*) AS tfreq FROM occ GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT w, COUNT(*) AS df FROM tft GROUP BY w
+), contrib AS (
+  SELECT tft.doc_id,
+         ((1000 * (2 * (n_docs - df) + 1)) // (2 * df + 1)) * tfreq * 2200
+           // ((1000 * tfreq * t_tokens + 300 * t_tokens + 900 * dl * n_docs)
+               // t_tokens) AS c
+  FROM tft JOIN dfreq USING (w), stats
+), agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_milli,
+         COUNT(*) AS n_terms_hit
+  FROM contrib GROUP BY doc_id
+)
+SELECT documents.doc_id,
+       CAST(COALESCE(score_milli, 0) AS BIGINT) AS score_milli,
+       CAST(COALESCE(n_terms_hit, 0) AS BIGINT) AS n_terms_hit
+FROM documents LEFT JOIN agg USING (doc_id)
+"""
+
+
 SQL_TEXT_LM_SCORE = r"""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
@@ -7031,6 +7074,7 @@ def _canonical_queries():
         "text_chunks": q_text_chunks,
         "graph_pagerank": q_graph_pagerank,
         "text_lm_score": q_text_lm_score,
+        "text_bm25": q_text_bm25,
         "events_hll_users": q_events_hll_users,
         "graph_triangles": q_graph_triangles,
         "emb_int8_knn": q_emb_int8_knn,
@@ -7320,6 +7364,7 @@ def _canonical_queries():
 # hand-edit between the markers.
 # BEGIN WINDOW_ORDER (generated)
 _WINDOW_ORDER: list = [
+    "text_bm25",
     "raster_windowed_source",
     "raster_attribute_store",
     "multimodal_png_features",
@@ -7595,6 +7640,7 @@ def oracle_sql():
         "text_chunks": SQL_TEXT_CHUNKS,
         "graph_pagerank": SQL_GRAPH_PAGERANK,
         "text_lm_score": SQL_TEXT_LM_SCORE,
+        "text_bm25": SQL_TEXT_BM25,
         "events_hll_users": SQL_EVENTS_HLL_USERS,
         "graph_triangles": SQL_GRAPH_TRIANGLES,
         "emb_int8_knn": SQL_EMB_INT8_KNN,

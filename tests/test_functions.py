@@ -1459,3 +1459,45 @@ class TestPipelineProperties:
                 if last is not None:
                     assert abs(gs - last) < 1e-9
                 h += timedelta(hours=1)
+
+
+class TestBM25:
+    def test_scores_rank_rarity_and_frequency(self, spark):
+        from geopyspark_spark.functions.text import bm25_score
+
+        docs = spark.createDataFrame(
+            [
+                (0, "rare common common common"),
+                (1, "common common common common"),
+                (2, "common rare rare common"),
+                (3, "filler filler filler filler"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in bm25_score(docs, ["rare", "common"]).collect()}
+        assert len(out) == 4
+        # no query term -> zero score, zero hits
+        assert out[3]["score_milli"] == 0 and out[3]["n_terms_hit"] == 0
+        # doc 2 has more 'rare' (the higher-idf term) than doc 0 -> higher score
+        assert out[2]["score_milli"] > out[0]["score_milli"]
+        # doc 0 (rare + common) beats doc 1 (common only)
+        assert out[0]["score_milli"] > out[1]["score_milli"]
+        assert out[0]["n_terms_hit"] == 2 and out[1]["n_terms_hit"] == 1
+
+    def test_integer_exact_and_deterministic(self, spark):
+        from geopyspark_spark.functions.text import bm25_score
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w%d" % (j % 7) for j in range(i + 1)])) for i in range(10)],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, bm25_score(docs, ["w0", "w3"]).collect()))
+        b = sorted(map(tuple, bm25_score(docs.repartition(7), ["w0", "w3"]).collect()))
+        assert a == b  # partitioning-independent (pure integer arithmetic)
+
+    def test_empty_terms_raises(self, spark):
+        from geopyspark_spark.functions.text import bm25_score
+
+        docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="non-empty"):
+            bm25_score(docs, [])

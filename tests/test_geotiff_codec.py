@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 import pytest
@@ -634,3 +635,100 @@ class TestExternalTiffDecode:
         assert extent is None and crs is None
         window = gc.decoder(str(p), (3, 5, 10, 12), 0)
         assert (window == pix[5:17, 3:13, 0]).all()
+
+
+class TestCodecProperties:
+    """Hypothesis property tests: randomized round-trip invariants for
+    the byte codecs (shapes/dtypes/compressions the example-based tests
+    don't enumerate)."""
+
+    def test_lzw_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from geopyspark_spark.sources.geotiff_codec import _lzw_decode
+
+        @settings(max_examples=50, deadline=None)
+        @given(st.binary(max_size=2000))
+        def check(payload):
+            assert _lzw_decode(_lzw_encode_ref(payload)) == payload
+
+        check()
+
+    def test_packbits_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from geopyspark_spark.sources.geotiff_codec import _packbits_decode
+
+        @settings(max_examples=50, deadline=None)
+        @given(st.binary(max_size=2000))
+        def check(payload):
+            assert _packbits_decode(_packbits_encode_ref(payload)) == payload
+
+        check()
+
+    def test_tiff_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from geopyspark_spark.sources.geotiff_codec import decode_geotiff
+
+        dtypes = [np.uint8, np.int16, np.uint16, np.int32]
+        comps = [1, 5, 8, 32773]
+
+        @settings(max_examples=30, deadline=None)
+        @given(
+            st.integers(1, 12), st.integers(1, 12), st.integers(1, 3),
+            st.sampled_from(dtypes), st.sampled_from(comps),
+            st.sampled_from([1, 2]), st.booleans(), st.integers(0, 2 ** 31 - 1),
+        )
+        def check(rows, cols, bands, dtype, comp, predictor, tiled, seed):
+            rng = np.random.default_rng(seed)
+            info = np.iinfo(dtype)
+            pix = rng.integers(info.min, int(info.max) + 1,
+                               (rows, cols, bands)).astype(dtype)
+            kw = dict(comp=comp, predictor=predictor)
+            if tiled:
+                kw["tile"] = (8, 8)
+            else:
+                kw["rows_per_strip"] = max(1, rows // 2)
+            cells, _, _, _ = decode_geotiff(_write_tiff_ref(pix, **kw))
+            got = np.moveaxis(cells, 0, -1)
+            assert got.dtype == pix.dtype and (got == pix).all()
+
+        check()
+
+    def test_engine_encoder_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from geopyspark_spark.core.extent import Extent
+        from geopyspark_spark.sources.geotiff_codec import (
+            decode_geotiff, encode_geotiff,
+        )
+
+        @settings(max_examples=30, deadline=None)
+        @given(
+            st.integers(1, 10), st.integers(1, 10), st.integers(1, 3),
+            st.sampled_from(["float64", "float32", "int32", "int16", "uint8"]),
+            st.booleans(), st.integers(0, 2 ** 31 - 1),
+        )
+        def check(rows, cols, bands, dtype, compress, seed):
+            rng = np.random.default_rng(seed)
+            dt = np.dtype(dtype)
+            if dt.kind == "f":
+                pix = rng.integers(-100, 100, (bands, rows, cols)).astype(dt)
+            else:
+                info = np.iinfo(dt)
+                pix = rng.integers(info.min, int(info.max) + 1,
+                                   (bands, rows, cols)).astype(dt)
+            buf = encode_geotiff(pix, Extent(0, 0, cols, rows), "epsg:4326",
+                                 compress=compress)
+            cells, extent, crs, _ = decode_geotiff(buf)
+            assert crs == "epsg:4326"
+            assert (extent.xmin, extent.ymin, extent.xmax, extent.ymax) == (
+                0.0, 0.0, float(cols), float(rows))
+            assert cells.dtype == dt and (cells == pix).all()
+
+        check()

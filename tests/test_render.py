@@ -217,3 +217,25 @@ class TestGeneralPngCodec:
         assert (dec(encode_png(a, filter_cycle=True)) == a.astype(np.float64)).all()
         with pytest.raises(NotImplementedError, match="non-PNG"):
             dec(b"\xff\xd8\xff\xe0 not a png")
+
+
+class TestPngProperties:
+    def test_png_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from geopyspark_spark.operators.render import decode_png, encode_png
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            st.integers(1, 16), st.integers(1, 16), st.sampled_from([1, 2, 3, 4]),
+            st.booleans(), st.integers(0, 2 ** 31 - 1),
+        )
+        def check(h, w, c, cycle, seed):
+            rng = np.random.default_rng(seed)
+            a = rng.integers(0, 256, (h, w, c)).astype(np.uint8)
+            got = decode_png(encode_png(a, filter_cycle=cycle))
+            assert got.shape == (h, w, c)
+            assert (got == a.astype(np.float64)).all()
+
+        check()
