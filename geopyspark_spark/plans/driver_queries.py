@@ -5689,6 +5689,62 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id FROM (
 """
 
 
+def q_emb_kmeans(spark, sf_dir):
+    """Full-corpus k-means organization under the gate: deterministic
+    Lloyd training over the bounded sorted-id sample (driver-side),
+    distributed nearest-centroid assignment for EVERY vector (broadcast
+    centroids + per-partition BLAS matmul, corpus never shuffled before
+    the 8-row summary aggregate), reported as per-cluster size +
+    smallest member id. Unlike emb_ivf_knn (which gates only probed
+    clusters), every vector's assignment feeds this result."""
+    assigned, _cent = fsim.ivf_index(
+        _t(spark, sf_dir, "embeddings"), num_clusters=8
+    )
+    return assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+def _sql_emb_kmeans(num_clusters: int = 8) -> str:
+    """Oracle for q_emb_kmeans: recompute the centroids with the same
+    pure-numpy Lloyd routine on the same sorted-id training rows, inject
+    them as a VALUES table, and re-express the assignment argmax
+    relationally (round(dot, 6) DESC, cid — the engine-portable
+    tie-break contract)."""
+    import duckdb
+    import numpy as np
+
+    sf_dir = _oracle_sf_dir()
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT 4096"
+    ).fetchall()
+    con.close()
+    M = np.array([r[0] for r in rows], dtype=np.float64)
+    cent = fsim.lloyd_centroids(M, num_clusters, iters=5)
+    cent_values = ", ".join(
+        f"({c}, [{', '.join(repr(x) for x in cent[c])}]::DOUBLE[])"
+        for c in range(len(cent))
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent(cid, c) AS (VALUES {cent_values}),
+assign AS (
+  SELECT vec_id, cid AS cluster_id FROM (
+    SELECT e.vec_id, cent.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_dot_product(e.v, cent.c), 6) DESC, cent.cid) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+)
+SELECT CAST(cluster_id AS INT) AS cluster_id,
+       COUNT(*) AS n_vectors,
+       MIN(vec_id) AS min_vec_id
+FROM assign GROUP BY cluster_id
+"""
+
+
 def q_emb_pq_knn(spark, sf_dir):
     """Product-quantization ANN (ADC over m=4 x ksub=16 codes): the
     memory-compressed scan path for 100 TB embedding corpora. Integer
@@ -7281,6 +7337,7 @@ def _canonical_queries():
         "text_exact_dedup": q_text_exact_dedup,
         "text_dup_components": q_text_dup_components,
         "emb_ivf_knn": q_emb_ivf_knn,
+        "emb_kmeans": q_emb_kmeans,
         "tpch_q1": q_tpch_q1,
         "events_tumbling": q_events_tumbling,
         "raster_slope": q_raster_slope,
@@ -7368,6 +7425,7 @@ _WINDOW_ORDER: list = [
     "raster_windowed_source",
     "raster_attribute_store",
     "multimodal_png_features",
+    "emb_kmeans",
     "raster_tile_to_layout_big",
     "rel_profile",
     "events_transitions",
@@ -7773,6 +7831,7 @@ def oracle_sql():
     # rows-only check instead of poisoning the whole oracle dict
     try:
         out["emb_ivf_knn"] = _sql_ivf_knn(num_clusters=16, nprobe=4, k=5)
+        out["emb_kmeans"] = _sql_emb_kmeans(num_clusters=8)
         out["emb_pq_knn"] = _sql_pq_knn(m=4, ksub=16, k=5)
         out["emb_pq_recall"] = _sql_pq_recall()
         out["emb_ivf_recall"] = _sql_ivf_recall()
