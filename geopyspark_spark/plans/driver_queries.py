@@ -6199,6 +6199,33 @@ SELECT doc_id, ch + 3 AS feat_idx, round(s, 6) AS value FROM stats
 """
 
 
+def _payload_pngs(spark, sf_dir):
+    """documents -> (doc_id, data) where data is a REAL PNG of the
+    payload-derived 8x8 RGB image, encoded with row filters cycling 0-4
+    — the input to every zero-injection PNG-decode gate."""
+    from ..functions import multimodal as fmm
+    from ..operators.render import encode_png
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("data")
+    )
+
+    def to_png(batches):
+        for pdf in batches:
+            png = [
+                encode_png(
+                    fmm.payload_image_decoder(bytes(d)).astype(np.uint8),
+                    filter_cycle=True,
+                )
+                for d in pdf["data"]
+            ]
+            out = pdf[["doc_id"]].copy()
+            out["data"] = png
+            yield out
+
+    return docs.mapInPandas(to_png, schema="doc_id long, data binary")
+
+
 def q_multimodal_png_features(spark, sf_dir):
     """Real-PNG decode under the gate, ZERO injected decoders: payload-
     derived 8x8 RGB pixels -> the engine's pure-zlib PNG ENCODER with row
@@ -6212,29 +6239,8 @@ def q_multimodal_png_features(spark, sf_dir):
     PNG tiles through geotrellis PngEncoder (geopyspark/geotrellis/
     layer.py:524-540)."""
     from ..functions import multimodal as fmm
-    from ..operators.render import encode_png
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("data")
-    )
-
-    def to_png(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            png = [
-                encode_png(
-                    fmm.payload_image_decoder(bytes(d)).astype(np.uint8),
-                    filter_cycle=True,
-                )
-                for d in pdf["data"]
-            ]
-            out = pdf[["doc_id"]].copy()
-            out["data"] = png
-            yield out
-
-    pngs = docs.mapInPandas(to_png, schema="doc_id long, data binary")
-    feats = fmm.image_features(pngs)  # decoder=None -> built-in PNG decode
+    feats = fmm.image_features(_payload_pngs(spark, sf_dir))
     return feats.select(
         "doc_id", F.posexplode("features").alias("feat_idx", "v")
     ).select("doc_id", "feat_idx", F.round("v", 6).alias("value"))
@@ -6243,6 +6249,31 @@ def q_multimodal_png_features(spark, sf_dir):
 # identical pixel formula to SQL_MULTIMODAL_FEATURES: the PNG round trip
 # is lossless, so the features are those of the payload image itself
 SQL_MULTIMODAL_PNG_FEATURES = SQL_MULTIMODAL_FEATURES
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """image_resize under the gate, zero injection: payload-PNGs decoded
+    by the built-in codec, nearest-neighbor resized 8x8 -> 4x4. Output
+    pixel (r, c, ch) samples source pixel (2r, 2c, ch), so the oracle
+    regenerates every resized pixel straight from the payload byte
+    formula — gating the resize index math AND a second independent path
+    through the PNG decode loop."""
+    from ..functions import multimodal as fmm
+
+    res = fmm.image_resize(_payload_pngs(spark, sf_dir), width=4, height=4)
+    return res.select("doc_id", F.posexplode("pixels").alias("pos", "value"))
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH d AS (SELECT doc_id, text, strlen(text) AS len FROM documents)
+SELECT doc_id, CAST(p.p AS INT) AS pos,
+       CASE WHEN len = 0 THEN 0.0
+            ELSE CAST(ascii(substr(text,
+                 CAST(((2 * (p.p // 12)) * 8 + 2 * ((p.p % 12) // 3)) * 3
+                      + p.p % 3 AS INT) % len + 1, 1)) AS DOUBLE)
+       END AS value
+FROM d, range(48) p(p)
+"""
 
 
 def q_multimodal_ahash(spark, sf_dir):
@@ -7331,6 +7362,7 @@ def _canonical_queries():
         "emb_knn": q_emb_knn,
         "multimodal_features": q_multimodal_features,
         "multimodal_png_features": q_multimodal_png_features,
+        "multimodal_resize": q_multimodal_resize,
         "events_session": q_events_session,
         "raster_zonal_stats": q_raster_zonal_stats,
         "raster_mask": q_raster_mask,
@@ -7425,6 +7457,7 @@ _WINDOW_ORDER: list = [
     "raster_windowed_source",
     "raster_attribute_store",
     "multimodal_png_features",
+    "multimodal_resize",
     "emb_kmeans",
     "raster_tile_to_layout_big",
     "rel_profile",
@@ -7763,6 +7796,7 @@ def oracle_sql():
         "emb_dedup_pipeline": _sql_emb_dedup_pipeline(6, 0.45),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_png_features": SQL_MULTIMODAL_PNG_FEATURES,
+        "multimodal_resize": SQL_MULTIMODAL_RESIZE,
         "multimodal_audio": SQL_MULTIMODAL_AUDIO,
         # ---- round 3 ----
         "raster_focal_mode": SQL_RASTER_FOCAL_MODE,
