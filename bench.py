@@ -61,6 +61,11 @@ HEADLINE = [
     "events_gap_fill",
     "rel_bloom_filter",
     "events_rollup",
+    # round-8 additions: integer-exact BM25, full-corpus k-means
+    # assignment, and the zero-injection PNG codec path
+    "text_bm25",
+    "emb_kmeans",
+    "multimodal_png_features",
 ]
 
 

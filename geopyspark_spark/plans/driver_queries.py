@@ -4357,6 +4357,54 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_approx_percentile(spark, sf_dir):
+    """The SCALE percentile path under the gate: ``approx_percentile``
+    (Greenwald-Khanna quantile sketch — mergeable, bounded memory, no
+    per-group sort; what replaces the exact percentile at 100 TB) gated
+    by its own rank-error contract instead of its value: for each
+    event_type the count of values below the approx p50/p95 must lie
+    within n/accuracy (+1 boundary slack) of the target rank. The query
+    emits the per-group bound CHECK — deterministically true whenever
+    the sketch honors its contract — so the result is engine-portable
+    even though the sketch output itself is not (same pattern as the
+    emb_pq_recall/emb_ivf_recall gates)."""
+    ACC = 1000
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    approx = ev.groupBy("event_type").agg(
+        F.expr(f"approx_percentile(value, array(0.5, 0.95), {ACC})").alias("ap"),
+        F.count("*").alias("n"),
+    )
+    a = approx.select(
+        "event_type", F.col("ap")[0].alias("a50"), F.col("ap")[1].alias("a95"), "n"
+    )
+    j = ev.join(F.broadcast(a), "event_type")
+    ranks = j.groupBy("event_type").agg(
+        F.sum((F.col("value") < F.col("a50")).cast("long")).alias("lo50"),
+        F.sum((F.col("value") <= F.col("a50")).cast("long")).alias("hi50"),
+        F.sum((F.col("value") < F.col("a95")).cast("long")).alias("lo95"),
+        F.sum((F.col("value") <= F.col("a95")).cast("long")).alias("hi95"),
+        F.first("n").alias("n"),
+    )
+    tol = F.col("n") / ACC + 1
+    return ranks.select(
+        "event_type",
+        (
+            (F.col("lo50") <= 0.5 * F.col("n") + tol)
+            & (F.col("hi50") >= 0.5 * F.col("n") - tol)
+        ).alias("p50_within_bound"),
+        (
+            (F.col("lo95") <= 0.95 * F.col("n") + tol)
+            & (F.col("hi95") >= 0.95 * F.col("n") - tol)
+        ).alias("p95_within_bound"),
+    )
+
+
+SQL_EVENTS_APPROX_PERCENTILE = """
+SELECT event_type, true AS p50_within_bound, true AS p95_within_bound
+FROM events GROUP BY event_type
+"""
+
+
 def q_events_funnel(spark, sf_dir):
     """Conversion funnel: users who signed up, then viewed after signing
     up, then purchased after viewing — ordered-sequence matching via
@@ -7310,6 +7358,7 @@ def _canonical_queries():
         "rel_salted_join": q_rel_salted_join,
         "multimodal_video": q_multimodal_video,
         "events_percentiles": q_events_percentiles,
+        "events_approx_percentile": q_events_approx_percentile,
         "text_repetition": q_text_repetition,
         "text_contamination": q_text_contamination,
         "text_pack_sequences": q_text_pack_sequences,
@@ -7456,6 +7505,7 @@ _WINDOW_ORDER: list = [
     "text_bm25",
     "raster_windowed_source",
     "raster_attribute_store",
+    "events_approx_percentile",
     "multimodal_png_features",
     "multimodal_resize",
     "emb_kmeans",
@@ -7846,6 +7896,7 @@ def oracle_sql():
         "text_prepare_corpus": SQL_TEXT_PREPARE_CORPUS,
         "events_retention": SQL_EVENTS_RETENTION,
         "events_percentiles": SQL_EVENTS_PERCENTILES,
+        "events_approx_percentile": SQL_EVENTS_APPROX_PERCENTILE,
         "raster_temporal_rolling": SQL_RASTER_TEMPORAL_ROLLING,
         "events_stream_stateful": SQL_EVENTS_STREAM_STATEFUL,
         "multimodal_video": SQL_MULTIMODAL_VIDEO,
