@@ -162,23 +162,31 @@ def pagerank(edges: DataFrame, iterations: int = 5,
 
     Spark shape (the Pregel/aggregateMessages pattern): per round, one
     equi-join ranks⨝edges on src + one shuffle aggregate on dst. The
-    edge list is hash-partitioned on src once and persisted, so every
-    round's join reuses the same partitioning; only the (node, pr)
-    table — tiny next to the edges — reshuffles. Rounds are a fixed
-    constant, not data-dependent, so the job graph is static.
+    whole computation is ONE lazy plan — the edge/degree/node subtrees
+    appear once per round, but they are canonically identical, so
+    Spark's ReuseExchange executes each underlying shuffle once and the
+    rounds read its shuffle files (r8: this replaced an eager
+    persist + final ``localCheckpoint`` whose RDD-path execution
+    bypassed AQE and tripled the wall-clock; it also means the library
+    holds NO cached state — nothing to leak). Rounds are a fixed
+    constant, not data-dependent, so the job graph is static. Callers
+    that will act on the result repeatedly should persist it themselves.
+
+    High iteration counts: every ``32`` rounds the rank table (O(nodes),
+    tiny next to the edges) is localCheckpoint'ed purely to bound plan
+    depth; runs of <= 32 rounds — i.e. any practical PageRank — never
+    pay it (measured: the lazy plan executes smoothly through 32 rounds;
+    the checkpoint's non-AQE RDD execution is the single most expensive
+    operation in the old formulation, so it is strictly a deep-run
+    safety valve now).
 
     Returns (node, pr) for every node appearing in the edge list.
     """
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
-    # cut the caller's (possibly expensive) edge-building plan with ONE
-    # eager checkpoint — everything below consumes the materialized rows,
-    # never the original plan (which would otherwise re-execute once per
-    # consuming branch: swap-union, degree, node set)
     e0 = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
-        .localCheckpoint()
     )
     und = e0
     if undirected:
@@ -189,20 +197,14 @@ def pagerank(edges: DataFrame, iterations: int = 5,
         )
 
     deg = und.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # pre-join degree onto the edges once; the src-key join leaves the
-    # result hash-partitioned on src, and persist() (NOT checkpoint — a
-    # checkpointed scan forgets its partitioning) keeps that layout, so
-    # each round's ranks-join co-locates against the same exchange
-    e = und.join(deg, "src").persist()
-    e.count()
+    # the src-key join leaves the edge table hash-partitioned on src;
+    # every round's ranks-join reuses that exchange's shuffle files
+    e = und.join(deg, "src")
 
-    # node set from the CACHED edge table, not from the lazy union plan
-    # (which would re-run the undirected distinct per consuming job)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     base = ((PPM - damping_ppm) * rank_scale) // PPM
     ranks = nodes.select("node", F.lit(rank_scale).cast("long").alias("pr"))
@@ -220,15 +222,8 @@ def pagerank(edges: DataFrame, iterations: int = 5,
                 + F.expr(f"({damping_ppm} * coalesce(sum_contrib, 0L)) DIV {PPM}")
             ).alias("pr"),
         )
-        # truncate lineage every few rounds so plan depth stays bounded
-        # at high iteration counts (the ranks table is O(nodes) — cheap
-        # to materialize)
-        if (i + 1) % 8 == 0:
+        # bound plan depth for deep runs; the materialized table is only
+        # O(nodes) rows
+        if (i + 1) % 32 == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint()
-    # materialize the result, then release the cached inputs — a
-    # library call must not leak persisted RDDs into the session
-    ranks = ranks.localCheckpoint()
-    e.unpersist()
-    nodes.unpersist()
-    e0.unpersist()
     return ranks

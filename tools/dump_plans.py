@@ -55,9 +55,12 @@ SECTIONS = [
      "audit (r6). Look for: NO lineitem self-join — two HashAggregates on "
      "l_orderkey(+l_suppkey) with partial_ map-side combine, then equi-joins "
      "that AQE keeps on the same key family; supplier dim broadcast."),
-    ("graph_pagerank", "Integer PageRank, 5 unrolled rounds (r6). Look for: "
-     "the edge list built ONCE (ReusedExchange under each round's join), "
-     "per-round joins on src, aggregates on dst — no Python nodes at all."),
+    ("graph_pagerank", "Integer PageRank, 5 unrolled rounds (r8: fully lazy "
+     "— no persist, no checkpoint). Look for: the edge/degree/node shuffles "
+     "executed ONCE and ReusedExchange under every later round, per-round "
+     "joins on src, aggregates on dst — no Python nodes at all. The old "
+     "eager persist + final localCheckpoint executed the plan on the "
+     "non-AQE RDD path and tripled the wall-clock."),
     ("emb_pq_knn", "PQ/ADC scan (r6). Look for: MapInPandas only for the "
      "encode step; the ADC scan is pure codegen expressions over integer "
      "codes joined BroadcastExchange-side to the tiny query tables; "
