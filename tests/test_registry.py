@@ -95,3 +95,25 @@ def test_oracle_type_lint_all():
     assert not bad, (
         f"oracles with HUGEINT/DECIMAL result columns (CAST to BIGINT/DOUBLE): {bad}"
     )
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/testdata/sf0.001"), reason="testdata missing"
+)
+def test_driver_entry_contract(spark):
+    """The driver smoke check as a CI test: entry(spark) runs on sf0.001
+    and yields a non-empty result with a stable schema; queries() and
+    oracle_sql() agree on coverage (every oracle key has a query)."""
+    import __spark_entry__ as entry
+
+    df = entry.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert df.columns == ["band", "zsum", "zmin", "zmax", "zmean", "zcount"]
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert set(oracles).issubset(set(qs)), (
+        f"oracle keys without queries: {set(oracles) - set(qs)}"
+    )
+    # every registry entry is callable
+    assert all(callable(fn) for fn in qs.values())
