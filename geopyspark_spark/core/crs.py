@@ -1365,6 +1365,122 @@ class MillerCylindrical:
         return np.degrees(lam) + self.lon0, np.degrees(phi)
 
 
+#: Robinson's published coordinate table (Robinson 1974; reprinted in
+#: Snyder & Voxland, "An Album of Map Projections", 1989, p. 82-83):
+#: per 5 degrees of latitude, X = parallel length relative to the
+#: equator, Y = parallel distance from the equator relative to the pole.
+_ROBINSON_LATS = np.arange(0.0, 95.0, 5.0)
+_ROBINSON_PLEN = np.array([
+    1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600, 0.9427,
+    0.9216, 0.8962, 0.8679, 0.8350, 0.7986, 0.7597, 0.7186, 0.6732,
+    0.6213, 0.5722, 0.5322,
+])
+_ROBINSON_PDFE = np.array([
+    0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720, 0.4340,
+    0.4958, 0.5571, 0.6176, 0.6769, 0.7346, 0.7903, 0.8435, 0.8936,
+    0.9394, 0.9761, 1.0000,
+])
+
+
+class _NaturalCubic:
+    """Natural cubic spline through fixed knots — deterministic
+    (tridiagonal solve at construction), vectorized evaluation, and an
+    analytic derivative for Newton inversion."""
+
+    def __init__(self, xs: np.ndarray, ys: np.ndarray):
+        n = len(xs)
+        h = np.diff(xs)
+        # second derivatives M from the natural-spline tridiagonal system
+        A = np.zeros((n, n))
+        rhs = np.zeros(n)
+        A[0, 0] = A[n - 1, n - 1] = 1.0
+        for i in range(1, n - 1):
+            A[i, i - 1] = h[i - 1]
+            A[i, i] = 2 * (h[i - 1] + h[i])
+            A[i, i + 1] = h[i]
+            rhs[i] = 6 * ((ys[i + 1] - ys[i]) / h[i] - (ys[i] - ys[i - 1]) / h[i - 1])
+        self.xs, self.ys = xs, ys
+        self.m = np.linalg.solve(A, rhs)
+        self.h = h
+
+    def _seg(self, x):
+        i = np.clip(np.searchsorted(self.xs, x, side="right") - 1, 0, len(self.h) - 1)
+        return i
+
+    def __call__(self, x):
+        x = np.asarray(x, dtype=np.float64)
+        i = self._seg(x)
+        h, xs, ys, m = self.h[i], self.xs[i], self.ys[i], self.m[i]
+        x1, y1, m1 = self.xs[i + 1], self.ys[i + 1], self.m[i + 1]
+        t = x - xs
+        u = x1 - x
+        return (
+            m * u ** 3 / (6 * h) + m1 * t ** 3 / (6 * h)
+            + (ys / h - m * h / 6) * u + (y1 / h - m1 * h / 6) * t
+        )
+
+    def deriv(self, x):
+        x = np.asarray(x, dtype=np.float64)
+        i = self._seg(x)
+        h, xs, ys, m = self.h[i], self.xs[i], self.ys[i], self.m[i]
+        x1, y1, m1 = self.xs[i + 1], self.ys[i + 1], self.m[i + 1]
+        t = x - xs
+        u = x1 - x
+        return (
+            -m * u ** 2 / (2 * h) + m1 * t ** 2 / (2 * h)
+            - (ys / h - m * h / 6) + (y1 / h - m1 * h / 6)
+        )
+
+
+class Robinson:
+    """Robinson pseudocylindrical (Robinson 1974; Snyder & Voxland 1989) —
+    the compromise world-map projection (``+proj=robin``). Defined by the
+    published 5-degree coordinate table, not closed formulas:
+
+        x = 0.8487 * R * X(|lat|) * (lon - lon0)   [radians]
+        y = 1.3523 * R * Y(|lat|) * sign(lat)
+
+    Spherical on R = a (proj4's robin convention). Table values are
+    interpolated with a deterministic natural cubic spline — EXACT at
+    every 5-degree knot; between knots this is a documented
+    implementation choice (proj4 uses its own fitted polynomial
+    coefficients, so sub-knot coordinates may differ from proj by up to
+    ~100 m at world scale — the knots and therefore the projection's
+    published definition agree). Inverse solves the monotone Y spline by
+    Newton from a linear-interp seed."""
+
+    K_X, K_Y = 0.8487, 1.3523
+
+    def __init__(self, ell: _Ellipsoid, lon0: float, fe: float, fn: float):
+        self.r, self.lon0, self.fe, self.fn = ell.a, lon0, fe, fn
+        self._sx = _NaturalCubic(_ROBINSON_LATS, _ROBINSON_PLEN)
+        self._sy = _NaturalCubic(_ROBINSON_LATS, _ROBINSON_PDFE)
+
+    def forward(self, lon, lat):
+        lat = np.asarray(lat, dtype=np.float64)
+        alat = np.clip(np.abs(lat), 0.0, 90.0)
+        plen = self._sx(alat)
+        pdfe = self._sy(alat)
+        lam = np.radians(np.subtract(lon, self.lon0))
+        x = self.K_X * self.r * plen * lam
+        y = self.K_Y * self.r * pdfe * np.sign(lat)
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y):
+        yy = np.subtract(y, self.fn) / (self.K_Y * self.r)
+        target = np.clip(np.abs(yy), 0.0, 1.0)
+        # Newton on the strictly increasing Y spline; linear-interp seed
+        alat = np.interp(target, _ROBINSON_PDFE, _ROBINSON_LATS)
+        for _ in range(10):
+            f = self._sy(alat) - target
+            fp = np.maximum(self._sy.deriv(alat), 1e-9)
+            alat = np.clip(alat - f / fp, 0.0, 90.0)
+        lat = alat * np.sign(yy)
+        plen = np.maximum(self._sx(alat), 1e-12)
+        lam = np.subtract(x, self.fe) / (self.K_X * self.r * plen)
+        return np.degrees(lam) + self.lon0, lat
+
+
 class Mollweide:
     """Mollweide pseudocylindrical equal-area (Snyder 1987 §31). Spherical
     formulas on R = a, matching proj4's ``+proj=moll`` convention (proj4j
@@ -2178,6 +2294,8 @@ def _parse_proj4(s: str):
                                     g("x_0"), g("y_0")), shift
     if proj == "moll":
         return Mollweide(ell, g("lon_0"), g("x_0"), g("y_0")), shift
+    if proj == "robin":
+        return Robinson(ell, g("lon_0"), g("x_0"), g("y_0")), shift
     if proj == "mill":
         return MillerCylindrical(ell, g("lon_0"), g("x_0"), g("y_0")), shift
     if proj in ("eqc", "latlong_m"):

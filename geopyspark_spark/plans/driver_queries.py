@@ -2372,6 +2372,15 @@ q_raster_reproject_krovak = _make_reproject_nn_query(
     warp (round 6).""",
 )
 
+q_raster_reproject_robin = _make_reproject_nn_query(
+    "+proj=robin +lon_0=10 +datum=WGS84",
+    """NN warp 4326 -> Robinson (the table-defined compromise world
+    projection, Robinson 1974 / Snyder-Voxland 1989; proj4 ``robin``) —
+    exercises the spline-interpolated table projection family through
+    the distributed warp (r8; closes the VERDICT r7 'exotic projections'
+    gap for robin).""",
+)
+
 q_raster_reproject_eqc = _make_reproject_nn_query(
     "+proj=eqc +lat_ts=30 +lon_0=5 +ellps=WGS84",
     """NN warp 4326 -> equidistant cylindrical (EPSG 1028, proj4 string
@@ -7384,6 +7393,7 @@ def _canonical_queries():
         "raster_reproject_cass": q_raster_reproject_cass,
         "raster_reproject_aeqd": q_raster_reproject_aeqd,
         "raster_reproject_eqc": q_raster_reproject_eqc,
+        "raster_reproject_robin": q_raster_reproject_robin,
         "raster_reproject_geos": q_raster_reproject_geos,
         "raster_local_algebra": q_raster_local_algebra,
         "text_lsh_pairs": q_text_lsh_pairs,
@@ -7506,6 +7516,7 @@ _WINDOW_ORDER: list = [
     "raster_windowed_source",
     "raster_attribute_store",
     "events_approx_percentile",
+    "raster_reproject_robin",
     "multimodal_png_features",
     "multimodal_resize",
     "emb_kmeans",
@@ -7873,6 +7884,8 @@ def oracle_sql():
         "events_stream_dedup": SQL_EVENTS_STREAM_DEDUP,
         "raster_reproject_eqc": _sql_reproject_nn(
             "+proj=eqc +lat_ts=30 +lon_0=5 +ellps=WGS84"),
+        "raster_reproject_robin": _sql_reproject_nn(
+            "+proj=robin +lon_0=10 +datum=WGS84"),
         "raster_reproject_geos": _sql_reproject_nn(
             "+proj=geos +h=35786023 +lon_0=15 +sweep=y +ellps=GRS80"),
         "raster_catalog_query": SQL_RASTER_CATALOG_QUERY,

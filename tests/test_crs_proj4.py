@@ -1447,3 +1447,65 @@ class TestMillerCylindrical:
         lo, la = inv(x, y)
         np.testing.assert_allclose(lo, lons, atol=1e-9)
         np.testing.assert_allclose(la, lats, atol=1e-9)
+
+
+class TestRobinson:
+    ROBIN = "+proj=robin +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84"
+
+    def test_knot_exactness(self):
+        """At every 5-degree table latitude the projection must reproduce
+        Robinson's published PLEN/PDFE values exactly (the table IS the
+        projection's definition; interpolation only applies between
+        knots)."""
+        import math
+
+        from geopyspark_spark.core.crs import (
+            _ROBINSON_LATS, _ROBINSON_PDFE, _ROBINSON_PLEN, _parse_proj4,
+        )
+
+        p, _ = _parse_proj4(self.ROBIN)
+        R = p.r
+        for lat, plen, pdfe in zip(_ROBINSON_LATS, _ROBINSON_PLEN, _ROBINSON_PDFE):
+            x, y = p.forward(np.array([100.0]), np.array([float(lat)]))
+            assert float(x[0]) == pytest.approx(
+                0.8487 * R * plen * math.radians(100.0), abs=1e-6)
+            assert float(y[0]) == pytest.approx(1.3523 * R * pdfe, abs=1e-6)
+
+    def test_equator_and_pole_lengths(self):
+        """Published frame constants: equator length 0.8487*R*2pi, pole
+        parallel 0.5322 of the equator's scale, pole distance 1.3523*R."""
+        from geopyspark_spark.core.crs import _parse_proj4
+
+        p, _ = _parse_proj4(self.ROBIN)
+        x, y = p.forward(np.array([180.0]), np.array([0.0]))
+        assert float(x[0]) == pytest.approx(0.8487 * p.r * np.pi, rel=1e-12)
+        assert float(y[0]) == 0.0
+        x, y = p.forward(np.array([0.0]), np.array([90.0]))
+        assert float(y[0]) == pytest.approx(1.3523 * p.r, rel=1e-12)
+
+    def test_symmetry_and_round_trip(self):
+        f = get_transform("epsg:4326", self.ROBIN)
+        inv = get_transform(self.ROBIN, "epsg:4326")
+        x1, y1 = f(np.array([40.0]), np.array([-37.0]))
+        x2, y2 = f(np.array([40.0]), np.array([37.0]))
+        assert float(x1[0]) == pytest.approx(float(x2[0]), abs=1e-9)
+        assert float(y1[0]) == pytest.approx(-float(y2[0]), abs=1e-9)
+        lons, lats = np.meshgrid(np.linspace(-179, 179, 31),
+                                 np.linspace(-89.5, 89.5, 29))
+        x, y = f(lons.ravel(), lats.ravel())
+        lo, la = inv(x, y)
+        np.testing.assert_allclose(lo, lons.ravel(), atol=1e-9)
+        np.testing.assert_allclose(la, lats.ravel(), atol=1e-9)
+
+    def test_monotone_between_knots(self):
+        """The spline-interpolated parallel distance must stay strictly
+        increasing in latitude (no spline overshoot between knots) and
+        parallel length strictly decreasing above 10 degrees."""
+        from geopyspark_spark.core.crs import _parse_proj4
+
+        p, _ = _parse_proj4(self.ROBIN)
+        lats = np.linspace(0.0, 90.0, 9001)
+        pd = p._sy(lats)
+        assert np.all(np.diff(pd) > 0)
+        pl = p._sx(lats)
+        assert np.all(np.diff(pl)[lats[:-1] >= 10.0] < 0)
