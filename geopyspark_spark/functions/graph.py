@@ -188,6 +188,14 @@ def pagerank(edges: DataFrame, iterations: int = 5,
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
     )
+    if iterations > 32:
+        # deep runs execute as MULTIPLE jobs (the every-32-rounds
+        # truncation below), and exchange reuse is per-job — pin the
+        # caller's edge plan once so a non-deterministic or expensive
+        # edge source cannot produce a different edge set (or re-pay its
+        # cost) in the later jobs; runs of <= 32 rounds are one job and
+        # skip this
+        e0 = e0.localCheckpoint()
     und = e0
     if undirected:
         und = (

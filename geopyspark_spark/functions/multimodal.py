@@ -72,7 +72,18 @@ def _default_image_decoder() -> Callable[[bytes], np.ndarray]:
 
         def decode_pure(data: bytes) -> np.ndarray:
             if data[:8] == _PNG_MAGIC:
-                return decode_png(data)
+                arr = decode_png(data)
+                # normalize to (h, w, 3) RGB exactly like the Pillow
+                # path's convert("RGB"), so features/hashes are
+                # IDENTICAL with or without Pillow installed: gray and
+                # gray+alpha replicate the gray channel, RGBA drops
+                # alpha (palette already decodes to RGB)
+                c = arr.shape[2]
+                if c == 1 or c == 2:
+                    return np.repeat(arr[:, :, :1], 3, axis=2)
+                if c == 4:
+                    return arr[:, :, :3]
+                return arr
             raise NotImplementedError(
                 "non-PNG image decoding requires Pillow (not in this "
                 "environment); PNG bytes decode via the built-in pure-"

@@ -132,25 +132,13 @@ class ColorMap:
 
 
 def encode_png_rgba(rgba: np.ndarray) -> bytes:
-    """Minimal RGBA8 PNG encoder (pure zlib; rows pre-filtered with 0)."""
-    h, w = rgba.shape[:2]
-
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + tag
-            + data
-            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)  # 8-bit RGBA
-    raw = b"".join(b"\x00" + rgba[r].astype(np.uint8).tobytes() for r in range(h))
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
-        + chunk(b"IEND", b"")
-    )
+    """Minimal RGBA8 PNG encoder — delegates to the general
+    :func:`encode_png` (filter-0 rows; byte-identical to the historical
+    dedicated implementation for uint8 input)."""
+    a = np.asarray(rgba)
+    if a.ndim != 3 or a.shape[2] != 4:
+        raise ValueError("encode_png_rgba expects an (h, w, 4) array")
+    return encode_png(a)
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -306,29 +294,14 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def decode_png_rgba(data: bytes) -> np.ndarray:
-    """Inverse of :func:`encode_png_rgba` for PNGs this module wrote
-    (8-bit RGBA, filter 0 scanlines) — lets the export path be verified
-    end-to-end without PIL (reference round-trips through geotrellis
-    ``PngEncoder``; here the decode side closes the oracle gate)."""
-    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
-    pos, idat, w = 8, b"", None
-    while pos < len(data):
-        (length,) = struct.unpack_from(">I", data, pos)
-        tag = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack_from(">IIBB", body)
-            assert (depth, ctype) == (8, 6), "decode_png_rgba handles RGBA8 only"
-        elif tag == b"IDAT":
-            idat += body
-        pos += 12 + length
-    raw = zlib.decompress(idat)
-    stride = w * 4 + 1
-    assert all(raw[r * stride] == 0 for r in range(len(raw) // stride)), (
-        "only filter-0 scanlines supported"
-    )
-    rows = [raw[r * stride + 1 : (r + 1) * stride] for r in range(len(raw) // stride)]
-    return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(-1, w, 4)
+    """Inverse of :func:`encode_png_rgba` for RGBA8 PNGs — delegates to
+    the general :func:`decode_png` (which also handles non-zero scanline
+    filters) and keeps this function's historical uint8 (h, w, 4) return
+    and RGBA-only strictness."""
+    arr = decode_png(data)
+    if arr.shape[2] != 4:
+        raise ValueError("decode_png_rgba handles RGBA8 only")
+    return arr.astype(np.uint8)
 
 
 def rgba_from_packed(packed: np.ndarray) -> np.ndarray:

@@ -539,9 +539,16 @@ def sizer(path: str):
 
 
 def decoder(path: str, window, band: int) -> np.ndarray:
-    """``geotiff.get`` decoder: read one (c0, r0, w, h) window of one band."""
+    """``geotiff.get`` decoder: read one (c0, r0, w, h) window of one
+    band. Returns a fresh COPY (matching ``rasterio_decoder``'s
+    contract) — the cached decode must never be exposed as a writable
+    view, or one caller's in-place edit would corrupt every later
+    window read of the file in this process. Cache caveats: up to 4
+    decoded rasters stay resident per process, and the (path, mtime)
+    key can go stale if a file is rewritten in-place on a filesystem
+    with coarse mtime granularity."""
     import os as _os
 
     cells, _, _, _ = _cached_decode(path, _os.path.getmtime(path))
     c0, r0, w, h = window
-    return cells[band, r0:r0 + h, c0:c0 + w]
+    return cells[band, r0:r0 + h, c0:c0 + w].copy()

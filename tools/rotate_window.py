@@ -79,13 +79,12 @@ def compute_order(repo_root: str = ".") -> tuple[list, dict]:
 
 def main() -> int:
     order, keys = compute_order()
-    windowed = {n for n in order if keys[n][0] > 0}
-    last_green = {n for n in order if keys[n][0] == 2}
 
     def key(name: str):
         return keys[name]
-    n_never = sum(1 for n in order if n not in windowed)
-    n_red = sum(1 for n in order if n in windowed and n not in last_green)
+
+    n_never = sum(1 for n in order if keys[n][0] == 0)
+    n_red = sum(1 for n in order if keys[n][0] == 1)
     print(
         f"# registry={len(order)} never-windowed={n_never} "
         f"windowed-never-green={n_red} window={WINDOW}"
