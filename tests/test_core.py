@@ -409,3 +409,102 @@ class TestKernelDensity:
         )
         with _pytest.raises(ValueError):
             kernel_density(spark, [], layout, radius=1.0, kernel="gauss")
+
+
+class TestSfcProperties:
+    """Hypothesis property tests for the space-filling-curve kernels and
+    layout key math — the locality/pushdown foundations every catalog
+    write and spatial query stands on."""
+
+    def test_z2_bijective_and_locality_bit_structure(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from geopyspark_spark.core.zindex import _part1by1_py, z2_py
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.integers(0, 0xFFFF), st.integers(0, 0xFFFF))
+        def check(c, r):
+            z = z2_py(c, r)
+            # invertible: de-interleave recovers the inputs
+            ce = z & 0x55555555
+            re_ = (z >> 1) & 0x55555555
+
+            def compact(n):
+                n &= 0x55555555
+                n = (n | (n >> 1)) & 0x33333333
+                n = (n | (n >> 2)) & 0x0F0F0F0F
+                n = (n | (n >> 4)) & 0x00FF00FF
+                n = (n | (n >> 8)) & 0x0000FFFF
+                return n
+
+            assert compact(ce) == c and compact(re_) == r
+            # even/odd bit planes are exactly the two coordinates
+            assert _part1by1_py(c) | (_part1by1_py(r) << 1) == z
+
+        check()
+
+    def test_z3_bijective(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from geopyspark_spark.core.zindex import z3_py
+
+        seen = {}
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.integers(0, 0x1FFFFF), st.integers(0, 0x1FFFFF),
+               st.integers(0, 0x1FFFFF))
+        def check(c, r, t):
+            z = z3_py(c, r, t)
+            prev = seen.setdefault(z, (c, r, t))
+            assert prev == (c, r, t), f"collision: {prev} vs {(c, r, t)}"
+
+        check()
+
+    def test_hilbert_bijective_and_unit_steps(self):
+        """On a full small grid the Hilbert index is a bijection AND
+        consecutive distances are grid neighbors (|dx|+|dy| = 1) — the
+        locality property that makes it the better write order."""
+        from geopyspark_spark.core.zindex import hilbert_py
+
+        bits = 5
+        n = 1 << bits
+        pos = {}
+        for c in range(n):
+            for r in range(n):
+                d = hilbert_py(c, r, bits)
+                assert 0 <= d < n * n
+                assert d not in pos
+                pos[d] = (c, r)
+        for d in range(1, n * n):
+            (c0, r0), (c1, r1) = pos[d - 1], pos[d]
+            assert abs(c0 - c1) + abs(r0 - r1) == 1
+
+    def test_key_transform_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        import geopyspark_spark as gps
+        from geopyspark_spark.core.keys import KeyTransform
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.integers(1, 32), st.integers(1, 32),
+               st.integers(0, 31), st.integers(0, 31),
+               st.floats(0.1, 0.9), st.floats(0.1, 0.9))
+        def check(lc, lr, kc, kr, fx, fy):
+            kc, kr = kc % lc, kr % lr
+            ld = gps.LayoutDefinition(
+                gps.Extent(-50.0, -30.0, 70.0, 90.0), gps.TileLayout(lc, lr, 8, 8)
+            )
+            kt = KeyTransform(ld)
+            ext = kt.key_extent(kc, kr)
+            # an interior point of the key's extent maps back to the key
+            x = ext.xmin + fx * (ext.xmax - ext.xmin)
+            y = ext.ymin + fy * (ext.ymax - ext.ymin)
+            assert kt.point_key(x, y) == (kc, kr)
+            # extents tile the layout exactly
+            assert ext.xmax - ext.xmin == pytest.approx(ld.extent.width / lc)
+            assert ext.ymax - ext.ymin == pytest.approx(ld.extent.height / lr)
+
+        check()
