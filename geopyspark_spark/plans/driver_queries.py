@@ -7512,56 +7512,6 @@ def _canonical_queries():
 # hand-edit between the markers.
 # BEGIN WINDOW_ORDER (generated)
 _WINDOW_ORDER: list = [
-    "text_bm25",
-    "raster_windowed_source",
-    "raster_attribute_store",
-    "events_approx_percentile",
-    "raster_reproject_robin",
-    "multimodal_png_features",
-    "multimodal_resize",
-    "emb_kmeans",
-    "raster_tile_to_layout_big",
-    "rel_profile",
-    "events_transitions",
-    "events_user_features",
-    "raster_cell_value_counts",
-    "raster_resample",
-    "raster_bands",
-    "raster_combine_bands",
-    "raster_focal_max",
-    "raster_focal_median",
-    "raster_focal_circle",
-    "raster_filter_by_times",
-    "raster_point_bilinear",
-    "raster_euclidean_distance",
-    "raster_aspect",
-    "raster_hillshade",
-    "raster_tobler",
-    "raster_map_cells",
-    "raster_union",
-    "text_word_freq",
-    "text_quality",
-    "text_lang_scores",
-    "text_fingerprint",
-    "text_ngram_jaccard",
-    "text_bpe_tokens",
-    "text_quality_ratios",
-    "emb_norm_stats",
-    "emb_lsh_knn",
-    "emb_near_dup",
-    "emb_dedup_pipeline",
-    "multimodal_audio",
-    "tpch_q5_nation_revenue",
-    "tpch_q6",
-    "set_intersect",
-    "events_sliding",
-    "events_user_stats",
-    "raster_reclassify",
-    "raster_layer_add",
-    "raster_focal_mean",
-    "raster_class_histogram",
-    "raster_quantile_breaks",
-    "raster_aggregate_by_cell",
     "raster_spacetime_series",
     "raster_rasterize",
     "events_asof_join",
@@ -7709,6 +7659,56 @@ _WINDOW_ORDER: list = [
     "raster_catalog_roundtrip",
     "raster_convert_int8",
     "raster_lookup",
+    "text_bm25",
+    "rel_profile",
+    "events_transitions",
+    "events_user_features",
+    "raster_windowed_source",
+    "raster_attribute_store",
+    "events_approx_percentile",
+    "raster_reproject_robin",
+    "multimodal_png_features",
+    "multimodal_resize",
+    "emb_kmeans",
+    "text_word_freq",
+    "text_quality",
+    "text_lang_scores",
+    "text_fingerprint",
+    "text_ngram_jaccard",
+    "text_bpe_tokens",
+    "text_quality_ratios",
+    "emb_norm_stats",
+    "emb_lsh_knn",
+    "emb_near_dup",
+    "emb_dedup_pipeline",
+    "multimodal_audio",
+    "tpch_q5_nation_revenue",
+    "tpch_q6",
+    "set_intersect",
+    "events_sliding",
+    "events_user_stats",
+    "raster_reclassify",
+    "raster_layer_add",
+    "raster_focal_mean",
+    "raster_class_histogram",
+    "raster_quantile_breaks",
+    "raster_aggregate_by_cell",
+    "raster_cell_value_counts",
+    "raster_resample",
+    "raster_tile_to_layout_big",
+    "raster_bands",
+    "raster_combine_bands",
+    "raster_focal_max",
+    "raster_focal_median",
+    "raster_focal_circle",
+    "raster_filter_by_times",
+    "raster_point_bilinear",
+    "raster_euclidean_distance",
+    "raster_aspect",
+    "raster_hillshade",
+    "raster_tobler",
+    "raster_map_cells",
+    "raster_union",
 ]
 # END WINDOW_ORDER
 
