@@ -86,6 +86,15 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     per-node counts are identical to id-orientation (the oracle keeps
     the simple a<b formulation).
 
+    Determinism contract: the oriented edge set feeds four branches of
+    ONE returned plan, deduplicated by Spark's ReuseExchange. With a
+    NON-deterministic ``edges`` source (``rand()``, a re-sampled read,
+    an unstable limit) or ``spark.sql.exchange.reuse=false``, branches
+    may observe different edge sets and produce wrong counts —
+    materialize such a source first (``edges.localCheckpoint()`` or
+    write + re-read). Deterministic sources (parquet + pure
+    transformations) need nothing.
+
     Returns (node, n_triangles) for every node in the edge list
     (nodes in no triangle report 0).
     """
@@ -179,6 +188,18 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     the checkpoint's non-AQE RDD execution is the single most expensive
     operation in the old formulation, so it is strictly a deep-run
     safety valve now).
+
+    Determinism contract: at <= 32 rounds the per-round edge/degree
+    subtrees are separate branches of one plan that Spark's
+    ReuseExchange collapses onto one shuffle. With a NON-deterministic
+    ``edges`` source (``rand()``, a re-sampled read, an unstable limit)
+    or with ``spark.sql.exchange.reuse=false``, the branches may
+    recompute DIFFERENT edge sets and silently skew the ranks —
+    materialize such a source first (``df.localCheckpoint()`` or write
+    + re-read). Runs of > 32 rounds pin the edge set automatically (the
+    checkpoint below). Deterministic sources — parquet reads and pure
+    transformations, i.e. everything this engine produces — need
+    nothing.
 
     Returns (node, pr) for every node appearing in the edge list.
     """

@@ -5708,7 +5708,7 @@ def _sql_ivf_knn(num_clusters: int = 16, nprobe: int = 4, k: int = 5) -> str:
             probe_rows.append((int(vid), int(c)))
 
     cent_values = ", ".join(
-        f"({c}, [{', '.join(repr(x) for x in cent[c])}]::DOUBLE[])"
+        f"({c}, [{', '.join(repr(float(x)) for x in cent[c])}]::DOUBLE[])"
         for c in range(len(cent))
     )
     probe_values = ", ".join(f"({q}, {c})" for q, c in probe_rows)
@@ -5781,7 +5781,7 @@ def _sql_emb_kmeans(num_clusters: int = 8) -> str:
     M = np.array([r[0] for r in rows], dtype=np.float64)
     cent = fsim.lloyd_centroids(M, num_clusters, iters=5)
     cent_values = ", ".join(
-        f"({c}, [{', '.join(repr(x) for x in cent[c])}]::DOUBLE[])"
+        f"({c}, [{', '.join(repr(float(x)) for x in cent[c])}]::DOUBLE[])"
         for c in range(len(cent))
     )
     return f"""
@@ -5841,7 +5841,7 @@ def _sql_pq_knn(m: int = 4, ksub: int = 16, k: int = 5,
         for j in range(m)
     ])
     book_values = ", ".join(
-        f"({j}, {c}, [{', '.join(repr(x) for x in books[j][c])}]::DOUBLE[])"
+        f"({j}, {c}, [{', '.join(repr(float(x)) for x in books[j][c])}]::DOUBLE[])"
         for j in range(m) for c in range(ksub)
     )
     tab_values = []

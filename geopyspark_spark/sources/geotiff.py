@@ -155,10 +155,16 @@ def get(
     """Read raster files into an untiled scan DataFrame.
 
     ``sizer(path) -> (width, height, extent, n_bands)`` provides raster
-    metadata (driver-side; rasterio when available). ``decoder(path,
-    window, band) -> np.ndarray`` reads one window. Both default to the
-    rasterio-backed implementations and raise a clear
-    ``NotImplementedError`` in environments without GDAL.
+    metadata (driver-side). ``decoder(path, window, band) ->
+    np.ndarray`` reads one window. Both default to the rasterio-backed
+    implementations when rasterio/GDAL is importable, else fall back to
+    the engine's pure-Python TIFF codec
+    (``sources/geotiff_codec.py::sizer``/``decoder``: baseline
+    strip/tile layouts, none/DEFLATE/LZW/PackBits compression, the
+    horizontal-differencing predictor, u/int 8–32 and float 32/64
+    samples) — so engine-written and common external GeoTIFFs decode
+    with no native dependency. Exotic external files (JPEG-compressed,
+    BigTIFF, …) still need rasterio or an injected ``decoder``.
 
     ``layer_type="spacetime"`` (reference ``geotiff.get(layer_type=
     LayerType.SPACETIME, time_tag=..., time_format=...)``,

@@ -514,25 +514,47 @@ def save_cog(pyramid, path: str, compress: bool = True,
 # --- reader-injection hooks for geotiff.get --------------------------------
 
 from functools import lru_cache as _lru_cache
+import os as _os
+
+# Residency cap for decoded rasters (entries, per executor Python
+# worker). 0 disables caching entirely — every window read re-decodes,
+# correct but slow; use for long-lived executors that read many huge
+# files. Read once at import; set before importing to override.
+_DECODE_CACHE_SIZE = int(_os.environ.get("GEOPYSPARK_DECODE_CACHE", "4"))
 
 
-@_lru_cache(maxsize=4)
-def _cached_decode(path: str, mtime: float):
-    """Decode a file once per (path, mtime) per process — sizer + every
-    window of the same file share one decode (the pure codec has no
-    partial-read path, so without this each window re-decoded the file).
-    mtime is part of the key purely to invalidate on rewrite."""
+@_lru_cache(maxsize=max(_DECODE_CACHE_SIZE, 1))
+def _cached_decode_keyed(path: str, mtime: float, size: int):
     with open(path, "rb") as f:
         return decode_geotiff(f.read())
+
+
+def _cached_decode(path: str):
+    """Decode a file once per (path, mtime, size) per process — sizer +
+    every window of the same file share one decode (the pure codec has
+    no partial-read path, so without this each window re-decoded the
+    file). mtime AND byte size key the cache so an in-place rewrite on
+    a coarse-mtime filesystem still invalidates whenever the length
+    changes; a same-length sub-granularity rewrite remains undetectable
+    (call :func:`clear_decode_cache` after such rewrites)."""
+    st = _os.stat(path)
+    if _DECODE_CACHE_SIZE == 0:
+        return _cached_decode_keyed.__wrapped__(path, st.st_mtime, st.st_size)
+    return _cached_decode_keyed(path, st.st_mtime, st.st_size)
+
+
+def clear_decode_cache() -> None:
+    """Drop every cached decoded raster in this process. For long-lived
+    executors holding large rasters resident, or after rewriting a file
+    in-place without changing its length or (coarse) mtime."""
+    _cached_decode_keyed.cache_clear()
 
 
 def sizer(path: str):
     """``geotiff.get`` sizer over the pure codec (baseline strip/tile
     TIFFs, none/DEFLATE/LZW/PackBits). Files without georeferencing tags
     get the GDAL-style pixel-space extent (0, 0, width, height)."""
-    import os as _os
-
-    cells, extent, _, _ = _cached_decode(path, _os.path.getmtime(path))
+    cells, extent, _, _ = _cached_decode(path)
     if extent is None:
         extent = Extent(0.0, 0.0, float(cells.shape[2]), float(cells.shape[1]))
     return cells.shape[2], cells.shape[1], extent, cells.shape[0]
@@ -543,12 +565,9 @@ def decoder(path: str, window, band: int) -> np.ndarray:
     band. Returns a fresh COPY (matching ``rasterio_decoder``'s
     contract) — the cached decode must never be exposed as a writable
     view, or one caller's in-place edit would corrupt every later
-    window read of the file in this process. Cache caveats: up to 4
-    decoded rasters stay resident per process, and the (path, mtime)
-    key can go stale if a file is rewritten in-place on a filesystem
-    with coarse mtime granularity."""
-    import os as _os
-
-    cells, _, _, _ = _cached_decode(path, _os.path.getmtime(path))
+    window read of the file in this process. Residency is bounded by
+    ``GEOPYSPARK_DECODE_CACHE`` entries (default 4, 0 = no caching);
+    see :func:`clear_decode_cache`."""
+    cells, _, _, _ = _cached_decode(path)
     c0, r0, w, h = window
     return cells[band, r0:r0 + h, c0:c0 + w].copy()

@@ -732,3 +732,62 @@ class TestCodecProperties:
             assert cells.dtype == dt and (cells == pix).all()
 
         check()
+
+
+class TestDecodeCache:
+    """The per-process decode cache behind ``geotiff_codec.sizer`` /
+    ``decoder`` (r8 ADVICE: key must include byte size, residency must
+    be clearable)."""
+
+    def test_size_keyed_invalidation_same_mtime(self, tmp_path):
+        import os
+
+        p = str(tmp_path / "c.tif")
+        a = np.arange(64, dtype=np.float64).reshape(1, 8, 8)
+        with open(p, "wb") as f:
+            f.write(geotiff_codec.encode_geotiff(a, Extent(0, 0, 8, 8),
+                                                 "epsg:4326"))
+        geotiff_codec.clear_decode_cache()
+        assert (geotiff_codec.decoder(p, (0, 0, 8, 8), 0) == a[0]).all()
+        st = os.stat(p)
+        # rewrite in-place with different content AND different length,
+        # then force the mtime back — the size component must invalidate
+        with open(p, "wb") as f:
+            f.write(geotiff_codec.encode_geotiff(a + 1, Extent(0, 0, 8, 8),
+                                                 "epsg:4326", compress=False))
+        os.utime(p, (st.st_atime, st.st_mtime))
+        assert (geotiff_codec.decoder(p, (0, 0, 8, 8), 0) == a[0] + 1).all()
+
+    def test_clear_decode_cache(self, tmp_path):
+        p = str(tmp_path / "d.tif")
+        a = np.zeros((1, 4, 4))
+        with open(p, "wb") as f:
+            f.write(geotiff_codec.encode_geotiff(a, Extent(0, 0, 4, 4),
+                                                 "epsg:4326"))
+        geotiff_codec.sizer(p)
+        assert geotiff_codec._cached_decode_keyed.cache_info().currsize >= 1
+        geotiff_codec.clear_decode_cache()
+        assert geotiff_codec._cached_decode_keyed.cache_info().currsize == 0
+
+    def test_cache_disabled_subprocess(self):
+        """GEOPYSPARK_DECODE_CACHE=0 must bypass residency entirely."""
+        import os
+        import subprocess
+        import sys
+
+        code = (
+            "import numpy as np, tempfile, os\n"
+            "from geopyspark_spark.sources import geotiff_codec as gc\n"
+            "from geopyspark_spark.core.extent import Extent\n"
+            "assert gc._DECODE_CACHE_SIZE == 0\n"
+            "fd, p = tempfile.mkstemp(suffix='.tif'); os.close(fd)\n"
+            "a = np.ones((1, 4, 4))\n"
+            "open(p, 'wb').write(gc.encode_geotiff(a, Extent(0,0,4,4), 'epsg:4326'))\n"
+            "assert (gc.decoder(p, (0,0,4,4), 0) == 1).all()\n"
+            "assert gc._cached_decode_keyed.cache_info().currsize == 0\n"
+            "os.unlink(p)\n"
+        )
+        env = dict(os.environ, GEOPYSPARK_DECODE_CACHE="0")
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr
