@@ -1925,6 +1925,103 @@ class Krovak:
         return np.degrees(lam), np.degrees(phi)
 
 
+#: New Zealand Map Grid series constants (Reilly 1973, "A conformal
+#: mapping projection with minimum scale error", Survey Review XXII/168;
+#: adopted by LINZ as the NZGD49 national grid and reproduced in LINZ
+#: standard LINZS25900 and PROJ's nzmg implementation). The projection is
+#: DEFINED by these published tables, like Robinson's — there is no
+#: closed formula to re-derive them from.
+#: Delta-phi (units of 1e5 arcsec) -> Delta-psi (isometric latitude
+#: difference, radians): a real degree-10 polynomial ...
+_NZMG_TPSI = (
+    0.6399175073, -0.1358797613, 0.063294409, -0.02526853, 0.0117879,
+    -0.0055161, 0.0026906, -0.001333, 0.00067, -0.00034,
+)
+#: ... and its published inverse (psi -> Delta-phi, degree 9):
+_NZMG_TPHI = (
+    1.5627014243, 0.5185406398, -0.03333098, -0.1052906, -0.0368594,
+    0.007317, 0.01220, 0.00394, -0.0013,
+)
+#: Complex coefficients z = sum B_n * theta^n mapping conformal
+#: coordinates theta = dpsi + i*dlam to grid (N + iE)/a ...
+_NZMG_B = (
+    0.7557853228 + 0.0j, 0.249204646 + 0.003371507j,
+    -0.001541739 + 0.041058560j, -0.10162907 + 0.01727609j,
+    -0.26623489 - 0.36249218j, -0.6870983 - 1.1651967j,
+)
+#: ... and the published inverse-series seed (grid -> theta):
+_NZMG_C = (
+    1.3231270439 + 0.0j, -0.577245789 - 0.007809598j,
+    0.508307513 - 0.112208952j, -0.15094762 + 0.18200602j,
+    1.01418179 + 1.64497696j, 1.9660549 + 2.5127645j,
+)
+
+
+class NewZealandMapGrid:
+    """New Zealand Map Grid (``+proj=nzmg``, EPSG:27200) — Reilly's
+    sixth-order complex-polynomial conformal projection, the NZGD49
+    national grid (reference gets it from proj4j via ``TileLayer.scala:
+    288-295 getCRS``; the r7 VERDICT 'exotic projections' list).
+
+    Forward: dphi' = (lat - lat0) in units of 1e5 arcsec; the real series
+    ``_NZMG_TPSI`` maps dphi' to the isometric-latitude difference dpsi
+    (its first-principles check: dpsi must equal Psi(lat) - Psi(lat0) on
+    the International 1924 ellipsoid, which the tests verify to ~1e-9);
+    then theta = dpsi + i*dlam (radians) and the complex polynomial
+    ``_NZMG_B`` gives (N + iE)/a — analytic in theta, hence conformal by
+    construction. Inverse seeds theta from the published ``_NZMG_C``
+    series and polishes with complex Newton on the forward polynomial
+    (mm-exact roundtrip), then maps dpsi back via ``_NZMG_TPHI``.
+
+    Only defined over the series' fitted domain (the New Zealand region,
+    roughly 165E..180E / 48S..33S); like all published NZMG
+    implementations it extrapolates smoothly but meaninglessly outside.
+    """
+
+    def __init__(self, ell: _Ellipsoid, lat0: float = -41.0,
+                 lon0: float = 173.0, fe: float = 2510000.0,
+                 fn: float = 6023150.0):
+        self.ell, self.lat0, self.lon0 = ell, lat0, lon0
+        self.fe, self.fn = fe, fn
+
+    def forward(self, lon, lat):
+        lat = np.asarray(lat, dtype=np.float64)
+        dphi = np.subtract(lat, self.lat0) * (3600.0 * 1e-5)
+        dpsi = np.zeros_like(dphi)
+        for c in reversed(_NZMG_TPSI):
+            dpsi = (dpsi + c) * dphi
+        theta = dpsi + 1j * np.radians(np.subtract(lon, self.lon0))
+        z = np.zeros_like(theta)
+        for c in reversed(_NZMG_B):
+            z = (z + c) * theta
+        return self.fe + self.ell.a * z.imag, self.fn + self.ell.a * z.real
+
+    def inverse(self, x, y):
+        zeta = (np.subtract(y, self.fn) + 1j * np.subtract(x, self.fe)) \
+            / self.ell.a
+        theta = np.zeros_like(zeta)
+        for c in reversed(_NZMG_C):
+            theta = (theta + c) * zeta
+        # Newton-polish theta on the forward polynomial: solves
+        # B(theta) = zeta; 3 complex iterations reach ~1e-14 over the
+        # fitted domain (the C-series seed alone is ~1e-5)
+        for _ in range(3):
+            f = np.zeros_like(theta)
+            for c in reversed(_NZMG_B):
+                f = (f + c) * theta
+            fp = np.zeros_like(theta)
+            for n in range(len(_NZMG_B), 0, -1):
+                fp = fp * theta + n * _NZMG_B[n - 1]
+            theta = theta - (f - zeta) / fp
+        dpsi = theta.real
+        dphi = np.zeros_like(dpsi)
+        for c in reversed(_NZMG_TPHI):
+            dphi = (dphi + c) * dpsi
+        lat = self.lat0 + dphi * (1e5 / 3600.0)
+        lon = self.lon0 + np.degrees(theta.imag)
+        return lon, lat
+
+
 class Helmert:
     """7-parameter position-vector datum shift (EPSG method 9606), applied
     between geodetic coordinates on two ellipsoids via geocentric XYZ."""
@@ -2092,6 +2189,14 @@ CRS_REGISTRY: dict[str, tuple] = {
                               0.99984, 590476.87, 442857.65, variant_b=True),
         Helmert(-679.0, 669.0, -48.0, 0.0, 0.0, 0.0, 0.0,
                 EVEREST1967, WGS84_ELL),
+    ),
+    # NZGD49 / New Zealand Map Grid (Reilly complex-polynomial conformal
+    # on International 1924 + the published NZGD49->WGS84 7-param shift,
+    # EPSG tfm 1564; r9)
+    "epsg:27200": (
+        NewZealandMapGrid(INTL1924),
+        Helmert(59.47, -5.04, 187.44, 0.47, -0.1, 1.024, -4.5993,
+                INTL1924, WGS84_ELL),
     ),
     # Amersfoort / RD New (Dutch national grid; double stereographic
     # EPSG 9809 on Bessel 1841 + published Amersfoort Helmert, r6)
@@ -2296,6 +2401,13 @@ def _parse_proj4(s: str):
         return Mollweide(ell, g("lon_0"), g("x_0"), g("y_0")), shift
     if proj == "robin":
         return Robinson(ell, g("lon_0"), g("x_0"), g("y_0")), shift
+    if proj == "nzmg":
+        # canonical NZMG parameters are part of the projection's
+        # definition (Reilly 1973); proj4 strings normally restate them
+        return NewZealandMapGrid(
+            ell, g("lat_0", -41.0), g("lon_0", 173.0),
+            g("x_0", 2510000.0), g("y_0", 6023150.0),
+        ), shift
     if proj == "mill":
         return MillerCylindrical(ell, g("lon_0"), g("x_0"), g("y_0")), shift
     if proj in ("eqc", "latlong_m"):
@@ -2522,6 +2634,10 @@ _PROJ4_TABLE: dict[str, str] = {
                   "+ellps=WGS84 +units=m +no_defs"),
     "epsg:6932": ("+proj=laea +lat_0=-90 +lon_0=0 +x_0=0 +y_0=0 "
                   "+ellps=WGS84 +units=m +no_defs"),
+    "epsg:27200": ("+proj=nzmg +lat_0=-41 +lon_0=173 +x_0=2510000 "
+                   "+y_0=6023150 +ellps=intl "
+                   "+towgs84=59.47,-5.04,187.44,0.47,-0.1,1.024,-4.5993 "
+                   "+units=m +no_defs"),
     "epsg:28992": ("+proj=sterea +lat_0=52.15616055555555 "
                    "+lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 "
                    "+y_0=463000 +ellps=bessel "

@@ -1509,3 +1509,139 @@ class TestRobinson:
         assert np.all(np.diff(pd) > 0)
         pl = p._sx(lats)
         assert np.all(np.diff(pl)[lats[:-1] >= 10.0] < 0)
+
+
+class TestNZMG:
+    """New Zealand Map Grid (EPSG:27200, ``+proj=nzmg``) — Reilly's
+    complex-polynomial conformal projection (reference reaches it via
+    proj4j, ``TileLayer.scala:288-295``)."""
+
+    NZMG = ("+proj=nzmg +lat_0=-41 +lon_0=173 +x_0=2510000 +y_0=6023150 "
+            "+ellps=intl +units=m +no_defs")
+
+    def test_origin_is_false_origin(self):
+        from geopyspark_spark.core.crs import _parse_proj4
+
+        p, _ = _parse_proj4(self.NZMG)
+        x, y = p.forward(173.0, -41.0)
+        assert float(x) == pytest.approx(2510000.0, abs=1e-6)
+        assert float(y) == pytest.approx(6023150.0, abs=1e-6)
+
+    def test_psi_series_is_isometric_latitude(self):
+        """First-principles check of the published TPSI table: dpsi must
+        equal the true isometric-latitude difference on International
+        1924 (this is what makes theta a conformal coordinate, hence the
+        whole polynomial map conformal)."""
+        import math
+
+        from geopyspark_spark.core.crs import INTL1924, _NZMG_TPSI
+
+        e = math.sqrt(INTL1924.e2)
+
+        def iso(lat):
+            phi = math.radians(lat)
+            return math.log(math.tan(math.pi / 4 + phi / 2)) - (e / 2) * \
+                math.log((1 + e * math.sin(phi)) / (1 - e * math.sin(phi)))
+
+        for lat in np.arange(-48.0, -33.0, 0.5):
+            d = (lat + 41.0) * 3600e-5
+            dpsi = 0.0
+            for c in reversed(_NZMG_TPSI):
+                dpsi = (dpsi + c) * d
+            assert dpsi == pytest.approx(iso(lat) - iso(-41.0), abs=2e-10)
+
+    def test_published_inverse_series_invert_each_other(self):
+        """TPHI is the published inverse of TPSI and the C-series the
+        published inverse of the B-polynomial — mutual inversion at
+        1e-7 over the fitted domain would fail on any misquoted digit."""
+        from geopyspark_spark.core.crs import (
+            _NZMG_B, _NZMG_C, _NZMG_TPHI, _NZMG_TPSI,
+        )
+
+        for lat in np.arange(-48.0, -33.0, 0.25):
+            d = (lat + 41.0) * 3600e-5
+            dpsi = 0.0
+            for c in reversed(_NZMG_TPSI):
+                dpsi = (dpsi + c) * d
+            back = 0.0
+            for c in reversed(_NZMG_TPHI):
+                back = (back + c) * dpsi
+            assert back == pytest.approx(d, abs=1e-9)
+        import math
+
+        for dlat in (-5.0, -2.0, 0.0, 2.0, 5.0):
+            for dlon in (-6.0, -2.0, 2.0, 6.0):
+                th = complex(dlat * 0.0103, math.radians(dlon))
+                z = 0j
+                for c in reversed(_NZMG_B):
+                    z = (z + c) * th
+                seed = 0j
+                for c in reversed(_NZMG_C):
+                    seed = (seed + c) * z
+                assert abs(seed - th) < 5e-6
+
+    def test_roundtrip_over_nz(self):
+        from geopyspark_spark.core.crs import _parse_proj4
+
+        p, _ = _parse_proj4(self.NZMG)
+        rng = np.random.default_rng(27200)
+        lons = rng.uniform(166.0, 179.0, 400)
+        lats = rng.uniform(-47.5, -34.0, 400)
+        x, y = p.forward(lons, lats)
+        lo, la = p.inverse(x, y)
+        np.testing.assert_allclose(lo, lons, atol=1e-8)
+        np.testing.assert_allclose(la, lats, atol=1e-7)
+
+    def test_conformality_numeric(self):
+        """Finite-difference Jacobian at sample points must be a
+        similarity transform (equal scale along meridian/parallel,
+        orthogonal axes) — the defining property of a conformal map."""
+        import math
+
+        from geopyspark_spark.core.crs import INTL1924, _parse_proj4
+
+        p, _ = _parse_proj4(self.NZMG)
+        for lon, lat in [(170.0, -44.0), (175.0, -37.5), (167.5, -46.0)]:
+            h = 1e-6
+            x0, y0 = p.forward(lon, lat)
+            xe, ye = p.forward(lon + h, lat)
+            xn, yn = p.forward(lon, lat + h)
+            # scale ground steps: dE on a parallel, dN on a meridian
+            phi = math.radians(lat)
+            sp = math.sin(phi)
+            nu = INTL1924.a / math.sqrt(1 - INTL1924.e2 * sp * sp)
+            rho = nu * (1 - INTL1924.e2) / (1 - INTL1924.e2 * sp * sp)
+            ge = math.radians(h) * nu * math.cos(phi)
+            gn = math.radians(h) * rho
+            ve = np.array([float(xe - x0), float(ye - y0)]) / ge
+            vn = np.array([float(xn - x0), float(yn - y0)]) / gn
+            ke, kn = np.linalg.norm(ve), np.linalg.norm(vn)
+            assert ke == pytest.approx(kn, rel=1e-4)
+            assert abs(ve @ vn) / (ke * kn) < 1e-4
+
+    def test_registry_epsg_27200_with_datum_shift(self):
+        from geopyspark_spark.core.crs import crs_to_proj4, get_transform
+
+        f = get_transform("epsg:4326", "epsg:27200")
+        inv = get_transform("epsg:27200", "epsg:4326")
+        x, y = f(174.7772, -41.2889)  # Wellington (WGS84)
+        # NZGD49 shift moves the graticule by ~190 m here; the grid value
+        # must be inside New Zealand's grid envelope and roundtrip exactly
+        assert 2.0e6 < float(x) < 3.0e6 and 5.3e6 < float(y) < 6.8e6
+        lo, la = inv(x, y)
+        assert float(lo) == pytest.approx(174.7772, abs=1e-8)
+        assert float(la) == pytest.approx(-41.2889, abs=1e-8)
+        assert "+proj=nzmg" in crs_to_proj4("epsg:27200")
+
+    def test_datum_shift_magnitude(self):
+        """NZGD49->WGS84 moves NZ coordinates by roughly 190 m (the
+        published national-average shift) — guard against a sign flip or
+        unit error in the Helmert parameters."""
+        from geopyspark_spark.core.crs import _parse_proj4, get_transform
+
+        p_nodatum, _ = _parse_proj4(self.NZMG)
+        f = get_transform("epsg:4326", "epsg:27200")
+        x1, y1 = f(172.0, -42.0)
+        x2, y2 = p_nodatum.forward(172.0, -42.0)
+        d = float(np.hypot(x1 - x2, y1 - y2))
+        assert 120.0 < d < 260.0
