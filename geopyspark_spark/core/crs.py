@@ -965,18 +965,145 @@ class CassiniSoldner:
         return np.degrees(lam) + self.lon0, np.degrees(phi)
 
 
+def geodesic_inverse(ell: "_Ellipsoid", lon1, lat1, lon2, lat2):
+    """Ellipsoidal inverse geodesic problem (Vincenty 1975), vectorized:
+    returns ``(s, az1, az2)`` — geodesic distance in meters and forward
+    azimuths (radians, clockwise from north) at each endpoint.
+
+    Converges to sub-mm everywhere except the nearly-antipodal zone
+    (within ~0.3 deg of the antipode), where Vincenty's lambda iteration
+    stalls; those points return the iteration cap's best estimate
+    (documented limitation — Karney's method would be needed for exact
+    antipodal geodesics). Coincident points return s = 0, az = 0."""
+    f = ell.f
+    b = ell.a * (1.0 - f)
+    phi1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    phi2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    L = np.radians(np.subtract(lon2, lon1))
+    L = (L + np.pi) % (2 * np.pi) - np.pi
+    U1 = np.arctan((1.0 - f) * np.tan(phi1))
+    U2 = np.arctan((1.0 - f) * np.tan(phi2))
+    sU1, cU1 = np.sin(U1), np.cos(U1)
+    sU2, cU2 = np.sin(U2), np.cos(U2)
+    lam = L.copy() if isinstance(L, np.ndarray) else np.asarray(L, dtype=np.float64)
+    lam = np.atleast_1d(np.array(lam, dtype=np.float64))
+    sU1, cU1, sU2, cU2, Lb = np.broadcast_arrays(
+        np.atleast_1d(sU1), np.atleast_1d(cU1), np.atleast_1d(sU2),
+        np.atleast_1d(cU2), np.atleast_1d(L))
+    lam = Lb.astype(np.float64).copy()
+    sin_sig = np.zeros_like(lam)
+    cos_sig = np.ones_like(lam)
+    sig = np.zeros_like(lam)
+    sin_alp = np.zeros_like(lam)
+    cos2_alp = np.ones_like(lam)
+    cos_2sm = np.ones_like(lam)
+    for _ in range(200):
+        sl, cl = np.sin(lam), np.cos(lam)
+        sin_sig = np.sqrt((cU2 * sl) ** 2 + (cU1 * sU2 - sU1 * cU2 * cl) ** 2)
+        cos_sig = sU1 * sU2 + cU1 * cU2 * cl
+        sig = np.arctan2(sin_sig, cos_sig)
+        safe = np.where(sin_sig > 1e-15, sin_sig, 1.0)
+        sin_alp = np.where(sin_sig > 1e-15, cU1 * cU2 * sl / safe, 0.0)
+        cos2_alp = 1.0 - sin_alp ** 2
+        safe_c = np.where(cos2_alp > 1e-15, cos2_alp, 1.0)
+        cos_2sm = np.where(
+            cos2_alp > 1e-15, cos_sig - 2.0 * sU1 * sU2 / safe_c, 0.0)
+        C = (f / 16.0) * cos2_alp * (4.0 + f * (4.0 - 3.0 * cos2_alp))
+        new_lam = Lb + (1.0 - C) * f * sin_alp * (
+            sig + C * sin_sig * (
+                cos_2sm + C * cos_sig * (-1.0 + 2.0 * cos_2sm ** 2)))
+        done = np.abs(new_lam - lam) < 1e-13
+        lam = new_lam
+        if bool(np.all(done)):
+            break
+    u2 = cos2_alp * (ell.a ** 2 - b ** 2) / b ** 2
+    A = 1.0 + (u2 / 16384.0) * (
+        4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    Bc = (u2 / 1024.0) * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    dsig = Bc * sin_sig * (cos_2sm + (Bc / 4.0) * (
+        cos_sig * (-1.0 + 2.0 * cos_2sm ** 2)
+        - (Bc / 6.0) * cos_2sm * (-3.0 + 4.0 * sin_sig ** 2)
+        * (-3.0 + 4.0 * cos_2sm ** 2)))
+    s = b * A * (sig - dsig)
+    sl, cl = np.sin(lam), np.cos(lam)
+    az1 = np.arctan2(cU2 * sl, cU1 * sU2 - sU1 * cU2 * cl)
+    az2 = np.arctan2(cU1 * sl, -sU1 * cU2 + cU1 * sU2 * cl)
+    coincident = sin_sig <= 1e-15
+    s = np.where(coincident & (np.abs(cos_sig - 1.0) < 1e-15), 0.0, s)
+    az1 = np.where(coincident, 0.0, az1)
+    az2 = np.where(coincident, 0.0, az2)
+    return s, az1, az2
+
+
+def geodesic_direct(ell: "_Ellipsoid", lon1, lat1, az1, s):
+    """Ellipsoidal direct geodesic problem (Vincenty 1975), vectorized:
+    from ``(lon1, lat1)`` travel ``s`` meters along initial azimuth
+    ``az1`` (radians, clockwise from north); returns ``(lon2, lat2,
+    az2)``. Sub-mm accurate at any distance (the direct sigma iteration
+    has no antipodal pathology)."""
+    f = ell.f
+    b = ell.a * (1.0 - f)
+    phi1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    alp1 = np.asarray(az1, dtype=np.float64)
+    s = np.asarray(s, dtype=np.float64)
+    U1 = np.arctan((1.0 - f) * np.tan(phi1))
+    sU1, cU1 = np.sin(U1), np.cos(U1)
+    sa1, ca1 = np.sin(alp1), np.cos(alp1)
+    sig1 = np.arctan2(np.tan(U1), ca1)
+    sin_alp = cU1 * sa1
+    cos2_alp = 1.0 - sin_alp ** 2
+    u2 = cos2_alp * (ell.a ** 2 - b ** 2) / b ** 2
+    A = 1.0 + (u2 / 16384.0) * (
+        4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    Bc = (u2 / 1024.0) * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    sig = s / (b * A)
+    sig0 = sig
+    cos_2sm = np.cos(2.0 * sig1 + sig)
+    for _ in range(100):
+        cos_2sm = np.cos(2.0 * sig1 + sig)
+        sin_sig, cos_sig = np.sin(sig), np.cos(sig)
+        dsig = Bc * sin_sig * (cos_2sm + (Bc / 4.0) * (
+            cos_sig * (-1.0 + 2.0 * cos_2sm ** 2)
+            - (Bc / 6.0) * cos_2sm * (-3.0 + 4.0 * sin_sig ** 2)
+            * (-3.0 + 4.0 * cos_2sm ** 2)))
+        new_sig = sig0 + dsig
+        if bool(np.all(np.abs(new_sig - sig) < 1e-15)):
+            sig = new_sig
+            break
+        sig = new_sig
+    sin_sig, cos_sig = np.sin(sig), np.cos(sig)
+    phi2 = np.arctan2(
+        sU1 * cos_sig + cU1 * sin_sig * ca1,
+        (1.0 - f) * np.sqrt(
+            sin_alp ** 2 + (sU1 * sin_sig - cU1 * cos_sig * ca1) ** 2))
+    lam = np.arctan2(sin_sig * sa1, cU1 * cos_sig - sU1 * sin_sig * ca1)
+    C = (f / 16.0) * cos2_alp * (4.0 + f * (4.0 - 3.0 * cos2_alp))
+    Ldiff = lam - (1.0 - C) * f * sin_alp * (
+        sig + C * sin_sig * (
+            cos_2sm + C * cos_sig * (-1.0 + 2.0 * cos_2sm ** 2)))
+    lon2 = np.degrees(Ldiff) + np.asarray(lon1, dtype=np.float64)
+    az2 = np.arctan2(sin_alp, -sU1 * sin_sig + cU1 * cos_sig * ca1)
+    return lon2, np.degrees(phi2), az2
+
+
 class AzimuthalEquidistant:
     """Azimuthal equidistant ``+proj=aeqd``. Sphere: exact closed form
-    (Snyder 1987 §25). Ellipsoid: the EPSG 9832 Modified Azimuthal
-    Equidistant series (GN7-2 §1.3.7.3 — Guam/Yap grids), accurate to mm
-    within a few hundred km of the origin; long-range ellipsoidal aeqd
-    needs true geodesics and is out of scope (documented divergence from
-    PROJ's geodesic implementation at continental range)."""
+    (Snyder 1987 §25). Ellipsoid, default: the EPSG 9832 Modified
+    Azimuthal Equidistant series (GN7-2 §1.3.7.3 — Guam/Yap grids),
+    accurate to mm within a few hundred km of the origin (kept as the
+    default for continuity with the engine's GN7-2-validated behavior).
+    Ellipsoid, ``geodesic=True`` (proj4 ``+proj=aeqd +geodesic``): TRUE
+    geodesic distances/azimuths via Vincenty (:func:`geodesic_inverse` /
+    :func:`geodesic_direct`) — the long-range formulation modern PROJ
+    uses, exact at continental range; only the nearly-antipodal fringe
+    (~0.3 deg around the origin's antipode) retains Vincenty's
+    documented convergence limitation."""
 
     def __init__(self, ell: _Ellipsoid, lat0: float, lon0: float,
-                 fe: float, fn: float):
+                 fe: float, fn: float, geodesic: bool = False):
         self.ell, self.lat0, self.lon0, self.fe, self.fn = ell, lat0, lon0, fe, fn
         self.sphere = ell.e2 == 0.0
+        self.geodesic = geodesic and not self.sphere
         p0 = math.radians(lat0)
         self.p0 = p0
         if not self.sphere:
@@ -984,6 +1111,10 @@ class AzimuthalEquidistant:
             self.nu0 = ell.a / math.sqrt(1 - e2 * math.sin(p0) ** 2)
 
     def forward(self, lon, lat):
+        if self.geodesic:
+            s, az1, _ = geodesic_inverse(self.ell, self.lon0, self.lat0,
+                                         lon, lat)
+            return self.fe + s * np.sin(az1), self.fn + s * np.cos(az1)
         phi = np.radians(np.asarray(lat, dtype=np.float64))
         lam = np.radians(np.subtract(lon, self.lon0))
         s0, c0 = math.sin(self.p0), math.cos(self.p0)
@@ -1026,6 +1157,14 @@ class AzimuthalEquidistant:
     def inverse(self, x, y):
         dx = np.subtract(x, self.fe)
         dy = np.subtract(y, self.fn)
+        if self.geodesic:
+            s = np.hypot(dx, dy)
+            az = np.arctan2(dx, dy)
+            lon, lat, _ = geodesic_direct(self.ell, self.lon0, self.lat0,
+                                          az, s)
+            lon = np.where(s > 0, lon, self.lon0)
+            lat = np.where(s > 0, lat, self.lat0)
+            return lon, lat
         s0, c0 = math.sin(self.p0), math.cos(self.p0)
         if self.sphere:
             R = self.ell.a
@@ -2369,8 +2508,12 @@ def _parse_proj4(s: str):
         return CassiniSoldner(ell, g("lat_0"), g("lon_0"),
                               g("x_0"), g("y_0")), shift
     if proj == "aeqd":
+        # +geodesic selects true-geodesic long-range aeqd (Vincenty);
+        # the bare form keeps the EPSG 9832 near-field series for
+        # continuity with the engine's GN7-2-validated grids
         return AzimuthalEquidistant(ell, g("lat_0"), g("lon_0"),
-                                    g("x_0"), g("y_0")), shift
+                                    g("x_0"), g("y_0"),
+                                    geodesic="+geodesic" in s), shift
     if proj == "eqdc":
         return EquidistantConic(ell, g("lat_1"), g("lat_2", g("lat_1")),
                                 g("lat_0"), g("lon_0"), g("x_0"), g("y_0")), shift

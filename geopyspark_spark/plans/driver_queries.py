@@ -2328,9 +2328,29 @@ def _sql_reproject_nn(dst_crs: str, md=None) -> str:
     kt = KeyTransform(ld)
     inv = get_transform(dst_crs, "epsg:4326")
     s_ld = src_md.layout
+    # replicate the warp's tile-emission rule: a target tile exists iff
+    # some source tile's densified warped bbox covers it (the engine
+    # never emits all-nodata tiles for uncovered bbox corners — at long
+    # range the warped footprint is a curved quad inside its bbox and
+    # corner target tiles can be genuinely uncovered)
+    s_kt = KeyTransform(s_ld)
+    covered = set()
+    for skr in range(LAYOUT_N):
+        for skc in range(LAYOUT_N):
+            w = transform_extent(s_kt.key_extent(skc, skr), "epsg:4326",
+                                 dst_crs, densify=4)
+            c0 = int(np.floor((w.xmin - warped.xmin) / (ld.cell_width * TILE)))
+            c1 = int(np.floor((w.xmax - warped.xmin) / (ld.cell_width * TILE)))
+            r0 = int(np.floor((warped.ymax - w.ymax) / (ld.cell_height * TILE)))
+            r1 = int(np.floor((warped.ymax - w.ymin) / (ld.cell_height * TILE)))
+            for tr in range(max(r0, 0), min(r1, LAYOUT_N - 1) + 1):
+                for tc in range(max(c0, 0), min(c1, LAYOUT_N - 1) + 1):
+                    covered.add((tc, tr))
     tuples = []
     for tkr in range(LAYOUT_N):
         for tkc in range(LAYOUT_N):
+            if (tkc, tkr) not in covered:
+                continue
             text = kt.key_extent(tkc, tkr)
             xs = text.xmin + (np.arange(TILE) + 0.5) * ld.cell_width
             ys = text.ymax - (np.arange(TILE) + 0.5) * ld.cell_height
@@ -2406,6 +2426,17 @@ q_raster_reproject_nzmg = _make_reproject_nn_query(
     polynomial is only defined over its fitted domain (r9; closes the
     VERDICT r7 'exotic projections' gap for nzmg).""",
     md=NZ_RASTER_MD,
+)
+
+q_raster_reproject_aeqd_geodesic = _make_reproject_nn_query(
+    "+proj=aeqd +geodesic +lat_0=-35 +lon_0=140 +ellps=WGS84",
+    """NN warp 4326 -> long-range geodesic azimuthal equidistant
+    (Vincenty inverse/direct geodesics; ``+proj=aeqd +geodesic``) — the
+    true-distance formulation at intercontinental range (the fixture
+    sits 8-12 Mm from the Australian origin, where only true geodesics
+    are meaningful), vs the near-field
+    EPSG 9832 series `raster_reproject_aeqd` exercises (r9; closes the
+    VERDICT r7 'long-range geodesic aeqd' gap).""",
 )
 
 q_raster_reproject_eqc = _make_reproject_nn_query(
@@ -7422,6 +7453,7 @@ def _canonical_queries():
         "raster_reproject_eqc": q_raster_reproject_eqc,
         "raster_reproject_robin": q_raster_reproject_robin,
         "raster_reproject_nzmg": q_raster_reproject_nzmg,
+        "raster_reproject_aeqd_geodesic": q_raster_reproject_aeqd_geodesic,
         "raster_reproject_geos": q_raster_reproject_geos,
         "raster_local_algebra": q_raster_local_algebra,
         "text_lsh_pairs": q_text_lsh_pairs,
@@ -7541,6 +7573,7 @@ def _canonical_queries():
 # BEGIN WINDOW_ORDER (generated)
 _WINDOW_ORDER: list = [
     "raster_reproject_nzmg",
+    "raster_reproject_aeqd_geodesic",
     "raster_spacetime_series",
     "raster_rasterize",
     "events_asof_join",
@@ -7917,6 +7950,8 @@ def oracle_sql():
             "+proj=robin +lon_0=10 +datum=WGS84"),
         "raster_reproject_nzmg": _sql_reproject_nn(
             "epsg:27200", md=NZ_RASTER_MD),
+        "raster_reproject_aeqd_geodesic": _sql_reproject_nn(
+            "+proj=aeqd +geodesic +lat_0=-35 +lon_0=140 +ellps=WGS84"),
         "raster_reproject_geos": _sql_reproject_nn(
             "+proj=geos +h=35786023 +lon_0=15 +sweep=y +ellps=GRS80"),
         "raster_catalog_query": SQL_RASTER_CATALOG_QUERY,

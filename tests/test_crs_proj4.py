@@ -1645,3 +1645,101 @@ class TestNZMG:
         x2, y2 = p_nodatum.forward(172.0, -42.0)
         d = float(np.hypot(x1 - x2, y1 - y2))
         assert 120.0 < d < 260.0
+
+
+class TestGeodesicAeqd:
+    """Vincenty geodesics + long-range geodesic aeqd (``+proj=aeqd
+    +geodesic``) — closes the VERDICT r7 long-range-aeqd gap. External
+    anchors are closed forms: equatorial arc, meridian arc, and the
+    published Geoscience Australia Flinders Peak -> Buninyong example."""
+
+    def test_equatorial_arc_exact(self):
+        import math
+
+        from geopyspark_spark.core.crs import WGS84_ELL, geodesic_inverse
+
+        s, az1, _ = geodesic_inverse(WGS84_ELL, 10.0, 0.0, 55.0, 0.0)
+        assert float(s[0]) == pytest.approx(
+            WGS84_ELL.a * math.radians(45.0), abs=1e-6)
+        assert float(az1[0]) == pytest.approx(math.pi / 2, abs=1e-12)
+
+    def test_meridian_arc_exact(self):
+        import math
+
+        from geopyspark_spark.core.crs import (
+            WGS84_ELL, _meridian_arc, geodesic_inverse,
+        )
+
+        s, az1, _ = geodesic_inverse(WGS84_ELL, 20.0, -30.0, 20.0, 47.0)
+        exact = _meridian_arc(WGS84_ELL, math.radians(47.0)) - \
+            _meridian_arc(WGS84_ELL, math.radians(-30.0))
+        assert float(s[0]) == pytest.approx(exact, abs=1e-4)
+        assert float(az1[0]) == pytest.approx(0.0, abs=1e-12)
+
+    def test_geoscience_australia_example(self):
+        """Flinders Peak -> Buninyong on GRS80 (GDA Technical Manual):
+        s = 54972.271 m, az1 = 306d52'05.37", az2-1 = 127d10'25.07"."""
+        import math
+
+        from geopyspark_spark.core.crs import GRS80, geodesic_inverse
+
+        lat1 = -(37 + 57 / 60 + 3.72030 / 3600)
+        lon1 = 144 + 25 / 60 + 29.52440 / 3600
+        lat2 = -(37 + 39 / 60 + 10.15610 / 3600)
+        lon2 = 143 + 55 / 60 + 35.38390 / 3600
+        s, az1, az2 = geodesic_inverse(GRS80, lon1, lat1, lon2, lat2)
+        assert float(s[0]) == pytest.approx(54972.271, abs=1e-3)
+        assert math.degrees(float(az1[0])) % 360 == pytest.approx(
+            306 + 52 / 60 + 5.37 / 3600, abs=1e-5)
+        # Vincenty's az2 is the continuing azimuth at B; the published
+        # value is the back azimuth B->A = az2 - 180
+        assert (math.degrees(float(az2[0])) - 180.0) % 360 == pytest.approx(
+            127 + 10 / 60 + 25.07 / 3600, abs=1e-5)
+
+    def test_direct_inverts_inverse_long_range(self):
+        from geopyspark_spark.core.crs import (
+            WGS84_ELL, geodesic_direct, geodesic_inverse,
+        )
+
+        rng = np.random.default_rng(1975)
+        lon1 = rng.uniform(-180, 180, 200)
+        lat1 = rng.uniform(-80, 80, 200)
+        lon2 = rng.uniform(-180, 180, 200)
+        lat2 = rng.uniform(-80, 80, 200)
+        s, a1, _ = geodesic_inverse(WGS84_ELL, lon1, lat1, lon2, lat2)
+        lo, la, _ = geodesic_direct(WGS84_ELL, lon1, lat1, a1, s)
+        dlon = (np.abs(lo - lon2) + 180) % 360 - 180
+        np.testing.assert_allclose(np.abs(dlon), 0, atol=1e-9)
+        np.testing.assert_allclose(la, lat2, atol=1e-9)
+
+    def test_aeqd_geodesic_projection(self):
+        """Radial grid distance must equal the true geodesic distance at
+        continental range (the defining aeqd property the near-field
+        series cannot deliver), and the projection must roundtrip."""
+        from geopyspark_spark.core.crs import (
+            WGS84_ELL, _parse_proj4, geodesic_inverse,
+        )
+
+        p, _ = _parse_proj4(
+            "+proj=aeqd +geodesic +lat_0=16 +lon_0=16 +ellps=WGS84")
+        assert p.geodesic
+        rng = np.random.default_rng(9832)
+        lons = rng.uniform(-60, 90, 150)
+        lats = rng.uniform(-60, 70, 150)
+        x, y = p.forward(lons, lats)
+        s_true, _, _ = geodesic_inverse(WGS84_ELL, 16.0, 16.0, lons, lats)
+        np.testing.assert_allclose(np.hypot(x, y), s_true, atol=1e-6)
+        lo, la = p.inverse(x, y)
+        np.testing.assert_allclose(lo, lons, atol=1e-9)
+        np.testing.assert_allclose(la, lats, atol=1e-9)
+        # origin maps to the false origin and back
+        x0, y0 = p.forward(16.0, 16.0)
+        assert float(np.hypot(x0, y0)) < 1e-6
+
+    def test_default_aeqd_unchanged(self):
+        """The bare +proj=aeqd form must keep the EPSG 9832 near-field
+        series (GN7-2-validated) — +geodesic is opt-in."""
+        from geopyspark_spark.core.crs import _parse_proj4
+
+        p, _ = _parse_proj4("+proj=aeqd +lat_0=16 +lon_0=16 +ellps=WGS84")
+        assert not p.geodesic
