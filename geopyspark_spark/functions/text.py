@@ -702,3 +702,113 @@ def prepare_corpus(df: DataFrame, bench_df: DataFrame | None = None,
         (reason == "kept").cast("int").alias("keep"),
         reason.alias("reason"),
     )
+
+
+# --- distributed linear quality classifier ---------------------------------
+
+#: Fixed-point scale for gradient aggregation: per-document gradient
+#: contributions are floored to 1e-6 and summed as BIGINT, so the
+#: distributed reduction is EXACT integer arithmetic — the aggregate is
+#: independent of partitioning, task order, and engine, the same
+#: determinism contract as the integer PageRank (functions/graph.py).
+GRAD_SCALE = 1_000_000
+
+
+def classifier_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document integer feature vector for the linear quality /
+    language classifier: punctuation ppm, English-stopword ppm, and a
+    capped token count. Pure Catalyst expressions (the same signal
+    family the gated ``text_quality_ratios`` query validates), emitted
+    as exact integers so feature parity across engines is trivial."""
+    toks = tokens_col(text_col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    punct_stripped = F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9\s]", "")
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    return df.select(
+        "doc_id",
+        F.floor(
+            (n_chars - F.length(punct_stripped)) * 1_000_000
+            / F.greatest(n_chars, F.lit(1))
+        ).cast("long").alias("punct_ppm"),
+        F.floor(
+            F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+            * 1_000_000 / F.greatest(n_tokens, F.lit(1))
+        ).cast("long").alias("stop_ppm"),
+        F.least(n_tokens, F.lit(100)).cast("long").alias("len_capped"),
+    )
+
+
+def _sigmoid_expr(m):
+    """Elliott's algebraic sigmoid 0.5 + m / (2*(1 + |m|)) — every
+    operation (+, -, *, /, abs) is correctly rounded under IEEE-754, so
+    unlike exp()-based logistic (whose libm ULPs differ between the JVM,
+    DuckDB and numpy) the value is BIT-IDENTICAL in any engine. Range
+    (0, 1), monotone, sigma(0) = 0.5 — a drop-in logistic surrogate."""
+    return F.lit(0.5) + m / (F.lit(2.0) * (F.lit(1.0) + F.abs(m)))
+
+
+def _margin_expr(weights: list) -> "F.Column":
+    """w0 + w1*punct + w2*stop + w3*len over the SCALED features, built
+    as a fixed left-associated chain so Spark, DuckDB and the numpy
+    trainer evaluate the identical float expression tree."""
+    return (
+        (
+            (F.lit(float(weights[0]))
+             + F.lit(float(weights[1])) * (F.col("punct_ppm") / F.lit(1_000_000.0)))
+            + F.lit(float(weights[2])) * (F.col("stop_ppm") / F.lit(1_000_000.0))
+        )
+        + F.lit(float(weights[3])) * (F.col("len_capped") / F.lit(100.0))
+    )
+
+
+def logreg_train(feat_df: DataFrame, label_col: str = "label",
+                 iters: int = 5, lr: float = 1.0) -> list:
+    """Full-batch gradient descent for a 4-weight linear classifier over
+    :func:`classifier_features` output (+ an integer 0/1 ``label_col``).
+
+    Spark shape — the 100 TB-correct full-batch GD: each iteration is
+    ONE whole-corpus scan ending in a 4-value global aggregate (map-side
+    partial sums + a single reduce; NO shuffle, nothing wider than 4
+    BIGINTs crosses the network), with the current weights broadcast as
+    literals in the plan. The weight update itself is O(d) driver work.
+    Per-document gradient contributions are floored at ``GRAD_SCALE``
+    and summed as BIGINT, so every iteration's weight vector is exactly
+    reproducible by any engine running the same arithmetic (the oracle
+    retrains in numpy and reaches bit-identical weights).
+
+    Returns the trained ``[w0, w1, w2, w3]`` (Python floats).
+    """
+    w = [0.0, 0.0, 0.0, 0.0]
+    xs = [
+        F.lit(1.0),
+        F.col("punct_ppm") / F.lit(1_000_000.0),
+        F.col("stop_ppm") / F.lit(1_000_000.0),
+        F.col("len_capped") / F.lit(100.0),
+    ]
+    n = feat_df.count()
+    if n == 0:
+        return w
+    for _ in range(int(iters)):
+        err = _sigmoid_expr(_margin_expr(w)) - F.col(label_col).cast("double")
+        aggs = [
+            F.sum(F.floor(err * x * F.lit(float(GRAD_SCALE))).cast("long")).alias(f"g{j}")
+            for j, x in enumerate(xs)
+        ]
+        row = feat_df.agg(*aggs).collect()[0]
+        for j in range(4):
+            w[j] = w[j] - lr * ((row[f"g{j}"] / GRAD_SCALE) / n)
+    return w
+
+
+def logreg_score(feat_df: DataFrame, weights: list) -> DataFrame:
+    """Score documents with trained weights: fixed-point probability
+    ``score_fp`` = floor(sigma(margin) * 1e6) and the 0/1 prediction at
+    the 0.5 threshold. One scan, no shuffle, no Python in the row path."""
+    score = _sigmoid_expr(_margin_expr(weights))
+    fp = F.floor(score * F.lit(float(GRAD_SCALE))).cast("long")
+    return feat_df.select(
+        "doc_id",
+        fp.alias("score_fp"),
+        (fp >= F.lit(GRAD_SCALE // 2)).cast("int").alias("pred"),
+    )

@@ -5021,6 +5021,98 @@ FROM t
 """
 
 
+def q_text_classifier(spark, sf_dir):
+    """Distributed linear quality/language classifier (beyond-reference
+    LLM-pipeline surface): full-batch logistic-surrogate GD where every
+    iteration is one corpus scan + a 4-value integer-exact global
+    aggregate (map-side partials, no shuffle), then one scoring scan.
+    The label is a deterministic length class (n_chars >= 300) so the
+    fixture corpus is genuinely learnable (~95% from a 51% base rate in
+    20 rounds). The oracle RETRAINS the same model in numpy from the
+    parquet corpus and must reach bit-identical weights (exact BIGINT
+    gradient sums + the engine-portable algebraic sigmoid make that
+    deterministic), so the gate covers training, not just scoring."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = ftext.classifier_features(docs).join(
+        docs.select(
+            "doc_id", (F.col("n_chars") >= 300).cast("int").alias("label")
+        ),
+        "doc_id",
+    )
+    w = ftext.logreg_train(feats, label_col="label", iters=20, lr=2.0)
+    return (
+        ftext.logreg_score(feats, w)
+        .join(feats.select("doc_id", "label"), "doc_id")
+        .select("doc_id", "score_fp", "pred", "label")
+    )
+
+
+def _classifier_feat_sql(table: str) -> str:
+    sw = ", ".join(f"'{w}'" for w in ftext.STOPWORDS_EN)
+    return f"""
+SELECT doc_id,
+       CAST(floor((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) * 1000000 / greatest(length(text), 1)) AS BIGINT) AS punct_ppm,
+       CAST(floor(len(list_filter(string_split(trim(text), ' '), x -> list_contains([{sw}], lower(x)))) * 1000000 / greatest(len(string_split(trim(text), ' ')), 1)) AS BIGINT) AS stop_ppm,
+       CAST(least(len(string_split(trim(text), ' ')), 100) AS BIGINT) AS len_capped,
+       CAST(n_chars >= 300 AS INT) AS label
+FROM {table}
+"""
+
+
+def _sql_text_classifier() -> str:
+    """Oracle for ``text_classifier``: retrain the 4-weight model in
+    numpy with the EXACT arithmetic of ``ftext.logreg_train`` (same
+    left-associated float expression tree, same algebraic sigmoid, same
+    floor-at-1e6 BIGINT gradient sums), then score in SQL with the
+    reached weights. Any divergence in the distributed training path —
+    a lost document, a float reassociation, a non-exact aggregate —
+    changes the weights and fails the hash."""
+    import duckdb
+    import numpy as np
+
+    sf_dir = _oracle_sf_dir()
+    con = duckdb.connect()
+    rows = con.sql(
+        _classifier_feat_sql(f"'{sf_dir}/documents.parquet'")
+    ).fetchall()
+    con.close()
+    punct = np.array([r[1] for r in rows], dtype=np.float64)
+    stop = np.array([r[2] for r in rows], dtype=np.float64)
+    lcap = np.array([r[3] for r in rows], dtype=np.float64)
+    y = np.array([r[4] for r in rows], dtype=np.float64)
+    xp, xs, xl = punct / 1_000_000.0, stop / 1_000_000.0, lcap / 100.0
+    n = len(rows)
+    w = [0.0, 0.0, 0.0, 0.0]
+    scale = float(ftext.GRAD_SCALE)
+    for _ in range(20):
+        m = ((w[0] + w[1] * xp) + w[2] * xs) + w[3] * xl
+        sig = 0.5 + m / (2.0 * (1.0 + np.abs(m)))
+        err = sig - y
+        for j, x in enumerate((1.0, xp, xs, xl)):
+            g = int(np.floor((err * x) * scale).astype(np.int64).sum())
+            w[j] = w[j] - 2.0 * ((g / ftext.GRAD_SCALE) / n)
+    w0, w1, w2, w3 = (repr(float(v)) for v in w)
+    return f"""
+WITH feat AS ({_classifier_feat_sql("documents")}),
+m AS (
+  SELECT doc_id, label,
+         ((({w0} + {w1} * (punct_ppm / 1000000.0))
+           + {w2} * (stop_ppm / 1000000.0))
+          + {w3} * (len_capped / 100.0)) AS mg
+  FROM feat
+),
+sc AS (
+  SELECT doc_id, label,
+         CAST(floor((0.5 + mg / (2.0 * (1.0 + abs(mg)))) * 1000000.0) AS BIGINT) AS score_fp
+  FROM m
+)
+SELECT doc_id, score_fp,
+       CAST(score_fp >= 500000 AS INT) AS pred,
+       label
+FROM sc
+"""
+
+
 def _pii_docs(spark, sf_dir):
     """documents with deterministic synthetic PII appended (the fixture
     text itself is PII-free word salad): doc-derived email, phone, IPv4
@@ -7510,6 +7602,7 @@ def _canonical_queries():
         "text_ngram_jaccard": q_text_ngram_jaccard,
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_quality_ratios": q_text_quality_ratios,
+        "text_classifier": q_text_classifier,
         "text_minhash_vocab": q_text_minhash_vocab,
         "emb_norm_stats": q_emb_norm_stats,
         "emb_lsh_knn": q_emb_lsh_knn,
@@ -7574,6 +7667,7 @@ def _canonical_queries():
 _WINDOW_ORDER: list = [
     "raster_reproject_nzmg",
     "raster_reproject_aeqd_geodesic",
+    "text_classifier",
     "raster_spacetime_series",
     "raster_rasterize",
     "events_asof_join",
@@ -7898,6 +7992,7 @@ def oracle_sql():
         "text_token_count": SQL_TEXT_TOKEN_COUNT,
         "text_bpe_tokens": _sql_bpe_tokens(),
         "text_quality_ratios": _sql_quality_ratios(),
+        "text_classifier": _sql_text_classifier(),
         "text_dup_components": _sql_dup_components(16, 4),
         "text_dedup_pipeline": _sql_dedup_pipeline(16, 4, 0.5),
         "text_word_freq": SQL_TEXT_WORD_FREQ,

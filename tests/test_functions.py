@@ -1501,3 +1501,60 @@ class TestBM25:
         docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
         with pytest.raises(ValueError, match="non-empty"):
             bm25_score(docs, [])
+
+
+class TestLogregClassifier:
+    """Distributed full-batch GD linear classifier (functions/text.py):
+    integer-exact gradient aggregation must make training independent of
+    partitioning, and the model must actually learn the fixture task."""
+
+    def _feats(self, spark):
+        import random
+
+        from geopyspark_spark.functions.text import classifier_features
+
+        rng = random.Random(7)
+        words = ["the", "quick", "brown", "fox", "jumps!", "over,",
+                 "lazy", "dog", "and", "runs", "far", "away"]
+        rows = []
+        for i in range(240):
+            n = rng.randint(5, 120)
+            text = " ".join(rng.choice(words) for _ in range(n))
+            rows.append((i, text, 1 if len(text) >= 300 else 0))
+        df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+        return classifier_features(df).join(
+            df.select("doc_id", "label"), "doc_id")
+
+    def test_partition_invariant_training(self, spark):
+        from geopyspark_spark.functions.text import logreg_train
+
+        feats = self._feats(spark)
+        w1 = logreg_train(feats.repartition(1), iters=6, lr=2.0)
+        w13 = logreg_train(feats.repartition(13, "doc_id"), iters=6, lr=2.0)
+        assert w1 == w13  # bit-identical, not approximately equal
+
+    def test_learns_and_scores(self, spark):
+        from pyspark.sql import functions as SF
+
+        from geopyspark_spark.functions.text import (
+            logreg_score, logreg_train,
+        )
+
+        feats = self._feats(spark)
+        w = logreg_train(feats, iters=20, lr=2.0)
+        scored = logreg_score(feats, w).join(
+            feats.select("doc_id", "label"), "doc_id")
+        acc = scored.agg(
+            SF.avg((SF.col("pred") == SF.col("label")).cast("double"))
+        ).collect()[0][0]
+        base = scored.agg(SF.avg(SF.col("label").cast("double"))).collect()[0][0]
+        assert acc >= max(base, 1.0 - base) + 0.05  # beats majority class
+        assert acc >= 0.85
+        row = scored.first()
+        assert 0 <= row["score_fp"] <= 1_000_000
+
+    def test_empty_corpus(self, spark):
+        from geopyspark_spark.functions.text import logreg_train
+
+        feats = self._feats(spark).where("doc_id < 0")
+        assert logreg_train(feats, iters=3) == [0.0, 0.0, 0.0, 0.0]
