@@ -49,6 +49,9 @@ def _is_wgs84_datum(s: str) -> bool:
     if "+towgs84" in s:
         return False
     kv = dict(re.findall(r"\+([a-z_0-9]+)=([^\s]+)", s))
+    nadgrids = kv.get("nadgrids", "")
+    if nadgrids and nadgrids.lstrip("@").lower() not in ("null", "none"):
+        return False  # a grid-shift datum is a datum change
     datum = kv.get("datum", "").lower()
     if datum and datum not in ("wgs84", "nad83"):
         return False
@@ -2429,12 +2432,34 @@ def _parse_proj4(s: str):
     # the @null sentinel (common in web-mercator strings) means "no
     # shift" and is safe to accept
     nadgrids = kv.get("nadgrids", "")
+    grid_shift = None
     if nadgrids and nadgrids.lstrip("@").lower() not in ("null", "none"):
-        raise NotImplementedError(
-            f"proj4 +nadgrids={nadgrids!r} grid-shift files are not "
-            "supported (no grid data in this environment); use a "
-            "+towgs84 Helmert approximation instead"
-        )
+        # NTv2 grid-shift support (core/ntv2.py): comma-separated
+        # candidates, '@'-prefixed entries optional (proj semantics) —
+        # the first readable .gsb wins. No grid files ship with the
+        # engine (they are agency-distributed), so a named-but-absent
+        # mandatory grid still raises rather than silently skipping a
+        # tens-of-meters datum shift.
+        import os as _osmod
+
+        from .ntv2 import NTv2Grid
+
+        missing = []
+        for entry in nadgrids.split(","):
+            optional = entry.startswith("@")
+            path = entry.lstrip("@")
+            if _osmod.path.exists(path):
+                grid_shift = NTv2Grid.open(path)
+                break
+            if not optional:
+                missing.append(path)
+        if grid_shift is None and missing:
+            raise NotImplementedError(
+                f"proj4 +nadgrids={nadgrids!r}: no listed grid file "
+                "exists on disk (grid data is agency-distributed and "
+                "not bundled); supply the .gsb path or use a +towgs84 "
+                "Helmert approximation instead"
+            )
 
     shift_params = None
     ell = None
@@ -2481,7 +2506,9 @@ def _parse_proj4(s: str):
             vals += [0.0, 0.0, 0.0, 0.0]
         shift_params = tuple(vals[:7])
 
-    shift = (
+    # a loaded NTv2 grid takes precedence over any Helmert approximation
+    # (proj semantics: +nadgrids overrides +towgs84/+datum)
+    shift = grid_shift if grid_shift is not None else (
         Helmert(*shift_params, src_ell=ell, dst_ell=WGS84_ELL)
         if shift_params is not None else None
     )

@@ -1,0 +1,282 @@
+"""NTv2 grid-shift datum transformations (``+nadgrids=<file>.gsb``).
+
+The reference gets grid-shift datums from proj4/GeoTrellis
+(``TileLayer.scala:288-295 getCRS``); this is a from-scratch reader for
+the public NTv2 binary format (originally Geomatics Canada's "National
+Transformation version 2"; the de-facto grid-shift interchange format —
+NAD27->NAD83 NTv2_0.gsb, OSTN-derived grids, BETA2007.gsb, ...).
+
+Format (public specification):
+
+- an 11-record overview header; each record is 16 bytes — an 8-byte
+  ASCII name + an 8-byte value (int32 + 4 pad bytes, double, or 8-byte
+  ASCII). ``NUM_OREC`` must read 11, which doubles as the byte-order
+  probe (both endiannesses occur in the wild).
+- per sub-grid: an 11-record header (S_LAT/N_LAT/E_LONG/W_LONG bounds,
+  LAT_INC/LONG_INC spacing — all in arc-seconds with **longitude
+  positive WEST**, NTv2's historical convention) followed by
+  ``GS_COUNT`` nodes of 4 float32s: latitude shift, longitude shift
+  (arc-seconds, longitude shift positive west), and two accuracy values.
+  Nodes run south-to-north in rows; within a row east-to-west
+  (increasing positive-west longitude).
+
+Shifts are FROM the source datum TO the target datum (for the canonical
+grids: to NAD83/WGS84-class): ``lat += shift_lat/3600``,
+``lon_west += shift_lon/3600``. Interpolation is bilinear in the cell
+containing the point — the method the specification prescribes. The
+inverse direction has no closed form; the standard fixed-point
+iteration (apply the forward shift at the current estimate, correct,
+repeat) converges to sub-mm in 3-4 rounds because the shift field is
+smooth and tiny relative to the grid spacing.
+
+Points outside every sub-grid pass through UNSHIFTED (proj's lenient
+behavior) — callers that need strictness can check :meth:`covers`.
+
+No real grid files ship with this engine (they are distributed by the
+national agencies); the reader is exercised against synthetic
+spec-conformant files in the tests, and any user-supplied ``.gsb``
+works via ``+nadgrids=/path/to/file.gsb``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_OVERVIEW_RECORDS = 11
+_SUBGRID_RECORDS = 11
+_REC = 16
+
+
+class NTv2SubGrid:
+    """One sub-grid: bounds/spacing in positive-west arc-seconds plus
+    the (nrows, ncols) float64 shift arrays (arc-seconds)."""
+
+    __slots__ = ("name", "parent", "s_lat", "n_lat", "e_long", "w_long",
+                 "lat_inc", "long_inc", "nrows", "ncols", "dlat", "dlon")
+
+    def __init__(self, name, parent, s_lat, n_lat, e_long, w_long,
+                 lat_inc, long_inc, dlat, dlon):
+        self.name, self.parent = name, parent
+        self.s_lat, self.n_lat = s_lat, n_lat
+        self.e_long, self.w_long = e_long, w_long
+        self.lat_inc, self.long_inc = lat_inc, long_inc
+        self.nrows, self.ncols = dlat.shape
+        self.dlat, self.dlon = dlat, dlon
+
+    def contains(self, lat_sec, lonw_sec):
+        return ((lat_sec >= self.s_lat) & (lat_sec <= self.n_lat)
+                & (lonw_sec >= self.e_long) & (lonw_sec <= self.w_long))
+
+    def interpolate(self, lat_sec, lonw_sec):
+        """Bilinear (dlat, dlon) in arc-seconds at positive-west
+        arc-second coordinates (vectorized; caller guarantees
+        containment)."""
+        fr = (lat_sec - self.s_lat) / self.lat_inc
+        fc = (lonw_sec - self.e_long) / self.long_inc
+        r0 = np.clip(np.floor(fr).astype(np.int64), 0, self.nrows - 2)
+        c0 = np.clip(np.floor(fc).astype(np.int64), 0, self.ncols - 2)
+        tr = fr - r0
+        tc = fc - c0
+        out = []
+        for g in (self.dlat, self.dlon):
+            v00 = g[r0, c0]
+            v01 = g[r0, c0 + 1]
+            v10 = g[r0 + 1, c0]
+            v11 = g[r0 + 1, c0 + 1]
+            out.append((1 - tr) * ((1 - tc) * v00 + tc * v01)
+                       + tr * ((1 - tc) * v10 + tc * v11))
+        return out[0], out[1]
+
+
+def _read_records(buf, off, n, endian):
+    rec = {}
+    order = []
+    for i in range(n):
+        chunk = buf[off + i * _REC: off + (i + 1) * _REC]
+        name = chunk[:8].decode("ascii", "replace").strip()
+        rec[name] = chunk[8:]
+        order.append(name)
+    return rec, order
+
+
+def _int_field(raw, endian):
+    return struct.unpack(endian + "i", raw[:4])[0]
+
+
+def _dbl_field(raw, endian):
+    return struct.unpack(endian + "d", raw)[0]
+
+
+class NTv2Grid:
+    """A parsed NTv2 file: ordered sub-grids + vectorized shift
+    application. Sub-grid selection prefers the densest (finest
+    LAT_INC) containing sub-grid, which subsumes the parent/child
+    convention without tracking the hierarchy explicitly."""
+
+    def __init__(self, subgrids, gs_type="SECONDS"):
+        if not subgrids:
+            raise ValueError("NTv2 file contains no sub-grids")
+        self.subgrids = sorted(subgrids, key=lambda g: (g.lat_inc, g.name))
+        self.gs_type = gs_type
+
+    @classmethod
+    def parse(cls, data: bytes) -> "NTv2Grid":
+        if len(data) < _OVERVIEW_RECORDS * _REC:
+            raise ValueError("NTv2: file shorter than the overview header")
+        # byte-order probe: NUM_OREC must equal 11
+        endian = None
+        for cand in ("<", ">"):
+            if struct.unpack(cand + "i", data[8:12])[0] == _OVERVIEW_RECORDS:
+                endian = cand
+                break
+        if endian is None:
+            raise ValueError("NTv2: NUM_OREC != 11 in either byte order")
+        over, _ = _read_records(data, 0, _OVERVIEW_RECORDS, endian)
+        n_files = _int_field(over.get("NUM_FILE", b"\0" * 8), endian)
+        gs_type = over.get("GS_TYPE", b"SECONDS ").decode(
+            "ascii", "replace").strip()
+        if gs_type != "SECONDS":
+            raise NotImplementedError(
+                f"NTv2 GS_TYPE {gs_type!r}; only SECONDS grids are "
+                "supported (all published shift grids use SECONDS)")
+        off = _OVERVIEW_RECORDS * _REC
+        subs = []
+        for _ in range(max(n_files, 0)):
+            if off + _SUBGRID_RECORDS * _REC > len(data):
+                raise ValueError("NTv2: truncated sub-grid header")
+            sub, _ = _read_records(data, off, _SUBGRID_RECORDS, endian)
+            off += _SUBGRID_RECORDS * _REC
+            s_lat = _dbl_field(sub["S_LAT"], endian)
+            n_lat = _dbl_field(sub["N_LAT"], endian)
+            e_long = _dbl_field(sub["E_LONG"], endian)
+            w_long = _dbl_field(sub["W_LONG"], endian)
+            lat_inc = _dbl_field(sub["LAT_INC"], endian)
+            long_inc = _dbl_field(sub["LONG_INC"], endian)
+            count = _int_field(sub["GS_COUNT"], endian)
+            ncols = int(round((w_long - e_long) / long_inc)) + 1
+            nrows = int(round((n_lat - s_lat) / lat_inc)) + 1
+            if nrows * ncols != count:
+                raise ValueError(
+                    f"NTv2: GS_COUNT {count} != grid {nrows}x{ncols}")
+            need = count * 16
+            if off + need > len(data):
+                raise ValueError("NTv2: truncated node block")
+            nodes = np.frombuffer(
+                data[off:off + need], dtype=endian + "f4").reshape(count, 4)
+            off += need
+            dlat = nodes[:, 0].astype(np.float64).reshape(nrows, ncols)
+            dlon = nodes[:, 1].astype(np.float64).reshape(nrows, ncols)
+            subs.append(NTv2SubGrid(
+                sub["SUB_NAME"].decode("ascii", "replace").strip(),
+                sub["PARENT"].decode("ascii", "replace").strip(),
+                s_lat, n_lat, e_long, w_long, lat_inc, long_inc,
+                dlat, dlon))
+        return cls(subs, gs_type)
+
+    @classmethod
+    def open(cls, path: str) -> "NTv2Grid":
+        with open(path, "rb") as f:
+            return cls.parse(f.read())
+
+    def covers(self, lon, lat):
+        """Boolean array: point falls inside at least one sub-grid."""
+        lat_sec = np.asarray(lat, dtype=np.float64) * 3600.0
+        lonw_sec = -np.asarray(lon, dtype=np.float64) * 3600.0
+        hit = np.zeros(np.broadcast(lat_sec, lonw_sec).shape, dtype=bool)
+        for g in self.subgrids:
+            hit |= g.contains(lat_sec, lonw_sec)
+        return hit
+
+    def _shift_sec(self, lon, lat):
+        """(dlat_sec, dlon_west_sec) at each point; 0 outside coverage.
+        Densest containing sub-grid wins (self.subgrids is sorted by
+        LAT_INC ascending, and the first hit is kept)."""
+        lat_sec = np.atleast_1d(np.asarray(lat, dtype=np.float64)) * 3600.0
+        lonw_sec = -np.atleast_1d(np.asarray(lon, dtype=np.float64)) * 3600.0
+        lat_sec, lonw_sec = np.broadcast_arrays(lat_sec, lonw_sec)
+        dlat = np.zeros(lat_sec.shape)
+        dlon = np.zeros(lat_sec.shape)
+        assigned = np.zeros(lat_sec.shape, dtype=bool)
+        for g in self.subgrids:
+            m = g.contains(lat_sec, lonw_sec) & ~assigned
+            if not m.any():
+                continue
+            a, b = g.interpolate(lat_sec[m], lonw_sec[m])
+            dlat[m] = a
+            dlon[m] = b
+            assigned |= m
+        return dlat, dlon
+
+    def to_wgs84(self, lon, lat):
+        """Source datum -> target datum (the grid's published direction:
+        for the canonical files, to the NAD83/ETRS89/WGS84 class)."""
+        dlat, dlonw = self._shift_sec(lon, lat)
+        lat2 = np.asarray(lat, dtype=np.float64) + dlat / 3600.0
+        # positive-west shift: west longitude grows by dlonw, so the
+        # conventional east-positive longitude DEcreases
+        lon2 = np.asarray(lon, dtype=np.float64) - dlonw / 3600.0
+        return lon2, lat2
+
+    def from_wgs84(self, lon, lat):
+        """Target -> source via the standard fixed-point iteration: the
+        shift at the (unknown) source location is approximated by the
+        shift at the current estimate and refined; sub-mm in <= 4
+        rounds for any published grid (shift << grid spacing)."""
+        lon_t = np.asarray(lon, dtype=np.float64)
+        lat_t = np.asarray(lat, dtype=np.float64)
+        lon_s, lat_s = np.array(lon_t, copy=True), np.array(lat_t, copy=True)
+        for _ in range(4):
+            f_lon, f_lat = self.to_wgs84(lon_s, lat_s)
+            lon_s = lon_s - (f_lon - lon_t)
+            lat_s = lat_s - (f_lat - lat_t)
+        return lon_s, lat_s
+
+
+def encode_ntv2(subgrids: list[dict], endian: str = "<") -> bytes:
+    """Encode a spec-conformant NTv2 byte stream from sub-grid dicts
+    (keys: name, parent, s_lat, n_lat, e_long, w_long, lat_inc,
+    long_inc, dlat, dlon — bounds in positive-west arc-seconds, shift
+    arrays (nrows, ncols) in arc-seconds). Exists so tests — and users
+    building custom local shift grids — can produce real files without
+    any external tooling; the writer shares NOTHING with the parser
+    (independent struct packing), so round-trip tests are meaningful."""
+
+    def rec(name: str, raw: bytes) -> bytes:
+        return name.encode("ascii").ljust(8)[:8] + raw
+
+    def irec(name, v):
+        return rec(name, struct.pack(endian + "i", v) + b"\0\0\0\0")
+
+    def drec(name, v):
+        return rec(name, struct.pack(endian + "d", float(v)))
+
+    def srec(name, v):
+        return rec(name, v.encode("ascii").ljust(8)[:8])
+
+    out = [
+        irec("NUM_OREC", 11), irec("NUM_SREC", 11),
+        irec("NUM_FILE", len(subgrids)), srec("GS_TYPE", "SECONDS"),
+        srec("VERSION", "NTv2.0"), srec("SYSTEM_F", "SRC"),
+        srec("SYSTEM_T", "DST"), drec("MAJOR_F", 6378206.4),
+        drec("MINOR_F", 6356583.8), drec("MAJOR_T", 6378137.0),
+        drec("MINOR_T", 6356752.314),
+    ]
+    for g in subgrids:
+        dlat = np.asarray(g["dlat"], dtype=np.float64)
+        dlon = np.asarray(g["dlon"], dtype=np.float64)
+        nrows, ncols = dlat.shape
+        out += [
+            srec("SUB_NAME", g["name"]), srec("PARENT", g.get("parent", "NONE")),
+            srec("CREATED", "00000000"), srec("UPDATED", "00000000"),
+            drec("S_LAT", g["s_lat"]), drec("N_LAT", g["n_lat"]),
+            drec("E_LONG", g["e_long"]), drec("W_LONG", g["w_long"]),
+            drec("LAT_INC", g["lat_inc"]), drec("LONG_INC", g["long_inc"]),
+            irec("GS_COUNT", nrows * ncols),
+        ]
+        for r in range(nrows):
+            for c in range(ncols):
+                out.append(struct.pack(
+                    endian + "4f", dlat[r, c], dlon[r, c], 1.0, 1.0))
+    return b"".join(out)

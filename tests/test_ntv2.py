@@ -1,0 +1,185 @@
+"""NTv2 grid-shift datum tests (core/ntv2.py; reference gets grid
+datums from proj4 via ``TileLayer.scala:288-295 getCRS``). No real
+agency grids ship in this environment, so the fixtures are synthetic
+spec-conformant files produced by ``encode_ntv2`` (an independent
+struct-packing writer that shares nothing with the parser)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from geopyspark_spark.core.ntv2 import NTv2Grid, encode_ntv2
+
+
+def _smooth_grid(s_lat=-38.0 * 3600, n_lat=-34.0 * 3600,
+                 e_long=-152.0 * 3600, w_long=-148.0 * 3600,
+                 inc=1800.0, name="MAIN"):
+    """A smooth synthetic shift field over an Australian-ish box
+    (positive-west longitudes: e_long=-152*3600 is 152E). dlat/dlon in
+    arc-seconds, linear + bilinear-exact by construction."""
+    nrows = int(round((n_lat - s_lat) / inc)) + 1
+    ncols = int(round((w_long - e_long) / inc)) + 1
+    r = np.arange(nrows)[:, None]
+    c = np.arange(ncols)[None, :]
+    dlat = 2.0 + 0.1 * r + 0.05 * c
+    dlon = -1.5 + 0.07 * r - 0.02 * c
+    return {
+        "name": name, "parent": "NONE", "s_lat": s_lat, "n_lat": n_lat,
+        "e_long": e_long, "w_long": w_long, "lat_inc": inc,
+        "long_inc": inc, "dlat": dlat, "dlon": dlon,
+    }
+
+
+class TestNTv2Parse:
+    @pytest.mark.parametrize("endian", ["<", ">"])
+    def test_roundtrip_both_byte_orders(self, endian):
+        g = NTv2Grid.parse(encode_ntv2([_smooth_grid()], endian=endian))
+        assert len(g.subgrids) == 1
+        sub = g.subgrids[0]
+        assert sub.name == "MAIN"
+        assert sub.nrows == 9 and sub.ncols == 9
+        # node values survive the float32 wire format exactly
+        # (the synthetic values are float32-representable sums)
+        assert sub.dlat[0, 0] == pytest.approx(2.0, abs=1e-6)
+        assert sub.dlat[3, 2] == pytest.approx(2.0 + 0.3 + 0.1, abs=1e-5)
+
+    def test_truncated_and_bad_magic(self):
+        buf = encode_ntv2([_smooth_grid()])
+        with pytest.raises(ValueError, match="NUM_OREC"):
+            NTv2Grid.parse(b"\x00" * 200)
+        with pytest.raises(ValueError, match="truncated"):
+            NTv2Grid.parse(buf[: len(buf) - 50])
+
+    def test_gs_count_mismatch(self):
+        sub = _smooth_grid()
+        buf = bytearray(encode_ntv2([sub]))
+        # corrupt GS_COUNT (record 11 of the sub-grid header)
+        import struct
+
+        off = 11 * 16 + 10 * 16 + 8
+        struct.pack_into("<i", buf, off, 9999)
+        with pytest.raises(ValueError, match="GS_COUNT"):
+            NTv2Grid.parse(bytes(buf))
+
+
+class TestNTv2Shift:
+    def setup_method(self):
+        self.grid = NTv2Grid.parse(encode_ntv2([_smooth_grid()]))
+
+    def test_shift_at_node_is_node_value(self):
+        # node (r=2, c=3): lat = -38 + 2*0.5, lon_west = -152*3600+3*1800
+        lat = -38.0 + 2 * 0.5
+        lon = 152.0 - 3 * 0.5  # east-positive
+        lon2, lat2 = self.grid.to_wgs84(lon, lat)
+        exp_dlat = (2.0 + 0.1 * 2 + 0.05 * 3) / 3600.0
+        exp_dlonw = (-1.5 + 0.07 * 2 - 0.02 * 3) / 3600.0
+        assert float(lat2 - lat) == pytest.approx(exp_dlat, abs=1e-9)
+        assert float(lon2 - lon) == pytest.approx(-exp_dlonw, abs=1e-9)
+
+    def test_bilinear_between_nodes(self):
+        # field is linear in (r, c), so bilinear must reproduce it at
+        # ANY interior point, not just nodes
+        lat = -36.123
+        lon = 150.789
+        r = (lat * 3600 - (-38.0 * 3600)) / 1800.0
+        c = (-lon * 3600 - (-152.0 * 3600)) / 1800.0
+        lon2, lat2 = self.grid.to_wgs84(lon, lat)
+        assert float(lat2 - lat) == pytest.approx(
+            (2.0 + 0.1 * r + 0.05 * c) / 3600.0, abs=1e-9)
+        assert float(lon2 - lon) == pytest.approx(
+            -(-1.5 + 0.07 * r - 0.02 * c) / 3600.0, abs=1e-9)
+
+    def test_outside_grid_passthrough(self):
+        lon2, lat2 = self.grid.to_wgs84(10.0, 50.0)
+        assert float(lon2) == 10.0 and float(lat2) == 50.0
+        assert not bool(self.grid.covers(10.0, 50.0))
+        assert bool(self.grid.covers(150.0, -36.0))
+
+    def test_inverse_roundtrip_submm(self):
+        rng = np.random.default_rng(2)
+        lons = rng.uniform(148.2, 151.8, 300)
+        lats = rng.uniform(-37.8, -34.2, 300)
+        flon, flat = self.grid.to_wgs84(lons, lats)
+        blon, blat = self.grid.from_wgs84(flon, flat)
+        # 1e-9 deg ~ 0.1 mm
+        np.testing.assert_allclose(blon, lons, atol=1e-9)
+        np.testing.assert_allclose(blat, lats, atol=1e-9)
+
+    def test_densest_subgrid_wins(self):
+        coarse = _smooth_grid(name="COARSE")
+        fine = _smooth_grid(
+            s_lat=-36.0 * 3600, n_lat=-35.0 * 3600,
+            e_long=-151.0 * 3600, w_long=-150.0 * 3600,
+            inc=900.0, name="FINE")
+        fine["parent"] = "COARSE"
+        fine["dlat"] = np.full_like(np.asarray(fine["dlat"]), 7.0)
+        fine["dlon"] = np.zeros_like(np.asarray(fine["dlon"]))
+        g = NTv2Grid.parse(encode_ntv2([coarse, fine]))
+        # inside the fine grid: its constant 7" shift, not the coarse field
+        _, lat2 = g.to_wgs84(150.5, -35.5)
+        assert float(lat2 - (-35.5)) == pytest.approx(7.0 / 3600.0, abs=1e-9)
+        # outside the fine grid but inside coarse: coarse field applies
+        _, lat3 = g.to_wgs84(148.5, -37.5)
+        assert abs(float(lat3 - (-37.5)) - 7.0 / 3600.0) > 1e-4
+
+
+class TestNTv2Proj4:
+    def test_nadgrids_path_applied(self, tmp_path):
+        from geopyspark_spark.core.crs import get_transform
+
+        p = tmp_path / "shift.gsb"
+        p.write_bytes(encode_ntv2([_smooth_grid()]))
+        f = get_transform(
+            f"+proj=longlat +ellps=GRS80 +nadgrids={p}", "epsg:4326")
+        lon2, lat2 = f(np.array([150.0]), np.array([-36.0]))
+        r = (-36.0 + 38.0) * 2  # row fraction at lat -36
+        c = (152.0 - 150.0) * 2
+        assert float(lat2[0] - (-36.0)) == pytest.approx(
+            (2.0 + 0.1 * r + 0.05 * c) / 3600.0, abs=1e-9)
+
+    def test_nadgrids_missing_file_raises(self):
+        from geopyspark_spark.core.crs import get_transform
+
+        with pytest.raises(NotImplementedError, match="nadgrids"):
+            get_transform(
+                "+proj=longlat +ellps=GRS80 +nadgrids=/nonexistent.gsb",
+                "epsg:4326")
+
+    def test_nadgrids_optional_missing_skipped(self):
+        from geopyspark_spark.core.crs import get_transform
+
+        # '@' marks the grid optional: absent file -> no shift, no error
+        f = get_transform(
+            "+proj=longlat +ellps=GRS80 +nadgrids=@/nonexistent.gsb",
+            "epsg:4326")
+        lon2, lat2 = f(np.array([150.0]), np.array([-36.0]))
+        assert float(lon2[0]) == 150.0 and float(lat2[0]) == -36.0
+
+    def test_nadgrids_null_still_accepted(self):
+        from geopyspark_spark.core.crs import get_transform
+
+        f = get_transform(
+            "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 "
+            "+x_0=0 +y_0=0 +k=1 +units=m +nadgrids=@null", "epsg:4326")
+        assert f is not None
+
+    def test_grid_shift_through_projection(self, tmp_path):
+        """+nadgrids composed with a projected CRS: the shift applies on
+        the geographic side before the forward projection."""
+        from geopyspark_spark.core.crs import get_transform
+
+        p = tmp_path / "shift.gsb"
+        p.write_bytes(encode_ntv2([_smooth_grid()]))
+        with_grid = get_transform(
+            "epsg:4326",
+            f"+proj=tmerc +lat_0=0 +lon_0=151 +k=1 +ellps=GRS80 "
+            f"+nadgrids={p}")
+        without = get_transform(
+            "epsg:4326",
+            "+proj=tmerc +lat_0=0 +lon_0=151 +k=1 +ellps=GRS80")
+        xg, yg = with_grid(np.array([150.0]), np.array([-36.0]))
+        x0, y0 = without(np.array([150.0]), np.array([-36.0]))
+        d = float(np.hypot(xg - x0, yg - y0))
+        # the synthetic field shifts by a few arc-seconds ~ 100-ish m
+        assert 30.0 < d < 500.0
