@@ -15,8 +15,9 @@ layout, none/DEFLATE/LZW/PackBits compression, horizontal-differencing
 predictor (tag 317), uint8/int8/uint16/int16/int32/uint32/float32/
 float64 samples, little- or big-endian classic TIFF. Enough that
 ``geotiff.get`` ingests typical externally-produced integer GeoTIFFs
-without GDAL; exotics (JPEG, 1/2/4-bit, planar=2, BigTIFF) still want
-the rasterio seam.
+without GDAL, and BigTIFF (TIFF version 43, 8-byte offsets) reads and
+writes through the same paths; exotics (JPEG, 1/2/4-bit, planar=2)
+still want the rasterio seam.
 """
 
 from __future__ import annotations
@@ -41,7 +42,9 @@ _GDAL_NODATA = 42113
 _TIFF_DATETIME = 306  # ASCII "yyyy:MM:dd HH:mm:ss" (TIFF 6.0 DateTime)
 
 _TYPE_SHORT, _TYPE_LONG, _TYPE_DOUBLE, _TYPE_ASCII = 3, 4, 12, 2
-_TYPE_SIZE = {_TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_DOUBLE: 8, _TYPE_ASCII: 1}
+_TYPE_LONG8, _TYPE_SLONG8, _TYPE_IFD8 = 16, 17, 18  # BigTIFF (TIFF 43)
+_TYPE_SIZE = {_TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_DOUBLE: 8, _TYPE_ASCII: 1,
+              _TYPE_LONG8: 8, _TYPE_SLONG8: 8, _TYPE_IFD8: 8}
 
 _DTYPES = {
     np.dtype("float64"): (64, 3),  # (bits, SampleFormat: 3=IEEE float)
@@ -88,10 +91,14 @@ _NEW_SUBFILE_TYPE = 254
 
 def _build_segment(cells: np.ndarray, extent: Extent, crs: str,
                    nodata: float | None, compress: bool, base: int,
-                   overview: bool, datetime_str: str | None = None) -> tuple[bytes, int]:
+                   overview: bool, datetime_str: str | None = None,
+                   big: bool = False) -> tuple[bytes, int]:
     """Build strip+aux+IFD bytes for one image page starting at absolute
     file offset ``base``. Returns (segment_bytes, ifd_offset). The IFD's
-    next-IFD pointer is left zeroed at the segment's final 4 bytes."""
+    next-IFD pointer is left zeroed at the segment's final 4 (classic) or
+    8 (BigTIFF) bytes. ``big`` emits a BigTIFF IFD: 8-byte entry count,
+    20-byte entries with an 8-byte inline window, LONG8 strip offset/
+    byte-count so pages may sit beyond 4 GiB."""
     cells = np.asarray(cells)
     if cells.ndim == 2:
         cells = cells[None, :, :]
@@ -120,7 +127,8 @@ def _build_segment(cells: np.ndarray, extent: Extent, crs: str,
             payload = values.encode() + b"\0"
             entries.append((tag, typ, len(payload), payload))
             return
-        pack = {_TYPE_SHORT: "<H", _TYPE_LONG: "<I", _TYPE_DOUBLE: "<d"}[typ]
+        pack = {_TYPE_SHORT: "<H", _TYPE_LONG: "<I", _TYPE_DOUBLE: "<d",
+                _TYPE_LONG8: "<Q"}[typ]
         vs = values if isinstance(values, (list, tuple)) else [values]
         entries.append((tag, typ, len(vs), b"".join(struct.pack(pack, v) for v in vs)))
 
@@ -132,10 +140,10 @@ def _build_segment(cells: np.ndarray, extent: Extent, crs: str,
     add(_BITS_PER_SAMPLE, _TYPE_SHORT, [bits] * bands)
     add(_COMPRESSION, _TYPE_SHORT, 8 if compress else 1)
     add(_PHOTOMETRIC, _TYPE_SHORT, 1)
-    add(_STRIP_OFFSETS, _TYPE_LONG, strip_offset)
+    add(_STRIP_OFFSETS, _TYPE_LONG8 if big else _TYPE_LONG, strip_offset)
     add(_SAMPLES_PER_PIXEL, _TYPE_SHORT, bands)
     add(_ROWS_PER_STRIP, _TYPE_LONG, rows)
-    add(_STRIP_BYTE_COUNTS, _TYPE_LONG, strip_len)
+    add(_STRIP_BYTE_COUNTS, _TYPE_LONG8 if big else _TYPE_LONG, strip_len)
     add(_PLANAR_CONFIG, _TYPE_SHORT, 1)
     add(_SAMPLE_FORMAT, _TYPE_SHORT, [fmt] * bands)
     add(_MODEL_PIXEL_SCALE, _TYPE_DOUBLE, [cw, ch, 0.0])
@@ -148,13 +156,15 @@ def _build_segment(cells: np.ndarray, extent: Extent, crs: str,
         add(_TIFF_DATETIME, _TYPE_ASCII, datetime_str)
 
     # layout within the segment: strip | out-of-line tag values | IFD
+    inline_max = 8 if big else 4
     aux_offset = strip_offset + len(data)
     aux = bytearray()
     placed = []
     for tag, typ, count, payload in sorted(entries):
         size = count * _TYPE_SIZE[typ]
-        if size <= 4:
-            placed.append((tag, typ, count, payload.ljust(4, b"\0"), None))
+        if size <= inline_max:
+            placed.append((tag, typ, count, payload.ljust(inline_max, b"\0"),
+                           None))
         else:
             placed.append((tag, typ, count, None, aux_offset + len(aux)))
             aux.extend(payload)
@@ -162,31 +172,50 @@ def _build_segment(cells: np.ndarray, extent: Extent, crs: str,
                 aux.extend(b"\0")
     ifd_offset = aux_offset + len(aux)
     ifd_entries = b""
+    off_fmt = "<Q" if big else "<I"
     for tag, typ, count, inline, off in placed:
-        val = inline if inline is not None else struct.pack("<I", off)
-        ifd_entries += struct.pack("<HHI", tag, typ, count) + val
-    ifd = struct.pack("<H", len(placed)) + ifd_entries + struct.pack("<I", 0)
+        val = inline if inline is not None else struct.pack(off_fmt, off)
+        if big:
+            ifd_entries += struct.pack("<HHQ", tag, typ, count) + val
+        else:
+            ifd_entries += struct.pack("<HHI", tag, typ, count) + val
+    if big:
+        ifd = struct.pack("<Q", len(placed)) + ifd_entries + struct.pack("<Q", 0)
+    else:
+        ifd = struct.pack("<H", len(placed)) + ifd_entries + struct.pack("<I", 0)
     return data + bytes(aux) + ifd, ifd_offset
 
 
 def encode_geotiff(cells: np.ndarray, extent: Extent, crs: str,
                    nodata: float | None = None, compress: bool = True,
-                   datetime_str: str | None = None) -> bytes:
+                   datetime_str: str | None = None,
+                   bigtiff: bool | None = None) -> bytes:
     """Encode a (bands, rows, cols) array as GeoTIFF bytes. Pass
     ``datetime_str`` ("yyyy:MM:dd HH:mm:ss") to stamp the TIFF DateTime
-    tag — the timestamp source for SPACETIME ``geotiff.get`` ingest."""
-    seg, ifd_offset = _build_segment(cells, extent, crs, nodata, compress, 8,
-                                     False, datetime_str)
+    tag — the timestamp source for SPACETIME ``geotiff.get`` ingest.
+
+    ``bigtiff``: True writes BigTIFF (TIFF version 43, 8-byte offsets —
+    required once any offset would exceed 4 GiB); False forces classic;
+    None (default) auto-selects BigTIFF when the raw page data alone
+    approaches the 4 GiB classic ceiling."""
+    if bigtiff is None:
+        raw_bytes = int(np.asarray(cells).size) *             max(np.asarray(cells).dtype.itemsize, 8)
+        bigtiff = raw_bytes > 2 ** 32 - 2 ** 16
+    base = 16 if bigtiff else 8
+    seg, ifd_offset = _build_segment(cells, extent, crs, nodata, compress,
+                                     base, False, datetime_str, big=bigtiff)
+    if bigtiff:
+        return struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_offset) + seg
     return struct.pack("<2sHI", b"II", 42, ifd_offset) + seg
 
 
 def read_datetime(buf: bytes) -> str | None:
     """The page-0 TIFF DateTime tag string, or None if absent."""
-    bo = {b"II": "<", b"MM": ">"}.get(buf[:2])
-    if bo is None:
+    try:
+        bo, big, off = _tiff_header(buf)
+    except ValueError:
         return None
-    (off,) = struct.unpack(bo + "I", buf[4:8])
-    tags, _ = _read_ifd(buf, bo, off)
+    tags, _ = _read_ifd(buf, bo, off, big)
     vals = tags.get(_TIFF_DATETIME)
     return vals[0] if vals else None
 
@@ -223,48 +252,83 @@ def decode_geotiff(buf: bytes):
     horizontal predictor, PlanarConfig 1 — the common external baseline,
     not just this module's own output.
     """
-    bo = {b"II": "<", b"MM": ">"}.get(buf[:2])
-    if bo is None or struct.unpack(bo + "H", buf[2:4])[0] != 42:
-        raise ValueError("not a classic TIFF")
-    (ifd_offset,) = struct.unpack(bo + "I", buf[4:8])
-    tags, _next = _read_ifd(buf, bo, ifd_offset)
+    bo, big, ifd_offset = _tiff_header(buf)
+    tags, _next = _read_ifd(buf, bo, ifd_offset, big)
     return _decode_page(buf, bo, tags)
 
 
 def decode_geotiff_pages(buf: bytes):
     """Walk the full IFD chain: [(cells, extent, crs, nodata), ...] — page 0
     is full resolution, later pages the overview levels."""
-    bo = {b"II": "<", b"MM": ">"}.get(buf[:2])
-    if bo is None or struct.unpack(bo + "H", buf[2:4])[0] != 42:
-        raise ValueError("not a classic TIFF")
-    (off,) = struct.unpack(bo + "I", buf[4:8])
+    bo, big, off = _tiff_header(buf)
     pages = []
     while off:
-        tags, off = _read_ifd(buf, bo, off)
+        tags, off = _read_ifd(buf, bo, off, big)
         pages.append(_decode_page(buf, bo, tags))
     return pages
 
 
-def _read_ifd(buf: bytes, bo: str, ifd_offset: int):
-    (n,) = struct.unpack(bo + "H", buf[ifd_offset:ifd_offset + 2])
+def _tiff_header(buf: bytes) -> tuple[str, bool, int]:
+    """Parse the file header -> (byte order, is_bigtiff, first IFD
+    offset). Classic TIFF is version 42 with 4-byte offsets; BigTIFF
+    (version 43) declares 8-byte offsets and a zero pad word, then an
+    8-byte first-IFD offset."""
+    bo = {b"II": "<", b"MM": ">"}.get(buf[:2])
+    if bo is None:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    (ver,) = struct.unpack(bo + "H", buf[2:4])
+    if ver == 42:
+        (off,) = struct.unpack(bo + "I", buf[4:8])
+        return bo, False, off
+    if ver == 43:
+        osize, pad = struct.unpack(bo + "HH", buf[4:8])
+        if osize != 8 or pad != 0:
+            raise ValueError(
+                f"BigTIFF with offset size {osize} / pad {pad}; the "
+                "specification requires 8 / 0")
+        (off,) = struct.unpack(bo + "Q", buf[8:16])
+        return bo, True, off
+    raise ValueError(f"not a TIFF (version {ver})")
+
+
+def _read_ifd(buf: bytes, bo: str, ifd_offset: int, big: bool = False):
+    """One IFD -> (tags, next_ifd_offset). Handles classic 12-byte and
+    BigTIFF 20-byte entries (8-byte counts/offsets, 8-byte inline
+    payload window, LONG8/SLONG8/IFD8 value types)."""
+    if big:
+        (n,) = struct.unpack(bo + "Q", buf[ifd_offset:ifd_offset + 8])
+        head, esz, inline_max = 8, 20, 8
+    else:
+        (n,) = struct.unpack(bo + "H", buf[ifd_offset:ifd_offset + 2])
+        head, esz, inline_max = 2, 12, 4
     tags: dict[int, list] = {}
     for i in range(n):
-        e = ifd_offset + 2 + 12 * i
-        tag, typ, count = struct.unpack(bo + "HHI", buf[e:e + 8])
-        size = _TYPE_SIZE.get(typ, 1) * count
-        if size <= 4:
-            payload = buf[e + 8:e + 8 + size]
+        e = ifd_offset + head + esz * i
+        if big:
+            tag, typ = struct.unpack(bo + "HH", buf[e:e + 4])
+            (count,) = struct.unpack(bo + "Q", buf[e + 4:e + 12])
+            vpos = e + 12
         else:
-            (off,) = struct.unpack(bo + "I", buf[e + 8:e + 12])
+            tag, typ, count = struct.unpack(bo + "HHI", buf[e:e + 8])
+            vpos = e + 8
+        size = _TYPE_SIZE.get(typ, 1) * count
+        if size <= inline_max:
+            payload = buf[vpos:vpos + size]
+        else:
+            (off,) = struct.unpack(bo + ("Q" if big else "I"),
+                                   buf[vpos:vpos + (8 if big else 4)])
             payload = buf[off:off + size]
         if typ == _TYPE_ASCII:
             tags[tag] = [payload.rstrip(b"\0").decode()]
         else:
-            pack = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d"}.get(typ)
+            pack = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d",
+                    _TYPE_LONG8: "Q", _TYPE_SLONG8: "q",
+                    _TYPE_IFD8: "Q"}.get(typ)
             if pack:
                 tags[tag] = list(struct.unpack(f"{bo}{count}{pack}", payload))
-    nxt_pos = ifd_offset + 2 + 12 * n
-    (nxt,) = struct.unpack(bo + "I", buf[nxt_pos:nxt_pos + 4])
+    nxt_pos = ifd_offset + head + esz * n
+    (nxt,) = struct.unpack(bo + ("Q" if big else "I"),
+                           buf[nxt_pos:nxt_pos + (8 if big else 4)])
     return tags, nxt
 
 

@@ -791,3 +791,134 @@ class TestDecodeCache:
         r = subprocess.run([sys.executable, "-c", code], env=env,
                            capture_output=True, text=True, cwd="/root/repo")
         assert r.returncode == 0, r.stderr
+
+
+def _write_bigtiff_ref(pix, bo="<", comp=1, rows_per_strip=None):
+    """Independent minimal BigTIFF writer (strip layout): 16-byte header
+    (version 43, offset size 8), 20-byte IFD entries with 8-byte counts
+    and LONG8 segment offsets — shares nothing with the codec under
+    test."""
+    import struct as _s
+
+    rows, cols, bands = pix.shape
+    dt = pix.dtype
+    bits = dt.itemsize * 8
+    fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+
+    segs = []
+    rps = rows_per_strip or rows
+    for r0 in range(0, rows, rps):
+        raw = np.ascontiguousarray(pix[r0:r0 + rps]).astype(
+            dt.newbyteorder(bo)).tobytes()
+        segs.append(zlib.compress(raw) if comp == 8 else raw)
+
+    data = b""
+    seg_offsets, seg_counts = [], []
+    base = 16
+    for s in segs:
+        seg_offsets.append(base + len(data))
+        seg_counts.append(len(s))
+        data += s + (b"\0" if len(s) % 2 else b"")
+
+    T_SHORT, T_LONG, T_LONG8 = 3, 4, 16
+    entries = [
+        (256, T_LONG, [cols]),
+        (257, T_LONG, [rows]),
+        (258, T_SHORT, [bits] * bands),
+        (259, T_SHORT, [comp]),
+        (262, T_SHORT, [1]),
+        (273, T_LONG8, seg_offsets),
+        (277, T_SHORT, [bands]),
+        (278, T_LONG, [rps]),
+        (279, T_LONG8, seg_counts),
+        (284, T_SHORT, [1]),
+        (339, T_SHORT, [fmt] * bands),
+    ]
+    entries.sort()
+    size_of = {T_SHORT: 2, T_LONG: 4, T_LONG8: 8}
+    pack_of = {T_SHORT: "H", T_LONG: "I", T_LONG8: "Q"}
+    aux = bytearray()
+    aux_base = 16 + len(data)
+    placed = []
+    for tag, typ, vals in entries:
+        payload = b"".join(_s.pack(bo + pack_of[typ], v) for v in vals)
+        if len(payload) <= 8:
+            placed.append((tag, typ, len(vals), payload.ljust(8, b"\0")))
+        else:
+            placed.append((tag, typ, len(vals),
+                           _s.pack(bo + "Q", aux_base + len(aux))))
+            aux += payload
+            if len(aux) % 2:
+                aux += b"\0"
+    ifd_offset = aux_base + len(aux)
+    ifd = _s.pack(bo + "Q", len(placed))
+    for tag, typ, count, val in placed:
+        ifd += _s.pack(bo + "HHQ", tag, typ, count) + val
+    ifd += _s.pack(bo + "Q", 0)
+    magic = b"II" if bo == "<" else b"MM"
+    return (_s.pack(bo + "2sHHH", magic, 43, 8, 0)
+            + _s.pack(bo + "Q", ifd_offset) + data + bytes(aux) + ifd)
+
+
+class TestBigTiff:
+    """BigTIFF (TIFF version 43, 8-byte offsets) read + write."""
+
+    @pytest.mark.parametrize("bo", ["<", ">"])
+    @pytest.mark.parametrize("comp", [1, 8])
+    def test_decode_independent_bigtiff(self, bo, comp):
+        rng = np.random.default_rng(43)
+        pix = rng.integers(0, 255, (13, 9, 2)).astype(np.uint8)
+        buf = _write_bigtiff_ref(pix, bo=bo, comp=comp, rows_per_strip=5)
+        cells, extent, crs, nd = geotiff_codec.decode_geotiff(buf)
+        np.testing.assert_array_equal(cells, np.moveaxis(pix, -1, 0))
+        assert extent is None and nd is None
+
+    def test_engine_bigtiff_roundtrip_all_dtypes(self):
+        for dt in ("float64", "float32", "int32", "int16", "uint8"):
+            a = (np.arange(2 * 6 * 7) % 120).astype(dt).reshape(2, 6, 7)
+            ext = Extent(0, 0, 7, 6)
+            buf = geotiff_codec.encode_geotiff(
+                a, ext, "epsg:3857", nodata=3.0, bigtiff=True)
+            assert buf[2:4] == b"+\0"  # version 43
+            cells, e2, crs, nd = geotiff_codec.decode_geotiff(buf)
+            assert cells.dtype == np.dtype(dt)
+            np.testing.assert_array_equal(cells, a)
+            assert crs == "epsg:3857" and nd == 3.0
+            assert (e2.xmin, e2.ymin, e2.xmax, e2.ymax) == (0, 0, 7, 6)
+
+    def test_auto_selects_classic_for_small(self):
+        a = np.ones((1, 4, 4))
+        buf = geotiff_codec.encode_geotiff(a, Extent(0, 0, 4, 4), "epsg:4326")
+        assert buf[2:4] == b"\x2a\0"  # classic 42 below the 4 GiB ceiling
+
+    def test_datetime_via_bigtiff(self):
+        a = np.ones((1, 4, 4))
+        buf = geotiff_codec.encode_geotiff(
+            a, Extent(0, 0, 4, 4), "epsg:4326",
+            datetime_str="2021:06:07 08:09:10", bigtiff=True)
+        assert geotiff_codec.read_datetime(buf) == "2021:06:07 08:09:10"
+
+    def test_bigtiff_through_geotiff_get_seam(self, tmp_path):
+        """sizer/decoder (the geotiff.get injection defaults) must read a
+        BigTIFF file transparently."""
+        a = np.arange(3 * 8 * 8, dtype=np.float64).reshape(3, 8, 8)
+        p = str(tmp_path / "big.tif")
+        with open(p, "wb") as f:
+            f.write(geotiff_codec.encode_geotiff(
+                a, Extent(10, 20, 18, 28), "epsg:4326", bigtiff=True))
+        geotiff_codec.clear_decode_cache()
+        w, h, ext, nb = geotiff_codec.sizer(p)
+        assert (w, h, nb) == (8, 8, 3)
+        assert (ext.xmin, ext.ymax) == (10.0, 28.0)
+        win = geotiff_codec.decoder(p, (2, 3, 4, 5), 1)
+        np.testing.assert_array_equal(win, a[1, 3:8, 2:6])
+
+    def test_bad_bigtiff_offset_size_rejected(self):
+        import struct as _s
+
+        buf = bytearray(geotiff_codec.encode_geotiff(
+            np.ones((1, 4, 4)), Extent(0, 0, 4, 4), "epsg:4326",
+            bigtiff=True))
+        _s.pack_into("<H", buf, 4, 4)  # offset size must be 8
+        with pytest.raises(ValueError, match="offset size"):
+            geotiff_codec.decode_geotiff(bytes(buf))
