@@ -15,9 +15,11 @@ layout, none/DEFLATE/LZW/PackBits compression, horizontal-differencing
 predictor (tag 317), uint8/int8/uint16/int16/int32/uint32/float32/
 float64 samples, little- or big-endian classic TIFF. Enough that
 ``geotiff.get`` ingests typical externally-produced integer GeoTIFFs
-without GDAL, and BigTIFF (TIFF version 43, 8-byte offsets) reads and
-writes through the same paths; exotics (JPEG, 1/2/4-bit, planar=2)
-still want the rasterio seam.
+without GDAL; BigTIFF (TIFF version 43, 8-byte offsets) reads and
+writes through the same paths; PlanarConfiguration=2 (band-separate)
+and 1/2/4-bit sub-byte pages (bilevel masks, low-depth palettes)
+decode too. The one remaining exotic that wants the rasterio seam is
+JPEG-in-TIFF.
 """
 
 from __future__ import annotations
@@ -428,33 +430,66 @@ def _decode_page(buf: bytes, bo: str, tags: dict):
     bits = int(tags.get(_BITS_PER_SAMPLE, [32])[0])
     fmt = int(tags.get(_SAMPLE_FORMAT, [1])[0])
     predictor = int(tags.get(_PREDICTOR, [1])[0])
+    planar = int(tags.get(_PLANAR_CONFIG, [1])[0])
+    if bits in (1, 2, 4):
+        return _decode_page_subbyte(buf, tags, rows, cols, bands, comp,
+                                    bits, fmt, predictor) + _page_geo(tags, rows, cols)
     dtype = _FMT_DTYPE_DECODE.get((bits, fmt))
     if dtype is None:
         raise ValueError(f"unsupported sample type bits={bits} format={fmt}")
-    if int(tags.get(_PLANAR_CONFIG, [1])[0]) != 1:
-        raise ValueError("only PlanarConfiguration=1 supported")
+    if planar not in (1, 2):
+        raise ValueError(f"PlanarConfiguration={planar} is not a TIFF value")
     rdtype = np.dtype(dtype).newbyteorder(bo)
 
     if _TILE_OFFSETS in tags:
         # tiled layout (tags 322-325): decode each tile, unpredict within
-        # the tile, place into the image grid, crop ragged edges
+        # the tile, place into the image grid, crop ragged edges. For
+        # PlanarConfiguration=2 the tile sequence repeats per band
+        # (band 0's tiles first), each tile carrying ONE band's samples.
         tw = int(tags[_TILE_WIDTH][0])
         th = int(tags[_TILE_LENGTH][0])
         across = (cols + tw - 1) // tw
+        down = (rows + th - 1) // th
+        per_band = across * down
+        tile_bands = 1 if planar == 2 else bands
         pix = np.zeros((rows, cols, bands), dtype=dtype)
         for idx, (off, cnt) in enumerate(
             zip(tags[_TILE_OFFSETS], tags[_TILE_BYTE_COUNTS])
         ):
             data = _decompress_segment(buf[int(off) : int(off) + int(cnt)], comp)
-            tile = np.frombuffer(data, dtype=rdtype, count=th * tw * bands)
+            tile = np.frombuffer(data, dtype=rdtype, count=th * tw * tile_bands)
             tile = _unpredict(
-                tile.reshape(th, tw, bands).astype(dtype), predictor
+                tile.reshape(th, tw, tile_bands).astype(dtype), predictor
             )
-            r0 = (idx // across) * th
-            c0 = (idx % across) * tw
+            gi = idx % per_band if planar == 2 else idx
+            r0 = (gi // across) * th
+            c0 = (gi % across) * tw
             h = min(th, rows - r0)
             w = min(tw, cols - c0)
-            pix[r0 : r0 + h, c0 : c0 + w] = tile[:h, :w]
+            if planar == 2:
+                pix[r0 : r0 + h, c0 : c0 + w, idx // per_band] = tile[:h, :w, 0]
+            else:
+                pix[r0 : r0 + h, c0 : c0 + w] = tile[:h, :w]
+    elif planar == 2 and bands > 1:
+        # band-separate strips: the strip list runs band 0's strips
+        # first, then band 1's, ... (TIFF 6.0 PlanarConfiguration=2)
+        offs = tags[_STRIP_OFFSETS]
+        cnts = tags[_STRIP_BYTE_COUNTS]
+        if len(offs) % bands:
+            raise ValueError(
+                f"planar=2: {len(offs)} strips not divisible by {bands} bands")
+        per_band = len(offs) // bands
+        pix = np.empty((rows, cols, bands), dtype=dtype)
+        for b in range(bands):
+            data = b""
+            for k in range(per_band):
+                off, cnt = offs[b * per_band + k], cnts[b * per_band + k]
+                data += _decompress_segment(
+                    buf[int(off) : int(off) + int(cnt)], comp)
+            plane = np.frombuffer(data, dtype=rdtype, count=rows * cols).reshape(
+                rows, cols, 1
+            )
+            pix[:, :, b] = _unpredict(plane.astype(dtype), predictor)[:, :, 0]
     else:
         data = b""
         for off, cnt in zip(tags[_STRIP_OFFSETS], tags[_STRIP_BYTE_COUNTS]):
@@ -465,6 +500,12 @@ def _decode_page(buf: bytes, bo: str, tags: dict):
         pix = _unpredict(pix.astype(dtype), predictor)
     cells = np.moveaxis(pix, -1, 0).astype(dtype)
 
+    extent, crs, nodata = _page_geo(tags, rows, cols)
+    return cells, extent, crs, nodata
+
+
+def _page_geo(tags: dict, rows: int, cols: int):
+    """(extent, crs, nodata) from a page's georeferencing tags."""
     extent = None
     if _MODEL_PIXEL_SCALE in tags and _MODEL_TIEPOINT in tags:
         cw, ch = tags[_MODEL_PIXEL_SCALE][:2]
@@ -484,7 +525,65 @@ def _decode_page(buf: bytes, bo: str, tags: dict):
     nodata = None
     if _GDAL_NODATA in tags:
         nodata = float(tags[_GDAL_NODATA][0])
-    return cells, extent, crs, nodata
+    return extent, crs, nodata
+
+
+def _expand_subbyte(seg: bytes, bits: int, seg_rows: int, seg_cols: int) -> np.ndarray:
+    """Unpack a 1/2/4-bit sample block (MSB-first within each byte, rows
+    padded to a byte boundary — TIFF 6.0 bilevel/grayscale packing) to a
+    (seg_rows, seg_cols) uint8 array."""
+    stride = (seg_cols * bits + 7) // 8
+    arr = np.frombuffer(seg, dtype=np.uint8, count=seg_rows * stride).reshape(
+        seg_rows, stride)
+    if bits == 1:
+        vals = np.unpackbits(arr, axis=1)
+    elif bits == 4:
+        vals = np.stack([arr >> 4, arr & 0x0F], axis=-1).reshape(seg_rows, -1)
+    else:  # 2
+        vals = np.stack(
+            [(arr >> 6) & 3, (arr >> 4) & 3, (arr >> 2) & 3, arr & 3],
+            axis=-1).reshape(seg_rows, -1)
+    return vals[:, :seg_cols]
+
+
+def _decode_page_subbyte(buf: bytes, tags: dict, rows: int, cols: int,
+                         bands: int, comp: int, bits: int, fmt: int,
+                         predictor: int):
+    """1/2/4-bit pages (bilevel masks, low-depth palettes) -> uint8
+    cells with the STORED sample values (no PhotometricInterpretation
+    inversion — this is a data engine, GDAL-style). Single band only;
+    sub-byte multi-sample files are vanishingly rare and rejected."""
+    if bands != 1:
+        raise ValueError(f"{bits}-bit samples with {bands} bands unsupported")
+    if fmt != 1:
+        raise ValueError(f"{bits}-bit samples must be unsigned (format {fmt})")
+    if predictor != 1:
+        raise ValueError(f"predictor {predictor} invalid for {bits}-bit data")
+    if _TILE_OFFSETS in tags:
+        tw = int(tags[_TILE_WIDTH][0])
+        th = int(tags[_TILE_LENGTH][0])
+        across = (cols + tw - 1) // tw
+        out = np.zeros((rows, cols), dtype=np.uint8)
+        for idx, (off, cnt) in enumerate(
+            zip(tags[_TILE_OFFSETS], tags[_TILE_BYTE_COUNTS])
+        ):
+            seg = _decompress_segment(buf[int(off) : int(off) + int(cnt)], comp)
+            tile = _expand_subbyte(seg, bits, th, tw)
+            r0 = (idx // across) * th
+            c0 = (idx % across) * tw
+            h = min(th, rows - r0)
+            w = min(tw, cols - c0)
+            out[r0 : r0 + h, c0 : c0 + w] = tile[:h, :w]
+        return (out[None, :, :],)
+    rps = int(tags.get(_ROWS_PER_STRIP, [rows])[0])
+    chunks = []
+    r = 0
+    for off, cnt in zip(tags[_STRIP_OFFSETS], tags[_STRIP_BYTE_COUNTS]):
+        seg = _decompress_segment(buf[int(off) : int(off) + int(cnt)], comp)
+        h = min(rps, rows - r)
+        chunks.append(_expand_subbyte(seg, bits, h, cols))
+        r += h
+    return (np.vstack(chunks)[None, :, :],)
 
 
 # --- layer-level sinks ------------------------------------------------------
