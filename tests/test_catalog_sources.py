@@ -168,7 +168,7 @@ class TestGeoTiffPlumbing:
             pass
         p = tmp_path / "fake.tif"
         p.write_bytes(b"definitely not a tiff")
-        with pytest.raises(ValueError, match="classic TIFF"):
+        with pytest.raises(ValueError, match="not a TIFF"):
             gt.get(spark, str(p))
 
     def test_windowing(self):
