@@ -812,3 +812,115 @@ def logreg_score(feat_df: DataFrame, weights: list) -> DataFrame:
         fp.alias("score_fp"),
         (fp >= F.lit(GRAD_SCALE // 2)).cast("int").alias("pred"),
     )
+
+
+# --- distributed BPE tokenizer training ------------------------------------
+
+def bpe_train(df: DataFrame, rounds: int = 10,
+              text_col: str = "text") -> list:
+    """Learn byte-pair-encoding merges from a corpus, distributed.
+
+    The classic BPE trainer (Sennrich et al. 2016) operates on the WORD
+    VOCABULARY with counts, not the raw corpus — so the only
+    corpus-scale operation here is ONE tokenize + groupBy(word) shuffle;
+    every training round then runs at vocabulary scale (orders of
+    magnitude smaller): explode adjacent symbol pairs weighted by word
+    count, hash-aggregate, and take the distributed top-1. The winning
+    pair is merged into every word's symbol array by a greedy
+    left-to-right ``aggregate`` fold (exactly BPE's non-overlapping
+    apply semantics), and the vocabulary is localCheckpoint'ed per round
+    to keep the plan flat.
+
+    Determinism contract: counts are exact integers and the argmax
+    tie-break is (count DESC, left ASC, right ASC); Spark's binary
+    UTF-8 string ordering equals codepoint ordering (UTF-8 is
+    order-preserving), so any engine — including the oracle's pure-
+    Python retrainer — reproduces the identical merge sequence.
+
+    Returns ``[(round, left, right, pair_count), ...]`` with 1-based
+    rounds; stops early when no pair occurs twice.
+    """
+    vocab = (
+        df.select(F.explode(tokens_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wcount"))
+        .withColumn(
+            "syms",
+            F.expr("transform(sequence(1, length(word)), "
+                   "i -> substring(word, i, 1))"),
+        )
+        .select("wcount", "syms")
+    )
+    merges = []
+    for rnd in range(1, int(rounds) + 1):
+        vocab = vocab.localCheckpoint(eager=True)
+        top = (
+            vocab.select(
+                "wcount",
+                F.explode(
+                    # sequence(1, 0) DESCENDS in Spark, so single-symbol
+                    # words need the explicit empty-array guard
+                    F.expr("CASE WHEN size(syms) < 2 THEN "
+                           "cast(array() as array<struct<l string, r string>>) "
+                           "ELSE transform(sequence(1, size(syms) - 1), "
+                           "i -> struct(element_at(syms, i) AS l, "
+                           "element_at(syms, i + 1) AS r)) END")
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wcount").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < 2:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((rnd, l, r, cnt))
+        vocab = vocab.select(
+            "wcount",
+            F.aggregate(
+                F.col("syms"),
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(l))
+                    & (x == F.lit(r)),
+                    F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                             F.array(F.lit(l + r))),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("syms"),
+        )
+    return merges
+
+
+def bpe_reference_train(word_counts: list, rounds: int = 10) -> list:
+    """Pure-Python reference trainer over ``[(word, count), ...]`` —
+    the oracle's independent recomputation of :func:`bpe_train` (same
+    greedy non-overlapping fold, same (count DESC, pair ASC) argmax)."""
+    vocab = [(list(w), int(c)) for w, c in word_counts]
+    merges = []
+    for rnd in range(1, int(rounds) + 1):
+        counts: dict = {}
+        for syms, c in vocab:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = \
+                    counts.get((syms[i], syms[i + 1]), 0) + c
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if cnt < 2:
+            break
+        merges.append((rnd, l, r, cnt))
+        out = []
+        for syms, c in vocab:
+            acc: list = []
+            for x in syms:
+                if acc and acc[-1] == l and x == r:
+                    acc[-1] = l + r
+                else:
+                    acc.append(x)
+            out.append((acc, c))
+        vocab = out
+    return merges

@@ -5162,6 +5162,54 @@ FROM sc
 """
 
 
+BPE_ROUNDS = 12
+
+
+def q_text_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING (beyond-reference LLM-pipeline
+    surface; `text_bpe_tokens` only counts with a fixed regex — this
+    learns the merges). One corpus-scale tokenize+groupBy builds the
+    word vocabulary; each round then runs at vocabulary scale (pair
+    explode + hash agg + distributed top-1) and merges via a greedy
+    aggregate fold. The oracle RETRAINS in pure Python from the same
+    parquet corpus — integer counts + the (count DESC, pair ASC)
+    tie-break make the merge sequence engine-exact."""
+    merges = ftext.bpe_train(_t(spark, sf_dir, "documents"),
+                             rounds=BPE_ROUNDS)
+    return spark.createDataFrame(
+        [(int(r), l, rt, int(c)) for r, l, rt, c in merges],
+        "merge_round int, left_sym string, right_sym string, pair_count bigint",
+    )
+
+
+def _sql_text_bpe_train() -> str:
+    import duckdb
+
+    sf_dir = _oracle_sf_dir()
+    con = duckdb.connect()
+    wc = con.sql(
+        f"SELECT word, COUNT(*) AS c FROM ("
+        f"SELECT unnest(string_split(trim(text), ' ')) AS word "
+        f"FROM '{sf_dir}/documents.parquet') GROUP BY word"
+    ).fetchall()
+    con.close()
+    merges = ftext.bpe_reference_train(wc, rounds=BPE_ROUNDS)
+
+    def q(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    if not merges:
+        return ("SELECT CAST(0 AS INT) AS merge_round, '' AS left_sym, "
+                "'' AS right_sym, CAST(0 AS BIGINT) AS pair_count WHERE FALSE")
+    values = ", ".join(
+        f"({r}, {q(l)}, {q(rt)}, {c})" for r, l, rt, c in merges)
+    return f"""
+SELECT CAST(col0 AS INT) AS merge_round, col1 AS left_sym,
+       col2 AS right_sym, CAST(col3 AS BIGINT) AS pair_count
+FROM (VALUES {values}) t(col0, col1, col2, col3)
+"""
+
+
 def _pii_docs(spark, sf_dir):
     """documents with deterministic synthetic PII appended (the fixture
     text itself is PII-free word salad): doc-derived email, phone, IPv4
@@ -7653,6 +7701,7 @@ def _canonical_queries():
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_quality_ratios": q_text_quality_ratios,
         "text_classifier": q_text_classifier,
+        "text_bpe_train": q_text_bpe_train,
         "text_minhash_vocab": q_text_minhash_vocab,
         "emb_norm_stats": q_emb_norm_stats,
         "emb_lsh_knn": q_emb_lsh_knn,
@@ -7719,6 +7768,7 @@ _WINDOW_ORDER: list = [
     "raster_reproject_aeqd_geodesic",
     "raster_reproject_ntv2",
     "text_classifier",
+    "text_bpe_train",
     "raster_spacetime_series",
     "raster_rasterize",
     "events_asof_join",
@@ -8044,6 +8094,7 @@ def oracle_sql():
         "text_bpe_tokens": _sql_bpe_tokens(),
         "text_quality_ratios": _sql_quality_ratios(),
         "text_classifier": _sql_text_classifier(),
+        "text_bpe_train": _sql_text_bpe_train(),
         "text_dup_components": _sql_dup_components(16, 4),
         "text_dedup_pipeline": _sql_dedup_pipeline(16, 4, 0.5),
         "text_word_freq": SQL_TEXT_WORD_FREQ,

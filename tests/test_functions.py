@@ -1558,3 +1558,54 @@ class TestLogregClassifier:
 
         feats = self._feats(spark).where("doc_id < 0")
         assert logreg_train(feats, iters=3) == [0.0, 0.0, 0.0, 0.0]
+
+
+class TestBpeTrain:
+    """Distributed BPE merge learning (functions/text.py::bpe_train)."""
+
+    ROWS = [(0, "low lower lowest low low slow slower a b a"),
+            (1, "new newer newest news new new i"),
+            (2, "wide wider widest widen wide")]
+
+    def test_matches_pure_python_reference(self, spark):
+        import collections
+
+        from geopyspark_spark.functions.text import (
+            bpe_reference_train, bpe_train,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        wc = collections.Counter(
+            w for _, t in self.ROWS for w in t.split())
+        m_spark = bpe_train(df, rounds=8)
+        m_ref = bpe_reference_train(list(wc.items()), rounds=8)
+        assert m_spark == m_ref
+        assert len(m_spark) == 8
+        assert m_spark[0][1:] == ("l", "o", 7)
+
+    def test_partition_invariance(self, spark):
+        from geopyspark_spark.functions.text import bpe_train
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        assert bpe_train(df.repartition(1), rounds=5) == \
+            bpe_train(df.repartition(7, "doc_id"), rounds=5)
+
+    def test_early_stop_when_no_repeats(self, spark):
+        from geopyspark_spark.functions.text import bpe_train
+
+        df = spark.createDataFrame(
+            [(0, "ab cd ef")], "doc_id long, text string")
+        merges = bpe_train(df, rounds=10)
+        # every pair occurs once -> nothing reaches count 2
+        assert merges == []
+
+    def test_greedy_nonoverlapping_apply(self, spark):
+        """'aaaa' x3 + pair (a,a): greedy left-to-right gives [aa, aa];
+        round 2 must then see (aa, aa) pairs, not re-merge overlaps."""
+        from geopyspark_spark.functions.text import bpe_train
+
+        df = spark.createDataFrame(
+            [(0, "aaaa aaaa aaaa")], "doc_id long, text string")
+        merges = bpe_train(df, rounds=2)
+        assert merges[0][1:] == ("a", "a", 9)  # 3 per word x 3 words
+        assert merges[1][1:] == ("aa", "aa", 3)
