@@ -222,3 +222,74 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             )
         )
     return row.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
+
+
+def merge_into(target: DataFrame, source: DataFrame, on: str | list,
+               when_matched: str = "update",
+               when_not_matched: str = "insert",
+               delete_col: str | None = None) -> DataFrame:
+    """Delta/Iceberg-style ``MERGE INTO`` as a pure DataFrame plan — the
+    upsert primitive warehouse pipelines run nightly, without requiring
+    a table format. Returns the POST-MERGE table:
+
+    - matched keys:       source row replaces the target row
+      (``when_matched="update"``), or the target row is kept
+      (``"keep"``), or — when ``delete_col`` names a boolean/int source
+      column — rows flagged there are deleted;
+    - unmatched source:   inserted (``when_not_matched="insert"``) or
+      dropped (``"ignore"``);
+    - unmatched target:   always kept (MERGE never touches them).
+
+    Spark shape: ONE full-outer shuffle join on the key (both sides
+    hash-partitioned once; at warehouse scale this is the optimal
+    single-pass plan — per-row conditionals are Catalyst CASE WHEN, no
+    Python). Precondition (as in every MERGE implementation): the
+    source is unique per key — pre-deduplicate with a window if not;
+    duplicate source keys would fan matched target rows out.
+
+    Columns: the output schema is the target's; source columns beyond
+    it are ignored, missing ones become NULL in inserted rows.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if when_matched not in ("update", "keep", "delete"):
+        raise ValueError(f"when_matched {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"when_not_matched {when_not_matched!r}")
+    out_cols = target.columns
+    src_cols = set(source.columns)
+
+    t = target.select([F.col(c).alias(f"__t_{c}") for c in out_cols]
+                      + [F.lit(1).alias("__in_t")])
+    s_proj = [F.col(c).alias(f"__s_{c}") for c in out_cols if c in src_cols]
+    if delete_col is not None:
+        if delete_col not in src_cols:
+            raise ValueError(f"delete_col {delete_col!r} not in source")
+        s_proj.append(F.col(delete_col).cast("int").alias("__s_del"))
+    s = source.select(s_proj + [F.lit(1).alias("__in_s")])
+    cond = None
+    for k in keys:
+        c = F.col(f"__t_{k}") == F.col(f"__s_{k}")
+        cond = c if cond is None else (cond & c)
+    j = t.join(s, cond, "full_outer")
+
+    in_t = F.col("__in_t").isNotNull()
+    in_s = F.col("__in_s").isNotNull()
+    matched = in_t & in_s
+    if when_matched == "delete" or delete_col is not None:
+        del_flag = (F.col("__s_del") == 1) if delete_col is not None \
+            else F.lit(when_matched == "delete")
+        keep_row = ~(matched & del_flag)
+    else:
+        keep_row = F.lit(True)
+    if when_not_matched == "ignore":
+        keep_row = keep_row & ~(in_s & ~in_t)
+
+    use_source = matched & F.lit(when_matched == "update") | (in_s & ~in_t)
+    sel = []
+    for c in out_cols:
+        if c in src_cols:
+            sel.append(F.when(use_source, F.col(f"__s_{c}"))
+                       .otherwise(F.col(f"__t_{c}")).alias(c))
+        else:
+            sel.append(F.when(in_t, F.col(f"__t_{c}")).alias(c))
+    return j.where(keep_row).select(sel)

@@ -5210,6 +5210,70 @@ FROM (VALUES {values}) t(col0, col1, col2, col3)
 """
 
 
+def q_rel_merge_upsert(spark, sf_dir):
+    """Delta-style MERGE INTO as one full-outer shuffle join
+    (``functions/relational.py::merge_into``): updates (every 3rd
+    customer gets a renamed row + adjusted balance), deletes (of those,
+    every 9th is flagged), and inserts (every 5th key re-keyed past the
+    range), with untouched target rows passing through — the nightly
+    warehouse upsert, oracle-checked against the equivalent SQL FULL
+    OUTER JOIN + CASE (r9)."""
+    from ..functions import relational as frel
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "c_nationkey",
+    )
+    updates = cust.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("-upd")).alias("c_name"),
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        "c_nationkey",
+        (F.col("c_custkey") % 9 == 0).cast("int").alias("is_deleted"),
+    )
+    inserts = cust.where(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") + F.lit(10_000_000)).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        "c_nationkey",
+        F.lit(0).alias("is_deleted"),
+    )
+    out = frel.merge_into(cust, updates.unionByName(inserts),
+                          on="c_custkey", delete_col="is_deleted")
+    return out
+
+
+SQL_REL_MERGE_UPSERT = """
+WITH tgt AS (
+  SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+         c_nationkey
+  FROM customer
+),
+src AS (
+  SELECT c_custkey, c_name || '-upd' AS c_name,
+         CAST(c_acctbal AS DOUBLE) + 100.0 AS c_acctbal, c_nationkey,
+         CAST(c_custkey % 9 = 0 AS INT) AS is_deleted
+  FROM tgt WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 10000000, 'new-' || CAST(c_custkey AS VARCHAR), 0.0,
+         c_nationkey, 0
+  FROM tgt WHERE c_custkey % 5 = 0
+)
+SELECT CASE WHEN s.c_custkey IS NOT NULL THEN s.c_custkey
+            ELSE t.c_custkey END AS c_custkey,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name
+            ELSE t.c_name END AS c_name,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+            ELSE t.c_acctbal END AS c_acctbal,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey
+            ELSE t.c_nationkey END AS c_nationkey
+FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+           AND s.is_deleted = 1)
+"""
+
+
 def _pii_docs(spark, sf_dir):
     """documents with deterministic synthetic PII appended (the fixture
     text itself is PII-free word salad): doc-derived email, phone, IPv4
@@ -7612,6 +7676,7 @@ def _canonical_queries():
         "events_retention": q_events_retention,
         "text_gopher_filter": q_text_gopher_filter,
         "rel_salted_join": q_rel_salted_join,
+        "rel_merge_upsert": q_rel_merge_upsert,
         "multimodal_video": q_multimodal_video,
         "events_percentiles": q_events_percentiles,
         "events_approx_percentile": q_events_approx_percentile,
@@ -7764,6 +7829,7 @@ def _canonical_queries():
 # hand-edit between the markers.
 # BEGIN WINDOW_ORDER (generated)
 _WINDOW_ORDER: list = [
+    "rel_merge_upsert",
     "raster_reproject_nzmg",
     "raster_reproject_aeqd_geodesic",
     "raster_reproject_ntv2",
@@ -8095,6 +8161,7 @@ def oracle_sql():
         "text_quality_ratios": _sql_quality_ratios(),
         "text_classifier": _sql_text_classifier(),
         "text_bpe_train": _sql_text_bpe_train(),
+        "rel_merge_upsert": SQL_REL_MERGE_UPSERT,
         "text_dup_components": _sql_dup_components(16, 4),
         "text_dedup_pipeline": _sql_dedup_pipeline(16, 4, 0.5),
         "text_word_freq": SQL_TEXT_WORD_FREQ,

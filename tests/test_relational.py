@@ -368,3 +368,61 @@ class TestProfile:
         assert got["s"]["n_nulls"] == 1 and got["s"]["min_num"] is None
         assert got["v"]["min_num"] == -2.0 and got["v"]["max_num"] == 1.5
         assert got["t"]["n_nulls"] == 1 and got["t"]["min_num"] is not None
+
+
+class TestMergeInto:
+    """Delta-style MERGE INTO (functions/relational.py::merge_into)."""
+
+    def _tables(self, spark):
+        tgt = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id long, name string, val double")
+        src = spark.createDataFrame(
+            [(2, "b2", 22.0, 0), (3, "c2", 33.0, 1), (9, "i", 90.0, 0)],
+            "id long, name string, val double, is_del int")
+        return tgt, src
+
+    def test_update_insert_delete(self, spark):
+        from geopyspark_spark.functions.relational import merge_into
+
+        tgt, src = self._tables(spark)
+        out = merge_into(tgt, src, on="id", delete_col="is_del")
+        rows = {r["id"]: (r["name"], r["val"]) for r in out.collect()}
+        assert rows == {1: ("a", 10.0),      # untouched target
+                        2: ("b2", 22.0),     # updated
+                        9: ("i", 90.0)}      # inserted; 3 deleted
+
+    def test_keep_and_ignore(self, spark):
+        from geopyspark_spark.functions.relational import merge_into
+
+        tgt, src = self._tables(spark)
+        out = merge_into(tgt, src.drop("is_del"), on="id",
+                         when_matched="keep", when_not_matched="ignore")
+        rows = {r["id"]: r["name"] for r in out.collect()}
+        assert rows == {1: "a", 2: "b", 3: "c"}
+
+    def test_source_missing_column_inserts_null(self, spark):
+        from geopyspark_spark.functions.relational import merge_into
+
+        tgt, src = self._tables(spark)
+        out = merge_into(tgt, src.select("id", "name"), on="id")
+        rows = {r["id"]: (r["name"], r["val"]) for r in out.collect()}
+        assert rows[9] == ("i", None)       # inserted without val
+        assert rows[2] == ("b2", 20.0)      # updated name, val kept
+
+    def test_output_schema_is_target_schema(self, spark):
+        from geopyspark_spark.functions.relational import merge_into
+
+        tgt, src = self._tables(spark)
+        out = merge_into(tgt, src, on="id", delete_col="is_del")
+        assert out.columns == tgt.columns
+
+    def test_bad_args(self, spark):
+        from geopyspark_spark.functions.relational import merge_into
+
+        tgt, src = self._tables(spark)
+        import pytest as _pt
+        with _pt.raises(ValueError, match="when_matched"):
+            merge_into(tgt, src, on="id", when_matched="replace")
+        with _pt.raises(ValueError, match="delete_col"):
+            merge_into(tgt, src, on="id", delete_col="nope")
