@@ -1,0 +1,105 @@
+"""Distributed vector-geometry analytics over exploded vertex tables.
+
+Beyond-reference surface: the reference's vector side is ingest +
+rasterize + point-in-polygon (shapefile.py, geotools); large-scale
+pipelines also need per-geometry METRICS (area, perimeter, centroid)
+computed relationally. The representation here is the scale-correct
+one: a vertex table ``(poly_id, vertex_idx, x, y)`` — a polygon with
+millions of vertices is just millions of rows, streamed through one
+window + one hash aggregate, never a driver-side geometry object.
+
+Determinism contract (the engine-wide pattern): coordinates are scaled
+to INTEGER space (``scale`` units per coordinate unit), where the
+shoelace cross products and centroid numerators are exact BIGINT
+arithmetic — sums are partition/engine independent. The one
+irreducible float (edge length's sqrt) is floored per edge at 1e-6 and
+summed as BIGINT (sqrt is correctly rounded under IEEE-754, so every
+engine floors the same value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: fixed-point scale for the per-edge length sum (1e-6 coordinate units)
+LEN_SCALE = 1_000_000
+
+
+def polygon_metrics(df: DataFrame, poly_col: str = "poly_id",
+                    ord_col: str = "vertex_idx", x_col: str = "x",
+                    y_col: str = "y", scale: int = 1000) -> DataFrame:
+    """Per-polygon signed area, perimeter, centroid and vertex count
+    from an exploded vertex table; the ring closes implicitly (the edge
+    from the last vertex back to the first).
+
+    Spark shape: ONE window (lead + first_value over the vertex order
+    within each polygon — a single shuffle on ``poly_col``) feeding ONE
+    hash aggregate. No geometry library, no UDF, no driver collection.
+
+    Semantics are the standard shoelace formulas: ``area`` is signed
+    (counter-clockwise positive); self-intersecting rings get the
+    usual signed-area interpretation. ``centroid_*`` is the area-
+    weighted centroid (NULL for degenerate zero-area rings);
+    ``perimeter`` accumulates per-edge Euclidean lengths floored at
+    1e-6 units.
+
+    Coordinates are snapped to the integer grid ``round(x * scale)``
+    on entry — inputs are expected to already sit on that grid (the
+    snap makes the exactness contract explicit rather than silent).
+    """
+    pid, oc = F.col(poly_col), F.col(ord_col)
+    xi = F.round(F.col(x_col) * scale).cast("long")
+    yi = F.round(F.col(y_col) * scale).cast("long")
+    w = Window.partitionBy(poly_col).orderBy(ord_col)
+    wf = (Window.partitionBy(poly_col).orderBy(ord_col)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    v = df.select(
+        pid.alias("pid"),
+        oc.alias("vo"),
+        xi.alias("xi"),
+        yi.alias("yi"),
+    ).select(
+        "pid", "vo", "xi", "yi",
+        F.coalesce(F.lead("xi").over(
+            Window.partitionBy("pid").orderBy("vo")),
+            F.first("xi").over(
+                Window.partitionBy("pid").orderBy("vo").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing))
+        ).alias("nx"),
+        F.coalesce(F.lead("yi").over(
+            Window.partitionBy("pid").orderBy("vo")),
+            F.first("yi").over(
+                Window.partitionBy("pid").orderBy("vo").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing))
+        ).alias("ny"),
+    )
+    cross = F.col("xi") * F.col("ny") - F.col("nx") * F.col("yi")
+    edge_len = F.sqrt(
+        ((F.col("nx") - F.col("xi")) * (F.col("nx") - F.col("xi"))
+         + (F.col("ny") - F.col("yi")) * (F.col("ny") - F.col("yi"))
+         ).cast("double"))
+    agg = v.groupBy(F.col("pid").alias(poly_col)).agg(
+        F.count("*").alias("n_vertices"),
+        F.sum(cross).alias("_a2"),                       # exact BIGINT
+        F.sum(F.floor(edge_len * LEN_SCALE / scale).cast("long"))
+         .alias("_plen_fp"),                             # exact BIGINT
+        F.sum((F.col("xi") + F.col("nx")) * cross).alias("_cx_num"),
+        F.sum((F.col("yi") + F.col("ny")) * cross).alias("_cy_num"),
+    )
+    s2 = float(scale) * float(scale)
+    return agg.select(
+        poly_col,
+        "n_vertices",
+        (F.col("_a2").cast("double") / F.lit(2.0 * s2)).alias("area"),
+        (F.col("_plen_fp").cast("double") / F.lit(float(LEN_SCALE)))
+        .alias("perimeter"),
+        F.when(F.col("_a2") != 0,
+               F.col("_cx_num").cast("double")
+               / (F.lit(3.0) * F.col("_a2").cast("double"))
+               / F.lit(float(scale))).alias("centroid_x"),
+        F.when(F.col("_a2") != 0,
+               F.col("_cy_num").cast("double")
+               / (F.lit(3.0) * F.col("_a2").cast("double"))
+               / F.lit(float(scale))).alias("centroid_y"),
+    )

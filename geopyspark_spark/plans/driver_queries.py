@@ -5274,6 +5274,80 @@ WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
 """
 
 
+def q_vector_polygon_metrics(spark, sf_dir):
+    """Distributed polygon metrics (signed shoelace area, floored-edge
+    perimeter, area-weighted centroid) over an exploded vertex table —
+    one window + one hash aggregate, integer-exact cross products
+    (``functions/vector.py::polygon_metrics``, r9). Vertex rings are
+    derived deterministically from orders (50 polygons, <= 12 vertices
+    each); self-intersecting rings keep standard signed semantics."""
+    from ..functions import vector as fvec
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy(F.col("o_custkey") % 50).orderBy("o_orderkey")
+    verts = o.select(
+        (F.col("o_custkey") % 50).alias("poly_id"),
+        F.row_number().over(w).alias("vertex_idx"),
+        ((F.col("o_orderkey") % 1000) / F.lit(10.0)).alias("x"),
+        ((F.floor(F.col("o_orderkey") / 7) % 1000) / F.lit(10.0)).alias("y"),
+    ).where(F.col("vertex_idx") <= 12)
+    return fvec.polygon_metrics(verts).select(
+        F.col("poly_id").cast("int").alias("poly_id"),
+        "n_vertices", "area", "perimeter", "centroid_x", "centroid_y",
+    )
+
+
+SQL_VECTOR_POLYGON_METRICS = """
+WITH verts AS (
+  SELECT poly_id, vertex_idx, x, y FROM (
+    SELECT o_custkey % 50 AS poly_id,
+           row_number() OVER (PARTITION BY o_custkey % 50
+                              ORDER BY o_orderkey) AS vertex_idx,
+           (o_orderkey % 1000) / 10.0 AS x,
+           (CAST(floor(o_orderkey / 7) AS BIGINT) % 1000) / 10.0 AS y
+    FROM orders
+  ) WHERE vertex_idx <= 12
+),
+vi AS (
+  SELECT poly_id, vertex_idx,
+         CAST(round(x * 1000) AS BIGINT) AS xi,
+         CAST(round(y * 1000) AS BIGINT) AS yi
+  FROM verts
+),
+closed AS (
+  SELECT poly_id, xi, yi,
+         COALESCE(lead(xi) OVER w, first_value(xi) OVER wf) AS nx,
+         COALESCE(lead(yi) OVER w, first_value(yi) OVER wf) AS ny
+  FROM vi
+  WINDOW w AS (PARTITION BY poly_id ORDER BY vertex_idx),
+         wf AS (PARTITION BY poly_id ORDER BY vertex_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+agg AS (
+  SELECT poly_id,
+         COUNT(*) AS n_vertices,
+         SUM(xi * ny - nx * yi) AS a2,
+         SUM(CAST(floor(sqrt(CAST((nx - xi) * (nx - xi)
+                                  + (ny - yi) * (ny - yi) AS DOUBLE))
+                        * 1000000 / 1000) AS BIGINT)) AS plen_fp,
+         SUM((xi + nx) * (xi * ny - nx * yi)) AS cx_num,
+         SUM((yi + ny) * (xi * ny - nx * yi)) AS cy_num
+  FROM closed GROUP BY poly_id
+)
+SELECT CAST(poly_id AS INT) AS poly_id,
+       n_vertices,
+       CAST(a2 AS DOUBLE) / 2000000.0 AS area,
+       CAST(plen_fp AS DOUBLE) / 1000000.0 AS perimeter,
+       CASE WHEN a2 <> 0
+            THEN CAST(cx_num AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE)) / 1000.0
+       END AS centroid_x,
+       CASE WHEN a2 <> 0
+            THEN CAST(cy_num AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE)) / 1000.0
+       END AS centroid_y
+FROM agg
+"""
+
+
 def _pii_docs(spark, sf_dir):
     """documents with deterministic synthetic PII appended (the fixture
     text itself is PII-free word salad): doc-derived email, phone, IPv4
@@ -7677,6 +7751,7 @@ def _canonical_queries():
         "text_gopher_filter": q_text_gopher_filter,
         "rel_salted_join": q_rel_salted_join,
         "rel_merge_upsert": q_rel_merge_upsert,
+        "vector_polygon_metrics": q_vector_polygon_metrics,
         "multimodal_video": q_multimodal_video,
         "events_percentiles": q_events_percentiles,
         "events_approx_percentile": q_events_approx_percentile,
@@ -7830,6 +7905,7 @@ def _canonical_queries():
 # BEGIN WINDOW_ORDER (generated)
 _WINDOW_ORDER: list = [
     "rel_merge_upsert",
+    "vector_polygon_metrics",
     "raster_reproject_nzmg",
     "raster_reproject_aeqd_geodesic",
     "raster_reproject_ntv2",
@@ -8162,6 +8238,7 @@ def oracle_sql():
         "text_classifier": _sql_text_classifier(),
         "text_bpe_train": _sql_text_bpe_train(),
         "rel_merge_upsert": SQL_REL_MERGE_UPSERT,
+        "vector_polygon_metrics": SQL_VECTOR_POLYGON_METRICS,
         "text_dup_components": _sql_dup_components(16, 4),
         "text_dedup_pipeline": _sql_dedup_pipeline(16, 4, 0.5),
         "text_word_freq": SQL_TEXT_WORD_FREQ,

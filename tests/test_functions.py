@@ -1609,3 +1609,61 @@ class TestBpeTrain:
         merges = bpe_train(df, rounds=2)
         assert merges[0][1:] == ("a", "a", 9)  # 3 per word x 3 words
         assert merges[1][1:] == ("aa", "aa", 3)
+
+
+class TestPolygonMetrics:
+    """Vector metrics (functions/vector.py): shoelace area, perimeter,
+    centroid over exploded vertex tables."""
+
+    def test_known_shapes(self, spark):
+        from geopyspark_spark.functions.vector import polygon_metrics
+
+        rows = [("sq", 0, 0.0, 0.0), ("sq", 1, 1.0, 0.0),
+                ("sq", 2, 1.0, 1.0), ("sq", 3, 0.0, 1.0),
+                ("tri", 0, 0.0, 0.0), ("tri", 1, 4.0, 0.0),
+                ("tri", 2, 0.0, 3.0)]
+        df = spark.createDataFrame(
+            rows, "poly_id string, vertex_idx int, x double, y double")
+        out = {r["poly_id"]: r.asDict()
+               for r in polygon_metrics(df).collect()}
+        assert out["sq"]["area"] == 1.0
+        assert abs(out["sq"]["perimeter"] - 4.0) < 1e-5
+        assert out["sq"]["centroid_x"] == 0.5
+        assert out["tri"]["area"] == 6.0  # 3-4-5 right triangle
+        assert abs(out["tri"]["perimeter"] - 12.0) < 1e-5
+        assert abs(out["tri"]["centroid_x"] - 4.0 / 3.0) < 1e-9
+
+    def test_clockwise_is_negative(self, spark):
+        from geopyspark_spark.functions.vector import polygon_metrics
+
+        rows = [("cw", 0, 0.0, 0.0), ("cw", 1, 0.0, 1.0),
+                ("cw", 2, 1.0, 1.0), ("cw", 3, 1.0, 0.0)]
+        df = spark.createDataFrame(
+            rows, "poly_id string, vertex_idx int, x double, y double")
+        assert polygon_metrics(df).collect()[0]["area"] == -1.0
+
+    def test_degenerate_ring_null_centroid(self, spark):
+        from geopyspark_spark.functions.vector import polygon_metrics
+
+        rows = [("line", 0, 0.0, 0.0), ("line", 1, 2.0, 2.0)]
+        df = spark.createDataFrame(
+            rows, "poly_id string, vertex_idx int, x double, y double")
+        r = polygon_metrics(df).collect()[0]
+        assert r["area"] == 0.0 and r["centroid_x"] is None
+        # out-and-back perimeter: 2 * diag(2,2)
+        assert abs(r["perimeter"] - 2 * (8 ** 0.5)) < 1e-5
+
+    def test_partition_invariance(self, spark):
+        import random
+
+        from geopyspark_spark.functions.vector import polygon_metrics
+
+        rng = random.Random(3)
+        rows = [(p, i, rng.randint(0, 5000) / 10.0, rng.randint(0, 5000) / 10.0)
+                for p in range(20) for i in range(30)]
+        df = spark.createDataFrame(
+            rows, "poly_id int, vertex_idx int, x double, y double")
+        a = sorted(map(tuple, polygon_metrics(df.repartition(1)).collect()))
+        b = sorted(map(tuple, polygon_metrics(
+            df.repartition(11, "vertex_idx")).collect()))
+        assert a == b  # exact equality — integer-space sums
