@@ -3112,6 +3112,101 @@ GROUP BY p_brand, p_type, p_size
 """
 
 
+def q_tpch_q2_min_cost(spark, sf_dir):
+    """Q2-ish minimum-cost supplier: for every part in a size/type
+    slice, the supplier offering the lowest unit cost (lineitem supplies
+    the part-supplier cost pairs; no partsupp in this schema), suppliers
+    restricted to one region via the nation dim. The correlated MIN is a
+    window rank over (cost, suppkey) — ties deterministic; unit cost is
+    a single float division, and MIN is order-independent, so no float
+    sums cross engines (r9)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 1)
+    cost = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(
+            supp.join(F.broadcast(nat),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "n_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_type", "p_size", "s_suppkey", "s_name",
+                 "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+             .alias("unit_cost"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("unit_cost").asc(), F.col("s_suppkey").asc())
+    return (
+        cost.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("p_partkey", "p_type", "p_size", "s_suppkey", "s_name",
+                "n_name", "unit_cost")
+    )
+
+
+SQL_TPCH_Q2_MIN_COST = """
+WITH cost AS (
+  SELECT p_partkey, p_type, p_size, s_suppkey, s_name, n_name,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_size <= 15 AND p_type = 'STANDARD' AND n_regionkey = 1
+  GROUP BY ALL
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY p_partkey
+                               ORDER BY unit_cost ASC, s_suppkey ASC) AS r
+  FROM cost
+)
+SELECT p_partkey, p_type, p_size, s_suppkey, s_name, n_name, unit_cost
+FROM rk WHERE r = 1
+"""
+
+
+def q_tpch_q11_important_stock(spark, sf_dir):
+    """Q11-ish important stock: per-part inventory value (exact cents —
+    SUM of BIGINT, order-independent) for suppliers of one nation, kept
+    when above twice the mean part value (scale-free threshold; the
+    scalar-subquery HAVING as a cross-joined broadcast literal, exact
+    integer cross-multiplication) (r9)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").where(F.col("s_nationkey") == 7)
+    j = li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    val = j.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .alias("value_cents")
+    )
+    total = val.agg(F.sum("value_cents").alias("total_cents"),
+                    F.count("*").alias("n_parts"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .where(F.col("value_cents") * F.col("n_parts")
+               > F.col("total_cents") * F.lit(2))
+        .select("l_partkey", "value_cents")
+    )
+
+
+SQL_TPCH_Q11_IMPORTANT_STOCK = """
+WITH val AS (
+  SELECT l_partkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 7
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value_cents AS BIGINT) AS value_cents
+FROM val
+WHERE value_cents * (SELECT COUNT(*) FROM val)
+      > (SELECT SUM(value_cents) FROM val) * 2
+"""
+
+
 def q_tpch_q17_small_qty(spark, sf_dir):
     """Q17 small-quantity-order revenue: lineitems under 20% of their
     part's average quantity, for one brand. The correlated-average
@@ -7752,6 +7847,8 @@ def _canonical_queries():
         "rel_salted_join": q_rel_salted_join,
         "rel_merge_upsert": q_rel_merge_upsert,
         "vector_polygon_metrics": q_vector_polygon_metrics,
+        "tpch_q2_min_cost": q_tpch_q2_min_cost,
+        "tpch_q11_important_stock": q_tpch_q11_important_stock,
         "multimodal_video": q_multimodal_video,
         "events_percentiles": q_events_percentiles,
         "events_approx_percentile": q_events_approx_percentile,
@@ -7906,6 +8003,8 @@ def _canonical_queries():
 _WINDOW_ORDER: list = [
     "rel_merge_upsert",
     "vector_polygon_metrics",
+    "tpch_q2_min_cost",
+    "tpch_q11_important_stock",
     "raster_reproject_nzmg",
     "raster_reproject_aeqd_geodesic",
     "raster_reproject_ntv2",
@@ -8239,6 +8338,8 @@ def oracle_sql():
         "text_bpe_train": _sql_text_bpe_train(),
         "rel_merge_upsert": SQL_REL_MERGE_UPSERT,
         "vector_polygon_metrics": SQL_VECTOR_POLYGON_METRICS,
+        "tpch_q2_min_cost": SQL_TPCH_Q2_MIN_COST,
+        "tpch_q11_important_stock": SQL_TPCH_Q11_IMPORTANT_STOCK,
         "text_dup_components": _sql_dup_components(16, 4),
         "text_dedup_pipeline": _sql_dedup_pipeline(16, 4, 0.5),
         "text_word_freq": SQL_TEXT_WORD_FREQ,
