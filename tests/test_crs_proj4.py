@@ -1743,3 +1743,92 @@ class TestGeodesicAeqd:
 
         p, _ = _parse_proj4("+proj=aeqd +lat_0=16 +lon_0=16 +ellps=WGS84")
         assert not p.geodesic
+
+
+class TestR9PropertyKernels:
+    """Hypothesis property tests for the round-9 numerical kernels."""
+
+    def test_nzmg_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from geopyspark_spark.core.crs import _parse_proj4
+
+        p, _ = _parse_proj4(
+            "+proj=nzmg +lat_0=-41 +lon_0=173 +x_0=2510000 +y_0=6023150 "
+            "+ellps=intl")
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.floats(166.0, 179.0), st.floats(-47.5, -34.0))
+        def check(lon, lat):
+            x, y = p.forward(lon, lat)
+            lo, la = p.inverse(x, y)
+            assert abs(float(lo) - lon) < 1e-8
+            assert abs(float(la) - lat) < 1e-7
+
+        check()
+
+    def test_vincenty_direct_inverse_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from geopyspark_spark.core.crs import (
+            WGS84_ELL, geodesic_direct, geodesic_inverse,
+        )
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.floats(-179.9, 179.9), st.floats(-85.0, 85.0),
+               st.floats(-179.9, 179.9), st.floats(-85.0, 85.0))
+        def check(lon1, lat1, lon2, lat2):
+            import math
+
+            # keep clear of the Vincenty near-antipodal stall zone
+            dlon = abs((lon2 - lon1 + 180.0) % 360.0 - 180.0)
+            if dlon > 178.0 and abs(lat1 + lat2) < 2.0:
+                return
+            s, a1, _ = geodesic_inverse(WGS84_ELL, lon1, lat1, lon2, lat2)
+            lo, la, _ = geodesic_direct(WGS84_ELL, lon1, lat1, a1, s)
+            dl = abs((float(lo[0]) - lon2 + 180.0) % 360.0 - 180.0)
+            assert dl < 1e-8
+            assert abs(float(la[0]) - lat2) < 1e-8
+            # distance bounds: between sphere-min and sphere-max radii
+            ang = math.acos(max(-1.0, min(1.0,
+                math.sin(math.radians(lat1)) * math.sin(math.radians(lat2))
+                + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2))
+                * math.cos(math.radians(lon2 - lon1)))))
+            assert float(s[0]) <= ang * 6378137.0 * 1.01 + 1.0
+            assert float(s[0]) >= ang * 6356752.0 * 0.99 - 1.0
+
+        check()
+
+    def test_ntv2_roundtrip_property(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from geopyspark_spark.core.ntv2 import NTv2Grid, encode_ntv2
+
+        @settings(max_examples=30, deadline=None)
+        @given(st.integers(0, 2 ** 31 - 1), st.floats(-30.0, 30.0),
+               st.floats(-20.0, 20.0))
+        def check(seed, base_dlat, base_dlon):
+            rng = np.random.default_rng(seed)
+            inc = 1800.0
+            nrows = ncols = 7
+            dlat = base_dlat + rng.uniform(-5, 5, (nrows, ncols))
+            dlon = base_dlon + rng.uniform(-5, 5, (nrows, ncols))
+            g = NTv2Grid.parse(encode_ntv2([{
+                "name": "P", "parent": "NONE",
+                "s_lat": 40.0 * 3600, "n_lat": 43.0 * 3600,
+                "e_long": -12.0 * 3600, "w_long": -9.0 * 3600,
+                "lat_inc": inc, "long_inc": inc,
+                "dlat": dlat, "dlon": dlon,
+            }]))
+            lons = rng.uniform(9.2, 11.8, 40)
+            lats = rng.uniform(40.2, 42.8, 40)
+            flon, flat = g.to_wgs84(lons, lats)
+            blon, blat = g.from_wgs84(flon, flat)
+            assert np.abs(blon - lons).max() < 1e-8
+            assert np.abs(blat - lats).max() < 1e-8
+
+        check()
