@@ -586,6 +586,139 @@ def _decode_page_subbyte(buf: bytes, tags: dict, rows: int, cols: int,
     return (np.vstack(chunks)[None, :, :],)
 
 
+class _SegmentReader:
+    """Random access over a TIFF's byte source: whole ``bytes`` in
+    memory, or a file path read with seek/read so only the header, IFD
+    and the REQUESTED segments ever leave the filesystem — the partial-
+    IO primitive behind :func:`decode_geotiff_window`."""
+
+    def __init__(self, src):
+        self._buf = src if isinstance(src, (bytes, bytearray)) else None
+        self._path = None if self._buf is not None else src
+
+    def read(self, off: int, size: int) -> bytes:
+        if self._buf is not None:
+            return bytes(self._buf[off:off + size])
+        with open(self._path, "rb") as f:
+            f.seek(off)
+            return f.read(size)
+
+    def head(self, size: int = 1 << 20) -> bytes:
+        """Enough leading bytes for header + IFD + out-of-line tag
+        values (tag payloads are written near the IFD by every common
+        writer; 1 MiB covers even thousand-strip files). Falls back to
+        the whole file if an IFD points beyond it."""
+        if self._buf is not None:
+            return bytes(self._buf)
+        with open(self._path, "rb") as f:
+            data = f.read(size)
+        return data
+
+    def whole(self) -> bytes:
+        if self._buf is not None:
+            return bytes(self._buf)
+        with open(self._path, "rb") as f:
+            return f.read()
+
+
+def decode_geotiff_window(src, window, band: int) -> np.ndarray:
+    """Decode ONE (c0, r0, w, h) window of ONE band, reading and
+    decompressing only the strips/tiles that intersect it — the
+    partial-read path for the no-GDAL ``geotiff.get`` seam. ``src`` is
+    a path (segment-level file IO via seek/read) or in-memory bytes.
+
+    Scale contract: IO and decode cost are proportional to the
+    intersected segments, not the raster — a 100k x 100k tiled BigTIFF
+    window read touches a handful of tiles. Requires >= 8-bit samples;
+    sub-byte pages fall back to :func:`decode_geotiff` (they are small
+    bilevel masks in practice).
+    """
+    rd = _SegmentReader(src)
+    head = rd.head()
+    try:
+        bo, big, off0 = _tiff_header(head)
+        tags, _ = _read_ifd(head, bo, off0, big)
+    except (ValueError, IndexError, struct.error):
+        # IFD beyond the head window (writer put it at EOF with big data
+        # first) — fall back to a whole read for the METADATA only
+        whole = rd.whole()
+        bo, big, off0 = _tiff_header(whole)
+        tags, _ = _read_ifd(whole, bo, off0, big)
+    cols = int(tags[_IMAGE_WIDTH][0])
+    rows = int(tags[_IMAGE_LENGTH][0])
+    bands = int(tags.get(_SAMPLES_PER_PIXEL, [1])[0])
+    comp = int(tags.get(_COMPRESSION, [1])[0])
+    bits = int(tags.get(_BITS_PER_SAMPLE, [32])[0])
+    fmt = int(tags.get(_SAMPLE_FORMAT, [1])[0])
+    predictor = int(tags.get(_PREDICTOR, [1])[0])
+    planar = int(tags.get(_PLANAR_CONFIG, [1])[0])
+    c0, r0, w, h = (int(v) for v in window)
+    if not (0 <= band < bands):
+        raise ValueError(f"band {band} out of range ({bands} bands)")
+    if not (0 <= c0 and 0 <= r0 and c0 + w <= cols and r0 + h <= rows):
+        raise ValueError(f"window {window} outside raster {cols}x{rows}")
+    if bits in (1, 2, 4):
+        cells, _, _, _ = decode_geotiff(rd.whole())
+        return cells[band, r0:r0 + h, c0:c0 + w].copy()
+    dtype = _FMT_DTYPE_DECODE.get((bits, fmt))
+    if dtype is None:
+        raise ValueError(f"unsupported sample type bits={bits} format={fmt}")
+    rdtype = np.dtype(dtype).newbyteorder(bo)
+    out = np.zeros((h, w), dtype=dtype)
+
+    if _TILE_OFFSETS in tags:
+        tw = int(tags[_TILE_WIDTH][0])
+        th = int(tags[_TILE_LENGTH][0])
+        across = (cols + tw - 1) // tw
+        down = (rows + th - 1) // th
+        per_band = across * down
+        tile_bands = 1 if planar == 2 else bands
+        base = band * per_band if planar == 2 else 0
+        offs, cnts = tags[_TILE_OFFSETS], tags[_TILE_BYTE_COUNTS]
+        for tr in range(r0 // th, (r0 + h - 1) // th + 1):
+            for tc in range(c0 // tw, (c0 + w - 1) // tw + 1):
+                idx = base + tr * across + tc
+                seg = _decompress_segment(
+                    rd.read(int(offs[idx]), int(cnts[idx])), comp)
+                tile = np.frombuffer(seg, dtype=rdtype,
+                                     count=th * tw * tile_bands)
+                tile = _unpredict(
+                    tile.reshape(th, tw, tile_bands).astype(dtype), predictor)
+                plane = tile[:, :, 0 if planar == 2 else band]
+                # intersection of this tile with the window
+                rr0 = max(r0, tr * th)
+                rr1 = min(r0 + h, tr * th + th, rows)
+                cc0 = max(c0, tc * tw)
+                cc1 = min(c0 + w, tc * tw + tw, cols)
+                out[rr0 - r0:rr1 - r0, cc0 - c0:cc1 - c0] =                     plane[rr0 - tr * th:rr1 - tr * th,
+                          cc0 - tc * tw:cc1 - tc * tw]
+        return out
+
+    rps = int(tags.get(_ROWS_PER_STRIP, [rows])[0])
+    offs, cnts = tags[_STRIP_OFFSETS], tags[_STRIP_BYTE_COUNTS]
+    if planar == 2 and bands > 1:
+        per_band = len(offs) // bands
+        base = band * per_band
+        strip_bands = 1
+    else:
+        per_band = len(offs)
+        base = 0
+        strip_bands = bands
+    for si in range(r0 // rps, (r0 + h - 1) // rps + 1):
+        seg = _decompress_segment(
+            rd.read(int(offs[base + si]), int(cnts[base + si])), comp)
+        sh = min(rps, rows - si * rps)
+        strip = np.frombuffer(seg, dtype=rdtype, count=sh * cols * strip_bands)
+        strip = _unpredict(
+            strip.reshape(sh, cols, strip_bands).astype(dtype), predictor)
+        plane = strip[:, :, 0 if strip_bands == 1 else band]
+        rr0 = max(r0, si * rps)
+        rr1 = min(r0 + h, si * rps + sh)
+        out[rr0 - r0:rr1 - r0, :] = plane[rr0 - si * rps:rr1 - si * rps,
+                                          c0:c0 + w]
+    return out
+
+
 # --- layer-level sinks ------------------------------------------------------
 
 def to_geotiff_rdd(layer, compress: bool = True):
@@ -707,16 +840,53 @@ def _cached_decode(path: str):
 
 
 def clear_decode_cache() -> None:
-    """Drop every cached decoded raster in this process. For long-lived
-    executors holding large rasters resident, or after rewriting a file
-    in-place without changing its length or (coarse) mtime."""
+    """Drop every cached decoded raster (and cached IFD summary) in
+    this process. For long-lived executors holding large rasters
+    resident, or after rewriting a file in-place without changing its
+    length or (coarse) mtime."""
     _cached_decode_keyed.cache_clear()
+    _ifd_summary.cache_clear()
+
+
+@_lru_cache(maxsize=256)
+def _ifd_summary(path: str, mtime: float, size: int):
+    """IFD-only metadata: (cols, rows, bands, extent|None, n_segments,
+    subbyte) without touching any pixel segment — O(IFD) file IO. None
+    when the header/IFD cannot be parsed from the leading bytes (the
+    caller falls back to the whole-decode path)."""
+    try:
+        rd = _SegmentReader(path)
+        head = rd.head()
+        bo, big, off0 = _tiff_header(head)
+        tags, _ = _read_ifd(head, bo, off0, big)
+        cols = int(tags[_IMAGE_WIDTH][0])
+        rows = int(tags[_IMAGE_LENGTH][0])
+        bands = int(tags.get(_SAMPLES_PER_PIXEL, [1])[0])
+        bits = int(tags.get(_BITS_PER_SAMPLE, [32])[0])
+        nseg = len(tags.get(_TILE_OFFSETS, tags.get(_STRIP_OFFSETS, [0])))
+        extent, _, _ = _page_geo(tags, rows, cols)
+        return cols, rows, bands, extent, nseg, bits in (1, 2, 4)
+    except Exception:
+        return None
+
+
+def _ifd_summary_for(path: str):
+    st = _os.stat(path)
+    return _ifd_summary(path, st.st_mtime, st.st_size)
 
 
 def sizer(path: str):
-    """``geotiff.get`` sizer over the pure codec (baseline strip/tile
-    TIFFs, none/DEFLATE/LZW/PackBits). Files without georeferencing tags
-    get the GDAL-style pixel-space extent (0, 0, width, height)."""
+    """``geotiff.get`` sizer over the pure codec. Reads ONLY the header
+    + IFD (no pixel segments, no whole-file IO) whenever the IFD sits in
+    the leading bytes — driver-side metadata for a multi-GiB BigTIFF is
+    O(KiB). Files without georeferencing tags get the GDAL-style
+    pixel-space extent (0, 0, width, height)."""
+    meta = _ifd_summary_for(path)
+    if meta is not None:
+        cols, rows, bands, extent, _, _ = meta
+        if extent is None:
+            extent = Extent(0.0, 0.0, float(cols), float(rows))
+        return cols, rows, extent, bands
     cells, extent, _, _ = _cached_decode(path)
     if extent is None:
         extent = Extent(0.0, 0.0, float(cells.shape[2]), float(cells.shape[1]))
@@ -725,12 +895,18 @@ def sizer(path: str):
 
 def decoder(path: str, window, band: int) -> np.ndarray:
     """``geotiff.get`` decoder: read one (c0, r0, w, h) window of one
-    band. Returns a fresh COPY (matching ``rasterio_decoder``'s
-    contract) — the cached decode must never be exposed as a writable
-    view, or one caller's in-place edit would corrupt every later
-    window read of the file in this process. Residency is bounded by
-    ``GEOPYSPARK_DECODE_CACHE`` entries (default 4, 0 = no caching);
-    see :func:`clear_decode_cache`."""
+    band. Multi-segment files (tiled, or more than one strip) take the
+    PARTIAL-READ path — seek/read + decompress only the intersected
+    segments (:func:`decode_geotiff_window`), so executor IO and memory
+    scale with the window, not the raster. Single-strip files (this
+    engine's own output) amortize one whole decode across windows via
+    the per-process cache; residency is bounded by
+    ``GEOPYSPARK_DECODE_CACHE`` entries (default 4, 0 = no caching; see
+    :func:`clear_decode_cache`). Always returns a fresh writable COPY
+    (matching ``rasterio_decoder``'s contract)."""
+    meta = _ifd_summary_for(path)
+    if meta is not None and meta[4] > 1 and not meta[5]:
+        return decode_geotiff_window(path, window, band)
     cells, _, _, _ = _cached_decode(path)
     c0, r0, w, h = window
     return cells[band, r0:r0 + h, c0:c0 + w].copy()

@@ -1144,3 +1144,73 @@ class TestPlanarAndSubByte:
         buf = _s.pack("<2sHI", b"II", 42, ifd_offset) + data + bytes(aux) + ifd
         cells, _, _, _ = geotiff_codec.decode_geotiff(buf)
         np.testing.assert_array_equal(cells, np.moveaxis(pix, -1, 0))
+
+
+class TestPartialWindowDecode:
+    """Segment-level partial reads (decode_geotiff_window + the
+    geotiff.get seam): IO proportional to the window, not the raster."""
+
+    def _tiled_file(self, tmp_path, bo="<", comp=5):
+        rng = np.random.default_rng(9)
+        pix = rng.integers(0, 255, (37, 29, 3)).astype(np.uint8)
+        buf = _write_tiff_ref(pix, bo=bo, comp=comp, tile=(16, 16))
+        p = str(tmp_path / f"tiled_{bo == '<'}_{comp}.tif")
+        with open(p, "wb") as f:
+            f.write(buf)
+        return p, pix
+
+    @pytest.mark.parametrize("bo", ["<", ">"])
+    @pytest.mark.parametrize("comp", [1, 5, 8, 32773])
+    def test_window_matches_full_decode_tiled(self, tmp_path, bo, comp):
+        p, pix = self._tiled_file(tmp_path, bo=bo, comp=comp)
+        for win in [(0, 0, 29, 37), (5, 7, 11, 13), (16, 16, 13, 21),
+                    (28, 36, 1, 1)]:
+            c0, r0, w, h = win
+            for b in range(3):
+                got = geotiff_codec.decode_geotiff_window(p, win, b)
+                np.testing.assert_array_equal(
+                    got, pix[r0:r0 + h, c0:c0 + w, b])
+
+    def test_multistrip_window(self, tmp_path):
+        rng = np.random.default_rng(10)
+        pix = rng.integers(-500, 500, (23, 11, 2)).astype(np.int16)
+        buf = _write_tiff_ref(pix, comp=8, rows_per_strip=4)
+        p = str(tmp_path / "strips.tif")
+        with open(p, "wb") as f:
+            f.write(buf)
+        got = geotiff_codec.decode_geotiff_window(p, (2, 5, 7, 12), 1)
+        np.testing.assert_array_equal(got, pix[5:17, 2:9, 1])
+
+    def test_seam_uses_partial_path_for_multisegment(self, tmp_path):
+        """decoder() on a tiled file must NOT populate the whole-decode
+        cache — the partial path does segment IO instead."""
+        p, pix = self._tiled_file(tmp_path)
+        geotiff_codec.clear_decode_cache()
+        got = geotiff_codec.decoder(p, (5, 7, 11, 13), 2)
+        np.testing.assert_array_equal(got, pix[7:20, 5:16, 2])
+        assert geotiff_codec._cached_decode_keyed.cache_info().currsize == 0
+
+    def test_sizer_is_ifd_only(self, tmp_path):
+        p, pix = self._tiled_file(tmp_path)
+        geotiff_codec.clear_decode_cache()
+        w, h, ext, nb = geotiff_codec.sizer(p)
+        assert (w, h, nb) == (29, 37, 3)
+        assert geotiff_codec._cached_decode_keyed.cache_info().currsize == 0
+
+    def test_window_bounds_checked(self, tmp_path):
+        p, _ = self._tiled_file(tmp_path)
+        with pytest.raises(ValueError, match="outside raster"):
+            geotiff_codec.decode_geotiff_window(p, (20, 20, 20, 20), 0)
+        with pytest.raises(ValueError, match="band"):
+            geotiff_codec.decode_geotiff_window(p, (0, 0, 4, 4), 7)
+
+    def test_planar2_window(self):
+        import struct as _s
+
+        # reuse the planar-2 strip writer from TestPlanarAndSubByte
+        helper = TestPlanarAndSubByte()
+        rng = np.random.default_rng(11)
+        pix = rng.integers(0, 9999, (12, 8, 3)).astype(np.int16)
+        buf = helper._planar2_strips(pix, comp=8, rps=5)
+        got = geotiff_codec.decode_geotiff_window(buf, (1, 2, 5, 9), 2)
+        np.testing.assert_array_equal(got, pix[2:11, 1:6, 2])
