@@ -256,3 +256,54 @@ def pagerank(edges: DataFrame, iterations: int = 5,
         if (i + 1) % 32 == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def k_core(edges: DataFrame, k: int, src_col: str = "src",
+           dst_col: str = "dst", max_rounds: int = 100) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph in which
+    every node has degree >= k, by iterative peeling (drop all nodes of
+    degree < k, recompute, repeat to fixpoint) — the standard
+    distributed formulation.
+
+    Spark shape per round: one degree hash-aggregate over the canonical
+    edge set + two semi-joins filtering both endpoints, then an eager
+    ``localCheckpoint`` so each round starts from a flat, materialized
+    (and strictly smaller) edge set rather than a growing plan. One tiny
+    ``isEmpty`` action per round decides convergence. Round count is
+    bounded by the peeling depth (tens on real graphs); ``max_rounds``
+    is a documented safety cap, and hitting it raises rather than
+    returning a silently-unconverged subgraph.
+
+    Returns ``(node, deg)`` for every surviving node with its in-core
+    degree (empty when no k-core exists).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u, v = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(F.least(u, v).alias("lo"), F.greatest(u, v).alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = None
+    for _ in range(int(max_rounds)):
+        deg = (
+            e.select(F.col("lo").alias("node"))
+            .unionByName(e.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        bad = deg.where(F.col("deg") < k)
+        if bad.isEmpty():
+            return deg
+        good = deg.where(F.col("deg") >= k).select("node")
+        e = (
+            e.join(good.withColumnRenamed("node", "lo"), "lo", "left_semi")
+            .join(good.withColumnRenamed("node", "hi"), "hi", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if e.isEmpty():
+            return deg.where(F.lit(False))
+    raise RuntimeError(
+        f"k_core did not converge within max_rounds={max_rounds}")

@@ -4350,6 +4350,59 @@ FROM nodes n LEFT JOIN corners c ON c.node = n.node
 """
 
 
+K_CORE_K = 3
+
+
+def q_graph_kcore(spark, sf_dir):
+    """The 3-core of the supplier co-occurrence graph
+    (95th-percentile weight threshold so the graph is dense enough to
+    peel; ``functions/graph.py::k_core``): iterative peeling — per round one
+    degree aggregate + two semi-joins + an eager localCheckpoint over a
+    strictly shrinking edge set. The oracle peels the identical pair
+    list in pure Python driver-side (exact integer degrees make the
+    fixpoint engine-independent) and injects the surviving (node, deg)
+    set (r9)."""
+    from ..functions import graph as fgraph
+
+    return fgraph.k_core(
+        _cooccurrence_edges(spark, sf_dir, quantile=0.95), k=K_CORE_K)
+
+
+def _sql_graph_kcore() -> str:
+    import duckdb
+
+    sf_dir = _oracle_sf_dir()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * "
+            f"FROM '{sf_dir}/lineitem.parquet'")
+    pairs = con.sql(
+        f"WITH {_SQL_COOCCURRENCE_PAIRS.replace('0.995', '0.95')} "
+        f"SELECT a, b FROM pairs"
+    ).fetchall()
+    con.close()
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    while True:
+        deg: dict = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        bad = {n for n, d in deg.items() if d < K_CORE_K}
+        if not bad:
+            break
+        edges = {(a, b) for a, b in edges if a not in bad and b not in bad}
+        if not edges:
+            deg = {}
+            break
+    if not deg:
+        return ("SELECT CAST(0 AS BIGINT) AS node, "
+                "CAST(0 AS BIGINT) AS deg WHERE FALSE")
+    values = ", ".join(f"({n}, {d})" for n, d in sorted(deg.items()))
+    return f"""
+SELECT CAST(col0 AS BIGINT) AS node, CAST(col1 AS BIGINT) AS deg
+FROM (VALUES {values}) t(col0, col1)
+"""
+
+
 def q_tpch_q20_dominant(spark, sf_dir):
     """Q20-ish dominant-supplier audit (no partsupp in the schema):
     suppliers who shipped more than half of some part's total quantity
@@ -7848,6 +7901,7 @@ def _canonical_queries():
         "rel_merge_upsert": q_rel_merge_upsert,
         "vector_polygon_metrics": q_vector_polygon_metrics,
         "tpch_q2_min_cost": q_tpch_q2_min_cost,
+        "graph_kcore": q_graph_kcore,
         "tpch_q11_important_stock": q_tpch_q11_important_stock,
         "multimodal_video": q_multimodal_video,
         "events_percentiles": q_events_percentiles,
@@ -8004,6 +8058,7 @@ _WINDOW_ORDER: list = [
     "rel_merge_upsert",
     "vector_polygon_metrics",
     "tpch_q2_min_cost",
+    "graph_kcore",
     "tpch_q11_important_stock",
     "raster_reproject_nzmg",
     "raster_reproject_aeqd_geodesic",
@@ -8339,6 +8394,7 @@ def oracle_sql():
         "rel_merge_upsert": SQL_REL_MERGE_UPSERT,
         "vector_polygon_metrics": SQL_VECTOR_POLYGON_METRICS,
         "tpch_q2_min_cost": SQL_TPCH_Q2_MIN_COST,
+        "graph_kcore": _sql_graph_kcore(),
         "tpch_q11_important_stock": SQL_TPCH_Q11_IMPORTANT_STOCK,
         "text_dup_components": _sql_dup_components(16, 4),
         "text_dedup_pipeline": _sql_dedup_pipeline(16, 4, 0.5),

@@ -1667,3 +1667,42 @@ class TestPolygonMetrics:
         b = sorted(map(tuple, polygon_metrics(
             df.repartition(11, "vertex_idx")).collect()))
         assert a == b  # exact equality — integer-space sums
+
+
+class TestKCore:
+    """Iterative k-core peeling (functions/graph.py::k_core)."""
+
+    def test_known_graph(self, spark):
+        from geopyspark_spark.functions.graph import k_core
+
+        # K4 on {1,2,3,4} plus a pendant path 4-5-6: the 3-core is K4
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                 (4, 5), (5, 6)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = {r["node"]: r["deg"] for r in k_core(df, 3).collect()}
+        assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_cascading_peel(self, spark):
+        from geopyspark_spark.functions.graph import k_core
+
+        # a chain: 2-core empty only after CASCADING rounds
+        edges = [(i, i + 1) for i in range(10)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        assert k_core(df, 2).collect() == []
+
+    def test_reverse_duplicates_and_self_loops(self, spark):
+        from geopyspark_spark.functions.graph import k_core
+
+        edges = [(1, 2), (2, 1), (1, 1), (2, 3), (3, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = {r["node"]: r["deg"] for r in k_core(df, 2).collect()}
+        assert out == {1: 2, 2: 2, 3: 2}  # the triangle survives
+
+    def test_bad_k(self, spark):
+        import pytest as _pt
+
+        from geopyspark_spark.functions.graph import k_core
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with _pt.raises(ValueError, match="k must be"):
+            k_core(df, 0)
