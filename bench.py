@@ -66,6 +66,11 @@ HEADLINE = [
     "text_bm25",
     "emb_kmeans",
     "multimodal_png_features",
+    # round-9 additions: the MERGE INTO upsert, relational polygon
+    # metrics, and the NZMG complex-polynomial warp
+    "rel_merge_upsert",
+    "vector_polygon_metrics",
+    "raster_reproject_nzmg",
 ]
 
 
