@@ -933,3 +933,143 @@ def quantization_error(df: DataFrame, id_col: str = "vec_id",
         F.round(F.when((n1 > 0) & (n2 > 0), dot / (n1 * n2)).otherwise(0.0), 6)
         .alias("cosine"),
     )
+
+
+# --- PCA (integer-exact covariance, quantized projection) -------------------
+
+#: quantization scale for PCA: embeddings and components snap to 1e-6
+PCA_SCALE = 1_000_000
+
+
+def _pca_int_sums(df: DataFrame, vec_col: str, dim: int):
+    """One Arrow pass computing the EXACT integer sufficient statistics
+    of the corpus: n, per-dimension sums m_i, and the upper-triangle
+    second-moment sums S_ij, over embeddings quantized at 1e-6.
+
+    Spark shape: ``mapInPandas`` computes each batch's int64 outer
+    product with numpy (E^T E — exact in int64 for |e| <= 1e6 up to
+    ~9e6 rows per partition; partitions beyond that would need int128
+    or re-chunking, documented), emitting only (i, j, partial) rows —
+    d*(d+1)/2 + d + 1 rows per BATCH cross the shuffle, never the
+    vectors. A final tiny hash aggregate sums partials exactly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    scale = PCA_SCALE
+
+    def partial(batches):
+        for pdf in batches:
+            E = np.rint(
+                np.stack(pdf[vec_col].to_numpy()) * scale
+            ).astype(np.int64)
+            S = E.T @ E                    # exact int64
+            m = E.sum(axis=0)              # exact int64
+            iu, ju = np.triu_indices(dim)
+            out = {
+                "i": np.concatenate((iu, np.full(dim, -1), [-2])),
+                "j": np.concatenate((ju, np.arange(dim), [-2])),
+                "s": np.concatenate((S[iu, ju], m, [len(pdf)])),
+            }
+            yield pd.DataFrame(out)
+
+    sums = (
+        df.select(vec_col)
+        .mapInPandas(partial, "i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    S = np.zeros((dim, dim), dtype=np.int64)
+    m = np.zeros(dim, dtype=np.int64)
+    n = 0
+    for r in sums:
+        if r["i"] == -2:
+            n = int(r["s"])
+        elif r["i"] == -1:
+            m[r["j"]] = int(r["s"])
+        else:
+            S[r["i"], r["j"]] = int(r["s"])
+            S[r["j"], r["i"]] = int(r["s"])
+    return n, m, S
+
+
+def pca_fit(df: DataFrame, k: int = 4, vec_col: str = "embedding",
+            dim: int | None = None):
+    """Fit a k-component PCA over an embedding column, distributed.
+
+    The sufficient statistics (n, sums, second moments) are EXACT
+    integers from one Arrow pass (:func:`_pca_int_sums`) — independent
+    of partitioning and engine — so the driver-side covariance,
+    ``numpy.linalg.eigh`` eigensolve, and sign canonicalization (each
+    component's largest-|value| entry made positive, ties to the lowest
+    index) are a pure function of the data. Returns
+    ``(mean, components)``: the 1e-6-quantized mean (length-d ints) and
+    k quantized eigenvector rows (k x d ints, descending eigenvalue) —
+    integer artifacts chosen so downstream projection is exact integer
+    arithmetic.
+    """
+    import numpy as np
+
+    if dim is None:
+        dim = int(df.select(F.size(F.col(vec_col))).first()[0])
+    n, m, S = _pca_int_sums(df, vec_col, dim)
+    return pca_fit_from_stats(n, m, S, k)
+
+
+def pca_fit_from_stats(n: int, m, S, k: int):
+    """Eigensolve + quantization from the exact integer sufficient
+    statistics — shared by the distributed :func:`pca_fit` and the
+    oracle's numpy retrainer, so both are the same pure function of
+    (n, sums, second moments)."""
+    import numpy as np
+
+    if n < 2:
+        raise ValueError(f"PCA needs >= 2 vectors, got {n}")
+    m = np.asarray(m, dtype=np.int64)
+    S = np.asarray(S, dtype=np.int64)
+    scale = float(PCA_SCALE)
+    mu = m.astype(np.float64) / n                      # in 1e-6 units
+    cov = (S.astype(np.float64) - np.outer(mu, mu) * n) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)                   # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        j = int(np.argmax(np.abs(np.round(v * scale))))
+        if v[j] < 0:
+            v = -v
+        comps.append(np.rint(v * scale).astype(np.int64))
+    mean_q = np.rint(mu).astype(np.int64)              # already 1e-6 units
+    return [int(x) for x in mean_q], [[int(x) for x in c] for c in comps]
+
+
+def pca_project(df: DataFrame, mean: list, components: list,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Project vectors onto fitted components — exact integer dots.
+
+    Each output ``pc{i}_fp`` is ``sum_j Vq[i][j] * (e_j - mu_j)`` over
+    1e-6-quantized values: products <= 3.6e11 and 64-term sums
+    <= ~2.3e13 stay far inside the 2^53 double-exact window, so the
+    JVM's sequential fold, DuckDB's list arithmetic and numpy all
+    produce the SAME integer — no float drift possible. One scan, no
+    shuffle, no Python. The fixed-point unit is 1e-12 (scale^2).
+    """
+    cent = F.zip_with(
+        F.col(vec_col),
+        F.array(*[F.lit(int(v)) for v in mean]),
+        lambda x, mu: F.round(x.cast("double") * PCA_SCALE) - mu.cast("double"),
+    )
+    cols = [F.col(id_col)]
+    for i, comp in enumerate(components):
+        dot = F.aggregate(
+            F.zip_with(
+                cent,
+                F.array(*[F.lit(int(v)) for v in comp]),
+                lambda c, v: c * v.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(dot.cast("long").alias(f"pc{i}_fp"))
+    return df.select(*cols)

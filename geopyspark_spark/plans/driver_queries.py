@@ -5218,6 +5218,63 @@ FROM t
 """
 
 
+PCA_K = 4
+
+
+def q_emb_pca(spark, sf_dir):
+    """Distributed PCA over the embedding corpus (r9): the sufficient
+    statistics are EXACT integer sums from one Arrow pass (per-batch
+    int64 outer products in numpy; only d^2-ish partial rows shuffle),
+    the eigensolve is a driver-side pure function of them, and the
+    projection is exact integer dot products inside the 2^53
+    double-exact window. The oracle recomputes the statistics in numpy
+    from the parquet corpus, runs the SAME shared eigensolve
+    (``similarity.pca_fit_from_stats``), and projects in SQL — any
+    divergence in the distributed statistics pass changes the
+    components and fails every projected value."""
+    from ..functions import similarity as fsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, comps = fsim.pca_fit(emb, k=PCA_K)
+    return fsim.pca_project(emb, mean, comps)
+
+
+def _sql_emb_pca() -> str:
+    import duckdb
+    import numpy as np
+
+    from ..functions import similarity as fsim
+
+    sf_dir = _oracle_sf_dir()
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    con.close()
+    E = np.rint(np.array([r[0] for r in rows]) * fsim.PCA_SCALE).astype(
+        np.int64)
+    mean, comps = fsim.pca_fit_from_stats(
+        len(rows), E.sum(axis=0), E.T @ E, PCA_K)
+    mean_sql = "[" + ", ".join(f"{v}.0" for v in mean) + "]::DOUBLE[]"
+    sel = []
+    for i, comp in enumerate(comps):
+        v_sql = "[" + ", ".join(f"{v}.0" for v in comp) + "]::DOUBLE[]"
+        sel.append(
+            f"CAST(list_dot_product(cent, {v_sql}) AS BIGINT) AS pc{i}_fp")
+    return f"""
+WITH c AS (
+  SELECT vec_id,
+         list_transform(
+           list_zip(CAST(embedding AS DOUBLE[]), {mean_sql}),
+           p -> round(p[1] * 1000000) - p[2]
+         ) AS cent
+  FROM embeddings
+)
+SELECT vec_id, {", ".join(sel)}
+FROM c
+"""
+
+
 def q_text_classifier(spark, sf_dir):
     """Distributed linear quality/language classifier (beyond-reference
     LLM-pipeline surface): full-batch logistic-surrogate GD where every
@@ -7992,6 +8049,7 @@ def _canonical_queries():
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_quality_ratios": q_text_quality_ratios,
         "text_classifier": q_text_classifier,
+        "emb_pca": q_emb_pca,
         "text_bpe_train": q_text_bpe_train,
         "text_minhash_vocab": q_text_minhash_vocab,
         "emb_norm_stats": q_emb_norm_stats,
@@ -8064,6 +8122,7 @@ _WINDOW_ORDER: list = [
     "raster_reproject_aeqd_geodesic",
     "raster_reproject_ntv2",
     "text_classifier",
+    "emb_pca",
     "text_bpe_train",
     "raster_spacetime_series",
     "raster_rasterize",
@@ -8390,6 +8449,7 @@ def oracle_sql():
         "text_bpe_tokens": _sql_bpe_tokens(),
         "text_quality_ratios": _sql_quality_ratios(),
         "text_classifier": _sql_text_classifier(),
+        "emb_pca": _sql_emb_pca(),
         "text_bpe_train": _sql_text_bpe_train(),
         "rel_merge_upsert": SQL_REL_MERGE_UPSERT,
         "vector_polygon_metrics": SQL_VECTOR_POLYGON_METRICS,

@@ -1706,3 +1706,76 @@ class TestKCore:
         df = spark.createDataFrame([(1, 2)], "src long, dst long")
         with _pt.raises(ValueError, match="k must be"):
             k_core(df, 0)
+
+
+class TestPca:
+    """Integer-exact distributed PCA (functions/similarity.py)."""
+
+    def _emb(self, spark, n=300, d=8, seed=0):
+        import random
+
+        rng = random.Random(seed)
+        rows = [(i, [rng.randint(-500000, 500000) / 1e6
+                     for _ in range(d)]) for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    def test_projection_matches_numpy(self, spark):
+        import numpy as np
+
+        from geopyspark_spark.functions.similarity import (
+            pca_fit, pca_project,
+        )
+
+        df = self._emb(spark)
+        mean, comps = pca_fit(df, k=3, dim=8)
+        out = {r["vec_id"]: (r["pc0_fp"], r["pc1_fp"], r["pc2_fp"])
+               for r in pca_project(df, mean, comps).collect()}
+        rows = sorted(df.collect(), key=lambda r: r["vec_id"])
+        E = np.rint(np.array([r["embedding"] for r in rows]) * 1e6
+                    ).astype(np.int64)
+        proj = (E - np.array(mean)) @ np.array(comps).T
+        for i, r in enumerate(rows):
+            assert out[r["vec_id"]] == tuple(int(x) for x in proj[i])
+
+    def test_fit_partition_invariant(self, spark):
+        from geopyspark_spark.functions.similarity import pca_fit
+
+        df = self._emb(spark)
+        assert pca_fit(df.repartition(1), k=3, dim=8) == \
+            pca_fit(df.repartition(9, "vec_id"), k=3, dim=8)
+
+    def test_components_capture_variance_order(self, spark):
+        import numpy as np
+        import random
+
+        from geopyspark_spark.functions.similarity import (
+            pca_fit, pca_project,
+        )
+
+        # anisotropic data: dim 0 has 10x the spread of the others
+        rng = random.Random(1)
+        rows = [(i, [rng.gauss(0, 0.4)] + [rng.gauss(0, 0.04)
+                                           for _ in range(7)])
+                for i in range(400)]
+        rows = [(i, [max(-0.5, min(0.5, round(v, 6))) for v in vec])
+                for i, vec in rows]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        mean, comps = pca_fit(df, k=2, dim=8)
+        # first component should align with dim 0
+        c0 = np.array(comps[0], dtype=np.float64) / 1e6
+        assert abs(c0[0]) > 0.95
+        P = np.array([[r["pc0_fp"], r["pc1_fp"]] for r in
+                      pca_project(df, mean, comps).collect()],
+                     dtype=np.float64)
+        assert P[:, 0].var() > 5 * P[:, 1].var()
+
+    def test_too_few_vectors(self, spark):
+        import pytest as _pt
+
+        from geopyspark_spark.functions.similarity import pca_fit
+
+        df = self._emb(spark, n=1)
+        with _pt.raises(ValueError, match=">= 2"):
+            pca_fit(df, k=2, dim=8)
