@@ -4831,6 +4831,60 @@ def q_events_stream_tumbling(spark, sf_dir):
     )
 
 
+def q_events_stream_topk(spark, sf_dir):
+    """Streaming per-window heavy hitters (r9): the real readStream path
+    — watermarked 1-hour tumbling counts per event type drained with
+    Trigger.AvailableNow — then the top-3 rank per window computed over
+    the drained snapshot (ranking is not an append-mode streaming
+    operator, so the post-drain batch rank IS the production shape:
+    stream maintains the windowed counts, a cheap batch pass ranks
+    them). Deterministic tie-break (count DESC, event_type ASC)."""
+    import uuid
+
+    from ..streaming.events import read_events_stream, run_available_now
+
+    ev = read_events_stream(spark, sf_dir)
+    ev = ev.where(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_available_now(agg, f"stream_topk_{uuid.uuid4().hex[:8]}")
+    wnd = Window.partitionBy("w").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc())
+    return (
+        out.withColumn("rk", F.row_number().over(wnd))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            F.hour(F.col("w.start")).alias("hour"),
+            F.col("rk").cast("int").alias("rk"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+SQL_EVENTS_STREAM_TOPK = """
+WITH hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS DATE) AS day,
+         EXTRACT(hour FROM date_trunc('hour', ts)) AS hour,
+         event_type, COUNT(*) AS n_events
+  FROM events
+  GROUP BY date_trunc('hour', ts), event_type
+),
+rk AS (
+  SELECT day, CAST(hour AS INT) AS hour, event_type, n_events,
+         row_number() OVER (PARTITION BY day, hour
+                            ORDER BY n_events DESC, event_type ASC) AS rk
+  FROM hourly
+)
+SELECT day, hour, CAST(rk AS INT) AS rk, event_type, n_events
+FROM rk WHERE rk <= 3
+"""
+
+
 def q_events_stream_session(spark, sf_dir):
     """Stateful streaming session windows through the oracle gate
     (round 6, VERDICT r5 #5): readStream -> watermarked session_window
@@ -7973,6 +8027,7 @@ def _canonical_queries():
         "text_pii_scrub": q_text_pii_scrub,
         "raster_read_value": q_raster_read_value,
         "events_stream_tumbling": q_events_stream_tumbling,
+        "events_stream_topk": q_events_stream_topk,
         "raster_reproject_ease": q_raster_reproject_ease,
         "raster_reproject_albers": q_raster_reproject_albers,
         "raster_reproject_swiss": q_raster_reproject_swiss,
@@ -8118,6 +8173,7 @@ _WINDOW_ORDER: list = [
     "tpch_q2_min_cost",
     "graph_kcore",
     "tpch_q11_important_stock",
+    "events_stream_topk",
     "raster_reproject_nzmg",
     "raster_reproject_aeqd_geodesic",
     "raster_reproject_ntv2",
@@ -8490,6 +8546,7 @@ def oracle_sql():
         "raster_reproject_utm": _sql_reproject_utm(),
         "raster_reproject_albers": _sql_reproject_albers(),
         "events_stream_tumbling": SQL_EVENTS_TUMBLING,
+        "events_stream_topk": SQL_EVENTS_STREAM_TOPK,
         "raster_reproject_ease": _sql_reproject_ease(),
         "raster_reproject_laea": _sql_reproject_laea(),
         "events_stream_session": SQL_EVENTS_SESSION,
