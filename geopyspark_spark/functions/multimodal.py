@@ -318,6 +318,54 @@ def image_resize(df: DataFrame, width: int, height: int, data_col: str = "data",
     return df.mapInPandas(resize, schema=schema)
 
 
+def image_patches(df: DataFrame, patch: int = 4, data_col: str = "data",
+                  decoder: Callable | None = None) -> DataFrame:
+    """Decode -> non-overlapping patch grid — the ViT-style tokenizer
+    step for image training pipelines. One output row per patch:
+    id cols + ``patch_row``, ``patch_col``, ``pixels: array<double>``
+    (patch*patch*channels, row-major). Images whose sides are not
+    multiples of ``patch`` contribute only the fully-covered grid (the
+    standard center-free crop-to-grid convention).
+
+    Arrow-batched ``mapInPandas`` (the sanctioned Python path) with the
+    per-batch fan-out happening inside the executor — rows grow by the
+    patch count, bytes stay the same order as the decoded pixels.
+    """
+    if decoder is None:
+        decoder = _default_image_decoder()
+    id_cols = [c for c in df.columns if c != data_col]
+    schema = T.StructType(
+        [df.schema[c] for c in id_cols]
+        + [T.StructField("patch_row", T.IntegerType()),
+           T.StructField("patch_col", T.IntegerType()),
+           T.StructField("pixels", T.ArrayType(T.DoubleType()))]
+    )
+
+    def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {c: [] for c in id_cols}
+            prs, pcs, pix = [], [], []
+            for i in range(len(pdf)):
+                arr = decoder(bytes(pdf[data_col].iloc[i]))
+                h0, w0 = arr.shape[:2]
+                for pr in range(h0 // patch):
+                    for pc in range(w0 // patch):
+                        block = arr[pr * patch:(pr + 1) * patch,
+                                    pc * patch:(pc + 1) * patch]
+                        for c in id_cols:
+                            rows[c].append(pdf[c].iloc[i])
+                        prs.append(pr)
+                        pcs.append(pc)
+                        pix.append(block.reshape(-1).astype(float).tolist())
+            out = pd.DataFrame(rows)
+            out["patch_row"] = pd.Series(prs, dtype="int32")
+            out["patch_col"] = pd.Series(pcs, dtype="int32")
+            out["pixels"] = pix
+            yield out
+
+    return df.mapInPandas(cut, schema=schema)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10, data_col: str = "data",
                  frame_decoder: Callable[[bytes], list] | None = None) -> DataFrame:
     """Video frame sampling: explode every n-th frame to its own row.

@@ -6977,6 +6977,35 @@ FROM d, range(48) p(p)
 """
 
 
+def q_multimodal_patches(spark, sf_dir):
+    """ViT-style patch extraction under the gate, zero injection (r9):
+    payload PNGs decoded by the built-in codec, cut into the 2x2 grid of
+    4x4 patches; every patch pixel is regenerated by the oracle straight
+    from the payload byte formula — gating the patch index math AND a
+    third independent pass through the PNG decode loop."""
+    from ..functions import multimodal as fmm
+
+    out = fmm.image_patches(_payload_pngs(spark, sf_dir), patch=4)
+    return out.select(
+        "doc_id", "patch_row", "patch_col",
+        F.posexplode("pixels").alias("pos", "value"),
+    )
+
+
+SQL_MULTIMODAL_PATCHES = """
+WITH d AS (SELECT doc_id, text, strlen(text) AS len FROM documents)
+SELECT doc_id, CAST(a.pr AS INT) AS patch_row, CAST(b.pc AS INT) AS patch_col,
+       CAST(r.q AS INT) AS pos,
+       CASE WHEN len = 0 THEN 0.0
+            ELSE CAST(ascii(substr(text,
+                 CAST(((a.pr * 4 + r.q // 12) * 8
+                       + (b.pc * 4 + (r.q % 12) // 3)) * 3
+                      + r.q % 3 AS INT) % len + 1, 1)) AS DOUBLE)
+       END AS value
+FROM d, range(2) a(pr), range(2) b(pc), range(48) r(q)
+"""
+
+
 def q_multimodal_ahash(spark, sf_dir):
     """Perceptual-hash image dedup under the gate: payload-decoded 8x8
     images -> integer-exact 64-bit aHash -> byte-banded bucket join ->
@@ -8075,6 +8104,7 @@ def _canonical_queries():
         "multimodal_features": q_multimodal_features,
         "multimodal_png_features": q_multimodal_png_features,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_patches": q_multimodal_patches,
         "events_session": q_events_session,
         "raster_zonal_stats": q_raster_zonal_stats,
         "raster_mask": q_raster_mask,
@@ -8177,6 +8207,7 @@ _WINDOW_ORDER: list = [
     "raster_reproject_nzmg",
     "raster_reproject_aeqd_geodesic",
     "raster_reproject_ntv2",
+    "multimodal_patches",
     "text_classifier",
     "emb_pca",
     "text_bpe_train",
@@ -8534,6 +8565,7 @@ def oracle_sql():
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "multimodal_png_features": SQL_MULTIMODAL_PNG_FEATURES,
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+        "multimodal_patches": SQL_MULTIMODAL_PATCHES,
         "multimodal_audio": SQL_MULTIMODAL_AUDIO,
         # ---- round 3 ----
         "raster_focal_mode": SQL_RASTER_FOCAL_MODE,

@@ -1779,3 +1779,40 @@ class TestPca:
         df = self._emb(spark, n=1)
         with _pt.raises(ValueError, match=">= 2"):
             pca_fit(df, k=2, dim=8)
+
+
+class TestImagePatches:
+    """ViT-style patch extraction (functions/multimodal.py)."""
+
+    def test_patches_reconstruct_image(self, spark):
+        import numpy as np
+
+        from geopyspark_spark.functions.multimodal import image_patches
+
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 255, (8, 12, 3)).astype(np.float64)
+
+        def dec(_):
+            return img
+
+        df = spark.createDataFrame([(1, bytearray(b"x"))],
+                                   "doc_id long, data binary")
+        rows = image_patches(df, patch=4, decoder=dec).collect()
+        assert len(rows) == 2 * 3  # 8x12 -> 2x3 grid of 4x4
+        for r in rows:
+            pr, pc = r["patch_row"], r["patch_col"]
+            got = np.array(r["pixels"]).reshape(4, 4, 3)
+            np.testing.assert_array_equal(
+                got, img[pr * 4:(pr + 1) * 4, pc * 4:(pc + 1) * 4])
+
+    def test_ragged_edges_cropped(self, spark):
+        import numpy as np
+
+        from geopyspark_spark.functions.multimodal import image_patches
+
+        img = np.ones((7, 9, 1))
+
+        df = spark.createDataFrame([(1, bytearray(b"x"))],
+                                   "doc_id long, data binary")
+        rows = image_patches(df, patch=4, decoder=lambda _: img).collect()
+        assert len(rows) == 1 * 2  # floor(7/4) x floor(9/4)
