@@ -924,3 +924,83 @@ def bpe_reference_train(word_counts: list, rounds: int = 10) -> list:
             out.append((acc, c))
         vocab = out
     return merges
+
+
+def _seeded_hash(id_col: str, seed) -> "F.Column":
+    """The engine's engine-portable seeded hash: first 15 hex digits of
+    md5('id:seed') as a BIGINT (identical in any engine; the
+    deterministic_sample convention)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                ":", F.col(id_col).cast("string"), F.lit(str(seed))
+            )),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+
+
+def epoch_shards(df: DataFrame, epoch: int, n_shards: int,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-epoch dataloader sharding: every document gets
+    a ``shard`` in [0, n_shards) and a within-shard ``shard_order`` from
+    the seeded hash of (id, epoch) — a full reshuffle of the corpus
+    each epoch that any worker can recompute independently (no shared
+    state, no RNG to synchronize, stable under reruns and repartitions;
+    what a distributed training dataloader actually needs).
+
+    Spark shape: ONE projection for the shard assignment; the order
+    rank is a window per shard (one shuffle on ``shard`` — at training
+    time each worker reads only its shard's partition anyway).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = _seeded_hash(id_col, f"epoch{epoch}")
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.withColumn("h", h)
+        .withColumn("shard", (F.col("h") % n_shards).cast("int"))
+        .withColumn("shard_order", F.row_number().over(w))
+        .drop("h")
+    )
+
+
+def token_budget_mix(df: DataFrame, budgets: dict[str, int],
+                     seed: int = 42, source_col: str = "source",
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Fill a per-source token budget: within each source, documents are
+    taken in seeded-hash order until the cumulative whitespace-token
+    count reaches the source's budget (the document that CROSSES the
+    budget line is kept — the usual at-least-budget convention).
+    Sources without a budget entry are dropped.
+
+    The data-mixing step of corpus assembly ("2M tokens of web, 1M of
+    code, ...") as ONE window cumulative sum per source — a single
+    shuffle on ``source_col``; the hash order makes the selected set
+    independent of partitioning and rerun-stable.
+
+    Returns (id, source, n_tokens, cum_tokens) for selected documents.
+    """
+    n_tok = F.size(tokens_col(text_col))
+    budget = F.lit(None).cast("long")
+    expr = None
+    for k, v in sorted(budgets.items()):
+        cond = F.when(F.col(source_col) == k, F.lit(int(v)))
+        expr = cond if expr is None else expr.when(
+            F.col(source_col) == k, F.lit(int(v)))
+    budget = expr if expr is not None else budget
+    h = _seeded_hash(id_col, seed)
+    w = (Window.partitionBy(source_col).orderBy("h", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (
+        df.select(id_col, source_col, n_tok.alias("n_tokens"),
+                  h.alias("h"))
+        .withColumn("_budget", budget)
+        .where(F.col("_budget").isNotNull())
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") - F.col("n_tokens") < F.col("_budget"))
+        .drop("h", "_budget")
+    )
+    return out

@@ -5702,6 +5702,66 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
 """
 
 
+def q_text_epoch_shards(spark, sf_dir):
+    """Deterministic per-epoch dataloader sharding (r9): shard + within-
+    shard order from the seeded hash of (doc_id, epoch) — the reshuffle
+    any training worker recomputes independently with no shared RNG
+    state. One projection + one per-shard rank window."""
+    return ftext.epoch_shards(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        epoch=2, n_shards=8,
+    ).select("doc_id", "source", "shard", "shard_order")
+
+
+SQL_TEXT_EPOCH_SHARDS = """
+WITH h AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch2'), 1, 15))::BIGINT AS hv
+  FROM documents
+),
+sh AS (SELECT doc_id, source, hv, CAST(hv % 8 AS INT) AS shard FROM h)
+SELECT doc_id, source, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hv, doc_id) AS BIGINT)
+         AS shard_order
+FROM sh
+"""
+
+
+def q_text_token_budget_mix(spark, sf_dir):
+    """Token-budget corpus mixing (r9): within each budgeted source,
+    documents accumulate in seeded-hash order until the cumulative
+    whitespace-token count crosses the source's budget (the crossing
+    document is kept; unbudgeted sources drop) — the "N tokens of web,
+    M of code" assembly step as ONE window cumulative sum per source."""
+    return ftext.token_budget_mix(
+        _t(spark, sf_dir, "documents"),
+        budgets={"src1": 4000, "src2": 2500, "src3": 1500},
+    )
+
+
+SQL_TEXT_TOKEN_BUDGET_MIX = """
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split(trim(text), ' ')) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT AS hv,
+         CASE source WHEN 'src1' THEN 4000 WHEN 'src2' THEN 2500
+                     WHEN 'src3' THEN 1500 END AS budget
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens, budget,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY hv, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_tokens
+  FROM d WHERE budget IS NOT NULL
+)
+SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c
+WHERE cum_tokens - n_tokens < budget
+"""
+
+
 def q_text_stratified_sample(spark, sf_dir):
     """Per-source deterministic sampling under the gate (round 6): the
     domain-mixing primitive — each source stratum keeps its own rate,
@@ -8136,6 +8196,8 @@ def _canonical_queries():
         "text_classifier": q_text_classifier,
         "emb_pca": q_emb_pca,
         "text_bpe_train": q_text_bpe_train,
+        "text_epoch_shards": q_text_epoch_shards,
+        "text_token_budget_mix": q_text_token_budget_mix,
         "text_minhash_vocab": q_text_minhash_vocab,
         "emb_norm_stats": q_emb_norm_stats,
         "emb_lsh_knn": q_emb_lsh_knn,
@@ -8211,6 +8273,8 @@ _WINDOW_ORDER: list = [
     "text_classifier",
     "emb_pca",
     "text_bpe_train",
+    "text_epoch_shards",
+    "text_token_budget_mix",
     "raster_spacetime_series",
     "raster_rasterize",
     "events_asof_join",
@@ -8538,6 +8602,8 @@ def oracle_sql():
         "text_classifier": _sql_text_classifier(),
         "emb_pca": _sql_emb_pca(),
         "text_bpe_train": _sql_text_bpe_train(),
+        "text_epoch_shards": SQL_TEXT_EPOCH_SHARDS,
+        "text_token_budget_mix": SQL_TEXT_TOKEN_BUDGET_MIX,
         "rel_merge_upsert": SQL_REL_MERGE_UPSERT,
         "vector_polygon_metrics": SQL_VECTOR_POLYGON_METRICS,
         "tpch_q2_min_cost": SQL_TPCH_Q2_MIN_COST,

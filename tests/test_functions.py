@@ -1816,3 +1816,65 @@ class TestImagePatches:
                                    "doc_id long, data binary")
         rows = image_patches(df, patch=4, decoder=lambda _: img).collect()
         assert len(rows) == 1 * 2  # floor(7/4) x floor(9/4)
+
+
+class TestEpochShardsAndBudgetMix:
+    """Dataloader sharding + token-budget mixing (functions/text.py)."""
+
+    def _docs(self, spark):
+        rows = [(i, f"s{i % 3}", " ".join(["w"] * (5 + i % 7)))
+                for i in range(60)]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, text string")
+
+    def test_shards_partition_and_epoch_stability(self, spark):
+        from geopyspark_spark.functions.text import epoch_shards
+
+        df = self._docs(spark)
+        a = sorted(map(tuple, epoch_shards(
+            df.repartition(1), epoch=3, n_shards=4).collect()))
+        b = sorted(map(tuple, epoch_shards(
+            df.repartition(7, "doc_id"), epoch=3, n_shards=4).collect()))
+        assert a == b
+        # a different epoch is a different permutation
+        c = sorted(map(tuple, epoch_shards(df, epoch=4, n_shards=4).collect()))
+        assert a != c
+        shards = {r[-2] for r in a}
+        assert shards <= set(range(4)) and len(shards) > 1
+        # within-shard orders are 1..n contiguous
+        from collections import Counter
+
+        per = Counter(r[-2] for r in a)
+        orders = {}
+        for r in a:
+            orders.setdefault(r[-2], []).append(r[-1])
+        assert all(sorted(v) == list(range(1, per[k] + 1))
+                   for k, v in orders.items())
+
+    def test_budget_mix_crossing_doc_kept(self, spark):
+        from geopyspark_spark.functions.text import token_budget_mix
+
+        df = self._docs(spark)
+        out = token_budget_mix(df, budgets={"s0": 20, "s1": 1}, seed=7)
+        rows = out.collect()
+        assert {r["source"] for r in rows} == {"s0", "s1"}
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r)
+        # s1 budget of 1 token: exactly the first hash-ordered doc kept
+        assert len(by_src["s1"]) == 1
+        s0 = sorted(by_src["s0"], key=lambda r: r["cum_tokens"])
+        # every selected doc started strictly under the budget, and the
+        # last one crosses (or the stratum ran out)
+        assert all(r["cum_tokens"] - r["n_tokens"] < 20 for r in s0)
+        assert s0[-1]["cum_tokens"] >= 20 or len(s0) == 20
+
+    def test_budget_mix_deterministic(self, spark):
+        from geopyspark_spark.functions.text import token_budget_mix
+
+        df = self._docs(spark)
+        a = sorted(map(tuple, token_budget_mix(
+            df.repartition(1), budgets={"s0": 30}).collect()))
+        b = sorted(map(tuple, token_budget_mix(
+            df.repartition(5, "text"), budgets={"s0": 30}).collect()))
+        assert a == b
