@@ -2448,6 +2448,11 @@ def _parse_proj4(s: str):
         for entry in nadgrids.split(","):
             optional = entry.startswith("@")
             path = entry.lstrip("@")
+            if path.lower() in ("null", "none"):
+                # the null sentinel INSIDE a list = "fall through to no
+                # shift" (proj semantics for 'grid.gsb,null')
+                missing = []
+                break
             if _osmod.path.exists(path):
                 grid_shift = NTv2Grid.open(path)
                 break

@@ -288,11 +288,15 @@ def k_core(edges: DataFrame, k: int, src_col: str = "src",
     )
     deg = None
     for _ in range(int(max_rounds)):
+        # materialize the round's degrees once: isEmpty, the two
+        # semi-joins AND the caller's consumption of the returned frame
+        # would otherwise each re-run the union+aggregate over e
         deg = (
             e.select(F.col("lo").alias("node"))
             .unionByName(e.select(F.col("hi").alias("node")))
             .groupBy("node")
             .agg(F.count("*").alias("deg"))
+            .localCheckpoint(eager=True)
         )
         bad = deg.where(F.col("deg") < k)
         if bad.isEmpty():

@@ -348,15 +348,28 @@ def image_patches(df: DataFrame, patch: int = 4, data_col: str = "data",
             for i in range(len(pdf)):
                 arr = decoder(bytes(pdf[data_col].iloc[i]))
                 h0, w0 = arr.shape[:2]
-                for pr in range(h0 // patch):
-                    for pc in range(w0 // patch):
-                        block = arr[pr * patch:(pr + 1) * patch,
-                                    pc * patch:(pc + 1) * patch]
-                        for c in id_cols:
-                            rows[c].append(pdf[c].iloc[i])
-                        prs.append(pr)
-                        pcs.append(pc)
-                        pix.append(block.reshape(-1).astype(float).tolist())
+                gh, gw = h0 // patch, w0 // patch
+                if gh == 0 or gw == 0:
+                    continue
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                # one vectorized reshape cuts the whole grid (a 1024x1024
+                # image is 65k patches — per-patch Python loops would
+                # dominate the batch)
+                grid = (
+                    arr[:gh * patch, :gw * patch]
+                    .reshape(gh, patch, gw, patch, -1)
+                    .swapaxes(1, 2)
+                    .reshape(gh * gw, -1)
+                    .astype(float)
+                )
+                n = gh * gw
+                for c in id_cols:
+                    rows[c].extend([pdf[c].iloc[i]] * n)
+                pr_idx, pc_idx = np.divmod(np.arange(n), gw)
+                prs.extend(pr_idx.tolist())
+                pcs.extend(pc_idx.tolist())
+                pix.extend(grid.tolist())
             out = pd.DataFrame(rows)
             out["patch_row"] = pd.Series(prs, dtype="int32")
             out["patch_col"] = pd.Series(pcs, dtype="int32")

@@ -276,8 +276,11 @@ def merge_into(target: DataFrame, source: DataFrame, on: str | list,
     in_s = F.col("__in_s").isNotNull()
     matched = in_t & in_s
     if when_matched == "delete" or delete_col is not None:
-        del_flag = (F.col("__s_del") == 1) if delete_col is not None \
-            else F.lit(when_matched == "delete")
+        # NULL delete flags mean "not deleted": without the coalesce,
+        # matched & NULL = NULL and where(NULL) would silently DROP the
+        # row instead of keeping it
+        del_flag = F.coalesce(F.col("__s_del") == 1, F.lit(False)) \
+            if delete_col is not None else F.lit(when_matched == "delete")
         keep_row = ~(matched & del_flag)
     else:
         keep_row = F.lit(True)

@@ -985,12 +985,9 @@ def token_budget_mix(df: DataFrame, budgets: dict[str, int],
     """
     n_tok = F.size(tokens_col(text_col))
     budget = F.lit(None).cast("long")
-    expr = None
     for k, v in sorted(budgets.items()):
-        cond = F.when(F.col(source_col) == k, F.lit(int(v)))
-        expr = cond if expr is None else expr.when(
-            F.col(source_col) == k, F.lit(int(v)))
-    budget = expr if expr is not None else budget
+        budget = F.when(F.col(source_col) == k, F.lit(int(v))) \
+            .otherwise(budget)
     h = _seeded_hash(id_col, seed)
     w = (Window.partitionBy(source_col).orderBy("h", id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

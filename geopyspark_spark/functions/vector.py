@@ -47,6 +47,15 @@ def polygon_metrics(df: DataFrame, poly_col: str = "poly_id",
     Coordinates are snapped to the integer grid ``round(x * scale)``
     on entry — inputs are expected to already sit on that grid (the
     snap makes the exactness contract explicit rather than silent).
+
+    Exactness window: the BIGINT sums are exact while
+    ``|coordinate| * scale <= ~1.3e6`` (the centroid numerator's
+    (x+nx)*cross term is cubic in the grid magnitude; the area term
+    alone allows ~1.5e9). The default ``scale=1000`` therefore covers
+    geographic degrees (|180|*1000 = 1.8e5) with room to spare; for
+    projected-METER coordinates pass ``scale=1`` (exact to the meter
+    grid, |coord| <= 1.3e6 km) — at web-mercator magnitudes scale=1000
+    would overflow int64 silently on the non-ANSI Spark default.
     """
     pid, oc = F.col(poly_col), F.col(ord_col)
     xi = F.round(F.col(x_col) * scale).cast("long")

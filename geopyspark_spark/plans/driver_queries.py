@@ -4307,7 +4307,11 @@ def _cooccurrence_edges(spark, sf_dir, quantile: float = 0.995):
     )
 
 
-_SQL_COOCCURRENCE_PAIRS = """pairsw AS (
+def _sql_cooccurrence_pairs(quantile: float = 0.995) -> str:
+    """The co-occurrence pairs CTE, parameterized by the weight
+    quantile — shared by the graph oracles so no consumer has to
+    string-patch the threshold (a silent no-op hazard)."""
+    return f"""pairsw AS (
   SELECT x.l_suppkey AS a, y.l_suppkey AS b,
          COUNT(DISTINCT x.l_orderkey) AS w
   FROM lineitem x JOIN lineitem y
@@ -4316,8 +4320,11 @@ _SQL_COOCCURRENCE_PAIRS = """pairsw AS (
 ),
 pairs AS (
   SELECT a, b FROM pairsw
-  WHERE w >= (SELECT quantile_cont(w, 0.995) FROM pairsw)
+  WHERE w >= (SELECT quantile_cont(w, {quantile}) FROM pairsw)
 )"""
+
+
+_SQL_COOCCURRENCE_PAIRS = _sql_cooccurrence_pairs()
 
 
 def q_graph_triangles(spark, sf_dir):
@@ -4376,8 +4383,7 @@ def _sql_graph_kcore() -> str:
     con.sql(f"CREATE VIEW lineitem AS SELECT * "
             f"FROM '{sf_dir}/lineitem.parquet'")
     pairs = con.sql(
-        f"WITH {_SQL_COOCCURRENCE_PAIRS.replace('0.995', '0.95')} "
-        f"SELECT a, b FROM pairs"
+        f"WITH {_sql_cooccurrence_pairs(0.95)} SELECT a, b FROM pairs"
     ).fetchall()
     con.close()
     edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}

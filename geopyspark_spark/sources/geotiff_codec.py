@@ -201,8 +201,13 @@ def encode_geotiff(cells: np.ndarray, extent: Extent, crs: str,
     None (default) auto-selects BigTIFF when the raw page data alone
     approaches the 4 GiB classic ceiling."""
     if bigtiff is None:
-        raw_bytes = int(np.asarray(cells).size) *             max(np.asarray(cells).dtype.itemsize, 8)
-        bigtiff = raw_bytes > 2 ** 32 - 2 ** 16
+        arr = np.asarray(cells)
+        # size the estimate with the dtype the encoder will WRITE
+        # (unsupported dtypes upcast to float64) - a blanket 8 bytes
+        # would flip a 0.6 GB uint8 raster to BigTIFF 8x below the
+        # real classic-offset ceiling
+        item = arr.dtype.itemsize if arr.dtype in _DTYPES else 8
+        bigtiff = int(arr.size) * item > 2 ** 32 - 2 ** 16
     base = 16 if bigtiff else 8
     seg, ifd_offset = _build_segment(cells, extent, crs, nodata, compress,
                                      base, False, datetime_str, big=bigtiff)
@@ -621,6 +626,28 @@ class _SegmentReader:
             return f.read()
 
 
+def _parse_window_meta(rd: "_SegmentReader"):
+    head = rd.head()
+    try:
+        bo, big, off0 = _tiff_header(head)
+        tags, _ = _read_ifd(head, bo, off0, big)
+    except (ValueError, IndexError, struct.error):
+        # IFD beyond the head window (writer put it at EOF with big
+        # data first) — fall back to a whole read for the METADATA only
+        whole = rd.whole()
+        bo, big, off0 = _tiff_header(whole)
+        tags, _ = _read_ifd(whole, bo, off0, big)
+    return bo, big, tags
+
+
+from functools import lru_cache as _meta_lru
+
+
+@_meta_lru(maxsize=256)
+def _cached_window_meta(path: str, mtime: float, size: int):
+    return _parse_window_meta(_SegmentReader(path))
+
+
 def decode_geotiff_window(src, window, band: int) -> np.ndarray:
     """Decode ONE (c0, r0, w, h) window of ONE band, reading and
     decompressing only the strips/tiles that intersect it — the
@@ -634,16 +661,18 @@ def decode_geotiff_window(src, window, band: int) -> np.ndarray:
     bilevel masks in practice).
     """
     rd = _SegmentReader(src)
-    head = rd.head()
-    try:
-        bo, big, off0 = _tiff_header(head)
-        tags, _ = _read_ifd(head, bo, off0, big)
-    except (ValueError, IndexError, struct.error):
-        # IFD beyond the head window (writer put it at EOF with big data
-        # first) — fall back to a whole read for the METADATA only
-        whole = rd.whole()
-        bo, big, off0 = _tiff_header(whole)
-        tags, _ = _read_ifd(whole, bo, off0, big)
+    if rd._path is not None:
+        # per-(path, mtime, size) metadata cache: repeated window reads
+        # of the same file must not re-read and re-parse the header +
+        # IFD each call (a thousand-window scan would otherwise spend
+        # more IO on metadata than on the requested segments)
+        import os as _osm
+
+        st = _osm.stat(rd._path)
+        bo, big, tags = _cached_window_meta(rd._path, st.st_mtime,
+                                            st.st_size)
+    else:
+        bo, big, tags = _parse_window_meta(rd)
     cols = int(tags[_IMAGE_WIDTH][0])
     rows = int(tags[_IMAGE_LENGTH][0])
     bands = int(tags.get(_SAMPLES_PER_PIXEL, [1])[0])
@@ -846,6 +875,7 @@ def clear_decode_cache() -> None:
     length or (coarse) mtime."""
     _cached_decode_keyed.cache_clear()
     _ifd_summary.cache_clear()
+    _cached_window_meta.cache_clear()
 
 
 @_lru_cache(maxsize=256)

@@ -426,3 +426,19 @@ class TestMergeInto:
             merge_into(tgt, src, on="id", when_matched="replace")
         with _pt.raises(ValueError, match="delete_col"):
             merge_into(tgt, src, on="id", delete_col="nope")
+
+    def test_null_delete_flag_means_not_deleted(self, spark):
+        """r9 review finding: a NULL delete flag must behave as 'not
+        deleted' — the un-coalesced predicate made where() silently DROP
+        the matched row."""
+        from geopyspark_spark.functions.relational import merge_into
+
+        tgt = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)],
+            "id long, name string, val double")
+        src = spark.createDataFrame(
+            [(2, "b2", 22.0, None)],
+            "id long, name string, val double, is_del int")
+        out = merge_into(tgt, src, on="id", delete_col="is_del")
+        rows = {r["id"]: r["name"] for r in out.collect()}
+        assert rows == {1: "a", 2: "b2"}  # updated, NOT dropped
