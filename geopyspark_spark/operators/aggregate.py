@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .local import _is_nd, _nd_lit, key_cols
@@ -226,3 +226,68 @@ def temporal_moving_average(layer, k: int = 3):
         .applyInPandas(roll, schema=layer.df.schema)
     )
     return TiledRasterLayer(out_df.select(*cols), md)
+
+
+def temporal_interpolate(layer):
+    """Fill the MISSING instants of a SPACETIME layer by per-pixel
+    linear interpolation (beyond-reference; the temporal gap-fill step
+    satellite/time-series pipelines run before windowed training joins —
+    the raster analog of ``relational.gap_fill``).
+
+    The instant grid is the layer's own set of distinct instants. Every
+    (key, band) present at >= 1 instant emits a tile at EVERY grid
+    instant: present tiles pass through unchanged; an absent tile's
+    pixel is interpolated linearly in time between the nearest present
+    prior/next tiles (``v = prev + (next - prev) * (t - t_prev) /
+    (t_next - t_prev)`` over epoch seconds), copied from the single
+    neighbor before the first / after the last presence, and NoData if
+    EITHER endpoint is NoData (never invent data across a NoData edge).
+
+    Pure Catalyst: one broadcast of the (instants x keys) frame, one
+    left join, and two ignorenulls windows over ARRAY columns per (key,
+    band) — the interpolation itself is ``zip_with`` over the
+    neighboring tiles; no Python in the row path. Everything downstream
+    of exact inputs is a single float expression per cell, so any
+    engine reproduces it bit-for-bit.
+    """
+    from ..layer import TiledRasterLayer
+
+    assert layer.is_temporal, "temporal_interpolate requires SPACETIME"
+    md = layer.metadata
+    nd = md.nodata
+    df = layer.df
+    instants = df.select("instant").distinct()
+    keys = df.select("key_col", "key_row", "band").distinct()
+    grid = F.broadcast(keys).crossJoin(F.broadcast(instants))
+    j = grid.join(df, ["key_col", "key_row", "band", "instant"],
+                  "left_outer")
+    w = Window.partitionBy("key_col", "key_row", "band").orderBy("instant")
+    prev_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    next_w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ts = F.unix_timestamp("instant").cast("double")
+    present_ts = F.when(F.col("cells").isNotNull(), ts)
+    j = (
+        j.withColumn("_pc", F.last("cells", ignorenulls=True).over(prev_w))
+        .withColumn("_pt", F.last(present_ts, ignorenulls=True).over(prev_w))
+        .withColumn("_nc", F.first("cells", ignorenulls=True).over(next_w))
+        .withColumn("_nt", F.first(present_ts, ignorenulls=True).over(next_w))
+    )
+    alpha = (ts - F.col("_pt")) / (F.col("_nt") - F.col("_pt"))
+    ndl = F.lit(float(nd)) if nd is not None else None
+
+    def lerp(a, b):
+        v = a + (b - a) * alpha
+        if ndl is not None:
+            return F.when((a == ndl) | (b == ndl), ndl).otherwise(v)
+        return v
+
+    filled = (
+        F.when(F.col("cells").isNotNull(), F.col("cells"))
+        .when(F.col("_pc").isNull(), F.col("_nc"))
+        .when(F.col("_nc").isNull(), F.col("_pc"))
+        .otherwise(F.zip_with("_pc", "_nc", lerp))
+    )
+    out = j.select(
+        "key_col", "key_row", "instant", "band", filled.alias("cells")
+    ).where(F.col("cells").isNotNull())
+    return TiledRasterLayer(out, md)

@@ -615,6 +615,95 @@ def _spacetime_layer(spark, sf_dir) -> TiledRasterLayer:
     return TiledRasterLayer.assemble(cells, RASTER_MD)
 
 
+def q_raster_temporal_interpolate(spark, sf_dir):
+    """Temporal gap-fill of a SPACETIME layer (r9): every 3rd
+    (key, month) tile is dropped deterministically, then
+    ``temporal_interpolate`` rebuilds the full instant grid — present
+    tiles pass through, dropped ones are per-pixel linear interpolations
+    between the nearest present neighbors (nearest-copy at the edges,
+    NoData if either endpoint is NoData). Pure Catalyst windows over
+    array columns; the oracle replays the identical window/lerp math at
+    cell level."""
+    from ..layer import TiledRasterLayer
+    from ..operators.aggregate import temporal_interpolate
+
+    layer = _spacetime_layer(spark, sf_dir)
+    holes = layer.df.where(
+        (F.col("key_col") + F.col("key_row") + F.month("instant")) % 3 != 0
+    )
+    filled = temporal_interpolate(TiledRasterLayer(holes, layer.metadata))
+    return filled.df.select(
+        F.col("instant").cast("date").alias("month"),
+        "key_col", "key_row",
+        F.posexplode("cells").alias("pos", "value"),
+    )
+
+
+SQL_RASTER_TEMPORAL_INTERPOLATE = f"""
+WITH tcells AS (
+  SELECT * FROM (
+    SELECT CAST(l_orderkey % {LAYOUT_N} AS INT) AS key_col,
+           CAST(l_suppkey % {LAYOUT_N} AS INT) AS key_row,
+           date_trunc('month', l_shipdate) AS instant,
+           row_number() OVER (PARTITION BY l_orderkey % {LAYOUT_N}, l_suppkey % {LAYOUT_N},
+                                           date_trunc('month', l_shipdate)
+                              ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) - 1 AS pos,
+           CAST(l_quantity AS DOUBLE) AS value
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  ) WHERE pos < {TILE * TILE}
+),
+kept AS (
+  SELECT * FROM tcells
+  WHERE (key_col + key_row + EXTRACT(month FROM instant)) % 3 <> 0
+),
+keys AS (SELECT DISTINCT key_col, key_row FROM kept),
+months AS (SELECT DISTINCT instant FROM kept),
+present AS (SELECT DISTINCT key_col, key_row, instant FROM kept),
+grid AS (
+  SELECT k.key_col, k.key_row, m.instant, p.p AS pos
+  FROM keys k, months m, range({TILE * TILE}) p(p)
+),
+v AS (
+  SELECT g.key_col, g.key_row, g.instant, g.pos,
+         CASE WHEN pr.instant IS NOT NULL
+              THEN COALESCE(t.value, -1.0) END AS val
+  FROM grid g
+  LEFT JOIN present pr
+    ON pr.key_col = g.key_col AND pr.key_row = g.key_row
+   AND pr.instant = g.instant
+  LEFT JOIN kept t
+    ON t.key_col = g.key_col AND t.key_row = g.key_row
+   AND t.instant = g.instant AND t.pos = g.pos
+),
+nb AS (
+  SELECT key_col, key_row, instant, pos, val,
+         last_value(val IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN val IS NOT NULL
+                         THEN epoch(instant)::DOUBLE END IGNORE NULLS)
+           OVER wp AS pt,
+         first_value(val IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN val IS NOT NULL
+                          THEN epoch(instant)::DOUBLE END IGNORE NULLS)
+           OVER wn AS nt
+  FROM v
+  WINDOW wp AS (PARTITION BY key_col, key_row, pos ORDER BY instant
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY key_col, key_row, pos ORDER BY instant
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT CAST(instant AS DATE) AS month, key_col, key_row,
+       CAST(pos AS INT) AS pos,
+       CASE WHEN val IS NOT NULL THEN val
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            WHEN pv = -1.0 OR nv = -1.0 THEN -1.0
+            ELSE pv + (nv - pv) * ((epoch(instant)::DOUBLE - pt) / (nt - pt))
+       END AS value
+FROM nb
+"""
+
+
 def q_raster_to_spatial(spark, sf_dir):
     """to_spatial_layer(target_time): slice one instant out of a SPACETIME
     layer and drop the time dimension."""
@@ -8222,6 +8311,7 @@ def _canonical_queries():
         "raster_quantile_breaks": q_raster_quantile_breaks,
         "raster_aggregate_by_cell": q_raster_aggregate_by_cell,
         "raster_spacetime_series": q_raster_spacetime_series,
+        "raster_temporal_interpolate": q_raster_temporal_interpolate,
         "raster_rasterize": q_raster_rasterize,
         "raster_cell_value_counts": q_raster_cell_value_counts,
         "raster_to_spatial": q_raster_to_spatial,
@@ -8281,6 +8371,7 @@ _WINDOW_ORDER: list = [
     "text_bpe_train",
     "text_epoch_shards",
     "text_token_budget_mix",
+    "raster_temporal_interpolate",
     "raster_spacetime_series",
     "raster_rasterize",
     "events_asof_join",
@@ -8607,6 +8698,7 @@ def oracle_sql():
         "text_quality_ratios": _sql_quality_ratios(),
         "text_classifier": _sql_text_classifier(),
         "emb_pca": _sql_emb_pca(),
+        "raster_temporal_interpolate": SQL_RASTER_TEMPORAL_INTERPOLATE,
         "text_bpe_train": _sql_text_bpe_train(),
         "text_epoch_shards": SQL_TEXT_EPOCH_SHARDS,
         "text_token_budget_mix": SQL_TEXT_TOKEN_BUDGET_MIX,

@@ -311,3 +311,69 @@ def test_quantile_breaks_exact_int_name(f1_layer):
     exact = f1_layer.get_quantile_breaks_exact_int(4)
     assert len(exact) == 4
     assert exact[-1] == 1.0  # max of the ones layer
+
+
+class TestTemporalInterpolate:
+    """Per-pixel temporal gap-fill (operators/aggregate.py::
+    temporal_interpolate)."""
+
+    def _layer(self, spark, rows):
+        import geopyspark_spark as gps
+        from geopyspark_spark.layer import TiledRasterLayer
+
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64ud-1.0",
+            layout=gps.LayoutDefinition(
+                gps.Extent(0, 0, 2, 2), gps.TileLayout(1, 1, 2, 2)),
+            bounds=((0, 0), (0, 0)), extent=gps.Extent(0, 0, 2, 2),
+            num_bands=1,
+        )
+        df = spark.createDataFrame(
+            rows,
+            "key_col int, key_row int, instant timestamp, band int, "
+            "cells array<double>")
+        return TiledRasterLayer(df, md)
+
+    def test_linear_fill_and_edges(self, spark):
+        import datetime as dt
+
+        from geopyspark_spark.operators.aggregate import (
+            temporal_interpolate,
+        )
+
+        t = [dt.datetime(2020, 1, d) for d in (1, 2, 3, 4)]
+        # present at t0 and t3 (values 0 and 30 per pixel); t1, t2 absent
+        # BUT in the instant grid because another key holds them
+        rows = [
+            (0, 0, t[0], 0, [0.0, 0.0, -1.0, 8.0]),
+            (0, 0, t[3], 0, [30.0, 3.0, 6.0, -1.0]),
+            (1, 0, t[1], 0, [5.0] * 4),
+            (1, 0, t[2], 0, [6.0] * 4),
+        ]
+        out = temporal_interpolate(self._layer(spark, rows))
+        got = {(r["key_col"], r["instant"].day): r["cells"]
+               for r in out.df.collect()}
+        # key (0,0): t1 is 1/3 of the way, t2 is 2/3
+        assert got[(0, 2)][0] == 10.0 and got[(0, 3)][0] == 20.0
+        assert got[(0, 2)][1] == 1.0 and got[(0, 3)][1] == 2.0
+        # NoData at either endpoint stays NoData
+        assert got[(0, 2)][2] == -1.0 and got[(0, 2)][3] == -1.0
+        # key (1,0): edge instants copy the nearest neighbor
+        assert got[(1, 1)] == [5.0] * 4 and got[(1, 4)] == [6.0] * 4
+        # all 4 instants x 2 keys present in the output
+        assert len(got) == 8
+
+    def test_present_tiles_pass_through(self, spark):
+        import datetime as dt
+
+        from geopyspark_spark.operators.aggregate import (
+            temporal_interpolate,
+        )
+
+        t = [dt.datetime(2021, 5, d) for d in (1, 2)]
+        rows = [(0, 0, t[0], 0, [1.0, 2.0, 3.0, 4.0]),
+                (0, 0, t[1], 0, [5.0, 6.0, 7.0, 8.0])]
+        out = temporal_interpolate(self._layer(spark, rows))
+        got = sorted((r["instant"], r["cells"]) for r in out.df.collect())
+        assert got[0][1] == [1.0, 2.0, 3.0, 4.0]
+        assert got[1][1] == [5.0, 6.0, 7.0, 8.0]
