@@ -5564,6 +5564,68 @@ FROM (VALUES {values}) t(col0, col1, col2, col3)
 """
 
 
+def q_rel_spearman(spark, sf_dir):
+    """Exact ties-correct Spearman rank correlation (r9): account
+    balance vs order count per customer — doubled average ranks are
+    exact integers, so the sufficient statistics are exact BIGINTs and
+    only the one-row textbook formula runs in float
+    (``functions/relational.py::spearman``)."""
+    from ..functions import relational as frel
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    cnt = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    )
+    xy = cust.join(
+        cnt, cust["c_custkey"] == cnt["o_custkey"], "left_outer"
+    ).select(
+        "c_acctbal", F.coalesce("n_orders", F.lit(0)).alias("n_orders")
+    )
+    return frel.spearman(xy, "c_acctbal", "n_orders")
+
+
+SQL_REL_SPEARMAN = """
+WITH xy AS (
+  SELECT c.c_acctbal AS x, COALESCE(o.n_orders, 0) AS y
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+             FROM orders GROUP BY o_custkey) o
+    ON c.c_custkey = o.o_custkey
+),
+r AS (
+  SELECT CAST(rank() OVER (ORDER BY x ASC)
+              + (COUNT(*) OVER () + 1 - rank() OVER (ORDER BY x DESC))
+         AS BIGINT) AS rx2,
+         CAST(rank() OVER (ORDER BY y ASC)
+              + (COUNT(*) OVER () + 1 - rank() OVER (ORDER BY y DESC))
+         AS BIGINT) AS ry2
+  FROM xy
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx2) AS BIGINT) AS sx, CAST(SUM(ry2) AS BIGINT) AS sy,
+         CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+         CAST(SUM(ry2 * ry2) AS BIGINT) AS syy,
+         CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy
+  FROM r
+)
+SELECT n,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS rho
+FROM agg
+"""
+
+
 def q_rel_merge_upsert(spark, sf_dir):
     """Delta-style MERGE INTO as one full-outer shuffle join
     (``functions/relational.py::merge_into``): updates (every 3rd
@@ -8194,6 +8256,7 @@ def _canonical_queries():
         "text_gopher_filter": q_text_gopher_filter,
         "rel_salted_join": q_rel_salted_join,
         "rel_merge_upsert": q_rel_merge_upsert,
+        "rel_spearman": q_rel_spearman,
         "vector_polygon_metrics": q_vector_polygon_metrics,
         "tpch_q2_min_cost": q_tpch_q2_min_cost,
         "graph_kcore": q_graph_kcore,
@@ -8357,6 +8420,7 @@ def _canonical_queries():
 # BEGIN WINDOW_ORDER (generated)
 _WINDOW_ORDER: list = [
     "rel_merge_upsert",
+    "rel_spearman",
     "vector_polygon_metrics",
     "tpch_q2_min_cost",
     "graph_kcore",
@@ -8703,6 +8767,7 @@ def oracle_sql():
         "text_epoch_shards": SQL_TEXT_EPOCH_SHARDS,
         "text_token_budget_mix": SQL_TEXT_TOKEN_BUDGET_MIX,
         "rel_merge_upsert": SQL_REL_MERGE_UPSERT,
+        "rel_spearman": SQL_REL_SPEARMAN,
         "vector_polygon_metrics": SQL_VECTOR_POLYGON_METRICS,
         "tpch_q2_min_cost": SQL_TPCH_Q2_MIN_COST,
         "graph_kcore": _sql_graph_kcore(),

@@ -442,3 +442,63 @@ class TestMergeInto:
         out = merge_into(tgt, src, on="id", delete_col="is_del")
         rows = {r["id"]: r["name"] for r in out.collect()}
         assert rows == {1: "a", 2: "b2"}  # updated, NOT dropped
+
+
+class TestSpearman:
+    """Ties-correct exact Spearman (functions/relational.py::spearman)."""
+
+    def test_matches_pearson_on_average_ranks(self, spark):
+        import random
+
+        import numpy as np
+
+        from geopyspark_spark.functions.relational import spearman
+
+        rng = random.Random(5)
+        rows = [(i, rng.randint(0, 30), rng.randint(0, 30))
+                for i in range(400)]
+        df = spark.createDataFrame(rows, "id long, x int, y int")
+        rho = spearman(df, "x", "y").collect()[0]["rho"]
+
+        def rankavg(v):
+            v = np.asarray(v, float)
+            order = np.argsort(v, kind="stable")
+            ranks = np.empty(len(v))
+            ranks[order] = np.arange(1, len(v) + 1)
+            out = np.empty(len(v))
+            for val in np.unique(v):
+                m = v == val
+                out[m] = ranks[m].mean()
+            return out
+
+        rx = rankavg([r[1] for r in rows])
+        ry = rankavg([r[2] for r in rows])
+        assert rho == pytest.approx(np.corrcoef(rx, ry)[0, 1], abs=1e-12)
+
+    def test_monotone_extremes_and_constant(self, spark):
+        from geopyspark_spark.functions.relational import spearman
+
+        up = spark.createDataFrame(
+            [(i, i, i * i) for i in range(50)], "id long, x int, y long")
+        assert spearman(up, "x", "y").collect()[0]["rho"] == \
+            pytest.approx(1.0, abs=1e-12)
+        dn = spark.createDataFrame(
+            [(i, i, -i) for i in range(50)], "id long, x int, y long")
+        assert spearman(dn, "x", "y").collect()[0]["rho"] == \
+            pytest.approx(-1.0, abs=1e-12)
+        const = spark.createDataFrame(
+            [(i, i, 7) for i in range(50)], "id long, x int, y int")
+        assert spearman(const, "x", "y").collect()[0]["rho"] is None
+
+    def test_partition_invariance(self, spark):
+        import random
+
+        from geopyspark_spark.functions.relational import spearman
+
+        rng = random.Random(6)
+        rows = [(i, rng.randint(0, 9), rng.randint(0, 9))
+                for i in range(300)]
+        df = spark.createDataFrame(rows, "id long, x int, y int")
+        a = spearman(df.repartition(1), "x", "y").collect()[0]
+        b = spearman(df.repartition(13, "id"), "x", "y").collect()[0]
+        assert (a["n"], a["rho"]) == (b["n"], b["rho"])
