@@ -1017,6 +1017,43 @@ def pca_fit(df: DataFrame, k: int = 4, vec_col: str = "embedding",
     return pca_fit_from_stats(n, m, S, k)
 
 
+def pca_explained_variance(df: DataFrame, k: int = 4,
+                           vec_col: str = "embedding",
+                           dim: int | None = None) -> DataFrame:
+    """Per-component explained variance of the fitted PCA, as integer
+    fixed-point artifacts (eigenvalue floored in quantized-unit
+    variance, share floored in ppm of the covariance trace) — a pure
+    function of the exact integer sufficient statistics, so any engine
+    recomputing from the same corpus reproduces it exactly."""
+    import numpy as np
+
+    if dim is None:
+        dim = int(df.select(F.size(F.col(vec_col))).first()[0])
+    n, m, S = _pca_int_sums(df, vec_col, dim)
+    vals = pca_eigenvalues_from_stats(n, m, S, k)
+    trace_vals = pca_eigenvalues_from_stats(n, m, S, dim)
+    trace = float(sum(trace_vals))
+    spark = df.sparkSession
+    rows = [(i, int(np.floor(v)), int(np.floor(v / trace * 1_000_000)))
+            for i, v in enumerate(vals)]
+    return spark.createDataFrame(
+        rows, "component int, eigval_fp long, share_ppm long")
+
+
+def pca_eigenvalues_from_stats(n: int, m, S, k: int) -> list:
+    """Top-k covariance eigenvalues (descending) from the exact integer
+    statistics — the shared value-side companion of
+    :func:`pca_fit_from_stats`."""
+    import numpy as np
+
+    m = np.asarray(m, dtype=np.int64)
+    S = np.asarray(S, dtype=np.int64)
+    mu = m.astype(np.float64) / n
+    cov = (S.astype(np.float64) - np.outer(mu, mu) * n) / (n - 1)
+    vals = np.linalg.eigh(cov)[0]
+    return [float(v) for v in np.sort(vals)[::-1][:k]]
+
+
 def pca_fit_from_stats(n: int, m, S, k: int):
     """Eigensolve + quantization from the exact integer sufficient
     statistics — shared by the distributed :func:`pca_fit` and the

@@ -5424,6 +5424,45 @@ FROM c
 """
 
 
+def q_emb_pca_variance(spark, sf_dir):
+    """Explained-variance spectrum of the corpus PCA (r9): integer
+    fixed-point eigenvalues + trace shares, a pure function of the
+    exact distributed statistics — the oracle recomputes from its own
+    numpy statistics and must land on identical integers."""
+    from ..functions import similarity as fsim
+
+    return fsim.pca_explained_variance(
+        _t(spark, sf_dir, "embeddings"), k=PCA_K)
+
+
+def _sql_emb_pca_variance() -> str:
+    import duckdb
+    import numpy as np
+
+    from ..functions import similarity as fsim
+
+    sf_dir = _oracle_sf_dir()
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    con.close()
+    E = np.rint(np.array([r[0] for r in rows]) * fsim.PCA_SCALE).astype(
+        np.int64)
+    n, msum, S = len(rows), E.sum(axis=0), E.T @ E
+    dim = E.shape[1]
+    vals = fsim.pca_eigenvalues_from_stats(n, msum, S, PCA_K)
+    trace = float(sum(fsim.pca_eigenvalues_from_stats(n, msum, S, dim)))
+    values = ", ".join(
+        f"({i}, {int(np.floor(v))}, {int(np.floor(v / trace * 1_000_000))})"
+        for i, v in enumerate(vals))
+    return f"""
+SELECT CAST(col0 AS INT) AS component, CAST(col1 AS BIGINT) AS eigval_fp,
+       CAST(col2 AS BIGINT) AS share_ppm
+FROM (VALUES {values}) t(col0, col1, col2)
+"""
+
+
 def q_text_classifier(spark, sf_dir):
     """Distributed linear quality/language classifier (beyond-reference
     LLM-pipeline surface): full-batch logistic-surrogate GD where every
@@ -8353,6 +8392,7 @@ def _canonical_queries():
         "text_quality_ratios": q_text_quality_ratios,
         "text_classifier": q_text_classifier,
         "emb_pca": q_emb_pca,
+        "emb_pca_variance": q_emb_pca_variance,
         "text_bpe_train": q_text_bpe_train,
         "text_epoch_shards": q_text_epoch_shards,
         "text_token_budget_mix": q_text_token_budget_mix,
@@ -8432,6 +8472,7 @@ _WINDOW_ORDER: list = [
     "multimodal_patches",
     "text_classifier",
     "emb_pca",
+    "emb_pca_variance",
     "text_bpe_train",
     "text_epoch_shards",
     "text_token_budget_mix",
@@ -8762,6 +8803,7 @@ def oracle_sql():
         "text_quality_ratios": _sql_quality_ratios(),
         "text_classifier": _sql_text_classifier(),
         "emb_pca": _sql_emb_pca(),
+        "emb_pca_variance": _sql_emb_pca_variance(),
         "raster_temporal_interpolate": SQL_RASTER_TEMPORAL_INTERPOLATE,
         "text_bpe_train": _sql_text_bpe_train(),
         "text_epoch_shards": SQL_TEXT_EPOCH_SHARDS,
