@@ -258,6 +258,133 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     return ranks
 
 
+def label_propagation(edges: DataFrame, rounds: int = 4,
+                      src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over an undirected edge list, run for a FIXED number of
+    rounds with a deterministic tie-break.
+
+    Every node starts labeled with its own id. Each round, every node
+    simultaneously adopts the label that is most frequent among its
+    neighbors; ties break to the SMALLEST label. Both the frequency
+    count and the tie-break are exact integer comparisons, so the
+    result is independent of partitioning, task order, and engine —
+    the same oracle-able determinism contract as :func:`pagerank`
+    (classic async LPA with random tie-breaks is irreproducible by
+    design; this is the synchronous deterministic variant used when
+    results must be stable).
+
+    Spark shape per round: one equi-join labels⨝edges on the neighbor
+    key + one (node, label) count aggregate + one max_by per node —
+    the aggregateMessages pattern, O(m) shuffled rows per round, no
+    driver-side graph. The canonical-edge subtree appears once per
+    round but is deduplicated by ReuseExchange (see the determinism
+    note on :func:`pagerank` about non-deterministic sources).
+
+    Rounds are fixed, not run-to-convergence: synchronous LPA can
+    oscillate on bipartite structures, so a convergence loop may never
+    terminate; a fixed-round cut is the standard remedy and keeps the
+    job graph static.
+
+    Returns (node, label) for every node in the edge list.
+    """
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    u, v = F.col(src_col), F.col(dst_col)
+    canon = (
+        edges.select(F.least(u, v).alias("lo"), F.greatest(u, v).alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    adj = canon.select(
+        F.col("lo").alias("nbr"), F.col("hi").alias("node")
+    ).unionByName(
+        canon.select(F.col("hi").alias("nbr"), F.col("lo").alias("node"))
+    )
+    labels = (
+        adj.select("node").distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(rounds):
+        labels = (
+            adj.join(labels.select(F.col("node").alias("nbr"), "label"), "nbr")
+            .select(F.col("node").alias("n"), "label")
+            .groupBy("n", "label")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("n")
+            # max over (cnt, -label): most frequent, then smallest label
+            .agg(F.expr("max_by(label, struct(cnt, -label))").alias("label"))
+            .select(F.col("n").alias("node"), "label")
+        )
+    return labels
+
+
+def bounded_sssp(edges: DataFrame, sources: DataFrame, rounds: int = 6,
+                 src_col: str = "src", dst_col: str = "dst",
+                 weight_col: str = "w") -> DataFrame:
+    """Bounded-hop single/multi-source shortest paths by synchronous
+    Bellman-Ford relaxation over an undirected weighted edge list:
+    after ``rounds`` rounds the result is EXACTLY the cheapest path
+    using at most ``rounds`` edges — a well-defined quantity whether or
+    not the graph has converged, which is what makes a fixed round
+    count scale-safe (run-to-convergence needs diameter many rounds
+    and a per-round driver action; a bounded-hop contract needs
+    neither). With ``rounds >= diameter`` this IS the shortest path.
+
+    Integer weights only (raises otherwise): min and + over integers
+    are exact and commutative, so results are partition- and
+    engine-independent — the oracle contract shared by
+    :func:`pagerank` / :func:`label_propagation`.
+
+    Spark shape per round (the Pregel pattern): one equi-join
+    frontier⨝edges on the source key + one min aggregate on the
+    destination key — O(m) shuffled rows per round, a static lazy plan,
+    edge subtrees deduplicated by ReuseExchange (same determinism
+    caveat for non-deterministic sources as :func:`pagerank`).
+
+    ``sources`` is a one-column (node) DataFrame; distance 0 there.
+    Returns (node, dist) for every node REACHED within ``rounds`` hops
+    (unreached nodes are absent, the natural sparse representation).
+    """
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    wt = dict(edges.dtypes).get(weight_col)
+    if wt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"weight column {weight_col!r} must be integer-typed for the "
+            f"exactness contract, got {wt!r}")
+    u, v, w = F.col(src_col), F.col(dst_col), F.col(weight_col)
+    canon = (
+        edges.select(F.least(u, v).alias("lo"), F.greatest(u, v).alias("hi"),
+                     w.cast("long").alias("w"))
+        .where(F.col("lo") != F.col("hi"))
+        .groupBy("lo", "hi")
+        .agg(F.min("w").alias("w"))  # parallel edges keep the cheapest
+    )
+    adj = canon.select(
+        F.col("lo").alias("from"), F.col("hi").alias("to"), "w"
+    ).unionByName(
+        canon.select(F.col("hi").alias("from"), F.col("lo").alias("to"), "w")
+    )
+    dist = sources.select(
+        F.col(sources.columns[0]).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).distinct()
+    for _ in range(rounds):
+        relaxed = (
+            adj.join(dist.select(F.col("node").alias("from"),
+                                 F.col("dist").alias("d")), "from")
+            .select(F.col("to").alias("node"),
+                    (F.col("d") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
 def k_core(edges: DataFrame, k: int, src_col: str = "src",
            dst_col: str = "dst", max_rounds: int = 100) -> DataFrame:
     """The k-core of an undirected graph: the maximal subgraph in which

@@ -705,6 +705,94 @@ def _near_dup_matmul(df: DataFrame, threshold: float, id_col: str,
     )
 
 
+#: per-cluster ceiling for semantic_dedup's O(n_c^2) within-cluster
+#: comparison — the remedy for a breach is more clusters, not a bigger
+#: buffer, so the guard raises with that instruction
+MAX_SEMANTIC_CLUSTER = 100_000
+
+
+def semantic_dedup(df: DataFrame, num_clusters: int = 16,
+                   threshold: float = 0.45, id_col: str = "vec_id",
+                   vec_col: str = "embedding", train_limit: int = 4096,
+                   iters: int = 5) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the deterministic
+    k-means coarse quantizer, then drop every vector that has a
+    LOWER-id member of the same cluster with cosine similarity >=
+    ``threshold``. Clustering first is the whole point — comparisons
+    happen only within a cluster, so total work is O(sum n_c^2) ~
+    O(n^2/k) instead of the all-pairs O(n^2), and each cluster's
+    comparison runs where its rows already are.
+
+    Scale shape: centroid training touches only ``train_limit``
+    driver-side rows (:func:`ivf_index`); assignment is a broadcast +
+    per-partition BLAS matmul (no shuffle); the ONLY shuffle is the
+    groupBy on ``cluster_id``. Within a cluster the similarity matrix
+    is computed in 1024-column blocks (memory O(n_c * 1024), never
+    O(n_c^2)), and a cluster larger than ``MAX_SEMANTIC_CLUSTER``
+    raises with the remedy (raise ``num_clusters``; at 100 TB you
+    would also range-partition giant clusters).
+
+    Determinism contract (the oracle-able variant): the drop rule is
+    "ANY lower-id same-cluster member is >= threshold-similar" —
+    independent of visit order, unlike the greedy keep-first variant
+    whose result depends on which duplicates were already dropped.
+    Similarities are compared after rounding to 6 dp, computed as
+    dot(a, b) / (|a| * |b|) in exactly that association order so a SQL
+    engine reproduces the same doubles to the rounding boundary (the
+    ivf_index assignment contract).
+
+    Returns (id, cluster_id, keep, dup_of): ``keep`` = 1/0, ``dup_of``
+    = smallest qualifying earlier id (NULL for kept rows).
+    """
+    import numpy as np
+    import pandas as pd
+
+    assigned, _cent = ivf_index(df, num_clusters, train_limit, iters,
+                                id_col, vec_col)
+
+    def dedup_cluster(key, pdf):
+        n = len(pdf)
+        if n > MAX_SEMANTIC_CLUSTER:
+            raise ValueError(
+                f"cluster {key[0]} has {n} vectors, beyond the "
+                f"MAX_SEMANTIC_CLUSTER={MAX_SEMANTIC_CLUSTER} guard; "
+                f"increase num_clusters")
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.array([np.asarray(v, dtype=np.float64)
+                      for v in pdf[vec_col].iloc[order]])
+        nrm = np.linalg.norm(V, axis=1)
+        nrm[nrm == 0] = 1.0
+        keep = np.ones(n, dtype=np.int32)
+        dup_of = np.full(n, 0, dtype=np.int64)
+        for s in range(1, n, 1024):
+            e = min(s + 1024, n)
+            # raw dot then divide — the same association order as the
+            # SQL dot/(|a|*|b|), so both engines round the same doubles
+            block = np.round(
+                (V @ V[s:e].T) / np.outer(nrm, nrm[s:e]), 6)
+            for c in range(e - s):
+                i = s + c
+                hits = np.nonzero(block[:i, c] >= threshold)[0]
+                if len(hits):
+                    keep[i] = 0
+                    dup_of[i] = ids[hits[0]]
+        out = pd.DataFrame({
+            "id": ids, "cluster_id": int(key[0]), "keep": keep,
+            "dup_of": pd.array(
+                [int(d) if not k else None
+                 for d, k in zip(dup_of, keep)], dtype="Int64"),
+        })
+        return out.rename(columns={"id": id_col})
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        dedup_cluster,
+        schema=f"{id_col} long, cluster_id int, keep int, dup_of long",
+    )
+
+
 def ivf_write(df: DataFrame, path: str, num_clusters: int = 16,
               train_limit: int = 4096, id_col: str = "vec_id",
               vec_col: str = "embedding") -> None:

@@ -390,6 +390,118 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dsir_weights(df: DataFrame, target_col: str = "is_target",
+                 buckets: int = 4096, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 select_ppm: int = 250_000) -> DataFrame:
+    """DSIR-style data selection via hashed-n-gram importance weights
+    (Xie et al. 2023, arXiv:2302.03169): score every RAW document by
+    how target-domain-like its hashed bigram distribution is, then
+    deterministically select the top ``select_ppm`` fraction.
+
+    The caller marks target-domain rows with boolean ``target_col``;
+    raw rows (the selection pool) are the rest. Bigram occurrences are
+    hashed into ``buckets`` buckets (top-60-bits-of-md5, the
+    engine-portable hash of dedup.hashed_token_id), giving two
+    occurrence-count tables c_t[b] / c_r[b] with add-1 smoothing.
+
+    Integer contract (the bm25/lm_score doctrine — no floats, no libm):
+    each occurrence of bucket b contributes the likelihood RATIO in ppm::
+
+        r_ppm(b)  = (1e6 * (c_t[b] + 1)) DIV (c_r[b] + 1)
+        norm_ppm  = (1e6 * (R + buckets)) DIV (T + buckets)   # smoothing mass
+        weight_ppm(doc) = ((sum r_ppm) DIV n_grams) * norm_ppm DIV 1e6
+
+    Two documented departures from the paper's log-importance, both
+    deliberate: the per-bucket RATIO replaces its log (monotone
+    per-bucket; hashed-bigram ratios concentrate near 1 where
+    ln x ~ x - 1), and the per-doc aggregate is the ratio MEAN rather
+    than the log-sum — an engine-exact surrogate ranking, not the
+    literal sampling weight. Truncating integer division makes every
+    engine reproduce it bit-for-bit. BIGINT-exact while
+    n_grams * 1e6 * (T + buckets) < 2^63 per document.
+
+    Selection is deterministic (no Gumbel noise): raw docs ranked by
+    (weight_ppm DESC, doc_id), top floor(n_raw * select_ppm / 1e6)
+    selected. The rank is one global window over the per-DOC weight
+    table — O(corpus documents), far smaller than the occurrence table;
+    at extreme scale replace it with a broadcast percentile threshold
+    (the q22 pattern) at the cost of tie determinism.
+
+    Spark shape: one narrow bigram explode (no shuffle), one
+    (bucket, is_target) hash aggregate, occurrences joined back to the
+    AGGREGATED bucket table (buckets rows — always broadcast), one
+    per-doc aggregate, one scalar cross-join for the normalizer.
+
+    Returns (doc_id, is_target, n_grams, weight_ppm, selected).
+    """
+    d = df.select(id_col, F.col(target_col).cast("boolean").alias("_t"),
+                  tokens_col(text_col).alias("toks"))
+    occ = d.select(
+        id_col, "_t",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 2 THEN array() "
+                "ELSE transform(sequence(1, size(toks) - 1), "
+                "i -> concat_ws(' ', element_at(toks, i), "
+                "element_at(toks, i + 1))) END"
+            )
+        ).alias("bg"),
+    ).select(
+        id_col, "_t",
+        (F.conv(F.substring(F.md5(F.col("bg")), 1, 15), 16, 10)
+         .cast("long") % buckets).alias("bucket"),
+    )
+    counts = occ.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(F.col("_t"), 0).otherwise(1)).alias("c_r"),
+    )
+    totals = counts.agg(
+        F.sum("c_t").alias("T"), F.sum("c_r").alias("R"))
+    scored = (
+        occ.join(F.broadcast(counts), "bucket")
+        .groupBy(id_col, "_t")
+        .agg(
+            F.sum(F.expr("(1000000 * (c_t + 1)) DIV (c_r + 1)")).alias("rsum"),
+            F.count("*").alias("n_grams"),
+        )
+    )
+    weighted = (
+        df.select(id_col, F.col(target_col).cast("boolean").alias("_t0"))
+        .join(scored.drop("_t"), id_col, "left_outer")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.col("_t0").alias("is_target"),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.expr(
+                f"CASE WHEN coalesce(n_grams, 0) = 0 THEN 0 ELSE "
+                f"((rsum DIV n_grams) * ((1000000 * (R + {buckets})) "
+                f"DIV (T + {buckets}))) DIV 1000000 END"
+            ).alias("weight_ppm"),
+        )
+    )
+    n_raw = F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).over(
+        Window.partitionBy())
+    rk = F.row_number().over(
+        Window.orderBy(
+            F.col("is_target").cast("int"),        # raw docs first
+            F.col("weight_ppm").desc(), F.col(id_col)))
+    return (
+        weighted
+        .withColumn("_rk", rk)
+        .withColumn("_lim", F.lit(int(select_ppm)).cast("long") * n_raw)
+        .select(
+            id_col, "is_target", "n_grams", "weight_ppm",
+            F.when(
+                ~F.col("is_target")
+                & (F.col("_rk") <= F.expr("_lim DIV 1000000")),
+                1,
+            ).otherwise(0).alias("selected"),
+        )
+    )
+
+
 def bm25_score(df: DataFrame, query_terms: list, k1_x10: int = 12,
                b_x100: int = 75, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:

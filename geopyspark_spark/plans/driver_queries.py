@@ -3572,6 +3572,66 @@ def q_text_lm_score(spark, sf_dir):
     return ftext.bigram_lm_score(_t(spark, sf_dir, "documents"))
 
 
+def q_text_dsir_select(spark, sf_dir):
+    """DSIR data selection (hashed-bigram importance resampling, Xie et
+    al. 2023): English documents are the target domain, the rest the
+    raw pool; every raw doc gets an integer-ppm likelihood-ratio weight
+    over 4096 md5-hashed bigram buckets and the top quarter is
+    deterministically selected — functions/text.py::dsir_weights. The
+    oracle re-derives bucket counts, weights, rank and selection in
+    pure SQL with the identical integer arithmetic."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "is_target", F.col("lang") == "en")
+    return ftext.dsir_weights(docs, target_col="is_target",
+                              buckets=4096, select_ppm=250_000)
+
+
+SQL_TEXT_DSIR_SELECT = r"""
+WITH t AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), occ AS (
+  SELECT doc_id, is_t,
+         (('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]), 1, 15))::BIGINT)
+           % 4096 AS bucket
+  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+), counts AS (
+  SELECT bucket,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t,
+         SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS c_r
+  FROM occ GROUP BY bucket
+), tot AS (
+  SELECT SUM(c_t) AS tt, SUM(c_r) AS rr FROM counts
+), scored AS (
+  SELECT doc_id,
+         SUM((1000000 * (c_t + 1)) // (c_r + 1)) AS rsum,
+         COUNT(*) AS n_grams
+  FROM occ JOIN counts USING (bucket) GROUP BY doc_id
+), weighted AS (
+  SELECT d.doc_id, d.lang = 'en' AS is_target,
+         COALESCE(n_grams, 0) AS n_grams,
+         CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0
+              ELSE ((rsum // n_grams)
+                    * ((1000000 * (rr + 4096)) // (tt + 4096))) // 1000000
+         END AS weight_ppm
+  FROM documents d LEFT JOIN scored USING (doc_id) CROSS JOIN tot
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY CAST(is_target AS INT),
+                            weight_ppm DESC, doc_id) AS rk,
+         SUM(CASE WHEN NOT is_target THEN 1 ELSE 0 END) OVER () AS n_raw
+  FROM weighted
+)
+SELECT doc_id, is_target, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(weight_ppm AS BIGINT) AS weight_ppm,
+       CAST(CASE WHEN NOT is_target
+                  AND rk <= (250000 * n_raw) // 1000000
+                 THEN 1 ELSE 0 END AS INT) AS selected
+FROM ranked
+"""
+
+
 BM25_TERMS = ["hash", "join", "stream", "vector"]
 
 
@@ -4358,7 +4418,8 @@ FROM est JOIN exact ON est.user_id = exact.user_id
 """
 
 
-def _cooccurrence_edges(spark, sf_dir, quantile: float = 0.995):
+def _cooccurrence_edges(spark, sf_dir, quantile: float = 0.995,
+                        with_weight: bool = False):
     """Supplier co-occurrence edges above a DATA-DERIVED weight
     threshold (the ``quantile`` of the pair-weight distribution) — a
     fixed count would go empty or complete as the scale factor moves
@@ -4389,11 +4450,11 @@ def _cooccurrence_edges(spark, sf_dir, quantile: float = 0.995):
     thr = weighted.agg(
         F.expr(f"percentile(w, {quantile})").alias("thr")
     )
-    return (
-        weighted.crossJoin(F.broadcast(thr))
-        .where(F.col("w") >= F.col("thr"))
-        .select("src", "dst")
-    )
+    kept = weighted.crossJoin(F.broadcast(thr)).where(
+        F.col("w") >= F.col("thr"))
+    if with_weight:
+        return kept.select("src", "dst", "w")
+    return kept.select("src", "dst")
 
 
 def _sql_cooccurrence_pairs(quantile: float = 0.995) -> str:
@@ -4495,6 +4556,117 @@ def _sql_graph_kcore() -> str:
     return f"""
 SELECT CAST(col0 AS BIGINT) AS node, CAST(col1 AS BIGINT) AS deg
 FROM (VALUES {values}) t(col0, col1)
+"""
+
+
+LABEL_PROP_ROUNDS = 3
+
+
+def q_graph_label_prop(spark, sf_dir):
+    """Synchronous deterministic label-propagation communities over the
+    supplier co-occurrence graph (95th-percentile threshold, the kcore
+    graph), 3 fixed rounds, ties to the smallest label —
+    ``functions/graph.py::label_propagation``. The oracle unrolls the
+    identical rounds as chained SQL CTEs (count + window tie-break per
+    round): every comparison is exact integer math, so the engines
+    agree bit-for-bit."""
+    from ..functions import graph as fgraph
+
+    return fgraph.label_propagation(
+        _cooccurrence_edges(spark, sf_dir, quantile=0.95),
+        rounds=LABEL_PROP_ROUNDS)
+
+
+def _sql_lpa_round(i: int) -> str:
+    # MATERIALIZED: without it DuckDB may inline each round's CTE into
+    # the next, re-evaluating the pairsw self-join once per round (and
+    # in the sssp oracle, which references each round twice,
+    # EXPONENTIALLY — observed as a temp-storage blowout at sf0.1)
+    return f"""l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT a.node, l.label, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY a.node
+                              ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+    FROM adj a JOIN l{i - 1} l ON a.nbr = l.node
+    GROUP BY a.node, l.label
+  ) WHERE rn = 1
+)"""
+
+
+SQL_GRAPH_LABEL_PROP = f"""
+WITH {_sql_cooccurrence_pairs(0.95)},
+adj AS MATERIALIZED (
+  SELECT a AS nbr, b AS node FROM pairs
+  UNION ALL
+  SELECT b AS nbr, a AS node FROM pairs
+),
+l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM adj),
+{", ".join(_sql_lpa_round(i) for i in range(1, LABEL_PROP_ROUNDS + 1))}
+SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+FROM l{LABEL_PROP_ROUNDS}
+"""
+
+
+SSSP_ROUNDS = 6
+
+
+def q_graph_sssp(spark, sf_dir):
+    """Bounded-hop (6 rounds) multi-source shortest paths over the
+    weighted supplier co-occurrence graph —
+    ``functions/graph.py::bounded_sssp``. Edge cost is the integer
+    ``1 + 1000000 DIV w`` (stronger co-occurrence = shorter edge);
+    sources are the two smallest supplier ids in the graph, giving a
+    deterministic multi-source frontier. After 6 synchronous
+    Bellman-Ford rounds the result is exactly the cheapest <=6-edge
+    path — well-defined at any scale without a convergence loop. The
+    oracle unrolls the same min-plus rounds as chained CTEs."""
+    from ..functions import graph as fgraph
+
+    e = _cooccurrence_edges(spark, sf_dir, quantile=0.95, with_weight=True)
+    e = e.select("src", "dst",
+                 F.expr("1 + 1000000 DIV w").cast("long").alias("cost"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+    )
+    sources = nodes.distinct().orderBy("node").limit(2)
+    return fgraph.bounded_sssp(e, sources, rounds=SSSP_ROUNDS,
+                               weight_col="cost")
+
+
+def _sql_sssp_round(i: int) -> str:
+    # MATERIALIZED is load-bearing here: each round references the
+    # previous one TWICE, so inlining re-evaluates the whole chain
+    # 2^rounds times (see _sql_lpa_round)
+    return f"""d{i} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT a.node AS node, d.dist + a.cost AS dist
+    FROM wadj a JOIN d{i - 1} d ON a.nbr = d.node
+  ) GROUP BY node
+)"""
+
+
+SQL_GRAPH_SSSP = f"""
+WITH {_sql_cooccurrence_pairs(0.95)},
+wedges AS MATERIALIZED (
+  SELECT p.a, p.b, 1 + 1000000 // pw.w AS cost
+  FROM pairs p JOIN pairsw pw ON p.a = pw.a AND p.b = pw.b
+),
+wadj AS MATERIALIZED (
+  SELECT a AS nbr, b AS node, cost FROM wedges
+  UNION ALL
+  SELECT b AS nbr, a AS node, cost FROM wedges
+),
+d0 AS MATERIALIZED (
+  SELECT node, CAST(0 AS BIGINT) AS dist FROM (
+    SELECT DISTINCT node FROM wadj ORDER BY node LIMIT 2
+  )
+),
+{", ".join(_sql_sssp_round(i) for i in range(1, SSSP_ROUNDS + 1))}
+SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+FROM d{SSSP_ROUNDS}
 """
 
 
@@ -6702,6 +6874,82 @@ FROM assign GROUP BY cluster_id
 """
 
 
+SEMANTIC_DEDUP_THRESHOLD = 0.45
+
+
+def q_emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic deduplication (cluster-then-compare, Abbas et
+    al. 2023): k-means assignment via the deterministic coarse
+    quantizer, then within-cluster drop of any vector whose cluster has
+    a lower-id member at cosine >= 0.45 —
+    ``functions/similarity.py::semantic_dedup``. The one shuffle is the
+    cluster_id groupBy; comparisons never cross clusters (the
+    O(n^2/k) economics that make semantic dedup feasible at corpus
+    scale). The oracle recomputes centroids with the same numpy Lloyd
+    routine, assigns in SQL, and re-derives every keep/dup_of decision
+    with a within-cluster EXISTS join."""
+    return fsim.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), num_clusters=8,
+        threshold=SEMANTIC_DEDUP_THRESHOLD,
+    )
+
+
+def _sql_emb_semantic_dedup(num_clusters: int = 8) -> str:
+    """Oracle for q_emb_semantic_dedup: centroids recomputed via the
+    shared pure-numpy Lloyd routine on the same sorted-id training rows
+    (VALUES injection), nearest-centroid assignment re-expressed
+    relationally (round(dot, 6) DESC, cid), then the SemDeDup decision
+    as a within-cluster lower-id join on round(cosine, 6) — the
+    similarity written dot/(|a|*|b|) in the same association order as
+    the engine's numpy."""
+    import duckdb
+    import numpy as np
+
+    sf_dir = _oracle_sf_dir()
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT 4096"
+    ).fetchall()
+    con.close()
+    M = np.array([r[0] for r in rows], dtype=np.float64)
+    cent = fsim.lloyd_centroids(M, num_clusters, iters=5)
+    cent_values = ", ".join(
+        f"({c}, [{', '.join(repr(float(x)) for x in cent[c])}]::DOUBLE[])"
+        for c in range(len(cent))
+    )
+    t = SEMANTIC_DEDUP_THRESHOLD
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent(cid, c) AS (VALUES {cent_values}),
+assign AS (
+  SELECT vec_id, v, cid AS cluster_id FROM (
+    SELECT e.vec_id, e.v, cent.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round(list_dot_product(e.v, cent.c), 6) DESC, cent.cid) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+nrm AS (
+  SELECT vec_id, v, cluster_id,
+         CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN 1.0
+              ELSE sqrt(list_dot_product(v, v)) END AS n
+  FROM assign
+),
+dups AS (
+  SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+  FROM nrm b JOIN nrm a
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+   AND round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= {t}
+  GROUP BY b.vec_id
+)
+SELECT nrm.vec_id, CAST(nrm.cluster_id AS INT) AS cluster_id,
+       CAST(CASE WHEN dups.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep,
+       dups.dup_of
+FROM nrm LEFT JOIN dups ON nrm.vec_id = dups.vec_id
+"""
+
+
 def q_emb_pq_knn(spark, sf_dir):
     """Product-quantization ANN (ADC over m=4 x ksub=16 codes): the
     memory-compressed scan path for 100 TB embedding corpora. Integer
@@ -7031,6 +7279,80 @@ exact AS (
 )
 SELECT q2.query_id, CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap
 FROM q2 LEFT JOIN ov ON ov.query_id = q2.query_id
+"""
+
+
+def q_raster_region_group(spark, sf_dir):
+    """Region grouping (beyond-reference raster CC labeling,
+    operators/regiongroup.py): the lineitem layer reclassified to 3
+    value classes, 4-connected equal-class regions labeled by min
+    global cell id, reported as per-region (region, value, n_cells).
+    The edge build is shifted-coordinate EQUI-joins; labels come from
+    the shared iterative min-label propagation. The oracle recomputes
+    regions with a driver-side union-find over the same cells (exact
+    integer labels make the fixpoint engine-independent) and injects
+    the summaries as VALUES."""
+    from ..operators.regiongroup import region_summary
+
+    layer = lineitem_layer(spark, sf_dir).reclassify(
+        {10: 1, 25: 2, 50: 3}, strategy="LESS_THAN_OR_EQUAL")
+    return region_summary(layer, connectivity=4)
+
+
+def _sql_raster_region_group() -> str:
+    import duckdb
+
+    sf_dir = _oracle_sf_dir()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * "
+            f"FROM '{sf_dir}/lineitem.parquet'")
+    cells = con.sql(CELLS_CTE + """
+SELECT gcol, grow,
+       CAST(CASE WHEN value <= 10 THEN 1.0 WHEN value <= 25 THEN 2.0
+                 WHEN value <= 50 THEN 3.0 ELSE -1.0 END AS DOUBLE) AS cls
+FROM coords
+""").fetchall()
+    con.close()
+    width = LAYOUT_N * TILE
+    cls = {(c, r): v for c, r, v in cells}
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by smaller root id keeps labels = min member id
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    for (c, r), v in cls.items():
+        parent[r * width + c] = r * width + c
+    for (c, r), v in cls.items():
+        for dc, dr in ((1, 0), (0, 1)):
+            nb = cls.get((c + dc, r + dr))
+            if nb is not None and nb == v:
+                union(r * width + c, (r + dr) * width + (c + dc))
+    from collections import Counter
+    sizes: Counter = Counter()
+    val = {}
+    for (c, r), v in cls.items():
+        root = find(r * width + c)
+        sizes[root] += 1
+        val[root] = v
+    values = ", ".join(
+        f"({root}, {float(val[root])!r}, {n})"
+        for root, n in sorted(sizes.items()))
+    return f"""
+SELECT CAST(col0 AS BIGINT) AS region, CAST(col1 AS DOUBLE) AS value,
+       CAST(col2 AS BIGINT) AS n_cells
+FROM (VALUES {values}) t(col0, col1, col2)
 """
 
 
@@ -8148,6 +8470,7 @@ def _canonical_queries():
         "graph_pagerank": q_graph_pagerank,
         "text_lm_score": q_text_lm_score,
         "text_bm25": q_text_bm25,
+        "text_dsir_select": q_text_dsir_select,
         "events_hll_users": q_events_hll_users,
         "graph_triangles": q_graph_triangles,
         "emb_int8_knn": q_emb_int8_knn,
@@ -8172,6 +8495,7 @@ def _canonical_queries():
         "text_sorted_neighborhood": q_text_sorted_neighborhood,
         "tpch_q20_dominant": q_tpch_q20_dominant,
         "raster_kernel_density": q_raster_kernel_density,
+        "raster_region_group": q_raster_region_group,
         "text_lsh_calibration": q_text_lsh_calibration,
         "events_user_features": q_events_user_features,
         # rotated in r6: never driver-validated (r5) + new (r6)
@@ -8299,6 +8623,8 @@ def _canonical_queries():
         "vector_polygon_metrics": q_vector_polygon_metrics,
         "tpch_q2_min_cost": q_tpch_q2_min_cost,
         "graph_kcore": q_graph_kcore,
+        "graph_label_prop": q_graph_label_prop,
+        "graph_sssp": q_graph_sssp,
         "tpch_q11_important_stock": q_tpch_q11_important_stock,
         "multimodal_video": q_multimodal_video,
         "events_percentiles": q_events_percentiles,
@@ -8369,6 +8695,7 @@ def _canonical_queries():
         "text_dup_components": q_text_dup_components,
         "emb_ivf_knn": q_emb_ivf_knn,
         "emb_kmeans": q_emb_kmeans,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
         "tpch_q1": q_tpch_q1,
         "events_tumbling": q_events_tumbling,
         "raster_slope": q_raster_slope,
@@ -8459,17 +8786,22 @@ def _canonical_queries():
 # hand-edit between the markers.
 # BEGIN WINDOW_ORDER (generated)
 _WINDOW_ORDER: list = [
+    "text_dsir_select",
+    "raster_region_group",
     "rel_merge_upsert",
     "rel_spearman",
     "vector_polygon_metrics",
     "tpch_q2_min_cost",
     "graph_kcore",
+    "graph_label_prop",
+    "graph_sssp",
     "tpch_q11_important_stock",
     "events_stream_topk",
     "raster_reproject_nzmg",
     "raster_reproject_aeqd_geodesic",
     "raster_reproject_ntv2",
     "multimodal_patches",
+    "emb_semantic_dedup",
     "text_classifier",
     "emb_pca",
     "emb_pca_variance",
@@ -8758,6 +9090,7 @@ def oracle_sql():
         "graph_pagerank": SQL_GRAPH_PAGERANK,
         "text_lm_score": SQL_TEXT_LM_SCORE,
         "text_bm25": SQL_TEXT_BM25,
+        "text_dsir_select": SQL_TEXT_DSIR_SELECT,
         "events_hll_users": SQL_EVENTS_HLL_USERS,
         "graph_triangles": SQL_GRAPH_TRIANGLES,
         "emb_int8_knn": SQL_EMB_INT8_KNN,
@@ -8779,6 +9112,7 @@ def oracle_sql():
         "text_sorted_neighborhood": SQL_TEXT_SORTED_NEIGHBORHOOD,
         "tpch_q20_dominant": SQL_TPCH_Q20_DOMINANT,
         "raster_kernel_density": SQL_RASTER_KERNEL_DENSITY,
+        "raster_region_group": _sql_raster_region_group(),
         "events_user_features": SQL_EVENTS_USER_FEATURES,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
@@ -8813,6 +9147,8 @@ def oracle_sql():
         "vector_polygon_metrics": SQL_VECTOR_POLYGON_METRICS,
         "tpch_q2_min_cost": SQL_TPCH_Q2_MIN_COST,
         "graph_kcore": _sql_graph_kcore(),
+        "graph_label_prop": SQL_GRAPH_LABEL_PROP,
+        "graph_sssp": SQL_GRAPH_SSSP,
         "tpch_q11_important_stock": SQL_TPCH_Q11_IMPORTANT_STOCK,
         "text_dup_components": _sql_dup_components(16, 4),
         "text_dedup_pipeline": _sql_dedup_pipeline(16, 4, 0.5),
@@ -8915,6 +9251,7 @@ def oracle_sql():
     try:
         out["emb_ivf_knn"] = _sql_ivf_knn(num_clusters=16, nprobe=4, k=5)
         out["emb_kmeans"] = _sql_emb_kmeans(num_clusters=8)
+        out["emb_semantic_dedup"] = _sql_emb_semantic_dedup(num_clusters=8)
         out["emb_pq_knn"] = _sql_pq_knn(m=4, ksub=16, k=5)
         out["emb_pq_recall"] = _sql_pq_recall()
         out["emb_ivf_recall"] = _sql_ivf_recall()

@@ -1878,3 +1878,214 @@ class TestEpochShardsAndBudgetMix:
         b = sorted(map(tuple, token_budget_mix(
             df.repartition(5, "text"), budgets={"s0": 30}).collect()))
         assert a == b
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge_split_into_two_communities(self, spark):
+        from geopyspark_spark.functions.graph import label_propagation
+
+        # K4 on {0..3} + K4 on {10..13} + one bridge 3-10: LPA must
+        # keep the two cliques in separate communities
+        clique = lambda ns: [(a, b) for i, a in enumerate(ns) for b in ns[i + 1:]]
+        edges = spark.createDataFrame(
+            clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10)],
+            "src long, dst long",
+        )
+        got = {r["node"]: r["label"] for r in
+               label_propagation(edges, rounds=4).collect()}
+        left = {got[n] for n in (0, 1, 2)}
+        right = {got[n] for n in (11, 12, 13)}
+        assert len(left) == 1 and len(right) == 1
+        assert left != right
+
+    def test_deterministic_across_partitioning(self, spark):
+        from geopyspark_spark.functions.graph import label_propagation
+
+        rows = [(a, b) for a in range(30) for b in range(a + 1, 30)
+                if (a * 7 + b * 13) % 5 == 0]
+        e = spark.createDataFrame(rows, "src long, dst long")
+        a = sorted(map(tuple, label_propagation(e.repartition(1), 3).collect()))
+        b = sorted(map(tuple, label_propagation(e.repartition(11, "dst"), 3).collect()))
+        assert a == b
+
+    def test_zero_rounds_is_identity_labeling(self, spark):
+        from geopyspark_spark.functions.graph import label_propagation
+
+        e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        got = {r["node"]: r["label"] for r in
+               label_propagation(e, rounds=0).collect()}
+        assert got == {1: 1, 2: 2, 3: 3}
+
+    def test_tie_breaks_to_smallest_label(self, spark):
+        from geopyspark_spark.functions.graph import label_propagation
+
+        # path 1-2-3: node 2 sees labels {1, 3} once each -> picks 1
+        e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        got = {r["node"]: r["label"] for r in
+               label_propagation(e, rounds=1).collect()}
+        assert got[2] == 1
+
+
+class TestBoundedSssp:
+    def _d(self, rows):
+        return {r["node"]: r["dist"] for r in rows}
+
+    def test_exact_distances_on_weighted_path(self, spark):
+        from geopyspark_spark.functions.graph import bounded_sssp
+
+        e = spark.createDataFrame(
+            [(1, 2, 5), (2, 3, 7), (3, 4, 1), (1, 4, 100)],
+            "src long, dst long, w long",
+        )
+        src = spark.createDataFrame([(1,)], "node long")
+        got = self._d(bounded_sssp(e, src, rounds=4).collect())
+        assert got == {1: 0, 2: 5, 3: 12, 4: 13}
+
+    def test_hop_bound_is_respected(self, spark):
+        from geopyspark_spark.functions.graph import bounded_sssp
+
+        # 1 -2-> 2 -2-> 3 plus direct 1->3 cost 100: within 1 hop the
+        # best route to 3 is the direct edge; node absent means unreached
+        e = spark.createDataFrame(
+            [(1, 2, 2), (2, 3, 2), (1, 3, 100)], "src long, dst long, w long"
+        )
+        src = spark.createDataFrame([(1,)], "node long")
+        one = self._d(bounded_sssp(e, src, rounds=1).collect())
+        assert one == {1: 0, 2: 2, 3: 100}
+        two = self._d(bounded_sssp(e, src, rounds=2).collect())
+        assert two[3] == 4
+
+    def test_multi_source_and_parallel_edges(self, spark):
+        from geopyspark_spark.functions.graph import bounded_sssp
+
+        e = spark.createDataFrame(
+            [(1, 2, 9), (2, 1, 3), (2, 3, 4), (10, 3, 1)],
+            "src long, dst long, w long",
+        )
+        src = spark.createDataFrame([(1,), (10,)], "node long")
+        got = self._d(bounded_sssp(e, src, rounds=3).collect())
+        # parallel 1-2 edges keep min weight 3; 3 is closer to source 10
+        assert got == {1: 0, 10: 0, 2: 3, 3: 1}
+
+    def test_rejects_float_weights(self, spark):
+        import pytest as _pytest
+
+        from geopyspark_spark.functions.graph import bounded_sssp
+
+        e = spark.createDataFrame([(1, 2, 1.5)], "src long, dst long, w double")
+        src = spark.createDataFrame([(1,)], "node long")
+        with _pytest.raises(ValueError):
+            bounded_sssp(e, src)
+
+    def test_deterministic_across_partitioning(self, spark):
+        from geopyspark_spark.functions.graph import bounded_sssp
+
+        rows = [(a, b, (a * 13 + b * 7) % 11 + 1)
+                for a in range(25) for b in range(a + 1, 25)
+                if (a + b) % 3 == 0]
+        e = spark.createDataFrame(rows, "src long, dst long, w long")
+        src = spark.createDataFrame([(0,)], "node long")
+        a = sorted(map(tuple, bounded_sssp(e.repartition(1), src, 4).collect()))
+        b = sorted(map(tuple, bounded_sssp(e.repartition(9, "src"), src, 4).collect()))
+        assert a == b
+
+
+class TestSemanticDedup:
+    def _run(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        return {r["vec_id"]: (r["keep"], r["dup_of"]) for r in
+                fsim.semantic_dedup(df, **kw).collect()}
+
+    def test_near_identical_vectors_dedup_to_lowest_id(self, spark):
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.001, 0.0, 0.0]),   # ~dup of 1
+            (3, [0.0, 1.0, 0.0, 0.0]),       # distinct
+            (7, [0.998, 0.002, 0.0, 0.0]),   # ~dup of 1 (and 2)
+        ]
+        got = self._run(spark, rows, num_clusters=1, threshold=0.9)
+        assert got[1] == (1, None)
+        assert got[3] == (1, None)
+        assert got[2] == (0, 1)
+        assert got[7] == (0, 1)   # smallest qualifying earlier id
+
+    def test_clustering_limits_comparisons_to_same_cluster(self, spark):
+        # two orthogonal families -> 2 clusters; duplicates across
+        # clusters are NOT compared (SemDeDup semantics)
+        rows = [
+            (1, [1.0, 0.0]), (2, [1.0, 0.001]),
+            (10, [0.0, 1.0]), (11, [0.001, 1.0]),
+        ]
+        got = self._run(spark, rows, num_clusters=2, threshold=0.99,
+                        train_limit=4)
+        kept = [i for i, (k, _) in got.items() if k]
+        assert sorted(kept) == [1, 10]
+
+    def test_all_distinct_keeps_everything(self, spark):
+        rows = [(i, [1.0 if j == i else 0.0 for j in range(6)])
+                for i in range(6)]
+        got = self._run(spark, rows, num_clusters=2, threshold=0.5)
+        assert all(k == 1 and d is None for k, d in got.values())
+
+    def test_deterministic_across_partitioning(self, spark):
+        import numpy as np
+        rng = [(i, [float((i * 7 + j * 3) % 5) + 0.1 for j in range(4)])
+               for i in range(40)]
+        df = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+        a = sorted(map(tuple, fsim.semantic_dedup(
+            df.repartition(1), num_clusters=3, threshold=0.98).collect()))
+        b = sorted(map(tuple, fsim.semantic_dedup(
+            df.repartition(13, "vec_id"), num_clusters=3,
+            threshold=0.98).collect()))
+        assert a == b
+
+    def test_zero_vector_is_kept_not_crashing(self, spark):
+        rows = [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 0.0])]
+        got = self._run(spark, rows, num_clusters=1, threshold=0.5)
+        # zero vectors: cosine defined as 0 via the norm-1 substitution
+        assert got[1][0] == 1 and got[2][0] == 1
+
+
+class TestDsirWeights:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, is_target boolean")
+
+    def test_target_like_docs_outrank_unlike_docs(self, spark):
+        rows = [
+            (1, "alpha beta alpha beta alpha beta", True),
+            (2, "alpha beta gamma alpha beta", True),
+            (10, "alpha beta alpha beta", False),   # target-like
+            (11, "zzz qqq zzz qqq zzz", False),     # unlike
+        ]
+        got = {r["doc_id"]: r for r in
+               ftext.dsir_weights(self._df(spark, rows),
+                                  select_ppm=500_000).collect()}
+        assert got[10]["weight_ppm"] > got[11]["weight_ppm"]
+        # top 50% of the 2 raw docs = 1 selected, and it is the target-like one
+        assert got[10]["selected"] == 1 and got[11]["selected"] == 0
+        assert got[1]["selected"] == 0 and got[1]["is_target"]
+
+    def test_empty_and_single_token_docs_score_zero(self, spark):
+        rows = [(1, "alpha beta gamma", True), (2, "", False),
+                (3, "word", False)]
+        got = {r["doc_id"]: r for r in
+               ftext.dsir_weights(self._df(spark, rows)).collect()}
+        assert got[2]["n_grams"] == 0 and got[2]["weight_ppm"] == 0
+        assert got[3]["n_grams"] == 0 and got[3]["weight_ppm"] == 0
+
+    def test_deterministic_across_partitioning(self, spark):
+        rows = [(i, " ".join(f"w{(i * j) % 7}" for j in range(12)),
+                 i % 3 == 0) for i in range(30)]
+        df = self._df(spark, rows)
+        a = sorted(map(tuple, ftext.dsir_weights(df.repartition(1)).collect()))
+        b = sorted(map(tuple, ftext.dsir_weights(
+            df.repartition(7, "doc_id")).collect()))
+        assert a == b
+
+    def test_selection_count_is_floor_fraction_of_raw(self, spark):
+        rows = [(i, f"tok{i % 4} tok{(i + 1) % 4} tok{(i + 2) % 4}",
+                 i < 3) for i in range(13)]   # 3 target, 10 raw
+        out = ftext.dsir_weights(self._df(spark, rows),
+                                 select_ppm=250_000).collect()
+        assert sum(r["selected"] for r in out) == 2   # floor(10 * 0.25)

@@ -1,0 +1,91 @@
+"""Region-group operator tests: connected equal-valued regions labeled
+by min global cell id, 4/8-connectivity, NoData exclusion, cross-tile
+merging (beyond-reference raster op; see operators/regiongroup.py)."""
+
+import numpy as np
+import pytest
+
+import geopyspark_spark as gps
+
+
+class TestRegionGroup:
+    def _layer(self, spark, grid):
+        """Build a 1-tile layer from a small numpy grid."""
+        import numpy as np
+
+        h, w = len(grid), len(grid[0])
+        layout = gps.LayoutDefinition(
+            gps.Extent(0, 0, w, h), gps.TileLayout(1, 1, w, h))
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float32ud-1.0", layout=layout,
+            bounds=((0, 0), (0, 0)), extent=layout.extent, num_bands=1)
+        return gps.from_numpy(
+            spark, [(0, 0, 0, np.array(grid, dtype=float))], md)
+
+    def test_two_regions_of_same_value_get_distinct_labels(self, spark):
+        from geopyspark_spark.operators.regiongroup import region_group
+
+        grid = [
+            [1.0, 1.0, 0.0],
+            [0.0, 0.0, 0.0],
+            [1.0, 0.0, 1.0],
+        ]
+        out = {(r["pos"]): r["region"] for r in
+               region_group(self._layer(spark, grid)).collect()}
+        # the two 1-regions at pos {0,1}, {6} and {8} are disconnected
+        assert out[0] == out[1]
+        assert out[0] != out[6] and out[6] != out[8] and out[0] != out[8]
+        # the 0-region is one 4-connected plus-shape: pos 2,3,4,5,7
+        assert len({out[p] for p in (2, 3, 4, 5, 7)}) == 1
+        # region label = smallest global cell id in the region
+        assert out[0] == 0 and out[2] == 2 and out[6] == 6 and out[8] == 8
+
+    def test_connectivity_8_merges_diagonals(self, spark):
+        from geopyspark_spark.operators.regiongroup import region_group
+
+        grid = [
+            [1.0, 0.0],
+            [0.0, 1.0],
+        ]
+        four = {r["pos"]: r["region"] for r in
+                region_group(self._layer(spark, grid), connectivity=4).collect()}
+        eight = {r["pos"]: r["region"] for r in
+                 region_group(self._layer(spark, grid), connectivity=8).collect()}
+        assert four[0] != four[3] and four[1] != four[2]
+        assert eight[0] == eight[3] and eight[1] == eight[2]
+
+    def test_nodata_cells_are_excluded(self, spark):
+        import math
+
+        from geopyspark_spark.operators.regiongroup import region_group
+
+        grid = [
+            [1.0, float("nan")],
+            [1.0, 1.0],
+        ]
+        rows = region_group(self._layer(spark, grid)).collect()
+        assert {r["pos"] for r in rows} == {0, 2, 3}
+        assert len({r["region"] for r in rows}) == 1
+
+    def test_regions_stop_at_value_changes_across_tiles(self, f1_layer):
+        from geopyspark_spark.operators.regiongroup import region_group
+
+        # f1: all ones except one 0.0 corner -> exactly 2 regions over
+        # the full 2x2-tile 10x10 grid (cross-tile adjacency must merge)
+        rows = region_group(f1_layer).collect()
+        regions = {}
+        for r in rows:
+            regions.setdefault(r["value"], set()).add(r["region"])
+        assert len(regions[1.0]) == 1 and len(regions[0.0]) == 1
+        assert len(rows) == 100
+
+    def test_summary_counts(self, spark):
+        from geopyspark_spark.operators.regiongroup import region_summary
+
+        grid = [
+            [2.0, 2.0],
+            [3.0, 2.0],
+        ]
+        got = {(r["region"], r["value"]): r["n_cells"] for r in
+               region_summary(self._layer(spark, grid)).collect()}
+        assert got == {(0, 2.0): 3, (2, 3.0): 1}
