@@ -338,9 +338,15 @@ def bounded_sssp(edges: DataFrame, sources: DataFrame, rounds: int = 6,
 
     Spark shape per round (the Pregel pattern): one equi-join
     frontier⨝edges on the source key + one min aggregate on the
-    destination key — O(m) shuffled rows per round, a static lazy plan,
-    edge subtrees deduplicated by ReuseExchange (same determinism
-    caveat for non-deterministic sources as :func:`pagerank`).
+    destination key — O(m) shuffled rows per round, edge subtrees
+    deduplicated by ReuseExchange (same determinism caveat for
+    non-deterministic sources as :func:`pagerank`). Because each round
+    references the previous distance table TWICE (carry-forward union
+    + relaxation), the lazy plan doubles per round; the O(nodes)
+    distance table is localCheckpoint'ed every 4 rounds to keep the
+    plan bounded at any hop count (16 subtrees max between cuts), and
+    for such multi-job runs the canonical edge table is pinned first
+    (exchange reuse is per-job — :func:`pagerank`'s deep-run rule).
 
     ``sources`` is a one-column (node) DataFrame; distance 0 there.
     Returns (node, dist) for every node REACHED within ``rounds`` hops
@@ -361,6 +367,10 @@ def bounded_sssp(edges: DataFrame, sources: DataFrame, rounds: int = 6,
         .groupBy("lo", "hi")
         .agg(F.min("w").alias("w"))  # parallel edges keep the cheapest
     )
+    if rounds > 4:
+        # the every-4-rounds truncation below splits execution into
+        # multiple jobs; pin the edge set so each job sees the same one
+        canon = canon.localCheckpoint()
     adj = canon.select(
         F.col("lo").alias("from"), F.col("hi").alias("to"), "w"
     ).unionByName(
@@ -370,7 +380,7 @@ def bounded_sssp(edges: DataFrame, sources: DataFrame, rounds: int = 6,
         F.col(sources.columns[0]).alias("node"),
         F.lit(0).cast("long").alias("dist"),
     ).distinct()
-    for _ in range(rounds):
+    for i in range(rounds):
         relaxed = (
             adj.join(dist.select(F.col("node").alias("from"),
                                  F.col("dist").alias("d")), "from")
@@ -382,6 +392,10 @@ def bounded_sssp(edges: DataFrame, sources: DataFrame, rounds: int = 6,
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
+        # the double reference above doubles the plan per round — cut
+        # the O(nodes) distance table before it compounds
+        if (i + 1) % 4 == 0 and (i + 1) < rounds:
+            dist = dist.localCheckpoint()
     return dist
 
 
