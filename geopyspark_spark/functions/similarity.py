@@ -1198,3 +1198,59 @@ def pca_project(df: DataFrame, mean: list, components: list,
         )
         cols.append(dot.cast("long").alias(f"pc{i}_fp"))
     return df.select(*cols)
+
+
+def rp_signs(d_in: int, d_out: int) -> list:
+    """Deterministic Rademacher (+1/-1) projection matrix as a nested
+    list [j][k], derived from md5("rp:j:k") parity — reproducible on
+    any engine/platform with no RNG state to ship."""
+    import hashlib
+
+    return [
+        [1 if int(hashlib.md5(f"rp:{j}:{k}".encode()).hexdigest()[0], 16) % 2
+         else -1 for k in range(d_out)]
+        for j in range(d_in)
+    ]
+
+
+def random_projection(df: DataFrame, d_in: int, d_out: int = 16,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction by a deterministic
+    Rademacher sign matrix (Achlioptas 2003: +-1 entries preserve
+    pairwise distances within (1 +- eps) at d_out = O(log n / eps^2),
+    no Gaussian needed) — the cheap pre-shrink before clustering /
+    LSH / ANN when 100 TB of wide embeddings won't fit the downstream
+    memory budget.
+
+    Integer contract: components are y_k = sum_j floor(v_j * 1e6) *
+    s_jk summed as BIGINT — floor and integer multiply-add are bit-
+    identical on every engine (the logreg/classifier doctrine), so the
+    projection is exactly reproducible; the JL scale factor
+    1/sqrt(d_out) is NOT applied (a monotone constant — apply it
+    downstream if true distances are needed). Exact while
+    |v_j| * 1e6 * d_in < 2^63.
+
+    Spark shape: zero shuffles, zero Python — d_out
+    aggregate(zip_with(...)) expressions inside one whole-stage-codegen
+    projection; the sign matrix rides in the plan as literals
+    (d_in * d_out ints — trivially broadcast).
+
+    Returns (id_col, proj array<bigint> length d_out).
+    """
+    S = rp_signs(d_in, d_out)
+    comps = [
+        F.expr(
+            "aggregate(zip_with(_v, array({signs}), "
+            "(x, s) -> CAST(floor(x * 1000000) AS BIGINT) * s), "
+            "0L, (acc, e) -> acc + e)".format(
+                signs=", ".join(str(S[j][k]) for j in range(d_in)))
+        ).alias(f"_y{k}")
+        for k in range(d_out)
+    ]
+    return (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+        .select(id_col, *comps)
+        .select(id_col,
+                F.array(*[F.col(f"_y{k}") for k in range(d_out)]).alias("proj"))
+    )

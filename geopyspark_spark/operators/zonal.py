@@ -394,3 +394,45 @@ def mask_distributed(layer: "TiledRasterLayer", geom_df: DataFrame,
 
     out = joined.mapInPandas(mask_batch, schema=schema)
     return layer._with(out)
+
+
+def zonal_stats_by_layer(value_layer: "TiledRasterLayer",
+                         zone_layer: "TiledRasterLayer",
+                         band: int = 0, zone_band: int = 0) -> DataFrame:
+    """Zonal statistics where the zones are ANOTHER raster layer (the
+    desktop-GIS ``ZonalStatistics`` with a raster zone input — the
+    reference only exposes the polygonal form, ``layer.py:2383-2476``;
+    this is the beyond-reference raster-zone variant).
+
+    Both layers must share the layout; cells pair positionally. Spark
+    shape: ONE equi-join on the spatial(+temporal) keys (co-partitioned
+    if both layers were keyed alike — the same plan as
+    ``cellwise_binary_layer``), then posexplode + element_at pairs the
+    arrays JVM-side, and one partial+final hash aggregate groups by
+    zone value. No Python anywhere; shuffled rows are O(cells) once.
+
+    NoData (NaN) in EITHER layer excludes the cell — the zone raster's
+    holes clip the value raster exactly like a mask.
+
+    Returns (zone, zsum, zmin, zmax, zmean, zcount) sorted nowhere —
+    order is the consumer's business.
+    """
+    keys = key_cols(value_layer.df)
+    v = value_layer.df.where(F.col("band") == band).select(*keys, "cells")
+    z = zone_layer.df.where(F.col("band") == zone_band).select(
+        *keys, F.col("cells").alias("_zcells"))
+    paired = (
+        v.join(z, keys)
+        .select(F.col("_zcells"), F.posexplode("cells").alias("pos", "value"))
+        .select(F.element_at("_zcells", F.col("pos") + 1).alias("zone"),
+                "value")
+        .where(~_is_nd(F.col("value"), value_layer.nodata)
+               & ~_is_nd(F.col("zone"), zone_layer.nodata))
+    )
+    return paired.groupBy("zone").agg(
+        F.sum("value").alias("zsum"),
+        F.min("value").alias("zmin"),
+        F.max("value").alias("zmax"),
+        (F.sum("value") / F.count("*")).alias("zmean"),
+        F.count("*").alias("zcount"),
+    )

@@ -299,6 +299,37 @@ GROUP BY band
 """
 
 
+def q_raster_zonal_by_layer(spark, sf_dir):
+    """Zonal statistics with a RASTER zone layer (the desktop-GIS
+    ZonalStatistics raster-zone variant; the reference only has the
+    polygonal form) — ``operators/zonal.py::zonal_stats_by_layer``.
+    Zones come from a second layer built on ``value2`` (l_partkey % 50)
+    reclassified to 5 classes; values are l_quantity. One key equi-join
+    pairs the tiles, posexplode + element_at pairs cells JVM-side, one
+    hash aggregate per zone. The oracle reproduces the class breaks and
+    stats straight off the cells CTE."""
+    from ..operators import zonal as _z
+
+    vals = lineitem_layer(spark, sf_dir)
+    zones = lineitem_layer(spark, sf_dir, "value2").reclassify(
+        {9: 1, 19: 2, 29: 3, 39: 4, 49: 5})
+    return _z.zonal_stats_by_layer(vals, zones)
+
+
+SQL_RASTER_ZONAL_BY_LAYER = CELLS_CTE + """
+SELECT zone, SUM(value) AS zsum, MIN(value) AS zmin, MAX(value) AS zmax,
+       SUM(value) / COUNT(*) AS zmean, COUNT(*) AS zcount
+FROM (
+  SELECT value,
+         CAST(CASE WHEN value2 <= 9 THEN 1.0 WHEN value2 <= 19 THEN 2.0
+                   WHEN value2 <= 29 THEN 3.0 WHEN value2 <= 39 THEN 4.0
+                   WHEN value2 <= 49 THEN 5.0 END AS DOUBLE) AS zone
+  FROM cells
+) WHERE zone IS NOT NULL
+GROUP BY zone
+"""
+
+
 def q_raster_mask(spark, sf_dir):
     layer = lineitem_layer(spark, sf_dir)
     masked = layer.mask(gps.box(ZX0, ZY0, ZX1, ZY1))
@@ -6950,6 +6981,36 @@ FROM nrm LEFT JOIN dups ON nrm.vec_id = dups.vec_id
 """
 
 
+def q_emb_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss Rademacher projection 64 -> 16 dims
+    (Achlioptas 2003) — ``functions/similarity.py::random_projection``.
+    Components are floor-quantized integer dot products against a
+    deterministic md5-parity sign matrix: zero shuffles, zero Python,
+    one whole-stage-codegen projection. The oracle re-derives every
+    component relationally from the same injected sign matrix with the
+    identical floor/BIGINT arithmetic."""
+    proj = fsim.random_projection(
+        _t(spark, sf_dir, "embeddings"), d_in=64, d_out=16)
+    return proj.select("vec_id", F.posexplode("proj").alias("k", "y"))
+
+
+def _sql_emb_random_projection() -> str:
+    S = fsim.rp_signs(64, 16)
+    values = ", ".join(
+        f"({j}, {k}, {S[j][k]})" for j in range(64) for k in range(16))
+    return f"""
+WITH signs(j, k, s) AS (VALUES {values}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (
+  SELECT vec_id, u.j, CAST(floor(v[u.j + 1] * 1000000) AS BIGINT) AS qv
+  FROM e, UNNEST(generate_series(0, 63)) AS u(j)
+)
+SELECT q.vec_id, CAST(k AS INT) AS k, CAST(SUM(qv * s) AS BIGINT) AS y
+FROM q JOIN signs USING (j)
+GROUP BY q.vec_id, k
+"""
+
+
 def q_emb_pq_knn(spark, sf_dir):
     """Product-quantization ANN (ADC over m=4 x ksub=16 codes): the
     memory-compressed scan path for 100 TB embedding corpora. Integer
@@ -8496,6 +8557,7 @@ def _canonical_queries():
         "tpch_q20_dominant": q_tpch_q20_dominant,
         "raster_kernel_density": q_raster_kernel_density,
         "raster_region_group": q_raster_region_group,
+        "raster_zonal_by_layer": q_raster_zonal_by_layer,
         "text_lsh_calibration": q_text_lsh_calibration,
         "events_user_features": q_events_user_features,
         # rotated in r6: never driver-validated (r5) + new (r6)
@@ -8696,6 +8758,7 @@ def _canonical_queries():
         "emb_ivf_knn": q_emb_ivf_knn,
         "emb_kmeans": q_emb_kmeans,
         "emb_semantic_dedup": q_emb_semantic_dedup,
+        "emb_random_projection": q_emb_random_projection,
         "tpch_q1": q_tpch_q1,
         "events_tumbling": q_events_tumbling,
         "raster_slope": q_raster_slope,
@@ -8788,6 +8851,7 @@ def _canonical_queries():
 _WINDOW_ORDER: list = [
     "text_dsir_select",
     "raster_region_group",
+    "raster_zonal_by_layer",
     "rel_merge_upsert",
     "rel_spearman",
     "vector_polygon_metrics",
@@ -8802,6 +8866,7 @@ _WINDOW_ORDER: list = [
     "raster_reproject_ntv2",
     "multimodal_patches",
     "emb_semantic_dedup",
+    "emb_random_projection",
     "text_classifier",
     "emb_pca",
     "emb_pca_variance",
@@ -9113,6 +9178,7 @@ def oracle_sql():
         "tpch_q20_dominant": SQL_TPCH_Q20_DOMINANT,
         "raster_kernel_density": SQL_RASTER_KERNEL_DENSITY,
         "raster_region_group": _sql_raster_region_group(),
+        "raster_zonal_by_layer": SQL_RASTER_ZONAL_BY_LAYER,
         "events_user_features": SQL_EVENTS_USER_FEATURES,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
@@ -9244,6 +9310,7 @@ def oracle_sql():
         "raster_with_no_data": SQL_RASTER_WITH_NO_DATA,
         "vector_shapefile": SQL_VECTOR_SHAPEFILE,
         "raster_cog_overview": SQL_RASTER_COG_OVERVIEW,
+        "emb_random_projection": _sql_emb_random_projection(),
     }
     # the IVF oracle reads the training rows from the oracle sf dir at
     # build time; if that path is unreachable the query degrades to a

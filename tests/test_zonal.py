@@ -265,3 +265,42 @@ class TestMaskReferenceSignature:
         e = f1_layer.mask_distributed(gdf)
         assert sorted(map(tuple, d.explode().collect())) == \
             sorted(map(tuple, e.explode().collect()))
+
+
+class TestZonalByLayer:
+    def test_raster_zone_stats(self, spark):
+        from geopyspark_spark.operators.zonal import zonal_stats_by_layer
+
+        md = f1_metadata()
+        vals, zones = [], []
+        for kr in range(2):
+            for kc in range(2):
+                v = np.arange(25, dtype=float).reshape(5, 5) + 100 * (kr * 2 + kc)
+                z = np.full((5, 5), float(kc + 1))  # zone = 1 left, 2 right
+                vals.append((kc, kr, 0, v))
+                zones.append((kc, kr, 0, z))
+        # NoData (the fixture's ud sentinel -1.0) on each side: a value
+        # hole in zone 1, a zone hole over a live value in zone 2 —
+        # both cells must drop
+        nd = -1.0
+        vals[0] = (0, 0, 0, vals[0][3].copy())
+        vals[0][3][1, 1] = nd
+        zones[1] = (1, 0, 0, zones[1][3].copy())
+        zones[1][3][2, 2] = nd
+        vl = gps.from_numpy(spark, vals, md)
+        zl = gps.from_numpy(spark, zones, md)
+        got = {r["zone"]: r for r in zonal_stats_by_layer(vl, zl).collect()}
+
+        expect = {1.0: [], 2.0: []}
+        for (kc, kr, _b, v), (_, _, _, z) in zip(vals, zones):
+            for a, b in zip(v.ravel(), z.ravel()):
+                if a != nd and b != nd:
+                    expect[b].append(a)
+        assert set(got) == {1.0, 2.0}
+        for zone, cells in expect.items():
+            r = got[zone]
+            assert r["zcount"] == len(cells)
+            assert r["zsum"] == sum(cells)
+            assert r["zmin"] == min(cells)
+            assert r["zmax"] == max(cells)
+            assert r["zmean"] == sum(cells) / len(cells)
