@@ -420,6 +420,16 @@ class TiledRasterLayer:
 
         return focal.focal(self, operation, neighborhood, param_1, param_2, param_3)
 
+    def convolve(self, kernel_weights) -> "TiledRasterLayer":
+        from .operators import focal
+
+        return focal.convolve(self, kernel_weights)
+
+    def morans_i(self, band: int = 0) -> "DataFrame":
+        from .operators import focal
+
+        return focal.morans_i(self, band)
+
     def slope(self, zfactor: float = 1.0, zfactor_calculator=None) -> "TiledRasterLayer":
         from .operators import focal
 

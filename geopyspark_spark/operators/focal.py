@@ -435,3 +435,124 @@ def hillshade(layer: "TiledRasterLayer", azimuth: float = 315.0, altitude: float
         return np.where(np.isnan(c), np.nan, out)
 
     return _run_kernel(base, 1, kernel, out_cell_type="int16")
+
+
+def convolve(layer: "TiledRasterLayer", kernel_weights) -> "TiledRasterLayer":
+    """Focal convolution with an arbitrary odd-square weight kernel — the
+    desktop-GIS/GeoTrellis ``Convolve``/``Kernel`` map-algebra op (the
+    reference repo exposes ``Kernel`` only through kernel density,
+    ``geopyspark/geotrellis/layer.py`` rasterize paths; the focal form is
+    beyond-reference breadth).
+
+    Semantics: out = sum(w_jk * v_jk) over in-kernel cells whose value is
+    not NoData (NoData contributes nothing — the same exclusion rule as
+    ``focal('Sum')``); a cell with zero valid values under the nonzero
+    weights is NoData. Weights are NOT renormalized over the valid subset
+    (convolution, not a weighted mean).
+
+    Spark shape: identical to every other focal — one halo exchange
+    (shuffle ≈ tiles·(1+4r/T)), one Arrow-batched stencil; the kernel
+    rides in the closure. Integer weights over integer-valued cells make
+    the result exact in double arithmetic.
+    """
+    k = np.asarray(kernel_weights, dtype=float)
+    if k.ndim != 2 or k.shape[0] != k.shape[1] or k.shape[0] % 2 == 0:
+        raise ValueError("kernel must be a (2r+1, 2r+1) square")
+    nz = k != 0
+
+    def kern(buf: np.ndarray) -> np.ndarray:
+        win = np.lib.stride_tricks.sliding_window_view(buf, k.shape)
+        valid = ~np.isnan(win)
+        out = (np.where(valid, win, 0.0) * k).sum(axis=(-1, -2))
+        cnt = (valid & nz).sum(axis=(-1, -2))
+        return np.where(cnt == 0, np.nan, out)
+
+    return _run_kernel(layer, k.shape[0] // 2, kern)
+
+
+def morans_i(layer: "TiledRasterLayer", band: int = 0) -> DataFrame:
+    """Global Moran's I spatial autocorrelation with binary queen
+    (8-neighbor) weights — GeoTrellis's ``ScalarMoransICalculation``
+    semantics (not exposed by the reference repo's Python API; raster
+    statistics breadth).
+
+        I = (n / W) * sum_i (x_i - m) * sum_j w_ij (x_j - m)
+                    / sum_i (x_i - m)^2
+
+    over valid (non-NoData) cells; w_ij = 1 for the up-to-8 valid
+    neighbors, W = total ordered valid pairs. Off-layer / NoData
+    neighbors are excluded exactly like every focal op.
+
+    Spark shape: ONE halo exchange, then the per-tile stencil emits a
+    single row of seven partial sums (s1=Σx·nsum, s2=Σnsum, s3=Σx·ncnt,
+    s4=Σncnt=W, s=Σx, ss=Σx², n) — O(tiles) rows into one global
+    aggregate, so the stat costs a focal pass plus a 7-column reduce, no
+    O(cells) shuffle. The mean is folded in afterwards via the exact
+    expansion num = s1 − m·s3 − m·s2 + m²·s4, den = ss − m·s.
+
+    Exactness window: with integer-valued cells and n a power of two
+    (m = Σx/n exact), every term above is an exactly-representable
+    double, so the result is bit-identical to an independent relational
+    recomputation regardless of aggregation order.
+
+    Returns a single row (n, w, num, den, morans_i).
+    """
+    md = layer.metadata
+    tl = md.layout.tile_layout
+    tc, tr = tl.tile_cols, tl.tile_rows
+    nd = md.nodata
+    fill = float("nan") if nd is None else float(nd)
+    base = layer.bands(band) if md.num_bands > 1 else layer
+    frag_df = halo_exchange(base.df, tc, tr, 1)
+    keys = key_cols(base.df) + ["band"]
+    queen = np.ones((3, 3), dtype=bool)
+    queen[1, 1] = False
+    schema = ("s1 double, s2 double, s3 double, s4 double, "
+              "s double, ss double, n long")
+
+    def partials(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        buf = _assemble_buffer(pdf, tc, tr, 1, fill)
+        if buf is None:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=float)
+                 for c in ["s1", "s2", "s3", "s4", "s", "ss", "n"]})
+        if nd is not None and not math.isnan(fill):
+            buf = np.where(buf == fill, np.nan, buf)
+        win = np.lib.stride_tricks.sliding_window_view(buf, (3, 3))
+        v_nb = ~np.isnan(win) & queen
+        nsum = np.where(v_nb, win, 0.0).sum(axis=(-1, -2))
+        ncnt = v_nb.sum(axis=(-1, -2)).astype(float)
+        x = buf[1:-1, 1:-1]
+        live = ~np.isnan(x)
+        xs = np.where(live, x, 0.0)
+        nsum = np.where(live, nsum, 0.0)
+        ncnt = np.where(live, ncnt, 0.0)
+        return pd.DataFrame({
+            "s1": [float((xs * nsum).sum())],
+            "s2": [float(nsum.sum())],
+            "s3": [float((xs * ncnt).sum())],
+            "s4": [float(ncnt.sum())],
+            "s": [float(xs.sum())],
+            "ss": [float((xs * xs).sum())],
+            "n": [int(live.sum())],
+        })
+
+    parts = frag_df.groupBy(*keys).applyInPandas(partials, schema=schema)
+    tot = parts.agg(
+        F.sum("s1").alias("s1"), F.sum("s2").alias("s2"),
+        F.sum("s3").alias("s3"), F.sum("s4").alias("s4"),
+        F.sum("s").alias("s"), F.sum("ss").alias("ss"),
+        F.sum("n").alias("n"),
+    )
+    m = F.col("s") / F.col("n").cast("double")
+    num = (F.col("s1") - m * F.col("s3") - m * F.col("s2")
+           + m * m * F.col("s4"))
+    den = F.col("ss") - m * F.col("s")
+    return tot.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s4").cast("bigint").alias("w"),
+        num.cast("double").alias("num"),
+        den.cast("double").alias("den"),
+        ((F.col("n").cast("double") * num) / (F.col("s4") * den))
+        .alias("morans_i"),
+    )

@@ -223,6 +223,60 @@ GROUP BY a.key_col, a.key_row, a.pos
 """
 
 
+def q_raster_focal_convolve(spark, sf_dir):
+    """Arbitrary-kernel focal convolution (integer 3x3 Gaussian) —
+    ``operators/focal.py::convolve``. Integer weights over integer-valued
+    cells keep every product and partial sum exactly representable, so
+    the halo-stencil result hash-matches the oracle's offset-join
+    recomputation bit for bit."""
+    layer = lineitem_layer(spark, sf_dir)
+    out = layer.convolve([[1, 2, 1], [2, 4, 2], [1, 2, 1]])
+    return _explode_result(out)
+
+
+SQL_RASTER_FOCAL_CONVOLVE = CELLS_CTE + """
+, k(dc, dr, w) AS (VALUES (-1,-1,1),(0,-1,2),(1,-1,1),(-1,0,2),(0,0,4),
+                          (1,0,2),(-1,1,1),(0,1,2),(1,1,1))
+SELECT a.key_col, a.key_row, a.pos, CAST(SUM(b.value * k.w) AS DOUBLE) AS value
+FROM coords a
+JOIN k ON TRUE
+JOIN coords b ON b.gcol = a.gcol + k.dc AND b.grow = a.grow + k.dr
+GROUP BY a.key_col, a.key_row, a.pos
+"""
+
+
+def q_raster_morans_i(spark, sf_dir):
+    """Global Moran's I (queen weights) — ``operators/focal.py::
+    morans_i``. One halo exchange, per-tile 7-sum partials, one global
+    reduce; integer cells + a power-of-two live-cell count make every
+    term exact, so the scalar is bit-identical to the oracle's
+    neighbor-join recomputation."""
+    layer = lineitem_layer(spark, sf_dir)
+    return layer.morans_i()
+
+
+SQL_RASTER_MORANS_I = CELLS_CTE + """
+, nb AS (
+  SELECT a.key_col, a.key_row, a.pos, a.value AS v,
+         COALESCE(SUM(b.value), 0) AS nsum, COUNT(b.value) AS ncnt
+  FROM coords a LEFT JOIN coords b
+    ON b.gcol BETWEEN a.gcol - 1 AND a.gcol + 1
+   AND b.grow BETWEEN a.grow - 1 AND a.grow + 1
+   AND NOT (b.gcol = a.gcol AND b.grow = a.grow)
+  GROUP BY a.key_col, a.key_row, a.pos, a.value
+),
+st AS (SELECT SUM(v) / COUNT(*) AS m, COUNT(*) AS n FROM nb)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(SUM(ncnt) AS BIGINT) AS w,
+       CAST(SUM((v - m) * (nsum - m * ncnt)) AS DOUBLE) AS num,
+       CAST(SUM((v - m) * (v - m)) AS DOUBLE) AS den,
+       (CAST(n AS DOUBLE) * SUM((v - m) * (nsum - m * ncnt)))
+       / (CAST(SUM(ncnt) AS DOUBLE) * SUM((v - m) * (v - m))) AS morans_i
+FROM nb, st
+GROUP BY n
+"""
+
+
 def q_raster_focal_multiband(spark, sf_dir):
     """Focal over a 2-band layer (band 0 = value, band 1 = value2): the
     halo exchange and stencil group by band, so bands convolve
@@ -8558,6 +8612,8 @@ def _canonical_queries():
         "raster_kernel_density": q_raster_kernel_density,
         "raster_region_group": q_raster_region_group,
         "raster_zonal_by_layer": q_raster_zonal_by_layer,
+        "raster_focal_convolve": q_raster_focal_convolve,
+        "raster_morans_i": q_raster_morans_i,
         "text_lsh_calibration": q_text_lsh_calibration,
         "events_user_features": q_events_user_features,
         # rotated in r6: never driver-validated (r5) + new (r6)
@@ -8852,6 +8908,8 @@ _WINDOW_ORDER: list = [
     "text_dsir_select",
     "raster_region_group",
     "raster_zonal_by_layer",
+    "raster_focal_convolve",
+    "raster_morans_i",
     "rel_merge_upsert",
     "rel_spearman",
     "vector_polygon_metrics",
@@ -9179,6 +9237,8 @@ def oracle_sql():
         "raster_kernel_density": SQL_RASTER_KERNEL_DENSITY,
         "raster_region_group": _sql_raster_region_group(),
         "raster_zonal_by_layer": SQL_RASTER_ZONAL_BY_LAYER,
+        "raster_focal_convolve": SQL_RASTER_FOCAL_CONVOLVE,
+        "raster_morans_i": SQL_RASTER_MORANS_I,
         "events_user_features": SQL_EVENTS_USER_FEATURES,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,

@@ -377,3 +377,98 @@ class TestTemporalInterpolate:
         got = sorted((r["instant"], r["cells"]) for r in out.df.collect())
         assert got[0][1] == [1.0, 2.0, 3.0, 4.0]
         assert got[1][1] == [5.0, 6.0, 7.0, 8.0]
+
+
+class TestConvolveMoransI:
+    @staticmethod
+    def _brute_convolve(grid, k, nd=np.nan):
+        r = k.shape[0] // 2
+        H, W = grid.shape
+        out = np.full_like(grid, np.nan)
+        for i in range(H):
+            for j in range(W):
+                acc, cnt = 0.0, 0
+                for di in range(-r, r + 1):
+                    for dj in range(-r, r + 1):
+                        ii, jj = i + di, j + dj
+                        w = k[di + r, dj + r]
+                        if 0 <= ii < H and 0 <= jj < W and w != 0 \
+                                and not np.isnan(grid[ii, jj]):
+                            acc += w * grid[ii, jj]
+                            cnt += 1
+                if cnt:
+                    out[i, j] = acc
+        return out
+
+    def _grid(self, layer):
+        g = np.full((10, 10), np.nan)
+        for kc, kr, _b, a in to_numpy(layer):
+            g[kr * 5:(kr + 1) * 5, kc * 5:(kc + 1) * 5] = a
+        return g
+
+    def test_convolve_matches_brute_force(self, spark):
+        md = f1_metadata()
+        rng_vals = (np.arange(100, dtype=float).reshape(10, 10) * 7 % 13)
+        rng_vals[3, 4] = -1.0  # NoData hole
+        tiles = [(kc, kr, 0, rng_vals[kr * 5:(kr + 1) * 5, kc * 5:(kc + 1) * 5].copy())
+                 for kr in range(2) for kc in range(2)]
+        layer = gps.from_numpy(spark, tiles, md)
+        k = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], dtype=float)
+        out = layer.convolve(k)
+        got = self._grid(out)
+        ref = rng_vals.copy()
+        ref[3, 4] = np.nan
+        want = self._brute_convolve(ref, k)
+        # output cell type float32ud-1.0: NoData renders as -1.0
+        want = np.where(np.isnan(want), -1.0, want)
+        np.testing.assert_array_equal(got, want)
+
+    def test_convolve_rejects_even_kernel(self, f1_layer):
+        with pytest.raises(ValueError):
+            f1_layer.convolve([[1, 1], [1, 1]])
+
+    def test_morans_i_matches_brute_force(self, spark):
+        md = f1_metadata()
+        vals = ((np.arange(100).reshape(10, 10) * 31 + 7) % 17).astype(float)
+        vals[6, 2] = -1.0  # NoData
+        tiles = [(kc, kr, 0, vals[kr * 5:(kr + 1) * 5, kc * 5:(kc + 1) * 5].copy())
+                 for kr in range(2) for kc in range(2)]
+        layer = gps.from_numpy(spark, tiles, md)
+        row = layer.morans_i().collect()[0]
+
+        g = vals.copy()
+        g[6, 2] = np.nan
+        live = ~np.isnan(g)
+        n = int(live.sum())
+        m = g[live].sum() / n
+        num = den = 0.0
+        W = 0
+        for i in range(10):
+            for j in range(10):
+                if not live[i, j]:
+                    continue
+                den += (g[i, j] - m) ** 2
+                for di in (-1, 0, 1):
+                    for dj in (-1, 0, 1):
+                        if di == 0 and dj == 0:
+                            continue
+                        ii, jj = i + di, j + dj
+                        if 0 <= ii < 10 and 0 <= jj < 10 and live[ii, jj]:
+                            num += (g[i, j] - m) * (g[ii, jj] - m)
+                            W += 1
+        assert row["n"] == n and row["w"] == W
+        assert row["num"] == pytest.approx(num, rel=1e-12)
+        assert row["den"] == pytest.approx(den, rel=1e-12)
+        assert row["morans_i"] == pytest.approx(n * num / (W * den), rel=1e-12)
+
+    def test_morans_i_checkerboard_is_negative(self, spark):
+        md = f1_metadata()
+        vals = np.indices((10, 10)).sum(axis=0) % 2 * 1.0
+        tiles = [(kc, kr, 0, vals[kr * 5:(kr + 1) * 5, kc * 5:(kc + 1) * 5].copy())
+                 for kr in range(2) for kc in range(2)]
+        layer = gps.from_numpy(spark, tiles, md)
+        row = layer.morans_i().collect()[0]
+        # queen weights see 4 same-parity diagonal neighbors per cell, so
+        # a checkerboard is only mildly dispersed (rook pairs dominate at
+        # the edges): mildly negative, exactly -1/19 on this 10x10 grid
+        assert row["morans_i"] == pytest.approx(-1 / 19, rel=1e-12)
