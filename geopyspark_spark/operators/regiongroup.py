@@ -192,3 +192,31 @@ def region_summary(layer: TiledRasterLayer, band: int = 0,
         .groupBy("region", "value")
         .agg(F.count("*").alias("n_cells"))
     )
+
+
+def sieve(layer: TiledRasterLayer, min_size: int, band: int = 0,
+          connectivity: int = 4) -> TiledRasterLayer:
+    """Speckle removal: cells in connected regions smaller than
+    ``min_size`` become NoData (the mask-variant of GDAL's
+    ``gdal_sieve``; the merge-into-neighbor variant trades determinism
+    for cosmetics and is out of scope). Classic post-classification
+    cleanup before vectorizing or area-accounting a categorical raster.
+
+    Spark shape on top of :func:`region_group` (tile-local union-find +
+    border-only label propagation): one extra window count over
+    ``region`` — a single hash shuffle keyed by region id, O(cells)
+    rows — then reassembly back to tiles. Region sizes are exact
+    integers, so the keep/drop decision is engine-independent.
+    """
+    nd = layer.metadata.nodata
+    fill = float("nan") if nd is None else float(nd)
+    rg = region_group(layer, band, connectivity)
+    from pyspark.sql import Window
+
+    n = F.count("*").over(Window.partitionBy("region"))
+    out_long = rg.select(
+        "key_col", "key_row", F.lit(band).alias("band"), "pos",
+        F.when(n >= min_size, F.col("value"))
+        .otherwise(F.lit(fill)).alias("value"),
+    )
+    return TiledRasterLayer.assemble(out_long, layer.metadata)

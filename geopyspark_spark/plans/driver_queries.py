@@ -7471,6 +7471,79 @@ FROM (VALUES {values}) t(col0, col1, col2)
 """
 
 
+def q_raster_sieve(spark, sf_dir):
+    """Sieve / speckle removal (``operators/regiongroup.py::sieve``):
+    4-connected regions of the 3-class reclassified layer smaller than
+    3 cells become NoData (-1.0). Region labeling is the two-phase
+    tile-local union-find + border propagation; the size filter is one
+    window count keyed on region. The oracle recomputes regions with
+    the same driver-side union-find and injects the dropped cell
+    coordinates as VALUES over the reclassified cells CTE."""
+    from ..operators.regiongroup import sieve
+
+    layer = lineitem_layer(spark, sf_dir).reclassify(
+        {10: 1, 25: 2, 50: 3}, strategy="LESS_THAN_OR_EQUAL")
+    return _explode_result(sieve(layer, min_size=3, connectivity=4))
+
+
+def _sql_raster_sieve(min_size: int = 3) -> str:
+    import duckdb
+
+    sf_dir = _oracle_sf_dir()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * "
+            f"FROM '{sf_dir}/lineitem.parquet'")
+    cells = con.sql(CELLS_CTE + """
+SELECT gcol, grow,
+       CAST(CASE WHEN value <= 10 THEN 1.0 WHEN value <= 25 THEN 2.0
+                 WHEN value <= 50 THEN 3.0 ELSE -1.0 END AS DOUBLE) AS cls
+FROM coords
+""").fetchall()
+    con.close()
+    width = LAYOUT_N * TILE
+    cls = {(c, r): v for c, r, v in cells}
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    for (c, r), v in cls.items():
+        parent[r * width + c] = r * width + c
+    for (c, r), v in cls.items():
+        for dc, dr in ((1, 0), (0, 1)):
+            nb = cls.get((c + dc, r + dr))
+            if nb is not None and nb == v:
+                union(r * width + c, (r + dr) * width + (c + dc))
+    from collections import Counter
+    sizes: Counter = Counter()
+    for (c, r), v in cls.items():
+        sizes[find(r * width + c)] += 1
+    dropped = sorted(
+        (c, r) for (c, r), v in cls.items()
+        if sizes[find(r * width + c)] < min_size)
+    # guard the empty-VALUES case with an off-grid sentinel
+    values = ", ".join(f"({c}, {r})" for c, r in dropped) or "(-1, -1)"
+    return CELLS_CTE + f"""
+, dropped(dc, dr) AS (VALUES {values})
+SELECT key_col, key_row, pos,
+       CAST(CASE WHEN d.dc IS NOT NULL THEN -1.0
+                 WHEN value <= 10 THEN 1.0 WHEN value <= 25 THEN 2.0
+                 WHEN value <= 50 THEN 3.0 ELSE -1.0 END AS DOUBLE) AS value
+FROM coords LEFT JOIN dropped d ON d.dc = gcol AND d.dr = grow
+"""
+
+
 def q_raster_kernel_density(spark, sf_dir):
     """Kernel density under the gate: 20 weighted points derived from
     the part table stamp a uniform disk (radius 5) onto the 32x32
@@ -8611,6 +8684,7 @@ def _canonical_queries():
         "tpch_q20_dominant": q_tpch_q20_dominant,
         "raster_kernel_density": q_raster_kernel_density,
         "raster_region_group": q_raster_region_group,
+        "raster_sieve": q_raster_sieve,
         "raster_zonal_by_layer": q_raster_zonal_by_layer,
         "raster_focal_convolve": q_raster_focal_convolve,
         "raster_morans_i": q_raster_morans_i,
@@ -8907,6 +8981,7 @@ def _canonical_queries():
 _WINDOW_ORDER: list = [
     "text_dsir_select",
     "raster_region_group",
+    "raster_sieve",
     "raster_zonal_by_layer",
     "raster_focal_convolve",
     "raster_morans_i",
@@ -9236,6 +9311,7 @@ def oracle_sql():
         "tpch_q20_dominant": SQL_TPCH_Q20_DOMINANT,
         "raster_kernel_density": SQL_RASTER_KERNEL_DENSITY,
         "raster_region_group": _sql_raster_region_group(),
+        "raster_sieve": _sql_raster_sieve(),
         "raster_zonal_by_layer": SQL_RASTER_ZONAL_BY_LAYER,
         "raster_focal_convolve": SQL_RASTER_FOCAL_CONVOLVE,
         "raster_morans_i": SQL_RASTER_MORANS_I,

@@ -89,3 +89,48 @@ class TestRegionGroup:
         got = {(r["region"], r["value"]): r["n_cells"] for r in
                region_summary(self._layer(spark, grid)).collect()}
         assert got == {(0, 2.0): 3, (2, 3.0): 1}
+
+
+class TestSieve:
+    def test_small_regions_become_nodata(self, spark):
+        from conftest import f1_metadata
+        from geopyspark_spark.operators.regiongroup import sieve
+        from geopyspark_spark.sources.numpy_source import to_numpy
+        import numpy as np
+        import geopyspark_spark as gps
+
+        md = f1_metadata()
+        # tile layout 2x2 of 5x5: one big background region of 1s, a
+        # 2-cell speck of 2s inside tile (0,0), and a 6-cell bar of 3s
+        # crossing the tile (0,0)/(1,0) border
+        g = np.ones((10, 10))
+        g[1, 1] = g[1, 2] = 2.0
+        g[7, 3:9] = 3.0
+        tiles = [(kc, kr, 0, g[kr * 5:(kr + 1) * 5, kc * 5:(kc + 1) * 5].copy())
+                 for kr in range(2) for kc in range(2)]
+        layer = gps.from_numpy(spark, tiles, md)
+        out = sieve(layer, min_size=3, connectivity=4)
+        got = np.full((10, 10), np.nan)
+        for kc, kr, _b, a in to_numpy(out):
+            got[kr * 5:(kr + 1) * 5, kc * 5:(kc + 1) * 5] = a
+        want = g.copy()
+        want[1, 1] = want[1, 2] = -1.0  # 2-cell speck dropped
+        np.testing.assert_array_equal(got, want)
+
+    def test_min_size_one_keeps_everything(self, spark):
+        from conftest import f1_metadata
+        from geopyspark_spark.operators.regiongroup import sieve
+        from geopyspark_spark.sources.numpy_source import to_numpy
+        import numpy as np
+        import geopyspark_spark as gps
+
+        md = f1_metadata()
+        g = (np.arange(100, dtype=float).reshape(10, 10) * 3) % 5
+        tiles = [(kc, kr, 0, g[kr * 5:(kr + 1) * 5, kc * 5:(kc + 1) * 5].copy())
+                 for kr in range(2) for kc in range(2)]
+        layer = gps.from_numpy(spark, tiles, md)
+        out = sieve(layer, min_size=1, connectivity=4)
+        got = np.full((10, 10), np.nan)
+        for kc, kr, _b, a in to_numpy(out):
+            got[kr * 5:(kr + 1) * 5, kc * 5:(kc + 1) * 5] = a
+        np.testing.assert_array_equal(got, g)
