@@ -4820,6 +4820,43 @@ GROUP BY c_mktsegment
 """
 
 
+def q_events_stream_enrich(spark, sf_dir):
+    """Stream-STATIC enrichment through the real streaming engine
+    (``streaming/events.py::enrich_with_dim``'s shape): readStream over
+    events, broadcast-join to the static customer dim (re-read per
+    micro-batch — the slowly-changing-dim contract), complete-mode
+    aggregate per market segment, drained by Trigger.AvailableNow.
+    Distinct from ``events_stream_join`` (stream-stream, stateful): the
+    static side needs NO watermark/state — any output mode works. The
+    oracle is the identical batch GROUP BY. Decimal-cast sum for
+    accumulation-order independence."""
+    import uuid
+
+    from ..streaming.events import read_events_stream, run_available_now
+
+    ev = read_events_stream(spark, sf_dir)
+    ev = ev.where(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+    cust = _t(spark, sf_dir, "customer")
+    j = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    )
+    out = run_available_now(agg, f"stream_enrich_{uuid.uuid4().hex[:8]}")
+    return out.select(
+        "c_mktsegment", "n_events",
+        F.col("sv").cast("double").alias("sum_value"),
+    )
+
+
+SQL_EVENTS_STREAM_ENRICH = """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def q_events_asof_join(spark, sf_dir):
     """As-of join: each purchase picks the user's latest view at-or-before
     it (union + window-fill composition — functions/relational.py); the
@@ -8664,6 +8701,7 @@ def _canonical_queries():
         "emb_int8_knn": q_emb_int8_knn,
         "events_stream_hll": q_events_stream_hll,
         "events_stream_join": q_events_stream_join,
+        "events_stream_enrich": q_events_stream_enrich,
         "emb_pq_recall": q_emb_pq_recall,
         "emb_ivf_recall": q_emb_ivf_recall,
         "multimodal_ahash": q_multimodal_ahash,
@@ -8980,6 +9018,7 @@ def _canonical_queries():
 # BEGIN WINDOW_ORDER (generated)
 _WINDOW_ORDER: list = [
     "text_dsir_select",
+    "events_stream_enrich",
     "raster_region_group",
     "raster_sieve",
     "raster_zonal_by_layer",
@@ -9294,6 +9333,7 @@ def oracle_sql():
         "emb_int8_knn": SQL_EMB_INT8_KNN,
         "events_stream_hll": SQL_EVENTS_STREAM_HLL,
         "events_stream_join": SQL_EVENTS_STREAM_JOIN,
+        "events_stream_enrich": SQL_EVENTS_STREAM_ENRICH,
         "multimodal_ahash": SQL_MULTIMODAL_AHASH,
         "rel_bloom_filter": SQL_REL_BLOOM_FILTER,
         "events_cms_counts": SQL_EVENTS_CMS_COUNTS,
