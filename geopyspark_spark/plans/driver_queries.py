@@ -4422,6 +4422,81 @@ def q_events_rollup(spark, sf_dir):
     )
 
 
+def q_events_json_props(spark, sf_dir):
+    """Semi-structured extraction: the events ``props`` JSON column
+    parsed JVM-side with ``from_json`` (schema'd, vectorized Jackson —
+    never a Python UDF), the extracted integer aggregated per event
+    type. The canonical 'the firehose carries a JSON blob' shape; all
+    outputs integer-exact."""
+    ev = _events(spark, sf_dir)
+    k = F.from_json("props", "k BIGINT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_over_50"),
+        )
+    )
+
+
+SQL_EVENTS_JSON_PROPS = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k,
+       CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_50
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
+def q_events_ohlc(spark, sf_dir):
+    """Time-bucket OHLC downsampling — the hypertable-rollup shape: per
+    (day, event_type) the first/last value by the total order
+    (ts, event_id) plus high/low/volume and an exact DECIMAL sum. The
+    open/close picks ride a min/max over a (ts, event_id, value) struct
+    — one partial+final hash aggregate, NO window shuffle; the struct
+    comparison's deterministic tie-break makes the result
+    engine-independent."""
+    ev = _events(spark, sf_dir)
+    e = ev.select(
+        F.col("ts").cast("date").alias("day"), "event_type", "ts",
+        "event_id", "value",
+    )
+    first_s = F.min(F.struct("ts", "event_id", "value"))
+    last_s = F.max(F.struct("ts", "event_id", "value"))
+    return e.groupBy("day", "event_type").agg(
+        first_s.getField("value").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        last_s.getField("value").alias("close"),
+        F.count("*").alias("volume"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+        .alias("sum_value"),
+    )
+
+
+SQL_EVENTS_OHLC = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       (MIN(struct_pack(t := ts, e := event_id, v := value))).v AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       (MAX(struct_pack(t := ts, e := event_id, v := value))).v AS close,
+       COUNT(*) AS volume,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CAST(ts AS DATE), event_type
+"""
+
+
 SQL_EVENTS_ROLLUP = """
 SELECT CAST(ts AS DATE) AS day, event_type,
        COUNT(*) AS n_events,
@@ -8710,6 +8785,8 @@ def _canonical_queries():
         "events_gap_fill": q_events_gap_fill,
         "text_temperature_mix": q_text_temperature_mix,
         "events_rollup": q_events_rollup,
+        "events_json_props": q_events_json_props,
+        "events_ohlc": q_events_ohlc,
         "events_pivot": q_events_pivot,
         "rel_profile": q_rel_profile,
         "events_scd2": q_events_scd2,
@@ -9019,6 +9096,8 @@ def _canonical_queries():
 _WINDOW_ORDER: list = [
     "text_dsir_select",
     "events_stream_enrich",
+    "events_json_props",
+    "events_ohlc",
     "raster_region_group",
     "raster_sieve",
     "raster_zonal_by_layer",
@@ -9339,6 +9418,8 @@ def oracle_sql():
         "events_cms_counts": SQL_EVENTS_CMS_COUNTS,
         "events_gap_fill": SQL_EVENTS_GAP_FILL,
         "events_rollup": SQL_EVENTS_ROLLUP,
+        "events_json_props": SQL_EVENTS_JSON_PROPS,
+        "events_ohlc": SQL_EVENTS_OHLC,
         "events_pivot": SQL_EVENTS_PIVOT,
         "rel_profile": SQL_REL_PROFILE,
         "events_scd2": SQL_EVENTS_SCD2,
