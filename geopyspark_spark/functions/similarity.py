@@ -1254,3 +1254,90 @@ def random_projection(df: DataFrame, d_in: int, d_out: int = 16,
         .select(id_col,
                 F.array(*[F.col(f"_y{k}") for k in range(d_out)]).alias("proj"))
     )
+
+
+def _int_dot(a, b):
+    """Integer dot over two BIGINT arrays — exact, order-independent."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def mmr_select(df: DataFrame, query_id: int, k: int = 8,
+               lam_num: int = 7, lam_den: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Greedy Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998): pick k items maximizing ``lam*sim(q, d) - (1-lam)*max_{s in S}
+    sim(d, s)`` — the diversity-aware selection primitive for training-
+    data curation and retrieval dedup (relevance alone returns k near-
+    copies; MMR trades it off against redundancy).
+
+    Integer contract (the engine doctrine): vectors quantize once to
+    floor(x*1e6) BIGINT; similarities are integer dot products and the
+    MMR score is ``lam_num*qsim - (lam_den-lam_num)*best`` in BIGINT, so
+    every round's argmax (ties: smallest id) is bit-reproducible on any
+    engine. The query is the corpus vector with id ``query_id`` (it
+    scores highest by construction and seeds the set).
+
+    Spark shape: the quantized corpus (id, _qv, qsim) is computed ONCE
+    and persisted; each of the k rounds is one scan + TakeOrdered(1)
+    (O(n) map-side, a 1-row driver fetch, never a full sort) with the
+    marginal term rebuilt flat from the <=k already-picked vectors as
+    plan literals — no lineage stacking, no corpus shuffle, ever. At
+    cluster scale run it over a pre-winnowed candidate pool (e.g. the
+    top-N of ``cosine_knn``) or per ``ivf_index`` cluster: greedy MMR is
+    inherently k sequential passes.
+
+    Returns the k picks in selection order:
+    (rank INT, vec_id, qsim_fp BIGINT, score_fp BIGINT).
+    """
+    spark = df.sparkSession
+    q = F.expr(
+        f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), "
+        "x -> CAST(floor(x * 1000000) AS BIGINT))"
+    )
+    qrow = df.where(F.col(id_col) == query_id).select(q.alias("_qv")).collect()
+    if not qrow:
+        raise ValueError(f"query_id {query_id} not in corpus")
+    qvec = [int(v) for v in qrow[0]["_qv"]]
+    qlit = F.array(*[F.lit(v).cast("long") for v in qvec])
+    base = (
+        df.select(F.col(id_col).alias("_id"), q.alias("_qv"))
+        .withColumn("qsim", _int_dot(F.col("_qv"), qlit))
+        .persist()
+    )
+    lam_rest = lam_den - lam_num
+    picked: list[tuple] = []   # (id, qsim, score, vec)
+    try:
+        for _ in range(k):
+            if picked:
+                best = F.greatest(*[
+                    _int_dot(F.col("_qv"),
+                             F.array(*[F.lit(v).cast("long") for v in pv]))
+                    for _pid, _qs, _sc, pv in picked
+                ]) if len(picked) > 1 else _int_dot(
+                    F.col("_qv"),
+                    F.array(*[F.lit(v).cast("long") for v in picked[0][3]]))
+                score = F.lit(lam_num) * F.col("qsim") - F.lit(lam_rest) * best
+                cand = base.where(
+                    ~F.col("_id").isin([p[0] for p in picked]))
+            else:
+                score = F.lit(lam_num) * F.col("qsim")
+                cand = base
+            row = (
+                cand.select("_id", "qsim", score.alias("score"), "_qv")
+                .orderBy(F.col("score").desc(), F.col("_id").asc())
+                .limit(1)
+                .collect()[0]
+            )
+            picked.append((row["_id"], row["qsim"], row["score"],
+                           [int(v) for v in row["_qv"]]))
+        out = spark.createDataFrame(
+            [(i + 1, p[0], p[1], p[2]) for i, p in enumerate(picked)],
+            schema=f"rank int, {id_col} long, qsim_fp long, score_fp long",
+        )
+        return out
+    finally:
+        base.unpersist()

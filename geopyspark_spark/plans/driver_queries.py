@@ -7177,6 +7177,59 @@ GROUP BY q.vec_id, k
 """
 
 
+def q_emb_mmr_select(spark, sf_dir):
+    """Greedy MMR diversified selection (Carbonell & Goldstein 1998) —
+    ``functions/similarity.py::mmr_select``. k=8 picks seeded by
+    vec_id 0's embedding, lam=0.7; all similarities are floor-quantized
+    BIGINT dots, so the greedy argmax sequence is engine-exact. The
+    oracle re-runs the identical greedy in numpy int64 and injects the
+    picks as VALUES."""
+    return fsim.mmr_select(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=8,
+        lam_num=7, lam_den=10)
+
+
+def _sql_emb_mmr_select(k: int = 8, lam_num: int = 7, lam_den: int = 10,
+                        query_id: int = 0) -> str:
+    import duckdb
+    import numpy as np
+
+    sf_dir = _oracle_sf_dir()
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = [r[0] for r in rows]
+    M = np.floor(
+        np.array([r[1] for r in rows], dtype=np.float64) * 1e6
+    ).astype(np.int64)
+    qv = M[ids.index(query_id)]
+    qsim = M @ qv
+    lam_rest = lam_den - lam_num
+    picked = []
+    best = None
+    sel = np.zeros(len(ids), dtype=bool)
+    for rnd in range(k):
+        score = lam_num * qsim - (lam_rest * best if best is not None else 0)
+        masked = np.where(sel, np.iinfo(np.int64).min, score)
+        # ids are ascending, np.argmax returns the first max => the
+        # smallest-id tie-break, matching the engine
+        i = int(np.argmax(masked))
+        sel[i] = True
+        picked.append((rnd + 1, int(ids[i]), int(qsim[i]), int(masked[i])))
+        s = M @ M[i]
+        best = s if best is None else np.maximum(best, s)
+    values = ", ".join(
+        f"({r}, {v}, {qs}, {sc})" for r, v, qs, sc in picked)
+    return f"""
+SELECT CAST(col0 AS INT) AS rank, CAST(col1 AS BIGINT) AS vec_id,
+       CAST(col2 AS BIGINT) AS qsim_fp, CAST(col3 AS BIGINT) AS score_fp
+FROM (VALUES {values}) t(col0, col1, col2, col3)
+"""
+
+
 def q_emb_pq_knn(spark, sf_dir):
     """Product-quantization ANN (ADC over m=4 x ksub=16 codes): the
     memory-compressed scan path for 100 TB embedding corpora. Integer
@@ -9004,6 +9057,7 @@ def _canonical_queries():
         "emb_kmeans": q_emb_kmeans,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "emb_random_projection": q_emb_random_projection,
+        "emb_mmr_select": q_emb_mmr_select,
         "tpch_q1": q_tpch_q1,
         "events_tumbling": q_events_tumbling,
         "raster_slope": q_raster_slope,
@@ -9118,6 +9172,7 @@ _WINDOW_ORDER: list = [
     "multimodal_patches",
     "emb_semantic_dedup",
     "emb_random_projection",
+    "emb_mmr_select",
     "text_classifier",
     "emb_pca",
     "emb_pca_variance",
@@ -9568,6 +9623,7 @@ def oracle_sql():
         "vector_shapefile": SQL_VECTOR_SHAPEFILE,
         "raster_cog_overview": SQL_RASTER_COG_OVERVIEW,
         "emb_random_projection": _sql_emb_random_projection(),
+        "emb_mmr_select": _sql_emb_mmr_select(),
     }
     # the IVF oracle reads the training rows from the oracle sf dir at
     # build time; if that path is unreachable the query degrades to a

@@ -2089,3 +2089,62 @@ class TestDsirWeights:
         out = ftext.dsir_weights(self._df(spark, rows),
                                  select_ppm=250_000).collect()
         assert sum(r["selected"] for r in out) == 2   # floor(10 * 0.25)
+
+
+class TestMmrSelect:
+    def _greedy(self, M, k, lam_num=7, lam_den=10, qidx=0):
+        import numpy as np
+
+        Mq = np.floor(M * 1e6).astype(np.int64)
+        qsim = Mq @ Mq[qidx]
+        best, sel, picks = None, np.zeros(len(Mq), bool), []
+        for _ in range(k):
+            score = lam_num * qsim - ((lam_den - lam_num) * best
+                                      if best is not None else 0)
+            masked = np.where(sel, np.iinfo(np.int64).min, score)
+            i = int(np.argmax(masked))
+            sel[i] = True
+            picks.append((int(i), int(qsim[i]), int(masked[i])))
+            s = Mq @ Mq[i]
+            best = s if best is None else np.maximum(best, s)
+        return picks
+
+    def test_mmr_matches_greedy_replica_and_diversifies(self, spark):
+        import numpy as np
+
+        from geopyspark_spark.functions.similarity import mmr_select
+
+        M = np.array([
+            [1.00, 0.00, 0.00, 0.00],   # 0: the query itself
+            [0.99, 0.10, 0.00, 0.00],   # 1: near-duplicate of 0
+            [0.98, 0.11, 0.00, 0.00],   # 2: near-duplicate of 0/1
+            [0.60, 0.70, 0.00, 0.00],   # 3: relevant but diverse
+            [0.10, 0.10, 0.90, 0.00],   # 4: off-topic
+        ])
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(M)],
+            "vec_id long, embedding array<double>")
+        # relevance-heavy (lam=0.7): engine == greedy replica bit-exactly
+        got = [(r["vec_id"], r["qsim_fp"], r["score_fp"])
+               for r in mmr_select(df, query_id=0, k=4).orderBy("rank").collect()]
+        want = self._greedy(M, 4)
+        assert got == want
+        assert got[0][0] == 0                     # pure relevance first
+        # diversity-heavy (lam=0.3): the near-duplicate cluster {0,1,2}
+        # contributes at most one member beyond the seed
+        got3 = [r["vec_id"] for r in
+                mmr_select(df, query_id=0, k=4, lam_num=3)
+                .orderBy("rank").collect()]
+        assert got3 == [p[0] for p in self._greedy(M, 4, lam_num=3)]
+        assert got3[0] == 0
+        assert sum(1 for x in got3[1:] if x in (1, 2)) <= 1
+
+    def test_mmr_unknown_query_raises(self, spark):
+        import pytest as _pt
+
+        from geopyspark_spark.functions.similarity import mmr_select
+
+        df = spark.createDataFrame(
+            [(1, [0.1, 0.2])], "vec_id long, embedding array<double>")
+        with _pt.raises(ValueError):
+            mmr_select(df, query_id=99, k=1)
