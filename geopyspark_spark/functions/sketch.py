@@ -254,3 +254,104 @@ def hll_distinct(df: DataFrame, group_cols: list[str], id_col: str,
         "hll_estimate",
         F.lit(amx) / F.col("sum_inv_scaled").cast("double"),
     )
+
+
+# --- KMV / theta sketch ----------------------------------------------------
+
+_THETA_FULL = 1 << 60  # the md5-derived hash space (60 bits)
+
+
+def _h60(id_col: str):
+    return F.expr(
+        f"CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 15), 16, 10) "
+        "AS BIGINT)"
+    )
+
+
+def theta_sketch(df: DataFrame, group_cols: list[str], id_col: str,
+                 k: int = 64) -> DataFrame:
+    """KMV ("k minimum values") theta sketch per group (Beyer et al.,
+    SIGMOD 2007): the k smallest DISTINCT 60-bit md5 hashes of
+    ``id_col``. The sketch that HLL can't replace when you need SET
+    ALGEBRA — intersections/differences of distinct sets compose from
+    the retained samples, not just union.
+
+    Integer contract: hashes are exact BIGINTs (md5 — identical bytes
+    on every engine); the sketch is the set's k order statistics, so
+    union/merge is 'k smallest of the concatenation' — associative,
+    commutative, order-independent. Estimates divide exact integers
+    once at the end.
+
+    Spark shape: one map-side-combinable ``distinct`` on (group, h) —
+    the only O(distinct) shuffle — then a per-group window keeps rank
+    <= k. At 100 TB you'd merge per-shard sketches hierarchically; the
+    definition above makes that merge exact.
+
+    Returns (group_cols..., h, rn) rows, rn = 1..k ascending by h.
+    """
+    from pyspark.sql import Window
+
+    d = df.select(*group_cols, _h60(id_col).alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def theta_estimate(sketch: DataFrame, group_cols: list[str],
+                   k: int = 64) -> DataFrame:
+    """Distinct-count estimate from a :func:`theta_sketch`: EXACT when
+    the group holds fewer than k hashes (the sketch IS the set), else
+    the KMV estimator (k-1) * 2^60 / kth_smallest — one double division
+    of exact integers, bit-identical on any engine.
+
+    Returns (group_cols..., n_sketch, theta_kth, est_distinct).
+    """
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").alias("n_sketch"), F.max("h").alias("theta_kth"))
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(_THETA_FULL))
+        / F.col("theta_kth").cast("double")
+    )
+    return agg.select(*group_cols, "n_sketch", "theta_kth",
+                      est.alias("est_distinct"))
+
+
+def theta_intersect_pair(sketch: DataFrame, group_cols: list[str],
+                         group_a, group_b, k: int = 64) -> DataFrame:
+    """Intersection estimate |A ∩ B| from two groups' KMV sketches:
+    theta = min(theta_A, theta_B) (2^60 when a side is exact), the
+    common retained hashes BELOW theta are a uniform sample of the
+    intersection at rate theta/2^60, so est = n_common * 2^60 / theta.
+    Sketches are tiny (<= k rows/group): both sides broadcast; the
+    driver never sees a hash.
+
+    Returns one row: (n_common, theta_min, est_intersect).
+    """
+    def side(g, tag):
+        s = sketch
+        for c, v in zip(group_cols, g if isinstance(g, (list, tuple)) else [g]):
+            s = s.where(F.col(c) == v)
+        th = s.agg(
+            F.when(F.count("*") < k, F.lit(_THETA_FULL).cast("long"))
+            .otherwise(F.max("h")).alias(f"theta_{tag}"))
+        return s.select(F.col("h").alias(f"h_{tag}")), th
+
+    ha, ta = side(group_a, "a")
+    hb, tb = side(group_b, "b")
+    theta = F.least(F.col("theta_a"), F.col("theta_b"))
+    common = (
+        ha.join(hb, ha.h_a == hb.h_b)
+        .crossJoin(F.broadcast(ta)).crossJoin(F.broadcast(tb))
+        .where(F.col("h_a") < theta)
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.crossJoin(F.broadcast(ta)).crossJoin(F.broadcast(tb))
+        .select(
+            "n_common",
+            theta.alias("theta_min"),
+            (F.col("n_common").cast("double") * F.lit(float(_THETA_FULL))
+             / theta.cast("double")).alias("est_intersect"),
+        )
+    )

@@ -5213,6 +5213,68 @@ SELECT o_custkey, CAST(rnk AS INT) AS rnk, o_orderkey FROM (
 """
 
 
+def q_events_theta_sketch(spark, sf_dir):
+    """KMV/theta sketch set algebra (Beyer et al. 2007;
+    ``functions/sketch.py::theta_sketch``): per-type k=64 minimum-hash
+    sketches of the purchase/view user sets, the per-set distinct
+    estimates, and the INTERSECTION estimate |purchase ∩ view| — the
+    set operation HLL cannot express. All hashes are exact md5-derived
+    BIGINTs; estimates are one double division of exact integers. The
+    oracle recomputes the identical order statistics relationally."""
+    from ..functions.sketch import (theta_estimate, theta_intersect_pair,
+                                    theta_sketch)
+
+    ev = _events(spark, sf_dir).where(
+        F.col("event_type").isin("purchase", "view"))
+    sk = theta_sketch(ev, ["event_type"], "user_id", k=64)
+    est = theta_estimate(sk, ["event_type"], k=64)
+    inter = theta_intersect_pair(sk, ["event_type"], "purchase", "view",
+                                 k=64)
+    return est.crossJoin(F.broadcast(inter))
+
+
+SQL_EVENTS_THETA_SKETCH = """
+WITH d AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+sk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM d QUALIFY rn <= 64
+),
+est AS (
+  SELECT event_type, COUNT(*) AS n_sketch, MAX(h) AS theta_kth,
+         CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE 63.0 * 1152921504606846976.0 / CAST(MAX(h) AS DOUBLE)
+         END AS est_distinct
+  FROM sk GROUP BY event_type
+),
+th AS (
+  SELECT least(
+    (SELECT CASE WHEN COUNT(*) < 64 THEN 1152921504606846976
+                 ELSE MAX(h) END FROM sk WHERE event_type = 'purchase'),
+    (SELECT CASE WHEN COUNT(*) < 64 THEN 1152921504606846976
+                 ELSE MAX(h) END FROM sk WHERE event_type = 'view')
+  ) AS theta_min
+),
+inter AS (
+  SELECT COUNT(c.h) AS n_common, th.theta_min,
+         CAST(COUNT(c.h) AS DOUBLE) * 1152921504606846976.0
+         / CAST(th.theta_min AS DOUBLE) AS est_intersect
+  FROM th LEFT JOIN (
+    SELECT a.h FROM sk a JOIN sk b
+      ON a.h = b.h AND a.event_type = 'purchase' AND b.event_type = 'view'
+  ) c ON c.h < th.theta_min
+  GROUP BY th.theta_min
+)
+SELECT est.event_type, est.n_sketch, est.theta_kth, est.est_distinct,
+       inter.n_common, inter.theta_min, inter.est_intersect
+FROM est, inter
+"""
+
+
 def q_set_intersect(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     a = orders.where(
@@ -8825,6 +8887,7 @@ def _canonical_queries():
         "text_bm25": q_text_bm25,
         "text_dsir_select": q_text_dsir_select,
         "events_hll_users": q_events_hll_users,
+        "events_theta_sketch": q_events_theta_sketch,
         "graph_triangles": q_graph_triangles,
         "emb_int8_knn": q_emb_int8_knn,
         "events_stream_hll": q_events_stream_hll,
@@ -9149,6 +9212,7 @@ def _canonical_queries():
 # BEGIN WINDOW_ORDER (generated)
 _WINDOW_ORDER: list = [
     "text_dsir_select",
+    "events_theta_sketch",
     "events_stream_enrich",
     "events_json_props",
     "events_ohlc",
@@ -9463,6 +9527,7 @@ def oracle_sql():
         "text_bm25": SQL_TEXT_BM25,
         "text_dsir_select": SQL_TEXT_DSIR_SELECT,
         "events_hll_users": SQL_EVENTS_HLL_USERS,
+        "events_theta_sketch": SQL_EVENTS_THETA_SKETCH,
         "graph_triangles": SQL_GRAPH_TRIANGLES,
         "emb_int8_knn": SQL_EMB_INT8_KNN,
         "events_stream_hll": SQL_EVENTS_STREAM_HLL,

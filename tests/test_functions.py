@@ -2148,3 +2148,49 @@ class TestMmrSelect:
             [(1, [0.1, 0.2])], "vec_id long, embedding array<double>")
         with _pt.raises(ValueError):
             mmr_select(df, query_id=99, k=1)
+
+
+class TestThetaSketch:
+    def test_exact_below_k_and_estimator_above(self, spark):
+        from geopyspark_spark.functions.sketch import (
+            theta_estimate, theta_sketch)
+
+        rows = ([("a", i) for i in range(20)]          # 20 < k: exact
+                + [("b", i) for i in range(500)])      # 500 > k: estimated
+        df = spark.createDataFrame(rows, "g string, uid long")
+        sk = theta_sketch(df, ["g"], "uid", k=64)
+        # sketch per group capped at k, ascending ranks
+        per = {r["g"]: r["n"] for r in
+               sk.groupBy("g").agg(F.count("*").alias("n")).collect()}
+        assert per == {"a": 20, "b": 64}
+        est = {r["g"]: r for r in theta_estimate(sk, ["g"], k=64).collect()}
+        assert est["a"]["est_distinct"] == 20.0       # exact path
+        # KMV with k=64 on 500 distinct: within ~3 sigma (sigma ~ n/sqrt(k))
+        assert abs(est["b"]["est_distinct"] - 500) < 3 * 500 / 8
+
+    def test_union_merge_is_k_smallest_of_concat(self, spark):
+        from geopyspark_spark.functions.sketch import theta_sketch
+
+        a = spark.createDataFrame([("x", i) for i in range(300)],
+                                  "g string, uid long")
+        b = spark.createDataFrame([("x", i) for i in range(150, 450)],
+                                  "g string, uid long")
+        union_direct = theta_sketch(a.unionByName(b), ["g"], "uid", k=32)
+        # the mergeability claim: k smallest of the union's distinct
+        # hash set == the direct sketch of the concatenation
+        direct = sorted(r["h"] for r in union_direct.collect())
+        ha = {r["h"] for r in theta_sketch(a, ["g"], "uid", k=10**9).collect()}
+        hb = {r["h"] for r in theta_sketch(b, ["g"], "uid", k=10**9).collect()}
+        assert direct == sorted(ha | hb)[:32]
+
+    def test_intersection_estimate(self, spark):
+        from geopyspark_spark.functions.sketch import (
+            theta_intersect_pair, theta_sketch)
+
+        rows = ([("p", i) for i in range(400)]
+                + [("v", i) for i in range(200, 600)])  # true overlap 200
+        df = spark.createDataFrame(rows, "g string, uid long")
+        sk = theta_sketch(df, ["g"], "uid", k=64)
+        r = theta_intersect_pair(sk, ["g"], "p", "v", k=64).collect()[0]
+        assert r["n_common"] >= 1
+        assert abs(r["est_intersect"] - 200) < 200  # loose: k=64 sampling
