@@ -9210,57 +9210,8 @@ def _canonical_queries():
 # Regenerate with ``python tools/rotate_window.py --write``; do not
 # hand-edit between the markers.
 # BEGIN WINDOW_ORDER (generated)
+_WINDOW_ORDER_ROUND: int = 9
 _WINDOW_ORDER: list = [
-    "text_dsir_select",
-    "events_theta_sketch",
-    "events_stream_enrich",
-    "events_json_props",
-    "events_ohlc",
-    "raster_region_group",
-    "raster_sieve",
-    "raster_zonal_by_layer",
-    "raster_focal_convolve",
-    "raster_morans_i",
-    "rel_merge_upsert",
-    "rel_spearman",
-    "vector_polygon_metrics",
-    "tpch_q2_min_cost",
-    "graph_kcore",
-    "graph_label_prop",
-    "graph_sssp",
-    "tpch_q11_important_stock",
-    "events_stream_topk",
-    "raster_reproject_nzmg",
-    "raster_reproject_aeqd_geodesic",
-    "raster_reproject_ntv2",
-    "multimodal_patches",
-    "emb_semantic_dedup",
-    "emb_random_projection",
-    "emb_mmr_select",
-    "text_classifier",
-    "emb_pca",
-    "emb_pca_variance",
-    "text_bpe_train",
-    "text_epoch_shards",
-    "text_token_budget_mix",
-    "raster_temporal_interpolate",
-    "raster_spacetime_series",
-    "raster_rasterize",
-    "events_asof_join",
-    "raster_focal_sum",
-    "raster_pyramid",
-    "raster_cost_distance",
-    "raster_reproject",
-    "raster_local_algebra",
-    "text_lsh_pairs",
-    "emb_near_dup_lsh",
-    "text_minhash",
-    "events_interval_join",
-    "events_anomaly",
-    "events_funnel",
-    "events_enriched_segment",
-    "tpch_q4_priority",
-    "tpch_q10_returned",
     "tpch_q14_promo",
     "window_rank",
     "raster_focal_mode",
@@ -9441,6 +9392,56 @@ _WINDOW_ORDER: list = [
     "raster_tobler",
     "raster_map_cells",
     "raster_union",
+    "text_dsir_select",
+    "events_theta_sketch",
+    "events_stream_enrich",
+    "events_json_props",
+    "events_ohlc",
+    "raster_region_group",
+    "raster_sieve",
+    "raster_zonal_by_layer",
+    "raster_focal_convolve",
+    "raster_morans_i",
+    "rel_merge_upsert",
+    "rel_spearman",
+    "vector_polygon_metrics",
+    "tpch_q2_min_cost",
+    "graph_kcore",
+    "graph_label_prop",
+    "graph_sssp",
+    "tpch_q11_important_stock",
+    "events_stream_topk",
+    "events_asof_join",
+    "raster_focal_sum",
+    "raster_pyramid",
+    "raster_cost_distance",
+    "raster_reproject",
+    "raster_reproject_nzmg",
+    "raster_reproject_aeqd_geodesic",
+    "raster_reproject_ntv2",
+    "raster_local_algebra",
+    "text_lsh_pairs",
+    "emb_near_dup_lsh",
+    "text_minhash",
+    "events_interval_join",
+    "events_anomaly",
+    "events_funnel",
+    "events_enriched_segment",
+    "tpch_q4_priority",
+    "tpch_q10_returned",
+    "multimodal_patches",
+    "emb_semantic_dedup",
+    "emb_random_projection",
+    "emb_mmr_select",
+    "text_classifier",
+    "emb_pca",
+    "emb_pca_variance",
+    "text_bpe_train",
+    "text_epoch_shards",
+    "text_token_budget_mix",
+    "raster_spacetime_series",
+    "raster_temporal_interpolate",
+    "raster_rasterize",
 ]
 # END WINDOW_ORDER
 

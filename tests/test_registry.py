@@ -32,21 +32,61 @@ def test_window_order_matches_correctness_history():
     """queries() order must equal rotate_window.compute_order() output.
 
     This is what makes the 50-entry driver window provably cycle: the
-    ordering is a pure function of the committed CORRECTNESS_r*.json
-    files, so any hand-edit of the registry order (or a forgotten
+    ordering is a pure function of the CORRECTNESS_r*.json files UP TO the
+    generation round stamped into the block (``_WINDOW_ORDER_ROUND``), so
+    any hand-edit of the registry order (or a forgotten
     ``rotate_window.py --write`` after a new CORRECTNESS file lands)
-    breaks this test instead of the rotation guarantee.
+    breaks this test instead of the rotation guarantee — while the driver
+    dropping a FRESH CORRECTNESS file at a round boundary does NOT (the
+    history it adds is newer than the stamp and is ignored).
     """
     from rotate_window import compute_order
 
     from geopyspark_spark.plans import driver_queries as dq
 
-    expected, keys = compute_order(REPO)
+    expected, keys = compute_order(REPO, max_round=dq._WINDOW_ORDER_ROUND)
     actual = list(dq.queries().keys())
     assert actual == expected, (
         "driver_queries.py window order is stale — run "
         "`python tools/rotate_window.py --write` "
         f"(first mismatch: {next((i, a, e) for i, (a, e) in enumerate(zip(actual, expected)) if a != e)})"
+    )
+
+
+def test_window_order_survives_future_correctness_drop(tmp_path):
+    """Regression for the r8/r9 round-boundary failure: a brand-new
+    CORRECTNESS_r{N+1}.json (as the driver drops, uncommitted) must NOT
+    change the order computed for the stamped round. We simulate by
+    copying the repo's CORRECTNESS history into a temp dir, adding a
+    synthetic future round that greens an arbitrary subset (which WOULD
+    rotate an unclamped order), and asserting the clamped order is
+    unchanged."""
+    import glob
+    import json
+    import shutil
+
+    from rotate_window import compute_order
+
+    from geopyspark_spark.plans import driver_queries as dq
+
+    stamp = dq._WINDOW_ORDER_ROUND
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        shutil.copy(p, tmp_path / os.path.basename(p))
+    # synthetic future round: green every query currently at the head of
+    # the window — unclamped, this rotates all of them to the tail
+    head = list(dq.queries().keys())[:50]
+    fake = {
+        n: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+        for n in head
+    }
+    (tmp_path / f"CORRECTNESS_r{stamp + 1:02d}.json").write_text(json.dumps(fake))
+
+    base, _ = compute_order(REPO, max_round=stamp)
+    clamped, _ = compute_order(str(tmp_path), max_round=stamp)
+    unclamped, _ = compute_order(str(tmp_path), max_round=None)
+    assert clamped == base, "clamped order changed under a future CORRECTNESS drop"
+    assert unclamped != base, (
+        "sanity: the synthetic future round should rotate an unclamped order"
     )
 
 

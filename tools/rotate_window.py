@@ -42,10 +42,17 @@ def is_green(rec: dict) -> bool:
     )
 
 
-def compute_order(repo_root: str = ".") -> tuple[list, dict]:
+def compute_order(repo_root: str = ".", max_round: int | None = None) -> tuple[list, dict]:
     """Deterministic registry ordering from the committed CORRECTNESS
     history. Returns (order, key_fn_results) so callers (this CLI and the
-    pin test in ``tests/test_registry.py``) share one definition."""
+    pin test in ``tests/test_registry.py``) share one definition.
+
+    ``max_round`` clamps the history: CORRECTNESS files for rounds newer
+    than it are ignored. The generated block stamps the round it was built
+    from (``_WINDOW_ORDER_ROUND``), and the pin test passes that stamp
+    here — so the driver dropping a fresh ``CORRECTNESS_r{N+1}.json`` at a
+    round boundary can no longer rotate the expected order out from under
+    the committed one (the r8/r9 structural failure)."""
     import os
 
     from geopyspark_spark.plans import driver_queries as dq
@@ -58,6 +65,8 @@ def compute_order(repo_root: str = ".") -> tuple[list, dict]:
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)", os.path.basename(path))
         rnd = int(m.group(1)) if m else 0
+        if max_round is not None and rnd > max_round:
+            continue
         data = json.load(open(path))
         for name, rec in data.items():
             if name not in idx:
@@ -77,8 +86,21 @@ def compute_order(repo_root: str = ".") -> tuple[list, dict]:
     return order, {n: key(n) for n in canonical}
 
 
+def history_max_round(repo_root: str = ".") -> int:
+    """Highest round number among CORRECTNESS_r*.json files on disk."""
+    import os
+
+    rounds = [0]
+    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds)
+
+
 def main() -> int:
-    order, keys = compute_order()
+    gen_round = history_max_round()
+    order, keys = compute_order(max_round=gen_round)
 
     def key(name: str):
         return keys[name]
@@ -87,7 +109,7 @@ def main() -> int:
     n_red = sum(1 for n in order if keys[n][0] == 1)
     print(
         f"# registry={len(order)} never-windowed={n_never} "
-        f"windowed-never-green={n_red} window={WINDOW}"
+        f"windowed-never-green={n_red} window={WINDOW} from-round={gen_round}"
     )
     print("# next window:")
     for i, n in enumerate(order[:WINDOW]):
@@ -96,7 +118,10 @@ def main() -> int:
     if "--write" in sys.argv:
         src = open(TARGET).read()
         lines = ",\n".join(f'    "{n}"' for n in order)
-        block = f"{BEGIN}\n_WINDOW_ORDER: list = [\n{lines},\n]\n{END}"
+        block = (
+            f"{BEGIN}\n_WINDOW_ORDER_ROUND: int = {gen_round}\n"
+            f"_WINDOW_ORDER: list = [\n{lines},\n]\n{END}"
+        )
         pat = re.compile(re.escape(BEGIN) + r".*?" + re.escape(END), re.S)
         new, n = pat.subn(block, src)
         if n != 1:
