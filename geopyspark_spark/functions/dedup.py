@@ -456,9 +456,25 @@ def components_from_edges(df: DataFrame, edges: DataFrame,
         # localCheckpoint doubles as persist AND lineage truncation: the
         # label table stays O(connected nodes), so eager materialization
         # per round is cheap, and the plan depth stays constant
-        updated = (
+        mins = (
             labels.unionByName(msgs)
             .groupBy("doc_id").agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        # pointer jumping (path halving): every label is itself a node
+        # id, so following the label's OWN current label contracts label
+        # chains geometrically — convergence in O(log diameter) rounds
+        # instead of O(diameter). On a region threading a 16x16 tile
+        # grid that is ~6 rounds instead of ~31; at 1000-executor scale
+        # it is the difference between a bounded round count and one
+        # that grows with raster resolution. One extra O(nodes)
+        # self-equi-join per round.
+        hop = mins.select(F.col("doc_id").alias("component"),
+                          F.col("component").alias("jump"))
+        updated = (
+            mins.join(hop, "component", "left_outer")
+            .select("doc_id",
+                    F.coalesce("jump", "component").alias("component"))
             .localCheckpoint()
         )
         changed = (

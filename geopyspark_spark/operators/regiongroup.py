@@ -4,10 +4,13 @@ regions (beyond the reference's geopyspark surface — the classic raster
 
 Two-phase, the scale-correct shape:
 
-1. **Tile-local labeling** — one ``mapInPandas`` pass runs a plain
-   union-find inside each tile (no shuffle; a tile is already one
-   row). Local labels are global cell ids (min member), so they are
-   globally unique and deterministic for free.
+1. **Tile-local labeling** — one ``mapInPandas`` pass labels each tile
+   with a run-length union-find (no shuffle; a tile is already one
+   row): rows are segmented into runs of equal value with numpy, and
+   only vertically-adjacent run PAIRS are unioned, so the Python loop
+   is per-segment (~hundreds/tile), not per-cell (~65k/tile). Local
+   labels are global cell ids (min member), so they are globally
+   unique and deterministic for free.
 2. **Boundary merge** — only cells on tile EDGES can join regions
    across tiles, so the global step works on the boundary subset:
    equi-joins on shifted global coordinates produce (label_a,
@@ -18,6 +21,12 @@ Two-phase, the scale-correct shape:
    ratio (a 256x256 tile: ~64x), and its diameter is the number of
    TILES a region spans, not the number of cells — which is what
    keeps the round count flat as resolution grows.
+
+SPACETIME layers are first-class (SURVEY §7.3: ``instant`` is an
+ordinary key column): each instant gets its own id plane
+(``ti * plane + grow * width + gcol``) and every border join carries
+the instant index, so regions NEVER merge across time. Spatial layers
+use plane 0, preserving the original ``grow * width + gcol`` labels.
 
 Final label = min global cell id of the merged region — identical to
 what a single-pass labeling would produce, engine-independent (exact
@@ -33,16 +42,35 @@ from ..layer import TiledRasterLayer
 
 
 def _label_tile(arr, base_ids, connectivity):
-    """Union-find labeling of one tile. ``arr``: (tr, tc) floats with
-    NaN as NoData; ``base_ids``: (tr, tc) global cell ids. Returns an
-    int64 (tr, tc) array of labels (min global id per local region;
-    -1 for NoData)."""
+    """Run-length union-find labeling of one tile. ``arr``: (tr, tc)
+    floats with NaN as NoData; ``base_ids``: (tr, tc) global cell ids
+    (row-major increasing). Returns an int64 (tr, tc) array of labels
+    (min global id per local region; -1 for NoData).
+
+    Vectorized: numpy segments each row into runs of equal non-NaN
+    values (horizontal adjacency is free — a run IS one region slice),
+    numpy masks find the vertically/diagonally adjacent equal-value
+    cell pairs, and the Python union-find runs only over the UNIQUE
+    segment pairs those masks induce — per-segment work, not per-cell.
+    """
     import numpy as np
 
     tr, tc = arr.shape
-    lab = base_ids.copy()
-    lab[np.isnan(arr)] = -1
-    parent = {}
+    valid = ~np.isnan(arr)
+    if not valid.any():
+        return np.full((tr, tc), -1, dtype=np.int64)
+
+    # run starts: first cell of each maximal horizontal run of equal value
+    start = np.zeros((tr, tc), dtype=bool)
+    start[:, 0] = valid[:, 0]
+    start[:, 1:] = valid[:, 1:] & (~valid[:, :-1] | (arr[:, 1:] != arr[:, :-1]))
+    seg = (np.cumsum(start.ravel()).reshape(tr, tc) - 1).astype(np.int64)
+    nseg = int(start.sum())
+    # min global id per segment = id of its first cell (ids are
+    # row-major increasing, so ``starts`` is strictly increasing too)
+    starts = base_ids.ravel()[start.ravel()]
+
+    parent = list(range(nseg))
 
     def find(x):
         r = x
@@ -52,37 +80,35 @@ def _label_tile(arr, base_ids, connectivity):
             parent[x], x = r, parent[x]
         return r
 
-    def union(a, b):
+    # vertically (and, for 8-connectivity, diagonally) adjacent
+    # equal-value cell pairs, reduced to unique segment pairs
+    masks = [
+        (valid[:-1, :] & valid[1:, :] & (arr[:-1, :] == arr[1:, :]),
+         seg[:-1, :], seg[1:, :]),
+    ]
+    if connectivity == 8:
+        masks += [
+            (valid[:-1, :-1] & valid[1:, 1:] & (arr[:-1, :-1] == arr[1:, 1:]),
+             seg[:-1, :-1], seg[1:, 1:]),
+            (valid[:-1, 1:] & valid[1:, :-1] & (arr[:-1, 1:] == arr[1:, :-1]),
+             seg[:-1, 1:], seg[1:, :-1]),
+        ]
+    pair_codes = [sa[m] * nseg + sb[m] for m, sa, sb in masks]
+    codes = np.unique(np.concatenate(pair_codes)) if pair_codes else []
+    for code in np.asarray(codes).tolist():
+        a, b = code // nseg, code % nseg
         ra, rb = find(a), find(b)
         if ra == rb:
-            return
-        if ra < rb:
-            parent[rb] = ra
+            continue
+        if ra < rb:          # union by min segment index keeps
+            parent[rb] = ra  # root = min start id = min member id
         else:
             parent[ra] = rb
+    roots = np.fromiter((find(i) for i in range(nseg)), dtype=np.int64,
+                        count=nseg)
 
-    for r in range(tr):
-        for c in range(tc):
-            if lab[r, c] >= 0:
-                parent[int(lab[r, c])] = int(lab[r, c])
-    shifts = [(0, 1), (1, 0)]
-    if connectivity == 8:
-        shifts += [(1, 1), (1, -1)]
-    for r in range(tr):
-        for c in range(tc):
-            if lab[r, c] < 0:
-                continue
-            v = arr[r, c]
-            for dr, dc in shifts:
-                r2, c2 = r + dr, c + dc
-                if 0 <= r2 < tr and 0 <= c2 < tc and lab[r2, c2] >= 0 \
-                        and arr[r2, c2] == v:
-                    union(int(lab[r, c]), int(lab[r2, c2]))
-    out = lab.copy()
-    for r in range(tr):
-        for c in range(tc):
-            if lab[r, c] >= 0:
-                out[r, c] = find(int(lab[r, c]))
+    out = np.full((tr, tc), -1, dtype=np.int64)
+    out[valid] = starts[roots[seg[valid]]]
     return out
 
 
@@ -90,11 +116,14 @@ def region_group(layer: TiledRasterLayer, band: int = 0,
                  connectivity: int = 4,
                  max_iterations: int = 64) -> DataFrame:
     """Label every cell of ``band`` with its region id: the smallest
-    global cell id (``grow * layout_width + gcol``) among the connected
-    cells of equal value. ``connectivity`` is 4 (edge-adjacent) or 8
-    (corner-adjacent too). NaN cells are excluded.
+    global cell id (``ti * plane + grow * layout_width + gcol``; plane
+    index ``ti`` is 0 for spatial layers) among the connected cells of
+    equal value. ``connectivity`` is 4 (edge-adjacent) or 8
+    (corner-adjacent too). NaN cells are excluded. On SPACETIME layers
+    each instant is labeled independently — adjacency never crosses
+    time.
 
-    Returns (key_col, key_row, pos, value, region).
+    Returns (key_col, key_row[, instant], pos, value, region).
     """
     if connectivity not in (4, 8):
         raise ValueError(f"connectivity must be 4 or 8, got {connectivity}")
@@ -106,18 +135,33 @@ def region_group(layer: TiledRasterLayer, band: int = 0,
     tl = layer.layout.tile_layout
     tc, tr = tl.tile_cols, tl.tile_rows
     width = tl.layout_cols * tc
+    plane = width * tl.layout_rows * tr
+    temporal = layer.is_temporal
+    if temporal:
+        # bounded collect: one row per distinct instant (the time-step
+        # count of the layer, never the cell count)
+        instants = sorted(
+            r["instant"] for r in layer.df.select("instant").distinct().collect()
+        )
+        t_index = {pd.Timestamp(t): i for i, t in enumerate(instants)}
+    else:
+        t_index = {}
 
     def label_part(batches):
         for pdf in batches:
             rows = {"key_col": [], "key_row": [], "pos": [], "value": [],
-                    "llabel": [], "gcol": [], "grow": []}
+                    "llabel": [], "ti": [], "gcol": [], "grow": []}
+            if temporal:
+                rows["instant"] = []
             for _, row in pdf.iterrows():
                 if row["band"] != band:
                     continue
+                ti = t_index[row["instant"]] if temporal else 0
                 arr = np.asarray(row["cells"], dtype=np.float64).reshape(tr, tc)
                 gc0 = int(row["key_col"]) * tc
                 gr0 = int(row["key_row"]) * tr
-                base = ((np.arange(tr)[:, None] + gr0) * width
+                base = (np.int64(ti) * plane
+                        + (np.arange(tr)[:, None] + gr0) * width
                         + (np.arange(tc)[None, :] + gc0)).astype(np.int64)
                 lab = _label_tile(arr, base, connectivity)
                 rr, cc = np.nonzero(lab >= 0)
@@ -126,15 +170,22 @@ def region_group(layer: TiledRasterLayer, band: int = 0,
                 rows["pos"].extend((rr * tc + cc).tolist())
                 rows["value"].extend(arr[rr, cc].tolist())
                 rows["llabel"].extend(lab[rr, cc].tolist())
+                rows["ti"].extend([ti] * len(rr))
                 rows["gcol"].extend((cc + gc0).tolist())
                 rows["grow"].extend((rr + gr0).tolist())
+                if temporal:
+                    rows["instant"].extend([row["instant"]] * len(rr))
             yield pd.DataFrame(rows)
 
-    labeled = layer.df.mapInPandas(
-        label_part,
-        schema="key_col int, key_row int, pos int, value double, "
-               "llabel long, gcol int, grow int",
-    )
+    schema = ("key_col int, key_row int, pos int, value double, "
+              "llabel long, ti int, gcol int, grow int")
+    if temporal:
+        schema += ", instant timestamp"
+    # materialize the labeling ONCE: the plan below reads it five times
+    # (two shifted sides per border join + the final label join), and
+    # without truncation each read re-runs the upstream layer build +
+    # labeling kernel — at 16x16 tiles that is ~5x the whole query cost
+    labeled = layer.df.mapInPandas(label_part, schema=schema).localCheckpoint()
     # only border cells can merge regions across tiles — the global
     # step never touches interior cells
     border = labeled.where(
@@ -150,7 +201,7 @@ def region_group(layer: TiledRasterLayer, band: int = 0,
             F.col("llabel").alias("doc_a"),
             (F.col("gcol") + dc).alias("jc"),
             (F.col("grow") + dr).alias("jr"),
-            "value",
+            "value", "ti",
             (F.col("gcol") / tc).cast("int").alias("ta"),
             (F.col("grow") / tr).cast("int").alias("ra"),
         )
@@ -158,12 +209,13 @@ def region_group(layer: TiledRasterLayer, band: int = 0,
             F.col("llabel").alias("doc_b"),
             F.col("gcol").alias("jc"),
             F.col("grow").alias("jr"),
-            "value",
+            "value", "ti",
             (F.col("gcol") / tc).cast("int").alias("tb"),
             (F.col("grow") / tr).cast("int").alias("rb"),
         )
         sides.append(
-            a.join(b, ["jc", "jr", "value"])
+            # ``ti`` in the join key: adjacency is WITHIN one instant
+            a.join(b, ["jc", "jr", "value", "ti"])
             # same-tile adjacency is already folded into llabel
             .where((F.col("ta") != F.col("tb")) | (F.col("ra") != F.col("rb")))
             .select("doc_a", "doc_b")
@@ -174,10 +226,12 @@ def region_group(layer: TiledRasterLayer, band: int = 0,
     comp = components_from_edges(
         border.select(F.col("llabel").alias("doc_id")).distinct(), edges,
         max_iterations=max_iterations)
+    out_cols = ["key_col", "key_row"] + (["instant"] if temporal else []) + [
+        "pos", "value"]
     return labeled.join(
         comp, labeled.llabel == comp.doc_id, "left_outer"
     ).select(
-        "key_col", "key_row", "pos", "value",
+        *out_cols,
         F.coalesce("component", "llabel").alias("region"),
     )
 
@@ -186,7 +240,9 @@ def region_summary(layer: TiledRasterLayer, band: int = 0,
                    connectivity: int = 4) -> DataFrame:
     """Per-region rollup of :func:`region_group`:
     (region, value, n_cells) — the compact form for region filtering
-    (e.g. drop speckle regions below a size threshold)."""
+    (e.g. drop speckle regions below a size threshold). Region ids are
+    instant-scoped on SPACETIME layers, so the rollup needs no extra
+    time column."""
     return (
         region_group(layer, band, connectivity)
         .groupBy("region", "value")
@@ -206,7 +262,9 @@ def sieve(layer: TiledRasterLayer, min_size: int, band: int = 0,
     border-only label propagation): one extra window count over
     ``region`` — a single hash shuffle keyed by region id, O(cells)
     rows — then reassembly back to tiles. Region sizes are exact
-    integers, so the keep/drop decision is engine-independent.
+    integers, so the keep/drop decision is engine-independent. Region
+    ids are instant-scoped on SPACETIME layers, so sizes never sum
+    across time.
     """
     nd = layer.metadata.nodata
     fill = float("nan") if nd is None else float(nd)
@@ -214,8 +272,10 @@ def sieve(layer: TiledRasterLayer, min_size: int, band: int = 0,
     from pyspark.sql import Window
 
     n = F.count("*").over(Window.partitionBy("region"))
+    key_cols = ["key_col", "key_row"] + (
+        ["instant"] if layer.is_temporal else [])
     out_long = rg.select(
-        "key_col", "key_row", F.lit(band).alias("band"), "pos",
+        *key_cols, F.lit(band).alias("band"), "pos",
         F.when(n >= min_size, F.col("value"))
         .otherwise(F.lit(fill)).alias("value"),
     )

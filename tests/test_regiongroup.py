@@ -90,6 +90,76 @@ class TestRegionGroup:
                region_summary(self._layer(spark, grid)).collect()}
         assert got == {(0, 2.0): 3, (2, 3.0): 1}
 
+    def _temporal_layer(self, spark, grids_by_instant):
+        """Stack the same 1-tile layout across instants."""
+        from pyspark.sql import functions as F
+
+        from geopyspark_spark.layer import TiledRasterLayer
+
+        layers = []
+        for instant, grid in grids_by_instant:
+            base = self._layer(spark, grid)
+            layers.append(base.df.withColumn(
+                "instant", F.lit(instant).cast("timestamp")))
+        df = layers[0]
+        for d in layers[1:]:
+            df = df.unionByName(d)
+        md = self._layer(spark, grids_by_instant[0][1]).metadata
+        return TiledRasterLayer(
+            df.select("key_col", "key_row", "instant", "band", "cells"), md)
+
+    def test_temporal_regions_never_merge_across_time(self, spark):
+        """Two instants, identical grids: every region must stay
+        instant-scoped (the r9 silent cross-time merge regression)."""
+        from geopyspark_spark.operators.regiongroup import (
+            region_group, region_summary)
+
+        grid = [
+            [1.0, 1.0],
+            [0.0, 1.0],
+        ]
+        layer = self._temporal_layer(
+            spark, [("2020-01-01", grid), ("2020-02-01", grid)])
+        rows = region_group(layer).collect()
+        assert len(rows) == 8 and "instant" in rows[0].asDict()
+        by_instant = {}
+        for r in rows:
+            by_instant.setdefault(str(r["instant"]), set()).add(r["region"])
+        labels = list(by_instant.values())
+        assert len(labels) == 2
+        # 2 regions per instant, fully disjoint label sets across instants
+        assert all(len(s) == 2 for s in labels)
+        assert not (labels[0] & labels[1])
+        # summary: 4 rows (2 regions x 2 instants), sizes never summed
+        got = sorted(r["n_cells"] for r in region_summary(layer).collect())
+        assert got == [1, 1, 3, 3]
+
+    def test_temporal_sieve_is_per_instant(self, spark):
+        """A region big enough only when (wrongly) merged across time
+        must still be sieved per instant."""
+        import math
+
+        from geopyspark_spark.operators.regiongroup import sieve
+
+        grid_a = [
+            [2.0, 1.0],
+            [1.0, 1.0],
+        ]
+        layer = self._temporal_layer(
+            spark, [("2020-01-01", grid_a), ("2020-02-01", grid_a)])
+        out = sieve(layer, min_size=2, connectivity=4)
+        rows = out.explode().collect()
+        # the single 2.0 cell (1 cell per instant; 2 if merged across
+        # time) must be NoData (the metadata's -1.0) at BOTH instants
+        vals = {(str(r["instant"]), r["pos"]): r["value"] for r in rows}
+        instants = sorted({k[0] for k in vals})
+        assert len(instants) == 2
+        assert all(
+            vals[(t, 0)] == -1.0 or math.isnan(vals[(t, 0)])
+            for t in instants
+        )
+        assert all(v == 1.0 for (t, p), v in vals.items() if p != 0)
+
 
 class TestSieve:
     def test_small_regions_become_nodata(self, spark):
