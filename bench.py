@@ -74,9 +74,53 @@ HEADLINE = [
 ]
 
 
+def _load1() -> float:
+    """1-minute load average (0.0 when /proc is unavailable)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except Exception:
+        return 0.0
+
+
+def _spark_procs() -> int:
+    """Count OTHER live Spark processes (JVM drivers + pyspark daemons)
+    on this host — the concurrent-load marker for bench adjudication.
+    Excludes this process tree's own pid but not its children, so a
+    clean serial run reports a small constant and a contaminated run
+    reports more (BENCH_r09 carried a +31% drift that two serial re-runs
+    disproved; these markers let a reader attribute such drift without
+    a re-run)."""
+    import glob as _glob
+
+    me = os.getpid()
+    n = 0
+    for p in _glob.glob("/proc/[0-9]*/cmdline"):
+        try:
+            pid = int(p.split("/")[2])
+            if pid == me:
+                continue
+            with open(p, "rb") as f:
+                cmd = f.read().decode("utf-8", "replace")
+        except Exception:
+            continue
+        if "org.apache.spark" in cmd or "pyspark.daemon" in cmd:
+            n += 1
+    return n
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    load_start, procs_start = _load1(), _spark_procs()
+    if load_start > 4.0:
+        print(
+            f"# WARNING: load1={load_start:.1f} at bench start "
+            f"({procs_start} other Spark processes) — timings will carry "
+            "concurrent-load inflation; prefer a quiet host (min-of-N "
+            "reduces but does not remove it)",
+            file=sys.stderr,
+        )
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry
@@ -121,8 +165,10 @@ def main():
     # operator cost.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
+    load_by_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        load_by_query[name] = _load1()
         # one untimed warm-up rep PER QUERY (round 6, VERDICT r5 #6):
         # the first execution pays plan compilation, python-worker
         # spin-up, broadcast builds, and OS page-cache misses — min-of-3
@@ -152,6 +198,20 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # host-contamination markers (VERDICT r9 #3): load1 and
+                # other-Spark-process counts at start/end, plus load1
+                # sampled at each query's start — lets a reader attribute
+                # round-over-round drift to host load without a re-run
+                # (our own session contributes ~1 JVM + pyspark daemons
+                # to the proc counts; the START count is taken before the
+                # session boots and is the cleanest contamination signal)
+                "env": {
+                    "load1_start": load_start,
+                    "load1_end": _load1(),
+                    "spark_procs_start": procs_start,
+                    "spark_procs_end": _spark_procs(),
+                    "load1_by_query": load_by_query,
+                },
             }
         )
     )

@@ -2511,12 +2511,20 @@ def _parse_proj4(s: str):
             vals += [0.0, 0.0, 0.0, 0.0]
         shift_params = tuple(vals[:7])
 
-    # a loaded NTv2 grid takes precedence over any Helmert approximation
-    # (proj semantics: +nadgrids overrides +towgs84/+datum)
-    shift = grid_shift if grid_shift is not None else (
-        Helmert(*shift_params, src_ell=ell, dst_ell=WGS84_ELL)
-        if shift_params is not None else None
-    )
+    # +nadgrids takes precedence over any Helmert approximation (proj
+    # semantics: a +nadgrids key makes the datum grid-based and +towgs84/
+    # +datum shifts are IGNORED — even when the grids resolve to the
+    # @null sentinel or to all-optional-missing entries, which mean "no
+    # datum shift", NOT "fall back to the Helmert" (ADVICE r9 medium:
+    # the fallthrough silently diverged by tens of meters for CRS
+    # strings carrying both parameters)
+    if grid_shift is not None:
+        shift = grid_shift
+    elif nadgrids:
+        shift = None
+    else:
+        shift = (Helmert(*shift_params, src_ell=ell, dst_ell=WGS84_ELL)
+                 if shift_params is not None else None)
     g = lambda k, d=0.0: float(kv.get(k, d))
     proj = kv.get("proj", "")
     if proj == "tmerc":

@@ -160,6 +160,15 @@ class NTv2Grid:
             if nrows * ncols != count:
                 raise ValueError(
                     f"NTv2: GS_COUNT {count} != grid {nrows}x{ncols}")
+            if nrows < 2 or ncols < 2:
+                # bilinear needs a 2x2 node cell: a 1-row/1-column
+                # sub-grid would clip its base index to -1 and wrap
+                # (ADVICE r9) — no published grid is degenerate, so
+                # reject at parse time rather than special-case lookup
+                raise ValueError(
+                    f"NTv2: degenerate sub-grid {nrows}x{ncols} "
+                    "(needs at least 2x2 nodes for bilinear "
+                    "interpolation)")
             need = count * 16
             if off + need > len(data):
                 raise ValueError("NTv2: truncated node block")

@@ -312,8 +312,10 @@ def label_propagation(edges: DataFrame, rounds: int = 4,
             .groupBy("n", "label")
             .agg(F.count("*").alias("cnt"))
             .groupBy("n")
-            # max over (cnt, -label): most frequent, then smallest label
-            .agg(F.expr("max_by(label, struct(cnt, -label))").alias("label"))
+            # min over (-cnt, label): most frequent, then smallest label —
+            # phrased without unary minus on the label so string node ids
+            # (accepted by pagerank/triangle_count) work too (ADVICE r9)
+            .agg(F.expr("min_by(label, struct(-cnt, label))").alias("label"))
             .select(F.col("n").alias("node"), "label")
         )
     return labels

@@ -1029,6 +1029,20 @@ def quantization_error(df: DataFrame, id_col: str = "vec_id",
 PCA_SCALE = 1_000_000
 
 
+def pca_quantize(a):
+    """1e-6 fixed-point quantization, half AWAY FROM ZERO — the same
+    rule as Spark's ``F.round`` and DuckDB's ``round`` used on the
+    projection side, so the fitted statistics and the projection input
+    are the same pure function of the data even on exact .5e-6
+    boundaries (ADVICE r9: ``np.rint`` banker's rounding disagreed
+    there). Shared by the distributed stats pass and the oracle's numpy
+    retrainer."""
+    import numpy as np
+
+    x = np.asarray(a, dtype=np.float64) * PCA_SCALE
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
 def _pca_int_sums(df: DataFrame, vec_col: str, dim: int):
     """One Arrow pass computing the EXACT integer sufficient statistics
     of the corpus: n, per-dimension sums m_i, and the upper-triangle
@@ -1044,13 +1058,9 @@ def _pca_int_sums(df: DataFrame, vec_col: str, dim: int):
     import numpy as np
     import pandas as pd
 
-    scale = PCA_SCALE
-
     def partial(batches):
         for pdf in batches:
-            E = np.rint(
-                np.stack(pdf[vec_col].to_numpy()) * scale
-            ).astype(np.int64)
+            E = pca_quantize(np.stack(pdf[vec_col].to_numpy()))
             S = E.T @ E                    # exact int64
             m = E.sum(axis=0)              # exact int64
             iu, ju = np.triu_indices(dim)
@@ -1326,12 +1336,17 @@ def mmr_select(df: DataFrame, query_id: int, k: int = 8,
             else:
                 score = F.lit(lam_num) * F.col("qsim")
                 cand = base
-            row = (
+            rows = (
                 cand.select("_id", "qsim", score.alias("score"), "_qv")
                 .orderBy(F.col("score").desc(), F.col("_id").asc())
                 .limit(1)
-                .collect()[0]
+                .collect()
             )
+            if not rows:
+                # k exceeds the candidate pool: return what exists
+                # rather than raising a bare IndexError (ADVICE r9)
+                break
+            row = rows[0]
             picked.append((row["_id"], row["qsim"], row["score"],
                            [int(v) for v in row["_qv"]]))
         out = spark.createDataFrame(
