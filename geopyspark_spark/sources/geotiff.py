@@ -12,10 +12,11 @@ Spark-native shape:
 Decode defaults: rasterio/GDAL where installed (any GDAL format, true
 partial windowed reads); otherwise the engine's pure-Python TIFF codec
 (``geotiff_codec`` — baseline strip/tile layout, none/DEFLATE/LZW/
-PackBits, horizontal predictor), so common external GeoTIFFs ingest in
-this container with zero injection. Exotic variants (JPEG-in-TIFF,
-BigTIFF, sub-byte depths) still raise a clear error at decode time —
-that remaining seam takes any ``(path, window, band) -> ndarray``.
+PackBits, horizontal predictor, baseline JPEG-in-TIFF, BigTIFF,
+sub-byte depths), so common external GeoTIFFs ingest in this container
+with zero injection. Progressive/arithmetic/12-bit JPEG still raises a
+clear error at decode time — that remaining seam takes any
+``(path, window, band) -> ndarray``.
 """
 
 from __future__ import annotations
@@ -82,8 +83,10 @@ def _resolve_default_adapters() -> tuple[Callable, Callable]:
     format GDAL reads, true partial windowed reads), else the engine's
     pure-Python TIFF codec (``geotiff_codec``: baseline strip/tile
     layout, none/DEFLATE/LZW/PackBits, horizontal predictor — the common
-    external-file baseline; exotics like JPEG-in-TIFF or BigTIFF raise a
-    clear error at decode time, the remaining injection seam)."""
+    layout, none/DEFLATE/LZW/PackBits/baseline-JPEG, horizontal
+    predictor, BigTIFF — the common external-file baseline; remaining
+    exotics such as progressive JPEG raise a clear error at decode
+    time, the remaining injection seam)."""
     try:
         import rasterio  # noqa: F401
 
@@ -160,11 +163,12 @@ def get(
     implementations when rasterio/GDAL is importable, else fall back to
     the engine's pure-Python TIFF codec
     (``sources/geotiff_codec.py::sizer``/``decoder``: baseline
-    strip/tile layouts, none/DEFLATE/LZW/PackBits compression, the
-    horizontal-differencing predictor, u/int 8–32 and float 32/64
-    samples) — so engine-written and common external GeoTIFFs decode
-    with no native dependency. Exotic external files (JPEG-compressed,
-    BigTIFF, …) still need rasterio or an injected ``decoder``.
+    strip/tile layouts, none/DEFLATE/LZW/PackBits/baseline-JPEG
+    compression, the horizontal-differencing predictor, u/int 8–32 and
+    float 32/64 samples, BigTIFF) — so engine-written and common
+    external GeoTIFFs decode with no native dependency. Remaining
+    exotics (progressive/arithmetic JPEG, …) still need rasterio or an
+    injected ``decoder``.
 
     ``layer_type="spacetime"`` (reference ``geotiff.get(layer_type=
     LayerType.SPACETIME, time_tag=..., time_format=...)``,

@@ -18,8 +18,10 @@ float64 samples, little- or big-endian classic TIFF. Enough that
 without GDAL; BigTIFF (TIFF version 43, 8-byte offsets) reads and
 writes through the same paths; PlanarConfiguration=2 (band-separate)
 and 1/2/4-bit sub-byte pages (bilevel masks, low-depth palettes)
-decode too. The one remaining exotic that wants the rasterio seam is
-JPEG-in-TIFF.
+decode too. JPEG-in-TIFF decodes through the pure baseline decoder in
+``jpeg_codec.py`` (new-style Compression=7 with shared JPEGTables, and
+old-style Compression=6 via its whole-image interchange stream);
+progressive/arithmetic/12-bit JPEG remain the rasterio seam.
 """
 
 from __future__ import annotations
@@ -42,10 +44,16 @@ _TILE_WIDTH, _TILE_LENGTH, _TILE_OFFSETS, _TILE_BYTE_COUNTS = 322, 323, 324, 325
 _MODEL_PIXEL_SCALE, _MODEL_TIEPOINT, _GEO_KEY_DIRECTORY = 33550, 33922, 34735
 _GDAL_NODATA = 42113
 _TIFF_DATETIME = 306  # ASCII "yyyy:MM:dd HH:mm:ss" (TIFF 6.0 DateTime)
+# JPEG-in-TIFF: new-style (Compression=7) shared tables + old-style
+# (Compression=6) whole-image interchange stream (TIFF TechNote 2)
+_JPEG_TABLES = 347
+_JPEG_INTERCHANGE, _JPEG_INTERCHANGE_LEN = 513, 514
 
+_TYPE_BYTE, _TYPE_UNDEFINED = 1, 7
 _TYPE_SHORT, _TYPE_LONG, _TYPE_DOUBLE, _TYPE_ASCII = 3, 4, 12, 2
 _TYPE_LONG8, _TYPE_SLONG8, _TYPE_IFD8 = 16, 17, 18  # BigTIFF (TIFF 43)
 _TYPE_SIZE = {_TYPE_SHORT: 2, _TYPE_LONG: 4, _TYPE_DOUBLE: 8, _TYPE_ASCII: 1,
+              _TYPE_BYTE: 1, _TYPE_UNDEFINED: 1,
               _TYPE_LONG8: 8, _TYPE_SLONG8: 8, _TYPE_IFD8: 8}
 
 _DTYPES = {
@@ -327,6 +335,8 @@ def _read_ifd(buf: bytes, bo: str, ifd_offset: int, big: bool = False):
             payload = buf[off:off + size]
         if typ == _TYPE_ASCII:
             tags[tag] = [payload.rstrip(b"\0").decode()]
+        elif typ in (_TYPE_BYTE, _TYPE_UNDEFINED):
+            tags[tag] = [bytes(payload)]  # raw blob (e.g. JPEGTables)
         else:
             pack = {_TYPE_SHORT: "H", _TYPE_LONG: "I", _TYPE_DOUBLE: "d",
                     _TYPE_LONG8: "Q", _TYPE_SLONG8: "q",
@@ -400,7 +410,7 @@ def _packbits_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _decompress_segment(chunk: bytes, comp: int) -> bytes:
+def _decompress_segment(chunk: bytes, comp: int, tags: dict | None = None) -> bytes:
     if comp == 1:
         return chunk
     if comp in (8, 32946):  # DEFLATE (Adobe + legacy code)
@@ -409,6 +419,27 @@ def _decompress_segment(chunk: bytes, comp: int) -> bytes:
         return _lzw_decode(chunk)
     if comp == 32773:
         return _packbits_decode(chunk)
+    if comp == 7:
+        # new-style JPEG-in-TIFF (TechNote 2): each segment is an
+        # abbreviated baseline stream; shared tables ride in tag 347.
+        # The decoder returns (h, w, comps) uint8, whose row-major
+        # band-interleaved bytes are exactly the uncompressed segment
+        # layout the strip/tile paths expect.
+        from .jpeg_codec import decode_baseline
+
+        t = tags or {}
+        jt = t.get(_JPEG_TABLES)
+        pm = int(t.get(_PHOTOMETRIC, [1])[0])
+        ycc = True if pm == 6 else (False if pm == 2 else None)
+        return decode_baseline(
+            chunk, tables=jt[0] if jt else None, ycbcr_to_rgb=ycc
+        ).tobytes()
+    if comp == 6:
+        raise ValueError(
+            "old-style JPEG-in-TIFF (Compression=6) is only supported "
+            "through its whole-image JPEGInterchangeFormat stream "
+            "(tag 513), which this file lacks; re-write with GDAL "
+            "(new-style Compression=7) or read via rasterio")
     raise ValueError(f"unsupported compression {comp}")
 
 
@@ -439,6 +470,28 @@ def _decode_page(buf: bytes, bo: str, tags: dict):
     if bits in (1, 2, 4):
         return _decode_page_subbyte(buf, tags, rows, cols, bands, comp,
                                     bits, fmt, predictor) + _page_geo(tags, rows, cols)
+    if comp == 6 and _JPEG_INTERCHANGE in tags:
+        # old-style JPEG-in-TIFF: one full interchange stream for the
+        # whole page (tags 513/514) — decode it directly, ignoring the
+        # (often bogus) strip structure, as readers are advised to
+        from .jpeg_codec import decode_baseline
+
+        off = int(tags[_JPEG_INTERCHANGE][0])
+        ln = int(tags.get(_JPEG_INTERCHANGE_LEN, [len(buf) - off])[0])
+        pm = int(tags.get(_PHOTOMETRIC, [1])[0])
+        arr = decode_baseline(
+            buf[off:off + ln],
+            ycbcr_to_rgb=True if pm == 6 else (False if pm == 2 else None))
+        if arr.shape[0] < rows or arr.shape[1] < cols:
+            raise ValueError(
+                f"old-style JPEG stream decodes {arr.shape[:2]}, "
+                f"smaller than the page {rows}x{cols}")
+        cells = np.moveaxis(arr[:rows, :cols, :], -1, 0)
+        return (cells,) + _page_geo(tags, rows, cols)
+    if comp in (6, 7) and (bits != 8 or fmt != 1):
+        raise ValueError(
+            f"JPEG-in-TIFF requires 8-bit unsigned samples, "
+            f"got bits={bits} format={fmt}")
     dtype = _FMT_DTYPE_DECODE.get((bits, fmt))
     if dtype is None:
         raise ValueError(f"unsupported sample type bits={bits} format={fmt}")
@@ -461,7 +514,7 @@ def _decode_page(buf: bytes, bo: str, tags: dict):
         for idx, (off, cnt) in enumerate(
             zip(tags[_TILE_OFFSETS], tags[_TILE_BYTE_COUNTS])
         ):
-            data = _decompress_segment(buf[int(off) : int(off) + int(cnt)], comp)
+            data = _decompress_segment(buf[int(off) : int(off) + int(cnt)], comp, tags)
             tile = np.frombuffer(data, dtype=rdtype, count=th * tw * tile_bands)
             tile = _unpredict(
                 tile.reshape(th, tw, tile_bands).astype(dtype), predictor
@@ -490,7 +543,7 @@ def _decode_page(buf: bytes, bo: str, tags: dict):
             for k in range(per_band):
                 off, cnt = offs[b * per_band + k], cnts[b * per_band + k]
                 data += _decompress_segment(
-                    buf[int(off) : int(off) + int(cnt)], comp)
+                    buf[int(off) : int(off) + int(cnt)], comp, tags)
             plane = np.frombuffer(data, dtype=rdtype, count=rows * cols).reshape(
                 rows, cols, 1
             )
@@ -498,7 +551,7 @@ def _decode_page(buf: bytes, bo: str, tags: dict):
     else:
         data = b""
         for off, cnt in zip(tags[_STRIP_OFFSETS], tags[_STRIP_BYTE_COUNTS]):
-            data += _decompress_segment(buf[int(off) : int(off) + int(cnt)], comp)
+            data += _decompress_segment(buf[int(off) : int(off) + int(cnt)], comp, tags)
         pix = np.frombuffer(data, dtype=rdtype, count=rows * cols * bands).reshape(
             rows, cols, bands
         )
@@ -572,7 +625,7 @@ def _decode_page_subbyte(buf: bytes, tags: dict, rows: int, cols: int,
         for idx, (off, cnt) in enumerate(
             zip(tags[_TILE_OFFSETS], tags[_TILE_BYTE_COUNTS])
         ):
-            seg = _decompress_segment(buf[int(off) : int(off) + int(cnt)], comp)
+            seg = _decompress_segment(buf[int(off) : int(off) + int(cnt)], comp, tags)
             tile = _expand_subbyte(seg, bits, th, tw)
             r0 = (idx // across) * th
             c0 = (idx % across) * tw
@@ -584,7 +637,7 @@ def _decode_page_subbyte(buf: bytes, tags: dict, rows: int, cols: int,
     chunks = []
     r = 0
     for off, cnt in zip(tags[_STRIP_OFFSETS], tags[_STRIP_BYTE_COUNTS]):
-        seg = _decompress_segment(buf[int(off) : int(off) + int(cnt)], comp)
+        seg = _decompress_segment(buf[int(off) : int(off) + int(cnt)], comp, tags)
         h = min(rps, rows - r)
         chunks.append(_expand_subbyte(seg, bits, h, cols))
         r += h
@@ -708,7 +761,7 @@ def decode_geotiff_window(src, window, band: int) -> np.ndarray:
             for tc in range(c0 // tw, (c0 + w - 1) // tw + 1):
                 idx = base + tr * across + tc
                 seg = _decompress_segment(
-                    rd.read(int(offs[idx]), int(cnts[idx])), comp)
+                    rd.read(int(offs[idx]), int(cnts[idx])), comp, tags)
                 tile = np.frombuffer(seg, dtype=rdtype,
                                      count=th * tw * tile_bands)
                 tile = _unpredict(
@@ -735,7 +788,7 @@ def decode_geotiff_window(src, window, band: int) -> np.ndarray:
         strip_bands = bands
     for si in range(r0 // rps, (r0 + h - 1) // rps + 1):
         seg = _decompress_segment(
-            rd.read(int(offs[base + si]), int(cnts[base + si])), comp)
+            rd.read(int(offs[base + si]), int(cnts[base + si])), comp, tags)
         sh = min(rps, rows - si * rps)
         strip = np.frombuffer(seg, dtype=rdtype, count=sh * cols * strip_bands)
         strip = _unpredict(

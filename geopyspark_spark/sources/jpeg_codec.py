@@ -1,0 +1,366 @@
+"""Baseline JPEG decoder (ITU-T T.81 sequential DCT, 8-bit, huffman) in
+pure Python/numpy — the JPEG-in-TIFF decode path of
+``sources/geotiff_codec.py`` (the reference reads these via GDAL,
+``io/geotiff/GeoTiffRDD.scala:96-164``; this engine decodes them with no
+native dependency, same as its DEFLATE/LZW/PackBits paths).
+
+Scope (what real JPEG-in-TIFF files use):
+
+- SOF0 baseline sequential DCT, 8-bit samples, huffman entropy coding
+- 1..4 components, sampling factors h, v in {1, 2} (4:4:4, 4:2:2, 4:2:0)
+- DRI/RSTn restart intervals (TIFF writers emit these per strip/tile)
+- abbreviated streams: tables-only stream (TIFF tag 347 ``JPEGTables``)
+  merged ahead of per-segment SOI..EOI image streams
+- JFIF YCbCr -> RGB conversion (the photometric=6 TIFF case)
+
+Out of scope (raises ``ValueError`` naming the feature): progressive
+(SOF2), arithmetic coding (SOF9+), 12-bit precision, hierarchical —
+none appear in GDAL-produced JPEG-in-TIFF.
+
+The IDCT is the exact float 8x8 basis product (no integer fast-DCT
+approximation), so decode error against any conformant encoder is the
+spec's rounding wiggle (±1 per sample), verified in tests by a
+round-trip against an independent test-only encoder.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# 8x8 DCT-II basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16);
+# dequantized coefficients F recover pixels as A.T @ F @ A
+_A = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+    for _x in range(8):
+        _A[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+#: zig-zag scan order: zigzag index -> (row, col) flat index
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+
+class _HuffTable:
+    """Canonical huffman table from DHT (bits[16], values): decode by
+    walking code lengths — at most 16 compare/extend steps per symbol."""
+
+    __slots__ = ("maxcode", "valptr", "mincode", "values")
+
+    def __init__(self, counts, values):
+        # ITU T.81 F.2.2.3 DECODE tables
+        code = 0
+        k = 0
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        for length in range(1, 17):
+            n = counts[length - 1]
+            if n:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += n
+                k += n
+                self.maxcode[length] = code - 1
+            code <<= 1
+        self.values = values
+
+    def decode(self, br: "_BitReader") -> int:
+        code = br.read_bit()
+        length = 1
+        while code > self.maxcode[length]:
+            if length >= 16:
+                raise ValueError("JPEG: invalid huffman code (ran past 16 bits)")
+            code = (code << 1) | br.read_bit()
+            length += 1
+        return self.values[self.valptr[length] + code - self.mincode[length]]
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    stuffing; stops at any non-RST marker."""
+
+    __slots__ = ("data", "pos", "bitbuf", "bitcnt")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.bitcnt = 0
+
+    def read_bit(self) -> int:
+        if self.bitcnt == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG: entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1          # stuffed 0xFF data byte
+                elif 0xD0 <= nxt <= 0xD7:
+                    # restart marker reached mid-read: callers handle
+                    # restarts explicitly; hitting one here is an error
+                    raise ValueError("JPEG: unexpected RST inside a block")
+                else:
+                    # next marker (EOI/next segment): entropy data is
+                    # over — further reads see zero padding
+                    self.pos -= 1
+                    self.bitbuf = 0
+                    self.bitcnt = 7
+                    return 0
+            self.bitbuf = b
+            self.bitcnt = 8
+        self.bitcnt -= 1
+        return (self.bitbuf >> self.bitcnt) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_expect_rst(self, idx: int) -> None:
+        """Byte-align and consume the next RSTn marker (T.81 E.1.4)."""
+        self.bitcnt = 0
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d):
+            if d[p] == 0xFF and d[p + 1] != 0x00:
+                break
+            p += 1
+        if p + 1 >= len(d) or not (0xD0 <= d[p + 1] <= 0xD7):
+            raise ValueError("JPEG: missing restart marker")
+        if d[p + 1] != 0xD0 + (idx & 7):
+            raise ValueError(
+                f"JPEG: restart marker out of order "
+                f"(got {d[p + 1]:#x}, want {0xD0 + (idx & 7):#x})")
+        self.pos = p + 2
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the t-bit magnitude to its signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+class _Component:
+    __slots__ = ("cid", "h", "v", "tq", "td", "ta", "pred")
+
+    def __init__(self, cid, h, v, tq):
+        self.cid, self.h, self.v, self.tq = cid, h, v, tq
+        self.td = self.ta = 0
+        self.pred = 0
+
+
+class _JpegState:
+    """Mutable decoder state: tables persist across abbreviated streams
+    (TIFF JPEGTables followed by per-segment scans)."""
+
+    def __init__(self):
+        self.qt: dict[int, np.ndarray] = {}
+        self.huff_dc: dict[int, _HuffTable] = {}
+        self.huff_ac: dict[int, _HuffTable] = {}
+        self.restart_interval = 0
+
+    # ---- marker segment parsers -------------------------------------
+    def read_tables(self, data: bytes, pos: int, end: int) -> int:
+        """Consume marker segments from ``pos`` until SOF/SOS/EOI;
+        returns the position OF that stopping marker."""
+        while pos + 1 < end:
+            if data[pos] != 0xFF:
+                raise ValueError(f"JPEG: expected marker at {pos}")
+            m = data[pos + 1]
+            if m == 0xD8:                     # SOI
+                pos += 2
+                continue
+            if m in (0xD9,):                  # EOI
+                return pos
+            if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                return pos                    # SOFn
+            if m == 0xDA:                     # SOS
+                return pos
+            ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+            seg = data[pos + 4:pos + 2 + ln]
+            if m == 0xDB:
+                self._dqt(seg)
+            elif m == 0xC4:
+                self._dht(seg)
+            elif m == 0xDD:
+                self.restart_interval = struct.unpack(">H", seg[:2])[0]
+            # APPn / COM / others: skip
+            pos += 2 + ln
+        return pos
+
+    def _dqt(self, seg: bytes) -> None:
+        i = 0
+        while i < len(seg):
+            pq, tq = seg[i] >> 4, seg[i] & 15
+            i += 1
+            if pq == 0:
+                tbl = np.frombuffer(seg[i:i + 64], dtype=np.uint8).astype(
+                    np.float64)
+                i += 64
+            elif pq == 1:
+                tbl = np.frombuffer(seg[i:i + 128], dtype=">u2").astype(
+                    np.float64)
+                i += 128
+            else:
+                raise ValueError(f"JPEG: DQT precision {pq}")
+            q = np.zeros(64)
+            q[ZIGZAG] = tbl
+            self.qt[tq] = q.reshape(8, 8)
+
+    def _dht(self, seg: bytes) -> None:
+        i = 0
+        while i < len(seg):
+            tc, th = seg[i] >> 4, seg[i] & 15
+            counts = list(seg[i + 1:i + 17])
+            n = sum(counts)
+            values = list(seg[i + 17:i + 17 + n])
+            i += 17 + n
+            tbl = _HuffTable(counts, values)
+            (self.huff_dc if tc == 0 else self.huff_ac)[th] = tbl
+
+
+def _decode_block(br: _BitReader, comp: _Component, st: _JpegState) -> np.ndarray:
+    """One 8x8 block: huffman DC diff + AC run-lengths -> dequantized
+    spatial samples (float, pre-level-shift)."""
+    dc_tbl = st.huff_dc.get(comp.td)
+    ac_tbl = st.huff_ac.get(comp.ta)
+    q = st.qt.get(comp.tq)
+    if dc_tbl is None or ac_tbl is None or q is None:
+        raise ValueError("JPEG: scan references an undefined table")
+    coef = np.zeros(64)
+    t = dc_tbl.decode(br)
+    comp.pred += _extend(br.receive(t), t)
+    coef[0] = comp.pred
+    k = 1
+    while k < 64:
+        rs = ac_tbl.decode(br)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16                      # ZRL
+                continue
+            break                            # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG: AC index ran past 63")
+        coef[ZIGZAG[k]] = _extend(br.receive(s), s)
+        k += 1
+    blk = coef.reshape(8, 8) * q
+    return _A.T @ blk @ _A
+
+
+def decode_baseline(data: bytes, tables: bytes | None = None,
+                    ycbcr_to_rgb: bool | None = None) -> np.ndarray:
+    """Decode one baseline JPEG stream to (rows, cols, ncomp) uint8.
+
+    ``tables`` is an optional abbreviated tables-only stream (TIFF tag
+    347 ``JPEGTables``) whose DQT/DHT/DRI are loaded first — per-segment
+    streams in JPEG-in-TIFF typically carry only SOI+SOS.
+    ``ycbcr_to_rgb``: None = convert when the image has exactly 3
+    components (the JFIF default); True/False force it (the TIFF layer
+    passes photometric: 6 -> True, 2 -> False).
+    """
+    st = _JpegState()
+    if tables:
+        st.read_tables(tables, 0, len(tables))
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("JPEG: missing SOI")
+    pos = st.read_tables(data, 0, len(data))
+    if pos + 1 >= len(data):
+        raise ValueError("JPEG: no frame header (tables-only stream?)")
+    m = data[pos + 1]
+    if m != 0xC0:
+        names = {0xC1: "extended sequential (SOF1)",
+                 0xC2: "progressive (SOF2)", 0xC3: "lossless (SOF3)",
+                 0xC9: "arithmetic extended (SOF9)",
+                 0xCA: "arithmetic progressive (SOF10)"}
+        raise ValueError(
+            f"JPEG: only baseline SOF0 is supported, got "
+            f"{names.get(m, f'marker {m:#x}')}")
+    ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+    seg = data[pos + 4:pos + 2 + ln]
+    precision = seg[0]
+    if precision != 8:
+        raise ValueError(f"JPEG: {precision}-bit precision (only 8 supported)")
+    rows, cols = struct.unpack(">HH", seg[1:5])
+    ncomp = seg[5]
+    comps: list[_Component] = []
+    for i in range(ncomp):
+        cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+        h, v = hv >> 4, hv & 15
+        if h not in (1, 2) or v not in (1, 2):
+            raise ValueError(f"JPEG: sampling {h}x{v} unsupported (1,2 only)")
+        comps.append(_Component(cid, h, v, tq))
+    pos += 2 + ln
+
+    # scan header
+    pos = st.read_tables(data, pos, len(data))
+    if pos + 1 >= len(data) or data[pos + 1] != 0xDA:
+        raise ValueError("JPEG: expected SOS after frame header")
+    ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+    seg = data[pos + 4:pos + 2 + ln]
+    ns = seg[0]
+    if ns != ncomp:
+        raise ValueError("JPEG: multi-scan (non-interleaved) not supported")
+    by_id = {c.cid: c for c in comps}
+    for i in range(ns):
+        cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+        by_id[cs].td, by_id[cs].ta = tdta >> 4, tdta & 15
+    pos += 2 + ln
+
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcux = (cols + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (rows + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcuy * c.v * 8, mcux * c.h * 8)) for c in comps]
+
+    br = _BitReader(data, pos)
+    ri = st.restart_interval
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            mcu_i = my * mcux + mx
+            if ri and mcu_i and mcu_i % ri == 0:
+                br.align_and_expect_rst(rst)
+                rst += 1
+                for c in comps:
+                    c.pred = 0
+            for ci, c in enumerate(comps):
+                for by in range(c.v):
+                    for bx in range(c.h):
+                        blk = _decode_block(br, c, st)
+                        r0 = (my * c.v + by) * 8
+                        c0 = (mx * c.h + bx) * 8
+                        planes[ci][r0:r0 + 8, c0:c0 + 8] = blk
+
+    # upsample subsampled planes to full resolution (sample replication,
+    # the TIFF/JFIF box default), crop to the frame dims, level-shift
+    out = np.empty((rows, cols, ncomp))
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c.h != hmax:
+            p = np.repeat(p, hmax // c.h, axis=1)
+        if c.v != vmax:
+            p = np.repeat(p, vmax // c.v, axis=0)
+        out[:, :, ci] = p[:rows, :cols] + 128.0
+
+    if ycbcr_to_rgb is None:
+        ycbcr_to_rgb = ncomp == 3
+    if ycbcr_to_rgb and ncomp == 3:
+        y, cb, cr = out[:, :, 0], out[:, :, 1] - 128.0, out[:, :, 2] - 128.0
+        out = np.stack([
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ], axis=-1)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)

@@ -1,0 +1,264 @@
+"""Test-only baseline JPEG ENCODER (ITU T.81 Annex K tables) used to
+exercise the engine's pure decoder (`sources/jpeg_codec.py`) without
+Pillow/libjpeg in the container. Lives in tests/ on purpose: the
+shipped package only decodes. Independent implementation: forward DCT
++ quantize + canonical huffman from the spec, so a decoder bug cannot
+be masked by a mirrored encoder bug (the coefficient path is exercised
+end-to-end and the pixel round-trip must land within the quantization
+error bound)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from geopyspark_spark.sources.jpeg_codec import ZIGZAG, _A
+
+# T.81 Annex K.1 luminance / chrominance quantization tables (quality 50)
+QLUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]).reshape(8, 8)
+QCHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]).reshape(8, 8)
+
+# T.81 Annex K.3 typical huffman tables: (bits[16], values)
+DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+          list(range(12)))
+DC_CHROM = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+            list(range(12)))
+AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _codes(counts, values):
+    """Canonical huffman code assignment: value -> (code, length)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)      # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def pad(self):
+        while self.n:
+            self.write(1, 1)                   # pad with 1-bits (T.81 F.1.2.3)
+
+
+def _magnitude(v):
+    """(size, bits) encoding of a signed coefficient value."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    return size, (v if v > 0 else v + (1 << size) - 1)
+
+
+def _seg(marker, payload):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _dqt_seg(tid, q):
+    z = np.empty(64, dtype=np.uint8)
+    z[:] = q.reshape(-1)[ZIGZAG]
+    return _seg(0xDB, bytes([tid]) + z.tobytes())
+
+
+def _dht_seg(tc, th, table):
+    counts, values = table
+    return _seg(0xC4, bytes([tc << 4 | th]) + bytes(counts) + bytes(values))
+
+
+def _encode_block(bw, block, q, dcmap, acmap, pred):
+    coef = _A @ (block - 128.0) @ _A.T
+    quant = np.rint(coef / q).astype(np.int64)
+    zz = quant.reshape(-1)[ZIGZAG]
+    size, bits = _magnitude(int(zz[0]) - pred)
+    c, ln = dcmap[size]
+    bw.write(c, ln)
+    bw.write(bits, size)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = acmap[0xF0]
+            bw.write(c, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        c, ln = acmap[(run << 4) | size]
+        bw.write(c, ln)
+        bw.write(bits, size)
+        run = 0
+    if last < 63:
+        c, ln = acmap[0x00]                    # EOB
+        bw.write(c, ln)
+    return int(zz[0])
+
+
+def encode_baseline(img: np.ndarray, subsample=(1, 1), restart_interval=0,
+                    abbreviated=False):
+    """Encode (rows, cols) grayscale or (rows, cols, 3) YCbCr-input RGB
+    to a baseline JPEG. ``subsample=(h,v)`` applies to the two chroma
+    components (luma is (h,v)-scaled up, i.e. (2,2) = 4:2:0).
+    ``abbreviated=True`` returns (tables_stream, image_stream) — the
+    TIFF JPEGTables split; otherwise one interchange stream."""
+    img = np.asarray(img, dtype=np.float64)
+    gray = img.ndim == 2
+    rows, cols = img.shape[:2]
+    hs, vs = subsample if not gray else (1, 1)
+
+    if gray:
+        planes = [img]
+        samp = [(1, 1)]
+        qts = [0]
+    else:
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        # box-average subsample the chroma planes
+        def sub(p):
+            if hs == 1 and vs == 1:
+                return p
+            rr = (rows + vs - 1) // vs * vs
+            cc = (cols + hs - 1) // hs * hs
+            pad = np.pad(p, ((0, rr - rows), (0, cc - cols)), mode="edge")
+            return pad.reshape(rr // vs, vs, cc // hs, hs).mean(axis=(1, 3))
+        planes = [y, sub(cb), sub(cr)]
+        samp = [(hs, vs), (1, 1), (1, 1)]
+        qts = [0, 1, 1]
+
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcux = (cols + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (rows + 8 * vmax - 1) // (8 * vmax)
+
+    # pad planes to whole MCUs (edge replicate)
+    padded = []
+    for p, (h, v) in zip(planes, samp):
+        pr = mcuy * v * 8
+        pc = mcux * h * 8
+        padded.append(np.pad(p, ((0, pr - p.shape[0]), (0, pc - p.shape[1])),
+                             mode="edge"))
+
+    tables = (
+        _dqt_seg(0, QLUM)
+        + (_dqt_seg(1, QCHROM) if not gray else b"")
+        + _dht_seg(0, 0, DC_LUM) + _dht_seg(1, 0, AC_LUM)
+        + ((_dht_seg(0, 1, DC_CHROM) + _dht_seg(1, 1, AC_CHROM))
+           if not gray else b"")
+        + (_seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    )
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", rows, cols) + bytes([ncomp])
+    for i in range(ncomp):
+        h, v = samp[i]
+        sof += bytes([i + 1, (h << 4) | v, qts[i]])
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+
+    dcmaps = [_codes(*DC_LUM)] + [_codes(*DC_CHROM)] * (ncomp - 1)
+    acmaps = [_codes(*AC_LUM)] + [_codes(*AC_CHROM)] * (ncomp - 1)
+    qs = [QLUM] + [QCHROM] * (ncomp - 1)
+
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            mcu_i = my * mcux + mx
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.pad()
+                bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                h, v = samp[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        r0 = (my * v + by) * 8
+                        c0 = (mx * h + bx) * 8
+                        blk = padded[ci][r0:r0 + 8, c0:c0 + 8]
+                        preds[ci] = _encode_block(
+                            bw, blk, qs[ci], dcmaps[ci], acmaps[ci],
+                            preds[ci])
+    bw.pad()
+    scan = bytes(bw.out)
+
+    soi, eoi = b"\xff\xd8", b"\xff\xd9"
+    body = _seg(0xC0, sof) + b"\xff\xda" + struct.pack(
+        ">H", len(sos) + 2) + sos + scan
+    if abbreviated:
+        return soi + tables + eoi, soi + body + eoi
+    return soi + tables + body + eoi

@@ -1214,3 +1214,183 @@ class TestPartialWindowDecode:
         buf = helper._planar2_strips(pix, comp=8, rps=5)
         got = geotiff_codec.decode_geotiff_window(buf, (1, 2, 5, 9), 2)
         np.testing.assert_array_equal(got, pix[2:11, 1:6, 2])
+
+
+def _write_tiff_jpeg(pix, tile=None, rows_per_strip=None, old_style=False,
+                     subsample=(1, 1)):
+    """Independent JPEG-in-TIFF writer (test-only): new-style
+    Compression=7 with shared JPEGTables (tag 347) per-segment
+    abbreviated streams, or old-style Compression=6 with one
+    whole-image interchange stream (tags 513/514)."""
+    import struct as _s
+    import sys as _sys
+    import os as _os
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from jpeg_testenc import encode_baseline
+
+    rows, cols, bands = pix.shape
+    assert pix.dtype == np.uint8 and bands in (1, 3)
+    photometric = 6 if bands == 3 else 1
+
+    def enc(arr):
+        img = arr[:, :, 0].astype(float) if bands == 1 else arr.astype(float)
+        return encode_baseline(img, subsample=subsample, abbreviated=True)
+
+    segs, tables = [], None
+    if old_style:
+        img = pix[:, :, 0].astype(float) if bands == 1 else pix.astype(float)
+        interchange = encode_baseline(img, subsample=subsample)
+        segs = [interchange]
+    elif tile is not None:
+        tw, th = tile
+        for r0 in range(0, rows, th):
+            for c0 in range(0, cols, tw):
+                h, w = min(th, rows - r0), min(tw, cols - c0)
+                # edge-replicate ragged tiles (what GDAL does): zero
+                # padding would bleed DCT ringing into real pixels
+                t = np.pad(pix[r0:r0 + h, c0:c0 + w],
+                           ((0, th - h), (0, tw - w), (0, 0)), mode="edge")
+                tables, scan = enc(t)
+                segs.append(scan)
+    else:
+        rps = rows_per_strip or rows
+        for r0 in range(0, rows, rps):
+            tables, scan = enc(pix[r0:r0 + rps])
+            segs.append(scan)
+
+    data = b""
+    seg_offsets, seg_counts = [], []
+    base = 8
+    for s in segs:
+        seg_offsets.append(base + len(data))
+        seg_counts.append(len(s))
+        data += s + (b"\0" if len(s) % 2 else b"")
+
+    TYPE_ASCII, TYPE_SHORT, TYPE_LONG, TYPE_UNDEF = 2, 3, 4, 7
+    comp = 6 if old_style else 7
+    entries = [
+        (256, TYPE_LONG, [cols]),
+        (257, TYPE_LONG, [rows]),
+        (258, TYPE_SHORT, [8] * bands),
+        (259, TYPE_SHORT, [comp]),
+        (262, TYPE_SHORT, [photometric]),
+        (277, TYPE_SHORT, [bands]),
+        (284, TYPE_SHORT, [1]),
+        (339, TYPE_SHORT, [1] * bands),
+    ]
+    if old_style:
+        entries += [
+            (273, TYPE_LONG, seg_offsets),
+            (278, TYPE_LONG, [rows]),
+            (279, TYPE_LONG, seg_counts),
+            (513, TYPE_LONG, [seg_offsets[0]]),
+            (514, TYPE_LONG, [seg_counts[0]]),
+        ]
+    else:
+        if tile is not None:
+            entries += [
+                (322, TYPE_LONG, [tile[0]]),
+                (323, TYPE_LONG, [tile[1]]),
+                (324, TYPE_LONG, seg_offsets),
+                (325, TYPE_LONG, seg_counts),
+            ]
+        else:
+            entries += [
+                (273, TYPE_LONG, seg_offsets),
+                (278, TYPE_LONG, [rows_per_strip or rows]),
+                (279, TYPE_LONG, seg_counts),
+            ]
+        entries.append((347, TYPE_UNDEF, b"\xff\xd8" + tables + b"\xff\xd9"))
+    entries.sort(key=lambda e: e[0])
+
+    size_of = {TYPE_SHORT: 2, TYPE_LONG: 4, TYPE_UNDEF: 1}
+    pack_of = {TYPE_SHORT: "H", TYPE_LONG: "I"}
+    aux = bytearray()
+    aux_base = 8 + len(data)
+    placed = []
+    for tag, typ, vals in entries:
+        if typ == TYPE_UNDEF:
+            payload, count = bytes(vals), len(vals)
+        else:
+            payload = b"".join(_s.pack("<" + pack_of[typ], v) for v in vals)
+            count = len(vals)
+        if len(payload) <= 4:
+            placed.append((tag, typ, count, payload.ljust(4, b"\0")))
+        else:
+            placed.append((tag, typ, count,
+                           _s.pack("<I", aux_base + len(aux))))
+            aux += payload
+            if len(aux) % 2:
+                aux += b"\0"
+    ifd_offset = aux_base + len(aux)
+    ifd = _s.pack("<H", len(placed))
+    for tag, typ, count, val in placed:
+        ifd += _s.pack("<HHI", tag, typ, count) + val
+    ifd += _s.pack("<I", 0)
+    return _s.pack("<2sHI", b"II", 42, ifd_offset) + data + bytes(aux) + ifd
+
+
+class TestJpegInTiff:
+    """JPEG-in-TIFF decode (VERDICT r9 #6 — the last external-decode
+    class): new-style Compression=7 strips/tiles with shared JPEGTables,
+    old-style Compression=6 interchange stream, grayscale and 4:2:0
+    YCbCr. Tolerances are the baseline-JPEG quantization bound, not
+    exactness — the encoder is an independent test-only implementation."""
+
+    def _smooth_gray(self, rows, cols):
+        r, c = np.mgrid[0:rows, 0:cols]
+        return (np.clip((np.sin(r / 9.0) + np.cos(c / 7.0)) * 60 + 128,
+                        0, 255)).astype(np.uint8)[:, :, None]
+
+    def test_new_style_strips_gray(self):
+        pix = self._smooth_gray(40, 33)
+        buf = _write_tiff_jpeg(pix, rows_per_strip=16)
+        cells, _, _, _ = geotiff_codec.decode_geotiff(buf)
+        assert cells.shape == (1, 40, 33) and cells.dtype == np.uint8
+        assert np.abs(cells[0].astype(float) - pix[:, :, 0]).max() <= 4
+
+    def test_new_style_tiles_gray(self):
+        pix = self._smooth_gray(37, 29)
+        buf = _write_tiff_jpeg(pix, tile=(16, 16))
+        cells, _, _, _ = geotiff_codec.decode_geotiff(buf)
+        assert cells.shape == (1, 37, 29)
+        assert np.abs(cells[0].astype(float) - pix[:, :, 0]).max() <= 4
+
+    def test_new_style_ycbcr_420(self):
+        r, c = np.mgrid[0:32, 0:32]
+        pix = np.stack([
+            np.clip(100 + r * 2, 0, 255),
+            np.clip(80 + c * 2, 0, 255),
+            np.clip(120 + r + c, 0, 255),
+        ], axis=-1).astype(np.uint8)
+        buf = _write_tiff_jpeg(pix, tile=(16, 16), subsample=(2, 2))
+        cells, _, _, _ = geotiff_codec.decode_geotiff(buf)
+        assert cells.shape == (3, 32, 32)
+        got = np.moveaxis(cells, 0, -1).astype(float)
+        assert np.abs(got - pix.astype(float)).max() <= 12
+
+    def test_old_style_interchange(self):
+        pix = self._smooth_gray(24, 24)
+        buf = _write_tiff_jpeg(pix, old_style=True)
+        cells, _, _, _ = geotiff_codec.decode_geotiff(buf)
+        assert cells.shape == (1, 24, 24)
+        assert np.abs(cells[0].astype(float) - pix[:, :, 0]).max() <= 4
+
+    def test_windowed_read_jpeg_tiles(self, tmp_path):
+        pix = self._smooth_gray(37, 29)
+        buf = _write_tiff_jpeg(pix, tile=(16, 16))
+        p = tmp_path / "j.tif"
+        p.write_bytes(buf)
+        geotiff_codec.clear_decode_cache()
+        got = geotiff_codec.decode_geotiff_window(str(p), (5, 7, 11, 13), 0)
+        full, _, _, _ = geotiff_codec.decode_geotiff(buf)
+        np.testing.assert_array_equal(got, full[0, 7:20, 5:16])
+
+    def test_unsupported_jpeg_flavors_raise(self):
+        pix = self._smooth_gray(16, 16)
+        buf = bytearray(_write_tiff_jpeg(pix, rows_per_strip=16))
+        j = bytes(buf).index(b"\xff\xc0")
+        buf[j + 1] = 0xC2
+        with pytest.raises(ValueError, match="progressive"):
+            geotiff_codec.decode_geotiff(bytes(buf))

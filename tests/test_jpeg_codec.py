@@ -1,0 +1,101 @@
+"""Baseline JPEG decoder tests (``sources/jpeg_codec.py``) against the
+independent test-only encoder in ``jpeg_testenc.py``. Tolerances are
+the Annex-K quality-50 quantization error bound — DC-only images decode
+exactly, textured ones within a few levels, chroma-subsampled color
+within the subsampling loss."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from jpeg_testenc import encode_baseline  # noqa: E402
+
+from geopyspark_spark.sources.jpeg_codec import decode_baseline  # noqa: E402
+
+
+class TestGray:
+    def test_solid_block_exact(self):
+        out = decode_baseline(encode_baseline(np.full((8, 8), 200.0)))
+        assert out.shape == (8, 8, 1)
+        np.testing.assert_array_equal(out[:, :, 0], np.full((8, 8), 200,
+                                                            np.uint8))
+
+    def test_gradient_non_multiple_of_8(self):
+        r, c = np.mgrid[0:24, 0:17]
+        img = np.clip((r * 5 + c * 3) % 200 + 20.0, 0, 255)
+        out = decode_baseline(encode_baseline(img))
+        assert out.shape == (24, 17, 1)
+        assert np.abs(out[:, :, 0].astype(float) - img).max() <= 3
+
+    def test_smooth_field(self):
+        r, c = np.mgrid[0:40, 0:33]
+        img = np.clip((np.sin(r / 9.0) + np.cos(c / 7.0)) * 60 + 128, 0, 255)
+        out = decode_baseline(encode_baseline(img))
+        # float input vs uint8 output adds up to 0.5 to the quant bound
+        assert np.abs(out[:, :, 0].astype(float) - img).max() <= 5
+
+
+class TestColor:
+    def test_ycbcr_444(self):
+        r, c = np.mgrid[0:16, 0:16]
+        rgb = np.clip(np.stack([100 + r * 2, 80 + c * 2, 120 + r + c],
+                               axis=-1), 0, 255).astype(float)
+        out = decode_baseline(encode_baseline(rgb))
+        assert out.shape == (16, 16, 3)
+        assert np.abs(out.astype(float) - rgb).max() <= 6
+
+    def test_ycbcr_420_subsampled(self):
+        r, c = np.mgrid[0:32, 0:32]
+        rgb = np.clip(np.stack([100 + r * 2, 80 + c * 2, 120 + r + c],
+                               axis=-1), 0, 255).astype(float)
+        out = decode_baseline(encode_baseline(rgb, subsample=(2, 2)))
+        assert out.shape == (32, 32, 3)
+        assert np.abs(out.astype(float) - rgb).max() <= 12
+
+    def test_ycbcr_conversion_can_be_disabled(self):
+        rgb = np.full((8, 8, 3), 128.0)
+        raw = decode_baseline(encode_baseline(rgb), ycbcr_to_rgb=False)
+        # Y=128, Cb=Cr=128 for mid-gray input
+        assert np.abs(raw.astype(float) - 128).max() <= 2
+
+
+class TestStreamFeatures:
+    def _img(self):
+        r, c = np.mgrid[0:40, 0:33]
+        return np.clip((r * 7 + c * 5) % 180 + 30.0, 0, 255)
+
+    def test_restart_intervals_match_plain(self):
+        img = self._img()
+        ref = decode_baseline(encode_baseline(img))
+        rst = decode_baseline(encode_baseline(img, restart_interval=2))
+        np.testing.assert_array_equal(ref, rst)
+
+    def test_abbreviated_tables_stream(self):
+        img = self._img()
+        ref = decode_baseline(encode_baseline(img))
+        tables, scan = encode_baseline(img, abbreviated=True)
+        got = decode_baseline(
+            scan, tables=b"\xff\xd8" + tables + b"\xff\xd9")
+        np.testing.assert_array_equal(ref, got)
+
+    def test_progressive_raises(self):
+        buf = bytearray(encode_baseline(self._img()))
+        j = bytes(buf).index(b"\xff\xc0")
+        buf[j + 1] = 0xC2
+        with pytest.raises(ValueError, match="progressive"):
+            decode_baseline(bytes(buf))
+
+    def test_missing_soi_raises(self):
+        with pytest.raises(ValueError, match="SOI"):
+            decode_baseline(b"\x00\x01\x02\x03")
+
+    def test_truncated_raises(self):
+        buf = encode_baseline(self._img())
+        with pytest.raises(ValueError):
+            decode_baseline(buf[: len(buf) // 4])
