@@ -980,6 +980,31 @@ class TestSilentFallbackGuards:
                 "+ellps=clrk66 +nadgrids=ntv2_0.gsb",
             )
 
+    def test_null_nadgrids_overrides_towgs84(self):
+        """ADVICE r9 (medium): +nadgrids=@null with a +towgs84 on the
+        same string means NO datum shift (PROJ's nadgrids-over-towgs84
+        precedence) — the Helmert must NOT silently apply."""
+        base = ("+proj=longlat +ellps=bessel "
+                "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7")
+        lon = np.array([10.0]); lat = np.array([50.0])
+        # with the Helmert: coordinates move by hundreds of meters
+        hx, hy = get_transform(base, "epsg:4326")(lon, lat)
+        assert abs(hx[0] - 10.0) > 1e-5 or abs(hy[0] - 50.0) > 1e-5
+        # +nadgrids=@null: identical ellipsoidal coords pass through
+        nx, ny = get_transform(base + " +nadgrids=@null", "epsg:4326")(lon, lat)
+        np.testing.assert_allclose(nx, lon, atol=1e-12)
+        np.testing.assert_allclose(ny, lat, atol=1e-12)
+
+    def test_list_null_fallthrough_overrides_towgs84(self):
+        """'missing-optional.gsb,null' resolves to the null shift, not
+        to the +towgs84 Helmert (the r9 fallthrough)."""
+        base = ("+proj=longlat +ellps=bessel +towgs84=598.1,73.7,418.2 "
+                "+nadgrids=@no_such_grid.gsb,null")
+        lon = np.array([10.0]); lat = np.array([50.0])
+        nx, ny = get_transform(base, "epsg:4326")(lon, lat)
+        np.testing.assert_allclose(nx, lon, atol=1e-12)
+        np.testing.assert_allclose(ny, lat, atol=1e-12)
+
 
 class TestCassiniSoldner:
     """EPSG method 9806, GN7-2 worked example: Trinidad 1903 / Trinidad

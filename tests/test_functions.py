@@ -1925,6 +1925,18 @@ class TestLabelPropagation:
                label_propagation(e, rounds=1).collect()}
         assert got[2] == 1
 
+    def test_string_node_ids(self, spark):
+        """ADVICE r9: the tie-break must not apply unary minus to the
+        label — string ids (accepted by pagerank/triangle_count) must
+        work and still break ties to the smallest label."""
+        from geopyspark_spark.functions.graph import label_propagation
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string")
+        got = {r["node"]: r["label"] for r in
+               label_propagation(e, rounds=1).collect()}
+        assert got["b"] == "a"
+
 
 class TestBoundedSssp:
     def _d(self, rows):
@@ -2148,6 +2160,17 @@ class TestMmrSelect:
             [(1, [0.1, 0.2])], "vec_id long, embedding array<double>")
         with _pt.raises(ValueError):
             mmr_select(df, query_id=99, k=1)
+
+    def test_mmr_k_exceeding_pool_returns_all(self, spark):
+        """ADVICE r9: k > corpus must return the available picks, not
+        raise a bare IndexError on the exhausted round."""
+        from geopyspark_spark.functions.similarity import mmr_select
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.8, 0.2]), (3, [0.1, 0.9])],
+            "vec_id long, embedding array<double>")
+        rows = mmr_select(df, query_id=1, k=10).orderBy("rank").collect()
+        assert [r["vec_id"] for r in rows] == [1, 2, 3] or len(rows) == 3
 
 
 class TestThetaSketch:

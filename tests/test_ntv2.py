@@ -62,6 +62,20 @@ class TestNTv2Parse:
         with pytest.raises(ValueError, match="GS_COUNT"):
             NTv2Grid.parse(bytes(buf))
 
+    @pytest.mark.parametrize("shape", [(1, 3), (3, 1), (1, 1)])
+    def test_degenerate_subgrid_rejected(self, shape):
+        """ADVICE r9: a 1-row/1-column sub-grid would clip its bilinear
+        base index to -1 and wrap — reject at parse time."""
+        nrows, ncols = shape
+        inc = 1800.0
+        sub = _smooth_grid()
+        sub["n_lat"] = sub["s_lat"] + (nrows - 1) * inc
+        sub["w_long"] = sub["e_long"] + (ncols - 1) * inc
+        sub["dlat"] = sub["dlat"][:nrows, :ncols]
+        sub["dlon"] = sub["dlon"][:nrows, :ncols]
+        with pytest.raises(ValueError, match="degenerate"):
+            NTv2Grid.parse(encode_ntv2([sub]))
+
 
 class TestNTv2Shift:
     def setup_method(self):
