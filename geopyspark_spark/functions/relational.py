@@ -345,3 +345,41 @@ def spearman(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         F.col("n"),
         F.when((vx > 0) & (vy > 0), num / F.sqrt(vx * vy)).alias("rho"),
     )
+
+
+def decayed_sum(df: DataFrame, partition_cols, order_cols,
+                value_col: str = "value", depth: int = 8,
+                out_col: str = "decayed") -> DataFrame:
+    """Exponentially-decayed running sum with half-life 1 step over the
+    last ``depth`` rows: ``sum_k value[n-k] * 2^-k`` — the bounded-
+    memory EWMA variant used for feature pipelines (recency-weighted
+    activity, momentum features) where results must be engine-exact.
+
+    Why this is oracle-exact where a classic infinite EWMA is not:
+    every weight is a power of two (scaling a double by 2^-k is exact),
+    the term count is a fixed literal ``depth``, and the addition order
+    is the literal left-to-right chain — identical in any engine. A
+    multiplicative-recurrence EWMA accumulates rounding that depends on
+    history length; this one never does.
+
+    Spark shape: ONE window (hash shuffle on the partition key + sort),
+    ``depth`` lag() expressions inside a single whole-stage-codegen
+    projection — no self-join, no Python, no per-row state. At 100 TB
+    the cost is exactly one repartition-by-key, the floor for any
+    ordered per-key computation.
+    """
+    from pyspark.sql import Window
+
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    partition_cols = ([partition_cols] if isinstance(partition_cols, str)
+                      else list(partition_cols))
+    order_cols = ([order_cols] if isinstance(order_cols, str)
+                  else list(order_cols))
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    expr = F.col(value_col).cast("double")
+    for k in range(1, depth):
+        expr = expr + F.coalesce(
+            F.lag(F.col(value_col).cast("double"), k).over(w),
+            F.lit(0.0)) * F.lit(float(2.0 ** -k))
+    return df.withColumn(out_col, expr)

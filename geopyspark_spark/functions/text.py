@@ -1113,3 +1113,60 @@ def token_budget_mix(df: DataFrame, budgets: dict[str, int],
         .drop("h", "_budget")
     )
     return out
+
+
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", chunk_words: int = 8) -> DataFrame:
+    """Corpus-wide exact line/paragraph deduplication — the C4-style
+    cleanup that removes boilerplate repeated ACROSS documents while
+    keeping each document's first-occurrence copy. Documents here have
+    no newline structure, so a "line" is a run of ``chunk_words``
+    consecutive words (the fixed-window variant used when source
+    formatting is unreliable).
+
+    Semantics: chunk every document in word order; a chunk is kept iff
+    its (doc_id, chunk_pos) is the global FIRST occurrence of that
+    exact chunk text (ordered by doc id, then position); each document
+    is reassembled from its kept chunks in order.
+
+    Spark shape: split/posexplode (one scan), ONE hash shuffle keyed by
+    chunk text (row_number window — the same partition-by-content shape
+    as exact dedup, skew-bounded by chunk frequency), one group-back by
+    doc. No Python, no join: at 100 TB the chunk-text shuffle is the
+    cost, exactly as in production line-dedup.
+
+    Returns (id, text, n_chunks, n_kept) for documents with >= 1 kept
+    chunk; ``text`` is the deduplicated reassembly.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    nchunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunks = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.transform(
+                F.sequence(F.lit(0), nchunks - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * chunk_words + 1, chunk_words), " "),
+            )).alias("pos", "chunk"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("chunk").orderBy(id_col, "pos"))
+    kept = chunks.withColumn("rn", rn)
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("rn") == 1,
+                               F.struct("pos", "chunk")))),
+                    lambda s: s.chunk),
+                " ").alias("text"),
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        )
+        .where(F.col("n_kept") > 0)
+    )

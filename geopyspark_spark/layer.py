@@ -430,6 +430,11 @@ class TiledRasterLayer:
 
         return focal.morans_i(self, band)
 
+    def flow_direction(self) -> "TiledRasterLayer":
+        from .operators import focal
+
+        return focal.flow_direction(self)
+
     def slope(self, zfactor: float = 1.0, zfactor_calculator=None) -> "TiledRasterLayer":
         from .operators import focal
 

@@ -437,6 +437,52 @@ def hillshade(layer: "TiledRasterLayer", azimuth: float = 315.0, altitude: float
     return _run_kernel(base, 1, kernel, out_cell_type="int16")
 
 
+def flow_direction(layer: "TiledRasterLayer") -> "TiledRasterLayer":
+    """D8 flow direction (ESRI/GDAL hydrology codes: E=1, SE=2, S=4,
+    SW=8, W=16, NW=32, N=64, NE=128; flat or pit = 0) — the first step
+    of the watershed/flow-accumulation family (GeoTrellis ships the
+    hydrology package on the Scala side; the reference's Python API
+    does not expose it, so this is parity breadth).
+
+    Each cell drains to the steepest DOWNWARD neighbor, drop/distance
+    with distance 1 (cardinal) or sqrt(2) (diagonal). The comparison is
+    done in exact integer form for integer-valued cells: cardinal drop
+    a beats diagonal drop b iff 2*a^2 > b^2 (cross-multiplied squares,
+    no irrational constant touches the compare), so the result is
+    bit-identical on any engine — the oracle-determinism contract of
+    every focal op here. Ties break to the SMALLEST direction code.
+    NoData center stays NoData; NoData/off-layer neighbors are ignored.
+
+    Spark shape: one halo exchange + one Arrow stencil, identical to
+    ``slope``/``aspect``.
+    """
+    # (code, drow, dcol, weight): weight multiplies drop^2 in the
+    # compare key — 2 for cardinal (dist 1), 1 for diagonal (dist
+    # sqrt2), since (a/1 > b/sqrt2) <=> (2 a^2 > b^2) for a, b > 0.
+    # Ascending code order makes "strictly greater replaces" break
+    # ties to the smallest code.
+    dirs = [
+        (1, 0, 1, 2), (2, 1, 1, 1), (4, 1, 0, 2), (8, 1, -1, 1),
+        (16, 0, -1, 2), (32, -1, -1, 1), (64, -1, 0, 2), (128, -1, 1, 1),
+    ]
+
+    def kernel(buf: np.ndarray) -> np.ndarray:
+        z = buf[1:-1, 1:-1]
+        best_key = np.zeros(z.shape)
+        out = np.zeros(z.shape)
+        for code, dr, dc, wgt in dirs:
+            zn = buf[1 + dr:buf.shape[0] - 1 + dr, 1 + dc:buf.shape[1] - 1 + dc]
+            drop = z - zn
+            key = np.where(np.isnan(zn) | (drop <= 0), 0.0,
+                           wgt * drop * drop)
+            take = key > best_key
+            best_key = np.where(take, key, best_key)
+            out = np.where(take, float(code), out)
+        return np.where(np.isnan(z), np.nan, out)
+
+    return _run_kernel(layer, 1, kernel)
+
+
 def convolve(layer: "TiledRasterLayer", kernel_weights) -> "TiledRasterLayer":
     """Focal convolution with an arbitrary odd-square weight kernel — the
     desktop-GIS/GeoTrellis ``Convolve``/``Kernel`` map-algebra op (the

@@ -8064,11 +8064,11 @@ def q_raster_morans_i_big(spark, sf_dir):
         .where((F.col("pos") < BIG_TILE * BIG_TILE)
                & (F.col("key_col") < 2) & (F.col("key_row") < 2))
     )
-    grid = (
-        spark.range(2).select(F.col("id").cast("int").alias("key_col"))
-        .crossJoin(spark.range(2).select(F.col("id").cast("int").alias("key_row")))
-        .crossJoin(spark.range(BIG_TILE * BIG_TILE)
-                   .select(F.col("id").cast("int").alias("pos")))
+    npos = BIG_TILE * BIG_TILE
+    grid = spark.range(2 * 2 * npos).select(
+        (F.col("id") / (2 * npos)).cast("int").alias("key_col"),
+        ((F.col("id") / npos) % 2).cast("int").alias("key_row"),
+        (F.col("id") % npos).cast("int").alias("pos"),
     )
     full = grid.join(cells.select("key_col", "key_row", "pos", "value"),
                      ["key_col", "key_row", "pos"], "left_outer").select(
@@ -8117,6 +8117,163 @@ SELECT CAST(n AS BIGINT) AS n,
        / (CAST(SUM(ncnt) AS DOUBLE) * SUM((v - m) * (v - m))) AS morans_i
 FROM nb, st
 GROUP BY n
+"""
+
+
+def q_raster_flow_direction(spark, sf_dir):
+    """D8 flow direction (``operators/focal.py::flow_direction``):
+    every cell drains to its steepest-descent neighbor, ESRI power-of-2
+    codes, flat/pit = 0. The steepness compare is cross-multiplied
+    integer squares (2*a^2 vs b^2 — no sqrt(2) in the compare), so the
+    codes are engine-exact; the oracle recomputes with a neighbor join
+    + per-cell argmax under the identical integer key."""
+    layer = lineitem_layer(spark, sf_dir)
+    return _explode_result(layer.flow_direction())
+
+
+SQL_RASTER_FLOW_DIRECTION = CELLS_CTE + """
+, nb AS (
+  SELECT a.key_col, a.key_row, a.pos,
+         CASE WHEN b.grow = a.grow AND b.gcol = a.gcol + 1 THEN 1
+              WHEN b.grow = a.grow + 1 AND b.gcol = a.gcol + 1 THEN 2
+              WHEN b.grow = a.grow + 1 AND b.gcol = a.gcol THEN 4
+              WHEN b.grow = a.grow + 1 AND b.gcol = a.gcol - 1 THEN 8
+              WHEN b.grow = a.grow AND b.gcol = a.gcol - 1 THEN 16
+              WHEN b.grow = a.grow - 1 AND b.gcol = a.gcol - 1 THEN 32
+              WHEN b.grow = a.grow - 1 AND b.gcol = a.gcol THEN 64
+              ELSE 128 END AS code,
+         CASE WHEN a.value - b.value <= 0 THEN 0
+              WHEN b.grow = a.grow OR b.gcol = a.gcol
+              THEN 2 * (a.value - b.value) * (a.value - b.value)
+              ELSE (a.value - b.value) * (a.value - b.value)
+         END AS dkey
+  FROM coords a JOIN coords b
+    ON b.gcol BETWEEN a.gcol - 1 AND a.gcol + 1
+   AND b.grow BETWEEN a.grow - 1 AND a.grow + 1
+   AND NOT (b.gcol = a.gcol AND b.grow = a.grow)
+)
+SELECT key_col, key_row, pos,
+       CAST(CASE WHEN dkey > 0 THEN code ELSE 0 END AS DOUBLE) AS value
+FROM (
+  SELECT key_col, key_row, pos, code, dkey,
+         row_number() OVER (PARTITION BY key_col, key_row, pos
+                            ORDER BY dkey DESC, code ASC) AS rn
+  FROM nb
+) WHERE rn = 1
+"""
+
+
+HAMMING_QUERY_IDS = [1, 2, 3, 4, 5, 6, 7, 8]
+
+
+def q_emb_hamming_knn(spark, sf_dir):
+    """Binary-quantized ANN (``similarity.py::hamming_knn``): sign bits
+    packed 32/BIGINT word (pure Catalyst, zero-shuffle), Hamming top-5
+    per query via popcount-of-XOR in whole-stage codegen — the 64x-
+    compressed first-stage filter of billion-scale ANN. Exact integer
+    distances, ties to the neighbor id; the oracle repacks and rescans
+    relationally."""
+    from ..functions import similarity as fsim
+
+    return fsim.hamming_knn(
+        _t(spark, sf_dir, "embeddings"), HAMMING_QUERY_IDS, k=5, dim=64)
+
+
+def _sql_emb_hamming_knn() -> str:
+    qlist = ", ".join(str(q) for q in HAMMING_QUERY_IDS)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bits AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN i <= 32 AND v[i] > 0
+                       THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)
+              AS BIGINT) AS w0,
+         CAST(SUM(CASE WHEN i > 32 AND v[i] > 0
+                       THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END)
+              AS BIGINT) AS w1
+  FROM e, range(1, 65) r(i)
+  GROUP BY vec_id
+),
+q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM bits
+      WHERE vec_id IN ({qlist})),
+d AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         bit_count(xor(b.w0, q.q0)) + bit_count(xor(b.w1, q.q1)) AS dist
+  FROM bits b JOIN q ON b.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, CAST(dist AS INT) AS dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist, neighbor_id) AS rn
+  FROM d
+) WHERE rn <= 5
+"""
+
+
+def q_text_line_dedup(spark, sf_dir):
+    """Corpus-wide exact line dedup (``text.py::line_dedup``, the
+    C4-style cross-document boilerplate removal): 8-word chunks, global
+    first occurrence kept (by doc id then position), documents
+    reassembled from their kept chunks. One content-keyed shuffle, no
+    Python; the oracle replays the identical chunk/window/reassembly in
+    SQL."""
+    from ..functions.text import line_dedup
+
+    return line_dedup(_t(spark, sf_dir, "documents"), chunk_words=8)
+
+
+SQL_TEXT_LINE_DEDUP = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(ws[(i * 8 + 1):(i * 8 + 8)], ' ') AS chunk
+  FROM (SELECT doc_id, ws,
+               unnest(range(CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS i
+        FROM t)
+),
+k AS (
+  SELECT *, row_number() OVER (PARTITION BY chunk
+                               ORDER BY doc_id, pos) AS rn
+  FROM c
+)
+SELECT doc_id,
+       string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos) AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM k
+GROUP BY doc_id
+HAVING SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+"""
+
+
+EWMA_DEPTH = 8
+
+
+def q_events_ewma(spark, sf_dir):
+    """Bounded-depth exponentially-decayed sum per user
+    (``relational.py::decayed_sum``): sum_k value[n-k] * 2^-k over the
+    last 8 events ordered by (ts, event_id). Power-of-two weights and a
+    literal left-to-right addition chain make every value engine-exact
+    — the oracle is the same 8-term lag chain in SQL."""
+    from ..functions.relational import decayed_sum
+
+    ev = _events(spark, sf_dir)
+    return decayed_sum(
+        ev, "user_id", ["ts", "event_id"], "value", depth=EWMA_DEPTH,
+    ).select("event_id", "user_id", "decayed")
+
+
+def _sql_events_ewma() -> str:
+    terms = ["CAST(value AS DOUBLE)"]
+    for k in range(1, EWMA_DEPTH):
+        w = repr(2.0 ** -k)
+        terms.append(f"COALESCE(lag(value, {k}) OVER w, 0) * {w}")
+    chain = "\n       + ".join(terms)
+    return f"""
+SELECT event_id, user_id,
+       {chain} AS decayed
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
@@ -9549,6 +9706,11 @@ def _canonical_queries():
         "raster_region_group_big": q_raster_region_group_big,
         "raster_focal_convolve_big": q_raster_focal_convolve_big,
         "raster_morans_i_big": q_raster_morans_i_big,
+        # r10: D8 hydrology, binary ANN, C4-style line dedup, exact EWMA
+        "raster_flow_direction": q_raster_flow_direction,
+        "emb_hamming_knn": q_emb_hamming_knn,
+        "text_line_dedup": q_text_line_dedup,
+        "events_ewma": q_events_ewma,
     }
 
 
@@ -9572,6 +9734,10 @@ _WINDOW_ORDER: list = [
     "raster_region_group_big",
     "raster_focal_convolve_big",
     "raster_morans_i_big",
+    "raster_flow_direction",
+    "emb_hamming_knn",
+    "text_line_dedup",
+    "events_ewma",
     "tpch_q14_promo",
     "window_rank",
     "raster_focal_mode",
@@ -9919,6 +10085,10 @@ def oracle_sql():
         "raster_region_group_big": _sql_raster_region_group_big(),
         "raster_focal_convolve_big": SQL_RASTER_FOCAL_CONVOLVE_BIG,
         "raster_morans_i_big": SQL_RASTER_MORANS_I_BIG,
+        "raster_flow_direction": SQL_RASTER_FLOW_DIRECTION,
+        "emb_hamming_knn": _sql_emb_hamming_knn(),
+        "text_line_dedup": SQL_TEXT_LINE_DEDUP,
+        "events_ewma": _sql_events_ewma(),
         "raster_zonal_by_layer": SQL_RASTER_ZONAL_BY_LAYER,
         "raster_focal_convolve": SQL_RASTER_FOCAL_CONVOLVE,
         "raster_morans_i": SQL_RASTER_MORANS_I,

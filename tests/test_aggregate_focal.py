@@ -472,3 +472,57 @@ class TestConvolveMoransI:
         # a checkerboard is only mildly dispersed (rook pairs dominate at
         # the edges): mildly negative, exactly -1/19 on this 10x10 grid
         assert row["morans_i"] == pytest.approx(-1 / 19, rel=1e-12)
+
+
+class TestFlowDirection:
+    def test_d8_codes_and_tie_break(self, spark):
+        import numpy as np
+
+        import geopyspark_spark as gps
+        from geopyspark_spark.sources.numpy_source import to_numpy
+
+        # 3x3 plateau with a single low corner: center drains SE (2);
+        # the low corner itself is a pit (0)
+        g = np.array([
+            [9.0, 9.0, 9.0],
+            [9.0, 9.0, 9.0],
+            [9.0, 9.0, 1.0],
+        ])
+        layout = gps.LayoutDefinition(
+            gps.Extent(0, 0, 3, 3), gps.TileLayout(1, 1, 3, 3))
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64", layout=layout,
+            bounds=((0, 0), (0, 0)), extent=layout.extent, num_bands=1)
+        layer = gps.from_numpy(spark, [(0, 0, 0, g)], md)
+        out = {}
+        for kc, kr, _b, a in to_numpy(layer.flow_direction()):
+            out = a
+        assert out[1, 1] == 2.0          # steepest descent SE
+        assert out[2, 2] == 0.0          # pit
+        assert out[1, 2] == 4.0          # drains S to the corner
+        assert out[2, 1] == 1.0          # drains E to the corner
+        # flat plateau corner: no positive drop -> 0
+        assert out[0, 0] == 0.0
+
+    def test_cardinal_beats_equal_diagonal_drop(self, spark):
+        import numpy as np
+
+        import geopyspark_spark as gps
+        from geopyspark_spark.sources.numpy_source import to_numpy
+
+        # equal drop 4 east (cardinal) and southeast (diagonal):
+        # cardinal wins (2*16 > 16)
+        g = np.array([
+            [9.0, 9.0, 9.0],
+            [9.0, 9.0, 5.0],
+            [9.0, 9.0, 5.0],
+        ])
+        layout = gps.LayoutDefinition(
+            gps.Extent(0, 0, 3, 3), gps.TileLayout(1, 1, 3, 3))
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64", layout=layout,
+            bounds=((0, 0), (0, 0)), extent=layout.extent, num_bands=1)
+        layer = gps.from_numpy(spark, [(0, 0, 0, g)], md)
+        for kc, kr, _b, a in to_numpy(layer.flow_direction()):
+            out = a
+        assert out[1, 1] == 1.0          # E (cardinal) beats SE tie

@@ -2217,3 +2217,116 @@ class TestThetaSketch:
         r = theta_intersect_pair(sk, ["g"], "p", "v", k=64).collect()[0]
         assert r["n_common"] >= 1
         assert abs(r["est_intersect"] - 200) < 200  # loose: k=64 sampling
+
+
+class TestHammingKnn:
+    def test_pack_sign_bits_values(self, spark):
+        from geopyspark_spark.functions.similarity import pack_sign_bits
+
+        df = spark.createDataFrame(
+            [(1, [1.0] * 64), (2, [-1.0] * 64),
+             (3, [1.0, -1.0] * 32)],
+            "vec_id long, embedding array<double>")
+        got = {r["vec_id"]: (r["w0"], r["w1"])
+               for r in pack_sign_bits(df, dim=64).collect()}
+        assert got[1] == (2**32 - 1, 2**32 - 1)
+        assert got[2] == (0, 0)
+        # alternating +,- starting positive: even bits set
+        alt = sum(1 << j for j in range(0, 32, 2))
+        assert got[3] == (alt, alt)
+
+    def test_hamming_knn_exact_distances(self, spark):
+        from geopyspark_spark.functions.similarity import hamming_knn
+
+        base = [1.0] * 64
+        def flip(n):  # flip the first n dims negative
+            v = list(base)
+            for i in range(n):
+                v[i] = -1.0
+            return v
+        df = spark.createDataFrame(
+            [(0, base), (1, flip(1)), (2, flip(2)), (3, flip(5))],
+            "vec_id long, embedding array<double>")
+        rows = hamming_knn(df, [0], k=3, dim=64).collect()
+        got = [(r["neighbor_id"], r["dist"]) for r in
+               sorted(rows, key=lambda r: r["dist"])]
+        assert got == [(1, 1), (2, 2), (3, 5)]
+
+    def test_missing_query_raises(self, spark):
+        import pytest as _pt
+
+        from geopyspark_spark.functions.similarity import hamming_knn
+
+        df = spark.createDataFrame(
+            [(1, [1.0, -1.0])], "vec_id long, embedding array<double>")
+        with _pt.raises(ValueError, match="not in corpus"):
+            hamming_knn(df, [99], k=1, dim=2)
+
+
+class TestLineDedup:
+    def test_cross_document_first_occurrence_kept(self, spark):
+        from geopyspark_spark.functions.text import line_dedup
+
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b x y"), (3, "a b c d")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: (r["text"], r["n_chunks"], r["n_kept"])
+               for r in line_dedup(df, chunk_words=2).collect()}
+        # doc 1 keeps both chunks; doc 2 loses "a b" (doc 1 owns it);
+        # doc 3 loses both and disappears
+        assert got[1] == ("a b c d", 2, 2)
+        assert got[2] == ("x y", 2, 1)
+        assert 3 not in got
+
+    def test_within_document_repeat_dropped(self, spark):
+        from geopyspark_spark.functions.text import line_dedup
+
+        df = spark.createDataFrame(
+            [(7, "p q p q p q")], "doc_id long, text string")
+        got = line_dedup(df, chunk_words=2).collect()[0]
+        assert got["text"] == "p q" and got["n_kept"] == 1
+        assert got["n_chunks"] == 3
+
+    def test_ragged_tail_chunk(self, spark):
+        from geopyspark_spark.functions.text import line_dedup
+
+        df = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string")
+        got = line_dedup(df, chunk_words=2).collect()[0]
+        assert got["text"] == "a b c" and got["n_chunks"] == 2
+
+
+class TestDecayedSum:
+    def test_dyadic_exactness_and_depth_cap(self, spark):
+        from geopyspark_spark.functions.relational import decayed_sum
+
+        rows = [(1, i, 1.0) for i in range(12)]
+        df = spark.createDataFrame(rows, "uid long, seq long, value double")
+        got = {r["seq"]: r["decayed"] for r in
+               decayed_sum(df, "uid", "seq", "value", depth=8).collect()}
+        # all-ones input: decayed = sum of 2^-k over available history,
+        # capped at depth 8 -> 2 - 2^-7 exactly from seq >= 7 onward
+        assert got[0] == 1.0
+        assert got[1] == 1.5
+        assert got[7] == 2.0 - 2.0 ** -7
+        assert got[11] == 2.0 - 2.0 ** -7
+
+    def test_partitions_are_independent(self, spark):
+        from geopyspark_spark.functions.relational import decayed_sum
+
+        df = spark.createDataFrame(
+            [(1, 0, 4.0), (2, 0, 8.0), (1, 1, 0.0)],
+            "uid long, seq long, value double")
+        got = {(r["uid"], r["seq"]): r["decayed"] for r in
+               decayed_sum(df, "uid", "seq", "value", depth=4).collect()}
+        assert got[(1, 1)] == 2.0     # 0 + 4 * 0.5
+        assert got[(2, 0)] == 8.0     # no bleed from uid 1
+
+    def test_depth_validation(self, spark):
+        import pytest as _pt
+
+        from geopyspark_spark.functions.relational import decayed_sum
+
+        df = spark.createDataFrame([(1, 0, 1.0)], "uid long, seq long, value double")
+        with _pt.raises(ValueError, match="depth"):
+            decayed_sum(df, "uid", "seq", "value", depth=0)
