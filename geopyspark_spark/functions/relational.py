@@ -383,3 +383,4 @@ def decayed_sum(df: DataFrame, partition_cols, order_cols,
             F.lag(F.col(value_col).cast("double"), k).over(w),
             F.lit(0.0)) * F.lit(float(2.0 ** -k))
     return df.withColumn(out_col, expr)
+

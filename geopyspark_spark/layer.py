@@ -435,6 +435,11 @@ class TiledRasterLayer:
 
         return focal.flow_direction(self)
 
+    def flow_accumulation(self, max_iterations: int = 64) -> "DataFrame":
+        from .operators import focal
+
+        return focal.flow_accumulation(self, max_iterations)
+
     def slope(self, zfactor: float = 1.0, zfactor_calculator=None) -> "TiledRasterLayer":
         from .operators import focal
 

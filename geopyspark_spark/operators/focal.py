@@ -483,6 +483,80 @@ def flow_direction(layer: "TiledRasterLayer") -> "TiledRasterLayer":
     return _run_kernel(layer, 1, kernel)
 
 
+def flow_accumulation(layer: "TiledRasterLayer",
+                      max_iterations: int = 64) -> "DataFrame":
+    """D8 flow accumulation: for every cell, the number of cells whose
+    flow path passes through it (itself included) — the second half of
+    the hydrology pair with :func:`flow_direction`. Because each cell
+    has at most one outflow, the flow graph is a forest and the
+    accumulation is the subtree size.
+
+    Spark shape: build the (cell -> downstream cell) edge list ONCE
+    from the flow-direction raster, then iterate the monotone fixpoint
+    ``acc = 1 + sum(acc of upstream cells)`` — one equi-join + one sum
+    aggregate per round, O(cells) shuffled rows, label tables
+    localCheckpoint'ed so the plan depth stays constant (the same
+    bounded-round contract as ``cost_distance``: exact once the round
+    count reaches the longest flow-path length; the convergence check
+    exits early, and ``max_iterations`` bounds the worst case).
+    Integer counts all the way down — engine-exact.
+
+    Returns (key_col, key_row, pos, acc BIGINT).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    fd = flow_direction(layer)
+    tl = layer.metadata.layout.tile_layout
+    cells = fd.explode(with_coords=True).select(
+        "key_col", "key_row", "pos", "gcol", "grow", "value")
+    # code -> (dcol, drow)
+    dc = (F.when(F.col("value").isin(1.0, 2.0, 128.0), 1)
+          .when(F.col("value").isin(8.0, 16.0, 32.0), -1).otherwise(0))
+    dr = (F.when(F.col("value").isin(2.0, 4.0, 8.0), 1)
+          .when(F.col("value").isin(32.0, 64.0, 128.0), -1).otherwise(0))
+    edges = (
+        cells.where(F.col("value") > 0)
+        .select((F.col("gcol") + dc).alias("dst_c"),
+                (F.col("grow") + dr).alias("dst_r"),
+                F.col("gcol").alias("src_c"), F.col("grow").alias("src_r"))
+        .localCheckpoint()
+    )
+    acc = cells.select("gcol", "grow", F.lit(1).cast("long").alias("acc"))
+    acc = acc.localCheckpoint()
+    for _ in range(max_iterations):
+        up = (
+            edges.join(acc, (edges.src_c == acc.gcol)
+                       & (edges.src_r == acc.grow))
+            .groupBy("dst_c", "dst_r")
+            .agg(F.sum("acc").alias("up_acc"))
+        )
+        new_acc = (
+            cells.select("gcol", "grow")
+            .join(up, (F.col("gcol") == F.col("dst_c"))
+                  & (F.col("grow") == F.col("dst_r")), "left_outer")
+            .select("gcol", "grow",
+                    (F.lit(1) + F.coalesce("up_acc", F.lit(0)))
+                    .cast("long").alias("acc"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_acc.alias("n")
+            .join(acc.alias("o"),
+                  (F.col("n.gcol") == F.col("o.gcol"))
+                  & (F.col("n.grow") == F.col("o.grow")))
+            .where(F.col("n.acc") != F.col("o.acc"))
+            .count()
+        )
+        acc = new_acc
+        if changed == 0:
+            break
+    return (
+        cells.select("key_col", "key_row", "pos", "gcol", "grow")
+        .join(acc, ["gcol", "grow"])
+        .select("key_col", "key_row", "pos", "acc")
+    )
+
+
 def convolve(layer: "TiledRasterLayer", kernel_weights) -> "TiledRasterLayer":
     """Focal convolution with an arbitrary odd-square weight kernel — the
     desktop-GIS/GeoTrellis ``Convolve``/``Kernel`` map-algebra op (the

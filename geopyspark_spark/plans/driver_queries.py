@@ -8277,6 +8277,76 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_raster_flow_accumulation(spark, sf_dir):
+    """D8 flow accumulation (``focal.py::flow_accumulation``): subtree
+    size of each cell in the flow forest — bounded-round join+agg
+    fixpoint with early convergence exit, integer-exact. The oracle
+    replays D8 + subtree sizes driver-side (same cross-multiplied
+    integer compare) and injects the per-cell counts as VALUES."""
+    layer = lineitem_layer(spark, sf_dir)
+    return layer.flow_accumulation()
+
+
+def _sql_raster_flow_accumulation() -> str:
+    import duckdb
+
+    sf_dir = _oracle_sf_dir()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * "
+            f"FROM '{sf_dir}/lineitem.parquet'")
+    cells = con.sql(CELLS_CTE + """
+SELECT key_col, key_row, pos, gcol, grow, value FROM coords
+""").fetchall()
+    con.close()
+    z = {(c, r): v for _kc, _kr, _p, c, r, v in cells}
+    dirs = [
+        (1, 0, 1, 2), (2, 1, 1, 1), (4, 1, 0, 2), (8, 1, -1, 1),
+        (16, 0, -1, 2), (32, -1, -1, 1), (64, -1, 0, 2), (128, -1, 1, 1),
+    ]
+    down = {}
+    children: dict = {}
+    for (c, r), v in z.items():
+        best_key, best = 0, None
+        for code, dr_, dc_, wgt in dirs:
+            nv = z.get((c + dc_, r + dr_))
+            if nv is None:
+                continue
+            drop = v - nv
+            if drop <= 0:
+                continue
+            key = wgt * drop * drop
+            if key > best_key:
+                best_key, best = key, (c + dc_, r + dr_)
+        if best is not None:
+            down[(c, r)] = best
+            children.setdefault(best, []).append((c, r))
+    acc = {}
+
+    def subtree(root):
+        # iterative post-order over the upstream forest
+        stack = [(root, False)]
+        while stack:
+            node, done = stack.pop()
+            if done:
+                acc[node] = 1 + sum(acc[ch] for ch in children.get(node, []))
+            else:
+                stack.append((node, True))
+                for ch in children.get(node, []):
+                    stack.append((ch, False))
+
+    for cell in z:
+        if cell not in down:          # forest roots (pits / flats)
+            subtree(cell)
+    values = ", ".join(
+        f"({kc}, {kr}, {p}, {acc[(c, r)]})"
+        for kc, kr, p, c, r, _v in sorted(cells))
+    return f"""
+SELECT CAST(col0 AS INT) AS key_col, CAST(col1 AS INT) AS key_row,
+       CAST(col2 AS INT) AS pos, CAST(col3 AS BIGINT) AS acc
+FROM (VALUES {values}) t(col0, col1, col2, col3)
+"""
+
+
 def q_raster_kernel_density(spark, sf_dir):
     """Kernel density under the gate: 20 weighted points derived from
     the part table stamp a uniform disk (radius 5) onto the 32x32
@@ -9711,6 +9781,7 @@ def _canonical_queries():
         "emb_hamming_knn": q_emb_hamming_knn,
         "text_line_dedup": q_text_line_dedup,
         "events_ewma": q_events_ewma,
+        "raster_flow_accumulation": q_raster_flow_accumulation,
     }
 
 
@@ -9738,6 +9809,7 @@ _WINDOW_ORDER: list = [
     "emb_hamming_knn",
     "text_line_dedup",
     "events_ewma",
+    "raster_flow_accumulation",
     "tpch_q14_promo",
     "window_rank",
     "raster_focal_mode",
@@ -10089,6 +10161,7 @@ def oracle_sql():
         "emb_hamming_knn": _sql_emb_hamming_knn(),
         "text_line_dedup": SQL_TEXT_LINE_DEDUP,
         "events_ewma": _sql_events_ewma(),
+        "raster_flow_accumulation": _sql_raster_flow_accumulation(),
         "raster_zonal_by_layer": SQL_RASTER_ZONAL_BY_LAYER,
         "raster_focal_convolve": SQL_RASTER_FOCAL_CONVOLVE,
         "raster_morans_i": SQL_RASTER_MORANS_I,

@@ -526,3 +526,29 @@ class TestFlowDirection:
         for kc, kr, _b, a in to_numpy(layer.flow_direction()):
             out = a
         assert out[1, 1] == 1.0          # E (cardinal) beats SE tie
+
+    def test_flow_accumulation_subtree_sizes(self, spark):
+        import numpy as np
+
+        import geopyspark_spark as gps
+
+        # strictly decreasing to the SE corner: every cell drains
+        # diagonally/cardinally toward it; the corner accumulates all 9
+        g = np.array([
+            [9.0, 8.0, 7.0],
+            [8.0, 6.0, 4.0],
+            [7.0, 4.0, 1.0],
+        ])
+        layout = gps.LayoutDefinition(
+            gps.Extent(0, 0, 3, 3), gps.TileLayout(1, 1, 3, 3))
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64", layout=layout,
+            bounds=((0, 0), (0, 0)), extent=layout.extent, num_bands=1)
+        layer = gps.from_numpy(spark, [(0, 0, 0, g)], md)
+        got = {r["pos"]: r["acc"] for r in layer.flow_accumulation().collect()}
+        # the pit (pos 8) collects every cell
+        assert got[8] == 9
+        # corners: nothing drains INTO (0,0)
+        assert got[0] == 1
+        # conservation: every cell counts itself exactly once at the pit
+        assert len(got) == 9 and min(got.values()) >= 1
