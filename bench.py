@@ -71,6 +71,12 @@ HEADLINE = [
     "rel_merge_upsert",
     "vector_polygon_metrics",
     "raster_reproject_nzmg",
+    # round-10 additions: D8 hydrology, binary-quantized ANN, C4-style
+    # line dedup, and the exact bounded-depth EWMA
+    "raster_flow_direction",
+    "emb_hamming_knn",
+    "text_line_dedup",
+    "events_ewma",
 ]
 
 
