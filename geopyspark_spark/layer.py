@@ -440,6 +440,11 @@ class TiledRasterLayer:
 
         return focal.flow_accumulation(self, max_iterations)
 
+    def watershed(self, max_iterations: int = 32) -> "DataFrame":
+        from .operators import focal
+
+        return focal.watershed(self, max_iterations)
+
     def slope(self, zfactor: float = 1.0, zfactor_calculator=None) -> "TiledRasterLayer":
         from .operators import focal
 

@@ -557,6 +557,62 @@ def flow_accumulation(layer: "TiledRasterLayer",
     )
 
 
+def watershed(layer: "TiledRasterLayer", max_iterations: int = 32) -> "DataFrame":
+    """Watershed basins from D8 flow: every cell labeled with the
+    global id (``grow * width + gcol``) of the pit/flat cell it
+    ultimately drains to — the third of the hydrology trio with
+    :func:`flow_direction` / :func:`flow_accumulation`.
+
+    Spark shape: the flow forest's parent pointers are contracted by
+    POINTER DOUBLING — each round joins the pointer table with itself
+    (``ptr' = ptr[ptr]``), so the distance-to-root halves every round
+    and convergence takes O(log longest-flow-path) rounds, not
+    O(path length). One self-equi-join of an O(cells) table per round,
+    localCheckpoint'ed; early exit when a round changes nothing.
+    Integer ids all the way down — engine-exact.
+
+    Returns (key_col, key_row, pos, basin BIGINT).
+    """
+    fd = flow_direction(layer)
+    tl = layer.metadata.layout.tile_layout
+    width = tl.layout_cols * tl.tile_cols
+    cells = fd.explode(with_coords=True).select(
+        "key_col", "key_row", "pos", "gcol", "grow", "value")
+    dc = (F.when(F.col("value").isin(1.0, 2.0, 128.0), 1)
+          .when(F.col("value").isin(8.0, 16.0, 32.0), -1).otherwise(0))
+    dr = (F.when(F.col("value").isin(2.0, 4.0, 8.0), 1)
+          .when(F.col("value").isin(32.0, 64.0, 128.0), -1).otherwise(0))
+    # pits (code 0, incl. NoData cells' NaN -> excluded upstream) point
+    # at themselves; everything else at its downstream neighbor
+    ptr = cells.where(~F.isnan("value")).select(
+        (F.col("grow").cast("long") * width + F.col("gcol")).alias("node"),
+        ((F.col("grow") + dr).cast("long") * width
+         + (F.col("gcol") + dc)).alias("ptr"),
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        hop = ptr.select(F.col("node").alias("ptr"),
+                         F.col("ptr").alias("jump"))
+        new_ptr = (
+            ptr.join(hop, "ptr", "left_outer")
+            .select("node", F.coalesce("jump", "ptr").alias("ptr"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_ptr.alias("n").join(ptr.alias("o"), "node")
+            .where(F.col("n.ptr") != F.col("o.ptr")).count()
+        )
+        ptr = new_ptr
+        if changed == 0:
+            break
+    return (
+        cells.select(
+            "key_col", "key_row", "pos",
+            (F.col("grow").cast("long") * width + F.col("gcol")).alias("node"))
+        .join(ptr, "node")
+        .select("key_col", "key_row", "pos", F.col("ptr").alias("basin"))
+    )
+
+
 def convolve(layer: "TiledRasterLayer", kernel_weights) -> "TiledRasterLayer":
     """Focal convolution with an arbitrary odd-square weight kernel — the
     desktop-GIS/GeoTrellis ``Convolve``/``Kernel`` map-algebra op (the

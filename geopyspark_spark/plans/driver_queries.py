@@ -8287,7 +8287,11 @@ def q_raster_flow_accumulation(spark, sf_dir):
     return layer.flow_accumulation()
 
 
-def _sql_raster_flow_accumulation() -> str:
+def _d8_forest():
+    """Shared driver-side D8 replay for the hydrology oracles: fetch
+    the fixture cells and rebuild the flow forest with the SAME
+    cross-multiplied integer-squares steepness compare the engine uses.
+    Returns (cells, down, children)."""
     import duckdb
 
     sf_dir = _oracle_sf_dir()
@@ -8320,6 +8324,12 @@ SELECT key_col, key_row, pos, gcol, grow, value FROM coords
         if best is not None:
             down[(c, r)] = best
             children.setdefault(best, []).append((c, r))
+    return cells, down, children
+
+
+def _sql_raster_flow_accumulation() -> str:
+    cells, down, children = _d8_forest()
+    z = {(c, r): v for _kc, _kr, _p, c, r, v in cells}
     acc = {}
 
     def subtree(root):
@@ -8343,6 +8353,38 @@ SELECT key_col, key_row, pos, gcol, grow, value FROM coords
     return f"""
 SELECT CAST(col0 AS INT) AS key_col, CAST(col1 AS INT) AS key_row,
        CAST(col2 AS INT) AS pos, CAST(col3 AS BIGINT) AS acc
+FROM (VALUES {values}) t(col0, col1, col2, col3)
+"""
+
+
+def q_raster_watershed(spark, sf_dir):
+    """Watershed basins (``focal.py::watershed``): every cell labeled
+    with the pit cell it drains to, roots found by POINTER DOUBLING —
+    O(log flow-path) self-joins, the scale-correct root-finding shape.
+    The oracle replays D8 and walks the pointers driver-side."""
+    layer = lineitem_layer(spark, sf_dir)
+    return layer.watershed()
+
+
+def _sql_raster_watershed() -> str:
+    cells, down, _children = _d8_forest()
+    width = LAYOUT_N * TILE
+
+    def root(cell):
+        seen = set()
+        while cell in down:
+            if cell in seen:  # impossible in a strict-descent forest
+                raise ValueError(f"flow cycle at {cell}")
+            seen.add(cell)
+            cell = down[cell]
+        return cell
+
+    values = ", ".join(
+        f"({kc}, {kr}, {p}, {root((c, r))[1] * width + root((c, r))[0]})"
+        for kc, kr, p, c, r, _v in sorted(cells))
+    return f"""
+SELECT CAST(col0 AS INT) AS key_col, CAST(col1 AS INT) AS key_row,
+       CAST(col2 AS INT) AS pos, CAST(col3 AS BIGINT) AS basin
 FROM (VALUES {values}) t(col0, col1, col2, col3)
 """
 
@@ -9782,6 +9824,7 @@ def _canonical_queries():
         "text_line_dedup": q_text_line_dedup,
         "events_ewma": q_events_ewma,
         "raster_flow_accumulation": q_raster_flow_accumulation,
+        "raster_watershed": q_raster_watershed,
     }
 
 
@@ -9810,6 +9853,7 @@ _WINDOW_ORDER: list = [
     "text_line_dedup",
     "events_ewma",
     "raster_flow_accumulation",
+    "raster_watershed",
     "tpch_q14_promo",
     "window_rank",
     "raster_focal_mode",
@@ -10162,6 +10206,7 @@ def oracle_sql():
         "text_line_dedup": SQL_TEXT_LINE_DEDUP,
         "events_ewma": _sql_events_ewma(),
         "raster_flow_accumulation": _sql_raster_flow_accumulation(),
+        "raster_watershed": _sql_raster_watershed(),
         "raster_zonal_by_layer": SQL_RASTER_ZONAL_BY_LAYER,
         "raster_focal_convolve": SQL_RASTER_FOCAL_CONVOLVE,
         "raster_morans_i": SQL_RASTER_MORANS_I,

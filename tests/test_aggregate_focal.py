@@ -552,3 +552,31 @@ class TestFlowDirection:
         assert got[0] == 1
         # conservation: every cell counts itself exactly once at the pit
         assert len(got) == 9 and min(got.values()) >= 1
+
+    def test_watershed_two_basins(self, spark):
+        import numpy as np
+
+        import geopyspark_spark as gps
+
+        # two pits: left column drains west to (0,1)-ish pit, right to
+        # the SE pit — basin ids are the pits' global cell ids
+        g = np.array([
+            [5.0, 9.0, 5.0],
+            [1.0, 9.0, 4.0],
+            [5.0, 9.0, 1.0],
+        ])
+        layout = gps.LayoutDefinition(
+            gps.Extent(0, 0, 3, 3), gps.TileLayout(1, 1, 3, 3))
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64", layout=layout,
+            bounds=((0, 0), (0, 0)), extent=layout.extent, num_bands=1)
+        layer = gps.from_numpy(spark, [(0, 0, 0, g)], md)
+        got = {r["pos"]: r["basin"] for r in layer.watershed().collect()}
+        # pits label themselves: pos 3 -> id 3, pos 8 -> id 8
+        assert got[3] == 3 and got[8] == 8
+        # left column cells drain to the left pit
+        assert got[0] == 3 and got[6] == 3
+        # right column cells drain to the SE pit
+        assert got[2] == 8 and got[5] == 8
+        # every cell got exactly one of the two basins
+        assert set(got.values()) <= {3, 8}
