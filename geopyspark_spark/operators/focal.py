@@ -506,9 +506,11 @@ def flow_accumulation(layer: "TiledRasterLayer",
     from pyspark.sql import DataFrame  # noqa: F401
 
     fd = flow_direction(layer)
-    tl = layer.metadata.layout.tile_layout
+    # ``instant`` rides every key and join below, so SPACETIME layers
+    # accumulate per instant — flow never crosses time (SURVEY §7.3)
+    tcols = ["instant"] if layer.is_temporal else []
     cells = fd.explode(with_coords=True).select(
-        "key_col", "key_row", "pos", "gcol", "grow", "value")
+        "key_col", "key_row", *tcols, "pos", "gcol", "grow", "value")
     # code -> (dcol, drow)
     dc = (F.when(F.col("value").isin(1.0, 2.0, 128.0), 1)
           .when(F.col("value").isin(8.0, 16.0, 32.0), -1).otherwise(0))
@@ -516,44 +518,51 @@ def flow_accumulation(layer: "TiledRasterLayer",
           .when(F.col("value").isin(32.0, 64.0, 128.0), -1).otherwise(0))
     edges = (
         cells.where(F.col("value") > 0)
-        .select((F.col("gcol") + dc).alias("dst_c"),
+        .select(*tcols,
+                (F.col("gcol") + dc).alias("dst_c"),
                 (F.col("grow") + dr).alias("dst_r"),
                 F.col("gcol").alias("src_c"), F.col("grow").alias("src_r"))
         .localCheckpoint()
     )
-    acc = cells.select("gcol", "grow", F.lit(1).cast("long").alias("acc"))
+    acc = cells.select(*tcols, "gcol", "grow",
+                       F.lit(1).cast("long").alias("acc"))
     acc = acc.localCheckpoint()
+    src_keys = [(e, a) for e, a in
+                [("src_c", "gcol"), ("src_r", "grow")]] + [
+        (t, t) for t in tcols]
     for _ in range(max_iterations):
+        cond = None
+        for e, a in src_keys:
+            c = edges[e] == acc[a]
+            cond = c if cond is None else (cond & c)
         up = (
-            edges.join(acc, (edges.src_c == acc.gcol)
-                       & (edges.src_r == acc.grow))
-            .groupBy("dst_c", "dst_r")
+            edges.join(acc, cond)
+            .groupBy("dst_c", "dst_r", *[edges[t] for t in tcols])
             .agg(F.sum("acc").alias("up_acc"))
         )
         new_acc = (
-            cells.select("gcol", "grow")
-            .join(up, (F.col("gcol") == F.col("dst_c"))
-                  & (F.col("grow") == F.col("dst_r")), "left_outer")
-            .select("gcol", "grow",
+            cells.select(*tcols, "gcol", "grow")
+            .join(up.withColumnRenamed("dst_c", "gcol")
+                    .withColumnRenamed("dst_r", "grow"),
+                  tcols + ["gcol", "grow"], "left_outer")
+            .select(*tcols, "gcol", "grow",
                     (F.lit(1) + F.coalesce("up_acc", F.lit(0)))
                     .cast("long").alias("acc"))
             .localCheckpoint()
         )
         changed = (
-            new_acc.alias("n")
-            .join(acc.alias("o"),
-                  (F.col("n.gcol") == F.col("o.gcol"))
-                  & (F.col("n.grow") == F.col("o.grow")))
-            .where(F.col("n.acc") != F.col("o.acc"))
+            new_acc.withColumnRenamed("acc", "nacc")
+            .join(acc, tcols + ["gcol", "grow"])
+            .where(F.col("nacc") != F.col("acc"))
             .count()
         )
         acc = new_acc
         if changed == 0:
             break
     return (
-        cells.select("key_col", "key_row", "pos", "gcol", "grow")
-        .join(acc, ["gcol", "grow"])
-        .select("key_col", "key_row", "pos", "acc")
+        cells.select("key_col", "key_row", *tcols, "pos", "gcol", "grow")
+        .join(acc, tcols + ["gcol", "grow"])
+        .select("key_col", "key_row", *tcols, "pos", "acc")
     )
 
 
@@ -576,8 +585,11 @@ def watershed(layer: "TiledRasterLayer", max_iterations: int = 32) -> "DataFrame
     fd = flow_direction(layer)
     tl = layer.metadata.layout.tile_layout
     width = tl.layout_cols * tl.tile_cols
+    # ``instant`` rides every key and join below, so SPACETIME layers
+    # resolve basins per instant — flow never crosses time (SURVEY §7.3)
+    tcols = ["instant"] if layer.is_temporal else []
     cells = fd.explode(with_coords=True).select(
-        "key_col", "key_row", "pos", "gcol", "grow", "value")
+        "key_col", "key_row", *tcols, "pos", "gcol", "grow", "value")
     dc = (F.when(F.col("value").isin(1.0, 2.0, 128.0), 1)
           .when(F.col("value").isin(8.0, 16.0, 32.0), -1).otherwise(0))
     dr = (F.when(F.col("value").isin(2.0, 4.0, 8.0), 1)
@@ -585,31 +597,34 @@ def watershed(layer: "TiledRasterLayer", max_iterations: int = 32) -> "DataFrame
     # pits (code 0, incl. NoData cells' NaN -> excluded upstream) point
     # at themselves; everything else at its downstream neighbor
     ptr = cells.where(~F.isnan("value")).select(
+        *tcols,
         (F.col("grow").cast("long") * width + F.col("gcol")).alias("node"),
         ((F.col("grow") + dr).cast("long") * width
          + (F.col("gcol") + dc)).alias("ptr"),
     ).localCheckpoint()
     for _ in range(max_iterations):
-        hop = ptr.select(F.col("node").alias("ptr"),
+        hop = ptr.select(*tcols, F.col("node").alias("ptr"),
                          F.col("ptr").alias("jump"))
         new_ptr = (
-            ptr.join(hop, "ptr", "left_outer")
-            .select("node", F.coalesce("jump", "ptr").alias("ptr"))
+            ptr.join(hop, tcols + ["ptr"], "left_outer")
+            .select(*tcols, "node", F.coalesce("jump", "ptr").alias("ptr"))
             .localCheckpoint()
         )
         changed = (
-            new_ptr.alias("n").join(ptr.alias("o"), "node")
-            .where(F.col("n.ptr") != F.col("o.ptr")).count()
+            new_ptr.withColumnRenamed("ptr", "nptr")
+            .join(ptr, tcols + ["node"])
+            .where(F.col("nptr") != F.col("ptr")).count()
         )
         ptr = new_ptr
         if changed == 0:
             break
     return (
         cells.select(
-            "key_col", "key_row", "pos",
+            "key_col", "key_row", *tcols, "pos",
             (F.col("grow").cast("long") * width + F.col("gcol")).alias("node"))
-        .join(ptr, "node")
-        .select("key_col", "key_row", "pos", F.col("ptr").alias("basin"))
+        .join(ptr, tcols + ["node"])
+        .select("key_col", "key_row", *tcols, "pos",
+                F.col("ptr").alias("basin"))
     )
 
 

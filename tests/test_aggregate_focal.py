@@ -580,3 +580,40 @@ class TestFlowDirection:
         assert got[2] == 8 and got[5] == 8
         # every cell got exactly one of the two basins
         assert set(got.values()) <= {3, 8}
+
+    def test_hydrology_is_instant_scoped(self, spark):
+        """SPACETIME layers: flow accumulation and watershed must never
+        cross time (the same regression class as r9's region_group)."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        import geopyspark_spark as gps
+        from geopyspark_spark.layer import TiledRasterLayer
+
+        g = np.array([
+            [9.0, 8.0, 7.0],
+            [8.0, 6.0, 4.0],
+            [7.0, 4.0, 1.0],
+        ])
+        layout = gps.LayoutDefinition(
+            gps.Extent(0, 0, 3, 3), gps.TileLayout(1, 1, 3, 3))
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64", layout=layout,
+            bounds=((0, 0), (0, 0)), extent=layout.extent, num_bands=1)
+        base = gps.from_numpy(spark, [(0, 0, 0, g)], md)
+        df = None
+        for t in ("2021-01-01", "2021-02-01"):
+            d = base.df.withColumn("instant", F.lit(t).cast("timestamp"))
+            df = d if df is None else df.unionByName(d)
+        layer = TiledRasterLayer(
+            df.select("key_col", "key_row", "instant", "band", "cells"), md)
+        acc = layer.flow_accumulation().collect()
+        assert len(acc) == 18 and "instant" in acc[0].asDict()
+        per_instant = {}
+        for r in acc:
+            per_instant.setdefault(str(r["instant"]), {})[r["pos"]] = r["acc"]
+        for instant, got in per_instant.items():
+            assert got[8] == 9, f"{instant}: pit must collect 9, not 18"
+        ws = layer.watershed().collect()
+        assert len(ws) == 18
+        assert all(r["basin"] == 8 for r in ws)
