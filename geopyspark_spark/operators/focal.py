@@ -527,14 +527,10 @@ def flow_accumulation(layer: "TiledRasterLayer",
     acc = cells.select(*tcols, "gcol", "grow",
                        F.lit(1).cast("long").alias("acc"))
     acc = acc.localCheckpoint()
-    src_keys = [(e, a) for e, a in
-                [("src_c", "gcol"), ("src_r", "grow")]] + [
-        (t, t) for t in tcols]
     for _ in range(max_iterations):
-        cond = None
-        for e, a in src_keys:
-            c = edges[e] == acc[a]
-            cond = c if cond is None else (cond & c)
+        cond = (edges["src_c"] == acc["gcol"]) & (edges["src_r"] == acc["grow"])
+        for t in tcols:
+            cond = cond & (edges[t] == acc[t])
         up = (
             edges.join(acc, cond)
             .groupBy("dst_c", "dst_r", *[edges[t] for t in tcols])
