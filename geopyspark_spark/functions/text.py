@@ -1170,3 +1170,65 @@ def line_dedup(df: DataFrame, text_col: str = "text",
         )
         .where(F.col("n_kept") > 0)
     )
+
+
+def bpe_encode(df: DataFrame, merges: list, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Apply a trained BPE merge sequence (:func:`bpe_train` output) and
+    count the resulting tokens per document — the corpus-tokenization
+    step that follows tokenizer training in every LLM data pipeline.
+
+    Scale shape mirrors the trainer: the merge folds run over the
+    DISTINCT word vocabulary (orders of magnitude smaller than the
+    corpus; one chained Catalyst ``aggregate`` lambda per merge, greedy
+    non-overlapping left-to-right exactly like training), then documents
+    join their words' token counts back — one content-keyed shuffle and
+    one per-doc sum. No Python anywhere; exact integer counts.
+
+    Returns (id, n_tokens BIGINT).
+    """
+    words = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("word"))
+    vocab = words.select("word").distinct().withColumn(
+        "syms",
+        F.expr("transform(sequence(1, length(word)), "
+               "i -> substring(word, i, 1))"),
+    )
+    def _fold(left: str, right: str):
+        def merge(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                         F.array(F.lit(left + right))),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return merge
+
+    col = F.col("syms")
+    for _rnd, left, right, _cnt in merges:
+        col = F.aggregate(col, F.array().cast("array<string>"),
+                          _fold(left, right))
+    wtok = vocab.select("word", F.size(col).cast("long").alias("w_tokens"))
+    return (
+        words.join(wtok, "word")
+        .groupBy(id_col)
+        .agg(F.sum("w_tokens").alias("n_tokens"))
+    )
+
+
+def bpe_reference_encode(word: str, merges: list) -> list:
+    """Pure-Python single-word encoder — the oracle's independent
+    replay of :func:`bpe_encode`'s greedy fold."""
+    acc: list = []
+    syms = list(word)
+    for _rnd, left, right, _cnt in merges:
+        acc = []
+        for x in syms:
+            if acc and acc[-1] == left and x == right:
+                acc[-1] = left + right
+            else:
+                acc.append(x)
+        syms = acc
+    return syms

@@ -6032,6 +6032,46 @@ FROM (VALUES {values}) t(col0, col1, col2, col3)
 """
 
 
+def q_text_bpe_encode(spark, sf_dir):
+    """Corpus tokenization under the TRAINED BPE merges
+    (``text.py::bpe_encode``): merges fold over the distinct word
+    vocabulary in chained Catalyst aggregates, documents join their
+    words' token counts back — one content shuffle, one per-doc sum,
+    no Python. The oracle retrains in pure Python (the shared
+    ``bpe_reference_train``), re-applies the greedy fold per word, and
+    injects per-doc token counts as VALUES."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = ftext.bpe_train(docs, rounds=BPE_ROUNDS)
+    return ftext.bpe_encode(docs, merges)
+
+
+def _sql_text_bpe_encode() -> str:
+    import duckdb
+
+    sf_dir = _oracle_sf_dir()
+    con = duckdb.connect()
+    wc = con.sql(
+        f"SELECT word, COUNT(*) AS c FROM ("
+        f"SELECT unnest(string_split(trim(text), ' ')) AS word "
+        f"FROM '{sf_dir}/documents.parquet') GROUP BY word"
+    ).fetchall()
+    docs = con.sql(
+        f"SELECT doc_id, string_split(trim(text), ' ') AS ws "
+        f"FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    merges = ftext.bpe_reference_train(wc, rounds=BPE_ROUNDS)
+    tok_of = {w: len(ftext.bpe_reference_encode(w, merges))
+              for w, _c in wc}
+    values = ", ".join(
+        f"({doc_id}, {sum(tok_of[w] for w in ws)})"
+        for doc_id, ws in sorted(docs))
+    return f"""
+SELECT CAST(col0 AS BIGINT) AS doc_id, CAST(col1 AS BIGINT) AS n_tokens
+FROM (VALUES {values}) t(col0, col1)
+"""
+
+
 def q_rel_spearman(spark, sf_dir):
     """Exact ties-correct Spearman rank correlation (r9): account
     balance vs order count per customer — doubled average ranks are
@@ -9825,6 +9865,7 @@ def _canonical_queries():
         "events_ewma": q_events_ewma,
         "raster_flow_accumulation": q_raster_flow_accumulation,
         "raster_watershed": q_raster_watershed,
+        "text_bpe_encode": q_text_bpe_encode,
     }
 
 
@@ -9854,6 +9895,7 @@ _WINDOW_ORDER: list = [
     "events_ewma",
     "raster_flow_accumulation",
     "raster_watershed",
+    "text_bpe_encode",
     "tpch_q14_promo",
     "window_rank",
     "raster_focal_mode",
@@ -10237,6 +10279,7 @@ def oracle_sql():
         "emb_pca_variance": _sql_emb_pca_variance(),
         "raster_temporal_interpolate": SQL_RASTER_TEMPORAL_INTERPOLATE,
         "text_bpe_train": _sql_text_bpe_train(),
+        "text_bpe_encode": _sql_text_bpe_encode(),
         "text_epoch_shards": SQL_TEXT_EPOCH_SHARDS,
         "text_token_budget_mix": SQL_TEXT_TOKEN_BUDGET_MIX,
         "rel_merge_upsert": SQL_REL_MERGE_UPSERT,

@@ -2330,3 +2330,34 @@ class TestDecayedSum:
         df = spark.createDataFrame([(1, 0, 1.0)], "uid long, seq long, value double")
         with _pt.raises(ValueError, match="depth"):
             decayed_sum(df, "uid", "seq", "value", depth=0)
+
+
+class TestBpeEncode:
+    def test_encode_counts_match_reference(self, spark):
+        from geopyspark_spark.functions.text import (
+            bpe_encode, bpe_reference_encode, bpe_train)
+
+        df = spark.createDataFrame(
+            [(1, "low low lower"), (2, "newest lowest low"),
+             (3, "wider new newest")],
+            "doc_id long, text string")
+        merges = bpe_train(df, rounds=5)
+        assert merges, "fixture must learn at least one merge"
+        got = {r["doc_id"]: r["n_tokens"] for r in
+               bpe_encode(df, merges).collect()}
+        texts = {1: "low low lower", 2: "newest lowest low",
+                 3: "wider new newest"}
+        want = {d: sum(len(bpe_reference_encode(w, merges))
+                       for w in t.split())
+                for d, t in texts.items()}
+        assert got == want
+        # the learned merges actually compress: fewer tokens than chars
+        chars = {d: sum(len(w) for w in t.split()) for d, t in texts.items()}
+        assert all(got[d] < chars[d] for d in got)
+
+    def test_no_merges_counts_chars(self, spark):
+        from geopyspark_spark.functions.text import bpe_encode
+
+        df = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+        got = bpe_encode(df, merges=[]).collect()[0]
+        assert got["n_tokens"] == 4

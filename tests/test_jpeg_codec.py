@@ -99,3 +99,49 @@ class TestStreamFeatures:
         buf = encode_baseline(self._img())
         with pytest.raises(ValueError):
             decode_baseline(buf[: len(buf) // 4])
+
+
+class TestPropertyRoundtrip:
+    def test_random_smooth_images_bounded_error(self):
+        """Property: any low-frequency image round-trips within the
+        quality-50 quantization bound. Smooth fields synthesized from
+        random low-order trig coefficients (high-frequency content is
+        deliberately excluded — its quant error is unbounded by design
+        at quality 50)."""
+        try:
+            from hypothesis import given, settings, strategies as st
+        except ImportError:
+            import pytest as _pt
+            _pt.skip("hypothesis not installed")
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            rows=st.integers(9, 48), cols=st.integers(9, 48),
+            seed=st.integers(0, 2**31 - 1),
+            gray=st.booleans(),
+        )
+        def check(rows, cols, seed, gray):
+            rng = np.random.default_rng(seed)
+            r, c = np.mgrid[0:rows, 0:cols]
+            img = np.full((rows, cols), 128.0)
+            for _ in range(3):
+                fr, fc = rng.uniform(0.02, 0.12, 2)
+                amp = rng.uniform(5, 35)
+                ph = rng.uniform(0, 6.28, 2)
+                img += amp * np.sin(r * fr + ph[0]) * np.cos(c * fc + ph[1])
+            img = np.clip(img, 0, 255)
+            if gray:
+                out = decode_baseline(encode_baseline(img))
+                assert out.shape == (rows, cols, 1)
+                assert np.abs(out[:, :, 0].astype(float) - img).max() <= 6
+            else:
+                rgb = np.stack([img, np.clip(img * 0.8 + 20, 0, 255),
+                                np.clip(255 - img, 0, 255)], axis=-1)
+                out = decode_baseline(encode_baseline(rgb))
+                assert out.shape == (rows, cols, 3)
+                # chroma quantization at quality 50 is much coarser
+                # than luma (Annex K table 2: q up to 99) — the color
+                # round-trip bound is correspondingly looser
+                assert np.abs(out.astype(float) - rgb).max() <= 15
+
+        check()
