@@ -445,6 +445,21 @@ class TiledRasterLayer:
 
         return focal.watershed(self, max_iterations)
 
+    def viewshed(self, col: int, row: int, radius: int) -> "TiledRasterLayer":
+        from .operators import focal
+
+        return focal.viewshed(self, col, row, radius)
+
+    def tri(self) -> "TiledRasterLayer":
+        from .operators import focal
+
+        return focal.tri(self)
+
+    def tpi(self) -> "TiledRasterLayer":
+        from .operators import focal
+
+        return focal.tpi(self)
+
     def slope(self, zfactor: float = 1.0, zfactor_calculator=None) -> "TiledRasterLayer":
         from .operators import focal
 

@@ -624,6 +624,142 @@ def watershed(layer: "TiledRasterLayer", max_iterations: int = 32) -> "DataFrame
     )
 
 
+def tri(layer: "TiledRasterLayer") -> "TiledRasterLayer":
+    """Terrain Ruggedness Index (Wilson et al. variant): mean absolute
+    elevation difference to the up-to-8 valid neighbors. Integer sums
+    over integer cells + one division — engine-exact against a
+    relational neighbor-join recomputation. Standard halo+stencil."""
+    queen = np.ones((3, 3), dtype=bool)
+    queen[1, 1] = False
+
+    def kernel(buf: np.ndarray) -> np.ndarray:
+        win = np.lib.stride_tricks.sliding_window_view(buf, (3, 3))
+        c = buf[1:-1, 1:-1]
+        valid = ~np.isnan(win) & queen
+        diff = np.where(valid, np.abs(win - c[..., None, None]), 0.0)
+        cnt = valid.sum(axis=(-1, -2))
+        with np.errstate(invalid="ignore"):
+            out = diff.sum(axis=(-1, -2)) / cnt
+        out = np.where(cnt == 0, np.nan, out)
+        return np.where(np.isnan(c), np.nan, out)
+
+    return _run_kernel(layer, 1, kernel)
+
+
+def tpi(layer: "TiledRasterLayer") -> "TiledRasterLayer":
+    """Topographic Position Index: cell elevation minus the mean of its
+    up-to-8 valid neighbors (positive = ridge, negative = valley).
+    Integer neighbor sums + one division and one subtraction, in that
+    order on both engines — exact. Standard halo+stencil."""
+    queen = np.ones((3, 3), dtype=bool)
+    queen[1, 1] = False
+
+    def kernel(buf: np.ndarray) -> np.ndarray:
+        win = np.lib.stride_tricks.sliding_window_view(buf, (3, 3))
+        c = buf[1:-1, 1:-1]
+        valid = ~np.isnan(win) & queen
+        s = np.where(valid, win, 0.0).sum(axis=(-1, -2))
+        cnt = valid.sum(axis=(-1, -2))
+        with np.errstate(invalid="ignore"):
+            out = c - s / cnt
+        out = np.where(cnt == 0, np.nan, out)
+        return np.where(np.isnan(c), np.nan, out)
+
+    return _run_kernel(layer, 1, kernel)
+
+
+def viewshed(layer: "TiledRasterLayer", col: int, row: int,
+             radius: int) -> "TiledRasterLayer":
+    """Bounded-radius viewshed: 1.0 where the cell center is visible
+    from the observer at global cell ``(col, row)``, 0.0 where terrain
+    blocks the sight line or the cell is beyond ``radius``; NoData
+    passes through. GeoTrellis ships ``Viewshed`` on the Scala side
+    (the reference's Python API does not expose it — parity breadth).
+
+    Line-of-sight rule (engine-exact by construction): the sight line
+    is sampled once per step of the dominant axis; the off-axis
+    coordinate rounds to the nearest cell via pure integer arithmetic
+    (half away from the observer's side -> ``floor((2*num + n)/(2n))``),
+    and a sample at fraction k/n blocks iff
+    ``n*(z_k - z_obs) > k*(z_cell - z_obs)`` — all integer products for
+    integer-valued cells, so any engine (and the DuckDB-fed oracle
+    replay) reproduces the exact visibility set. NoData samples are
+    transparent (no elevation, no blocker).
+
+    Spark shape: the observer's elevation is ONE bounded driver lookup
+    (per instant on SPACETIME layers); everything else is the standard
+    halo-exchange focal pass with halo = ``radius`` — every sight
+    segment from a cell within ``radius`` lies inside that cell's
+    tile+halo buffer, so no second shuffle and no driver raster. The
+    per-tile Python loop is bounded by O(radius^3) TOTAL across the
+    layer (only cells within the radius are walked), independent of
+    raster size.
+    """
+    R = int(radius)
+    if R < 1:
+        raise ValueError(f"radius must be >= 1, got {R}")
+    tl = layer.metadata.layout.tile_layout
+    tc, tr = tl.tile_cols, tl.tile_rows
+    okc, okr = int(col) // tc, int(row) // tr
+    lpos = (int(row) % tr) * tc + (int(col) % tc)
+    obs_rows = (
+        layer.df.where((F.col("key_col") == okc) & (F.col("key_row") == okr)
+                       & (F.col("band") == 0))
+        .select(*(["instant"] if layer.is_temporal else []),
+                F.element_at("cells", lpos + 1).alias("z"))
+        .collect()
+    )
+    if not obs_rows:
+        raise ValueError(f"observer cell ({col}, {row}) not in the layer")
+    import math as _m
+
+    if layer.is_temporal:
+        z_obs = {r["instant"]: float(r["z"]) for r in obs_rows}
+        if any(_m.isnan(z) for z in z_obs.values()):
+            raise ValueError(f"observer cell ({col}, {row}) is NoData")
+    else:
+        z_obs = float(obs_rows[0]["z"])
+        if _m.isnan(z_obs):
+            raise ValueError(f"observer cell ({col}, {row}) is NoData")
+    oc, orow = int(col), int(row)
+
+    def kernel(buf: np.ndarray, key) -> np.ndarray:
+        kc, kr = int(key[0]), int(key[1])
+        zo = z_obs[key[2]] if isinstance(z_obs, dict) else z_obs
+        gc0 = kc * tc - R   # buffer origin in global coords
+        gr0 = kr * tr - R
+        center = buf[R:R + tr, R:R + tc]
+        out = np.where(np.isnan(center), np.nan, 0.0)
+        # vectorized radius pre-filter: the Python loop below touches
+        # ONLY cells within R of the observer (O(R^2) across the whole
+        # layer), never every cell of every tile
+        lrr, lcc = np.mgrid[0:tr, 0:tc]
+        dxs = kc * tc + lcc - oc
+        dys = kr * tr + lrr - orow
+        near = (dxs * dxs + dys * dys <= R * R) & ~np.isnan(center)
+        for lr, lc in zip(*np.nonzero(near)):
+            zc = center[lr, lc]
+            dx, dy = int(dxs[lr, lc]), int(dys[lr, lc])
+            n = max(abs(dx), abs(dy))
+            visible = True
+            for k in range(1, n):
+                # dominant axis steps exactly; the other axis is
+                # num/n rounded to nearest (ties toward +inf), all
+                # in integers
+                sx = (2 * (oc * n + k * dx) + n) // (2 * n)
+                sy = (2 * (orow * n + k * dy) + n) // (2 * n)
+                zk = buf[sy - gr0, sx - gc0]
+                if np.isnan(zk):
+                    continue
+                if n * (zk - zo) > k * (zc - zo):
+                    visible = False
+                    break
+            out[lr, lc] = 1.0 if visible else 0.0
+        return out
+
+    return _run_kernel(layer, R, kernel, pass_key=True)
+
+
 def convolve(layer: "TiledRasterLayer", kernel_weights) -> "TiledRasterLayer":
     """Focal convolution with an arbitrary odd-square weight kernel — the
     desktop-GIS/GeoTrellis ``Convolve``/``Kernel`` map-algebra op (the

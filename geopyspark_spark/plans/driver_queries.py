@@ -8429,6 +8429,104 @@ FROM (VALUES {values}) t(col0, col1, col2, col3)
 """
 
 
+def q_raster_tri(spark, sf_dir):
+    """Terrain Ruggedness Index (``focal.py::tri``): mean |dz| to the
+    valid 8-neighborhood — integer sums + one division, engine-exact
+    against the neighbor-join oracle."""
+    layer = lineitem_layer(spark, sf_dir)
+    return _explode_result(layer.tri())
+
+
+SQL_RASTER_TRI = CELLS_CTE + """
+SELECT a.key_col, a.key_row, a.pos,
+       CAST(SUM(ABS(a.value - b.value)) AS DOUBLE) / COUNT(*) AS value
+FROM coords a JOIN coords b
+  ON b.gcol BETWEEN a.gcol - 1 AND a.gcol + 1
+ AND b.grow BETWEEN a.grow - 1 AND a.grow + 1
+ AND NOT (b.gcol = a.gcol AND b.grow = a.grow)
+GROUP BY a.key_col, a.key_row, a.pos
+"""
+
+
+def q_raster_tpi(spark, sf_dir):
+    """Topographic Position Index (``focal.py::tpi``): cell minus mean
+    of valid neighbors — same exactness contract as TRI."""
+    layer = lineitem_layer(spark, sf_dir)
+    return _explode_result(layer.tpi())
+
+
+SQL_RASTER_TPI = CELLS_CTE + """
+SELECT a.key_col, a.key_row, a.pos,
+       CAST(ANY_VALUE(a.value) - CAST(SUM(b.value) AS DOUBLE) / COUNT(*)
+            AS DOUBLE) AS value
+FROM coords a JOIN coords b
+  ON b.gcol BETWEEN a.gcol - 1 AND a.gcol + 1
+ AND b.grow BETWEEN a.grow - 1 AND a.grow + 1
+ AND NOT (b.gcol = a.gcol AND b.grow = a.grow)
+GROUP BY a.key_col, a.key_row, a.pos
+"""
+
+
+VIEWSHED_OBS = (8 * BIG_TILE, 8 * BIG_TILE)   # pos 0 of key (8, 8)
+VIEWSHED_RADIUS = 12
+
+
+def q_raster_viewshed(spark, sf_dir):
+    """Bounded-radius viewshed (``focal.py::viewshed``) on the BIG
+    fixture (radius 12 needs the 32x32 tiles — the halo cannot exceed
+    the tile size): visibility from a mid-grid observer under the
+    integer LOS rule (``n*(z_k - z_o) > k*(z_c - z_o)``, nearest-cell
+    sampling in pure integer arithmetic) — the oracle replays the
+    identical rule in Python over the same cells. Nodata fill cells are
+    transparent and come back NoData (filtered; visibility is 0/1 so
+    the -1.0 filter is unambiguous). One halo pass with halo = radius."""
+    layer = big_lineitem_layer(spark, sf_dir)
+    out = layer.viewshed(VIEWSHED_OBS[0], VIEWSHED_OBS[1], VIEWSHED_RADIUS)
+    return _explode_result(out).where(F.col("value") != -1.0)
+
+
+def _sql_raster_viewshed() -> str:
+    import duckdb
+
+    sf_dir = _oracle_sf_dir()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * "
+            f"FROM '{sf_dir}/lineitem.parquet'")
+    cells = con.sql(BIG_CELLS_CTE + """
+SELECT key_col, key_row, pos, gcol, grow, value FROM coords
+""").fetchall()
+    con.close()
+    z = {(c, r): v for _kc, _kr, _p, c, r, v in cells}
+    oc, orow = VIEWSHED_OBS
+    R = VIEWSHED_RADIUS
+    zo = z[(oc, orow)]
+
+    def visible(gc, gr):
+        dx, dy = gc - oc, gr - orow
+        if dx * dx + dy * dy > R * R:
+            return 0.0
+        zc = z[(gc, gr)]
+        n = max(abs(dx), abs(dy))
+        for k in range(1, n):
+            sx = (2 * (oc * n + k * dx) + n) // (2 * n)
+            sy = (2 * (orow * n + k * dy) + n) // (2 * n)
+            zk = z.get((sx, sy))
+            if zk is None:
+                continue
+            if n * (zk - zo) > k * (zc - zo):
+                return 0.0
+        return 1.0
+
+    values = ", ".join(
+        f"({kc}, {kr}, {p}, {visible(c, r)!r})"
+        for kc, kr, p, c, r, _v in sorted(cells))
+    return f"""
+SELECT CAST(col0 AS INT) AS key_col, CAST(col1 AS INT) AS key_row,
+       CAST(col2 AS INT) AS pos, CAST(col3 AS DOUBLE) AS value
+FROM (VALUES {values}) t(col0, col1, col2, col3)
+"""
+
+
 def q_raster_kernel_density(spark, sf_dir):
     """Kernel density under the gate: 20 weighted points derived from
     the part table stamp a uniform disk (radius 5) onto the 32x32
@@ -9866,6 +9964,9 @@ def _canonical_queries():
         "raster_flow_accumulation": q_raster_flow_accumulation,
         "raster_watershed": q_raster_watershed,
         "text_bpe_encode": q_text_bpe_encode,
+        "raster_tri": q_raster_tri,
+        "raster_tpi": q_raster_tpi,
+        "raster_viewshed": q_raster_viewshed,
     }
 
 
@@ -9896,6 +9997,9 @@ _WINDOW_ORDER: list = [
     "raster_flow_accumulation",
     "raster_watershed",
     "text_bpe_encode",
+    "raster_tri",
+    "raster_tpi",
+    "raster_viewshed",
     "tpch_q14_promo",
     "window_rank",
     "raster_focal_mode",
@@ -10249,6 +10353,9 @@ def oracle_sql():
         "events_ewma": _sql_events_ewma(),
         "raster_flow_accumulation": _sql_raster_flow_accumulation(),
         "raster_watershed": _sql_raster_watershed(),
+        "raster_tri": SQL_RASTER_TRI,
+        "raster_tpi": SQL_RASTER_TPI,
+        "raster_viewshed": _sql_raster_viewshed(),
         "raster_zonal_by_layer": SQL_RASTER_ZONAL_BY_LAYER,
         "raster_focal_convolve": SQL_RASTER_FOCAL_CONVOLVE,
         "raster_morans_i": SQL_RASTER_MORANS_I,

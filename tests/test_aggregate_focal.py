@@ -617,3 +617,84 @@ class TestFlowDirection:
         ws = layer.watershed().collect()
         assert len(ws) == 18
         assert all(r["basin"] == 8 for r in ws)
+
+
+class TestTerrainIndices:
+    def _layer(self, spark, g, tile=None):
+        import numpy as np
+
+        import geopyspark_spark as gps
+
+        g = np.asarray(g, dtype=float)
+        h, w = g.shape
+        layout = gps.LayoutDefinition(
+            gps.Extent(0, 0, w, h), gps.TileLayout(1, 1, w, h))
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64", layout=layout,
+            bounds=((0, 0), (0, 0)), extent=layout.extent, num_bands=1)
+        return gps.from_numpy(spark, [(0, 0, 0, g)], md)
+
+    def test_tri_flat_is_zero_and_step_counts(self, spark):
+        from geopyspark_spark.sources.numpy_source import to_numpy
+        import numpy as np
+
+        g = np.full((3, 3), 7.0)
+        g[1, 2] = 10.0
+        layer = self._layer(spark, g)
+        for _kc, _kr, _b, a in to_numpy(layer.tri()):
+            out = a
+        # center cell: neighbors are seven 7s and one 10 -> mean |dz| = 3/8
+        assert out[1, 1] == 3.0 / 8.0
+        # far corner (0,0): neighbors all 7 -> 0
+        assert out[0, 0] == 0.0
+
+    def test_tpi_ridge_positive(self, spark):
+        from geopyspark_spark.sources.numpy_source import to_numpy
+        import numpy as np
+
+        g = np.full((3, 3), 5.0)
+        g[1, 1] = 13.0
+        layer = self._layer(spark, g)
+        for _kc, _kr, _b, a in to_numpy(layer.tpi()):
+            out = a
+        assert out[1, 1] == 8.0           # 13 - mean(eight 5s)
+        assert out[0, 1] == 5.0 - (5 * 4 + 13) / 5.0
+
+    def test_viewshed_wall_blocks(self, spark):
+        from geopyspark_spark.sources.numpy_source import to_numpy
+        import numpy as np
+
+        # flat plain with a tall north-south wall at column 3:
+        # observer at (1, 2) sees everything west of the wall and the
+        # wall itself, nothing east of it
+        g = np.zeros((5, 7))
+        g[:, 3] = 10.0
+        layer = self._layer(spark, g)
+        out_l = layer.viewshed(col=1, row=2, radius=5)
+        for _kc, _kr, _b, a in to_numpy(out_l):
+            out = a
+        assert out[2, 1] == 1.0           # observer
+        assert out[2, 0] == 1.0 and out[2, 2] == 1.0
+        assert out[2, 3] == 1.0           # wall top visible
+        assert out[2, 4] == 0.0 and out[2, 6] == 0.0  # shadowed
+        # radius cutoff: corner (4, 6) is sqrt(25+4) > 5 away -> 0
+        assert out[4, 6] == 0.0
+
+    def test_viewshed_flat_all_visible(self, spark):
+        from geopyspark_spark.sources.numpy_source import to_numpy
+        import numpy as np
+
+        g = np.zeros((5, 5))
+        layer = self._layer(spark, g)
+        for _kc, _kr, _b, a in to_numpy(layer.viewshed(2, 2, 4)):
+            out = a
+        assert (out == 1.0).all()
+
+    def test_viewshed_observer_validation(self, spark):
+        import numpy as np
+        import pytest as _pt
+
+        g = np.zeros((4, 4))
+        layer = self._layer(spark, g)
+        with _pt.raises(ValueError, match="not in the layer"):
+            layer.viewshed(100, 100, 2)
