@@ -698,3 +698,31 @@ class TestTerrainIndices:
         layer = self._layer(spark, g)
         with _pt.raises(ValueError, match="not in the layer"):
             layer.viewshed(100, 100, 2)
+
+    def test_viewshed_temporal_per_instant_observer(self, spark):
+        """SPACETIME viewshed: the observer elevation is looked up PER
+        INSTANT — a wall present only in the second month shadows only
+        that month."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from geopyspark_spark.layer import TiledRasterLayer
+
+        flat = np.zeros((5, 5))
+        walled = np.zeros((5, 5))
+        walled[:, 2] = 10.0
+        base_flat = self._layer(spark, flat)
+        base_wall = self._layer(spark, walled)
+        df = base_flat.df.withColumn(
+            "instant", F.lit("2022-01-01").cast("timestamp")
+        ).unionByName(base_wall.df.withColumn(
+            "instant", F.lit("2022-02-01").cast("timestamp")))
+        layer = TiledRasterLayer(
+            df.select("key_col", "key_row", "instant", "band", "cells"),
+            base_flat.metadata)
+        rows = layer.viewshed(0, 2, 4).explode().collect()
+        vis = {(str(r["instant"])[:7], r["pos"]): r["value"] for r in rows}
+        # pos 4 = (row 0... ) use row 2, col 4 -> pos 2*5+4 = 14
+        assert vis[("2022-01", 14)] == 1.0    # flat month: visible
+        assert vis[("2022-02", 14)] == 0.0    # walled month: shadowed
+        assert vis[("2022-02", 12)] == 1.0    # the wall itself is seen
