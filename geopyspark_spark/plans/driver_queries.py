@@ -7911,7 +7911,12 @@ def q_raster_region_group_temporal(spark, sf_dir):
     )
 
 
-def _sql_raster_region_group_temporal() -> str:
+def _temporal_regions():
+    """Shared driver-side replay for the SPACETIME region oracles:
+    fetch the monthly fixture, reconstruct assemble's per-(key,instant)
+    nodata fill, reclassify, and union-find per instant with the
+    engine's instant-scoped ids. Returns (instants, cls, roots) where
+    ``cls`` maps (gcol, grow, ti) -> class value."""
     import duckdb
 
     sf_dir = _oracle_sf_dir()
@@ -7960,6 +7965,49 @@ FROM tcells
     roots = _regions_over(
         cls, lambda k: k[2] * plane + k[1] * width + k[0],
         shifts=((1, 0, 0), (0, 1, 0)))
+    return instants, cls, roots
+
+
+def q_raster_sieve_temporal(spark, sf_dir):
+    """Temporal sieve (the SPACETIME face of ``raster_sieve``): speckle
+    regions smaller than 3 cells become NoData PER INSTANT — region
+    sizes must never sum across months (the r9 silent-merge class).
+    Rolled up to (month, class, n_cells) after sieving so the oracle
+    VALUES stay bounded; the dropped cells fold into the -1.0 class."""
+    from ..operators.regiongroup import sieve
+
+    layer = _spacetime_layer(spark, sf_dir).reclassify(
+        {10: 1, 25: 2, 50: 3}, strategy="LESS_THAN_OR_EQUAL")
+    out = sieve(layer, min_size=3, connectivity=4)
+    return (
+        out.explode()
+        .groupBy(F.col("instant").cast("date").alias("month"), "value")
+        .agg(F.count("*").alias("n_cells"))
+    )
+
+
+def _sql_raster_sieve_temporal(min_size: int = 3) -> str:
+    instants, cls, roots = _temporal_regions()
+    from collections import Counter
+    sizes: Counter = Counter()
+    for k in cls:
+        sizes[roots[k]] += 1
+    agg: Counter = Counter()
+    for k, v in cls.items():
+        out_v = v if sizes[roots[k]] >= min_size else -1.0
+        agg[(instants[k[2]], out_v)] += 1
+    values = ", ".join(
+        f"(DATE '{t.isoformat()}', {float(v)!r}, {n})"
+        for (t, v), n in sorted(agg.items()))
+    return f"""
+SELECT CAST(col0 AS DATE) AS month, CAST(col1 AS DOUBLE) AS value,
+       CAST(col2 AS BIGINT) AS n_cells
+FROM (VALUES {values}) t(col0, col1, col2)
+"""
+
+
+def _sql_raster_region_group_temporal() -> str:
+    instants, cls, roots = _temporal_regions()
     agg: dict = {}
     for k, v in cls.items():
         key = (instants[k[2]], v)
@@ -9967,6 +10015,7 @@ def _canonical_queries():
         "raster_tri": q_raster_tri,
         "raster_tpi": q_raster_tpi,
         "raster_viewshed": q_raster_viewshed,
+        "raster_sieve_temporal": q_raster_sieve_temporal,
     }
 
 
@@ -10000,6 +10049,7 @@ _WINDOW_ORDER: list = [
     "raster_tri",
     "raster_tpi",
     "raster_viewshed",
+    "raster_sieve_temporal",
     "tpch_q14_promo",
     "window_rank",
     "raster_focal_mode",
@@ -10343,6 +10393,7 @@ def oracle_sql():
         "raster_region_group": _sql_raster_region_group(),
         "raster_sieve": _sql_raster_sieve(),
         "raster_region_group_temporal": _sql_raster_region_group_temporal(),
+        "raster_sieve_temporal": _sql_raster_sieve_temporal(),
         "raster_region_group8": _sql_raster_region_group8(),
         "raster_region_group_big": _sql_raster_region_group_big(),
         "raster_focal_convolve_big": SQL_RASTER_FOCAL_CONVOLVE_BIG,
