@@ -20,17 +20,27 @@ from pyspark.sql import functions as F
 
 
 def _part1by1_py(n: int) -> int:
-    """Spread the lower 16 bits of n with zeros in odd positions."""
-    n &= 0xFFFF
-    n = (n | (n << 8)) & 0x00FF00FF
-    n = (n | (n << 4)) & 0x0F0F0F0F
-    n = (n | (n << 2)) & 0x33333333
-    n = (n | (n << 1)) & 0x55555555
+    """Spread the lower 31 bits of n with zeros in odd positions.
+
+    31 bits/axis (62-bit Morton long) matches GeoTrellis' Z2 curve
+    (``SpatialPartitioner.scala:14-24`` inherits geotrellis Z2's 31-bit
+    interleave) so GlobalLayout zooms >= 17 — the zooms a planet-scale
+    pyramid actually uses — keep distinct z-indexes and sort locality.
+    For coordinates < 2^16 the result is bit-identical to the previous
+    16-bit spread (upper input bits are zero), so existing catalogs'
+    zindex columns are unchanged.
+    """
+    n &= 0x7FFFFFFF
+    n = (n | (n << 16)) & 0x0000FFFF0000FFFF
+    n = (n | (n << 8)) & 0x00FF00FF00FF00FF
+    n = (n | (n << 4)) & 0x0F0F0F0F0F0F0F0F
+    n = (n | (n << 2)) & 0x3333333333333333
+    n = (n | (n << 1)) & 0x5555555555555555
     return n
 
 
 def z2_py(col: int, row: int) -> int:
-    """Morton-interleave two 16-bit coordinates (pure Python mirror)."""
+    """Morton-interleave two 31-bit coordinates (pure Python mirror)."""
     return _part1by1_py(col) | (_part1by1_py(row) << 1)
 
 
@@ -49,12 +59,13 @@ def z3_py(col: int, row: int, t: int) -> int:
 
 
 def _spread1(c: Column) -> Column:
-    """JVM-side part1by1: all ops stay in whole-stage codegen."""
-    n = c.bitwiseAND(F.lit(0xFFFF))
-    n = (n.bitwiseOR(F.shiftleft(n, 8))).bitwiseAND(F.lit(0x00FF00FF))
-    n = (n.bitwiseOR(F.shiftleft(n, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
-    n = (n.bitwiseOR(F.shiftleft(n, 2))).bitwiseAND(F.lit(0x33333333))
-    n = (n.bitwiseOR(F.shiftleft(n, 1))).bitwiseAND(F.lit(0x55555555))
+    """JVM-side 31-bit part1by1: all ops stay in whole-stage codegen."""
+    n = c.bitwiseAND(F.lit(0x7FFFFFFF))
+    n = (n.bitwiseOR(F.shiftleft(n, 16))).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    n = (n.bitwiseOR(F.shiftleft(n, 8))).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    n = (n.bitwiseOR(F.shiftleft(n, 4))).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    n = (n.bitwiseOR(F.shiftleft(n, 2))).bitwiseAND(F.lit(0x3333333333333333))
+    n = (n.bitwiseOR(F.shiftleft(n, 1))).bitwiseAND(F.lit(0x5555555555555555))
     return n
 
 

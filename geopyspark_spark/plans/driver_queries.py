@@ -1540,11 +1540,16 @@ def q_raster_zindex(spark, sf_dir):
 
 
 def _sql_spread1(col: str) -> str:
-    n = f"CAST({col} AS BIGINT) & 65535"
-    n = f"(({n}) | (({n}) << 8)) & 16711935"
-    n = f"(({n}) | (({n}) << 4)) & 252645135"
-    n = f"(({n}) | (({n}) << 2)) & 858993459"
-    n = f"(({n}) | (({n}) << 1)) & 1431655765"
+    # 31-bit part1by1 (matches core/zindex.py's widened Z2; for inputs
+    # < 2^16 the result is identical to the old 16-bit spread).
+    n = f"CAST({col} AS BIGINT) & 2147483647"
+    masks = [
+        (16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ]
+    for shift, mask in masks:
+        n = f"(({n}) | (({n}) << {shift})) & {mask}"
     return n
 
 
@@ -1552,6 +1557,39 @@ SQL_RASTER_ZINDEX = CELLS_CTE + f"""
 SELECT DISTINCT key_col, key_row,
        ({_sql_spread1('key_col')}) | (({_sql_spread1('key_row')}) << 1) AS zindex
 FROM cells
+"""
+
+
+def q_raster_zindex_deep(spark, sf_dir):
+    """Z2 at deep-zoom coordinates (>= 2^17 cols/rows, i.e. GlobalLayout
+    zoom >= 17 — the zooms a planet-scale web-mercator pyramid actually
+    uses): keys are synthesized deterministically into a 2^20-wide grid,
+    so the index must interleave the full 31 bits/axis (the old 16-bit
+    spread would alias these).  Gates the r11 Morton widening of
+    core/zindex.py against an independent DuckDB bit-spread."""
+    from ..core.zindex import z2_col
+
+    li = _t(spark, sf_dir, "lineitem")
+    keys = li.select(
+        ((F.col("l_orderkey") * 48271 + F.col("l_linenumber"))
+         % 1048573).cast("int").alias("key_col"),
+        ((F.col("l_orderkey") * 16807 + F.col("l_partkey"))
+         % 1048573).cast("int").alias("key_row"),
+    ).distinct()
+    return keys.select("key_col", "key_row",
+                       z2_col("key_col", "key_row"))
+
+
+SQL_RASTER_ZINDEX_DEEP = f"""
+WITH dk AS (
+  SELECT DISTINCT
+    CAST((l_orderkey * 48271 + l_linenumber) % 1048573 AS INT) AS key_col,
+    CAST((l_orderkey * 16807 + l_partkey) % 1048573 AS INT) AS key_row
+  FROM lineitem
+)
+SELECT key_col, key_row,
+       ({_sql_spread1('key_col')}) | (({_sql_spread1('key_row')}) << 1) AS zindex
+FROM dk
 """
 
 
@@ -9992,6 +10030,7 @@ def _canonical_queries():
         "raster_hillshade": q_raster_hillshade,
         "raster_tobler": q_raster_tobler,
         "raster_zindex": q_raster_zindex,
+        "raster_zindex_deep": q_raster_zindex_deep,
         "raster_zindex_temporal": q_raster_zindex_temporal,
         "raster_catalog_roundtrip": q_raster_catalog_roundtrip,
         "raster_convert_int8": q_raster_convert_int8,
@@ -10337,6 +10376,7 @@ def oracle_sql():
         "raster_resample": SQL_RASTER_RESAMPLE,
         "raster_local_add_n": SQL_RASTER_LOCAL_ADD_N,
         "raster_zindex": SQL_RASTER_ZINDEX,
+        "raster_zindex_deep": SQL_RASTER_ZINDEX_DEEP,
         "raster_zindex_temporal": _sql_zindex_temporal(),
         "raster_catalog_roundtrip": SQL_RASTER_CATALOG_ROUNDTRIP,
         "raster_convert_int8": SQL_RASTER_CONVERT_INT8,

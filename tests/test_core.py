@@ -103,6 +103,57 @@ class TestZIndex:
         for row in rows:
             assert row["zindex"] == z2_py(row["key_col"], row["key_row"])
 
+    def test_z2_backcompat_zoom16(self):
+        # r11 widened Z2 from 16 to 31 bits/axis; for coords < 2^16 the
+        # index must be bit-identical to the legacy 16-bit spread so
+        # existing catalogs' zindex columns (zoom <= 16) are unchanged.
+        def legacy_spread(n):
+            n &= 0xFFFF
+            n = (n | (n << 8)) & 0x00FF00FF
+            n = (n | (n << 4)) & 0x0F0F0F0F
+            n = (n | (n << 2)) & 0x33333333
+            n = (n | (n << 1)) & 0x55555555
+            return n
+
+        for c, r in [(0, 0), (1, 2), (255, 256), (4095, 21845),
+                     (0xFFFF, 0xFFFF), (0x8000, 0x7FFF)]:
+            assert z2_py(c, r) == legacy_spread(c) | (legacy_spread(r) << 1)
+
+    def test_z2_deep_zoom_distinct_and_invertible(self):
+        # zoom >= 17 coords (> 2^16) no longer alias: the 31-bit curve
+        # keeps them distinct and de-interleavable.
+        def compact(n):
+            n &= 0x5555555555555555
+            n = (n | (n >> 1)) & 0x3333333333333333
+            n = (n | (n >> 2)) & 0x0F0F0F0F0F0F0F0F
+            n = (n | (n >> 4)) & 0x00FF00FF00FF00FF
+            n = (n | (n >> 8)) & 0x0000FFFF0000FFFF
+            n = (n | (n >> 16)) & 0x00000000FFFFFFFF
+            return n
+
+        coords = [(1 << 17, 3), (1 << 17, (1 << 17) + 1),
+                  ((1 << 20) - 1, (1 << 20) - 1),
+                  (0x7FFFFFFF, 0x7FFFFFFF), (123456789, 987654321 & 0x7FFFFFFF)]
+        seen = set()
+        for c, r in coords:
+            z = z2_py(c, r)
+            assert z >= 0  # fits a signed 64-bit long (bit 62 max)
+            assert compact(z) == c and compact(z >> 1) == r
+            seen.add(z)
+        assert len(seen) == len(coords)
+        # the old 16-bit spread aliased these two; the 31-bit one must not
+        assert z2_py(1 << 17, 3) != z2_py(0, 3)
+
+    def test_z2_col_matches_python_deep(self, spark):
+        from geopyspark_spark.core.zindex import z2_col
+
+        pts = [(1 << 17, 1 << 18), ((1 << 20) - 1, 131073),
+               (0x7FFFFFFF, 0x7FFFFFFF), (65536, 65535), (42, 1 << 19)]
+        df = spark.createDataFrame(pts, ["key_col", "key_row"])
+        rows = df.select("key_col", "key_row", z2_col("key_col", "key_row")).collect()
+        for row in rows:
+            assert row["zindex"] == z2_py(row["key_col"], row["key_row"])
+
 
 class TestGeom:
     def test_wkt_roundtrip(self):
