@@ -13,8 +13,12 @@ Scope (what real JPEG-in-TIFF files use):
   merged ahead of per-segment SOI..EOI image streams
 - JFIF YCbCr -> RGB conversion (the photometric=6 TIFF case)
 
-Out of scope (raises ``ValueError`` naming the feature): progressive
-(SOF2), arithmetic coding (SOF9+), 12-bit precision, hierarchical —
+- progressive SOF2 (spectral selection + successive approximation,
+  DC/AC first and refinement scans, EOB runs) — r11; decoded by
+  accumulating coefficients across scans, then one vectorized IDCT
+
+Out of scope (raises ``ValueError`` naming the feature): arithmetic
+coding (SOF9+), 12-bit precision, lossless (SOF3), hierarchical —
 none appear in GDAL-produced JPEG-in-TIFF.
 
 The IDCT is the exact float 8x8 basis product (no integer fast-DCT
@@ -279,14 +283,16 @@ def decode_baseline(data: bytes, tables: bytes | None = None,
     if pos + 1 >= len(data):
         raise ValueError("JPEG: no frame header (tables-only stream?)")
     m = data[pos + 1]
+    if m == 0xC2:
+        return _decode_progressive(data, st, pos, ycbcr_to_rgb)
     if m != 0xC0:
         names = {0xC1: "extended sequential (SOF1)",
-                 0xC2: "progressive (SOF2)", 0xC3: "lossless (SOF3)",
+                 0xC3: "lossless (SOF3)",
                  0xC9: "arithmetic extended (SOF9)",
                  0xCA: "arithmetic progressive (SOF10)"}
         raise ValueError(
-            f"JPEG: only baseline SOF0 is supported, got "
-            f"{names.get(m, f'marker {m:#x}')}")
+            f"JPEG: only baseline SOF0 and progressive SOF2 are "
+            f"supported, got {names.get(m, f'marker {m:#x}')}")
     ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
     seg = data[pos + 4:pos + 2 + ln]
     precision = seg[0]
@@ -343,8 +349,14 @@ def decode_baseline(data: bytes, tables: bytes | None = None,
                         c0 = (mx * c.h + bx) * 8
                         planes[ci][r0:r0 + 8, c0:c0 + 8] = blk
 
-    # upsample subsampled planes to full resolution (sample replication,
-    # the TIFF/JFIF box default), crop to the frame dims, level-shift
+    return _finish(planes, comps, hmax, vmax, rows, cols, ycbcr_to_rgb)
+
+
+def _finish(planes, comps, hmax, vmax, rows, cols, ycbcr_to_rgb) -> np.ndarray:
+    """Shared decode tail: upsample subsampled planes to full resolution
+    (sample replication, the TIFF/JFIF box default), crop to the frame
+    dims, level-shift, optional YCbCr->RGB, round/clip to uint8."""
+    ncomp = len(comps)
     out = np.empty((rows, cols, ncomp))
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -364,3 +376,242 @@ def decode_baseline(data: bytes, tables: bytes | None = None,
             y + 1.772 * cb,
         ], axis=-1)
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+# ---- progressive (SOF2) ---------------------------------------------------
+#
+# T.81 Annex G: the image is sent as multiple scans, each covering one
+# spectral band (Ss..Se) of one or more components at one bit of
+# successive approximation (Ah, Al). The decoder accumulates quantized
+# coefficients (zigzag order) across scans and runs the IDCT once at
+# EOI. Control flow for the refinement scans follows T.81 G.2 (the same
+# logic libjpeg's jdphuff.c implements).
+
+
+def _dec_dc_first(br, c, st, blk, al):
+    tbl = st.huff_dc.get(c.td)
+    if tbl is None:
+        raise ValueError("JPEG: DC scan references an undefined table")
+    t = tbl.decode(br)
+    c.pred += _extend(br.receive(t), t)
+    blk[0] = c.pred << al
+
+
+def _dec_dc_refine(br, blk, al):
+    if br.read_bit():
+        blk[0] |= (1 << al)
+
+
+def _dec_ac_first(br, c, st, blk, ss, se, al, eobrun):
+    """First AC scan of a band (Ah == 0): run-length coefficients plus
+    EOBn end-of-band run codes. Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    tbl = st.huff_ac.get(c.ta)
+    if tbl is None:
+        raise ValueError("JPEG: AC scan references an undefined table")
+    k = ss
+    while k <= se:
+        rs = tbl.decode(br)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.receive(r)
+                return eobrun
+            k += 16                            # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("JPEG: AC index past Se in progressive scan")
+            blk[k] = _extend(br.receive(s), s) << al
+            k += 1
+    return 0
+
+
+def _dec_ac_refine(br, c, st, blk, ss, se, al, eobrun):
+    """Refinement AC scan (Ah == Al + 1): one correction bit for every
+    already-nonzero coefficient passed, plus newly-significant +-1<<Al
+    coefficients. Returns the remaining EOB run."""
+    tbl = st.huff_ac.get(c.ta)
+    if tbl is None:
+        raise ValueError("JPEG: AC scan references an undefined table")
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = tbl.decode(br)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break                      # remaining band refined below
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "JPEG: refinement scan carries magnitude != 1")
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("JPEG: refinement ran past Se")
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if br.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(data: bytes, st: _JpegState, pos: int,
+                        ycbcr_to_rgb) -> np.ndarray:
+    """Decode a progressive (SOF2) stream: accumulate coefficients over
+    all scans, then dequantize + IDCT every block in one vectorized
+    pass. ``pos`` points at the FF C2 marker; tables already consumed
+    into ``st``."""
+    ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+    seg = data[pos + 4:pos + 2 + ln]
+    precision = seg[0]
+    if precision != 8:
+        raise ValueError(f"JPEG: {precision}-bit precision (only 8 supported)")
+    rows, cols = struct.unpack(">HH", seg[1:5])
+    ncomp = seg[5]
+    comps: list[_Component] = []
+    for i in range(ncomp):
+        cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+        h, v = hv >> 4, hv & 15
+        if h not in (1, 2) or v not in (1, 2):
+            raise ValueError(f"JPEG: sampling {h}x{v} unsupported (1,2 only)")
+        comps.append(_Component(cid, h, v, tq))
+    pos += 2 + ln
+
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcux = (cols + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (rows + 8 * vmax - 1) // (8 * vmax)
+    # per-component coefficient planes, zigzag-indexed, int32 (DC of an
+    # 8-bit image is at most 8*255 pre-quantization; refinements only
+    # set low bits)
+    coefs = [np.zeros((mcuy * c.v, mcux * c.h, 64), dtype=np.int32)
+             for c in comps]
+    # non-interleaved scan block dims: ceil over the component's own
+    # sample grid (T.81 A.2.2), NOT the MCU-padded plane
+    nblocks = [((rows * c.v + 8 * vmax - 1) // (8 * vmax),
+                (cols * c.h + 8 * hmax - 1) // (8 * hmax)) for c in comps]
+    by_id = {c.cid: c for c in comps}
+
+    while True:
+        pos = st.read_tables(data, pos, len(data))
+        if pos + 1 >= len(data):
+            raise ValueError("JPEG: progressive stream truncated before EOI")
+        m = data[pos + 1]
+        if m == 0xD9:                          # EOI
+            break
+        if m != 0xDA:
+            raise ValueError(
+                f"JPEG: unexpected marker {m:#x} between progressive scans")
+        ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        sseg = data[pos + 4:pos + 2 + ln]
+        ns = sseg[0]
+        scomps = []
+        for i in range(ns):
+            cs, tdta = sseg[1 + 2 * i], sseg[2 + 2 * i]
+            cc = by_id.get(cs)
+            if cc is None:
+                raise ValueError(f"JPEG: scan references unknown component {cs}")
+            cc.td, cc.ta = tdta >> 4, tdta & 15
+            scomps.append(cc)
+        ss, se, ahal = sseg[1 + 2 * ns], sseg[2 + 2 * ns], sseg[3 + 2 * ns]
+        ah, al = ahal >> 4, ahal & 15
+        if ss == 0 and se != 0:
+            raise ValueError("JPEG: DC scan with Se != 0")
+        if ss > 0 and ns != 1:
+            raise ValueError("JPEG: interleaved AC scan is not legal")
+        pos += 2 + ln
+
+        br = _BitReader(data, pos)
+        ri = st.restart_interval
+        rst = 0
+        eobrun = 0
+        for c in scomps:
+            c.pred = 0
+        if len(scomps) > 1:
+            # interleaved DC scan: MCU order
+            for mi in range(mcuy * mcux):
+                if ri and mi and mi % ri == 0:
+                    br.align_and_expect_rst(rst)
+                    rst += 1
+                    for c in scomps:
+                        c.pred = 0
+                my, mx = divmod(mi, mcux)
+                for c in scomps:
+                    ci = comps.index(c)
+                    for by in range(c.v):
+                        for bx in range(c.h):
+                            blk = coefs[ci][my * c.v + by, mx * c.h + bx]
+                            if ah == 0:
+                                _dec_dc_first(br, c, st, blk, al)
+                            else:
+                                _dec_dc_refine(br, blk, al)
+        else:
+            c = scomps[0]
+            ci = comps.index(c)
+            bh, bw = nblocks[ci]
+            for bi in range(bh * bw):
+                if ri and bi and bi % ri == 0:
+                    br.align_and_expect_rst(rst)
+                    rst += 1
+                    c.pred = 0
+                    eobrun = 0
+                by, bx = divmod(bi, bw)
+                blk = coefs[ci][by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        _dec_dc_first(br, c, st, blk, al)
+                    else:
+                        _dec_dc_refine(br, blk, al)
+                elif ah == 0:
+                    eobrun = _dec_ac_first(br, c, st, blk, ss, se, al, eobrun)
+                else:
+                    eobrun = _dec_ac_refine(br, c, st, blk, ss, se, al, eobrun)
+        # resync to the next marker (skip any partial byte + pad bits)
+        p = br.pos
+        while p + 1 < len(data):
+            if (data[p] == 0xFF and data[p + 1] != 0x00
+                    and not 0xD0 <= data[p + 1] <= 0xD7):
+                break
+            p += 1
+        pos = p
+
+    # dequantize + IDCT, one vectorized pass per component
+    planes = []
+    for ci, c in enumerate(comps):
+        q = st.qt.get(c.tq)
+        if q is None:
+            raise ValueError("JPEG: frame references an undefined DQT")
+        zz = coefs[ci].astype(np.float64)
+        nat = np.zeros_like(zz)
+        nat[..., ZIGZAG] = zz                  # zigzag k -> natural flat
+        ny, nx = nat.shape[:2]
+        blocks = nat.reshape(ny, nx, 8, 8) * q
+        spatial = np.einsum("ua,ijuv,vb->ijab", _A, blocks, _A, optimize=True)
+        planes.append(spatial.transpose(0, 2, 1, 3).reshape(ny * 8, nx * 8))
+    return _finish(planes, comps, hmax, vmax, rows, cols, ycbcr_to_rgb)

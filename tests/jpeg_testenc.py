@@ -163,13 +163,10 @@ def _encode_block(bw, block, q, dcmap, acmap, pred):
     return int(zz[0])
 
 
-def encode_baseline(img: np.ndarray, subsample=(1, 1), restart_interval=0,
-                    abbreviated=False):
-    """Encode (rows, cols) grayscale or (rows, cols, 3) YCbCr-input RGB
-    to a baseline JPEG. ``subsample=(h,v)`` applies to the two chroma
-    components (luma is (h,v)-scaled up, i.e. (2,2) = 4:2:0).
-    ``abbreviated=True`` returns (tables_stream, image_stream) — the
-    TIFF JPEGTables split; otherwise one interchange stream."""
+def _prep_planes(img, subsample):
+    """Color-convert, subsample, and MCU-pad: shared by the baseline and
+    progressive encoders. Returns (padded planes, samp, qts, gray, rows,
+    cols, mcux, mcuy)."""
     img = np.asarray(img, dtype=np.float64)
     gray = img.ndim == 2
     rows, cols = img.shape[:2]
@@ -208,6 +205,18 @@ def encode_baseline(img: np.ndarray, subsample=(1, 1), restart_interval=0,
         pc = mcux * h * 8
         padded.append(np.pad(p, ((0, pr - p.shape[0]), (0, pc - p.shape[1])),
                              mode="edge"))
+    return padded, samp, qts, gray, rows, cols, mcux, mcuy
+
+
+def encode_baseline(img: np.ndarray, subsample=(1, 1), restart_interval=0,
+                    abbreviated=False):
+    """Encode (rows, cols) grayscale or (rows, cols, 3) YCbCr-input RGB
+    to a baseline JPEG. ``subsample=(h,v)`` applies to the two chroma
+    components (luma is (h,v)-scaled up, i.e. (2,2) = 4:2:0).
+    ``abbreviated=True`` returns (tables_stream, image_stream) — the
+    TIFF JPEGTables split; otherwise one interchange stream."""
+    padded, samp, qts, gray, rows, cols, mcux, mcuy = _prep_planes(
+        img, subsample)
 
     tables = (
         _dqt_seg(0, QLUM)
@@ -259,6 +268,244 @@ def encode_baseline(img: np.ndarray, subsample=(1, 1), restart_interval=0,
     soi, eoi = b"\xff\xd8", b"\xff\xd9"
     body = _seg(0xC0, sof) + b"\xff\xda" + struct.pack(
         ">H", len(sos) + 2) + sos + scan
+    if abbreviated:
+        return soi + tables + eoi, soi + body + eoi
+    return soi + tables + body + eoi
+
+
+# ---- progressive (SOF2) encoder ------------------------------------------
+#
+# Independent test-only progressive encoder (T.81 Annex G): spectral
+# selection + successive approximation with EOB-run and buffered
+# correction-bit handling (the split BE/BR buffer ordering G.1.2.3
+# requires). Default scan script mirrors libjpeg's: DC at Al=1, AC bands
+# at coarse Al, then AC refinement, DC refinement, final AC refinement.
+
+# uniform tables valid for BOTH first and refinement progressive scans:
+# DC sizes 0..13 at 4 bits; every AC (run<<4|size) for size 0..10 --
+# including all EOBn (n<<4) and ZRL (0xF0) -- at 8 bits. Canonical codes
+# never hit the reserved all-ones word.
+PROG_DC = ([0, 0, 0, 14] + [0] * 12, list(range(14)))
+_PROG_AC_VALUES = [(r << 4) | s for r in range(16) for s in range(11)]
+PROG_AC = ([0, 0, 0, 0, 0, 0, 0, 176] + [0] * 8, _PROG_AC_VALUES)
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform (G.1.1.2): arithmetic shift of the magnitude."""
+    a = abs(v) >> al
+    return a if v >= 0 else -a
+
+
+class _ProgScanWriter:
+    """One component-band scan; holds the EOB-run state (eobrun + the
+    BE buffer of correction bits owed to it) across blocks."""
+
+    def __init__(self, bw, acmap):
+        self.bw = bw
+        self.acmap = acmap
+        self.eobrun = 0
+        self.be = []                        # bits owed to the pending EOB run
+
+    def _emit_sym(self, sym):
+        c, ln = self.acmap[sym]
+        self.bw.write(c, ln)
+
+    def flush_eobrun(self):
+        if self.eobrun > 0:
+            n = self.eobrun.bit_length() - 1
+            self._emit_sym(n << 4)
+            if n:
+                self.bw.write(self.eobrun - (1 << n), n)
+            self.eobrun = 0
+            for b in self.be:
+                self.bw.write(b, 1)
+            self.be = []
+
+    def ac_first_block(self, zz, ss, se, al):
+        vals = [_pt_ac(int(zz[k]), al) for k in range(ss, se + 1)]
+        last = -1
+        for i, v in enumerate(vals):
+            if v:
+                last = i
+        if last < 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+            return
+        self.flush_eobrun()
+        r = 0
+        for i in range(last + 1):
+            v = vals[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                self._emit_sym(0xF0)
+                r -= 16
+            size, bits = _magnitude(v)
+            assert size <= 10, "progressive test encoder: |coef| too large"
+            self._emit_sym((r << 4) | size)
+            self.bw.write(bits, size)
+            r = 0
+        if last < se - ss:
+            self.eobrun += 1
+
+    def ac_refine_block(self, zz, ss, se, al):
+        vals = [int(zz[k]) for k in range(ss, se + 1)]
+        absv = [abs(v) >> al for v in vals]
+        eob = 0                              # band index AFTER last new ±1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i + 1
+        r = 0
+        br = []                              # this block's correction bits
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i < eob:
+                self.flush_eobrun()
+                self._emit_sym(0xF0)
+                r -= 16
+                for b in br:
+                    self.bw.write(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            self.flush_eobrun()
+            self._emit_sym((r << 4) | 1)
+            self.bw.write(1 if vals[i] > 0 else 0, 1)
+            for b in br:
+                self.bw.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            self.eobrun += 1
+            self.be.extend(br)
+            if self.eobrun == 0x7FFF or len(self.be) > 900:
+                self.flush_eobrun()
+
+
+def encode_progressive(img: np.ndarray, subsample=(1, 1), scans=None,
+                       abbreviated=False):
+    """Encode to a progressive (SOF2) JPEG. ``scans`` is a list of
+    (comp_indices, Ss, Se, Ah, Al); default mirrors libjpeg's script.
+    Quantized coefficients are identical to ``encode_baseline``'s, so a
+    correct decoder must reproduce the baseline decode bit-exactly."""
+    padded, samp, qts, gray, rows, cols, mcux, mcuy = _prep_planes(
+        img, subsample)
+    ncomp = 1 if gray else 3
+    qs = [QLUM] + [QCHROM] * (ncomp - 1)
+
+    # full-precision quantized coefficient blocks, zigzag order
+    coefs = []
+    nblocks = []
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    for p, (h, v), qi in zip(padded, samp, range(ncomp)):
+        BY, BX = p.shape[0] // 8, p.shape[1] // 8
+        x = p.reshape(BY, 8, BX, 8).transpose(0, 2, 1, 3) - 128.0
+        fr = np.einsum("au,ijuv,bv->ijab", _A, x, _A)
+        qz = np.rint(fr / qs[qi]).astype(np.int64)
+        coefs.append(qz.reshape(BY, BX, 64)[..., ZIGZAG])
+        nblocks.append(((rows * v + 8 * vmax - 1) // (8 * vmax),
+                        (cols * h + 8 * hmax - 1) // (8 * hmax)))
+
+    if scans is None:
+        if gray:
+            scans = [
+                ([0], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                ([0], 0, 0, 1, 0),
+                ([0], 1, 63, 1, 0),
+            ]
+        else:
+            scans = [
+                ([0, 1, 2], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([2], 1, 63, 0, 1),
+                ([1], 1, 63, 0, 1),
+                ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                ([0, 1, 2], 0, 0, 1, 0),
+                ([2], 1, 63, 1, 0),
+                ([1], 1, 63, 1, 0),
+                ([0], 1, 63, 1, 0),
+            ]
+
+    tables = (
+        _dqt_seg(0, QLUM)
+        + (_dqt_seg(1, QCHROM) if not gray else b"")
+        + _dht_seg(0, 0, PROG_DC) + _dht_seg(1, 0, PROG_AC)
+    )
+    sof = bytes([8]) + struct.pack(">HH", rows, cols) + bytes([ncomp])
+    for i in range(ncomp):
+        h, v = samp[i]
+        sof += bytes([i + 1, (h << 4) | v, qts[i]])
+
+    dcmap = _codes(*PROG_DC)
+    acmap = _codes(*PROG_AC)
+
+    body = _seg(0xC2, sof)
+    for comp_idx, ss, se, ah, al in scans:
+        sos = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        bw = _BitWriter()
+        if ss == 0:
+            preds = {ci: 0 for ci in comp_idx}
+            if len(comp_idx) > 1:
+                for mi in range(mcuy * mcux):
+                    my, mx = divmod(mi, mcux)
+                    for ci in comp_idx:
+                        h, v = samp[ci]
+                        for by in range(v):
+                            for bx in range(h):
+                                c0 = int(coefs[ci][my * v + by, mx * h + bx, 0])
+                                if ah == 0:
+                                    diff = (c0 >> al) - preds[ci]
+                                    preds[ci] = c0 >> al
+                                    size, bits = _magnitude(diff)
+                                    c, ln = dcmap[size]
+                                    bw.write(c, ln)
+                                    bw.write(bits, size)
+                                else:
+                                    bw.write((c0 >> al) & 1, 1)
+            else:
+                ci = comp_idx[0]
+                bh, bwid = nblocks[ci]
+                for bi in range(bh * bwid):
+                    by, bx = divmod(bi, bwid)
+                    c0 = int(coefs[ci][by, bx, 0])
+                    if ah == 0:
+                        diff = (c0 >> al) - preds[ci]
+                        preds[ci] = c0 >> al
+                        size, bits = _magnitude(diff)
+                        c, ln = dcmap[size]
+                        bw.write(c, ln)
+                        bw.write(bits, size)
+                    else:
+                        bw.write((c0 >> al) & 1, 1)
+        else:
+            ci = comp_idx[0]
+            bh, bwid = nblocks[ci]
+            w = _ProgScanWriter(bw, acmap)
+            for bi in range(bh * bwid):
+                by, bx = divmod(bi, bwid)
+                zz = coefs[ci][by, bx]
+                if ah == 0:
+                    w.ac_first_block(zz, ss, se, al)
+                else:
+                    w.ac_refine_block(zz, ss, se, al)
+            w.flush_eobrun()
+        bw.pad()
+        body += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos + bytes(bw.out)
+
+    soi, eoi = b"\xff\xd8", b"\xff\xd9"
     if abbreviated:
         return soi + tables + eoi, soi + body + eoi
     return soi + tables + body + eoi

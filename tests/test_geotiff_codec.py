@@ -1217,30 +1217,32 @@ class TestPartialWindowDecode:
 
 
 def _write_tiff_jpeg(pix, tile=None, rows_per_strip=None, old_style=False,
-                     subsample=(1, 1)):
+                     subsample=(1, 1), progressive=False):
     """Independent JPEG-in-TIFF writer (test-only): new-style
     Compression=7 with shared JPEGTables (tag 347) per-segment
     abbreviated streams, or old-style Compression=6 with one
-    whole-image interchange stream (tags 513/514)."""
+    whole-image interchange stream (tags 513/514). ``progressive=True``
+    encodes each segment as a multi-scan SOF2 stream."""
     import struct as _s
     import sys as _sys
     import os as _os
 
     _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
-    from jpeg_testenc import encode_baseline
+    from jpeg_testenc import encode_baseline, encode_progressive
 
     rows, cols, bands = pix.shape
     assert pix.dtype == np.uint8 and bands in (1, 3)
     photometric = 6 if bands == 3 else 1
+    encoder = encode_progressive if progressive else encode_baseline
 
     def enc(arr):
         img = arr[:, :, 0].astype(float) if bands == 1 else arr.astype(float)
-        return encode_baseline(img, subsample=subsample, abbreviated=True)
+        return encoder(img, subsample=subsample, abbreviated=True)
 
     segs, tables = [], None
     if old_style:
         img = pix[:, :, 0].astype(float) if bands == 1 else pix.astype(float)
-        interchange = encode_baseline(img, subsample=subsample)
+        interchange = encoder(img, subsample=subsample)
         segs = [interchange]
     elif tile is not None:
         tw, th = tile
@@ -1388,9 +1390,42 @@ class TestJpegInTiff:
         np.testing.assert_array_equal(got, full[0, 7:20, 5:16])
 
     def test_unsupported_jpeg_flavors_raise(self):
+        # SOF2 decodes as of r11; SOF9 (arithmetic) is the remaining
+        # named-raise class
         pix = self._smooth_gray(16, 16)
         buf = bytearray(_write_tiff_jpeg(pix, rows_per_strip=16))
         j = bytes(buf).index(b"\xff\xc0")
-        buf[j + 1] = 0xC2
-        with pytest.raises(ValueError, match="progressive"):
+        buf[j + 1] = 0xC9
+        with pytest.raises(ValueError, match="arithmetic"):
             geotiff_codec.decode_geotiff(bytes(buf))
+
+    def test_progressive_strips_match_baseline(self):
+        # same coefficients -> the progressive TIFF decodes bit-equal
+        # to the baseline TIFF
+        pix = self._smooth_gray(40, 33)
+        base, _, _, _ = geotiff_codec.decode_geotiff(
+            _write_tiff_jpeg(pix, rows_per_strip=16))
+        prog, _, _, _ = geotiff_codec.decode_geotiff(
+            _write_tiff_jpeg(pix, rows_per_strip=16, progressive=True))
+        np.testing.assert_array_equal(prog, base)
+
+    def test_progressive_tiles_ycbcr(self):
+        r, c = np.mgrid[0:32, 0:32]
+        pix = np.stack([
+            np.clip(100 + r * 2, 0, 255),
+            np.clip(80 + c * 2, 0, 255),
+            np.clip(120 + r + c, 0, 255),
+        ], axis=-1).astype(np.uint8)
+        base, _, _, _ = geotiff_codec.decode_geotiff(
+            _write_tiff_jpeg(pix, tile=(16, 16), subsample=(2, 2)))
+        prog, _, _, _ = geotiff_codec.decode_geotiff(
+            _write_tiff_jpeg(pix, tile=(16, 16), subsample=(2, 2),
+                             progressive=True))
+        np.testing.assert_array_equal(prog, base)
+
+    def test_progressive_old_style_interchange(self):
+        pix = self._smooth_gray(24, 24)
+        cells, _, _, _ = geotiff_codec.decode_geotiff(
+            _write_tiff_jpeg(pix, old_style=True, progressive=True))
+        assert cells.shape == (1, 24, 24)
+        assert np.abs(cells[0].astype(float) - pix[:, :, 0]).max() <= 4

@@ -84,11 +84,23 @@ class TestStreamFeatures:
             scan, tables=b"\xff\xd8" + tables + b"\xff\xd9")
         np.testing.assert_array_equal(ref, got)
 
-    def test_progressive_raises(self):
+    def test_arithmetic_coding_raises(self):
+        # SOF2 is decoded as of r11; arithmetic (SOF9) still raises with
+        # a named error
+        buf = bytearray(encode_baseline(self._img()))
+        j = bytes(buf).index(b"\xff\xc0")
+        buf[j + 1] = 0xC9
+        with pytest.raises(ValueError, match="arithmetic"):
+            decode_baseline(bytes(buf))
+
+    def test_mislabeled_progressive_rejected(self):
+        # flipping a baseline SOF0 to SOF2 leaves an interleaved
+        # full-band scan, which is illegal in progressive — the decoder
+        # must reject it rather than mis-decode
         buf = bytearray(encode_baseline(self._img()))
         j = bytes(buf).index(b"\xff\xc0")
         buf[j + 1] = 0xC2
-        with pytest.raises(ValueError, match="progressive"):
+        with pytest.raises(ValueError):
             decode_baseline(bytes(buf))
 
     def test_missing_soi_raises(self):
@@ -143,5 +155,130 @@ class TestPropertyRoundtrip:
                 # than luma (Annex K table 2: q up to 99) — the color
                 # round-trip bound is correspondingly looser
                 assert np.abs(out.astype(float) - rgb).max() <= 15
+
+        check()
+
+
+class TestProgressive:
+    """Progressive (SOF2) decode: the progressive stream carries the
+    SAME quantized coefficients as the baseline stream from
+    ``encode_baseline``, so the decode must be bit-identical to the
+    baseline decode — no tolerance."""
+
+    def _smooth(self, rows, cols, seed=7):
+        rng = np.random.default_rng(seed)
+        r, c = np.mgrid[0:rows, 0:cols]
+        img = np.full((rows, cols), 128.0)
+        for _ in range(4):
+            fr, fc = rng.uniform(0.02, 0.2, 2)
+            amp = rng.uniform(5, 40)
+            ph = rng.uniform(0, 6.28, 2)
+            img += amp * np.sin(r * fr + ph[0]) * np.cos(c * fc + ph[1])
+        return np.clip(img, 0, 255)
+
+    def test_gray_equals_baseline(self):
+        from jpeg_testenc import encode_progressive
+
+        img = self._smooth(41, 35)
+        base = decode_baseline(encode_baseline(img))
+        prog = decode_baseline(encode_progressive(img))
+        np.testing.assert_array_equal(prog, base)
+
+    def test_rgb_420_equals_baseline(self):
+        from jpeg_testenc import encode_progressive
+
+        y = self._smooth(32, 48, seed=3)
+        rgb = np.stack([y, np.clip(y * 0.7 + 30, 0, 255),
+                        np.clip(255 - y, 0, 255)], axis=-1)
+        base = decode_baseline(encode_baseline(rgb, subsample=(2, 2)))
+        prog = decode_baseline(encode_progressive(rgb, subsample=(2, 2)))
+        np.testing.assert_array_equal(prog, base)
+
+    def test_rgb_422_equals_baseline(self):
+        from jpeg_testenc import encode_progressive
+
+        y = self._smooth(19, 37, seed=11)
+        rgb = np.stack([y, y[::-1], np.clip(y + 15, 0, 255)], axis=-1)
+        base = decode_baseline(encode_baseline(rgb, subsample=(2, 1)))
+        prog = decode_baseline(encode_progressive(rgb, subsample=(2, 1)))
+        np.testing.assert_array_equal(prog, base)
+
+    def test_eobrun_spanning_blocks(self):
+        """Mostly-flat image -> long cross-block EOB runs in both first
+        and refinement AC scans."""
+        from jpeg_testenc import encode_progressive
+
+        img = np.full((64, 64), 180.0)
+        img[5, 5] = 40.0
+        img[50, 33] = 250.0
+        base = decode_baseline(encode_baseline(img))
+        prog = decode_baseline(encode_progressive(img))
+        np.testing.assert_array_equal(prog, base)
+
+    def test_single_pass_scans(self):
+        """Degenerate script: one DC + one full-band AC scan at Al=0 —
+        spectral selection without successive approximation."""
+        from jpeg_testenc import encode_progressive
+
+        img = self._smooth(24, 24, seed=5)
+        base = decode_baseline(encode_baseline(img))
+        prog = decode_baseline(encode_progressive(
+            img, scans=[([0], 0, 0, 0, 0), ([0], 1, 63, 0, 0)]))
+        np.testing.assert_array_equal(prog, base)
+
+    def test_banded_scans(self):
+        """Many narrow spectral bands, out of order refinements."""
+        from jpeg_testenc import encode_progressive
+
+        img = self._smooth(40, 24, seed=9)
+        scans = [
+            ([0], 0, 0, 0, 2),
+            ([0], 1, 2, 0, 1),
+            ([0], 3, 9, 0, 1),
+            ([0], 10, 63, 0, 1),
+            ([0], 0, 0, 1, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 2, 1, 0),
+            ([0], 10, 63, 1, 0),
+            ([0], 3, 9, 1, 0),
+        ]
+        base = decode_baseline(encode_baseline(img))
+        prog = decode_baseline(encode_progressive(img, scans=scans))
+        np.testing.assert_array_equal(prog, base)
+
+    def test_abbreviated_tables_stream(self):
+        """TIFF JPEGTables split for a progressive segment stream."""
+        from jpeg_testenc import encode_progressive
+
+        img = self._smooth(16, 16, seed=2)
+        tables, scan = encode_progressive(img, abbreviated=True)
+        base = decode_baseline(encode_baseline(img))
+        prog = decode_baseline(scan, tables=tables)
+        np.testing.assert_array_equal(prog, base)
+
+    def test_property_progressive_matches_baseline(self):
+        try:
+            from hypothesis import given, settings, strategies as st
+        except ImportError:
+            pytest.skip("hypothesis not installed")
+        from jpeg_testenc import encode_progressive
+
+        @settings(max_examples=15, deadline=None)
+        @given(rows=st.integers(8, 40), cols=st.integers(8, 40),
+               seed=st.integers(0, 2**31 - 1), gray=st.booleans())
+        def check(rows, cols, seed, gray):
+            rng = np.random.default_rng(seed)
+            img = np.clip(rng.normal(128, 60, (rows, cols)), 0, 255)
+            # arbitrary (even rough) content: progressive must still be
+            # bit-identical to baseline — same coefficients in, same
+            # pixels out
+            if gray:
+                base = decode_baseline(encode_baseline(img))
+                prog = decode_baseline(encode_progressive(img))
+            else:
+                rgb = np.stack([img, img[::-1], 255 - img], axis=-1)
+                base = decode_baseline(encode_baseline(rgb, subsample=(2, 2)))
+                prog = decode_baseline(encode_progressive(rgb, subsample=(2, 2)))
+            np.testing.assert_array_equal(prog, base)
 
         check()
