@@ -6917,6 +6917,70 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+_SKEW_BOILERPLATE = ("subscribe to our newsletter all rights reserved "
+                     "terms of service privacy policy cookie settings")
+
+
+def q_text_lsh_skew(spark, sf_dir):
+    """Degenerate-corpus LSH stress gate (VERDICT r10 #3): half the
+    corpus (even doc_ids) is replaced by identical boilerplate, so each
+    band hashes those ~N/2 docs into ONE bucket — the quadratic
+    candidate-explosion case a 100 TB dedup must survive. The
+    default-on bucket cap (functions/dedup.py:lsh_candidate_pairs,
+    max_bucket_size) drops the hot buckets BEFORE the self-join, so the
+    candidate set stays the odd docs' organic collisions (linear), and
+    the dropped buckets are published via skew_guard_metrics — never
+    silent. The oracle applies the identical cap as a window filter in
+    SQL."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(_SKEW_BOILERPLATE))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return fdedup.lsh_candidate_pairs(
+        docs, num_hashes=16, bands=4, max_bucket_size=50
+    )
+
+
+def _sql_lsh_skew(num_hashes: int = 16, bands: int = 4, cap: int = 50) -> str:
+    rows_per_band = num_hashes // bands
+    params = fdedup.minhash_params(num_hashes)
+    hash_rows = ", ".join(
+        f"({k}, {a}::BIGINT, {b}::BIGINT)" for k, (a, b) in enumerate(params)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(trim(CASE WHEN doc_id % 2 = 0
+                           THEN '{_SKEW_BOILERPLATE}'
+                           ELSE text END), ' ') AS t
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] AS shingle
+  FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i FROM base)
+),
+{SQL_HASHED_IDS_CTE},
+hashes(k, a, b) AS (VALUES {hash_rows}),
+sigs AS (
+  SELECT doc_id, CAST(k AS INT) AS k,
+         CAST(MIN((a * token_id + b) % {fdedup.MINHASH_PRIME}) AS BIGINT) AS minhash
+  FROM ids CROSS JOIN hashes GROUP BY doc_id, k
+),
+banded AS (
+  SELECT doc_id, CAST(floor(k / {rows_per_band}) AS INT) AS band,
+         string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY k) AS band_key
+  FROM sigs GROUP BY doc_id, CAST(floor(k / {rows_per_band}) AS INT)
+),
+capped AS (
+  SELECT doc_id, band, band_key FROM banded
+  QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= {cap}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM capped a JOIN capped b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+"""
+
+
 def q_text_lsh_calibration(spark, sf_dir):
     """MinHash estimator calibration: for every LSH candidate pair, the
     signature-agreement estimate of Jaccard (matching minhash
@@ -10081,6 +10145,7 @@ def _canonical_queries():
         "raster_reproject_geos": q_raster_reproject_geos,
         "raster_local_algebra": q_raster_local_algebra,
         "text_lsh_pairs": q_text_lsh_pairs,
+        "text_lsh_skew": q_text_lsh_skew,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "text_minhash": q_text_minhash,
         "events_interval_join": q_events_interval_join,
@@ -10654,6 +10719,7 @@ def oracle_sql():
         "text_minhash": _sql_minhash(16),
         "text_minhash_vocab": _sql_minhash(8, hash_ids=False),
         "text_lsh_pairs": _sql_lsh_pairs(16, 4),
+        "text_lsh_skew": _sql_lsh_skew(16, 4, 50),
         "text_lsh_calibration": _sql_lsh_calibration(16, 4),
         "text_simhash": _sql_simhash(16),
         "text_ngram_jaccard": SQL_TEXT_NGRAM_JACCARD,

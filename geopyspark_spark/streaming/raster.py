@@ -51,7 +51,10 @@ def stream_into_catalog(stream_df: DataFrame, uri: str, layer_name: str,
         if batch_df.isEmpty():
             return
         layer = TiledRasterLayer(batch_df, metadata)
-        existing = os.path.isdir(cat._layer_path(uri, layer_name, zoom))
+        # committed-layer check, not a bare isdir: a crashed first write
+        # leaves staging dirs but no manifest, and must NOT route the
+        # retry through update_layer (which would read garbage)
+        existing = cat.layer_exists(uri, layer_name, zoom)
         if not existing:
             cat.write(uri, layer_name, layer, zoom=zoom)
         else:

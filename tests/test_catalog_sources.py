@@ -1,6 +1,8 @@
 """Catalog (write/read/query/read_value/attributes/update), rasterize,
 euclidean distance, geotiff plumbing, shapefile/GeoJSON ingest tests."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -411,3 +413,94 @@ class TestCatalogConveniences:
         pyr.cache()
         assert all(l.df.is_cached for l in pyr.levels.values())
         pyr.unpersist()
+
+
+class TestAtomicCommits:
+    """r11 (VERDICT r10 #4): catalog commits are a versioned-dir +
+    manifest-pointer swap — a writer killed mid-flight never corrupts
+    the committed layer, and readers racing a writer resolve to a
+    complete version."""
+
+    def test_write_creates_versioned_layout(self, spark, f1_layer, tmp_path):
+        uri = str(tmp_path / "cat")
+        vpath = catalog.write(uri, "a", f1_layer, zoom=0)
+        root = catalog._layer_path(uri, "a", 0)
+        assert os.path.basename(vpath) == "v1"
+        with open(os.path.join(root, "MANIFEST")) as f:
+            assert f.read().strip() == "v1"
+        assert catalog.read(spark, uri, "a", 0).df.count() == f1_layer.df.count()
+
+    def test_crashed_write_leaves_old_version_readable(self, spark, f1_layer,
+                                                       tmp_path):
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "a", f1_layer, zoom=0)
+        before = {(r.key_col, r.key_row): r.cells
+                  for r in catalog.read(spark, uri, "a", 0).df.collect()}
+        # simulate a writer killed after staging files but BEFORE the
+        # manifest swap: a half-written _v2 with garbage parquet
+        root = catalog._layer_path(uri, "a", 0)
+        os.makedirs(os.path.join(root, "v2"))
+        with open(os.path.join(root, "v2", "part-0.parquet"), "wb") as f:
+            f.write(b"\x00\x01 not parquet")
+        # readers are unaffected — the manifest still points at _v1
+        after = {(r.key_col, r.key_row): r.cells
+                 for r in catalog.read(spark, uri, "a", 0).df.collect()}
+        assert after == before
+        assert catalog.read_value(uri, "a", 0, 0, 0)
+        # a retry commits PAST the garbage (next version = _v3) and GCs it
+        vpath = catalog.write(uri, "a", f1_layer, zoom=0)
+        assert os.path.basename(vpath) == "v3"
+        assert not os.path.exists(os.path.join(root, "v2"))
+        assert catalog.read(spark, uri, "a", 0).df.count() == f1_layer.df.count()
+
+    def test_update_layer_is_versioned_commit(self, spark, f1_layer, tmp_path):
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "a", f1_layer, zoom=0)
+        catalog.update_layer(spark, uri, "a", 0, f1_layer)
+        root = catalog._layer_path(uri, "a", 0)
+        with open(os.path.join(root, "MANIFEST")) as f:
+            assert f.read().strip() == "v2"
+        # superseded version GC'd; exactly one version dir remains
+        vdirs = [d for d in os.listdir(root) if __import__("re").fullmatch(r"v\d+", d)]
+        assert vdirs == ["v2"]
+        assert catalog.read(spark, uri, "a", 0).df.count() == f1_layer.df.count()
+
+    def test_legacy_unversioned_layout_still_readable(self, spark, f1_layer,
+                                                      tmp_path):
+        import shutil
+
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "a", f1_layer, zoom=0)
+        root = catalog._layer_path(uri, "a", 0)
+        # rewrite the layer into the pre-r11 in-place layout
+        vdir = os.path.join(root, "v1")
+        for name in os.listdir(vdir):
+            shutil.move(os.path.join(vdir, name), os.path.join(root, name))
+        os.rmdir(vdir)
+        os.remove(os.path.join(root, "MANIFEST"))
+        assert catalog.layer_exists(uri, "a", 0)
+        assert catalog.read(spark, uri, "a", 0).df.count() == f1_layer.df.count()
+        assert catalog.read_value(uri, "a", 0, 0, 0)
+        md = catalog.read_layer_metadata(uri, "a", 0)
+        assert md.layout == f1_layer.metadata.layout
+        # attribute store + layer listing see both layouts
+        store = catalog.AttributeStore(uri)
+        assert ("a", 0) in store.layers()
+        # an upgrade write converts in place and GCs the legacy files
+        catalog.write(uri, "a", f1_layer, zoom=0)
+        assert not glob_parquet(root)
+        assert catalog.read(spark, uri, "a", 0).df.count() == f1_layer.df.count()
+
+    def test_layer_exists_semantics(self, f1_layer, tmp_path):
+        uri = str(tmp_path / "cat")
+        assert not catalog.layer_exists(uri, "a", 0)
+        # staging garbage without a manifest is NOT a layer
+        root = catalog._layer_path(uri, "a", 0)
+        os.makedirs(os.path.join(root, "v1"))
+        assert not catalog.layer_exists(uri, "a", 0)
+
+
+def glob_parquet(root):
+    import glob as _g
+
+    return _g.glob(os.path.join(root, "*.parquet"))

@@ -408,6 +408,30 @@ class TestLshBucketCap:
         assert got["dropped_buckets"] == 0 and got["dropped_rows"] == 0
         assert got["max_bucket_size"] == 10_000
 
+    def test_skew_gate_candidates_stay_linear(self, spark):
+        """r11 (VERDICT r10 #3): a dominant duplicate class (half the
+        corpus identical) would emit O(N^2/8) candidate pairs through
+        its hot bucket; the cap keeps the candidate count at the organic
+        (linear) level and reports exactly the hot buckets dropped."""
+        n = 80
+        rows = [(i, "shared boilerplate header all rights reserved"
+                 if i % 2 == 0 else f"unique document body number {i} "
+                 f"with words {i * 7} and {i * 13}") for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        # uncapped: the hot bucket alone yields 40*39/2 = 780 pairs
+        uncapped = fdedup.lsh_candidate_pairs(df, 16, 4, max_bucket_size=None)
+        assert uncapped.count() >= 780
+
+        report = {}
+        capped = fdedup.lsh_candidate_pairs(df, 16, 4, max_bucket_size=10,
+                                            skew_report=report)
+        got = capped.count()
+        assert got < 80                       # linear, not quadratic
+        m = fdedup.skew_guard_metrics(report)
+        assert m["dropped_buckets"] == 4      # the boilerplate bucket / band
+        assert m["dropped_rows"] == 40 * 4
+
     def test_per_call_skew_report_through_pipeline(self, spark):
         """Round-7 (VERDICT r6 #9): the report is returned per call via
         the skew_report dict, not only through module-global state."""
