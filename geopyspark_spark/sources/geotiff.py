@@ -81,12 +81,11 @@ def rasterio_decoder(path: str, window, band: int):
 def _resolve_default_adapters() -> tuple[Callable, Callable]:
     """(sizer, decoder) defaults: rasterio/GDAL where installed (any
     format GDAL reads, true partial windowed reads), else the engine's
-    pure-Python TIFF codec (``geotiff_codec``: baseline strip/tile
-    layout, none/DEFLATE/LZW/PackBits, horizontal predictor — the common
-    layout, none/DEFLATE/LZW/PackBits/baseline-JPEG, horizontal
-    predictor, BigTIFF — the common external-file baseline; remaining
-    exotics such as progressive JPEG raise a clear error at decode
-    time, the remaining injection seam)."""
+    pure-Python TIFF codec (``geotiff_codec``: strip/tile layouts,
+    none/DEFLATE/LZW/PackBits/JPEG (baseline + progressive) codecs,
+    horizontal predictor, BigTIFF — the common external-file surface;
+    remaining exotics such as arithmetic-coded JPEG raise a clear
+    error at decode time, the remaining injection seam)."""
     try:
         import rasterio  # noqa: F401
 
@@ -131,10 +130,9 @@ def codec_time_of(path: str, time_tag: str = "TIFFTAG_DATETIME",
 
     if time_tag != "TIFFTAG_DATETIME":
         return None
-    from .geotiff_codec import read_datetime
+    from .geotiff_codec import _SegmentReader, read_datetime
 
-    with open(path, "rb") as f:
-        s = read_datetime(f.read())
+    s = read_datetime(_SegmentReader(path).whole())
     if s is None:
         return None
     return _dt.datetime.strptime(s, _java_time_format_to_strptime(time_format))
@@ -162,13 +160,17 @@ def get(
     np.ndarray`` reads one window. Both default to the rasterio-backed
     implementations when rasterio/GDAL is importable, else fall back to
     the engine's pure-Python TIFF codec
-    (``sources/geotiff_codec.py::sizer``/``decoder``: baseline
-    strip/tile layouts, none/DEFLATE/LZW/PackBits/baseline-JPEG
+    (``sources/geotiff_codec.py::sizer``/``decoder``: strip/tile
+    layouts, none/DEFLATE/LZW/PackBits/JPEG (baseline + progressive)
     compression, the horizontal-differencing predictor, u/int 8–32 and
     float 32/64 samples, BigTIFF) — so engine-written and common
     external GeoTIFFs decode with no native dependency. Remaining
-    exotics (progressive/arithmetic JPEG, …) still need rasterio or an
+    exotics (arithmetic-coded JPEG, …) still need rasterio or an
     injected ``decoder``.
+
+    Object-store URIs (``s3://`` prefixes or objects, ``http(s)://``
+    objects) read through ``sources/objectstore.py`` with true ranged
+    IO — header + IFD + only the intersected segments per window.
 
     ``layer_type="spacetime"`` (reference ``geotiff.get(layer_type=
     LayerType.SPACETIME, time_tag=..., time_format=...)``,
@@ -189,9 +191,23 @@ def get(
 
         layer_type = spark.lower()
         spark = SparkSession.active()
+    from .objectstore import is_object_uri, list_keys
+
     paths = []
     for u in ([uris] if isinstance(uris, str) else list(uris)):
-        if os.path.isdir(u):  # reference: directory URIs scan recursively
+        if is_object_uri(u):
+            # reference S3GeoTiffRDD semantics: an s3:// prefix expands
+            # to every raster object under it; a fully-qualified object
+            # URI reads as-is (ranged reads, no download). URIs are
+            # resolved driver-side so tasks are self-contained.
+            from .objectstore import resolve_for_tasks
+
+            if str(u).lower().endswith(extensions):
+                paths.append(resolve_for_tasks(u))
+            else:
+                paths.extend(resolve_for_tasks(k)
+                             for k in list_keys(u, extensions))
+        elif os.path.isdir(u):  # reference: directory URIs scan recursively
             for root, _dirs, files in os.walk(u):
                 paths.extend(
                     os.path.join(root, f) for f in sorted(files)

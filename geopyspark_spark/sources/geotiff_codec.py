@@ -646,17 +646,31 @@ def _decode_page_subbyte(buf: bytes, tags: dict, rows: int, cols: int,
 
 class _SegmentReader:
     """Random access over a TIFF's byte source: whole ``bytes`` in
-    memory, or a file path read with seek/read so only the header, IFD
-    and the REQUESTED segments ever leave the filesystem — the partial-
-    IO primitive behind :func:`decode_geotiff_window`."""
+    memory, a file path read with seek/read, or an object-store URI read
+    with HTTP Range requests (``sources/objectstore.py``) — in every
+    case only the header, IFD and the REQUESTED segments ever leave the
+    store; the partial-IO primitive behind
+    :func:`decode_geotiff_window`."""
 
     def __init__(self, src):
         self._buf = src if isinstance(src, (bytes, bytearray)) else None
-        self._path = None if self._buf is not None else src
+        self._path = None
+        self._uri = None
+        if self._buf is None:
+            from .objectstore import is_object_uri
+
+            if is_object_uri(src):
+                self._uri = src
+            else:
+                self._path = src
 
     def read(self, off: int, size: int) -> bytes:
         if self._buf is not None:
             return bytes(self._buf[off:off + size])
+        if self._uri is not None:
+            from . import objectstore
+
+            return objectstore.get_range(self._uri, off, size)
         with open(self._path, "rb") as f:
             f.seek(off)
             return f.read(size)
@@ -668,6 +682,8 @@ class _SegmentReader:
         the whole file if an IFD points beyond it."""
         if self._buf is not None:
             return bytes(self._buf)
+        if self._uri is not None:
+            return self.read(0, size)
         with open(self._path, "rb") as f:
             data = f.read(size)
         return data
@@ -675,6 +691,10 @@ class _SegmentReader:
     def whole(self) -> bytes:
         if self._buf is not None:
             return bytes(self._buf)
+        if self._uri is not None:
+            from . import objectstore
+
+            return objectstore.get_all(self._uri)
         with open(self._path, "rb") as f:
             return f.read()
 
@@ -724,6 +744,10 @@ def decode_geotiff_window(src, window, band: int) -> np.ndarray:
         st = _osm.stat(rd._path)
         bo, big, tags = _cached_window_meta(rd._path, st.st_mtime,
                                             st.st_size)
+    elif rd._uri is not None:
+        # objects are immutable by object-store convention: cache the
+        # header+IFD per URI (mtime/size sentinel 0)
+        bo, big, tags = _cached_window_meta(rd._uri, 0.0, 0)
     else:
         bo, big, tags = _parse_window_meta(rd)
     cols = int(tags[_IMAGE_WIDTH][0])
@@ -903,8 +927,7 @@ _DECODE_CACHE_SIZE = int(_os.environ.get("GEOPYSPARK_DECODE_CACHE", "4"))
 
 @_lru_cache(maxsize=max(_DECODE_CACHE_SIZE, 1))
 def _cached_decode_keyed(path: str, mtime: float, size: int):
-    with open(path, "rb") as f:
-        return decode_geotiff(f.read())
+    return decode_geotiff(_SegmentReader(path).whole())
 
 
 def _cached_decode(path: str):
@@ -914,11 +937,18 @@ def _cached_decode(path: str):
     file). mtime AND byte size key the cache so an in-place rewrite on
     a coarse-mtime filesystem still invalidates whenever the length
     changes; a same-length sub-granularity rewrite remains undetectable
-    (call :func:`clear_decode_cache` after such rewrites)."""
-    st = _os.stat(path)
+    (call :func:`clear_decode_cache` after such rewrites). Object-store
+    URIs are cached per URI (objects are immutable by convention)."""
+    from .objectstore import is_object_uri
+
+    if is_object_uri(path):
+        mtime, size = 0.0, 0
+    else:
+        st = _os.stat(path)
+        mtime, size = st.st_mtime, st.st_size
     if _DECODE_CACHE_SIZE == 0:
-        return _cached_decode_keyed.__wrapped__(path, st.st_mtime, st.st_size)
-    return _cached_decode_keyed(path, st.st_mtime, st.st_size)
+        return _cached_decode_keyed.__wrapped__(path, mtime, size)
+    return _cached_decode_keyed(path, mtime, size)
 
 
 def clear_decode_cache() -> None:
@@ -954,6 +984,10 @@ def _ifd_summary(path: str, mtime: float, size: int):
 
 
 def _ifd_summary_for(path: str):
+    from .objectstore import is_object_uri
+
+    if is_object_uri(path):
+        return _ifd_summary(path, 0.0, 0)
     st = _os.stat(path)
     return _ifd_summary(path, st.st_mtime, st.st_size)
 

@@ -1,0 +1,142 @@
+"""Object-store byte access for raster sources (reference analogue:
+``geopyspark/geopyspark-backend/.../S3GeoTiffRDD`` + the MockS3 testkit,
+``geopyspark/tests/geotrellis/io_tests/s3_geotiff_rdd_test.py``).
+
+The engine's ingest IO primitive is "read byte range ``[off, off+size)``
+of object ``uri``" — exactly what the pure-codec windowed reader
+(``geotiff_codec._SegmentReader``) needs, so object-store rasters get
+true partial reads (header + IFD + only the intersected segments), not
+whole-object downloads.
+
+Dispatch:
+
+- ``http(s)://host/...``   — direct ranged GET (any S3-compatible store
+  in path-style addressing, a plain HTTP server, or a CDN);
+- ``s3://bucket/key``      — rewritten to path-style
+  ``{endpoint}/bucket/key`` where the endpoint comes from
+  ``AWS_ENDPOINT_URL`` (MinIO/moto/localstack convention). Unsigned
+  requests only: for SigV4-signed buckets use rasterio/GDAL (``/vsis3``)
+  or Spark's S3A connector (``s3.set_s3_credentials``) — this module is
+  the no-dependency path and the offline test seam.
+
+Listing uses S3 ListObjectsV2 (``?list-type=2&prefix=``), which every
+S3-compatible store (and the loopback stub in
+``tests/test_objectstore.py``) serves.
+"""
+
+from __future__ import annotations
+
+import os
+import urllib.request
+from urllib.parse import quote, urlparse
+
+_S3_SCHEMES = ("s3", "s3a", "s3n")
+_HTTP_SCHEMES = ("http", "https")
+
+
+def is_object_uri(uri: str) -> bool:
+    scheme = urlparse(str(uri)).scheme
+    return scheme in _S3_SCHEMES or scheme in _HTTP_SCHEMES
+
+
+def _endpoint() -> str:
+    ep = os.environ.get("AWS_ENDPOINT_URL") or os.environ.get(
+        "AWS_ENDPOINT_URL_S3")
+    if not ep:
+        raise ValueError(
+            "s3:// URIs need AWS_ENDPOINT_URL set (unsigned, path-style "
+            "S3-compatible endpoint); for signed AWS access use "
+            "rasterio/GDAL (/vsis3) or the S3A connector instead"
+        )
+    return ep.rstrip("/")
+
+
+def _to_http(uri: str) -> str:
+    """Resolve an object URI to a concrete HTTP URL (path-style)."""
+    p = urlparse(uri)
+    if p.scheme in _HTTP_SCHEMES:
+        return uri
+    if p.scheme in _S3_SCHEMES:
+        key = p.path.lstrip("/")
+        return f"{_endpoint()}/{p.netloc}/{quote(key)}"
+    raise ValueError(f"not an object-store URI: {uri!r}")
+
+
+def resolve_for_tasks(uri: str) -> str:
+    """Driver-side URI resolution for Spark task payloads: when an
+    endpoint override is configured (``AWS_ENDPOINT_URL``), ``s3://``
+    URIs are rewritten to concrete path-style HTTP URLs so executor
+    processes need no environment of their own (executors do not
+    inherit env vars set after the JVM launched). Without an override
+    the URI passes through untouched — rasterio/GDAL executors resolve
+    real S3 themselves."""
+    p = urlparse(str(uri))
+    if p.scheme in _S3_SCHEMES and (os.environ.get("AWS_ENDPOINT_URL")
+                                    or os.environ.get("AWS_ENDPOINT_URL_S3")):
+        return _to_http(uri)
+    return uri
+
+
+def get_range(uri: str, off: int, size: int) -> bytes:
+    """Read ``size`` bytes at ``off`` via an HTTP Range request. Servers
+    that ignore Range (rare; plain file handlers) still work — the full
+    body is sliced locally."""
+    req = urllib.request.Request(
+        _to_http(uri), headers={"Range": f"bytes={off}-{off + size - 1}"})
+    with urllib.request.urlopen(req) as r:
+        body = r.read()
+    if r.status == 206:
+        return body
+    return body[off:off + size]
+
+
+def get_all(uri: str) -> bytes:
+    with urllib.request.urlopen(_to_http(uri)) as r:
+        return r.read()
+
+
+def head_size(uri: str) -> int | None:
+    """Object size via Content-Length of a HEAD request (None if the
+    server does not report it)."""
+    req = urllib.request.Request(_to_http(uri), method="HEAD")
+    with urllib.request.urlopen(req) as r:
+        cl = r.headers.get("Content-Length")
+    return int(cl) if cl else None
+
+
+def list_keys(uri: str, extensions: tuple = ()) -> list[str]:
+    """List object URIs under an s3:// prefix via ListObjectsV2
+    (paginated with continuation tokens). ``extensions`` filters by
+    suffix (case-insensitive); returned URIs keep the s3:// scheme."""
+    import xml.etree.ElementTree as ET
+
+    p = urlparse(uri)
+    if p.scheme not in _S3_SCHEMES:
+        raise ValueError(f"listing needs an s3:// prefix URI, got {uri!r}")
+    bucket = p.netloc
+    prefix = p.path.lstrip("/")
+    base = f"{_endpoint()}/{bucket}"
+    out = []
+    token = None
+    while True:
+        q = f"?list-type=2&prefix={quote(prefix)}"
+        if token:
+            q += f"&continuation-token={quote(token)}"
+        with urllib.request.urlopen(base + q) as r:
+            root = ET.fromstring(r.read())
+        ns = ""
+        if root.tag.startswith("{"):
+            ns = root.tag[: root.tag.index("}") + 1]
+        for c in root.iter(f"{ns}Key"):
+            key = c.text or ""
+            if not extensions or key.lower().endswith(extensions):
+                out.append(f"s3://{bucket}/{key}")
+        token = None
+        nxt = root.find(f"{ns}NextContinuationToken")
+        truncated = root.find(f"{ns}IsTruncated")
+        if (truncated is not None and (truncated.text or "").lower() == "true"
+                and nxt is not None):
+            token = nxt.text
+        else:
+            break
+    return sorted(out)

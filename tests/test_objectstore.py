@@ -1,0 +1,246 @@
+"""Object-store dispatch tests (VERDICT r10 #5) against a loopback
+S3-style stub — the engine analogue of the reference's MockS3 testkit
+(``geopyspark/tests/geotrellis/io_tests/s3_geotiff_rdd_test.py``,
+``testkit/MockS3Wrapper.scala``). The stub serves GET with Range,
+HEAD, and ListObjectsV2, and records every request, so the tests pin
+both the URI->reader dispatch AND that windowed reads stay partial
+(ranged) over the wire."""
+
+from __future__ import annotations
+
+import os
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import geopyspark_spark as gps
+from geopyspark_spark.sources import geotiff as gt
+from geopyspark_spark.sources import geotiff_codec as codec
+from geopyspark_spark.sources import objectstore as obs
+
+
+class _S3StubHandler(BaseHTTPRequestHandler):
+    """Path-style S3 stub: objects live in ``server.objects``
+    ({'bucket/key': bytes}); ``server.requests`` records
+    (method, path, range_header)."""
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _object(self):
+        return self.server.objects.get(unquote(urlparse(self.path).path.lstrip("/")))
+
+    def do_HEAD(self):
+        body = self._object()
+        if body is None:
+            self.send_response(404)
+            self.end_headers()
+            return
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+
+    def do_GET(self):
+        parsed = urlparse(self.path)
+        self.server.requests.append(
+            ("GET", unquote(parsed.path), self.headers.get("Range")))
+        qs = parse_qs(parsed.query)
+        if "list-type" in qs:
+            bucket = parsed.path.lstrip("/").split("?")[0]
+            prefix = qs.get("prefix", [""])[0]
+            keys = sorted(
+                k.split("/", 1)[1] for k in self.server.objects
+                if k.startswith(bucket + "/")
+                and k.split("/", 1)[1].startswith(prefix)
+            )
+            body = "<?xml version='1.0'?><ListBucketResult>" + "".join(
+                f"<Contents><Key>{k}</Key></Contents>" for k in keys
+            ) + "<IsTruncated>false</IsTruncated></ListBucketResult>"
+            data = body.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/xml")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+            return
+        body = self._object()
+        if body is None:
+            self.send_response(404)
+            self.end_headers()
+            return
+        rng = self.headers.get("Range")
+        if rng and rng.startswith("bytes="):
+            lo, hi = rng[6:].split("-")
+            lo = int(lo)
+            hi = min(int(hi), len(body) - 1) if hi else len(body) - 1
+            part = body[lo:hi + 1]
+            self.send_response(206)
+            self.send_header("Content-Range",
+                             f"bytes {lo}-{hi}/{len(body)}")
+            self.send_header("Content-Length", str(len(part)))
+            self.end_headers()
+            self.wfile.write(part)
+        else:
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+
+@pytest.fixture()
+def s3stub(monkeypatch):
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _S3StubHandler)
+    srv.objects = {}
+    srv.requests = []
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
+    monkeypatch.setenv("AWS_ENDPOINT_URL", endpoint)
+    yield srv
+    srv.shutdown()
+
+
+def _multistrip_tiff(rows_per_strip: int = 16) -> tuple[bytes, np.ndarray]:
+    """A 64x64 float64 TIFF written as 4 uncompressed strips by an
+    inline independent writer, so windowed reads intersect individual
+    strips and must stay ranged over the wire."""
+    import struct as s
+
+    cells = (np.arange(64 * 64, dtype=np.float64).reshape(1, 64, 64) % 251)
+    grid = cells[0]
+    rows, cols = grid.shape
+    data = b""
+    offs, cnts = [], []
+    pos = 8
+    for r0 in range(0, rows, rows_per_strip):
+        seg = grid[r0:r0 + rows_per_strip].astype("<f8").tobytes()
+        offs.append(pos)
+        cnts.append(len(seg))
+        data += seg
+        pos += len(seg)
+    entries = [
+        (256, 4, [cols]), (257, 4, [rows]), (258, 3, [64]), (259, 3, [1]),
+        (262, 3, [1]), (273, 4, offs), (277, 3, [1]),
+        (278, 4, [rows_per_strip]), (279, 4, cnts), (339, 3, [3]),
+    ]
+    ifd_offset = pos
+    aux_offset = ifd_offset + 2 + 12 * len(entries) + 4
+    ifd = s.pack("<H", len(entries))
+    aux = b""
+    for tag, typ, vals in entries:
+        sz = {3: 2, 4: 4}[typ]
+        if len(vals) * sz <= 4:
+            packed = b"".join(
+                s.pack("<H" if typ == 3 else "<I", v) for v in vals)
+            packed += b"\0" * (4 - len(packed))
+            ifd += s.pack("<HHI", tag, typ, len(vals)) + packed
+        else:
+            ifd += (s.pack("<HHI", tag, typ, len(vals))
+                    + s.pack("<I", aux_offset + len(aux)))
+            aux += b"".join(s.pack("<I", v) for v in vals)
+    ifd += s.pack("<I", 0)
+    return s.pack("<2sHI", b"II", 42, ifd_offset) + data + ifd + aux, cells
+
+
+class TestDispatch:
+    def test_uri_detection(self):
+        assert obs.is_object_uri("s3://b/k.tif")
+        assert obs.is_object_uri("s3a://b/k.tif")
+        assert obs.is_object_uri("http://h/x.tif")
+        assert obs.is_object_uri("https://h/x.tif")
+        assert not obs.is_object_uri("/tmp/x.tif")
+        assert not obs.is_object_uri("relative/x.tif")
+
+    def test_s3_needs_endpoint(self, monkeypatch):
+        monkeypatch.delenv("AWS_ENDPOINT_URL", raising=False)
+        monkeypatch.delenv("AWS_ENDPOINT_URL_S3", raising=False)
+        with pytest.raises(ValueError, match="AWS_ENDPOINT_URL"):
+            obs.get_all("s3://bucket/key")
+        # without an endpoint override, s3 URIs pass through unresolved
+        assert obs.resolve_for_tasks("s3://b/k.tif") == "s3://b/k.tif"
+
+    def test_get_range_and_all(self, s3stub):
+        s3stub.objects["b/data.bin"] = bytes(range(256))
+        assert obs.get_all("s3://b/data.bin") == bytes(range(256))
+        assert obs.get_range("s3://b/data.bin", 10, 5) == bytes(range(10, 15))
+        assert obs.head_size("s3://b/data.bin") == 256
+        # http URLs dispatch without the env indirection
+        url = f"{os.environ['AWS_ENDPOINT_URL']}/b/data.bin"
+        assert obs.get_range(url, 0, 4) == bytes(range(4))
+
+    def test_list_keys(self, s3stub):
+        s3stub.objects["b/pre/a.tif"] = b"x"
+        s3stub.objects["b/pre/b.tif"] = b"x"
+        s3stub.objects["b/pre/notes.txt"] = b"x"
+        s3stub.objects["b/other/c.tif"] = b"x"
+        got = obs.list_keys("s3://b/pre/", extensions=(".tif", ".tiff"))
+        assert got == ["s3://b/pre/a.tif", "s3://b/pre/b.tif"]
+
+
+class TestCodecOverObjectStore:
+    def test_windowed_decode_is_ranged(self, s3stub):
+        buf, cells = _multistrip_tiff()
+        s3stub.objects["rasters/t.tif"] = buf
+        uri = "s3://rasters/t.tif"
+        codec.clear_decode_cache()
+        s3stub.requests.clear()
+        got = codec.decode_geotiff_window(uri, (16, 32, 16, 16), 0)
+        np.testing.assert_array_equal(got, cells[0, 32:48, 16:32])
+        # every request carried a Range header — no whole-object GET
+        gets = [r for r in s3stub.requests if r[0] == "GET"]
+        assert gets and all(r[2] is not None for r in gets)
+        # first request is the bounded header+IFD read; after it, the
+        # pixel IO touches exactly the one intersected strip (rows
+        # 32..47 = strip 2 of 4), 16*64*8 bytes — partial, not the
+        # whole object
+        data_reqs = gets[1:]
+        assert len(data_reqs) == 1
+        lo, hi = data_reqs[0][2][6:].split("-")
+        assert int(hi) - int(lo) + 1 == 16 * 64 * 8
+
+    def test_sizer_reads_header_only(self, s3stub):
+        buf, _ = _multistrip_tiff()
+        s3stub.objects["rasters/t.tif"] = buf
+        codec.clear_decode_cache()
+        s3stub.requests.clear()
+        w, h, extent, bands = codec.sizer("s3://rasters/t.tif")
+        assert (w, h, bands) == (64, 64, 1)
+        assert extent == gps.Extent(0, 0, 64, 64)
+        gets = [r for r in s3stub.requests if r[0] == "GET"]
+        assert all(r[2] is not None for r in gets)
+
+
+class TestIngestOverObjectStore:
+    def test_geotiff_get_from_s3_prefix(self, spark, s3stub):
+        buf, cells = _multistrip_tiff()
+        s3stub.objects["rasters/a.tif"] = buf
+        s3stub.objects["rasters/b.tif"] = buf
+        s3stub.objects["rasters/readme.txt"] = b"not a tiff"
+        codec.clear_decode_cache()
+        df = gt.get(spark, "s3://rasters/", max_tile_size=32)
+        rows = df.collect()
+        # 2 objects x 4 windows x 1 band
+        assert len(rows) == 8
+        total = sorted(v for r in rows for v in r["cells"])
+        expect = sorted([float(v) for v in cells[0].ravel()] * 2)
+        assert total == expect
+        # task paths were resolved driver-side to endpoint URLs, so the
+        # executors needed no env of their own
+        srcs = {r["path"] for r in rows}
+        assert srcs and all(s.startswith("http://127.0.0.1") for s in srcs)
+
+    def test_single_object_uri(self, spark, s3stub):
+        buf, cells = _multistrip_tiff()
+        s3stub.objects["rasters/one.tif"] = buf
+        codec.clear_decode_cache()
+        df = gt.get(spark, "s3://rasters/one.tif", max_tile_size=64)
+        rows = df.collect()
+        assert len(rows) == 1
+        np.testing.assert_array_equal(
+            np.array(rows[0]["cells"]).reshape(64, 64), cells[0])
