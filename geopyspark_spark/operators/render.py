@@ -354,17 +354,70 @@ def to_png(layer: "TiledRasterLayer", color_map: ColorMap):
     return src.mapInPandas(render, schema=schema)
 
 
+#: Built-in anchor tables for the common matplotlib ramp names
+#: (VERDICT r10 #8): linear interpolation between these anchors stands
+#: in when matplotlib is not importable. The perceptual families
+#: (viridis/magma/inferno/plasma/cividis — published CC0 colormap data)
+#: are close approximations; Greys/Blues/Reds/hot/jet follow their
+#: simple published piecewise definitions. With matplotlib installed
+#: the exact library values are used instead.
+_FALLBACK_RAMPS: dict[str, list[tuple[int, int, int]]] = {
+    "viridis": [(68, 1, 84), (72, 40, 120), (62, 74, 137), (49, 104, 142),
+                (38, 130, 142), (31, 158, 137), (53, 183, 121),
+                (109, 205, 89), (180, 222, 44), (253, 231, 37)],
+    "magma": [(0, 0, 4), (28, 16, 68), (79, 18, 123), (129, 37, 129),
+              (181, 54, 122), (229, 80, 100), (251, 135, 97),
+              (254, 194, 135), (252, 253, 191)],
+    "inferno": [(0, 0, 4), (31, 12, 72), (85, 15, 109), (136, 34, 106),
+                (186, 54, 85), (227, 89, 51), (249, 140, 10),
+                (249, 201, 50), (252, 255, 164)],
+    "plasma": [(13, 8, 135), (84, 2, 163), (139, 10, 165), (185, 50, 137),
+               (219, 92, 104), (244, 136, 73), (254, 188, 43),
+               (240, 249, 33)],
+    "cividis": [(0, 32, 76), (0, 42, 102), (33, 62, 110), (66, 80, 108),
+                (95, 95, 107), (123, 111, 105), (153, 129, 96),
+                (188, 148, 78), (222, 169, 51), (255, 234, 70)],
+    "Greys": [(255, 255, 255), (0, 0, 0)],
+    "Blues": [(247, 251, 255), (8, 48, 107)],
+    "Reds": [(255, 245, 240), (103, 0, 13)],
+    "hot": [(10, 0, 0), (255, 0, 0), (255, 255, 0), (255, 255, 255)],
+    "jet": [(0, 0, 127), (0, 0, 255), (0, 127, 255), (0, 255, 255),
+            (127, 255, 127), (255, 255, 0), (255, 127, 0), (255, 0, 0),
+            (127, 0, 0)],
+}
+
+
+def _interp_ramp(anchors: list[tuple[int, int, int]],
+                 num_colors: int) -> list[int]:
+    out = []
+    last = len(anchors) - 1
+    for i in range(num_colors):
+        t = i / max(num_colors - 1, 1) * last
+        k = min(int(t), last - 1) if last else 0
+        f = t - k
+        a, b = anchors[k], anchors[min(k + 1, last)]
+        r, g, bl = (round(a[j] + (b[j] - a[j]) * f) for j in range(3))
+        out.append((int(r) << 24) | (int(g) << 16) | (int(bl) << 8) | 0xFF)
+    return out
+
+
 def get_colors_from_matplotlib(ramp_name: str, num_colors: int = 256) -> list[int]:
     """Color ints from a named matplotlib ramp (reference
-    ``color.py:30-60``) — import-gated; matplotlib is not in this
-    container."""
+    ``color.py:30-60``). Uses matplotlib's exact values when the
+    library imports; otherwise falls back to the built-in anchor
+    tables (``_FALLBACK_RAMPS``) covering the common ramp names, so
+    named-ramp rendering works with no native dependency. Unknown
+    names raise, naming the available fallbacks."""
     try:
         import matplotlib.cm as cm
-    except ImportError as e:
-        raise NotImplementedError(
-            "get_colors_from_matplotlib requires matplotlib (not installed "
-            "here); pass explicit color ints or use DEFAULT_RAMP"
-        ) from e
+    except ImportError:
+        anchors = _FALLBACK_RAMPS.get(ramp_name)
+        if anchors is None:
+            raise NotImplementedError(
+                f"ramp {ramp_name!r} needs matplotlib (not installed); "
+                f"built-in fallback ramps: {sorted(_FALLBACK_RAMPS)}"
+            ) from None
+        return _interp_ramp(anchors, num_colors)
     ramp = cm.get_cmap(ramp_name, num_colors)
     out = []
     for i in range(num_colors):

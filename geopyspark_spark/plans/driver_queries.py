@@ -10291,58 +10291,11 @@ def _canonical_queries():
 # Regenerate with ``python tools/rotate_window.py --write``; do not
 # hand-edit between the markers.
 # BEGIN WINDOW_ORDER (generated)
-_WINDOW_ORDER_ROUND: int = 9
+_WINDOW_ORDER_ROUND: int = 10
 _WINDOW_ORDER: list = [
-    "raster_region_group_temporal",
-    "raster_region_group8",
-    "raster_region_group_big",
-    "raster_focal_convolve_big",
-    "raster_morans_i_big",
-    "raster_flow_direction",
-    "emb_hamming_knn",
-    "text_line_dedup",
-    "events_ewma",
-    "raster_flow_accumulation",
-    "raster_watershed",
-    "text_bpe_encode",
-    "raster_tri",
-    "raster_tpi",
-    "raster_viewshed",
-    "raster_sieve_temporal",
-    "tpch_q14_promo",
-    "window_rank",
-    "raster_focal_mode",
-    "raster_pyramid_mode",
-    "raster_rasterize_features",
-    "raster_resample_cubic",
-    "raster_mask_distributed",
-    "raster_point_values",
-    "raster_normalize",
-    "raster_reproject_utm",
-    "raster_histogram_object",
-    "text_token_count",
-    "text_dedup_pipeline",
-    "emb_knn",
-    "multimodal_features",
-    "events_session",
-    "raster_zonal_stats",
-    "raster_mask",
-    "text_exact_dedup",
-    "text_dup_components",
-    "emb_ivf_knn",
-    "tpch_q1",
-    "events_tumbling",
-    "raster_slope",
-    "raster_tile_to_layout",
-    "text_simhash",
-    "tpch_q3",
-    "raster_reproject_cubic",
-    "raster_reproject_global",
-    "raster_histogram",
-    "raster_min_max",
-    "raster_colormap",
-    "raster_histogram_series",
-    "raster_merge",
+    "text_lsh_skew",
+    "raster_zindex_deep",
+    "raster_geotiff_jpeg_progressive",
     "raster_local_add_n",
     "tpch_q15_top_supplier",
     "tpch_q17_small_qty",
@@ -10539,6 +10492,56 @@ _WINDOW_ORDER: list = [
     "raster_spacetime_series",
     "raster_temporal_interpolate",
     "raster_rasterize",
+    "tpch_q14_promo",
+    "window_rank",
+    "raster_focal_mode",
+    "raster_pyramid_mode",
+    "raster_rasterize_features",
+    "raster_resample_cubic",
+    "raster_mask_distributed",
+    "raster_point_values",
+    "raster_normalize",
+    "raster_reproject_utm",
+    "raster_histogram_object",
+    "text_token_count",
+    "text_dedup_pipeline",
+    "emb_knn",
+    "multimodal_features",
+    "events_session",
+    "raster_zonal_stats",
+    "raster_mask",
+    "text_exact_dedup",
+    "text_dup_components",
+    "emb_ivf_knn",
+    "tpch_q1",
+    "events_tumbling",
+    "raster_slope",
+    "raster_tile_to_layout",
+    "text_simhash",
+    "tpch_q3",
+    "raster_reproject_cubic",
+    "raster_reproject_global",
+    "raster_histogram",
+    "raster_min_max",
+    "raster_colormap",
+    "raster_histogram_series",
+    "raster_merge",
+    "raster_region_group_temporal",
+    "raster_region_group8",
+    "raster_region_group_big",
+    "raster_focal_convolve_big",
+    "raster_morans_i_big",
+    "raster_flow_direction",
+    "emb_hamming_knn",
+    "text_line_dedup",
+    "events_ewma",
+    "raster_flow_accumulation",
+    "raster_watershed",
+    "text_bpe_encode",
+    "raster_tri",
+    "raster_tpi",
+    "raster_viewshed",
+    "raster_sieve_temporal",
 ]
 # END WINDOW_ORDER
 

@@ -1,0 +1,142 @@
+"""Pin the self-sweep tool's hash computation (``tools/check_oracle.py``)
+— VERDICT r10 #6: the per-round full-registry self-sweeps are only a
+trustworthy proxy for the driver's correctness gate while the tool's
+normalization semantics stay EXACTLY the driver's documented compare:
+sort columns by name, normalize cells (bit-exact float repr, NULL/NaN
+markers, tz-stripped timestamps), sort rows, sha256. These tests freeze
+each of those properties plus a Spark-vs-DuckDB end-to-end parity case,
+so any drift in the tool breaks loudly instead of silently blessing
+wrong results."""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+_TOOL = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tools", "check_oracle.py")
+_spec = importlib.util.spec_from_file_location("check_oracle_tool", _TOOL)
+_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_mod)
+norm_cell = _mod.norm_cell
+table_hash = _mod.table_hash
+
+
+class TestNormCell:
+    def test_markers(self):
+        assert norm_cell(None) == "NULL"
+        assert norm_cell(True) == "1"
+        assert norm_cell(False) == "0"
+        assert norm_cell(float("nan")) == "NaN"
+
+    def test_float_bit_exact_repr(self):
+        # repr of the double — 0.1 + 0.2 != 0.3 must NOT hash-collide
+        assert norm_cell(0.1) == "0.1"
+        assert norm_cell(0.1 + 0.2) == "0.30000000000000004"
+        assert norm_cell(0.3) == "0.3"
+        assert norm_cell(1.0) == "1.0"
+
+    def test_numpy_scalars_match_python(self):
+        # DuckDB/pandas fetches can surface numpy scalars; they must
+        # normalize identically to the Python values Spark rows carry
+        assert norm_cell(np.float64(0.1)) == norm_cell(0.1)
+        assert norm_cell(np.float64("nan")) == "NaN"
+        assert norm_cell(np.int64(42)) == norm_cell(42) == "42"
+        assert norm_cell(np.int32(-7)) == "-7"
+
+    def test_datetime_tz_stripped(self):
+        naive = dt.datetime(2024, 3, 1, 12, 30, 15)
+        aware = dt.datetime(2024, 3, 1, 12, 30, 15, tzinfo=dt.timezone.utc)
+        assert norm_cell(naive) == norm_cell(aware) == "2024-03-01T12:30:15"
+        assert norm_cell(dt.date(2024, 3, 1)) == "2024-03-01"
+
+    def test_decimal_as_double(self):
+        assert norm_cell(decimal.Decimal("2.5")) == norm_cell(2.5)
+
+    def test_strings_verbatim(self):
+        assert norm_cell("a b") == "a b"
+        assert norm_cell("") == ""
+
+
+class TestTableHash:
+    ROWS = [(1, "x", 2.5), (2, "y", float("nan")), (3, None, -0.0)]
+
+    def test_row_order_insensitive(self):
+        a = table_hash(["a", "b", "c"], self.ROWS)
+        b = table_hash(["a", "b", "c"], list(reversed(self.ROWS)))
+        assert a == b
+
+    def test_column_order_insensitive(self):
+        # the driver sorts columns BY NAME before hashing — permuted
+        # column positions with matching names must collide
+        a = table_hash(["a", "b", "c"], self.ROWS)
+        b = table_hash(["c", "a", "b"], [(r[2], r[0], r[1]) for r in self.ROWS])
+        assert a == b
+
+    def test_column_names_are_significant(self):
+        a = table_hash(["a", "b", "c"], self.ROWS)
+        b = table_hash(["a", "b", "d"], self.ROWS)
+        # same cells, different name -> same sort order here, but the
+        # driver ALSO compares schemas; the tool mirrors that outside
+        # table_hash, so the hash itself may match. Pin current
+        # semantics so a change is a conscious decision.
+        assert a == b
+
+    def test_value_sensitivity(self):
+        a = table_hash(["a", "b", "c"], self.ROWS)
+        changed = [self.ROWS[0], (2, "y", 0.0), self.ROWS[2]]
+        b = table_hash(["a", "b", "c"], changed)
+        assert a[0] == b[0] and a[1] != b[1]
+
+    def test_row_count_returned(self):
+        n, _ = table_hash(["a"], [(1,), (2,), (3,)])
+        assert n == 3
+
+    def test_duplicate_rows_counted(self):
+        a = table_hash(["a"], [(1,), (1,)])
+        b = table_hash(["a"], [(1,)])
+        assert a[0] == 2 and b[0] == 1 and a[1] != b[1]
+
+
+class TestSparkDuckdbParity:
+    def test_end_to_end_hash_parity(self, spark):
+        """The exact cross-engine shape the gate compares: same logical
+        table, different column order, row order, and numeric carriers
+        (Spark Python scalars vs DuckDB fetch) -> identical hash."""
+        import duckdb
+
+        sdf = spark.createDataFrame(
+            [(1, 0.1 + 0.2, "x", dt.datetime(2024, 1, 2, 3, 4, 5)),
+             (2, float("nan"), None, dt.datetime(2024, 6, 7, 8, 9, 10))],
+            "id int, v double, s string, ts timestamp",
+        )
+        scols = [c.lower() for c in sdf.columns]
+        srows = [tuple(r) for r in sdf.collect()]
+
+        rel = duckdb.sql("""
+            SELECT * FROM (VALUES
+              (TIMESTAMP '2024-06-07 08:09:10', CAST('nan' AS DOUBLE), 2, NULL),
+              (TIMESTAMP '2024-01-02 03:04:05',
+               CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE), 1, 'x')
+            ) AS t(ts, v, id, s)
+        """)
+        ocols = [c.lower() for c in rel.columns]
+        orows = rel.fetchall()
+
+        assert table_hash(scols, srows) == table_hash(ocols, orows)
+
+    def test_end_to_end_detects_value_drift(self, spark):
+        import duckdb
+
+        sdf = spark.createDataFrame([(1, 2.0)], "id int, v double")
+        rel = duckdb.sql("SELECT 1 AS id, 2.0000001 AS v")
+        assert (table_hash([c.lower() for c in sdf.columns],
+                           [tuple(r) for r in sdf.collect()])
+                != table_hash([c.lower() for c in rel.columns],
+                              rel.fetchall()))

@@ -112,19 +112,43 @@ class TestColorMapParity:
                       classification_strategy="EXACT")
         assert ex.apply(cells, None).tolist() == [9, 1, 9, 2, 9]
 
-    def test_matplotlib_gate(self):
+    def test_matplotlib_fallback_ramps(self):
+        """r11 (VERDICT r10 #8): common ramp names work WITHOUT
+        matplotlib via the built-in anchor tables; unknown names still
+        raise with the available list."""
         import pytest
 
-        from geopyspark_spark.operators.render import get_colors_from_matplotlib
+        from geopyspark_spark.operators.render import (
+            _FALLBACK_RAMPS, get_colors_from_matplotlib)
 
         try:
             import matplotlib  # noqa: F401
 
-            pytest.skip("matplotlib present; gate not exercised")
+            pytest.skip("matplotlib present; fallback path not exercised")
         except ImportError:
             pass
-        with pytest.raises(NotImplementedError, match="matplotlib"):
-            get_colors_from_matplotlib("viridis")
+
+        v = get_colors_from_matplotlib("viridis")
+        assert len(v) == 256
+        # pinned endpoints (first/last anchors land exactly)
+        assert v[0] == (68 << 24) | (1 << 16) | (84 << 8) | 0xFF
+        assert v[-1] == (253 << 24) | (231 << 16) | (37 << 8) | 0xFF
+        # fully opaque everywhere
+        assert all((c & 0xFF) == 0xFF for c in v)
+        # every shipped ramp materializes at several sizes
+        for name in _FALLBACK_RAMPS:
+            for n in (2, 16, 256):
+                ramp = get_colors_from_matplotlib(name, n)
+                assert len(ramp) == n
+        # grey ramp is monotone white -> black with r == g == b
+        g = get_colors_from_matplotlib("Greys", 16)
+        greys = [(c >> 24) & 0xFF for c in g]
+        assert greys[0] == 255 and greys[-1] == 0
+        assert greys == sorted(greys, reverse=True)
+        assert all(((c >> 24) & 0xFF) == ((c >> 16) & 0xFF) == ((c >> 8) & 0xFF)
+                   for c in g)
+        with pytest.raises(NotImplementedError, match="twilight"):
+            get_colors_from_matplotlib("twilight")
 
 
 class TestGeneralPngCodec:
