@@ -200,12 +200,17 @@ def cost_distance(
     Returns a float64 layer: NoData (NaN) where unreachable or friction is
     NoData.
 
-    ``max_iterations`` defaults to ``layout_cols + layout_rows``: a
-    distance front advances at least one tile per halo-relaxation round,
-    so that bound always reaches convergence (reference
-    ``IterativeCostDistance`` runs to convergence). An explicit smaller
-    cap that exits unconverged emits a RuntimeWarning instead of silently
-    returning too-large distances.
+    ``max_iterations`` defaults to ``4 * layout_cols * layout_rows``: the
+    front advances at least one tile per halo-relaxation round along the
+    active least-cost path, and a serpentine maze (walls forcing
+    repeated reversals) can make that path re-enter a tile band once per
+    wall gap — the old perimeter bound (``cols + rows``) under-ran such
+    mazes at larger layouts (found by ``tools/stateful_sweep.py``), so
+    the default is now an area bound. The convergence check still exits
+    as soon as a round changes nothing, so the cap never costs a round
+    in practice (reference ``IterativeCostDistance`` runs to
+    convergence). An explicit smaller cap that exits unconverged emits a
+    RuntimeWarning instead of silently returning too-large distances.
     """
     from ..core.geom import MultiPolygon, Point, Polygon
     from ..layer import TiledRasterLayer as TRL
@@ -215,8 +220,10 @@ def cost_distance(
     tl = md.layout.tile_layout
     tc, tr = tl.tile_cols, tl.tile_rows
     if max_iterations is None:
-        # worst case: a front crossing the whole grid corner to corner
-        max_iterations = max(2, tl.layout_cols + tl.layout_rows)
+        # area bound: a least-cost path crosses tile borders O(tiles)
+        # times even when walls force serpentine reversals; early exit
+        # keeps real rounds at the converged count
+        max_iterations = max(2, 4 * tl.layout_cols * tl.layout_rows)
     nd = md.nodata
     geoms = _normalize_geoms(geometries)
     cw, ch = md.layout.cell_width, md.layout.cell_height
@@ -462,10 +469,16 @@ def cost_distance(
         # lineage control: persist() is ~2x cheaper per round than
         # localCheckpoint (measured ~0.3 s vs ~0.75 s fixed overhead on
         # local[32]), but persist alone leaves the logical plan growing
-        # each round — truncate with a (lazy) localCheckpoint every 8th
-        # round so analysis stays bounded over long runs. Either way the
-        # convergence aggregate below materializes it in this job.
-        if (rnd + 1) % 8 == 0:
+        # each round. Dense rounds reference `state` once, so the plan
+        # grows linearly and an every-8th-round truncation suffices.
+        # The THIN tiers reference `state` two/three times per round
+        # (dist_src + untouched + frontier), so the plan MULTIPLIES
+        # between truncations — 8 untruncated thin rounds built a
+        # ~4^8-node tree whose planning alone OOM'd the driver at a
+        # 16x16-tile layout (tools/stateful_sweep.py) — hence thin
+        # rounds truncate every round. Either way the convergence
+        # aggregate below materializes it in this job.
+        if thin or (rnd + 1) % 8 == 0:
             new_state = new_state.localCheckpoint(eager=False)
         else:
             new_state = new_state.persist()

@@ -484,7 +484,7 @@ def flow_direction(layer: "TiledRasterLayer") -> "TiledRasterLayer":
 
 
 def flow_accumulation(layer: "TiledRasterLayer",
-                      max_iterations: int = 64) -> "DataFrame":
+                      max_iterations: int | None = None) -> "DataFrame":
     """D8 flow accumulation: for every cell, the number of cells whose
     flow path passes through it (itself included) — the second half of
     the hydrology pair with :func:`flow_direction`. Because each cell
@@ -495,16 +495,23 @@ def flow_accumulation(layer: "TiledRasterLayer",
     from the flow-direction raster, then iterate the monotone fixpoint
     ``acc = 1 + sum(acc of upstream cells)`` — one equi-join + one sum
     aggregate per round, O(cells) shuffled rows, label tables
-    localCheckpoint'ed so the plan depth stays constant (the same
-    bounded-round contract as ``cost_distance``: exact once the round
-    count reaches the longest flow-path length; the convergence check
-    exits early, and ``max_iterations`` bounds the worst case).
-    Integer counts all the way down — engine-exact.
+    localCheckpoint'ed so the plan depth stays constant. Exact once the
+    round count reaches the LONGEST FLOW PATH length — the convergence
+    check exits there, and the default cap is the cell count (the true
+    path-length bound; the old fixed 64 silently truncated paths longer
+    than 64 cells — found by ``tools/stateful_sweep.py`` on a 64x64
+    grid). An explicit smaller ``max_iterations`` that exits unconverged
+    emits a RuntimeWarning. Integer counts all the way down —
+    engine-exact.
 
     Returns (key_col, key_row, pos, acc BIGINT).
     """
     from pyspark.sql import DataFrame  # noqa: F401
 
+    tl_ = layer.metadata.layout.tile_layout
+    if max_iterations is None:
+        max_iterations = max(
+            2, tl_.layout_cols * tl_.tile_cols * tl_.layout_rows * tl_.tile_rows)
     fd = flow_direction(layer)
     # ``instant`` rides every key and join below, so SPACETIME layers
     # accumulate per instant — flow never crosses time (SURVEY §7.3)
@@ -527,6 +534,7 @@ def flow_accumulation(layer: "TiledRasterLayer",
     acc = cells.select(*tcols, "gcol", "grow",
                        F.lit(1).cast("long").alias("acc"))
     acc = acc.localCheckpoint()
+    converged = False
     for _ in range(max_iterations):
         cond = (edges["src_c"] == acc["gcol"]) & (edges["src_r"] == acc["grow"])
         for t in tcols:
@@ -554,7 +562,16 @@ def flow_accumulation(layer: "TiledRasterLayer",
         )
         acc = new_acc
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"flow_accumulation stopped after {max_iterations} iterations "
+            "without converging; counts on flow paths longer than the cap "
+            "are incomplete (raise max_iterations)",
+            RuntimeWarning, stacklevel=2)
     return (
         cells.select("key_col", "key_row", *tcols, "pos", "gcol", "grow")
         .join(acc, tcols + ["gcol", "grow"])
@@ -598,6 +615,7 @@ def watershed(layer: "TiledRasterLayer", max_iterations: int = 32) -> "DataFrame
         ((F.col("grow") + dr).cast("long") * width
          + (F.col("gcol") + dc)).alias("ptr"),
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iterations):
         hop = ptr.select(*tcols, F.col("node").alias("ptr"),
                          F.col("ptr").alias("jump"))
@@ -613,7 +631,17 @@ def watershed(layer: "TiledRasterLayer", max_iterations: int = 32) -> "DataFrame
         )
         ptr = new_ptr
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # pointer doubling halves root distance per round, so 32 rounds
+        # cover paths of 2^32 cells; reaching the cap means a cycle or
+        # a bug — never silent
+        import warnings
+
+        warnings.warn(
+            f"watershed stopped after {max_iterations} pointer-doubling "
+            "rounds without converging", RuntimeWarning, stacklevel=2)
     return (
         cells.select(
             "key_col", "key_row", *tcols, "pos",

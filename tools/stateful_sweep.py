@@ -1,0 +1,350 @@
+#!/usr/bin/env python
+"""Big-layout sweep of the STATEFUL raster operators (VERDICT r10 #7).
+
+region_group / sieve / cost_distance / watershed / flow_accumulation
+carry fixpoint or border-chain state whose bugs are resolution-
+dependent: the driver fixture is a 4x4-tile layout, so a border-chain
+longer than a few tiles, a frontier that must reverse repeatedly, or a
+flow path spanning dozens of tiles never occurs there. This sweep runs
+them on a T x T-tile layout (default 16x16 tiles of 8x8 cells = 16,384
+cells; pass e.g. ``32`` for 65,536) and checks every cell against an
+INDEPENDENT single-node reference — BFS labeling, heapq Dijkstra, Kahn
+topological accumulation, pointer-chase basins — none of which share
+code with the distributed implementations.
+
+Usage::
+
+    python tools/stateful_sweep.py [tiles] [tile_size]
+
+Record stdout as ``ORACLE_r{N}_stateful.txt`` (the per-round log the
+judge reads alongside the driver CORRECTNESS file).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import geopyspark_spark as gps  # noqa: E402
+
+SQRT2 = math.sqrt(2.0)
+# (drow, dcol, weight) — cost_distance's move set
+MOVES8 = [(-1, -1, SQRT2), (-1, 0, 1.0), (-1, 1, SQRT2),
+          (0, -1, 1.0), (0, 1, 1.0),
+          (1, -1, SQRT2), (1, 0, 1.0), (1, 1, SQRT2)]
+# D8 codes ascending (code, drow, dcol, weight-for-drop^2-compare)
+D8 = [(1, 0, 1, 2), (2, 1, 1, 1), (4, 1, 0, 2), (8, 1, -1, 1),
+      (16, 0, -1, 2), (32, -1, -1, 1), (64, -1, 0, 2), (128, -1, 1, 1)]
+
+
+def make_layer(spark, grid: np.ndarray, tiles: int, tsize: int):
+    n = tiles * tsize
+    layout = gps.LayoutDefinition(
+        gps.Extent(0, 0, n, n), gps.TileLayout(tiles, tiles, tsize, tsize))
+    md = gps.LayerMetadata(
+        crs="epsg:4326", cell_type="float64ud-9999.0", layout=layout,
+        bounds=((0, 0), (tiles - 1, tiles - 1)), extent=layout.extent,
+        num_bands=1)
+    recs = []
+    for kr in range(tiles):
+        for kc in range(tiles):
+            recs.append((kc, kr, 0,
+                         grid[kr * tsize:(kr + 1) * tsize,
+                              kc * tsize:(kc + 1) * tsize].copy()))
+    return gps.from_numpy(spark, recs, md)
+
+
+# ---- independent references ----------------------------------------------
+
+def ref_label(grid: np.ndarray, connectivity: int) -> np.ndarray:
+    """BFS region labels = min global id (grow*width + gcol); NaN -> -1."""
+    h, w = grid.shape
+    lab = np.full((h, w), -1, dtype=np.int64)
+    if connectivity == 4:
+        nbrs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    else:
+        nbrs = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+                if (dr, dc) != (0, 0)]
+    seen = np.zeros((h, w), dtype=bool)
+    for r in range(h):
+        for c in range(w):
+            if seen[r, c] or math.isnan(grid[r, c]):
+                continue
+            v = grid[r, c]
+            stack = [(r, c)]
+            seen[r, c] = True
+            comp = []
+            while stack:
+                rr, cc = stack.pop()
+                comp.append((rr, cc))
+                for dr, dc in nbrs:
+                    r2, c2 = rr + dr, cc + dc
+                    if (0 <= r2 < h and 0 <= c2 < w and not seen[r2, c2]
+                            and grid[r2, c2] == v):
+                        seen[r2, c2] = True
+                        stack.append((r2, c2))
+            label = min(rr * w + cc for rr, cc in comp)
+            for rr, cc in comp:
+                lab[rr, cc] = label
+    return lab
+
+
+def ref_dijkstra(friction: np.ndarray, sr: int, sc: int,
+                 max_distance: float) -> np.ndarray:
+    """heapq Dijkstra with cost_distance's edge model:
+    (f[a]/2 + f[b]/2) * move_weight; NaN friction impassable."""
+    h, w = friction.shape
+    dist = np.full((h, w), np.inf)
+    if math.isnan(friction[sr, sc]):
+        return dist
+    dist[sr, sc] = 0.0
+    pq = [(0.0, sr, sc)]
+    while pq:
+        d, r, c = heapq.heappop(pq)
+        if d > dist[r, c]:
+            continue
+        for dr, dc, wgt in MOVES8:
+            r2, c2 = r + dr, c + dc
+            if not (0 <= r2 < h and 0 <= c2 < w):
+                continue
+            f2 = friction[r2, c2]
+            if math.isnan(f2):
+                continue
+            nd = d + (0.5 * friction[r, c] + 0.5 * f2) * wgt
+            if nd < dist[r2, c2] and nd <= max_distance:
+                dist[r2, c2] = nd
+                heapq.heappush(pq, (nd, r2, c2))
+    return dist
+
+
+def ref_flow_dir(z: np.ndarray) -> np.ndarray:
+    """Per-cell D8 with the engine's documented tie/compare rule,
+    written as a straight double loop (no shared stencil code)."""
+    h, w = z.shape
+    out = np.zeros((h, w))
+    for r in range(h):
+        for c in range(w):
+            if math.isnan(z[r, c]):
+                out[r, c] = np.nan
+                continue
+            best_key, best_code = 0.0, 0
+            for code, dr, dc, wgt in D8:
+                r2, c2 = r + dr, c + dc
+                if not (0 <= r2 < h and 0 <= c2 < w):
+                    continue
+                zn = z[r2, c2]
+                if math.isnan(zn):
+                    continue
+                drop = z[r, c] - zn
+                if drop <= 0:
+                    continue
+                key = wgt * drop * drop
+                if key > best_key:
+                    best_key, best_code = key, code
+            out[r, c] = best_code
+    return out
+
+
+def _d8_dest(code: int) -> tuple[int, int]:
+    for cd, dr, dc, _ in D8:
+        if cd == code:
+            return dr, dc
+    return 0, 0
+
+
+def ref_flow_acc(z: np.ndarray) -> np.ndarray:
+    """Kahn topological accumulation over the D8 forest."""
+    h, w = z.shape
+    fd = ref_flow_dir(z)
+    down = np.full((h, w, 2), -1, dtype=np.int64)
+    indeg = np.zeros((h, w), dtype=np.int64)
+    for r in range(h):
+        for c in range(w):
+            code = fd[r, c]
+            if math.isnan(code) or code == 0:
+                continue
+            dr, dc = _d8_dest(int(code))
+            down[r, c] = (r + dr, c + dc)
+            indeg[r + dr, c + dc] += 1
+    acc = np.ones((h, w), dtype=np.int64)
+    q = [(r, c) for r in range(h) for c in range(w) if indeg[r, c] == 0]
+    while q:
+        r, c = q.pop()
+        r2, c2 = down[r, c]
+        if r2 < 0:
+            continue
+        acc[r2, c2] += acc[r, c]
+        indeg[r2, c2] -= 1
+        if indeg[r2, c2] == 0:
+            q.append((r2, c2))
+    return acc
+
+
+def ref_basins(z: np.ndarray) -> np.ndarray:
+    """Pointer-chase to the pit/flat root; basin = root's global id."""
+    h, w = z.shape
+    fd = ref_flow_dir(z)
+    basin = np.full((h, w), -1, dtype=np.int64)
+
+    def root(r, c):
+        path = []
+        while True:
+            if basin[r, c] >= 0:
+                res = basin[r, c]
+                break
+            code = int(fd[r, c])
+            if code == 0:
+                res = r * w + c
+                break
+            path.append((r, c))
+            dr, dc = _d8_dest(code)
+            r, c = r + dr, c + dc
+        for rr, cc in path:
+            basin[rr, cc] = res
+        return res
+
+    for r in range(h):
+        for c in range(w):
+            if math.isnan(z[r, c]):
+                continue
+            basin[r, c] = root(r, c)
+    return basin
+
+
+# ---- sweep ----------------------------------------------------------------
+
+def main():
+    tiles = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    tsize = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n = tiles * tsize
+    rng = np.random.default_rng(42)
+
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master("local[8]")
+             .appName("stateful-sweep")
+             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print(f"stateful sweep: {tiles}x{tiles} tiles of {tsize}x{tsize} "
+          f"({n * n} cells)")
+    n_pass = n_fail = 0
+
+    def report(name, ok, t0, detail=""):
+        nonlocal n_pass, n_fail
+        if ok:
+            n_pass += 1
+            print(f"PASS  {name} ({time.time() - t0:.1f}s) {detail}")
+        else:
+            n_fail += 1
+            print(f"FAIL  {name} ({time.time() - t0:.1f}s) {detail}")
+
+    # categorical grid with NaN speckles: many regions, long border chains
+    cat = rng.integers(0, 3, size=(n, n)).astype(float)
+    # horizontal stripes of one value force regions spanning many tiles
+    cat[n // 4, :] = 7.0
+    cat[:, n // 3] = 7.0
+    cat[rng.random((n, n)) < 0.04] = np.nan
+    cat_layer = make_layer(spark, cat, tiles, tsize)
+
+    from geopyspark_spark.operators.regiongroup import region_group, sieve
+
+    for conn in (4, 8):
+        t0 = time.time()
+        got = np.full((n, n), -1, dtype=np.int64)
+        for r in region_group(cat_layer, connectivity=conn).collect():
+            gr = r["key_row"] * tsize + r["pos"] // tsize
+            gc = r["key_col"] * tsize + r["pos"] % tsize
+            got[gr, gc] = r["region"]
+        exp = ref_label(cat, conn)
+        report(f"region_group conn={conn}", np.array_equal(got, exp), t0,
+               f"regions={len(np.unique(exp[exp >= 0]))}")
+
+    t0 = time.time()
+    sv = sieve(cat_layer, min_size=6)
+    got = np.full((n, n), np.nan)
+    for r in sv.explode(with_coords=True).collect():
+        got[r["grow"], r["gcol"]] = r["value"]
+    lab = ref_label(cat, 4)
+    sizes = {lb: int((lab == lb).sum()) for lb in np.unique(lab[lab >= 0])}
+    exp = cat.copy()
+    nd = -9999.0
+    for r in range(n):
+        for c in range(n):
+            if math.isnan(cat[r, c]):
+                # NaN inputs are excluded from labeling; assemble fills
+                # the absent positions with the layer's nodata
+                exp[r, c] = nd
+            elif sizes[lab[r, c]] < 6:
+                exp[r, c] = nd
+    ok = np.allclose(np.nan_to_num(got, nan=-1.0),
+                     np.nan_to_num(exp, nan=-1.0))
+    report("sieve min_size=6", ok, t0,
+           f"dropped={(exp == nd).sum()} cells")
+
+    # friction with serpentine walls: the frontier must reverse many times
+    fric = rng.uniform(0.5, 3.0, size=(n, n))
+    for i, r in enumerate(range(5, n - 2, 11)):
+        if i % 2 == 0:
+            fric[r, : n - 6] = np.nan
+        else:
+            fric[r, 6:] = np.nan
+    fric_layer = make_layer(spark, fric, tiles, tsize)
+
+    from geopyspark_spark.operators.costdistance import cost_distance
+
+    t0 = time.time()
+    src = gps.Point(1.5, n - 1.5)            # cell (row 1, col 1) center
+    cd_layer = cost_distance(fric_layer, src)
+    got = np.full((n, n), np.nan)
+    for r in cd_layer.explode(with_coords=True).collect():
+        got[r["grow"], r["gcol"]] = r["value"]
+    exp = ref_dijkstra(fric, 1, 1, float("inf"))
+    expn = np.where(np.isinf(exp), np.nan, exp)
+    expn[np.isnan(fric)] = np.nan
+    ok = np.allclose(np.nan_to_num(got, nan=-1.0),
+                     np.nan_to_num(expn, nan=-1.0), atol=1e-9)
+    report("cost_distance serpentine", ok, t0,
+           f"reached={np.isfinite(expn).sum()}/{n * n}")
+
+    # integer elevation surface: long flow paths down a tilted ridged plane
+    rr, cc = np.mgrid[0:n, 0:n]
+    z = (rr * 3 + cc + 10 * np.sin(rr / 7.0) * np.cos(cc / 5.0)).round()
+    z = z.astype(float)
+    z_layer = make_layer(spark, z, tiles, tsize)
+
+    from geopyspark_spark.operators.focal import flow_accumulation, watershed
+
+    t0 = time.time()
+    got = np.zeros((n, n), dtype=np.int64)
+    for r in flow_accumulation(z_layer).collect():
+        gr = r["key_row"] * tsize + r["pos"] // tsize
+        gc = r["key_col"] * tsize + r["pos"] % tsize
+        got[gr, gc] = r["acc"]
+    exp = ref_flow_acc(z)
+    report("flow_accumulation", np.array_equal(got, exp), t0,
+           f"max_acc={int(exp.max())}")
+
+    t0 = time.time()
+    got = np.full((n, n), -1, dtype=np.int64)
+    for r in watershed(z_layer).collect():
+        gr = r["key_row"] * tsize + r["pos"] // tsize
+        gc = r["key_col"] * tsize + r["pos"] % tsize
+        got[gr, gc] = r["basin"]
+    exp = ref_basins(z)
+    report("watershed", np.array_equal(got, exp), t0,
+           f"basins={len(np.unique(exp[exp >= 0]))}")
+
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
