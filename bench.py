@@ -77,6 +77,12 @@ HEADLINE = [
     "emb_hamming_knn",
     "text_line_dedup",
     "events_ewma",
+    # round-11 additions: the skew-capped LSH path, the 31-bit Morton
+    # codegen spread at deep-zoom coordinates, and the progressive-JPEG
+    # decode fixture
+    "text_lsh_skew",
+    "raster_zindex_deep",
+    "raster_geotiff_jpeg_progressive",
 ]
 
 

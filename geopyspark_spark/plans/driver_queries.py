@@ -6819,6 +6819,48 @@ FROM joined GROUP BY doc_id
 """
 
 
+def q_text_winnow(spark, sf_dir):
+    """MOSS winnowing fingerprints (r11): per-doc k-gram rolling hashes,
+    window-minimum selection with rightmost tie-break — the
+    contamination/clone-detection primitive. One doc_id shuffle + one
+    ROWS-frame window; oracle recomputes the selection with the same
+    window semantics in DuckDB."""
+    return ftext.winnow(_t(spark, sf_dir, "documents"), k=3, window=4)
+
+
+def _sql_text_winnow(k: int = 3, window: int = 4) -> str:
+    return f"""
+WITH base AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(t[i + 1 : i + {k}], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(range(len(t) - {k - 1})) AS i FROM base)
+),
+hashes AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT % {fdedup.MINHASH_PRIME} AS h
+  FROM grams
+),
+win AS (
+  SELECT doc_id, pos, h,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS mh,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS cnt
+  FROM hashes
+),
+sel AS (
+  SELECT f.doc_id, CAST(MAX(g.pos) AS INT) AS pos, f.mh AS fp
+  FROM (SELECT * FROM win WHERE cnt = {window}) f
+  JOIN hashes g
+    ON g.doc_id = f.doc_id AND g.pos BETWEEN f.pos AND f.pos + {window - 1}
+   AND g.h = f.mh
+  GROUP BY f.doc_id, f.pos, f.mh
+)
+SELECT DISTINCT doc_id, pos, fp FROM sel
+"""
+
+
 def q_text_exact_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     key = F.concat_ws(" ", F.slice(ftext.tokens_col("text"), 1, 3))
@@ -10200,6 +10242,7 @@ def _canonical_queries():
         "text_quality": q_text_quality,
         "text_lang_scores": q_text_lang_scores,
         "text_fingerprint": q_text_fingerprint,
+        "text_winnow": q_text_winnow,
         "text_ngram_jaccard": q_text_ngram_jaccard,
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_quality_ratios": q_text_quality_ratios,
@@ -10294,6 +10337,7 @@ def _canonical_queries():
 _WINDOW_ORDER_ROUND: int = 10
 _WINDOW_ORDER: list = [
     "text_lsh_skew",
+    "text_winnow",
     "raster_zindex_deep",
     "raster_geotiff_jpeg_progressive",
     "raster_local_add_n",
@@ -10718,6 +10762,7 @@ def oracle_sql():
         "text_quality": SQL_TEXT_QUALITY,
         "text_lang_scores": _sql_lang_scores(),
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
+        "text_winnow": _sql_text_winnow(3, 4),
         "text_exact_dedup": SQL_TEXT_EXACT_DEDUP,
         "text_minhash": _sql_minhash(16),
         "text_minhash_vocab": _sql_minhash(8, hash_ids=False),

@@ -2385,3 +2385,44 @@ class TestBpeEncode:
         df = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
         got = bpe_encode(df, merges=[]).collect()[0]
         assert got["n_tokens"] == 4
+
+
+class TestWinnow:
+    """MOSS winnowing (r11): the selection guarantee and density."""
+
+    def test_shared_run_shares_fingerprint(self, spark):
+        from geopyspark_spark.functions import text as ftext
+
+        shared = "alpha beta gamma delta epsilon zeta eta"  # 7 >= w+k-1=6
+        rows = [
+            (1, "one two three " + shared + " four five six"),
+            (2, "seven eight " + shared + " nine ten eleven twelve"),
+            (3, "totally different words with no overlap at all here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = ftext.winnow(df, k=3, window=4).collect()
+        by_doc = {}
+        for r in fps:
+            by_doc.setdefault(r.doc_id, set()).add(r.fp)
+        assert by_doc[1] & by_doc[2], "shared >=w+k-1 run must collide"
+        assert not (by_doc[1] & by_doc[3])
+
+    def test_rightmost_tie_break_and_completeness(self, spark):
+        from geopyspark_spark.functions import text as ftext
+
+        # identical tokens -> every gram hash equal -> each full window
+        # selects its RIGHTMOST position; positions = w-1 .. n_grams-1
+        df = spark.createDataFrame([(1, " ".join(["x"] * 10))],
+                                   "doc_id long, text string")
+        fps = ftext.winnow(df, k=3, window=4).collect()
+        n_grams = 10 - 3 + 1
+        assert sorted(r.pos for r in fps) == list(range(3, n_grams))
+        assert len({r.fp for r in fps}) == 1
+
+    def test_short_doc_yields_nothing(self, spark):
+        from geopyspark_spark.functions import text as ftext
+
+        # fewer grams than the window -> no complete frame
+        df = spark.createDataFrame([(1, "a b c d e")],
+                                   "doc_id long, text string")
+        assert ftext.winnow(df, k=3, window=4).count() == 0
