@@ -16,10 +16,15 @@ Scope (what real JPEG-in-TIFF files use):
 - progressive SOF2 (spectral selection + successive approximation,
   DC/AC first and refinement scans, EOB runs) — r11; decoded by
   accumulating coefficients across scans, then one vectorized IDCT
+- extended sequential SOF1 and 12-bit precision (r11): SOF1 decodes
+  identically to SOF0 (huffman sequential; the marker exists because
+  true baseline is spec-limited to 8-bit); 12-bit samples level-shift
+  at 2048 and decode to uint16 (0..4095) in both sequential and
+  progressive modes
 
 Out of scope (raises ``ValueError`` naming the feature): arithmetic
-coding (SOF9+), 12-bit precision, lossless (SOF3), hierarchical —
-none appear in GDAL-produced JPEG-in-TIFF.
+coding (SOF9+), lossless (SOF3), hierarchical — none appear in
+GDAL-produced JPEG-in-TIFF.
 
 The IDCT is the exact float 8x8 basis product (no integer fast-DCT
 approximation), so decode error against any conformant encoder is the
@@ -285,19 +290,18 @@ def decode_baseline(data: bytes, tables: bytes | None = None,
     m = data[pos + 1]
     if m == 0xC2:
         return _decode_progressive(data, st, pos, ycbcr_to_rgb)
-    if m != 0xC0:
-        names = {0xC1: "extended sequential (SOF1)",
-                 0xC3: "lossless (SOF3)",
+    if m not in (0xC0, 0xC1):
+        names = {0xC3: "lossless (SOF3)",
                  0xC9: "arithmetic extended (SOF9)",
                  0xCA: "arithmetic progressive (SOF10)"}
         raise ValueError(
-            f"JPEG: only baseline SOF0 and progressive SOF2 are "
-            f"supported, got {names.get(m, f'marker {m:#x}')}")
+            f"JPEG: only huffman sequential (SOF0/SOF1) and progressive "
+            f"(SOF2) are supported, got {names.get(m, f'marker {m:#x}')}")
     ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
     seg = data[pos + 4:pos + 2 + ln]
     precision = seg[0]
-    if precision != 8:
-        raise ValueError(f"JPEG: {precision}-bit precision (only 8 supported)")
+    if precision not in (8, 12):
+        raise ValueError(f"JPEG: {precision}-bit precision (8/12 supported)")
     rows, cols = struct.unpack(">HH", seg[1:5])
     ncomp = seg[5]
     comps: list[_Component] = []
@@ -349,14 +353,19 @@ def decode_baseline(data: bytes, tables: bytes | None = None,
                         c0 = (mx * c.h + bx) * 8
                         planes[ci][r0:r0 + 8, c0:c0 + 8] = blk
 
-    return _finish(planes, comps, hmax, vmax, rows, cols, ycbcr_to_rgb)
+    return _finish(planes, comps, hmax, vmax, rows, cols, ycbcr_to_rgb,
+                   precision)
 
 
-def _finish(planes, comps, hmax, vmax, rows, cols, ycbcr_to_rgb) -> np.ndarray:
+def _finish(planes, comps, hmax, vmax, rows, cols, ycbcr_to_rgb,
+            precision: int = 8) -> np.ndarray:
     """Shared decode tail: upsample subsampled planes to full resolution
     (sample replication, the TIFF/JFIF box default), crop to the frame
-    dims, level-shift, optional YCbCr->RGB, round/clip to uint8."""
+    dims, level-shift at 2^(P-1), optional YCbCr->RGB, round/clip to
+    uint8 (P=8) or uint16 (P=12)."""
     ncomp = len(comps)
+    level = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
     out = np.empty((rows, cols, ncomp))
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -364,18 +373,19 @@ def _finish(planes, comps, hmax, vmax, rows, cols, ycbcr_to_rgb) -> np.ndarray:
             p = np.repeat(p, hmax // c.h, axis=1)
         if c.v != vmax:
             p = np.repeat(p, vmax // c.v, axis=0)
-        out[:, :, ci] = p[:rows, :cols] + 128.0
+        out[:, :, ci] = p[:rows, :cols] + level
 
     if ycbcr_to_rgb is None:
         ycbcr_to_rgb = ncomp == 3
     if ycbcr_to_rgb and ncomp == 3:
-        y, cb, cr = out[:, :, 0], out[:, :, 1] - 128.0, out[:, :, 2] - 128.0
+        y, cb, cr = out[:, :, 0], out[:, :, 1] - level, out[:, :, 2] - level
         out = np.stack([
             y + 1.402 * cr,
             y - 0.344136 * cb - 0.714136 * cr,
             y + 1.772 * cb,
         ], axis=-1)
-    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    dtype = np.uint8 if precision == 8 else np.uint16
+    return np.clip(np.rint(out), 0, maxv).astype(dtype)
 
 
 # ---- progressive (SOF2) ---------------------------------------------------
@@ -490,8 +500,8 @@ def _decode_progressive(data: bytes, st: _JpegState, pos: int,
     ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
     seg = data[pos + 4:pos + 2 + ln]
     precision = seg[0]
-    if precision != 8:
-        raise ValueError(f"JPEG: {precision}-bit precision (only 8 supported)")
+    if precision not in (8, 12):
+        raise ValueError(f"JPEG: {precision}-bit precision (8/12 supported)")
     rows, cols = struct.unpack(">HH", seg[1:5])
     ncomp = seg[5]
     comps: list[_Component] = []
@@ -614,4 +624,5 @@ def _decode_progressive(data: bytes, st: _JpegState, pos: int,
         blocks = nat.reshape(ny, nx, 8, 8) * q
         spatial = np.einsum("ua,ijuv,vb->ijab", _A, blocks, _A, optimize=True)
         planes.append(spatial.transpose(0, 2, 1, 3).reshape(ny * 8, nx * 8))
-    return _finish(planes, comps, hmax, vmax, rows, cols, ycbcr_to_rgb)
+    return _finish(planes, comps, hmax, vmax, rows, cols, ycbcr_to_rgb,
+                   precision)

@@ -130,8 +130,8 @@ def _dht_seg(tc, th, table):
     return _seg(0xC4, bytes([tc << 4 | th]) + bytes(counts) + bytes(values))
 
 
-def _encode_block(bw, block, q, dcmap, acmap, pred):
-    coef = _A @ (block - 128.0) @ _A.T
+def _encode_block(bw, block, q, dcmap, acmap, pred, level=128.0):
+    coef = _A @ (block - level) @ _A.T
     quant = np.rint(coef / q).astype(np.int64)
     zz = quant.reshape(-1)[ZIGZAG]
     size, bits = _magnitude(int(zz[0]) - pred)
@@ -209,12 +209,17 @@ def _prep_planes(img, subsample):
 
 
 def encode_baseline(img: np.ndarray, subsample=(1, 1), restart_interval=0,
-                    abbreviated=False):
+                    abbreviated=False, precision=8):
     """Encode (rows, cols) grayscale or (rows, cols, 3) YCbCr-input RGB
     to a baseline JPEG. ``subsample=(h,v)`` applies to the two chroma
     components (luma is (h,v)-scaled up, i.e. (2,2) = 4:2:0).
     ``abbreviated=True`` returns (tables_stream, image_stream) — the
-    TIFF JPEGTables split; otherwise one interchange stream."""
+    TIFF JPEGTables split; otherwise one interchange stream.
+    ``precision=12`` emits extended sequential (SOF1) with samples in
+    0..4095 (grayscale input only in this test encoder)."""
+    assert precision in (8, 12)
+    if precision == 12:
+        assert np.asarray(img).ndim == 2, "12-bit test encoder: gray only"
     padded, samp, qts, gray, rows, cols, mcux, mcuy = _prep_planes(
         img, subsample)
 
@@ -228,7 +233,7 @@ def encode_baseline(img: np.ndarray, subsample=(1, 1), restart_interval=0,
            if restart_interval else b"")
     )
     ncomp = 1 if gray else 3
-    sof = bytes([8]) + struct.pack(">HH", rows, cols) + bytes([ncomp])
+    sof = bytes([precision]) + struct.pack(">HH", rows, cols) + bytes([ncomp])
     for i in range(ncomp):
         h, v = samp[i]
         sof += bytes([i + 1, (h << 4) | v, qts[i]])
@@ -236,6 +241,7 @@ def encode_baseline(img: np.ndarray, subsample=(1, 1), restart_interval=0,
     for i in range(ncomp):
         sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
     sos += bytes([0, 63, 0])
+    level = float(1 << (precision - 1))
 
     dcmaps = [_codes(*DC_LUM)] + [_codes(*DC_CHROM)] * (ncomp - 1)
     acmaps = [_codes(*AC_LUM)] + [_codes(*AC_CHROM)] * (ncomp - 1)
@@ -261,12 +267,12 @@ def encode_baseline(img: np.ndarray, subsample=(1, 1), restart_interval=0,
                         blk = padded[ci][r0:r0 + 8, c0:c0 + 8]
                         preds[ci] = _encode_block(
                             bw, blk, qs[ci], dcmaps[ci], acmaps[ci],
-                            preds[ci])
+                            preds[ci], level)
     bw.pad()
     scan = bytes(bw.out)
 
     soi, eoi = b"\xff\xd8", b"\xff\xd9"
-    body = _seg(0xC0, sof) + b"\xff\xda" + struct.pack(
+    body = _seg(0xC0 if precision == 8 else 0xC1, sof) + b"\xff\xda" + struct.pack(
         ">H", len(sos) + 2) + sos + scan
     if abbreviated:
         return soi + tables + eoi, soi + body + eoi
@@ -388,15 +394,19 @@ class _ProgScanWriter:
 
 
 def encode_progressive(img: np.ndarray, subsample=(1, 1), scans=None,
-                       abbreviated=False):
+                       abbreviated=False, precision=8):
     """Encode to a progressive (SOF2) JPEG. ``scans`` is a list of
     (comp_indices, Ss, Se, Ah, Al); default mirrors libjpeg's script.
     Quantized coefficients are identical to ``encode_baseline``'s, so a
     correct decoder must reproduce the baseline decode bit-exactly."""
+    assert precision in (8, 12)
+    if precision == 12:
+        assert np.asarray(img).ndim == 2, "12-bit test encoder: gray only"
     padded, samp, qts, gray, rows, cols, mcux, mcuy = _prep_planes(
         img, subsample)
     ncomp = 1 if gray else 3
     qs = [QLUM] + [QCHROM] * (ncomp - 1)
+    level = float(1 << (precision - 1))
 
     # full-precision quantized coefficient blocks, zigzag order
     coefs = []
@@ -405,7 +415,7 @@ def encode_progressive(img: np.ndarray, subsample=(1, 1), scans=None,
     vmax = max(v for _, v in samp)
     for p, (h, v), qi in zip(padded, samp, range(ncomp)):
         BY, BX = p.shape[0] // 8, p.shape[1] // 8
-        x = p.reshape(BY, 8, BX, 8).transpose(0, 2, 1, 3) - 128.0
+        x = p.reshape(BY, 8, BX, 8).transpose(0, 2, 1, 3) - level
         fr = np.einsum("au,ijuv,bv->ijab", _A, x, _A)
         qz = np.rint(fr / qs[qi]).astype(np.int64)
         coefs.append(qz.reshape(BY, BX, 64)[..., ZIGZAG])
@@ -441,7 +451,7 @@ def encode_progressive(img: np.ndarray, subsample=(1, 1), scans=None,
         + (_dqt_seg(1, QCHROM) if not gray else b"")
         + _dht_seg(0, 0, PROG_DC) + _dht_seg(1, 0, PROG_AC)
     )
-    sof = bytes([8]) + struct.pack(">HH", rows, cols) + bytes([ncomp])
+    sof = bytes([precision]) + struct.pack(">HH", rows, cols) + bytes([ncomp])
     for i in range(ncomp):
         h, v = samp[i]
         sof += bytes([i + 1, (h << 4) | v, qts[i]])

@@ -282,3 +282,49 @@ class TestProgressive:
             np.testing.assert_array_equal(prog, base)
 
         check()
+
+
+class TestTwelveBit:
+    """12-bit precision (r11): SOF1 sequential and SOF2 progressive
+    decode to uint16 with the 2048 level shift."""
+
+    def _smooth12(self, rows, cols, seed=4):
+        rng = np.random.default_rng(seed)
+        r, c = np.mgrid[0:rows, 0:cols]
+        img = np.full((rows, cols), 2048.0)
+        for _ in range(3):
+            fr, fc = rng.uniform(0.03, 0.15, 2)
+            amp = rng.uniform(100, 600)
+            ph = rng.uniform(0, 6.28, 2)
+            img += amp * np.sin(r * fr + ph[0]) * np.cos(c * fc + ph[1])
+        return np.clip(img, 0, 4095)
+
+    def test_sequential_roundtrip(self):
+        img = self._smooth12(33, 27)
+        out = decode_baseline(encode_baseline(img, precision=12))
+        assert out.dtype == np.uint16 and out.shape == (33, 27, 1)
+        # Annex-K luma quantizers on a smooth 12-bit field: the error
+        # bound scales with the quant step, not the sample range
+        assert np.abs(out[:, :, 0].astype(float) - img).max() <= 40
+
+    def test_solid_block_exact(self):
+        out = decode_baseline(encode_baseline(np.full((8, 8), 3200.0),
+                                              precision=12))
+        np.testing.assert_array_equal(
+            out[:, :, 0], np.full((8, 8), 3200, np.uint16))
+
+    def test_progressive_equals_sequential(self):
+        from jpeg_testenc import encode_progressive
+
+        img = self._smooth12(24, 40, seed=9)
+        seq = decode_baseline(encode_baseline(img, precision=12))
+        prog = decode_baseline(encode_progressive(img, precision=12))
+        np.testing.assert_array_equal(prog, seq)
+
+    def test_other_precisions_still_raise(self):
+        buf = bytearray(encode_baseline(np.full((8, 8), 100.0)))
+        j = bytes(buf).index(b"\xff\xc0")
+        # SOF payload precision byte is 2 (marker) + 2 (length) in
+        buf[j + 4] = 10
+        with pytest.raises(ValueError, match="10-bit"):
+            decode_baseline(bytes(buf))
