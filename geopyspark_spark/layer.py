@@ -435,10 +435,11 @@ class TiledRasterLayer:
 
         return focal.flow_direction(self)
 
-    def flow_accumulation(self, max_iterations: int = 64) -> "DataFrame":
+    def flow_accumulation(self, max_iterations: int | None = None,
+                          method: str = "euler") -> "DataFrame":
         from .operators import focal
 
-        return focal.flow_accumulation(self, max_iterations)
+        return focal.flow_accumulation(self, max_iterations, method)
 
     def watershed(self, max_iterations: int = 32) -> "DataFrame":
         from .operators import focal

@@ -484,34 +484,41 @@ def flow_direction(layer: "TiledRasterLayer") -> "TiledRasterLayer":
 
 
 def flow_accumulation(layer: "TiledRasterLayer",
-                      max_iterations: int | None = None) -> "DataFrame":
+                      max_iterations: int | None = None,
+                      method: str = "euler") -> "DataFrame":
     """D8 flow accumulation: for every cell, the number of cells whose
     flow path passes through it (itself included) — the second half of
     the hydrology pair with :func:`flow_direction`. Because each cell
     has at most one outflow, the flow graph is a forest and the
     accumulation is the subtree size.
 
-    Spark shape: build the (cell -> downstream cell) edge list ONCE
-    from the flow-direction raster, then iterate the monotone fixpoint
-    ``acc = 1 + sum(acc of upstream cells)`` — one equi-join + one sum
-    aggregate per round, O(cells) shuffled rows, label tables
-    localCheckpoint'ed so the plan depth stays constant. Exact once the
-    round count reaches the LONGEST FLOW PATH length — the convergence
-    check exits there, and the default cap is the cell count (the true
-    path-length bound; the old fixed 64 silently truncated paths longer
-    than 64 cells — found by ``tools/stateful_sweep.py`` on a 64x64
-    grid). An explicit smaller ``max_iterations`` that exits unconverged
-    emits a RuntimeWarning. Integer counts all the way down —
-    engine-exact.
+    ``method="euler"`` (default, r11) computes subtree sizes the
+    PRAM-classical way: an Euler tour of the flow forest (two arcs per
+    cell, successor function from sibling order) is list-ranked by
+    pointer doubling with distance accumulation, and
+    ``acc = (rank(up-arc) - rank(down-arc) + 1) / 2``. That is
+    O(log cells) self-join rounds REGARDLESS of flow-path length — the
+    scale-correct shape for continental DEMs, where a river's flow path
+    is 10^5+ cells and any per-step fixpoint (rounds = path length)
+    is infeasible.
+
+    ``method="rounds"`` keeps the per-step monotone fixpoint
+    (``acc = 1 + sum(upstream)``, one join + sum per round, early exit
+    at convergence, cap = cell count with a RuntimeWarning on an
+    unconverged explicit cap) as the independent cross-check the gates
+    compare against. Both are integer-exact and engine-exact.
 
     Returns (key_col, key_row, pos, acc BIGINT).
     """
     from pyspark.sql import DataFrame  # noqa: F401
 
+    if method not in ("euler", "rounds"):
+        raise ValueError(f"method must be 'euler' or 'rounds', got {method!r}")
     tl_ = layer.metadata.layout.tile_layout
+    total_cells = (tl_.layout_cols * tl_.tile_cols
+                   * tl_.layout_rows * tl_.tile_rows)
     if max_iterations is None:
-        max_iterations = max(
-            2, tl_.layout_cols * tl_.tile_cols * tl_.layout_rows * tl_.tile_rows)
+        max_iterations = max(2, total_cells)
     fd = flow_direction(layer)
     # ``instant`` rides every key and join below, so SPACETIME layers
     # accumulate per instant — flow never crosses time (SURVEY §7.3)
@@ -523,6 +530,9 @@ def flow_accumulation(layer: "TiledRasterLayer",
           .when(F.col("value").isin(8.0, 16.0, 32.0), -1).otherwise(0))
     dr = (F.when(F.col("value").isin(2.0, 4.0, 8.0), 1)
           .when(F.col("value").isin(32.0, 64.0, 128.0), -1).otherwise(0))
+    if method == "euler":
+        width = tl_.layout_cols * tl_.tile_cols
+        return _flow_acc_euler(cells, tcols, width, total_cells, dc, dr)
     edges = (
         cells.where(F.col("value") > 0)
         .select(*tcols,
@@ -577,6 +587,89 @@ def flow_accumulation(layer: "TiledRasterLayer",
         .join(acc, tcols + ["gcol", "grow"])
         .select("key_col", "key_row", *tcols, "pos", "acc")
     )
+
+
+def _flow_acc_euler(cells, tcols, width, total_cells, dc, dr):
+    """Subtree sizes of the D8 flow forest in O(log cells) rounds via an
+    Euler tour + distributed list ranking (the PRAM-classical method):
+
+    1. every non-NoData cell is a node; pits attach to a virtual root
+       (-1) so the whole forest is ONE tour;
+    2. two arcs per node v — ``down(v)=2v`` (enter v) and ``up(v)=2v+1``
+       (leave v) — with the successor function from sibling order
+       (children sorted by node id, deterministic in any engine);
+    3. list-rank by pointer doubling with distance accumulation
+       (``d(x)`` = arcs from x to the tour end): O(log) self-joins;
+    4. ``acc(v) = (d(down_v) - d(up_v) + 1) / 2`` — the arc count
+       strictly inside v's subtree is twice its node count.
+
+    Integer ids and counts throughout — engine-exact, and the round
+    count is path-length INDEPENDENT (a 10^6-cell river costs the same
+    ~21 joins as a 100-cell creek)."""
+    import math as _math
+
+    from pyspark.sql import Window as _W
+
+    node = (F.col("grow").cast("long") * width + F.col("gcol")).alias("node")
+    base = cells.where(~F.isnan("value")).select(
+        *tcols, node,
+        F.when(F.col("value") > 0,
+               (F.col("grow") + dr).cast("long") * width
+               + (F.col("gcol") + dc))
+        .otherwise(F.lit(-1).cast("long")).alias("parent"),
+    )
+    w = _W.partitionBy(*tcols, "parent").orderBy("node")
+    sib = base.select(
+        *tcols, "node", "parent",
+        F.lead("node").over(w).alias("next_sib"),
+        F.row_number().over(w).alias("rn"),
+    )
+    first_child = (sib.where(F.col("rn") == 1)
+                   .select(*tcols, F.col("parent").alias("node"),
+                           F.col("node").alias("fc")))
+    info = sib.drop("rn").join(first_child, tcols + ["node"], "left_outer")
+    down = info.select(
+        *tcols, (F.col("node") * 2).alias("arc"),
+        F.coalesce(F.col("fc") * 2, F.col("node") * 2 + 1).alias("succ"))
+    up = info.select(
+        *tcols, (F.col("node") * 2 + 1).alias("arc"),
+        F.when(F.col("next_sib").isNotNull(), F.col("next_sib") * 2)
+        .when(F.col("parent") >= 0, F.col("parent") * 2 + 1)
+        .otherwise(F.lit(None).cast("long")).alias("succ"))
+    arcs = (down.unionByName(up)
+            .withColumn("dist", F.lit(1).cast("long")).localCheckpoint())
+    rounds = max(1, _math.ceil(_math.log2(max(2, 2 * total_cells))))
+    for _ in range(rounds):
+        nxt = arcs.select(*tcols, F.col("arc").alias("succ"),
+                          F.col("succ").alias("succ2"),
+                          F.col("dist").alias("d2"))
+        # eager checkpoint: the self-join doubles the plan per round,
+        # so truncate lineage each of the O(log) rounds
+        arcs = (
+            arcs.join(nxt, tcols + ["succ"], "left_outer")
+            .select(*tcols, "arc", F.col("succ2").alias("succ"),
+                    (F.col("dist") + F.coalesce("d2", F.lit(0)))
+                    .alias("dist"))
+            .localCheckpoint()
+        )
+    parity = F.col("arc").bitwiseAND(F.lit(1))
+    ddown = arcs.where(parity == 0).select(
+        *tcols, F.shiftright("arc", 1).alias("node"),
+        F.col("dist").alias("d_down"))
+    dup = arcs.where(parity == 1).select(
+        *tcols, F.shiftright("arc", 1).alias("node"),
+        F.col("dist").alias("d_up"))
+    acc = ddown.join(dup, tcols + ["node"]).select(
+        *tcols, "node",
+        ((F.col("d_down") - F.col("d_up") + 1) / 2).cast("long").alias("acc"))
+    out_nodes = cells.select(
+        "key_col", "key_row", *tcols, "pos",
+        (F.col("grow").cast("long") * width + F.col("gcol")).alias("node"))
+    # NoData cells are outside the forest: nothing flows into them,
+    # acc = 1 (identical to the rounds-mode contract)
+    return (out_nodes.join(acc, tcols + ["node"], "left_outer")
+            .select("key_col", "key_row", *tcols, "pos",
+                    F.coalesce("acc", F.lit(1)).cast("long").alias("acc")))
 
 
 def watershed(layer: "TiledRasterLayer", max_iterations: int = 32) -> "DataFrame":

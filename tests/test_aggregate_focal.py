@@ -552,6 +552,67 @@ class TestFlowDirection:
         assert got[0] == 1
         # conservation: every cell counts itself exactly once at the pit
         assert len(got) == 9 and min(got.values()) >= 1
+        # the O(log)-round Euler-tour default and the per-step fixpoint
+        # are independent formulations — they must agree cell for cell
+        rounds = {r["pos"]: r["acc"]
+                  for r in layer.flow_accumulation(method="rounds").collect()}
+        assert rounds == got
+
+    def test_flow_accumulation_methods_agree_multitile(self, spark):
+        import numpy as np
+
+        import geopyspark_spark as gps
+
+        rng = np.random.default_rng(3)
+        n = 16
+        z = (np.cumsum(rng.integers(1, 4, (n, n)), axis=0)
+             + rng.integers(0, 3, (n, n))).astype(float)
+        z[4, 7] = np.nan
+        layout = gps.LayoutDefinition(
+            gps.Extent(0, 0, n, n), gps.TileLayout(2, 2, 8, 8))
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64", layout=layout,
+            bounds=((0, 0), (1, 1)), extent=layout.extent, num_bands=1)
+        layer = gps.from_numpy(
+            spark,
+            [(kc, kr, 0, z[kr * 8:kr * 8 + 8, kc * 8:kc * 8 + 8].copy())
+             for kc in range(2) for kr in range(2)], md)
+        eu = {(r["key_col"], r["key_row"], r["pos"]): r["acc"]
+              for r in layer.flow_accumulation(method="euler").collect()}
+        ro = {(r["key_col"], r["key_row"], r["pos"]): r["acc"]
+              for r in layer.flow_accumulation(method="rounds").collect()}
+        assert eu == ro and len(eu) == n * n
+
+    def test_flow_accumulation_temporal_per_instant(self, spark):
+        """SPACETIME: each instant accumulates its own forest — the
+        Euler tour, sibling order and ranking all carry the instant."""
+        from datetime import datetime, timezone
+
+        import numpy as np
+
+        import geopyspark_spark as gps
+
+        t1 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        t2 = datetime(2024, 2, 1, tzinfo=timezone.utc)
+        # t1: drains east (3 rows x acc 1,2,3); t2: drains south
+        g1 = np.tile(np.array([3.0, 2.0, 1.0]), (3, 1))
+        g2 = g1.T.copy()
+        layout = gps.LayoutDefinition(
+            gps.Extent(0, 0, 3, 3), gps.TileLayout(1, 1, 3, 3))
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64", layout=layout,
+            bounds=((0, 0), (0, 0)), extent=layout.extent, num_bands=1)
+        layer = gps.from_numpy(
+            spark, [(0, 0, t1, 0, g1), (0, 0, t2, 0, g2)], md)
+        for method in ("euler", "rounds"):
+            got = {(r["instant"].month, r["pos"]): r["acc"]
+                   for r in layer.flow_accumulation(method=method).collect()}
+            # t1 rows: acc 1,2,3 across each row (cols 0,1,2)
+            for row in range(3):
+                assert [got[(1, row * 3 + c)] for c in range(3)] == [1, 2, 3]
+            # t2 columns: acc 1,2,3 down each column
+            for col in range(3):
+                assert [got[(2, r * 3 + col)] for r in range(3)] == [1, 2, 3]
 
     def test_watershed_two_basins(self, spark):
         import numpy as np
