@@ -446,6 +446,11 @@ class TiledRasterLayer:
 
         return focal.watershed(self, max_iterations)
 
+    def contour(self, levels, band: int = 0) -> "DataFrame":
+        from .operators import contour as _contour
+
+        return _contour.contour(self, levels, band)
+
     def viewshed(self, col: int, row: int, radius: int) -> "TiledRasterLayer":
         from .operators import focal
 

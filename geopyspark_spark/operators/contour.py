@@ -1,0 +1,137 @@
+"""Contour (isoline) extraction by marching squares — the raster->vector
+bridge of GDAL's ``gdal_contour`` and the GeoTrellis vectorize family
+(the reference's Python API exposes no contouring; parity breadth like
+the hydrology trio).
+
+Algorithm: cell CENTERS form the interpolation lattice; every 2x2
+square of adjacent centers is classified by which corners sit at or
+above the level (16 cases), and the iso-line crosses each straddled
+square edge at the linear interpolation point
+``t = (level - v1) / (v2 - v1)``. The two ambiguous saddle cases
+disambiguate on the square's corner average — the standard
+deterministic rule.
+
+Spark shape — pure Catalyst, zero Python:
+
+1. explode tiles to (gcol, grow, value) cells;
+2. each cell contributes itself to the up-to-4 squares it corners —
+   one projection + ONE hash shuffle on (sq_c, sq_r) with a pivoting
+   first-aggregate (no 3-way self-join, no halo machinery);
+3. per square and level, the case id and the 0..2 output segments are
+   CASE/WHEN expressions over the four corner values — whole-stage
+   codegen end to end, and the identical arithmetic is re-stated in
+   the DuckDB oracle, so results hash bit-exactly.
+
+Each square is globally owned by its top-left corner, so tiles never
+emit duplicate segments. Squares touching a NoData corner are skipped
+(GDAL behavior).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: case -> segments, as (edge_a, edge_b) pairs; edges 0=T, 1=R, 2=B,
+#: 3=L; corner bits NW=1, NE=2, SE=4, SW=8 ("inside" = value >= level).
+#: Saddles (5, 10) resolve on the corner average at the call site.
+CASES: dict[int, list[tuple[int, int]]] = {
+    1: [(0, 3)], 2: [(0, 1)], 3: [(3, 1)], 4: [(1, 2)],
+    6: [(0, 2)], 7: [(3, 2)], 8: [(3, 2)], 9: [(0, 2)],
+    11: [(1, 2)], 12: [(3, 1)], 13: [(0, 1)], 14: [(0, 3)],
+}
+SADDLE_HI = {5: [(0, 1), (2, 3)], 10: [(0, 3), (1, 2)]}
+SADDLE_LO = {5: [(0, 3), (1, 2)], 10: [(0, 1), (2, 3)]}
+
+
+def contour(layer, levels, band: int = 0) -> DataFrame:
+    """Iso-line segments of ``band`` at each level, in layer CRS
+    coordinates. Returns (level, sq_c, sq_r, seg, x1, y1, x2, y2):
+    one row per segment, keyed by the owning square and the in-square
+    segment index (0, or 0/1 for saddles)."""
+    md = layer.metadata
+    cw, ch = md.layout.cell_width, md.layout.cell_height
+    xmin, ymax = md.layout.extent.xmin, md.layout.extent.ymax
+
+    cells = (layer.explode(with_coords=True)
+             .where(F.col("band") == band)
+             .select("gcol", "grow", "value"))
+    # corner k of square (sq_c, sq_r): 0=NW(c,r) 1=NE(c+1,r)
+    # 2=SE(c+1,r+1) 3=SW(c,r+1); the cell at (g, r) IS corner k of the
+    # square offset by k's displacement
+    contrib = cells.select(
+        F.explode(F.array(*[
+            F.struct(
+                (F.col("gcol") - dc).alias("sq_c"),
+                (F.col("grow") - dr).alias("sq_r"),
+                F.lit(k).alias("corner"),
+                F.col("value").alias("v"),
+            )
+            for k, (dc, dr) in enumerate([(0, 0), (1, 0), (1, 1), (0, 1)])
+        ])).alias("s")
+    ).select("s.*")
+    valid = ~F.isnan("v0") & ~F.isnan("v1") & ~F.isnan("v2") & ~F.isnan("v3")
+    nd = md.nodata
+    if nd is not None and nd == nd:            # a non-NaN nodata marker
+        for k in range(4):
+            valid = valid & (F.col(f"v{k}") != F.lit(float(nd)))
+    sq = (contrib.groupBy("sq_c", "sq_r")
+          .agg(*[F.max(F.when(F.col("corner") == k, F.col("v")))
+                 .alias(f"v{k}") for k in range(4)],
+               F.count(F.lit(1)).alias("n"))
+          .where((F.col("n") == 4) & valid))
+
+    lv = F.explode(F.array(*[F.lit(float(l)) for l in levels])).alias("level")
+    sq = sq.select("sq_c", "sq_r", "v0", "v1", "v2", "v3", lv)
+
+    L = F.col("level")
+    v = [F.col(f"v{k}") for k in range(4)]
+    case = sum((v[k] >= L).cast("int") * (1 << k) for k in range(4))
+    avg_hi = (v[0] + v[1] + v[2] + v[3]) / 4 >= L
+
+    # interpolated crossing point per edge, in grid units from the NW
+    # corner center; edges: 0=T (v0->v1), 1=R (v1->v2), 2=B (v3->v2),
+    # 3=L (v0->v3)
+    def pt(edge):
+        c, r = F.col("sq_c").cast("double"), F.col("sq_r").cast("double")
+        if edge == 0:
+            t = (L - v[0]) / (v[1] - v[0])
+            return c + t, r
+        if edge == 1:
+            t = (L - v[1]) / (v[2] - v[1])
+            return c + 1, r + t
+        if edge == 2:
+            t = (L - v[3]) / (v[2] - v[3])
+            return c + t, r + 1
+        t = (L - v[0]) / (v[3] - v[0])
+        return c, r + t
+
+    def seg_struct(ea, eb, idx):
+        xa, ya = pt(ea)
+        xb, yb = pt(eb)
+        return F.struct(F.lit(idx).alias("seg"),
+                        xa.alias("gx1"), ya.alias("gy1"),
+                        xb.alias("gx2"), yb.alias("gy2"))
+
+    def segs_for(pairs):
+        return F.array(*[seg_struct(ea, eb, i)
+                         for i, (ea, eb) in enumerate(pairs)])
+
+    expr = F.array().cast(
+        "array<struct<seg:int,gx1:double,gy1:double,gx2:double,gy2:double>>")
+    for cid, pairs in CASES.items():
+        expr = F.when(case == cid, segs_for(pairs)).otherwise(expr)
+    for cid in (5, 10):
+        expr = F.when((case == cid) & avg_hi, segs_for(SADDLE_HI[cid])) \
+                .when((case == cid) & ~avg_hi, segs_for(SADDLE_LO[cid])) \
+                .otherwise(expr)
+
+    out = sq.select("level", "sq_c", "sq_r",
+                    F.explode(expr).alias("s")).select(
+        "level", "sq_c", "sq_r", "s.seg",
+        (F.lit(xmin) + (F.col("s.gx1") + 0.5) * cw).alias("x1"),
+        (F.lit(ymax) - (F.col("s.gy1") + 0.5) * ch).alias("y1"),
+        (F.lit(xmin) + (F.col("s.gx2") + 0.5) * cw).alias("x2"),
+        (F.lit(ymax) - (F.col("s.gy2") + 0.5) * ch).alias("y2"),
+    )
+    return out

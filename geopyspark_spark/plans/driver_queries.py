@@ -1747,6 +1747,73 @@ FROM coords
 """
 
 
+def q_raster_contour(spark, sf_dir):
+    """Marching-squares contour extraction (r11, parity breadth like the
+    hydrology trio — gdal_contour / GeoTrellis vectorize family): iso
+    segments at two non-integer levels over the lineitem raster, pure
+    Catalyst (one square shuffle), bit-exact against the identical
+    interpolation arithmetic in DuckDB."""
+    from ..operators.contour import contour
+
+    layer = lineitem_layer(spark, sf_dir)
+    return contour(layer, [10.5, 25.5])
+
+
+def _sql_contour(levels=(10.5, 25.5)) -> str:
+    lv = ", ".join(str(float(l)) for l in levels)
+    return CELLS_CTE + f""",
+sq AS (
+  SELECT CAST(a.gcol AS BIGINT) AS sq_c, CAST(a.grow AS BIGINT) AS sq_r,
+         a.value AS v0, b.value AS v1, c2.value AS v2, d.value AS v3
+  FROM coords a
+  JOIN coords b ON b.gcol = a.gcol + 1 AND b.grow = a.grow
+  JOIN coords c2 ON c2.gcol = a.gcol + 1 AND c2.grow = a.grow + 1
+  JOIN coords d ON d.gcol = a.gcol AND d.grow = a.grow + 1
+),
+sqlv AS (
+  SELECT *,
+         CAST(v0 >= level AS INT) + 2 * CAST(v1 >= level AS INT)
+         + 4 * CAST(v2 >= level AS INT) + 8 * CAST(v3 >= level AS INT) AS cs,
+         ((v0 + v1 + v2 + v3) / 4 >= level) AS hi
+  FROM sq CROSS JOIN (SELECT CAST(unnest([{lv}]) AS DOUBLE) AS level)
+),
+cases(cs, hi_req, seg, ea, eb) AS (VALUES
+  (1, NULL, 0, 0, 3), (2, NULL, 0, 0, 1), (3, NULL, 0, 3, 1),
+  (4, NULL, 0, 1, 2), (6, NULL, 0, 0, 2), (7, NULL, 0, 3, 2),
+  (8, NULL, 0, 3, 2), (9, NULL, 0, 0, 2), (11, NULL, 0, 1, 2),
+  (12, NULL, 0, 3, 1), (13, NULL, 0, 0, 1), (14, NULL, 0, 0, 3),
+  (5, true, 0, 0, 1), (5, true, 1, 2, 3),
+  (5, false, 0, 0, 3), (5, false, 1, 1, 2),
+  (10, true, 0, 0, 3), (10, true, 1, 1, 2),
+  (10, false, 0, 0, 1), (10, false, 1, 2, 3)),
+segs AS (
+  SELECT s.level, s.sq_c, s.sq_r, c.seg,
+         CASE c.ea WHEN 0 THEN CAST(s.sq_c AS DOUBLE) + (s.level - s.v0) / (s.v1 - s.v0)
+                   WHEN 1 THEN CAST(s.sq_c AS DOUBLE) + 1
+                   WHEN 2 THEN CAST(s.sq_c AS DOUBLE) + (s.level - s.v3) / (s.v2 - s.v3)
+                   ELSE CAST(s.sq_c AS DOUBLE) END AS gx1,
+         CASE c.ea WHEN 0 THEN CAST(s.sq_r AS DOUBLE)
+                   WHEN 1 THEN CAST(s.sq_r AS DOUBLE) + (s.level - s.v1) / (s.v2 - s.v1)
+                   WHEN 2 THEN CAST(s.sq_r AS DOUBLE) + 1
+                   ELSE CAST(s.sq_r AS DOUBLE) + (s.level - s.v0) / (s.v3 - s.v0) END AS gy1,
+         CASE c.eb WHEN 0 THEN CAST(s.sq_c AS DOUBLE) + (s.level - s.v0) / (s.v1 - s.v0)
+                   WHEN 1 THEN CAST(s.sq_c AS DOUBLE) + 1
+                   WHEN 2 THEN CAST(s.sq_c AS DOUBLE) + (s.level - s.v3) / (s.v2 - s.v3)
+                   ELSE CAST(s.sq_c AS DOUBLE) END AS gx2,
+         CASE c.eb WHEN 0 THEN CAST(s.sq_r AS DOUBLE)
+                   WHEN 1 THEN CAST(s.sq_r AS DOUBLE) + (s.level - s.v1) / (s.v2 - s.v1)
+                   WHEN 2 THEN CAST(s.sq_r AS DOUBLE) + 1
+                   ELSE CAST(s.sq_r AS DOUBLE) + (s.level - s.v0) / (s.v3 - s.v0) END AS gy2
+  FROM sqlv s JOIN cases c ON c.cs = s.cs
+                          AND (c.hi_req IS NULL OR c.hi_req = s.hi)
+)
+SELECT CAST(level AS DOUBLE) AS level, CAST(sq_c AS INT) AS sq_c, CAST(sq_r AS INT) AS sq_r, seg,
+       0.0 + (gx1 + 0.5) * 1.0 AS x1, {float(GRID)} - (gy1 + 0.5) * 1.0 AS y1,
+       0.0 + (gx2 + 0.5) * 1.0 AS x2, {float(GRID)} - (gy2 + 0.5) * 1.0 AS y2
+FROM segs
+"""
+
+
 def q_raster_zindex_temporal(spark, sf_dir):
     """Z3 Morton index (col, row, day bucket) — the spacetime catalog sort
     key — vs the same 21-bit spreads in SQL."""
@@ -10293,6 +10360,7 @@ def _canonical_queries():
         "raster_tobler": q_raster_tobler,
         "raster_zindex": q_raster_zindex,
         "raster_zindex_deep": q_raster_zindex_deep,
+        "raster_contour": q_raster_contour,
         "raster_geotiff_jpeg_progressive": q_raster_geotiff_jpeg_progressive,
         "raster_zindex_temporal": q_raster_zindex_temporal,
         "raster_catalog_roundtrip": q_raster_catalog_roundtrip,
@@ -10339,6 +10407,7 @@ _WINDOW_ORDER: list = [
     "text_lsh_skew",
     "text_winnow",
     "raster_zindex_deep",
+    "raster_contour",
     "raster_geotiff_jpeg_progressive",
     "raster_local_add_n",
     "tpch_q15_top_supplier",
@@ -10644,6 +10713,7 @@ def oracle_sql():
         "raster_local_add_n": SQL_RASTER_LOCAL_ADD_N,
         "raster_zindex": SQL_RASTER_ZINDEX,
         "raster_zindex_deep": SQL_RASTER_ZINDEX_DEEP,
+        "raster_contour": _sql_contour(),
         "raster_geotiff_jpeg_progressive": SQL_RASTER_GEOTIFF_JPEG_PROGRESSIVE,
         "raster_zindex_temporal": _sql_zindex_temporal(),
         "raster_catalog_roundtrip": SQL_RASTER_CATALOG_ROUNDTRIP,

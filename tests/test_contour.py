@@ -1,0 +1,99 @@
+"""Marching-squares contour tests (``operators/contour.py``): case
+geometry, saddle disambiguation, tile-border ownership, NoData."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+import geopyspark_spark as gps
+from geopyspark_spark.operators.contour import contour
+
+
+def _layer(spark, grid, tiles=1, cell_type="float64"):
+    g = np.array(grid, float)
+    h, w = g.shape
+    th, tw = h // tiles, w // tiles
+    layout = gps.LayoutDefinition(
+        gps.Extent(0, 0, w, h), gps.TileLayout(tiles, tiles, tw, th))
+    md = gps.LayerMetadata(
+        crs="epsg:4326", cell_type=cell_type, layout=layout,
+        bounds=((0, 0), (tiles - 1, tiles - 1)), extent=layout.extent,
+        num_bands=1)
+    recs = [(kc, kr, 0, g[kr * th:(kr + 1) * th, kc * tw:(kc + 1) * tw].copy())
+            for kc in range(tiles) for kr in range(tiles)]
+    return gps.from_numpy(spark, recs, md)
+
+
+class TestContour:
+    def test_vertical_gradient_line(self, spark):
+        # v = column index; level 1.5 crosses midway between col 1 and 2
+        lay = _layer(spark, [[0, 1, 2, 3]] * 4)
+        rows = contour(lay, [1.5]).collect()
+        # 3 square-rows, each one segment; x = center of col1 + 0.5 = 2.0
+        assert len(rows) == 3
+        for r in rows:
+            assert r.x1 == pytest.approx(2.0) and r.x2 == pytest.approx(2.0)
+            assert abs(r.y1 - r.y2) == pytest.approx(1.0)  # spans the square
+
+    def test_interpolation_position(self, spark):
+        # v0=0, v1=4, level 1 -> t=0.25: crossing at 1/4 along the edge
+        lay = _layer(spark, [[0.0, 4.0], [0.0, 4.0]])
+        (r,) = contour(lay, [1.0]).collect()
+        assert sorted([r.x1, r.x2]) == [pytest.approx(0.75),
+                                        pytest.approx(0.75)]
+
+    def test_saddle_disambiguation(self, spark):
+        lay = _layer(spark, [[2.0, 0.0], [0.0, 2.0]])
+        hi = contour(lay, [0.9]).collect()     # avg 1.0 >= 0.9: connected
+        lo = contour(lay, [1.1]).collect()     # avg 1.0 <  1.1: separated
+        assert len(hi) == 2 and len(lo) == 2
+        # hi: NW/SE connect -> segments hug NE and SW corners (T-R, B-L);
+        # lo: T-L and R-B. The two geometries must differ.
+        key = lambda rows: sorted((round(r.x1, 3), round(r.y1, 3),
+                                   round(r.x2, 3), round(r.y2, 3))
+                                  for r in rows)
+        assert key(hi) != key(lo)
+
+    def test_tile_border_squares_owned_once(self, spark):
+        # 8x8 grid as 2x2 tiles: a level crossing along the tile seam
+        # must produce each seam square exactly once
+        g = np.tile(np.arange(8, dtype=float), (8, 1))
+        one = contour(_layer(spark, g, tiles=1), [3.5]).collect()
+        two = contour(_layer(spark, g, tiles=2), [3.5]).collect()
+        k = lambda rows: sorted((r.level, r.sq_c, r.sq_r, r.seg,
+                                 r.x1, r.y1, r.x2, r.y2) for r in rows)
+        assert k(one) == k(two) and len(one) == 7
+
+    def test_nodata_skips_squares(self, spark):
+        g = np.tile(np.arange(4, dtype=float), (4, 1))
+        g[1, 2] = float("nan")
+        rows = contour(_layer(spark, g), [1.5]).collect()
+        # squares touching the NaN corner (sq rows 0 and 1 at sq_c 1, 2)
+        # are skipped; the remaining square-row still reports the line
+        assert all(not math.isnan(v)
+                   for r in rows for v in (r.x1, r.y1, r.x2, r.y2))
+        touched = {(r.sq_c, r.sq_r) for r in rows}
+        assert (1, 0) not in touched and (2, 0) not in touched
+        assert (1, 1) not in touched and (2, 1) not in touched
+
+    def test_nodata_marker_skips_squares(self, spark):
+        g = np.tile(np.arange(4, dtype=float), (4, 1))
+        g[1, 1] = -1.0                        # the cell-type's nodata
+        rows = contour(_layer(spark, g, cell_type="float64ud-1.0"),
+                       [1.5]).collect()
+        touched = {(r.sq_c, r.sq_r) for r in rows}
+        assert (0, 0) not in touched and (1, 0) not in touched
+        assert (0, 1) not in touched and (1, 1) not in touched
+
+    def test_multiple_levels(self, spark):
+        lay = _layer(spark, [[0, 1, 2, 3]] * 4)
+        rows = contour(lay, [0.5, 1.5, 2.5]).collect()
+        assert {r.level for r in rows} == {0.5, 1.5, 2.5}
+        assert len(rows) == 9                 # 3 levels x 3 square-rows
+
+    def test_flat_surface_empty(self, spark):
+        lay = _layer(spark, [[5.0] * 3] * 3)
+        assert contour(lay, [1.0, 5.0, 9.0]).count() == 0
