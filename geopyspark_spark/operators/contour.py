@@ -46,20 +46,23 @@ SADDLE_LO = {5: [(0, 3), (1, 2)], 10: [(0, 1), (2, 3)]}
 
 def contour(layer, levels, band: int = 0) -> DataFrame:
     """Iso-line segments of ``band`` at each level, in layer CRS
-    coordinates. Returns (level, sq_c, sq_r, seg, x1, y1, x2, y2):
+    coordinates. Returns ([instant,] level, sq_c, sq_r, seg, x1, y1,
+    x2, y2) — SPACETIME layers contour each instant independently:
     one row per segment, keyed by the owning square and the in-square
     segment index (0, or 0/1 for saddles)."""
     md = layer.metadata
     cw, ch = md.layout.cell_width, md.layout.cell_height
     xmin, ymax = md.layout.extent.xmin, md.layout.extent.ymax
 
+    tcols = ["instant"] if layer.is_temporal else []
     cells = (layer.explode(with_coords=True)
              .where(F.col("band") == band)
-             .select("gcol", "grow", "value"))
+             .select(*tcols, "gcol", "grow", "value"))
     # corner k of square (sq_c, sq_r): 0=NW(c,r) 1=NE(c+1,r)
     # 2=SE(c+1,r+1) 3=SW(c,r+1); the cell at (g, r) IS corner k of the
     # square offset by k's displacement
     contrib = cells.select(
+        *tcols,
         F.explode(F.array(*[
             F.struct(
                 (F.col("gcol") - dc).alias("sq_c"),
@@ -69,20 +72,20 @@ def contour(layer, levels, band: int = 0) -> DataFrame:
             )
             for k, (dc, dr) in enumerate([(0, 0), (1, 0), (1, 1), (0, 1)])
         ])).alias("s")
-    ).select("s.*")
+    ).select(*tcols, "s.*")
     valid = ~F.isnan("v0") & ~F.isnan("v1") & ~F.isnan("v2") & ~F.isnan("v3")
     nd = md.nodata
     if nd is not None and nd == nd:            # a non-NaN nodata marker
         for k in range(4):
             valid = valid & (F.col(f"v{k}") != F.lit(float(nd)))
-    sq = (contrib.groupBy("sq_c", "sq_r")
+    sq = (contrib.groupBy(*tcols, "sq_c", "sq_r")
           .agg(*[F.max(F.when(F.col("corner") == k, F.col("v")))
                  .alias(f"v{k}") for k in range(4)],
                F.count(F.lit(1)).alias("n"))
           .where((F.col("n") == 4) & valid))
 
     lv = F.explode(F.array(*[F.lit(float(l)) for l in levels])).alias("level")
-    sq = sq.select("sq_c", "sq_r", "v0", "v1", "v2", "v3", lv)
+    sq = sq.select(*tcols, "sq_c", "sq_r", "v0", "v1", "v2", "v3", lv)
 
     L = F.col("level")
     v = [F.col(f"v{k}") for k in range(4)]
@@ -126,9 +129,9 @@ def contour(layer, levels, band: int = 0) -> DataFrame:
                 .when((case == cid) & ~avg_hi, segs_for(SADDLE_LO[cid])) \
                 .otherwise(expr)
 
-    out = sq.select("level", "sq_c", "sq_r",
+    out = sq.select(*tcols, "level", "sq_c", "sq_r",
                     F.explode(expr).alias("s")).select(
-        "level", "sq_c", "sq_r", "s.seg",
+        *tcols, "level", "sq_c", "sq_r", "s.seg",
         (F.lit(xmin) + (F.col("s.gx1") + 0.5) * cw).alias("x1"),
         (F.lit(ymax) - (F.col("s.gy1") + 0.5) * ch).alias("y1"),
         (F.lit(xmin) + (F.col("s.gx2") + 0.5) * cw).alias("x2"),

@@ -97,3 +97,27 @@ class TestContour:
     def test_flat_surface_empty(self, spark):
         lay = _layer(spark, [[5.0] * 3] * 3)
         assert contour(lay, [1.0, 5.0, 9.0]).count() == 0
+
+    def test_temporal_per_instant(self, spark):
+        from datetime import datetime, timezone
+
+        t1 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        t2 = datetime(2024, 2, 1, tzinfo=timezone.utc)
+        g1 = np.array([[0, 1, 2, 3]] * 4, float)       # vertical line
+        g2 = g1.T.copy()                               # horizontal line
+        layout = gps.LayoutDefinition(
+            gps.Extent(0, 0, 4, 4), gps.TileLayout(1, 1, 4, 4))
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64", layout=layout,
+            bounds=((0, 0), (0, 0)), extent=layout.extent, num_bands=1)
+        lay = gps.from_numpy(spark, [(0, 0, t1, 0, g1), (0, 0, t2, 0, g2)], md)
+        rows = contour(lay, [1.5]).collect()
+        by_t = {}
+        for r in rows:
+            by_t.setdefault(r.instant.month, []).append(r)
+        assert len(by_t[1]) == 3 and len(by_t[2]) == 3
+        # t1: vertical line x = 2.0; t2: horizontal line y = 4 - 2.0 = 2.0
+        assert all(r.x1 == pytest.approx(2.0) and r.x2 == pytest.approx(2.0)
+                   for r in by_t[1])
+        assert all(r.y1 == pytest.approx(2.0) and r.y2 == pytest.approx(2.0)
+                   for r in by_t[2])
