@@ -78,11 +78,14 @@ HEADLINE = [
     "text_line_dedup",
     "events_ewma",
     # round-11 additions: the skew-capped LSH path, the 31-bit Morton
-    # codegen spread at deep-zoom coordinates, and the progressive-JPEG
-    # decode fixture
+    # codegen spread at deep-zoom coordinates, the progressive-JPEG
+    # decode fixture, winnowing fingerprints, and marching-squares
+    # contours
     "text_lsh_skew",
     "raster_zindex_deep",
     "raster_geotiff_jpeg_progressive",
+    "text_winnow",
+    "raster_contour",
 ]
 
 
