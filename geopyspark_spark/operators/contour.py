@@ -94,47 +94,65 @@ def contour(layer, levels, band: int = 0) -> DataFrame:
 
     # interpolated crossing point per edge, in grid units from the NW
     # corner center; edges: 0=T (v0->v1), 1=R (v1->v2), 2=B (v3->v2),
-    # 3=L (v0->v3)
-    def pt(edge):
-        c, r = F.col("sq_c").cast("double"), F.col("sq_r").cast("double")
-        if edge == 0:
-            t = (L - v[0]) / (v[1] - v[0])
-            return c + t, r
-        if edge == 1:
-            t = (L - v[1]) / (v[2] - v[1])
-            return c + 1, r + t
-        if edge == 2:
-            t = (L - v[3]) / (v[2] - v[3])
-            return c + t, r + 1
-        t = (L - v[0]) / (v[3] - v[0])
-        return c, r + t
+    # 3=L (v0->v3). Computed ONCE as columns — inlining them into every
+    # case branch octupled the codegen expression tree and tripled the
+    # query time. Uncrossed edges evaluate to inf/NaN garbage here; the
+    # case selection below never reads them.
+    c, r = F.col("sq_c").cast("double"), F.col("sq_r").cast("double")
 
-    def seg_struct(ea, eb, idx):
-        xa, ya = pt(ea)
-        xb, yb = pt(eb)
-        return F.struct(F.lit(idx).alias("seg"),
-                        xa.alias("gx1"), ya.alias("gy1"),
-                        xb.alias("gx2"), yb.alias("gy2"))
+    def interp(va, vb):
+        # guarded for ANSI mode: an UNcrossed edge can have equal corner
+        # values; its (never-selected) placeholder is 0
+        d = vb - va
+        return F.when(d != 0, (L - va) / d).otherwise(F.lit(0.0))
 
-    def segs_for(pairs):
-        return F.array(*[seg_struct(ea, eb, i)
-                         for i, (ea, eb) in enumerate(pairs)])
+    epts = [
+        (c + interp(v[0], v[1]), r),
+        (c + 1, r + interp(v[1], v[2])),
+        (c + interp(v[3], v[2]), r + 1),
+        (c, r + interp(v[0], v[3])),
+    ]
+    sq = sq.select(
+        *tcols, "level", "sq_c", "sq_r", "v0", "v1", "v2", "v3",
+        *[e.alias(f"ex{i}") for i, (e, _) in enumerate(epts)],
+        *[e.alias(f"ey{i}") for i, (_, e) in enumerate(epts)],
+    )
 
-    expr = F.array().cast(
-        "array<struct<seg:int,gx1:double,gy1:double,gx2:double,gy2:double>>")
+    # segment selection as a BROADCAST JOIN against the literal case
+    # table (same shape as the SQL oracle) instead of a 16-branch
+    # CASE-of-array expression — a deep when-chain tripled plan-compile
+    # time per execution for zero runtime benefit
+    rows = []
     for cid, pairs in CASES.items():
-        expr = F.when(case == cid, segs_for(pairs)).otherwise(expr)
+        for i, (ea, eb) in enumerate(pairs):
+            rows.append((cid, None, i, ea, eb))
     for cid in (5, 10):
-        expr = F.when((case == cid) & avg_hi, segs_for(SADDLE_HI[cid])) \
-                .when((case == cid) & ~avg_hi, segs_for(SADDLE_LO[cid])) \
-                .otherwise(expr)
+        for hi, tab in ((True, SADDLE_HI), (False, SADDLE_LO)):
+            for i, (ea, eb) in enumerate(tab[cid]):
+                rows.append((cid, hi, i, ea, eb))
+    spark = layer.df.sparkSession
+    cases_df = spark.createDataFrame(
+        rows, "cs int, hi_req boolean, seg int, ea int, eb int")
 
-    out = sq.select(*tcols, "level", "sq_c", "sq_r",
-                    F.explode(expr).alias("s")).select(
-        *tcols, "level", "sq_c", "sq_r", "s.seg",
-        (F.lit(xmin) + (F.col("s.gx1") + 0.5) * cw).alias("x1"),
-        (F.lit(ymax) - (F.col("s.gy1") + 0.5) * ch).alias("y1"),
-        (F.lit(xmin) + (F.col("s.gx2") + 0.5) * cw).alias("x2"),
-        (F.lit(ymax) - (F.col("s.gy2") + 0.5) * ch).alias("y2"),
+    sq = sq.withColumn("cs", case).withColumn("hi", avg_hi)
+    j = sq.join(
+        F.broadcast(cases_df),
+        (sq["cs"] == cases_df["cs"])
+        & (cases_df["hi_req"].isNull() | (cases_df["hi_req"] == sq["hi"])),
+    )
+
+    def coord(edge_col, axis):
+        e = F.col(edge_col)
+        return (F.when(e == 0, F.col(f"{axis}0"))
+                .when(e == 1, F.col(f"{axis}1"))
+                .when(e == 2, F.col(f"{axis}2"))
+                .otherwise(F.col(f"{axis}3")))
+
+    out = j.select(
+        *tcols, "level", "sq_c", "sq_r", "seg",
+        (F.lit(xmin) + (coord("ea", "ex") + 0.5) * cw).alias("x1"),
+        (F.lit(ymax) - (coord("ea", "ey") + 0.5) * ch).alias("y1"),
+        (F.lit(xmin) + (coord("eb", "ex") + 0.5) * cw).alias("x2"),
+        (F.lit(ymax) - (coord("eb", "ey") + 0.5) * ch).alias("y2"),
     )
     return out
