@@ -1,0 +1,254 @@
+#!/usr/bin/env python
+"""Big-graph sweep of the iterative graph operators (round 11).
+
+The driver's graph gates run over co-occurrence graphs of a few hundred
+nodes; hub explosions, deep peeling, long label chains and multi-island
+topologies only show at larger, power-law-shaped inputs. This sweep
+builds a deterministic ~20k-node / ~70k-edge graph (preferential-
+attachment-style hubs + clique islands + isolated pairs) and checks
+every cell of the engine's results against INDEPENDENT single-node
+references: union-find components, set-intersection triangle counts,
+peeling k-core, bounded-hop Bellman-Ford, and an integer power
+iteration replaying pagerank's exact DIV semantics.
+
+Usage::
+
+    python tools/graph_sweep.py [n_nodes]
+
+Record stdout as ``ORACLE_r{N}_graph.txt``.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def build_graph(n: int):
+    """Deterministic hubby multigraph + 40 clique islands + 20 pairs.
+    Returns (src, dst) int64 arrays (directed as generated; ops that
+    need undirected form canonicalize themselves)."""
+    rng = np.random.default_rng(7)
+    srcs, dsts = [], []
+    for i in range(1, n):
+        for _ in range(2):
+            j = int(i * rng.random() ** 3)      # prefer low ids -> hubs
+            srcs.append(i)
+            dsts.append(j)
+    extra = rng.integers(0, n, (n // 2, 2))
+    srcs.extend(int(x) for x in extra[:, 0])
+    dsts.extend(int(x) for x in extra[:, 1])
+    base = n
+    for k in range(40):                          # 5-cliques, disconnected
+        ids = [base + 5 * k + t for t in range(5)]
+        for a in range(5):
+            for b in range(a + 1, 5):
+                srcs.append(ids[a])
+                dsts.append(ids[b])
+    base = n + 200
+    for k in range(20):                          # isolated pairs
+        srcs.append(base + 2 * k)
+        dsts.append(base + 2 * k + 1)
+    return np.array(srcs, dtype=np.int64), np.array(dsts, dtype=np.int64)
+
+
+def undirected_adj(src, dst):
+    adj: dict[int, set] = {}
+    for u, v in zip(src.tolist(), dst.tolist()):
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return adj
+
+
+def ref_components(adj):
+    """Union-find; returns frozenset partition (label-free compare)."""
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, nbrs in adj.items():
+        for v in nbrs:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+    groups: dict[int, set] = {}
+    for u in adj:
+        groups.setdefault(find(u), set()).add(u)
+    return {frozenset(g) for g in groups.values()}
+
+
+def ref_triangles(adj):
+    """Per-node triangle counts via sorted common-neighbor sets."""
+    count = {u: 0 for u in adj}
+    for u in adj:
+        for v in adj[u]:
+            if v <= u:
+                continue
+            for w in adj[u] & adj[v]:
+                if w > v:
+                    count[u] += 1
+                    count[v] += 1
+                    count[w] += 1
+    return count
+
+
+def ref_kcore(adj, k):
+    """Iterative peeling; returns {node: in-core degree}."""
+    alive = {u: set(nbrs) for u, nbrs in adj.items()}
+    changed = True
+    while changed:
+        changed = False
+        for u in list(alive):
+            if len(alive[u]) < k:
+                for v in alive[u]:
+                    alive[v].discard(u)
+                del alive[u]
+                changed = True
+    return {u: len(nbrs) for u, nbrs in alive.items()}
+
+
+def ref_bounded_sssp(adj_w, sources, rounds):
+    """Synchronous Bellman-Ford limited to ``rounds`` relaxations:
+    exactly the cheapest path using <= rounds edges."""
+    INF = float("inf")
+    dist = {u: (0 if u in sources else INF) for u in adj_w}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for u, nbrs in adj_w.items():
+            du = dist[u]
+            if du == INF:
+                continue
+            for v, w in nbrs:
+                if du + w < nxt[v]:
+                    nxt[v] = du + w
+        dist = nxt
+    return {u: d for u, d in dist.items() if d != INF}
+
+
+def ref_pagerank(src, dst, iterations, damping_ppm, rank_scale):
+    """Integer power iteration replaying the engine's exact semantics:
+    DISTINCT directed edges, nodes = every edge endpoint (self-loops
+    included), truncating DIV contributions, dangling ranks
+    uncirculated."""
+    de = sorted({(int(u), int(v)) for u, v in zip(src, dst)})
+    src = np.array([u for u, _ in de], dtype=np.int64)
+    dst = np.array([v for _, v in de], dtype=np.int64)
+    nodes = set(src.tolist()) | set(dst.tolist())
+    outdeg: dict[int, int] = {}
+    for u in src.tolist():
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = ((1_000_000 - damping_ppm) * rank_scale) // 1_000_000
+    pr = {u: rank_scale for u in nodes}
+    for _ in range(iterations):
+        sums = {u: 0 for u in nodes}
+        for u, v in zip(src.tolist(), dst.tolist()):
+            sums[v] += pr[u] // outdeg[u]
+        pr = {u: base + (damping_ppm * sums[u]) // 1_000_000 for u in nodes}
+    return pr
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    src, dst = build_graph(n)
+    adj = undirected_adj(src, dst)
+    print(f"graph sweep: {len(adj)} nodes, {len(src)} generated edges, "
+          f"{sum(len(s) for s in adj.values()) // 2} undirected edges")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (SparkSession.builder.master("local[8]")
+             .appName("graph-sweep")
+             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(src, dst)], "src long, dst long"
+    ).localCheckpoint()
+
+    from geopyspark_spark.functions import graph as G
+    from geopyspark_spark.functions.dedup import components_from_edges
+
+    n_pass = n_fail = 0
+
+    def report(name, ok, t0, detail=""):
+        nonlocal n_pass, n_fail
+        n_pass, n_fail = n_pass + (1 if ok else 0), n_fail + (0 if ok else 1)
+        print(f"{'PASS' if ok else 'FAIL'}  {name} "
+              f"({time.time() - t0:.1f}s) {detail}")
+
+    # components — compare PARTITIONS (label-free)
+    t0 = time.time()
+    nodes_df = spark.createDataFrame(
+        [(int(u),) for u in adj], "doc_id long")
+    comp = components_from_edges(
+        nodes_df,
+        edges.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")),
+        max_iterations=30)
+    got: dict[int, set] = {}
+    for r in comp.collect():
+        got.setdefault(r["component"], set()).add(r["doc_id"])
+    exp = ref_components(adj)
+    report("components", {frozenset(g) for g in got.values()} == exp, t0,
+           f"components={len(exp)}")
+
+    # per-node triangle counts
+    t0 = time.time()
+    tri = {r["node"]: r["n_triangles"]
+           for r in G.triangle_count(edges).collect()}
+    expt = ref_triangles(adj)
+    expt_nz = {u: c for u, c in expt.items() if c > 0}
+    ok = all(tri.get(u, 0) == c for u, c in expt.items())
+    report("triangle_count", ok and sum(tri.values()) == sum(expt.values()),
+           t0, f"triangles={sum(expt.values()) // 3} nz_nodes={len(expt_nz)}")
+
+    # k-core (k=4): the cliques survive plus the dense core
+    t0 = time.time()
+    kc = {r["node"]: r["deg"] for r in G.k_core(edges, 4).collect()}
+    expk = ref_kcore(adj, 4)
+    report("k_core k=4", kc == expk, t0, f"core_nodes={len(expk)}")
+
+    # bounded SSSP from two sources, integer weights
+    t0 = time.time()
+    wedges = edges.select(
+        "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("w"))
+    adj_w: dict[int, list] = {u: [] for u in adj}
+    for u, v in zip(src.tolist(), dst.tolist()):
+        if u == v:
+            continue
+        w = (u + v) % 7 + 1
+        adj_w[u].append((v, w))
+        adj_w[v].append((u, w))
+    sources = {0, n + 1}                        # hub + an island clique
+    sdf = spark.createDataFrame([(int(s),) for s in sources], "node long")
+    got_d = {r["node"]: r["dist"]
+             for r in G.bounded_sssp(wedges, sdf, rounds=8).collect()}
+    expd = ref_bounded_sssp(adj_w, sources, 8)
+    report("bounded_sssp rounds=8", got_d == expd, t0,
+           f"reached={len(expd)}")
+
+    # integer pagerank, exact DIV replay
+    t0 = time.time()
+    pr = {r["node"]: r["pr"] for r in G.pagerank(edges, iterations=5).collect()}
+    expp = ref_pagerank(src, dst, 5, 850_000, 1_000_000)
+    report("pagerank 5 iters", pr == expp, t0,
+           f"max_rank={max(expp.values())}")
+
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
