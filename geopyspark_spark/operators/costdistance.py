@@ -189,29 +189,189 @@ def _expand_keys_tagged(keys_df, key_names: list[str], radius: int):
     ).groupBy(*key_names).agg(F.min("cheb").alias("cheb"))
 
 
+def _block_factor(tl, block_cells: int) -> int:
+    """Super-tile edge length (in tiles) for :func:`cost_distance`'s
+    blocked fixpoint loop: the largest square block whose cell area
+    stays under ``block_cells``, capped at the grid size."""
+    g = max(1, math.isqrt(max(1, block_cells // (tl.tile_cols * tl.tile_rows))))
+    return min(g, max(tl.layout_cols, tl.layout_rows))
+
+
+def _coalesced_metadata(md, g: int):
+    """Layer metadata for the ``g``x``g``-tile super-tile layout (same
+    extent and cell size; NoData becomes NaN because absent member
+    tiles are filled impassable)."""
+    import geopyspark_spark as gps
+
+    tl = md.layout.tile_layout
+    lc = (tl.layout_cols + g - 1) // g
+    lr = (tl.layout_rows + g - 1) // g
+    layout = gps.LayoutDefinition(
+        md.layout.extent,
+        gps.TileLayout(lc, lr, tl.tile_cols * g, tl.tile_rows * g),
+    )
+    return gps.LayerMetadata(
+        crs=md.crs, cell_type="float64", layout=layout,
+        bounds=((0, 0), (lc - 1, lr - 1)), extent=md.extent,
+        num_bands=md.num_bands, zoom=md.zoom,
+    )
+
+
+def _coalesce_tiles(friction: "TiledRasterLayer", g: int) -> "TiledRasterLayer":
+    """Regroup a layer into ``g``x``g``-tile super-tiles (one kernel-side
+    numpy paste per block; absent members fill NaN = impassable).
+    NoData converts to NaN here so the blocked loop never needs the
+    original sentinel."""
+    from ..layer import TiledRasterLayer as TRL
+
+    md = friction.metadata
+    tl = md.layout.tile_layout
+    tc, tr = tl.tile_cols, tl.tile_rows
+    nd = md.nodata
+    keys = key_cols(friction.df) + ["band"]
+    extra = [k for k in keys if k not in ("key_col", "key_row")]
+    df = friction.df.withColumn("_skc", F.floor(F.col("key_col") / g).cast("int")) \
+                    .withColumn("_skr", F.floor(F.col("key_row") / g).cast("int"))
+    out_schema = ", ".join(
+        ["key_col int", "key_row int"]
+        + (["instant timestamp"] if friction.is_temporal else [])
+        + ["band int", "cells array<double>"]
+    )
+
+    def paste(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.full((g * tr, g * tc), np.nan)
+        skc, skr = int(key[0]), int(key[1])
+        for tup in pdf.itertuples(index=False):
+            rec = dict(zip(pdf.columns, tup))
+            sub = np.asarray(rec["cells"], dtype=np.float64).reshape(tr, tc)
+            if nd is not None and not math.isnan(nd):
+                sub = np.where(sub == nd, np.nan, sub)
+            dc = int(rec["key_col"]) - skc * g
+            dr = int(rec["key_row"]) - skr * g
+            arr[dr * tr:(dr + 1) * tr, dc * tc:(dc + 1) * tc] = sub
+        data = {"key_col": [skc], "key_row": [skr]}
+        for i, k in enumerate(extra):
+            data[k] = [key[2 + i]]
+        data["cells"] = [arr.reshape(-1).tolist()]
+        cols = ["key_col", "key_row"] + extra + ["cells"]
+        return pd.DataFrame(data, columns=cols)
+
+    coalesced = df.groupBy("_skc", "_skr", *extra).applyInPandas(
+        paste, schema=out_schema)
+    return TRL(coalesced, _coalesced_metadata(md, g))
+
+
+def _split_tiles(result: "TiledRasterLayer", friction: "TiledRasterLayer",
+                 g: int) -> "TiledRasterLayer":
+    """Slice super-tile results back to the ORIGINAL tiling, keeping
+    exactly the input's key set (absent tiles stay absent)."""
+    from ..layer import TiledRasterLayer as TRL
+
+    md = friction.metadata
+    tl = md.layout.tile_layout
+    tc, tr = tl.tile_cols, tl.tile_rows
+    keys = key_cols(friction.df) + ["band"]
+    extra = [k for k in keys if k not in ("key_col", "key_row")]
+    out_schema = ", ".join(
+        ["key_col int", "key_row int"]
+        + (["instant timestamp"] if friction.is_temporal else [])
+        + ["band int", "cells array<double>"]
+    )
+    cols = ["key_col", "key_row"] + extra + ["cells"]
+
+    def split_batch(batches):
+        for pdf in batches:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                rec = dict(zip(pdf.columns, tup))
+                arr = np.asarray(rec["cells"], dtype=np.float64) \
+                        .reshape(g * tr, g * tc)
+                for dr in range(g):
+                    for dc in range(g):
+                        out = {
+                            "key_col": int(rec["key_col"]) * g + dc,
+                            "key_row": int(rec["key_row"]) * g + dr,
+                            "cells": arr[dr * tr:(dr + 1) * tr,
+                                         dc * tc:(dc + 1) * tc]
+                                     .reshape(-1).tolist(),
+                        }
+                        for k in extra:
+                            out[k] = rec[k]
+                        rows.append(out)
+            yield pd.DataFrame(rows, columns=cols)
+
+    fine = result.df.mapInPandas(split_batch, schema=out_schema)
+    # restore the exact input key set (edge blocks padded past the
+    # layout, and sparse layouts' absent members, must not appear)
+    fine = fine.join(friction.df.select(*keys), keys, "left_semi")
+    # Arrow's pandas->JVM hop turns Python NaN inside lists into SQL
+    # null; restore real NaN so blocked output is element-identical to
+    # the unblocked path (which emits JVM NaN literals)
+    fine = fine.withColumn(
+        "cells",
+        F.transform(F.col("cells"),
+                    lambda v: F.coalesce(v, F.lit(float("nan")))),
+    )
+    return TRL(fine, md.with_cell_type("float64"))
+
+
 def cost_distance(
     friction: "TiledRasterLayer",
     geometries,
     max_distance: float = float("inf"),
     max_iterations: int | None = None,
+    block_cells: int = 1 << 20,
 ) -> "TiledRasterLayer":
     """Least-cost distance from source geometries over a friction layer.
 
     Returns a float64 layer: NoData (NaN) where unreachable or friction is
     NoData.
 
-    ``max_iterations`` defaults to ``4 * layout_cols * layout_rows``: the
-    front advances at least one tile per halo-relaxation round along the
-    active least-cost path, and a serpentine maze (walls forcing
-    repeated reversals) can make that path re-enter a tile band once per
-    wall gap — the old perimeter bound (``cols + rows``) under-ran such
-    mazes at larger layouts (found by ``tools/stateful_sweep.py``), so
-    the default is now an area bound. The convergence check still exits
-    as soon as a round changes nothing, so the cap never costs a round
-    in practice (reference ``IterativeCostDistance`` runs to
-    convergence). An explicit smaller cap that exits unconverged emits a
-    RuntimeWarning instead of silently returning too-large distances.
+    **Blocked rounds (r12, VERDICT r11 #3).** The fixpoint loop's round
+    count is O(least-cost-path length in tile hops) — a serpentine maze
+    at a 16x16-tile layout cost ~200 one-tile-hop rounds (330 s for
+    16k cells in ``tools/stateful_sweep.py``). Because each round
+    relaxes a tile to its EXACT local fixpoint and the global min-plus
+    fixpoint is unique, tiles can be coalesced into ``g x g`` super-tile
+    blocks (``g`` chosen so a block holds <= ``block_cells`` cells,
+    default 1M ~ 8 MB of dist plane) without changing the answer — the
+    in-block Gauss-Seidel then swallows every reversal inside a block
+    in ONE round, cutting the round count by ~``g``. At 100 TB the cap
+    bounds per-task memory while the block count still dwarfs the
+    cluster's parallelism; on toy grids the whole layout collapses into
+    one block and the loop converges in a round or two.
+
+    ``max_iterations`` defaults to ``4 * layout_cols * layout_rows`` OF
+    THE BLOCKED LAYOUT: the front advances at least one block per
+    halo-relaxation round along the active least-cost path, and a
+    serpentine maze (walls forcing repeated reversals) can make that
+    path re-enter a block band once per wall gap — the old perimeter
+    bound (``cols + rows``) under-ran such mazes at larger layouts
+    (found by ``tools/stateful_sweep.py``), so the default is an area
+    bound. The convergence check still exits as soon as a round changes
+    nothing, so the cap never costs a round in practice (reference
+    ``IterativeCostDistance`` runs to convergence). An explicit smaller
+    cap that exits unconverged emits a RuntimeWarning instead of
+    silently returning too-large distances.
     """
+    g = _block_factor(friction.metadata.layout.tile_layout, block_cells)
+    if g <= 1:
+        return _cost_distance_core(friction, geometries, max_distance,
+                                   max_iterations)
+    coalesced = _coalesce_tiles(friction, g)
+    result = _cost_distance_core(coalesced, geometries, max_distance,
+                                 max_iterations)
+    return _split_tiles(result, friction, g)
+
+
+def _cost_distance_core(
+    friction: "TiledRasterLayer",
+    geometries,
+    max_distance: float = float("inf"),
+    max_iterations: int | None = None,
+) -> "TiledRasterLayer":
+    """One-tile-granularity fixpoint loop (see :func:`cost_distance`,
+    which wraps it in super-tile blocking)."""
     from ..core.geom import MultiPolygon, Point, Polygon
     from ..layer import TiledRasterLayer as TRL
     from ..layer import _normalize_geoms

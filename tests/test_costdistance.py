@@ -126,7 +126,11 @@ def test_frontier_filter_relaxes_only_wavefront(spark):
         for kc in range(n_tiles) for kr in range(n_tiles)
     ]
     layer = gps.from_numpy(spark, tiles, md)
-    out = cost_distance(layer, gps.Point(0.5, 8 * n_tiles - 0.5))  # top-left corner
+    # block_cells=1 pins the block factor at one tile: this test probes
+    # the CORE loop's frontier filter, which the default super-tile
+    # blocking would collapse to a single block on a toy grid
+    out = cost_distance(layer, gps.Point(0.5, 8 * n_tiles - 0.5),
+                        block_cells=1)  # top-left corner
     a = _stitched(out)
     assert a[0, 0] == 0.0
     assert abs(a[0, 63] - 63.0) < 1e-9      # reaches the far edge
@@ -141,6 +145,49 @@ def test_frontier_filter_relaxes_only_wavefront(spark):
     # below rounds x tiles (the Jacobi-loop cost this replaces)
     assert max(per_round) < total
     assert sum(per_round) < 0.5 * len(per_round) * total
+
+
+def test_blocked_rounds_match_unblocked(spark):
+    """r12 (VERDICT r11 #3): super-tile blocking must be result-invariant —
+    the min-plus fixpoint is unique, so coalescing tiles into blocks
+    changes only the ROUND COUNT. Random friction with NaN walls,
+    intermediate block factor (g=2 over a 4x4 layout) vs blocking
+    disabled, plus a sparse layout (one absent tile) to pin the
+    split-back key-set restoration."""
+    from geopyspark_spark.operators import costdistance as cd
+
+    rng = np.random.default_rng(7)
+    n_tiles, tsz = 4, 8
+    n = n_tiles * tsz
+    layout = gps.LayoutDefinition(
+        gps.Extent(0, 0, n, n), gps.TileLayout(n_tiles, n_tiles, tsz, tsz))
+    md = gps.LayerMetadata(
+        crs="epsg:4326", cell_type="float64", layout=layout,
+        bounds=((0, 0), (n_tiles - 1, n_tiles - 1)),
+        extent=layout.extent, num_bands=1,
+    )
+    fric = rng.uniform(0.5, 3.0, size=(n, n))
+    fric[10, 2:30] = np.nan  # wall with a gap at each end
+    fric[20, 5:32] = np.nan
+    tiles = [
+        (kc, kr, 0, fric[kr * tsz:(kr + 1) * tsz, kc * tsz:(kc + 1) * tsz])
+        for kc in range(n_tiles) for kr in range(n_tiles)
+        if not (kc == 3 and kr == 3)  # sparse: one absent tile
+    ]
+    layer = gps.from_numpy(spark, tiles, md)
+    src = gps.Point(1.5, n - 1.5)
+    assert cd._block_factor(layout.tile_layout, tsz * tsz * 4) == 2
+    blocked = cost_distance(layer, src, block_cells=tsz * tsz * 4)
+    rows_b = {(r["key_col"], r["key_row"]): r["cells"]
+              for r in blocked.df.collect()}
+    plain = cost_distance(layer, src, block_cells=1)
+    rows_p = {(r["key_col"], r["key_row"]): r["cells"]
+              for r in plain.df.collect()}
+    assert set(rows_b) == set(rows_p) and (3, 3) not in rows_b
+    for k in rows_p:
+        np.testing.assert_allclose(
+            np.nan_to_num(np.asarray(rows_b[k]), nan=-1.0),
+            np.nan_to_num(np.asarray(rows_p[k]), nan=-1.0), atol=1e-9)
 
 
 class TestGaussSeidelKernel:
