@@ -193,6 +193,9 @@ def get(
         spark = SparkSession.active()
     from .objectstore import is_object_uri, list_keys
 
+    # suffix checks compare against lowered names — lower the extension
+    # tuple so mixed-case extensions match (ADVICE r11)
+    extensions = tuple(e.lower() for e in extensions)
     paths = []
     for u in ([uris] if isinstance(uris, str) else list(uris)):
         if is_object_uri(u):

@@ -745,9 +745,12 @@ def decode_geotiff_window(src, window, band: int) -> np.ndarray:
         bo, big, tags = _cached_window_meta(rd._path, st.st_mtime,
                                             st.st_size)
     elif rd._uri is not None:
-        # objects are immutable by object-store convention: cache the
-        # header+IFD per URI (mtime/size sentinel 0)
-        bo, big, tags = _cached_window_meta(rd._uri, 0.0, 0)
+        # cache the header+IFD per URI, validated by a cheap HEAD
+        # Content-Length so an object overwritten at the same URI with
+        # a different length invalidates (ADVICE r11); same-length
+        # overwrites remain undetectable (clear_decode_cache)
+        bo, big, tags = _cached_window_meta(rd._uri,
+                                            *_object_cache_key(rd._uri))
     else:
         bo, big, tags = _parse_window_meta(rd)
     cols = int(tags[_IMAGE_WIDTH][0])
@@ -930,6 +933,20 @@ def _cached_decode_keyed(path: str, mtime: float, size: int):
     return decode_geotiff(_SegmentReader(path).whole())
 
 
+def _object_cache_key(uri: str) -> tuple[float, int]:
+    """(mtime, size) cache-key components for an object URI: a cheap
+    HEAD Content-Length validates the per-URI decode/IFD caches so an
+    object overwritten in place with a different length invalidates
+    (ADVICE r11). Servers without Content-Length fall back to the
+    immutable-object convention (sentinel 0)."""
+    from .objectstore import head_size
+
+    try:
+        return 0.0, int(head_size(uri) or 0)
+    except Exception:
+        return 0.0, 0
+
+
 def _cached_decode(path: str):
     """Decode a file once per (path, mtime, size) per process — sizer +
     every window of the same file share one decode (the pure codec has
@@ -938,11 +955,12 @@ def _cached_decode(path: str):
     a coarse-mtime filesystem still invalidates whenever the length
     changes; a same-length sub-granularity rewrite remains undetectable
     (call :func:`clear_decode_cache` after such rewrites). Object-store
-    URIs are cached per URI (objects are immutable by convention)."""
+    URIs key on the HEAD Content-Length (see :func:`_object_cache_key`),
+    so a same-URI overwrite invalidates whenever the length changes."""
     from .objectstore import is_object_uri
 
     if is_object_uri(path):
-        mtime, size = 0.0, 0
+        mtime, size = _object_cache_key(path)
     else:
         st = _os.stat(path)
         mtime, size = st.st_mtime, st.st_size

@@ -14,10 +14,18 @@ Dispatch:
   in path-style addressing, a plain HTTP server, or a CDN);
 - ``s3://bucket/key``      — rewritten to path-style
   ``{endpoint}/bucket/key`` where the endpoint comes from
-  ``AWS_ENDPOINT_URL`` (MinIO/moto/localstack convention). Unsigned
-  requests only: for SigV4-signed buckets use rasterio/GDAL (``/vsis3``)
-  or Spark's S3A connector (``s3.set_s3_credentials``) — this module is
-  the no-dependency path and the offline test seam.
+  ``AWS_ENDPOINT_URL`` (MinIO/moto/localstack convention).
+
+Signing (r12, VERDICT r11 #4): when ``AWS_ACCESS_KEY_ID`` +
+``AWS_SECRET_ACCESS_KEY`` are set, every request derived from an
+``s3://`` URI (including the endpoint-override rewrite executors see)
+carries a pure-Python AWS Signature Version 4 ``Authorization`` header
+— private buckets work with zero dependencies. Without credentials the
+request goes out unsigned, which remains the offline test seam and the
+MinIO-anonymous convention; rasterio/GDAL (``/vsis3``) and the S3A
+connector (``s3.set_s3_credentials``) remain available as the
+battle-tested alternatives. On a real cluster, propagate the AWS_* env
+to executors (``spark.executorEnv.AWS_ACCESS_KEY_ID=...``).
 
 Listing uses S3 ListObjectsV2 (``?list-type=2&prefix=``), which every
 S3-compatible store (and the loopback stub in
@@ -28,10 +36,116 @@ from __future__ import annotations
 
 import os
 import urllib.request
-from urllib.parse import quote, urlparse
+from urllib.parse import quote, unquote, urlparse
 
 _S3_SCHEMES = ("s3", "s3a", "s3n")
 _HTTP_SCHEMES = ("http", "https")
+
+
+def _credentials():
+    """(access_key, secret, session_token|None, region) from the standard
+    env vars, or None when unsigned access is intended."""
+    ak = os.environ.get("AWS_ACCESS_KEY_ID")
+    sk = os.environ.get("AWS_SECRET_ACCESS_KEY")
+    if not (ak and sk):
+        return None
+    region = (os.environ.get("AWS_REGION")
+              or os.environ.get("AWS_DEFAULT_REGION") or "us-east-1")
+    return ak, sk, os.environ.get("AWS_SESSION_TOKEN"), region
+
+
+def sigv4_headers(method: str, url: str, headers: dict | None = None,
+                  now=None, service: str = "s3") -> dict:
+    """AWS Signature Version 4 headers for a request with no body.
+
+    Pure-Python signer (no boto): canonical request -> string-to-sign ->
+    HMAC-SHA256 chain, per the public SigV4 spec. Every caller-supplied
+    header (e.g. ``Range``) is included in ``SignedHeaders`` alongside
+    ``host``/``x-amz-date``/``x-amz-content-sha256`` — matching the S3
+    developer-guide GET-object example, whose published signature pins
+    this implementation in ``tests/test_objectstore.py``. Returns the
+    headers to ADD (x-amz-date, x-amz-content-sha256, Authorization, and
+    x-amz-security-token for temporary credentials); empty dict when no
+    credentials are configured. ``now`` (a datetime) is a test seam."""
+    import hashlib
+    import hmac
+    from datetime import datetime, timezone
+
+    creds = _credentials()
+    if creds is None:
+        return {}
+    ak, sk, token, region = creds
+    t = now or datetime.now(timezone.utc)
+    amzdate = t.strftime("%Y%m%dT%H%M%SZ")
+    datestamp = t.strftime("%Y%m%d")
+    p = urlparse(url)
+    canonical_uri = quote(unquote(p.path), safe="/-_.~") or "/"
+    pairs = []
+    if p.query:
+        for kv in p.query.split("&"):
+            k, _, v = kv.partition("=")
+            pairs.append((quote(unquote(k), safe="-_.~"),
+                          quote(unquote(v), safe="-_.~")))
+    canonical_qs = "&".join(f"{k}={v}" for k, v in sorted(pairs))
+    payload_hash = hashlib.sha256(b"").hexdigest()
+    to_sign = {k.lower(): " ".join(str(v).split())
+               for k, v in (headers or {}).items()}
+    to_sign.update({
+        "host": p.netloc,
+        "x-amz-content-sha256": payload_hash,
+        "x-amz-date": amzdate,
+    })
+    if token:
+        to_sign["x-amz-security-token"] = token
+    signed_names = ";".join(sorted(to_sign))
+    canonical_headers = "".join(f"{k}:{to_sign[k]}\n" for k in sorted(to_sign))
+    creq = "\n".join([method.upper(), canonical_uri, canonical_qs,
+                      canonical_headers, signed_names, payload_hash])
+    scope = f"{datestamp}/{region}/{service}/aws4_request"
+    sts = "\n".join(["AWS4-HMAC-SHA256", amzdate, scope,
+                     hashlib.sha256(creq.encode()).hexdigest()])
+
+    def _hm(key: bytes, msg: str) -> bytes:
+        return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+    k = _hm(_hm(_hm(_hm(("AWS4" + sk).encode(), datestamp), region),
+                service), "aws4_request")
+    sig = hmac.new(k, sts.encode(), hashlib.sha256).hexdigest()
+    out = {
+        "x-amz-date": amzdate,
+        "x-amz-content-sha256": payload_hash,
+        "Authorization": (
+            f"AWS4-HMAC-SHA256 Credential={ak}/{scope}, "
+            f"SignedHeaders={signed_names}, Signature={sig}"
+        ),
+    }
+    if token:
+        out["x-amz-security-token"] = token
+    return out
+
+
+def _should_sign(uri: str) -> bool:
+    """Sign s3:// URIs, and http(s) URLs that target the configured
+    endpoint override (the rewritten form executors receive) — but
+    never arbitrary http URLs (CDNs, plain servers)."""
+    if _credentials() is None:
+        return False
+    scheme = urlparse(str(uri)).scheme
+    if scheme in _S3_SCHEMES:
+        return True
+    ep = (os.environ.get("AWS_ENDPOINT_URL")
+          or os.environ.get("AWS_ENDPOINT_URL_S3"))
+    return bool(ep) and str(uri).startswith(ep.rstrip("/") + "/")
+
+
+def _open(uri: str, method: str = "GET", headers: dict | None = None):
+    """Resolve + (when credentialed) SigV4-sign + send one request."""
+    url = _to_http(str(uri))
+    h = dict(headers or {})
+    if _should_sign(uri):
+        h.update(sigv4_headers(method, url, headers=h))
+    req = urllib.request.Request(url, headers=h, method=method)
+    return urllib.request.urlopen(req)
 
 
 def is_object_uri(uri: str) -> bool:
@@ -39,26 +153,35 @@ def is_object_uri(uri: str) -> bool:
     return scheme in _S3_SCHEMES or scheme in _HTTP_SCHEMES
 
 
-def _endpoint() -> str:
+def _endpoint() -> str | None:
     ep = os.environ.get("AWS_ENDPOINT_URL") or os.environ.get(
         "AWS_ENDPOINT_URL_S3")
-    if not ep:
-        raise ValueError(
-            "s3:// URIs need AWS_ENDPOINT_URL set (unsigned, path-style "
-            "S3-compatible endpoint); for signed AWS access use "
-            "rasterio/GDAL (/vsis3) or the S3A connector instead"
-        )
-    return ep.rstrip("/")
+    return ep.rstrip("/") if ep else None
 
 
 def _to_http(uri: str) -> str:
-    """Resolve an object URI to a concrete HTTP URL (path-style)."""
+    """Resolve an object URI to a concrete HTTP URL: path-style against
+    an endpoint override when one is set, else (with credentials)
+    virtual-hosted-style against real AWS."""
     p = urlparse(uri)
     if p.scheme in _HTTP_SCHEMES:
         return uri
     if p.scheme in _S3_SCHEMES:
         key = p.path.lstrip("/")
-        return f"{_endpoint()}/{p.netloc}/{quote(key)}"
+        ep = _endpoint()
+        if ep:
+            return f"{ep}/{p.netloc}/{quote(key)}"
+        creds = _credentials()
+        if creds:
+            region = creds[3]
+            return (f"https://{p.netloc}.s3.{region}.amazonaws.com/"
+                    f"{quote(key)}")
+        raise ValueError(
+            "s3:// URIs need AWS_ENDPOINT_URL (S3-compatible endpoint, "
+            "path-style) or AWS_ACCESS_KEY_ID/AWS_SECRET_ACCESS_KEY "
+            "(SigV4-signed AWS access); rasterio/GDAL (/vsis3) and the "
+            "S3A connector remain available as alternatives"
+        )
     raise ValueError(f"not an object-store URI: {uri!r}")
 
 
@@ -77,29 +200,49 @@ def resolve_for_tasks(uri: str) -> str:
     return uri
 
 
+#: servers observed ignoring Range (ADVICE r11): full bodies are cached
+#: (bounded) so repeated windowed reads against a non-range server cost
+#: one download, not one per window — and the degradation is warned once
+_NON_RANGE_BODIES: dict[str, bytes] = {}
+_NON_RANGE_CACHE_MAX = 4
+
+
 def get_range(uri: str, off: int, size: int) -> bytes:
     """Read ``size`` bytes at ``off`` via an HTTP Range request. Servers
     that ignore Range (rare; plain file handlers) still work — the full
-    body is sliced locally."""
-    req = urllib.request.Request(
-        _to_http(uri), headers={"Range": f"bytes={off}-{off + size - 1}"})
-    with urllib.request.urlopen(req) as r:
+    body is downloaded ONCE per URI (bounded cache), sliced locally, and
+    the silent-degradation case is warned once per URI."""
+    key = str(uri)
+    cached = _NON_RANGE_BODIES.get(key)
+    if cached is not None:
+        return cached[off:off + size]
+    with _open(uri, headers={"Range": f"bytes={off}-{off + size - 1}"}) as r:
         body = r.read()
     if r.status == 206:
         return body
+    import warnings
+
+    warnings.warn(
+        f"server for {uri!r} ignored the Range request (status 200); "
+        "falling back to one full-object download per URI — windowed "
+        "reads will not be partial against this server",
+        RuntimeWarning, stacklevel=2,
+    )
+    while len(_NON_RANGE_BODIES) >= _NON_RANGE_CACHE_MAX:
+        _NON_RANGE_BODIES.pop(next(iter(_NON_RANGE_BODIES)))
+    _NON_RANGE_BODIES[key] = body
     return body[off:off + size]
 
 
 def get_all(uri: str) -> bytes:
-    with urllib.request.urlopen(_to_http(uri)) as r:
+    with _open(uri) as r:
         return r.read()
 
 
 def head_size(uri: str) -> int | None:
     """Object size via Content-Length of a HEAD request (None if the
     server does not report it)."""
-    req = urllib.request.Request(_to_http(uri), method="HEAD")
-    with urllib.request.urlopen(req) as r:
+    with _open(uri, method="HEAD") as r:
         cl = r.headers.get("Content-Length")
     return int(cl) if cl else None
 
@@ -113,16 +256,24 @@ def list_keys(uri: str, extensions: tuple = ()) -> list[str]:
     p = urlparse(uri)
     if p.scheme not in _S3_SCHEMES:
         raise ValueError(f"listing needs an s3:// prefix URI, got {uri!r}")
+    # suffix matching is case-insensitive against a LOWERED key, so the
+    # extension tuple must be lowered too (ADVICE r11: mixed-case
+    # extensions silently returned no keys)
+    extensions = tuple(e.lower() for e in extensions)
     bucket = p.netloc
     prefix = p.path.lstrip("/")
-    base = f"{_endpoint()}/{bucket}"
+    base = _to_http(f"s3://{bucket}").rstrip("/")
     out = []
     token = None
     while True:
         q = f"?list-type=2&prefix={quote(prefix)}"
         if token:
             q += f"&continuation-token={quote(token)}"
-        with urllib.request.urlopen(base + q) as r:
+        url = base + q
+        h = (sigv4_headers("GET", url)
+             if _should_sign(f"s3://{bucket}") else {})
+        with urllib.request.urlopen(
+                urllib.request.Request(url, headers=h)) as r:
             root = ET.fromstring(r.read())
         ns = ""
         if root.tag.startswith("{"):
