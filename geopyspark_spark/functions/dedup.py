@@ -159,8 +159,15 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 16,
     )
 
 
-#: last lsh_candidate_pairs skew-guard state (see :func:`skew_guard_report`)
-_skew_stats: dict = {"dropped_df": None, "max_bucket_size": None}
+#: thread-local "most recent guarded plan" for the interactive
+#: :func:`skew_guard_report` convenience (r12, VERDICT r11 #7): each
+#: thread sees only ITS OWN last lsh_candidate_pairs call, so two
+#: pipelines building plans concurrently can no longer clobber each
+#: other's metrics. The per-call ``skew_report`` dict remains the
+#: principled channel.
+import threading as _threading
+
+_skew_local = _threading.local()
 
 
 def skew_guard_metrics(skew_report: dict) -> dict | None:
@@ -185,11 +192,15 @@ def skew_guard_metrics(skew_report: dict) -> dict | None:
 
 def skew_guard_report() -> dict | None:
     """Dropped-bucket metrics for the most recent guarded
-    ``lsh_candidate_pairs`` plan built IN THIS PROCESS. Module-global
-    state — convenient interactively, but lost across sessions and racy
-    in multi-pipeline processes; prefer passing ``skew_report={}``
-    per call and reading it with :func:`skew_guard_metrics`."""
-    return skew_guard_metrics(_skew_stats)
+    ``lsh_candidate_pairs`` plan built IN THIS THREAD — a thin wrapper
+    over the last per-call report. Thread semantics: the state is
+    thread-local, so concurrent pipelines in separate threads each see
+    their own last call and never clobber each other; a plan built in
+    another thread (or an earlier session) is invisible here. For
+    anything beyond interactive use, pass ``skew_report={}`` per call
+    and read it with :func:`skew_guard_metrics`."""
+    last = getattr(_skew_local, "last", None)
+    return skew_guard_metrics(last) if last is not None else None
 
 
 def _minhash_wide(df: DataFrame, num_hashes: int, text_col: str,
@@ -261,17 +272,23 @@ def lsh_candidate_pairs(df: DataFrame, num_hashes: int = 16, bands: int = 4,
         sized = band_sig.withColumn("_bsz", F.count(F.lit(1)).over(w))
         # truncation is never silent: the over-cap buckets are published
         # as a plan for skew_guard_metrics() to aggregate on demand —
-        # per-call via the caller's skew_report dict, plus the module
-        # global for the interactive skew_guard_report() convenience
+        # per-call via the caller's skew_report dict, plus a
+        # THREAD-LOCAL last-call slot for the interactive
+        # skew_guard_report() convenience (concurrent threads cannot
+        # clobber each other's reports)
         dropped = (
             sized.where(F.col("_bsz") > max_bucket_size)
             .groupBy("band", "band_key").agg(F.first("_bsz").alias("_bsz"))
         )
-        for sink in (_skew_stats, skew_report):
-            if sink is not None:
-                sink["dropped_df"] = dropped
-                sink["max_bucket_size"] = max_bucket_size
+        _skew_local.last = {"dropped_df": dropped,
+                            "max_bucket_size": max_bucket_size}
+        if skew_report is not None:
+            skew_report["dropped_df"] = dropped
+            skew_report["max_bucket_size"] = max_bucket_size
         band_sig = sized.where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    else:
+        # guard disabled: the thread's "most recent" report reflects it
+        _skew_local.last = None
     a = band_sig.alias("a")
     b = band_sig.alias("b")
     pairs = (

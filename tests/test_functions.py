@@ -408,6 +408,43 @@ class TestLshBucketCap:
         assert got["dropped_buckets"] == 0 and got["dropped_rows"] == 0
         assert got["max_bucket_size"] == 10_000
 
+    def test_interleaved_calls_keep_separate_reports(self, spark):
+        """r12 (VERDICT r11 #7): two interleaved guarded calls, each with
+        its own skew_report dict, must not clobber each other; the
+        interactive skew_guard_report() is thread-local (another
+        thread's plan is invisible)."""
+        import threading
+
+        hot = spark.createDataFrame(
+            [(i, "same same same text") for i in range(6)],
+            "doc_id long, text string")
+        cold = spark.createDataFrame(
+            [(0, "alpha beta gamma"), (1, "delta epsilon zeta")],
+            "doc_id long, text string")
+        rep_a: dict = {}
+        rep_b: dict = {}
+        # interleave: build plan A, build plan B, THEN aggregate both
+        fdedup.lsh_candidate_pairs(hot, 16, 4, max_bucket_size=5,
+                                   skew_report=rep_a).count()
+        fdedup.lsh_candidate_pairs(cold, 16, 4, skew_report=rep_b).count()
+        got_a = fdedup.skew_guard_metrics(rep_a)
+        got_b = fdedup.skew_guard_metrics(rep_b)
+        assert got_a == {"dropped_buckets": 4, "dropped_rows": 24,
+                         "max_bucket_size": 5}
+        assert got_b == {"dropped_buckets": 0, "dropped_rows": 0,
+                         "max_bucket_size": 10_000}
+        # this thread's last call was the cold one
+        assert fdedup.skew_guard_report()["max_bucket_size"] == 10_000
+        # a fresh thread has no "most recent" plan
+        seen = {}
+        t = threading.Thread(
+            target=lambda: seen.update(r=fdedup.skew_guard_report()))
+        t.start(); t.join()
+        assert seen["r"] is None
+        # guard disabled resets this thread's report
+        fdedup.lsh_candidate_pairs(cold, 16, 4, max_bucket_size=None).count()
+        assert fdedup.skew_guard_report() is None
+
     def test_skew_gate_candidates_stay_linear(self, spark):
         """r11 (VERDICT r10 #3): a dominant duplicate class (half the
         corpus identical) would emit O(N^2/8) candidate pairs through
