@@ -205,7 +205,7 @@ def _gc_versions(root: str, keep: str, prev: str | None = None) -> None:
 
 def write(uri: str, layer_name: str, layer: TiledRasterLayer,
           zoom: int | None = None, time_resolution_ms: int = 86_400_000,
-          index_strategy: str = "zorder") -> str:
+          index_strategy: str = "zorder", num_files: int | None = None) -> str:
     """Write a tiled layer, sorted by space-filling-curve index.
 
     ``index_strategy`` mirrors the reference's IndexingMethod
@@ -213,6 +213,12 @@ def write(uri: str, layer_name: str, layer: TiledRasterLayer,
     ``hilbert`` (better locality — no diagonal jumps — via a write-time
     vectorized kernel), ``rowmajor`` (scanline order). Temporal layers
     always use Z3 over (col, row, time bucket).
+
+    ``num_files`` pins the range-partition (= output file) count; the
+    default lets AQE size partitions, which on small layers coalesces to
+    one file — pin it when downstream point reads need multiple
+    zindex-disjoint files to prune against (see the deep-zoom gate in
+    ``tests/test_tms.py``), or when targeting a specific file size.
     """
     from ..core.zindex import hilbert_udf, rowmajor_col
 
@@ -235,7 +241,11 @@ def write(uri: str, layer_name: str, layer: TiledRasterLayer,
     out = df.withColumn("zindex", zi)
     # sortWithinPartitions after range partitioning = global z-order;
     # row-group stats then prune on key ranges
-    out = out.repartitionByRange(F.col("zindex")).sortWithinPartitions("zindex")
+    if num_files is not None:
+        out = out.repartitionByRange(num_files, F.col("zindex"))
+    else:
+        out = out.repartitionByRange(F.col("zindex"))
+    out = out.sortWithinPartitions("zindex")
     # atomic commit (concurrency-safe, r12): stage data + metadata into
     # a commit-unique dir, claim a version number by atomic rename
     # (losers of a concurrent race retry with the next number), then

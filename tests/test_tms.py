@@ -181,3 +181,105 @@ class TestPyramidPublish:
         # over-zoom past the deepest still works (nearest upsample)
         over = fetcher.fetch(3, 2, 2)
         assert over is not None and np.isfinite(over).all()
+
+
+class TestDeepZoomGate:
+    """r12 (VERDICT r11 #8): with the Z2 index at 31 bits/axis, the
+    no-Spark point-read path must stay row-group-prunable at deep zoom
+    — a zoom-18 catalog (keys ~2^17) point read touches a bounded
+    fraction of the z-sorted files' stats boxes, and over-zoom render
+    past it still serves."""
+
+    ZOOM = 18
+    BASE = 100_000          # key offset ~2^17: exercises the wide index
+    TSZ = 4
+
+    @pytest.fixture(scope="class")
+    def deep_catalog(self, spark, tmp_path_factory):
+        import geopyspark_spark as gps
+
+        n = 1 << self.ZOOM
+        layout = gps.LayoutDefinition(
+            gps.Extent(0.0, 0.0, float(n * self.TSZ), float(n * self.TSZ)),
+            gps.TileLayout(n, n, self.TSZ, self.TSZ))
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64", layout=layout,
+            bounds=((self.BASE, self.BASE),
+                    (self.BASE + 31, self.BASE + 15)),
+            extent=layout.extent, num_bands=1, zoom=self.ZOOM,
+        )
+        rows = [(self.BASE + c, self.BASE + r, 0,
+                 [float(c * 100 + r)] * (self.TSZ * self.TSZ))
+                for c in range(32) for r in range(16)]
+        df = spark.createDataFrame(
+            rows, "key_col int, key_row int, band int, cells array<double>")
+        layer = gps.TiledRasterLayer(df, md)
+        uri = str(tmp_path_factory.mktemp("deepcat"))
+        catalog.write(uri, "deep", layer, zoom=self.ZOOM, num_files=8)
+        return uri
+
+    def test_point_read_correct_at_deep_zoom(self, deep_catalog):
+        rows = catalog.read_value(deep_catalog, "deep", self.ZOOM,
+                                  self.BASE + 5, self.BASE + 7)
+        assert len(rows) == 1
+        assert rows[0]["cells"][0] == 507.0
+        # ValueReader (the TMS hot path) agrees
+        vr = catalog.ValueReader(deep_catalog, "deep", self.ZOOM)
+        got = vr.read(self.BASE + 20, self.BASE + 3)
+        assert got and got[0]["cells"][0] == 2003.0
+
+    def test_row_group_stats_stay_prunable(self, deep_catalog):
+        """The z-sorted multi-file layout must give a point read tight
+        (key_col, key_row) stats boxes: the target key intersects a
+        bounded fraction of row groups, so DuckDB / Catalyst skip the
+        rest without scanning."""
+        import glob as g
+        import os
+
+        import pyarrow.parquet as pq
+
+        vdir = catalog._data_path(deep_catalog, "deep", self.ZOOM)
+        files = sorted(g.glob(os.path.join(vdir, "*.parquet")))
+        assert len(files) >= 4  # num_files=8 (range partitioner may merge)
+        target = (self.BASE + 5, self.BASE + 7)
+        boxes = []
+        zranges = []
+        for f in files:
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                stats = {}
+                for i in range(meta.num_columns):
+                    col = meta.row_group(rg).column(i)
+                    name = col.path_in_schema
+                    if name in ("key_col", "key_row", "zindex") and col.statistics:
+                        stats[name] = (col.statistics.min, col.statistics.max)
+                assert {"key_col", "key_row", "zindex"} <= set(stats), (
+                    "row-group min/max stats missing — pruning impossible")
+                boxes.append((stats["key_col"], stats["key_row"]))
+                zranges.append(stats["zindex"])
+        hit = sum(
+            1 for (cmin, cmax), (rmin, rmax) in boxes
+            if cmin <= target[0] <= cmax and rmin <= target[1] <= rmax
+        )
+        assert 1 <= hit <= max(1, len(boxes) // 2), (
+            f"point key hits {hit}/{len(boxes)} row-group stats boxes — "
+            "z-order locality degraded")
+        # range partitioning on zindex => file/row-group zindex ranges
+        # are pairwise disjoint (the strongest pruning invariant)
+        zs = sorted(zranges)
+        assert all(zs[i][1] < zs[i + 1][0] for i in range(len(zs) - 1))
+
+    def test_over_zoom_render_past_deep_catalog(self, deep_catalog):
+        f = gtms.CatalogTileFetcher(deep_catalog, "deep",
+                                    tile_cols=self.TSZ, tile_rows=self.TSZ)
+        stored = f.fetch(self.ZOOM, self.BASE + 5, self.BASE + 7)
+        assert stored is not None and stored.shape == (self.TSZ, self.TSZ)
+        assert stored[0, 0] == 507.0
+        # zoom 19 over-zooms: the NW child of the stored tile crops +
+        # upsamples its quadrant
+        over = f.fetch(self.ZOOM + 1, 2 * (self.BASE + 5),
+                       2 * (self.BASE + 7))
+        assert over is not None and np.isfinite(over).all()
+        assert over[0, 0] == 507.0
+        # a miss far away stays a clean miss (no scan explosion)
+        assert f.fetch(self.ZOOM, 5, 5) is None
