@@ -2909,6 +2909,89 @@ def _ntv2_dst_crs() -> str:
             f"+nadgrids={_NTV2_FIXTURE_PATH}")
 
 
+def _ntv2_bundled_crs() -> str:
+    """tmerc CRS on the BUNDLED trimmed NTv2 grid (r12, VERDICT r11 #6):
+    ``geopyspark_spark/data/ed50_wgs84_trim.gsb`` carries the published
+    ED50->WGS84 mean-European three-parameter shift (dx=-87, dy=-96,
+    dz=-120 m) evaluated via abridged Molodensky on International 1924
+    and trimmed to the test extent (``tools/make_ntv2_fixture.py``) —
+    real several-arcsecond magnitudes through the real file-parsing
+    path, complementing the synthetic-magnitude NN-warp gate above."""
+    import os
+
+    path = os.path.normpath(os.path.join(
+        os.path.dirname(__file__), "..", "data", "ed50_wgs84_trim.gsb"))
+    return (f"+proj=tmerc +lat_0=0 +lon_0=16 +k=0.9996 +ellps=intl "
+            f"+nadgrids={path}")
+
+
+def q_raster_ntv2_bundled(spark, sf_dir):
+    """Distributed point transform of every cell center through the
+    bundled real-magnitude NTv2 grid (4326 -> tmerc over the ED50 trim
+    grid). A point transform, not an NN warp: ~4-arcsecond real shifts
+    would never flip a 1-degree NN cell, but they move the projected
+    meters by ~100 m — fully visible in the value hash, so a
+    distributed path that silently dropped the grid file hash-fails.
+    The transform is built from the CRS STRING inside the Arrow batch
+    UDF, so tasks serialize no grid bytes (at cluster scale the .gsb
+    ships via ``spark.files``)."""
+    dst = _ntv2_bundled_crs()
+    long = lineitem_layer(spark, sf_dir).explode()
+    pts = long.select(
+        "key_col", "key_row", "pos",
+        (F.col("key_col") * TILE + F.col("pos") % TILE + 0.5).alias("lon"),
+        (F.lit(GRID) - (F.col("key_row") * TILE
+                        + F.floor(F.col("pos") / TILE)) - 0.5).alias("lat"),
+    )
+
+    def tx(batches):
+        import pandas as pd
+
+        from ..core.crs import get_transform
+
+        t = get_transform("epsg:4326", dst)
+        for pdf in batches:
+            x, y = t(pdf["lon"].to_numpy(), pdf["lat"].to_numpy())
+            yield pd.DataFrame({
+                "key_col": pdf["key_col"], "key_row": pdf["key_row"],
+                "pos": pdf["pos"], "x": x, "y": y,
+            })
+
+    out = pts.mapInPandas(
+        tx, schema="key_col int, key_row int, pos int, x double, y double")
+    return out.select(
+        "key_col", "key_row", "pos",
+        F.round("x", 3).alias("x"), F.round("y", 3).alias("y"))
+
+
+def _sql_ntv2_bundled() -> str:
+    """Driver-side rebuild oracle: the same cell-center transform through
+    the same grid file, materialized as a literal map (full-precision
+    doubles; both sides round identically in-engine)."""
+    import numpy as np
+
+    from ..core.crs import get_transform
+
+    t = get_transform("epsg:4326", _ntv2_bundled_crs())
+    g = np.arange(GRID)
+    gc, gr = np.meshgrid(g, g)
+    lon = gc.ravel() + 0.5
+    lat = GRID - gr.ravel() - 0.5
+    x, y = t(lon, lat)
+    tvals = ", ".join(
+        f"({c}, {r}, {float(xv)!r}, {float(yv)!r})"
+        for c, r, xv, yv in zip(gc.ravel(), gr.ravel(), x, y)
+    )
+    return CELLS_CTE + f"""
+, tmap(mgcol, mgrow, mx, my) AS (VALUES {tvals})
+SELECT c.key_col, c.key_row, c.pos,
+       CAST(round(m.mx, 3) AS DOUBLE) AS x,
+       CAST(round(m.my, 3) AS DOUBLE) AS y
+FROM coords c
+JOIN tmap m ON m.mgcol = c.gcol AND m.mgrow = c.grow
+"""
+
+
 def q_raster_reproject_ntv2(spark, sf_dir):
     """NN warp 4326 -> a tmerc CRS on an NTv2 grid-shift datum
     (``+nadgrids=<file>.gsb``, ``core/ntv2.py``) through the distributed
@@ -10251,6 +10334,7 @@ def _canonical_queries():
         "raster_reproject_nzmg": q_raster_reproject_nzmg,
         "raster_reproject_aeqd_geodesic": q_raster_reproject_aeqd_geodesic,
         "raster_reproject_ntv2": q_raster_reproject_ntv2,
+        "raster_ntv2_bundled": q_raster_ntv2_bundled,
         "raster_reproject_geos": q_raster_reproject_geos,
         "raster_local_algebra": q_raster_local_algebra,
         "text_lsh_pairs": q_text_lsh_pairs,
@@ -10402,58 +10486,9 @@ def _canonical_queries():
 # Regenerate with ``python tools/rotate_window.py --write``; do not
 # hand-edit between the markers.
 # BEGIN WINDOW_ORDER (generated)
-_WINDOW_ORDER_ROUND: int = 10
+_WINDOW_ORDER_ROUND: int = 11
 _WINDOW_ORDER: list = [
-    "text_lsh_skew",
-    "text_winnow",
-    "raster_zindex_deep",
-    "raster_contour",
-    "raster_geotiff_jpeg_progressive",
-    "raster_local_add_n",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty",
-    "tpch_q18_large_orders",
-    "tpch_q21_sole_latest",
-    "tpch_q22_idle_cust",
-    "text_chunks",
-    "graph_pagerank",
-    "text_lm_score",
-    "events_hll_users",
-    "graph_triangles",
-    "emb_int8_knn",
-    "events_stream_hll",
-    "events_stream_join",
-    "emb_pq_recall",
-    "emb_ivf_recall",
-    "multimodal_ahash",
-    "events_cms_counts",
-    "events_gap_fill",
-    "text_temperature_mix",
-    "events_rollup",
-    "events_scd2",
-    "graph_components",
-    "events_rolling_window",
-    "multimodal_frame_dedup",
-    "rel_frequent_pairs",
-    "text_sorted_neighborhood",
-    "tpch_q20_dominant",
-    "raster_kernel_density",
-    "text_lsh_calibration",
-    "raster_reproject_laea",
-    "events_stream_session",
-    "raster_geotiff_roundtrip",
-    "raster_reproject_rd",
-    "raster_reproject_krovak",
-    "emb_pq_knn",
-    "raster_catalog_query",
-    "vector_spatial_join",
-    "raster_stream_ingest",
-    "text_duplicate_spans",
-    "text_prepare_corpus",
-    "raster_temporal_rolling",
-    "events_stream_stateful",
-    "tms_render_tile",
-    "raster_untiled_ingest",
+    "raster_ntv2_bundled",
     "vector_shapefile",
     "rel_bloom_filter",
     "events_pivot",
@@ -10655,6 +10690,56 @@ _WINDOW_ORDER: list = [
     "raster_tpi",
     "raster_viewshed",
     "raster_sieve_temporal",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty",
+    "tpch_q18_large_orders",
+    "tpch_q21_sole_latest",
+    "tpch_q22_idle_cust",
+    "text_chunks",
+    "graph_pagerank",
+    "text_lm_score",
+    "events_hll_users",
+    "graph_triangles",
+    "emb_int8_knn",
+    "events_stream_hll",
+    "events_stream_join",
+    "emb_pq_recall",
+    "emb_ivf_recall",
+    "multimodal_ahash",
+    "events_cms_counts",
+    "events_gap_fill",
+    "text_temperature_mix",
+    "events_rollup",
+    "events_scd2",
+    "graph_components",
+    "events_rolling_window",
+    "multimodal_frame_dedup",
+    "rel_frequent_pairs",
+    "text_sorted_neighborhood",
+    "tpch_q20_dominant",
+    "raster_kernel_density",
+    "text_lsh_calibration",
+    "raster_reproject_laea",
+    "events_stream_session",
+    "raster_geotiff_roundtrip",
+    "raster_reproject_rd",
+    "raster_reproject_krovak",
+    "emb_pq_knn",
+    "raster_catalog_query",
+    "vector_spatial_join",
+    "raster_stream_ingest",
+    "text_duplicate_spans",
+    "text_prepare_corpus",
+    "raster_temporal_rolling",
+    "events_stream_stateful",
+    "tms_render_tile",
+    "raster_untiled_ingest",
+    "text_lsh_skew",
+    "raster_local_add_n",
+    "text_winnow",
+    "raster_zindex_deep",
+    "raster_contour",
+    "raster_geotiff_jpeg_progressive",
 ]
 # END WINDOW_ORDER
 
@@ -10885,6 +10970,7 @@ def oracle_sql():
         "raster_reproject_aeqd_geodesic": _sql_reproject_nn(
             "+proj=aeqd +geodesic +lat_0=-35 +lon_0=140 +ellps=WGS84"),
         "raster_reproject_ntv2": _sql_reproject_nn(_ntv2_dst_crs()),
+        "raster_ntv2_bundled": _sql_ntv2_bundled(),
         "raster_reproject_geos": _sql_reproject_nn(
             "+proj=geos +h=35786023 +lon_0=15 +sweep=y +ellps=GRS80"),
         "raster_catalog_query": SQL_RASTER_CATALOG_QUERY,

@@ -1,0 +1,102 @@
+"""Generate the bundled NTv2 grid fixture (VERDICT r11 #6).
+
+Writes ``geopyspark_spark/data/ed50_wgs84_trim.gsb``: a spec-conformant
+NTv2 binary whose shift field is the published ED50 -> WGS84 mean
+European datum transformation (dx=-87 m, dy=-96 m, dz=-120 m; the
+canonical three-parameter set printed in every geodesy text and in the
+EPSG registry as transformation 1133), evaluated with the standard
+abridged Molodensky formulas on the International 1924 (Hayford)
+ellipsoid and TRIMMED to the engine's test extent. This gives the
+``+nadgrids=`` path a real-magnitude (several-arcsecond), spatially
+varying grid file committed to the repo — the agency-distribution
+posture stays documented in ``core/ntv2.py`` (national grids are not
+redistributed; this fixture is derived, not copied).
+
+Deterministic: re-running reproduces the identical byte stream
+(little-endian, fixed node order), which the test suite pins.
+
+Usage::
+
+    python tools/make_ntv2_fixture.py
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from geopyspark_spark.core.ntv2 import encode_ntv2  # noqa: E402
+
+# published ED50 -> WGS84 mean European parameters (meters)
+DX, DY, DZ = -87.0, -96.0, -120.0
+# International 1924 (Hayford): ED50's ellipsoid
+A_INT, F_INT = 6378388.0, 1.0 / 297.0
+# WGS84
+A_WGS, F_WGS = 6378137.0, 1.0 / 298.257223563
+
+# grid domain: the engine's 4326 test extent (0..32 lon / 0..32 lat)
+# plus a 2-degree apron, 1-degree node spacing
+LAT0, LAT1 = -2.0, 34.0
+LON0, LON1 = -2.0, 34.0
+INC_DEG = 1.0
+
+OUT = os.path.join(os.path.dirname(__file__), "..",
+                   "geopyspark_spark", "data", "ed50_wgs84_trim.gsb")
+
+
+def molodensky_shift_sec(lon_deg, lat_deg):
+    """Abridged Molodensky dphi/dlambda (arc-seconds, east-positive
+    dlambda) for ED50 -> WGS84 on the source (International 1924)
+    ellipsoid. Height terms dropped (the abridged form)."""
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    da = A_WGS - A_INT
+    df = F_WGS - F_INT
+    e2 = F_INT * (2.0 - F_INT)
+    sin_phi, cos_phi = np.sin(phi), np.cos(phi)
+    w = np.sqrt(1.0 - e2 * sin_phi ** 2)
+    rho = A_INT * (1.0 - e2) / w ** 3       # meridional radius
+    nu = A_INT / w                          # prime-vertical radius
+    sin1 = np.sin(np.radians(1.0 / 3600.0))
+    dphi = (
+        -DX * sin_phi * np.cos(lam) - DY * sin_phi * np.sin(lam)
+        + DZ * cos_phi
+        + (A_INT * df + F_INT * da) * np.sin(2.0 * phi)
+    ) / (rho * sin1)
+    dlam = (-DX * np.sin(lam) + DY * np.cos(lam)) / (nu * cos_phi * sin1)
+    return dphi, dlam
+
+
+def build_grid_bytes() -> bytes:
+    nrows = int(round((LAT1 - LAT0) / INC_DEG)) + 1
+    ncols = int(round((LON1 - LON0) / INC_DEG)) + 1
+    # NTv2 node order: rows south->north; within a row, increasing
+    # POSITIVE-WEST longitude (i.e. east-positive longitude DECREASING)
+    lats = LAT0 + INC_DEG * np.arange(nrows)
+    lons_east = LON1 - INC_DEG * np.arange(ncols)
+    glon, glat = np.meshgrid(lons_east, lats)
+    dphi, dlam_east = molodensky_shift_sec(glon, glat)
+    return encode_ntv2([{
+        "name": "ED50TRIM", "parent": "NONE",
+        "s_lat": LAT0 * 3600.0, "n_lat": LAT1 * 3600.0,
+        # bounds in positive-west arc-seconds: E_LONG is the eastmost
+        # (most negative positive-west) edge
+        "e_long": -LON1 * 3600.0, "w_long": -LON0 * 3600.0,
+        "lat_inc": INC_DEG * 3600.0, "long_inc": INC_DEG * 3600.0,
+        "dlat": dphi,
+        "dlon": -dlam_east,  # stored shift is positive-west
+    }])
+
+
+def main():
+    buf = build_grid_bytes()
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with open(OUT, "wb") as f:
+        f.write(buf)
+    print(f"wrote {os.path.normpath(OUT)} ({len(buf)} bytes)")
+
+
+if __name__ == "__main__":
+    main()
