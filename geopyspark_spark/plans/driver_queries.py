@@ -1747,6 +1747,165 @@ FROM coords
 """
 
 
+def _arith_jpeg_tiff_fixture() -> tuple[bytes, int, int]:
+    """Deterministic ARITHMETIC-coded (SOF9) JPEG-in-TIFF fixture (r12,
+    VERDICT r11 #5), exact-decodable like the progressive fixture:
+    block-constant pixels, all-zero ACs, DC quantizer 8. The entropy
+    layer is a self-contained big-integer QM encoder (T.81 Annex D
+    interval semantics against the codec's public state table) —
+    independent of the codec's incremental 32-bit decoder, so the gate
+    pins the coder logic end-to-end through the TIFF path. Content: the
+    DC walk exercises adaptive statistics, conditioning contexts, sign
+    coding, magnitude chains, and byte stuffing."""
+    import struct as _s
+
+    from ..sources.jpeg_codec import _QM, _Stats
+
+    rows, cols = 77, 91
+    bh, bw = (rows + 7) // 8, (cols + 7) // 8
+
+    def blockval(br, bc):
+        return (41 * br + 29 * bc + br * bc) % 200 + 25
+
+    class Enc:
+        def __init__(self):
+            self.low, self.a, self.shifts = 0, 0x8000, 0
+
+        def encode(self, st, i, d):
+            qe, nmps, nlps, sw = _QM[st.s[i]]
+            ar = self.a - qe
+            if d == st.m[i]:
+                if ar & 0x8000:
+                    self.low += qe
+                    self.a = ar
+                    return
+                if ar < qe:
+                    self.a = qe
+                else:
+                    self.low += qe
+                    self.a = ar
+                st.s[i] = nmps
+            else:
+                if ar < qe:
+                    self.low += qe
+                    self.a = ar
+                else:
+                    self.a = qe
+                if sw:
+                    st.m[i] ^= 1
+                st.s[i] = nlps
+            while self.a < 0x8000:
+                self.a <<= 1
+                self.low <<= 1
+                self.shifts += 1
+
+        def finish(self):
+            nbits = 15 + self.shifts
+            bits = format(self.low, f"0{nbits}b")
+            out = bytearray()
+            pos, width = 0, 8
+            while pos < len(bits):
+                out.append(int(bits[pos:pos + width].ljust(width, "0"), 2))
+                pos += width
+                width = 7 if out[-1] == 0xFF else 8
+            if out and out[-1] == 0xFF:
+                out.append(0x00)
+            return bytes(out)
+
+    enc = Enc()
+    dc = _Stats(64)
+    ac = _Stats(256)
+    ctx, pred = 0, 0
+    for bi in range(bh * bw):
+        br_, bc_ = divmod(bi, bw)
+        v = blockval(br_, bc_) - 128
+        diff = v - pred
+        pred = v
+        # DC walk (T.81 F.1.4.1, default conditioning L=0 U=1)
+        i = ctx
+        if diff == 0:
+            enc.encode(dc, i, 0)
+            ctx = 0
+        else:
+            enc.encode(dc, i, 1)
+            sign = 1 if diff < 0 else 0
+            enc.encode(dc, i + 1, sign)
+            i += 2 + sign
+            t = abs(diff) - 1
+            if t == 0:
+                enc.encode(dc, i, 0)
+                m = 0
+            else:
+                enc.encode(dc, i, 1)
+                m, i = 1, 20
+                while t >= (m << 1):
+                    enc.encode(dc, i, 1)
+                    m <<= 1
+                    i += 1
+                enc.encode(dc, i, 0)
+            # default conditioning L=0, U=1: m>1 -> large, else small
+            ctx = 12 + 4 * sign if m > 1 else 4 + 4 * sign
+            i += 14
+            mm = m >> 1
+            while mm:
+                enc.encode(dc, i, 1 if (t & mm) else 0)
+                mm >>= 1
+        enc.encode(ac, 0, 1)                  # immediate EOB (all-zero ACs)
+    scan = enc.finish()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + _s.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0x00, 8]) + bytes([1] * 63))
+    sof = seg(0xC9, bytes([8]) + _s.pack(">HH", rows, cols)
+              + bytes([1, 1, 0x11, 0]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0x00]))
+    jpeg = b"\xff\xd8" + dqt + sof + sos + scan + b"\xff\xd9"
+
+    data = jpeg + (b"\0" if len(jpeg) % 2 else b"")
+    entries = [
+        (256, 4, cols), (257, 4, rows), (258, 3, 8), (259, 3, 7),
+        (262, 3, 1), (273, 4, 8), (277, 3, 1), (278, 4, rows),
+        (279, 4, len(jpeg)), (284, 3, 1), (339, 3, 1),
+    ]
+    ifd_offset = 8 + len(data)
+    ifd = _s.pack("<H", len(entries))
+    for tag, typ, val in entries:
+        ifd += _s.pack("<HHI", tag, typ, 1) + _s.pack("<I", val)
+    ifd += _s.pack("<I", 0)
+    tiff = _s.pack("<2sHI", b"II", 42, ifd_offset) + data + ifd
+    return tiff, rows, cols
+
+
+def q_raster_geotiff_jpeg_arithmetic(spark, sf_dir):
+    """Arithmetic-coded (SOF9) JPEG-in-TIFF decode under the gate (r12,
+    VERDICT r11 #5): a QM-coded stream from an independent big-int
+    interval encoder, wrapped in a Compression=7 TIFF, decoded by the
+    from-scratch codec. Block-constant DC-only content makes the decode
+    exact, so DuckDB recomputes the pixel grid arithmetically.
+    Reference reads this class via geotrellis-raster's TIFF decoder
+    (io/geotiff/GeoTiffRDD.scala:96-164)."""
+    from ..sources import geotiff_codec as codec
+
+    tiff, rows, cols = _arith_jpeg_tiff_fixture()
+    cells, _, _, _ = codec.decode_geotiff(tiff)
+    grid = cells[0].astype(float)
+    out = [(r, c, float(grid[r, c])) for r in range(rows) for c in range(cols)]
+    return spark.createDataFrame(out, "row int, col int, value double")
+
+
+SQL_RASTER_GEOTIFF_JPEG_ARITHMETIC = """
+WITH coords AS (
+  SELECT CAST(r.range AS INT) AS row, CAST(c.range AS INT) AS col
+  FROM range(77) r, range(91) c
+)
+SELECT row, col,
+       CAST((41 * (row // 8) + 29 * (col // 8) + (row // 8) * (col // 8))
+            % 200 + 25 AS DOUBLE) AS value
+FROM coords
+"""
+
+
 def q_raster_contour(spark, sf_dir):
     """Marching-squares contour extraction (r11, parity breadth like the
     hydrology trio — gdal_contour / GeoTrellis vectorize family): iso
@@ -10446,6 +10605,7 @@ def _canonical_queries():
         "raster_zindex_deep": q_raster_zindex_deep,
         "raster_contour": q_raster_contour,
         "raster_geotiff_jpeg_progressive": q_raster_geotiff_jpeg_progressive,
+        "raster_geotiff_jpeg_arithmetic": q_raster_geotiff_jpeg_arithmetic,
         "raster_zindex_temporal": q_raster_zindex_temporal,
         "raster_catalog_roundtrip": q_raster_catalog_roundtrip,
         "raster_convert_int8": q_raster_convert_int8,
@@ -10489,6 +10649,7 @@ def _canonical_queries():
 _WINDOW_ORDER_ROUND: int = 11
 _WINDOW_ORDER: list = [
     "raster_ntv2_bundled",
+    "raster_geotiff_jpeg_arithmetic",
     "vector_shapefile",
     "rel_bloom_filter",
     "events_pivot",
@@ -10800,6 +10961,7 @@ def oracle_sql():
         "raster_zindex_deep": SQL_RASTER_ZINDEX_DEEP,
         "raster_contour": _sql_contour(),
         "raster_geotiff_jpeg_progressive": SQL_RASTER_GEOTIFF_JPEG_PROGRESSIVE,
+        "raster_geotiff_jpeg_arithmetic": SQL_RASTER_GEOTIFF_JPEG_ARITHMETIC,
         "raster_zindex_temporal": _sql_zindex_temporal(),
         "raster_catalog_roundtrip": SQL_RASTER_CATALOG_ROUNDTRIP,
         "raster_convert_int8": SQL_RASTER_CONVERT_INT8,

@@ -519,3 +519,352 @@ def encode_progressive(img: np.ndarray, subsample=(1, 1), scans=None,
     if abbreviated:
         return soi + tables + eoi, soi + body + eoi
     return soi + tables + body + eoi
+
+
+# ---- arithmetic-coded encoders (SOF9 / SOF10) ------------------------------
+#
+# Independent test-only QM encoder (T.81 Annex D): exact big-integer
+# interval arithmetic mirroring the spec decoder's subinterval
+# assignment (Qe-sized chunk at the bottom, conditional MPS/LPS
+# exchange), finalized by emitting the interval's LOWER BOUND with the
+# spec's byte stuffing (a byte following 0xFF carries 7 bits, MSB 0).
+# Deliberately a different mechanism from the decoder's incremental
+# 32-bit register (no shared renormalization/byteout code), so the
+# round-trip pins the interval semantics. The Qe state table is the
+# shared public constant (imported from the codec).
+
+from geopyspark_spark.sources.jpeg_codec import _QM, _Stats  # noqa: E402
+
+
+class _ArithEncoder:
+    __slots__ = ("low", "a", "shifts")
+
+    def __init__(self):
+        self.low = 0          # big-int lower bound at current scale
+        self.a = 0x8000
+        self.shifts = 0
+
+    def encode(self, st: _Stats, i: int, d: int) -> None:
+        qe, nmps, nlps, sw = _QM[st.s[i]]
+        ar = self.a - qe
+        if d == st.m[i]:
+            if ar & 0x8000:               # MPS, no renormalization
+                self.low += qe
+                self.a = ar
+                return
+            if ar < qe:                   # exchange: MPS in bottom chunk
+                self.a = qe
+            else:
+                self.low += qe
+                self.a = ar
+            st.s[i] = nmps
+        else:
+            if ar < qe:                   # exchange: LPS in top chunk
+                self.low += qe
+                self.a = ar
+            else:
+                self.a = qe
+            if sw:
+                st.m[i] ^= 1
+            st.s[i] = nlps
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.low <<= 1
+            self.shifts += 1
+
+    def finish(self) -> bytes:
+        """Pack the interval's lower bound (15 + shifts bits) with the
+        0xFF 7-bit stuffing rule; trailing 0x00 guards a final 0xFF."""
+        nbits = 15 + self.shifts
+        bits = format(self.low, f"0{nbits}b")
+        out = bytearray()
+        pos = 0
+        width = 8
+        while pos < len(bits):
+            chunk = bits[pos:pos + width].ljust(width, "0")
+            out.append(int(chunk, 2))
+            pos += width
+            width = 7 if out[-1] == 0xFF else 8
+        if out and out[-1] == 0xFF:
+            out.append(0x00)
+        return bytes(out)
+
+
+def _arith_enc_dc(enc, stats, state, cond, diff):
+    """Mirror of the codec's F.2.4.1 DC decode walk."""
+    lo, up = cond
+    i = state["ctx"]
+    if diff == 0:
+        enc.encode(stats, i, 0)
+        state["ctx"] = 0
+        return
+    enc.encode(stats, i, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(stats, i + 1, sign)
+    i += 2 + sign
+    t = abs(diff) - 1
+    if t == 0:
+        enc.encode(stats, i, 0)
+        m = 0
+    else:
+        enc.encode(stats, i, 1)
+        m = 1
+        i = 20
+        while t >= (m << 1):
+            enc.encode(stats, i, 1)
+            m <<= 1
+            i += 1
+        enc.encode(stats, i, 0)
+    if m < ((1 << lo) >> 1):
+        state["ctx"] = 0
+    elif m > ((1 << up) >> 1):
+        state["ctx"] = 12 + 4 * sign
+    else:
+        state["ctx"] = 4 + 4 * sign
+    i += 14
+    mm = m >> 1
+    while mm:
+        enc.encode(stats, i, 1 if (t & mm) else 0)
+        mm >>= 1
+
+
+def _arith_enc_ac(enc, stats, fixed, zz, kx, ss=1, se=63):
+    """Mirror of the codec's F.2.4.2 AC decode walk over zigzag values
+    ``zz`` (already point-transformed for progressive first scans)."""
+    last = ss - 1
+    for k in range(ss, se + 1):
+        if zz[k]:
+            last = k
+    k = ss
+    while k <= last:
+        i3 = 3 * (k - 1)
+        enc.encode(stats, i3, 0)          # not end-of-block
+        while zz[k] == 0:
+            enc.encode(stats, i3 + 1, 0)
+            k += 1
+            i3 = 3 * (k - 1)
+        enc.encode(stats, i3 + 1, 1)
+        v = int(zz[k])
+        enc.encode(fixed, 0, 1 if v < 0 else 0)
+        i = i3 + 2
+        t = abs(v) - 1
+        m = 0
+        if t:
+            enc.encode(stats, i, 1)
+            if t == 1:
+                enc.encode(stats, i, 0)
+                m = 1
+            else:
+                enc.encode(stats, i, 1)
+                m = 2
+                i = 189 if k <= kx else 217
+                while t >= (m << 1):
+                    enc.encode(stats, i, 1)
+                    m <<= 1
+                    i += 1
+                enc.encode(stats, i, 0)
+        else:
+            enc.encode(stats, i, 0)
+        i += 14
+        mm = m >> 1
+        while mm:
+            enc.encode(stats, i, 1 if (t & mm) else 0)
+            mm >>= 1
+        k += 1
+    if last < se:
+        enc.encode(stats, 3 * (k - 1), 1)  # end-of-block
+
+
+def _dac_seg(ncomp):
+    """DAC marker: default conditioning, made explicit to exercise the
+    decoder's DAC parse (DC: L=0, U=1; AC: Kx=5)."""
+    payload = b""
+    payload += bytes([0x00, (1 << 4) | 0])    # DC table 0: U=1, L=0
+    payload += bytes([0x10, 5])               # AC table 0: Kx=5
+    if ncomp > 1:
+        payload += bytes([0x01, (1 << 4) | 0])
+        payload += bytes([0x11, 5])
+    return _seg(0xCC, payload)
+
+
+def _quantized_coefs(padded, samp, qs, level):
+    """Per-component zigzag quantized coefficient planes, computed with
+    the SAME per-block matmul as ``_encode_block`` — a batched einsum
+    orders the float ops differently and can flip an ``rint`` tie,
+    which would make the arithmetic stream encode a coefficient one
+    step off the huffman stream's and break the bit-exact cross-check."""
+    coefs = []
+    for p, qi in zip(padded, range(len(padded))):
+        BY, BX = p.shape[0] // 8, p.shape[1] // 8
+        qz = np.zeros((BY, BX, 64), dtype=np.int64)
+        for by in range(BY):
+            for bx in range(BX):
+                blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                coef = _A @ (blk - level) @ _A.T
+                qz[by, bx] = np.rint(coef / qs[qi]).reshape(-1)[ZIGZAG]
+        coefs.append(qz)
+    return coefs
+
+
+def encode_arith_sequential(img: np.ndarray, subsample=(1, 1),
+                            restart_interval=0, abbreviated=False,
+                            precision=8):
+    """Encode to a sequential arithmetic-coded JPEG (SOF9). Quantized
+    coefficients are identical to ``encode_baseline``'s, so a correct
+    decoder must reproduce the huffman decode bit-exactly."""
+    assert precision in (8, 12)
+    if precision == 12:
+        assert np.asarray(img).ndim == 2, "12-bit test encoder: gray only"
+    padded, samp, qts, gray, rows, cols, mcux, mcuy = _prep_planes(
+        img, subsample)
+    ncomp = 1 if gray else 3
+    qs = [QLUM] + [QCHROM] * (ncomp - 1)
+    level = float(1 << (precision - 1))
+    coefs = _quantized_coefs(padded, samp, qs, level)
+
+    tables = (
+        _dqt_seg(0, QLUM)
+        + (_dqt_seg(1, QCHROM) if not gray else b"")
+        + _dac_seg(ncomp)
+        + (_seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    )
+    sof = bytes([precision]) + struct.pack(">HH", rows, cols) + bytes([ncomp])
+    for i in range(ncomp):
+        h, v = samp[i]
+        sof += bytes([i + 1, (samp[i][0] << 4) | samp[i][1], qts[i]])
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+
+    def fresh():
+        return ({0: _Stats(64), 1: _Stats(64)},
+                {0: _Stats(256), 1: _Stats(256)},
+                _Stats(1, init_state=113),
+                [{"ctx": 0} for _ in range(ncomp)],
+                [0] * ncomp,
+                _ArithEncoder())
+
+    dc_stats, ac_stats, fixed, states, preds, enc = fresh()
+    scan = bytearray()
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            mcu_i = my * mcux + mx
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                scan += enc.finish()
+                scan += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                dc_stats, ac_stats, fixed, states, preds, enc = fresh()
+            for ci in range(ncomp):
+                tdta = 0 if ci == 0 else 1
+                h, v = samp[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        zz = coefs[ci][my * v + by, mx * h + bx]
+                        dc = int(zz[0])
+                        _arith_enc_dc(enc, dc_stats[tdta], states[ci],
+                                      (0, 1), dc - preds[ci])
+                        preds[ci] = dc
+                        _arith_enc_ac(enc, ac_stats[tdta], fixed, zz, 5)
+    scan += enc.finish()
+
+    soi, eoi = b"\xff\xd8", b"\xff\xd9"
+    body = _seg(0xC9, sof) + b"\xff\xda" + struct.pack(
+        ">H", len(sos) + 2) + sos + bytes(scan)
+    if abbreviated:
+        return soi + tables + eoi, soi + body + eoi
+    return soi + tables + body + eoi
+
+
+def _pt(v: int, al: int) -> int:
+    return _pt_ac(v, al)
+
+
+def encode_arith_progressive(img: np.ndarray, scans=None):
+    """Encode GRAYSCALE to a progressive arithmetic-coded JPEG (SOF10):
+    the default scan script matches ``encode_progressive``'s grayscale
+    script, coefficient-identical to the baseline encode."""
+    padded, samp, qts, gray, rows, cols, mcux, mcuy = _prep_planes(
+        img, (1, 1))
+    assert gray, "arith progressive test encoder: gray only"
+    coefs = _quantized_coefs(padded, samp, [QLUM], 128.0)[0]
+    if scans is None:
+        scans = [
+            (0, 0, 0, 1),
+            (1, 5, 0, 2),
+            (6, 63, 0, 2),
+            (1, 63, 2, 1),
+            (0, 0, 1, 0),
+            (1, 63, 1, 0),
+        ]
+
+    tables = _dqt_seg(0, QLUM) + _dac_seg(1)
+    sof = bytes([8]) + struct.pack(">HH", rows, cols) + bytes([1])
+    sof += bytes([1, 0x11, 0])
+    out = bytearray(b"\xff\xd8" + tables + _seg(0xCA, sof))
+    BY, BX = coefs.shape[:2]
+
+    for ss, se, ah, al in scans:
+        sos = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        enc = _ArithEncoder()
+        dc_stats = _Stats(64)
+        ac_stats = _Stats(256)
+        fixed = _Stats(1, init_state=113)
+        state = {"ctx": 0}
+        pred = 0
+        for bi in range(BY * BX):
+            by, bx = divmod(bi, BX)
+            zz = coefs[by, bx]
+            if ss == 0:
+                dc = int(zz[0])
+                if ah == 0:
+                    d = dc >> al
+                    _arith_enc_dc(enc, dc_stats, state, (0, 1), d - pred)
+                    pred = d
+                else:
+                    enc.encode(fixed, 0, (dc >> al) & 1)
+            elif ah == 0:
+                pt = [0] * 64
+                for k in range(ss, se + 1):
+                    pt[k] = _pt(int(zz[k]), al)
+                _arith_enc_ac(enc, ac_stats, fixed, pt, 5, ss, se)
+            else:
+                _arith_enc_ac_refine(enc, ac_stats, fixed, zz, 5, ss, se,
+                                     ah, al)
+        out += enc.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _arith_enc_ac_refine(enc, stats, fixed, zz, kx, ss, se, ah, al):
+    """Mirror of the codec's G.2.3 arithmetic AC refinement decode."""
+    kex = 0
+    for k in range(1, se + 1):
+        if _pt(int(zz[k]), ah):
+            kex = k
+    newly = [k for k in range(ss, se + 1)
+             if _pt(int(zz[k]), ah) == 0 and _pt(int(zz[k]), al) != 0]
+    k = ss
+    while k <= se:
+        i3 = 3 * (k - 1)
+        if k > kex:
+            if not any(kk >= k for kk in newly):
+                enc.encode(stats, i3, 1)      # end-of-block
+                return
+            enc.encode(stats, i3, 0)
+        while True:
+            v = int(zz[k])
+            if _pt(v, ah):                    # previously nonzero: refine
+                enc.encode(stats, i3 + 2, abs(_pt(v, al)) & 1)
+                break
+            if _pt(v, al):                    # newly nonzero
+                enc.encode(stats, i3 + 1, 1)
+                enc.encode(fixed, 0, 1 if v < 0 else 0)
+                break
+            enc.encode(stats, i3 + 1, 0)
+            k += 1
+            i3 = 3 * (k - 1)
+        k += 1

@@ -1217,23 +1217,26 @@ class TestPartialWindowDecode:
 
 
 def _write_tiff_jpeg(pix, tile=None, rows_per_strip=None, old_style=False,
-                     subsample=(1, 1), progressive=False):
+                     subsample=(1, 1), progressive=False, arithmetic=False):
     """Independent JPEG-in-TIFF writer (test-only): new-style
     Compression=7 with shared JPEGTables (tag 347) per-segment
     abbreviated streams, or old-style Compression=6 with one
     whole-image interchange stream (tags 513/514). ``progressive=True``
-    encodes each segment as a multi-scan SOF2 stream."""
+    encodes each segment as a multi-scan SOF2 stream; ``arithmetic=True``
+    (r12) as a QM-coded SOF9 stream."""
     import struct as _s
     import sys as _sys
     import os as _os
 
     _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
-    from jpeg_testenc import encode_baseline, encode_progressive
+    from jpeg_testenc import (encode_arith_sequential, encode_baseline,
+                              encode_progressive)
 
     rows, cols, bands = pix.shape
     assert pix.dtype == np.uint8 and bands in (1, 3)
     photometric = 6 if bands == 3 else 1
-    encoder = encode_progressive if progressive else encode_baseline
+    encoder = (encode_arith_sequential if arithmetic
+               else encode_progressive if progressive else encode_baseline)
 
     def enc(arr):
         img = arr[:, :, 0].astype(float) if bands == 1 else arr.astype(float)
@@ -1390,14 +1393,41 @@ class TestJpegInTiff:
         np.testing.assert_array_equal(got, full[0, 7:20, 5:16])
 
     def test_unsupported_jpeg_flavors_raise(self):
-        # SOF2 decodes as of r11; SOF9 (arithmetic) is the remaining
-        # named-raise class
+        # SOF2 decodes as of r11 and SOF9/SOF10 as of r12; lossless
+        # (SOF3) is the remaining named-raise class
         pix = self._smooth_gray(16, 16)
         buf = bytearray(_write_tiff_jpeg(pix, rows_per_strip=16))
         j = bytes(buf).index(b"\xff\xc0")
-        buf[j + 1] = 0xC9
-        with pytest.raises(ValueError, match="arithmetic"):
+        buf[j + 1] = 0xC3
+        with pytest.raises(ValueError, match="lossless"):
             geotiff_codec.decode_geotiff(bytes(buf))
+
+    def test_arithmetic_strips_match_baseline(self):
+        # r12: arithmetic-coded (SOF9) multi-strip JPEG-in-TIFF —
+        # abbreviated streams sharing JPEGTables (DQT + DAC) — decodes
+        # bit-equal to the huffman TIFF (same quantized coefficients)
+        pix = self._smooth_gray(40, 33)
+        base, _, _, _ = geotiff_codec.decode_geotiff(
+            _write_tiff_jpeg(pix, rows_per_strip=16))
+        arith, _, _, _ = geotiff_codec.decode_geotiff(
+            _write_tiff_jpeg(pix, rows_per_strip=16, arithmetic=True))
+        np.testing.assert_array_equal(arith, base)
+
+    def test_arithmetic_tiles_ycbcr(self):
+        # r12: tiled color SOF9 with 4:2:0 subsampling through the TIFF
+        # path matches the huffman decode exactly
+        r, c = np.mgrid[0:35, 0:37]
+        pix = np.stack([
+            np.clip(100 + r * 2, 0, 255),
+            np.clip(80 + c * 2, 0, 255),
+            np.clip(120 + r + c, 0, 255),
+        ], axis=-1).astype(np.uint8)
+        base, _, _, _ = geotiff_codec.decode_geotiff(
+            _write_tiff_jpeg(pix, tile=(16, 16), subsample=(2, 2)))
+        arith, _, _, _ = geotiff_codec.decode_geotiff(
+            _write_tiff_jpeg(pix, tile=(16, 16), subsample=(2, 2),
+                             arithmetic=True))
+        np.testing.assert_array_equal(arith, base)
 
     def test_progressive_strips_match_baseline(self):
         # same coefficients -> the progressive TIFF decodes bit-equal

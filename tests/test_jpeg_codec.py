@@ -84,13 +84,13 @@ class TestStreamFeatures:
             scan, tables=b"\xff\xd8" + tables + b"\xff\xd9")
         np.testing.assert_array_equal(ref, got)
 
-    def test_arithmetic_coding_raises(self):
-        # SOF2 is decoded as of r11; arithmetic (SOF9) still raises with
-        # a named error
+    def test_lossless_coding_raises(self):
+        # SOF2 decodes as of r11 and SOF9/SOF10 as of r12; lossless
+        # (SOF3) is the remaining class and raises with a named error
         buf = bytearray(encode_baseline(self._img()))
         j = bytes(buf).index(b"\xff\xc0")
-        buf[j + 1] = 0xC9
-        with pytest.raises(ValueError, match="arithmetic"):
+        buf[j + 1] = 0xC3
+        with pytest.raises(ValueError, match="lossless"):
             decode_baseline(bytes(buf))
 
     def test_mislabeled_progressive_rejected(self):
@@ -328,3 +328,137 @@ class TestTwelveBit:
         buf[j + 4] = 10
         with pytest.raises(ValueError, match="10-bit"):
             decode_baseline(bytes(buf))
+
+
+class TestArithmetic:
+    """r12 (VERDICT r11 #5): SOF9/SOF10 arithmetic entropy coding. The
+    independent encoder is exact big-int interval arithmetic (no shared
+    renorm/byteout code with the codec's incremental decoder); both
+    sides quantize identically to the huffman path, so every arithmetic
+    decode must equal the huffman decode BIT-EXACTLY."""
+
+    @staticmethod
+    def _textured(rows, cols, seed=11):
+        rng = np.random.default_rng(seed)
+        r, c = np.mgrid[0:rows, 0:cols]
+        img = 120 + 60 * np.sin(r / 5.0) * np.cos(c / 7.0) \
+            + rng.normal(0, 18, (rows, cols))
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    def test_sequential_gray_matches_huffman(self):
+        from jpeg_testenc import encode_arith_sequential
+
+        img = self._textured(61, 83)
+        ref = decode_baseline(encode_baseline(img))
+        got = decode_baseline(encode_arith_sequential(img))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_sequential_color_subsampled_matches_huffman(self):
+        from jpeg_testenc import encode_arith_sequential
+
+        g = self._textured(37, 45, seed=5).astype(float)
+        rgb = np.stack([g, np.clip(g * 0.7 + 40, 0, 255),
+                        np.clip(255 - g, 0, 255)], axis=-1).astype(np.uint8)
+        for sub in ((1, 1), (2, 1), (2, 2)):
+            ref = decode_baseline(encode_baseline(rgb, subsample=sub))
+            got = decode_baseline(encode_arith_sequential(rgb, subsample=sub))
+            np.testing.assert_array_equal(got, ref)
+
+    def test_sequential_restart_intervals(self):
+        """Restarts re-init the coder AND reset all statistics areas
+        (T.81 F.2.1.3.1) on both sides."""
+        from jpeg_testenc import encode_arith_sequential
+
+        img = self._textured(48, 56, seed=7)
+        ref = decode_baseline(encode_baseline(img, restart_interval=3))
+        got = decode_baseline(
+            encode_arith_sequential(img, restart_interval=3))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_progressive_matches_huffman(self):
+        """SOF10: the full grayscale scan script (DC first/refine, AC
+        first bands, AC refinement) accumulates to the same
+        coefficients as one sequential scan."""
+        from jpeg_testenc import encode_arith_progressive
+
+        img = self._textured(50, 66, seed=9)
+        ref = decode_baseline(encode_baseline(img))
+        got = decode_baseline(encode_arith_progressive(img))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_twelve_bit_sequential(self):
+        from jpeg_testenc import encode_arith_sequential
+
+        rng = np.random.default_rng(13)
+        img = np.clip(2048 + 900 * np.sin(np.arange(40) / 4.0)[:, None]
+                      + rng.normal(0, 60, (40, 32)), 0, 4095)
+        ref = decode_baseline(encode_baseline(img, precision=12))
+        got = decode_baseline(encode_arith_sequential(img, precision=12))
+        assert got.dtype == np.uint16
+        np.testing.assert_array_equal(got, ref)
+
+    def test_abbreviated_tables_split(self):
+        """TIFF JPEGTables split: DQT/DAC in the tables stream, SOF9+SOS
+        in the image stream."""
+        from jpeg_testenc import encode_arith_sequential
+
+        img = self._textured(24, 31, seed=3)
+        tables, image = encode_arith_sequential(img, abbreviated=True)
+        ref = decode_baseline(encode_baseline(img))
+        got = decode_baseline(image, tables=tables)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_adaptivity_stress(self):
+        """A large high-entropy image walks the QM state machine far up
+        every chain (thousands of renormalizations, stuffed 0xFF bytes,
+        MPS/LPS exchanges) — and still decodes bit-exactly."""
+        from jpeg_testenc import encode_arith_sequential
+
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 256, (128, 144)).astype(np.uint8)
+        ref = decode_baseline(encode_baseline(img))
+        enc = encode_arith_sequential(img)
+        got = decode_baseline(enc)
+        np.testing.assert_array_equal(got, ref)
+        # arithmetic coding should not be wildly larger than huffman on
+        # noise (sanity that the coder is actually compressing)
+        assert len(enc) < 1.2 * len(encode_baseline(img))
+
+    def test_qm_table_coherence(self):
+        """Structural pins on the transcribed Table D.3: index ranges,
+        the documented fast-attack switch rows, chain reachability, and
+        the non-adaptive fixed bin."""
+        from geopyspark_spark.sources.jpeg_codec import _QM
+
+        assert len(_QM) == 114
+        for qe, nmps, nlps, sw in _QM:
+            assert 0 < qe < 0x8000
+            assert 0 <= nmps < 114 and 0 <= nlps < 114
+            assert sw in (0, 1)
+        assert _QM[0][0] == 0x5A1D
+        # switch rows (MPS exchange on LPS) are exactly the documented set
+        assert [i for i, e in enumerate(_QM[:113]) if e[3]] == \
+            [0, 14, 36, 64, 80, 88, 95, 105, 108, 110, 112]
+        # fixed bin: self-referential, no switch
+        assert _QM[113] == (0x5A1D, 113, 113, 0)
+        # NMPS chains from state 0 reach a stationary state
+        s = 0
+        for _ in range(200):
+            s = _QM[s][1]
+        assert _QM[s][1] == s or _QM[_QM[s][1]][1] in (s, _QM[s][1])
+
+    def test_geotiff_jpeg_arithmetic_fixture(self):
+        """The registry fixture's TIFF decodes to the closed-form grid."""
+        from geopyspark_spark.plans.driver_queries import (
+            _arith_jpeg_tiff_fixture,
+        )
+        from geopyspark_spark.sources import geotiff_codec as codec
+
+        tiff, rows, cols = _arith_jpeg_tiff_fixture()
+        cells, _, _, _ = codec.decode_geotiff(tiff)
+        grid = cells[0]
+        for r in (0, 13, 76):
+            for c in (0, 40, 90):
+                exp = (41 * (r // 8) + 29 * (c // 8)
+                       + (r // 8) * (c // 8)) % 200 + 25
+                assert grid[r, c] == exp
