@@ -86,6 +86,10 @@ HEADLINE = [
     "raster_geotiff_jpeg_progressive",
     "text_winnow",
     "raster_contour",
+    # round-12 additions: the QM arithmetic-JPEG decode fixture and the
+    # bundled real-magnitude NTv2 grid point transform
+    "raster_geotiff_jpeg_arithmetic",
+    "raster_ntv2_bundled",
 ]
 
 

@@ -1,0 +1,111 @@
+"""Build a synthetic ~sf1 dataset for the scaling-slope record
+(VERDICT r11 #2).
+
+Replicates the driver's sf0.1 parquet 10x into disjoint key shards:
+every join key shifts by ``shard * (max_key + 1)``, so each shard joins
+consistently within itself and the workload's join/group cardinalities
+scale ~linearly — the shape a 10x-bigger TPC-H-ish dataset would have.
+Document text is salted per shard with a vowel rotation (length- and
+whitespace-preserving), so shards do not become exact/near duplicates
+of each other, which would turn the LSH benchmark's duplicate clusters
+quadratic and measure a different data distribution instead of scale.
+Dimension tables that queries treat as reference data (nation, region)
+copy through unchanged; embeddings shift vec_id only.
+
+Usage::
+
+    python tools/make_synth_sf.py [out_dir]   # default /tmp/spark_graft_sf1
+"""
+
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+SHARDS = 10
+VOWELS = "aeiou"
+
+
+def rot(s: str, i: int) -> str:
+    i %= len(s)
+    return s[i:] + s[:i]
+
+
+def build(out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+
+    def base(table, col):
+        return con.sql(
+            f"SELECT max({col}) + 1 FROM '{SRC}/{table}.parquet'"
+        ).fetchone()[0]
+
+    bo = base("orders", "o_orderkey")
+    bs = base("supplier", "s_suppkey")
+    bp = base("part", "p_partkey")
+    bc = base("customer", "c_custkey")
+    bd = base("documents", "doc_id")
+    be = base("events", "event_id")
+    bu = base("events", "user_id")
+    bv = base("embeddings", "vec_id")
+
+    def shard_union(table, select_tpl):
+        parts = []
+        for i in range(SHARDS):
+            parts.append(
+                f"SELECT {select_tpl.format(i=i)} "
+                f"FROM '{SRC}/{table}.parquet'"
+            )
+        return " UNION ALL ".join(parts)
+
+    specs = {
+        "lineitem": shard_union("lineitem", (
+            f"l_orderkey + {{i}} * {bo} AS l_orderkey, "
+            f"l_partkey + {{i}} * {bp} AS l_partkey, "
+            f"l_suppkey + {{i}} * {bs} AS l_suppkey, "
+            "l_linenumber, l_quantity, l_extendedprice, l_discount, "
+            "l_tax, l_returnflag, l_linestatus, l_shipdate")),
+        "orders": shard_union("orders", (
+            f"o_orderkey + {{i}} * {bo} AS o_orderkey, "
+            f"o_custkey + {{i}} * {bc} AS o_custkey, "
+            "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority")),
+        "supplier": shard_union("supplier", (
+            f"s_suppkey + {{i}} * {bs} AS s_suppkey, "
+            "s_name || '-' || {i} AS s_name, s_nationkey, s_acctbal")),
+        "customer": shard_union("customer", (
+            f"c_custkey + {{i}} * {bc} AS c_custkey, "
+            "c_name || '-' || {i} AS c_name, c_nationkey, c_acctbal, "
+            "c_mktsegment")),
+        "part": shard_union("part", (
+            f"p_partkey + {{i}} * {bp} AS p_partkey, "
+            "p_name, p_brand, p_type, p_size, p_retailprice")),
+        "events": shard_union("events", (
+            f"event_id + {{i}} * {be} AS event_id, ts, "
+            f"user_id + {{i}} * {bu} AS user_id, "
+            "event_type, value, props")),
+        "embeddings": shard_union("embeddings", (
+            f"vec_id + {{i}} * {bv} AS vec_id, embedding, label")),
+    }
+    # documents: per-shard vowel rotation keeps length/whitespace/
+    # n_chars while making shards non-duplicate
+    doc_parts = []
+    for i in range(SHARDS):
+        lower = rot(VOWELS, i) + rot(VOWELS.upper(), i)
+        sel = (f"doc_id + {i} * {bd} AS doc_id, "
+               f"translate(text, '{VOWELS + VOWELS.upper()}', '{lower}') "
+               "AS text, lang, source, n_chars")
+        doc_parts.append(f"SELECT {sel} FROM '{SRC}/documents.parquet'")
+    specs["documents"] = " UNION ALL ".join(doc_parts)
+
+    for t in ("nation", "region"):
+        specs[t] = f"SELECT * FROM '{SRC}/{t}.parquet'"
+
+    for t, q in specs.items():
+        con.sql(f"COPY ({q}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)")
+        n = con.sql(f"SELECT count(*) FROM '{out_dir}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {n} rows")
+
+
+if __name__ == "__main__":
+    build(sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1")
