@@ -86,10 +86,12 @@ HEADLINE = [
     "raster_geotiff_jpeg_progressive",
     "text_winnow",
     "raster_contour",
-    # round-12 additions: the QM arithmetic-JPEG decode fixture and the
-    # bundled real-magnitude NTv2 grid point transform
+    # round-12 additions: the QM arithmetic-JPEG decode fixture, the
+    # bundled real-magnitude NTv2 grid point transform, and the SOF3
+    # lossless-JPEG decode fixture
     "raster_geotiff_jpeg_arithmetic",
     "raster_ntv2_bundled",
+    "raster_geotiff_jpeg_lossless",
 ]
 
 

@@ -1906,6 +1906,122 @@ FROM coords
 """
 
 
+def _lossless_jpeg_tiff_fixture() -> tuple[bytes, int, int]:
+    """Deterministic LOSSLESS (SOF3) JPEG-in-TIFF fixture (r12): T.81
+    Annex H prediction differences through a canonical huffman table.
+    Lossless decode is exact BY CONSTRUCTION, so the content can be an
+    arbitrary closed-form grid (no block-constant restriction) and the
+    oracle recomputes it arithmetically. Inline self-contained encoder
+    (predictor 4 = a + b - c, the Annex H default recommendation)."""
+    import struct as _s
+
+    rows, cols = 77, 91
+
+    def val(r, c):
+        return (7 * r + 11 * c + (r * c) % 13) % 256
+
+    # canonical huffman: SSSS 0..16 as 16 codes of 5 bits + 1 of 6
+    counts = [0, 0, 0, 0, 16, 1] + [0] * 10
+    values = list(range(17))
+    codes = {}
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+
+    out = bytearray()
+    acc = n = 0
+
+    def put(c, ln):
+        nonlocal acc, n
+        for i in range(ln - 1, -1, -1):
+            acc = (acc << 1) | ((c >> i) & 1)
+            n += 1
+            if n == 8:
+                out.append(acc)
+                if acc == 0xFF:
+                    out.append(0x00)
+                acc = n = 0
+
+    default = 128
+    for r in range(rows):
+        for c in range(cols):
+            if r == 0 and c == 0:
+                pred = default
+            elif r == 0:
+                pred = val(r, c - 1)
+            elif c == 0:
+                pred = val(r - 1, c)
+            else:
+                pred = val(r, c - 1) + val(r - 1, c) - val(r - 1, c - 1)
+            d = (val(r, c) - pred) & 0xFFFF
+            if d >= 32768:
+                d -= 65536
+            if d in (32768, -32768):
+                put(*codes[16])
+            else:
+                size = abs(d).bit_length()
+                put(*codes[size])
+                if size:
+                    bits = d if d > 0 else d + (1 << size) - 1
+                    put(bits, size)
+    while n:
+        put(1, 1)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + _s.pack(">H", len(payload) + 2) + payload
+
+    dht = seg(0xC4, bytes([0x00]) + bytes(counts) + bytes(values))
+    sof = seg(0xC3, bytes([8]) + _s.pack(">HH", rows, cols)
+              + bytes([1, 1, 0x11, 0]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 4, 0, 0x00]))  # predictor 4, Pt 0
+    jpeg = b"\xff\xd8" + dht + sof + sos + bytes(out) + b"\xff\xd9"
+
+    data = jpeg + (b"\0" if len(jpeg) % 2 else b"")
+    entries = [
+        (256, 4, cols), (257, 4, rows), (258, 3, 8), (259, 3, 7),
+        (262, 3, 1), (273, 4, 8), (277, 3, 1), (278, 4, rows),
+        (279, 4, len(jpeg)), (284, 3, 1), (339, 3, 1),
+    ]
+    ifd_offset = 8 + len(data)
+    ifd = _s.pack("<H", len(entries))
+    for tag, typ, v in entries:
+        ifd += _s.pack("<HHI", tag, typ, 1) + _s.pack("<I", v)
+    ifd += _s.pack("<I", 0)
+    tiff = _s.pack("<2sHI", b"II", 42, ifd_offset) + data + ifd
+    return tiff, rows, cols
+
+
+def q_raster_geotiff_jpeg_lossless(spark, sf_dir):
+    """Lossless (SOF3) JPEG-in-TIFF decode under the gate (r12):
+    Annex-H predictive coding wrapped in a Compression=7 TIFF, decoded
+    by the from-scratch codec. Decode is exact by construction, so the
+    oracle recomputes the arbitrary closed-form grid arithmetically.
+    Reference reads this class via geotrellis-raster's TIFF decoder
+    (io/geotiff/GeoTiffRDD.scala:96-164)."""
+    from ..sources import geotiff_codec as codec
+
+    tiff, rows, cols = _lossless_jpeg_tiff_fixture()
+    cells, _, _, _ = codec.decode_geotiff(tiff)
+    grid = cells[0].astype(float)
+    out = [(r, c, float(grid[r, c])) for r in range(rows) for c in range(cols)]
+    return spark.createDataFrame(out, "row int, col int, value double")
+
+
+SQL_RASTER_GEOTIFF_JPEG_LOSSLESS = """
+WITH coords AS (
+  SELECT CAST(r.range AS INT) AS row, CAST(c.range AS INT) AS col
+  FROM range(77) r, range(91) c
+)
+SELECT row, col,
+       CAST((7 * row + 11 * col + (row * col) % 13) % 256 AS DOUBLE) AS value
+FROM coords
+"""
+
+
 def q_raster_contour(spark, sf_dir):
     """Marching-squares contour extraction (r11, parity breadth like the
     hydrology trio — gdal_contour / GeoTrellis vectorize family): iso
@@ -10606,6 +10722,7 @@ def _canonical_queries():
         "raster_contour": q_raster_contour,
         "raster_geotiff_jpeg_progressive": q_raster_geotiff_jpeg_progressive,
         "raster_geotiff_jpeg_arithmetic": q_raster_geotiff_jpeg_arithmetic,
+        "raster_geotiff_jpeg_lossless": q_raster_geotiff_jpeg_lossless,
         "raster_zindex_temporal": q_raster_zindex_temporal,
         "raster_catalog_roundtrip": q_raster_catalog_roundtrip,
         "raster_convert_int8": q_raster_convert_int8,
@@ -10650,6 +10767,7 @@ _WINDOW_ORDER_ROUND: int = 11
 _WINDOW_ORDER: list = [
     "raster_ntv2_bundled",
     "raster_geotiff_jpeg_arithmetic",
+    "raster_geotiff_jpeg_lossless",
     "vector_shapefile",
     "rel_bloom_filter",
     "events_pivot",
@@ -10962,6 +11080,7 @@ def oracle_sql():
         "raster_contour": _sql_contour(),
         "raster_geotiff_jpeg_progressive": SQL_RASTER_GEOTIFF_JPEG_PROGRESSIVE,
         "raster_geotiff_jpeg_arithmetic": SQL_RASTER_GEOTIFF_JPEG_ARITHMETIC,
+        "raster_geotiff_jpeg_lossless": SQL_RASTER_GEOTIFF_JPEG_LOSSLESS,
         "raster_zindex_temporal": _sql_zindex_temporal(),
         "raster_catalog_roundtrip": SQL_RASTER_CATALOG_ROUNDTRIP,
         "raster_convert_int8": SQL_RASTER_CONVERT_INT8,

@@ -26,9 +26,13 @@ Scope (what real JPEG-in-TIFF files use):
   SOF10 via a from-scratch T.81 Annex D QM-coder (state table D.3,
   Annex F conditioning contexts, DAC markers, restart re-init); see
   the "arithmetic coding" section below
+- lossless (r12): SOF3 per T.81 Annex H — huffman-coded prediction
+  differences over the seven spatial predictors, point transform,
+  2..16-bit samples, bit-exact by construction
 
-Out of scope (raises ``ValueError`` naming the feature): lossless
-(SOF3), hierarchical — neither appears in GDAL-produced JPEG-in-TIFF.
+Out of scope (raises ``ValueError`` naming the feature): hierarchical
+(SOF5-7) and arithmetic-lossless (SOF11) — neither appears in
+GDAL-produced JPEG-in-TIFF.
 
 The IDCT is the exact float 8x8 basis product (no integer fast-DCT
 approximation), so decode error against any conformant encoder is the
@@ -312,12 +316,17 @@ def decode_baseline(data: bytes, tables: bytes | None = None,
         return _decode_arith_sequential(data, st, pos, ycbcr_to_rgb)
     if m == 0xCA:
         return _decode_arith_progressive(data, st, pos, ycbcr_to_rgb)
+    if m == 0xC3:
+        return _decode_lossless(data, st, pos, ycbcr_to_rgb)
     if m not in (0xC0, 0xC1):
-        names = {0xC3: "lossless (SOF3)"}
+        names = {0xC5: "hierarchical sequential (SOF5)",
+                 0xC6: "hierarchical progressive (SOF6)",
+                 0xC7: "hierarchical lossless (SOF7)",
+                 0xCB: "arithmetic lossless (SOF11)"}
         raise ValueError(
             f"JPEG: only huffman sequential (SOF0/SOF1), progressive "
-            f"(SOF2), and arithmetic (SOF9/SOF10) are supported, got "
-            f"{names.get(m, f'marker {m:#x}')}")
+            f"(SOF2), lossless (SOF3), and arithmetic (SOF9/SOF10) are "
+            f"supported, got {names.get(m, f'marker {m:#x}')}")
     ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
     seg = data[pos + 4:pos + 2 + ln]
     precision = seg[0]
@@ -1140,3 +1149,117 @@ def _arith_dec_ac_refine(dec: _ArithDecoder, stats: _Stats, fixed: _Stats,
                 raise ValueError("JPEG: arithmetic AC refine ran past Se")
             i3 = 3 * (k - 1)
         k += 1
+
+
+# ---- lossless (SOF3) --------------------------------------------------------
+#
+# T.81 Annex H lossless mode (r12): huffman-coded prediction
+# differences, NO DCT/quantization — decode is bit-exact. Seven spatial
+# predictors (H.1.2.1; a=left, b=above, c=above-left), the point
+# transform Pt (final samples shift left by Pt), and the spec's edge
+# rules: the first sample predicts 2^(P-Pt-1), the rest of row 0
+# predicts from a, the first column predicts from b; a restart resets
+# to the start-of-scan state. Differences code as SSSS categories
+# through a DC-class huffman table; SSSS=16 means diff = 32768 with no
+# extra bits (H.1.2.2). Output is uint8 (P<=8) or uint16, raw samples
+# (no level shift / color transform — lossless streams carry raw
+# component values).
+
+
+def _lossless_predict(out, r, c, ci, psel, default):
+    if r == 0 and c == 0:
+        return default
+    if r == 0:
+        return int(out[r, c - 1, ci])
+    if c == 0:
+        return int(out[r - 1, c, ci])
+    a = int(out[r, c - 1, ci])
+    b = int(out[r - 1, c, ci])
+    cc = int(out[r - 1, c - 1, ci])
+    if psel == 1:
+        return a
+    if psel == 2:
+        return b
+    if psel == 3:
+        return cc
+    if psel == 4:
+        return a + b - cc
+    if psel == 5:
+        return a + ((b - cc) >> 1)
+    if psel == 6:
+        return b + ((a - cc) >> 1)
+    if psel == 7:
+        return (a + b) >> 1
+    raise ValueError(f"JPEG: lossless predictor {psel} (1..7 valid)")
+
+
+def _decode_lossless(data: bytes, st: _JpegState, pos: int,
+                     ycbcr_to_rgb) -> np.ndarray:
+    ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+    seg = data[pos + 4:pos + 2 + ln]
+    precision = seg[0]
+    if not 2 <= precision <= 16:
+        raise ValueError(f"JPEG: lossless precision {precision} (2..16)")
+    rows, cols = struct.unpack(">HH", seg[1:5])
+    ncomp = seg[5]
+    comps: list[_Component] = []
+    for i in range(ncomp):
+        cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+        h, v = hv >> 4, hv & 15
+        if (h, v) != (1, 1):
+            raise ValueError(
+                "JPEG: lossless subsampling unsupported (1x1 only)")
+        comps.append(_Component(cid, h, v, tq))
+    pos += 2 + ln
+
+    pos = st.read_tables(data, pos, len(data))
+    if pos + 1 >= len(data) or data[pos + 1] != 0xDA:
+        raise ValueError("JPEG: expected SOS after frame header")
+    ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+    sseg = data[pos + 4:pos + 2 + ln]
+    ns = sseg[0]
+    if ns != ncomp:
+        raise ValueError("JPEG: lossless multi-scan not supported")
+    by_id = {c.cid: c for c in comps}
+    for i in range(ns):
+        cs, tdta = sseg[1 + 2 * i], sseg[2 + 2 * i]
+        by_id[cs].td = tdta >> 4
+    psel = sseg[1 + 2 * ns]           # Ss = predictor selector
+    pt = sseg[3 + 2 * ns] & 15        # Al = point transform
+    pos += 2 + ln
+
+    out = np.zeros((rows, cols, ncomp), dtype=np.int64)
+    default = 1 << (precision - pt - 1)
+    br = _BitReader(data, pos)
+    ri = st.restart_interval
+    rst = 0
+    mask = 0xFFFF
+    n_since = 0
+    fresh = True      # first sample of the scan / of a restart interval
+    for r in range(rows):
+        for c in range(cols):
+            if ri and n_since and n_since % ri == 0:
+                br.align_and_expect_rst(rst)
+                rst += 1
+                fresh = True   # prediction resets to the default
+            n_since += 1
+            for ci, comp in enumerate(comps):
+                tbl = st.huff_dc.get(comp.td)
+                if tbl is None:
+                    raise ValueError("JPEG: scan references an undefined table")
+                t = tbl.decode(br)
+                if t == 16:
+                    diff = 32768          # H.1.2.2: no appended bits
+                elif t:
+                    diff = _extend(br.receive(t), t)
+                else:
+                    diff = 0
+                pred = (default if fresh
+                        else _lossless_predict(out, r, c, ci, psel, default))
+                out[r, c, ci] = (pred + diff) & mask
+            fresh = False
+    samples = (out << pt).astype(np.int64)
+    maxv = (1 << precision) - 1
+    samples = np.clip(samples, 0, maxv)
+    dtype = np.uint8 if precision <= 8 else np.uint16
+    return samples.astype(dtype)

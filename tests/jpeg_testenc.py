@@ -868,3 +868,86 @@ def _arith_enc_ac_refine(enc, stats, fixed, zz, kx, ss, se, ah, al):
             k += 1
             i3 = 3 * (k - 1)
         k += 1
+
+
+# ---- lossless (SOF3) encoder ------------------------------------------------
+
+# SSSS categories 0..16 need 17 codes: 16 at 5 bits + 1 at 6 bits
+# (canonical; never hits the reserved all-ones word)
+LL_DC = ([0, 0, 0, 0, 16, 1] + [0] * 10, list(range(17)))
+
+
+def encode_lossless(img: np.ndarray, predictor: int = 4,
+                    point_transform: int = 0, precision: int = 8,
+                    restart_interval: int = 0) -> bytes:
+    """Encode raw samples to a lossless JPEG (SOF3, T.81 Annex H).
+    ``img`` is (rows, cols) or (rows, cols, ncomp) ints in
+    [0, 2^precision); decode must reproduce ``(img >> Pt) << Pt``
+    bit-exactly. Independent implementation (prediction + modulo-65536
+    diffs + SSSS/EXTEND), mirroring only the PUBLIC spec."""
+    a = np.asarray(img, dtype=np.int64)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    rows, cols, ncomp = a.shape
+    v = a >> point_transform
+    default = 1 << (precision - point_transform - 1)
+
+    def predict(r, c, ci):
+        if r == 0 and c == 0:
+            return default
+        if r == 0:
+            return int(v[r, c - 1, ci])
+        if c == 0:
+            return int(v[r - 1, c, ci])
+        aa = int(v[r, c - 1, ci])
+        bb = int(v[r - 1, c, ci])
+        cc = int(v[r - 1, c - 1, ci])
+        return {1: aa, 2: bb, 3: cc, 4: aa + bb - cc,
+                5: aa + ((bb - cc) >> 1), 6: bb + ((aa - cc) >> 1),
+                7: (aa + bb) >> 1}[predictor]
+
+    dcmap = _codes(*LL_DC)
+    bw = _BitWriter()
+    out = bytearray()
+    rst = 0
+    n_since = 0
+    fresh = True
+    for r in range(rows):
+        for c in range(cols):
+            if restart_interval and n_since and n_since % restart_interval == 0:
+                bw.pad()
+                out += bytes(bw.out)
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                fresh = True
+            n_since += 1
+            for ci in range(ncomp):
+                pred = default if fresh else predict(r, c, ci)
+                d = (int(v[r, c, ci]) - pred) & 0xFFFF
+                if d >= 32768:
+                    d -= 65536
+                if d == 32768 or d == -32768:
+                    bw.write(*dcmap[16])       # SSSS=16: no appended bits
+                else:
+                    size, bits = _magnitude(d)
+                    cde, ln = dcmap[size]
+                    bw.write(cde, ln)
+                    bw.write(bits, size)
+            fresh = False
+    bw.pad()
+    out += bytes(bw.out)
+
+    dht = _dht_seg(0, 0, LL_DC)
+    sof = bytes([precision]) + struct.pack(">HH", rows, cols) + bytes([ncomp])
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0])
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([predictor, 0, point_transform])
+    dri = (_seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
+    return (b"\xff\xd8" + dht + dri + _seg(0xC3, sof)
+            + b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+            + bytes(out) + b"\xff\xd9")

@@ -1393,14 +1393,44 @@ class TestJpegInTiff:
         np.testing.assert_array_equal(got, full[0, 7:20, 5:16])
 
     def test_unsupported_jpeg_flavors_raise(self):
-        # SOF2 decodes as of r11 and SOF9/SOF10 as of r12; lossless
-        # (SOF3) is the remaining named-raise class
+        # SOF2 decodes as of r11 and SOF9/SOF10/SOF3 as of r12;
+        # hierarchical (SOF5-7) is the remaining named-raise class
         pix = self._smooth_gray(16, 16)
         buf = bytearray(_write_tiff_jpeg(pix, rows_per_strip=16))
         j = bytes(buf).index(b"\xff\xc0")
-        buf[j + 1] = 0xC3
-        with pytest.raises(ValueError, match="lossless"):
+        buf[j + 1] = 0xC5
+        with pytest.raises(ValueError, match="hierarchical"):
             geotiff_codec.decode_geotiff(bytes(buf))
+
+    def test_lossless_strips_exact(self):
+        # r12: SOF3 lossless JPEG-in-TIFF decodes BIT-EXACTLY (no
+        # quantization) through the TIFF strip path
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+        from jpeg_testenc import encode_lossless
+
+        rng = np.random.default_rng(12)
+        pix = rng.integers(0, 256, (40, 33)).astype(np.int64)
+        jpeg = encode_lossless(pix, predictor=4)
+        # single-strip new-style TIFF around the lossless stream
+        import struct as _s
+
+        data = jpeg + (b"\0" if len(jpeg) % 2 else b"")
+        entries = [
+            (256, 4, 33), (257, 4, 40), (258, 3, 8), (259, 3, 7),
+            (262, 3, 1), (273, 4, 8), (277, 3, 1), (278, 4, 40),
+            (279, 4, len(jpeg)), (284, 3, 1), (339, 3, 1),
+        ]
+        ifd_offset = 8 + len(data)
+        ifd = _s.pack("<H", len(entries))
+        for tag, typ, val in entries:
+            ifd += _s.pack("<HHI", tag, typ, 1) + _s.pack("<I", val)
+        ifd += _s.pack("<I", 0)
+        tiff = _s.pack("<2sHI", b"II", 42, ifd_offset) + data + ifd
+        cells, _, _, _ = geotiff_codec.decode_geotiff(tiff)
+        np.testing.assert_array_equal(cells[0], pix)
 
     def test_arithmetic_strips_match_baseline(self):
         # r12: arithmetic-coded (SOF9) multi-strip JPEG-in-TIFF —

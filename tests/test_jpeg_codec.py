@@ -84,13 +84,22 @@ class TestStreamFeatures:
             scan, tables=b"\xff\xd8" + tables + b"\xff\xd9")
         np.testing.assert_array_equal(ref, got)
 
-    def test_lossless_coding_raises(self):
-        # SOF2 decodes as of r11 and SOF9/SOF10 as of r12; lossless
-        # (SOF3) is the remaining class and raises with a named error
+    def test_mislabeled_lossless_rejected(self):
+        # SOF3 decodes as of r12 — but a baseline DCT stream relabeled
+        # SOF3 carries Ss=0, which is not a valid lossless predictor
+        # (1..7): rejected with a named error, never mis-decoded
         buf = bytearray(encode_baseline(self._img()))
         j = bytes(buf).index(b"\xff\xc0")
         buf[j + 1] = 0xC3
-        with pytest.raises(ValueError, match="lossless"):
+        with pytest.raises(ValueError, match="lossless predictor"):
+            decode_baseline(bytes(buf))
+
+    def test_hierarchical_raises(self):
+        # hierarchical (SOF5-7) is the remaining named-raise class
+        buf = bytearray(encode_baseline(self._img()))
+        j = bytes(buf).index(b"\xff\xc0")
+        buf[j + 1] = 0xC5
+        with pytest.raises(ValueError, match="hierarchical"):
             decode_baseline(bytes(buf))
 
     def test_mislabeled_progressive_rejected(self):
@@ -462,3 +471,64 @@ class TestArithmetic:
                 exp = (41 * (r // 8) + 29 * (c // 8)
                        + (r // 8) * (c // 8)) % 200 + 25
                 assert grid[r, c] == exp
+
+
+class TestLossless:
+    """r12: SOF3 lossless (T.81 Annex H). Exactness is the contract —
+    every round-trip must be bit-identical (modulo the point
+    transform's deliberate truncation)."""
+
+    def test_all_predictors_exact(self):
+        from jpeg_testenc import encode_lossless
+
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, (37, 41)).astype(np.int64)
+        for p in range(1, 8):
+            out = decode_baseline(encode_lossless(img, predictor=p))
+            assert out.dtype == np.uint8
+            np.testing.assert_array_equal(out[:, :, 0], img)
+
+    def test_sixteen_bit_exact(self):
+        from jpeg_testenc import encode_lossless
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 65536, (20, 23))
+        out = decode_baseline(encode_lossless(img, precision=16))
+        assert out.dtype == np.uint16
+        np.testing.assert_array_equal(out[:, :, 0], img)
+
+    def test_point_transform(self):
+        from jpeg_testenc import encode_lossless
+
+        rng = np.random.default_rng(6)
+        img = rng.integers(0, 256, (18, 19))
+        out = decode_baseline(encode_lossless(img, point_transform=2))
+        np.testing.assert_array_equal(out[:, :, 0], (img >> 2) << 2)
+
+    def test_restart_intervals(self):
+        from jpeg_testenc import encode_lossless
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (31, 29))
+        out = decode_baseline(encode_lossless(img, restart_interval=50))
+        np.testing.assert_array_equal(out[:, :, 0], img)
+
+    def test_multi_component_raw(self):
+        """Lossless streams carry RAW components — no YCbCr transform."""
+        from jpeg_testenc import encode_lossless
+
+        rng = np.random.default_rng(8)
+        rgb = rng.integers(0, 256, (15, 17, 3))
+        out = decode_baseline(encode_lossless(rgb))
+        np.testing.assert_array_equal(out, rgb)
+
+    def test_worst_case_diffs(self):
+        """Alternating extreme samples force the modulo-65536 diff
+        wraparound and the SSSS=16 no-bits case."""
+        from jpeg_testenc import encode_lossless
+
+        img = np.zeros((4, 64), dtype=np.int64)
+        img[:, 1::2] = 65535
+        out = decode_baseline(encode_lossless(img, precision=16,
+                                              predictor=1))
+        np.testing.assert_array_equal(out[:, :, 0], img)
