@@ -205,6 +205,10 @@ def resolve_for_tasks(uri: str) -> str:
 #: one download, not one per window — and the degradation is warned once
 _NON_RANGE_BODIES: dict[str, bytes] = {}
 _NON_RANGE_CACHE_MAX = 4
+#: bodies above this size are sliced but NOT cached (a multi-GB object
+#: must not pin executor memory); each window then re-downloads, which
+#: the warning makes visible
+_NON_RANGE_BODY_MAX = 256 * 1024 * 1024
 
 
 def get_range(uri: str, off: int, size: int) -> bytes:
@@ -228,9 +232,10 @@ def get_range(uri: str, off: int, size: int) -> bytes:
         "reads will not be partial against this server",
         RuntimeWarning, stacklevel=2,
     )
-    while len(_NON_RANGE_BODIES) >= _NON_RANGE_CACHE_MAX:
-        _NON_RANGE_BODIES.pop(next(iter(_NON_RANGE_BODIES)))
-    _NON_RANGE_BODIES[key] = body
+    if len(body) <= _NON_RANGE_BODY_MAX:
+        while len(_NON_RANGE_BODIES) >= _NON_RANGE_CACHE_MAX:
+            _NON_RANGE_BODIES.pop(next(iter(_NON_RANGE_BODIES)))
+        _NON_RANGE_BODIES[key] = body
     return body[off:off + size]
 
 
