@@ -1080,8 +1080,8 @@ def _decode_arith_progressive(data: bytes, st: _JpegState, pos: int,
                 c.pred = 0
                 c.dc_ctx = 0
 
-        if ss == 0 and len(scomps) >= 1:
-            # DC scan (interleaved MCU order, or single component)
+        if ss == 0 and len(scomps) > 1:
+            # interleaved DC scan: MCU order
             for mi in range(mcuy * mcux):
                 if ri and mi and mi % ri == 0:
                     _restart()
@@ -1098,6 +1098,24 @@ def _decode_arith_progressive(data: bytes, st: _JpegState, pos: int,
                             else:
                                 if dec.decode(fixed, 0):
                                     blk[0] |= 1 << al
+        elif ss == 0:
+            # non-interleaved DC scan: the component's OWN block grid
+            # (T.81 A.2.2), not the MCU-padded plane
+            c = scomps[0]
+            ci = comps.index(c)
+            dcond = st.arith_dc_cond.get(c.td, (0, 1))
+            bh, bw = nblocks[ci]
+            for bi in range(bh * bw):
+                if ri and bi and bi % ri == 0:
+                    _restart()
+                by, bx = divmod(bi, bw)
+                blk = coefs[ci][by, bx]
+                if ah == 0:
+                    blk[0] = _arith_dec_dc(dec, dc_stats[c.td], c,
+                                           dcond) << al
+                else:
+                    if dec.decode(fixed, 0):
+                        blk[0] |= 1 << al
         else:
             c = scomps[0]
             ci = comps.index(c)

@@ -783,57 +783,95 @@ def _pt(v: int, al: int) -> int:
 
 
 def encode_arith_progressive(img: np.ndarray, scans=None):
-    """Encode GRAYSCALE to a progressive arithmetic-coded JPEG (SOF10):
-    the default scan script matches ``encode_progressive``'s grayscale
-    script, coefficient-identical to the baseline encode."""
+    """Encode grayscale OR RGB (4:4:4) to a progressive
+    arithmetic-coded JPEG (SOF10): default scan scripts match
+    ``encode_progressive``'s, coefficient-identical to the baseline
+    encode. Color uses an INTERLEAVED DC scan plus per-component
+    (non-interleaved) AC scans — both progressive scan orders of
+    T.81 A.2.2/G.1."""
     padded, samp, qts, gray, rows, cols, mcux, mcuy = _prep_planes(
         img, (1, 1))
-    assert gray, "arith progressive test encoder: gray only"
-    coefs = _quantized_coefs(padded, samp, [QLUM], 128.0)[0]
+    ncomp = 1 if gray else 3
+    qs = [QLUM] + [QCHROM] * (ncomp - 1)
+    coefs = _quantized_coefs(padded, samp, qs, 128.0)
     if scans is None:
-        scans = [
-            (0, 0, 0, 1),
-            (1, 5, 0, 2),
-            (6, 63, 0, 2),
-            (1, 63, 2, 1),
-            (0, 0, 1, 0),
-            (1, 63, 1, 0),
-        ]
+        if gray:
+            scans = [
+                ([0], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                ([0], 0, 0, 1, 0),
+                ([0], 1, 63, 1, 0),
+            ]
+        else:
+            scans = [
+                ([0, 1, 2], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([2], 1, 63, 0, 1),
+                ([1], 1, 63, 0, 1),
+                ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                ([0, 1, 2], 0, 0, 1, 0),
+                ([2], 1, 63, 1, 0),
+                ([1], 1, 63, 1, 0),
+                ([0], 1, 63, 1, 0),
+            ]
 
-    tables = _dqt_seg(0, QLUM) + _dac_seg(1)
-    sof = bytes([8]) + struct.pack(">HH", rows, cols) + bytes([1])
-    sof += bytes([1, 0x11, 0])
+    tables = (_dqt_seg(0, QLUM)
+              + (_dqt_seg(1, QCHROM) if not gray else b"")
+              + _dac_seg(ncomp))
+    sof = bytes([8]) + struct.pack(">HH", rows, cols) + bytes([ncomp])
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, qts[i]])
     out = bytearray(b"\xff\xd8" + tables + _seg(0xCA, sof))
-    BY, BX = coefs.shape[:2]
 
-    for ss, se, ah, al in scans:
-        sos = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+    for cis, ss, se, ah, al in scans:
+        tdta = [0 if ci == 0 else 1 for ci in cis]
+        sos = bytes([len(cis)])
+        for ci, t in zip(cis, tdta):
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([ss, se, (ah << 4) | al])
         out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
         enc = _ArithEncoder()
-        dc_stats = _Stats(64)
-        ac_stats = _Stats(256)
+        dc_stats = {t: _Stats(64) for t in tdta}
+        ac_stats = {t: _Stats(256) for t in tdta}
         fixed = _Stats(1, init_state=113)
-        state = {"ctx": 0}
-        pred = 0
-        for bi in range(BY * BX):
-            by, bx = divmod(bi, BX)
-            zz = coefs[by, bx]
-            if ss == 0:
-                dc = int(zz[0])
-                if ah == 0:
-                    d = dc >> al
-                    _arith_enc_dc(enc, dc_stats, state, (0, 1), d - pred)
-                    pred = d
-                else:
-                    enc.encode(fixed, 0, (dc >> al) & 1)
-            elif ah == 0:
-                pt = [0] * 64
-                for k in range(ss, se + 1):
-                    pt[k] = _pt(int(zz[k]), al)
-                _arith_enc_ac(enc, ac_stats, fixed, pt, 5, ss, se)
+        states = {ci: {"ctx": 0} for ci in cis}
+        preds = {ci: 0 for ci in cis}
+
+        def enc_dc(ci, t, zz):
+            dc = int(zz[0])
+            if ah == 0:
+                d = dc >> al
+                _arith_enc_dc(enc, dc_stats[t], states[ci], (0, 1),
+                              d - preds[ci])
+                preds[ci] = d
             else:
-                _arith_enc_ac_refine(enc, ac_stats, fixed, zz, 5, ss, se,
-                                     ah, al)
+                enc.encode(fixed, 0, (dc >> al) & 1)
+
+        if ss == 0 and len(cis) > 1:
+            # interleaved DC scan: MCU order (h=v=1: one block/comp)
+            for mi in range(mcuy * mcux):
+                my, mx = divmod(mi, mcux)
+                for ci, t in zip(cis, tdta):
+                    enc_dc(ci, t, coefs[ci][my, mx])
+        else:
+            ci, t = cis[0], tdta[0]
+            BY, BX = coefs[ci].shape[:2]
+            for bi in range(BY * BX):
+                by, bx = divmod(bi, BX)
+                zz = coefs[ci][by, bx]
+                if ss == 0:
+                    enc_dc(ci, t, zz)
+                elif ah == 0:
+                    pt = [0] * 64
+                    for k in range(ss, se + 1):
+                        pt[k] = _pt(int(zz[k]), al)
+                    _arith_enc_ac(enc, ac_stats[t], fixed, pt, 5, ss, se)
+                else:
+                    _arith_enc_ac_refine(enc, ac_stats[t], fixed, zz, 5,
+                                         ss, se, ah, al)
         out += enc.finish()
     out += b"\xff\xd9"
     return bytes(out)

@@ -395,6 +395,19 @@ class TestArithmetic:
         got = decode_baseline(encode_arith_progressive(img))
         np.testing.assert_array_equal(got, ref)
 
+    def test_progressive_color_matches_huffman(self):
+        """SOF10 color: an INTERLEAVED arithmetic DC scan plus
+        per-component AC first/refinement scans (both progressive scan
+        orders) decode bit-equal to the sequential huffman stream."""
+        from jpeg_testenc import encode_arith_progressive
+
+        g = self._textured(34, 42, seed=15).astype(float)
+        rgb = np.stack([g, np.clip(g * 0.6 + 60, 0, 255),
+                        np.clip(255 - g, 0, 255)], axis=-1).astype(np.uint8)
+        ref = decode_baseline(encode_baseline(rgb))
+        got = decode_baseline(encode_arith_progressive(rgb))
+        np.testing.assert_array_equal(got, ref)
+
     def test_twelve_bit_sequential(self):
         from jpeg_testenc import encode_arith_sequential
 
