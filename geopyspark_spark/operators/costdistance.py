@@ -341,20 +341,46 @@ def cost_distance(
     cluster's parallelism; on toy grids the whole layout collapses into
     one block and the loop converges in a round or two.
 
-    ``max_iterations`` defaults to ``4 * layout_cols * layout_rows`` OF
-    THE BLOCKED LAYOUT: the front advances at least one block per
+    ``max_iterations`` defaults to ``4 * layout_cols * layout_rows`` of
+    the ORIGINAL tile layout: the front advances at least one block per
     halo-relaxation round along the active least-cost path, and a
     serpentine maze (walls forcing repeated reversals) can make that
-    path re-enter a block band once per wall gap — the old perimeter
-    bound (``cols + rows``) under-ran such mazes at larger layouts
-    (found by ``tools/stateful_sweep.py``), so the default is an area
-    bound. The convergence check still exits as soon as a round changes
-    nothing, so the cap never costs a round in practice (reference
-    ``IterativeCostDistance`` runs to convergence). An explicit smaller
-    cap that exits unconverged emits a RuntimeWarning instead of
-    silently returning too-large distances.
+    path re-enter a BLOCK once per wall gap — bounding by the blocked
+    layout's (much smaller) area under-capped such mazes and returned
+    unconverged distances (r12 multi-block finding; the tile-area bound
+    always dominates any blocked round count). The convergence check
+    still exits as soon as a round changes nothing, so the cap never
+    costs a round in practice (reference ``IterativeCostDistance`` runs
+    to convergence). An explicit smaller cap that exits unconverged
+    emits a RuntimeWarning instead of silently returning too-large
+    distances.
+
+    **Known worst case (documented, inherent):** a maze whose passages
+    span MULTIPLE blocks end-to-end still costs one round per
+    block-boundary crossing of the least-cost path — information flows
+    along the path and no blocking can shortcut it (the 16k-cell
+    serpentine collapses into one block and converges in ~2 rounds, but
+    a 1M-cell full-width serpentine across 2x2 blocks takes
+    O(#crossings) ~ 200 rounds). This matches the reference's
+    IterativeCostDistance shape; raising ``block_cells`` (more memory
+    per task) trades rounds for per-round cost when such inputs are
+    expected.
     """
-    g = _block_factor(friction.metadata.layout.tile_layout, block_cells)
+    tl = friction.metadata.layout.tile_layout
+    g = _block_factor(tl, block_cells)
+    if max_iterations is None:
+        # CELL-count bound (r12): each round advances the wavefront at
+        # least one tile/block-boundary crossing along the least-cost
+        # path, and a path visits each cell at most once, so rounds <=
+        # total cells. The r11 tile-AREA bound (4 * layout area) was
+        # still too small for dense mazes — a tile band holds multiple
+        # wall gaps, so the path re-enters it once per gap (found by
+        # the multi-block serpentine regression below, where both the
+        # blocked AND unblocked runs stopped unconverged). Early exit
+        # keeps real workloads at the converged round count, so the
+        # loose cap costs nothing.
+        max_iterations = max(
+            2, tl.layout_cols * tl.layout_rows * tl.tile_cols * tl.tile_rows)
     if g <= 1:
         return _cost_distance_core(friction, geometries, max_distance,
                                    max_iterations)
@@ -380,10 +406,11 @@ def _cost_distance_core(
     tl = md.layout.tile_layout
     tc, tr = tl.tile_cols, tl.tile_rows
     if max_iterations is None:
-        # area bound: a least-cost path crosses tile borders O(tiles)
-        # times even when walls force serpentine reversals; early exit
-        # keeps real rounds at the converged count
-        max_iterations = max(2, 4 * tl.layout_cols * tl.layout_rows)
+        # cell-count bound (r12; see cost_distance): rounds <= least-
+        # cost-path length <= total cells; early exit keeps real rounds
+        # at the converged count
+        max_iterations = max(
+            2, tl.layout_cols * tl.layout_rows * tl.tile_cols * tl.tile_rows)
     nd = md.nodata
     geoms = _normalize_geoms(geometries)
     cw, ch = md.layout.cell_width, md.layout.cell_height

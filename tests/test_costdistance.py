@@ -308,3 +308,68 @@ class TestGaussSeidelProperty:
                 equal_nan=True, atol=1e-9,
                 err_msg=f"maze seed {seed} (max_distance={max_d})",
             )
+
+
+def test_default_cap_spans_multiblock_mazes(spark):
+    """r12 regression: the default max_iterations must be the CELL-count
+    bound — a dense serpentine maze re-enters a block once per wall gap
+    (and a TILE band once per gap it contains), so both the blocked
+    layout's area (4*2*2=16 here) and the r11 tile-area bound (4*4*4=64)
+    under-cap it and returned unconverged distances. Asserts the maze
+    needs more rounds than both old bounds, converges under the default
+    (no RuntimeWarning), and blocked == unblocked exactly."""
+    import warnings
+
+    from geopyspark_spark.operators import costdistance as cd
+
+    rng = np.random.default_rng(42)
+    n, tsz = 64, 16
+    tiles = n // tsz                       # 4x4 tiles
+    fric = rng.uniform(0.5, 3.0, size=(n, n))
+    for i, r in enumerate(range(3, n - 2, 3)):   # dense serpentine walls
+        if i % 2 == 0:
+            fric[r, : n - 3] = np.nan
+        else:
+            fric[r, 3:] = np.nan
+    layout = gps.LayoutDefinition(
+        gps.Extent(0, 0, float(n), float(n)),
+        gps.TileLayout(tiles, tiles, tsz, tsz))
+    md = gps.LayerMetadata(
+        crs="epsg:4326", cell_type="float64", layout=layout,
+        bounds=((0, 0), (tiles - 1, tiles - 1)),
+        extent=layout.extent, num_bands=1)
+    rows = [(kc, kr, 0,
+             fric[kr * tsz:(kr + 1) * tsz, kc * tsz:(kc + 1) * tsz]
+             .reshape(-1).tolist())
+            for kc in range(tiles) for kr in range(tiles)]
+    df = spark.createDataFrame(
+        rows, "key_col int, key_row int, band int, cells array<double>")
+    layer = gps.TiledRasterLayer(df.cache(), md)
+    layer.df.count()
+    src = gps.Point(1.5, n - 1.5)
+    # block_cells = 1024 -> g=2 -> 2x2 blocks of 32x32 cells
+    assert cd._block_factor(layout.tile_layout, 1024) == 2
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # must CONVERGE
+        blocked = cd.cost_distance(layer, src, block_cells=1024)
+        got = {(r["key_col"], r["key_row"]): r["cells"]
+               for r in blocked.df.collect()}
+    rounds = len(cd._loop_stats["relaxed_per_round"])
+    assert rounds > 4 * 2 * 2, (
+        f"maze converged in {rounds} rounds — weaken the walls or the "
+        "regression no longer distinguishes the bounds")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # must CONVERGE
+        plain = cd.cost_distance(layer, src, block_cells=1)
+        exp = {(r["key_col"], r["key_row"]): r["cells"]
+               for r in plain.df.collect()}
+    rounds_plain = len(cd._loop_stats["relaxed_per_round"])
+    assert rounds_plain > 4 * 4 * 4, (
+        f"unblocked maze converged in {rounds_plain} rounds — below the "
+        "r11 tile-area bound, the regression no longer pins it")
+    assert set(got) == set(exp)
+    for k in exp:
+        np.testing.assert_allclose(
+            np.nan_to_num(np.asarray(got[k]), nan=-1.0),
+            np.nan_to_num(np.asarray(exp[k]), nan=-1.0), atol=1e-9)
+    layer.df.unpersist()
