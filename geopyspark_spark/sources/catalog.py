@@ -196,6 +196,15 @@ def _gc_versions(root: str, keep: str, prev: str | None = None) -> None:
                 continue
             if stale:
                 shutil.rmtree(p, ignore_errors=True)
+        elif d.startswith(f".{MANIFEST}.tmp."):
+            # manifest temp files a crashed publisher left behind —
+            # age-gated so a LIVE publisher's in-flight temp (written
+            # microseconds before its os.replace) is never swept
+            try:
+                if now - os.path.getmtime(p) > _STAGING_GC_AGE_S:
+                    os.remove(p)
+            except OSError:
+                pass
         elif d.endswith(".parquet") or d in (".metadata.json", "_SUCCESS"):
             try:
                 os.remove(p)
