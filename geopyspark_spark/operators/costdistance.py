@@ -198,16 +198,27 @@ def _block_factor(tl, block_cells: int) -> int:
 
 
 def _coalesced_metadata(md, g: int):
-    """Layer metadata for the ``g``x``g``-tile super-tile layout (same
-    extent and cell size; NoData becomes NaN because absent member
-    tiles are filled impassable)."""
+    """Layer metadata for the ``g``x``g``-tile super-tile layout.
+    CELL SIZE is preserved exactly: when the layout is not divisible by
+    ``g`` the block grid pads past the original extent, so the layout
+    extent EXTENDS right/down by the padding at the original cell size
+    — keeping the original extent would shrink the derived cell size
+    and shift every seed position (r12 review finding). The world
+    anchor (xmin, ymax) is unchanged, so keys map to the same cells.
+    NoData becomes NaN (absent member tiles fill impassable)."""
     import geopyspark_spark as gps
 
     tl = md.layout.tile_layout
     lc = (tl.layout_cols + g - 1) // g
     lr = (tl.layout_rows + g - 1) // g
+    ext = md.layout.extent
+    cw, ch = md.layout.cell_width, md.layout.cell_height
+    padded = gps.Extent(
+        ext.xmin, ext.ymax - lr * g * tl.tile_rows * ch,
+        ext.xmin + lc * g * tl.tile_cols * cw, ext.ymax,
+    )
     layout = gps.LayoutDefinition(
-        md.layout.extent,
+        padded,
         gps.TileLayout(lc, lr, tl.tile_cols * g, tl.tile_rows * g),
     )
     return gps.LayerMetadata(

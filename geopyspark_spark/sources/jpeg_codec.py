@@ -1176,8 +1176,12 @@ def _arith_dec_ac_refine(dec: _ArithDecoder, stats: _Stats, fixed: _Stats,
 # predictors (H.1.2.1; a=left, b=above, c=above-left), the point
 # transform Pt (final samples shift left by Pt), and the spec's edge
 # rules: the first sample predicts 2^(P-Pt-1), the rest of row 0
-# predicts from a, the first column predicts from b; a restart resets
-# to the start-of-scan state. Differences code as SSSS categories
+# predicts from a, the first column predicts from b; at a restart the
+# prediction for the FIRST sample of the interval resets to the
+# default, after which spatial prediction resumes (samples above the
+# boundary stay referenceable — the common reading; T.81 H.1.1 only
+# mandates the initialization itself, and the independent test encoder
+# pins this implementation's choice). Differences code as SSSS categories
 # through a DC-class huffman table; SSSS=16 means diff = 32768 with no
 # extra bits (H.1.2.2). Output is uint8 (P<=8) or uint16, raw samples
 # (no level shift / color transform — lossless streams carry raw

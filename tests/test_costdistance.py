@@ -373,3 +373,42 @@ def test_default_cap_spans_multiblock_mazes(spark):
             np.nan_to_num(np.asarray(got[k]), nan=-1.0),
             np.nan_to_num(np.asarray(exp[k]), nan=-1.0), atol=1e-9)
     layer.df.unpersist()
+
+
+def test_blocked_non_divisible_layout(spark):
+    """r12 review finding: a layout NOT divisible by the block factor
+    pads the block grid past the original extent — the coalesced
+    metadata must extend its extent at the ORIGINAL cell size (keeping
+    it would shrink the derived cell size and shift every seed).
+    5x5 tiles with g=2 -> 3x3 blocks; blocked == unblocked exactly."""
+    from geopyspark_spark.operators import costdistance as cd
+
+    rng = np.random.default_rng(9)
+    n_tiles, tsz = 5, 8
+    n = n_tiles * tsz
+    layout = gps.LayoutDefinition(
+        gps.Extent(0, 0, float(n), float(n)),
+        gps.TileLayout(n_tiles, n_tiles, tsz, tsz))
+    md = gps.LayerMetadata(
+        crs="epsg:4326", cell_type="float64", layout=layout,
+        bounds=((0, 0), (n_tiles - 1, n_tiles - 1)),
+        extent=layout.extent, num_bands=1)
+    fric = rng.uniform(0.5, 3.0, size=(n, n))
+    fric[17, 4:36] = np.nan
+    tiles = [
+        (kc, kr, 0, fric[kr * tsz:(kr + 1) * tsz, kc * tsz:(kc + 1) * tsz])
+        for kc in range(n_tiles) for kr in range(n_tiles)]
+    layer = gps.from_numpy(spark, tiles, md)
+    src = gps.Point(20.5, 20.5)          # interior seed, not a corner
+    assert cd._block_factor(layout.tile_layout, tsz * tsz * 4) == 2
+    blocked = cost_distance(layer, src, block_cells=tsz * tsz * 4)
+    got = {(r["key_col"], r["key_row"]): r["cells"]
+           for r in blocked.df.collect()}
+    plain = cost_distance(layer, src, block_cells=1)
+    exp = {(r["key_col"], r["key_row"]): r["cells"]
+           for r in plain.df.collect()}
+    assert set(got) == set(exp) and len(got) == n_tiles * n_tiles
+    for k in exp:
+        np.testing.assert_allclose(
+            np.nan_to_num(np.asarray(got[k]), nan=-1.0),
+            np.nan_to_num(np.asarray(exp[k]), nan=-1.0), atol=1e-9)
