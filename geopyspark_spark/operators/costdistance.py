@@ -352,14 +352,14 @@ def cost_distance(
     cluster's parallelism; on toy grids the whole layout collapses into
     one block and the loop converges in a round or two.
 
-    ``max_iterations`` defaults to ``4 * layout_cols * layout_rows`` of
-    the ORIGINAL tile layout: the front advances at least one block per
-    halo-relaxation round along the active least-cost path, and a
-    serpentine maze (walls forcing repeated reversals) can make that
-    path re-enter a BLOCK once per wall gap — bounding by the blocked
-    layout's (much smaller) area under-capped such mazes and returned
-    unconverged distances (r12 multi-block finding; the tile-area bound
-    always dominates any blocked round count). The convergence check
+    ``max_iterations`` defaults to the TOTAL CELL COUNT of the original
+    layout (``layout_cols * layout_rows * tile_cols * tile_rows``): each
+    round advances the wavefront at least one tile/block-boundary
+    crossing along the least-cost path, and a path visits each cell at
+    most once, so rounds <= cells. (The r11 ``4 * layout area`` bound
+    under-capped dense mazes — a tile band holds multiple wall gaps, so
+    the path re-enters it once per gap — and returned unconverged
+    distances; r12 multi-block finding.) The convergence check
     still exits as soon as a round changes nothing, so the cap never
     costs a round in practice (reference ``IterativeCostDistance`` runs
     to convergence). An explicit smaller cap that exits unconverged

@@ -11293,16 +11293,33 @@ def oracle_sql():
         "emb_mmr_select": _sql_emb_mmr_select(),
     }
     # the IVF oracle reads the training rows from the oracle sf dir at
-    # build time; if that path is unreachable the query degrades to a
-    # rows-only check instead of poisoning the whole oracle dict
-    try:
-        out["emb_ivf_knn"] = _sql_ivf_knn(num_clusters=16, nprobe=4, k=5)
-        out["emb_kmeans"] = _sql_emb_kmeans(num_clusters=8)
-        out["emb_semantic_dedup"] = _sql_emb_semantic_dedup(num_clusters=8)
-        out["emb_pq_knn"] = _sql_pq_knn(m=4, ksub=16, k=5)
-        out["emb_pq_recall"] = _sql_pq_recall()
-        out["emb_ivf_recall"] = _sql_ivf_recall()
-        out["text_temperature_mix"] = _sql_temperature_mix(tau=0.7)
-    except Exception:
-        pass
+    # build time; if that path is unreachable the affected queries
+    # degrade to a rows-only check instead of poisoning the whole oracle
+    # dict — VISIBLY (r13, VERDICT r12 #8): the skipped keys are named
+    # in a warning so a misconfigured sf dir cannot silently weaken the
+    # correctness gate
+    _computed = (
+        ("emb_ivf_knn", lambda: _sql_ivf_knn(num_clusters=16, nprobe=4, k=5)),
+        ("emb_kmeans", lambda: _sql_emb_kmeans(num_clusters=8)),
+        ("emb_semantic_dedup", lambda: _sql_emb_semantic_dedup(num_clusters=8)),
+        ("emb_pq_knn", lambda: _sql_pq_knn(m=4, ksub=16, k=5)),
+        ("emb_pq_recall", _sql_pq_recall),
+        ("emb_ivf_recall", _sql_ivf_recall),
+        ("text_temperature_mix", lambda: _sql_temperature_mix(tau=0.7)),
+    )
+    degraded = []
+    for key, build in _computed:
+        try:
+            out[key] = build()
+        except Exception as e:
+            degraded.append(key)
+            last_err = e
+    if degraded:
+        import warnings
+
+        warnings.warn(
+            f"oracle SQL for {degraded} could not be computed "
+            f"({last_err!r}); these queries degrade to rows-only checks",
+            RuntimeWarning, stacklevel=2,
+        )
     return out

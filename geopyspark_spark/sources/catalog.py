@@ -138,7 +138,7 @@ def _claim(root: str, staging: str) -> str:
             raise
 
 
-def _publish(root: str, version: str) -> None:
+def _publish(root: str, version: str) -> tuple[str | None, bool]:
     """Atomically point the manifest at ``version`` (write-temp +
     rename; fsync so the pointer never lands before its content).
 
@@ -147,20 +147,30 @@ def _publish(root: str, version: str) -> None:
     matter which manifest replace lands last, so a freshly-committed
     version can never be silently rolled back by a slower concurrent
     writer. ``flock`` is released automatically on process death — no
-    stale-lock recovery needed."""
+    stale-lock recovery needed.
+
+    Returns ``(replaced, published)`` — the manifest value read UNDER
+    the lock immediately before the swap, and whether the swap happened
+    (``False`` when a newer concurrent commit already published). The
+    caller's GC must defer to ``replaced``, not to a manifest snapshot
+    taken before its (long) Spark write: a slower writer whose
+    pre-write snapshot was v4 would otherwise GC a concurrent writer's
+    freshly-committed v5 the moment it publishes v6, deleting files a
+    racing reader just resolved (ADVICE r12)."""
     import fcntl
 
     with open(os.path.join(root, ".manifest.lock"), "w") as lf:
         fcntl.flock(lf, fcntl.LOCK_EX)
         cur = _committed_version(root)
         if cur is not None and int(version[1:]) <= int(cur[1:]):
-            return  # a newer concurrent commit already published
+            return cur, False  # a newer concurrent commit already published
         tmp = os.path.join(root, f".{MANIFEST}.tmp.{os.getpid()}")
         with open(tmp, "w") as f:
             f.write(version)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(root, MANIFEST))
+        return cur, True
 
 
 def _gc_versions(root: str, keep: str, prev: str | None = None) -> None:
@@ -210,6 +220,32 @@ def _gc_versions(root: str, keep: str, prev: str | None = None) -> None:
                 os.remove(p)
             except OSError:
                 pass
+
+
+def _finish_commit(root: str, vpath: str) -> None:
+    """Publish a claimed version and GC superseded ones.
+
+    ``prev`` for the deferred GC is the manifest value ``_publish`` read
+    UNDER its lock (ADVICE r12) — not a snapshot taken before the Spark
+    write — so a slow writer can never sweep a version a faster
+    concurrent writer committed while it was writing. When this commit
+    was SUPERSEDED (a higher concurrent version already published), the
+    claimed version dir is left for the winner's next GC cycle, no GC
+    runs, and a RuntimeWarning surfaces that the written data is not the
+    catalog's current version."""
+    version = os.path.basename(vpath)
+    replaced, published = _publish(root, version)
+    if not published:
+        import warnings
+
+        warnings.warn(
+            f"catalog commit {version} at {root!r} was superseded by "
+            f"concurrent commit {replaced}; the written data is NOT the "
+            "current catalog version and will be garbage-collected",
+            RuntimeWarning, stacklevel=3,
+        )
+        return
+    _gc_versions(root, keep=version, prev=replaced)
 
 
 def write(uri: str, layer_name: str, layer: TiledRasterLayer,
@@ -263,7 +299,6 @@ def write(uri: str, layer_name: str, layer: TiledRasterLayer,
     import shutil
 
     os.makedirs(path, exist_ok=True)
-    prev = _committed_version(path)
     staging = _staging_dir(path)
     try:
         out.write.mode("overwrite").parquet(staging)
@@ -273,8 +308,7 @@ def write(uri: str, layer_name: str, layer: TiledRasterLayer,
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    _publish(path, os.path.basename(vpath))
-    _gc_versions(path, keep=os.path.basename(vpath), prev=prev)
+    _finish_commit(path, vpath)
     return vpath
 
 
@@ -418,7 +452,6 @@ def compact(spark: SparkSession, uri: str, layer_name: str, zoom: int,
     # atomic commit: the rewrite reads the current version while filling
     # a private staging dir; claim + manifest swap publish it (same
     # concurrency-safe path as write())
-    prev = _committed_version(root)
     staging = _staging_dir(root)
     try:
         out.write.mode("overwrite").parquet(staging)
@@ -428,8 +461,7 @@ def compact(spark: SparkSession, uri: str, layer_name: str, zoom: int,
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    _publish(root, os.path.basename(vpath))
-    _gc_versions(root, keep=os.path.basename(vpath), prev=prev)
+    _finish_commit(root, vpath)
     return vpath
 
 

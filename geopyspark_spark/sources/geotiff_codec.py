@@ -933,18 +933,42 @@ def _cached_decode_keyed(path: str, mtime: float, size: int):
     return decode_geotiff(_SegmentReader(path).whole())
 
 
+#: HEAD Content-Length memo per object URI: (expiry_monotonic, size).
+#: ADVICE r12: without this, EVERY decode_geotiff_window/_cached_decode
+#: call on an object URI issued a network HEAD, turning N windowed
+#: reads of one object into N extra round-trips and making every cache
+#: hit network-dependent. A short TTL keeps overwrite detection; the
+#: escape hatch is clear_decode_cache().
+_HEAD_MEMO: dict[str, tuple[float, int]] = {}
+_HEAD_MEMO_TTL_S = float(_os.environ.get("GEOPYSPARK_HEAD_TTL", "60"))
+_HEAD_MEMO_MAX = 1024
+
+
 def _object_cache_key(uri: str) -> tuple[float, int]:
     """(mtime, size) cache-key components for an object URI: a cheap
     HEAD Content-Length validates the per-URI decode/IFD caches so an
     object overwritten in place with a different length invalidates
     (ADVICE r11). Servers without Content-Length fall back to the
-    immutable-object convention (sentinel 0)."""
+    immutable-object convention (sentinel 0). The HEAD itself is
+    memoized per URI for :data:`_HEAD_MEMO_TTL_S` seconds (ADVICE r12),
+    so validation costs one round-trip per object, not one per window."""
+    import time
+
     from .objectstore import head_size
 
+    key = str(uri)
+    now = time.monotonic()
+    hit = _HEAD_MEMO.get(key)
+    if hit is not None and hit[0] > now:
+        return 0.0, hit[1]
     try:
-        return 0.0, int(head_size(uri) or 0)
+        size = int(head_size(uri) or 0)
     except Exception:
-        return 0.0, 0
+        size = 0
+    if len(_HEAD_MEMO) >= _HEAD_MEMO_MAX:
+        _HEAD_MEMO.clear()
+    _HEAD_MEMO[key] = (now + _HEAD_MEMO_TTL_S, size)
+    return 0.0, size
 
 
 def _cached_decode(path: str):
@@ -977,6 +1001,7 @@ def clear_decode_cache() -> None:
     _cached_decode_keyed.cache_clear()
     _ifd_summary.cache_clear()
     _cached_window_meta.cache_clear()
+    _HEAD_MEMO.clear()
 
 
 @_lru_cache(maxsize=256)

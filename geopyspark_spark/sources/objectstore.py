@@ -202,9 +202,13 @@ def resolve_for_tasks(uri: str) -> str:
 
 #: servers observed ignoring Range (ADVICE r11): full bodies are cached
 #: (bounded) so repeated windowed reads against a non-range server cost
-#: one download, not one per window — and the degradation is warned once
+#: one download, not one per window — and the degradation is warned once.
+#: ADVICE r12: the cache is bounded by TOTAL BYTES (not entry count, so
+#: it can never pin 4 x 256 MB per executor) and keyed on the RESOLVED
+#: HTTP URL, so the same object reached via s3:// and its rewritten
+#: http form downloads and caches once.
 _NON_RANGE_BODIES: dict[str, bytes] = {}
-_NON_RANGE_CACHE_MAX = 4
+_NON_RANGE_CACHE_MAX_BYTES = 256 * 1024 * 1024
 #: bodies above this size are sliced but NOT cached (a multi-GB object
 #: must not pin executor memory); each window then re-downloads, which
 #: the warning makes visible
@@ -214,9 +218,10 @@ _NON_RANGE_BODY_MAX = 256 * 1024 * 1024
 def get_range(uri: str, off: int, size: int) -> bytes:
     """Read ``size`` bytes at ``off`` via an HTTP Range request. Servers
     that ignore Range (rare; plain file handlers) still work — the full
-    body is downloaded ONCE per URI (bounded cache), sliced locally, and
-    the silent-degradation case is warned once per URI."""
-    key = str(uri)
+    body is downloaded ONCE per object (byte-bounded cache keyed on the
+    resolved URL), sliced locally, and the silent-degradation case is
+    warned once per URI."""
+    key = _to_http(str(uri))
     cached = _NON_RANGE_BODIES.get(key)
     if cached is not None:
         return cached[off:off + size]
@@ -233,9 +238,13 @@ def get_range(uri: str, off: int, size: int) -> bytes:
         RuntimeWarning, stacklevel=2,
     )
     if len(body) <= _NON_RANGE_BODY_MAX:
-        while len(_NON_RANGE_BODIES) >= _NON_RANGE_CACHE_MAX:
+        # evict FIFO until the new body fits the total-byte budget
+        while _NON_RANGE_BODIES and (
+                sum(map(len, _NON_RANGE_BODIES.values())) + len(body)
+                > _NON_RANGE_CACHE_MAX_BYTES):
             _NON_RANGE_BODIES.pop(next(iter(_NON_RANGE_BODIES)))
-        _NON_RANGE_BODIES[key] = body
+        if len(body) <= _NON_RANGE_CACHE_MAX_BYTES:
+            _NON_RANGE_BODIES[key] = body
     return body[off:off + size]
 
 

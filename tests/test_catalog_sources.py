@@ -521,6 +521,50 @@ class TestAtomicCommits:
         # no staging garbage left behind by either committer
         assert not [d for d in os.listdir(root) if d.startswith(".staging-")]
 
+    def test_gc_defers_to_publish_time_prev(self, spark, f1_layer, tmp_path):
+        """ADVICE r12: GC's deferred version is the manifest value read
+        UNDER the publish lock, not a snapshot taken before the (long)
+        Spark write — a slow writer B that started before A's commit
+        must not sweep A's freshly-published version when B publishes."""
+        import re
+        import shutil
+
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "a", f1_layer, zoom=0)  # v1
+        catalog.write(uri, "a", f1_layer, zoom=0)  # v2 (writer A)
+        root = catalog._layer_path(uri, "a", 0)
+        # writer B (whose pre-write snapshot would have been v1) now
+        # finishes: stage -> claim (v3) -> publish + GC
+        cur = catalog._data_path(uri, "a", 0)
+        staging = catalog._staging_dir(root)
+        for name in os.listdir(cur):
+            shutil.copy(os.path.join(cur, name), os.path.join(staging, name))
+        vpath = catalog._claim(root, staging)
+        catalog._finish_commit(root, vpath)
+        vdirs = sorted(d for d in os.listdir(root) if re.fullmatch(r"v\d+", d))
+        # v2 (the version a racing reader may have just resolved) survives;
+        # v1 (two commits old) is reclaimed
+        assert vdirs == ["v2", "v3"]
+
+    def test_superseded_publish_warns_and_skips_gc(self, spark, f1_layer,
+                                                   tmp_path):
+        """ADVICE r12: a writer whose publish lost to a higher concurrent
+        version must SURFACE that its data is not the current catalog
+        version (instead of silently returning a doomed vpath), and must
+        not GC anything (the winner owns the GC cycle)."""
+        import re
+
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "a", f1_layer, zoom=0)  # v1
+        catalog.write(uri, "a", f1_layer, zoom=0)  # v2; v1 kept (deferred)
+        root = catalog._layer_path(uri, "a", 0)
+        with pytest.warns(RuntimeWarning, match="superseded"):
+            catalog._finish_commit(root, os.path.join(root, "v1"))
+        with open(os.path.join(root, "MANIFEST")) as f:
+            assert f.read().strip() == "v2"
+        vdirs = sorted(d for d in os.listdir(root) if re.fullmatch(r"v\d+", d))
+        assert vdirs == ["v1", "v2"]  # no GC ran
+
     def test_legacy_unversioned_layout_still_readable(self, spark, f1_layer,
                                                       tmp_path):
         import shutil

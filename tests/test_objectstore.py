@@ -37,6 +37,8 @@ class _S3StubHandler(BaseHTTPRequestHandler):
         return self.server.objects.get(unquote(urlparse(self.path).path.lstrip("/")))
 
     def do_HEAD(self):
+        self.server.requests.append(
+            ("HEAD", unquote(urlparse(self.path).path), None))
         self.server.auth.append(self.headers.get("Authorization"))
         body = self._object()
         if body is None:
@@ -281,6 +283,39 @@ class TestRangeFallback:
         assert len(s3stub.requests) == n_gets
         obs._NON_RANGE_BODIES.clear()
 
+    def test_cache_keys_on_resolved_url(self, s3stub):
+        """ADVICE r12: the same object reached via s3:// and its
+        rewritten http form shares ONE cache entry — no double
+        download."""
+        obs._NON_RANGE_BODIES.clear()
+        s3stub.objects["b/blob.bin"] = bytes(range(256))
+        s3stub.ignore_range = True
+        with pytest.warns(RuntimeWarning, match="ignored the Range"):
+            assert obs.get_range("s3://b/blob.bin", 0, 4) == bytes(range(4))
+        n = len([r for r in s3stub.requests if r[0] == "GET"])
+        url = f"{os.environ['AWS_ENDPOINT_URL']}/b/blob.bin"
+        assert obs.get_range(url, 4, 4) == bytes(range(4, 8))
+        assert len([r for r in s3stub.requests if r[0] == "GET"]) == n
+        assert len(obs._NON_RANGE_BODIES) == 1
+        obs._NON_RANGE_BODIES.clear()
+
+    def test_cache_bounded_by_total_bytes(self, s3stub, monkeypatch):
+        """ADVICE r12: the non-range body cache is bounded by TOTAL
+        bytes, not entry count — many mid-size bodies evict FIFO."""
+        obs._NON_RANGE_BODIES.clear()
+        monkeypatch.setattr(obs, "_NON_RANGE_CACHE_MAX_BYTES", 600)
+        s3stub.ignore_range = True
+        import warnings
+
+        for i in range(4):
+            s3stub.objects[f"b/o{i}.bin"] = bytes(256)
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                obs.get_range(f"s3://b/o{i}.bin", 0, 4)
+        assert len(obs._NON_RANGE_BODIES) == 2  # 3x256 > 600 -> FIFO evict
+        assert sum(map(len, obs._NON_RANGE_BODIES.values())) <= 600
+        obs._NON_RANGE_BODIES.clear()
+
     def test_mixed_case_extensions_match(self, s3stub):
         """ADVICE r11: list_keys lowercases the extension tuple, so
         mixed/upper-case extensions match case-insensitively."""
@@ -310,6 +345,29 @@ class TestObjectCacheValidation:
         got2 = codec.decode_geotiff_window("s3://rasters/t.tif",
                                            (0, 0, 16, 16), 0)
         np.testing.assert_array_equal(got2, cells2[0, :16, :16])
+        codec.clear_decode_cache()
+
+
+class TestHeadMemo:
+    def test_one_head_per_object_not_per_window(self, s3stub):
+        """ADVICE r12: the cache-validation HEAD is memoized per URI —
+        N windowed reads of one object cost ONE HEAD round-trip, not N,
+        and cache hits stay network-free inside the TTL."""
+        buf, cells = _multistrip_tiff()
+        s3stub.objects["rasters/t.tif"] = buf
+        codec.clear_decode_cache()
+        s3stub.requests.clear()
+        for win in ((0, 0, 16, 16), (16, 0, 16, 16), (0, 16, 16, 16),
+                    (16, 16, 16, 16)):
+            got = codec.decode_geotiff_window("s3://rasters/t.tif", win, 0)
+            np.testing.assert_array_equal(
+                got, cells[0, win[1]:win[1] + win[3], win[0]:win[0] + win[2]])
+        heads = [r for r in s3stub.requests if r[0] == "HEAD"]
+        assert len(heads) == 1
+        # clear_decode_cache is the escape hatch: next read re-validates
+        codec.clear_decode_cache()
+        codec.decode_geotiff_window("s3://rasters/t.tif", (0, 0, 8, 8), 0)
+        assert len([r for r in s3stub.requests if r[0] == "HEAD"]) == 2
         codec.clear_decode_cache()
 
 

@@ -137,6 +137,28 @@ def test_oracle_type_lint_all():
     )
 
 
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason=f"{SF_DIR} missing")
+def test_degraded_oracle_mode_warns(monkeypatch):
+    """r13 (VERDICT r12 #8): when a computed oracle SQL cannot be built
+    (e.g. the oracle sf dir is unreachable), the query degrades to a
+    rows-only check VISIBLY — oracle_sql() warns with the affected key
+    names instead of silently dropping them."""
+    import warnings
+
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
+    from geopyspark_spark.plans import driver_queries as dq
+
+    def boom(*a, **k):
+        raise FileNotFoundError("sf dir gone")
+
+    monkeypatch.setattr(dq, "_sql_ivf_knn", boom)
+    with pytest.warns(RuntimeWarning, match=r"emb_ivf_knn.*rows-only"):
+        out = dq.oracle_sql()
+    assert "emb_ivf_knn" not in out
+    # un-degraded computed oracles survive
+    assert "emb_kmeans" in out
+
+
 @pytest.mark.skipif(
     not os.path.isdir("/root/testdata/sf0.001"), reason="testdata missing"
 )
