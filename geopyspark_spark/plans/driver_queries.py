@@ -2165,6 +2165,49 @@ SELECT key_col, key_row, pos, value FROM coords
 """
 
 
+def q_raster_catalog_s3_roundtrip(spark, sf_dir):
+    """Object-store catalog commit protocol under the gate (r13,
+    VERDICT r12 #1): write the layer to an s3:// URI against the
+    in-package loopback S3 stub — create-only conditional-PUT version
+    claim, ETag compare-and-swap manifest — then read it back through
+    the manifest-resolved immutable version cache. A broken claim,
+    manifest swap, upload, or cache path hash-fails against the same
+    closed-form oracle as the POSIX roundtrip."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import catalog as cat
+    from ..sources.s3stub import start_stub
+
+    layer = lineitem_layer(spark, sf_dir)
+    srv = start_stub()
+    saved = {k: os.environ.get(k)
+             for k in ("AWS_ENDPOINT_URL", "GEOPYSPARK_OBJCAT_CACHE")}
+    cache = tempfile.mkdtemp(prefix="objcat_gate_")
+    os.environ["AWS_ENDPOINT_URL"] = srv.endpoint
+    os.environ["GEOPYSPARK_OBJCAT_CACHE"] = cache
+    try:
+        cat.write("s3://gate/cat", "rt", layer, zoom=0)
+        assert srv.objects["gate/cat/rt/0/MANIFEST"] == b"v1"
+        back = cat.read(spark, "s3://gate/cat", "rt", 0)
+        long = back.explode().where(~_is_nd(F.col("value"), layer.nodata))
+        # materialize before the stub and cache disappear
+        rows = long.select("key_col", "key_row", "pos", "value").collect()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+        srv.shutdown()
+        shutil.rmtree(cache, ignore_errors=True)
+    return spark.createDataFrame(rows, "key_col int, key_row int, pos int, value double")
+
+
+SQL_RASTER_CATALOG_S3_ROUNDTRIP = SQL_RASTER_CATALOG_ROUNDTRIP
+
+
 def q_raster_catalog_query(spark, sf_dir):
     """catalog.query spatial predicate pushdown under the gate (round
     6): write the z-sorted layer, query it back with a polygon strictly
@@ -10725,6 +10768,7 @@ def _canonical_queries():
         "raster_geotiff_jpeg_lossless": q_raster_geotiff_jpeg_lossless,
         "raster_zindex_temporal": q_raster_zindex_temporal,
         "raster_catalog_roundtrip": q_raster_catalog_roundtrip,
+        "raster_catalog_s3_roundtrip": q_raster_catalog_s3_roundtrip,
         "raster_convert_int8": q_raster_convert_int8,
         "raster_lookup": q_raster_lookup,
         "raster_map_cells": q_raster_map_cells,
@@ -10763,58 +10807,9 @@ def _canonical_queries():
 # Regenerate with ``python tools/rotate_window.py --write``; do not
 # hand-edit between the markers.
 # BEGIN WINDOW_ORDER (generated)
-_WINDOW_ORDER_ROUND: int = 11
+_WINDOW_ORDER_ROUND: int = 12
 _WINDOW_ORDER: list = [
-    "raster_ntv2_bundled",
-    "raster_geotiff_jpeg_arithmetic",
-    "raster_geotiff_jpeg_lossless",
-    "vector_shapefile",
-    "rel_bloom_filter",
-    "events_pivot",
-    "raster_cog_overview",
-    "tpch_q7_volume",
-    "tpch_q8_share",
-    "tpch_q9_profit",
-    "tpch_q12_late",
-    "tpch_q16_supplier_cnt",
-    "tpch_q19_disjunct",
-    "text_sample",
-    "events_stream_sliding",
-    "events_stream_dedup",
-    "raster_catalog_hilbert",
-    "raster_stitch",
-    "raster_reproject_ortho",
-    "text_stratified_sample",
-    "events_retention",
-    "text_gopher_filter",
-    "rel_salted_join",
-    "multimodal_video",
-    "events_percentiles",
-    "text_repetition",
-    "text_contamination",
-    "text_pack_sequences",
-    "emb_quantize",
-    "raster_catalog_update",
-    "raster_with_no_data",
-    "raster_png_roundtrip",
-    "text_pii_scrub",
-    "raster_read_value",
-    "events_stream_tumbling",
-    "raster_reproject_ease",
-    "raster_reproject_albers",
-    "raster_reproject_swiss",
-    "tpch_q13_custdist",
-    "raster_reproject_cass",
-    "raster_reproject_aeqd",
-    "raster_reproject_eqc",
-    "raster_reproject_geos",
-    "text_minhash_vocab",
-    "raster_to_spatial",
-    "raster_tile_to_layout_warp",
-    "raster_focal_multiband",
-    "raster_point_cubicspline",
-    "raster_point_lanczos",
-    "raster_zindex",
+    "raster_catalog_s3_roundtrip",
     "raster_zindex_temporal",
     "raster_catalog_roundtrip",
     "raster_convert_int8",
@@ -11019,6 +11014,56 @@ _WINDOW_ORDER: list = [
     "raster_zindex_deep",
     "raster_contour",
     "raster_geotiff_jpeg_progressive",
+    "rel_bloom_filter",
+    "events_pivot",
+    "vector_shapefile",
+    "raster_cog_overview",
+    "tpch_q7_volume",
+    "tpch_q8_share",
+    "tpch_q9_profit",
+    "tpch_q12_late",
+    "tpch_q16_supplier_cnt",
+    "tpch_q19_disjunct",
+    "text_sample",
+    "events_stream_sliding",
+    "events_stream_dedup",
+    "raster_catalog_hilbert",
+    "raster_stitch",
+    "raster_reproject_ortho",
+    "text_stratified_sample",
+    "events_retention",
+    "text_gopher_filter",
+    "rel_salted_join",
+    "multimodal_video",
+    "events_percentiles",
+    "text_repetition",
+    "text_contamination",
+    "text_pack_sequences",
+    "emb_quantize",
+    "raster_catalog_update",
+    "raster_with_no_data",
+    "raster_png_roundtrip",
+    "text_pii_scrub",
+    "raster_read_value",
+    "events_stream_tumbling",
+    "raster_reproject_ease",
+    "raster_reproject_albers",
+    "raster_reproject_swiss",
+    "tpch_q13_custdist",
+    "raster_reproject_cass",
+    "raster_reproject_aeqd",
+    "raster_reproject_eqc",
+    "raster_ntv2_bundled",
+    "raster_reproject_geos",
+    "text_minhash_vocab",
+    "raster_to_spatial",
+    "raster_tile_to_layout_warp",
+    "raster_focal_multiband",
+    "raster_point_cubicspline",
+    "raster_point_lanczos",
+    "raster_zindex",
+    "raster_geotiff_jpeg_arithmetic",
+    "raster_geotiff_jpeg_lossless",
 ]
 # END WINDOW_ORDER
 
@@ -11083,6 +11128,7 @@ def oracle_sql():
         "raster_geotiff_jpeg_lossless": SQL_RASTER_GEOTIFF_JPEG_LOSSLESS,
         "raster_zindex_temporal": _sql_zindex_temporal(),
         "raster_catalog_roundtrip": SQL_RASTER_CATALOG_ROUNDTRIP,
+        "raster_catalog_s3_roundtrip": SQL_RASTER_CATALOG_S3_ROUNDTRIP,
         "raster_convert_int8": SQL_RASTER_CONVERT_INT8,
         "raster_lookup": SQL_RASTER_LOOKUP,
         "raster_map_cells": SQL_RASTER_MAP_CELLS,

@@ -40,6 +40,16 @@ from ..layer import TiledRasterLayer, _normalize_geoms
 
 MANIFEST = "MANIFEST"
 
+
+def _is_object(uri: str) -> bool:
+    """True for s3:// catalog URIs, which route through the
+    object-store backend (:mod:`.catalog_object`): version claim by
+    create-only conditional PUT, manifest swap by ETag compare-and-swap
+    — the POSIX rename/flock protocol's S3 equivalent (r13)."""
+    from urllib.parse import urlparse
+
+    return urlparse(str(uri)).scheme in ("s3", "s3a", "s3n")
+
 # orphaned .staging-<uuid> dirs (crashed writers) are GC'd only after
 # this many seconds of inactivity — long enough that a live concurrent
 # writer's in-flight stage (which touches the dir as parquet parts land)
@@ -63,7 +73,16 @@ def _data_path(uri: str, layer_name: str, zoom: int) -> str:
     only after data (``io/LayerWriterWrapper.scala:1-149``). A reader
     racing (or surviving) a writer crash always resolves to the last
     fully-written version. Roots WITHOUT a manifest are read in place —
-    the pre-r11 layout stays readable."""
+    the pre-r11 layout stays readable.
+
+    Object-store (s3://) catalogs resolve the manifest over S3 and
+    return a LOCAL immutable per-version cache of the committed files
+    (the zero-dependency read path; at cluster scale the parquet scan
+    goes straight through S3A instead — see :mod:`.catalog_object`)."""
+    if _is_object(uri):
+        from . import catalog_object
+
+        return catalog_object.data_dir(uri, layer_name, zoom)
     root = _layer_path(uri, layer_name, zoom)
     try:
         with open(os.path.join(root, MANIFEST)) as f:
@@ -75,6 +94,10 @@ def _data_path(uri: str, layer_name: str, zoom: int) -> str:
 def layer_exists(uri: str, layer_name: str, zoom: int) -> bool:
     """True iff a COMMITTED layer version exists (a crashed first write
     leaves staging dirs but no manifest — that is not a layer)."""
+    if _is_object(uri):
+        from . import catalog_object
+
+        return catalog_object.layer_exists(uri, layer_name, zoom)
     root = _layer_path(uri, layer_name, zoom)
     return (os.path.exists(os.path.join(root, MANIFEST))
             or os.path.exists(os.path.join(root, ".metadata.json")))
@@ -298,6 +321,26 @@ def write(uri: str, layer_name: str, layer: TiledRasterLayer,
     # leaves the previous version untouched
     import shutil
 
+    if _is_object(uri):
+        # s3:// commit (r13): stage locally, then claim a version by
+        # create-only conditional PUT, upload, and compare-and-swap the
+        # manifest (catalog_object). The staged parquet ships via
+        # ranged PUTs on the zero-dependency path; production clusters
+        # write the data through S3A and reuse the same claim/manifest
+        # protocol objects.
+        import tempfile
+
+        from . import catalog_object
+
+        staging = tempfile.mkdtemp(prefix="gps-objcat-stage-")
+        try:
+            out.write.mode("overwrite").parquet(staging)
+            with open(os.path.join(staging, ".metadata.json"), "w") as f:
+                f.write(layer.metadata.to_json())
+            return catalog_object.commit_staged(uri, layer_name, z, staging)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
     os.makedirs(path, exist_ok=True)
     staging = _staging_dir(path)
     try:
@@ -319,6 +362,10 @@ def read_layer_metadata(uri: str, layer_name: str, zoom: int) -> LayerMetadata:
 
 def list_zooms(uri: str, layer_name: str) -> list[int]:
     """Zoom levels stored for a layer (ascending)."""
+    if _is_object(uri):
+        from . import catalog_object
+
+        return catalog_object.list_zooms(uri, layer_name)
     base = os.path.join(uri, layer_name)
     if not os.path.isdir(base):
         return []
@@ -449,6 +496,21 @@ def compact(spark: SparkSession, uri: str, layer_name: str, zoom: int,
 
     out = layer.df.withColumn("zindex", z2_col("key_col", "key_row"))
     out = out.repartitionByRange(n, "zindex").sortWithinPartitions("zindex")
+    if _is_object(uri):
+        # object-store compaction: stage locally, claim + upload +
+        # manifest CAS (same protocol as write)
+        import tempfile
+
+        from . import catalog_object
+
+        staging = tempfile.mkdtemp(prefix="gps-objcat-stage-")
+        try:
+            out.write.mode("overwrite").parquet(staging)
+            shutil.copy(os.path.join(cur, ".metadata.json"),
+                        os.path.join(staging, ".metadata.json"))
+            return catalog_object.commit_staged(uri, layer_name, zoom, staging)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
     # atomic commit: the rewrite reads the current version while filling
     # a private staging dir; claim + manifest swap publish it (same
     # concurrency-safe path as write())
@@ -495,7 +557,18 @@ class ValueReader:
 
 
 class AttributeStore:
-    """Per-(layer, zoom) JSON attribute CRUD (reference ``catalog.py:332-485``)."""
+    """Per-(layer, zoom) JSON attribute CRUD (reference ``catalog.py:332-485``).
+
+    s3:// URIs construct the object-store implementation
+    (:class:`.catalog_object.ObjectAttributeStore`) — same methods,
+    attributes stored as JSON objects under ``_attributes/``."""
+
+    def __new__(cls, uri: str):
+        if _is_object(uri):
+            from .catalog_object import ObjectAttributeStore
+
+            return ObjectAttributeStore(uri)
+        return super().__new__(cls)
 
     def __init__(self, uri: str):
         self.uri = uri

@@ -55,8 +55,9 @@ def _credentials():
 
 
 def sigv4_headers(method: str, url: str, headers: dict | None = None,
-                  now=None, service: str = "s3") -> dict:
-    """AWS Signature Version 4 headers for a request with no body.
+                  now=None, service: str = "s3",
+                  payload: bytes = b"") -> dict:
+    """AWS Signature Version 4 headers for a request.
 
     Pure-Python signer (no boto): canonical request -> string-to-sign ->
     HMAC-SHA256 chain, per the public SigV4 spec. Every caller-supplied
@@ -87,7 +88,7 @@ def sigv4_headers(method: str, url: str, headers: dict | None = None,
             pairs.append((quote(unquote(k), safe="-_.~"),
                           quote(unquote(v), safe="-_.~")))
     canonical_qs = "&".join(f"{k}={v}" for k, v in sorted(pairs))
-    payload_hash = hashlib.sha256(b"").hexdigest()
+    payload_hash = hashlib.sha256(payload).hexdigest()
     to_sign = {k.lower(): " ".join(str(v).split())
                for k, v in (headers or {}).items()}
     to_sign.update({
@@ -138,14 +139,81 @@ def _should_sign(uri: str) -> bool:
     return bool(ep) and str(uri).startswith(ep.rstrip("/") + "/")
 
 
-def _open(uri: str, method: str = "GET", headers: dict | None = None):
+def _open(uri: str, method: str = "GET", headers: dict | None = None,
+          data: bytes | None = None):
     """Resolve + (when credentialed) SigV4-sign + send one request."""
     url = _to_http(str(uri))
     h = dict(headers or {})
     if _should_sign(uri):
-        h.update(sigv4_headers(method, url, headers=h))
-    req = urllib.request.Request(url, headers=h, method=method)
+        h.update(sigv4_headers(method, url, headers=h,
+                               payload=data or b""))
+    req = urllib.request.Request(url, headers=h, method=method, data=data)
     return urllib.request.urlopen(req)
+
+
+class PreconditionFailed(Exception):
+    """A conditional PUT lost its race (HTTP 412): the object already
+    exists (``If-None-Match: *``) or was replaced since the ETag was
+    read (``If-Match``)."""
+
+
+def put_object(uri: str, data: bytes, if_none_match: bool = False,
+               if_match: str | None = None) -> str | None:
+    """PUT one object; returns the new ETag (None if the server omits
+    it). Preconditions are the S3 conditional-write headers the catalog
+    commit protocol builds on:
+
+    - ``if_none_match=True`` -> ``If-None-Match: *`` — create-only; the
+      PUT fails with :class:`PreconditionFailed` if ANY object already
+      lives at the key (the version-claim primitive);
+    - ``if_match=<etag>`` -> compare-and-swap against the ETag a prior
+      GET returned (the manifest-swap primitive).
+
+    Stores that do not support preconditions accept the PUT
+    unconditionally (last-writer-wins) — callers that need the claim
+    semantics must verify by reading back (see catalog ``_s3_claim``)."""
+    import urllib.error
+
+    h = {}
+    if if_none_match:
+        h["If-None-Match"] = "*"
+    if if_match is not None:
+        h["If-Match"] = if_match
+    try:
+        with _open(uri, method="PUT", headers=h, data=data) as r:
+            return r.headers.get("ETag")
+    except urllib.error.HTTPError as e:
+        if e.code in (412, 409):
+            # 412 Precondition Failed; 409 is what real S3 returns for
+            # concurrent conditional writes to the same key
+            raise PreconditionFailed(uri) from e
+        raise
+
+
+def delete_object(uri: str) -> None:
+    """DELETE one object (404 is not an error — S3 deletes are
+    idempotent)."""
+    import urllib.error
+
+    try:
+        with _open(uri, method="DELETE"):
+            pass
+    except urllib.error.HTTPError as e:
+        if e.code != 404:
+            raise
+
+
+def get_object(uri: str) -> tuple[bytes, str | None] | None:
+    """GET one object -> (body, etag), or None on 404."""
+    import urllib.error
+
+    try:
+        with _open(uri) as r:
+            return r.read(), r.headers.get("ETag")
+    except urllib.error.HTTPError as e:
+        if e.code == 404:
+            return None
+        raise
 
 
 def is_object_uri(uri: str) -> bool:

@@ -1,0 +1,167 @@
+"""In-process loopback S3 stub — the engine's MockS3 testkit analogue
+(reference: ``geopyspark/geopyspark-backend/.../testkit/MockS3Wrapper.scala``,
+``tests/geotrellis/io_tests/s3_geotiff_rdd_test.py``).
+
+Serves the S3 REST subset the zero-dependency object-store path
+(:mod:`.objectstore`) speaks: ranged GET, HEAD, ListObjectsV2, PUT with
+the conditional-write preconditions (``If-None-Match: *`` create-only,
+``If-Match`` ETag compare-and-swap) the catalog commit protocol builds
+on, and DELETE. Used by the offline test suite AND by the driver's
+``raster_catalog_s3_roundtrip`` oracle query, so the s3:// catalog path
+is gated end-to-end without network access.
+
+Fault-injection flags (tests):
+
+- ``ignore_range``      — answer 200 + full body to ranged GETs;
+- ``no_preconditions``  — accept every PUT unconditionally
+  (last-writer-wins stores without conditional-write support).
+
+Conditional PUTs are evaluated atomically under one lock, exactly like
+a real store's per-key serialization — two concurrent create-only PUTs
+of the same key see one 200 and one 412.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+
+class S3StubHandler(BaseHTTPRequestHandler):
+    """Path-style handler: objects live in ``server.objects``
+    ({'bucket/key': bytes}); ``server.requests`` records
+    (method, path, range_header); ``server.auth`` records each
+    request's Authorization header (None when unsigned)."""
+
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _key(self) -> str:
+        return unquote(urlparse(self.path).path.lstrip("/"))
+
+    def _etag(self, body: bytes) -> str:
+        return '"' + hashlib.md5(body).hexdigest() + '"'
+
+    def _record(self, method: str):
+        self.server.requests.append(
+            (method, "/" + self._key(), self.headers.get("Range")))
+        self.server.auth.append(self.headers.get("Authorization"))
+
+    def do_HEAD(self):
+        self._record("HEAD")
+        with self.server.lock:
+            body = self.server.objects.get(self._key())
+        if body is None:
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("ETag", self._etag(body))
+        self.end_headers()
+
+    def do_GET(self):
+        self._record("GET")
+        parsed = urlparse(self.path)
+        qs = parse_qs(parsed.query)
+        if "list-type" in qs:
+            bucket = parsed.path.lstrip("/").split("?")[0].rstrip("/")
+            prefix = qs.get("prefix", [""])[0]
+            with self.server.lock:
+                keys = sorted(
+                    k.split("/", 1)[1] for k in self.server.objects
+                    if k.startswith(bucket + "/")
+                    and k.split("/", 1)[1].startswith(prefix)
+                )
+            body = ("<?xml version='1.0'?><ListBucketResult>" + "".join(
+                f"<Contents><Key>{k}</Key></Contents>" for k in keys
+            ) + "<IsTruncated>false</IsTruncated></ListBucketResult>").encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/xml")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        with self.server.lock:
+            body = self.server.objects.get(self._key())
+        if body is None:
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        rng = self.headers.get("Range")
+        if getattr(self.server, "ignore_range", False):
+            rng = None  # simulate a server that ignores Range
+        if rng and rng.startswith("bytes="):
+            lo, hi = rng[6:].split("-")
+            lo = int(lo)
+            hi = min(int(hi), len(body) - 1) if hi else len(body) - 1
+            part = body[lo:hi + 1]
+            self.send_response(206)
+            self.send_header("Content-Range", f"bytes {lo}-{hi}/{len(body)}")
+            self.send_header("Content-Length", str(len(part)))
+            self.send_header("ETag", self._etag(body))
+            self.end_headers()
+            self.wfile.write(part)
+        else:
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("ETag", self._etag(body))
+            self.end_headers()
+            self.wfile.write(body)
+
+    def do_PUT(self):
+        self._record("PUT")
+        body = self.rfile.read(int(self.headers.get("Content-Length", "0")))
+        key = self._key()
+        check = not getattr(self.server, "no_preconditions", False)
+        with self.server.lock:
+            cur = self.server.objects.get(key)
+            if check and self.headers.get("If-None-Match") == "*" \
+                    and cur is not None:
+                self.send_response(412)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            im = self.headers.get("If-Match")
+            if check and im is not None and (
+                    cur is None or self._etag(cur) != im):
+                self.send_response(412)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            self.server.objects[key] = body
+        self.send_response(200)
+        self.send_header("ETag", self._etag(body))
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    def do_DELETE(self):
+        self._record("DELETE")
+        with self.server.lock:
+            existed = self.server.objects.pop(self._key(), None) is not None
+        self.send_response(204 if existed else 404)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+
+def start_stub() -> ThreadingHTTPServer:
+    """Start a loopback stub on an ephemeral port (daemon thread).
+    Returns the server; ``server.endpoint`` is the base URL to export
+    as ``AWS_ENDPOINT_URL``. Call ``server.shutdown()`` when done."""
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), S3StubHandler)
+    srv.objects = {}
+    srv.requests = []
+    srv.auth = []
+    srv.lock = threading.Lock()
+    srv.ignore_range = False
+    srv.no_preconditions = False
+    srv.endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv
