@@ -1718,21 +1718,45 @@ def _progressive_jpeg_tiff_fixture() -> tuple[bytes, int, int]:
     return tiff, rows, cols
 
 
+def _gate_tiff_query(spark, name: str, tiff: bytes, cols: int):
+    """Route a codec-gate fixture through the DISTRIBUTED ingest path
+    (r13, VERDICT r12 #5): write the TIFF under the repo scratch dir
+    (stable path, atomic overwrite — the returned plan stays lazily
+    scannable when the driver later collects it) and read it back with
+    ``geotiff.get``, so the green row certifies the executor
+    mapInPandas Arrow decode, not a driver-side ``decode_geotiff``."""
+    import os
+
+    from ..sources import geotiff as gt
+
+    scratch = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".scratch", "jpeg_gates")
+    os.makedirs(scratch, exist_ok=True)
+    path = os.path.join(scratch, name)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(tiff)
+    os.replace(tmp, path)
+    df = gt.get(spark, path, max_tile_size=128)  # one window: whole image
+    return df.select(F.posexplode("cells").alias("pos", "value")).select(
+        F.floor(F.col("pos") / cols).cast("int").alias("row"),
+        (F.col("pos") % cols).cast("int").alias("col"),
+        F.col("value"),
+    )
+
+
 def q_raster_geotiff_jpeg_progressive(spark, sf_dir):
     """Progressive JPEG-in-TIFF decode under the gate (r11, VERDICT r10
     #2): a multi-scan SOF2 stream (DC first + cross-block AC EOB runs +
     DC refinement) wrapped in a Compression=7 TIFF, decoded by the
-    from-scratch codec (sources/jpeg_codec.py). Block-constant DC-only
-    content makes the decode exact, so DuckDB recomputes the pixel grid
-    arithmetically. Reference reads this class via geotrellis-raster's
-    TIFF decoder (io/geotiff/GeoTiffRDD.scala:96-164)."""
-    from ..sources import geotiff_codec as codec
-
+    from-scratch codec (sources/jpeg_codec.py) — in the EXECUTORS, via
+    the geotiff.get mapInPandas path (r13, VERDICT r12 #5).
+    Block-constant DC-only content makes the decode exact, so DuckDB
+    recomputes the pixel grid arithmetically. Reference reads this
+    class via geotrellis-raster's TIFF decoder
+    (io/geotiff/GeoTiffRDD.scala:96-164)."""
     tiff, rows, cols = _progressive_jpeg_tiff_fixture()
-    cells, _, _, _ = codec.decode_geotiff(tiff)
-    grid = cells[0].astype(float)              # (rows, cols) uint8 -> double
-    out = [(r, c, float(grid[r, c])) for r in range(rows) for c in range(cols)]
-    return spark.createDataFrame(out, "row int, col int, value double")
+    return _gate_tiff_query(spark, "progressive.tif", tiff, cols)
 
 
 SQL_RASTER_GEOTIFF_JPEG_PROGRESSIVE = """
@@ -1883,15 +1907,11 @@ def q_raster_geotiff_jpeg_arithmetic(spark, sf_dir):
     interval encoder, wrapped in a Compression=7 TIFF, decoded by the
     from-scratch codec. Block-constant DC-only content makes the decode
     exact, so DuckDB recomputes the pixel grid arithmetically.
-    Reference reads this class via geotrellis-raster's TIFF decoder
-    (io/geotiff/GeoTiffRDD.scala:96-164)."""
-    from ..sources import geotiff_codec as codec
-
+    Decoded in the EXECUTORS via the geotiff.get mapInPandas path
+    (r13, VERDICT r12 #5). Reference reads this class via
+    geotrellis-raster's TIFF decoder (io/geotiff/GeoTiffRDD.scala:96-164)."""
     tiff, rows, cols = _arith_jpeg_tiff_fixture()
-    cells, _, _, _ = codec.decode_geotiff(tiff)
-    grid = cells[0].astype(float)
-    out = [(r, c, float(grid[r, c])) for r in range(rows) for c in range(cols)]
-    return spark.createDataFrame(out, "row int, col int, value double")
+    return _gate_tiff_query(spark, "arithmetic.tif", tiff, cols)
 
 
 SQL_RASTER_GEOTIFF_JPEG_ARITHMETIC = """
@@ -2000,15 +2020,11 @@ def q_raster_geotiff_jpeg_lossless(spark, sf_dir):
     Annex-H predictive coding wrapped in a Compression=7 TIFF, decoded
     by the from-scratch codec. Decode is exact by construction, so the
     oracle recomputes the arbitrary closed-form grid arithmetically.
-    Reference reads this class via geotrellis-raster's TIFF decoder
-    (io/geotiff/GeoTiffRDD.scala:96-164)."""
-    from ..sources import geotiff_codec as codec
-
+    Decoded in the EXECUTORS via the geotiff.get mapInPandas path
+    (r13, VERDICT r12 #5). Reference reads this class via
+    geotrellis-raster's TIFF decoder (io/geotiff/GeoTiffRDD.scala:96-164)."""
     tiff, rows, cols = _lossless_jpeg_tiff_fixture()
-    cells, _, _, _ = codec.decode_geotiff(tiff)
-    grid = cells[0].astype(float)
-    out = [(r, c, float(grid[r, c])) for r in range(rows) for c in range(cols)]
-    return spark.createDataFrame(out, "row int, col int, value double")
+    return _gate_tiff_query(spark, "lossless.tif", tiff, cols)
 
 
 SQL_RASTER_GEOTIFF_JPEG_LOSSLESS = """

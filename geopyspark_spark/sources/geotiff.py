@@ -161,12 +161,13 @@ def get(
     implementations when rasterio/GDAL is importable, else fall back to
     the engine's pure-Python TIFF codec
     (``sources/geotiff_codec.py::sizer``/``decoder``: strip/tile
-    layouts, none/DEFLATE/LZW/PackBits/JPEG (baseline + progressive)
-    compression, the horizontal-differencing predictor, u/int 8–32 and
-    float 32/64 samples, BigTIFF) — so engine-written and common
-    external GeoTIFFs decode with no native dependency. Remaining
-    exotics (arithmetic-coded JPEG, …) still need rasterio or an
-    injected ``decoder``.
+    layouts, none/DEFLATE/LZW/PackBits/JPEG (baseline, progressive,
+    12-bit, arithmetic SOF9/SOF10, lossless SOF3) compression, the
+    horizontal-differencing predictor, u/int 8–32 and float 32/64
+    samples, BigTIFF) — so engine-written and common external GeoTIFFs
+    decode with no native dependency. The extinct hierarchical
+    (SOF5-7) and arithmetic-lossless (SOF11) JPEG classes raise named
+    errors (COVERAGE.md) and need rasterio or an injected ``decoder``.
 
     Object-store URIs (``s3://`` prefixes or objects, ``http(s)://``
     objects) read through ``sources/objectstore.py`` with true ranged

@@ -1175,17 +1175,25 @@ def _arith_dec_ac_refine(dec: _ArithDecoder, stats: _Stats, fixed: _Stats,
 # differences, NO DCT/quantization — decode is bit-exact. Seven spatial
 # predictors (H.1.2.1; a=left, b=above, c=above-left), the point
 # transform Pt (final samples shift left by Pt), and the spec's edge
-# rules: the first sample predicts 2^(P-Pt-1), the rest of row 0
-# predicts from a, the first column predicts from b; at a restart the
-# prediction for the FIRST sample of the interval resets to the
-# default, after which spatial prediction resumes (samples above the
-# boundary stay referenceable — the common reading; T.81 H.1.1 only
-# mandates the initialization itself, and the independent test encoder
-# pins this implementation's choice). Differences code as SSSS categories
-# through a DC-class huffman table; SSSS=16 means diff = 32768 with no
-# extra bits (H.1.2.2). Output is uint8 (P<=8) or uint16, raw samples
-# (no level shift / color transform — lossless streams carry raw
-# component values).
+# rules, which per H.1.1 apply AT EVERY RESTART INTERVAL exactly as at
+# the start of the scan (r13, ADVICE r12):
+#   - the interval's first sample predicts the default 2^(P-Pt-1);
+#   - the remaining samples of the interval's FIRST LINE use the
+#     one-dimensional predictor Ra ("The one-dimensional horizontal
+#     predictor is used for the first line of samples at the start of
+#     the scan and at the beginning of each restart interval");
+#   - on later lines, the line's first sample uses Rb and the rest use
+#     the selected predictor — including Rb references to samples
+#     ABOVE the restart boundary (the restart resets prediction state
+#     and bit alignment, not line addressability).
+# This is pinned against a HAND-ASSEMBLED byte fixture (every code
+# word derived on paper from H.1.2.2 in the test body, sharing no code
+# with the in-repo test encoder) in
+# tests/test_jpeg_codec.py::TestLosslessRestartSpecLetter.
+# Differences code as SSSS categories through a DC-class huffman
+# table; SSSS=16 means diff = 32768 with no extra bits (H.1.2.2).
+# Output is uint8 (P<=8) or uint16, raw samples (no level shift /
+# color transform — lossless streams carry raw component values).
 
 
 def _lossless_predict(out, r, c, ci, psel, default):
@@ -1258,12 +1266,15 @@ def _decode_lossless(data: bytes, st: _JpegState, pos: int,
     mask = 0xFFFF
     n_since = 0
     fresh = True      # first sample of the scan / of a restart interval
+    first_line_r = 0  # row holding the current interval's first sample
     for r in range(rows):
         for c in range(cols):
             if ri and n_since and n_since % ri == 0:
                 br.align_and_expect_rst(rst)
                 rst += 1
-                fresh = True   # prediction resets to the default
+                fresh = True   # prediction resets as at start of scan
+            if fresh:
+                first_line_r = r
             n_since += 1
             for ci, comp in enumerate(comps):
                 tbl = st.huff_dc.get(comp.td)
@@ -1276,8 +1287,15 @@ def _decode_lossless(data: bytes, st: _JpegState, pos: int,
                     diff = _extend(br.receive(t), t)
                 else:
                     diff = 0
-                pred = (default if fresh
-                        else _lossless_predict(out, r, c, ci, psel, default))
+                if fresh:
+                    pred = default
+                elif r == first_line_r:
+                    # interval's first line: 1-D predictor Ra (H.1.1)
+                    pred = int(out[r, c - 1, ci])
+                elif c == 0:
+                    pred = int(out[r - 1, c, ci])   # line start: Rb
+                else:
+                    pred = _lossless_predict(out, r, c, ci, psel, default)
                 out[r, c, ci] = (pred + diff) & mask
             fresh = False
     samples = (out << pt).astype(np.int64)

@@ -950,6 +950,7 @@ def encode_lossless(img: np.ndarray, predictor: int = 4,
     rst = 0
     n_since = 0
     fresh = True
+    first_line_r = 0
     for r in range(rows):
         for c in range(cols):
             if restart_interval and n_since and n_since % restart_interval == 0:
@@ -959,9 +960,22 @@ def encode_lossless(img: np.ndarray, predictor: int = 4,
                 out += bytes([0xFF, 0xD0 + (rst & 7)])
                 rst += 1
                 fresh = True
+            if fresh:
+                first_line_r = r
             n_since += 1
             for ci in range(ncomp):
-                pred = default if fresh else predict(r, c, ci)
+                # T.81 H.1.1 restart semantics (r13, ADVICE r12): first
+                # sample of an interval -> default; rest of the
+                # interval's FIRST line -> Ra; later lines -> Rb at the
+                # line start, selected predictor elsewhere
+                if fresh:
+                    pred = default
+                elif r == first_line_r:
+                    pred = int(v[r, c - 1, ci])
+                elif c == 0:
+                    pred = int(v[r - 1, c, ci])
+                else:
+                    pred = predict(r, c, ci)
                 d = (int(v[r, c, ci]) - pred) & 0xFFFF
                 if d >= 32768:
                     d -= 65536

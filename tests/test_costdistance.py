@@ -264,6 +264,90 @@ class TestGaussSeidelKernel:
         assert reached.max() <= 5.0
         assert (inner >= cd._BIG).any()
 
+    def test_reversal_heavy_tile_switches_to_dijkstra(self):
+        """r13 (VERDICT r12 #2 re-diagnosed): random-cost surfaces make
+        optimal paths reverse vertically ~O(rows) times, which cost one
+        sweep pair each (the r12 big-sweep serpentine burned 166.7 s on
+        2256 passes INSIDE one block). Past _SWEEP_CAP pairs the kernel
+        must hand off to the exact multi-source Dijkstra finish and
+        still land on the unique fixpoint (heapq Dijkstra reference,
+        the same oracle tools/stateful_sweep.py replays)."""
+        import heapq
+
+        from geopyspark_spark.operators import costdistance as cd
+
+        rng = np.random.default_rng(11)
+        n = 96
+        fric = rng.uniform(0.5, 3.0, size=(n, n))
+        for i, r in enumerate(range(5, n - 2, 11)):
+            if i % 2 == 0:
+                fric[r, : n - 6] = np.nan
+            else:
+                fric[r, 6:] = np.nan
+        d = np.full((n + 2, n + 2), cd._BIG)
+        f = np.full((n + 2, n + 2), np.nan)
+        f[1:n + 1, 1:n + 1] = fric
+        d[2, 2] = 0.0
+        out = cd._local_relax(d, f, float("inf"))
+        assert cd._relax_stats["dijkstra"], (
+            "reversal-heavy tile should hit the sweep cap"
+        )
+        assert cd._relax_stats["passes"] == cd._SWEEP_CAP
+        # heapq Dijkstra reference over the same edge model
+        dist = np.full((n, n), np.inf)
+        dist[1, 1] = 0.0
+        pq = [(0.0, 1, 1)]
+        while pq:
+            dv, r, c = heapq.heappop(pq)
+            if dv > dist[r, c]:
+                continue
+            for dr, dc, w in cd._MOVES:
+                r2, c2 = r + dr, c + dc
+                if 0 <= r2 < n and 0 <= c2 < n and fric[r2, c2] == fric[r2, c2]:
+                    nd = dv + (0.5 * fric[r, c] + 0.5 * fric[r2, c2]) * w
+                    if nd < dist[r2, c2]:
+                        dist[r2, c2] = nd
+                        heapq.heappush(pq, (nd, r2, c2))
+        got = out[1:n + 1, 1:n + 1]
+        np.testing.assert_allclose(
+            np.where(got > 1e200, -1.0, got),
+            np.where(np.isinf(dist), -1.0, dist), atol=1e-9)
+
+    def test_easy_tile_keeps_vectorized_sweep_path(self):
+        """Open terrain stays on the sweep fast path — no Dijkstra."""
+        from geopyspark_spark.operators import costdistance as cd
+
+        n = 128
+        fric = np.ones((n + 2, n + 2))
+        dist = np.full((n + 2, n + 2), cd._BIG)
+        dist[1, 1] = 0.0
+        cd._local_relax(dist, fric, float("inf"))
+        assert not cd._relax_stats["dijkstra"]
+        assert cd._relax_stats["passes"] < cd._SWEEP_CAP
+
+    def test_dijkstra_finish_respects_max_distance_and_ring(self):
+        """The Dijkstra finish honors the truncation frontier and never
+        writes the fixed boundary ring."""
+        from geopyspark_spark.operators import costdistance as cd
+
+        n = 8
+        fric = np.ones((n + 2, n + 2))
+        d = np.full((n + 2, n + 2), cd._BIG)
+        d[1, 1] = 0.0
+        d[0, 5] = 123.0  # ring donor value
+        half = np.where(np.isnan(fric), np.inf, 0.5 * fric)
+        out = cd._dijkstra_finish(d, half, 4.0)
+        inner = out[1:-1, 1:-1]
+        reached = inner[inner < cd._BIG]
+        assert reached.max() <= 4.0
+        assert (inner >= cd._BIG).any()
+        assert out[0, 5] == 123.0  # ring untouched
+        # ring donors DO seed interior relaxation
+        d2 = np.full((n + 2, n + 2), cd._BIG)
+        d2[0, 5] = 1.0
+        out2 = cd._dijkstra_finish(d2, half, float("inf"))
+        assert out2[1, 5] == pytest.approx(2.0)
+
 
 class TestGaussSeidelProperty:
     def test_random_mazes_match_jacobi_fixpoint(self):

@@ -94,12 +94,21 @@ class TestStreamFeatures:
         with pytest.raises(ValueError, match="lossless predictor"):
             decode_baseline(bytes(buf))
 
-    def test_hierarchical_raises(self):
-        # hierarchical (SOF5-7) is the remaining named-raise class
+    @pytest.mark.parametrize("sof, name", [
+        (0xC5, "hierarchical"),
+        (0xC6, "hierarchical"),
+        (0xC7, "hierarchical"),
+        (0xCB, "arithmetic lossless"),
+    ])
+    def test_out_of_scope_sof_markers_raise_named(self, sof, name):
+        """r13 (VERDICT r12 #4): the permanently out-of-scope decode
+        classes — hierarchical SOF5-7 and arithmetic-lossless SOF11, both
+        effectively extinct (no mainstream encoder emits them; see
+        COVERAGE.md) — each raise a NAMED error, never mis-decode."""
         buf = bytearray(encode_baseline(self._img()))
         j = bytes(buf).index(b"\xff\xc0")
-        buf[j + 1] = 0xC5
-        with pytest.raises(ValueError, match="hierarchical"):
+        buf[j + 1] = sof
+        with pytest.raises(ValueError, match=name):
             decode_baseline(bytes(buf))
 
     def test_mislabeled_progressive_rejected(self):
@@ -490,6 +499,82 @@ class TestLossless:
     """r12: SOF3 lossless (T.81 Annex H). Exactness is the contract —
     every round-trip must be bit-identical (modulo the point
     transform's deliberate truncation)."""
+
+    def test_restart_spec_letter_hand_assembled(self):
+        """r13 (ADVICE r12): SOF3 restart-interval semantics pinned
+        against a HAND-ASSEMBLED byte stream — every Huffman code word
+        and appended-bit group below was derived on paper from T.81
+        H.1.1/H.1.2.2, sharing no code with the in-repo test encoder.
+
+        Fixture: 4x4, P=8, predictor 2 (Rb), DRI=6 — restarts land
+        MID-ROW, exercising all three H.1.1 rules: (a) the interval's
+        first sample predicts the default 128; (b) the rest of the
+        interval's FIRST line uses Ra regardless of the selected
+        predictor; (c) later lines use Rb at the line start and the
+        selected predictor elsewhere, INCLUDING Rb references to
+        samples above the restart boundary. Expected samples:
+
+            50 52 54 56     interval 0: (0,0)..(1,1)
+            58 60 62 64     interval 1: (1,2)..(2,3)
+            66 68 70 72     interval 2: (3,0)..(3,3)
+            74 76 78 80
+
+        A decoder resuming the SELECTED predictor right after the
+        restart (the pre-r13 reading) decodes (1,3) against Rb=54
+        instead of Ra=62 and diverges."""
+        import struct
+
+        # canonical DC table: counts [0,3,1,0...], values [2,4,7,6]
+        # -> codes 2:00(2) 4:01(2) 7:10(2) 6:110(3); no all-ones word
+        code = {2: (0b00, 2), 4: (0b01, 2), 7: (0b10, 2), 6: (0b110, 3)}
+        # (SSSS, appended bits, nbits) per sample, paper-derived:
+        # I0: (0,0) d=50-128=-78 S7 b=49 | (0,1..3) d=+2 S2 b=2 (Ra)
+        #     (1,0) d=58-50=8 S4 b=8 (Rb line start)
+        #     (1,1) d=60-52=8 S4 (selected Rb)
+        # I1: (1,2) d=62-128=-66 S7 b=61 | (1,3) d=64-62=2 S2 (Ra!)
+        #     (2,0) d=66-58=8 S4 (Rb ACROSS the restart boundary)
+        #     (2,1..3) d=+8 S4 (selected Rb, (2,1) across the boundary)
+        # I2: (3,0) d=74-128=-54 S6 b=9 | (3,1..3) d=+2 S2 (Ra)
+        intervals = [
+            [(7, 49), (2, 2), (2, 2), (2, 2), (4, 8), (4, 8)],
+            [(7, 61), (2, 2), (4, 8), (4, 8), (4, 8), (4, 8)],
+            [(6, 9), (2, 2), (2, 2), (2, 2)],
+        ]
+        scan = bytearray()
+        for i, samples in enumerate(intervals):
+            if i:
+                scan += bytes([0xFF, 0xD0 + (i - 1)])
+            acc, nbits = 0, 0
+            for ssss, bits in samples:
+                c, ln = code[ssss]
+                acc = (acc << ln) | c
+                nbits += ln
+                acc = (acc << ssss) | bits
+                nbits += ssss
+            pad = (8 - nbits % 8) % 8
+            acc = (acc << pad) | ((1 << pad) - 1)  # 1-pad to byte edge
+            nbits += pad
+            body = acc.to_bytes(nbits // 8, "big")
+            assert b"\xff" not in body  # no stuffing needed by design
+            scan += body
+
+        def seg(marker, payload):
+            return bytes([0xFF, marker]) + struct.pack(
+                ">H", len(payload) + 2) + payload
+
+        dht = seg(0xC4, bytes([0x00]) + bytes(
+            [0, 3, 1] + [0] * 13) + bytes([2, 4, 7, 6]))
+        dri = seg(0xDD, struct.pack(">H", 6))
+        sof = seg(0xC3, bytes([8]) + struct.pack(">HH", 4, 4)
+                  + bytes([1, 1, 0x11, 0]))
+        sos = seg(0xDA, bytes([1, 1, 0x00, 2, 0, 0x00]))  # predictor 2
+        jpeg = b"\xff\xd8" + dht + dri + sof + sos + bytes(scan) + b"\xff\xd9"
+        out = decode_baseline(jpeg)
+        expected = np.array([[50, 52, 54, 56],
+                             [58, 60, 62, 64],
+                             [66, 68, 70, 72],
+                             [74, 76, 78, 80]], dtype=np.uint8)
+        np.testing.assert_array_equal(out[:, :, 0], expected)
 
     def test_all_predictors_exact(self):
         from jpeg_testenc import encode_lossless
