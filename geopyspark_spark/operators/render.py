@@ -238,14 +238,59 @@ def encode_png(arr: np.ndarray, filter_cycle: bool = False) -> bytes:
     )
 
 
+#: valid (color type -> bit depths) per the PNG spec, table 11.1
+_CTYPE_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                 4: (8, 16), 6: (8, 16)}
+
+#: Adam7 pass origins and strides: (x0, y0, dx, dy)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _unpack_scanline(cur: bytes, w: int, c: int, depth: int) -> np.ndarray:
+    """One unfiltered scanline -> (w * c,) sample values (uint16)."""
+    if depth == 8:
+        return np.frombuffer(cur, dtype=np.uint8)[: w * c].astype(np.uint16)
+    if depth == 16:
+        return np.frombuffer(cur, dtype=">u2")[: w * c].astype(np.uint16)
+    # 1/2/4-bit: big-endian bit packing, left pixel in high bits
+    bits = np.unpackbits(np.frombuffer(cur, dtype=np.uint8))
+    vals = bits.reshape(-1, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return (vals * weights).sum(axis=1)[: w * c].astype(np.uint16)
+
+
+def _read_subimage(raw: bytes, off: int, pw: int, ph: int, c: int,
+                   depth: int) -> tuple[np.ndarray, int]:
+    """Unfilter one (sub-)image of ``ph`` scanlines starting at byte
+    ``off`` of the decompressed stream; filters reset per sub-image
+    (prev = zero row), exactly as each Adam7 pass requires. Returns
+    ((ph, pw, c) uint16 samples, next offset)."""
+    bpp = max(1, (depth * c) // 8)
+    stride = (pw * c * depth + 7) // 8
+    prev = bytes(stride)
+    vals = np.empty((ph, pw * c), dtype=np.uint16)
+    for r in range(ph):
+        if off + 1 + stride > len(raw):
+            raise ValueError("PNG IDAT length mismatch")
+        ft = raw[off]
+        cur = bytearray(raw[off + 1: off + 1 + stride])
+        off += 1 + stride
+        cur = _unfilter_row(ft, cur, prev, bpp)
+        vals[r] = _unpack_scanline(bytes(cur), pw, c, depth)
+        prev = bytes(cur)
+    return vals.reshape(ph, pw, c), off
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """General baseline PNG decoder (pure zlib, no PIL): bit depth 8,
-    color types 0 (gray), 2 (RGB), 3 (palette -> RGB), 4 (gray+alpha),
-    6 (RGBA), all five scanline filters, non-interlaced. Returns
-    float64 ndarray[h, w, c]. Interlaced (Adam7) and 1/2/4/16-bit
-    depths raise NotImplementedError. The sequential per-byte unfilter
-    is O(h*w*c) Python — fine for tiles and thumbnails, not a codec for
-    gigapixel scans (that path wants GDAL/Pillow where available)."""
+    """General PNG decoder (pure zlib, no PIL): every legal bit depth
+    (1/2/4/8/16), color types 0 (gray), 2 (RGB), 3 (palette -> RGB),
+    4 (gray+alpha), 6 (RGBA), all five scanline filters, and both
+    interlace methods — progressive Adam7 (r13, VERDICT r12 #7) and
+    none. Returns float64 ndarray[h, w, c]; 16-bit samples keep their
+    0..65535 range. The sequential per-byte unfilter is O(h*w*c)
+    Python — fine for tiles and thumbnails, not a codec for gigapixel
+    scans (that path wants GDAL/Pillow where available)."""
     if data[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG (bad magic)")
     pos, idat, plte = 8, [], b""
@@ -258,12 +303,13 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack_from(
                 ">IIBBBBB", body
             )
-            if depth != 8:
-                raise NotImplementedError(f"PNG bit depth {depth} (8 only)")
-            if interlace:
-                raise NotImplementedError("interlaced (Adam7) PNG")
             if ctype not in _CTYPE_CHANNELS:
                 raise ValueError(f"invalid PNG color type {ctype}")
+            if depth not in _CTYPE_DEPTHS[ctype]:
+                raise ValueError(
+                    f"invalid PNG bit depth {depth} for color type {ctype}")
+            if interlace not in (0, 1):
+                raise ValueError(f"invalid PNG interlace method {interlace}")
         elif tag == b"PLTE":
             plte = body
         elif tag == b"IDAT":
@@ -274,19 +320,21 @@ def decode_png(data: bytes) -> np.ndarray:
     if w is None:
         raise ValueError("PNG missing IHDR")
     c = _CTYPE_CHANNELS[ctype]
-    stride = w * c
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
+    if interlace:
+        arr = np.zeros((h, w, c), dtype=np.uint16)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass for small images
+            sub, off = _read_subimage(raw, off, pw, ph, c, depth)
+            arr[y0::dy, x0::dx] = sub
+    else:
+        arr, off = _read_subimage(raw, 0, w, h, c, depth)
+    if off != len(raw):
         raise ValueError("PNG IDAT length mismatch")
-    out = bytearray(h * stride)
-    prev = bytes(stride)
-    for r in range(h):
-        ft = raw[r * (stride + 1)]
-        cur = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
-        cur = _unfilter_row(ft, cur, prev, c)
-        out[r * stride : (r + 1) * stride] = cur
-        prev = bytes(cur)
-    arr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, c)
     if ctype == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         arr = pal[arr[:, :, 0]]
