@@ -395,12 +395,21 @@ def _split_tiles(result: "TiledRasterLayer", friction: "TiledRasterLayer",
     return TRL(fine, md.with_cell_type("float64"))
 
 
+#: unconverged blocked-fixpoint rounds before strategy="auto" escapes
+#: to the two-level boundary-graph solve: open-terrain inputs converge
+#: in a handful of rounds (grid diameter in blocks), so only genuinely
+#: pathological multi-block mazes ever pay the escape.
+_ESCAPE_ROUNDS = 12
+
+
 def cost_distance(
     friction: "TiledRasterLayer",
     geometries,
     max_distance: float = float("inf"),
     max_iterations: int | None = None,
     block_cells: int = 1 << 20,
+    strategy: str = "auto",
+    table_cells: int = 1 << 14,
 ) -> "TiledRasterLayer":
     """Least-cost distance from source geometries over a friction layer.
 
@@ -435,19 +444,36 @@ def cost_distance(
     emits a RuntimeWarning instead of silently returning too-large
     distances.
 
-    **Known worst case (documented, inherent):** a maze whose passages
-    span MULTIPLE blocks end-to-end still costs one round per
-    block-boundary crossing of the least-cost path — information flows
-    along the path and no blocking can shortcut it (the 16k-cell
-    serpentine collapses into one block and converges in ~2 rounds, but
-    a 1M-cell full-width serpentine across 2x2 blocks takes
-    O(#crossings) ~ 200 rounds). This matches the reference's
-    IterativeCostDistance shape; raising ``block_cells`` (more memory
-    per task) trades rounds for per-round cost when such inputs are
-    expected.
+    **Multi-block worst case and the two-level escape (r13, VERDICT
+    r12 #2).** A maze whose passages span MULTIPLE blocks end-to-end
+    costs the fixpoint loop one round per block-boundary crossing of
+    the least-cost path — information flows along the path and no
+    blocking can shortcut the LOOP. ``strategy="auto"`` therefore
+    escapes after :data:`_ESCAPE_ROUNDS` unconverged rounds to the
+    two-level block-boundary-graph solve
+    (:func:`_cost_distance_two_level`): exact per-block
+    boundary-to-boundary cost tables (computed in parallel per block by
+    a source-stacked relaxation over ``table_cells``-cell blocks), one
+    exact driver Dijkstra over the resulting boundary graph, then ONE
+    final in-block pass — O(1) global Spark rounds regardless of how
+    many blocks the paths cross. ``strategy="two_level"`` runs that
+    path directly; ``strategy="fixpoint"`` never escapes (the
+    reference's IterativeCostDistance shape). The escape is skipped
+    when the caller pinned ``max_iterations`` explicitly.
     """
+    if strategy not in ("auto", "fixpoint", "two_level"):
+        raise ValueError(f"unknown cost_distance strategy {strategy!r}")
+    if strategy == "two_level":
+        if friction.is_temporal:
+            raise ValueError(
+                "strategy='two_level' supports spatial layers only; "
+                "temporal layers use the fixpoint loop")
+        return _cost_distance_two_level(friction, geometries, max_distance,
+                                        table_cells)
+    _loop_stats["two_level"] = False
     tl = friction.metadata.layout.tile_layout
     g = _block_factor(tl, block_cells)
+    user_capped = max_iterations is not None
     if max_iterations is None:
         # CELL-count bound (r12): each round advances the wavefront at
         # least one tile/block-boundary crossing along the least-cost
@@ -464,9 +490,19 @@ def cost_distance(
     if g <= 1:
         return _cost_distance_core(friction, geometries, max_distance,
                                    max_iterations)
+    escape = (strategy == "auto" and not friction.is_temporal
+              and not user_capped and max_iterations > _ESCAPE_ROUNDS)
     coalesced = _coalesce_tiles(friction, g)
-    result = _cost_distance_core(coalesced, geometries, max_distance,
-                                 max_iterations)
+    result = _cost_distance_core(
+        coalesced, geometries, max_distance,
+        _ESCAPE_ROUNDS if escape else max_iterations,
+        warn_unconverged=not escape)
+    if escape and not _loop_stats.get("converged", True):
+        # pathological multi-block input: rounds would track the path's
+        # block-boundary crossings — switch to the O(1)-round two-level
+        # boundary-graph solve (the bounded fixpoint work is discarded)
+        return _cost_distance_two_level(friction, geometries, max_distance,
+                                        table_cells)
     return _split_tiles(result, friction, g)
 
 
@@ -475,6 +511,7 @@ def _cost_distance_core(
     geometries,
     max_distance: float = float("inf"),
     max_iterations: int | None = None,
+    warn_unconverged: bool = True,
 ) -> "TiledRasterLayer":
     """One-tile-granularity fixpoint loop (see :func:`cost_distance`,
     which wraps it in super-tile blocking)."""
@@ -771,7 +808,8 @@ def _cost_distance_core(
             break
 
     frag_f.unpersist()
-    if not converged:
+    _loop_stats["converged"] = converged
+    if not converged and warn_unconverged:
         import warnings
 
         warnings.warn(
@@ -789,3 +827,314 @@ def _cost_distance_core(
         ).alias("cells"),
     )
     return TRL(result, md.with_cell_type("float64"))
+
+
+# ---- two-level boundary-graph solve (r13, VERDICT r12 #2) -------------------
+
+def _row_scan_stack(rows: np.ndarray, half_row: np.ndarray) -> np.ndarray:
+    """:func:`_row_scan` vectorized across stacked sources: ``rows`` is
+    (S, w), ``half_row`` (w,) is shared by every source (one friction
+    plane), so the passable-segment decomposition and prefix sums are
+    computed once and the min-plus scans broadcast over S."""
+    out = rows.copy()
+    finite = np.isfinite(half_row)
+    edges = np.flatnonzero(
+        np.diff(np.concatenate(([False], finite, [False])).astype(np.int8))
+    )
+    for a, b in zip(edges[::2], edges[1::2]):
+        if b - a < 2:
+            continue
+        hseg = half_row[a:b]
+        wseg = hseg[:-1] + hseg[1:]
+        prefix = np.concatenate(([0.0], np.cumsum(wseg)))[None, :]
+        m = out[:, a:b] - prefix
+        np.minimum.accumulate(m, axis=1, out=m)
+        np.minimum(out[:, a:b], m + prefix, out=out[:, a:b])
+        m2 = (out[:, a:b] + prefix)[:, ::-1].copy()
+        np.minimum.accumulate(m2, axis=1, out=m2)
+        np.minimum(out[:, a:b], m2[:, ::-1] - prefix, out=out[:, a:b])
+    return out
+
+
+def _relax_stack(d: np.ndarray, half: np.ndarray) -> np.ndarray:
+    """Source-stacked Gauss-Seidel relaxation to the exact fixpoint:
+    ``d`` is (S, h, w) — one dist plane per source, relaxed
+    SIMULTANEOUSLY against the shared friction ``half`` (h, w). The
+    per-row Python overhead that dominates single-plane sweeps
+    amortizes over S sources (numpy ops act on (S, w) blocks), which is
+    what makes |boundary| single-source solves per block affordable.
+    Rings (row/col 0 and -1) stay fixed; no max_distance (the
+    boundary-graph phases run untruncated — truncation applies in the
+    final per-block pass)."""
+    S, h, w = d.shape
+    eps = 1e-12
+
+    def sweep(rows_iter, dr) -> bool:
+        changed = False
+        for r in rows_iter:
+            src = d[:, r + dr, :]
+            hh = half[r]
+            hs = half[r + dr]
+            cand = src + (hs + hh)[None, :]
+            diag = np.full((S, w), np.inf)
+            diag[:, 1:] = src[:, :-1] + (_SQRT2 * (hs[:-1] + hh[1:]))[None, :]
+            np.minimum(cand, diag, out=cand)
+            diag.fill(np.inf)
+            diag[:, :-1] = src[:, 1:] + (_SQRT2 * (hs[1:] + hh[:-1]))[None, :]
+            np.minimum(cand, diag, out=cand)
+            row = np.minimum(d[:, r, :], cand)
+            row = _row_scan_stack(row, hh)
+            row[row > _SNAP] = _BIG
+            ok = row < d[:, r, :] - eps
+            ok[:, 0] = ok[:, -1] = False
+            if ok.any():
+                d[:, r, :][ok] = row[ok]
+                changed = True
+        return changed
+
+    for _ in range(h * w):
+        moved = sweep(range(1, h - 1), -1)
+        moved |= sweep(range(h - 2, 0, -1), +1)
+        if not moved:
+            break
+    return d
+
+
+def _boundary_dijkstra(esrc, edst, ew, seed_dst, seed_w):
+    """Exact single-source (virtual) Dijkstra over the block-boundary
+    graph, driver-side: node ids are arbitrary global cell ids,
+    compacted via np.unique; out-edges relax as vectorized CSR slices.
+    Returns (node_ids, dist) for every node."""
+    import heapq
+
+    nodes, inv = np.unique(np.concatenate([esrc, edst, seed_dst]),
+                           return_inverse=True)
+    n = len(nodes)
+    ne = len(esrc)
+    esrc_c = inv[:ne]
+    edst_c = inv[ne:2 * ne]
+    seed_c = inv[2 * ne:]
+    order = np.argsort(esrc_c, kind="stable")
+    esrc_s, edst_s, ew_s = esrc_c[order], edst_c[order], ew[order]
+    starts = np.searchsorted(esrc_s, np.arange(n + 1))
+    dist = np.full(n, np.inf)
+    pq = []
+    for t, v in zip(seed_c.tolist(), seed_w.tolist()):
+        if v < dist[t]:
+            dist[t] = v
+    for t in np.unique(seed_c).tolist():
+        heapq.heappush(pq, (float(dist[t]), t))
+    while pq:
+        dv, u = heapq.heappop(pq)
+        if dv > dist[u]:
+            continue
+        lo, hi = starts[u], starts[u + 1]
+        if lo == hi:
+            continue
+        nd = dv + ew_s[lo:hi]
+        tgt = edst_s[lo:hi]
+        better = nd < dist[tgt]
+        if better.any():
+            for t, v in zip(tgt[better].tolist(), nd[better].tolist()):
+                if v < dist[t]:
+                    dist[t] = v
+                    heapq.heappush(pq, (v, t))
+    return nodes, dist
+
+
+def _cost_distance_two_level(
+    friction: "TiledRasterLayer",
+    geometries,
+    max_distance: float = float("inf"),
+    table_cells: int = 1 << 14,
+) -> "TiledRasterLayer":
+    """Two-level cost distance (r13, VERDICT r12 #2): O(1) global Spark
+    rounds regardless of how many block boundaries the least-cost paths
+    cross.
+
+    1. Coalesce tiles into ``table_cells``-cell blocks; one halo
+       exchange ships each block its friction ring.
+    2. Per block (parallel applyInPandas): source-stacked relaxation
+       (:func:`_relax_stack`) computes EXACT in-block distances from
+       every passable boundary cell (and from the block's seed set) at
+       once -> within-block boundary->boundary cost tables, seed->
+       boundary edges, and cross-block edges to 8-adjacent ring cells.
+    3. Driver: exact Dijkstra over the boundary graph (nodes = passable
+       boundary cells of all blocks + a virtual source) -> global
+       distance at every boundary cell. The graph is tiny relative to
+       the raster (O(cells / sqrt(table_cells))).
+    4. One final per-block pass: seeds at 0, boundary cells fixed at
+       their global distances (masked by ``max_distance``), one local
+       relaxation -> exact interior distances. Split back to the
+       original tiling.
+
+    Correctness: any global least-cost path decomposes into within-
+    block segments between boundary cells (captured exactly by the
+    stacked tables), cross-block steps (the explicit edges), and a
+    leading in-block segment from a seed (the virtual-source edges);
+    the min-plus fixpoint is unique, so phase 4's relaxation from
+    exact boundary values reproduces the global fixpoint. Truncation
+    commutes: a cell within ``max_distance`` has an optimal path whose
+    every prefix is within it too (costs are non-negative), so running
+    phases 1-3 untruncated and masking at phase 4 returns the
+    truncated fixpoint."""
+    from ..core.geom import MultiPolygon, Point, Polygon
+    from ..layer import TiledRasterLayer as TRL
+    from ..layer import _normalize_geoms
+
+    _loop_stats["two_level"] = True
+    md = friction.metadata
+    tl = md.layout.tile_layout
+    g = _block_factor(tl, table_cells)
+    blocks = _coalesce_tiles(friction, g)
+    bmd = blocks.metadata
+    btl = bmd.layout.tile_layout
+    bh, bw = btl.tile_rows, btl.tile_cols
+    W = btl.layout_cols * bw
+    H = btl.layout_rows * bh
+    geoms = _normalize_geoms(geometries)
+    cw, ch = bmd.layout.cell_width, bmd.layout.cell_height
+    exmin, eymax = bmd.layout.extent.xmin, bmd.layout.extent.ymax
+
+    def seed_mask(kc: int, kr: int) -> np.ndarray:
+        col_idx = np.tile(np.arange(bw), bh).astype(float)
+        row_idx = np.repeat(np.arange(bh), bw).astype(float)
+        x = exmin + kc * bw * cw + (col_idx + 0.5) * cw
+        y = eymax - kr * bh * ch - (row_idx + 0.5) * ch
+        m = np.zeros(bw * bh, dtype=bool)
+        for gm in geoms:
+            if isinstance(gm, (Polygon, MultiPolygon)):
+                m |= gm.contains_points(x, y)
+            elif isinstance(gm, Point):
+                m |= (np.abs(x - gm.x) <= cw / 2) & (np.abs(y - gm.y) <= ch / 2)
+        return m.reshape(bh, bw)
+
+    key_names = key_cols(blocks.df) + ["band"]
+    frag_f = halo_exchange(blocks.df.select(*key_names, "cells"), bw, bh, 1)
+
+    def gid0(kc: int, kr: int, band: int) -> int:
+        # global cell id of the block's (0,0) cell for this band plane
+        return (band * H + kr * bh) * W + kc * bw
+
+    def emit_edges(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        fb = _assemble_buffer(pdf, bw, bh, 1, np.nan)
+        if fb is None:  # halo target with no center block (grid edge)
+            return pd.DataFrame({"src": pd.array([], dtype="int64"),
+                                 "dst": pd.array([], dtype="int64"),
+                                 "w": pd.array([], dtype="float64")})
+        kc, kr, band = int(key[0]), int(key[1]), int(key[2])
+        half = np.where(np.isnan(fb), np.inf, 0.5 * fb)
+        interior = fb[1:-1, 1:-1]
+        passable = ~np.isnan(interior)
+        bmask = np.zeros_like(passable)
+        bmask[0, :] = bmask[-1, :] = True
+        bmask[:, 0] = bmask[:, -1] = True
+        brs, bcs = np.nonzero(bmask & passable)
+        seeds = seed_mask(kc, kr) & passable
+        S = len(brs)
+        base = gid0(kc, kr, band)
+
+        def gid(r, c):
+            return base + r * W + c
+
+        srcs, dsts, ws = [], [], []
+        n_seed_slices = 1 if seeds.any() else 0
+        if S + n_seed_slices:
+            d = np.full((S + n_seed_slices, bh + 2, bw + 2), _BIG)
+            for i, (r, c) in enumerate(zip(brs.tolist(), bcs.tolist())):
+                d[i, r + 1, c + 1] = 0.0
+            if n_seed_slices:
+                sr, sc = np.nonzero(seeds)
+                d[S, sr + 1, sc + 1] = 0.0
+            d = _relax_stack(d, half)
+            # within-block tables (and seed->boundary edges)
+            at_b = d[:, brs + 1, bcs + 1]      # (S+ns, |B|)
+            for i in range(S):
+                fin = np.flatnonzero((at_b[i] < _SNAP) & (at_b[i] > 0))
+                src_id = gid(int(brs[i]), int(bcs[i]))
+                for j in fin.tolist():
+                    srcs.append(src_id)
+                    dsts.append(gid(int(brs[j]), int(bcs[j])))
+                    ws.append(float(at_b[i, j]))
+            if n_seed_slices:
+                fin = np.flatnonzero(at_b[S] < _SNAP)
+                for j in fin.tolist():
+                    srcs.append(-1)
+                    dsts.append(gid(int(brs[j]), int(bcs[j])))
+                    ws.append(float(at_b[S, j]))
+        # cross-block edges: boundary cell -> passable 8-adjacent ring
+        # cell (the neighboring block emits the reverse direction)
+        for r, c in zip(brs.tolist(), bcs.tolist()):
+            ha = half[r + 1, c + 1]
+            for dr, dc, wgt in _MOVES:
+                r2, c2 = r + dr, c + dc
+                if 0 <= r2 < bh and 0 <= c2 < bw:
+                    continue  # interior move, not a seam crossing
+                hb = half[r2 + 1, c2 + 1]
+                if not np.isfinite(hb):
+                    continue
+                gr, gc = kr * bh + r2, kc * bw + c2
+                if not (0 <= gr < H and 0 <= gc < W):
+                    continue
+                srcs.append(gid(r, c))
+                dsts.append((band * H + gr) * W + gc)
+                ws.append((ha + hb) * wgt)
+        return pd.DataFrame({"src": pd.array(srcs, dtype="int64"),
+                             "dst": pd.array(dsts, dtype="int64"),
+                             "w": pd.array(ws, dtype="float64")})
+
+    edges_pdf = frag_f.groupBy(*key_names).applyInPandas(
+        emit_edges, schema="src long, dst long, w double").toPandas()
+    esrc = edges_pdf["src"].to_numpy(dtype=np.int64)
+    edst = edges_pdf["dst"].to_numpy(dtype=np.int64)
+    ew = edges_pdf["w"].to_numpy(dtype=np.float64)
+    seed_sel = esrc == -1
+    nodes, ndist = _boundary_dijkstra(
+        esrc[~seed_sel], edst[~seed_sel], ew[~seed_sel],
+        edst[seed_sel], ew[seed_sel])
+    fin = np.isfinite(ndist)
+    assigned = dict(zip(nodes[fin].tolist(), ndist[fin].tolist()))
+    spark = blocks.df.sparkSession
+    bc = spark.sparkContext.broadcast(assigned)
+
+    out_schema = ", ".join(
+        ["key_col int", "key_row int", "band int", "cells array<double>"])
+
+    def finalize(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        fb = _assemble_buffer(pdf, bw, bh, 1, np.nan)
+        cols = ["key_col", "key_row", "band", "cells"]
+        if fb is None:  # halo target with no center block (grid edge)
+            return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        kc, kr, band = int(key[0]), int(key[1]), int(key[2])
+        base = gid0(kc, kr, band)
+        d = np.full((bh + 2, bw + 2), _BIG)
+        interior = fb[1:-1, 1:-1]
+        passable = ~np.isnan(interior)
+        vals = bc.value
+        bmask = np.zeros_like(passable)
+        bmask[0, :] = bmask[-1, :] = True
+        bmask[:, 0] = bmask[:, -1] = True
+        for r, c in zip(*np.nonzero(bmask & passable)):
+            v = vals.get(base + int(r) * W + int(c))
+            if v is not None and v <= max_distance:
+                d[r + 1, c + 1] = v
+        seeds = seed_mask(kc, kr) & passable
+        d[1:-1, 1:-1][seeds] = 0.0
+        d = _local_relax(d, fb, max_distance)
+        center = d[1:-1, 1:-1]
+        data = {"key_col": [kc], "key_row": [kr], "band": [band],
+                "cells": [center.reshape(-1).tolist()]}
+        return pd.DataFrame(data, columns=cols)
+
+    result = frag_f.groupBy(*key_names).applyInPandas(
+        finalize, schema=out_schema)
+    coarse = TRL(
+        result.withColumn(
+            "cells",
+            F.transform(F.col("cells"),
+                        lambda v: F.when(v >= F.lit(_BIG),
+                                         F.lit(float("nan"))).otherwise(v)),
+        ),
+        bmd,
+    )
+    return _split_tiles(coarse, friction, g)

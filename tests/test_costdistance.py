@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 import geopyspark_spark as gps
+from pyspark.sql import functions as F
 from geopyspark_spark.operators.costdistance import cost_distance
 from geopyspark_spark.sources.numpy_source import to_numpy
 
@@ -188,6 +189,141 @@ def test_blocked_rounds_match_unblocked(spark):
         np.testing.assert_allclose(
             np.nan_to_num(np.asarray(rows_b[k]), nan=-1.0),
             np.nan_to_num(np.asarray(rows_p[k]), nan=-1.0), atol=1e-9)
+
+
+def _maze_layer(spark, fric, tsz=8, drop_key=None):
+    n = fric.shape[0]
+    n_tiles = n // tsz
+    layout = gps.LayoutDefinition(
+        gps.Extent(0, 0, n, n), gps.TileLayout(n_tiles, n_tiles, tsz, tsz))
+    md = gps.LayerMetadata(
+        crs="epsg:4326", cell_type="float64", layout=layout,
+        bounds=((0, 0), (n_tiles - 1, n_tiles - 1)),
+        extent=layout.extent, num_bands=1)
+    tiles = [
+        (kc, kr, 0, fric[kr * tsz:(kr + 1) * tsz, kc * tsz:(kc + 1) * tsz])
+        for kc in range(n_tiles) for kr in range(n_tiles)
+        if (kc, kr) != drop_key
+    ]
+    return gps.from_numpy(spark, tiles, md)
+
+
+class TestTwoLevel:
+    """r13 (VERDICT r12 #2): the two-level block-boundary-graph solve —
+    per-block stacked tables -> driver Dijkstra -> one final in-block
+    pass — must land on the same unique min-plus fixpoint as the
+    fixpoint loop, in O(1) global rounds."""
+
+    def test_two_level_matches_fixpoint_property(self, spark):
+        """Random friction + random walls + random seeds + truncation,
+        forced multi-block (table_cells small), incl. a sparse layout."""
+        from geopyspark_spark.operators import costdistance as cd
+
+        for seed in range(4):
+            rng = np.random.default_rng(40 + seed)
+            n = 32
+            fric = rng.uniform(0.2, 4.0, size=(n, n))
+            fric[rng.random((n, n)) < 0.15] = np.nan
+            drop = (3, 2) if seed == 2 else None
+            layer = _maze_layer(spark, fric, tsz=8, drop_key=drop)
+            srcs = [gps.Point(float(rng.integers(0, n)) + 0.5,
+                              float(rng.integers(0, n)) + 0.5)
+                    for _ in range(int(rng.integers(1, 3)))]
+            max_d = float(rng.choice([np.inf, 15.0]))
+            two = cost_distance(layer, srcs, max_distance=max_d,
+                                strategy="two_level", table_cells=256)
+            assert cd._loop_stats["two_level"]
+            rows_t = {(r["key_col"], r["key_row"]): r["cells"]
+                      for r in two.df.collect()}
+            plain = cost_distance(layer, srcs, max_distance=max_d,
+                                  strategy="fixpoint", block_cells=1)
+            rows_p = {(r["key_col"], r["key_row"]): r["cells"]
+                      for r in plain.df.collect()}
+            assert set(rows_t) == set(rows_p)
+            for k in rows_p:
+                np.testing.assert_allclose(
+                    np.nan_to_num(np.asarray(rows_t[k]), nan=-1.0),
+                    np.nan_to_num(np.asarray(rows_p[k]), nan=-1.0),
+                    atol=1e-9, err_msg=f"seed {seed} key {k} max_d {max_d}")
+
+    def test_auto_escapes_to_two_level_on_multiblock_maze(self, spark,
+                                                          monkeypatch):
+        """strategy='auto' must hand a pathological multi-block maze to
+        the two-level solve after _ESCAPE_ROUNDS unconverged rounds —
+        and the answer must match the maze's exact distances."""
+        from geopyspark_spark.operators import costdistance as cd
+
+        monkeypatch.setattr(cd, "_ESCAPE_ROUNDS", 2)
+        rng = np.random.default_rng(5)
+        n = 64
+        fric = rng.uniform(0.5, 3.0, size=(n, n))
+        for i, r in enumerate(range(5, n - 2, 11)):
+            if i % 2 == 0:
+                fric[r, : n - 6] = np.nan
+            else:
+                fric[r, 6:] = np.nan
+        layer = _maze_layer(spark, fric, tsz=8)
+        src = gps.Point(1.5, n - 1.5)
+        # block_cells forces a 2x2-block coalesced layout (g=4 over 8x8)
+        out = cost_distance(layer, src, block_cells=32 * 32,
+                            table_cells=16 * 16)
+        assert cd._loop_stats["two_level"], "escape did not fire"
+        got = _stitched(out)
+        exp = _ref_dijkstra_grid(fric, 1, 1)
+        np.testing.assert_allclose(
+            np.nan_to_num(got, nan=-1.0), np.nan_to_num(exp, nan=-1.0),
+            atol=1e-9)
+
+    def test_open_terrain_never_escapes(self, spark):
+        from geopyspark_spark.operators import costdistance as cd
+
+        fric = np.ones((32, 32))
+        layer = _maze_layer(spark, fric, tsz=8)
+        out = cost_distance(layer, gps.Point(1.5, 30.5), block_cells=16 * 16)
+        out.df.count()
+        assert not cd._loop_stats["two_level"]
+
+    def test_two_level_rejects_temporal(self, spark):
+        import datetime
+
+        fric = np.ones((16, 16))
+        layer = _maze_layer(spark, fric, tsz=8)
+        t = layer.df.withColumn(
+            "instant", F.lit(datetime.datetime(2020, 1, 1)))
+        from dataclasses import replace
+
+        tl = gps.TiledRasterLayer(
+            t.select("key_col", "key_row", "instant", "band", "cells"),
+            layer.metadata)
+        with pytest.raises(ValueError, match="spatial"):
+            cost_distance(tl, gps.Point(1.5, 14.5), strategy="two_level")
+        with pytest.raises(ValueError, match="strategy"):
+            cost_distance(layer, gps.Point(1.5, 14.5), strategy="bogus")
+
+
+def _ref_dijkstra_grid(fric, sr, sc):
+    import heapq
+
+    from geopyspark_spark.operators.costdistance import _MOVES
+
+    n, m = fric.shape
+    dist = np.full((n, m), np.inf)
+    dist[sr, sc] = 0.0
+    pq = [(0.0, sr, sc)]
+    while pq:
+        dv, r, c = heapq.heappop(pq)
+        if dv > dist[r, c]:
+            continue
+        for dr, dc, w in _MOVES:
+            r2, c2 = r + dr, c + dc
+            if 0 <= r2 < n and 0 <= c2 < m and fric[r2, c2] == fric[r2, c2]:
+                nd = dv + (0.5 * fric[r, c] + 0.5 * fric[r2, c2]) * w
+                if nd < dist[r2, c2]:
+                    dist[r2, c2] = nd
+                    heapq.heappush(pq, (nd, r2, c2))
+    out = np.where(np.isinf(dist), np.nan, dist)
+    out[np.isnan(fric)] = np.nan
+    return out
 
 
 class TestGaussSeidelKernel:
@@ -433,9 +569,14 @@ def test_default_cap_spans_multiblock_mazes(spark):
     src = gps.Point(1.5, n - 1.5)
     # block_cells = 1024 -> g=2 -> 2x2 blocks of 32x32 cells
     assert cd._block_factor(layout.tile_layout, 1024) == 2
+    # strategy="fixpoint" pins the CAP itself: under "auto" this maze
+    # now escapes to the two-level solve after _ESCAPE_ROUNDS (r13),
+    # which TestTwoLevel covers — the cell-count default cap still
+    # governs the fixpoint strategy (and temporal layers)
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)  # must CONVERGE
-        blocked = cd.cost_distance(layer, src, block_cells=1024)
+        blocked = cd.cost_distance(layer, src, block_cells=1024,
+                                   strategy="fixpoint")
         got = {(r["key_col"], r["key_row"]): r["cells"]
                for r in blocked.df.collect()}
     rounds = len(cd._loop_stats["relaxed_per_round"])
