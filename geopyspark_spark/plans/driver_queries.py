@@ -2188,29 +2188,42 @@ def q_raster_catalog_s3_roundtrip(spark, sf_dir):
     claim, ETag compare-and-swap manifest — then read it back through
     the manifest-resolved immutable version cache. A broken claim,
     manifest swap, upload, or cache path hash-fails against the same
-    closed-form oracle as the POSIX roundtrip."""
+    closed-form oracle as the POSIX roundtrip.
+
+    r13: the parquet parts ship via the streaming MULTIPART path
+    (threshold forced below the part sizes), so the gate certifies
+    Initiate/UploadPart/Complete end-to-end — the 100 TB upload path —
+    not just single-shot PUT; the asserts pin that multipart actually
+    ran and left nothing in flight."""
     import os
     import shutil
     import tempfile
 
     from ..sources import catalog as cat
+    from ..sources import objectstore as obs
     from ..sources.s3stub import start_stub
 
     layer = lineitem_layer(spark, sf_dir)
     srv = start_stub()
     saved = {k: os.environ.get(k)
              for k in ("AWS_ENDPOINT_URL", "GEOPYSPARK_OBJCAT_CACHE")}
+    saved_mp = (obs._MULTIPART_THRESHOLD, obs._MULTIPART_PART_SIZE)
     cache = tempfile.mkdtemp(prefix="objcat_gate_")
     os.environ["AWS_ENDPOINT_URL"] = srv.endpoint
     os.environ["GEOPYSPARK_OBJCAT_CACHE"] = cache
+    obs._MULTIPART_THRESHOLD, obs._MULTIPART_PART_SIZE = 1024, 8192
     try:
         cat.write("s3://gate/cat", "rt", layer, zoom=0)
         assert srv.objects["gate/cat/rt/0/MANIFEST"] == b"v1"
+        assert any(m == "POST" for m, _, _ in srv.requests), \
+            "multipart upload did not run"
+        assert srv.uploads == {}, "multipart upload left in-flight parts"
         back = cat.read(spark, "s3://gate/cat", "rt", 0)
         long = back.explode().where(~_is_nd(F.col("value"), layer.nodata))
         # materialize before the stub and cache disappear
         rows = long.select("key_col", "key_row", "pos", "value").collect()
     finally:
+        obs._MULTIPART_THRESHOLD, obs._MULTIPART_PART_SIZE = saved_mp
         for k, v in saved.items():
             if v is None:
                 os.environ.pop(k, None)

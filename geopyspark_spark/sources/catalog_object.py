@@ -104,10 +104,18 @@ def _claim(root: str) -> str:
 def _publish(root: str, version: str) -> tuple[str | None, bool]:
     """Monotone manifest compare-and-swap; returns ``(replaced,
     published)`` with the same contract as the POSIX ``_publish``."""
+    last_seen = None
     while True:
         cur, etag = _committed_version(root)
+        if cur == version:
+            # our own PUT landed but its response was lost (the r13
+            # retry layer re-sent it and saw 412) — versions are
+            # uniquely claimed, so manifest==version proves WE
+            # published; ``last_seen`` is the value our CAS replaced
+            return last_seen, True
         if cur is not None and int(version[1:]) <= int(cur[1:]):
             return cur, False  # a newer concurrent commit already published
+        last_seen = cur
         try:
             if etag is None:
                 obs.put_object(f"{root}/{MANIFEST}", version.encode(),
@@ -201,13 +209,14 @@ def _fetch_version(root: str, version: str) -> str:
 
 
 def _upload_dir(local_dir: str, root: str, version: str) -> None:
-    """Ship a locally-staged version dir to ``<root>/<version>/``."""
+    """Ship a locally-staged version dir to ``<root>/<version>/``.
+    Large parts go via streaming multipart upload (r13) — one part in
+    memory at a time, no 5 GB single-PUT ceiling."""
     for name in sorted(os.listdir(local_dir)):
         p = os.path.join(local_dir, name)
         if not os.path.isfile(p) or name in ("_SUCCESS",) or name.endswith(".crc"):
             continue
-        with open(p, "rb") as f:
-            obs.put_object(f"{root}/{version}/{name}", f.read())
+        obs.upload_file(f"{root}/{version}/{name}", p)
 
 
 # ---- public backend (mirrors catalog.py's POSIX functions) ----------------

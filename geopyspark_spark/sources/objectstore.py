@@ -126,29 +126,89 @@ def sigv4_headers(method: str, url: str, headers: dict | None = None,
 
 
 def _should_sign(uri: str) -> bool:
-    """Sign s3:// URIs, and http(s) URLs that target the configured
-    endpoint override (the rewritten form executors receive) — but
-    never arbitrary http URLs (CDNs, plain servers)."""
+    """Sign s3:// URIs, http(s) URLs that target the configured
+    endpoint override (the rewritten form executors receive), and
+    ``*.amazonaws.com`` URLs (the virtual-hosted resolution of an
+    s3:// URI) — but never arbitrary http URLs (CDNs, plain
+    servers)."""
     if _credentials() is None:
         return False
-    scheme = urlparse(str(uri)).scheme
-    if scheme in _S3_SCHEMES:
+    p = urlparse(str(uri))
+    if p.scheme in _S3_SCHEMES:
         return True
     ep = (os.environ.get("AWS_ENDPOINT_URL")
           or os.environ.get("AWS_ENDPOINT_URL_S3"))
-    return bool(ep) and str(uri).startswith(ep.rstrip("/") + "/")
+    if bool(ep) and str(uri).startswith(ep.rstrip("/") + "/"):
+        return True
+    host = p.netloc.rsplit(":", 1)[0].lower()
+    return host.endswith(".amazonaws.com")
+
+
+#: retry policy (r13): S3 documents that clients MUST retry 500/503
+#: (SlowDown) with exponential backoff — at 1000-executor fan-in,
+#: throttling is normal operation, not an error. 429 is the
+#: S3-compatible-store (R2/GCS-XML) equivalent. Attempts/base/cap are
+#: env-tunable; a ``Retry-After`` header, when present, wins over the
+#: computed backoff. Precondition failures (412/409) are NEVER retried
+#: here — they are the commit protocol's signal and propagate.
+_RETRY_STATUS = (429, 500, 502, 503, 504)
+_RETRY_ATTEMPTS = int(os.environ.get("GEOPYSPARK_OBJSTORE_RETRIES", "5"))
+_RETRY_BASE = float(os.environ.get("GEOPYSPARK_OBJSTORE_RETRY_BASE", "0.25"))
+_RETRY_CAP = float(os.environ.get("GEOPYSPARK_OBJSTORE_RETRY_CAP", "8"))
+#: every request carries a socket timeout so a stalled connection can
+#: never hang an executor task forever (urllib's default is no timeout)
+_TIMEOUT = float(os.environ.get("GEOPYSPARK_OBJSTORE_TIMEOUT", "60"))
+
+
+def _backoff(attempt: int) -> float:
+    """Full-jitter exponential backoff (the AWS-recommended shape):
+    uniform in (0.5, 1.0] x base x 2^attempt, capped."""
+    import random
+
+    return min(_RETRY_CAP, _RETRY_BASE * (2 ** attempt)) * (
+        0.5 + random.random() / 2)
 
 
 def _open(uri: str, method: str = "GET", headers: dict | None = None,
-          data: bytes | None = None):
-    """Resolve + (when credentialed) SigV4-sign + send one request."""
+          data: bytes | None = None, timeout: float | None = None):
+    """Resolve + (when credentialed) SigV4-sign + send one request,
+    retrying throttle/transient failures (429/5xx, connection errors,
+    timeouts) with full-jitter exponential backoff. Each attempt is
+    re-signed (x-amz-date must stay fresh across backoff sleeps)."""
+    import http.client
+    import time
+    import urllib.error
+
     url = _to_http(str(uri))
-    h = dict(headers or {})
-    if _should_sign(uri):
-        h.update(sigv4_headers(method, url, headers=h,
-                               payload=data or b""))
-    req = urllib.request.Request(url, headers=h, method=method, data=data)
-    return urllib.request.urlopen(req)
+    sign = _should_sign(uri)
+    attempts = max(1, _RETRY_ATTEMPTS)
+    for attempt in range(attempts):
+        h = dict(headers or {})
+        if sign:
+            h.update(sigv4_headers(method, url, headers=h,
+                                   payload=data or b""))
+        req = urllib.request.Request(url, headers=h, method=method,
+                                     data=data)
+        try:
+            return urllib.request.urlopen(
+                req, timeout=_TIMEOUT if timeout is None else timeout)
+        except urllib.error.HTTPError as e:
+            if e.code not in _RETRY_STATUS or attempt == attempts - 1:
+                raise
+            ra = e.headers.get("Retry-After") if e.headers else None
+            e.close()
+            try:
+                delay = min(float(ra), _RETRY_CAP) if ra else None
+            except ValueError:
+                delay = None  # HTTP-date Retry-After: fall back to backoff
+            if delay is None:
+                delay = _backoff(attempt)
+        except (http.client.HTTPException, OSError):
+            # URLError (DNS, refused), socket timeout, reset mid-body
+            if attempt == attempts - 1:
+                raise
+            delay = _backoff(attempt)
+        time.sleep(delay)
 
 
 class PreconditionFailed(Exception):
@@ -187,6 +247,106 @@ def put_object(uri: str, data: bytes, if_none_match: bool = False,
             # 412 Precondition Failed; 409 is what real S3 returns for
             # concurrent conditional writes to the same key
             raise PreconditionFailed(uri) from e
+        raise
+
+
+# ---- multipart upload (r13) ------------------------------------------------
+#
+# A single PUT caps at 5 GB on real S3 and pins the whole body in
+# executor memory; staged catalog parquet parts at 100 TB scale need
+# the multipart API (InitiateMultipartUpload / UploadPart /
+# CompleteMultipartUpload — the same XML protocol every S3-compatible
+# store serves). ``upload_file`` streams from disk part-by-part, so
+# peak memory is one part regardless of object size.
+
+_MULTIPART_THRESHOLD = int(os.environ.get(
+    "GEOPYSPARK_OBJSTORE_MULTIPART_THRESHOLD", str(64 * 1024 * 1024)))
+#: real S3 requires parts >= 5 MB (except the last); 32 MB keeps the
+#: part count low (10k-part limit => 320 GB per object at this size)
+_MULTIPART_PART_SIZE = int(os.environ.get(
+    "GEOPYSPARK_OBJSTORE_MULTIPART_PART_SIZE", str(32 * 1024 * 1024)))
+
+
+def _initiate_multipart(uri: str) -> str:
+    import xml.etree.ElementTree as ET
+
+    with _open(_to_http(str(uri)) + "?uploads", method="POST") as r:
+        root = ET.fromstring(r.read())
+    ns = root.tag[: root.tag.index("}") + 1] if root.tag.startswith("{") else ""
+    node = root.find(f"{ns}UploadId")
+    if node is None or not node.text:
+        raise RuntimeError(f"multipart initiate returned no UploadId: {uri!r}")
+    return node.text
+
+
+def _put_part(uri: str, upload_id: str, part_number: int,
+              data: bytes) -> str:
+    url = (f"{_to_http(str(uri))}?partNumber={part_number}"
+           f"&uploadId={quote(upload_id)}")
+    with _open(url, method="PUT", data=data) as r:
+        etag = r.headers.get("ETag")
+    if not etag:
+        raise RuntimeError(f"UploadPart returned no ETag: {uri!r} "
+                           f"part {part_number}")
+    return etag
+
+
+def _complete_multipart(uri: str, upload_id: str,
+                        parts: list[tuple[int, str]]) -> None:
+    body = ("<CompleteMultipartUpload>" + "".join(
+        f"<Part><PartNumber>{n}</PartNumber><ETag>{etag}</ETag></Part>"
+        for n, etag in sorted(parts)
+    ) + "</CompleteMultipartUpload>").encode()
+    url = f"{_to_http(str(uri))}?uploadId={quote(upload_id)}"
+    with _open(url, method="POST", data=body) as r:
+        resp = r.read()
+    # real S3 can answer 200 with an <Error> document for Complete —
+    # the one S3 call where a 200 status does not mean success
+    if b"<Error>" in resp:
+        raise RuntimeError(
+            f"CompleteMultipartUpload failed for {uri!r}: "
+            f"{resp[:500].decode(errors='replace')}")
+
+
+def _abort_multipart(uri: str, upload_id: str) -> None:
+    import urllib.error
+
+    try:
+        with _open(f"{_to_http(str(uri))}?uploadId={quote(upload_id)}",
+                   method="DELETE"):
+            pass
+    except (urllib.error.HTTPError, OSError):
+        pass  # best-effort: an orphaned upload ages out via bucket policy
+
+
+def upload_file(uri: str, path: str, threshold: int | None = None,
+                part_size: int | None = None) -> None:
+    """Upload a local file: one streaming PUT below ``threshold``
+    (default 64 MB), multipart above it. Parts are read and shipped
+    one at a time, so a multi-GB parquet part never pins executor
+    memory; a failed multipart upload is aborted (best-effort) so the
+    store holds no billable orphan parts."""
+    size = os.path.getsize(path)
+    thr = _MULTIPART_THRESHOLD if threshold is None else threshold
+    if size <= thr:
+        with open(path, "rb") as f:
+            put_object(uri, f.read())
+        return
+    ps = part_size or _MULTIPART_PART_SIZE
+    upload_id = _initiate_multipart(uri)
+    try:
+        parts: list[tuple[int, str]] = []
+        with open(path, "rb") as f:
+            n = 1
+            while True:
+                chunk = f.read(ps)
+                if not chunk:
+                    break
+                parts.append((n, _put_part(uri, upload_id, n, chunk)))
+                n += 1
+        _complete_multipart(uri, upload_id, parts)
+    except BaseException:
+        _abort_multipart(uri, upload_id)
         raise
 
 
@@ -351,11 +511,8 @@ def list_keys(uri: str, extensions: tuple = ()) -> list[str]:
         q = f"?list-type=2&prefix={quote(prefix)}"
         if token:
             q += f"&continuation-token={quote(token)}"
-        url = base + q
-        h = (sigv4_headers("GET", url)
-             if _should_sign(f"s3://{bucket}") else {})
-        with urllib.request.urlopen(
-                urllib.request.Request(url, headers=h)) as r:
+        # through _open: signed consistently and retried on throttling
+        with _open(base + q) as r:
             root = ET.fromstring(r.read())
         ns = ""
         if root.tag.startswith("{"):

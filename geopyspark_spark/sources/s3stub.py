@@ -14,7 +14,17 @@ Fault-injection flags (tests):
 
 - ``ignore_range``      — answer 200 + full body to ranged GETs;
 - ``no_preconditions``  — accept every PUT unconditionally
-  (last-writer-wins stores without conditional-write support).
+  (last-writer-wins stores without conditional-write support);
+- ``fail_statuses``     — a list of HTTP status codes; each incoming
+  request pops and answers the next one before normal handling
+  (throttling/5xx simulation for the r13 retry layer), optionally
+  with ``fail_retry_after`` as a ``Retry-After`` header.
+
+Multipart upload (r13): ``POST ?uploads`` initiates (XML UploadId),
+``PUT ?partNumber=N&uploadId=U`` stages parts without touching the
+object map, ``POST ?uploadId=U`` concatenates parts in part order and
+commits the object, ``DELETE ?uploadId=U`` aborts. In-flight uploads
+live in ``server.uploads``.
 
 Conditional PUTs are evaluated atomically under one lock, exactly like
 a real store's per-key serialization — two concurrent create-only PUTs
@@ -51,8 +61,71 @@ class S3StubHandler(BaseHTTPRequestHandler):
             (method, "/" + self._key(), self.headers.get("Range")))
         self.server.auth.append(self.headers.get("Authorization"))
 
+    def _maybe_fail(self) -> bool:
+        """Pop-and-answer the next injected failure status, if any."""
+        with self.server.lock:
+            code = (self.server.fail_statuses.pop(0)
+                    if getattr(self.server, "fail_statuses", None) else None)
+        if code is None:
+            return False
+        self.send_response(code)
+        ra = getattr(self.server, "fail_retry_after", None)
+        if ra is not None:
+            self.send_header("Retry-After", str(ra))
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+        return True
+
+    def _send_xml(self, body: bytes, status: int = 200):
+        self.send_response(status)
+        self.send_header("Content-Type", "application/xml")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_POST(self):
+        self._record("POST")
+        if self._maybe_fail():
+            return
+        qs = parse_qs(urlparse(self.path).query, keep_blank_values=True)
+        key = self._key()
+        length = int(self.headers.get("Content-Length", "0"))
+        body = self.rfile.read(length) if length else b""
+        if "uploads" in qs:  # InitiateMultipartUpload
+            with self.server.lock:
+                uid = f"mpu-{len(self.server.uploads) + 1}"
+                self.server.uploads[uid] = {"key": key, "parts": {}}
+            self._send_xml(
+                ("<?xml version='1.0'?><InitiateMultipartUploadResult>"
+                 f"<UploadId>{uid}</UploadId>"
+                 "</InitiateMultipartUploadResult>").encode())
+            return
+        if "uploadId" in qs:  # CompleteMultipartUpload
+            uid = qs["uploadId"][0]
+            with self.server.lock:
+                up = self.server.uploads.pop(uid, None)
+                if up is not None:
+                    data = b"".join(
+                        up["parts"][n] for n in sorted(up["parts"]))
+                    self.server.objects[up["key"]] = data
+            if up is None:
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            self._send_xml(
+                ("<?xml version='1.0'?><CompleteMultipartUploadResult>"
+                 f"<Key>{key}</Key><ETag>{self._etag(data)}</ETag>"
+                 "</CompleteMultipartUploadResult>").encode())
+            return
+        self.send_response(400)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
     def do_HEAD(self):
         self._record("HEAD")
+        if self._maybe_fail():
+            return
         with self.server.lock:
             body = self.server.objects.get(self._key())
         if body is None:
@@ -67,6 +140,8 @@ class S3StubHandler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         self._record("GET")
+        if self._maybe_fail():
+            return
         parsed = urlparse(self.path)
         qs = parse_qs(parsed.query)
         if "list-type" in qs:
@@ -117,8 +192,27 @@ class S3StubHandler(BaseHTTPRequestHandler):
 
     def do_PUT(self):
         self._record("PUT")
+        if self._maybe_fail():
+            return
         body = self.rfile.read(int(self.headers.get("Content-Length", "0")))
         key = self._key()
+        qs = parse_qs(urlparse(self.path).query, keep_blank_values=True)
+        if "partNumber" in qs and "uploadId" in qs:  # UploadPart
+            uid = qs["uploadId"][0]
+            with self.server.lock:
+                up = self.server.uploads.get(uid)
+                if up is not None:
+                    up["parts"][int(qs["partNumber"][0])] = body
+            if up is None:
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("ETag", self._etag(body))
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
         check = not getattr(self.server, "no_preconditions", False)
         with self.server.lock:
             cur = self.server.objects.get(key)
@@ -143,6 +237,17 @@ class S3StubHandler(BaseHTTPRequestHandler):
 
     def do_DELETE(self):
         self._record("DELETE")
+        if self._maybe_fail():
+            return
+        qs = parse_qs(urlparse(self.path).query, keep_blank_values=True)
+        if "uploadId" in qs:  # AbortMultipartUpload
+            with self.server.lock:
+                existed = self.server.uploads.pop(
+                    qs["uploadId"][0], None) is not None
+            self.send_response(204 if existed else 404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
         with self.server.lock:
             existed = self.server.objects.pop(self._key(), None) is not None
         self.send_response(204 if existed else 404)
@@ -161,6 +266,9 @@ def start_stub() -> ThreadingHTTPServer:
     srv.lock = threading.Lock()
     srv.ignore_range = False
     srv.no_preconditions = False
+    srv.uploads = {}
+    srv.fail_statuses = []
+    srv.fail_retry_after = None
     srv.endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()

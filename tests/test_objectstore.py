@@ -398,3 +398,170 @@ class TestIngestOverObjectStore:
         assert len(rows) == 1
         np.testing.assert_array_equal(
             np.array(rows[0]["cells"]).reshape(64, 64), cells[0])
+
+
+class TestRetries:
+    """r13 hardening: throttle/5xx retry with backoff, request
+    timeouts, and the no-retry guarantee for precondition failures.
+    S3 documents 500/503 (SlowDown) as retry-with-backoff conditions —
+    at 1000-executor fan-in, throttling is normal operation."""
+
+    @pytest.fixture(autouse=True)
+    def _fast_backoff(self, monkeypatch):
+        monkeypatch.setattr(obs, "_RETRY_BASE", 0.001)
+        monkeypatch.setattr(obs, "_RETRY_CAP", 0.002)
+
+    def test_retries_503_then_succeeds(self, s3stub):
+        s3stub.objects["b/k"] = b"payload"
+        s3stub.fail_statuses = [503, 503]
+        body, _ = obs.get_object("s3://b/k")
+        assert body == b"payload"
+        assert len([r for r in s3stub.requests if r[0] == "GET"]) == 3
+
+    def test_gives_up_after_max_attempts(self, s3stub, monkeypatch):
+        import urllib.error
+
+        monkeypatch.setattr(obs, "_RETRY_ATTEMPTS", 3)
+        s3stub.objects["b/k"] = b"x"
+        s3stub.fail_statuses = [500] * 10
+        with pytest.raises(urllib.error.HTTPError):
+            obs.get_object("s3://b/k")
+        assert len([r for r in s3stub.requests if r[0] == "GET"]) == 3
+
+    def test_retry_after_header_wins(self, s3stub, monkeypatch):
+        import time as _time
+
+        sleeps = []
+        monkeypatch.setattr(_time, "sleep", sleeps.append)
+        s3stub.objects["b/k"] = b"x"
+        s3stub.fail_statuses = [503]
+        s3stub.fail_retry_after = "0"
+        assert obs.get_object("s3://b/k")[0] == b"x"
+        assert sleeps == [0.0]
+
+    def test_precondition_failures_never_retry(self, s3stub):
+        obs.put_object("s3://b/k", b"first")
+        with pytest.raises(obs.PreconditionFailed):
+            obs.put_object("s3://b/k", b"second", if_none_match=True)
+        # exactly one PUT per call: the 412 must not be retried
+        assert len([r for r in s3stub.requests if r[0] == "PUT"]) == 2
+
+    def test_every_request_carries_a_timeout(self, s3stub, monkeypatch):
+        import urllib.request as ur
+
+        seen = {}
+
+        def fake(req, timeout=None):
+            seen["timeout"] = timeout
+            raise OSError("sentinel")
+
+        monkeypatch.setattr(obs, "_RETRY_ATTEMPTS", 1)
+        monkeypatch.setattr(ur, "urlopen", fake)
+        with pytest.raises(OSError):
+            obs.get_object("s3://b/k")
+        assert seen["timeout"] == obs._TIMEOUT
+
+    def test_transient_connection_error_retries(self, s3stub, monkeypatch):
+        import urllib.request as ur
+
+        real = ur.urlopen
+        calls = {"n": 0}
+
+        def flaky(req, timeout=None):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise ConnectionResetError("reset mid-handshake")
+            return real(req, timeout=timeout)
+
+        s3stub.objects["b/k"] = b"ok"
+        monkeypatch.setattr(ur, "urlopen", flaky)
+        assert obs.get_object("s3://b/k")[0] == b"ok"
+        assert calls["n"] == 2
+
+
+class TestMultipartUpload:
+    """r13: streaming multipart upload — the 100 TB data path (single
+    PUT caps at 5 GB on real S3 and pins the whole object in memory)."""
+
+    def _tmpfile(self, tmp_path, size):
+        p = tmp_path / "part.bin"
+        data = bytes(range(256)) * (size // 256 + 1)
+        p.write_bytes(data[:size])
+        return str(p), data[:size]
+
+    def test_small_file_is_one_put(self, s3stub, tmp_path):
+        path, data = self._tmpfile(tmp_path, 1000)
+        obs.upload_file("s3://b/small", path)
+        assert s3stub.objects["b/small"] == data
+        assert len([r for r in s3stub.requests if r[0] == "PUT"]) == 1
+        assert not [r for r in s3stub.requests if r[0] == "POST"]
+
+    def test_multipart_roundtrip(self, s3stub, tmp_path):
+        path, data = self._tmpfile(tmp_path, 1_000_000)
+        obs.upload_file("s3://b/big", path, threshold=0,
+                        part_size=256 * 1024)
+        assert s3stub.objects["b/big"] == data
+        # initiate + complete
+        assert len([r for r in s3stub.requests if r[0] == "POST"]) == 2
+        # ceil(1e6 / 256k) = 4 part PUTs, no whole-object PUT
+        assert len([r for r in s3stub.requests if r[0] == "PUT"]) == 4
+        assert s3stub.uploads == {}  # nothing left in flight
+
+    def test_failed_part_aborts_upload(self, s3stub, tmp_path, monkeypatch):
+        import urllib.error
+
+        monkeypatch.setattr(obs, "_RETRY_ATTEMPTS", 1)
+        path, _ = self._tmpfile(tmp_path, 600_000)
+        # initiate passes, part 1 passes, part 2 hard-fails
+        s3stub.fail_statuses = [None, None, 500]
+        with pytest.raises(urllib.error.HTTPError):
+            obs.upload_file("s3://b/doomed", path, threshold=0,
+                            part_size=256 * 1024)
+        assert s3stub.uploads == {}  # aborted, no orphan parts
+        assert "b/doomed" not in s3stub.objects
+
+    def test_catalog_upload_uses_multipart_above_threshold(
+            self, s3stub, tmp_path, monkeypatch):
+        from geopyspark_spark.sources import catalog_object as co
+
+        monkeypatch.setattr(obs, "_MULTIPART_THRESHOLD", 1024)
+        staging = tmp_path / "v"
+        staging.mkdir()
+        (staging / "part-0.parquet").write_bytes(b"\x01" * 200_000)
+        (staging / ".metadata.json").write_bytes(b"{}")
+        co.commit_staged("s3://b/cat", "layer", 0, str(staging))
+        assert s3stub.objects["b/cat/layer/0/v1/part-0.parquet"] == \
+            b"\x01" * 200_000
+        assert [r for r in s3stub.requests if r[0] == "POST"]  # multipart ran
+        assert s3stub.objects["b/cat/layer/0/MANIFEST"] == b"v1"
+
+
+class TestPublishLostResponse:
+    def test_publish_survives_lost_cas_response(self, s3stub, monkeypatch):
+        """A CAS PUT that succeeds but whose response is lost (the
+        retry layer re-sends and sees 412) must still report
+        published=True with the correct replaced version — not a
+        spurious 'superseded' warning (r13)."""
+        import warnings
+
+        from geopyspark_spark.sources import catalog_object as co
+
+        root = "s3://b/lyr/0"
+        assert co._publish(root, "v1") == (None, True)
+        real = obs.put_object
+        state = {"fired": False}
+
+        def flaky(uri, data, **kw):
+            etag = real(uri, data, **kw)
+            if not state["fired"] and uri.endswith("MANIFEST"):
+                state["fired"] = True
+                raise obs.PreconditionFailed(uri)  # lost response + retry
+            return etag
+
+        monkeypatch.setattr(obs, "put_object", flaky)
+        monkeypatch.setattr(co.obs, "put_object", flaky, raising=False)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            replaced, published = co._publish(root, "v2")
+        assert (replaced, published) == ("v1", True)
+        assert s3stub.objects["b/lyr/0/MANIFEST"] == b"v2"
