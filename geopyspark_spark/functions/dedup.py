@@ -619,3 +619,80 @@ def duplicate_spans(df: DataFrame, n: int = 20, text_col: str = "text",
         spans.join(counts, "span")
         .select("doc_id", "pos", "span", "n_occurrences", "n_docs")
     )
+
+
+def remove_duplicate_spans(df: DataFrame, n: int = 20, text_col: str = "text",
+                           min_occurrences: int = 2) -> DataFrame:
+    """Exact-substring dedup REMOVAL — the second half of Lee et al.
+    2022 (:func:`duplicate_spans` is the detection half): merge every
+    document's duplicated n-token windows into maximal duplicated
+    regions (overlapping/adjacent windows coalesce) and cut those
+    tokens out, keeping the rest of the document.
+
+    Returns one row per input document:
+    ``(doc_id, clean_text, n_tokens, n_tokens_removed, n_regions)``
+    where ``clean_text`` is the kept tokens joined by single spaces
+    (documents shorter than ``n`` tokens or with no duplicated windows
+    come back whitespace-normalized but otherwise intact, and a fully
+    duplicated document comes back with ``clean_text = ''``).
+
+    Scale shape: the window-count shuffle keys on span CONTENT (load
+    spreads by text), everything per-document (island merge, position
+    anti-join, ordered re-assembly) partitions on ``doc_id`` — no
+    driver collect, no cross-document window functions, and the
+    explode of covered positions is bounded by total corpus tokens.
+    """
+    toks = df.select("doc_id", tokens_col(text_col).alias("toks"))
+    dups = duplicate_spans(df, n=n, text_col=text_col,
+                           min_occurrences=min_occurrences)
+    # duplicated window at pos covers token indices [pos, pos + n - 1]
+    iv = dups.select("doc_id", F.col("pos").alias("s"),
+                     (F.col("pos") + F.lit(n - 1)).alias("e"))
+    # gaps-and-islands: a window starts a new island when it begins past
+    # every previous window's reach (strictly adjacent regions coalesce
+    # because window starts are dense within an island's span run)
+    w_prev = (Window.partitionBy("doc_id").orderBy("s")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("s")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    islands = (
+        iv.withColumn("prev_e", F.max("e").over(w_prev))
+        .withColumn("new_island",
+                    (F.col("prev_e").isNull()
+                     | (F.col("s") > F.col("prev_e") + 1)).cast("int"))
+        .withColumn("island", F.sum("new_island").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    covered = islands.select(
+        "doc_id", F.explode(F.sequence("s", "e")).alias("pos"))
+    positions = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok"))
+    kept = positions.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    region_stats = islands.groupBy("doc_id").agg(
+        F.count("*").alias("n_regions"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("n_tokens_removed"),
+    )
+    return (
+        toks.select("doc_id", F.size("toks").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .join(region_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            F.coalesce("n_tokens_removed", F.lit(0)).cast("long")
+            .alias("n_tokens_removed"),
+            F.coalesce("n_regions", F.lit(0)).cast("long").alias("n_regions"),
+        )
+    )

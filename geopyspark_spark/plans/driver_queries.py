@@ -7195,6 +7195,73 @@ GROUP BY s.doc_id
 """
 
 
+def q_text_remove_dup_spans(spark, sf_dir):
+    """Exact-substring dedup REMOVAL under the gate (r13): the second
+    half of Lee et al. 2022 — duplicated 8-token windows merge into
+    maximal per-document regions (gaps-and-islands over window
+    functions) which are cut from the text; the oracle recomputes the
+    island merge, the position anti-join, and the ordered token
+    re-assembly in SQL, so a wrong island boundary, a dropped kept
+    token, or an unstable re-assembly order all hash-fail."""
+    out = fdedup.remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), n=8)
+    return out.select(
+        "doc_id", "clean_text", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_tokens_removed", "n_regions")
+
+
+SQL_TEXT_REMOVE_DUP_SPANS = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+         || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6]
+         || ' ' || toks[i+7] AS span
+  FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i)
+), c AS (
+  SELECT span FROM s GROUP BY span HAVING COUNT(*) >= 2
+), d AS (
+  SELECT s.doc_id, s.pos AS st, s.pos + 7 AS en FROM s SEMI JOIN c USING (span)
+), isl AS (
+  SELECT doc_id, st, en,
+         CASE WHEN st > COALESCE(MAX(en) OVER (
+             PARTITION BY doc_id ORDER BY st
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+         THEN 1 ELSE 0 END AS ni
+  FROM d
+), isl2 AS (
+  SELECT doc_id, st, en, SUM(ni) OVER (
+      PARTITION BY doc_id ORDER BY st
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+), regions AS (
+  SELECT doc_id, island, MIN(st) AS s0, MAX(en) AS e0
+  FROM isl2 GROUP BY doc_id, island
+), covered AS (
+  SELECT doc_id, unnest(generate_series(s0, e0)) AS pos FROM regions
+), positions AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS tok
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+), kept AS (
+  SELECT p.doc_id, p.pos, p.tok FROM positions p
+  ANTI JOIN covered c ON p.doc_id = c.doc_id AND p.pos = c.pos
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+), rstats AS (
+  SELECT doc_id, COUNT(*) AS n_regions, SUM(e0 - s0 + 1) AS n_tokens_removed
+  FROM regions GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(rs.n_tokens_removed, 0) AS BIGINT) AS n_tokens_removed,
+       CAST(COALESCE(rs.n_regions, 0) AS BIGINT) AS n_regions
+FROM t LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN rstats rs USING (doc_id)
+"""
+
+
 def q_text_prepare_corpus(spark, sf_dir):
     """The end-to-end corpus-preparation pipeline under the gate (round
     6): gopher quality -> exact dedup -> benchmark contamination ->
@@ -10684,6 +10751,7 @@ def _canonical_queries():
         # code runs inside the in-window text_prepare_corpus pipeline —
         # rotated just past the window for the PQ-recall gate)
         "text_duplicate_spans": q_text_duplicate_spans,
+        "text_remove_dup_spans": q_text_remove_dup_spans,
         "text_prepare_corpus": q_text_prepare_corpus,
         # (events_retention — two plain hash aggregates, the lowest-risk
         # events entry — rotated just past the window for the IVF-recall
@@ -10937,6 +11005,7 @@ def _canonical_queries():
 # BEGIN WINDOW_ORDER (generated)
 _WINDOW_ORDER_ROUND: int = 12
 _WINDOW_ORDER: list = [
+    "text_remove_dup_spans",
     "multimodal_png_interlaced",
     "raster_catalog_s3_roundtrip",
     "raster_zindex_temporal",
@@ -11448,6 +11517,7 @@ def oracle_sql():
         "rel_salted_join": SQL_REL_SALTED_JOIN,
         "text_stratified_sample": SQL_TEXT_STRATIFIED_SAMPLE,
         "text_duplicate_spans": SQL_TEXT_DUPLICATE_SPANS,
+        "text_remove_dup_spans": SQL_TEXT_REMOVE_DUP_SPANS,
         "text_prepare_corpus": SQL_TEXT_PREPARE_CORPUS,
         "events_retention": SQL_EVENTS_RETENTION,
         "events_percentiles": SQL_EVENTS_PERCENTILES,

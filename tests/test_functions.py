@@ -2463,3 +2463,93 @@ class TestWinnow:
         df = spark.createDataFrame([(1, "a b c d e")],
                                    "doc_id long, text string")
         assert ftext.winnow(df, k=3, window=4).count() == 0
+
+
+class TestRemoveDuplicateSpans:
+    """Exact-substring dedup removal (r13): island merging of
+    duplicated n-token windows + per-doc token excision, checked
+    against a tiny hand-built corpus with every edge case named."""
+
+    def _run(self, spark, rows, n=3):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = fdedup.remove_duplicate_spans(df, n=n)
+        return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    def test_overlapping_windows_merge_into_one_region(self, spark):
+        # "a b c d" appears in both docs -> windows (a b c), (b c d)
+        # overlap -> ONE maximal region of 4 tokens in each doc
+        got = self._run(spark, [
+            (0, "a b c d x y z"),
+            (1, "p q a b c d r"),
+        ])
+        assert got[0]["clean_text"] == "x y z"
+        assert got[0]["n_tokens_removed"] == 4 and got[0]["n_regions"] == 1
+        assert got[1]["clean_text"] == "p q r"
+        assert got[1]["n_tokens_removed"] == 4 and got[1]["n_regions"] == 1
+
+    def test_disjoint_regions_stay_separate(self, spark):
+        got = self._run(spark, [
+            (0, "a b c GAP1 GAP2 d e f"),
+            (1, "a b c OTHER1 OTHER2 d e f"),
+        ])
+        assert got[0]["clean_text"] == "GAP1 GAP2"
+        assert got[0]["n_regions"] == 2
+        assert got[0]["n_tokens_removed"] == 6
+
+    def test_fully_duplicated_doc_empties(self, spark):
+        got = self._run(spark, [(0, "a b c"), (1, "a b c")])
+        for d in (0, 1):
+            assert got[d]["clean_text"] == ""
+            assert got[d]["n_tokens_removed"] == 3
+            assert got[d]["n_tokens"] == 3
+
+    def test_short_and_unique_docs_untouched(self, spark):
+        got = self._run(spark, [
+            (0, "xx yy"),              # shorter than n: no windows
+            (1, "unique words only here"),
+            (2, "a b c shared"), (3, "a b c shared"),
+        ])
+        assert got[0]["clean_text"] == "xx yy"
+        assert got[0]["n_tokens_removed"] == 0 and got[0]["n_regions"] == 0
+        assert got[1]["clean_text"] == "unique words only here"
+        assert got[1]["n_tokens_removed"] == 0
+
+    def test_within_doc_repetition_counts(self, spark):
+        # the same 3-gram twice INSIDE one doc also trips min_occurrences
+        got = self._run(spark, [(0, "a b c Z a b c")])
+        assert got[0]["clean_text"] == "Z"
+        assert got[0]["n_regions"] == 2
+        assert got[0]["n_tokens_removed"] == 6
+
+    def test_matches_brute_force_reference(self, spark):
+        import itertools
+
+        rows = [
+            (0, "w1 w2 w3 w4 w5 w6 q1 q2"),
+            (1, "q9 w1 w2 w3 w4 q3 q4 w4 w5 w6"),
+            (2, "w4 w5 w6 t1 t2 t3 w1 w2 w3"),
+            (3, "solo doc nothing shared at all"),
+        ]
+        n = 3
+        # independent single-node reference: count windows, mark covered
+        toks = {d: t.split() for d, t in rows}
+        from collections import Counter
+        cnt = Counter(
+            " ".join(ts[i:i + n])
+            for ts in toks.values() for i in range(len(ts) - n + 1))
+        expect = {}
+        for d, ts in toks.items():
+            covered = set()
+            for i in range(len(ts) - n + 1):
+                if cnt[" ".join(ts[i:i + n])] >= 2:
+                    covered.update(range(i, i + n))
+            kept = [t for i, t in enumerate(ts) if i not in covered]
+            # regions = runs of covered indices
+            regions = len([k for k, _ in itertools.groupby(
+                sorted(covered), key=lambda x, c=itertools.count(): x - next(c))])
+            expect[d] = (" ".join(kept), len(covered), regions)
+        got = self._run(spark, rows, n=n)
+        for d, (clean, removed, regions) in expect.items():
+            assert got[d]["clean_text"] == clean, d
+            assert got[d]["n_tokens_removed"] == removed, d
+            assert got[d]["n_regions"] == regions, d
