@@ -1050,9 +1050,16 @@ def _cost_distance_two_level(
             # within-block tables (and seed->boundary edges)
             at_b = d[:, brs + 1, bcs + 1]      # (S+ns, |B|)
             for i in range(S):
-                fin = np.flatnonzero((at_b[i] < _SNAP) & (at_b[i] > 0))
+                # keep ZERO-weight edges between distinct cells (a
+                # zero-friction corridor makes at_b == 0 for i != j;
+                # filtering on > 0 dropped them and cut the boundary
+                # graph — r13 regression test); only the self edge is
+                # skipped
+                fin = np.flatnonzero(at_b[i] < _SNAP)
                 src_id = gid(int(brs[i]), int(bcs[i]))
                 for j in fin.tolist():
+                    if j == i:
+                        continue
                     srcs.append(src_id)
                     dsts.append(gid(int(brs[j]), int(bcs[j])))
                     ws.append(float(at_b[i, j]))

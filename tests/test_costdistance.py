@@ -274,6 +274,31 @@ class TestTwoLevel:
             np.nan_to_num(got, nan=-1.0), np.nan_to_num(exp, nan=-1.0),
             atol=1e-9)
 
+    def test_zero_friction_corridor_crosses_blocks(self, spark):
+        """A zero-friction corridor makes the within-block
+        boundary->boundary cost exactly 0; those zero-weight edges must
+        stay in the boundary graph (the original emit_edges filtered
+        `> 0` and cut the graph — everything past the corridor came
+        back NaN while the fixpoint strategy propagated fine)."""
+        n = 24
+        fric = np.full((n, n), np.nan)
+        fric[12, :] = 5.0       # one passable row...
+        fric[12, 8:16] = 0.0    # ...free inside the middle block
+        layer = _maze_layer(spark, fric, tsz=8)
+        seed = gps.Point(0.5, n - 12 - 0.5)  # row 12, col 0
+        two = cost_distance(layer, seed, strategy="two_level",
+                            table_cells=64)
+        fix = cost_distance(layer, seed, strategy="fixpoint",
+                            block_cells=1)
+        a, b = _stitched(two), _stitched(fix)
+        np.testing.assert_allclose(
+            np.nan_to_num(a, nan=-1.0), np.nan_to_num(b, nan=-1.0),
+            atol=1e-9)
+        # and the far side actually is reached at the exact cost:
+        # 8 x 5.0 to the corridor, 2.5 in, free across, 2.5 out, then 5s
+        assert abs(a[12, 16] - 40.0) < 1e-9
+        assert abs(a[12, 23] - 75.0) < 1e-9
+
     def test_open_terrain_never_escapes(self, spark):
         from geopyspark_spark.operators import costdistance as cd
 
