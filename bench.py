@@ -92,6 +92,9 @@ HEADLINE = [
     "raster_geotiff_jpeg_arithmetic",
     "raster_ntv2_bundled",
     "raster_geotiff_jpeg_lossless",
+    # round-13 addition: exact-substring dedup removal (islands merge +
+    # token excision over the documents corpus)
+    "text_remove_dup_spans",
 ]
 
 
