@@ -42,6 +42,7 @@ not a hundred million.
 from __future__ import annotations
 
 import math
+import os
 import time
 from typing import TYPE_CHECKING
 
@@ -401,6 +402,18 @@ def _split_tiles(result: "TiledRasterLayer", friction: "TiledRasterLayer",
 #: pathological multi-block mazes ever pay the escape.
 _ESCAPE_ROUNDS = 12
 
+#: driver-size guard for the auto escape (r13): the boundary graph is
+#: solved driver-side (edge list via toPandas + heap Dijkstra), which
+#: is fine for the multi-block mazes the escape targets (boundary ~
+#: cells * 4 / sqrt(table_cells)) but would not fit a planet-scale
+#: raster — ~10^12 cells put ~10^10 nodes on the driver. Above this
+#: estimated boundary-node count, strategy='auto' stays on the
+#: fixpoint loop (with its cell-count round cap) instead of escaping;
+#: explicit strategy='two_level' callers bypass the guard. Tunable via
+#: GEOPYSPARK_TWO_LEVEL_MAX_BOUNDARY.
+_TWO_LEVEL_MAX_BOUNDARY = int(os.environ.get(
+    "GEOPYSPARK_TWO_LEVEL_MAX_BOUNDARY", str(4_000_000)))
+
 
 def cost_distance(
     friction: "TiledRasterLayer",
@@ -501,6 +514,26 @@ def cost_distance(
         # pathological multi-block input: rounds would track the path's
         # block-boundary crossings — switch to the O(1)-round two-level
         # boundary-graph solve (the bounded fixpoint work is discarded)
+        total_cells = (tl.layout_cols * tl.layout_rows
+                       * tl.tile_cols * tl.tile_rows)
+        est_boundary = total_cells * 4 // max(1, int(table_cells ** 0.5))
+        if est_boundary > _TWO_LEVEL_MAX_BOUNDARY:
+            # the boundary graph would not fit the driver (see
+            # _TWO_LEVEL_MAX_BOUNDARY) — finish on the fixpoint loop
+            # with the cell-count cap instead of escaping
+            import warnings
+
+            warnings.warn(
+                f"cost_distance auto escape skipped: estimated boundary "
+                f"graph of ~{est_boundary} nodes exceeds the driver-side "
+                f"cap ({_TWO_LEVEL_MAX_BOUNDARY}); continuing the blocked "
+                "fixpoint loop (raise GEOPYSPARK_TWO_LEVEL_MAX_BOUNDARY "
+                "or call strategy='two_level' explicitly to override)",
+                RuntimeWarning, stacklevel=2,
+            )
+            result = _cost_distance_core(coalesced, geometries,
+                                         max_distance, max_iterations)
+            return _split_tiles(result, friction, g)
         return _cost_distance_two_level(friction, geometries, max_distance,
                                         table_cells)
     return _split_tiles(result, friction, g)

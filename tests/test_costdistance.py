@@ -274,6 +274,35 @@ class TestTwoLevel:
             np.nan_to_num(got, nan=-1.0), np.nan_to_num(exp, nan=-1.0),
             atol=1e-9)
 
+    def test_escape_respects_driver_size_guard(self, spark, monkeypatch):
+        """When the estimated boundary graph exceeds the driver-side
+        cap, strategy='auto' must NOT escape — it warns and finishes on
+        the fixpoint loop with the full cell-count cap, still landing
+        on the exact answer (r13)."""
+        from geopyspark_spark.operators import costdistance as cd
+
+        monkeypatch.setattr(cd, "_ESCAPE_ROUNDS", 2)
+        monkeypatch.setattr(cd, "_TWO_LEVEL_MAX_BOUNDARY", 10)
+        rng = np.random.default_rng(5)
+        n = 64
+        fric = rng.uniform(0.5, 3.0, size=(n, n))
+        for i, r in enumerate(range(5, n - 2, 11)):
+            if i % 2 == 0:
+                fric[r, : n - 6] = np.nan
+            else:
+                fric[r, 6:] = np.nan
+        layer = _maze_layer(spark, fric, tsz=8)
+        src = gps.Point(1.5, n - 1.5)
+        with pytest.warns(RuntimeWarning, match="auto escape skipped"):
+            out = cost_distance(layer, src, block_cells=32 * 32,
+                                table_cells=16 * 16)
+            got = _stitched(out)
+        assert not cd._loop_stats["two_level"], "guard did not hold"
+        exp = _ref_dijkstra_grid(fric, 1, 1)
+        np.testing.assert_allclose(
+            np.nan_to_num(got, nan=-1.0), np.nan_to_num(exp, nan=-1.0),
+            atol=1e-9)
+
     def test_zero_friction_corridor_crosses_blocks(self, spark):
         """A zero-friction corridor makes the within-block
         boundary->boundary cost exactly 0; those zero-weight edges must
