@@ -2553,3 +2553,47 @@ class TestRemoveDuplicateSpans:
             assert got[d]["clean_text"] == clean, d
             assert got[d]["n_tokens_removed"] == removed, d
             assert got[d]["n_regions"] == regions, d
+
+    def test_property_random_corpora_match_reference(self, spark):
+        """Hypothesis sweep: random small-alphabet corpora (high
+        duplicate density by construction) against the brute-force
+        single-node reference — island merging, within-doc repeats,
+        min_occurrences, and full-doc erasure all land exactly."""
+        from collections import Counter
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=12, deadline=None)
+        @given(
+            st.lists(
+                st.lists(st.sampled_from("abcd"), min_size=0, max_size=14),
+                min_size=1, max_size=6),
+            st.integers(min_value=2, max_value=4),
+        )
+        def check(corpus, n):
+            rows = [(i, " ".join(ts)) for i, ts in enumerate(corpus)]
+            # whitespace tokenization of "" yields [''], matching
+            # F.split(trim(''), '\s+'); keep the reference identical
+            toks = {d: (t.split() if t else [""]) for d, t in rows}
+            cnt = Counter(
+                " ".join(ts[i:i + n])
+                for ts in toks.values()
+                for i in range(len(ts) - n + 1))
+            got = self._run(spark, rows, n=n)
+            for d, ts in toks.items():
+                covered = set()
+                for i in range(len(ts) - n + 1):
+                    if cnt[" ".join(ts[i:i + n])] >= 2:
+                        covered.update(range(i, i + n))
+                kept = [t for i, t in enumerate(ts) if i not in covered]
+                runs = 0
+                prev = None
+                for i in sorted(covered):
+                    runs += (prev is None or i > prev + 1)
+                    prev = i
+                assert got[d]["clean_text"] == " ".join(kept), (d, rows)
+                assert got[d]["n_tokens_removed"] == len(covered), (d, rows)
+                assert got[d]["n_regions"] == runs, (d, rows)
+
+        check()
