@@ -565,3 +565,20 @@ class TestPublishLostResponse:
             replaced, published = co._publish(root, "v2")
         assert (replaced, published) == ("v1", True)
         assert s3stub.objects["b/lyr/0/MANIFEST"] == b"v2"
+
+    def test_ingest_survives_throttling(self, spark, s3stub):
+        """End-to-end composition gate (r13): the full s3:// GeoTIFF
+        ingest — listing, sizing HEAD, ranged segment GETs, executed
+        partly in executor worker processes — must survive sprinkled
+        429/5xx answers via the transport retry layer and still decode
+        every window bit-exactly."""
+        buf, cells = _multistrip_tiff()
+        s3stub.objects["rasters/t.tif"] = buf
+        codec.clear_decode_cache()
+        s3stub.fail_statuses = [503, None, 500, None, 429, None, 503]
+        df = gt.get(spark, "s3://rasters/", max_tile_size=32)
+        rows = df.collect()
+        assert len(rows) == 4  # 4 windows x 1 band
+        got = sorted(v for r in rows for v in r["cells"])
+        assert got == sorted(float(v) for v in cells[0].ravel())
+        assert not s3stub.fail_statuses, "not every injected failure was hit"
