@@ -2237,6 +2237,51 @@ def q_raster_catalog_s3_roundtrip(spark, sf_dir):
 SQL_RASTER_CATALOG_S3_ROUNDTRIP = SQL_RASTER_CATALOG_ROUNDTRIP
 
 
+def q_raster_catalog_time_travel(spark, sf_dir):
+    """Catalog time travel under the gate (r13): two commits to the same
+    layer-zoom, then a ``version=`` read of the SUPERSEDED commit next
+    to the current one — the Delta/Iceberg snapshot-read pattern on this
+    catalog's pointer-file protocol (version dirs are immutable once
+    claimed; GC defers one commit, so v1 is readable until the third
+    write without pinning). A read that resolves the wrong version dir,
+    a GC that sweeps prev early, or a list/current accounting bug all
+    hash-fail: v1 cells must carry the ORIGINAL values while v2 carries
+    the +100 rewrite."""
+    import shutil
+    import tempfile
+
+    from ..sources import catalog as cat
+
+    layer = lineitem_layer(spark, sf_dir)
+    uri = tempfile.mkdtemp(prefix="catalog_tt_", dir=_scratch_dir())
+    try:
+        cat.write(uri, "tt", layer, zoom=0)
+        cat.write(uri, "tt", layer + 100.0, zoom=0)
+        assert cat.list_versions(uri, "tt", 0) == ["v1", "v2"]
+        assert cat.current_version(uri, "tt", 0) == "v2"
+        rows = []
+        for v in ("v1", "v2"):
+            back = cat.read(spark, uri, "tt", 0, version=v)
+            long = back.explode().where(~_is_nd(F.col("value"), layer.nodata))
+            rows.extend(
+                (v, r["key_col"], r["key_row"], r["pos"], r["value"])
+                for r in long.select("key_col", "key_row", "pos",
+                                     "value").collect()
+            )
+    finally:
+        shutil.rmtree(uri, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version string, key_col int, key_row int, pos int, value double"
+    )
+
+
+SQL_RASTER_CATALOG_TIME_TRAVEL = CELLS_CTE + """
+SELECT v.version, key_col, key_row, pos,
+       CASE WHEN v.version = 'v2' THEN value + 100 ELSE value END AS value
+FROM coords, (SELECT 'v1' AS version UNION ALL SELECT 'v2' AS version) v
+"""
+
+
 def q_raster_catalog_query(spark, sf_dir):
     """catalog.query spatial predicate pushdown under the gate (round
     6): write the z-sorted layer, query it back with a polygon strictly
@@ -10965,6 +11010,7 @@ def _canonical_queries():
         "raster_zindex_temporal": q_raster_zindex_temporal,
         "raster_catalog_roundtrip": q_raster_catalog_roundtrip,
         "raster_catalog_s3_roundtrip": q_raster_catalog_s3_roundtrip,
+        "raster_catalog_time_travel": q_raster_catalog_time_travel,
         "raster_convert_int8": q_raster_convert_int8,
         "raster_lookup": q_raster_lookup,
         "raster_map_cells": q_raster_map_cells,
@@ -11008,6 +11054,7 @@ _WINDOW_ORDER: list = [
     "text_remove_dup_spans",
     "multimodal_png_interlaced",
     "raster_catalog_s3_roundtrip",
+    "raster_catalog_time_travel",
     "raster_zindex_temporal",
     "raster_catalog_roundtrip",
     "raster_convert_int8",
@@ -11327,6 +11374,7 @@ def oracle_sql():
         "raster_zindex_temporal": _sql_zindex_temporal(),
         "raster_catalog_roundtrip": SQL_RASTER_CATALOG_ROUNDTRIP,
         "raster_catalog_s3_roundtrip": SQL_RASTER_CATALOG_S3_ROUNDTRIP,
+        "raster_catalog_time_travel": SQL_RASTER_CATALOG_TIME_TRAVEL,
         "raster_convert_int8": SQL_RASTER_CONVERT_INT8,
         "raster_lookup": SQL_RASTER_LOOKUP,
         "raster_map_cells": SQL_RASTER_MAP_CELLS,

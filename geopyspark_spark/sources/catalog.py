@@ -62,8 +62,21 @@ def _layer_path(uri: str, layer_name: str, zoom: int) -> str:
     return os.path.join(uri, layer_name, str(zoom))
 
 
-def _data_path(uri: str, layer_name: str, zoom: int) -> str:
-    """Current committed data directory.
+def _norm_version(version) -> str:
+    """Normalize ``3`` / ``"3"`` / ``"v3"`` to the canonical ``"v3"``."""
+    s = str(version)
+    if s.isdigit():
+        s = f"v{s}"
+    if not re.fullmatch(r"v\d+", s):
+        raise ValueError(f"not a catalog version: {version!r} (expected 'vN')")
+    return s
+
+
+def _data_path(uri: str, layer_name: str, zoom: int,
+               version: str | int | None = None) -> str:
+    """Data directory of the committed version (default) or of a
+    RETAINED historical version (time travel — see :func:`list_versions`
+    and ``write(..., keep_history=N)``).
 
     Atomic commits (VERDICT r10 #4): a layer version lives in
     ``<root>/vN/`` (parquet + ``.metadata.json`` together); ``MANIFEST``
@@ -82,13 +95,62 @@ def _data_path(uri: str, layer_name: str, zoom: int) -> str:
     if _is_object(uri):
         from . import catalog_object
 
-        return catalog_object.data_dir(uri, layer_name, zoom)
+        return catalog_object.data_dir(uri, layer_name, zoom, version=version)
     root = _layer_path(uri, layer_name, zoom)
+    if version is not None:
+        vname = _norm_version(version)
+        p = os.path.join(root, vname)
+        if not os.path.exists(os.path.join(p, ".metadata.json")):
+            raise FileNotFoundError(
+                f"version {vname!r} of {layer_name!r}/{zoom} is not retained "
+                f"(have: {_readable_versions(root)}); pass keep_history=N to "
+                "write() to retain history for time travel"
+            )
+        return p
     try:
         with open(os.path.join(root, MANIFEST)) as f:
             return os.path.join(root, f.read().strip())
     except FileNotFoundError:
         return root
+
+
+def _readable_versions(root: str) -> list[str]:
+    """Retained version dirs that hold a complete staged layer
+    (``.metadata.json`` present), ascending by number."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        if re.fullmatch(r"v\d+", d) and os.path.exists(
+                os.path.join(root, d, ".metadata.json")):
+            out.append(d)
+    return sorted(out, key=lambda v: int(v[1:]))
+
+
+def list_versions(uri: str, layer_name: str, zoom: int) -> list[str]:
+    """Readable retained versions of a layer, ascending (time travel).
+
+    The committed version is always listed; how much HISTORY is retained
+    is the writer's ``keep_history`` choice (default 0 keeps only the
+    reader-safety ``prev`` — i.e. the last two commits are readable
+    until the next write; ``keep_history=N`` pins the N most recent
+    superseded versions through GC). The Delta/Iceberg snapshot-listing
+    analogue for this catalog's pointer-file protocol."""
+    if _is_object(uri):
+        from . import catalog_object
+
+        return catalog_object.list_versions(uri, layer_name, zoom)
+    return _readable_versions(_layer_path(uri, layer_name, zoom))
+
+
+def current_version(uri: str, layer_name: str, zoom: int) -> str | None:
+    """The version name the manifest points at, or None (uncommitted /
+    legacy in-place layout)."""
+    if _is_object(uri):
+        from . import catalog_object
+
+        return catalog_object.current_version(uri, layer_name, zoom)
+    return _committed_version(_layer_path(uri, layer_name, zoom))
 
 
 def layer_exists(uri: str, layer_name: str, zoom: int) -> bool:
@@ -196,7 +258,8 @@ def _publish(root: str, version: str) -> tuple[str | None, bool]:
         return cur, True
 
 
-def _gc_versions(root: str, keep: str, prev: str | None = None) -> None:
+def _gc_versions(root: str, keep: str, prev: str | None = None,
+                 keep_history: int = 0) -> None:
     """Best-effort removal of superseded version dirs and legacy
     root-level data files.
 
@@ -204,9 +267,12 @@ def _gc_versions(root: str, keep: str, prev: str | None = None) -> None:
     version committed before this publish — survives until the NEXT
     write, so a reader that resolved the manifest (or holds a lazy
     DataFrame plan over the old version) while this writer published
-    still scans intact files. Everything older, plus never-published
-    version dirs, is removed. Orphaned ``.staging-*`` dirs (crashed
-    writers) are removed only once STALE (dir mtime older than
+    still scans intact files. ``keep_history=N`` additionally retains
+    the N highest-numbered versions older than ``keep`` (time travel —
+    the snapshot-retention knob; ``prev`` is reader-safety and is kept
+    on top of it). Everything older, plus never-published version dirs,
+    is removed. Orphaned ``.staging-*`` dirs (crashed writers) are
+    removed only once STALE (dir mtime older than
     :data:`_STAGING_GC_AGE_S`) — a LIVE concurrent writer keeps its
     staging dir's mtime fresh by writing files into it, so an in-flight
     commit is never swept by another writer's GC."""
@@ -215,12 +281,20 @@ def _gc_versions(root: str, keep: str, prev: str | None = None) -> None:
 
     now = time.time()
     keep_n = int(keep[1:])
+    retained = {prev} if prev else set()
+    if keep_history > 0:
+        older = sorted(
+            (d for d in os.listdir(root)
+             if re.fullmatch(r"v\d+", d) and int(d[1:]) < keep_n),
+            key=lambda v: int(v[1:]), reverse=True,
+        )
+        retained.update(older[:keep_history])
     for d in os.listdir(root):
         p = os.path.join(root, d)
         # only versions STRICTLY OLDER than ours are ours to reclaim —
         # a version dir newer than `keep` is a concurrent writer's
         # fresh commit and must never be swept by a slower writer's GC
-        if re.fullmatch(r"v\d+", d) and int(d[1:]) < keep_n and d != prev:
+        if re.fullmatch(r"v\d+", d) and int(d[1:]) < keep_n and d not in retained:
             shutil.rmtree(p, ignore_errors=True)
         elif d.startswith(".staging-"):
             try:
@@ -245,7 +319,7 @@ def _gc_versions(root: str, keep: str, prev: str | None = None) -> None:
                 pass
 
 
-def _finish_commit(root: str, vpath: str) -> None:
+def _finish_commit(root: str, vpath: str, keep_history: int = 0) -> None:
     """Publish a claimed version and GC superseded ones.
 
     ``prev`` for the deferred GC is the manifest value ``_publish`` read
@@ -268,12 +342,13 @@ def _finish_commit(root: str, vpath: str) -> None:
             RuntimeWarning, stacklevel=3,
         )
         return
-    _gc_versions(root, keep=version, prev=replaced)
+    _gc_versions(root, keep=version, prev=replaced, keep_history=keep_history)
 
 
 def write(uri: str, layer_name: str, layer: TiledRasterLayer,
           zoom: int | None = None, time_resolution_ms: int = 86_400_000,
-          index_strategy: str = "zorder", num_files: int | None = None) -> str:
+          index_strategy: str = "zorder", num_files: int | None = None,
+          keep_history: int = 0) -> str:
     """Write a tiled layer, sorted by space-filling-curve index.
 
     ``index_strategy`` mirrors the reference's IndexingMethod
@@ -287,6 +362,12 @@ def write(uri: str, layer_name: str, layer: TiledRasterLayer,
     one file — pin it when downstream point reads need multiple
     zindex-disjoint files to prune against (see the deep-zoom gate in
     ``tests/test_tms.py``), or when targeting a specific file size.
+
+    ``keep_history=N`` retains the N most recent superseded versions
+    through this commit's GC (time travel: read them back with
+    ``read(..., version=...)``; list them with :func:`list_versions`).
+    The default 0 keeps only the reader-safety ``prev`` — the last two
+    commits stay readable until the next write, nothing is pinned.
     """
     from ..core.zindex import hilbert_udf, rowmajor_col
 
@@ -337,7 +418,8 @@ def write(uri: str, layer_name: str, layer: TiledRasterLayer,
             out.write.mode("overwrite").parquet(staging)
             with open(os.path.join(staging, ".metadata.json"), "w") as f:
                 f.write(layer.metadata.to_json())
-            return catalog_object.commit_staged(uri, layer_name, z, staging)
+            return catalog_object.commit_staged(uri, layer_name, z, staging,
+                                                keep_history=keep_history)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
@@ -351,12 +433,14 @@ def write(uri: str, layer_name: str, layer: TiledRasterLayer,
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    _finish_commit(path, vpath)
+    _finish_commit(path, vpath, keep_history=keep_history)
     return vpath
 
 
-def read_layer_metadata(uri: str, layer_name: str, zoom: int) -> LayerMetadata:
-    with open(os.path.join(_data_path(uri, layer_name, zoom), ".metadata.json")) as f:
+def read_layer_metadata(uri: str, layer_name: str, zoom: int,
+                        version: str | int | None = None) -> LayerMetadata:
+    with open(os.path.join(_data_path(uri, layer_name, zoom, version=version),
+                           ".metadata.json")) as f:
         return LayerMetadata.from_json(f.read())
 
 
@@ -373,22 +457,30 @@ def list_zooms(uri: str, layer_name: str) -> list[int]:
 
 
 def read(spark: SparkSession, uri: str, layer_name: str,
-         zoom: int | None = None) -> TiledRasterLayer:
+         zoom: int | None = None,
+         version: str | int | None = None) -> TiledRasterLayer:
     """Read a stored layer; ``zoom=None`` reads the deepest stored zoom
-    (the reference's query convenience for single-resolution use)."""
+    (the reference's query convenience for single-resolution use).
+
+    ``version`` time-travels to a retained superseded commit (see
+    :func:`list_versions`; retention is the writer's ``keep_history``
+    choice). Version dirs are immutable once claimed, so a historical
+    read needs no coordination with concurrent writers."""
     if zoom is None:
         zooms = list_zooms(uri, layer_name)
         if not zooms:
             raise FileNotFoundError(f"no zooms stored for {layer_name!r} under {uri}")
         zoom = zooms[-1]
-    md = read_layer_metadata(uri, layer_name, zoom)
-    df = spark.read.parquet(_data_path(uri, layer_name, zoom)).drop("zindex")
+    md = read_layer_metadata(uri, layer_name, zoom, version=version)
+    df = spark.read.parquet(
+        _data_path(uri, layer_name, zoom, version=version)).drop("zindex")
     return TiledRasterLayer(df, md)
 
 
 def query(spark: SparkSession, uri: str, layer_name: str, zoom: int,
           query_geom: Geometry | str | bytes | None = None,
-          time_intervals: list | None = None) -> TiledRasterLayer:
+          time_intervals: list | None = None,
+          version: str | int | None = None) -> TiledRasterLayer:
     """Read with spatial/temporal predicate pushdown.
 
     The geometry resolves to candidate keys driver-side; the emitted
@@ -398,8 +490,9 @@ def query(spark: SparkSession, uri: str, layer_name: str, zoom: int,
     ``LayerReaderWrapper.applySpatialFilter`` (scala:162-190) and
     ``getTemporalQuery`` (scala:192-216).
     """
-    md = read_layer_metadata(uri, layer_name, zoom)
-    df = spark.read.parquet(_data_path(uri, layer_name, zoom)).drop("zindex")
+    md = read_layer_metadata(uri, layer_name, zoom, version=version)
+    df = spark.read.parquet(
+        _data_path(uri, layer_name, zoom, version=version)).drop("zindex")
     if query_geom is not None:
         geoms = _normalize_geoms(query_geom)
         from ..core.keys import KeyTransform
@@ -440,13 +533,15 @@ def query(spark: SparkSession, uri: str, layer_name: str, zoom: int,
 
 
 def read_value(uri: str, layer_name: str, zoom: int, col: int, row: int,
-               instant=None, band: int | None = None):
+               instant=None, band: int | None = None,
+               version: str | int | None = None):
     """Single-tile random access WITHOUT Spark (reference ValueReader):
     DuckDB point read over the sorted parquet — row-group pruning on the
     key columns makes this an O(row-group) read, not a scan."""
     import duckdb
 
-    path = os.path.join(_data_path(uri, layer_name, zoom), "*.parquet")
+    path = os.path.join(
+        _data_path(uri, layer_name, zoom, version=version), "*.parquet")
     con = duckdb.connect()
     q = f"SELECT * FROM '{path}' WHERE key_col = {int(col)} AND key_row = {int(row)}"
     if instant is not None:
@@ -473,7 +568,7 @@ def write_pyramid(uri: str, layer_name: str, pyramid,
 
 
 def compact(spark: SparkSession, uri: str, layer_name: str, zoom: int,
-            target_file_mb: int = 128) -> str:
+            target_file_mb: int = 128, keep_history: int = 0) -> str:
     """Rewrite a layer with right-sized, z-ordered files.
 
     Streaming ingest (``streaming/raster.py``) and repeated
@@ -508,7 +603,8 @@ def compact(spark: SparkSession, uri: str, layer_name: str, zoom: int,
             out.write.mode("overwrite").parquet(staging)
             shutil.copy(os.path.join(cur, ".metadata.json"),
                         os.path.join(staging, ".metadata.json"))
-            return catalog_object.commit_staged(uri, layer_name, zoom, staging)
+            return catalog_object.commit_staged(uri, layer_name, zoom, staging,
+                                                keep_history=keep_history)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
     # atomic commit: the rewrite reads the current version while filling
@@ -523,7 +619,7 @@ def compact(spark: SparkSession, uri: str, layer_name: str, zoom: int,
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    _finish_commit(root, vpath)
+    _finish_commit(root, vpath, keep_history=keep_history)
     return vpath
 
 
@@ -614,7 +710,7 @@ class AttributeStore:
 
 
 def update_layer(spark: SparkSession, uri: str, layer_name: str, zoom: int,
-                 new_layer: TiledRasterLayer) -> str:
+                 new_layer: TiledRasterLayer, keep_history: int = 0) -> str:
     """Merge-write (reference ``catalog.py:287-329``): union new tiles with
     the existing layer, keep the newest per key (read-union-rewrite; a
     Delta/Iceberg MERGE INTO when a table format is available)."""
@@ -638,4 +734,4 @@ def update_layer(spark: SparkSession, uri: str, layer_name: str, zoom: int,
     # new, never a half-written mix; GC is deferred one commit, so the
     # old version's files survive until the NEXT write even for readers
     # holding lazy plans over it (ADVICE r11).
-    return write(uri, layer_name, out, zoom)
+    return write(uri, layer_name, out, zoom, keep_history=keep_history)

@@ -128,25 +128,32 @@ def _publish(root: str, version: str) -> tuple[str | None, bool]:
             continue  # concurrent publisher moved the manifest; re-check
 
 
-def _gc_versions(root: str, keep: str, prev: str | None) -> None:
+def _gc_versions(root: str, keep: str, prev: str | None,
+                 keep_history: int = 0) -> None:
     """Deferred GC: delete every object of versions strictly older than
     ``keep`` except ``prev`` (the version the manifest pointed at when
-    we published — racing readers may still be scanning it). Versions
+    we published — racing readers may still be scanning it) and, with
+    ``keep_history=N``, the N highest-numbered older versions (time
+    travel — same retention contract as the POSIX backend). Versions
     NEWER than keep belong to concurrent writers and are never touched.
     Best-effort: a failed delete leaves an orphan for the next cycle."""
     keep_n = int(keep[1:])
-    prev_n = int(prev[1:]) if prev else None
+    retained = {int(prev[1:])} if prev else set()
+    if keep_history > 0:
+        older = sorted((v for v in _versions(root) if v < keep_n),
+                       reverse=True)
+        retained.update(older[:keep_history])
     for key in obs.list_keys(root + "/"):
         rest = key[len(root) + 1:]
         m = re.match(r"v(\d+)/", rest)
-        if m and int(m.group(1)) < keep_n and int(m.group(1)) != prev_n:
+        if m and int(m.group(1)) < keep_n and int(m.group(1)) not in retained:
             try:
                 obs.delete_object(key)
             except Exception:
                 pass
 
 
-def _finish_commit(root: str, version: str) -> None:
+def _finish_commit(root: str, version: str, keep_history: int = 0) -> None:
     """Publish + deferred GC (same contract as the POSIX path,
     including the superseded-publish warning — ADVICE r12)."""
     replaced, published = _publish(root, version)
@@ -160,7 +167,7 @@ def _finish_commit(root: str, version: str) -> None:
             RuntimeWarning, stacklevel=3,
         )
         return
-    _gc_versions(root, keep=version, prev=replaced)
+    _gc_versions(root, keep=version, prev=replaced, keep_history=keep_history)
 
 
 # ---- data movement (zero-dependency fallback path) ------------------------
@@ -221,13 +228,44 @@ def _upload_dir(local_dir: str, root: str, version: str) -> None:
 
 # ---- public backend (mirrors catalog.py's POSIX functions) ----------------
 
-def data_dir(uri: str, layer_name: str, zoom: int) -> str:
-    """Local dir holding the current committed version's files."""
+def data_dir(uri: str, layer_name: str, zoom: int,
+             version: str | int | None = None) -> str:
+    """Local dir holding the committed (default) or a RETAINED
+    historical version's files (time travel — the ``version=`` read
+    path; retention is the writer's ``keep_history`` choice)."""
     root = _root(uri, layer_name, zoom)
-    version, _ = _committed_version(root)
-    if version is None:
+    if version is not None:
+        from .catalog import _norm_version
+
+        vname = _norm_version(version)
+        if obs.get_object(f"{root}/{vname}/.metadata.json") is None:
+            raise FileNotFoundError(
+                f"version {vname!r} of {layer_name!r}/{zoom} is not retained "
+                f"at {root} (have: {list_versions(uri, layer_name, zoom)}); "
+                "pass keep_history=N to write() to retain history"
+            )
+        return _fetch_version(root, vname)
+    cur, _ = _committed_version(root)
+    if cur is None:
         raise FileNotFoundError(f"no committed layer at {root}")
-    return _fetch_version(root, version)
+    return _fetch_version(root, cur)
+
+
+def list_versions(uri: str, layer_name: str, zoom: int) -> list[str]:
+    """Readable retained versions (``.metadata.json`` present),
+    ascending — the object-store analogue of the POSIX
+    ``catalog.list_versions``."""
+    root = _root(uri, layer_name, zoom)
+    out = []
+    for key in obs.list_keys(root + "/"):
+        m = re.fullmatch(r"v(\d+)/\.metadata\.json", key[len(root) + 1:])
+        if m:
+            out.append(int(m.group(1)))
+    return [f"v{n}" for n in sorted(out)]
+
+
+def current_version(uri: str, layer_name: str, zoom: int) -> str | None:
+    return _committed_version(_root(uri, layer_name, zoom))[0]
 
 
 def layer_exists(uri: str, layer_name: str, zoom: int) -> bool:
@@ -246,7 +284,7 @@ def list_zooms(uri: str, layer_name: str) -> list[int]:
 
 
 def commit_staged(uri: str, layer_name: str, zoom: int,
-                  staging_dir: str) -> str:
+                  staging_dir: str, keep_history: int = 0) -> str:
     """Claim -> upload -> publish -> deferred GC for a locally-staged
     version dir (parquet parts + ``.metadata.json``). Returns the
     committed version's URI. A crash after the claim leaves an orphan
@@ -255,7 +293,7 @@ def commit_staged(uri: str, layer_name: str, zoom: int,
     root = _root(uri, layer_name, zoom)
     version = _claim(root)
     _upload_dir(staging_dir, root, version)
-    _finish_commit(root, version)
+    _finish_commit(root, version, keep_history=keep_history)
     return f"{root}/{version}"
 
 

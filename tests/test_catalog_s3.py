@@ -114,6 +114,32 @@ class TestS3CatalogRoundtrip:
         assert catalog.read(spark, uri, "a", 0).df.count() == f1_layer.df.count()
 
 
+class TestS3TimeTravel:
+    def test_version_read_and_keep_history(self, spark, f1_layer, s3cat):
+        """Time travel on the object backend: ``version=`` reads resolve
+        a retained historical version through the immutable cache, and
+        ``keep_history`` pins versions through the conditional-write
+        GC exactly like the POSIX backend."""
+        uri = "s3://b/cat"
+        catalog.write(uri, "a", f1_layer, zoom=0, keep_history=2)
+        catalog.write(uri, "a", f1_layer + 1.0, zoom=0, keep_history=2)
+        catalog.write(uri, "a", f1_layer + 2.0, zoom=0, keep_history=2)
+        assert catalog.current_version(uri, "a", 0) == "v3"
+        assert catalog.list_versions(uri, "a", 0) == ["v1", "v2", "v3"]
+        v1 = catalog.read(spark, uri, "a", 0, version="v1")
+        v3 = catalog.read(spark, uri, "a", 0)
+        from geopyspark_spark.sources.numpy_source import to_numpy
+
+        assert sum(float(t[3].sum()) for t in to_numpy(v1)) == 99.0
+        assert sum(float(t[3].sum()) for t in to_numpy(v3)) == 299.0
+        # default retention on the NEXT write keeps history per its own
+        # knob: keep_history=0 falls back to prev-only
+        catalog.write(uri, "a", f1_layer, zoom=0)
+        assert catalog.list_versions(uri, "a", 0) == ["v3", "v4"]
+        with pytest.raises(FileNotFoundError, match="not retained"):
+            catalog.read(spark, uri, "a", 0, version="v1")
+
+
 class TestS3CommitProtocol:
     def test_crashed_writer_invisible_then_swept(self, spark, f1_layer,
                                                  s3cat):

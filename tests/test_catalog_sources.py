@@ -90,6 +90,73 @@ class TestCatalog:
         assert out.count() == 4
 
 
+class TestTimeTravel:
+    """Version-history reads (r13): ``read(..., version=)`` over retained
+    commits, ``list_versions``/``current_version``, and the
+    ``keep_history`` GC retention knob — the Delta/Iceberg snapshot
+    pattern on this catalog's pointer-file protocol."""
+
+    @staticmethod
+    def _cell_sum(layer):
+        return sum(float(t[3].sum()) for t in to_numpy(layer))
+
+    def test_read_previous_version(self, spark, f1_layer, tmp_path):
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "tt", f1_layer, zoom=0)
+        catalog.write(uri, "tt", f1_layer + 1.0, zoom=0)
+        assert catalog.list_versions(uri, "tt", 0) == ["v1", "v2"]
+        assert catalog.current_version(uri, "tt", 0) == "v2"
+        old = catalog.read(spark, uri, "tt", 0, version="v1")
+        cur = catalog.read(spark, uri, "tt", 0)
+        assert self._cell_sum(old) == pytest.approx(99.0)
+        assert self._cell_sum(cur) == pytest.approx(199.0)
+        # int and bare-digit forms normalize; the explicit current
+        # version reads identically to the default
+        assert self._cell_sum(catalog.read(spark, uri, "tt", 0, version=1)) \
+            == pytest.approx(99.0)
+        assert self._cell_sum(catalog.read(spark, uri, "tt", 0, version="2")) \
+            == pytest.approx(199.0)
+
+    def test_query_and_read_value_at_version(self, spark, f1_layer, tmp_path):
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "tt", f1_layer, zoom=0)
+        catalog.write(uri, "tt", f1_layer + 1.0, zoom=0)
+        q = catalog.query(spark, uri, "tt", 0,
+                          gps.Polygon([(0, 0), (0, 4), (4, 4), (4, 0)]),
+                          version="v1")
+        assert q.df.count() > 0
+        recs = catalog.read_value(uri, "tt", 0, 1, 1, version="v1")
+        flat = np.asarray(recs[0]["cells"], dtype=np.float64)
+        assert flat.max() == pytest.approx(1.0)  # v2 would read 2.0
+
+    def test_default_retention_is_prev_only(self, spark, f1_layer, tmp_path):
+        uri = str(tmp_path / "cat")
+        for _ in range(3):
+            catalog.write(uri, "tt", f1_layer, zoom=0)
+        # GC deferred one commit: v2 (prev) survives, v1 is gone
+        assert catalog.list_versions(uri, "tt", 0) == ["v2", "v3"]
+        with pytest.raises(FileNotFoundError, match="not retained"):
+            catalog.read(spark, uri, "tt", 0, version="v1")
+
+    def test_keep_history_pins_versions(self, spark, f1_layer, tmp_path):
+        uri = str(tmp_path / "cat")
+        for i in range(5):
+            catalog.write(uri, "tt", f1_layer + float(i), zoom=0,
+                          keep_history=3)
+        assert catalog.list_versions(uri, "tt", 0) == ["v2", "v3", "v4", "v5"]
+        # the oldest retained version reads back its own data
+        old = catalog.read(spark, uri, "tt", 0, version="v2")
+        assert self._cell_sum(old) == pytest.approx(99.0 + 100.0)
+
+    def test_bad_version_raises(self, spark, f1_layer, tmp_path):
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "tt", f1_layer, zoom=0)
+        with pytest.raises(ValueError, match="not a catalog version"):
+            catalog.read(spark, uri, "tt", 0, version="latest")
+        with pytest.raises(FileNotFoundError, match="not retained"):
+            catalog.read(spark, uri, "tt", 0, version="v99")
+
+
 class TestRasterize:
     def test_rasterize_box(self, spark):
         layout = gps.LayoutDefinition(gps.Extent(0, 0, 10, 10), gps.TileLayout(2, 2, 5, 5))
