@@ -556,20 +556,32 @@ def dedup_documents(df: DataFrame, num_hashes: int = 16, bands: int = 4,
                     text_col: str = "text", hash_ids: bool = True,
                     max_bucket_size: int | None = 10_000,
                     max_iterations: int = 20,
-                    skew_report: dict | None = None) -> DataFrame:
+                    skew_report: dict | None = None,
+                    quality_col: str | None = None) -> DataFrame:
     """The complete near-duplicate removal pipeline as one operator:
 
     shingle -> minhash -> banded LSH candidates -> exact n-gram Jaccard
-    verification -> connected components -> keep the smallest doc_id per
+    verification -> connected components -> keep one representative per
     cluster.
+
+    The representative is the smallest doc_id by default; pass
+    ``quality_col`` (any numeric column of ``df`` — a Gopher score,
+    length, model-based quality) to keep the HIGHEST-quality document of
+    each cluster instead (ties break to the smallest doc_id, so the
+    choice is deterministic and engine-independent). Keep-best is the
+    production corpus policy: near-dup clusters usually mix a clean
+    original with mangled re-crawls, and keeping by id throws away the
+    clean one half the time.
 
     Returns (doc_id, component, keep) for every document: ``keep`` marks
     the cluster representative (singletons keep themselves). Filtering
     ``keep`` is the pretraining-corpus dedup step; at 100 TB every stage
     is bucket-bounded (set ``max_bucket_size``) and nothing ever leaves
-    the executors. Pass a dict as ``skew_report`` to receive this call's
-    skew-guard truncation plan (aggregate it with
-    :func:`skew_guard_metrics` and log it next to the row counts).
+    the executors — the keep-best ranking is one window over components
+    (cluster-sized partitions; skew-capped upstream by the LSH guard).
+    Pass a dict as ``skew_report`` to receive this call's skew-guard
+    truncation plan (aggregate it with :func:`skew_guard_metrics` and
+    log it next to the row counts).
     """
     edges = verified_pairs(df, num_hashes, bands, n, min_jaccard, text_col,
                            hash_ids=hash_ids, max_bucket_size=max_bucket_size,
@@ -577,9 +589,19 @@ def dedup_documents(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     comp = components_from_edges(
         df, edges.select("doc_a", "doc_b"), max_iterations
     )
-    return comp.select(
-        "doc_id", "component",
-        (F.col("doc_id") == F.col("component")).alias("keep"),
+    if quality_col is None:
+        return comp.select(
+            "doc_id", "component",
+            (F.col("doc_id") == F.col("component")).alias("keep"),
+        )
+    qual = df.select("doc_id", F.col(quality_col).cast("double").alias("_q"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("_q").desc_nulls_last(), F.col("doc_id").asc()
+    )
+    return (
+        comp.join(qual, "doc_id")
+        .select("doc_id", "component",
+                (F.row_number().over(w) == 1).alias("keep"))
     )
 
 

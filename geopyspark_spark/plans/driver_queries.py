@@ -7791,6 +7791,38 @@ FROM reach GROUP BY doc_id
 """
 
 
+def q_text_dedup_keep_best(spark, sf_dir):
+    """Quality-aware near-dup removal (r13): the same LSH -> verify ->
+    components pipeline as ``text_dedup_pipeline``, but the cluster
+    representative is the HIGHEST-quality document (here quality =
+    ``n_chars``; any numeric score works), ties to the smallest doc_id —
+    the production policy, since near-dup clusters usually pair a clean
+    original with mangled re-crawls and keep-by-id discards the clean
+    one arbitrarily. One extra component-keyed window over the
+    component output; everything upstream stays bucket-bounded."""
+    return fdedup.dedup_documents(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4,
+        min_jaccard=0.5, quality_col="n_chars",
+    )
+
+
+def _sql_dedup_keep_best(num_hashes: int = 16, bands: int = 4,
+                         min_jaccard: float = 0.5) -> str:
+    """Oracle: the full dedup-pipeline CTE chain with the final keep
+    clause swapped for a quality-ranked window (n_chars DESC, doc_id
+    ASC) per component."""
+    pipe = _sql_dedup_pipeline(num_hashes, bands, min_jaccard)
+    marker = "SELECT doc_id, MIN(r) AS component, doc_id = MIN(r) AS keep"
+    head, _ = pipe.rsplit(marker, 1)
+    return head.rstrip().rstrip(")") + """),
+comp AS (SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id)
+SELECT c.doc_id, c.component,
+       (ROW_NUMBER() OVER (PARTITION BY c.component
+                           ORDER BY d.n_chars DESC, c.doc_id ASC)) = 1 AS keep
+FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+"""
+
+
 def q_text_simhash(spark, sf_dir):
     return fdedup.simhash(_t(spark, sf_dir, "documents"), num_bits=16)
 
@@ -10918,6 +10950,7 @@ def _canonical_queries():
         "raster_histogram_object": q_raster_histogram_object,
         "text_token_count": q_text_token_count,
         "text_dedup_pipeline": q_text_dedup_pipeline,
+        "text_dedup_keep_best": q_text_dedup_keep_best,
         "emb_knn": q_emb_knn,
         "multimodal_features": q_multimodal_features,
         "multimodal_png_features": q_multimodal_png_features,
@@ -11052,6 +11085,7 @@ def _canonical_queries():
 _WINDOW_ORDER_ROUND: int = 12
 _WINDOW_ORDER: list = [
     "text_remove_dup_spans",
+    "text_dedup_keep_best",
     "multimodal_png_interlaced",
     "raster_catalog_s3_roundtrip",
     "raster_catalog_time_travel",
@@ -11486,6 +11520,7 @@ def oracle_sql():
         "tpch_q11_important_stock": SQL_TPCH_Q11_IMPORTANT_STOCK,
         "text_dup_components": _sql_dup_components(16, 4),
         "text_dedup_pipeline": _sql_dedup_pipeline(16, 4, 0.5),
+        "text_dedup_keep_best": _sql_dedup_keep_best(16, 4, 0.5),
         "text_word_freq": SQL_TEXT_WORD_FREQ,
         "text_quality": SQL_TEXT_QUALITY,
         "text_lang_scores": _sql_lang_scores(),

@@ -522,6 +522,34 @@ class TestDedupPipeline:
         assert got[3] == (3, True)
         assert got[4][1] is True      # low overlap -> fails verification
 
+    def test_keep_best_quality_representative(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b c d e f g h", 3.0),
+             (1, "a b c d e f g h", 9.0),       # dup of 0, higher quality
+             (2, "a b c d e f g h extra", 5.0),  # near dup, mid quality
+             (3, "totally different content entirely here now", 1.0)],
+            "doc_id long, text string, q double",
+        )
+        got = {r["doc_id"]: (r["component"], r["keep"])
+               for r in fdedup.dedup_documents(
+                   df, min_jaccard=0.5, quality_col="q").collect()}
+        # cluster {0,1,2}: the HIGHEST-q doc (1) is kept, not the min id
+        assert got[0] == (0, False)
+        assert got[1] == (0, True)
+        assert got[2] == (0, False)
+        assert got[3] == (3, True)   # singleton keeps itself
+
+    def test_keep_best_tie_breaks_to_smallest_id(self, spark):
+        df = spark.createDataFrame(
+            [(7, "a b c d e f g h", 4.0),
+             (2, "a b c d e f g h", 4.0)],   # exact dups, equal quality
+            "doc_id long, text string, q double",
+        )
+        got = {r["doc_id"]: r["keep"]
+               for r in fdedup.dedup_documents(
+                   df, min_jaccard=0.5, quality_col="q").collect()}
+        assert got[2] is True and got[7] is False
+
 
 class TestEmbDedup:
     def test_semantic_dedup_keep_flags(self, spark):
