@@ -384,3 +384,70 @@ def decayed_sum(df: DataFrame, partition_cols, order_cols,
             F.lit(0.0)) * F.lit(float(2.0 ** -k))
     return df.withColumn(out_col, expr)
 
+
+
+def linear_trend(df: DataFrame, key_cols, x_col: str, y_col: str,
+                 x_origin: int = 0, slope_scale: float = 1.0,
+                 round_digits: int | None = 6) -> DataFrame:
+    """Per-key ordinary-least-squares trend line: slope, intercept, and
+    R^2 of ``y`` over ``x`` for every group — the per-entity drift /
+    trend primitive of metric pipelines (is this user's spend rising?
+    is this sensor degrading?), computed in ONE hash aggregate.
+
+    Engine-exact by construction (the DuckDB-oracle contract): the five
+    sufficient statistics (sum x, sum y, sum xy, sum x^2, sum y^2) are
+    accumulated in DECIMAL — integer-exact regardless of partitioning
+    and addition order — and only the final closed-form division runs in
+    double. A float covar_pop/var_pop pipeline is partitioning-dependent
+    at the last ulp; this one is not. Pass ``x_origin`` (e.g. the corpus
+    epoch) to keep the decimal partials narrow; it shifts x, which
+    leaves the slope and R^2 unchanged and anchors the intercept at
+    ``x = x_origin``. ``slope_scale`` re-units the slope (86400 turns
+    per-second into per-day).
+
+    Spark shape: one shuffle (groupBy key), all arithmetic JVM-side in
+    whole-stage codegen; keys with zero x-variance (or a single row) are
+    dropped — no trend is defined there. 100 TB: this is a pure
+    map-side-combinable aggregate, the cheapest distributed shape there
+    is.
+
+    Returns (key..., n_events, slope, intercept, r2), values rounded to
+    ``round_digits`` (None disables) so cross-engine double formatting
+    cannot flip the last digit.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    # timestamps (tz'd or naive) become epoch seconds; numerics truncate
+    # to integers — either way x is exact integer arithmetic downstream
+    xtype = dict(df.dtypes).get(x_col, "")
+    if xtype.startswith("timestamp"):
+        xbase = F.unix_seconds(F.col(x_col).cast("timestamp"))
+    else:
+        xbase = F.col(x_col).cast("long")
+    x = (xbase - F.lit(int(x_origin))).alias("x")
+    pts = df.select(*key_cols, x,
+                    F.col(y_col).cast("decimal(18,6)").alias("y"))
+    xd = F.col("x").cast("decimal(10,0)")
+    s = pts.groupBy(*key_cols).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx_long"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(xd * F.col("y")).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx_long").cast("double")
+    denom = nd * F.col("sxx") - sxd * sxd
+    num = nd * F.col("sxy") - sxd * F.col("sy")
+    slope = num / denom
+    r2den = denom * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    rnd = (lambda c: F.round(c, round_digits)) if round_digits is not None \
+        else (lambda c: c)
+    return s.where((F.col("n") >= 2) & (denom != 0)).select(
+        *key_cols,
+        F.col("n").alias("n_events"),
+        rnd(slope * F.lit(float(slope_scale))).alias("slope"),
+        rnd(F.col("sy") / nd - slope * (sxd / nd)).alias("intercept"),
+        rnd(F.when(r2den == 0, F.lit(1.0)).otherwise(num * num / r2den))
+        .alias("r2"),
+    )

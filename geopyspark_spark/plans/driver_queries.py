@@ -6462,6 +6462,59 @@ FROM events GROUP BY user_id
 """
 
 
+_TREND_EPOCH = 1_704_067_200  # 2024-01-01T00:00:00Z, the events corpus start
+
+
+def q_events_trend(spark, sf_dir):
+    """Per-user OLS trend of event value over time (r13): slope (value
+    per day), intercept at the corpus epoch, and R^2, in ONE hash
+    aggregate. The sufficient statistics accumulate in DECIMAL so the
+    result is partitioning- and engine-exact; only the closed-form
+    division runs in double (see ``functions.relational.linear_trend``).
+    """
+    from ..functions import relational as frel
+
+    ev = _events(spark, sf_dir)
+    return frel.linear_trend(ev, "user_id", "ts", "value",
+                             x_origin=_TREND_EPOCH, slope_scale=86_400.0)
+
+
+SQL_EVENTS_TREND = f"""
+WITH pts AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) - {_TREND_EPOCH} AS x,
+         CAST(value AS DECIMAL(18,6)) AS y
+  FROM events
+), s AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         SUM(x) AS sx_long,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(10,0)) * y) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(10,0)) * CAST(x AS DECIMAL(10,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM pts GROUP BY user_id
+)
+SELECT user_id, n AS n_events,
+       round(((CAST(n AS DOUBLE) * sxy - CAST(sx_long AS DOUBLE) * sy)
+              / (CAST(n AS DOUBLE) * sxx - CAST(sx_long AS DOUBLE) * CAST(sx_long AS DOUBLE)))
+             * 86400.0, 6) AS slope,
+       round(sy / CAST(n AS DOUBLE)
+             - ((CAST(n AS DOUBLE) * sxy - CAST(sx_long AS DOUBLE) * sy)
+                / (CAST(n AS DOUBLE) * sxx - CAST(sx_long AS DOUBLE) * CAST(sx_long AS DOUBLE)))
+               * (CAST(sx_long AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS intercept,
+       round(CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx_long AS DOUBLE) * CAST(sx_long AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * syy - sy * sy) = 0 THEN 1.0
+                  ELSE (CAST(n AS DOUBLE) * sxy - CAST(sx_long AS DOUBLE) * sy)
+                       * (CAST(n AS DOUBLE) * sxy - CAST(sx_long AS DOUBLE) * sy)
+                       / ((CAST(n AS DOUBLE) * sxx - CAST(sx_long AS DOUBLE) * CAST(sx_long AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * syy - sy * sy)) END, 6) AS r2
+FROM s
+WHERE n >= 2
+  AND CAST(n AS DOUBLE) * sxx - CAST(sx_long AS DOUBLE) * CAST(sx_long AS DOUBLE) <> 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: text analysis + dedup
 # ---------------------------------------------------------------------------
@@ -11006,6 +11059,7 @@ def _canonical_queries():
         "set_intersect": q_set_intersect,
         "events_sliding": q_events_sliding,
         "events_user_stats": q_events_user_stats,
+        "events_trend": q_events_trend,
         "raster_reclassify": q_raster_reclassify,
         "raster_layer_add": q_raster_layer_add,
         "raster_focal_mean": q_raster_focal_mean,
@@ -11087,6 +11141,7 @@ _WINDOW_ORDER: list = [
     "text_remove_dup_spans",
     "text_dedup_keep_best",
     "multimodal_png_interlaced",
+    "events_trend",
     "raster_catalog_s3_roundtrip",
     "raster_catalog_time_travel",
     "raster_zindex_temporal",
@@ -11498,6 +11553,7 @@ def oracle_sql():
         "events_tumbling": SQL_EVENTS_TUMBLING,
         "events_sliding": SQL_EVENTS_SLIDING,
         "events_user_stats": SQL_EVENTS_USER_STATS,
+        "events_trend": SQL_EVENTS_TREND,
         "events_session": SQL_EVENTS_SESSION,
         "text_token_count": SQL_TEXT_TOKEN_COUNT,
         "text_bpe_tokens": _sql_bpe_tokens(),

@@ -2421,6 +2421,66 @@ class TestDecayedSum:
             decayed_sum(df, "uid", "seq", "value", depth=0)
 
 
+class TestLinearTrend:
+    def test_exact_line(self, spark):
+        from geopyspark_spark.functions.relational import linear_trend
+
+        df = spark.createDataFrame(
+            [(1, 0, 1.0), (1, 1, 3.0), (1, 2, 5.0)],
+            "k long, x long, y double")
+        got = linear_trend(df, "k", "x", "y").collect()[0]
+        assert got["n_events"] == 3
+        assert got["slope"] == 2.0
+        assert got["intercept"] == 1.0
+        assert got["r2"] == 1.0
+
+    def test_matches_numpy_polyfit(self, spark):
+        from geopyspark_spark.functions.relational import linear_trend
+
+        xs = list(range(10))
+        ys = [0.5, 2.1, 1.9, 4.2, 3.8, 6.1, 5.9, 8.3, 7.7, 10.2]
+        df = spark.createDataFrame(
+            [(1, x, y) for x, y in zip(xs, ys)], "k long, x long, y double")
+        got = linear_trend(df, "k", "x", "y").collect()[0]
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert got["slope"] == pytest.approx(slope, abs=1e-6)
+        assert got["intercept"] == pytest.approx(intercept, abs=1e-6)
+        assert got["r2"] == pytest.approx(r * r, abs=1e-6)
+
+    def test_timestamp_x_and_slope_scale(self, spark):
+        from geopyspark_spark.functions.relational import linear_trend
+
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 1.0),
+             (1, "2024-01-02 00:00:00", 2.0),
+             (1, "2024-01-03 00:00:00", 3.0)],
+            "k long, ts string, y double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        got = linear_trend(df, "k", "ts", "y", x_origin=1_704_067_200,
+                           slope_scale=86_400.0).collect()[0]
+        assert got["slope"] == 1.0       # +1 per day
+        assert got["intercept"] == 1.0   # value at the origin
+
+    def test_degenerate_keys_dropped(self, spark):
+        from geopyspark_spark.functions.relational import linear_trend
+
+        df = spark.createDataFrame(
+            [(1, 5, 1.0),              # single point: no trend
+             (2, 3, 1.0), (2, 3, 9.0)],  # zero x-variance
+            "k long, x long, y double")
+        assert linear_trend(df, "k", "x", "y").count() == 0
+
+    def test_constant_y_r2_is_one(self, spark):
+        from geopyspark_spark.functions.relational import linear_trend
+
+        df = spark.createDataFrame(
+            [(1, 0, 2.0), (1, 1, 2.0), (1, 2, 2.0)],
+            "k long, x long, y double")
+        got = linear_trend(df, "k", "x", "y").collect()[0]
+        assert got["slope"] == 0.0 and got["r2"] == 1.0
+
+
 class TestBpeEncode:
     def test_encode_counts_match_reference(self, spark):
         from geopyspark_spark.functions.text import (
