@@ -2315,6 +2315,38 @@ WHERE key_col IN (1, 2) AND key_row IN (1, 2)
 """
 
 
+def q_raster_catalog_query_big(spark, sf_dir):
+    """The LARGE-AOI spatial query path under the gate (r13): the same
+    polygon and catalog as ``raster_catalog_query``, but with
+    ``exact_key_limit=1`` forcing the scalable plan — the driver emits
+    only O(1) envelope bounds (still pushed to the scan) and the exact
+    tile-intersects-geometry test runs executor-side as one
+    Arrow-batched filter. At a continent-at-zoom-18 scale the exact
+    path's driver key enumeration is an OOM; this gate pins that the
+    distributed filter selects EXACTLY the same tiles (same oracle)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import catalog as cat
+
+    layer = lineitem_layer(spark, sf_dir)
+    uri = tempfile.mkdtemp(prefix="catalog_qb_", dir=_scratch_dir())
+    try:
+        cat.write(uri, "cqb", layer, zoom=0)
+        sub = cat.query(spark, uri, "cqb", 0,
+                        query_geom=gps.box(9, 9, 23, 23), exact_key_limit=1)
+        long = sub.explode().where(~_is_nd(F.col("value"), layer.nodata))
+        rows = long.select("key_col", "key_row", "pos", "value").collect()
+    finally:
+        shutil.rmtree(uri, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "key_col int, key_row int, pos int, value double")
+
+
+SQL_RASTER_CATALOG_QUERY_BIG = SQL_RASTER_CATALOG_QUERY
+
+
 def q_raster_windowed_source(spark, sf_dir):
     """rasterio.get windowed-source plumbing under the gate: a synthetic
     2-band 48x48 raster read through ``geotiff.get`` with an injected
@@ -10853,6 +10885,7 @@ def _canonical_queries():
         # three remaining in-window stream entries — rotated just past
         # the window to make room for the triangle-count code path)
         "raster_catalog_query": q_raster_catalog_query,
+        "raster_catalog_query_big": q_raster_catalog_query_big,
         "raster_windowed_source": q_raster_windowed_source,
         "raster_attribute_store": q_raster_attribute_store,
         # rotated in (fourth r6 rotation): oracle gates for previously
@@ -11138,6 +11171,7 @@ def _canonical_queries():
 # BEGIN WINDOW_ORDER (generated)
 _WINDOW_ORDER_ROUND: int = 12
 _WINDOW_ORDER: list = [
+    "raster_catalog_query_big",
     "text_remove_dup_spans",
     "text_dedup_keep_best",
     "multimodal_png_interlaced",
@@ -11639,6 +11673,7 @@ def oracle_sql():
         "raster_reproject_geos": _sql_reproject_nn(
             "+proj=geos +h=35786023 +lon_0=15 +sweep=y +ellps=GRS80"),
         "raster_catalog_query": SQL_RASTER_CATALOG_QUERY,
+        "raster_catalog_query_big": SQL_RASTER_CATALOG_QUERY_BIG,
         "raster_windowed_source": SQL_RASTER_WINDOWED_SOURCE,
         "raster_attribute_store": SQL_RASTER_ATTRIBUTE_STORE,
         "raster_reproject_cass": _sql_reproject_nn(

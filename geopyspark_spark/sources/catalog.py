@@ -477,19 +477,51 @@ def read(spark: SparkSession, uri: str, layer_name: str,
     return TiledRasterLayer(df, md)
 
 
+def _envelope_key_bounds(md, geom) -> tuple[int, int, int, int] | None:
+    """Clamped (c0, r0, c1, r1) tile-key bounds of a geometry's envelope,
+    or None when it misses the layout entirely. Pure arithmetic — O(1)
+    regardless of AOI size (the half-open edge rules match
+    ``KeyTransform.extent_keys``)."""
+    ld = md.layout
+    e, tw, th = ld.extent, ld.tile_width, ld.tile_height
+    xmin, ymin, xmax, ymax = geom.bounds
+    c0 = int(math.floor((xmin - e.xmin) / tw))
+    r0 = int(math.floor((e.ymax - ymax) / th))
+    c1 = int(math.floor((xmax - e.xmin) / tw))
+    r1 = int(math.floor((e.ymax - ymin) / th))
+    if xmax > xmin and (xmax - e.xmin) % tw == 0:
+        c1 -= 1
+    if ymax > ymin and (e.ymax - ymin) % th == 0:
+        r1 -= 1
+    nc, nr = ld.tile_layout.layout_cols, ld.tile_layout.layout_rows
+    c0, r0 = max(c0, 0), max(r0, 0)
+    c1, r1 = min(c1, nc - 1), min(r1, nr - 1)
+    if c1 < c0 or r1 < r0:
+        return None
+    return c0, r0, c1, r1
+
+
 def query(spark: SparkSession, uri: str, layer_name: str, zoom: int,
           query_geom: Geometry | str | bytes | None = None,
           time_intervals: list | None = None,
-          version: str | int | None = None) -> TiledRasterLayer:
+          version: str | int | None = None,
+          exact_key_limit: int = 4096) -> TiledRasterLayer:
     """Read with spatial/temporal predicate pushdown.
 
-    The geometry resolves to candidate keys driver-side; the emitted
-    predicate is a plain (key_col, key_row) bound + IN-list, which
-    Catalyst pushes into the parquet scan (row-group pruning via the
-    z-order sort) — the DataFrame-native equivalent of
-    ``LayerReaderWrapper.applySpatialFilter`` (scala:162-190) and
-    ``getTemporalQuery`` (scala:192-216).
-    """
+    Small AOIs (envelope <= ``exact_key_limit`` tiles) resolve to keys
+    driver-side; the emitted predicate is a plain (key_col, key_row)
+    bound + IN-list, which Catalyst pushes into the parquet scan
+    (row-group pruning via the z-order sort) — the DataFrame-native
+    equivalent of ``LayerReaderWrapper.applySpatialFilter``
+    (scala:162-190) and ``getTemporalQuery`` (scala:192-216).
+
+    LARGE AOIs never enumerate tiles on the driver (a continent at a
+    deep zoom is millions of keys — a driver OOM and an unusable
+    IN-list): the driver emits only the O(1) per-geometry envelope
+    bounds (still pushed to row-group stats), and the exact
+    tile-intersects-geometry test runs IN THE EXECUTORS as one
+    Arrow-batched filter over (key_col, key_row) — per candidate TILE,
+    not per cell, after the scan already pruned to the envelope."""
     md = read_layer_metadata(uri, layer_name, zoom, version=version)
     df = spark.read.parquet(
         _data_path(uri, layer_name, zoom, version=version)).drop("zindex")
@@ -498,25 +530,71 @@ def query(spark: SparkSession, uri: str, layer_name: str, zoom: int,
         from ..core.keys import KeyTransform
 
         kt = KeyTransform(md.layout)
-        keys = set()
-        for g in geoms:
-            keys.update(kt.geometry_keys(g))
-        if not keys:
+        bounds = [b for b in (_envelope_key_bounds(md, g) for g in geoms)
+                  if b is not None]
+        n_envelope = sum((c1 - c0 + 1) * (r1 - r0 + 1)
+                         for c0, r0, c1, r1 in bounds)
+        if not bounds:
             df = df.where(F.lit(False))
+        elif n_envelope <= exact_key_limit:
+            keys = set()
+            for g in geoms:
+                keys.update(kt.geometry_keys(g))
+            if not keys:
+                df = df.where(F.lit(False))
+            else:
+                cols = [c for c, _ in keys]
+                rows = [r for _, r in keys]
+                # bounding predicate first (pushes to row-group stats),
+                # exact key IN-list second
+                df = df.where(
+                    F.col("key_col").between(min(cols), max(cols))
+                    & F.col("key_row").between(min(rows), max(rows))
+                )
+                pairs = [
+                    F.struct(F.lit(c).alias("key_col"), F.lit(r).alias("key_row"))
+                    for c, r in sorted(keys)
+                ]
+                df = df.where(F.struct("key_col", "key_row").isin(pairs))
         else:
-            cols = [c for c, _ in keys]
-            rows = [r for _, r in keys]
-            # bounding predicate first (pushes to row-group stats), exact
-            # key IN-list second
-            df = df.where(
-                F.col("key_col").between(min(cols), max(cols))
-                & F.col("key_row").between(min(rows), max(rows))
-            )
-            pairs = [
-                F.struct(F.lit(c).alias("key_col"), F.lit(r).alias("key_row"))
-                for c, r in sorted(keys)
-            ]
-            df = df.where(F.struct("key_col", "key_row").isin(pairs))
+            import pandas as pd
+
+            from ..core.geom import from_wkb, polygon_intersects_box, to_wkb
+
+            # envelope bounds push to the scan (one disjunct per geometry)
+            env = None
+            for c0, r0, c1, r1 in bounds:
+                d = (F.col("key_col").between(c0, c1)
+                     & F.col("key_row").between(r0, r1))
+                env = d if env is None else (env | d)
+            df = df.where(env)
+            # exact test per candidate tile, executor-side; geometries
+            # travel as WKB inside the closure (broadcast by Spark)
+            blobs = [to_wkb(g) for g in geoms]
+            ld = md.layout
+            e, tw, th = ld.extent, ld.tile_width, ld.tile_height
+            exmin, eymax = e.xmin, e.ymax
+
+            def _tile_hits(cols, rows):
+                gs = [from_wkb(b) for b in blobs]
+                cc, rr = cols.to_numpy(), rows.to_numpy()
+                x0 = exmin + cc * tw
+                y1 = eymax - rr * th
+                out = [
+                    any(polygon_intersects_box(g, x0[i], y1[i] - th,
+                                               x0[i] + tw, y1[i])
+                        for g in gs)
+                    for i in range(len(cc))
+                ]
+                return pd.Series(out)
+
+            # real annotations, set explicitly: the module-wide
+            # ``from __future__ import annotations`` stringifies inline
+            # hints, which pandas_udf cannot resolve
+            _tile_hits.__annotations__ = {
+                "cols": pd.Series, "rows": pd.Series, "return": pd.Series}
+            tile_hits = F.pandas_udf(_tile_hits, "boolean")
+            df = df.where(tile_hits(F.col("key_col"), F.col("key_row")))
     if time_intervals:
         conds = None
         i = 0

@@ -90,6 +90,66 @@ class TestCatalog:
         assert out.count() == 4
 
 
+class TestLargeAoiQuery:
+    """The scalable spatial-query path (r13): above ``exact_key_limit``
+    envelope tiles the driver emits only O(1) envelope bounds and the
+    exact tile-intersects test runs executor-side (Arrow-batched) —
+    a continent-sized AOI at a deep zoom must never enumerate keys on
+    the driver."""
+
+    def _keys(self, layer):
+        return {(r["key_col"], r["key_row"])
+                for r in layer.df.select("key_col", "key_row").collect()}
+
+    def test_distributed_path_matches_exact(self, spark, f1_layer, tmp_path):
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "big", f1_layer, zoom=0)
+        # a triangle that clips tiles asymmetrically (not every tile in
+        # its envelope intersects it)
+        tri = gps.Polygon([(0.5, 0.5), (9.5, 0.5), (0.5, 9.5)])
+        exact = catalog.query(spark, uri, "big", 0, tri)
+        dist = catalog.query(spark, uri, "big", 0, tri, exact_key_limit=1)
+        assert self._keys(exact) == self._keys(dist) != set()
+        # the envelope bound still reaches the scan in the distributed
+        # plan, and the exact test is the Arrow path, not row-python
+        plan = dist.df._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_multi_geometry_and_miss(self, spark, f1_layer, tmp_path):
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "big", f1_layer, zoom=0)
+        hit = gps.Polygon([(0.5, 0.5), (2.5, 0.5), (0.5, 2.5)])
+        miss = gps.Polygon([(100.0, 100.0), (101.0, 100.0), (100.0, 101.0)])
+        both = catalog.query(spark, uri, "big", 0, [hit, miss],
+                             exact_key_limit=1)
+        only_hit = catalog.query(spark, uri, "big", 0, hit)
+        assert self._keys(both) == self._keys(only_hit)
+        none = catalog.query(spark, uri, "big", 0, miss, exact_key_limit=1)
+        assert none.df.count() == 0
+
+    def test_envelope_bounds_match_extent_keys(self, f1_layer):
+        from geopyspark_spark.core.keys import KeyTransform
+        from geopyspark_spark.sources.catalog import _envelope_key_bounds
+
+        md = f1_layer.metadata
+        kt = KeyTransform(md.layout)
+        for geom in (
+            gps.box(0.0, 0.0, 5.0, 5.0),     # boundary-aligned edges
+            gps.box(1.0, 1.0, 9.9, 4.2),
+            gps.box(-3.0, -3.0, 0.5, 0.5),   # clipped at the layout edge
+        ):
+            b = _envelope_key_bounds(md, geom)
+            ext = geom.bounds
+            from geopyspark_spark.core.extent import Extent
+
+            expect = set(kt.extent_keys(Extent(*ext)))
+            got = (set() if b is None else
+                   {(c, r) for c in range(b[0], b[2] + 1)
+                    for r in range(b[1], b[3] + 1)})
+            assert got == expect, geom.bounds
+
+
 class TestTimeTravel:
     """Version-history reads (r13): ``read(..., version=)`` over retained
     commits, ``list_versions``/``current_version``, and the
