@@ -82,8 +82,10 @@ class KeyTransform:
         return col, row
 
     # --- extent -> keys ---------------------------------------------------
-    def extent_keys(self, query: Extent) -> Iterator[tuple[int, int]]:
-        """All keys whose tile extent intersects ``query`` (clamped to layout)."""
+    def extent_key_bounds(self, query: Extent) -> tuple[int, int, int, int] | None:
+        """Clamped (c0, r0, c1, r1) key bounds of an extent, or None when
+        it misses the layout. Pure arithmetic — O(1) however large the
+        extent is."""
         ld = self.layout
         e, tw, th = ld.extent, ld.tile_width, ld.tile_height
         c0 = int(math.floor((query.xmin - e.xmin) / tw))
@@ -97,8 +99,20 @@ class KeyTransform:
         if query.ymax > query.ymin and (e.ymax - query.ymin) % th == 0:
             r1 -= 1
         nc, nr = ld.tile_layout.layout_cols, ld.tile_layout.layout_rows
-        for row in range(max(r0, 0), min(r1, nr - 1) + 1):
-            for col in range(max(c0, 0), min(c1, nc - 1) + 1):
+        c0, r0 = max(c0, 0), max(r0, 0)
+        c1, r1 = min(c1, nc - 1), min(r1, nr - 1)
+        if c1 < c0 or r1 < r0:
+            return None
+        return c0, r0, c1, r1
+
+    def extent_keys(self, query: Extent) -> Iterator[tuple[int, int]]:
+        """All keys whose tile extent intersects ``query`` (clamped to layout)."""
+        b = self.extent_key_bounds(query)
+        if b is None:
+            return
+        c0, r0, c1, r1 = b
+        for row in range(r0, r1 + 1):
+            for col in range(c0, c1 + 1):
                 yield col, row
 
     def geometry_keys(self, geom) -> list[tuple[int, int]]:
@@ -107,17 +121,28 @@ class KeyTransform:
         Grid-scan of the geometry envelope then exact intersects test —
         semantics of the reference's ``clipToGrid`` key assignment
         (``TiledRasterLayer.scala:97-119``). Works with this package's
-        geometry types (:mod:`geopyspark_spark.core.geom`).
+        geometry types (:mod:`geopyspark_spark.core.geom`). The exact
+        test is the vectorized :func:`geometry_intersects_boxes` (r13) —
+        one numpy pass over the envelope instead of a per-tile Python
+        loop, ~100x on large envelopes.
         """
-        from .geom import polygon_intersects_box
+        import numpy as np
+
+        from .geom import geometry_intersects_boxes
 
         xmin, ymin, xmax, ymax = geom.bounds
-        out = []
-        for col, row in self.extent_keys(Extent(xmin, ymin, xmax, ymax)):
-            ke = self.key_extent(col, row)
-            if polygon_intersects_box(geom, ke.xmin, ke.ymin, ke.xmax, ke.ymax):
-                out.append((col, row))
-        return out
+        b = self.extent_key_bounds(Extent(xmin, ymin, xmax, ymax))
+        if b is None:
+            return []
+        c0, r0, c1, r1 = b
+        ld = self.layout
+        e, tw, th = ld.extent, ld.tile_width, ld.tile_height
+        cc, rr = np.meshgrid(np.arange(c0, c1 + 1), np.arange(r0, r1 + 1))
+        cc, rr = cc.ravel(), rr.ravel()
+        cx = e.xmin + (cc + 0.5) * tw
+        cy = e.ymax - (rr + 0.5) * th
+        m = geometry_intersects_boxes(geom, cx, cy, tw, th)
+        return [(int(c), int(r)) for c, r in zip(cc[m], rr[m])]
 
     # --- reference-named aliases (``key_conversion.py:106-153``) ---------
     def key_to_extent(self, key, *args) -> Extent:

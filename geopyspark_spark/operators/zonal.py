@@ -41,7 +41,7 @@ def _candidate_keys(layer: "TiledRasterLayer", geoms: list[Geometry]) -> set[tup
         if isinstance(g, Point):
             keys.add(kt.point_key(g.x, g.y))
         else:
-            keys.update(kt.geometry_keys_fast(g) if hasattr(kt, "geometry_keys_fast") else kt.geometry_keys(g))
+            keys.update(kt.geometry_keys(g))
     return keys
 
 

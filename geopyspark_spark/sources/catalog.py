@@ -480,25 +480,13 @@ def read(spark: SparkSession, uri: str, layer_name: str,
 def _envelope_key_bounds(md, geom) -> tuple[int, int, int, int] | None:
     """Clamped (c0, r0, c1, r1) tile-key bounds of a geometry's envelope,
     or None when it misses the layout entirely. Pure arithmetic — O(1)
-    regardless of AOI size (the half-open edge rules match
-    ``KeyTransform.extent_keys``)."""
-    ld = md.layout
-    e, tw, th = ld.extent, ld.tile_width, ld.tile_height
-    xmin, ymin, xmax, ymax = geom.bounds
-    c0 = int(math.floor((xmin - e.xmin) / tw))
-    r0 = int(math.floor((e.ymax - ymax) / th))
-    c1 = int(math.floor((xmax - e.xmin) / tw))
-    r1 = int(math.floor((e.ymax - ymin) / th))
-    if xmax > xmin and (xmax - e.xmin) % tw == 0:
-        c1 -= 1
-    if ymax > ymin and (e.ymax - ymin) % th == 0:
-        r1 -= 1
-    nc, nr = ld.tile_layout.layout_cols, ld.tile_layout.layout_rows
-    c0, r0 = max(c0, 0), max(r0, 0)
-    c1, r1 = min(c1, nc - 1), min(r1, nr - 1)
-    if c1 < c0 or r1 < r0:
-        return None
-    return c0, r0, c1, r1
+    regardless of AOI size (delegates to
+    :meth:`KeyTransform.extent_key_bounds`, so the half-open edge rules
+    are the exact path's rules by construction)."""
+    from ..core.extent import Extent
+    from ..core.keys import KeyTransform
+
+    return KeyTransform(md.layout).extent_key_bounds(Extent(*geom.bounds))
 
 
 def query(spark: SparkSession, uri: str, layer_name: str, zoom: int,
@@ -557,9 +545,10 @@ def query(spark: SparkSession, uri: str, layer_name: str, zoom: int,
                 ]
                 df = df.where(F.struct("key_col", "key_row").isin(pairs))
         else:
+            import numpy as np
             import pandas as pd
 
-            from ..core.geom import from_wkb, polygon_intersects_box, to_wkb
+            from ..core.geom import from_wkb, geometry_intersects_boxes, to_wkb
 
             # envelope bounds push to the scan (one disjunct per geometry)
             env = None
@@ -568,24 +557,23 @@ def query(spark: SparkSession, uri: str, layer_name: str, zoom: int,
                      & F.col("key_row").between(r0, r1))
                 env = d if env is None else (env | d)
             df = df.where(env)
-            # exact test per candidate tile, executor-side; geometries
-            # travel as WKB inside the closure (broadcast by Spark)
+            # exact test per candidate tile, executor-side and fully
+            # vectorized (one numpy pass per Arrow batch — the per-tile
+            # scalar loop runs ~7k tiles/s/core, this millions/s);
+            # geometries travel as WKB inside the closure
             blobs = [to_wkb(g) for g in geoms]
             ld = md.layout
             e, tw, th = ld.extent, ld.tile_width, ld.tile_height
             exmin, eymax = e.xmin, e.ymax
 
             def _tile_hits(cols, rows):
-                gs = [from_wkb(b) for b in blobs]
-                cc, rr = cols.to_numpy(), rows.to_numpy()
-                x0 = exmin + cc * tw
-                y1 = eymax - rr * th
-                out = [
-                    any(polygon_intersects_box(g, x0[i], y1[i] - th,
-                                               x0[i] + tw, y1[i])
-                        for g in gs)
-                    for i in range(len(cc))
-                ]
+                cc = cols.to_numpy(dtype=np.float64)
+                rr = rows.to_numpy(dtype=np.float64)
+                cx = exmin + (cc + 0.5) * tw
+                cy = eymax - (rr + 0.5) * th
+                out = np.zeros(len(cc), dtype=bool)
+                for b in blobs:
+                    out |= geometry_intersects_boxes(from_wkb(b), cx, cy, tw, th)
                 return pd.Series(out)
 
             # real annotations, set explicitly: the module-wide

@@ -204,6 +204,57 @@ class TestGeom:
         keys = set(kt.geometry_keys(gps.box(1, 1, 6, 9)))
         assert keys == {(0, 0), (0, 1), (1, 0), (1, 1)}
 
+    def test_hole_boundary_counts_as_intersection(self):
+        """r13 regression: a hole spike poking into a box whose corners
+        all sit inside the hole IS polygon material crossing the box —
+        exterior-only vertex/edge tests returned False here."""
+        spiked = gps.Polygon(
+            ((0, 0), (20, 0), (20, 20), (0, 20)),
+            (((5, 5), (15, 5), (15, 15), (10.5, 15), (10, 9), (9.5, 15), (5, 15)),),
+        )
+        assert polygon_intersects_box(spiked, 8, 7, 12, 11)
+        # and a box strictly inside the hole still does NOT intersect
+        assert not polygon_intersects_box(spiked, 6, 6, 8, 8)
+
+    def test_vectorized_boxes_match_scalar(self):
+        """geometry_intersects_boxes == per-box polygon_intersects_box on
+        randomized polygons (incl. one with a hole) over a tile grid."""
+        import random
+
+        from geopyspark_spark.core.geom import geometry_intersects_boxes
+
+        rng = random.Random(1234)
+        geoms = []
+        for _ in range(12):
+            cx0, cy0 = rng.uniform(2, 14), rng.uniform(2, 14)
+            pts = []
+            import math as _m
+
+            n = rng.randint(3, 9)
+            for i in range(n):
+                ang = 2 * _m.pi * i / n
+                rad = rng.uniform(0.8, 6.0)
+                pts.append((cx0 + rad * _m.cos(ang), cy0 + rad * _m.sin(ang)))
+            geoms.append(gps.Polygon(tuple(pts)))
+        geoms.append(gps.Polygon(
+            ((0, 0), (16, 0), (16, 16), (0, 16)),
+            (((4, 4), (12, 4), (12, 12), (8.2, 12), (8, 6.1), (7.8, 12), (4, 12)),),
+        ))
+        geoms.append(gps.MultiPolygon((gps.box(1, 1, 3, 3), gps.box(9, 9, 14, 13))))
+        geoms.append(gps.LineString(((0.3, 0.7), (15.1, 13.9), (2.2, 15.8))))
+        geoms.append(gps.Point(5.25, 7.75))
+        N, w, h = 16, 1.0, 1.0
+        cc, rr = np.meshgrid(np.arange(N), np.arange(N))
+        cc, rr = cc.ravel(), rr.ravel()
+        cx = (cc + 0.5) * w
+        cy = N * h - (rr + 0.5) * h
+        for g in geoms:
+            vec = geometry_intersects_boxes(g, cx, cy, w, h)
+            for i in range(len(cc)):
+                want = polygon_intersects_box(
+                    g, cx[i] - w / 2, cy[i] - h / 2, cx[i] + w / 2, cy[i] + h / 2)
+                assert bool(vec[i]) == want, (g, cx[i], cy[i])
+
 
 class TestMapUDFSurface:
     """map_cells / map_tiles — the Arrow-native UDF surface (SURVEY §2.13)."""
