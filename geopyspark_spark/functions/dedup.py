@@ -605,6 +605,100 @@ def dedup_documents(df: DataFrame, num_hashes: int = 16, bands: int = 4,
     )
 
 
+def _band_signatures(df: DataFrame, num_hashes: int, bands: int,
+                     text_col: str) -> DataFrame:
+    """(doc_id, band, band_key) — banded minhash signatures off the wide
+    per-doc aggregate (one shuffle; stateless md5 shingle ids, so a
+    signature depends only on the document's own text)."""
+    rows_per_band = num_hashes // bands
+    wide = _minhash_wide(df, num_hashes, text_col, hash_ids=True)
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-", *[F.col(f"h{b * rows_per_band + j}").cast("string")
+                       for j in range(rows_per_band)]
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return wide.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.band_key").alias("band_key"))
+
+
+def dedup_against_corpus(batch: DataFrame, corpus: DataFrame,
+                         num_hashes: int = 16, bands: int = 4,
+                         n: int = 2, min_jaccard: float = 0.5,
+                         text_col: str = "text",
+                         max_bucket_size: int | None = 10_000) -> DataFrame:
+    """INCREMENTAL near-dup: flag every batch document that
+    near-duplicates (n-gram Jaccard >= ``min_jaccard``) any corpus
+    document — the daily-ingest shape of production dedup, where the
+    100 TB corpus is already deduped and only the new day's batch needs
+    checking against it.
+
+    Nothing corpus-global is recomputed per batch: shingle ids are
+    STATELESS md5 hashes (:func:`hashed_token_id` — no vocabulary, so a
+    document's signature depends only on its own text), which means the
+    corpus side's band signatures and gram sets are deterministic,
+    cacheable artifacts a pipeline persists once and reuses every batch;
+    only the batch side is hashed fresh. Candidates come from a
+    batch x corpus band-bucket equi-join (never all-pairs), hot buckets
+    on either side are dropped before the join (same skew rationale as
+    :func:`lsh_candidate_pairs`), and the exact Jaccard verify joins
+    grams only for candidates.
+
+    Returns one row per batch document:
+    ``(doc_id, is_dup, match_doc_id)`` — ``match_doc_id`` is the
+    smallest matching corpus doc_id (deterministic), NULL when clean.
+    Within-batch duplicates are out of scope by design (run
+    :func:`dedup_documents` on the batch first); a batch document also
+    present verbatim in the corpus flags as a dup of it.
+    """
+    from pyspark.sql.window import Window
+
+    b_sig = _band_signatures(batch, num_hashes, bands, text_col)
+    c_sig = _band_signatures(corpus, num_hashes, bands, text_col)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "band_key")
+        b_sig = (b_sig.withColumn("_bsz", F.count(F.lit(1)).over(w))
+                 .where(F.col("_bsz") <= max_bucket_size).drop("_bsz"))
+        c_sig = (c_sig.withColumn("_bsz", F.count(F.lit(1)).over(w))
+                 .where(F.col("_bsz") <= max_bucket_size).drop("_bsz"))
+    cand = (
+        b_sig.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+        .join(c_sig.select(F.col("doc_id").alias("doc_b"), "band", "band_key"),
+              ["band", "band_key"])
+        .select("doc_a", "doc_b").distinct()
+    )
+    bg = batch.select("doc_id", F.explode(shingles_col(text_col, n)).alias("gram"))
+    cg = corpus.select("doc_id", F.explode(shingles_col(text_col, n)).alias("gram"))
+    b_sizes = bg.groupBy("doc_id").agg(F.count("*").alias("na"))
+    c_sizes = cg.groupBy("doc_id").agg(F.count("*").alias("nb"))
+    inter = (
+        cand.join(bg.select(F.col("doc_id").alias("doc_a"), "gram"), "doc_a")
+        .join(cg.select(F.col("doc_id").alias("doc_b"), "gram"),
+              ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter_size"))
+    )
+    dups = (
+        inter
+        .join(b_sizes.select(F.col("doc_id").alias("doc_a"), "na"), "doc_a")
+        .join(c_sizes.select(F.col("doc_id").alias("doc_b"), "nb"), "doc_b")
+        .where(F.col("inter_size")
+               >= min_jaccard * (F.col("na") + F.col("nb") - F.col("inter_size")))
+        .groupBy("doc_a").agg(F.min("doc_b").alias("match_doc_id"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(dups.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left_outer")
+        .select("doc_id", F.col("match_doc_id").isNotNull().alias("is_dup"),
+                "match_doc_id")
+    )
+
+
 def duplicate_spans(df: DataFrame, n: int = 20, text_col: str = "text",
                     min_occurrences: int = 2) -> DataFrame:
     """Cross-document duplicated n-token span detection — the distributed

@@ -7908,6 +7908,89 @@ FROM comp c JOIN documents d ON d.doc_id = c.doc_id
 """
 
 
+def q_text_dedup_incremental(spark, sf_dir):
+    """Incremental dedup against an existing corpus (r13): the corpus is
+    a deterministic 80% of the documents table (md5 split), the batch
+    the other 20%; ``dedup_against_corpus`` flags each batch doc that
+    near-duplicates any corpus doc — the daily-ingest shape where the
+    100 TB corpus is already deduped and only the new batch is checked.
+    Stateless md5 shingle ids make the corpus-side signatures persistable
+    artifacts; nothing corpus-global recomputes per batch."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":inc"))),
+            1, 15), 16, 10).cast("long") % 5
+    )
+    tagged = docs.withColumn("_b", bucket)
+    corpus = tagged.where(F.col("_b") < 4).drop("_b")
+    batch = tagged.where(F.col("_b") == 4).drop("_b")
+    return fdedup.dedup_against_corpus(
+        batch, corpus, num_hashes=16, bands=4, min_jaccard=0.5)
+
+
+def _sql_dedup_incremental(num_hashes: int = 16, bands: int = 4,
+                           min_jaccard: float = 0.5) -> str:
+    """Oracle: the same md5 80/20 split, banded-signature batch x corpus
+    bucket join, and exact-Jaccard verify, in closed-form SQL."""
+    rows_per_band = num_hashes // bands
+    params = fdedup.minhash_params(num_hashes)
+    hash_rows = ", ".join(
+        f"({k}, {a}::BIGINT, {b}::BIGINT)" for k, (a, b) in enumerate(params)
+    )
+    return f"""
+WITH tagged AS (
+  SELECT doc_id, text,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':inc'), 1, 15))::BIGINT % 5) AS b
+  FROM documents
+),
+corpus AS (SELECT doc_id, text FROM tagged WHERE b < 4),
+batch AS (SELECT doc_id, text FROM tagged WHERE b = 4),
+base AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] AS shingle
+  FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i FROM base)
+),
+{SQL_HASHED_IDS_CTE},
+hashes(k, a, b) AS (VALUES {hash_rows}),
+sigs AS (
+  SELECT doc_id, CAST(k AS INT) AS k,
+         CAST(MIN((a * token_id + b) % {fdedup.MINHASH_PRIME}) AS BIGINT) AS minhash
+  FROM ids CROSS JOIN hashes GROUP BY doc_id, k
+),
+banded AS (
+  SELECT doc_id, CAST(floor(k / {rows_per_band}) AS INT) AS band,
+         string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY k) AS band_key
+  FROM sigs GROUP BY doc_id, CAST(floor(k / {rows_per_band}) AS INT)
+),
+cand AS (
+  SELECT DISTINCT bb.doc_id AS doc_a, cb.doc_id AS doc_b
+  FROM banded bb
+  JOIN batch ba ON ba.doc_id = bb.doc_id
+  JOIN banded cb ON cb.band = bb.band AND cb.band_key = bb.band_key
+  JOIN corpus co ON co.doc_id = cb.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter_size
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.shingle = ga.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+dups AS (
+  SELECT i.doc_a, MIN(i.doc_b) AS match_doc_id
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE i.inter_size >= {min_jaccard} * (sa.n_grams + sb.n_grams - i.inter_size)
+  GROUP BY i.doc_a
+)
+SELECT b.doc_id, d.match_doc_id IS NOT NULL AS is_dup, d.match_doc_id
+FROM batch b LEFT JOIN dups d ON d.doc_a = b.doc_id
+"""
+
+
 def q_text_simhash(spark, sf_dir):
     return fdedup.simhash(_t(spark, sf_dir, "documents"), num_bits=16)
 
@@ -11037,6 +11120,7 @@ def _canonical_queries():
         "text_token_count": q_text_token_count,
         "text_dedup_pipeline": q_text_dedup_pipeline,
         "text_dedup_keep_best": q_text_dedup_keep_best,
+        "text_dedup_incremental": q_text_dedup_incremental,
         "emb_knn": q_emb_knn,
         "multimodal_features": q_multimodal_features,
         "multimodal_png_features": q_multimodal_png_features,
@@ -11174,6 +11258,7 @@ _WINDOW_ORDER: list = [
     "raster_catalog_query_big",
     "text_remove_dup_spans",
     "text_dedup_keep_best",
+    "text_dedup_incremental",
     "multimodal_png_interlaced",
     "events_trend",
     "raster_catalog_s3_roundtrip",
@@ -11611,6 +11696,7 @@ def oracle_sql():
         "text_dup_components": _sql_dup_components(16, 4),
         "text_dedup_pipeline": _sql_dedup_pipeline(16, 4, 0.5),
         "text_dedup_keep_best": _sql_dedup_keep_best(16, 4, 0.5),
+        "text_dedup_incremental": _sql_dedup_incremental(16, 4, 0.5),
         "text_word_freq": SQL_TEXT_WORD_FREQ,
         "text_quality": SQL_TEXT_QUALITY,
         "text_lang_scores": _sql_lang_scores(),

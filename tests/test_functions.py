@@ -551,6 +551,46 @@ class TestDedupPipeline:
         assert got[2] is True and got[7] is False
 
 
+class TestDedupAgainstCorpus:
+    def test_flags_and_match_ids(self, spark):
+        corpus = spark.createDataFrame(
+            [(10, "a b c d e f g h"),
+             (11, "totally different corpus content here now"),
+             (12, "a b c d e f g h")],       # second identical corpus doc
+            "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(100, "a b c d e f g h"),        # exact dup of 10 and 12
+             (101, "a b c d e f g h extra"),  # near dup (jaccard 7/8)
+             (102, "completely novel text that matches nothing at all")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: (r["is_dup"], r["match_doc_id"]) for r in
+               fdedup.dedup_against_corpus(batch, corpus,
+                                           min_jaccard=0.5).collect()}
+        assert got[100] == (True, 10)   # min of {10, 12}
+        assert got[101][0] is True
+        assert got[102] == (False, None)
+
+    def test_below_threshold_not_flagged(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e f g h")], "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(2, "a b x y z w q r s t u v")], "doc_id long, text string")
+        got = fdedup.dedup_against_corpus(batch, corpus,
+                                          min_jaccard=0.5).collect()[0]
+        assert got["is_dup"] is False
+
+    def test_every_batch_doc_reported_once(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e f g h")], "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(i, f"doc number {i} unique words here") for i in range(20)]
+            + [(99, "a b c d e f g h")],
+            "doc_id long, text string")
+        out = fdedup.dedup_against_corpus(batch, corpus).collect()
+        assert len(out) == 21
+        assert sum(1 for r in out if r["is_dup"]) == 1
+
+
 class TestEmbDedup:
     def test_semantic_dedup_keep_flags(self, spark):
         rows = [
