@@ -2282,6 +2282,51 @@ FROM coords, (SELECT 'v1' AS version UNION ALL SELECT 'v2' AS version) v
 """
 
 
+def q_raster_catalog_diff(spark, sf_dir):
+    """Tile-level version diff — the raster CDC primitive (r13): v1
+    drops the key_row=3 tiles, v2 drops key_row=2 and rewrites the
+    key_col=0 column (+100 per cell); ``diff_versions`` must classify
+    every key exactly — key_row=3 'added', key_row=2 'removed',
+    remaining key_col=0 'changed', everything else 'unchanged' (the
+    NaN-tolerant whole-array compare). An incremental-sync consumer
+    re-renders exactly the non-'unchanged' set instead of the layer."""
+    import shutil
+    import tempfile
+
+    from ..sources import catalog as cat
+
+    layer = lineitem_layer(spark, sf_dir)
+    v1 = TiledRasterLayer(
+        layer.df.where(F.col("key_row") != 3), layer.metadata)
+    mod = layer.df.withColumn(
+        "cells",
+        F.when(F.col("key_col") == 0,
+               F.transform("cells", lambda x: x + F.lit(100.0)))
+        .otherwise(F.col("cells")),
+    )
+    v2 = TiledRasterLayer(mod.where(F.col("key_row") != 2), layer.metadata)
+    uri = tempfile.mkdtemp(prefix="catalog_diff_", dir=_scratch_dir())
+    try:
+        cat.write(uri, "d", v1, zoom=0)
+        cat.write(uri, "d", v2, zoom=0)
+        rows = cat.diff_versions(spark, uri, "d", 0, "v1").select(
+            "key_col", "key_row", "band", "status").collect()
+    finally:
+        shutil.rmtree(uri, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "key_col int, key_row int, band int, status string")
+
+
+SQL_RASTER_CATALOG_DIFF = CELLS_CTE + """
+SELECT key_col, key_row, band,
+       CASE WHEN key_row = 3 THEN 'added'
+            WHEN key_row = 2 THEN 'removed'
+            WHEN key_col = 0 THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM (SELECT DISTINCT key_col, key_row, band FROM cells)
+"""
+
+
 def q_raster_catalog_query(spark, sf_dir):
     """catalog.query spatial predicate pushdown under the gate (round
     6): write the z-sorted layer, query it back with a polygon strictly
@@ -11215,6 +11260,7 @@ def _canonical_queries():
         "raster_catalog_roundtrip": q_raster_catalog_roundtrip,
         "raster_catalog_s3_roundtrip": q_raster_catalog_s3_roundtrip,
         "raster_catalog_time_travel": q_raster_catalog_time_travel,
+        "raster_catalog_diff": q_raster_catalog_diff,
         "raster_convert_int8": q_raster_convert_int8,
         "raster_lookup": q_raster_lookup,
         "raster_map_cells": q_raster_map_cells,
@@ -11263,6 +11309,7 @@ _WINDOW_ORDER: list = [
     "events_trend",
     "raster_catalog_s3_roundtrip",
     "raster_catalog_time_travel",
+    "raster_catalog_diff",
     "raster_zindex_temporal",
     "raster_catalog_roundtrip",
     "raster_convert_int8",
@@ -11583,6 +11630,7 @@ def oracle_sql():
         "raster_catalog_roundtrip": SQL_RASTER_CATALOG_ROUNDTRIP,
         "raster_catalog_s3_roundtrip": SQL_RASTER_CATALOG_S3_ROUNDTRIP,
         "raster_catalog_time_travel": SQL_RASTER_CATALOG_TIME_TRAVEL,
+        "raster_catalog_diff": SQL_RASTER_CATALOG_DIFF,
         "raster_convert_int8": SQL_RASTER_CONVERT_INT8,
         "raster_lookup": SQL_RASTER_LOOKUP,
         "raster_map_cells": SQL_RASTER_MAP_CELLS,

@@ -619,6 +619,55 @@ def read_value(uri: str, layer_name: str, zoom: int, col: int, row: int,
     return [dict(zip(cols, r)) for r in rel.fetchall()]
 
 
+def diff_versions(spark: SparkSession, uri: str, layer_name: str, zoom: int,
+                  old_version: str | int, new_version: str | int | None = None
+                  ) -> DataFrame:
+    """Tile-level change set between two retained versions — the raster
+    CDC primitive time travel enables: which tiles a commit added,
+    removed, or changed (incremental sync / re-render feeds consume
+    exactly this instead of re-scanning the layer).
+
+    One full outer join on the tile key (plus ``instant`` for temporal
+    layers); tile payloads compare as whole-cells-array equality with
+    NaN == NaN (NoData cells compare equal to themselves — a tile is
+    "changed" only when a value actually moved). Spark shape: two
+    version-pruned parquet scans and one shuffle on the key columns.
+
+    Returns (key_col, key_row, band[, instant], status) for every key
+    present in either version, status in {'added', 'removed',
+    'changed', 'unchanged'} — filter as needed.
+    """
+    old = spark.read.parquet(
+        _data_path(uri, layer_name, zoom, version=old_version)).drop("zindex")
+    new = spark.read.parquet(
+        _data_path(uri, layer_name, zoom, version=new_version)).drop("zindex")
+    keys = ["key_col", "key_row"]
+    if "band" in old.columns:
+        keys.append("band")
+    if "instant" in old.columns:
+        keys.append("instant")
+    o = old.select(*keys, F.col("cells").alias("_old"))
+    nw = new.select(*keys, F.col("cells").alias("_new"))
+    j = o.join(nw, keys, "full_outer")
+    # NaN-tolerant array equality: zip_with marks per-cell inequality
+    # (NaN vs NaN is equal), exists() finds any true — all JVM-side
+    differs = F.exists(
+        F.zip_with(
+            "_old", "_new",
+            lambda a, b: ~((a == b) | (F.isnan(a) & F.isnan(b))),
+        ),
+        lambda x: x,
+    )
+    status = (
+        F.when(F.col("_old").isNull(), F.lit("added"))
+        .when(F.col("_new").isNull(), F.lit("removed"))
+        .when(F.size("_old") != F.size("_new"), F.lit("changed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(*keys, status.alias("status"))
+
+
 def write_pyramid(uri: str, layer_name: str, pyramid,
                   index_strategy: str = "zorder") -> list[str]:
     """Write every zoom of a Pyramid as one catalog layer tree (the

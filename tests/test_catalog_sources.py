@@ -216,6 +216,54 @@ class TestTimeTravel:
         with pytest.raises(FileNotFoundError, match="not retained"):
             catalog.read(spark, uri, "tt", 0, version="v99")
 
+    def test_diff_versions_statuses(self, spark, f1_layer, tmp_path):
+        import geopyspark_spark as gps
+        from pyspark.sql import functions as F
+
+        uri = str(tmp_path / "cat")
+        # v1 = the 2x2 layer minus tile (1,1); v2 = full layer with tile
+        # (0,0) rewritten — (1,1) added, (0,1)/(1,0) unchanged,
+        # (0,0) changed
+        v1 = gps.TiledRasterLayer(
+            f1_layer.df.where(~((F.col("key_col") == 1)
+                                & (F.col("key_row") == 1))),
+            f1_layer.metadata)
+        v2df = f1_layer.df.withColumn(
+            "cells",
+            F.when((F.col("key_col") == 0) & (F.col("key_row") == 0),
+                   F.transform("cells", lambda x: x + F.lit(2.0)))
+            .otherwise(F.col("cells")))
+        v2 = gps.TiledRasterLayer(v2df, f1_layer.metadata)
+        catalog.write(uri, "d", v1, zoom=0)
+        catalog.write(uri, "d", v2, zoom=0)
+        got = {(r["key_col"], r["key_row"]): r["status"]
+               for r in catalog.diff_versions(spark, uri, "d", 0, 1).collect()}
+        assert got == {(1, 1): "added", (0, 0): "changed",
+                       (0, 1): "unchanged", (1, 0): "unchanged"}
+        # reverse direction: added becomes removed
+        rev = {(r["key_col"], r["key_row"]): r["status"]
+               for r in catalog.diff_versions(
+                   spark, uri, "d", 0, "v2", "v1").collect()}
+        assert rev[(1, 1)] == "removed"
+
+    def test_diff_nan_cells_compare_equal(self, spark, f1_layer, tmp_path):
+        import geopyspark_spark as gps
+        from pyspark.sql import functions as F
+
+        uri = str(tmp_path / "cat")
+        # inject a NaN cell in the SAME position in both versions: the
+        # tile must read as unchanged (NaN == NaN for diff purposes)
+        nan_df = f1_layer.df.withColumn(
+            "cells",
+            F.expr("transform(cells, (x, i) -> "
+                   "CASE WHEN i = 3 THEN double('NaN') ELSE x END)"))
+        layer = gps.TiledRasterLayer(nan_df, f1_layer.metadata)
+        catalog.write(uri, "d", layer, zoom=0)
+        catalog.write(uri, "d", layer, zoom=0)
+        got = {r["status"] for r in
+               catalog.diff_versions(spark, uri, "d", 0, "v1", "v2").collect()}
+        assert got == {"unchanged"}
+
 
 class TestRasterize:
     def test_rasterize_box(self, spark):
