@@ -95,6 +95,13 @@ HEADLINE = [
     # round-13 addition: exact-substring dedup removal (islands merge +
     # token excision over the documents corpus)
     "text_remove_dup_spans",
+    # second-r13-session additions: incremental batch-vs-corpus dedup
+    # (the daily-ingest LSH join), the large-AOI distributed spatial
+    # filter (Arrow-batched tile classification), and the decimal-exact
+    # per-key OLS trend aggregate
+    "text_dedup_incremental",
+    "raster_catalog_query_big",
+    "events_trend",
 ]
 
 

@@ -2327,6 +2327,40 @@ FROM (SELECT DISTINCT key_col, key_row, band FROM cells)
 """
 
 
+def q_raster_catalog_restore(spark, sf_dir):
+    """Rollback under the gate (r13): good commit (v1), bad commit
+    (v2, +100 everywhere), then ``restore(v1)`` — which must copy v1's
+    data forward into a NEW committed version (v3) through the normal
+    claim + publish protocol (history is never rewritten: v2 stays
+    readable as prev). The read-back must be bit-identical to the
+    ORIGINAL layer — the same closed-form oracle as the roundtrip."""
+    import shutil
+    import tempfile
+
+    from ..sources import catalog as cat
+
+    layer = lineitem_layer(spark, sf_dir)
+    uri = tempfile.mkdtemp(prefix="catalog_rs_", dir=_scratch_dir())
+    try:
+        cat.write(uri, "rs", layer, zoom=0)
+        cat.write(uri, "rs", layer + 100.0, zoom=0)
+        vpath = cat.restore(uri, "rs", 0, "v1")
+        assert vpath.endswith("v3")
+        assert cat.current_version(uri, "rs", 0) == "v3"
+        back = cat.read(spark, uri, "rs", 0)
+        long = back.explode().where(~_is_nd(F.col("value"), layer.nodata))
+        rows = long.select("key_col", "key_row", "pos", "value").collect()
+    finally:
+        shutil.rmtree(uri, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "key_col int, key_row int, pos int, value double")
+
+
+SQL_RASTER_CATALOG_RESTORE = CELLS_CTE + """
+SELECT key_col, key_row, pos, value FROM coords
+"""
+
+
 def q_raster_catalog_query(spark, sf_dir):
     """catalog.query spatial predicate pushdown under the gate (round
     6): write the z-sorted layer, query it back with a polygon strictly
@@ -11261,6 +11295,7 @@ def _canonical_queries():
         "raster_catalog_s3_roundtrip": q_raster_catalog_s3_roundtrip,
         "raster_catalog_time_travel": q_raster_catalog_time_travel,
         "raster_catalog_diff": q_raster_catalog_diff,
+        "raster_catalog_restore": q_raster_catalog_restore,
         "raster_convert_int8": q_raster_convert_int8,
         "raster_lookup": q_raster_lookup,
         "raster_map_cells": q_raster_map_cells,
@@ -11310,6 +11345,7 @@ _WINDOW_ORDER: list = [
     "raster_catalog_s3_roundtrip",
     "raster_catalog_time_travel",
     "raster_catalog_diff",
+    "raster_catalog_restore",
     "raster_zindex_temporal",
     "raster_catalog_roundtrip",
     "raster_convert_int8",
@@ -11631,6 +11667,7 @@ def oracle_sql():
         "raster_catalog_s3_roundtrip": SQL_RASTER_CATALOG_S3_ROUNDTRIP,
         "raster_catalog_time_travel": SQL_RASTER_CATALOG_TIME_TRAVEL,
         "raster_catalog_diff": SQL_RASTER_CATALOG_DIFF,
+        "raster_catalog_restore": SQL_RASTER_CATALOG_RESTORE,
         "raster_convert_int8": SQL_RASTER_CONVERT_INT8,
         "raster_lookup": SQL_RASTER_LOOKUP,
         "raster_map_cells": SQL_RASTER_MAP_CELLS,

@@ -619,6 +619,56 @@ def read_value(uri: str, layer_name: str, zoom: int, col: int, row: int,
     return [dict(zip(cols, r)) for r in rel.fetchall()]
 
 
+def restore(uri: str, layer_name: str, zoom: int,
+            version: str | int, keep_history: int = 0) -> str:
+    """Roll the layer back to a retained version — the bad-ingest
+    undo time travel enables. Never rewrites history: the restored data
+    is COPIED into a NEW version and committed through the normal
+    claim + publish protocol, so concurrent writers keep their
+    guarantees, readers of the bad version stay scannable until the
+    next GC cycle, and the audit trail (v_bad exists, v_restore
+    supersedes it) survives. No Spark session needed — the copy is
+    file-level.
+
+    Returns the committed version path (POSIX) / URI (s3://)."""
+    import shutil
+
+    src = _data_path(uri, layer_name, zoom, version=version)  # validates
+    if _is_object(uri):
+        import tempfile
+
+        from . import catalog_object
+
+        staging = tempfile.mkdtemp(prefix="gps-objcat-stage-")
+        try:
+            for name in os.listdir(src):
+                # src is the local version CACHE — skip its bookkeeping
+                # marker (.complete); keep the data + .metadata.json
+                if name == ".complete" or not os.path.isfile(
+                        os.path.join(src, name)):
+                    continue
+                shutil.copy(os.path.join(src, name),
+                            os.path.join(staging, name))
+            return catalog_object.commit_staged(uri, layer_name, zoom,
+                                                staging,
+                                                keep_history=keep_history)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+    root = _layer_path(uri, layer_name, zoom)
+    staging = _staging_dir(root)
+    try:
+        for name in os.listdir(src):
+            p = os.path.join(src, name)
+            if os.path.isfile(p):
+                shutil.copy(p, os.path.join(staging, name))
+        vpath = _claim(root, staging)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    _finish_commit(root, vpath, keep_history=keep_history)
+    return vpath
+
+
 def diff_versions(spark: SparkSession, uri: str, layer_name: str, zoom: int,
                   old_version: str | int, new_version: str | int | None = None
                   ) -> DataFrame:

@@ -139,6 +139,20 @@ class TestS3TimeTravel:
         with pytest.raises(FileNotFoundError, match="not retained"):
             catalog.read(spark, uri, "a", 0, version="v1")
 
+    def test_restore_on_object_backend(self, spark, f1_layer, s3cat):
+        uri = "s3://b/cat"
+        catalog.write(uri, "a", f1_layer, zoom=0)            # v1 good
+        catalog.write(uri, "a", f1_layer + 7.0, zoom=0)      # v2 bad
+        vuri = catalog.restore(uri, "a", 0, 1)
+        assert vuri.endswith("v3")
+        assert s3cat.objects["b/cat/a/0/MANIFEST"] == b"v3"
+        # the cache's .complete marker never ships as an object
+        assert not any(k.endswith(".complete") for k in s3cat.objects)
+        from geopyspark_spark.sources.numpy_source import to_numpy
+
+        back = catalog.read(spark, uri, "a", 0)
+        assert sum(float(t[3].sum()) for t in to_numpy(back)) == 99.0
+
 
 class TestS3CommitProtocol:
     def test_crashed_writer_invisible_then_swept(self, spark, f1_layer,

@@ -246,6 +246,22 @@ class TestTimeTravel:
                    spark, uri, "d", 0, "v2", "v1").collect()}
         assert rev[(1, 1)] == "removed"
 
+    def test_restore_rolls_back_without_rewriting_history(self, spark,
+                                                           f1_layer, tmp_path):
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "r", f1_layer, zoom=0)            # v1 good
+        catalog.write(uri, "r", f1_layer + 50.0, zoom=0)     # v2 bad
+        vpath = catalog.restore(uri, "r", 0, "v1")
+        assert vpath.endswith("v3")
+        assert catalog.current_version(uri, "r", 0) == "v3"
+        back = catalog.read(spark, uri, "r", 0)
+        assert self._cell_sum(back) == pytest.approx(99.0)   # v1 content
+        # history not rewritten: the bad v2 is still readable (prev)
+        bad = catalog.read(spark, uri, "r", 0, version="v2")
+        assert self._cell_sum(bad) == pytest.approx(99.0 + 50 * 100)
+        with pytest.raises(FileNotFoundError, match="not retained"):
+            catalog.restore(uri, "r", 0, "v99")
+
     def test_diff_nan_cells_compare_equal(self, spark, f1_layer, tmp_path):
         import geopyspark_spark as gps
         from pyspark.sql import functions as F
