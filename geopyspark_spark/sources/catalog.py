@@ -633,27 +633,12 @@ def restore(uri: str, layer_name: str, zoom: int,
     Returns the committed version path (POSIX) / URI (s3://)."""
     import shutil
 
-    src = _data_path(uri, layer_name, zoom, version=version)  # validates
     if _is_object(uri):
-        import tempfile
-
         from . import catalog_object
 
-        staging = tempfile.mkdtemp(prefix="gps-objcat-stage-")
-        try:
-            for name in os.listdir(src):
-                # src is the local version CACHE — skip its bookkeeping
-                # marker (.complete); keep the data + .metadata.json
-                if name == ".complete" or not os.path.isfile(
-                        os.path.join(src, name)):
-                    continue
-                shutil.copy(os.path.join(src, name),
-                            os.path.join(staging, name))
-            return catalog_object.commit_staged(uri, layer_name, zoom,
-                                                staging,
-                                                keep_history=keep_history)
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+        return catalog_object.restore(uri, layer_name, zoom, version,
+                                      keep_history=keep_history)
+    src = _data_path(uri, layer_name, zoom, version=version)  # validates
     root = _layer_path(uri, layer_name, zoom)
     staging = _staging_dir(root)
     try:

@@ -297,6 +297,32 @@ def commit_staged(uri: str, layer_name: str, zoom: int,
     return f"{root}/{version}"
 
 
+def restore(uri: str, layer_name: str, zoom: int, version,
+            keep_history: int = 0) -> str:
+    """Roll back to a retained version by SERVER-SIDE copy (S3
+    CopyObject): the store duplicates each object of the source version
+    into a freshly-claimed version — no bytes move through this client,
+    so restoring a multi-TB layer is metadata-speed. History is never
+    rewritten (same contract as the POSIX ``catalog.restore``)."""
+    from .catalog import _norm_version
+
+    vname = _norm_version(version)
+    root = _root(uri, layer_name, zoom)
+    src_prefix = f"{root}/{vname}/"
+    keys = [k for k in obs.list_keys(src_prefix)
+            if not k[len(src_prefix):].startswith(".claim")
+            and "/" not in k[len(src_prefix):]]
+    if not any(k.endswith(".metadata.json") for k in keys):
+        raise FileNotFoundError(
+            f"version {vname!r} of {layer_name!r}/{zoom} is not retained "
+            f"at {root} (have: {list_versions(uri, layer_name, zoom)})")
+    new_version = _claim(root)
+    for k in keys:
+        obs.copy_object(k, f"{root}/{new_version}/{k[len(src_prefix):]}")
+    _finish_commit(root, new_version, keep_history=keep_history)
+    return f"{root}/{new_version}"
+
+
 class ObjectAttributeStore:
     """Per-(layer, zoom) JSON attribute CRUD over the object store —
     the S3 AttributeStore analogue (reference

@@ -350,6 +350,27 @@ def upload_file(uri: str, path: str, threshold: int | None = None,
         raise
 
 
+def copy_object(src_uri: str, dst_uri: str) -> None:
+    """Server-side S3 CopyObject (PUT with ``x-amz-copy-source``): the
+    destination object is written by the STORE from the source object —
+    no bytes move through this client, which is what makes catalog
+    ``restore`` a metadata-speed operation instead of a re-upload of the
+    whole version. Works against real S3, MinIO, GCS-interop, and the
+    in-package stub. Real S3 caps one CopyObject at 5 GB; beyond that
+    UploadPartCopy is required (not implemented — catalog parquet parts
+    are written below that size by construction)."""
+    sp = urlparse(str(src_uri))
+    if sp.scheme in _S3_SCHEMES:
+        source = f"/{sp.netloc}/{sp.path.lstrip('/')}"
+    else:
+        # http(s) form against a path-style endpoint: path is already
+        # /bucket/key
+        source = sp.path
+    with _open(dst_uri, method="PUT",
+               headers={"x-amz-copy-source": quote(source)}):
+        pass
+
+
 def delete_object(uri: str) -> None:
     """DELETE one object (404 is not an error — S3 deletes are
     idempotent)."""

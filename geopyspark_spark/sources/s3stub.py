@@ -213,6 +213,29 @@ class S3StubHandler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", "0")
             self.end_headers()
             return
+        src = self.headers.get("x-amz-copy-source")
+        if src is not None:  # server-side CopyObject
+            from urllib.parse import unquote
+
+            # stored keys are "<bucket>/<key>" — same shape as the
+            # copy-source header's "/<bucket>/<key>" minus the slash
+            src_key = unquote(src).lstrip("/")
+            with self.server.lock:
+                data = self.server.objects.get(src_key)
+                if data is None:
+                    self.send_response(404)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                self.server.objects[key] = data
+            payload = (b"<?xml version='1.0'?><CopyObjectResult><ETag>"
+                       + self._etag(data).encode() +
+                       b"</ETag></CopyObjectResult>")
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+            return
         check = not getattr(self.server, "no_preconditions", False)
         with self.server.lock:
             cur = self.server.objects.get(key)

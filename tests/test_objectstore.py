@@ -400,6 +400,28 @@ class TestIngestOverObjectStore:
             np.array(rows[0]["cells"]).reshape(64, 64), cells[0])
 
 
+class TestCopyObject:
+    """Server-side CopyObject (r13): the restore/rollback data path —
+    bytes never transit the client."""
+
+    def test_copy_duplicates_without_client_bytes(self, s3stub):
+        s3stub.objects["b/src/part-0.parquet"] = b"tile-bytes" * 100
+        obs.copy_object("s3://b/src/part-0.parquet",
+                        "s3://b/dst/part-0.parquet")
+        assert (s3stub.objects["b/dst/part-0.parquet"]
+                == s3stub.objects["b/src/part-0.parquet"])
+        # exactly one PUT, against the DESTINATION key (the source is
+        # named only in the x-amz-copy-source header — no client body)
+        puts = [r for r in s3stub.requests if r[0] == "PUT"]
+        assert [p[1] for p in puts] == ["/b/dst/part-0.parquet"]
+
+    def test_copy_missing_source_raises(self, s3stub):
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            obs.copy_object("s3://b/absent", "s3://b/dst")
+
+
 class TestRetries:
     """r13 hardening: throttle/5xx retry with backoff, request
     timeouts, and the no-retry guarantee for precondition failures.
