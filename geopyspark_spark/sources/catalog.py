@@ -41,6 +41,13 @@ from ..layer import TiledRasterLayer, _normalize_geoms
 MANIFEST = "MANIFEST"
 
 
+class ConflictError(RuntimeError):
+    """An optimistic commit (``write(..., expected_prev=...)``) found a
+    different version committed than the one the writer read — the
+    read-merge-write cycle raced another writer and must re-read and
+    re-merge (see ``update_layer``'s retry loop)."""
+
+
 def _is_object(uri: str) -> bool:
     """True for s3:// catalog URIs, which route through the
     object-store backend (:mod:`.catalog_object`): version claim by
@@ -223,9 +230,19 @@ def _claim(root: str, staging: str) -> str:
             raise
 
 
-def _publish(root: str, version: str) -> tuple[str | None, bool]:
+#: sentinel distinguishing "no expectation" from "expect an uncommitted
+#: root" (expected_prev=None is a real expectation: first commit)
+_UNSET = object()
+
+
+def _publish(root: str, version: str,
+             expected_prev=_UNSET) -> tuple[str | None, bool]:
     """Atomically point the manifest at ``version`` (write-temp +
     rename; fsync so the pointer never lands before its content).
+    ``expected_prev`` (when given) makes the publish OPTIMISTIC: it
+    refuses with :class:`ConflictError` unless the committed version is
+    exactly the one the writer read — the lost-update guard for
+    read-merge-write cycles.
 
     The swap is MONOTONE under an advisory ``flock`` (r12): when two
     writers publish concurrently, the higher version number wins no
@@ -247,6 +264,12 @@ def _publish(root: str, version: str) -> tuple[str | None, bool]:
     with open(os.path.join(root, ".manifest.lock"), "w") as lf:
         fcntl.flock(lf, fcntl.LOCK_EX)
         cur = _committed_version(root)
+        if expected_prev is not _UNSET and cur != expected_prev:
+            # optimistic commit: the version this writer read-merged
+            # from is no longer current — lost-update prevention
+            raise ConflictError(
+                f"catalog at {root!r}: expected to replace "
+                f"{expected_prev!r} but {cur!r} is committed")
         if cur is not None and int(version[1:]) <= int(cur[1:]):
             return cur, False  # a newer concurrent commit already published
         tmp = os.path.join(root, f".{MANIFEST}.tmp.{os.getpid()}")
@@ -319,7 +342,8 @@ def _gc_versions(root: str, keep: str, prev: str | None = None,
                 pass
 
 
-def _finish_commit(root: str, vpath: str, keep_history: int = 0) -> None:
+def _finish_commit(root: str, vpath: str, keep_history: int = 0,
+                   expected_prev=_UNSET) -> None:
     """Publish a claimed version and GC superseded ones.
 
     ``prev`` for the deferred GC is the manifest value ``_publish`` read
@@ -330,8 +354,17 @@ def _finish_commit(root: str, vpath: str, keep_history: int = 0) -> None:
     claimed version dir is left for the winner's next GC cycle, no GC
     runs, and a RuntimeWarning surfaces that the written data is not the
     catalog's current version."""
+    import shutil
+
     version = os.path.basename(vpath)
-    replaced, published = _publish(root, version)
+    try:
+        replaced, published = _publish(root, version,
+                                       expected_prev=expected_prev)
+    except ConflictError:
+        # never published: the claimed dir is dead weight — reclaim it
+        # now rather than waiting for a later writer's GC
+        shutil.rmtree(vpath, ignore_errors=True)
+        raise
     if not published:
         import warnings
 
@@ -348,7 +381,7 @@ def _finish_commit(root: str, vpath: str, keep_history: int = 0) -> None:
 def write(uri: str, layer_name: str, layer: TiledRasterLayer,
           zoom: int | None = None, time_resolution_ms: int = 86_400_000,
           index_strategy: str = "zorder", num_files: int | None = None,
-          keep_history: int = 0) -> str:
+          keep_history: int = 0, expected_prev=_UNSET) -> str:
     """Write a tiled layer, sorted by space-filling-curve index.
 
     ``index_strategy`` mirrors the reference's IndexingMethod
@@ -419,7 +452,8 @@ def write(uri: str, layer_name: str, layer: TiledRasterLayer,
             with open(os.path.join(staging, ".metadata.json"), "w") as f:
                 f.write(layer.metadata.to_json())
             return catalog_object.commit_staged(uri, layer_name, z, staging,
-                                                keep_history=keep_history)
+                                                keep_history=keep_history,
+                                                expected_prev=expected_prev)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
@@ -433,7 +467,8 @@ def write(uri: str, layer_name: str, layer: TiledRasterLayer,
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    _finish_commit(path, vpath, keep_history=keep_history)
+    _finish_commit(path, vpath, keep_history=keep_history,
+                   expected_prev=expected_prev)
     return vpath
 
 
@@ -860,28 +895,52 @@ class AttributeStore:
 
 
 def update_layer(spark: SparkSession, uri: str, layer_name: str, zoom: int,
-                 new_layer: TiledRasterLayer, keep_history: int = 0) -> str:
+                 new_layer: TiledRasterLayer, keep_history: int = 0,
+                 max_retries: int = 3) -> str:
     """Merge-write (reference ``catalog.py:287-329``): union new tiles with
     the existing layer, keep the newest per key (read-union-rewrite; a
-    Delta/Iceberg MERGE INTO when a table format is available)."""
-    existing = read(spark, uri, layer_name, zoom)
-    assert existing.metadata.layout == new_layer.metadata.layout, (
-        "update requires identical layouts"
-    )
-    # merge keeps the FIRST tile in ascending _gen order -> new wins
-    new = new_layer.df.withColumn("_gen", F.lit(0))
-    old = existing.df.withColumn("_gen", F.lit(1))
+    Delta/Iceberg MERGE INTO when a table format is available).
+
+    LOST-UPDATE SAFE (r13): the read-merge-write cycle is optimistic —
+    the commit carries ``expected_prev`` (the version this call merged
+    from) and the publish refuses under the manifest lock / CAS if a
+    concurrent writer committed in between; this call then re-reads the
+    NEW current version, re-merges, and retries (up to ``max_retries``
+    times, then the :class:`ConflictError` propagates). Without this,
+    two concurrent update_layer calls would both merge from the same
+    base and the slower one would silently drop the faster one's tiles —
+    the classic lost update. Plain ``write`` stays last-writer-wins
+    (full-rewrite semantics need no merge protection).
+    """
     from ..layer import TiledRasterLayer as TRL
     from ..operators.aggregate import merge as _merge
 
-    u = TRL(new.unionByName(old), existing.metadata.combine(new_layer.metadata))
-    merged = _merge(u, order_col="_gen")
-    out = TRL(merged.df.drop("_gen"), u.metadata)
-    # The versioned write never overwrites a path the lazy merged plan
-    # still reads: the plan scans the current version dir while the
-    # writer fills a private staging dir, then the claim + manifest
-    # swap commit it atomically. A reader racing the update sees old or
-    # new, never a half-written mix; GC is deferred one commit, so the
-    # old version's files survive until the NEXT write even for readers
-    # holding lazy plans over it (ADVICE r11).
-    return write(uri, layer_name, out, zoom, keep_history=keep_history)
+    attempt = 0
+    while True:
+        base_version = current_version(uri, layer_name, zoom)
+        existing = read(spark, uri, layer_name, zoom)
+        assert existing.metadata.layout == new_layer.metadata.layout, (
+            "update requires identical layouts"
+        )
+        # merge keeps the FIRST tile in ascending _gen order -> new wins
+        new = new_layer.df.withColumn("_gen", F.lit(0))
+        old = existing.df.withColumn("_gen", F.lit(1))
+        u = TRL(new.unionByName(old),
+                existing.metadata.combine(new_layer.metadata))
+        merged = _merge(u, order_col="_gen")
+        out = TRL(merged.df.drop("_gen"), u.metadata)
+        # The versioned write never overwrites a path the lazy merged
+        # plan still reads: the plan scans the current version dir while
+        # the writer fills a private staging dir, then the claim +
+        # manifest swap commit it atomically. A reader racing the update
+        # sees old or new, never a half-written mix; GC is deferred one
+        # commit, so the old version's files survive until the NEXT
+        # write even for readers holding lazy plans over it (ADVICE r11).
+        try:
+            return write(uri, layer_name, out, zoom,
+                         keep_history=keep_history,
+                         expected_prev=base_version)
+        except ConflictError:
+            attempt += 1
+            if attempt > max_retries:
+                raise

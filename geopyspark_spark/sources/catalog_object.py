@@ -101,9 +101,19 @@ def _claim(root: str) -> str:
         n += 1  # last-writer-wins store: another writer owns vN
 
 
-def _publish(root: str, version: str) -> tuple[str | None, bool]:
+# the SAME sentinel object as the POSIX backend, so an expected_prev
+# default passed through catalog.write reads as "no expectation" here
+# too (a module-local object() would silently become a real expectation)
+from .catalog import _UNSET  # noqa: E402
+
+
+def _publish(root: str, version: str,
+             expected_prev=_UNSET) -> tuple[str | None, bool]:
     """Monotone manifest compare-and-swap; returns ``(replaced,
-    published)`` with the same contract as the POSIX ``_publish``."""
+    published)`` with the same contract as the POSIX ``_publish``,
+    including the optimistic ``expected_prev`` lost-update guard
+    (raises :class:`catalog.ConflictError` when the committed version
+    is not the one the writer merged from)."""
     last_seen = None
     while True:
         cur, etag = _committed_version(root)
@@ -113,6 +123,12 @@ def _publish(root: str, version: str) -> tuple[str | None, bool]:
             # uniquely claimed, so manifest==version proves WE
             # published; ``last_seen`` is the value our CAS replaced
             return last_seen, True
+        if expected_prev is not _UNSET and cur != expected_prev:
+            from .catalog import ConflictError
+
+            raise ConflictError(
+                f"catalog at {root!r}: expected to replace "
+                f"{expected_prev!r} but {cur!r} is committed")
         if cur is not None and int(version[1:]) <= int(cur[1:]):
             return cur, False  # a newer concurrent commit already published
         last_seen = cur
@@ -153,10 +169,22 @@ def _gc_versions(root: str, keep: str, prev: str | None,
                 pass
 
 
-def _finish_commit(root: str, version: str, keep_history: int = 0) -> None:
+def _finish_commit(root: str, version: str, keep_history: int = 0,
+                   expected_prev=_UNSET) -> None:
     """Publish + deferred GC (same contract as the POSIX path,
-    including the superseded-publish warning — ADVICE r12)."""
-    replaced, published = _publish(root, version)
+    including the superseded-publish warning — ADVICE r12 — and the
+    optimistic-conflict cleanup: a refused commit's uploaded version
+    objects are deleted best-effort before the error propagates)."""
+    try:
+        replaced, published = _publish(root, version,
+                                       expected_prev=expected_prev)
+    except Exception:
+        for key in obs.list_keys(f"{root}/{version}/"):
+            try:
+                obs.delete_object(key)
+            except Exception:
+                pass
+        raise
     if not published:
         import warnings
 
@@ -284,7 +312,8 @@ def list_zooms(uri: str, layer_name: str) -> list[int]:
 
 
 def commit_staged(uri: str, layer_name: str, zoom: int,
-                  staging_dir: str, keep_history: int = 0) -> str:
+                  staging_dir: str, keep_history: int = 0,
+                  expected_prev=_UNSET) -> str:
     """Claim -> upload -> publish -> deferred GC for a locally-staged
     version dir (parquet parts + ``.metadata.json``). Returns the
     committed version's URI. A crash after the claim leaves an orphan
@@ -293,7 +322,8 @@ def commit_staged(uri: str, layer_name: str, zoom: int,
     root = _root(uri, layer_name, zoom)
     version = _claim(root)
     _upload_dir(staging_dir, root, version)
-    _finish_commit(root, version, keep_history=keep_history)
+    _finish_commit(root, version, keep_history=keep_history,
+                   expected_prev=expected_prev)
     return f"{root}/{version}"
 
 

@@ -150,6 +150,94 @@ class TestLargeAoiQuery:
             assert got == expect, geom.bounds
 
 
+class TestOptimisticUpdate:
+    """Lost-update protection (r13): update_layer's read-merge-write is
+    optimistic — a commit that would replace a version OTHER than the
+    one it merged from is refused and retried against the fresh state,
+    so two concurrent updates both land."""
+
+    def test_stale_expected_prev_refused_and_cleaned(self, spark, f1_layer,
+                                                     tmp_path):
+        from geopyspark_spark.sources.catalog import ConflictError
+
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "o", f1_layer, zoom=0)            # v1
+        catalog.write(uri, "o", f1_layer, zoom=0)            # v2
+        with pytest.raises(ConflictError, match="expected to replace"):
+            catalog.write(uri, "o", f1_layer, zoom=0, expected_prev="v1")
+        # the refused claim's dir was reclaimed immediately
+        assert catalog.list_versions(uri, "o", 0) == ["v1", "v2"]
+        assert catalog.current_version(uri, "o", 0) == "v2"
+
+    def test_concurrent_updates_both_land(self, spark, f1_layer, tmp_path):
+        import threading
+
+        import numpy as np
+
+        import geopyspark_spark as gps
+        from conftest import f1_metadata
+
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "o", f1_layer, zoom=0)
+        md = f1_metadata()
+
+        def patch(key, fill):
+            return gps.from_numpy(
+                spark, [(key[0], key[1], 0, np.full((5, 5), fill))], md)
+
+        barrier = threading.Barrier(2)
+        errors = []
+
+        def worker(key, fill):
+            try:
+                p = patch(key, fill)
+                p.df.count()  # materialize before the barrier
+                barrier.wait(timeout=120)
+                catalog.update_layer(spark, uri, "o", 0, p)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        ts = [threading.Thread(target=worker, args=((0, 0), 7.0)),
+              threading.Thread(target=worker, args=((1, 1), 9.0))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+        assert not errors
+        back = catalog.read(spark, uri, "o", 0)
+        tiles = {(t[0], t[1]): t[3] for t in to_numpy(back)}
+        # BOTH patches present — the slower writer re-merged, not clobbered
+        assert tiles[(0, 0)][2, 2] == 7.0
+        assert tiles[(1, 1)][2, 2] == 9.0
+        assert tiles[(0, 1)][2, 2] == 1.0  # untouched tile survives
+
+    def test_object_backend_conflict_cleans_uploaded_version(
+            self, spark, f1_layer, monkeypatch, tmp_path):
+        from geopyspark_spark.sources import catalog_object as co
+        from geopyspark_spark.sources import objectstore as obs
+        from geopyspark_spark.sources.catalog import ConflictError
+        from geopyspark_spark.sources.s3stub import start_stub
+
+        srv = start_stub()
+        monkeypatch.setenv("AWS_ENDPOINT_URL", srv.endpoint)
+        for var in ("AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY",
+                    "AWS_SESSION_TOKEN"):
+            monkeypatch.delenv(var, raising=False)
+        monkeypatch.setenv("GEOPYSPARK_OBJCAT_CACHE",
+                           str(tmp_path / "objcache"))
+        try:
+            uri = "s3://b/cat"
+            catalog.write(uri, "o", f1_layer, zoom=0)  # v1
+            catalog.write(uri, "o", f1_layer, zoom=0)  # v2
+            with pytest.raises(ConflictError):
+                catalog.write(uri, "o", f1_layer, zoom=0, expected_prev="v1")
+            # the refused version's uploaded objects were swept
+            assert catalog.list_versions(uri, "o", 0) == ["v1", "v2"]
+            assert not any("/v3/" in k for k in srv.objects)
+        finally:
+            srv.shutdown()
+
+
 class TestTimeTravel:
     """Version-history reads (r13): ``read(..., version=)`` over retained
     commits, ``list_versions``/``current_version``, and the
