@@ -1437,3 +1437,45 @@ def hamming_knn(df: DataFrame, query_ids: list, k: int = 5, dim: int = 64,
         exploded.withColumn("rn", rn).where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "dist")
     )
+
+
+def embedding_drift(a: DataFrame, b: DataFrame, vec_col: str = "embedding",
+                    round_digits: int | None = 6) -> DataFrame:
+    """Per-dimension distribution drift between two embedding corpora —
+    the snapshot-monitoring primitive (did yesterday's crawl, a new
+    encoder checkpoint, or a filter change shift the embedding
+    distribution?): population mean and variance of every dimension in
+    each corpus, plus the mean shift, in ONE hash aggregate per side.
+
+    Engine-exact by the same contract as ``relational.linear_trend``:
+    per-dimension sums and sums-of-squares accumulate in DECIMAL
+    (partitioning- and order-independent), only the closed-form
+    mean/variance division runs in double, outputs round to
+    ``round_digits``. 100 TB shape: posexplode fans each vector into
+    d rows map-side and the aggregate combines partially — one shuffle
+    of O(dims x partitions) rows per side, no collect.
+
+    Returns one row per dimension:
+    ``(dim, n_a, n_b, mean_a, mean_b, mean_diff, var_a, var_b)``.
+    """
+    def stats(df, suf):
+        pts = df.select(F.posexplode(F.col(vec_col)).alias("dim", "v"))
+        y = F.col("v").cast("double").cast("decimal(18,9)")
+        return pts.groupBy("dim").agg(
+            F.count("*").alias(f"n{suf}"),
+            F.sum(y).cast("double").alias(f"s{suf}"),
+            F.sum(y * y).cast("double").alias(f"q{suf}"),
+        )
+    j = stats(a, "_a").join(stats(b, "_b"), "dim")
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma, mb = F.col("s_a") / na, F.col("s_b") / nb
+    rnd = (lambda c: F.round(c, round_digits)) if round_digits is not None \
+        else (lambda c: c)
+    return j.select(
+        "dim", "n_a", "n_b",
+        rnd(ma).alias("mean_a"),
+        rnd(mb).alias("mean_b"),
+        rnd(mb - ma).alias("mean_diff"),
+        rnd(F.col("q_a") / na - ma * ma).alias("var_a"),
+        rnd(F.col("q_b") / nb - mb * mb).alias("var_b"),
+    )

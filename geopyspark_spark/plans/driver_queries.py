@@ -8164,6 +8164,51 @@ FROM counts c JOIN ranked r ON c.label = r.label AND r.rn = 1
 """
 
 
+def q_emb_drift(spark, sf_dir):
+    """Embedding distribution drift between two corpus snapshots (r13):
+    a deterministic md5 half-split of the embeddings table stands in
+    for 'yesterday vs today'; ``embedding_drift`` reports per-dimension
+    decimal-exact means/variances and the mean shift — the monitoring
+    primitive that catches encoder or filter changes before training."""
+    emb = _t(spark, sf_dir, "embeddings")
+    half = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":drift"))),
+            1, 15), 16, 10).cast("long") % 2
+    )
+    tagged = emb.withColumn("_h", half)
+    return fsim.embedding_drift(
+        tagged.where(F.col("_h") == 0), tagged.where(F.col("_h") == 1))
+
+
+SQL_EMB_DRIFT = """
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS emb,
+         (('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':drift'), 1, 15))::BIGINT % 2) AS half
+  FROM embeddings
+),
+pts AS (
+  SELECT half, CAST(i AS INT) AS dim, emb[i + 1] AS v
+  FROM (SELECT half, emb, unnest(range(len(emb))) AS i FROM e)
+),
+s AS (
+  SELECT half, dim, COUNT(*) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) AS sv,
+         CAST(SUM(CAST(v AS DECIMAL(18,9)) * CAST(v AS DECIMAL(18,9))) AS DOUBLE) AS qv
+  FROM pts GROUP BY half, dim
+)
+SELECT a.dim, a.n AS n_a, b.n AS n_b,
+       round(a.sv / CAST(a.n AS DOUBLE), 6) AS mean_a,
+       round(b.sv / CAST(b.n AS DOUBLE), 6) AS mean_b,
+       round(b.sv / CAST(b.n AS DOUBLE) - a.sv / CAST(a.n AS DOUBLE), 6) AS mean_diff,
+       round(a.qv / CAST(a.n AS DOUBLE)
+             - (a.sv / CAST(a.n AS DOUBLE)) * (a.sv / CAST(a.n AS DOUBLE)), 6) AS var_a,
+       round(b.qv / CAST(b.n AS DOUBLE)
+             - (b.sv / CAST(b.n AS DOUBLE)) * (b.sv / CAST(b.n AS DOUBLE)), 6) AS var_b
+FROM s a JOIN s b ON a.dim = b.dim AND a.half = 0 AND b.half = 1
+"""
+
+
 def q_emb_lsh_knn(spark, sf_dir):
     """Bucketed ANN: random-hyperplane signatures (deterministic rational
     plane weights) -> bucket equi-join -> exact cosine rerank."""
@@ -11246,6 +11291,7 @@ def _canonical_queries():
         "text_token_budget_mix": q_text_token_budget_mix,
         "text_minhash_vocab": q_text_minhash_vocab,
         "emb_norm_stats": q_emb_norm_stats,
+        "emb_drift": q_emb_drift,
         "emb_lsh_knn": q_emb_lsh_knn,
         "emb_near_dup": q_emb_near_dup,
         "emb_dedup_pipeline": q_emb_dedup_pipeline,
@@ -11341,6 +11387,7 @@ _WINDOW_ORDER: list = [
     "text_dedup_keep_best",
     "text_dedup_incremental",
     "multimodal_png_interlaced",
+    "emb_drift",
     "events_trend",
     "raster_catalog_s3_roundtrip",
     "raster_catalog_time_travel",
@@ -11797,6 +11844,7 @@ def oracle_sql():
         "text_ngram_jaccard": SQL_TEXT_NGRAM_JACCARD,
         "emb_knn": SQL_EMB_KNN,
         "emb_norm_stats": SQL_EMB_NORM_STATS,
+        "emb_drift": SQL_EMB_DRIFT,
         "emb_near_dup": SQL_EMB_NEAR_DUP,
         "emb_lsh_knn": _sql_lsh_knn(num_planes=6, k=5),
         "emb_near_dup_lsh": _sql_near_dup_lsh(6, 0.45),

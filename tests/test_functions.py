@@ -551,6 +551,42 @@ class TestDedupPipeline:
         assert got[2] is True and got[7] is False
 
 
+class TestEmbeddingDrift:
+    def test_matches_numpy_moments(self, spark):
+        from geopyspark_spark.functions.similarity import embedding_drift
+
+        rng = np.random.default_rng(7)
+        va = rng.normal(0.0, 1.0, (40, 4)).astype(np.float32)
+        vb = rng.normal(0.5, 2.0, (30, 4)).astype(np.float32)
+        a = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(va)],
+            "vec_id long, embedding array<float>")
+        b = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vb)],
+            "vec_id long, embedding array<float>")
+        got = {r["dim"]: r for r in embedding_drift(a, b).collect()}
+        assert len(got) == 4
+        da, db = va.astype(np.float64), vb.astype(np.float64)
+        for d in range(4):
+            assert got[d]["n_a"] == 40 and got[d]["n_b"] == 30
+            assert got[d]["mean_a"] == pytest.approx(da[:, d].mean(), abs=1e-6)
+            assert got[d]["mean_b"] == pytest.approx(db[:, d].mean(), abs=1e-6)
+            assert got[d]["mean_diff"] == pytest.approx(
+                db[:, d].mean() - da[:, d].mean(), abs=1e-6)
+            assert got[d]["var_a"] == pytest.approx(da[:, d].var(), abs=1e-6)
+            assert got[d]["var_b"] == pytest.approx(db[:, d].var(), abs=1e-6)
+
+    def test_identical_corpora_zero_drift(self, spark):
+        from geopyspark_spark.functions.similarity import embedding_drift
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [3.0, 4.0])],
+            "vec_id long, embedding array<float>")
+        for r in embedding_drift(df, df).collect():
+            assert r["mean_diff"] == 0.0
+            assert r["var_a"] == r["var_b"]
+
+
 class TestDedupAgainstCorpus:
     def test_flags_and_match_ids(self, spark):
         corpus = spark.createDataFrame(
