@@ -1479,3 +1479,51 @@ def embedding_drift(a: DataFrame, b: DataFrame, vec_col: str = "embedding",
         rnd(F.col("q_a") / na - ma * ma).alias("var_a"),
         rnd(F.col("q_b") / nb - mb * mb).alias("var_b"),
     )
+
+
+def centroid_outliers(df: DataFrame, vec_col: str = "embedding",
+                      id_col: str = "vec_id", label_col: str = "label",
+                      k: float = 4.0) -> DataFrame:
+    """Per-label embedding outliers: each vector's squared distance to
+    its label centroid, flagged when it exceeds ``k`` times the label's
+    mean squared distance — the cheap data-quality sweep that surfaces
+    mislabeled or corrupted vectors before a training run.
+
+    Deterministic across engines and partitionings (the oracle
+    contract): centroids come from DECIMAL dimension sums, each
+    vector's per-dimension squared deviations are cast to DECIMAL
+    before the cross-partition sum (float addition order never leaks
+    in), and the per-label mean accumulates the same way. Spark shape:
+    one posexplode fan-out, two combinable hash aggregates and one
+    broadcast-sized join back on (label, dim) / label — no collect,
+    no window over the full corpus.
+
+    Returns (id, label, dist2, is_outlier) for every vector.
+    """
+    dims = df.select(
+        F.col(id_col).alias("_id"), F.col(label_col).alias("_label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v0"),
+    ).withColumn("v", F.col("v0").cast("double")).drop("v0")
+    cent = dims.groupBy("_label", "dim").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast("decimal(18,9)")).cast("double").alias("s"),
+    )
+    c = F.col("s") / F.col("n").cast("double")
+    con = (
+        dims.join(cent, ["_label", "dim"])
+        .select("_id", "_label",
+                ((F.col("v") - c) * (F.col("v") - c))
+                .cast("decimal(28,12)").alias("w"))
+    )
+    d2 = con.groupBy("_id", "_label").agg(
+        F.sum("w").cast("double").alias("dist2"))
+    m = d2.groupBy("_label").agg(
+        (F.sum(F.col("dist2").cast("decimal(28,12)")).cast("double")
+         / F.count("*").cast("double")).alias("mean_d2"))
+    return (
+        d2.join(m, "_label")
+        .select(F.col("_id").alias(id_col), F.col("_label").alias(label_col),
+                F.round("dist2", 6).alias("dist2"),
+                (F.col("dist2") > F.lit(float(k)) * F.col("mean_d2"))
+                .alias("is_outlier"))
+    )

@@ -5267,6 +5267,41 @@ def q_events_rollup(spark, sf_dir):
     )
 
 
+def q_rel_cube(spark, sf_dir):
+    """Full CUBE lattice over TPC-H lineitem (r13): every grouping-set
+    combination of (returnflag, linestatus) — per-pair, per-flag,
+    per-status, and grand total — with exact DECIMAL sums and
+    grouping_id distinguishing the levels. ROLLUP landed in r9
+    (``events_rollup``); CUBE completes the OLAP grouping-set surface
+    (Spark lowers both to one Expand + hash aggregate — no per-level
+    rescans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag", "l_linestatus",
+            F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+            _dec(F.col("l_extendedprice")).alias("p"),
+        )
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("q").cast("double").alias("sum_qty"),
+            F.sum("p").cast("double").alias("sum_price"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+SQL_REL_CUBE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+       GROUPING(l_returnflag, l_linestatus) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_events_json_props(spark, sf_dir):
     """Semi-structured extraction: the events ``props`` JSON column
     parsed JVM-side with ``from_json`` (schema'd, vectorized Jackson —
@@ -8206,6 +8241,50 @@ SELECT a.dim, a.n AS n_a, b.n AS n_b,
        round(b.qv / CAST(b.n AS DOUBLE)
              - (b.sv / CAST(b.n AS DOUBLE)) * (b.sv / CAST(b.n AS DOUBLE)), 6) AS var_b
 FROM s a JOIN s b ON a.dim = b.dim AND a.half = 0 AND b.half = 1
+"""
+
+
+def q_emb_outliers(spark, sf_dir):
+    """Per-label centroid-distance outliers (r13): squared distance of
+    every vector to its label centroid, flagged above 4x the label
+    mean — the mislabeled/corrupted-vector sweep. Decimal-exact at
+    every cross-partition float sum (centroid dims, per-vector
+    deviation sums, label means), so the verdict hash-matches a
+    single-node engine exactly."""
+    return fsim.centroid_outliers(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_EMB_OUTLIERS = """
+WITH dims AS (
+  SELECT vec_id, label, CAST(i AS INT) AS dim, CAST(emb[i + 1] AS DOUBLE) AS v
+  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+               unnest(range(len(embedding))) AS i
+        FROM embeddings)
+),
+cent AS (
+  SELECT label, dim, COUNT(*) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) AS s
+  FROM dims GROUP BY label, dim
+),
+con AS (
+  SELECT d.vec_id, d.label,
+         CAST((d.v - c.s / CAST(c.n AS DOUBLE))
+              * (d.v - c.s / CAST(c.n AS DOUBLE)) AS DECIMAL(28,12)) AS w
+  FROM dims d JOIN cent c ON c.label = d.label AND c.dim = d.dim
+),
+d2 AS (
+  SELECT vec_id, label, CAST(SUM(w) AS DOUBLE) AS dist2
+  FROM con GROUP BY vec_id, label
+),
+m AS (
+  SELECT label,
+         CAST(SUM(CAST(dist2 AS DECIMAL(28,12))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_d2
+  FROM d2 GROUP BY label
+)
+SELECT d.vec_id, d.label, round(d.dist2, 6) AS dist2,
+       d.dist2 > 4.0 * m.mean_d2 AS is_outlier
+FROM d2 d JOIN m ON m.label = d.label
 """
 
 
@@ -11178,6 +11257,7 @@ def _canonical_queries():
         "rel_salted_join": q_rel_salted_join,
         "rel_merge_upsert": q_rel_merge_upsert,
         "rel_spearman": q_rel_spearman,
+        "rel_cube": q_rel_cube,
         "vector_polygon_metrics": q_vector_polygon_metrics,
         "tpch_q2_min_cost": q_tpch_q2_min_cost,
         "graph_kcore": q_graph_kcore,
@@ -11292,6 +11372,7 @@ def _canonical_queries():
         "text_minhash_vocab": q_text_minhash_vocab,
         "emb_norm_stats": q_emb_norm_stats,
         "emb_drift": q_emb_drift,
+        "emb_outliers": q_emb_outliers,
         "emb_lsh_knn": q_emb_lsh_knn,
         "emb_near_dup": q_emb_near_dup,
         "emb_dedup_pipeline": q_emb_dedup_pipeline,
@@ -11384,10 +11465,12 @@ _WINDOW_ORDER_ROUND: int = 12
 _WINDOW_ORDER: list = [
     "raster_catalog_query_big",
     "text_remove_dup_spans",
+    "rel_cube",
     "text_dedup_keep_best",
     "text_dedup_incremental",
     "multimodal_png_interlaced",
     "emb_drift",
+    "emb_outliers",
     "events_trend",
     "raster_catalog_s3_roundtrip",
     "raster_catalog_time_travel",
@@ -11819,6 +11902,7 @@ def oracle_sql():
         "text_token_budget_mix": SQL_TEXT_TOKEN_BUDGET_MIX,
         "rel_merge_upsert": SQL_REL_MERGE_UPSERT,
         "rel_spearman": SQL_REL_SPEARMAN,
+        "rel_cube": SQL_REL_CUBE,
         "vector_polygon_metrics": SQL_VECTOR_POLYGON_METRICS,
         "tpch_q2_min_cost": SQL_TPCH_Q2_MIN_COST,
         "graph_kcore": _sql_graph_kcore(),
@@ -11845,6 +11929,7 @@ def oracle_sql():
         "emb_knn": SQL_EMB_KNN,
         "emb_norm_stats": SQL_EMB_NORM_STATS,
         "emb_drift": SQL_EMB_DRIFT,
+        "emb_outliers": SQL_EMB_OUTLIERS,
         "emb_near_dup": SQL_EMB_NEAR_DUP,
         "emb_lsh_knn": _sql_lsh_knn(num_planes=6, k=5),
         "emb_near_dup_lsh": _sql_near_dup_lsh(6, 0.45),

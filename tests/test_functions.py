@@ -587,6 +587,44 @@ class TestEmbeddingDrift:
             assert r["var_a"] == r["var_b"]
 
 
+class TestCentroidOutliers:
+    def test_flags_far_vector_only(self, spark):
+        from geopyspark_spark.functions.similarity import centroid_outliers
+
+        rows = [(i, [1.0 + 0.01 * i, 2.0], 0) for i in range(10)]
+        rows.append((99, [50.0, -40.0], 0))   # far from the cluster
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        got = {r["vec_id"]: r for r in centroid_outliers(df).collect()}
+        assert got[99]["is_outlier"] is True
+        assert all(not got[i]["is_outlier"] for i in range(10))
+
+    def test_dist2_matches_numpy(self, spark):
+        from geopyspark_spark.functions.similarity import centroid_outliers
+
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(0, 1, (20, 5)).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, v.tolist(), 1) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>, label int")
+        got = {r["vec_id"]: r["dist2"] for r in centroid_outliers(df).collect()}
+        dv = vecs.astype(np.float64)
+        cent = dv.mean(axis=0)
+        for i in range(20):
+            assert got[i] == pytest.approx(((dv[i] - cent) ** 2).sum(),
+                                           abs=1e-5)
+
+    def test_labels_isolated(self, spark):
+        from geopyspark_spark.functions.similarity import centroid_outliers
+
+        df = spark.createDataFrame(
+            [(1, [0.0], 0), (2, [0.1], 0), (3, [100.0], 1), (4, [100.1], 1)],
+            "vec_id long, embedding array<float>, label int")
+        got = centroid_outliers(df).collect()
+        # two tight two-point clusters: nothing crosses 4x the label mean
+        assert all(not r["is_outlier"] for r in got)
+
+
 class TestDedupAgainstCorpus:
     def test_flags_and_match_ids(self, spark):
         corpus = spark.createDataFrame(
