@@ -426,7 +426,13 @@ def linear_trend(df: DataFrame, key_cols, x_col: str, y_col: str,
     x = (xbase - F.lit(int(x_origin))).alias("x")
     pts = df.select(*key_cols, x,
                     F.col(y_col).cast("decimal(18,6)").alias("y"))
-    xd = F.col("x").cast("decimal(10,0)")
+    # decimal(15,0) admits epoch-MILLISECOND magnitudes (|x| < 1e15 is
+    # ~33,000 years of millis); the products/sums still fit precision 38
+    # (15+15+1 = 31 for x*x, +10 headroom on SUM). ADVICE r13: the old
+    # decimal(10,0) silently NULLed |x| >= 1e10 under non-ANSI Spark,
+    # making affected keys vanish — now out-of-range x FAILS FAST below.
+    xd = F.col("x").cast("decimal(15,0)")
+    _X_BOUND = 10 ** 15
     s = pts.groupBy(*key_cols).agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx_long"),
@@ -434,10 +440,24 @@ def linear_trend(df: DataFrame, key_cols, x_col: str, y_col: str,
         F.sum(xd * F.col("y")).cast("double").alias("sxy"),
         F.sum(xd * xd).cast("double").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.max(F.abs(F.col("x"))).alias("_xabs_max"),
     )
     nd = F.col("n").cast("double")
     sxd = F.col("sx_long").cast("double")
-    denom = nd * F.col("sxx") - sxd * sxd
+    # fail fast instead of silently dropping keys when |x - x_origin|
+    # exceeds the decimal(15,0) bound under non-ANSI Spark (the NULLed
+    # sums would NULL `denom` and the where-filter would vanish the
+    # key); folded into `denom` — which the filter itself evaluates —
+    # so neither column pruning nor the filter can elide the check.
+    # Under ANSI (Spark 4 default) the decimal cast errors earlier.
+    denom = F.when(
+        F.col("_xabs_max") >= F.lit(_X_BOUND),
+        F.raise_error(F.concat(
+            F.lit("linear_trend: |x - x_origin| >= 1e15 (max "),
+            F.col("_xabs_max").cast("string"),
+            F.lit(") overflows the exact decimal accumulator; "
+                  "pass x_origin to re-center x"))).cast("double")
+    ).otherwise(nd * F.col("sxx") - sxd * sxd)
     num = nd * F.col("sxy") - sxd * F.col("sy")
     slope = num / denom
     r2den = denom * (nd * F.col("syy") - F.col("sy") * F.col("sy"))

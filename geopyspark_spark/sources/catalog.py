@@ -600,15 +600,22 @@ def query(spark: SparkSession, uri: str, layer_name: str, zoom: int,
             ld = md.layout
             e, tw, th = ld.extent, ld.tile_width, ld.tile_height
             exmin, eymax = e.xmin, e.ymax
+            # parsed-geometry cache: WKB decodes once per executor
+            # process, not once per Arrow batch (ADVICE r13 — for a
+            # many-partition scan with a complex multi-ring AOI the
+            # repeated parse dominated the vectorized test it feeds)
+            parsed: list = []
 
             def _tile_hits(cols, rows):
+                if not parsed:
+                    parsed.extend(from_wkb(b) for b in blobs)
                 cc = cols.to_numpy(dtype=np.float64)
                 rr = rows.to_numpy(dtype=np.float64)
                 cx = exmin + (cc + 0.5) * tw
                 cy = eymax - (rr + 0.5) * th
                 out = np.zeros(len(cc), dtype=bool)
-                for b in blobs:
-                    out |= geometry_intersects_boxes(from_wkb(b), cx, cy, tw, th)
+                for g in parsed:
+                    out |= geometry_intersects_boxes(g, cx, cy, tw, th)
                 return pd.Series(out)
 
             # real annotations, set explicitly: the module-wide

@@ -113,8 +113,23 @@ def _publish(root: str, version: str,
     published)`` with the same contract as the POSIX ``_publish``,
     including the optimistic ``expected_prev`` lost-update guard
     (raises :class:`catalog.ConflictError` when the committed version
-    is not the one the writer merged from)."""
+    is not the one the writer merged from).
+
+    The conflict check is ambiguity-aware (ADVICE r13): the manifest is
+    MONOTONE (every publisher refuses ``version <= cur``), so once a
+    conditional PUT has been issued, ``cur < version`` proves the PUT
+    never landed (the manifest could only move past ``version`` THROUGH
+    it) and the lost-update guard stays safe to apply — but
+    ``cur > version`` after an issued PUT is ambiguous (our PUT may have
+    landed, its response been lost to the retry layer, and a newer
+    writer superseded it), so that case takes the superseded path
+    ``(cur, False)`` instead of raising: raising would make
+    ``_finish_commit`` delete objects that may be the newer writer's
+    reader-safety ``prev``."""
+    from .catalog import ConflictError
+
     last_seen = None
+    attempted = False  # a conditional PUT may have landed server-side
     while True:
         cur, etag = _committed_version(root)
         if cur == version:
@@ -123,16 +138,24 @@ def _publish(root: str, version: str,
             # uniquely claimed, so manifest==version proves WE
             # published; ``last_seen`` is the value our CAS replaced
             return last_seen, True
+        if cur is not None and int(version[1:]) <= int(cur[1:]):
+            if (not attempted and expected_prev is not _UNSET
+                    and cur != expected_prev):
+                # no PUT ever issued: this commit certainly never
+                # published, so the optimistic conflict is unambiguous
+                raise ConflictError(
+                    f"catalog at {root!r}: expected to replace "
+                    f"{expected_prev!r} but {cur!r} is committed")
+            return cur, False  # a newer concurrent commit already published
         if expected_prev is not _UNSET and cur != expected_prev:
-            from .catalog import ConflictError
-
+            # cur < version: monotonicity proves our PUT never landed
+            # (see docstring), so raising here is safe even mid-loop
             raise ConflictError(
                 f"catalog at {root!r}: expected to replace "
                 f"{expected_prev!r} but {cur!r} is committed")
-        if cur is not None and int(version[1:]) <= int(cur[1:]):
-            return cur, False  # a newer concurrent commit already published
         last_seen = cur
         try:
+            attempted = True
             if etag is None:
                 obs.put_object(f"{root}/{MANIFEST}", version.encode(),
                                if_none_match=True)
@@ -174,11 +197,23 @@ def _finish_commit(root: str, version: str, keep_history: int = 0,
     """Publish + deferred GC (same contract as the POSIX path,
     including the superseded-publish warning — ADVICE r12 — and the
     optimistic-conflict cleanup: a refused commit's uploaded version
-    objects are deleted best-effort before the error propagates)."""
+    objects are deleted best-effort before the error propagates).
+
+    The sweep runs ONLY on :class:`catalog.ConflictError` (ADVICE r13,
+    mirroring the POSIX ``_finish_commit``): a conflict proves the
+    version never published, so its objects are dead weight — but a
+    transient transport error (retry layer exhausted on timeouts/5xx)
+    leaves it UNKNOWN whether the manifest CAS landed server-side, and
+    sweeping then could delete the data objects a now-committed
+    manifest points at, bricking the catalog for every reader. On a
+    non-conflict failure the claimed version dir is left for a later
+    writer's deferred GC instead."""
+    from .catalog import ConflictError
+
     try:
         replaced, published = _publish(root, version,
                                        expected_prev=expected_prev)
-    except Exception:
+    except ConflictError:
         for key in obs.list_keys(f"{root}/{version}/"):
             try:
                 obs.delete_object(key)

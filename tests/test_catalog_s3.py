@@ -250,3 +250,93 @@ class TestS3CommitProtocol:
                     if k.startswith(f"b/cat/a/0/{v}/")]
             assert any(k.endswith(".metadata.json") for k in keys)
             assert any(k.endswith(".parquet") for k in keys)
+
+
+class TestS3FinishCommitSafety:
+    """ADVICE r13: _finish_commit must never sweep a version whose
+    publish outcome is unknown, and _publish must not misclassify a
+    possibly-landed commit as an optimistic conflict."""
+
+    def test_transport_failure_does_not_sweep(self, s3cat, monkeypatch):
+        """A non-Conflict failure from _publish (retry layer exhausted
+        on timeouts/5xx — the CAS may have landed server-side) leaves
+        the version's uploaded objects intact; only ConflictError
+        triggers the cleanup sweep."""
+        root = "s3://b/cat/a/0"
+        obs.put_object(f"{root}/v1/.claim", b"tok")
+        obs.put_object(f"{root}/v1/part-0.parquet", b"data")
+
+        def boom(*a, **k):
+            raise RuntimeError("socket timeout after retries")
+
+        monkeypatch.setattr(co, "_publish", boom)
+        with pytest.raises(RuntimeError, match="socket timeout"):
+            co._finish_commit(root, "v1")
+        # data objects survive: if the manifest DID land server-side,
+        # deleting them would brick the catalog for every reader
+        assert "b/cat/a/0/v1/part-0.parquet" in s3cat.objects
+
+    def test_conflict_before_any_put_sweeps_and_raises(self, s3cat):
+        """An unambiguous optimistic conflict (no CAS attempt issued)
+        still cleans up the never-published version's objects."""
+        root = "s3://b/cat/a/0"
+        obs.put_object(f"{root}/MANIFEST", b"v2")
+        obs.put_object(f"{root}/v3/.claim", b"tok")
+        obs.put_object(f"{root}/v3/part-0.parquet", b"data")
+        with pytest.raises(catalog.ConflictError):
+            co._finish_commit(root, "v3", expected_prev="v1")
+        assert "b/cat/a/0/v3/part-0.parquet" not in s3cat.objects
+
+    def test_lost_response_supersede_is_not_a_conflict(self, s3cat,
+                                                       monkeypatch):
+        """The ambiguous window: writer A's conditional PUT LANDS but
+        the response is lost (retry saw 412), then writer B supersedes.
+        A's re-check sees cur > version with expected_prev stale — that
+        must take the superseded path (cur, False), NOT ConflictError
+        (raising would make _finish_commit delete objects that are now
+        B's reader-safety prev)."""
+        root = "s3://b/cat/a/0"
+        obs.put_object(f"{root}/MANIFEST", b"v1")
+        real_put = obs.put_object
+        fired = []
+
+        def lossy_put(uri, body, **kw):
+            if uri.endswith("/MANIFEST") and body == b"v2" and not fired:
+                fired.append(True)
+                real_put(uri, body, **kw)      # A's PUT lands: v2
+                # concurrent writer B publishes v3 over it
+                cur = obs.get_object(uri)
+                real_put(uri, b"v3", if_match=cur[1])
+                # the transport retry layer re-sent A's PUT and saw 412
+                raise obs.PreconditionFailed(uri)
+            return real_put(uri, body, **kw)
+
+        monkeypatch.setattr(obs, "put_object", lossy_put)
+        replaced, published = co._publish(root, "v2", expected_prev="v1")
+        assert (replaced, published) == ("v3", False)
+
+    def test_conflict_mid_loop_when_put_never_landed(self, s3cat,
+                                                     monkeypatch):
+        """cur < version after a failed CAS attempt proves the PUT never
+        landed (the manifest is monotone), so the lost-update guard
+        still fires: a concurrent lower-version publish between A's read
+        and PUT raises ConflictError instead of silently dropping B's
+        update."""
+        root = "s3://b/cat/a/0"
+        obs.put_object(f"{root}/MANIFEST", b"v1")
+        real_put = obs.put_object
+        fired = []
+
+        def contended_put(uri, body, **kw):
+            if uri.endswith("/MANIFEST") and body == b"v3" and not fired:
+                fired.append(True)
+                # concurrent writer B publishes v2 first; A's If-Match
+                # (etag of v1) genuinely fails — PUT never landed
+                cur = obs.get_object(uri)
+                real_put(uri, b"v2", if_match=cur[1])
+                raise obs.PreconditionFailed(uri)
+            return real_put(uri, body, **kw)
+
+        monkeypatch.setattr(obs, "put_object", contended_put)
+        with pytest.raises(catalog.ConflictError):
+            co._publish(root, "v3", expected_prev="v1")

@@ -2594,6 +2594,54 @@ class TestLinearTrend:
         got = linear_trend(df, "k", "x", "y").collect()[0]
         assert got["slope"] == 0.0 and got["r2"] == 1.0
 
+    def test_epoch_millis_x_no_silent_overflow(self, spark):
+        """ADVICE r13: decimal(10,0) silently NULLed |x| >= 1e10 under
+        non-ANSI Spark, vanishing the key; decimal(15,0) admits
+        epoch-millisecond magnitudes exactly."""
+        from geopyspark_spark.functions.relational import linear_trend
+
+        base = 1_704_067_200_000  # 2024-01-01 in epoch millis (~1.7e12)
+        df = spark.createDataFrame(
+            [(1, base, 1.0), (1, base + 86_400_000, 2.0),
+             (1, base + 172_800_000, 3.0)],
+            "k long, x long, y double")
+        rows = linear_trend(df, "k", "x", "y",
+                            slope_scale=86_400_000.0).collect()
+        assert len(rows) == 1  # the key must NOT silently disappear
+        assert rows[0]["slope"] == 1.0  # +1 per day
+
+    def test_x_beyond_decimal_bound_fails_fast(self, spark):
+        from pyspark.errors import PySparkException
+
+        from geopyspark_spark.functions.relational import linear_trend
+
+        df = spark.createDataFrame(
+            [(1, 10 ** 15, 1.0), (1, 10 ** 15 + 1, 2.0)],
+            "k long, x long, y double")
+        # under ANSI (Spark 4 default) the decimal cast itself errors;
+        # under non-ANSI the cast NULLs silently and the explicit
+        # raise_error guard fires instead — either way: loud, not a
+        # vanished key
+        with pytest.raises(PySparkException,
+                           match="x_origin|NUMERIC_VALUE_OUT_OF_RANGE"):
+            linear_trend(df, "k", "x", "y").collect()
+
+    def test_x_beyond_decimal_bound_fails_fast_non_ansi(self, spark):
+        from pyspark.errors import PySparkException
+
+        from geopyspark_spark.functions.relational import linear_trend
+
+        df = spark.createDataFrame(
+            [(1, 10 ** 15, 1.0), (1, 10 ** 15 + 1, 2.0)],
+            "k long, x long, y double")
+        old = spark.conf.get("spark.sql.ansi.enabled")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            with pytest.raises(PySparkException, match="x_origin"):
+                linear_trend(df, "k", "x", "y").collect()
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", old)
+
 
 class TestBpeEncode:
     def test_encode_counts_match_reference(self, spark):
