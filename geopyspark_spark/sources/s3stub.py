@@ -197,9 +197,35 @@ class S3StubHandler(BaseHTTPRequestHandler):
         body = self.rfile.read(int(self.headers.get("Content-Length", "0")))
         key = self._key()
         qs = parse_qs(urlparse(self.path).query, keep_blank_values=True)
-        if "partNumber" in qs and "uploadId" in qs:  # UploadPart
+        if "partNumber" in qs and "uploadId" in qs:
             uid = qs["uploadId"][0]
-            with self.server.lock:
+            cp_src = self.headers.get("x-amz-copy-source")
+            if cp_src is not None:  # UploadPartCopy (r14)
+                from urllib.parse import unquote
+
+                src_key = unquote(cp_src).lstrip("/")
+                rng = self.headers.get("x-amz-copy-source-range")
+                with self.server.lock:
+                    data = self.server.objects.get(src_key)
+                    up = self.server.uploads.get(uid)
+                    if data is not None and up is not None:
+                        if rng and rng.startswith("bytes="):
+                            lo, hi = rng[6:].split("-")
+                            data = data[int(lo):int(hi) + 1]
+                        up["parts"][int(qs["partNumber"][0])] = data
+                if data is None or up is None:
+                    self.send_response(404)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                # real S3 returns the part ETag in the XML body (not
+                # the header), and may 200-with-<Error> — mirror that
+                self._send_xml(
+                    (b"<?xml version='1.0'?><CopyPartResult><ETag>"
+                     + self._etag(data).encode()
+                     + b"</ETag></CopyPartResult>"))
+                return
+            with self.server.lock:  # UploadPart
                 up = self.server.uploads.get(uid)
                 if up is not None:
                     up["parts"][int(qs["partNumber"][0])] = body
