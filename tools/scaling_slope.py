@@ -170,7 +170,7 @@ def run_cells_axis(spark, repeats: int, sides) -> dict:
 
 def render_md(sf_axis: dict, cells_axis: dict, repeats: int) -> str:
     lines = [
-        "# SCALING — empirical sec-vs-scale record (round 12)",
+        "# SCALING — empirical sec-vs-scale record (round 14)",
         "",
         "Serial min-of-%d per point, one local[32] session, idle host." % repeats,
         "Generated by `tools/scaling_slope.py`; synthetic sf1 from",
