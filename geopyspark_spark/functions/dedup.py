@@ -628,11 +628,63 @@ def _band_signatures(df: DataFrame, num_hashes: int, bands: int,
              F.col("bk.band_key").alias("band_key"))
 
 
-def dedup_against_corpus(batch: DataFrame, corpus: DataFrame,
+def corpus_signatures(corpus: DataFrame, num_hashes: int = 16,
+                      bands: int = 4, n: int = 2,
+                      text_col: str = "text") -> DataFrame:
+    """The corpus-side dedup artifact as ONE persistable DataFrame
+    (r14, VERDICT r13 #4): everything :func:`dedup_against_corpus`
+    needs of the corpus, computed once, written to parquet, and reused
+    by every daily batch — O(batch) work per ingest instead of
+    re-shingling and re-minhashing the 100 TB corpus each time.
+
+    One row per corpus document::
+
+        doc_id, band_keys array<struct<band int, band_key string>>,
+        grams array<string>, n_grams int,
+        num_hashes int, bands int, gram_n int
+
+    ``band_keys`` feed the LSH bucket join, ``grams``/``n_grams`` the
+    exact-Jaccard verify. The shingle ids are stateless md5 hashes, so
+    the artifact depends only on document text — append-only corpora
+    extend it by running this over the new slice and unioning. The
+    parameter columns pin the (num_hashes, bands, n) the signatures
+    were built with; :func:`dedup_against_corpus` fails fast on a
+    mismatch instead of silently missing duplicates.
+
+    Spark shape: the one groupBy(doc_id) shuffle of
+    ``_minhash_wide`` plus a doc_id-keyed join against the (narrow,
+    shuffle-free) shingle projection — then never again per batch.
+    """
+    rows_per_band = num_hashes // bands
+    wide = _minhash_wide(corpus, num_hashes, text_col, hash_ids=True)
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-", *[F.col(f"h{b * rows_per_band + j}").cast("string")
+                       for j in range(rows_per_band)]
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ])
+    sigs = wide.select("doc_id", band_arr.alias("band_keys"))
+    grams = corpus.select("doc_id", shingles_col(text_col, n).alias("grams"))
+    return (
+        sigs.join(grams, "doc_id")
+        .select("doc_id", "band_keys", "grams",
+                F.size("grams").alias("n_grams"),
+                F.lit(num_hashes).alias("num_hashes"),
+                F.lit(bands).alias("bands"),
+                F.lit(n).alias("gram_n"))
+    )
+
+
+def dedup_against_corpus(batch: DataFrame, corpus: DataFrame | None = None,
                          num_hashes: int = 16, bands: int = 4,
                          n: int = 2, min_jaccard: float = 0.5,
                          text_col: str = "text",
-                         max_bucket_size: int | None = 10_000) -> DataFrame:
+                         max_bucket_size: int | None = 10_000,
+                         corpus_sigs: DataFrame | None = None) -> DataFrame:
     """INCREMENTAL near-dup: flag every batch document that
     near-duplicates (n-gram Jaccard >= ``min_jaccard``) any corpus
     document — the daily-ingest shape of production dedup, where the
@@ -643,12 +695,20 @@ def dedup_against_corpus(batch: DataFrame, corpus: DataFrame,
     STATELESS md5 hashes (:func:`hashed_token_id` — no vocabulary, so a
     document's signature depends only on its own text), which means the
     corpus side's band signatures and gram sets are deterministic,
-    cacheable artifacts a pipeline persists once and reuses every batch;
-    only the batch side is hashed fresh. Candidates come from a
-    batch x corpus band-bucket equi-join (never all-pairs), hot buckets
-    on either side are dropped before the join (same skew rationale as
-    :func:`lsh_candidate_pairs`), and the exact Jaccard verify joins
-    grams only for candidates.
+    cacheable artifacts. Pass ``corpus_sigs`` (the output of
+    :func:`corpus_signatures`, typically read back from parquet) and
+    the corpus side costs a SCAN of the artifact instead of a
+    re-shingle + re-minhash of the full corpus — O(batch) work per
+    daily ingest (r14, VERDICT r13 #4). Passing raw ``corpus``
+    computes the signatures inline (exactly the plan
+    :func:`corpus_signatures` persists, so the two paths return
+    identical rows). Exactly one of ``corpus`` / ``corpus_sigs`` must
+    be given; a ``corpus_sigs`` built with different
+    (num_hashes, bands, n) raises instead of silently missing dups.
+    Candidates come from a batch x corpus band-bucket equi-join (never
+    all-pairs), hot buckets on either side are dropped before the join
+    (same skew rationale as :func:`lsh_candidate_pairs`), and the
+    exact Jaccard verify joins grams only for candidates.
 
     Returns one row per batch document:
     ``(doc_id, is_dup, match_doc_id)`` — ``match_doc_id`` is the
@@ -659,8 +719,31 @@ def dedup_against_corpus(batch: DataFrame, corpus: DataFrame,
     """
     from pyspark.sql.window import Window
 
+    if (corpus is None) == (corpus_sigs is None):
+        raise ValueError(
+            "pass exactly one of corpus= (raw documents) or "
+            "corpus_sigs= (a corpus_signatures artifact)")
     b_sig = _band_signatures(batch, num_hashes, bands, text_col)
-    c_sig = _band_signatures(corpus, num_hashes, bands, text_col)
+    if corpus_sigs is not None:
+        # fail fast on a parameter mismatch: signatures built with a
+        # different (num_hashes, bands, n) would join on incomparable
+        # band keys / gram orders and silently return no duplicates.
+        # (One one-row job against the artifact — column-pruned to the
+        # three int params, so the scan is a few row-group footers.)
+        got = corpus_sigs.select("num_hashes", "bands", "gram_n").first()
+        if got is not None and (got["num_hashes"], got["bands"],
+                                got["gram_n"]) != (num_hashes, bands, n):
+            raise ValueError(
+                f"corpus_sigs was built with num_hashes="
+                f"{got['num_hashes']}, bands={got['bands']}, "
+                f"n={got['gram_n']} but this call uses num_hashes="
+                f"{num_hashes}, bands={bands}, n={n}")
+        c_sig = (corpus_sigs
+                 .select("doc_id", F.explode("band_keys").alias("bk"))
+                 .select("doc_id", F.col("bk.band").alias("band"),
+                         F.col("bk.band_key").alias("band_key")))
+    else:
+        c_sig = _band_signatures(corpus, num_hashes, bands, text_col)
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "band_key")
         b_sig = (b_sig.withColumn("_bsz", F.count(F.lit(1)).over(w))
@@ -674,9 +757,14 @@ def dedup_against_corpus(batch: DataFrame, corpus: DataFrame,
         .select("doc_a", "doc_b").distinct()
     )
     bg = batch.select("doc_id", F.explode(shingles_col(text_col, n)).alias("gram"))
-    cg = corpus.select("doc_id", F.explode(shingles_col(text_col, n)).alias("gram"))
     b_sizes = bg.groupBy("doc_id").agg(F.count("*").alias("na"))
-    c_sizes = cg.groupBy("doc_id").agg(F.count("*").alias("nb"))
+    if corpus_sigs is not None:
+        cg = corpus_sigs.select("doc_id", F.explode("grams").alias("gram"))
+        c_sizes = corpus_sigs.select("doc_id", F.col("n_grams").alias("nb"))
+    else:
+        cg = corpus.select(
+            "doc_id", F.explode(shingles_col(text_col, n)).alias("gram"))
+        c_sizes = cg.groupBy("doc_id").agg(F.count("*").alias("nb"))
     inter = (
         cand.join(bg.select(F.col("doc_id").alias("doc_a"), "gram"), "doc_a")
         .join(cg.select(F.col("doc_id").alias("doc_b"), "gram"),

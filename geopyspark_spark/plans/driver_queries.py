@@ -645,6 +645,58 @@ FROM parents
 """
 
 
+def q_raster_pyramid_time_travel(spark, sf_dir):
+    """Pyramid-level time travel under the gate (r14, VERDICT r13 #5):
+    two ``write_pyramid`` publishes (the second +100 per cell), then
+    ``read_pyramid(version='p1')`` next to the newest — every zoom of a
+    snapshot must resolve the layer version THAT publish committed,
+    not whatever is currently committed per zoom (the mid-republish
+    mixed-zoom hazard the snapshot manifest exists to prevent). The
+    checked level is the same 2x2-of-8x8 pyramid level as
+    ``raster_pyramid``, so the oracle is its closed form per
+    snapshot."""
+    import shutil
+    import tempfile
+
+    from ..sources import catalog as cat
+
+    layer = lineitem_layer(spark, sf_dir)
+    pyr1 = layer.pyramid(resample_method="Average")
+    pyr2 = (layer + 100.0).pyramid(resample_method="Average")
+    z = pyr1.max_zoom - 1
+    uri = tempfile.mkdtemp(prefix="pyr_tt_", dir=_scratch_dir())
+    try:
+        cat.write_pyramid(uri, "tt", pyr1, keep_history=1)
+        cat.write_pyramid(uri, "tt", pyr2, keep_history=1)
+        assert cat.list_pyramid_versions(uri, "tt") == ["p1", "p2"]
+        rows = []
+        for pv in ("p1", "p2"):
+            back = cat.read_pyramid(spark, uri, "tt", version=pv)
+            got = _explode_result(back.levels[z])
+            rows.extend((pv, r["key_col"], r["key_row"], r["pos"],
+                         r["value"]) for r in got.collect())
+    finally:
+        shutil.rmtree(uri, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "snapshot string, key_col int, key_row int, pos int, value double")
+
+
+SQL_RASTER_PYRAMID_TIME_TRAVEL = CELLS_CTE + f"""
+, parents AS (
+  SELECT CAST(floor(gcol / 2) AS INT) AS pgcol, CAST(floor(grow / 2) AS INT) AS pgrow,
+         SUM(value) / COUNT(*) AS value
+  FROM coords GROUP BY 1, 2
+)
+SELECT s.snapshot,
+       CAST(floor(pgcol / {TILE}) AS INT) AS key_col,
+       CAST(floor(pgrow / {TILE}) AS INT) AS key_row,
+       CAST((pgrow % {TILE}) * {TILE} + pgcol % {TILE} AS INT) AS pos,
+       CASE WHEN s.snapshot = 'p2' THEN value + 100 ELSE value END AS value
+FROM parents, (SELECT 'p1' AS snapshot UNION ALL SELECT 'p2' AS snapshot) s
+"""
+
+
 def q_raster_spacetime_series(spark, sf_dir):
     """SPACETIME layer keyed by month of l_shipdate (1995 only); zonal mean
     per instant over the full extent — the reference's mean_series."""
@@ -8043,6 +8095,36 @@ def q_text_dedup_incremental(spark, sf_dir):
         batch, corpus, num_hashes=16, bands=4, min_jaccard=0.5)
 
 
+def q_text_dedup_incremental_sigs(spark, sf_dir):
+    """The persistable-artifact path of incremental dedup (r14, VERDICT
+    r13 #4): ``corpus_signatures`` is computed once, round-tripped
+    through parquet (exactly what a daily-ingest pipeline persists),
+    read back, and fed to ``dedup_against_corpus(corpus_sigs=...)`` —
+    which must return the SAME rows as the recompute path, so this
+    query shares ``text_dedup_incremental``'s oracle SQL. This is the
+    O(batch)-per-ingest shape at 100 TB: the corpus side is a scan of
+    the artifact, never a re-shingle of the corpus."""
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":inc"))),
+            1, 15), 16, 10).cast("long") % 5
+    )
+    tagged = docs.withColumn("_b", bucket)
+    corpus = tagged.where(F.col("_b") < 4).drop("_b")
+    batch = tagged.where(F.col("_b") == 4).drop("_b")
+    path = tempfile.mkdtemp(prefix="corpus_sigs_", dir=_scratch_dir())
+    shutil.rmtree(path, ignore_errors=True)
+    fdedup.corpus_signatures(
+        corpus, num_hashes=16, bands=4, n=2).write.parquet(path)
+    sigs = spark.read.parquet(path)
+    return fdedup.dedup_against_corpus(
+        batch, corpus_sigs=sigs, num_hashes=16, bands=4, min_jaccard=0.5)
+
+
 def _sql_dedup_incremental(num_hashes: int = 16, bands: int = 4,
                            min_jaccard: float = 0.5) -> str:
     """Oracle: the same md5 80/20 split, banded-signature batch x corpus
@@ -11288,6 +11370,7 @@ def _canonical_queries():
         "events_asof_join": q_events_asof_join,
         "raster_focal_sum": q_raster_focal_sum,
         "raster_pyramid": q_raster_pyramid,
+        "raster_pyramid_time_travel": q_raster_pyramid_time_travel,
         "raster_cost_distance": q_raster_cost_distance,
         "raster_reproject": q_raster_reproject,
         "raster_reproject_cass": q_raster_reproject_cass,
@@ -11325,6 +11408,7 @@ def _canonical_queries():
         "text_dedup_pipeline": q_text_dedup_pipeline,
         "text_dedup_keep_best": q_text_dedup_keep_best,
         "text_dedup_incremental": q_text_dedup_incremental,
+        "text_dedup_incremental_sigs": q_text_dedup_incremental_sigs,
         "emb_knn": q_emb_knn,
         "multimodal_features": q_multimodal_features,
         "multimodal_png_features": q_multimodal_png_features,
@@ -11461,58 +11545,10 @@ def _canonical_queries():
 # Regenerate with ``python tools/rotate_window.py --write``; do not
 # hand-edit between the markers.
 # BEGIN WINDOW_ORDER (generated)
-_WINDOW_ORDER_ROUND: int = 12
+_WINDOW_ORDER_ROUND: int = 13
 _WINDOW_ORDER: list = [
-    "raster_catalog_query_big",
-    "text_remove_dup_spans",
-    "rel_cube",
-    "text_dedup_keep_best",
-    "text_dedup_incremental",
-    "multimodal_png_interlaced",
-    "emb_drift",
-    "emb_outliers",
-    "events_trend",
-    "raster_catalog_s3_roundtrip",
-    "raster_catalog_time_travel",
-    "raster_catalog_diff",
-    "raster_catalog_restore",
-    "raster_zindex_temporal",
-    "raster_catalog_roundtrip",
-    "raster_convert_int8",
-    "raster_lookup",
-    "text_bm25",
-    "rel_profile",
-    "events_transitions",
-    "events_user_features",
-    "raster_windowed_source",
-    "raster_attribute_store",
-    "events_approx_percentile",
-    "raster_reproject_robin",
-    "multimodal_png_features",
-    "multimodal_resize",
-    "emb_kmeans",
-    "text_word_freq",
-    "text_quality",
-    "text_lang_scores",
-    "text_fingerprint",
-    "text_ngram_jaccard",
-    "text_bpe_tokens",
-    "text_quality_ratios",
-    "emb_norm_stats",
-    "emb_lsh_knn",
-    "emb_near_dup",
-    "emb_dedup_pipeline",
-    "multimodal_audio",
-    "tpch_q5_nation_revenue",
-    "tpch_q6",
-    "set_intersect",
-    "events_sliding",
-    "events_user_stats",
-    "raster_reclassify",
-    "raster_layer_add",
-    "raster_focal_mean",
-    "raster_class_histogram",
-    "raster_quantile_breaks",
+    "raster_pyramid_time_travel",
+    "text_dedup_incremental_sigs",
     "raster_aggregate_by_cell",
     "raster_cell_value_counts",
     "raster_resample",
@@ -11730,6 +11766,56 @@ _WINDOW_ORDER: list = [
     "raster_zindex",
     "raster_geotiff_jpeg_arithmetic",
     "raster_geotiff_jpeg_lossless",
+    "text_bm25",
+    "rel_profile",
+    "events_transitions",
+    "events_user_features",
+    "raster_catalog_query_big",
+    "raster_windowed_source",
+    "raster_attribute_store",
+    "text_remove_dup_spans",
+    "rel_cube",
+    "events_approx_percentile",
+    "raster_reproject_robin",
+    "text_dedup_keep_best",
+    "text_dedup_incremental",
+    "multimodal_png_features",
+    "multimodal_png_interlaced",
+    "multimodal_resize",
+    "emb_kmeans",
+    "text_word_freq",
+    "text_quality",
+    "text_lang_scores",
+    "text_fingerprint",
+    "text_ngram_jaccard",
+    "text_bpe_tokens",
+    "text_quality_ratios",
+    "emb_norm_stats",
+    "emb_drift",
+    "emb_outliers",
+    "emb_lsh_knn",
+    "emb_near_dup",
+    "emb_dedup_pipeline",
+    "multimodal_audio",
+    "tpch_q5_nation_revenue",
+    "tpch_q6",
+    "set_intersect",
+    "events_sliding",
+    "events_user_stats",
+    "events_trend",
+    "raster_reclassify",
+    "raster_layer_add",
+    "raster_focal_mean",
+    "raster_class_histogram",
+    "raster_quantile_breaks",
+    "raster_zindex_temporal",
+    "raster_catalog_roundtrip",
+    "raster_catalog_s3_roundtrip",
+    "raster_catalog_time_travel",
+    "raster_catalog_diff",
+    "raster_catalog_restore",
+    "raster_convert_int8",
+    "raster_lookup",
 ]
 # END WINDOW_ORDER
 
@@ -11763,6 +11849,7 @@ def oracle_sql():
         "raster_tile_to_layout_warp": SQL_RASTER_TILE_TO_LAYOUT_WARP,
         "raster_tile_to_layout_big": SQL_RASTER_TILE_TO_LAYOUT_BIG,
         "raster_pyramid": SQL_RASTER_PYRAMID,
+        "raster_pyramid_time_travel": SQL_RASTER_PYRAMID_TIME_TRAVEL,
         "raster_spacetime_series": SQL_RASTER_SPACETIME_SERIES,
         "raster_slope": SQL_RASTER_SLOPE,
         "raster_bands": SQL_RASTER_BANDS,
@@ -11913,6 +12000,9 @@ def oracle_sql():
         "text_dedup_pipeline": _sql_dedup_pipeline(16, 4, 0.5),
         "text_dedup_keep_best": _sql_dedup_keep_best(16, 4, 0.5),
         "text_dedup_incremental": _sql_dedup_incremental(16, 4, 0.5),
+        # the artifact path must return EXACTLY the recompute path's
+        # rows — same oracle (r14, VERDICT r13 #4)
+        "text_dedup_incremental_sigs": _sql_dedup_incremental(16, 4, 0.5),
         "text_word_freq": SQL_TEXT_WORD_FREQ,
         "text_quality": SQL_TEXT_QUALITY,
         "text_lang_scores": _sql_lang_scores(),

@@ -346,6 +346,49 @@ def list_zooms(uri: str, layer_name: str) -> list[int]:
     return sorted(out)
 
 
+def _pyramid_prefix(uri: str, layer_name: str) -> str:
+    return f"{str(uri).rstrip('/')}/{layer_name}/.pyramid"
+
+
+def publish_pyramid_snapshot(uri: str, layer_name: str,
+                             body: bytes) -> str:
+    """Create-only publish of an immutable pyramid snapshot object
+    (r14, VERDICT r13 #5): the same conditional-PUT claim primitive as
+    layer versions — two racing publishers get distinct ``pN`` names,
+    and a read-back verifies ownership on stores that ignore
+    ``If-None-Match`` (the last-writer-wins fallback)."""
+    prefix = _pyramid_prefix(uri, layer_name)
+    ns = [int(m.group(1)) for key in obs.list_keys(prefix + "/")
+          if (m := re.fullmatch(r"p(\d+)\.json", key[len(prefix) + 1:]))]
+    n = (max(ns) if ns else 0) + 1
+    while True:
+        target = f"{prefix}/p{n}.json"
+        try:
+            obs.put_object(target, body, if_none_match=True)
+        except obs.PreconditionFailed:
+            n += 1
+            continue
+        got = obs.get_object(target)
+        if got is not None and got[0] == body:
+            return f"p{n}"
+        n += 1  # last-writer-wins store: another publisher owns pN
+
+
+def list_pyramid_versions(uri: str, layer_name: str) -> list[str]:
+    prefix = _pyramid_prefix(uri, layer_name)
+    ns = [int(m.group(1)) for key in obs.list_keys(prefix + "/")
+          if (m := re.fullmatch(r"p(\d+)\.json", key[len(prefix) + 1:]))]
+    return [f"p{n}" for n in sorted(ns)]
+
+
+def read_pyramid_snapshot(uri: str, layer_name: str, pv: str) -> bytes:
+    got = obs.get_object(f"{_pyramid_prefix(uri, layer_name)}/{pv}.json")
+    if got is None:
+        raise FileNotFoundError(
+            f"pyramid snapshot {pv!r} of {layer_name!r} under {uri}")
+    return got[0]
+
+
 def commit_staged(uri: str, layer_name: str, zoom: int,
                   staging_dir: str, keep_history: int = 0,
                   expected_prev=_UNSET) -> str:

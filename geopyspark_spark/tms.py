@@ -40,14 +40,34 @@ class CatalogTileFetcher(TileFetcher):
     """
 
     def __init__(self, uri: str, layer_name: str, tile_cols: int | None = None,
-                 tile_rows: int | None = None, band: int = 0):
+                 tile_rows: int | None = None, band: int = 0,
+                 pyramid_version: str | int | None = None):
         self.uri, self.layer_name = uri, layer_name
         self.band = band
-        self._zooms = self._list_zooms()
+        # pyramid time travel (r14, VERDICT r13 #5): resolving a
+        # snapshot ONCE here pins every zoom to the layer version one
+        # write_pyramid publish committed — a server started mid-
+        # republish serves one consistent pyramid instead of mixing
+        # zooms from two publishes. pyramid_version: None = unpinned
+        # (each read serves whatever is committed, the pre-r14
+        # behavior); "latest" = newest snapshot at construction; "pN"
+        # or N = that snapshot.
+        self._pin: dict[int, str] = {}
+        if pyramid_version is not None:
+            from .sources.catalog import read_pyramid_manifest
+
+            self._pin = read_pyramid_manifest(
+                uri, layer_name,
+                version=None if pyramid_version == "latest"
+                else pyramid_version)
+        self._zooms = (sorted(self._pin) if self._pin
+                       else self._list_zooms())
         if tile_cols is None and self._zooms:
             from .sources.catalog import read_layer_metadata
 
-            tl = read_layer_metadata(uri, layer_name, self._zooms[-1]).layout.tile_layout
+            tl = read_layer_metadata(
+                uri, layer_name, self._zooms[-1],
+                version=self._pin.get(self._zooms[-1])).layout.tile_layout
             tile_cols, tile_rows = tl.tile_cols, tl.tile_rows
         self.tc = tile_cols or 256
         self.tr = tile_rows or self.tc
@@ -61,7 +81,8 @@ class CatalogTileFetcher(TileFetcher):
     def _read(self, zoom: int, col: int, row: int):
         from .sources.catalog import read_value
 
-        rows = read_value(self.uri, self.layer_name, zoom, col, row, band=self.band)
+        rows = read_value(self.uri, self.layer_name, zoom, col, row,
+                          band=self.band, version=self._pin.get(zoom))
         if not rows:
             return None
         # rows: named records from read_value (catalog parquet schema)

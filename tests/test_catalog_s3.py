@@ -340,3 +340,50 @@ class TestS3FinishCommitSafety:
         monkeypatch.setattr(obs, "put_object", contended_put)
         with pytest.raises(catalog.ConflictError):
             co._publish(root, "v3", expected_prev="v1")
+
+
+class TestS3PyramidSnapshots:
+    """r14 (VERDICT r13 #5): pyramid snapshots on the object backend —
+    create-only conditional-PUT claim, immutable once readable."""
+
+    def test_publish_list_read_roundtrip(self, s3cat):
+        body1 = b'{"levels": {"0": "v1", "1": "v1"}}'
+        body2 = b'{"levels": {"0": "v2", "1": "v2"}}'
+        assert co.publish_pyramid_snapshot("s3://b/cat", "L", body1) == "p1"
+        assert co.publish_pyramid_snapshot("s3://b/cat", "L", body2) == "p2"
+        assert co.list_pyramid_versions("s3://b/cat", "L") == ["p1", "p2"]
+        assert co.read_pyramid_snapshot("s3://b/cat", "L", "p1") == body1
+        assert co.read_pyramid_snapshot("s3://b/cat", "L", "p2") == body2
+        with pytest.raises(FileNotFoundError):
+            co.read_pyramid_snapshot("s3://b/cat", "L", "p9")
+
+    def test_racing_publishers_get_distinct_names(self, s3cat):
+        names = []
+        barrier = threading.Barrier(2)
+
+        def pub(tag):
+            barrier.wait(timeout=60)
+            names.append(co.publish_pyramid_snapshot(
+                "s3://b/cat", "L", b'{"levels": {"0": "' + tag + b'"}}'))
+
+        ts = [threading.Thread(target=pub, args=(t,))
+              for t in (b"a", b"b")]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        assert sorted(names) == ["p1", "p2"]
+
+    def test_no_precondition_store_read_back(self, s3cat):
+        """Last-writer-wins fallback: an overwritten publisher sees the
+        other body on read-back and moves to the next number."""
+        s3cat.no_preconditions = True
+        obs.put_object("s3://b/cat/L/.pyramid/p1.json", b"other")
+        name = co.publish_pyramid_snapshot("s3://b/cat", "L", b"mine")
+        assert name == "p2"
+        assert obs.get_object("s3://b/cat/L/.pyramid/p2.json")[0] == b"mine"
+
+    def test_pyramid_dir_not_a_zoom(self, s3cat):
+        obs.put_object("s3://b/cat/L/.pyramid/p1.json", b"{}")
+        obs.put_object("s3://b/cat/L/3/MANIFEST", b"v1")
+        assert co.list_zooms("s3://b/cat", "L") == [3]

@@ -274,11 +274,13 @@ class TestTwoLevel:
             np.nan_to_num(got, nan=-1.0), np.nan_to_num(exp, nan=-1.0),
             atol=1e-9)
 
-    def test_escape_respects_driver_size_guard(self, spark, monkeypatch):
-        """When the estimated boundary graph exceeds the driver-side
-        cap, strategy='auto' must NOT escape — it warns and finishes on
-        the fixpoint loop with the full cell-count cap, still landing
-        on the exact answer (r13)."""
+    def test_escape_above_cap_uses_distributed_solver(self, spark,
+                                                      monkeypatch):
+        """r14 (VERDICT r13 #2): above the boundary-size cap,
+        strategy='auto' still escapes — the boundary graph is solved by
+        the distributed frontier Bellman-Ford instead of driver heapq
+        (r13 skipped the escape and warned), landing on the exact
+        answer with a bit-identical reach set."""
         from geopyspark_spark.operators import costdistance as cd
 
         monkeypatch.setattr(cd, "_ESCAPE_ROUNDS", 2)
@@ -293,15 +295,79 @@ class TestTwoLevel:
                 fric[r, 6:] = np.nan
         layer = _maze_layer(spark, fric, tsz=8)
         src = gps.Point(1.5, n - 1.5)
-        with pytest.warns(RuntimeWarning, match="auto escape skipped"):
-            out = cost_distance(layer, src, block_cells=32 * 32,
-                                table_cells=16 * 16)
-            got = _stitched(out)
-        assert not cd._loop_stats["two_level"], "guard did not hold"
+        out = cost_distance(layer, src, block_cells=32 * 32,
+                            table_cells=16 * 16)
+        got = _stitched(out)
+        assert cd._loop_stats["two_level"], "escape did not fire"
+        assert cd._loop_stats["boundary_solver"] == "distributed"
         exp = _ref_dijkstra_grid(fric, 1, 1)
         np.testing.assert_allclose(
             np.nan_to_num(got, nan=-1.0), np.nan_to_num(exp, nan=-1.0),
             atol=1e-9)
+        # bit-identical reach set vs the maze's exact distances
+        assert np.array_equal(np.isnan(got), np.isnan(exp))
+
+    def test_distributed_solver_matches_driver_solver(self, spark):
+        """The two boundary solvers are the SAME min-plus fixpoint over
+        the SAME edge list — serpentine maze distances must agree
+        exactly, with a bit-identical reach set (r14 gate)."""
+        from geopyspark_spark.operators import costdistance as cd
+
+        rng = np.random.default_rng(7)
+        n = 48
+        fric = rng.uniform(0.5, 3.0, size=(n, n))
+        for i, r in enumerate(range(3, n - 2, 5)):   # serpentine walls
+            if i % 2 == 0:
+                fric[r, : n - 4] = np.nan
+            else:
+                fric[r, 4:] = np.nan
+        layer = _maze_layer(spark, fric, tsz=8)
+        src = gps.Point(1.5, n - 1.5)
+        drv = cost_distance(layer, src, strategy="two_level",
+                            table_cells=16 * 16,
+                            boundary_solver="driver")
+        a = _stitched(drv)
+        assert cd._loop_stats["boundary_solver"] == "driver"
+        dst = cost_distance(layer, src, strategy="two_level",
+                            table_cells=16 * 16,
+                            boundary_solver="distributed")
+        b = _stitched(dst)
+        assert cd._loop_stats["boundary_solver"] == "distributed"
+        assert np.array_equal(np.isnan(a), np.isnan(b))  # reach set
+        np.testing.assert_allclose(
+            np.nan_to_num(a, nan=-1.0), np.nan_to_num(b, nan=-1.0),
+            atol=1e-12)
+        exp = _ref_dijkstra_grid(fric, 1, 1)
+        np.testing.assert_allclose(
+            np.nan_to_num(b, nan=-1.0), np.nan_to_num(exp, nan=-1.0),
+            atol=1e-9)
+
+    def test_distributed_solver_truncation_and_multisource(self, spark):
+        """max_distance masking and multiple seed geometries flow
+        through the cogrouped finalize identically on both solvers."""
+        rng = np.random.default_rng(11)
+        n = 32
+        fric = rng.uniform(0.2, 4.0, size=(n, n))
+        fric[rng.random((n, n)) < 0.15] = np.nan
+        layer = _maze_layer(spark, fric, tsz=8)
+        srcs = [gps.Point(2.5, 2.5), gps.Point(float(n) - 3.5, 10.5)]
+        for max_d in (np.inf, 12.0):
+            a = _stitched(cost_distance(
+                layer, srcs, max_distance=max_d, strategy="two_level",
+                table_cells=256, boundary_solver="driver"))
+            b = _stitched(cost_distance(
+                layer, srcs, max_distance=max_d, strategy="two_level",
+                table_cells=256, boundary_solver="distributed"))
+            np.testing.assert_allclose(
+                np.nan_to_num(a, nan=-1.0), np.nan_to_num(b, nan=-1.0),
+                atol=1e-12, err_msg=f"max_d {max_d}")
+
+    def test_bogus_boundary_solver_rejected(self, spark):
+        fric = np.ones((16, 16))
+        layer = _maze_layer(spark, fric, tsz=8)
+        with pytest.raises(ValueError, match="boundary_solver"):
+            cost_distance(layer, gps.Point(1.5, 14.5),
+                          strategy="two_level", boundary_solver="bogus")
 
     def test_zero_friction_corridor_crosses_blocks(self, spark):
         """A zero-friction corridor makes the within-block

@@ -182,6 +182,103 @@ class TestPyramidPublish:
         over = fetcher.fetch(3, 2, 2)
         assert over is not None and np.isfinite(over).all()
 
+    @staticmethod
+    def _pyramid(spark, fill_offset=0.0):
+        import geopyspark_spark as gps
+
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64ud-1.0",
+            layout=gps.LayoutDefinition(gps.Extent(0, 0, 16, 16),
+                                        gps.TileLayout(4, 4, 4, 4)),
+            bounds=((0, 0), (3, 3)), extent=gps.Extent(0, 0, 16, 16),
+            num_bands=1, zoom=2,
+        )
+        rows = [(c, r, 0, [float(c * 4 + r) + fill_offset] * 16)
+                for c in range(4) for r in range(4)]
+        df = spark.createDataFrame(
+            rows, "key_col int, key_row int, band int, cells array<double>")
+        return gps.TiledRasterLayer(df, md).pyramid(
+            resample_method="Average")
+
+    def test_snapshot_pins_consistent_publish(self, spark, tmp_path):
+        """r14 (VERDICT r13 #5): a TMS fetcher pinned to a pyramid
+        snapshot serves that publish at EVERY zoom, across later
+        republish — pyramid-level time travel."""
+        from geopyspark_spark.sources import catalog
+        from geopyspark_spark.tms import CatalogTileFetcher
+
+        uri = str(tmp_path / "vcat")
+        catalog.write_pyramid(uri, "pub", self._pyramid(spark, 0.0),
+                              keep_history=1)
+        catalog.write_pyramid(uri, "pub", self._pyramid(spark, 100.0),
+                              keep_history=1)
+        assert catalog.list_pyramid_versions(uri, "pub") == ["p1", "p2"]
+        m1 = catalog.read_pyramid_manifest(uri, "pub", version="p1")
+        m2 = catalog.read_pyramid_manifest(uri, "pub")  # newest
+        assert set(m1) == set(m2)
+        assert all(m1[z] != m2[z] for z in m1)  # distinct layer versions
+        old = CatalogTileFetcher(uri, "pub", pyramid_version="p1")
+        new = CatalogTileFetcher(uri, "pub", pyramid_version="latest")
+        live = CatalogTileFetcher(uri, "pub")
+        for zoom, col, row in [(2, 1, 1), (1, 0, 0), (0, 0, 0)]:
+            a, b, c = (f.fetch(zoom, col, row) for f in (old, new, live))
+            assert float(b[0, 0]) - float(a[0, 0]) == 100.0, (zoom, col)
+            assert float(c[0, 0]) == float(b[0, 0])  # unpinned = newest
+
+    def test_snapshot_isolates_mid_publish(self, spark, tmp_path):
+        """A single-zoom commit AFTER a snapshot (the mid-republish
+        state) must not leak into a pinned fetcher — the unpinned one
+        sees it (that is the inconsistency the snapshot exists to
+        prevent)."""
+        from geopyspark_spark.sources import catalog
+        from geopyspark_spark.tms import CatalogTileFetcher
+
+        uri = str(tmp_path / "midcat")
+        pyr = self._pyramid(spark, 0.0)
+        catalog.write_pyramid(uri, "pub", pyr, keep_history=1)
+        # mid-publish: zoom 2 gets a new commit, shallower zooms do not
+        bumped = pyr.levels[2] + 50.0
+        catalog.write(uri, "pub", bumped, zoom=2, keep_history=1)
+        pinned = CatalogTileFetcher(uri, "pub", pyramid_version="p1")
+        live = CatalogTileFetcher(uri, "pub")
+        assert float(live.fetch(2, 1, 1)[0, 0]) - \
+            float(pinned.fetch(2, 1, 1)[0, 0]) == 50.0
+        # shallow zooms agree (not yet republished)
+        assert float(live.fetch(1, 0, 0)[0, 0]) == \
+            float(pinned.fetch(1, 0, 0)[0, 0])
+
+    def test_read_pyramid_version(self, spark, tmp_path):
+        from geopyspark_spark.sources import catalog
+
+        uri = str(tmp_path / "rpcat")
+        catalog.write_pyramid(uri, "pub", self._pyramid(spark, 0.0),
+                              keep_history=1)
+        catalog.write_pyramid(uri, "pub", self._pyramid(spark, 7.0),
+                              keep_history=1)
+        p1 = catalog.read_pyramid(spark, uri, "pub", version="p1")
+        pn = catalog.read_pyramid(spark, uri, "pub")
+        assert set(p1.levels) == set(pn.levels)
+        z = max(p1.levels)
+        v1 = {(r["key_col"], r["key_row"]): r["cells"][0]
+              for r in p1.levels[z].df.collect()}
+        vn = {(r["key_col"], r["key_row"]): r["cells"][0]
+              for r in pn.levels[z].df.collect()}
+        assert all(vn[k] - v1[k] == 7.0 for k in v1)
+
+    def test_no_snapshot_raises(self, spark, tmp_path):
+        import pytest as _pt
+
+        from geopyspark_spark.sources import catalog
+
+        uri = str(tmp_path / "nscat")
+        pyr = self._pyramid(spark, 0.0)
+        # zoom-by-zoom plain writes: no snapshot discipline
+        for z, layer in pyr.levels.items():
+            catalog.write(uri, "pub", layer, zoom=z)
+        assert catalog.list_pyramid_versions(uri, "pub") == []
+        with _pt.raises(FileNotFoundError, match="pyramid"):
+            catalog.read_pyramid_manifest(uri, "pub")
+
 
 class TestDeepZoomGate:
     """r12 (VERDICT r11 #8): with the Z2 index at 31 bits/axis, the
