@@ -8125,6 +8125,58 @@ def q_text_dedup_incremental_sigs(spark, sf_dir):
         batch, corpus_sigs=sigs, num_hashes=16, bands=4, min_jaccard=0.5)
 
 
+def q_text_dedup_stream(spark, sf_dir):
+    """STREAMING incremental dedup (r14): the daily-ingest batch
+    arrives as a document stream (readStream over the documents
+    parquet, filtered to the same md5 20% split), each micro-batch
+    judged against the PERSISTED corpus-signature artifact inside
+    ``foreachBatch`` (the documented shape for multi-aggregation logic
+    the streaming planner cannot express inline), verdicts appended to
+    a parquet sink, drained by Trigger.AvailableNow. Per-doc verdicts
+    are independent of micro-batching, so the sink must equal the
+    one-shot batch output row-for-row — this query shares
+    ``text_dedup_incremental``'s oracle SQL verbatim."""
+    import shutil
+    import tempfile
+
+    from ..functions import dedup as fdedup_
+    from ..streaming.documents import (read_documents_stream,
+                                       stream_dedup_against_corpus)
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket_b = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":inc"))),
+            1, 15), 16, 10).cast("long") % 5
+    )
+    corpus = docs.withColumn("_b", bucket_b).where(F.col("_b") < 4).drop("_b")
+    scratch = tempfile.mkdtemp(prefix="dedup_stream_", dir=_scratch_dir())
+    shutil.rmtree(scratch, ignore_errors=True)
+    sig_path = f"{scratch}/sigs"
+    out_path = f"{scratch}/verdicts"
+    fdedup_.corpus_signatures(
+        corpus, num_hashes=16, bands=4, n=2).write.parquet(sig_path)
+    sigs = spark.read.parquet(sig_path)
+    # the file source streams a DIRECTORY of arriving files — stage the
+    # testdata parquet into one by symlink (zero-copy)
+    import os as _os
+
+    stream_dir = f"{scratch}/incoming"
+    _os.makedirs(stream_dir)
+    _os.symlink(_os.path.abspath(f"{sf_dir}/documents.parquet"),
+                f"{stream_dir}/part-0.parquet")
+    stream = read_documents_stream(spark, stream_dir)
+    batch_stream = stream.withColumn("_b", bucket_b).where(
+        F.col("_b") == 4).drop("_b")
+    q = stream_dedup_against_corpus(
+        batch_stream, sigs, out_path,
+        checkpoint=f"{scratch}/ckpt",
+        num_hashes=16, bands=4, min_jaccard=0.5)
+    q.awaitTermination()
+    return spark.read.parquet(out_path).select(
+        "doc_id", "is_dup", "match_doc_id")
+
+
 def _sql_dedup_incremental(num_hashes: int = 16, bands: int = 4,
                            min_jaccard: float = 0.5) -> str:
     """Oracle: the same md5 80/20 split, banded-signature batch x corpus
@@ -11409,6 +11461,7 @@ def _canonical_queries():
         "text_dedup_keep_best": q_text_dedup_keep_best,
         "text_dedup_incremental": q_text_dedup_incremental,
         "text_dedup_incremental_sigs": q_text_dedup_incremental_sigs,
+        "text_dedup_stream": q_text_dedup_stream,
         "emb_knn": q_emb_knn,
         "multimodal_features": q_multimodal_features,
         "multimodal_png_features": q_multimodal_png_features,
@@ -11549,6 +11602,7 @@ _WINDOW_ORDER_ROUND: int = 13
 _WINDOW_ORDER: list = [
     "raster_pyramid_time_travel",
     "text_dedup_incremental_sigs",
+    "text_dedup_stream",
     "raster_aggregate_by_cell",
     "raster_cell_value_counts",
     "raster_resample",
@@ -12003,6 +12057,7 @@ def oracle_sql():
         # the artifact path must return EXACTLY the recompute path's
         # rows — same oracle (r14, VERDICT r13 #4)
         "text_dedup_incremental_sigs": _sql_dedup_incremental(16, 4, 0.5),
+        "text_dedup_stream": _sql_dedup_incremental(16, 4, 0.5),
         "text_word_freq": SQL_TEXT_WORD_FREQ,
         "text_quality": SQL_TEXT_QUALITY,
         "text_lang_scores": _sql_lang_scores(),

@@ -1,0 +1,77 @@
+"""Streaming document-pipeline operators (r14): the daily-ingest dedup
+shape over Structured Streaming.
+
+Reference surface: none — the reference has no streaming engine; this
+is green-field capability for the LLM-data-pipeline side (SURVEY §2.12
+extension), built the way Spark documents for logic the streaming
+planner cannot express inline: ``dedup_against_corpus`` chains several
+aggregations (bucket-size window, intersection counts, per-doc min),
+which a single streaming query forbids — so each micro-batch runs the
+FULL batch operator via ``foreachBatch`` against the persisted corpus
+signature artifact and appends its verdicts to a parquet sink. That is
+exactly the production shape: the corpus side is a pre-built artifact
+scan (O(batch) work per micro-batch — :func:`...functions.dedup.
+corpus_signatures`), results are idempotent per doc, and the sink is
+append-only.
+
+Correctness contract: every micro-batch document is judged
+independently against the (static) corpus, so the union of micro-batch
+outputs equals the one-shot batch output row-for-row — the oracle
+query pins this by sharing ``text_dedup_incremental``'s SQL verbatim.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+DOCUMENTS_SCHEMA = ("doc_id long, text string, lang string, "
+                    "source string, n_chars long")
+
+
+def read_documents_stream(spark: SparkSession, path: str) -> DataFrame:
+    """``readStream`` over a documents parquet directory (the driver
+    testdata layout). Schema is pinned (streaming reads cannot infer),
+    matching ``/root/testdata/sf*/documents.parquet``."""
+    return (spark.readStream.schema(DOCUMENTS_SCHEMA)
+            .parquet(str(path).rstrip("/")))
+
+
+def stream_dedup_against_corpus(docs_stream: DataFrame,
+                                corpus_sigs: DataFrame,
+                                out_path: str,
+                                checkpoint: str | None = None,
+                                query_name: str = "dedup_stream",
+                                **dedup_kwargs):
+    """Run incremental near-dup detection on a document STREAM: each
+    micro-batch is checked against the persisted corpus-signature
+    artifact with the full batch operator
+    (:func:`...functions.dedup.dedup_against_corpus`) inside
+    ``foreachBatch``, and ``(doc_id, is_dup, match_doc_id)`` verdicts
+    append to ``out_path`` as parquet.
+
+    Returns the started StreamingQuery; callers drain with
+    ``Trigger.AvailableNow`` semantics by awaiting termination (the
+    default trigger here) or keep it running for continuous ingest.
+
+    100 TB shape: the corpus side never recomputes — ``corpus_sigs``
+    is a parquet scan per micro-batch (cache it for hot loops); all
+    per-batch work is O(micro-batch); the sink is append-only so
+    replays after failure are idempotent per (batch, doc)."""
+    from ..functions.dedup import dedup_against_corpus
+
+    def judge(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        out = dedup_against_corpus(batch_df, corpus_sigs=corpus_sigs,
+                                   **dedup_kwargs)
+        out.write.mode("append").parquet(out_path)
+
+    ckpt = checkpoint or tempfile.mkdtemp(prefix="dedup_stream_ckpt_")
+    return (docs_stream.writeStream
+            .foreachBatch(judge)
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start())
