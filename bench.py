@@ -102,6 +102,11 @@ HEADLINE = [
     "text_dedup_incremental",
     "raster_catalog_query_big",
     "events_trend",
+    # round-14 additions: the persisted-artifact incremental-dedup path
+    # (parquet round-trip of corpus signatures) and pyramid snapshot
+    # time travel (two full write_pyramid publishes + both pinned reads)
+    "text_dedup_incremental_sigs",
+    "raster_pyramid_time_travel",
 ]
 
 
