@@ -73,10 +73,11 @@ class CatalogTileFetcher(TileFetcher):
         self.tr = tile_rows or self.tc
 
     def _list_zooms(self) -> list[int]:
-        base = os.path.join(self.uri, self.layer_name)
-        if not os.path.isdir(base):
-            return []
-        return sorted(int(d) for d in os.listdir(base) if d.isdigit())
+        # catalog.list_zooms dispatches POSIX vs s3:// (r14) — an
+        # unpinned fetcher can serve an object-store catalog too
+        from .sources.catalog import list_zooms
+
+        return list_zooms(self.uri, self.layer_name)
 
     def _read(self, zoom: int, col: int, row: int):
         from .sources.catalog import read_value

@@ -387,3 +387,36 @@ class TestS3PyramidSnapshots:
         obs.put_object("s3://b/cat/L/.pyramid/p1.json", b"{}")
         obs.put_object("s3://b/cat/L/3/MANIFEST", b"v1")
         assert co.list_zooms("s3://b/cat", "L") == [3]
+
+
+class TestS3TmsServing:
+    """r14: the TMS fetcher serves object-store catalogs — unpinned
+    zoom discovery via ListObjectsV2 (the r14 _list_zooms dispatch) and
+    snapshot-pinned time travel, both over the no-Spark duckdb point
+    read against the immutable version cache."""
+
+    def test_unpinned_fetcher_on_s3(self, spark, f1_layer, s3cat):
+        from geopyspark_spark.tms import CatalogTileFetcher
+
+        catalog.write("s3://b/cat", "a", f1_layer, zoom=0)
+        f = CatalogTileFetcher("s3://b/cat", "a")
+        assert f._zooms == [0]
+        tile = f.fetch(0, 0, 0)
+        assert tile is not None and tile.shape == (5, 5)
+        assert tile[0, 0] == 0.0 and tile[1, 1] == 1.0
+
+    def test_pinned_fetcher_time_travels_on_s3(self, spark, f1_layer,
+                                               s3cat):
+        from geopyspark_spark.layer import Pyramid
+        from geopyspark_spark.tms import CatalogTileFetcher
+
+        uri = "s3://b/cat"
+        pyr1 = Pyramid({0: f1_layer})
+        pyr2 = Pyramid({0: f1_layer + 41.0})
+        catalog.write_pyramid(uri, "a", pyr1, keep_history=1)
+        catalog.write_pyramid(uri, "a", pyr2, keep_history=1)
+        assert catalog.list_pyramid_versions(uri, "a") == ["p1", "p2"]
+        old = CatalogTileFetcher(uri, "a", pyramid_version="p1")
+        new = CatalogTileFetcher(uri, "a", pyramid_version="latest")
+        a, b = old.fetch(0, 1, 1), new.fetch(0, 1, 1)
+        assert float(b[2, 2]) - float(a[2, 2]) == 41.0
