@@ -1144,59 +1144,61 @@ def _cost_distance_two_level(
         seeds = seed_mask(kc, kr) & passable
         S = len(brs)
         base = gid0(kc, kr, band)
-
-        def gid(r, c):
-            return base + r * W + c
-
-        srcs, dsts, ws = [], [], []
+        src_parts, dst_parts, w_parts = [], [], []
+        bgids = base + brs.astype(np.int64) * W + bcs.astype(np.int64)
         n_seed_slices = 1 if seeds.any() else 0
         if S + n_seed_slices:
             d = np.full((S + n_seed_slices, bh + 2, bw + 2), _BIG)
-            for i, (r, c) in enumerate(zip(brs.tolist(), bcs.tolist())):
-                d[i, r + 1, c + 1] = 0.0
+            d[np.arange(S), brs + 1, bcs + 1] = 0.0
             if n_seed_slices:
                 sr, sc = np.nonzero(seeds)
                 d[S, sr + 1, sc + 1] = 0.0
             d = _relax_stack(d, half)
-            # within-block tables (and seed->boundary edges)
+            # within-block tables (and seed->boundary edges), fully
+            # vectorized (r14 — the per-pair Python loop was O(S^2)
+            # interpreter work per block, the hot cost of edge
+            # emission at S ~ 500 boundary cells). Keep ZERO-weight
+            # edges between distinct cells (a zero-friction corridor
+            # makes at_b == 0 for i != j; filtering on > 0 dropped
+            # them and cut the boundary graph — r13 regression test);
+            # only the self edge is skipped.
             at_b = d[:, brs + 1, bcs + 1]      # (S+ns, |B|)
-            for i in range(S):
-                # keep ZERO-weight edges between distinct cells (a
-                # zero-friction corridor makes at_b == 0 for i != j;
-                # filtering on > 0 dropped them and cut the boundary
-                # graph — r13 regression test); only the self edge is
-                # skipped
-                fin = np.flatnonzero(at_b[i] < _SNAP)
-                src_id = gid(int(brs[i]), int(bcs[i]))
-                for j in fin.tolist():
-                    if j == i:
-                        continue
-                    srcs.append(src_id)
-                    dsts.append(gid(int(brs[j]), int(bcs[j])))
-                    ws.append(float(at_b[i, j]))
+            reach = at_b[:S] < _SNAP
+            np.fill_diagonal(reach, False)
+            ii, jj = np.nonzero(reach)
+            src_parts.append(bgids[ii])
+            dst_parts.append(bgids[jj])
+            w_parts.append(at_b[ii, jj])
             if n_seed_slices:
-                fin = np.flatnonzero(at_b[S] < _SNAP)
-                for j in fin.tolist():
-                    srcs.append(-1)
-                    dsts.append(gid(int(brs[j]), int(bcs[j])))
-                    ws.append(float(at_b[S, j]))
+                jj = np.flatnonzero(at_b[S] < _SNAP)
+                src_parts.append(np.full(len(jj), -1, dtype=np.int64))
+                dst_parts.append(bgids[jj])
+                w_parts.append(at_b[S, jj])
         # cross-block edges: boundary cell -> passable 8-adjacent ring
         # cell (the neighboring block emits the reverse direction)
-        for r, c in zip(brs.tolist(), bcs.tolist()):
-            ha = half[r + 1, c + 1]
-            for dr, dc, wgt in _MOVES:
-                r2, c2 = r + dr, c + dc
-                if 0 <= r2 < bh and 0 <= c2 < bw:
-                    continue  # interior move, not a seam crossing
-                hb = half[r2 + 1, c2 + 1]
-                if not np.isfinite(hb):
-                    continue
-                gr, gc = kr * bh + r2, kc * bw + c2
-                if not (0 <= gr < H and 0 <= gc < W):
-                    continue
-                srcs.append(gid(r, c))
-                dsts.append((band * H + gr) * W + gc)
-                ws.append((ha + hb) * wgt)
+        for dr, dc, wgt in _MOVES:
+            r2 = brs + dr
+            c2 = bcs + dc
+            seam = ~((0 <= r2) & (r2 < bh) & (0 <= c2) & (c2 < bw))
+            gr = kr * bh + r2
+            gc = kc * bw + c2
+            ok = (seam & np.isfinite(half[r2 + 1, c2 + 1])
+                  & (0 <= gr) & (gr < H) & (0 <= gc) & (gc < W))
+            if not ok.any():
+                continue
+            ha = half[brs[ok] + 1, bcs[ok] + 1]
+            hb = half[r2[ok] + 1, c2[ok] + 1]
+            src_parts.append(bgids[ok])
+            dst_parts.append((band * H + gr[ok].astype(np.int64)) * W
+                             + gc[ok].astype(np.int64))
+            w_parts.append((ha + hb) * wgt)
+        if src_parts:
+            srcs = np.concatenate(src_parts)
+            dsts = np.concatenate(dst_parts)
+            ws = np.concatenate(w_parts).astype(np.float64)
+        else:
+            srcs = dsts = np.array([], dtype=np.int64)
+            ws = np.array([], dtype=np.float64)
         return pd.DataFrame({"src": pd.array(srcs, dtype="int64"),
                              "dst": pd.array(dsts, dtype="int64"),
                              "w": pd.array(ws, dtype="float64")})
