@@ -1257,15 +1257,25 @@ def _cost_distance_two_level(
         d = np.full((bh + 2, bw + 2), _BIG)
         interior = fb[1:-1, 1:-1]
         passable = ~np.isnan(interior)
-        vals = (dict(zip(bd["node"].tolist(), bd["dist"].tolist()))
-                if len(bd) else {})
-        bmask = np.zeros_like(passable)
-        bmask[0, :] = bmask[-1, :] = True
-        bmask[:, 0] = bmask[:, -1] = True
-        for r, c in zip(*np.nonzero(bmask & passable)):
-            v = vals.get(base + int(r) * W + int(c))
-            if v is not None and v <= max_distance:
-                d[r + 1, c + 1] = v
+        if len(bd):
+            # vectorized node-id -> (row, col) injection of the solved
+            # boundary distances (searchsorted over the block's own
+            # slice — no per-cell dict probes)
+            nodes_a = bd["node"].to_numpy(np.int64)
+            dists_a = bd["dist"].to_numpy(np.float64)
+            order = np.argsort(nodes_a)
+            nodes_a, dists_a = nodes_a[order], dists_a[order]
+            bmask = np.zeros_like(passable)
+            bmask[0, :] = bmask[-1, :] = True
+            bmask[:, 0] = bmask[:, -1] = True
+            brs, bcs = np.nonzero(bmask & passable)
+            cand = base + brs.astype(np.int64) * W + bcs.astype(np.int64)
+            pos = np.searchsorted(nodes_a, cand)
+            pos_c = np.minimum(pos, len(nodes_a) - 1)
+            hit = nodes_a[pos_c] == cand
+            v = dists_a[pos_c[hit]]
+            keep = v <= max_distance
+            d[brs[hit][keep] + 1, bcs[hit][keep] + 1] = v[keep]
         seeds = seed_mask(kc, kr) & passable
         d[1:-1, 1:-1][seeds] = 0.0
         d = _local_relax(d, fb, max_distance)
