@@ -362,6 +362,88 @@ class TestTwoLevel:
                 np.nan_to_num(a, nan=-1.0), np.nan_to_num(b, nan=-1.0),
                 atol=1e-12, err_msg=f"max_d {max_d}")
 
+    def test_contracted_solver_cuts_rounds_on_long_path(self, spark,
+                                                        monkeypatch):
+        """r15 (VERDICT r14 #1): the distributed solver's round count
+        was one synchronous shuffle per block-crossing of the longest
+        least-cost path. Recursive blocks-of-blocks contraction must
+        (a) collapse the round count on a serpentine long-path maze and
+        (b) stay bit-comparable to both the flat Bellman-Ford and the
+        driver Dijkstra, with an identical reach set."""
+        from geopyspark_spark.operators import costdistance as cd
+
+        rng = np.random.default_rng(19)
+        n = 48
+        fric = rng.uniform(0.5, 3.0, size=(n, n))
+        for i, r in enumerate(range(3, n - 2, 5)):   # serpentine walls
+            if i % 2 == 0:
+                fric[r, : n - 4] = np.nan
+            else:
+                fric[r, 4:] = np.nan
+        layer = _maze_layer(spark, fric, tsz=8)
+        src = gps.Point(1.5, n - 1.5)
+        # flat solve: 6x6 block grid is under the default span cap, so
+        # no contraction fires and rounds track block crossings
+        flat = cost_distance(layer, src, strategy="two_level",
+                             table_cells=64,
+                             boundary_solver="distributed")
+        a = _stitched(flat)
+        assert cd._loop_stats["contract_levels"] == 0
+        rounds_flat = cd._loop_stats["boundary_rounds"]
+        # force two contraction levels (6x6 -> factor 2 -> 3x3 ->
+        # factor 4 -> 2x2 parts, span 2 <= cap)
+        monkeypatch.setattr(cd, "_BF_GRID_CAP", 2)
+        monkeypatch.setattr(cd, "_CONTRACT_FACTOR", 2)
+        con = cost_distance(layer, src, strategy="two_level",
+                            table_cells=64,
+                            boundary_solver="distributed")
+        b = _stitched(con)
+        assert cd._loop_stats["contract_levels"] == 2
+        rounds_con = cd._loop_stats["boundary_rounds"]
+        assert np.array_equal(np.isnan(a), np.isnan(b))  # reach set
+        np.testing.assert_allclose(
+            np.nan_to_num(a, nan=-1.0), np.nan_to_num(b, nan=-1.0),
+            atol=1e-12)
+        drv = _stitched(cost_distance(layer, src, strategy="two_level",
+                                      table_cells=64,
+                                      boundary_solver="driver"))
+        assert np.array_equal(np.isnan(drv), np.isnan(b))
+        np.testing.assert_allclose(
+            np.nan_to_num(drv, nan=-1.0), np.nan_to_num(b, nan=-1.0),
+            atol=1e-12)
+        # the point of the contraction: one round now crosses an entire
+        # top-level part, so the serpentine's ~50 block crossings
+        # collapse to part crossings
+        assert rounds_flat > 20, f"fixture too easy ({rounds_flat})"
+        assert rounds_con <= rounds_flat // 3, (rounds_con, rounds_flat)
+
+    def test_contracted_solver_truncation_and_multisource(self, spark,
+                                                          monkeypatch):
+        """max_distance masking and multiple seeds must flow through
+        the contract/expand levels identically to the driver solver."""
+        from geopyspark_spark.operators import costdistance as cd
+
+        rng = np.random.default_rng(23)
+        n = 32
+        fric = rng.uniform(0.2, 4.0, size=(n, n))
+        fric[rng.random((n, n)) < 0.15] = np.nan
+        layer = _maze_layer(spark, fric, tsz=8)
+        srcs = [gps.Point(2.5, 2.5), gps.Point(float(n) - 3.5, 10.5)]
+        monkeypatch.setattr(cd, "_BF_GRID_CAP", 1)
+        monkeypatch.setattr(cd, "_CONTRACT_FACTOR", 2)
+        for max_d in (np.inf, 12.0):
+            a = _stitched(cost_distance(
+                layer, srcs, max_distance=max_d, strategy="two_level",
+                table_cells=64, boundary_solver="driver"))
+            b = _stitched(cost_distance(
+                layer, srcs, max_distance=max_d, strategy="two_level",
+                table_cells=64, boundary_solver="distributed"))
+            assert cd._loop_stats["contract_levels"] == 2
+            assert np.array_equal(np.isnan(a), np.isnan(b))
+            np.testing.assert_allclose(
+                np.nan_to_num(a, nan=-1.0), np.nan_to_num(b, nan=-1.0),
+                atol=1e-12, err_msg=f"max_d {max_d}")
+
     def test_bogus_boundary_solver_rejected(self, spark):
         fric = np.ones((16, 16))
         layer = _maze_layer(spark, fric, tsz=8)
