@@ -168,6 +168,56 @@ def run_cells_axis(spark, repeats: int, sides) -> dict:
     return out
 
 
+def run_boundary_rounds_axis(spark, sides) -> dict:
+    """Round-count axis for the distributed boundary solver (r15,
+    VERDICT r14 #1): a serpentine long-path maze forces many
+    block-crossings, then the same solve runs flat (contraction
+    disabled via a huge grid cap) vs contracted (blocks-of-blocks,
+    forced caps so the small fixture contracts like a planet-scale
+    grid would). Records synchronous Bellman-Ford rounds, contraction
+    levels, and wall seconds — the round count is the scale claim."""
+    import numpy as np
+
+    import geopyspark_spark as gps
+    from geopyspark_spark.operators import costdistance as cd
+
+    out: dict = {}
+    for n in sides:
+        rng = np.random.default_rng(7)
+        fric = rng.uniform(0.5, 3.0, size=(n, n))
+        for i, r in enumerate(range(3, n - 2, 5)):   # serpentine walls
+            if i % 2 == 0:
+                fric[r, : n - 4] = np.nan
+            else:
+                fric[r, 4:] = np.nan
+        layer = _grid_layer(spark, fric)
+        src = gps.Point(1.5, n - 1.5)
+
+        def run_once():
+            t0 = time.time()
+            cd.cost_distance(layer, src, strategy="two_level",
+                             table_cells=256,
+                             boundary_solver="distributed").df.count()
+            return {"rounds": int(cd._loop_stats["boundary_rounds"]),
+                    "levels": int(cd._loop_stats["contract_levels"]),
+                    "sec": round(time.time() - t0, 3)}
+
+        saved = cd._BF_GRID_CAP, cd._CONTRACT_FACTOR
+        try:
+            cd._BF_GRID_CAP = 10 ** 9      # never contract
+            flat = run_once()
+            cd._BF_GRID_CAP = 2            # contract down to a 2-span grid
+            cd._CONTRACT_FACTOR = 2
+            con = run_once()
+        finally:
+            cd._BF_GRID_CAP, cd._CONTRACT_FACTOR = saved
+        layer.df.unpersist()
+        out[str(n * n)] = {"flat": flat, "contracted": con}
+        print(f"  boundary_rounds @ {n}x{n}: flat {flat} "
+              f"vs contracted {con}")
+    return out
+
+
 def render_md(sf_axis: dict, cells_axis: dict, repeats: int) -> str:
     lines = [
         "# SCALING — empirical sec-vs-scale record (round 14)",
@@ -236,22 +286,42 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="min-of-2, skip the 1024^2 grid point")
+    ap.add_argument("--boundary-only", action="store_true",
+                    help="re-measure only the boundary_rounds axis and "
+                         "merge it into the existing SCALING.json "
+                         "(sf/cells axes untouched)")
     ap.add_argument("--out", default="SCALING.md")
     args = ap.parse_args()
     repeats = 2 if args.quick else 3
     sides = GRID_SIDES[:-1] if args.quick else GRID_SIDES
+    json_path = os.path.splitext(args.out)[0] + ".json"
 
     spark = _session()
+    if args.boundary_only:
+        with open(json_path) as f:
+            rec = json.load(f)
+        print("== boundary_rounds axis ==")
+        rec["boundary_rounds_axis"] = run_boundary_rounds_axis(
+            spark, [64] if args.quick else [64, 96])
+        with open(json_path, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"wrote {json_path}")
+        spark.stop()
+        return
     print("== sf axis ==")
     sf_axis = run_sf_axis(spark, repeats)
     print("== cells axis ==")
     cells_axis = run_cells_axis(spark, repeats, sides)
+    print("== boundary_rounds axis ==")
+    boundary_axis = run_boundary_rounds_axis(
+        spark, [64] if args.quick else [64, 96])
     md = render_md(sf_axis, cells_axis, repeats)
     with open(args.out, "w") as f:
         f.write(md)
-    with open(os.path.splitext(args.out)[0] + ".json", "w") as f:
+    with open(json_path, "w") as f:
         json.dump({"repeats": repeats, "sf_axis": sf_axis,
-                   "cells_axis": cells_axis}, f, indent=1)
+                   "cells_axis": cells_axis,
+                   "boundary_rounds_axis": boundary_axis}, f, indent=1)
     print(f"wrote {args.out}")
     spark.stop()
 
