@@ -433,9 +433,17 @@ def linear_trend(df: DataFrame, key_cols, x_col: str, y_col: str,
     # making affected keys vanish — now out-of-range x FAILS FAST below.
     xd = F.col("x").cast("decimal(15,0)")
     _X_BOUND = 10 ** 15
+    # sum(x) must be exact too (ADVICE r14): a long sum wraps silently
+    # under non-ANSI Spark once n * |x| passes int64 (~9.2e18 — an
+    # epoch-millis x without x_origin needs only ~10^4 rows per key),
+    # returning WRONG slopes instead of the decimal path's loud NULLs.
+    # Summing the decimal(15,0) x widens to decimal(25,0): exact up to
+    # 1e25, i.e. 10^10 rows per key at the 1e15 |x| bound; the fail-
+    # fast below also guards that product so the 1e25 ceiling can
+    # never be crossed silently either.
     s = pts.groupBy(*key_cols).agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx_long"),
+        F.sum(xd).alias("sx_dec"),
         F.sum("y").cast("double").alias("sy"),
         F.sum(xd * F.col("y")).cast("double").alias("sxy"),
         F.sum(xd * xd).cast("double").alias("sxx"),
@@ -443,7 +451,7 @@ def linear_trend(df: DataFrame, key_cols, x_col: str, y_col: str,
         F.max(F.abs(F.col("x"))).alias("_xabs_max"),
     )
     nd = F.col("n").cast("double")
-    sxd = F.col("sx_long").cast("double")
+    sxd = F.col("sx_dec").cast("double")
     # fail fast instead of silently dropping keys when |x - x_origin|
     # exceeds the decimal(15,0) bound under non-ANSI Spark (the NULLed
     # sums would NULL `denom` and the where-filter would vanish the
@@ -457,6 +465,12 @@ def linear_trend(df: DataFrame, key_cols, x_col: str, y_col: str,
             F.col("_xabs_max").cast("string"),
             F.lit(") overflows the exact decimal accumulator; "
                   "pass x_origin to re-center x"))).cast("double")
+    ).when(
+        nd * F.col("_xabs_max").cast("double") >= F.lit(1e25),
+        F.raise_error(F.lit(
+            "linear_trend: n * max|x - x_origin| >= 1e25 overflows the "
+            "exact decimal(25,0) sum(x) accumulator; pass x_origin to "
+            "re-center x")).cast("double")
     ).otherwise(nd * F.col("sxx") - sxd * sxd)
     num = nd * F.col("sxy") - sxd * F.col("sy")
     slope = num / denom

@@ -356,7 +356,21 @@ def publish_pyramid_snapshot(uri: str, layer_name: str,
     (r14, VERDICT r13 #5): the same conditional-PUT claim primitive as
     layer versions — two racing publishers get distinct ``pN`` names,
     and a read-back verifies ownership on stores that ignore
-    ``If-None-Match`` (the last-writer-wins fallback)."""
+    ``If-None-Match`` (the last-writer-wins fallback).
+
+    **LWW window (ADVICE r14, same documented fallback contract as
+    ``_claim``):** on a store honoring ``If-None-Match`` (real S3,
+    GCS, MinIO >= RELEASE.2024-08, R2 — everything this engine
+    targets) the create is atomic and ``pN`` is immutable from birth.
+    On a last-writer-wins store the read-back only narrows the race to
+    the PUT→GET latency: publisher A can PUT ``pN``, read back its own
+    body, and return — and a slower publisher B whose PUT lands AFTER
+    A's read-back then overwrites ``pN``, mutating a snapshot A
+    already handed to readers (B's own read-back sees B's body, so B
+    returns ``pN`` too). This is exactly the layer-claim primitive's
+    documented LWW window, not a new one; deployments on
+    precondition-less stores must serialize pyramid publishes
+    externally (or accept the window), as for layer commits."""
     prefix = _pyramid_prefix(uri, layer_name)
     ns = [int(m.group(1)) for key in obs.list_keys(prefix + "/")
           if (m := re.fullmatch(r"p(\d+)\.json", key[len(prefix) + 1:]))]

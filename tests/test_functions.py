@@ -2669,6 +2669,25 @@ class TestLinearTrend:
         assert len(rows) == 1  # the key must NOT silently disappear
         assert rows[0]["slope"] == 1.0  # +1 per day
 
+    def test_x_sum_exceeding_int64_is_exact(self, spark):
+        """ADVICE r14: sum(x) accumulated in LONG wraps silently under
+        non-ANSI Spark once n * |x| passes int64 (~9.2e18) — ~10^4 rows
+        per key at epoch-like magnitudes — returning WRONG slopes with
+        no error. The decimal(25,0) sum stays exact."""
+        from geopyspark_spark.functions.relational import linear_trend
+
+        base = 900_000_000_000_000   # 9e14, inside the |x| < 1e15 bound
+        step = 1_000_000_000         # keep the OLS denominator far from
+        n = 10_300                   # double-cancellation; n*base ~9.3e18
+        df = spark.createDataFrame(
+            [(1, base + i * step, float(i) + 3.0) for i in range(n)],
+            "k long, x long, y double")
+        got = linear_trend(df, "k", "x", "y",
+                           slope_scale=float(step)).collect()
+        assert len(got) == 1 and got[0]["n_events"] == n
+        assert got[0]["slope"] == pytest.approx(1.0, abs=1e-9)
+        assert got[0]["r2"] == pytest.approx(1.0, abs=1e-9)
+
     def test_x_beyond_decimal_bound_fails_fast(self, spark):
         from pyspark.errors import PySparkException
 

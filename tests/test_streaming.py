@@ -269,3 +269,14 @@ class TestStreamingDedup:
                           batch, corpus, min_jaccard=0.5).collect())
         assert got == want
         assert len(got) == 4 and got[0][1] and got[1][1]
+        # replay idempotency (ADVICE r14): foreachBatch is at-least-
+        # once — re-running the same micro-batches into the same sink
+        # (fresh checkpoint, same per-file batching) must OVERWRITE the
+        # batch_id partitions, not append duplicate verdict rows
+        q2 = stream_dedup_against_corpus(
+            stream, sigs, out_path,
+            checkpoint=str(tmp_path / "ckpt_replay"), min_jaccard=0.5)
+        q2.awaitTermination()
+        replayed = sorted((r["doc_id"], r["is_dup"], r["match_doc_id"])
+                          for r in spark.read.parquet(out_path).collect())
+        assert replayed == want
