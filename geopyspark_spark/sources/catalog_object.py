@@ -388,6 +388,23 @@ def publish_pyramid_snapshot(uri: str, layer_name: str,
         n += 1  # last-writer-wins store: another publisher owns pN
 
 
+def expired_pyramid_versions(uri: str, layer_name: str) -> set[str]:
+    """Snapshots tombstoned by the retention sweep (``pN.expired``
+    sibling markers; the ``pN.json`` manifests stay immutable)."""
+    prefix = _pyramid_prefix(uri, layer_name)
+    return {f"p{m.group(1)}" for key in obs.list_keys(prefix + "/")
+            if (m := re.fullmatch(r"p(\d+)\.expired",
+                                  key[len(prefix) + 1:]))}
+
+
+def mark_pyramid_expired(uri: str, layer_name: str, pv: str) -> None:
+    """Unconditional PUT of the ``pN.expired`` tombstone — idempotent
+    (marking an already-marked snapshot rewrites the same empty
+    body)."""
+    obs.put_object(f"{_pyramid_prefix(uri, layer_name)}/{pv}.expired",
+                   b"")
+
+
 def list_pyramid_versions(uri: str, layer_name: str) -> list[str]:
     prefix = _pyramid_prefix(uri, layer_name)
     ns = [int(m.group(1)) for key in obs.list_keys(prefix + "/")

@@ -41,7 +41,8 @@ class CatalogTileFetcher(TileFetcher):
 
     def __init__(self, uri: str, layer_name: str, tile_cols: int | None = None,
                  tile_rows: int | None = None, band: int = 0,
-                 pyramid_version: str | int | None = None):
+                 pyramid_version: str | int | None = None,
+                 refresh_interval: float | None = None):
         self.uri, self.layer_name = uri, layer_name
         self.band = band
         # pyramid time travel (r14, VERDICT r13 #5): resolving a
@@ -50,27 +51,83 @@ class CatalogTileFetcher(TileFetcher):
         # republish serves one consistent pyramid instead of mixing
         # zooms from two publishes. pyramid_version: None = unpinned
         # (each read serves whatever is committed, the pre-r14
-        # behavior); "latest" = newest snapshot at construction; "pN"
-        # or N = that snapshot.
-        self._pin: dict[int, str] = {}
+        # behavior); "latest" = newest snapshot at construction,
+        # re-pinnable via refresh() (r15, VERDICT r14 #3 — a long-
+        # running server can follow republishes without ever mixing
+        # two publishes in one read); "pN" or N = that snapshot,
+        # immutable for the fetcher's lifetime.
+        self._follow_latest = pyramid_version == "latest"
+        self._refresh_interval = refresh_interval
+        self._pinned_name: str | None = None
+        pin: dict[int, str] = {}
         if pyramid_version is not None:
-            from .sources.catalog import read_pyramid_manifest
+            from .sources.catalog import (list_pyramid_versions,
+                                          read_pyramid_manifest)
 
-            self._pin = read_pyramid_manifest(
-                uri, layer_name,
-                version=None if pyramid_version == "latest"
-                else pyramid_version)
-        self._zooms = (sorted(self._pin) if self._pin
-                       else self._list_zooms())
-        if tile_cols is None and self._zooms:
+            if self._follow_latest:
+                versions = list_pyramid_versions(uri, layer_name)
+                if not versions:
+                    raise FileNotFoundError(
+                        f"no pyramid snapshots published for "
+                        f"{layer_name!r} under {uri} (write with "
+                        "write_pyramid to get them)")
+                self._pinned_name = versions[-1]
+                pin = read_pyramid_manifest(uri, layer_name,
+                                            version=self._pinned_name)
+            else:
+                pin = read_pyramid_manifest(uri, layer_name,
+                                            version=pyramid_version)
+        # ONE reference holds the whole (pin, zooms) pair so refresh()
+        # swaps it atomically between requests — a fetch in flight
+        # keeps the pair it grabbed, never half of each
+        self._state = (pin, sorted(pin) if pin else self._list_zooms())
+        import time as _time
+
+        self._last_check = _time.monotonic()
+        zooms = self._state[1]
+        if tile_cols is None and zooms:
             from .sources.catalog import read_layer_metadata
 
             tl = read_layer_metadata(
-                uri, layer_name, self._zooms[-1],
-                version=self._pin.get(self._zooms[-1])).layout.tile_layout
+                uri, layer_name, zooms[-1],
+                version=pin.get(zooms[-1])).layout.tile_layout
             tile_cols, tile_rows = tl.tile_cols, tl.tile_rows
         self.tc = tile_cols or 256
         self.tr = tile_rows or self.tc
+
+    @property
+    def _pin(self) -> dict:
+        return self._state[0]
+
+    @property
+    def _zooms(self) -> list:
+        return self._state[1]
+
+    def refresh(self) -> bool:
+        """Re-pin a ``pyramid_version="latest"`` fetcher to the newest
+        snapshot (r15, VERDICT r14 #3): a server that outlives a
+        republish used to serve the startup snapshot forever. The new
+        ``{zoom: version}`` map is resolved FULLY before one atomic
+        reference swap, so every request serves exactly one snapshot —
+        the old one until the swap, the new one after, never a mix.
+        No-op (returns False) for unpinned or explicitly-pinned
+        fetchers and when no newer snapshot exists. Also called
+        automatically from :meth:`fetch` every ``refresh_interval``
+        seconds when that was given."""
+        if not self._follow_latest:
+            return False
+        from .sources.catalog import (list_pyramid_versions,
+                                      read_pyramid_manifest)
+
+        versions = list_pyramid_versions(self.uri, self.layer_name)
+        if not versions or versions[-1] == self._pinned_name:
+            return False
+        name = versions[-1]
+        pin = read_pyramid_manifest(self.uri, self.layer_name,
+                                    version=name)
+        self._state = (pin, sorted(pin))
+        self._pinned_name = name
+        return True
 
     def _list_zooms(self) -> list[int]:
         # catalog.list_zooms dispatches POSIX vs s3:// (r14) — an
@@ -79,11 +136,13 @@ class CatalogTileFetcher(TileFetcher):
 
         return list_zooms(self.uri, self.layer_name)
 
-    def _read(self, zoom: int, col: int, row: int):
+    def _read(self, zoom: int, col: int, row: int, pin=None):
         from .sources.catalog import read_value
 
+        if pin is None:
+            pin = self._pin
         rows = read_value(self.uri, self.layer_name, zoom, col, row,
-                          band=self.band, version=self._pin.get(zoom))
+                          band=self.band, version=pin.get(zoom))
         if not rows:
             return None
         # rows: named records from read_value (catalog parquet schema)
@@ -98,18 +157,28 @@ class CatalogTileFetcher(TileFetcher):
         return cells.reshape(self.tr, self.tc)
 
     def fetch(self, zoom: int, col: int, row: int):
-        if not self._zooms:
+        if self._follow_latest and self._refresh_interval is not None:
+            import time as _time
+
+            now = _time.monotonic()
+            if now - self._last_check >= self._refresh_interval:
+                self._last_check = now
+                self.refresh()
+        # grab the (pin, zooms) pair ONCE — a refresh() mid-request
+        # cannot mix two snapshots in this read
+        pin, zooms = self._state
+        if not zooms:
             return None
-        if zoom in self._zooms:
-            return self._read(zoom, col, row)
-        maxz = self._zooms[-1]
-        if zoom < self._zooms[0]:
+        if zoom in zooms:
+            return self._read(zoom, col, row, pin)
+        maxz = zooms[-1]
+        if zoom < zooms[0]:
             return None
         # over-zoom: nearest-sample the ancestor at maxz — each output cell
         # (r, c) reads parent cell (((row % f) * tr + r) // f, ...), exact
         # for any tile size (crop+repeat only works for power-of-two tiles)
         dz = zoom - maxz
-        parent = self._read(maxz, col >> dz, row >> dz)
+        parent = self._read(maxz, col >> dz, row >> dz, pin)
         if parent is None:
             return None
         f = 1 << dz

@@ -265,6 +265,102 @@ class TestPyramidPublish:
               for r in pn.levels[z].df.collect()}
         assert all(vn[k] - v1[k] == 7.0 for k in v1)
 
+    def test_expired_snapshot_swept_with_named_error(self, spark,
+                                                     tmp_path):
+        """r15 (VERDICT r14 #2): a republish past retention GC's the
+        versions an old snapshot pins — the snapshot must be swept
+        (excluded from the honest listing) and reads of it must raise
+        the NAMED expiry error, not a missing-layer-version one."""
+        import pytest as _pt
+
+        from geopyspark_spark.sources import catalog
+
+        uri = str(tmp_path / "retcat")
+        for off in (0.0, 10.0, 20.0):
+            catalog.write_pyramid(uri, "pub", self._pyramid(spark, off),
+                                  keep_history=0)
+        # keep_history=0 retains committed + prev per zoom: after the
+        # third publish, p1's pinned versions are GC'd and the
+        # write_pyramid sweep tombstones it
+        assert catalog.list_pyramid_versions(uri, "pub") == ["p2", "p3"]
+        assert catalog.list_pyramid_versions(
+            uri, "pub", include_expired=True) == ["p1", "p2", "p3"]
+        with _pt.raises(catalog.PyramidSnapshotExpiredError,
+                        match="expired by retention"):
+            catalog.read_pyramid_manifest(uri, "pub", version="p1")
+        with _pt.raises(catalog.PyramidSnapshotExpiredError,
+                        match="expired by retention"):
+            catalog.read_pyramid(spark, uri, "pub", version="p1")
+        # the retained snapshots stay fully servable
+        p2 = catalog.read_pyramid(spark, uri, "pub", version="p2")
+        assert set(p2.levels) == set(
+            catalog.read_pyramid_manifest(uri, "pub", version="p3"))
+        # default read resolves the newest UNEXPIRED snapshot
+        assert catalog.read_pyramid_manifest(uri, "pub") == \
+            catalog.read_pyramid_manifest(uri, "pub", version="p3")
+
+    def test_dead_pins_named_error_before_any_sweep(self, spark,
+                                                    tmp_path):
+        """The pre-sweep window: plain per-zoom writes GC pinned
+        versions WITHOUT running the pyramid sweep — read_pyramid must
+        still raise the named expiry error via its liveness check."""
+        import pytest as _pt
+
+        from geopyspark_spark.sources import catalog
+
+        uri = str(tmp_path / "precat")
+        pyr = self._pyramid(spark, 0.0)
+        catalog.write_pyramid(uri, "pub", pyr, keep_history=0)
+        catalog.write_pyramid(uri, "pub", self._pyramid(spark, 5.0),
+                              keep_history=0)
+        # two plain writes per zoom (no snapshot, no sweep) push p1's
+        # pins out of retention
+        for _ in range(2):
+            for z, layer in pyr.levels.items():
+                catalog.write(uri, "pub", layer, zoom=z, keep_history=0)
+        # no sweep ran, so p1 is still listed...
+        assert "p1" in catalog.list_pyramid_versions(uri, "pub")
+        # ...but reading it names the real failure
+        with _pt.raises(catalog.PyramidSnapshotExpiredError,
+                        match="pinned versions no longer readable"):
+            catalog.read_pyramid(spark, uri, "pub", version="p1")
+        # an explicit sweep then tombstones it
+        assert catalog.sweep_expired_pyramid_snapshots(uri, "pub")
+        assert "p1" not in catalog.list_pyramid_versions(uri, "pub")
+
+    def test_latest_fetcher_refresh_repins(self, spark, tmp_path):
+        """r15 (VERDICT r14 #3): a long-running TMS server following
+        'latest' serves the startup snapshot until refresh(), then the
+        new one — each request wholly from one snapshot, never a
+        mix."""
+        from geopyspark_spark.sources import catalog
+        from geopyspark_spark.tms import CatalogTileFetcher
+
+        uri = str(tmp_path / "refcat")
+        catalog.write_pyramid(uri, "pub", self._pyramid(spark, 0.0),
+                              keep_history=1)
+        f = CatalogTileFetcher(uri, "pub", pyramid_version="latest")
+        before = {z: float(f.fetch(z, 0, 0)[0, 0]) for z in (0, 1, 2)}
+        catalog.write_pyramid(uri, "pub", self._pyramid(spark, 100.0),
+                              keep_history=1)
+        # old-snapshot consistency until refresh: EVERY zoom still p1
+        assert {z: float(f.fetch(z, 0, 0)[0, 0])
+                for z in (0, 1, 2)} == before
+        assert f.refresh() is True
+        after = {z: float(f.fetch(z, 0, 0)[0, 0]) for z in (0, 1, 2)}
+        assert all(after[z] - before[z] == 100.0 for z in (0, 1, 2))
+        assert f.refresh() is False  # already newest
+        # explicit pins and unpinned fetchers never re-pin
+        pinned = CatalogTileFetcher(uri, "pub", pyramid_version="p1")
+        assert pinned.refresh() is False
+        assert CatalogTileFetcher(uri, "pub").refresh() is False
+        # refresh_interval=0: the next fetch auto-repins
+        g = CatalogTileFetcher(uri, "pub", pyramid_version="latest",
+                               refresh_interval=0.0)
+        catalog.write_pyramid(uri, "pub", self._pyramid(spark, 300.0),
+                              keep_history=1)
+        assert float(g.fetch(2, 0, 0)[0, 0]) == 300.0
+
     def test_no_snapshot_raises(self, spark, tmp_path):
         import pytest as _pt
 
