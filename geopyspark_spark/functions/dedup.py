@@ -679,6 +679,38 @@ def corpus_signatures(corpus: DataFrame, num_hashes: int = 16,
     )
 
 
+def remove_from_signatures(corpus_sigs: DataFrame, removed) -> DataFrame:
+    """Shrink a persisted corpus-signature artifact after documents
+    LEAVE the corpus (r15, VERDICT r14 #4): without this, stale
+    signatures keep flagging batch docs as dups of documents that no
+    longer exist. The artifact is one row per corpus document, so
+    removal is a single doc_id ANTI-JOIN — dropping a row drops every
+    band key and gram set that document contributed, and batch
+    verdicts against the shrunk artifact equal a from-scratch
+    :func:`corpus_signatures` over the shrunk corpus (gated by test
+    and by the ``text_dedup_incremental_removed`` oracle query).
+
+    ``removed``: a DataFrame with a ``doc_id`` column, or any iterable
+    of doc ids (driver-sized lists only — pass a DataFrame for big
+    removal sets so the anti-join shuffles instead of broadcasting a
+    giant literal).
+
+    Lifecycle recipe: append-only growth = union of
+    :func:`corpus_signatures` over the new slice (signatures are
+    stateless functions of each document's own text); removals = this
+    anti-join, written back to parquet; periodic REBUILD = rerun
+    :func:`corpus_signatures` over the live corpus whenever the
+    removal churn makes the artifact's file layout ragged (removal
+    rewrites rows, never re-shingles anything, so rebuild cadence is
+    about parquet hygiene, not correctness)."""
+    if isinstance(removed, DataFrame):
+        rm = removed.select("doc_id").distinct()
+    else:
+        rm = corpus_sigs.sparkSession.createDataFrame(
+            [(int(d),) for d in removed], "doc_id long")
+    return corpus_sigs.join(rm, "doc_id", "left_anti")
+
+
 def dedup_against_corpus(batch: DataFrame, corpus: DataFrame | None = None,
                          num_hashes: int = 16, bands: int = 4,
                          n: int = 2, min_jaccard: float = 0.5,

@@ -8125,6 +8125,41 @@ def q_text_dedup_incremental_sigs(spark, sf_dir):
         batch, corpus_sigs=sigs, num_hashes=16, bands=4, min_jaccard=0.5)
 
 
+def q_text_dedup_incremental_removed(spark, sf_dir):
+    """Corpus-shrink lifecycle of the signature artifact (r15, VERDICT
+    r14 #4): the artifact is built over the full 80% corpus, persisted,
+    read back, then ``remove_from_signatures`` drops the corpus docs
+    with ``doc_id % 7 == 0`` (documents that left the corpus) via a
+    doc_id anti-join — and the batch verdicts against the shrunk
+    artifact must equal a from-scratch recompute over the shrunk
+    corpus, which is exactly what the oracle SQL computes (the shared
+    incremental-dedup SQL with the removal filter on its corpus CTE).
+    Without the removal path, stale signatures keep flagging batch
+    docs as dups of documents that no longer exist."""
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":inc"))),
+            1, 15), 16, 10).cast("long") % 5
+    )
+    tagged = docs.withColumn("_b", bucket)
+    corpus = tagged.where(F.col("_b") < 4).drop("_b")
+    batch = tagged.where(F.col("_b") == 4).drop("_b")
+    path = tempfile.mkdtemp(prefix="corpus_sigs_rm_", dir=_scratch_dir())
+    shutil.rmtree(path, ignore_errors=True)
+    fdedup.corpus_signatures(
+        corpus, num_hashes=16, bands=4, n=2).write.parquet(path)
+    sigs = spark.read.parquet(path)
+    removed = corpus.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    shrunk = fdedup.remove_from_signatures(sigs, removed)
+    return fdedup.dedup_against_corpus(
+        batch, corpus_sigs=shrunk, num_hashes=16, bands=4,
+        min_jaccard=0.5)
+
+
 def q_text_dedup_stream(spark, sf_dir):
     """STREAMING incremental dedup (r14): the daily-ingest batch
     arrives as a document stream (readStream over the documents
@@ -8178,9 +8213,13 @@ def q_text_dedup_stream(spark, sf_dir):
 
 
 def _sql_dedup_incremental(num_hashes: int = 16, bands: int = 4,
-                           min_jaccard: float = 0.5) -> str:
+                           min_jaccard: float = 0.5,
+                           corpus_filter: str = "") -> str:
     """Oracle: the same md5 80/20 split, banded-signature batch x corpus
-    bucket join, and exact-Jaccard verify, in closed-form SQL."""
+    bucket join, and exact-Jaccard verify, in closed-form SQL.
+    ``corpus_filter`` (an extra ``AND ...`` clause on the corpus CTE)
+    models a corpus that SHRANK — the
+    ``text_dedup_incremental_removed`` variant."""
     rows_per_band = num_hashes // bands
     params = fdedup.minhash_params(num_hashes)
     hash_rows = ", ".join(
@@ -8192,7 +8231,7 @@ WITH tagged AS (
          (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':inc'), 1, 15))::BIGINT % 5) AS b
   FROM documents
 ),
-corpus AS (SELECT doc_id, text FROM tagged WHERE b < 4),
+corpus AS (SELECT doc_id, text FROM tagged WHERE b < 4{corpus_filter}),
 batch AS (SELECT doc_id, text FROM tagged WHERE b = 4),
 base AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
 grams AS (
@@ -11461,6 +11500,7 @@ def _canonical_queries():
         "text_dedup_keep_best": q_text_dedup_keep_best,
         "text_dedup_incremental": q_text_dedup_incremental,
         "text_dedup_incremental_sigs": q_text_dedup_incremental_sigs,
+        "text_dedup_incremental_removed": q_text_dedup_incremental_removed,
         "text_dedup_stream": q_text_dedup_stream,
         "emb_knn": q_emb_knn,
         "multimodal_features": q_multimodal_features,
@@ -12057,6 +12097,8 @@ def oracle_sql():
         # the artifact path must return EXACTLY the recompute path's
         # rows — same oracle (r14, VERDICT r13 #4)
         "text_dedup_incremental_sigs": _sql_dedup_incremental(16, 4, 0.5),
+        "text_dedup_incremental_removed": _sql_dedup_incremental(
+            16, 4, 0.5, corpus_filter=" AND doc_id % 7 <> 0"),
         "text_dedup_stream": _sql_dedup_incremental(16, 4, 0.5),
         "text_word_freq": SQL_TEXT_WORD_FREQ,
         "text_quality": SQL_TEXT_QUALITY,

@@ -708,6 +708,35 @@ class TestDedupAgainstCorpus:
             batch, corpus, min_jaccard=0.5).collect())
         assert got == want
 
+    def test_remove_from_signatures_matches_recompute(self, spark):
+        """r15 (VERDICT r14 #4): after documents LEAVE the corpus, the
+        anti-join-shrunk artifact must judge the batch exactly like a
+        from-scratch recompute over the shrunk corpus — stale
+        signatures must stop flagging dups of removed documents."""
+        corpus, batch = self._fixture(spark)
+        sigs = fdedup.corpus_signatures(corpus)
+        # remove BOTH copies of the "a b c d e f g h" family (10, 12):
+        # batch docs 100/101 must flip to clean
+        for removed in (
+            spark.createDataFrame([(10,), (12,)], "doc_id long"),  # DF form
+            [10, 12],                                              # ids form
+        ):
+            shrunk = fdedup.remove_from_signatures(sigs, removed)
+            got = sorted(fdedup.dedup_against_corpus(
+                batch, corpus_sigs=shrunk, min_jaccard=0.5).collect())
+            want = sorted(fdedup.dedup_against_corpus(
+                batch, corpus.where("doc_id NOT IN (10, 12)"),
+                min_jaccard=0.5).collect())
+            assert got == want
+            assert {r["doc_id"]: r["is_dup"] for r in got} == {
+                100: False, 101: False, 102: False}
+        # partial removal: 12 gone, 10 stays -> match pins to 10
+        shrunk = fdedup.remove_from_signatures(sigs, [12])
+        got = {r["doc_id"]: (r["is_dup"], r["match_doc_id"])
+               for r in fdedup.dedup_against_corpus(
+                   batch, corpus_sigs=shrunk, min_jaccard=0.5).collect()}
+        assert got[100] == (True, 10)
+
     def test_param_mismatch_fails_fast(self, spark):
         corpus, batch = self._fixture(spark)
         sigs = fdedup.corpus_signatures(corpus, num_hashes=8, bands=2)
