@@ -11638,58 +11638,9 @@ def _canonical_queries():
 # Regenerate with ``python tools/rotate_window.py --write``; do not
 # hand-edit between the markers.
 # BEGIN WINDOW_ORDER (generated)
-_WINDOW_ORDER_ROUND: int = 13
+_WINDOW_ORDER_ROUND: int = 14
 _WINDOW_ORDER: list = [
-    "raster_pyramid_time_travel",
-    "text_dedup_incremental_sigs",
-    "text_dedup_stream",
-    "raster_aggregate_by_cell",
-    "raster_cell_value_counts",
-    "raster_resample",
-    "raster_tile_to_layout_big",
-    "raster_bands",
-    "raster_combine_bands",
-    "raster_focal_max",
-    "raster_focal_median",
-    "raster_focal_circle",
-    "raster_filter_by_times",
-    "raster_point_bilinear",
-    "raster_euclidean_distance",
-    "raster_aspect",
-    "raster_hillshade",
-    "raster_tobler",
-    "raster_map_cells",
-    "raster_union",
-    "text_dsir_select",
-    "events_theta_sketch",
-    "events_stream_enrich",
-    "events_json_props",
-    "events_ohlc",
-    "raster_region_group",
-    "raster_sieve",
-    "raster_zonal_by_layer",
-    "raster_focal_convolve",
-    "raster_morans_i",
-    "rel_merge_upsert",
-    "rel_spearman",
-    "vector_polygon_metrics",
-    "tpch_q2_min_cost",
-    "graph_kcore",
-    "graph_label_prop",
-    "graph_sssp",
-    "tpch_q11_important_stock",
-    "events_stream_topk",
-    "events_asof_join",
-    "raster_focal_sum",
-    "raster_pyramid",
-    "raster_cost_distance",
-    "raster_reproject",
-    "raster_reproject_nzmg",
-    "raster_reproject_aeqd_geodesic",
-    "raster_reproject_ntv2",
-    "raster_local_algebra",
-    "text_lsh_pairs",
-    "emb_near_dup_lsh",
+    "text_dedup_incremental_removed",
     "text_minhash",
     "events_interval_join",
     "events_anomaly",
@@ -11910,6 +11861,56 @@ _WINDOW_ORDER: list = [
     "raster_catalog_restore",
     "raster_convert_int8",
     "raster_lookup",
+    "text_dsir_select",
+    "events_theta_sketch",
+    "events_stream_enrich",
+    "events_json_props",
+    "events_ohlc",
+    "raster_region_group",
+    "raster_sieve",
+    "raster_zonal_by_layer",
+    "raster_focal_convolve",
+    "raster_morans_i",
+    "rel_merge_upsert",
+    "rel_spearman",
+    "vector_polygon_metrics",
+    "tpch_q2_min_cost",
+    "graph_kcore",
+    "graph_label_prop",
+    "graph_sssp",
+    "tpch_q11_important_stock",
+    "events_stream_topk",
+    "events_asof_join",
+    "raster_focal_sum",
+    "raster_pyramid",
+    "raster_pyramid_time_travel",
+    "raster_cost_distance",
+    "raster_reproject",
+    "raster_reproject_nzmg",
+    "raster_reproject_aeqd_geodesic",
+    "raster_reproject_ntv2",
+    "raster_local_algebra",
+    "text_lsh_pairs",
+    "emb_near_dup_lsh",
+    "text_dedup_incremental_sigs",
+    "text_dedup_stream",
+    "raster_aggregate_by_cell",
+    "raster_cell_value_counts",
+    "raster_resample",
+    "raster_tile_to_layout_big",
+    "raster_bands",
+    "raster_combine_bands",
+    "raster_focal_max",
+    "raster_focal_median",
+    "raster_focal_circle",
+    "raster_filter_by_times",
+    "raster_point_bilinear",
+    "raster_euclidean_distance",
+    "raster_aspect",
+    "raster_hillshade",
+    "raster_tobler",
+    "raster_map_cells",
+    "raster_union",
 ]
 # END WINDOW_ORDER
 
