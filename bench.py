@@ -107,6 +107,9 @@ HEADLINE = [
     # time travel (two full write_pyramid publishes + both pinned reads)
     "text_dedup_incremental_sigs",
     "raster_pyramid_time_travel",
+    # round-15 addition: the corpus-shrink lifecycle of the signature
+    # artifact (persist + anti-join removal + batch judgment)
+    "text_dedup_incremental_removed",
 ]
 
 
