@@ -435,6 +435,13 @@ _TWO_LEVEL_MAX_BOUNDARY = int(os.environ.get(
 #: the level-0 per-block tables already have).
 _BF_GRID_CAP = int(os.environ.get("GEOPYSPARK_BF_GRID_CAP", "32"))
 _CONTRACT_FACTOR = int(os.environ.get("GEOPYSPARK_CONTRACT_FACTOR", "8"))
+#: Per-task portal budget of the contraction kernel: a part whose
+#: portal count exceeds this is split into ceil(P/chunk) tasks, each
+#: running the per-portal Dijkstras for its share of sources over a
+#: replicated copy of the part's subgraph — bounding task granularity
+#: (no multi-minute straggler task per big part) at the cost of
+#: replicating the part's within-edges once per chunk.
+_CONTRACT_CHUNK = int(os.environ.get("GEOPYSPARK_CONTRACT_CHUNK", "1024"))
 
 
 def cost_distance(
@@ -1116,51 +1123,58 @@ def _pid_expr(col, G, nbx, nby, bw, bh, W, H):
 
 
 def _contract_part(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-part kernel of one contraction level: replace the part's
-    internal edges by exact portal→portal shortcuts (one CSR Dijkstra
-    per portal — portals are the part-perimeter cells touched by cut
-    edges, so per-part work is O(portals * (E + N log N)) with E the
-    part's edge count) plus virtual-source (-1) → portal edges
+    """Per-(part, chunk) kernel of one contraction level: replace the
+    part's internal edges by exact portal→portal shortcuts (one CSR
+    Dijkstra per SOURCE portal — portals are the part-perimeter cells
+    touched by cut edges) plus virtual-source (-1) → portal edges
     covering seeds inside the part. Zero-weight shortcuts between
     distinct portals are KEPT (zero-friction corridors; the r13
-    emit_edges regression)."""
+    emit_edges regression).
+
+    Row kinds: 0 = within-part edge (replicated to every chunk of the
+    part), 1 = TARGET portal marker (replicated — shortcuts from any
+    source must land on every portal), 4 = SOURCE portal marker (each
+    portal sources from exactly one chunk), 2 = seed edge (chunk 0
+    only). Chunking bounds per-task work at
+    O(chunk * (E + N log N)) — see :data:`_CONTRACT_CHUNK`."""
     kind = pdf["kind"].to_numpy()
     wm = kind == 0
     esrc = pdf.loc[wm, "src"].to_numpy(np.int64)
     edst = pdf.loc[wm, "dst"].to_numpy(np.int64)
     ew = pdf.loc[wm, "w"].to_numpy(np.float64)
-    portals = np.unique(pdf.loc[kind == 1, "src"].to_numpy(np.int64))
+    targets = np.unique(pdf.loc[kind == 1, "src"].to_numpy(np.int64))
+    sources = np.unique(pdf.loc[kind == 4, "src"].to_numpy(np.int64))
     sm = kind == 2
     sdst = pdf.loc[sm, "dst"].to_numpy(np.int64)
     sw = pdf.loc[sm, "w"].to_numpy(np.float64)
     empty = pd.DataFrame({"src": pd.array([], dtype="int64"),
                           "dst": pd.array([], dtype="int64"),
                           "w": pd.array([], dtype="float64")})
-    if len(portals) == 0:
+    if len(targets) == 0:
         return empty  # no way out of this part; seeds resolve at expand
-    nodes, starts, edst_s, ew_s = _csr(esrc, edst, ew, (portals, sdst))
+    nodes, starts, edst_s, ew_s = _csr(
+        esrc, edst, ew, (targets, sources, sdst))
     n = len(nodes)
-    pidx = np.searchsorted(nodes, portals)
+    tidx = np.searchsorted(nodes, targets)
     srcs, dsts, ws = [], [], []
-    for k in range(len(portals)):
+    for p in sources:
         dist = _dijkstra_csr(n, starts, edst_s, ew_s,
-                             pidx[k:k + 1], np.zeros(1))
-        dp = dist[pidx]
+                             np.searchsorted(nodes, [p]), np.zeros(1))
+        dp = dist[tidx]
         ok = np.isfinite(dp)
-        ok[k] = False  # only the self edge is skipped
+        ok[targets == p] = False  # only the self edge is skipped
         if ok.any():
-            srcs.append(np.full(int(ok.sum()), portals[k],
-                                dtype=np.int64))
-            dsts.append(portals[ok])
+            srcs.append(np.full(int(ok.sum()), p, dtype=np.int64))
+            dsts.append(targets[ok])
             ws.append(dp[ok])
     if len(sdst):
         dist = _dijkstra_csr(n, starts, edst_s, ew_s,
                              np.searchsorted(nodes, sdst), sw)
-        dp = dist[pidx]
+        dp = dist[tidx]
         ok = np.isfinite(dp)
         if ok.any():
             srcs.append(np.full(int(ok.sum()), -1, dtype=np.int64))
-            dsts.append(portals[ok])
+            dsts.append(targets[ok])
             ws.append(dp[ok])
     if not srcs:
         return empty
@@ -1266,11 +1280,38 @@ def _boundary_solve_distributed(edges, *, nbx, nby, bands, bw, bh, W, H):
         levels.append((e, G))
         within, marks, seeds, cut = _tag_level(
             e, G, nbx, nby, bw, bh, W, H)
-        tagged = within
-        for m in marks:
-            tagged = tagged.unionByName(m)
-        tagged = tagged.unionByName(seeds)
-        shortcuts = tagged.groupBy("pid").applyInPandas(
+        markers = marks[0].unionByName(marks[1])
+        # bounded task granularity (r15): a big part's per-portal
+        # Dijkstra loop is split across ceil(P/_CONTRACT_CHUNK) tasks.
+        # The distinct-count here is over PORTAL MARKERS (two rows per
+        # cut edge — perimeter-sized, a G-fraction of the edge list),
+        # not the full edge set, so it stays far from the v_cap
+        # distinct() this solver was built to avoid (VERDICT r14 #6).
+        pcnt = (markers.select("pid", "src").distinct()
+                .groupBy("pid")
+                .agg(F.ceil(F.count("*") / F.lit(_CONTRACT_CHUNK))
+                     .cast("int").alias("_nch")))
+
+        def rep(df, pcnt=pcnt):
+            # replicate to every chunk of the part (within edges and
+            # target markers: every chunk needs the full subgraph and
+            # the full shortcut-target set)
+            return (df.join(pcnt, "pid")
+                    .withColumn("chunk", F.explode(
+                        F.sequence(F.lit(0), F.col("_nch") - 1)))
+                    .drop("_nch"))
+
+        sources = (markers.select(
+            "pid", "src", "dst", "w", F.lit(4).alias("kind"))
+            .join(pcnt, "pid")
+            .withColumn("chunk",
+                        F.pmod(F.hash("src"), F.col("_nch")).cast("int"))
+            .drop("_nch"))
+        tagged = (rep(within)
+                  .unionByName(rep(markers))
+                  .unionByName(sources)
+                  .unionByName(seeds.withColumn("chunk", F.lit(0))))
+        shortcuts = tagged.groupBy("pid", "chunk").applyInPandas(
             _contract_part, schema="src long, dst long, w double")
         e = (shortcuts.unionByName(cut.select("src", "dst", "w"))
              .localCheckpoint())

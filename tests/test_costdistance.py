@@ -444,6 +444,39 @@ class TestTwoLevel:
                 np.nan_to_num(a, nan=-1.0), np.nan_to_num(b, nan=-1.0),
                 atol=1e-12, err_msg=f"max_d {max_d}")
 
+    def test_contraction_chunking_is_result_invariant(self, spark,
+                                                      monkeypatch):
+        """r15: splitting a part's per-portal Dijkstra loop across
+        (pid, chunk) tasks (bounded task granularity at scale) must not
+        change a single value — forced tiny _CONTRACT_CHUNK puts every
+        few portals in their own task."""
+        from geopyspark_spark.operators import costdistance as cd
+
+        rng = np.random.default_rng(31)
+        n = 48
+        fric = rng.uniform(0.5, 3.0, size=(n, n))
+        for i, r in enumerate(range(3, n - 2, 5)):   # serpentine walls
+            if i % 2 == 0:
+                fric[r, : n - 4] = np.nan
+            else:
+                fric[r, 4:] = np.nan
+        layer = _maze_layer(spark, fric, tsz=8)
+        src = gps.Point(1.5, n - 1.5)
+        drv = _stitched(cost_distance(layer, src, strategy="two_level",
+                                      table_cells=64,
+                                      boundary_solver="driver"))
+        monkeypatch.setattr(cd, "_BF_GRID_CAP", 2)
+        monkeypatch.setattr(cd, "_CONTRACT_FACTOR", 2)
+        monkeypatch.setattr(cd, "_CONTRACT_CHUNK", 3)
+        con = _stitched(cost_distance(layer, src, strategy="two_level",
+                                      table_cells=64,
+                                      boundary_solver="distributed"))
+        assert cd._loop_stats["contract_levels"] == 2
+        assert np.array_equal(np.isnan(drv), np.isnan(con))
+        np.testing.assert_allclose(
+            np.nan_to_num(drv, nan=-1.0), np.nan_to_num(con, nan=-1.0),
+            atol=1e-12)
+
     def test_bogus_boundary_solver_rejected(self, spark):
         fric = np.ones((16, 16))
         layer = _maze_layer(spark, fric, tsz=8)
