@@ -449,6 +449,7 @@ def linear_trend(df: DataFrame, key_cols, x_col: str, y_col: str,
         F.sum(xd * xd).cast("double").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
         F.max(F.abs(F.col("x"))).alias("_xabs_max"),
+        F.max(F.abs(F.col("y"))).cast("double").alias("_yabs_max"),
     )
     nd = F.col("n").cast("double")
     sxd = F.col("sx_dec").cast("double")
@@ -458,6 +459,24 @@ def linear_trend(df: DataFrame, key_cols, x_col: str, y_col: str,
     # key); folded into `denom` — which the filter itself evaluates —
     # so neither column pruning nor the filter can elide the check.
     # Under ANSI (Spark 4 default) the decimal cast errors earlier.
+    #
+    # EVERY decimal accumulator has its capacity guarded (r15 review:
+    # the r15 sum(x) guard alone left sum(x^2) & co. silently NULLable
+    # between the guards). n * max-magnitude bounds each exact sum:
+    #   sum(x)   decimal(25,0)  -> n*|x|      < 1e25
+    #   sum(x*x) decimal(38,0)  -> n*|x|^2    < 1e38
+    #   sum(x*y) decimal(38,6)  -> n*|x|*|y|  < 1e32
+    #   sum(y)   decimal(28,6)  -> n*|y|      < 1e22
+    #   sum(y*y) decimal(38,12) -> n*|y|^2    < 1e26
+    xm = F.col("_xabs_max").cast("double")
+    ym = F.col("_yabs_max")
+    overflow = (
+        (nd * xm >= F.lit(1e25))
+        | (nd * xm * xm >= F.lit(1e38))
+        | (nd * xm * ym >= F.lit(1e32))
+        | (nd * ym >= F.lit(1e22))
+        | (nd * ym * ym >= F.lit(1e26))
+    )
     denom = F.when(
         F.col("_xabs_max") >= F.lit(_X_BOUND),
         F.raise_error(F.concat(
@@ -466,11 +485,17 @@ def linear_trend(df: DataFrame, key_cols, x_col: str, y_col: str,
             F.lit(") overflows the exact decimal accumulator; "
                   "pass x_origin to re-center x"))).cast("double")
     ).when(
-        nd * F.col("_xabs_max").cast("double") >= F.lit(1e25),
-        F.raise_error(F.lit(
-            "linear_trend: n * max|x - x_origin| >= 1e25 overflows the "
-            "exact decimal(25,0) sum(x) accumulator; pass x_origin to "
-            "re-center x")).cast("double")
+        overflow,
+        F.raise_error(F.concat(
+            F.lit("linear_trend: n * extreme |x|/|y| overflows an exact "
+                  "decimal accumulator (n="),
+            F.col("n").cast("string"),
+            F.lit(", max|x - x_origin|="),
+            F.col("_xabs_max").cast("string"),
+            F.lit(", max|y|="),
+            F.col("_yabs_max").cast("string"),
+            F.lit("); pass x_origin to re-center x and/or rescale y")
+        )).cast("double")
     ).otherwise(nd * F.col("sxx") - sxd * sxd)
     num = nd * F.col("sxy") - sxd * F.col("sy")
     slope = num / denom

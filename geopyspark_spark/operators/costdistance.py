@@ -1268,6 +1268,11 @@ def _boundary_solve_distributed(edges, *, nbx, nby, bands, bw, bh, W, H):
     driver-coordinated loop with the same block-crossing round count
     and no contraction."""
     perim = 2 * (bw + bh)
+    # env-tunable knobs, clamped so no setting can hang the loop:
+    # factor 1 would never shrink the span (infinite contraction loop),
+    # factor/cap <= 0 would divide by zero
+    factor = max(2, int(_CONTRACT_FACTOR))
+    grid_cap = max(1, int(_BF_GRID_CAP))
     e = edges.localCheckpoint()
     levels = []  # [(level_edges, factor_of_the_contraction_above_it)]
     G = 1
@@ -1275,8 +1280,8 @@ def _boundary_solve_distributed(edges, *, nbx, nby, bands, bw, bh, W, H):
     def span(g):
         return max(-(-nbx // g), -(-nby // g))
 
-    while span(G) > _BF_GRID_CAP:
-        G *= _CONTRACT_FACTOR
+    while span(G) > grid_cap:
+        G *= factor
         levels.append((e, G))
         within, marks, seeds, cut = _tag_level(
             e, G, nbx, nby, bw, bh, W, H)
@@ -1289,7 +1294,8 @@ def _boundary_solve_distributed(edges, *, nbx, nby, bands, bw, bh, W, H):
         # distinct() this solver was built to avoid (VERDICT r14 #6).
         pcnt = (markers.select("pid", "src").distinct()
                 .groupBy("pid")
-                .agg(F.ceil(F.count("*") / F.lit(_CONTRACT_CHUNK))
+                .agg(F.ceil(F.count("*")
+                            / F.lit(max(1, int(_CONTRACT_CHUNK))))
                      .cast("int").alias("_nch")))
 
         def rep(df, pcnt=pcnt):

@@ -8074,6 +8074,43 @@ FROM comp c JOIN documents d ON d.doc_id = c.doc_id
 """
 
 
+def _dedup_inc_bucket():
+    """The md5 80/20 split expression shared by the whole incremental-
+    dedup query family — ONE definition, because the Spark side must
+    stay byte-identical to the shared oracle SQL's ``tagged`` CTE
+    (changing the ':inc' salt or bucket count in one copy would
+    silently desynchronize the others from the oracle)."""
+    return (
+        F.conv(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":inc"))),
+            1, 15), 16, 10).cast("long") % 5
+    )
+
+
+def _dedup_inc_split(spark, sf_dir):
+    """(corpus, batch) = the deterministic 80%/20% documents split of
+    the incremental-dedup family (see :func:`_dedup_inc_bucket`)."""
+    tagged = _t(spark, sf_dir, "documents").withColumn(
+        "_b", _dedup_inc_bucket())
+    return (tagged.where(F.col("_b") < 4).drop("_b"),
+            tagged.where(F.col("_b") == 4).drop("_b"))
+
+
+def _dedup_sigs_artifact(spark, corpus, prefix):
+    """Persist the corpus-signature artifact to scratch parquet and
+    read it back — the round-trip every artifact-path query exercises
+    (pinned params num_hashes=16, bands=4, n=2, matching the family's
+    oracle SQL)."""
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix, dir=_scratch_dir())
+    shutil.rmtree(path, ignore_errors=True)
+    fdedup.corpus_signatures(
+        corpus, num_hashes=16, bands=4, n=2).write.parquet(path)
+    return spark.read.parquet(path)
+
+
 def q_text_dedup_incremental(spark, sf_dir):
     """Incremental dedup against an existing corpus (r13): the corpus is
     a deterministic 80% of the documents table (md5 split), the batch
@@ -8082,15 +8119,7 @@ def q_text_dedup_incremental(spark, sf_dir):
     100 TB corpus is already deduped and only the new batch is checked.
     Stateless md5 shingle ids make the corpus-side signatures persistable
     artifacts; nothing corpus-global recomputes per batch."""
-    docs = _t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(
-            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":inc"))),
-            1, 15), 16, 10).cast("long") % 5
-    )
-    tagged = docs.withColumn("_b", bucket)
-    corpus = tagged.where(F.col("_b") < 4).drop("_b")
-    batch = tagged.where(F.col("_b") == 4).drop("_b")
+    corpus, batch = _dedup_inc_split(spark, sf_dir)
     return fdedup.dedup_against_corpus(
         batch, corpus, num_hashes=16, bands=4, min_jaccard=0.5)
 
@@ -8104,23 +8133,8 @@ def q_text_dedup_incremental_sigs(spark, sf_dir):
     query shares ``text_dedup_incremental``'s oracle SQL. This is the
     O(batch)-per-ingest shape at 100 TB: the corpus side is a scan of
     the artifact, never a re-shingle of the corpus."""
-    import shutil
-    import tempfile
-
-    docs = _t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(
-            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":inc"))),
-            1, 15), 16, 10).cast("long") % 5
-    )
-    tagged = docs.withColumn("_b", bucket)
-    corpus = tagged.where(F.col("_b") < 4).drop("_b")
-    batch = tagged.where(F.col("_b") == 4).drop("_b")
-    path = tempfile.mkdtemp(prefix="corpus_sigs_", dir=_scratch_dir())
-    shutil.rmtree(path, ignore_errors=True)
-    fdedup.corpus_signatures(
-        corpus, num_hashes=16, bands=4, n=2).write.parquet(path)
-    sigs = spark.read.parquet(path)
+    corpus, batch = _dedup_inc_split(spark, sf_dir)
+    sigs = _dedup_sigs_artifact(spark, corpus, "corpus_sigs_")
     return fdedup.dedup_against_corpus(
         batch, corpus_sigs=sigs, num_hashes=16, bands=4, min_jaccard=0.5)
 
@@ -8136,23 +8150,8 @@ def q_text_dedup_incremental_removed(spark, sf_dir):
     incremental-dedup SQL with the removal filter on its corpus CTE).
     Without the removal path, stale signatures keep flagging batch
     docs as dups of documents that no longer exist."""
-    import shutil
-    import tempfile
-
-    docs = _t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(
-            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":inc"))),
-            1, 15), 16, 10).cast("long") % 5
-    )
-    tagged = docs.withColumn("_b", bucket)
-    corpus = tagged.where(F.col("_b") < 4).drop("_b")
-    batch = tagged.where(F.col("_b") == 4).drop("_b")
-    path = tempfile.mkdtemp(prefix="corpus_sigs_rm_", dir=_scratch_dir())
-    shutil.rmtree(path, ignore_errors=True)
-    fdedup.corpus_signatures(
-        corpus, num_hashes=16, bands=4, n=2).write.parquet(path)
-    sigs = spark.read.parquet(path)
+    corpus, batch = _dedup_inc_split(spark, sf_dir)
+    sigs = _dedup_sigs_artifact(spark, corpus, "corpus_sigs_rm_")
     removed = corpus.where(F.col("doc_id") % 7 == 0).select("doc_id")
     shrunk = fdedup.remove_from_signatures(sigs, removed)
     return fdedup.dedup_against_corpus(
@@ -8179,11 +8178,7 @@ def q_text_dedup_stream(spark, sf_dir):
                                        stream_dedup_against_corpus)
 
     docs = _t(spark, sf_dir, "documents")
-    bucket_b = (
-        F.conv(F.substring(
-            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":inc"))),
-            1, 15), 16, 10).cast("long") % 5
-    )
+    bucket_b = _dedup_inc_bucket()
     corpus = docs.withColumn("_b", bucket_b).where(F.col("_b") < 4).drop("_b")
     scratch = tempfile.mkdtemp(prefix="dedup_stream_", dir=_scratch_dir())
     shutil.rmtree(scratch, ignore_errors=True)

@@ -869,12 +869,19 @@ def _mark_pyramid_expired(uri: str, layer_name: str, pv: str) -> None:
         pass
 
 
-def snapshot_dead_pins(uri: str, layer_name: str,
-                       manifest: dict) -> list[tuple[int, str]]:
+def snapshot_dead_pins(uri: str, layer_name: str, manifest: dict,
+                       live: dict | None = None) -> list[tuple[int, str]]:
     """The ``(zoom, version)`` pins of a snapshot manifest that are no
-    longer retained (GC'd by ``keep_history``), ascending by zoom."""
+    longer retained (GC'd by ``keep_history``), ascending by zoom.
+    Pass ``live`` (``{zoom: set(versions)}``) to reuse one
+    retained-version listing per zoom across many manifests — the
+    sweep does, so a publish costs O(zooms) LIST calls, not
+    O(snapshots * zooms)."""
+    if live is None:
+        live = {z: set(list_versions(uri, layer_name, z))
+                for z in manifest}
     return [(z, v) for z, v in sorted(manifest.items())
-            if v not in list_versions(uri, layer_name, z)]
+            if v not in live.get(z, ())]
 
 
 def sweep_expired_pyramid_snapshots(uri: str, layer_name: str) -> list[str]:
@@ -884,12 +891,17 @@ def sweep_expired_pyramid_snapshots(uri: str, layer_name: str) -> list[str]:
     Runs automatically after each :func:`write_pyramid` publish; safe
     to call any time (idempotent, never touches the newest snapshot's
     servability — a snapshot is only marked when a pin is actually
-    dead). Returns the names newly marked."""
+    dead). One retained-version listing per zoom is shared across all
+    manifests. Returns the names newly marked."""
+    manifests = {
+        pv: read_pyramid_manifest(uri, layer_name, version=pv,
+                                  _check_expired=False)
+        for pv in list_pyramid_versions(uri, layer_name)}
+    zooms = {z for m in manifests.values() for z in m}
+    live = {z: set(list_versions(uri, layer_name, z)) for z in zooms}
     swept = []
-    for pv in list_pyramid_versions(uri, layer_name):
-        manifest = read_pyramid_manifest(uri, layer_name, version=pv,
-                                         _check_expired=False)
-        if snapshot_dead_pins(uri, layer_name, manifest):
+    for pv, manifest in manifests.items():
+        if snapshot_dead_pins(uri, layer_name, manifest, live=live):
             _mark_pyramid_expired(uri, layer_name, pv)
             swept.append(pv)
     return swept

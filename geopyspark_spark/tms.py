@@ -77,23 +77,31 @@ class CatalogTileFetcher(TileFetcher):
             else:
                 pin = read_pyramid_manifest(uri, layer_name,
                                             version=pyramid_version)
-        # ONE reference holds the whole (pin, zooms) pair so refresh()
-        # swaps it atomically between requests — a fetch in flight
-        # keeps the pair it grabbed, never half of each
-        self._state = (pin, sorted(pin) if pin else self._list_zooms())
         import time as _time
 
         self._last_check = _time.monotonic()
-        zooms = self._state[1]
+        # tile dims were either pinned by the caller (kept across
+        # re-pins) or auto-resolved from the layout (re-resolved on
+        # every re-pin — a republish may change tile size)
+        self._auto_tile_dims = tile_cols is None
+        zooms = sorted(pin) if pin else self._list_zooms()
+        tc, tr = self._resolve_tile_dims(pin, zooms, tile_cols,
+                                         tile_rows)
+        # ONE reference holds the whole (pin, zooms, tc, tr) tuple so
+        # refresh() swaps it atomically between requests — a fetch in
+        # flight keeps the tuple it grabbed, never half of each
+        self._state = (pin, zooms, tc, tr)
+
+    def _resolve_tile_dims(self, pin, zooms, tile_cols, tile_rows):
         if tile_cols is None and zooms:
             from .sources.catalog import read_layer_metadata
 
             tl = read_layer_metadata(
-                uri, layer_name, zooms[-1],
+                self.uri, self.layer_name, zooms[-1],
                 version=pin.get(zooms[-1])).layout.tile_layout
             tile_cols, tile_rows = tl.tile_cols, tl.tile_rows
-        self.tc = tile_cols or 256
-        self.tr = tile_rows or self.tc
+        tc = tile_cols or 256
+        return tc, tile_rows or tc
 
     @property
     def _pin(self) -> dict:
@@ -103,29 +111,50 @@ class CatalogTileFetcher(TileFetcher):
     def _zooms(self) -> list:
         return self._state[1]
 
+    @property
+    def tc(self) -> int:
+        return self._state[2]
+
+    @property
+    def tr(self) -> int:
+        return self._state[3]
+
     def refresh(self) -> bool:
         """Re-pin a ``pyramid_version="latest"`` fetcher to the newest
         snapshot (r15, VERDICT r14 #3): a server that outlives a
         republish used to serve the startup snapshot forever. The new
-        ``{zoom: version}`` map is resolved FULLY before one atomic
-        reference swap, so every request serves exactly one snapshot —
+        ``{zoom: version}`` map — and the tile dimensions, when they
+        were auto-resolved rather than caller-pinned (a republish may
+        change tile size) — is resolved FULLY before one atomic
+        reference swap, so every request serves exactly one snapshot:
         the old one until the swap, the new one after, never a mix.
         No-op (returns False) for unpinned or explicitly-pinned
-        fetchers and when no newer snapshot exists. Also called
-        automatically from :meth:`fetch` every ``refresh_interval``
-        seconds when that was given."""
+        fetchers, when no newer snapshot exists, and when the newest
+        snapshot is swept/expired mid-resolve (the current pin stays
+        servable — a racing republish must never fail tile requests).
+        Also called automatically from :meth:`fetch` every
+        ``refresh_interval`` seconds when that was given."""
         if not self._follow_latest:
             return False
         from .sources.catalog import (list_pyramid_versions,
                                       read_pyramid_manifest)
 
-        versions = list_pyramid_versions(self.uri, self.layer_name)
-        if not versions or versions[-1] == self._pinned_name:
+        try:
+            versions = list_pyramid_versions(self.uri, self.layer_name)
+            if not versions or versions[-1] == self._pinned_name:
+                return False
+            name = versions[-1]
+            pin = read_pyramid_manifest(self.uri, self.layer_name,
+                                        version=name)
+            zooms = sorted(pin)
+            tc, tr = ((self.tc, self.tr) if not self._auto_tile_dims
+                      else self._resolve_tile_dims(pin, zooms, None,
+                                                   None))
+        except FileNotFoundError:
+            # raced a retention sweep between list and read (incl.
+            # PyramidSnapshotExpiredError) — keep serving the old pin
             return False
-        name = versions[-1]
-        pin = read_pyramid_manifest(self.uri, self.layer_name,
-                                    version=name)
-        self._state = (pin, sorted(pin))
+        self._state = (pin, zooms, tc, tr)
         self._pinned_name = name
         return True
 
@@ -136,11 +165,14 @@ class CatalogTileFetcher(TileFetcher):
 
         return list_zooms(self.uri, self.layer_name)
 
-    def _read(self, zoom: int, col: int, row: int, pin=None):
+    def _read(self, zoom: int, col: int, row: int, pin=None,
+              tc: int | None = None, tr: int | None = None):
         from .sources.catalog import read_value
 
         if pin is None:
             pin = self._pin
+        tc = tc or self.tc
+        tr = tr or self.tr
         rows = read_value(self.uri, self.layer_name, zoom, col, row,
                           band=self.band, version=pin.get(zoom))
         if not rows:
@@ -149,12 +181,12 @@ class CatalogTileFetcher(TileFetcher):
         cells = None
         for r in rows:
             arr = r.get("cells")
-            if arr is not None and len(arr) == self.tc * self.tr:
+            if arr is not None and len(arr) == tc * tr:
                 cells = np.asarray(arr, dtype=np.float64)
                 break
         if cells is None:
             return None
-        return cells.reshape(self.tr, self.tc)
+        return cells.reshape(tr, tc)
 
     def fetch(self, zoom: int, col: int, row: int):
         if self._follow_latest and self._refresh_interval is not None:
@@ -164,13 +196,14 @@ class CatalogTileFetcher(TileFetcher):
             if now - self._last_check >= self._refresh_interval:
                 self._last_check = now
                 self.refresh()
-        # grab the (pin, zooms) pair ONCE — a refresh() mid-request
-        # cannot mix two snapshots in this read
-        pin, zooms = self._state
+        # grab the whole (pin, zooms, tc, tr) tuple ONCE — a refresh()
+        # mid-request cannot mix two snapshots (or two tile layouts)
+        # in this read
+        pin, zooms, tc, tr = self._state
         if not zooms:
             return None
         if zoom in zooms:
-            return self._read(zoom, col, row, pin)
+            return self._read(zoom, col, row, pin, tc, tr)
         maxz = zooms[-1]
         if zoom < zooms[0]:
             return None
@@ -178,12 +211,12 @@ class CatalogTileFetcher(TileFetcher):
         # (r, c) reads parent cell (((row % f) * tr + r) // f, ...), exact
         # for any tile size (crop+repeat only works for power-of-two tiles)
         dz = zoom - maxz
-        parent = self._read(maxz, col >> dz, row >> dz, pin)
+        parent = self._read(maxz, col >> dz, row >> dz, pin, tc, tr)
         if parent is None:
             return None
         f = 1 << dz
-        pr = ((row % f) * self.tr + np.arange(self.tr)) // f
-        pc = ((col % f) * self.tc + np.arange(self.tc)) // f
+        pr = ((row % f) * tr + np.arange(tr)) // f
+        pc = ((col % f) * tc + np.arange(tc)) // f
         return parent[np.ix_(pr, pc)]
 
 

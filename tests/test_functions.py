@@ -2733,6 +2733,37 @@ class TestLinearTrend:
                            match="x_origin|NUMERIC_VALUE_OUT_OF_RANGE"):
             linear_trend(df, "k", "x", "y").collect()
 
+    def test_accumulator_capacity_guard_covers_products(self, spark):
+        """r15 review: the per-accumulator capacity guards must also
+        catch sum(x*y)-class overflows (n * max|x| * max|y| past the
+        decimal(38,6) ceiling) — previously only sum(x) was guarded
+        and the other exact sums could still NULL silently, vanishing
+        the key."""
+        from pyspark.errors import PySparkException
+
+        from geopyspark_spark.functions.relational import linear_trend
+
+        # n=1e6 rows, |x|~9e14 (inside the 1e15 bound), |y|~9.9e11
+        # (inside decimal(18,6)): n*|x|*|y| ~ 9e32 >= 1e32 -> sum(x*y)
+        # would overflow; loud either way — ANSI's own ARITHMETIC_
+        # OVERFLOW, or the explicit guard under non-ANSI (where the
+        # sum would otherwise NULL and the key would silently vanish)
+        df = spark.range(1_000_000).select(
+            F.lit(1).alias("k"),
+            (F.lit(900_000_000_000_000) + F.col("id")).alias("x"),
+            (F.col("id") * 1e3 + 9.9e11).alias("y"))
+        with pytest.raises(PySparkException,
+                           match="decimal accumulator|ARITHMETIC_OVERFLOW"):
+            linear_trend(df, "k", "x", "y").collect()
+        old = spark.conf.get("spark.sql.ansi.enabled")
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            with pytest.raises(PySparkException,
+                               match="decimal accumulator"):
+                linear_trend(df, "k", "x", "y").collect()
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", old)
+
     def test_x_beyond_decimal_bound_fails_fast_non_ansi(self, spark):
         from pyspark.errors import PySparkException
 

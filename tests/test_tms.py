@@ -361,6 +361,67 @@ class TestPyramidPublish:
                               keep_history=1)
         assert float(g.fetch(2, 0, 0)[0, 0]) == 300.0
 
+    def test_refresh_reresolves_tile_dims(self, spark, tmp_path):
+        """r15 review: a republish can change the tile layout — a
+        'latest' fetcher with auto-resolved dims must pick up the new
+        (tc, tr) atomically with the new pin, while caller-pinned dims
+        stay caller-pinned."""
+        import geopyspark_spark as gps
+        from geopyspark_spark.layer import Pyramid
+        from geopyspark_spark.sources import catalog
+        from geopyspark_spark.tms import CatalogTileFetcher
+
+        uri = str(tmp_path / "dimcat")
+        catalog.write_pyramid(uri, "pub", self._pyramid(spark, 0.0),
+                              keep_history=1)
+        f = CatalogTileFetcher(uri, "pub", pyramid_version="latest")
+        g = CatalogTileFetcher(uri, "pub", tile_cols=4, tile_rows=4,
+                               pyramid_version="latest")
+        assert (f.tc, f.tr) == (4, 4)
+        # republish the same extent at an 8x8-cell tiling
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64ud-1.0",
+            layout=gps.LayoutDefinition(gps.Extent(0, 0, 16, 16),
+                                        gps.TileLayout(2, 2, 8, 8)),
+            bounds=((0, 0), (1, 1)), extent=gps.Extent(0, 0, 16, 16),
+            num_bands=1, zoom=2)
+        rows = [(c, r, 0, [7.0] * 64) for c in range(2) for r in range(2)]
+        layer = gps.TiledRasterLayer(spark.createDataFrame(
+            rows, "key_col int, key_row int, band int, "
+                  "cells array<double>"), md)
+        catalog.write_pyramid(uri, "pub", Pyramid({2: layer}),
+                              keep_history=1)
+        assert f.refresh() is True
+        assert (f.tc, f.tr) == (8, 8)
+        tile = f.fetch(2, 0, 0)
+        assert tile.shape == (8, 8) and float(tile[0, 0]) == 7.0
+        # caller-pinned dims survive the re-pin
+        assert g.refresh() is True
+        assert (g.tc, g.tr) == (4, 4)
+
+    def test_refresh_race_with_sweep_keeps_old_pin(self, spark,
+                                                   tmp_path,
+                                                   monkeypatch):
+        """r15 review: a refresh that races a retention sweep (listed
+        snapshot swept before its manifest read) must keep serving the
+        current pin instead of failing tile requests."""
+        from geopyspark_spark.sources import catalog
+        from geopyspark_spark.tms import CatalogTileFetcher
+
+        uri = str(tmp_path / "racecat")
+        catalog.write_pyramid(uri, "pub", self._pyramid(spark, 0.0),
+                              keep_history=1)
+        f = CatalogTileFetcher(uri, "pub", pyramid_version="latest",
+                               refresh_interval=0.0)
+        before = float(f.fetch(2, 0, 0)[0, 0])
+        # the listing advertises a snapshot that vanishes before the
+        # manifest read — exactly the sweep race
+        monkeypatch.setattr(catalog, "list_pyramid_versions",
+                            lambda *a, **k: ["p1", "p99"])
+        assert f.refresh() is False
+        # and the auto-refresh inside fetch() must not raise either
+        assert float(f.fetch(2, 0, 0)[0, 0]) == before
+
     def test_no_snapshot_raises(self, spark, tmp_path):
         import pytest as _pt
 
