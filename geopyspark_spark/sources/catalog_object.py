@@ -77,28 +77,38 @@ def _committed_version(root: str) -> tuple[str | None, str | None]:
     return (v if re.fullmatch(r"v\d+", v) else None), etag
 
 
+def _claim_slot(key_for, body: bytes, n: int) -> int:
+    """The create-only claim loop shared by version claims and pyramid
+    snapshots (r15 review — previously duplicated): conditional PUT of
+    ``body`` at ``key_for(n)``, advancing past 412s; a read-back of the
+    (writer-unique) body keeps the claim correct-by-retry on stores
+    that ignore ``If-None-Match`` — the overwritten writer observes the
+    other body and moves to the next number. Returns the claimed n.
+    (The residual last-writer-wins window is documented at
+    :func:`publish_pyramid_snapshot`.)"""
+    while True:
+        target = key_for(n)
+        try:
+            obs.put_object(target, body, if_none_match=True)
+        except obs.PreconditionFailed:
+            n += 1
+            continue
+        got = obs.get_object(target)
+        if got is not None and got[0] == body:
+            return n
+        n += 1  # last-writer-wins store: another writer owns the slot
+
+
 def _claim(root: str) -> str:
     """Atomically claim the next free version number; returns ``vN``.
 
     Create-only conditional PUT of ``<root>/vN/.claim`` (body = a
-    writer-unique token). The read-back verification keeps the claim
-    correct-by-retry on stores that ignore ``If-None-Match`` — the
-    overwritten writer observes the other token and moves to vN+1."""
+    writer-unique token); see :func:`_claim_slot`."""
     token = uuid.uuid4().hex.encode()
     seen = _versions(root)
     committed, _ = _committed_version(root)
     n = max(seen + [int(committed[1:])] if committed else seen + [0]) + 1
-    while True:
-        claim_uri = f"{root}/v{n}/.claim"
-        try:
-            obs.put_object(claim_uri, token, if_none_match=True)
-        except obs.PreconditionFailed:
-            n += 1
-            continue
-        got = obs.get_object(claim_uri)
-        if got is not None and got[0] == token:
-            return f"v{n}"
-        n += 1  # last-writer-wins store: another writer owns vN
+    return f"v{_claim_slot(lambda i: f'{root}/v{i}/.claim', token, n)}"
 
 
 # the SAME sentinel object as the POSIX backend, so an expected_prev
@@ -178,11 +188,16 @@ def _gc_versions(root: str, keep: str, prev: str | None,
     Best-effort: a failed delete leaves an orphan for the next cycle."""
     keep_n = int(keep[1:])
     retained = {int(prev[1:])} if prev else set()
+    # ONE paginated listing serves both the keep_history retained-set
+    # computation and the delete scan (r15 review: the _versions call
+    # re-paged the whole root a second time on every commit)
+    keys = obs.list_keys(root + "/")
     if keep_history > 0:
-        older = sorted((v for v in _versions(root) if v < keep_n),
-                       reverse=True)
+        seen = {int(m.group(1)) for key in keys
+                if (m := re.match(r"v(\d+)/", key[len(root) + 1:]))}
+        older = sorted((v for v in seen if v < keep_n), reverse=True)
         retained.update(older[:keep_history])
-    for key in obs.list_keys(root + "/"):
+    for key in keys:
         rest = key[len(root) + 1:]
         m = re.match(r"v(\d+)/", rest)
         if m and int(m.group(1)) < keep_n and int(m.group(1)) not in retained:
@@ -215,6 +230,16 @@ def _finish_commit(root: str, version: str, keep_history: int = 0,
                                        expected_prev=expected_prev)
     except ConflictError:
         for key in obs.list_keys(f"{root}/{version}/"):
+            # the .claim survives the sweep (r15 review): deleting it
+            # would let the NEXT _claim reuse this version number, and
+            # the local read cache treats (root, vN) as immutable-
+            # forever — a reused number would serve the conflicted
+            # data from cache. The tiny claim object pins the number
+            # until a later committed version supersedes it (deferred
+            # GC then reaps it safely: the committed manifest keeps
+            # the max monotone).
+            if key.endswith("/.claim"):
+                continue
             try:
                 obs.delete_object(key)
             except Exception:
@@ -266,13 +291,18 @@ def _fetch_version(root: str, version: str) -> str:
         local = os.path.join(d, name)
         if os.path.exists(local):
             continue
-        got = obs.get_object(key)
-        if got is None:
-            continue
-        tmp = f"{local}.tmp.{os.getpid()}"
-        with open(tmp, "wb") as f:
-            f.write(got[0])
-        os.replace(tmp, local)
+        # streamed to disk (r15 review: get_object buffered whole
+        # multi-GB parquet parts in memory); a 404 mid-fetch means a
+        # concurrent writer's deferred GC is deleting this version out
+        # from under us — the '.complete' marker must NOT be written
+        # (the never-revalidated cache would serve a partial version
+        # forever, silently dropping tiles from every later scan)
+        if not obs.download_object(key, local):
+            raise FileNotFoundError(
+                f"object {key!r} vanished while fetching {version!r} "
+                f"of {root!r} — the version was garbage-collected "
+                "mid-read (deferred GC); re-resolve the manifest and "
+                "retry")
     with open(marker, "w") as f:
         f.write("")
     return d
@@ -375,17 +405,7 @@ def publish_pyramid_snapshot(uri: str, layer_name: str,
     ns = [int(m.group(1)) for key in obs.list_keys(prefix + "/")
           if (m := re.fullmatch(r"p(\d+)\.json", key[len(prefix) + 1:]))]
     n = (max(ns) if ns else 0) + 1
-    while True:
-        target = f"{prefix}/p{n}.json"
-        try:
-            obs.put_object(target, body, if_none_match=True)
-        except obs.PreconditionFailed:
-            n += 1
-            continue
-        got = obs.get_object(target)
-        if got is not None and got[0] == body:
-            return f"p{n}"
-        n += 1  # last-writer-wins store: another publisher owns pN
+    return f"p{_claim_slot(lambda i: f'{prefix}/p{i}.json', body, n)}"
 
 
 def expired_pyramid_versions(uri: str, layer_name: str) -> set[str]:

@@ -80,7 +80,12 @@ def sigv4_headers(method: str, url: str, headers: dict | None = None,
     amzdate = t.strftime("%Y%m%dT%H%M%SZ")
     datestamp = t.strftime("%Y%m%d")
     p = urlparse(url)
-    canonical_uri = quote(unquote(p.path), safe="/-_.~") or "/"
+    # canonical URI = the path AS SENT with existing %XX escapes
+    # preserved and everything else URI-encoded once (r15 review:
+    # quote(unquote(path)) collapsed encoded slashes — a key holding
+    # %2F signed differently from how the store canonicalizes it).
+    # '%' in safe keeps prior escapes; raw '+' still encodes to %2B.
+    canonical_uri = quote(p.path, safe="/%") or "/"
     pairs = []
     if p.query:
         for kv in p.query.split("&"):
@@ -365,12 +370,13 @@ _COPY_PART_SIZE = int(os.environ.get(
 def _copy_source_header(src_uri: str) -> str:
     sp = urlparse(str(src_uri))
     if sp.scheme in _S3_SCHEMES:
-        source = f"/{sp.netloc}/{sp.path.lstrip('/')}"
-    else:
-        # http(s) form against a path-style endpoint: path is already
-        # /bucket/key
-        source = sp.path
-    return quote(source)
+        # s3:// paths carry the RAW key — encode once for the header
+        return quote(f"/{sp.netloc}/{sp.path.lstrip('/')}")
+    # http(s) form against a path-style endpoint: the path is already
+    # /bucket/key in WIRE form (percent-encoded) — re-quoting would
+    # double-encode (r15 review: key%20name became key%2520name and
+    # the store copied a nonexistent key)
+    return sp.path
 
 
 def _copy_part(dst_uri: str, upload_id: str, part_number: int,
@@ -423,9 +429,19 @@ def copy_object(src_uri: str, dst_uri: str) -> None:
     source = _copy_source_header(src_uri)
     size = head_size(src_uri)
     if size is None or size <= _COPY_THRESHOLD:
+        # CopyObject shares CompleteMultipartUpload's documented quirk:
+        # real S3 may stream whitespace and answer 200 OK with an
+        # <Error> document once the server-side copy fails mid-flight
+        # (r15 review — previously the body was never read and a broken
+        # copy looked successful). An empty body (stub/minimal stores)
+        # is fine; only an <Error> document is a failure.
         with _open(dst_uri, method="PUT",
-                   headers={"x-amz-copy-source": source}):
-            pass
+                   headers={"x-amz-copy-source": source}) as r:
+            resp = r.read()
+        if b"<Error>" in resp:
+            raise RuntimeError(
+                f"CopyObject failed for {src_uri!r} -> {dst_uri!r}: "
+                f"{resp[:500].decode(errors='replace')}")
         return
     upload_id = _initiate_multipart(dst_uri)
     try:
@@ -466,6 +482,32 @@ def get_object(uri: str) -> tuple[bytes, str | None] | None:
         if e.code == 404:
             return None
         raise
+
+
+def download_object(uri: str, local_path: str) -> bool:
+    """Stream one object to ``local_path`` (atomic via temp + rename);
+    returns False on 404. Peak memory is one copy buffer regardless of
+    object size — the read-side mirror of the streaming multipart
+    upload (r15 review: the version cache buffered whole multi-GB
+    parquet parts through get_object)."""
+    import shutil
+    import urllib.error
+
+    tmp = f"{local_path}.tmp.{os.getpid()}"
+    try:
+        with _open(uri) as r, open(tmp, "wb") as f:
+            shutil.copyfileobj(r, f, length=8 * 1024 * 1024)
+        os.replace(tmp, local_path)
+        return True
+    except urllib.error.HTTPError as e:
+        if e.code == 404:
+            return False
+        raise
+    finally:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
 
 
 def is_object_uri(uri: str) -> bool:
@@ -584,7 +626,9 @@ def head_size(uri: str) -> int | None:
 def list_keys(uri: str, extensions: tuple = ()) -> list[str]:
     """List object URIs under an s3:// prefix via ListObjectsV2
     (paginated with continuation tokens). ``extensions`` filters by
-    suffix (case-insensitive); returned URIs keep the s3:// scheme."""
+    suffix (case-insensitive); returned URIs keep the INPUT scheme
+    (r15 review: normalizing s3a://catalog keys to s3:// misaligned
+    every caller that slices relative keys by the prefix length)."""
     import xml.etree.ElementTree as ET
 
     p = urlparse(uri)
@@ -612,13 +656,19 @@ def list_keys(uri: str, extensions: tuple = ()) -> list[str]:
         for c in root.iter(f"{ns}Key"):
             key = c.text or ""
             if not extensions or key.lower().endswith(extensions):
-                out.append(f"s3://{bucket}/{key}")
-        token = None
+                out.append(f"{p.scheme}://{bucket}/{key}")
         nxt = root.find(f"{ns}NextContinuationToken")
         truncated = root.find(f"{ns}IsTruncated")
-        if (truncated is not None and (truncated.text or "").lower() == "true"
-                and nxt is not None):
-            token = nxt.text
-        else:
+        if truncated is None or (truncated.text or "").lower() != "true":
             break
+        # a truncated listing without a usable token must be LOUD:
+        # treating it as complete silently drops keys (and the r15
+        # version-cache would mark a partial version dir complete);
+        # resending the same request would loop forever
+        token = nxt.text if nxt is not None else None
+        if not token:
+            raise RuntimeError(
+                f"ListObjectsV2 for {uri!r} returned IsTruncated=true "
+                "without a NextContinuationToken — cannot enumerate "
+                "the prefix completely")
     return sorted(out)

@@ -388,6 +388,44 @@ class TestS3PyramidSnapshots:
         obs.put_object("s3://b/cat/L/3/MANIFEST", b"v1")
         assert co.list_zooms("s3://b/cat", "L") == [3]
 
+    def test_s3a_scheme_catalog_roundtrip(self, spark, f1_layer, s3cat):
+        """r15 review: s3a:// URIs are accepted by _is_object but
+        list_keys used to normalize listed keys to s3://, misaligning
+        every relative-key slice — versions vanished, GC never ran,
+        cached files got truncated names. Full write/list/read must
+        work under the s3a:// scheme."""
+        uri = "s3a://b/cat"
+        catalog.write(uri, "sa", f1_layer, zoom=0)
+        assert catalog.list_versions(uri, "sa", 0) == ["v1"]
+        assert co.current_version(uri, "sa", 0) == "v1"
+        out = catalog.read(spark, uri, "sa", 0)
+        assert out.df.count() > 0
+
+    def test_fetch_version_vanished_object_is_loud(self, spark, f1_layer,
+                                                   s3cat, monkeypatch):
+        """r15 review: a 404 mid-fetch (concurrent deferred GC deleting
+        the version) used to be skipped with 'continue' and the cache
+        still marked '.complete' — every later read silently served a
+        PARTIAL version. It must raise, and a clean retry must work."""
+        uri = "s3://b/cat"
+        catalog.write(uri, "vf", f1_layer, zoom=0)
+        real = obs.download_object
+        flaked = []
+
+        def flaky(u, path):
+            if u.endswith(".parquet") and not flaked:
+                flaked.append(u)
+                return False  # the GC race: listed, then 404 on GET
+            return real(u, path)
+
+        monkeypatch.setattr(obs, "download_object", flaky)
+        with pytest.raises(FileNotFoundError, match="garbage-collected"):
+            catalog.read(spark, uri, "vf", 0).df.count()
+        assert flaked  # the fault actually fired
+        # no '.complete' marker was written: the retry re-fetches and
+        # serves the FULL version
+        assert catalog.read(spark, uri, "vf", 0).df.count() > 0
+
     def test_expired_markers(self, s3cat):
         """r15 (VERDICT r14 #2): pN.expired tombstones sit BESIDE the
         immutable pN.json manifests; neither the snapshot lister nor

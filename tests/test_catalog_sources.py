@@ -231,9 +231,15 @@ class TestOptimisticUpdate:
             catalog.write(uri, "o", f1_layer, zoom=0)  # v2
             with pytest.raises(ConflictError):
                 catalog.write(uri, "o", f1_layer, zoom=0, expected_prev="v1")
-            # the refused version's uploaded objects were swept
+            # the refused version's uploaded objects were swept — but
+            # the tiny .claim tombstone SURVIVES (r15 review), pinning
+            # v3 so the next writer cannot reuse the number (the local
+            # read cache treats (root, vN) as immutable forever)
             assert catalog.list_versions(uri, "o", 0) == ["v1", "v2"]
-            assert not any("/v3/" in k for k in srv.objects)
+            leftovers = [k for k in srv.objects if "/v3/" in k]
+            assert leftovers == ["b/cat/o/0/v3/.claim"]
+            catalog.write(uri, "o", f1_layer, zoom=0)
+            assert co.current_version(uri, "o", 0) == "v4"
         finally:
             srv.shutdown()
 

@@ -222,6 +222,58 @@ class TestSigV4:
         assert h["x-amz-security-token"] == "tok123"
         assert "x-amz-security-token" in h["Authorization"]
 
+    def test_encoded_slash_signs_as_sent(self, monkeypatch):
+        """r15 review: quote(unquote(path)) collapsed %2F to '/', so a
+        key containing an encoded slash signed differently from how the
+        store canonicalizes the received path. The canonical URI must
+        preserve the wire form — the two paths must sign DIFFERENTLY."""
+        from datetime import datetime, timezone
+
+        monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AKIDTEST")
+        monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "sekrit")
+        monkeypatch.setenv("AWS_REGION", "us-east-1")
+        monkeypatch.delenv("AWS_SESSION_TOKEN", raising=False)
+        t = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        a = obs.sigv4_headers(
+            "GET", "https://b.s3.us-east-1.amazonaws.com/a%2Fb", now=t)
+        b = obs.sigv4_headers(
+            "GET", "https://b.s3.us-east-1.amazonaws.com/a/b", now=t)
+        assert a["Authorization"] != b["Authorization"]
+        # and a raw '+' still canonicalizes to %2B (both sides agree)
+        c = obs.sigv4_headers(
+            "GET", "https://b.s3.us-east-1.amazonaws.com/a+b", now=t)
+        d = obs.sigv4_headers(
+            "GET", "https://b.s3.us-east-1.amazonaws.com/a%2Bb", now=t)
+        assert c["Authorization"] == d["Authorization"]
+
+    def test_copy_source_header_encoding(self):
+        """r15 review: the http(s) branch carries a WIRE-form path and
+        must not be re-quoted (key%20name became key%2520name); the
+        s3:// branch carries a raw key and is encoded exactly once."""
+        from urllib.parse import quote
+
+        assert obs._copy_source_header(
+            "http://ep:9000/bucket/key%20name") == "/bucket/key%20name"
+        assert obs._copy_source_header(
+            "s3://bucket/key name") == quote("/bucket/key name")
+
+    def test_list_keys_preserves_input_scheme(self, s3stub):
+        """r15 review: s3a:// catalog roots had their listed keys
+        normalized to s3://, misaligning every caller that slices
+        relative keys by the prefix length."""
+        s3stub.objects["b/pre/a.tif"] = b"x"
+        assert obs.list_keys("s3a://b/pre/") == ["s3a://b/pre/a.tif"]
+        assert obs.list_keys("s3://b/pre/") == ["s3://b/pre/a.tif"]
+
+    def test_download_object_streams_and_404(self, s3stub, tmp_path):
+        s3stub.objects["b/data.bin"] = bytes(range(256))
+        dst = str(tmp_path / "d.bin")
+        assert obs.download_object("s3://b/data.bin", dst) is True
+        assert open(dst, "rb").read() == bytes(range(256))
+        assert obs.download_object("s3://b/missing.bin",
+                                   str(tmp_path / "m.bin")) is False
+        assert not (tmp_path / "m.bin").exists()
+
     def test_virtual_host_resolution_without_endpoint(self, monkeypatch):
         monkeypatch.delenv("AWS_ENDPOINT_URL", raising=False)
         monkeypatch.delenv("AWS_ENDPOINT_URL_S3", raising=False)
