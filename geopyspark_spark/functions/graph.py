@@ -244,11 +244,21 @@ def pagerank(edges: DataFrame, iterations: int = 5,
             .groupBy("dst")
             .agg(F.sum("contrib").alias("sum_contrib"))
         )
+        # the damping multiply runs in DECIMAL (r15 review): a hub node
+        # can accumulate sum_contrib near the total rank mass
+        # (n_nodes * rank_scale), and damping_ppm * that wraps past
+        # int64 at ~1.1e7 nodes under non-ANSI Spark — silently
+        # negative ranks on exactly the power-law graphs this targets.
+        # decimal(20,0) * the ppm literal is exact to ~1e27; `div` on
+        # decimals returns BIGINT, so values are unchanged wherever
+        # the old long math didn't overflow.
         ranks = nodes.join(contribs, nodes.node == contribs.dst, "left_outer").select(
             "node",
             (
                 F.lit(base).cast("long")
-                + F.expr(f"({damping_ppm} * coalesce(sum_contrib, 0L)) DIV {PPM}")
+                + F.expr(
+                    f"(CAST(coalesce(sum_contrib, 0L) AS DECIMAL(20,0))"
+                    f" * {damping_ppm}) DIV {PPM}")
             ).alias("pr"),
         )
         # bound plan depth for deep runs; the materialized table is only
@@ -305,7 +315,7 @@ def label_propagation(edges: DataFrame, rounds: int = 4,
         adj.select("node").distinct()
         .select("node", F.col("node").alias("label"))
     )
-    for _ in range(rounds):
+    for i in range(rounds):
         labels = (
             adj.join(labels.select(F.col("node").alias("nbr"), "label"), "nbr")
             .select(F.col("node").alias("n"), "label")
@@ -318,6 +328,12 @@ def label_propagation(edges: DataFrame, rounds: int = 4,
             .agg(F.expr("min_by(label, struct(-cnt, label))").alias("label"))
             .select(F.col("n").alias("node"), "label")
         )
+        # bound plan depth for deep runs, like pagerank/bounded_sssp
+        # (r15 review: 200 rounds built one 200-stage lazy plan and
+        # Catalyst analysis time grows superlinearly with depth); the
+        # materialized table is only O(nodes) rows
+        if (i + 1) % 16 == 0 and (i + 1) < rounds:
+            labels = labels.localCheckpoint()
     return labels
 
 
@@ -333,10 +349,13 @@ def bounded_sssp(edges: DataFrame, sources: DataFrame, rounds: int = 6,
     and a per-round driver action; a bounded-hop contract needs
     neither). With ``rounds >= diameter`` this IS the shortest path.
 
-    Integer weights only (raises otherwise): min and + over integers
-    are exact and commutative, so results are partition- and
-    engine-independent — the oracle contract shared by
-    :func:`pagerank` / :func:`label_propagation`.
+    NON-NEGATIVE integer weights only (raises otherwise): min and +
+    over integers are exact and commutative, so results are partition-
+    and engine-independent — the oracle contract shared by
+    :func:`pagerank` / :func:`label_propagation`. Negative weights are
+    rejected at execution time (r15 review): under them the bounded
+    relaxation computes the cheapest WALK, which revisits a negative
+    edge every round — neither a shortest path nor a stable quantity.
 
     Spark shape per round (the Pregel pattern): one equi-join
     frontier⨝edges on the source key + one min aggregate on the
@@ -362,9 +381,18 @@ def bounded_sssp(edges: DataFrame, sources: DataFrame, rounds: int = 6,
             f"weight column {weight_col!r} must be integer-typed for the "
             f"exactness contract, got {wt!r}")
     u, v, w = F.col(src_col), F.col(dst_col), F.col(weight_col)
+    w_ok = F.when(
+        w < 0,
+        F.raise_error(F.concat(
+            F.lit("bounded_sssp: negative weight "),
+            w.cast("string"),
+            F.lit(" — bounded relaxation would return the cheapest "
+                  "WALK (revisiting the negative edge each round), "
+                  "not a shortest path"))).cast("long")
+    ).otherwise(w.cast("long"))
     canon = (
         edges.select(F.least(u, v).alias("lo"), F.greatest(u, v).alias("hi"),
-                     w.cast("long").alias("w"))
+                     w_ok.alias("w"))
         .where(F.col("lo") != F.col("hi"))
         .groupBy("lo", "hi")
         .agg(F.min("w").alias("w"))  # parallel edges keep the cheapest

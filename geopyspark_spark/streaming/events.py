@@ -29,22 +29,31 @@ EVENTS_SCHEMA = (
 )
 
 
-def _events_ts_dtype(spark: SparkSession, path: str) -> str | None:
-    """Probe how this Spark build reads the events parquet ``ts`` column.
+def _events_ts_dtype(spark: SparkSession, path: str) -> tuple[str | None, str]:
+    """Probe how this Spark build reads the events parquet ``ts``
+    column; returns ``(dtype, probe_path)``.
 
     The driver's events table stores TIMESTAMP(NANOS). Depending on the
     Spark version the batch read either yields ``timestamp_ntz`` natively
     (nanos truncated to micros) or fails unless
     ``spark.sql.legacy.parquet.nanosAsLong`` is set (then: ``bigint``
     nanos). Mirrors the probe in ``plans/driver_queries._events``.
+    A nonexistent LOCAL path raises immediately (r15 review: it used to
+    fall silently into the legacy-nanos branch and surface as a
+    confusing schema mismatch at runtime); a probe failure on an
+    existing path is the genuine needs-nanosAsLong signal.
     """
     probe = os.path.join(path, "events.parquet")
     if not os.path.exists(probe):
         probe = path
     try:
-        return dict(spark.read.parquet(probe).dtypes).get("ts")
+        return dict(spark.read.parquet(probe).dtypes).get("ts"), probe
     except Exception:
-        return None
+        if "://" not in str(probe) and not os.path.exists(probe):
+            raise FileNotFoundError(
+                f"events path {probe!r} does not exist — cannot probe "
+                "the ts column type") from None
+        return None, probe
 
 
 def read_events_stream(spark: SparkSession, path: str, ts_is_nanos: bool = True) -> DataFrame:
@@ -52,9 +61,15 @@ def read_events_stream(spark: SparkSession, path: str, ts_is_nanos: bool = True)
 
     The result always exposes ``ts`` as a session-local TIMESTAMP so the
     downstream watermark/window/session operators behave identically on
-    every Spark build (see ``_events_ts_dtype``).
+    every Spark build (see ``_events_ts_dtype``). On builds where the
+    nanos column needs ``spark.sql.legacy.parquet.nanosAsLong``, that
+    conf is set SESSION-WIDE and left set (the lazy stream reads it at
+    execution time; restoring it here would break the running stream) —
+    documented side effect: later reads of other TIMESTAMP(NANOS)
+    parquet in the same session also come back as bigint.
+    ``ts_is_nanos=False`` says the stored longs are MICROseconds.
     """
-    dtype = _events_ts_dtype(spark, path)
+    dtype, _probe = _events_ts_dtype(spark, path)
     if dtype in ("timestamp_ntz", "timestamp"):
         schema = EVENTS_SCHEMA.replace("ts long", f"ts {dtype}")
         df = spark.readStream.schema(schema).parquet(path)
@@ -70,14 +85,15 @@ def read_events_stream(spark: SparkSession, path: str, ts_is_nanos: bool = True)
     return df
 
 
-def read_events_batch(spark: SparkSession, path: str) -> DataFrame:
+def read_events_batch(spark: SparkSession, path: str,
+                      ts_is_nanos: bool = True) -> DataFrame:
     """Batch read of the same events data, with ``ts`` normalized exactly
     as ``read_events_stream`` does — the reference frame for the
-    stream==batch equivalence tests."""
-    probe = os.path.join(path, "events.parquet")
-    if not os.path.exists(probe):
-        probe = path
-    dtype = _events_ts_dtype(spark, path)
+    stream==batch equivalence tests. ``ts_is_nanos`` mirrors the stream
+    reader's knob (r15 review: the batch side used to hard-code the
+    DIV 1000, breaking the equivalence contract for micros-stored
+    longs). Shares the stream reader's session-conf side effect."""
+    dtype, probe = _events_ts_dtype(spark, path)
     if dtype in ("timestamp_ntz", "timestamp"):
         df = spark.read.parquet(probe)
         if dtype == "timestamp_ntz":
@@ -85,7 +101,10 @@ def read_events_batch(spark: SparkSession, path: str) -> DataFrame:
         return df
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(probe)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+    if ts_is_nanos:
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+    return df.withColumn("ts", F.timestamp_micros(F.col("ts")))
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",
@@ -194,8 +213,6 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame,
     The dim side is static => Spark plans a broadcast join per batch; no
     stream-stream state is involved, so any output mode works.
     """
-    from pyspark.sql import functions as F
-
     j = events.join(F.broadcast(dim), join_expr)
     return j.groupBy(segment_col).agg(
         F.count("*").alias("n_events"),
@@ -219,8 +236,6 @@ def stream_stream_join(left: DataFrame, right: DataFrame,
     O(stream). Without the time bound the state grows forever — the
     bound is the 100 TB/day requirement, not an optimization.
     """
-    from pyspark.sql import functions as F
-
     l = left.withWatermark("ts", watermark).alias("l")
     r = right.withWatermark("ts", watermark).alias("r")
     cond = (
@@ -233,12 +248,19 @@ def stream_stream_join(left: DataFrame, right: DataFrame,
 
 def dedup_events(events: DataFrame, keys: list[str] | None = None,
                  watermark: str = "1 hour", ts_col: str = "ts") -> DataFrame:
-    """Streaming exact deduplication: watermark + dropDuplicates on the
-    event identity — state is bounded by the watermark horizon (late
-    duplicates beyond it are admitted; that is the documented trade).
+    """Streaming exact deduplication: watermark +
+    ``dropDuplicatesWithinWatermark`` on the event identity — state is
+    bounded by the watermark horizon (late duplicates beyond it are
+    admitted; that is the documented trade).
 
     The streaming face of the batch ``exact_duplicates`` operator: at
-    100 TB/day the watermark bound is what keeps the dedup state finite.
-    """
+    100 TB/day the watermark bound is what keeps the dedup state
+    finite. NOTE (r15 review): plain ``dropDuplicates(keys)`` does NOT
+    deliver that bound — Spark only evicts dedup state past the
+    watermark when the event-time column is part of the key, so the
+    old formulation kept one state row per event_id FOREVER on a
+    continuous stream. ``dropDuplicatesWithinWatermark`` (Spark 3.5+)
+    is the operator built for exactly this key-only-dedup shape."""
     keys = keys or ["event_id"]
-    return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
+    wm = events.withWatermark(ts_col, watermark)
+    return wm.dropDuplicatesWithinWatermark(keys)

@@ -2280,6 +2280,21 @@ class TestBoundedSssp:
         with _pytest.raises(ValueError):
             bounded_sssp(e, src)
 
+    def test_rejects_negative_weights(self, spark):
+        """r15 review: under a negative edge the bounded relaxation
+        computes the cheapest WALK (revisiting the edge every round) —
+        neither a shortest path nor stable. Must fail loudly."""
+        import pytest as _pytest
+        from pyspark.errors import PySparkException
+
+        from geopyspark_spark.functions.graph import bounded_sssp
+
+        e = spark.createDataFrame([(1, 2, -5), (2, 3, 2)],
+                                  "src long, dst long, w long")
+        src = spark.createDataFrame([(1,)], "node long")
+        with _pytest.raises(PySparkException, match="negative weight"):
+            bounded_sssp(e, src, rounds=6).collect()
+
     def test_deterministic_across_partitioning(self, spark):
         from geopyspark_spark.functions.graph import bounded_sssp
 

@@ -217,6 +217,35 @@ class TestStreamStreamJoin:
         assert g == e and len(g) > 0
 
 
+class TestEventsReaderContract:
+    """r15 review: the batch reader must mirror the stream reader's
+    ts normalization knob, and a missing local path must fail at open
+    time instead of silently picking the legacy-nanos branch."""
+
+    def test_batch_reader_micros_knob(self, spark, tmp_path):
+        from geopyspark_spark.streaming.events import read_events_batch
+
+        micros = 1_704_067_200_000_000  # 2024-01-01 in epoch MICROS
+        path = str(tmp_path / "ev")
+        spark.createDataFrame(
+            [(1, micros, 7, "click", 1.0, "{}")],
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string").write.parquet(path)
+        got_nanos = read_events_batch(spark, path).collect()[0]["ts"]
+        got_micros = read_events_batch(
+            spark, path, ts_is_nanos=False).collect()[0]["ts"]
+        assert got_micros.year == 2024 and got_micros.month == 1
+        # interpreting micros as nanos lands ~1970, not 2024 — the two
+        # knobs must genuinely differ
+        assert got_nanos.year == 1970
+
+    def test_missing_events_path_is_loud(self, spark, tmp_path):
+        from geopyspark_spark.streaming.events import read_events_stream
+
+        with pytest.raises(FileNotFoundError, match="does not exist"):
+            read_events_stream(spark, str(tmp_path / "nope"))
+
+
 class TestStreamingDedup:
     """r14: streaming incremental dedup — foreachBatch runs the full
     batch operator per micro-batch against the persisted corpus
