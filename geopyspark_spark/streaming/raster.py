@@ -5,21 +5,34 @@ Beyond-reference surface (the reference has no streaming at all): a
 file-source stream of tile rows (the layer's own parquet schema) drains
 through ``foreachBatch``; every micro-batch merge-writes into the
 z-ordered catalog via :func:`~..sources.catalog.update_layer` semantics
-(new tiles win on key collisions). The pattern scales because each batch
-touches only the keys it carries — a satellite-swath or sensor feed
-updates a continental layer without rewriting it.
+(new tiles win on key collisions).
+
+Cost model (r15 review — the doc previously overclaimed): each batch's
+SHUFFLE and new-file volume is O(batch) (only the arriving keys move
+through the merge join), but the commit itself is the catalog's
+read-union-rewrite, so every micro-batch REWRITES the layer's files —
+O(layer) write amplification per batch until a MERGE-capable table
+format backs the catalog. Batch accordingly (large
+``max_files_per_trigger``, or drain on a schedule rather than
+per-file); a Delta/Iceberg MERGE INTO is the same logical plan with
+O(touched-files) commits.
 """
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 
 
-def read_tile_stream(spark: SparkSession, path: str, metadata,
+def read_tile_stream(spark: SparkSession, path: str, metadata=None,
                      max_files_per_trigger: int | None = None) -> DataFrame:
-    """File-source stream of tile rows (key_col, key_row, band, cells).
-    ``max_files_per_trigger`` bounds each micro-batch (AvailableNow
-    still drains everything, in multiple batches)."""
+    """File-source stream of tile rows (key_col, key_row, band, cells)
+    — the SPATIAL layer schema; ``metadata`` is accepted for signature
+    symmetry with the sink but does not shape the stream (the schema is
+    the layer parquet contract, pinned here because streaming reads
+    cannot infer). ``max_files_per_trigger`` bounds each micro-batch
+    (AvailableNow still drains everything, in multiple batches)."""
     from pyspark.sql import types as T
 
     schema = T.StructType([
@@ -35,15 +48,24 @@ def read_tile_stream(spark: SparkSession, path: str, metadata,
 
 
 def stream_into_catalog(stream_df: DataFrame, uri: str, layer_name: str,
-                        zoom: int, metadata, query_name: str = "raster_ingest"):
+                        zoom: int, metadata,
+                        query_name: str = "raster_ingest",
+                        checkpoint: str | None = None):
     """Drain the stream into the catalog with AvailableNow; each batch
     merge-writes (new tiles win). Returns after the drain completes.
 
     The first batch creates the layer; later batches go through the
     read-union-rewrite merge (a Delta/Iceberg MERGE INTO when a table
-    format is available — same logical plan)."""
-    import os
+    format is available — same logical plan).
 
+    ``checkpoint``: Structured Streaming's checkpoint dir. Defaults to
+    ``<uri>/_checkpoints/<query_name>`` for POSIX catalogs; for
+    object-store (s3://) catalogs the default is a LOCAL temp dir
+    instead (r15 review: Spark's checkpoint manager goes through the
+    Hadoop FileSystem API, which has no handler for this engine's
+    boto-style s3 path — the old uri-based default failed at start()).
+    Pass a durable, Hadoop-accessible location (s3a:// with the S3A
+    jars, HDFS, NFS) when restart recovery across hosts matters."""
     from ..layer import TiledRasterLayer
     from ..sources import catalog as cat
 
@@ -60,10 +82,16 @@ def stream_into_catalog(stream_df: DataFrame, uri: str, layer_name: str,
         else:
             cat.update_layer(batch_df.sparkSession, uri, layer_name, zoom, layer)
 
+    if checkpoint is None:
+        if cat._is_object(uri):
+            checkpoint = tempfile.mkdtemp(
+                prefix=f"raster_ingest_ckpt_{query_name}_")
+        else:
+            checkpoint = f"{uri}/_checkpoints/{query_name}"
     q = (
         stream_df.writeStream.foreachBatch(sink)
         .trigger(availableNow=True)
-        .option("checkpointLocation", f"{uri}/_checkpoints/{query_name}")
+        .option("checkpointLocation", checkpoint)
         .queryName(query_name)
         .start()
     )

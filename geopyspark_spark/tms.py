@@ -57,6 +57,12 @@ class CatalogTileFetcher(TileFetcher):
         # two publishes in one read); "pN" or N = that snapshot,
         # immutable for the fetcher's lifetime.
         self._follow_latest = pyramid_version == "latest"
+        if refresh_interval is not None and not self._follow_latest:
+            raise ValueError(
+                "refresh_interval only applies to "
+                "pyramid_version='latest' (unpinned fetchers always "
+                "serve the committed version; explicit pins are "
+                "immutable) — it would be silently ignored otherwise")
         self._refresh_interval = refresh_interval
         self._pinned_name: str | None = None
         pin: dict[int, str] = {}
@@ -71,14 +77,30 @@ class CatalogTileFetcher(TileFetcher):
                         f"no pyramid snapshots published for "
                         f"{layer_name!r} under {uri} (write with "
                         "write_pyramid to get them)")
-                self._pinned_name = versions[-1]
-                pin = read_pyramid_manifest(uri, layer_name,
-                                            version=self._pinned_name)
+                # a racing retention sweep can expire a just-listed
+                # snapshot before its manifest read (r15 review) —
+                # walk back to the newest still-servable one instead
+                # of failing startup while older publishes are fine
+                for name in reversed(versions):
+                    try:
+                        pin = read_pyramid_manifest(uri, layer_name,
+                                                    version=name)
+                        self._pinned_name = name
+                        break
+                    except FileNotFoundError:
+                        continue
+                if self._pinned_name is None:
+                    raise FileNotFoundError(
+                        f"every listed pyramid snapshot of "
+                        f"{layer_name!r} under {uri} expired while "
+                        "resolving 'latest'")
             else:
                 pin = read_pyramid_manifest(uri, layer_name,
                                             version=pyramid_version)
+        import threading
         import time as _time
 
+        self._refresh_lock = threading.Lock()
         self._last_check = _time.monotonic()
         # tile dims were either pinned by the caller (kept across
         # re-pins) or auto-resolved from the layout (re-resolved on
@@ -139,24 +161,32 @@ class CatalogTileFetcher(TileFetcher):
         from .sources.catalog import (list_pyramid_versions,
                                       read_pyramid_manifest)
 
-        try:
-            versions = list_pyramid_versions(self.uri, self.layer_name)
-            if not versions or versions[-1] == self._pinned_name:
+        # serialized (r15 review): ThreadingHTTPServer threads can race
+        # two refreshes; unserialized, a newer _pinned_name could land
+        # with an older _state and the comparison below would then
+        # report 'already newest' forever. Readers never take the lock
+        # (fetch grabs the one _state reference).
+        with self._refresh_lock:
+            try:
+                versions = list_pyramid_versions(self.uri,
+                                                 self.layer_name)
+                if not versions or versions[-1] == self._pinned_name:
+                    return False
+                name = versions[-1]
+                pin = read_pyramid_manifest(self.uri, self.layer_name,
+                                            version=name)
+                zooms = sorted(pin)
+                tc, tr = ((self.tc, self.tr)
+                          if not self._auto_tile_dims
+                          else self._resolve_tile_dims(pin, zooms,
+                                                       None, None))
+            except FileNotFoundError:
+                # raced a retention sweep between list and read (incl.
+                # PyramidSnapshotExpiredError) — keep serving the old pin
                 return False
-            name = versions[-1]
-            pin = read_pyramid_manifest(self.uri, self.layer_name,
-                                        version=name)
-            zooms = sorted(pin)
-            tc, tr = ((self.tc, self.tr) if not self._auto_tile_dims
-                      else self._resolve_tile_dims(pin, zooms, None,
-                                                   None))
-        except FileNotFoundError:
-            # raced a retention sweep between list and read (incl.
-            # PyramidSnapshotExpiredError) — keep serving the old pin
-            return False
-        self._state = (pin, zooms, tc, tr)
-        self._pinned_name = name
-        return True
+            self._state = (pin, zooms, tc, tr)
+            self._pinned_name = name
+            return True
 
     def _list_zooms(self) -> list[int]:
         # catalog.list_zooms dispatches POSIX vs s3:// (r14) — an
@@ -170,7 +200,11 @@ class CatalogTileFetcher(TileFetcher):
         from .sources.catalog import read_value
 
         if pin is None:
-            pin = self._pin
+            # ONE _state grab for all defaults — three separate
+            # property reads could tear across a concurrent refresh()
+            pin, _zooms, dtc, dtr = self._state
+            tc = tc or dtc
+            tr = tr or dtr
         tc = tc or self.tc
         tr = tr or self.tr
         rows = read_value(self.uri, self.layer_name, zoom, col, row,
@@ -195,7 +229,15 @@ class CatalogTileFetcher(TileFetcher):
             now = _time.monotonic()
             if now - self._last_check >= self._refresh_interval:
                 self._last_check = now
-                self.refresh()
+                try:
+                    self.refresh()
+                except Exception:
+                    # the auto-refresh is best-effort (r15 review): a
+                    # transient backend error (throttle, permission,
+                    # network) must not fail a tile request the current
+                    # pin can serve; the next interval retries. Callers
+                    # wanting the error call refresh() directly.
+                    pass
         # grab the whole (pin, zooms, tc, tr) tuple ONCE — a refresh()
         # mid-request cannot mix two snapshots (or two tile layouts)
         # in this read
@@ -204,12 +246,15 @@ class CatalogTileFetcher(TileFetcher):
             return None
         if zoom in zooms:
             return self._read(zoom, col, row, pin, tc, tr)
-        maxz = zooms[-1]
         if zoom < zooms[0]:
             return None
-        # over-zoom: nearest-sample the ancestor at maxz — each output cell
-        # (r, c) reads parent cell (((row % f) * tr + r) // f, ...), exact
-        # for any tile size (crop+repeat only works for power-of-two tiles)
+        # over-zoom: nearest-sample the ancestor at the nearest STORED
+        # shallower zoom (r15 review: a sparse zoom set — e.g. only
+        # {0, 8} stored — used to compute a negative shift for holes
+        # like zoom 4 and crash the request); each output cell (r, c)
+        # reads parent cell (((row % f) * tr + r) // f, ...), exact for
+        # any tile size (crop+repeat only works for power-of-two tiles)
+        maxz = max(z for z in zooms if z < zoom)
         dz = zoom - maxz
         parent = self._read(maxz, col >> dz, row >> dz, pin, tc, tr)
         if parent is None:

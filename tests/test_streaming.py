@@ -162,6 +162,43 @@ class TestStreamingRasterIngest:
         assert got[(0, 1)] == 1.0 and got[(1, 0)] == 1.0  # untouched survive
         assert back.count() == 4
 
+    def test_stream_into_object_store_catalog(self, spark, tmp_path,
+                                              monkeypatch):
+        """r15 review: the checkpoint default lived INSIDE the catalog
+        URI, which fails for s3:// catalogs (Spark's checkpoint manager
+        goes through Hadoop FileSystem, no handler for the boto-style
+        path) — object-store catalogs now default to a local checkpoint
+        and the drain works end to end."""
+        import geopyspark_spark as gps
+        from geopyspark_spark.sources import catalog as cat
+        from geopyspark_spark.sources.s3stub import start_stub
+        from geopyspark_spark.streaming.raster import (read_tile_stream,
+                                                       stream_into_catalog)
+
+        srv = start_stub()
+        monkeypatch.setenv("AWS_ENDPOINT_URL", srv.endpoint)
+        for var in ("AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY",
+                    "AWS_SESSION_TOKEN"):
+            monkeypatch.delenv(var, raising=False)
+        monkeypatch.setenv("GEOPYSPARK_OBJCAT_CACHE",
+                           str(tmp_path / "objcache"))
+        try:
+            md = gps.LayerMetadata(
+                crs="epsg:4326", cell_type="float64ud-1.0",
+                layout=gps.LayoutDefinition(gps.Extent(0, 0, 8, 8),
+                                            gps.TileLayout(2, 2, 4, 4)),
+                bounds=((0, 0), (1, 1)), extent=gps.Extent(0, 0, 8, 8),
+                num_bands=1,
+            )
+            src = str(tmp_path / "s3_stream_src")
+            self._write_chunk(spark, src, [(0, 0), (1, 1)], 3.0, md)
+            stream_into_catalog(read_tile_stream(spark, src, md),
+                                "s3://b/cat", "live", 0, md)
+            back = cat.read(spark, "s3://b/cat", "live", 0)
+            assert back.count() == 2
+        finally:
+            srv.shutdown()
+
 
 class TestStreamingHll:
     def test_stream_registers_equal_batch_registers(self, spark, events_stream, events_batch):

@@ -422,6 +422,62 @@ class TestPyramidPublish:
         # and the auto-refresh inside fetch() must not raise either
         assert float(f.fetch(2, 0, 0)[0, 0]) == before
 
+    def test_sparse_zoom_set_overzooms_from_nearest_below(self, spark,
+                                                          tmp_path):
+        """r15 review: a layer stored only at zooms {0, 2} used to
+        crash fetch(1, ...) with a negative shift (over-zoom always
+        anchored at the DEEPEST zoom); holes must over-zoom from the
+        nearest stored shallower zoom."""
+        from geopyspark_spark.sources import catalog
+        from geopyspark_spark.tms import CatalogTileFetcher
+
+        uri = str(tmp_path / "sparsecat")
+        pyr = self._pyramid(spark, 0.0)
+        for z in (0, 2):   # plain writes, zoom 1 deliberately absent
+            catalog.write(uri, "pub", pyr.levels[z], zoom=z)
+        f = CatalogTileFetcher(uri, "pub")
+        tile = f.fetch(1, 0, 0)   # the hole: must serve, not crash
+        assert tile is not None and tile.shape == (4, 4)
+        # upsampled from zoom 0's (0, 0) tile
+        parent = f.fetch(0, 0, 0)
+        assert float(tile[0, 0]) == float(parent[0, 0])
+        # deeper-than-stored still over-zooms from the deepest (zoom 2)
+        assert f.fetch(3, 0, 0) is not None
+
+    def test_refresh_interval_requires_latest(self, spark, tmp_path):
+        import pytest as _pt
+
+        from geopyspark_spark.sources import catalog
+        from geopyspark_spark.tms import CatalogTileFetcher
+
+        uri = str(tmp_path / "ricat")
+        catalog.write_pyramid(uri, "pub", self._pyramid(spark, 0.0))
+        with _pt.raises(ValueError, match="refresh_interval"):
+            CatalogTileFetcher(uri, "pub", refresh_interval=5.0)
+        with _pt.raises(ValueError, match="refresh_interval"):
+            CatalogTileFetcher(uri, "pub", pyramid_version="p1",
+                               refresh_interval=5.0)
+
+    def test_latest_constructor_survives_sweep_race(self, spark,
+                                                    tmp_path,
+                                                    monkeypatch):
+        """r15 review: a server starting while a republish sweeps the
+        just-listed newest snapshot must fall back to the newest
+        still-servable one instead of failing startup."""
+        from geopyspark_spark.sources import catalog
+        from geopyspark_spark.tms import CatalogTileFetcher
+
+        uri = str(tmp_path / "ctorcat")
+        catalog.write_pyramid(uri, "pub", self._pyramid(spark, 0.0),
+                              keep_history=1)
+        real = catalog.list_pyramid_versions
+        monkeypatch.setattr(
+            catalog, "list_pyramid_versions",
+            lambda *a, **k: real(*a, **k) + ["p99"])  # phantom newest
+        f = CatalogTileFetcher(uri, "pub", pyramid_version="latest")
+        assert f._pinned_name == "p1"
+        assert f.fetch(2, 0, 0) is not None
+
     def test_no_snapshot_raises(self, spark, tmp_path):
         import pytest as _pt
 
