@@ -278,6 +278,9 @@ def _publish(root: str, version: str,
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(root, MANIFEST))
+        # fsync the directory so the rename itself is durable — without
+        # it a power loss can forget the pointer swap (r15 review)
+        _fsync_dir(root)
         return cur, True
 
 
@@ -342,6 +345,51 @@ def _gc_versions(root: str, keep: str, prev: str | None = None,
                 pass
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY so its entries (renames, new files) are
+    durable; best-effort on filesystems that refuse O_RDONLY dir fds."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
+def _fsync_version_dir(vpath: str) -> None:
+    """fsync every file of a staged version plus the dir itself (r15
+    review): the manifest temp file was the only thing fsynced, so a
+    power loss could persist the pointer swap while the parquet parts'
+    data blocks were still unflushed — a committed version with
+    corrupt/zero-length files. Spark's local committer does not fsync
+    either, so the commit protocol does it once, here, before the
+    pointer swap."""
+    try:
+        names = os.listdir(vpath)
+    except OSError:
+        return  # a concurrent winner's GC already swept this claim
+    for name in names:
+        p = os.path.join(vpath, name)
+        if not os.path.isfile(p):
+            continue
+        try:
+            fd = os.open(p, os.O_RDONLY)
+        except OSError:
+            continue
+        try:
+            os.fsync(fd)
+        except OSError:
+            pass
+        finally:
+            os.close(fd)
+    _fsync_dir(vpath)
+    _fsync_dir(os.path.dirname(vpath))
+
+
 def _finish_commit(root: str, vpath: str, keep_history: int = 0,
                    expected_prev=_UNSET) -> None:
     """Publish a claimed version and GC superseded ones.
@@ -351,12 +399,18 @@ def _finish_commit(root: str, vpath: str, keep_history: int = 0,
     write — so a slow writer can never sweep a version a faster
     concurrent writer committed while it was writing. When this commit
     was SUPERSEDED (a higher concurrent version already published), the
-    claimed version dir is left for the winner's next GC cycle, no GC
-    runs, and a RuntimeWarning surfaces that the written data is not the
-    catalog's current version."""
+    claimed version dir is reclaimed immediately (r15 review: leaving
+    it for the winner's GC let never-published junk occupy keep_history
+    retention slots, evicting real published history, and show up in
+    list_versions as bogus time-travel targets), and a RuntimeWarning
+    surfaces that the written data is not the catalog's current
+    version. Version-number reuse is impossible either way: the
+    committed manifest version exceeds the reclaimed number and
+    ``_next_version`` takes the max of both."""
     import shutil
 
     version = os.path.basename(vpath)
+    _fsync_version_dir(vpath)
     try:
         replaced, published = _publish(root, version,
                                        expected_prev=expected_prev)
@@ -371,9 +425,10 @@ def _finish_commit(root: str, vpath: str, keep_history: int = 0,
         warnings.warn(
             f"catalog commit {version} at {root!r} was superseded by "
             f"concurrent commit {replaced}; the written data is NOT the "
-            "current catalog version and will be garbage-collected",
+            "current catalog version and was reclaimed",
             RuntimeWarning, stacklevel=3,
         )
+        shutil.rmtree(vpath, ignore_errors=True)
         return
     _gc_versions(root, keep=version, prev=replaced, keep_history=keep_history)
 
@@ -512,16 +567,17 @@ def read(spark: SparkSession, uri: str, layer_name: str,
     return TiledRasterLayer(df, md)
 
 
-def _envelope_key_bounds(md, geom) -> tuple[int, int, int, int] | None:
+def _envelope_key_bounds(kt, geom) -> tuple[int, int, int, int] | None:
     """Clamped (c0, r0, c1, r1) tile-key bounds of a geometry's envelope,
     or None when it misses the layout entirely. Pure arithmetic — O(1)
     regardless of AOI size (delegates to
     :meth:`KeyTransform.extent_key_bounds`, so the half-open edge rules
-    are the exact path's rules by construction)."""
+    are the exact path's rules by construction). Takes the caller's
+    KeyTransform (r15 review: rebuilding one per geometry re-derived
+    the layout transform N times for multi-part AOIs)."""
     from ..core.extent import Extent
-    from ..core.keys import KeyTransform
 
-    return KeyTransform(md.layout).extent_key_bounds(Extent(*geom.bounds))
+    return kt.extent_key_bounds(Extent(*geom.bounds))
 
 
 def query(spark: SparkSession, uri: str, layer_name: str, zoom: int,
@@ -553,7 +609,7 @@ def query(spark: SparkSession, uri: str, layer_name: str, zoom: int,
         from ..core.keys import KeyTransform
 
         kt = KeyTransform(md.layout)
-        bounds = [b for b in (_envelope_key_bounds(md, g) for g in geoms)
+        bounds = [b for b in (_envelope_key_bounds(kt, g) for g in geoms)
                   if b is not None]
         n_envelope = sum((c1 - c0 + 1) * (r1 - r0 + 1)
                          for c0, r0, c1, r1 in bounds)
@@ -651,13 +707,21 @@ def read_value(uri: str, layer_name: str, zoom: int, col: int, row: int,
     path = os.path.join(
         _data_path(uri, layer_name, zoom, version=version), "*.parquet")
     con = duckdb.connect()
-    q = f"SELECT * FROM '{path}' WHERE key_col = {int(col)} AND key_row = {int(row)}"
+    # predicates bind as PARAMETERS and the path literal doubles its
+    # quotes (r15 review: f-string interpolation executed whatever an
+    # instant/uri string carried, and an apostrophe in a path — e.g.
+    # "o'hare-dem" — broke the FROM clause)
+    q = (f"SELECT * FROM '{path.replace(chr(39), chr(39) * 2)}' "
+         "WHERE key_col = ? AND key_row = ?")
+    params: list = [int(col), int(row)]
     if instant is not None:
-        q += f" AND instant = TIMESTAMP '{instant}'"
+        q += " AND instant = CAST(? AS TIMESTAMP)"
+        params.append(str(instant))
     if band is not None:
-        q += f" AND band = {int(band)}"
-    rel = con.sql(q)
-    cols = rel.columns
+        q += " AND band = ?"
+        params.append(int(band))
+    rel = con.execute(q, params)
+    cols = [d[0] for d in rel.description]
     return [dict(zip(cols, r)) for r in rel.fetchall()]
 
 
@@ -780,6 +844,22 @@ def write_pyramid(uri: str, layer_name: str, pyramid,
                   index_strategy=index_strategy, keep_history=keep_history)
         paths.append(p)
         snapshot[zoom] = os.path.basename(str(p).rstrip("/"))
+    # a concurrent publisher may have SUPERSEDED one of our per-zoom
+    # commits (write() warns but returns; r15 review): a snapshot
+    # pinning a never-published version would be reclaimed by the very
+    # next GC and expire immediately — refuse loudly instead, like
+    # update_layer does for its lost updates. (A commit landing AFTER
+    # this check is fine: our versions were committed, so they are at
+    # worst the reader-safety prev and the snapshot survives one more
+    # publish — the documented keep_history trade.)
+    stale = {z: v for z, v in snapshot.items()
+             if current_version(uri, layer_name, z) != v}
+    if stale:
+        raise ConflictError(
+            f"write_pyramid of {layer_name!r} under {uri} lost a race: "
+            f"zoom commits {stale} were superseded by a concurrent "
+            "publisher before the snapshot could pin them; re-run "
+            "write_pyramid (or serialize pyramid publishers)")
     publish_pyramid_snapshot(uri, layer_name, snapshot)
     sweep_expired_pyramid_snapshots(uri, layer_name)
     return paths
@@ -803,7 +883,13 @@ def publish_pyramid_snapshot(uri: str, layer_name: str,
         return catalog_object.publish_pyramid_snapshot(uri, layer_name, body)
     pdir = os.path.join(uri, layer_name, ".pyramid")
     os.makedirs(pdir, exist_ok=True)
-    tmp = os.path.join(pdir, f".snap.tmp.{os.getpid()}")
+    # pid + uuid: two THREADS of one process publishing concurrently
+    # must not clobber each other's temp body before os.link (r15
+    # review — the pid alone let thread B's bytes land under thread
+    # A's pN name)
+    import uuid as _uuid
+
+    tmp = os.path.join(pdir, f".snap.tmp.{os.getpid()}.{_uuid.uuid4().hex}")
     with open(tmp, "wb") as f:
         f.write(body)
         f.flush()
@@ -1019,20 +1105,31 @@ def compact(spark: SparkSession, uri: str, layer_name: str, zoom: int,
     dominates). Compaction reads the layer, recomputes the file count
     from the actual on-disk bytes, and rewrites through the same
     z-ordered writer — the maintenance job every table format schedules
-    (OPTIMIZE in Delta, rewrite_data_files in Iceberg)."""
-    import glob
+    (OPTIMIZE in Delta, rewrite_data_files in Iceberg).
+
+    Concurrency (r15 review): the version to compact is resolved ONCE
+    and the commit carries it as ``expected_prev``, so a commit landing
+    during the (long) rewrite raises :class:`ConflictError` instead of
+    being silently replaced by re-sorted OLD data — the exact lost
+    update ``update_layer`` defends against. Compaction is
+    content-preserving, so the caller just reruns it. The single
+    resolution also pins the data files, the Spark read, AND the
+    ``.metadata.json`` sidecar to the SAME version (previously a racing
+    commit could pair new data with stale metadata bounds)."""
     import shutil
 
     root = _layer_path(uri, layer_name, zoom)
-    cur = _data_path(uri, layer_name, zoom)
+    base_version = current_version(uri, layer_name, zoom)
+    cur = _data_path(uri, layer_name, zoom, version=base_version)
     files = glob.glob(os.path.join(cur, "*.parquet"))
     total_bytes = sum(os.path.getsize(f) for f in files)
     n = max(1, int(math.ceil(total_bytes / (target_file_mb * 1024 * 1024))))
-    layer = read(spark, uri, layer_name, zoom)
+    layer = read(spark, uri, layer_name, zoom, version=base_version)
     from ..core.zindex import z2_col
 
     out = layer.df.withColumn("zindex", z2_col("key_col", "key_row"))
     out = out.repartitionByRange(n, "zindex").sortWithinPartitions("zindex")
+    expected = base_version if base_version is not None else _UNSET
     if _is_object(uri):
         # object-store compaction: stage locally, claim + upload +
         # manifest CAS (same protocol as write)
@@ -1046,10 +1143,11 @@ def compact(spark: SparkSession, uri: str, layer_name: str, zoom: int,
             shutil.copy(os.path.join(cur, ".metadata.json"),
                         os.path.join(staging, ".metadata.json"))
             return catalog_object.commit_staged(uri, layer_name, zoom, staging,
-                                                keep_history=keep_history)
+                                                keep_history=keep_history,
+                                                expected_prev=expected)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
-    # atomic commit: the rewrite reads the current version while filling
+    # atomic commit: the rewrite reads the pinned version while filling
     # a private staging dir; claim + manifest swap publish it (same
     # concurrency-safe path as write())
     staging = _staging_dir(root)
@@ -1061,7 +1159,8 @@ def compact(spark: SparkSession, uri: str, layer_name: str, zoom: int,
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    _finish_commit(root, vpath, keep_history=keep_history)
+    _finish_commit(root, vpath, keep_history=keep_history,
+                   expected_prev=expected)
     return vpath
 
 
@@ -1078,18 +1177,29 @@ class ValueReader:
         self._con = duckdb.connect()
 
     def read(self, col: int, row: int, zdt=None, zoom: int | None = None):
-        """One tile's records (named dicts), or ``None`` if absent."""
+        """One tile's records (named dicts), or ``None`` if absent.
+
+        ``None`` means ABSENT (no parquet yet at this zoom, or no row
+        for the key) — real errors propagate (r15 review: a bare
+        ``except`` used to turn wrong uris, malformed SQL, and missing
+        manifests into blank tiles with zero diagnostics)."""
+        import duckdb
+
         z = zoom if zoom is not None else (self.zoom or 0)
         path = os.path.join(_data_path(self.uri, self.layer_name, z), "*.parquet")
-        q = (f"SELECT * FROM '{path}' WHERE key_col = {int(col)} "
-             f"AND key_row = {int(row)}")
+        q = (f"SELECT * FROM '{path.replace(chr(39), chr(39) * 2)}' "
+             "WHERE key_col = ? AND key_row = ?")
+        params: list = [int(col), int(row)]
         if zdt is not None:
-            q += f" AND instant = TIMESTAMP '{zdt}'"
+            q += " AND instant = CAST(? AS TIMESTAMP)"
+            params.append(str(zdt))
         try:
-            rel = self._con.sql(q)
-        except Exception:
-            return None
-        cols = rel.columns
+            rel = self._con.execute(q, params)
+        except duckdb.IOException as e:
+            if "No files found" in str(e):
+                return None  # zoom dir exists but holds no parquet yet
+            raise
+        cols = [d[0] for d in rel.description]
         rows = [dict(zip(cols, r)) for r in rel.fetchall()]
         return rows or None
 
@@ -1176,9 +1286,14 @@ def update_layer(spark: SparkSession, uri: str, layer_name: str, zoom: int,
     while True:
         base_version = current_version(uri, layer_name, zoom)
         existing = read(spark, uri, layer_name, zoom)
-        assert existing.metadata.layout == new_layer.metadata.layout, (
-            "update requires identical layouts"
-        )
+        # an explicit raise, not assert (r15 review): asserts vanish
+        # under python -O and mismatched layouts would merge rows whose
+        # (key_col, key_row) mean different geographic tiles
+        if existing.metadata.layout != new_layer.metadata.layout:
+            raise ValueError(
+                "update_layer requires identical layouts: existing "
+                f"{existing.metadata.layout} vs new "
+                f"{new_layer.metadata.layout}")
         # merge keeps the FIRST tile in ascending _gen order -> new wins
         new = new_layer.df.withColumn("_gen", F.lit(0))
         old = existing.df.withColumn("_gen", F.lit(1))

@@ -251,9 +251,21 @@ def _finish_commit(root: str, version: str, keep_history: int = 0,
         warnings.warn(
             f"catalog commit {version} at {root!r} was superseded by "
             f"concurrent commit {replaced}; the written data is NOT the "
-            "current catalog version and will be garbage-collected",
+            "current catalog version and was reclaimed",
             RuntimeWarning, stacklevel=3,
         )
+        # reclaim the never-published data now (r15 review, mirroring
+        # the POSIX path): leaving it let junk versions occupy
+        # keep_history retention slots and appear in list_versions.
+        # The .claim tombstone survives so the number is never reused
+        # under the immutable local version cache.
+        for key in obs.list_keys(f"{root}/{version}/"):
+            if key.endswith("/.claim"):
+                continue
+            try:
+                obs.delete_object(key)
+            except Exception:
+                pass
         return
     _gc_versions(root, keep=version, prev=replaced, keep_history=keep_history)
 

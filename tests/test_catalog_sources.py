@@ -139,7 +139,7 @@ class TestLargeAoiQuery:
             gps.box(1.0, 1.0, 9.9, 4.2),
             gps.box(-3.0, -3.0, 0.5, 0.5),   # clipped at the layout edge
         ):
-            b = _envelope_key_bounds(md, geom)
+            b = _envelope_key_bounds(kt, geom)
             ext = geom.bounds
             from geopyspark_spark.core.extent import Extent
 
@@ -831,24 +831,43 @@ class TestAtomicCommits:
         # v1 (two commits old) is reclaimed
         assert vdirs == ["v2", "v3"]
 
-    def test_superseded_publish_warns_and_skips_gc(self, spark, f1_layer,
+    def test_superseded_publish_warns_and_reclaims(self, spark, f1_layer,
                                                    tmp_path):
-        """ADVICE r12: a writer whose publish lost to a higher concurrent
-        version must SURFACE that its data is not the current catalog
-        version (instead of silently returning a doomed vpath), and must
-        not GC anything (the winner owns the GC cycle)."""
+        """ADVICE r12 + r15 review: a writer whose publish lost to a
+        higher concurrent version must SURFACE that its data is not the
+        current catalog version, must not run GC (the winner owns the
+        cycle), and its never-published version dir is reclaimed
+        immediately — otherwise junk dirs occupy keep_history retention
+        slots and show up in list_versions as bogus history."""
         import re
+        import shutil
 
         uri = str(tmp_path / "cat")
-        catalog.write(uri, "a", f1_layer, zoom=0)  # v1
-        catalog.write(uri, "a", f1_layer, zoom=0)  # v2; v1 kept (deferred)
+        catalog.write(uri, "a", f1_layer, zoom=0)  # v1 committed
         root = catalog._layer_path(uri, "a", 0)
+        meta = os.path.join(root, "v1", ".metadata.json")
+        # two concurrent writers claim v2 and v3; the v3 writer wins
+        sa = catalog._staging_dir(root)
+        shutil.copy(meta, os.path.join(sa, ".metadata.json"))
+        va = catalog._claim(root, sa)
+        sb = catalog._staging_dir(root)
+        shutil.copy(meta, os.path.join(sb, ".metadata.json"))
+        vb = catalog._claim(root, sb)
+        # winner's pointer swap lands (its deferred GC has not run yet
+        # — the loser's superseded publish happens in that window)
+        catalog._publish(root, os.path.basename(vb))
         with pytest.warns(RuntimeWarning, match="superseded"):
-            catalog._finish_commit(root, os.path.join(root, "v1"))
+            catalog._finish_commit(root, va)        # loses the race
         with open(os.path.join(root, "MANIFEST")) as f:
-            assert f.read().strip() == "v2"
+            assert f.read().strip() == "v3"
         vdirs = sorted(d for d in os.listdir(root) if re.fullmatch(r"v\d+", d))
-        assert vdirs == ["v1", "v2"]  # no GC ran
+        # the loser's never-published v2 is gone; reader-safety prev
+        # (v1, deferred GC) and the winner survive
+        assert vdirs == ["v1", "v3"]
+        assert catalog.list_versions(uri, "a", 0) == ["v1", "v3"]
+        # the next writer does not reuse the reclaimed number
+        catalog.write(uri, "a", f1_layer, zoom=0)
+        assert catalog.current_version(uri, "a", 0) == "v4"
 
     def test_legacy_unversioned_layout_still_readable(self, spark, f1_layer,
                                                       tmp_path):
