@@ -39,6 +39,7 @@ _IMAGE_WIDTH, _IMAGE_LENGTH = 256, 257
 _BITS_PER_SAMPLE, _COMPRESSION, _PHOTOMETRIC = 258, 259, 262
 _STRIP_OFFSETS, _SAMPLES_PER_PIXEL, _ROWS_PER_STRIP, _STRIP_BYTE_COUNTS = 273, 277, 278, 279
 _PLANAR_CONFIG, _SAMPLE_FORMAT = 284, 339
+_EXTRA_SAMPLES = 338
 _PREDICTOR = 317
 _TILE_WIDTH, _TILE_LENGTH, _TILE_OFFSETS, _TILE_BYTE_COUNTS = 322, 323, 324, 325
 _MODEL_PIXEL_SCALE, _MODEL_TIEPOINT, _GEO_KEY_DIRECTORY = 33550, 33922, 34735
@@ -76,6 +77,23 @@ _FMT_DTYPE_DECODE.update(
 )
 
 
+def _is_geographic(c: str, code: int) -> bool:
+    """True when the CRS is geographic (lat/lon degrees) — GeoTIFF then
+    needs GTModelType=2 + GeographicTypeGeoKey (2048), not the
+    projected pair (r15 review: writing a geographic EPSG like 4269
+    under ProjectedCSTypeGeoKey 3072 makes external readers resolve no
+    CRS at all; our own decoder read it back symmetrically, so
+    roundtrips could not catch it)."""
+    try:
+        from ..core.crs import crs_to_proj4
+
+        return crs_to_proj4(c).lstrip().startswith("+proj=longlat")
+    except Exception:
+        # registry gap: EPSG reserves the 4000-4999 block for geodetic
+        # (geographic 2D) CRSs — the practical discriminator
+        return 4000 <= code <= 4999
+
+
 def _geo_keys(crs: str) -> list[int]:
     c = normalize_crs(crs)
     # KeyDirectoryVersion, KeyRevision, MinorRevision, NumberOfKeys, then
@@ -89,7 +107,10 @@ def _geo_keys(crs: str) -> list[int]:
             code = int(c.split(":")[-1])
         except ValueError:
             code = 32767  # user-defined
-        keys = [(1024, 0, 1, 1), (1025, 0, 1, 1), (3072, 0, 1, code)]
+        if _is_geographic(c, code):
+            keys = [(1024, 0, 1, 2), (1025, 0, 1, 1), (2048, 0, 1, code)]
+        else:
+            keys = [(1024, 0, 1, 1), (1025, 0, 1, 1), (3072, 0, 1, code)]
     out = [1, 1, 0, len(keys)]
     for k in keys:
         out.extend(k)
@@ -155,6 +176,13 @@ def _build_segment(cells: np.ndarray, extent: Extent, crs: str,
     add(_ROWS_PER_STRIP, _TYPE_LONG, rows)
     add(_STRIP_BYTE_COUNTS, _TYPE_LONG8 if big else _TYPE_LONG, strip_len)
     add(_PLANAR_CONFIG, _TYPE_SHORT, 1)
+    if bands > 1:
+        # TIFF 6.0: Photometric=1 implies ONE sample; every further
+        # sample must be described by ExtraSamples (0 = unspecified
+        # data) or strict readers/validators reject the file (r15
+        # review — our own decoder ignores photometric, so roundtrips
+        # could not catch the omission)
+        add(_EXTRA_SAMPLES, _TYPE_SHORT, [0] * (bands - 1))
     add(_SAMPLE_FORMAT, _TYPE_SHORT, [fmt] * bands)
     add(_MODEL_PIXEL_SCALE, _TYPE_DOUBLE, [cw, ch, 0.0])
     add(_MODEL_TIEPOINT, _TYPE_DOUBLE, [0.0, 0.0, 0.0, extent.xmin, extent.ymax, 0.0])
@@ -253,6 +281,17 @@ def encode_geotiff_with_overviews(levels: list[tuple[np.ndarray, Extent]], crs: 
         segments.append(seg)
         ifd_offsets.append(ifd_off)
         base += len(seg)
+        if base > 0xFFFFFFFF:
+            # named error instead of an opaque struct.error deep in the
+            # offset packing (r15 review); the single-page encoder
+            # auto-upgrades to BigTIFF, the multi-IFD overview chain
+            # does not (classic-TIFF LONG offsets only)
+            raise ValueError(
+                "encode_geotiff_with_overviews: cumulative size "
+                f"{base} bytes exceeds the classic-TIFF 4 GiB offset "
+                "ceiling; write fewer/smaller levels or use the "
+                "single-page encode_geotiff (which auto-selects "
+                "BigTIFF)")
     # chain next-IFD pointers (last 4 bytes of each segment)
     for i in range(len(segments) - 1):
         segments[i] = segments[i][:-4] + struct.pack("<I", ifd_offsets[i + 1])
@@ -846,6 +885,20 @@ def to_geotiff_rdd(layer, compress: bool = True):
     tl = md.layout.tile_layout
     tc, tr = tl.tile_cols, tl.tile_rows
     crs, nodata = md.crs, md.nodata
+    # export in the LAYER'S cell type (r15 review: forcing float64 made
+    # a uint8 land-cover layer 8x the bytes and broke consumers
+    # expecting Byte rasters; the reference writer encodes in the layer
+    # cell type). Types the encoder lacks fall back to float64 exactly
+    # as before; NaN-marked nodata maps back to the sentinel first so
+    # integer casts are well-defined.
+    from ..core.celltype import parse_cell_type
+
+    try:
+        out_dtype = np.dtype(parse_cell_type(md.cell_type).dtype)
+    except Exception:
+        out_dtype = np.dtype("float64")
+    if out_dtype not in _DTYPES:
+        out_dtype = np.dtype("float64")
 
     schema = StructType([
         StructField("key_col", IntegerType()),
@@ -859,6 +912,12 @@ def to_geotiff_rdd(layer, compress: bool = True):
         cells = np.stack(
             [np.asarray(c, dtype=np.float64).reshape(tr, tc) for c in pdf["cells"]]
         )
+        if out_dtype.kind in "iu":
+            if nodata is not None:
+                cells = np.where(np.isnan(cells), nodata, cells)
+            cells = cells.astype(out_dtype)
+        elif out_dtype != np.dtype("float64"):
+            cells = cells.astype(out_dtype)
         ext = kt.key_extent(kc, kr)
         buf = encode_geotiff(cells, ext, crs, nodata, compress=compress)
         return pd.DataFrame({"key_col": [kc], "key_row": [kr], "tiff": [buf]})
@@ -1030,7 +1089,12 @@ def _ifd_summary_for(path: str):
     from .objectstore import is_object_uri
 
     if is_object_uri(path):
-        return _ifd_summary(path, 0.0, 0)
+        # HEAD-derived key, matching _cached_decode/_cached_window_meta
+        # (r15 review: a constant key served a stale IFD summary after
+        # a same-URI overwrite, so sizer()/decoder() routed windows
+        # computed from the OLD raster's geometry into the new one)
+        mtime, size = _object_cache_key(path)
+        return _ifd_summary(path, mtime, size)
     st = _os.stat(path)
     return _ifd_summary(path, st.st_mtime, st.st_size)
 

@@ -1489,3 +1489,67 @@ class TestJpegInTiff:
             _write_tiff_jpeg(pix, old_style=True, progressive=True))
         assert cells.shape == (1, 24, 24)
         assert np.abs(cells[0].astype(float) - pix[:, :, 0]).max() <= 4
+
+
+class TestEncoderSpecCompliance:
+    """r15 review: symmetric encoder bugs our own decoder reads back
+    unchanged — pinned at the BYTE level so external-reader compliance
+    does not depend on roundtripping."""
+
+    def test_geographic_epsg_uses_geographic_geokey(self):
+        """A geographic CRS (NAD83, epsg:4269) must write
+        GTModelType=2 + GeographicTypeGeoKey (2048); writing it under
+        ProjectedCSTypeGeoKey (3072) makes GDAL/QGIS resolve no CRS."""
+        from geopyspark_spark.sources.geotiff_codec import _geo_keys
+
+        def keymap(lst):
+            # [ver, rev, minor, n, (id, loc, cnt, val)*]
+            return {lst[4 + 4 * i]: lst[7 + 4 * i]
+                    for i in range((len(lst) - 4) // 4)}
+
+        geo = keymap(_geo_keys("epsg:4269"))
+        assert geo[1024] == 2 and geo[2048] == 4269 and 3072 not in geo
+        prj = keymap(_geo_keys("epsg:32633"))   # UTM 33N
+        assert prj[1024] == 1 and prj[3072] == 32633 and 2048 not in prj
+        prj2 = keymap(_geo_keys("epsg:3035"))   # LAEA Europe
+        assert prj2[1024] == 1 and prj2[3072] == 3035
+
+    def test_multiband_emits_extrasamples(self):
+        """TIFF 6.0: Photometric=1 implies ONE sample — every further
+        sample needs an ExtraSamples (338) entry or strict readers
+        reject the file."""
+        from geopyspark_spark.core.extent import Extent
+        from geopyspark_spark.sources import geotiff_codec as gc
+
+        cells = np.arange(48, dtype=np.float64).reshape(3, 4, 4)
+        buf = gc.encode_geotiff(cells, Extent(0, 0, 4, 4), "epsg:4326",
+                                None)
+        bo, big, off = gc._tiff_header(buf)
+        tags, _ = gc._read_ifd(buf, bo, off, big)
+        assert list(tags[338]) == [0, 0]  # 2 extra samples, unspecified
+        # singleband must NOT carry the tag
+        buf1 = gc.encode_geotiff(cells[:1], Extent(0, 0, 4, 4),
+                                 "epsg:4326", None)
+        bo, big, off = gc._tiff_header(buf1)
+        tags1, _ = gc._read_ifd(buf1, bo, off, big)
+        assert 338 not in tags1
+
+    def test_overview_encoder_rejects_past_4gib(self, monkeypatch):
+        from geopyspark_spark.core.extent import Extent
+        from geopyspark_spark.sources import geotiff_codec as gc
+
+        # fake a segment builder that claims multi-GiB segments so the
+        # guard fires without allocating them
+        real = gc._build_segment
+
+        def huge(cells, extent, crs, nodata, compress, base, overview,
+                 **kw):
+            seg, off = real(cells, extent, crs, nodata, compress, base,
+                            overview, **kw)
+            return seg + b"\0" * (3 * 1024 ** 3), off
+
+        monkeypatch.setattr(gc, "_build_segment", huge)
+        levels = [(np.ones((4, 4)), Extent(0, 0, 4, 4)),
+                  (np.ones((2, 2)), Extent(0, 0, 4, 4))]
+        with pytest.raises(ValueError, match="4 GiB"):
+            gc.encode_geotiff_with_overviews(levels, "epsg:4326")
