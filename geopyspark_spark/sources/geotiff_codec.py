@@ -884,7 +884,7 @@ def to_geotiff_rdd(layer, compress: bool = True):
     kt = KeyTransform(md.layout)
     tl = md.layout.tile_layout
     tc, tr = tl.tile_cols, tl.tile_rows
-    crs, nodata = md.crs, md.nodata
+    crs, nodata, cell_type = md.crs, md.nodata, md.cell_type
     # export in the LAYER'S cell type (r15 review: forcing float64 made
     # a uint8 land-cover layer 8x the bytes and broke consumers
     # expecting Byte rasters; the reference writer encodes in the layer
@@ -915,6 +915,17 @@ def to_geotiff_rdd(layer, compress: bool = True):
         if out_dtype.kind in "iu":
             if nodata is not None:
                 cells = np.where(np.isnan(cells), nodata, cells)
+            elif np.isnan(cells).any():
+                # integer layer, no declared nodata, NaN cells present:
+                # astype(int) on NaN is platform-dependent garbage
+                # (ADVICE r15) — refuse with the fix named instead of
+                # exporting undefined values
+                raise ValueError(
+                    f"to_geotiff_rdd: tile ({kc}, {kr}) contains NaN "
+                    f"cells but the layer's cell type {cell_type!r} "
+                    "is integer with no nodata declared; call "
+                    "with_no_data(<sentinel>) (or convert_data_type to "
+                    "a float type) before exporting")
             cells = cells.astype(out_dtype)
         elif out_dtype != np.dtype("float64"):
             cells = cells.astype(out_dtype)

@@ -139,6 +139,28 @@ class TestS3TimeTravel:
         with pytest.raises(FileNotFoundError, match="not retained"):
             catalog.read(spark, uri, "a", 0, version="v1")
 
+    def test_claim_tombstone_does_not_eat_retention_slot(
+            self, spark, f1_layer, s3cat):
+        """ADVICE r15: keep_history retention must count only
+        COMMITTED, readable versions — a claim-only tombstone (left
+        behind by a superseded/conflicted commit, deliberately, so the
+        version number is never reused under the immutable read cache)
+        must not occupy a retention slot and evict real published
+        history early."""
+        uri = "s3://b/cat"
+        catalog.write(uri, "a", f1_layer, zoom=0, keep_history=2)       # v1
+        catalog.write(uri, "a", f1_layer + 1.0, zoom=0, keep_history=2)  # v2
+        catalog.write(uri, "a", f1_layer + 2.0, zoom=0, keep_history=2)  # v3
+        # simulate a conflicted commit's leftover: claim-only v4
+        obs.put_object("s3://b/cat/a/0/v4/.claim", b"dead-token")
+        catalog.write(uri, "a", f1_layer + 4.0, zoom=0, keep_history=2)  # v5
+        # keep_history=2 must retain the two newest COMMITTED older
+        # versions (v2, v3) — with the tombstone counted, v4 would have
+        # taken a slot and evicted v2
+        assert catalog.list_versions(uri, "a", 0) == ["v2", "v3", "v5"]
+        assert catalog.read(spark, uri, "a", 0, version="v2").df.count() \
+            == f1_layer.df.count()
+
     def test_restore_on_object_backend(self, spark, f1_layer, s3cat):
         uri = "s3://b/cat"
         catalog.write(uri, "a", f1_layer, zoom=0)            # v1 good

@@ -477,6 +477,66 @@ class TestTwoLevel:
             np.nan_to_num(drv, nan=-1.0), np.nan_to_num(con, nan=-1.0),
             atol=1e-12)
 
+    def test_contraction_memory_cap_stops_levels(self, spark,
+                                                 monkeypatch):
+        """r16 (VERDICT r15 #4): per-part edge volume grows ~factor^2
+        per contraction level, and every contraction chunk / expansion
+        task holds one part's full within-subgraph. With a tiny
+        _CONTRACT_MAX_PART_EDGES the solver must refuse to build the
+        oversized level (fewer levels than the caps would allow, the
+        capped size recorded) while staying bit-identical to the
+        driver solver; with the default cap the same fixture contracts
+        fully and records per-level part sizes under the cap."""
+        from geopyspark_spark.operators import costdistance as cd
+
+        rng = np.random.default_rng(37)
+        n = 48
+        fric = rng.uniform(0.5, 3.0, size=(n, n))
+        for i, r in enumerate(range(3, n - 2, 5)):   # serpentine walls
+            if i % 2 == 0:
+                fric[r, : n - 4] = np.nan
+            else:
+                fric[r, 4:] = np.nan
+        layer = _maze_layer(spark, fric, tsz=8)
+        src = gps.Point(1.5, n - 1.5)
+        drv = _stitched(cost_distance(layer, src, strategy="two_level",
+                                      table_cells=64,
+                                      boundary_solver="driver"))
+        monkeypatch.setattr(cd, "_BF_GRID_CAP", 2)
+        monkeypatch.setattr(cd, "_CONTRACT_FACTOR", 2)
+        # uncapped baseline: two levels, per-level max part sizes known
+        con = _stitched(cost_distance(layer, src, strategy="two_level",
+                                      table_cells=64,
+                                      boundary_solver="distributed"))
+        assert cd._loop_stats["contract_levels"] == 2
+        sizes = cd._loop_stats["contract_part_edges"]
+        assert len(sizes) == 2 and all(s > 0 for s in sizes)
+        np.testing.assert_allclose(
+            np.nan_to_num(drv, nan=-1.0), np.nan_to_num(con, nan=-1.0),
+            atol=1e-12)
+        # cap below the SECOND level's largest part: only one level
+        # builds, the refused size is recorded, values unchanged
+        monkeypatch.setattr(cd, "_CONTRACT_MAX_PART_EDGES", sizes[1] - 1)
+        capped = _stitched(cost_distance(
+            layer, src, strategy="two_level", table_cells=64,
+            boundary_solver="distributed"))
+        assert cd._loop_stats["contract_levels"] == 1
+        assert cd._loop_stats["contract_part_edges"] == sizes[:1]
+        assert cd._loop_stats["contract_capped_at"] >= sizes[1]
+        assert np.array_equal(np.isnan(drv), np.isnan(capped))
+        np.testing.assert_allclose(
+            np.nan_to_num(drv, nan=-1.0),
+            np.nan_to_num(capped, nan=-1.0), atol=1e-12)
+        # cap below even the FIRST level: pure flat Bellman-Ford
+        monkeypatch.setattr(cd, "_CONTRACT_MAX_PART_EDGES", 1)
+        flat = _stitched(cost_distance(
+            layer, src, strategy="two_level", table_cells=64,
+            boundary_solver="distributed"))
+        assert cd._loop_stats["contract_levels"] == 0
+        np.testing.assert_allclose(
+            np.nan_to_num(drv, nan=-1.0),
+            np.nan_to_num(flat, nan=-1.0), atol=1e-12)
+
     def test_bogus_boundary_solver_rejected(self, spark):
         fric = np.ones((16, 16))
         layer = _maze_layer(spark, fric, tsz=8)

@@ -67,6 +67,40 @@ class TestLayerSinks:
         assert (ext.xmin, ext.ymax) == (0.0, 10.0)
         assert crs == "epsg:4326"
 
+    def test_int_layer_nan_without_nodata_is_loud(self, spark, f1_layer):
+        """ADVICE r15: an integer-typed layer with NaN cells but no
+        declared nodata used to astype(int) the NaNs — platform-
+        dependent garbage in the exported tiles. The export must
+        refuse by name instead; declaring a nodata restores the
+        defined sentinel mapping."""
+        import pytest
+        from pyspark.sql import functions as F
+
+        from geopyspark_spark.sources import geotiff_codec as gc
+
+        md = f1_layer.metadata
+        nan_df = f1_layer.df.withColumn(
+            "cells", F.transform(
+                "cells",
+                lambda c: F.when(c == 0.0, F.lit(float("nan")))
+                .otherwise(c)))
+        import dataclasses
+
+        # "raw" = no NoData declared; integer dtype + NaN cells = the
+        # undefined-astype hazard
+        int_md = dataclasses.replace(md, cell_type="int16raw")
+        bad = type(f1_layer)(nan_df, int_md)
+        with pytest.raises(Exception) as ei:
+            gc.to_geotiff_rdd(bad).collect()
+        assert "no nodata declared" in str(ei.value)
+        # with a declared nodata the same tiles export cleanly
+        ok_md = dataclasses.replace(md, cell_type="int16ud-9")
+        rows = gc.to_geotiff_rdd(type(f1_layer)(nan_df, ok_md)).collect()
+        by_key = {(r.key_col, r.key_row): bytes(r.tiff) for r in rows}
+        cells, _, _, _ = geotiff_codec.decode_geotiff(by_key[(0, 0)])
+        assert cells.dtype == np.int16
+        assert cells[0, 0, 0] == -9
+
     def test_save_stitched_and_reread_via_get(self, spark, f1_layer, tmp_path):
         """save_stitched -> geotiff.get with the pure-Python codec injected
         -> tile to the original layout -> identical layer (full circle

@@ -150,6 +150,37 @@ class TestColorMapParity:
         with pytest.raises(NotImplementedError, match="twilight"):
             get_colors_from_matplotlib("twilight")
 
+    def test_modern_matplotlib_unknown_ramp_reaches_fallback(
+            self, monkeypatch):
+        """ADVICE r15: on matplotlib >= 3.9 an unknown ramp name
+        raises KeyError from the colormaps registry, and the inner
+        cm.get_cmap fallback (removed in 3.9) raises AttributeError —
+        which must land in the outer handler so the built-in fallback
+        ramps / the helpful NotImplementedError are still reached.
+        Simulated with a fake modern matplotlib (the container has
+        none installed)."""
+        import sys
+        import types
+
+        import pytest
+
+        from geopyspark_spark.operators import render
+
+        fake = types.ModuleType("matplotlib")
+        fake.colormaps = {}  # KeyError on unknown names, like >= 3.6
+        fake_cm = types.ModuleType("matplotlib.cm")  # no get_cmap: 3.9
+        fake.cm = fake_cm
+        monkeypatch.setitem(sys.modules, "matplotlib", fake)
+        monkeypatch.setitem(sys.modules, "matplotlib.cm", fake_cm)
+        # unknown-to-both name: the NotImplementedError, not a raw
+        # AttributeError, must surface
+        with pytest.raises(NotImplementedError, match="twilight"):
+            render.get_colors_from_matplotlib("twilight")
+        # name the registry lacks but the fallback tables carry
+        v = render.get_colors_from_matplotlib("viridis")
+        assert len(v) == 256
+        assert v[0] == (68 << 24) | (1 << 16) | (84 << 8) | 0xFF
+
 
 class TestGeneralPngCodec:
     """encode_png/decode_png: baseline 8-bit PNGs, all color types and

@@ -198,8 +198,16 @@ def run_boundary_rounds_axis(spark, sides) -> dict:
             cd.cost_distance(layer, src, strategy="two_level",
                              table_cells=256,
                              boundary_solver="distributed").df.count()
+            pe = [int(x) for x in
+                  cd._loop_stats.get("contract_part_edges", [])]
             return {"rounds": int(cd._loop_stats["boundary_rounds"]),
                     "levels": int(cd._loop_stats["contract_levels"]),
+                    # largest per-task pandas group of any contraction/
+                    # expansion level (rows; ~48 B/row Arrow->pandas) —
+                    # the bound _CONTRACT_MAX_PART_EDGES enforces (r16,
+                    # VERDICT r15 #4)
+                    "part_edges": pe,
+                    "contract_part_bytes": max(pe, default=0) * 48,
                     "sec": round(time.time() - t0, 3)}
 
         saved = cd._BF_GRID_CAP, cd._CONTRACT_FACTOR
