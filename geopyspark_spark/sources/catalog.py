@@ -39,6 +39,21 @@ from ..layer import TiledRasterLayer, _normalize_geoms
 
 
 MANIFEST = "MANIFEST"
+#: Per-version FILE MANIFEST (r16, VERDICT r15 #1): a JSON sidecar
+#: ``{"files": [{"name", "version", "zmin", "zmax", "rows"}, ...],
+#: "index": {"strategy", "time_resolution_ms"}}`` naming every data
+#: file of the version. ``version`` is the dir the file PHYSICALLY
+#: lives in (null = this version's own dir) — an INCREMENTAL commit
+#: (``update_layer(mode="incremental")``) writes only the files its
+#: batch touched and lists every untouched file of the parent version
+#: by reference, so a micro-batch merge is O(batch) file writes, not
+#: O(layer). ``zmin``/``zmax`` are the file's space-filling-curve
+#: range (parquet footer stats), which is both what the incremental
+#: planner prunes against and what row-group pushdown already uses.
+#: GC keeps referenced files of superseded versions alive (partial
+#: sweep) until no retained manifest names them. Versions without a
+#: manifest (pre-r16) read as before: every ``*.parquet`` in the dir.
+FILES = ".files.json"
 
 
 class ConflictError(RuntimeError):
@@ -132,6 +147,124 @@ def _readable_versions(root: str) -> list[str]:
                 os.path.join(root, d, ".metadata.json")):
             out.append(d)
     return sorted(out, key=lambda v: int(v[1:]))
+
+
+def _read_manifest_file(vdir: str) -> dict | None:
+    """The version dir's file manifest, or None (pre-r16 layout)."""
+    try:
+        with open(os.path.join(vdir, FILES)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def data_files(uri: str, layer_name: str, zoom: int,
+               version: str | int | None = None) -> list[str]:
+    """Paths of the data files of the committed (default) or a retained
+    historical version — THE scan resolution step (r16): incremental
+    commits share untouched files with parent versions via the file
+    manifest, so a version's data is not necessarily contained in its
+    own directory. Object-store catalogs return local cached paths
+    (the zero-dependency read path), fetching only the files the
+    manifest names."""
+    if _is_object(uri):
+        from . import catalog_object
+
+        return catalog_object.data_files(uri, layer_name, zoom,
+                                         version=version)
+    vdir = _data_path(uri, layer_name, zoom, version=version)
+    mf = _read_manifest_file(vdir)
+    if mf is None:
+        return sorted(glob.glob(os.path.join(vdir, "*.parquet")))
+    root = os.path.dirname(vdir)
+    vname = os.path.basename(vdir)
+    return [os.path.join(root, e.get("version") or vname, e["name"])
+            for e in mf["files"]]
+
+
+def file_manifest(uri: str, layer_name: str, zoom: int,
+                  version: str | int | None = None) -> dict | None:
+    """The version's file manifest dict, or None when the version
+    predates manifests (its data is then every ``*.parquet`` in its
+    own dir)."""
+    if _is_object(uri):
+        from . import catalog_object
+
+        return catalog_object.file_manifest(uri, layer_name, zoom,
+                                            version=version)
+    return _read_manifest_file(_data_path(uri, layer_name, zoom,
+                                          version=version))
+
+
+def _staged_manifest_entries(staging: str) -> list[dict]:
+    """Per-file ``(name, zmin, zmax, rows)`` of a freshly staged
+    version dir, read from the parquet FOOTERS (no data scan):
+    ``zmin``/``zmax`` are the row-group min/max of the ``zindex``
+    column — the same statistics the scan-side row-group pruning uses,
+    lifted into the manifest so the incremental planner can prune
+    files without opening them."""
+    import pyarrow.parquet as pq
+
+    entries = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(staging, name)).metadata
+        if md.num_rows == 0:
+            continue  # empty part (range partitioner gap): no data,
+            # no stats — listing it would only break range pruning
+        zi = None
+        for i in range(len(md.schema)):
+            if md.schema.column(i).name == "zindex":
+                zi = i
+                break
+        zmin = zmax = None
+        if zi is not None:
+            mins: list[int] = []
+            maxs: list[int] = []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(zi).statistics
+                if st is None or not st.has_min_max:
+                    mins = []
+                    break
+                mins.append(int(st.min))
+                maxs.append(int(st.max))
+            if mins:
+                zmin, zmax = min(mins), max(maxs)
+        entries.append({"name": name, "version": None,
+                        "zmin": zmin, "zmax": zmax,
+                        "rows": int(md.num_rows)})
+    return entries
+
+
+def _write_file_manifest(staging: str, entries: list[dict],
+                         index_info: dict | None) -> None:
+    with open(os.path.join(staging, FILES), "w") as f:
+        json.dump({"files": entries, "index": index_info}, f)
+
+
+def _zindex_expr(is_temporal: bool, index_strategy: str,
+                 time_resolution_ms: int):
+    """The space-filling-curve column expression one (strategy,
+    temporality) pair writes and the incremental planner recomputes —
+    factored out of ``write`` so an incremental merge derives batch
+    zindices with EXACTLY the curve the base version's file ranges
+    were recorded under."""
+    from ..core.zindex import hilbert_udf, rowmajor_col
+
+    if is_temporal or index_strategy == "z3":
+        return z3_col(
+            "key_col", "key_row",
+            (F.unix_millis(F.col("instant"))
+             / time_resolution_ms).cast("long"))
+    if index_strategy == "zorder":
+        return z2_col("key_col", "key_row")
+    if index_strategy == "hilbert":
+        return hilbert_udf()(F.col("key_col"),
+                             F.col("key_row")).alias("zindex")
+    if index_strategy == "rowmajor":
+        return rowmajor_col("key_col", "key_row")
+    raise ValueError(f"unknown index_strategy {index_strategy!r}")
 
 
 def list_versions(uri: str, layer_name: str, zoom: int) -> list[str]:
@@ -301,7 +434,16 @@ def _gc_versions(root: str, keep: str, prev: str | None = None,
     removed only once STALE (dir mtime older than
     :data:`_STAGING_GC_AGE_S`) — a LIVE concurrent writer keeps its
     staging dir's mtime fresh by writing files into it, so an in-flight
-    commit is never swept by another writer's GC."""
+    commit is never swept by another writer's GC.
+
+    SHARED FILES (r16, VERDICT r15 #1): incremental commits list
+    untouched parent files by reference, so a retained version's data
+    may physically live in an older, otherwise-sweepable version dir.
+    A dir any retained manifest references is PARTIALLY swept instead:
+    its sidecars (``.metadata.json``, ``.files.json``) and
+    unreferenced files go — it stops being readable or occupying a
+    retention slot — but the referenced data files stay until no
+    retained manifest names them."""
     import shutil
     import time
 
@@ -309,19 +451,42 @@ def _gc_versions(root: str, keep: str, prev: str | None = None,
     keep_n = int(keep[1:])
     retained = {prev} if prev else set()
     if keep_history > 0:
+        # retention slots count only COMMITTED, READABLE versions
+        # (.metadata.json present) — partially-swept file-host dirs
+        # (r16) and junk must not evict real history (ADVICE r15's
+        # object-backend fix, applied here for the same reason)
         older = sorted(
             (d for d in os.listdir(root)
-             if re.fullmatch(r"v\d+", d) and int(d[1:]) < keep_n),
+             if re.fullmatch(r"v\d+", d) and int(d[1:]) < keep_n
+             and os.path.exists(os.path.join(root, d, ".metadata.json"))),
             key=lambda v: int(v[1:]), reverse=True,
         )
         retained.update(older[:keep_history])
+    # files of older versions still referenced by a LIVE manifest
+    # (committed + reader-safety prev + keep_history retained)
+    referenced: dict[str, set] = {}
+    for v in retained | {keep}:
+        mf = _read_manifest_file(os.path.join(root, v))
+        for e in (mf or {}).get("files", ()):
+            owner = e.get("version") or v
+            if owner != v:
+                referenced.setdefault(owner, set()).add(e["name"])
     for d in os.listdir(root):
         p = os.path.join(root, d)
         # only versions STRICTLY OLDER than ours are ours to reclaim —
         # a version dir newer than `keep` is a concurrent writer's
         # fresh commit and must never be swept by a slower writer's GC
         if re.fullmatch(r"v\d+", d) and int(d[1:]) < keep_n and d not in retained:
-            shutil.rmtree(p, ignore_errors=True)
+            live = referenced.get(d)
+            if live:
+                for name in os.listdir(p):
+                    if name not in live:
+                        try:
+                            os.remove(os.path.join(p, name))
+                        except OSError:
+                            pass
+            else:
+                shutil.rmtree(p, ignore_errors=True)
         elif d.startswith(".staging-"):
             try:
                 stale = now - os.path.getmtime(p) > _STAGING_GC_AGE_S
@@ -457,24 +622,18 @@ def write(uri: str, layer_name: str, layer: TiledRasterLayer,
     The default 0 keeps only the reader-safety ``prev`` — the last two
     commits stay readable until the next write, nothing is pinned.
     """
-    from ..core.zindex import hilbert_udf, rowmajor_col
-
     z = zoom if zoom is not None else (layer.metadata.zoom or 0)
     path = _layer_path(uri, layer_name, z)
     df = layer.df
-    if layer.is_temporal:
-        zi = z3_col(
-            "key_col", "key_row",
-            (F.unix_millis(F.col("instant")) / time_resolution_ms).cast("long"),
-        )
-    elif index_strategy == "zorder":
-        zi = z2_col("key_col", "key_row")
-    elif index_strategy == "hilbert":
-        zi = hilbert_udf()(F.col("key_col"), F.col("key_row")).alias("zindex")
-    elif index_strategy == "rowmajor":
-        zi = rowmajor_col("key_col", "key_row")
-    else:
-        raise ValueError(f"unknown index_strategy {index_strategy!r}")
+    zi = _zindex_expr(layer.is_temporal, index_strategy,
+                      time_resolution_ms)
+    # recorded in the file manifest so incremental merges recompute
+    # batch zindices with the same curve the file ranges use (r16)
+    index_info = {
+        "strategy": "z3" if layer.is_temporal else index_strategy,
+        "time_resolution_ms": (time_resolution_ms
+                               if layer.is_temporal else None),
+    }
     out = df.withColumn("zindex", zi)
     # sortWithinPartitions after range partitioning = global z-order;
     # row-group stats then prune on key ranges
@@ -506,6 +665,8 @@ def write(uri: str, layer_name: str, layer: TiledRasterLayer,
             out.write.mode("overwrite").parquet(staging)
             with open(os.path.join(staging, ".metadata.json"), "w") as f:
                 f.write(layer.metadata.to_json())
+            _write_file_manifest(staging, _staged_manifest_entries(staging),
+                                 index_info)
             return catalog_object.commit_staged(uri, layer_name, z, staging,
                                                 keep_history=keep_history,
                                                 expected_prev=expected_prev)
@@ -518,6 +679,8 @@ def write(uri: str, layer_name: str, layer: TiledRasterLayer,
         out.write.mode("overwrite").parquet(staging)
         with open(os.path.join(staging, ".metadata.json"), "w") as f:
             f.write(layer.metadata.to_json())
+        _write_file_manifest(staging, _staged_manifest_entries(staging),
+                             index_info)
         vpath = _claim(path, staging)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
@@ -529,6 +692,12 @@ def write(uri: str, layer_name: str, layer: TiledRasterLayer,
 
 def read_layer_metadata(uri: str, layer_name: str, zoom: int,
                         version: str | int | None = None) -> LayerMetadata:
+    if _is_object(uri):
+        from . import catalog_object
+
+        # one cached object fetch — never a whole-version download
+        return LayerMetadata.from_json(catalog_object.read_metadata_json(
+            uri, layer_name, zoom, version=version))
     with open(os.path.join(_data_path(uri, layer_name, zoom, version=version),
                            ".metadata.json")) as f:
         return LayerMetadata.from_json(f.read())
@@ -563,7 +732,7 @@ def read(spark: SparkSession, uri: str, layer_name: str,
         zoom = zooms[-1]
     md = read_layer_metadata(uri, layer_name, zoom, version=version)
     df = spark.read.parquet(
-        _data_path(uri, layer_name, zoom, version=version)).drop("zindex")
+        *data_files(uri, layer_name, zoom, version=version)).drop("zindex")
     return TiledRasterLayer(df, md)
 
 
@@ -603,7 +772,7 @@ def query(spark: SparkSession, uri: str, layer_name: str, zoom: int,
     not per cell, after the scan already pruned to the envelope."""
     md = read_layer_metadata(uri, layer_name, zoom, version=version)
     df = spark.read.parquet(
-        _data_path(uri, layer_name, zoom, version=version)).drop("zindex")
+        *data_files(uri, layer_name, zoom, version=version)).drop("zindex")
     if query_geom is not None:
         geoms = _normalize_geoms(query_geom)
         from ..core.keys import KeyTransform
@@ -704,14 +873,17 @@ def read_value(uri: str, layer_name: str, zoom: int, col: int, row: int,
     key columns makes this an O(row-group) read, not a scan."""
     import duckdb
 
-    path = os.path.join(
-        _data_path(uri, layer_name, zoom, version=version), "*.parquet")
+    files = data_files(uri, layer_name, zoom, version=version)
+    if not files:
+        return []
     con = duckdb.connect()
-    # predicates bind as PARAMETERS and the path literal doubles its
+    # predicates bind as PARAMETERS and the path literals double their
     # quotes (r15 review: f-string interpolation executed whatever an
     # instant/uri string carried, and an apostrophe in a path — e.g.
-    # "o'hare-dem" — broke the FROM clause)
-    q = (f"SELECT * FROM '{path.replace(chr(39), chr(39) * 2)}' "
+    # "o'hare-dem" — broke the FROM clause). The file LIST (not a dir
+    # glob) is the r16 manifest resolution: incremental commits share
+    # untouched files with parent version dirs.
+    q = (f"SELECT * FROM read_parquet([{_duckdb_file_list(files)}]) "
          "WHERE key_col = ? AND key_row = ?")
     params: list = [int(col), int(row)]
     if instant is not None:
@@ -725,16 +897,30 @@ def read_value(uri: str, layer_name: str, zoom: int, col: int, row: int,
     return [dict(zip(cols, r)) for r in rel.fetchall()]
 
 
+def _duckdb_file_list(files: list[str]) -> str:
+    """Comma-joined quote-doubled path literals for a DuckDB
+    ``read_parquet([...])`` call."""
+    return ", ".join(
+        "'" + p.replace(chr(39), chr(39) * 2) + "'" for p in files)
+
+
 def restore(uri: str, layer_name: str, zoom: int,
             version: str | int, keep_history: int = 0) -> str:
     """Roll the layer back to a retained version — the bad-ingest
-    undo time travel enables. Never rewrites history: the restored data
-    is COPIED into a NEW version and committed through the normal
-    claim + publish protocol, so concurrent writers keep their
-    guarantees, readers of the bad version stay scannable until the
-    next GC cycle, and the audit trail (v_bad exists, v_restore
-    supersedes it) survives. No Spark session needed — the copy is
-    file-level.
+    undo time travel enables. Never rewrites history: the restored
+    version is committed as a NEW version through the normal claim +
+    publish protocol, so concurrent writers keep their guarantees,
+    readers of the bad version stay scannable until the next GC cycle,
+    and the audit trail (v_bad exists, v_restore supersedes it)
+    survives. No Spark session needed.
+
+    r16: when the source version carries a file manifest, the restore
+    is ZERO-COPY — the new version is just sidecars (metadata + a
+    manifest referencing the source's data files at their physical
+    owners); GC keeps referenced files alive for as long as the
+    restored version is retained. A multi-TB rollback is
+    metadata-speed on both backends. Manifest-less (pre-r16) sources
+    fall back to the file-level copy.
 
     Returns the committed version path (POSIX) / URI (s3://)."""
     import shutil
@@ -746,12 +932,21 @@ def restore(uri: str, layer_name: str, zoom: int,
                                       keep_history=keep_history)
     src = _data_path(uri, layer_name, zoom, version=version)  # validates
     root = _layer_path(uri, layer_name, zoom)
+    src_vname = os.path.basename(src)
+    mf = _read_manifest_file(src)
     staging = _staging_dir(root)
     try:
-        for name in os.listdir(src):
-            p = os.path.join(src, name)
-            if os.path.isfile(p):
-                shutil.copy(p, os.path.join(staging, name))
+        if mf is not None:
+            shutil.copy(os.path.join(src, ".metadata.json"),
+                        os.path.join(staging, ".metadata.json"))
+            entries = [{**e, "version": e.get("version") or src_vname}
+                       for e in mf["files"]]
+            _write_file_manifest(staging, entries, mf.get("index"))
+        else:
+            for name in os.listdir(src):
+                p = os.path.join(src, name)
+                if os.path.isfile(p):
+                    shutil.copy(p, os.path.join(staging, name))
         vpath = _claim(root, staging)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
@@ -779,9 +974,11 @@ def diff_versions(spark: SparkSession, uri: str, layer_name: str, zoom: int,
     'changed', 'unchanged'} — filter as needed.
     """
     old = spark.read.parquet(
-        _data_path(uri, layer_name, zoom, version=old_version)).drop("zindex")
+        *data_files(uri, layer_name, zoom,
+                    version=old_version)).drop("zindex")
     new = spark.read.parquet(
-        _data_path(uri, layer_name, zoom, version=new_version)).drop("zindex")
+        *data_files(uri, layer_name, zoom,
+                    version=new_version)).drop("zindex")
     keys = ["key_col", "key_row"]
     if "band" in old.columns:
         keys.append("band")
@@ -1121,13 +1318,26 @@ def compact(spark: SparkSession, uri: str, layer_name: str, zoom: int,
     root = _layer_path(uri, layer_name, zoom)
     base_version = current_version(uri, layer_name, zoom)
     cur = _data_path(uri, layer_name, zoom, version=base_version)
-    files = glob.glob(os.path.join(cur, "*.parquet"))
+    files = data_files(uri, layer_name, zoom, version=base_version)
     total_bytes = sum(os.path.getsize(f) for f in files)
     n = max(1, int(math.ceil(total_bytes / (target_file_mb * 1024 * 1024))))
     layer = read(spark, uri, layer_name, zoom, version=base_version)
-    from ..core.zindex import z2_col
-
-    out = layer.df.withColumn("zindex", z2_col("key_col", "key_row"))
+    # preserve the layer's recorded curve (r16): the rewrite re-sorts
+    # with the SAME index the base manifest declares (z3 for temporal,
+    # the chosen strategy otherwise), so post-compaction file ranges
+    # stay consistent with what incremental merges prune against
+    base_mf = file_manifest(uri, layer_name, zoom, version=base_version)
+    idx = (base_mf or {}).get("index") or {}
+    strategy = idx.get("strategy") or "zorder"
+    if strategy == "z3":
+        strategy = "zorder"  # temporal flag below picks z3 itself
+    tres = idx.get("time_resolution_ms") or 86_400_000
+    index_info = {
+        "strategy": "z3" if layer.is_temporal else strategy,
+        "time_resolution_ms": tres if layer.is_temporal else None,
+    }
+    out = layer.df.withColumn(
+        "zindex", _zindex_expr(layer.is_temporal, strategy, tres))
     out = out.repartitionByRange(n, "zindex").sortWithinPartitions("zindex")
     expected = base_version if base_version is not None else _UNSET
     if _is_object(uri):
@@ -1142,6 +1352,8 @@ def compact(spark: SparkSession, uri: str, layer_name: str, zoom: int,
             out.write.mode("overwrite").parquet(staging)
             shutil.copy(os.path.join(cur, ".metadata.json"),
                         os.path.join(staging, ".metadata.json"))
+            _write_file_manifest(staging, _staged_manifest_entries(staging),
+                                 index_info)
             return catalog_object.commit_staged(uri, layer_name, zoom, staging,
                                                 keep_history=keep_history,
                                                 expected_prev=expected)
@@ -1155,6 +1367,8 @@ def compact(spark: SparkSession, uri: str, layer_name: str, zoom: int,
         out.write.mode("overwrite").parquet(staging)
         shutil.copy(os.path.join(cur, ".metadata.json"),
                     os.path.join(staging, ".metadata.json"))
+        _write_file_manifest(staging, _staged_manifest_entries(staging),
+                             index_info)
         vpath = _claim(root, staging)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
@@ -1183,22 +1397,17 @@ class ValueReader:
         for the key) — real errors propagate (r15 review: a bare
         ``except`` used to turn wrong uris, malformed SQL, and missing
         manifests into blank tiles with zero diagnostics)."""
-        import duckdb
-
         z = zoom if zoom is not None else (self.zoom or 0)
-        path = os.path.join(_data_path(self.uri, self.layer_name, z), "*.parquet")
-        q = (f"SELECT * FROM '{path.replace(chr(39), chr(39) * 2)}' "
+        files = data_files(self.uri, self.layer_name, z)
+        if not files:
+            return None  # zoom dir exists but holds no parquet yet
+        q = (f"SELECT * FROM read_parquet([{_duckdb_file_list(files)}]) "
              "WHERE key_col = ? AND key_row = ?")
         params: list = [int(col), int(row)]
         if zdt is not None:
             q += " AND instant = CAST(? AS TIMESTAMP)"
             params.append(str(zdt))
-        try:
-            rel = self._con.execute(q, params)
-        except duckdb.IOException as e:
-            if "No files found" in str(e):
-                return None  # zoom dir exists but holds no parquet yet
-            raise
+        rel = self._con.execute(q, params)
         cols = [d[0] for d in rel.description]
         rows = [dict(zip(cols, r)) for r in rel.fetchall()]
         return rows or None
@@ -1261,12 +1470,40 @@ class AttributeStore:
         return sorted(out)
 
 
+#: Interval-summary granularity of the incremental planner: the
+#: batch's zindices reduce to at most this many (min, max) intervals
+#: (one narrow map-side-combined groupBy), which the driver then
+#: intersects with the base manifest's per-file ranges. Coarser only
+#: costs extra touched files (over-approximation), never correctness.
+_INC_PLAN_BUCKETS = 8192
+
+
 def update_layer(spark: SparkSession, uri: str, layer_name: str, zoom: int,
                  new_layer: TiledRasterLayer, keep_history: int = 0,
-                 max_retries: int = 3) -> str:
-    """Merge-write (reference ``catalog.py:287-329``): union new tiles with
-    the existing layer, keep the newest per key (read-union-rewrite; a
-    Delta/Iceberg MERGE INTO when a table format is available).
+                 max_retries: int = 3, mode: str = "auto") -> str:
+    """Merge-write (reference ``catalog.py:287-329``): union new tiles
+    with the existing layer, keep the newest per key.
+
+    ``mode`` (r16, VERDICT r15 #1 — the O(layer) write-amplification
+    fix):
+
+    - ``"incremental"`` — rewrite ONLY the data files whose zindex
+      range overlaps the batch's keys. The commit's file manifest
+      lists every untouched file of the base version BY REFERENCE, so
+      a micro-batch merge shuffles O(batch ∪ touched) rows and writes
+      O(batch) files — the MERGE INTO shape Delta/Iceberg give, on
+      this catalog's own commit protocol. Planning is one
+      map-side-combined interval summary of the batch's zindices
+      (:data:`_INC_PLAN_BUCKETS` rows to the driver) intersected with
+      the manifest's per-file ranges; a key can only live in a file
+      whose range covers its zindex, so untouched files provably hold
+      no batch key. Requires the base version to carry a file manifest
+      with zindex ranges (every r16+ commit does) — raises
+      ``ValueError`` otherwise.
+    - ``"full"`` — the r13 read-union-rewrite (rewrites the whole
+      layer; what the reference's ``update_layer`` does).
+    - ``"auto"`` (default) — incremental when the base manifest
+      supports it, else full.
 
     LOST-UPDATE SAFE (r13): the read-merge-write cycle is optimistic —
     the commit carries ``expected_prev`` (the version this call merged
@@ -1278,37 +1515,68 @@ def update_layer(spark: SparkSession, uri: str, layer_name: str, zoom: int,
     base and the slower one would silently drop the faster one's tiles —
     the classic lost update. Plain ``write`` stays last-writer-wins
     (full-rewrite semantics need no merge protection).
+
+    Repeated incremental commits fragment the layer (small new files,
+    cross-version references); :func:`compact` rewrites it
+    self-contained and right-sized — the OPTIMIZE half of the
+    MERGE/OPTIMIZE pair every table format schedules.
     """
     from ..layer import TiledRasterLayer as TRL
     from ..operators.aggregate import merge as _merge
 
+    if mode not in ("auto", "full", "incremental"):
+        raise ValueError(f"unknown update_layer mode {mode!r} "
+                         "(expected 'auto', 'full', or 'incremental')")
     attempt = 0
     while True:
         base_version = current_version(uri, layer_name, zoom)
-        existing = read(spark, uri, layer_name, zoom)
+        existing_md = read_layer_metadata(uri, layer_name, zoom,
+                                          version=base_version)
         # an explicit raise, not assert (r15 review): asserts vanish
         # under python -O and mismatched layouts would merge rows whose
         # (key_col, key_row) mean different geographic tiles
-        if existing.metadata.layout != new_layer.metadata.layout:
+        if existing_md.layout != new_layer.metadata.layout:
             raise ValueError(
                 "update_layer requires identical layouts: existing "
-                f"{existing.metadata.layout} vs new "
+                f"{existing_md.layout} vs new "
                 f"{new_layer.metadata.layout}")
-        # merge keeps the FIRST tile in ascending _gen order -> new wins
-        new = new_layer.df.withColumn("_gen", F.lit(0))
-        old = existing.df.withColumn("_gen", F.lit(1))
-        u = TRL(new.unionByName(old),
-                existing.metadata.combine(new_layer.metadata))
-        merged = _merge(u, order_col="_gen")
-        out = TRL(merged.df.drop("_gen"), u.metadata)
-        # The versioned write never overwrites a path the lazy merged
-        # plan still reads: the plan scans the current version dir while
-        # the writer fills a private staging dir, then the claim +
-        # manifest swap commit it atomically. A reader racing the update
-        # sees old or new, never a half-written mix; GC is deferred one
-        # commit, so the old version's files survive until the NEXT
-        # write even for readers holding lazy plans over it (ADVICE r11).
+        base_mf = (file_manifest(uri, layer_name, zoom,
+                                 version=base_version)
+                   if base_version is not None else None)
+        inc_ok = (
+            base_mf is not None and base_mf.get("files")
+            and (base_mf.get("index") or {}).get("strategy")
+            and all(e.get("zmin") is not None and e.get("zmax") is not None
+                    for e in base_mf["files"]))
+        if mode == "incremental" and not inc_ok:
+            raise ValueError(
+                f"update_layer(mode='incremental') on {layer_name!r}/"
+                f"{zoom}: the committed version {base_version!r} has no "
+                "usable file manifest (pre-r16 commit, or footer stats "
+                "missing); run compact() once or use mode='full'")
         try:
+            if inc_ok and mode != "full":
+                return _update_incremental(
+                    spark, uri, layer_name, zoom, new_layer,
+                    existing_md, base_version, base_mf,
+                    keep_history=keep_history)
+            existing = read(spark, uri, layer_name, zoom)
+            # merge keeps the FIRST tile in ascending _gen order ->
+            # new wins
+            new = new_layer.df.withColumn("_gen", F.lit(0))
+            old = existing.df.withColumn("_gen", F.lit(1))
+            u = TRL(new.unionByName(old),
+                    existing.metadata.combine(new_layer.metadata))
+            merged = _merge(u, order_col="_gen")
+            out = TRL(merged.df.drop("_gen"), u.metadata)
+            # The versioned write never overwrites a path the lazy
+            # merged plan still reads: the plan scans the current
+            # version dir while the writer fills a private staging dir,
+            # then the claim + manifest swap commit it atomically. A
+            # reader racing the update sees old or new, never a
+            # half-written mix; GC is deferred one commit, so the old
+            # version's files survive until the NEXT write even for
+            # readers holding lazy plans over it (ADVICE r11).
             return write(uri, layer_name, out, zoom,
                          keep_history=keep_history,
                          expected_prev=base_version)
@@ -1316,3 +1584,128 @@ def update_layer(spark: SparkSession, uri: str, layer_name: str, zoom: int,
             attempt += 1
             if attempt > max_retries:
                 raise
+
+
+def _update_incremental(spark: SparkSession, uri: str, layer_name: str,
+                        zoom: int, new_layer: TiledRasterLayer,
+                        existing_md, base_version: str, base_mf: dict,
+                        keep_history: int = 0) -> str:
+    """One incremental merge commit (see ``update_layer`` docstring).
+
+    Correctness of the touched-file split: a layer key ``k`` stored in
+    base file ``f`` satisfies ``f.zmin <= z(k) <= f.zmax`` (parquet
+    footer stats), so any file whose range misses EVERY batch-key
+    zindex provably contains no batch key — reusing it by reference
+    preserves merge semantics exactly. The rewritten set (touched
+    files ∪ batch, deduped new-wins per key) can overlap untouched
+    ranges only with NEW keys, which exist in no untouched file, so no
+    key is ever duplicated across the manifest's files."""
+    import bisect
+    import shutil
+
+    from ..layer import TiledRasterLayer as TRL
+    from ..operators.aggregate import merge as _merge
+
+    idx = base_mf["index"]
+    strategy = idx["strategy"]
+    tres = int(idx.get("time_resolution_ms") or 86_400_000)
+    is_temporal = new_layer.is_temporal or strategy == "z3"
+    zexpr = _zindex_expr(is_temporal, strategy, tres)
+    entries = base_mf["files"]
+
+    # --- plan: which base files does the batch touch? ---------------
+    lo = min(e["zmin"] for e in entries)
+    hi = max(e["zmax"] for e in entries)
+    span = float(max(hi - lo, 0) + 1)
+    K = _INC_PLAN_BUCKETS
+    zc = new_layer.df.withColumn("zindex", zexpr).select("zindex")
+    bucket = F.least(
+        F.lit(K - 1),
+        F.greatest(F.lit(0), F.floor(
+            (F.col("zindex") - F.lit(lo)).cast("double")
+            / F.lit(span) * K).cast("int")))
+    rows = (zc.groupBy(bucket.alias("_b"))
+            .agg(F.min("zindex").alias("lo"), F.max("zindex").alias("hi"))
+            .collect())
+    # bucketing is monotone in zindex, so the per-bucket (min, max)
+    # intervals are disjoint and ordered — one bisect per file decides
+    # overlap. (Double rounding in the bucket fn can only regroup
+    # values; the intervals stay actual batch minima/maxima, so the
+    # split is correct regardless.)
+    ivs = sorted((r["lo"], r["hi"]) for r in rows)
+    ilos = [a for a, _ in ivs]
+    touched, untouched = [], []
+    for e in entries:
+        j = bisect.bisect_right(ilos, e["zmax"]) - 1
+        (touched if j >= 0 and ivs[j][1] >= e["zmin"]
+         else untouched).append(e)
+
+    # --- merge: rewrite touched rows ∪ batch, new wins ---------------
+    merged_md = existing_md.combine(new_layer.metadata)
+    if touched:
+        tpaths = _entry_paths(uri, layer_name, zoom, base_version, touched)
+        old = (spark.read.parquet(*tpaths).drop("zindex")
+               .withColumn("_gen", F.lit(1)))
+        new = new_layer.df.withColumn("_gen", F.lit(0))
+        u = TRL(new.unionByName(old), merged_md)
+        merged_df = _merge(u, order_col="_gen").df.drop("_gen")
+    else:
+        merged_df = new_layer.df
+    out = (merged_df.withColumn("zindex", zexpr)
+           .repartitionByRange(F.col("zindex"))
+           .sortWithinPartitions("zindex"))
+    carried = [{**e, "version": e.get("version") or base_version}
+               for e in untouched]
+    index_info = {"strategy": strategy,
+                  "time_resolution_ms": (tres if is_temporal else None)}
+
+    # --- commit (same claim + publish protocol as write) -------------
+    if _is_object(uri):
+        import tempfile
+
+        from . import catalog_object
+
+        staging = tempfile.mkdtemp(prefix="gps-objcat-stage-")
+        try:
+            out.write.mode("overwrite").parquet(staging)
+            with open(os.path.join(staging, ".metadata.json"), "w") as f:
+                f.write(merged_md.to_json())
+            _write_file_manifest(
+                staging, _staged_manifest_entries(staging) + carried,
+                index_info)
+            return catalog_object.commit_staged(
+                uri, layer_name, zoom, staging,
+                keep_history=keep_history, expected_prev=base_version)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+    root = _layer_path(uri, layer_name, zoom)
+    staging = _staging_dir(root)
+    try:
+        out.write.mode("overwrite").parquet(staging)
+        with open(os.path.join(staging, ".metadata.json"), "w") as f:
+            f.write(merged_md.to_json())
+        _write_file_manifest(
+            staging, _staged_manifest_entries(staging) + carried,
+            index_info)
+        vpath = _claim(root, staging)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    _finish_commit(root, vpath, keep_history=keep_history,
+                   expected_prev=base_version)
+    return vpath
+
+
+def _entry_paths(uri: str, layer_name: str, zoom: int, version: str,
+                 entries: list[dict]) -> list[str]:
+    """Readable paths of specific manifest entries (owner-resolved).
+    Object-store catalogs fetch ONLY these files into the local cache
+    — the incremental merge never downloads untouched data."""
+    if _is_object(uri):
+        from . import catalog_object
+
+        return catalog_object.entry_paths(uri, layer_name, zoom,
+                                          version, entries)
+    root = _layer_path(uri, layer_name, zoom)
+    return [os.path.join(root, e.get("version") or version, e["name"])
+            for e in entries]

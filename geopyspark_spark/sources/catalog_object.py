@@ -50,6 +50,7 @@ import uuid
 from . import objectstore as obs
 
 MANIFEST = "MANIFEST"
+FILES = ".files.json"  # per-version file manifest (r16; see catalog.py)
 
 
 def _root(uri: str, layer_name: str, zoom: int) -> str:
@@ -203,10 +204,26 @@ def _gc_versions(root: str, keep: str, prev: str | None,
                                       key[len(root) + 1:]))}
         older = sorted((v for v in seen if v < keep_n), reverse=True)
         retained.update(older[:keep_history])
+    # files of older versions still referenced by a LIVE manifest
+    # (r16 incremental commits share untouched files across versions):
+    # such files survive the sweep — the rest of their version dir
+    # (sidecars, unreferenced files) goes, so the version stops being
+    # readable without breaking retained readers
+    referenced: dict[str, set] = {}
+    for vn in sorted(retained | {keep_n}):
+        got = obs.get_object(f"{root}/v{vn}/{FILES}")
+        if got is None:
+            continue
+        for e in json.loads(got[0].decode()).get("files", ()):
+            owner = e.get("version") or f"v{vn}"
+            if owner != f"v{vn}":
+                referenced.setdefault(owner, set()).add(e["name"])
     for key in keys:
         rest = key[len(root) + 1:]
-        m = re.match(r"v(\d+)/", rest)
+        m = re.match(r"v(\d+)/(.+)$", rest)
         if m and int(m.group(1)) < keep_n and int(m.group(1)) not in retained:
+            if m.group(2) in referenced.get(f"v{m.group(1)}", ()):
+                continue
             try:
                 obs.delete_object(key)
             except Exception:
@@ -362,6 +379,133 @@ def data_dir(uri: str, layer_name: str, zoom: int,
     return _fetch_version(root, cur)
 
 
+def _resolve_version(uri: str, layer_name: str, zoom: int,
+                     version) -> tuple[str, str]:
+    """(root, vN) of the committed (default) or a validated retained
+    version — the shared resolution step of every read."""
+    root = _root(uri, layer_name, zoom)
+    if version is not None:
+        from .catalog import _norm_version
+
+        vname = _norm_version(version)
+        if obs.get_object(f"{root}/{vname}/.metadata.json") is None:
+            raise FileNotFoundError(
+                f"version {vname!r} of {layer_name!r}/{zoom} is not retained "
+                f"at {root} (have: {list_versions(uri, layer_name, zoom)}); "
+                "pass keep_history=N to write() to retain history"
+            )
+        return root, vname
+    cur, _ = _committed_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed layer at {root}")
+    return root, cur
+
+
+def _manifest_cached(root: str, vname: str) -> dict | None:
+    """The version's file manifest through the immutable local cache
+    (versions never change once published, so both the manifest body
+    and its ABSENCE cache forever — a repeat read costs zero store
+    requests)."""
+    d = _cache_dir(root, vname)
+    os.makedirs(d, exist_ok=True)
+    local = os.path.join(d, FILES)
+    absent = os.path.join(d, ".files.absent")
+    if os.path.exists(local):
+        with open(local) as f:
+            return json.load(f)
+    if os.path.exists(absent):
+        return None
+    got = obs.get_object(f"{root}/{vname}/{FILES}")
+    if got is None:
+        with open(absent, "wb"):
+            pass
+        return None
+    tmp = f"{local}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(got[0])
+    os.replace(tmp, local)
+    return json.loads(got[0].decode())
+
+
+def file_manifest(uri: str, layer_name: str, zoom: int,
+                  version=None) -> dict | None:
+    """The version's file manifest (r16), or None for pre-manifest
+    versions (data = the version dir's own parquet objects)."""
+    root, vname = _resolve_version(uri, layer_name, zoom, version)
+    return _manifest_cached(root, vname)
+
+
+def read_metadata_json(uri: str, layer_name: str, zoom: int,
+                       version=None) -> str:
+    """The version's ``.metadata.json`` body as ONE cached object
+    fetch (r16) — metadata reads (update_layer's layout check, every
+    ``read``) must not pull a whole version dir through
+    ``_fetch_version``; an incremental merge then downloads exactly
+    its touched data files and three small sidecar objects."""
+    root, vname = _resolve_version(uri, layer_name, zoom, version)
+    d = _cache_dir(root, vname)
+    os.makedirs(d, exist_ok=True)
+    local = os.path.join(d, ".metadata.json")
+    if os.path.exists(local):
+        with open(local) as f:
+            return f.read()
+    got = obs.get_object(f"{root}/{vname}/.metadata.json")
+    if got is None:
+        raise FileNotFoundError(
+            f"object {root}/{vname}/.metadata.json vanished mid-read "
+            "— the version was garbage-collected (deferred GC); "
+            "re-resolve the manifest and retry")
+    tmp = f"{local}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(got[0])
+    os.replace(tmp, local)
+    return got[0].decode()
+
+
+def _fetch_file(root: str, owner: str, name: str) -> str:
+    """Download ONE immutable data file into the owner version's local
+    cache (skip if cached); the per-file analogue of
+    :func:`_fetch_version`, used by manifest-resolved reads so an
+    incremental version's scan fetches exactly the files its manifest
+    names — never a whole superseded version dir."""
+    d = _cache_dir(root, owner)
+    os.makedirs(d, exist_ok=True)
+    local = os.path.join(d, name)
+    if os.path.exists(local):
+        return local
+    if not obs.download_object(f"{root}/{owner}/{name}", local):
+        raise FileNotFoundError(
+            f"object {root}/{owner}/{name} vanished mid-read — the "
+            "owning version's file was garbage-collected (deferred "
+            "GC); re-resolve the manifest and retry")
+    return local
+
+
+def data_files(uri: str, layer_name: str, zoom: int,
+               version=None) -> list[str]:
+    """Local cached paths of the version's data files (r16 manifest
+    resolution; falls back to the whole-version fetch for
+    pre-manifest versions)."""
+    import glob as _glob
+
+    root, vname = _resolve_version(uri, layer_name, zoom, version)
+    mf = _manifest_cached(root, vname)
+    if mf is None:
+        return sorted(_glob.glob(
+            os.path.join(_fetch_version(root, vname), "*.parquet")))
+    return [_fetch_file(root, e.get("version") or vname, e["name"])
+            for e in mf["files"]]
+
+
+def entry_paths(uri: str, layer_name: str, zoom: int, version: str,
+                entries: list[dict]) -> list[str]:
+    """Local cached paths of SPECIFIC manifest entries — the
+    incremental merge's touched-file fetch."""
+    root = _root(uri, layer_name, zoom)
+    return [_fetch_file(root, e.get("version") or version, e["name"])
+            for e in entries]
+
+
 def list_versions(uri: str, layer_name: str, zoom: int) -> list[str]:
     """Readable retained versions (``.metadata.json`` present),
     ascending — the object-store analogue of the POSIX
@@ -476,11 +620,15 @@ def commit_staged(uri: str, layer_name: str, zoom: int,
 
 def restore(uri: str, layer_name: str, zoom: int, version,
             keep_history: int = 0) -> str:
-    """Roll back to a retained version by SERVER-SIDE copy (S3
-    CopyObject): the store duplicates each object of the source version
-    into a freshly-claimed version — no bytes move through this client,
-    so restoring a multi-TB layer is metadata-speed. History is never
-    rewritten (same contract as the POSIX ``catalog.restore``)."""
+    """Roll back to a retained version without moving data through
+    this client. r16: a manifest-carrying source restores ZERO-COPY —
+    the new version is just sidecars (metadata + a manifest
+    referencing the source's data files at their physical owners; GC
+    keeps referenced files alive while the restored version is
+    retained). Manifest-less (pre-r16) sources fall back to
+    server-side CopyObject per object — still metadata-speed, no bytes
+    through the client. History is never rewritten (same contract as
+    the POSIX ``catalog.restore``)."""
     from .catalog import _norm_version
 
     vname = _norm_version(version)
@@ -493,9 +641,21 @@ def restore(uri: str, layer_name: str, zoom: int, version,
         raise FileNotFoundError(
             f"version {vname!r} of {layer_name!r}/{zoom} is not retained "
             f"at {root} (have: {list_versions(uri, layer_name, zoom)})")
+    mf_got = obs.get_object(f"{src_prefix}{FILES}")
     new_version = _claim(root)
-    for k in keys:
-        obs.copy_object(k, f"{root}/{new_version}/{k[len(src_prefix):]}")
+    if mf_got is not None:
+        mf = json.loads(mf_got[0].decode())
+        entries = [{**e, "version": e.get("version") or vname}
+                   for e in mf["files"]]
+        obs.copy_object(f"{src_prefix}.metadata.json",
+                        f"{root}/{new_version}/.metadata.json")
+        obs.put_object(
+            f"{root}/{new_version}/{FILES}",
+            json.dumps({"files": entries,
+                        "index": mf.get("index")}).encode())
+    else:
+        for k in keys:
+            obs.copy_object(k, f"{root}/{new_version}/{k[len(src_prefix):]}")
     _finish_commit(root, new_version, keep_history=keep_history)
     return f"{root}/{new_version}"
 

@@ -933,3 +933,158 @@ def _commit_worker(uri, fill, barrier, q):
         q.put((fill, vpath))
     finally:
         spark.stop()
+
+
+class TestIncrementalCommit:
+    """r16 (VERDICT r15 #1): incremental merge commits — a micro-batch
+    update rewrites only the data files its keys touch and the new
+    version's file manifest reuses every untouched file of the parent
+    version by reference, so write amplification is O(batch), not
+    O(layer)."""
+
+    def _patch(self, spark, key, fill):
+        md = f1_metadata()
+        return gps.from_numpy(
+            spark, [(key[0], key[1], 0, np.full((5, 5), fill))], md)
+
+    @staticmethod
+    def _pq(vdir):
+        return sorted(f for f in os.listdir(vdir) if f.endswith(".parquet"))
+
+    def test_obatch_files_written_and_rest_reused(self, spark, f1_layer,
+                                                  tmp_path):
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "inc", f1_layer, zoom=0, num_files=4)
+        root = catalog._layer_path(uri, "inc", 0)
+        base_files = set(self._pq(os.path.join(root, "v1")))
+        assert len(base_files) >= 3  # multi-file base (the point)
+        catalog.update_layer(spark, uri, "inc", 0,
+                             self._patch(spark, (1, 1), 9.0))
+        assert catalog.current_version(uri, "inc", 0) == "v2"
+        new_files = self._pq(os.path.join(root, "v2"))
+        # O(batch): one tile's rewrite lands in far fewer files than
+        # the layer holds
+        assert 1 <= len(new_files) < len(base_files)
+        mf = catalog.file_manifest(uri, "inc", 0)
+        refs = [e for e in mf["files"] if e.get("version") == "v1"]
+        owns = [e for e in mf["files"] if not e.get("version")]
+        assert refs and {e["name"] for e in refs} <= base_files
+        assert {e["name"] for e in owns} == set(new_files)
+        # content: merged new-wins, untouched tiles intact
+        back = catalog.read(spark, uri, "inc", 0)
+        tiles = {(t[0], t[1]): t[3] for t in to_numpy(back)}
+        assert len(tiles) == 4
+        assert tiles[(1, 1)][2, 2] == 9.0
+        assert tiles[(0, 0)][0, 0] == 0.0 and tiles[(0, 1)][2, 2] == 1.0
+        # the sparkless point reader resolves through the manifest too
+        rows = catalog.read_value(uri, "inc", 0, 1, 1)
+        assert rows and rows[0]["cells"][12] == 9.0
+        rows = catalog.read_value(uri, "inc", 0, 0, 1)
+        assert rows and rows[0]["cells"][12] == 1.0
+
+    def test_gc_partial_sweep_keeps_referenced_files(self, spark, f1_layer,
+                                                     tmp_path):
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "inc", f1_layer, zoom=0, num_files=4)
+        root = catalog._layer_path(uri, "inc", 0)
+        catalog.update_layer(spark, uri, "inc", 0,
+                             self._patch(spark, (1, 1), 9.0))   # v2
+        catalog.update_layer(spark, uri, "inc", 0,
+                             self._patch(spark, (0, 0), 7.0))   # v3
+        # v1 fell out of retention (readable = prev + committed) but
+        # its files are still REFERENCED by the live manifests: the
+        # dir is partially swept — sidecars gone, referenced data kept
+        assert catalog.list_versions(uri, "inc", 0) == ["v2", "v3"]
+        v1 = os.path.join(root, "v1")
+        assert os.path.isdir(v1)
+        assert not os.path.exists(os.path.join(v1, ".metadata.json"))
+        assert not os.path.exists(os.path.join(v1, catalog.FILES))
+        assert self._pq(v1)  # referenced data files survive
+        back = catalog.read(spark, uri, "inc", 0)
+        tiles = {(t[0], t[1]): t[3] for t in to_numpy(back)}
+        assert tiles[(1, 1)][2, 2] == 9.0 and tiles[(0, 0)][2, 2] == 7.0
+        assert tiles[(1, 0)][2, 2] == 1.0
+        # compact() makes the layer self-contained again; once nothing
+        # references v1, the next commit's GC removes the dir entirely
+        catalog.compact(spark, uri, "inc", 0)                    # v4
+        mf = catalog.file_manifest(uri, "inc", 0)
+        assert all(not e.get("version") for e in mf["files"])
+        catalog.update_layer(spark, uri, "inc", 0,
+                             self._patch(spark, (1, 0), 5.0))   # v5
+        assert not os.path.isdir(v1)
+        back = catalog.read(spark, uri, "inc", 0)
+        tiles = {(t[0], t[1]): t[3] for t in to_numpy(back)}
+        assert (tiles[(1, 1)][2, 2], tiles[(0, 0)][2, 2],
+                tiles[(1, 0)][2, 2], tiles[(0, 1)][2, 2]) == (9.0, 7.0,
+                                                              5.0, 1.0)
+
+    def test_mode_full_and_explicit_incremental(self, spark, f1_layer,
+                                                tmp_path):
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "inc", f1_layer, zoom=0, num_files=4)
+        # full mode: self-contained rewrite, no references
+        catalog.update_layer(spark, uri, "inc", 0,
+                             self._patch(spark, (1, 1), 9.0), mode="full")
+        mf = catalog.file_manifest(uri, "inc", 0)
+        assert all(not e.get("version") for e in mf["files"])
+        # strip the manifest to simulate a pre-r16 commit: explicit
+        # incremental refuses by name, auto falls back to full
+        os.remove(os.path.join(catalog._layer_path(uri, "inc", 0),
+                               "v2", catalog.FILES))
+        with pytest.raises(ValueError, match="no usable file manifest"):
+            catalog.update_layer(spark, uri, "inc", 0,
+                                 self._patch(spark, (0, 0), 3.0),
+                                 mode="incremental")
+        catalog.update_layer(spark, uri, "inc", 0,
+                             self._patch(spark, (0, 0), 3.0))  # auto->full
+        back = catalog.read(spark, uri, "inc", 0)
+        tiles = {(t[0], t[1]): t[3] for t in to_numpy(back)}
+        assert tiles[(0, 0)][2, 2] == 3.0 and tiles[(1, 1)][2, 2] == 9.0
+
+    def test_restore_is_zero_copy(self, spark, f1_layer, tmp_path):
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "inc", f1_layer, zoom=0, keep_history=2)  # v1
+        catalog.write(uri, "inc", f1_layer + 7.0, zoom=0,
+                      keep_history=2)                                # v2 bad
+        vpath = catalog.restore(uri, "inc", 0, 1, keep_history=2)    # v3
+        assert os.path.basename(vpath) == "v3"
+        # zero-copy: the restored version is sidecars only, its data
+        # rides on v1's files by reference
+        assert not self._pq(vpath)
+        mf = catalog.file_manifest(uri, "inc", 0)
+        assert mf["files"] and all(e["version"] == "v1"
+                                   for e in mf["files"])
+        back = catalog.read(spark, uri, "inc", 0)
+        total = sum(float(t[3].sum()) for t in to_numpy(back))
+        assert total == 99.0  # v1 content (f1: 99 = 4*25 - 1)
+        rows = catalog.read_value(uri, "inc", 0, 0, 0)
+        assert rows and rows[0]["cells"][0] == 0.0
+
+    def test_temporal_incremental_update(self, spark, tmp_path):
+        from datetime import datetime, timezone
+
+        md = f1_metadata()
+        t1 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        t2 = datetime(2024, 2, 1, tzinfo=timezone.utc)
+        tiles = []
+        for kc in range(2):
+            for kr in range(2):
+                tiles.append((kc, kr, t1, 0, np.ones((5, 5))))
+                tiles.append((kc, kr, t2, 0, np.full((5, 5), 2.0)))
+        layer = gps.from_numpy(spark, tiles, md)
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "st", layer, zoom=0, num_files=4)
+        patch = gps.from_numpy(
+            spark, [(1, 1, t2, 0, np.full((5, 5), 9.0))], md)
+        catalog.update_layer(spark, uri, "st", 0, patch)
+        mf = catalog.file_manifest(uri, "st", 0)
+        assert mf["index"]["strategy"] == "z3"
+        assert any(e.get("version") == "v1" for e in mf["files"])
+        back = catalog.read(spark, uri, "st", 0)
+        # to_numpy returns session-local NAIVE instants
+        n1, n2 = t1.replace(tzinfo=None), t2.replace(tzinfo=None)
+        vals = {(t[0], t[1], t[2]): t[4] for t in to_numpy(back)}
+        assert len(vals) == 8
+        assert vals[(1, 1, n2)][2, 2] == 9.0
+        assert vals[(1, 1, n1)][2, 2] == 1.0
+        assert vals[(0, 0, n2)][2, 2] == 2.0

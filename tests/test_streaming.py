@@ -162,6 +162,54 @@ class TestStreamingRasterIngest:
         assert got[(0, 1)] == 1.0 and got[(1, 0)] == 1.0  # untouched survive
         assert back.count() == 4
 
+    def test_microbatch_commit_writes_obatch_files(self, spark, tmp_path):
+        """r16 (VERDICT r15 #1): a micro-batch merge commit must write
+        O(batch) data files and reuse the untouched files of the
+        previous version by manifest reference — not rewrite the
+        layer."""
+        import os
+
+        import numpy as np
+
+        import geopyspark_spark as gps
+        from geopyspark_spark.sources import catalog as cat
+        from geopyspark_spark.streaming.raster import (read_tile_stream,
+                                                       stream_into_catalog)
+
+        md = gps.LayerMetadata(
+            crs="epsg:4326", cell_type="float64ud-1.0",
+            layout=gps.LayoutDefinition(gps.Extent(0, 0, 8, 8),
+                                        gps.TileLayout(2, 2, 4, 4)),
+            bounds=((0, 0), (1, 1)), extent=gps.Extent(0, 0, 8, 8),
+            num_bands=1,
+        )
+        uri = str(tmp_path / "cat")
+        # base layer spread over multiple z-disjoint files
+        tiles = [(kc, kr, 0, np.ones((4, 4)))
+                 for kc in range(2) for kr in range(2)]
+        base = gps.from_numpy(spark, tiles, md)
+        cat.write(uri, "live", base, zoom=0, num_files=4)
+        root = cat._layer_path(uri, "live", 0)
+        n_base = len([f for f in os.listdir(os.path.join(root, "v1"))
+                      if f.endswith(".parquet")])
+        assert n_base >= 3
+        # stream ONE patched tile through the ingest sink
+        src = str(tmp_path / "stream_src")
+        self._write_chunk(spark, src, [(1, 1)], 9.0, md)
+        stream_into_catalog(read_tile_stream(spark, src, md),
+                            uri, "live", 0, md)
+        assert cat.current_version(uri, "live", 0) == "v2"
+        n_new = len([f for f in os.listdir(os.path.join(root, "v2"))
+                     if f.endswith(".parquet")])
+        assert 1 <= n_new < n_base  # O(batch), not O(layer)
+        mf = cat.file_manifest(uri, "live", 0)
+        assert any(e.get("version") == "v1" for e in mf["files"])
+        back = cat.read(spark, uri, "live", 0)
+        got = {(r["key_col"], r["key_row"]): r["cells"][0]
+               for r in back.df.collect()}
+        assert got[(1, 1)] == 9.0 and got[(0, 0)] == 1.0
+        assert back.count() == 4
+
     def test_stream_into_object_store_catalog(self, spark, tmp_path,
                                               monkeypatch):
         """r15 review: the checkpoint default lived INSIDE the catalog
