@@ -113,6 +113,27 @@ HEADLINE = [
 ]
 
 
+def _git_head() -> str:
+    """``<hash>[ dirty]`` of the measured working tree, or "unknown"
+    outside a git checkout."""
+    import subprocess
+
+    try:
+        h = subprocess.run(["git", "rev-parse", "HEAD"],
+                           capture_output=True, text=True,
+                           check=True,
+                           cwd=os.path.dirname(os.path.abspath(__file__))
+                           ).stdout.strip()
+        dirty = subprocess.run(["git", "status", "--porcelain"],
+                               capture_output=True, text=True,
+                               check=True,
+                               cwd=os.path.dirname(os.path.abspath(__file__))
+                               ).stdout.strip()
+        return h + (" dirty" if dirty else "")
+    except Exception:
+        return "unknown"
+
+
 def _load1() -> float:
     """1-minute load average (0.0 when /proc is unavailable)."""
     try:
@@ -237,6 +258,10 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # the working tree this run measured (r16, VERDICT r15
+                # #3): lets anyone check a committed bench record
+                # against the HEAD it claims (tools/verify_head.py)
+                "git_head": _git_head(),
                 # host-contamination markers (VERDICT r9 #3): load1 and
                 # other-Spark-process counts at start/end, plus load1
                 # sampled at each query's start — lets a reader attribute

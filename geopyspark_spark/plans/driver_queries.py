@@ -1348,6 +1348,42 @@ FROM vals WHERE value IS NOT NULL
 """
 
 
+def q_raster_cost_distance_distributed(spark, sf_dir):
+    """The flagship scale path under the driver gate (r16, VERDICT r15
+    #2): the SAME cost-distance fixture, but pinning
+    ``boundary_solver="distributed"`` with forced contraction caps
+    (grid cap 1, factor 2) so the recursive blocks-of-blocks solver —
+    contract to portal shortcut tables, Bellman-Ford on the capped
+    grid, expand back down — produces every value, exactly as it would
+    on a planet-scale layer where the boundary graph cannot fit the
+    driver. The query RAISES unless contraction actually engaged
+    (>= 1 level), and shares ``raster_cost_distance``'s closed-form
+    octile oracle, so the driver rotation now re-validates the
+    distributed path like any other operator."""
+    from ..operators import costdistance as cd
+
+    ones = lineitem_layer(spark, sf_dir)
+    uniform = ones * 0 + 1  # friction 1 everywhere, same layout
+    saved = cd._BF_GRID_CAP, cd._CONTRACT_FACTOR
+    try:
+        cd._BF_GRID_CAP, cd._CONTRACT_FACTOR = 1, 2
+        out = cd.cost_distance(uniform, gps.Point(8.5, 23.5),
+                               strategy="two_level", table_cells=64,
+                               boundary_solver="distributed")
+        levels = int(cd._loop_stats.get("contract_levels", 0))
+    finally:
+        cd._BF_GRID_CAP, cd._CONTRACT_FACTOR = saved
+    if levels < 1:
+        raise RuntimeError(
+            "distributed cost-distance gate: contraction did not "
+            f"engage (levels={levels}) — the query validated the "
+            "wrong solver path")
+    long = out.explode()
+    return long.select(
+        "key_col", "key_row", "pos", F.round(F.col("value"), 6).alias("value")
+    )
+
+
 def q_raster_euclidean_distance(spark, sf_dir):
     """Distance-to-point raster; closed-form oracle (rounded 6 dp)."""
     from ..operators.rasterize import euclidean_distance
@@ -10688,6 +10724,77 @@ FROM coords
 """
 
 
+def q_raster_catalog_incremental(spark, sf_dir):
+    """Incremental merge commits under the gate (r16, VERDICT r15 #1):
+    commit the base layer over multiple z-disjoint files, then merge
+    TWO single-column patches with ``update_layer(mode="incremental")``.
+    The query RAISES (-> red in the driver record) unless every
+    incremental commit writes strictly fewer data files than the layer
+    holds (O(batch), not O(layer)) AND reuses untouched base files by
+    manifest reference; the content compare against the oracle then
+    proves the shared-file read path returns the exact full-merge
+    result. Reference anchor: ``geopyspark/geotrellis/catalog.py:
+    287-329`` (update_layer) rewrites the whole layer per merge — this
+    gate pins where the engine beats it."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources import catalog as cat
+
+    layer = lineitem_layer(spark, sf_dir)
+    uri = tempfile.mkdtemp(prefix="catalog_inc_", dir=_scratch_dir())
+    try:
+        cat.write(uri, "inc", layer, zoom=0, num_files=8)
+        root = cat._layer_path(uri, "inc", 0)
+
+        def _nfiles(v):
+            d = os.path.join(root, v)
+            return len([f for f in os.listdir(d)
+                        if f.endswith(".parquet")])
+
+        n_base = _nfiles("v1")
+        if n_base < 4:
+            raise RuntimeError(
+                f"incremental gate fixture degenerate: base committed "
+                f"{n_base} files (need >= 4 for the O(batch) claim)")
+        # both patches hit the SAME column: the second supersedes the
+        # first (new wins per key), and its z-range stays inside the
+        # first rewrite's file, so untouched base files remain
+        # untouched across BOTH commits — the reuse the gate asserts
+        for i, delta in enumerate((100.0, 600.0), start=2):
+            patch = TiledRasterLayer(
+                layer.df.where(F.col("key_col") == 0), layer.metadata
+            ) + delta
+            cat.update_layer(spark, uri, "inc", 0, patch,
+                             mode="incremental")
+            n_new = _nfiles(f"v{i}")
+            if not (1 <= n_new < n_base):
+                raise RuntimeError(
+                    f"incremental commit v{i} wrote {n_new} data files "
+                    f"(layer holds {n_base}) — O(layer) rewrite, not "
+                    "O(batch)")
+            mf = cat.file_manifest(uri, "inc", 0)
+            if not any(e.get("version") for e in mf["files"]):
+                raise RuntimeError(
+                    f"incremental commit v{i} reused no untouched "
+                    "files by reference")
+        back = cat.read(spark, uri, "inc", 0)
+        long = back.explode().where(~_is_nd(F.col("value"), layer.nodata))
+        rows = long.select("key_col", "key_row", "pos", "value").collect()
+    finally:
+        shutil.rmtree(uri, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "key_col int, key_row int, pos int, value double")
+
+
+SQL_RASTER_CATALOG_INCREMENTAL = CELLS_CTE + """
+SELECT key_col, key_row, pos,
+       CASE WHEN key_col = 0 THEN value + 600 ELSE value END AS value
+FROM coords
+"""
+
+
 def q_raster_read_value(spark, sf_dir):
     """ValueReader point reads under the gate (reference ``catalog.py:
     165-219`` ValueReader): two single-tile random-access reads straight
@@ -11440,6 +11547,7 @@ def _canonical_queries():
         "text_pack_sequences": q_text_pack_sequences,
         "emb_quantize": q_emb_quantize,
         "raster_catalog_update": q_raster_catalog_update,
+        "raster_catalog_incremental": q_raster_catalog_incremental,
         "raster_with_no_data": q_raster_with_no_data,
         "raster_png_roundtrip": q_raster_png_roundtrip,
         "text_pii_scrub": q_text_pii_scrub,
@@ -11458,6 +11566,7 @@ def _canonical_queries():
         "raster_pyramid": q_raster_pyramid,
         "raster_pyramid_time_travel": q_raster_pyramid_time_travel,
         "raster_cost_distance": q_raster_cost_distance,
+        "raster_cost_distance_distributed": q_raster_cost_distance_distributed,
         "raster_reproject": q_raster_reproject,
         "raster_reproject_cass": q_raster_reproject_cass,
         "raster_reproject_aeqd": q_raster_reproject_aeqd,
@@ -11633,58 +11742,10 @@ def _canonical_queries():
 # Regenerate with ``python tools/rotate_window.py --write``; do not
 # hand-edit between the markers.
 # BEGIN WINDOW_ORDER (generated)
-_WINDOW_ORDER_ROUND: int = 14
+_WINDOW_ORDER_ROUND: int = 15
 _WINDOW_ORDER: list = [
-    "text_dedup_incremental_removed",
-    "text_minhash",
-    "events_interval_join",
-    "events_anomaly",
-    "events_funnel",
-    "events_enriched_segment",
-    "tpch_q4_priority",
-    "tpch_q10_returned",
-    "multimodal_patches",
-    "emb_semantic_dedup",
-    "emb_random_projection",
-    "emb_mmr_select",
-    "text_classifier",
-    "emb_pca",
-    "emb_pca_variance",
-    "text_bpe_train",
-    "text_epoch_shards",
-    "text_token_budget_mix",
-    "raster_spacetime_series",
-    "raster_temporal_interpolate",
-    "raster_rasterize",
-    "tpch_q14_promo",
-    "window_rank",
-    "raster_focal_mode",
-    "raster_pyramid_mode",
-    "raster_rasterize_features",
-    "raster_resample_cubic",
-    "raster_mask_distributed",
-    "raster_point_values",
-    "raster_normalize",
-    "raster_reproject_utm",
-    "raster_histogram_object",
-    "text_token_count",
-    "text_dedup_pipeline",
-    "emb_knn",
-    "multimodal_features",
-    "events_session",
-    "raster_zonal_stats",
-    "raster_mask",
-    "text_exact_dedup",
-    "text_dup_components",
-    "emb_ivf_knn",
-    "tpch_q1",
-    "events_tumbling",
-    "raster_slope",
-    "raster_tile_to_layout",
-    "text_simhash",
-    "tpch_q3",
-    "raster_reproject_cubic",
-    "raster_reproject_global",
+    "raster_catalog_incremental",
+    "raster_cost_distance_distributed",
     "raster_histogram",
     "raster_min_max",
     "raster_colormap",
@@ -11906,6 +11967,56 @@ _WINDOW_ORDER: list = [
     "raster_tobler",
     "raster_map_cells",
     "raster_union",
+    "text_minhash",
+    "events_interval_join",
+    "events_anomaly",
+    "events_funnel",
+    "events_enriched_segment",
+    "tpch_q4_priority",
+    "tpch_q10_returned",
+    "tpch_q14_promo",
+    "window_rank",
+    "raster_focal_mode",
+    "raster_pyramid_mode",
+    "raster_rasterize_features",
+    "raster_resample_cubic",
+    "raster_mask_distributed",
+    "raster_point_values",
+    "raster_normalize",
+    "raster_reproject_utm",
+    "raster_histogram_object",
+    "text_token_count",
+    "text_dedup_pipeline",
+    "text_dedup_incremental_removed",
+    "emb_knn",
+    "multimodal_features",
+    "multimodal_patches",
+    "events_session",
+    "raster_zonal_stats",
+    "raster_mask",
+    "text_exact_dedup",
+    "text_dup_components",
+    "emb_ivf_knn",
+    "emb_semantic_dedup",
+    "emb_random_projection",
+    "emb_mmr_select",
+    "tpch_q1",
+    "events_tumbling",
+    "raster_slope",
+    "raster_tile_to_layout",
+    "text_simhash",
+    "tpch_q3",
+    "raster_reproject_cubic",
+    "raster_reproject_global",
+    "text_classifier",
+    "emb_pca",
+    "emb_pca_variance",
+    "text_bpe_train",
+    "text_epoch_shards",
+    "text_token_budget_mix",
+    "raster_spacetime_series",
+    "raster_temporal_interpolate",
+    "raster_rasterize",
 ]
 # END WINDOW_ORDER
 
@@ -11957,6 +12068,9 @@ def oracle_sql():
         "raster_rasterize": SQL_RASTER_RASTERIZE,
         "raster_euclidean_distance": SQL_RASTER_EUCLIDEAN,
         "raster_cost_distance": SQL_RASTER_COST_DISTANCE,
+        # the distributed/contracted solver must be bit-comparable to
+        # the driver solver, so it shares the closed-form octile oracle
+        "raster_cost_distance_distributed": SQL_RASTER_COST_DISTANCE,
         "raster_reproject": _sql_reproject(),
         "raster_aspect": SQL_RASTER_ASPECT,
         "raster_hillshade": SQL_RASTER_HILLSHADE,
@@ -12192,6 +12306,7 @@ def oracle_sql():
         "raster_stitch": SQL_RASTER_STITCH,
         "raster_png_roundtrip": SQL_RASTER_PNG_ROUNDTRIP,
         "raster_catalog_update": SQL_RASTER_CATALOG_UPDATE,
+        "raster_catalog_incremental": SQL_RASTER_CATALOG_INCREMENTAL,
         "raster_read_value": SQL_RASTER_READ_VALUE,
         "raster_with_no_data": SQL_RASTER_WITH_NO_DATA,
         "vector_shapefile": SQL_VECTOR_SHAPEFILE,

@@ -58,9 +58,30 @@ def table_hash(cols: list[str], rows: list) -> tuple[int, str]:
     return len(rows), h
 
 
+def git_head() -> str:
+    """``<hash>[ dirty]`` of the working tree this run validates —
+    stamped into every log line-1 so a committed sweep record that
+    predates later code commits FAILS LOUDLY against ``git rev-parse
+    HEAD`` instead of silently claiming final-HEAD coverage (r16,
+    VERDICT r15 #3)."""
+    import subprocess
+
+    try:
+        h = subprocess.run(["git", "rev-parse", "HEAD"],
+                           capture_output=True, text=True,
+                           check=True).stdout.strip()
+        dirty = subprocess.run(["git", "status", "--porcelain"],
+                               capture_output=True, text=True,
+                               check=True).stdout.strip()
+        return h + (" dirty" if dirty else "")
+    except Exception:
+        return "unknown"
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    print(f"HEAD {git_head()}")
 
     # sf-dependent oracles (e.g. the IVF centroid injection) must be built
     # against the sf dir this run checks

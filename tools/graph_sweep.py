@@ -163,6 +163,10 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     src, dst = build_graph(n)
     adj = undirected_adj(src, dst)
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from check_oracle import git_head
+    print(f"HEAD {git_head()}")
     print(f"graph sweep: {len(adj)} nodes, {len(src)} generated edges, "
           f"{sum(len(s) for s in adj.values()) // 2} undirected edges")
 

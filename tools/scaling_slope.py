@@ -326,10 +326,14 @@ def main():
     md = render_md(sf_axis, cells_axis, repeats)
     with open(args.out, "w") as f:
         f.write(md)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from check_oracle import git_head
+
     with open(json_path, "w") as f:
         json.dump({"repeats": repeats, "sf_axis": sf_axis,
                    "cells_axis": cells_axis,
-                   "boundary_rounds_axis": boundary_axis}, f, indent=1)
+                   "boundary_rounds_axis": boundary_axis,
+                   "git_head": git_head()}, f, indent=1)
     print(f"wrote {args.out}")
     spark.stop()
 

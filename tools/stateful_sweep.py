@@ -233,6 +233,10 @@ def main():
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from check_oracle import git_head
+    print(f"HEAD {git_head()}")
     print(f"stateful sweep: {tiles}x{tiles} tiles of {tsize}x{tsize} "
           f"({n * n} cells)")
     n_pass = n_fail = 0

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Check that committed validation artifacts were produced at the HEAD
+they sit next to (r16, VERDICT r15 #3: the r15 sweep records predated
+the round's last five code commits while labeled "final HEAD" — the
+artifact-freshness invariant must fail loudly, not rely on narrative).
+
+Every r16+ record carries the hash of the tree it ran at:
+
+- ``ORACLE_*`` logs: line 1 is ``HEAD <hash>[ dirty]``
+  (``tools/check_oracle.py``)
+- ``BENCH_*_local.json``: a ``git_head`` field (``bench.py``)
+- ``PLAN_AUDIT.md``: a ``HEAD <hash>`` line (``tools/plan_audit.py``)
+
+Usage::
+
+    python tools/verify_head.py FILE [FILE ...]       # vs current HEAD
+    python tools/verify_head.py --at <hash> FILE ...  # vs a given hash
+
+Exit 0 iff every file's recorded hash equals the expected commit hash
+and carries no ``dirty`` marker. Files with no recognizable stamp FAIL
+(a record that cannot prove its HEAD is stale by default).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import subprocess
+import sys
+
+
+def current_head() -> str:
+    return subprocess.run(["git", "rev-parse", "HEAD"],
+                          capture_output=True, text=True,
+                          check=True).stdout.strip()
+
+
+def stamp_of(path: str) -> str | None:
+    """The recorded ``<hash>[ dirty]`` stamp of one artifact, or None."""
+    if path.endswith(".json"):
+        try:
+            with open(path) as f:
+                return json.load(f).get("git_head")
+        except Exception:
+            return None
+    try:
+        with open(path) as f:
+            head = [next(f) for _ in range(5)]
+    except (OSError, StopIteration):
+        try:
+            with open(path) as f:
+                head = f.readlines()[:5]
+        except OSError:
+            return None
+    for line in head:
+        m = re.match(r"(?:#\s*)?HEAD ([0-9a-f]{7,40}(?: dirty)?)\s*$",
+                     line.strip())
+        if m:
+            return m.group(1)
+    return None
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    expect = None
+    if args and args[0] == "--at":
+        expect = args[1]
+        args = args[2:]
+    if not args:
+        print(__doc__)
+        return 2
+    if expect is None:
+        expect = current_head()
+    bad = 0
+    for path in args:
+        s = stamp_of(path)
+        if s is None:
+            print(f"FAIL  {path}: no HEAD stamp (pre-r16 record?)")
+            bad += 1
+        elif s.endswith(" dirty"):
+            print(f"FAIL  {path}: ran on a DIRTY tree at {s.split()[0]}")
+            bad += 1
+        elif not expect.startswith(s.split()[0]) and \
+                not s.split()[0].startswith(expect):
+            print(f"FAIL  {path}: ran at {s.split()[0][:12]}, "
+                  f"expected {expect[:12]}")
+            bad += 1
+        else:
+            print(f"ok    {path}: {s[:12]}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
