@@ -700,15 +700,63 @@ def remove_from_signatures(corpus_sigs: DataFrame, removed) -> DataFrame:
     stateless functions of each document's own text); removals = this
     anti-join, written back to parquet; periodic REBUILD = rerun
     :func:`corpus_signatures` over the live corpus whenever the
-    removal churn makes the artifact's file layout ragged (removal
-    rewrites rows, never re-shingles anything, so rebuild cadence is
-    about parquet hygiene, not correctness)."""
+    removal churn makes the artifact's file layout ragged. For the
+    layout half of that hygiene there is a cheaper tool than a
+    rebuild: :func:`compact_signatures` coalesces the parquet files
+    in place without re-shingling anything (removal rewrites rows,
+    never signatures, so rebuild-vs-compact is about file layout, not
+    correctness)."""
     if isinstance(removed, DataFrame):
         rm = removed.select("doc_id").distinct()
     else:
         rm = corpus_sigs.sparkSession.createDataFrame(
             [(int(d),) for d in removed], "doc_id long")
     return corpus_sigs.join(rm, "doc_id", "left_anti")
+
+
+def compact_signatures(spark, sigs_path: str,
+                       target_file_mb: int = 128) -> int:
+    """Rewrite a persisted corpus-signature artifact with right-sized,
+    doc_id-sorted parquet files (r16, VERDICT r15 #5): append unions
+    and :func:`remove_from_signatures` anti-joins leave the artifact's
+    file layout ragged — many small files, interleaved doc_id ranges —
+    which is the classic object-store scan killer at 100 TB corpus
+    scale. Compaction is row-preserving (signatures are never
+    recomputed; the pinned ``num_hashes``/``bands``/``gram_n``
+    parameter columns ride along untouched), so batch verdicts against
+    a compacted artifact are identical to before — gated by test.
+
+    The rewrite range-partitions on ``doc_id`` and sorts within files,
+    so removal anti-joins and artifact point-lookups get row-group
+    pruning on the id. The swap is rename-based (write to a sibling
+    staging dir, swap, delete the old layout); the artifact is a plain
+    parquet directory, not a versioned catalog layer — run compaction
+    in the artifact's maintenance window, not concurrently with a
+    writer. Returns the compacted file count."""
+    import glob as _glob
+    import math
+    import os
+    import shutil
+    import uuid
+
+    files = _glob.glob(os.path.join(sigs_path, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    n = max(1, int(math.ceil(total / (target_file_mb * 1024 * 1024))))
+    df = spark.read.parquet(sigs_path)
+    base = sigs_path.rstrip("/")
+    staging = f"{base}.compact-{uuid.uuid4().hex}"
+    (df.repartitionByRange(n, "doc_id")
+       .sortWithinPartitions("doc_id")
+       .write.parquet(staging))
+    old = f"{base}.old-{uuid.uuid4().hex}"
+    os.rename(base, old)
+    try:
+        os.rename(staging, base)
+    except BaseException:
+        os.rename(old, base)  # roll back: the artifact must stay readable
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    return len(_glob.glob(os.path.join(base, "*.parquet")))
 
 
 def dedup_against_corpus(batch: DataFrame, corpus: DataFrame | None = None,

@@ -170,23 +170,56 @@ class CatalogTileFetcher(TileFetcher):
             try:
                 versions = list_pyramid_versions(self.uri,
                                                  self.layer_name)
-                if not versions or versions[-1] == self._pinned_name:
-                    return False
-                name = versions[-1]
-                pin = read_pyramid_manifest(self.uri, self.layer_name,
-                                            version=name)
-                zooms = sorted(pin)
-                tc, tr = ((self.tc, self.tr)
-                          if not self._auto_tile_dims
-                          else self._resolve_tile_dims(pin, zooms,
-                                                       None, None))
             except FileNotFoundError:
-                # raced a retention sweep between list and read (incl.
-                # PyramidSnapshotExpiredError) — keep serving the old pin
                 return False
-            self._state = (pin, zooms, tc, tr)
-            self._pinned_name = name
-            return True
+            if not versions or versions[-1] == self._pinned_name:
+                return False
+            # walk back past snapshots a racing retention sweep expired
+            # between list and read (r16, VERDICT r15 #6 — refresh used
+            # to give up entirely when only the NEWEST listing was
+            # dead, leaving the server on a stale pin even though an
+            # intermediate publish was servable), stopping at the
+            # current pin: never re-pin to something older than what
+            # we already serve
+            hit_expired = False
+            for name in reversed(versions):
+                if name == self._pinned_name:
+                    break
+                try:
+                    pin = read_pyramid_manifest(self.uri, self.layer_name,
+                                                version=name)
+                    zooms = sorted(pin)
+                    tc, tr = ((self.tc, self.tr)
+                              if not self._auto_tile_dims
+                              else self._resolve_tile_dims(pin, zooms,
+                                                           None, None))
+                except FileNotFoundError:
+                    # includes PyramidSnapshotExpiredError — skip it
+                    hit_expired = True
+                    continue
+                self._state = (pin, zooms, tc, tr)
+                self._pinned_name = name
+                if hit_expired:
+                    self._sweep_expired_best_effort()
+                return True
+            if hit_expired:
+                # every snapshot newer than the pin was dead: tombstone
+                # them so future listings stop offering them
+                self._sweep_expired_best_effort()
+            return False
+
+    def _sweep_expired_best_effort(self) -> None:
+        """Tombstone expired snapshots refresh() discovered (r16,
+        VERDICT r15 #6 sweep-or-skip): marking them keeps
+        ``list_pyramid_versions`` honest for every OTHER reader, so
+        the next refresh pays no walk-back. Best-effort — a serving
+        path must never fail a request over backend-write trouble."""
+        try:
+            from .sources.catalog import sweep_expired_pyramid_snapshots
+
+            sweep_expired_pyramid_snapshots(self.uri, self.layer_name)
+        except Exception:
+            pass
 
     def _list_zooms(self) -> list[int]:
         # catalog.list_zooms dispatches POSIX vs s3:// (r14) — an

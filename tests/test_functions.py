@@ -737,6 +737,43 @@ class TestDedupAgainstCorpus:
                    batch, corpus_sigs=shrunk, min_jaccard=0.5).collect()}
         assert got[100] == (True, 10)
 
+    def test_compact_signatures_is_verdict_identical(self, spark,
+                                                     tmp_path):
+        """r16 (VERDICT r15 #5): compacting a ragged artifact (many
+        small files after append/remove churn) must coalesce the
+        parquet layout while changing NOTHING about batch verdicts or
+        the pinned parameter columns."""
+        corpus, batch = self._fixture(spark)
+        path = str(tmp_path / "sigs")
+        # simulate churn: removal-rewritten artifact scattered over
+        # many tiny files
+        sigs = fdedup.remove_from_signatures(
+            fdedup.corpus_signatures(corpus), [12])
+        sigs.repartition(8).write.parquet(path)
+        import glob
+
+        n_before = len(glob.glob(path + "/*.parquet"))
+        assert n_before >= 2
+        want = sorted(fdedup.dedup_against_corpus(
+            batch, corpus_sigs=spark.read.parquet(path),
+            min_jaccard=0.5).collect())
+        rows_before = sorted(
+            spark.read.parquet(path).collect(),
+            key=lambda r: r["doc_id"])
+        n_after = fdedup.compact_signatures(spark, path)
+        assert n_after < n_before
+        compacted = spark.read.parquet(path)
+        rows_after = sorted(compacted.collect(), key=lambda r: r["doc_id"])
+        assert [r["doc_id"] for r in rows_before] == \
+            [r["doc_id"] for r in rows_after]
+        assert all(r["num_hashes"] == 16 and r["bands"] == 4
+                   and r["gram_n"] == 2 for r in rows_after)
+        got = sorted(fdedup.dedup_against_corpus(
+            batch, corpus_sigs=compacted, min_jaccard=0.5).collect())
+        assert got == want
+        assert {r["doc_id"]: (r["is_dup"], r["match_doc_id"])
+                for r in got}[100] == (True, 10)
+
     def test_param_mismatch_fails_fast(self, spark):
         corpus, batch = self._fixture(spark)
         sigs = fdedup.corpus_signatures(corpus, num_hashes=8, bands=2)

@@ -422,6 +422,34 @@ class TestPyramidPublish:
         # and the auto-refresh inside fetch() must not raise either
         assert float(f.fetch(2, 0, 0)[0, 0]) == before
 
+    def test_refresh_walks_back_past_expired_newest(self, spark,
+                                                    tmp_path,
+                                                    monkeypatch):
+        """r16 (VERDICT r15 #6): when only the NEWEST listed snapshot
+        died to a racing sweep but an intermediate publish is
+        servable, refresh() must walk back and re-pin the intermediate
+        one (it used to give up entirely, leaving the server on the
+        stale startup pin)."""
+        from geopyspark_spark.sources import catalog
+        from geopyspark_spark.tms import CatalogTileFetcher
+
+        uri = str(tmp_path / "walkcat")
+        catalog.write_pyramid(uri, "pub", self._pyramid(spark, 0.0),
+                              keep_history=1)
+        f = CatalogTileFetcher(uri, "pub", pyramid_version="latest")
+        assert float(f.fetch(2, 0, 0)[0, 0]) == 0.0
+        catalog.write_pyramid(uri, "pub", self._pyramid(spark, 100.0),
+                              keep_history=1)
+        # the listing advertises a newest snapshot that vanished before
+        # its manifest read; p2 (the real republish) is fine
+        real = catalog.list_pyramid_versions
+        monkeypatch.setattr(
+            catalog, "list_pyramid_versions",
+            lambda *a, **k: real(*a, **k) + ["p99"])
+        assert f.refresh() is True          # re-pinned p2, skipped p99
+        assert f._pinned_name == "p2"
+        assert float(f.fetch(2, 0, 0)[0, 0]) == 100.0
+
     def test_sparse_zoom_set_overzooms_from_nearest_below(self, spark,
                                                           tmp_path):
         """r15 review: a layer stored only at zooms {0, 2} used to
