@@ -110,6 +110,12 @@ HEADLINE = [
     # round-15 addition: the corpus-shrink lifecycle of the signature
     # artifact (persist + anti-join removal + batch judgment)
     "text_dedup_incremental_removed",
+    # round-16 additions: incremental merge commits (multi-file base +
+    # two O(batch) patch commits + manifest-resolved read-back) and
+    # the contracted distributed boundary solver (forced >= 1
+    # contraction level)
+    "raster_catalog_incremental",
+    "raster_cost_distance_distributed",
 ]
 
 

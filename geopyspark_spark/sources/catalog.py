@@ -749,6 +749,53 @@ def _envelope_key_bounds(kt, geom) -> tuple[int, int, int, int] | None:
     return kt.extent_key_bounds(Extent(*geom.bounds))
 
 
+def _query_data_files(uri: str, layer_name: str, zoom: int, version,
+                      keys: set | None) -> list[str]:
+    """Data files for a query scan, FILE-pruned by the manifest when
+    the exact-key path resolved the AOI's keys (r16): a file whose
+    recorded zindex range covers no requested key's index provably
+    holds none of its rows (footer stats cover every stored row), so
+    it is dropped before the reader ever lists it — and before the
+    object backend's zero-dependency path would download it. Falls
+    back to the full file list for large AOIs, manifest-less versions,
+    temporal curves (a spatial key does not determine its z3 index),
+    and missing stats."""
+    if keys:
+        mf = file_manifest(uri, layer_name, zoom, version=version)
+        strat = ((mf or {}).get("index") or {}).get("strategy")
+        entries = (mf or {}).get("files") or []
+        if (strat in ("zorder", "hilbert", "rowmajor") and entries
+                and all(e.get("zmin") is not None
+                        and e.get("zmax") is not None for e in entries)):
+            import bisect
+
+            from ..core.zindex import hilbert_py, z2_py
+
+            if strat == "zorder":
+                zf = z2_py
+            elif strat == "hilbert":
+                zf = hilbert_py
+            else:
+                def zf(c, r):
+                    return r * (1 << 20) + c
+            zs = sorted(zf(c, r) for c, r in keys)
+
+            def hits(e):
+                j = bisect.bisect_left(zs, e["zmin"])
+                return j < len(zs) and zs[j] <= e["zmax"]
+
+            vname = version
+            if vname is None:
+                vname = current_version(uri, layer_name, zoom)
+            if vname is not None:
+                # keep at least one file so the reader can resolve the
+                # schema; the key predicates filter it to zero rows
+                kept = [e for e in entries if hits(e)] or entries[:1]
+                return _entry_paths(uri, layer_name, zoom,
+                                    _norm_version(vname), kept)
+    return data_files(uri, layer_name, zoom, version=version)
+
+
 def query(spark: SparkSession, uri: str, layer_name: str, zoom: int,
           query_geom: Geometry | str | bytes | None = None,
           time_intervals: list | None = None,
@@ -771,8 +818,14 @@ def query(spark: SparkSession, uri: str, layer_name: str, zoom: int,
     Arrow-batched filter over (key_col, key_row) — per candidate TILE,
     not per cell, after the scan already pruned to the envelope."""
     md = read_layer_metadata(uri, layer_name, zoom, version=version)
-    df = spark.read.parquet(
-        *data_files(uri, layer_name, zoom, version=version)).drop("zindex")
+    # resolve the AOI's exact keys BEFORE the scan (r16): when the
+    # small-AOI path knows its keys, the manifest's per-file zindex
+    # ranges prune whole FILES driver-side — the scan never opens (or,
+    # on the object backend, downloads) a file whose curve range
+    # misses every requested key. Row-group stats still prune within
+    # the files that survive.
+    geoms = kt = bounds = None
+    keys: set | None = None
     if query_geom is not None:
         geoms = _normalize_geoms(query_geom)
         from ..core.keys import KeyTransform
@@ -782,12 +835,17 @@ def query(spark: SparkSession, uri: str, layer_name: str, zoom: int,
                   if b is not None]
         n_envelope = sum((c1 - c0 + 1) * (r1 - r0 + 1)
                          for c0, r0, c1, r1 in bounds)
-        if not bounds:
-            df = df.where(F.lit(False))
-        elif n_envelope <= exact_key_limit:
+        if bounds and n_envelope <= exact_key_limit:
             keys = set()
             for g in geoms:
                 keys.update(kt.geometry_keys(g))
+    df = spark.read.parquet(
+        *_query_data_files(uri, layer_name, zoom, version,
+                           keys)).drop("zindex")
+    if query_geom is not None:
+        if not bounds:
+            df = df.where(F.lit(False))
+        elif keys is not None:
             if not keys:
                 df = df.where(F.lit(False))
             else:

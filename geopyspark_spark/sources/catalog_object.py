@@ -346,7 +346,16 @@ def _fetch_version(root: str, version: str) -> str:
 def _upload_dir(local_dir: str, root: str, version: str) -> None:
     """Ship a locally-staged version dir to ``<root>/<version>/``.
     Large parts go via streaming multipart upload (r13) — one part in
-    memory at a time, no 5 GB single-PUT ceiling."""
+    memory at a time, no 5 GB single-PUT ceiling.
+
+    Upload ORDER is sorted names, which is load-bearing (r16):
+    ``.files.json`` < ``.metadata.json`` < ``part-*`` — a reader that
+    validates the version by its metadata object therefore always
+    finds the manifest too (the immutable negative-manifest cache must
+    never be poisoned by an in-flight upload), and data objects a
+    manifest names land after both sidecars, so the loudest possible
+    failure mid-upload is a retryable 404 on a named file, never a
+    silently partial glob."""
     for name in sorted(os.listdir(local_dir)):
         p = os.path.join(local_dir, name)
         if not os.path.isfile(p) or name in ("_SUCCESS",) or name.endswith(".crc"):
@@ -647,12 +656,18 @@ def restore(uri: str, layer_name: str, zoom: int, version,
         mf = json.loads(mf_got[0].decode())
         entries = [{**e, "version": e.get("version") or vname}
                    for e in mf["files"]]
-        obs.copy_object(f"{src_prefix}.metadata.json",
-                        f"{root}/{new_version}/.metadata.json")
+        # FILES lands BEFORE .metadata.json (the same order _upload_dir
+        # gives by sort): readers validate a version by its metadata
+        # object, and a reader that can see the metadata must also see
+        # the manifest — otherwise it would negative-cache "no
+        # manifest" for an immutable version and fall back to a glob of
+        # a dir that holds no data files
         obs.put_object(
             f"{root}/{new_version}/{FILES}",
             json.dumps({"files": entries,
                         "index": mf.get("index")}).encode())
+        obs.copy_object(f"{src_prefix}.metadata.json",
+                        f"{root}/{new_version}/.metadata.json")
     else:
         for k in keys:
             obs.copy_object(k, f"{root}/{new_version}/{k[len(src_prefix):]}")

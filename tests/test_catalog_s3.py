@@ -170,6 +170,21 @@ class TestS3TimeTravel:
         assert s3cat.objects["b/cat/a/0/MANIFEST"] == b"v3"
         # the cache's .complete marker never ships as an object
         assert not any(k.endswith(".complete") for k in s3cat.objects)
+        # r16: restore of a manifest-carrying version is ZERO-COPY —
+        # sidecars only, data referenced at its v1 owner
+        assert not any(k.startswith("b/cat/a/0/v3/") and
+                       k.endswith(".parquet") for k in s3cat.objects)
+        mf = catalog.file_manifest(uri, "a", 0)
+        assert mf["files"] and all(e["version"] == "v1"
+                                   for e in mf["files"])
+        # sidecar ORDER: the manifest must land before the metadata a
+        # reader validates by, or a racing reader would negative-cache
+        # "no manifest" for the immutable version
+        v3_puts = [r[1] for r in s3cat.requests
+                   if r[0] == "PUT" and "/v3/" in r[1]
+                   and not r[1].endswith("/.claim")]
+        assert v3_puts.index("/b/cat/a/0/v3/.files.json") < \
+            v3_puts.index("/b/cat/a/0/v3/.metadata.json")
         from geopyspark_spark.sources.numpy_source import to_numpy
 
         back = catalog.read(spark, uri, "a", 0)

@@ -1018,6 +1018,31 @@ class TestIncrementalCommit:
                 tiles[(1, 0)][2, 2], tiles[(0, 1)][2, 2]) == (9.0, 7.0,
                                                               5.0, 1.0)
 
+    def test_query_prunes_files_via_manifest(self, spark, f1_layer,
+                                             tmp_path):
+        """r16: the small-AOI query path prunes whole FILES against
+        the manifest's per-file zindex ranges — a file whose range
+        covers no requested key never reaches the reader — with
+        results identical to the unpruned scan."""
+        uri = str(tmp_path / "cat")
+        catalog.write(uri, "q", f1_layer, zoom=0, num_files=4)
+        # AOI = tile (0, 0) only (tile extents are 5x5 units)
+        aoi = gps.box(1, 6, 4, 9)
+        got = catalog.query(spark, uri, "q", 0, query_geom=aoi)
+        assert {(r["key_col"], r["key_row"])
+                for r in got.df.select("key_col", "key_row").collect()} \
+            == {(0, 0)}
+        # the pruned file list is a strict subset of the layer's
+        all_files = catalog.data_files(uri, "q", 0)
+        pruned = catalog._query_data_files(uri, "q", 0, None, {(0, 0)})
+        assert 1 <= len(pruned) < len(all_files)
+        assert set(pruned) <= set(all_files)
+        # an AOI off the stored keys still resolves (schema from one
+        # file, zero rows)
+        none = catalog.query(spark, uri, "q", 0,
+                             query_geom=gps.box(100, 100, 101, 101))
+        assert none.count() == 0
+
     def test_mode_full_and_explicit_incremental(self, spark, f1_layer,
                                                 tmp_path):
         uri = str(tmp_path / "cat")
