@@ -130,11 +130,13 @@ def _git_head() -> str:
                            check=True,
                            cwd=os.path.dirname(os.path.abspath(__file__))
                            ).stdout.strip()
-        dirty = subprocess.run(["git", "status", "--porcelain"],
-                               capture_output=True, text=True,
-                               check=True,
-                               cwd=os.path.dirname(os.path.abspath(__file__))
-                               ).stdout.strip()
+        # untracked files (e.g. fresh sweep artifacts) don't count —
+        # dirty means tracked-file modifications
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--untracked-files=no"],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__))
+        ).stdout.strip()
         return h + (" dirty" if dirty else "")
     except Exception:
         return "unknown"

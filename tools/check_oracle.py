@@ -70,9 +70,13 @@ def git_head() -> str:
         h = subprocess.run(["git", "rev-parse", "HEAD"],
                            capture_output=True, text=True,
                            check=True).stdout.strip()
-        dirty = subprocess.run(["git", "status", "--porcelain"],
-                               capture_output=True, text=True,
-                               check=True).stdout.strip()
+        # untracked files don't count: the sweep artifacts themselves
+        # are untracked until the round commits them, and a record must
+        # not read as dirty merely because it (or a sibling record)
+        # exists on disk — dirty means TRACKED-file modifications
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--untracked-files=no"],
+            capture_output=True, text=True, check=True).stdout.strip()
         return h + (" dirty" if dirty else "")
     except Exception:
         return "unknown"
