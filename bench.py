@@ -130,10 +130,12 @@ def _git_head() -> str:
                            check=True,
                            cwd=os.path.dirname(os.path.abspath(__file__))
                            ).stdout.strip()
-        # untracked files (e.g. fresh sweep artifacts) don't count —
-        # dirty means tracked-file modifications
+        # dirty means CODE modified since HEAD — regenerated sibling
+        # records (PLAN_AUDIT.md etc.) must not poison this stamp
         dirty = subprocess.run(
-            ["git", "status", "--porcelain", "--untracked-files=no"],
+            ["git", "status", "--porcelain", "--untracked-files=no",
+             "--", "geopyspark_spark", "tests", "tools", "bench.py",
+             "__spark_entry__.py"],
             capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__))
         ).stdout.strip()

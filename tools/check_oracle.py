@@ -70,12 +70,15 @@ def git_head() -> str:
         h = subprocess.run(["git", "rev-parse", "HEAD"],
                            capture_output=True, text=True,
                            check=True).stdout.strip()
-        # untracked files don't count: the sweep artifacts themselves
-        # are untracked until the round commits them, and a record must
-        # not read as dirty merely because it (or a sibling record)
-        # exists on disk — dirty means TRACKED-file modifications
+        # dirty means CODE modified since HEAD: sweep artifacts (both
+        # untracked fresh ones and regenerated tracked records like
+        # PLAN_AUDIT.md / SCALING.json) must not poison each other's
+        # stamps — the invariant is "records ran at the last code
+        # commit", so only the code paths count
         dirty = subprocess.run(
-            ["git", "status", "--porcelain", "--untracked-files=no"],
+            ["git", "status", "--porcelain", "--untracked-files=no",
+             "--", "geopyspark_spark", "tests", "tools", "bench.py",
+             "__spark_entry__.py"],
             capture_output=True, text=True, check=True).stdout.strip()
         return h + (" dirty" if dirty else "")
     except Exception:
