@@ -139,19 +139,7 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 16,
     """(doc_id, k, minhash) — min over the doc's token ids of
     (a_k * id + b_k) mod P. Long format so any engine can reproduce and
     hash-compare it without array-encoding concerns."""
-    ids = token_ids(df, text_col, hash_ids=hash_ids)
-    params = minhash_params(num_hashes)
-    # one shuffle of (doc_id -> num_hashes partial mins) instead of
-    # exploding num_hashes rows per token: 16x less shuffle volume, and the
-    # map-side partial agg reduces each partition to one row per doc
-    mins = [
-        F.min(
-            (F.lit(a).cast("long") * F.col("token_id") + F.lit(b).cast("long"))
-            % MINHASH_PRIME
-        ).alias(f"h{k}")
-        for k, (a, b) in enumerate(params)
-    ]
-    wide = ids.groupBy("doc_id").agg(*mins)
+    wide = _minhash_wide(df, num_hashes, text_col, hash_ids=hash_ids)
     stack_args = ", ".join(f"{k}, h{k}" for k in range(num_hashes))
     return wide.select(
         "doc_id",
@@ -205,9 +193,21 @@ def skew_guard_report() -> dict | None:
 
 def _minhash_wide(df: DataFrame, num_hashes: int, text_col: str,
                   hash_ids: bool = True) -> DataFrame:
-    """(doc_id, h0..h{n-1}) — the wide form ``minhash_signatures`` stacks."""
+    """(doc_id, h0..h{n-1}) — the wide form ``minhash_signatures`` stacks.
+
+    Kept as the explode + map-side-combined groupBy(doc_id): an r16
+    experiment computed the signatures as array_min(transform(...))
+    expressions with zero shuffles instead, but honest noop-sink timing
+    (guide §1.4 — the count() action had been pruning the projection-
+    only plan to nothing) showed the interpreted higher-order functions
+    LOSE to this codegen explode + partial aggregate (0.84s vs 0.76s
+    at sf0.1), so the shuffle-free form was reverted.
+    """
     ids = token_ids(df, text_col, hash_ids=hash_ids)
     params = minhash_params(num_hashes)
+    # one shuffle of (doc_id -> num_hashes partial mins) instead of
+    # exploding num_hashes rows per token: 16x less shuffle volume, and the
+    # map-side partial agg reduces each partition to one row per doc
     mins = [
         F.min(
             (F.lit(a).cast("long") * F.col("token_id") + F.lit(b).cast("long"))

@@ -86,26 +86,32 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     per-node counts are identical to id-orientation (the oracle keeps
     the simple a<b formulation).
 
-    Determinism contract: the oriented edge set feeds four branches of
-    ONE returned plan, deduplicated by Spark's ReuseExchange. With a
-    NON-deterministic ``edges`` source (``rand()``, a re-sampled read,
-    an unstable limit) or ``spark.sql.exchange.reuse=false``, branches
-    may observe different edge sets and produce wrong counts —
-    materialize such a source first (``edges.localCheckpoint()`` or
-    write + re-read). Deterministic sources (parquet + pure
-    transformations) need nothing.
+    Determinism contract: the oriented edge set is materialized ONCE
+    (``localCheckpoint``, r16 — see the body comment) and every branch
+    reads that pinned set, so even a non-deterministic ``edges`` source
+    (``rand()``, a re-sampled read, an unstable limit) yields
+    internally-consistent counts. The checkpoint executes at plan-build
+    time; callers building the DataFrame without acting on it still pay
+    that one materialization job.
 
     Returns (node, n_triangles) for every node in the edge list
     (nodes in no triangle report 0).
     """
-    # NO persist/checkpoint: the orientation subtree feeds four branches
-    # (two wedge sides, the closing probe, the node set), but they are all
-    # part of ONE returned plan, so Spark's ReuseExchange executes the
-    # canonical-edge shuffle once and the other branches read its shuffle
-    # files — cheaper than a cache (no materialization job, no memory
-    # blocks to leak, and shuffle files already sit on local disk at
-    # cluster scale)
-    o = orient_by_degree(edges, src_col, dst_col)
+    # The orientation subtree feeds FOUR branches (two wedge sides, the
+    # closing probe, the node set). Through r15 the branches stayed lazy
+    # and Spark's ReuseExchange deduplicated the shuffle at runtime —
+    # but the optimizer still ANALYZES AND PLANS all four copies of the
+    # whole upstream lineage every run, and with a non-trivial edge
+    # source that planning alone dominated the query (measured: ~2.5s
+    # of a 3.3s run was Catalyst time over an ~900-Exchange printed
+    # tree; guide §3.3 "planning time itself can become the
+    # bottleneck"). localCheckpoint materializes the oriented edges
+    # once (O(m) rows — the same bytes the reused exchange already
+    # wrote to local disk) and truncates the lineage, so each branch
+    # plans against a leaf. Results are bit-identical, and the
+    # determinism contract below STRENGTHENS: branches now read one
+    # pinned edge set even for non-deterministic sources.
+    o = orient_by_degree(edges, src_col, dst_col).localCheckpoint()
     ab = o.select(
         F.col("a").alias("w_x"), F.col("b").alias("w_y"),
         F.col("deg_b").alias("ky"),

@@ -4414,44 +4414,49 @@ def q_tpch_q21_sole_latest(spark, sf_dir):
     in their order.
 
     The naive plan is EXISTS + NOT EXISTS — two lineitem self-joins
-    (three shuffles of the fact table). This rewrite aggregates instead:
-    per-(order, supplier) max shipdate, then per-order top-2 of those
-    maxima (suppliers-per-order is bounded, so the collect_list is O(1)
-    per key); a line is "latest vs the other suppliers" iff its
-    shipdate >= the other-supplier maximum, derived from (m1, how many
-    suppliers hit m1, m2). One shuffle family on l_orderkey, map-side
-    combined — the 100 TB shape. The DuckDB oracle keeps the
+    (three shuffles of the fact table). Through r15 this was rewritten
+    as two aggregations joined back to lineitem — correct, but the
+    joins re-shuffled the fact table on (orderkey, suppkey) and again
+    on orderkey. r16 collapses the whole derivation into WINDOW
+    functions over ONE exchange (guide §2.4 "window functions
+    partitioned by the same key as a preceding aggregation do not need
+    a second shuffle"): lineitem is broadcast-semi-joined to finished
+    orders first (halves the window input; per-order stats are
+    unchanged because windows only read the order's own lines), then
+    one hash partition on l_orderkey serves every window — per-(order,
+    supplier) max shipdate, first-line-of-supplier flags (supplier
+    count), per-order top-1/top-2 maxima and the tie count. A line is
+    "latest vs the other suppliers" iff its shipdate >= the
+    other-supplier maximum, derived from (m1, cnt_m1, m2). One fact
+    shuffle total — the 100 TB shape. The DuckDB oracle keeps the
     declarative EXISTS form, so the gate also proves the rewrite."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     supp = _t(spark, sf_dir, "supplier")
-    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate").alias("ms")
+    wos = Window.partitionBy("l_orderkey", "l_suppkey")
+    wosr = Window.partitionBy("l_orderkey", "l_suppkey").orderBy("l_linenumber")
+    wo = Window.partitionBy("l_orderkey")
+    t = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber")
+        .join(F.broadcast(orders.select("o_orderkey")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .drop("o_orderkey")
+        .withColumn("ms", F.max("l_shipdate").over(wos))
+        .withColumn("first_s", (F.row_number().over(wosr) == 1).cast("int"))
+        .withColumn("n_supp", F.sum("first_s").over(wo))
+        .withColumn("m1", F.max("ms").over(wo))
     )
-    per_o = (
-        per_os.groupBy("l_orderkey")
-        .agg(
-            F.count("*").alias("n_supp"),
-            F.expr("sort_array(collect_list(ms), false)").alias("arr"),
-        )
-        .select(
-            "l_orderkey",
-            "n_supp",
-            F.col("arr")[0].alias("m1"),
-            F.expr("size(filter(arr, x -> x = arr[0]))").alias("cnt_m1"),
-            F.expr("array_max(filter(arr, x -> x < arr[0]))").alias("m2"),
-        )
-    )
-    l1 = (
-        li.join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(per_os, ["l_orderkey", "l_suppkey"])
-        .join(per_o, "l_orderkey")
-        .where(F.col("n_supp") > 1)
-    )
+    t = t.withColumn(
+        "cnt_m1",
+        F.sum(F.when((F.col("ms") == F.col("m1")) & (F.col("first_s") == 1),
+                     1).otherwise(0)).over(wo),
+    ).withColumn("m2", F.max(F.when(F.col("ms") < F.col("m1"),
+                                    F.col("ms"))).over(wo))
     other_max = F.when(
         (F.col("ms") < F.col("m1")) | (F.col("cnt_m1") > 1), F.col("m1")
     ).otherwise(F.col("m2"))
-    waited = l1.where(F.col("l_shipdate") >= other_max)
+    waited = t.where((F.col("n_supp") > 1)
+                     & (F.col("l_shipdate") >= other_max))
     return (
         waited.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
@@ -5565,15 +5570,18 @@ def _cooccurrence_edges(spark, sf_dir, quantile: float = 0.995,
     per_order = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_suppkey")).alias("ss")
     )
-    pairs = per_order.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ss, (x, i) -> "
-                "transform(slice(ss, i + 2, greatest(size(ss) - i - 1, 0)), "
-                "y -> struct(x AS src, y AS dst))))"
-            )
-        ).alias("p")
-    ).select("p.src", "p.dst")
+    # unique pairs via two codegen'd explodes + a filter (r16): the
+    # previous flatten(transform(slice(...))) build was interpreted
+    # (higher-order functions don't codegen) and re-copied the array
+    # per element — measured ~1.5x slower for the same pair set. The
+    # double explode emits each unordered pair exactly once (ss is a
+    # sorted SET, so src < dst picks one orientation), entirely inside
+    # WholeStageCodegen; no shuffle grows (guide §1.2 per-task work).
+    pairs = (
+        per_order.select("ss", F.explode("ss").alias("src"))
+        .select("src", F.explode("ss").alias("dst"))
+        .where(F.col("dst") > F.col("src"))
+    )
     weighted = pairs.groupBy("src", "dst").agg(F.count("*").alias("w"))
     thr = weighted.agg(
         F.expr(f"percentile(w, {quantile})").alias("thr")

@@ -1092,13 +1092,33 @@ def write_pyramid(uri: str, layer_name: str, pyramid,
     expired so :func:`list_pyramid_versions` stops offering them and
     reads raise :class:`PyramidSnapshotExpiredError` by name (r15,
     VERDICT r14 #2)."""
-    paths = []
-    snapshot: dict[int, str] = {}
-    for zoom, layer in sorted(pyramid.levels.items()):
-        p = write(uri, layer_name, layer, zoom=zoom,
-                  index_strategy=index_strategy, keep_history=keep_history)
-        paths.append(p)
-        snapshot[zoom] = os.path.basename(str(p).rstrip("/"))
+    # Per-zoom commits are independent jobs on disjoint layer paths
+    # (each zoom is its own version tree), so submit them from a small
+    # thread pool (r16 optimization, guide §2.6 "overlap independent
+    # jobs"): while one zoom's write drains its straggler tasks and
+    # fsyncs, the next zoom's shuffle fills the freed executors.
+    # Correctness is unchanged — the snapshot is published only after
+    # EVERY zoom commit returned, and the claim/publish protocol was
+    # already multi-writer-safe (private staging dirs, atomic claim,
+    # flock'd manifest swap), which covers threads a fortiori.
+    from concurrent.futures import ThreadPoolExecutor
+
+    levels = sorted(pyramid.levels.items())
+
+    def _write_zoom(zl):
+        zoom, layer = zl
+        return zoom, write(uri, layer_name, layer, zoom=zoom,
+                           index_strategy=index_strategy,
+                           keep_history=keep_history)
+
+    if len(levels) > 1:
+        with ThreadPoolExecutor(max_workers=min(4, len(levels))) as pool:
+            results = list(pool.map(_write_zoom, levels))
+    else:
+        results = [_write_zoom(zl) for zl in levels]
+    paths = [p for _, p in results]
+    snapshot: dict[int, str] = {
+        z: os.path.basename(str(p).rstrip("/")) for z, p in results}
     # a concurrent publisher may have SUPERSEDED one of our per-zoom
     # commits (write() warns but returns; r15 review): a snapshot
     # pinning a never-published version would be reclaimed by the very

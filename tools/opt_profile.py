@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Optimization-round profiler: time queries (warmed min-of-N, same
+methodology as bench.py) and/or dump their .explain("formatted") to
+plans/<tag>/<query>_<suffix>.txt.
+
+Usage:
+  python tools/opt_profile.py --plans <tag> <suffix> [query ...]
+  python tools/opt_profile.py --time [reps] [query ...]
+
+With no query list: every bench.py HEADLINE query.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+import time
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+
+def session():
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("opt-profile")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def main():
+    import bench
+    import __spark_entry__ as entry
+
+    args = sys.argv[1:]
+    mode = args.pop(0) if args else "--time"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    qs = entry.queries()
+
+    if mode == "--plans":
+        tag, suffix = args.pop(0), args.pop(0)
+        names = args or bench.HEADLINE
+        outdir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "plans", tag)
+        os.makedirs(outdir, exist_ok=True)
+        spark = session()
+        for name in names:
+            df = qs[name](spark, sf_dir)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            with open(os.path.join(outdir, f"{name}_{suffix}.txt"), "w") as f:
+                f.write(buf.getvalue())
+            print(f"wrote {name}_{suffix}.txt")
+        spark.stop()
+        return
+
+    reps = 3
+    if args and args[0].isdigit():
+        reps = int(args.pop(0))
+    names = args or bench.HEADLINE
+    spark = session()
+    total = 0.0
+    for name in names:
+        fn = qs[name]
+        spark.sparkContext.setJobDescription(name)
+        fn(spark, sf_dir).count()  # warm-up
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        total += best
+        print(f"{name}: {best:.3f}s  ({n} rows, min of {reps} warmed)")
+    print(f"TOTAL {total:.3f}s over {len(names)} queries")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
