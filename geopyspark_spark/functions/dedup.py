@@ -837,14 +837,23 @@ def dedup_against_corpus(batch: DataFrame, corpus: DataFrame | None = None,
         .select("doc_a", "doc_b").distinct()
     )
     bg = batch.select("doc_id", F.explode(shingles_col(text_col, n)).alias("gram"))
-    b_sizes = bg.groupBy("doc_id").agg(F.count("*").alias("na"))
+    # gram-set sizes straight off the array (r16, guide §2.3 "aggregate
+    # before you shuffle", here: don't shuffle at all): shingles_col is
+    # already distinct, so size(array) == the old explode + groupBy
+    # count — one projection instead of a doc_id shuffle per side.
+    # (Empty-gram docs: kept here with size 0 vs absent before, but the
+    # verify join is inner on docs that emitted gram rows, so such docs
+    # never reach it either way — results identical.)
+    b_sizes = batch.select(
+        "doc_id", F.size(shingles_col(text_col, n)).alias("na"))
     if corpus_sigs is not None:
         cg = corpus_sigs.select("doc_id", F.explode("grams").alias("gram"))
         c_sizes = corpus_sigs.select("doc_id", F.col("n_grams").alias("nb"))
     else:
         cg = corpus.select(
             "doc_id", F.explode(shingles_col(text_col, n)).alias("gram"))
-        c_sizes = cg.groupBy("doc_id").agg(F.count("*").alias("nb"))
+        c_sizes = corpus.select(
+            "doc_id", F.size(shingles_col(text_col, n)).alias("nb"))
     inter = (
         cand.join(bg.select(F.col("doc_id").alias("doc_a"), "gram"), "doc_a")
         .join(cg.select(F.col("doc_id").alias("doc_b"), "gram"),

@@ -660,7 +660,15 @@ def q_raster_pyramid_time_travel(spark, sf_dir):
 
     from ..sources import catalog as cat
 
+    # pin the shared base once (guide §3.3 / §5 localCheckpoint): the
+    # two pyramids' zoom levels chain every lineage through this layer,
+    # and each zoom commit executes its lineage twice (range-partition
+    # sample + write) — 12 re-executions of the base window without the
+    # checkpoint, 1 materialization with it, and every level's plan
+    # becomes shallow enough that Catalyst analysis stops dominating
+    # the driver time
     layer = lineitem_layer(spark, sf_dir)
+    layer = TiledRasterLayer(layer.df.localCheckpoint(), layer.metadata)
     pyr1 = layer.pyramid(resample_method="Average")
     pyr2 = (layer + 100.0).pyramid(resample_method="Average")
     z = pyr1.max_zoom - 1
@@ -669,12 +677,23 @@ def q_raster_pyramid_time_travel(spark, sf_dir):
         cat.write_pyramid(uri, "tt", pyr1, keep_history=1)
         cat.write_pyramid(uri, "tt", pyr2, keep_history=1)
         assert cat.list_pyramid_versions(uri, "tt") == ["p1", "p2"]
-        rows = []
-        for pv in ("p1", "p2"):
+
+        # the two snapshot reads are independent point lookups against
+        # immutable version dirs — overlap their collect jobs from two
+        # threads (guide §2.6) like write_pyramid overlaps its zoom
+        # commits; rows come back in a fixed (p1, p2) order regardless
+        # of completion order, so the result is unchanged
+        def _read_snapshot(pv):
             back = cat.read_pyramid(spark, uri, "tt", version=pv)
             got = _explode_result(back.levels[z])
-            rows.extend((pv, r["key_col"], r["key_row"], r["pos"],
-                         r["value"]) for r in got.collect())
+            return [(pv, r["key_col"], r["key_row"], r["pos"], r["value"])
+                    for r in got.collect()]
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            rows = [r for part in pool.map(_read_snapshot, ("p1", "p2"))
+                    for r in part]
     finally:
         shutil.rmtree(uri, ignore_errors=True)
     return spark.createDataFrame(
@@ -10750,7 +10769,13 @@ def q_raster_catalog_incremental(spark, sf_dir):
 
     from ..sources import catalog as cat
 
+    # pin the base once (guide §3.3/§5): the base commit executes its
+    # lineage twice (range sample + write) and each incremental commit
+    # re-executes the patch lineage (plan aggregate + sample + write),
+    # all chaining through the same base window — one localCheckpoint
+    # collapses ~7 executions of it into 1
     layer = lineitem_layer(spark, sf_dir)
+    layer = TiledRasterLayer(layer.df.localCheckpoint(), layer.metadata)
     uri = tempfile.mkdtemp(prefix="catalog_inc_", dir=_scratch_dir())
     try:
         cat.write(uri, "inc", layer, zoom=0, num_files=8)
