@@ -644,6 +644,27 @@ class TestDedupAgainstCorpus:
         assert got[101][0] is True
         assert got[102] == (False, None)
 
+    def test_empty_gram_docs_reported_clean(self, spark):
+        """r16 internals pin: the exact-Jaccard denominators now come
+        from size(gram array) instead of explode+count, which KEEPS
+        docs whose gram set is empty (empty text, or fewer tokens than
+        the gram order) where the old aggregate dropped them — they
+        must still come back exactly once, clean, on both the
+        recompute and the artifact path."""
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, ""), (3, "single")],
+            "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(100, ""), (101, "word"), (102, "a b c d e f g h")],
+            "doc_id long, text string")
+        for kw in ({"corpus": corpus},
+                   {"corpus_sigs": fdedup.corpus_signatures(corpus)}):
+            got = {r["doc_id"]: (r["is_dup"], r["match_doc_id"])
+                   for r in fdedup.dedup_against_corpus(
+                       batch, min_jaccard=0.5, **kw).collect()}
+            assert got == {100: (False, None), 101: (False, None),
+                           102: (True, 1)}
+
     def test_below_threshold_not_flagged(self, spark):
         corpus = spark.createDataFrame(
             [(1, "a b c d e f g h")], "doc_id long, text string")
