@@ -1,0 +1,58 @@
+"""Lineage-truncating materialization with a fault-tolerance escape
+hatch (r17, VERDICT r16 #1/#5).
+
+Several operators pin an intermediate DataFrame so that (a) iterative /
+multi-branch plans stop re-analyzing and re-executing the same subtree
+and (b) results stay internally consistent even for non-deterministic
+sources. The default mechanism is ``DataFrame.localCheckpoint()``:
+cheap (executor-local disk, no extra cluster round-trips), but NOT
+fault-tolerant — local checkpoint blocks live only on the executors
+that computed them, so on a real cluster losing one executor makes the
+pinned data unrecoverable and fails the query (the standard Spark
+trade-off; local checkpoints are also unsafe under dynamic allocation,
+which can reclaim idle executors holding blocks).
+
+``materialize(df)`` below is the shared entry point. Set
+``GEOPYSPARK_RELIABLE_CHECKPOINT=1`` (and call
+``spark.sparkContext.setCheckpointDir(<HDFS/NFS/object-store path>)``)
+to route every such pin through ``DataFrame.checkpoint()`` instead:
+the intermediate is written to the reliable checkpoint directory and
+survives executor loss, at the cost of a write + read over that
+storage. Results are identical on both paths (gated by test); the env
+var is read per call, so long-lived sessions can flip it between jobs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+#: Env var that flips every operator-internal lineage pin from
+#: executor-local checkpoints to reliable (checkpoint-dir) ones.
+RELIABLE_ENV = "GEOPYSPARK_RELIABLE_CHECKPOINT"
+
+
+def reliable_enabled() -> bool:
+    return os.environ.get(RELIABLE_ENV, "").strip().lower() in (
+        "1", "true", "yes", "on")
+
+
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize ``df`` and truncate its lineage.
+
+    Default: ``localCheckpoint(eager)`` — fast, executor-local,
+    unrecoverable on executor loss (see module docstring). With
+    ``GEOPYSPARK_RELIABLE_CHECKPOINT`` set: ``checkpoint(eager)`` —
+    survives executor loss; requires ``SparkContext.setCheckpointDir``
+    (raised as a clear error otherwise).
+    """
+    if reliable_enabled():
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise RuntimeError(
+                f"{RELIABLE_ENV} is set but no checkpoint directory is "
+                "configured — call spark.sparkContext.setCheckpointDir("
+                "<durable path>) first")
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens_col, vocabulary
+from ..core.checkpoint import materialize
 
 # MinHash parameters: affine permutations (a*x + b) mod P with fixed,
 # public seeds. P is prime > any vocabulary id.
@@ -455,7 +456,7 @@ def components_from_edges(df: DataFrame, edges: DataFrame,
     # the driver just STRINGIFYING the final plan.
     fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    und = fwd.unionByName(rev).localCheckpoint()
+    und = fwd.unionByName(rev).transform(materialize)
 
     # singleton docs (no candidate pair) can never change label — keep the
     # loop's working set to the CONNECTED nodes only and union the
@@ -476,7 +477,7 @@ def components_from_edges(df: DataFrame, edges: DataFrame,
         mins = (
             labels.unionByName(msgs)
             .groupBy("doc_id").agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .transform(materialize)
         )
         # pointer jumping (path halving): every label is itself a node
         # id, so following the label's OWN current label contracts label
@@ -492,7 +493,7 @@ def components_from_edges(df: DataFrame, edges: DataFrame,
             mins.join(hop, "component", "left_outer")
             .select("doc_id",
                     F.coalesce("jump", "component").alias("component"))
-            .localCheckpoint()
+            .transform(materialize)
         )
         changed = (
             updated.join(labels.withColumnRenamed("component", "old"), "doc_id")

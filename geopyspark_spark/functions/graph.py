@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..core.checkpoint import materialize
 
 PPM = 1_000_000
 
@@ -94,6 +95,19 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     time; callers building the DataFrame without acting on it still pay
     that one materialization job.
 
+    Fault-tolerance / block-lifetime caveat (r17, ADVICE r16): local
+    checkpoint blocks live on executor-local storage — they are
+    unrecoverable on executor loss (including dynamic allocation
+    reclaiming an idle executor), and they stay pinned until the
+    returned DataFrame is garbage-collected driver-side, so a
+    long-lived session calling this repeatedly accumulates blocks
+    between GCs. Clusters where either matters should set
+    ``GEOPYSPARK_RELIABLE_CHECKPOINT=1`` (with
+    ``SparkContext.setCheckpointDir``) to route this pin — and every
+    other operator-internal pin in the package — through a reliable
+    checkpoint instead (:mod:`..core.checkpoint`; results identical,
+    gated by test).
+
     Returns (node, n_triangles) for every node in the edge list
     (nodes in no triangle report 0).
     """
@@ -111,7 +125,7 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     # plans against a leaf. Results are bit-identical, and the
     # determinism contract below STRENGTHENS: branches now read one
     # pinned edge set even for non-deterministic sources.
-    o = orient_by_degree(edges, src_col, dst_col).localCheckpoint()
+    o = orient_by_degree(edges, src_col, dst_col).transform(materialize)
     ab = o.select(
         F.col("a").alias("w_x"), F.col("b").alias("w_y"),
         F.col("deg_b").alias("ky"),
@@ -222,7 +236,7 @@ def pagerank(edges: DataFrame, iterations: int = 5,
         # edge source cannot produce a different edge set (or re-pay its
         # cost) in the later jobs; runs of <= 32 rounds are one job and
         # skip this
-        e0 = e0.localCheckpoint()
+        e0 = e0.transform(materialize)
     und = e0
     if undirected:
         und = (
@@ -270,7 +284,7 @@ def pagerank(edges: DataFrame, iterations: int = 5,
         # bound plan depth for deep runs; the materialized table is only
         # O(nodes) rows
         if (i + 1) % 32 == 0 and (i + 1) < iterations:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.transform(materialize)
     return ranks
 
 
@@ -339,7 +353,7 @@ def label_propagation(edges: DataFrame, rounds: int = 4,
         # Catalyst analysis time grows superlinearly with depth); the
         # materialized table is only O(nodes) rows
         if (i + 1) % 16 == 0 and (i + 1) < rounds:
-            labels = labels.localCheckpoint()
+            labels = labels.transform(materialize)
     return labels
 
 
@@ -406,7 +420,7 @@ def bounded_sssp(edges: DataFrame, sources: DataFrame, rounds: int = 6,
     if rounds > 4:
         # the every-4-rounds truncation below splits execution into
         # multiple jobs; pin the edge set so each job sees the same one
-        canon = canon.localCheckpoint()
+        canon = canon.transform(materialize)
     adj = canon.select(
         F.col("lo").alias("from"), F.col("hi").alias("to"), "w"
     ).unionByName(
@@ -431,7 +445,7 @@ def bounded_sssp(edges: DataFrame, sources: DataFrame, rounds: int = 6,
         # the double reference above doubles the plan per round — cut
         # the O(nodes) distance table before it compounds
         if (i + 1) % 4 == 0 and (i + 1) < rounds:
-            dist = dist.localCheckpoint()
+            dist = dist.transform(materialize)
     return dist
 
 
@@ -461,7 +475,7 @@ def k_core(edges: DataFrame, k: int, src_col: str = "src",
         edges.select(F.least(u, v).alias("lo"), F.greatest(u, v).alias("hi"))
         .where(F.col("lo") != F.col("hi"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize, eager=True)
     )
     deg = None
     for _ in range(int(max_rounds)):
@@ -473,7 +487,7 @@ def k_core(edges: DataFrame, k: int, src_col: str = "src",
             .unionByName(e.select(F.col("hi").alias("node")))
             .groupBy("node")
             .agg(F.count("*").alias("deg"))
-            .localCheckpoint(eager=True)
+            .transform(materialize, eager=True)
         )
         bad = deg.where(F.col("deg") < k)
         if bad.isEmpty():
@@ -482,7 +496,7 @@ def k_core(edges: DataFrame, k: int, src_col: str = "src",
         e = (
             e.join(good.withColumnRenamed("node", "lo"), "lo", "left_semi")
             .join(good.withColumnRenamed("node", "hi"), "hi", "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(materialize, eager=True)
         )
         if e.isEmpty():
             return deg.where(F.lit(False))

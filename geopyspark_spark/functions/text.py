@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..core.checkpoint import materialize
 
 # Marker stopwords per language for the n-gram-free heuristic language ID.
 # Chosen to be high-frequency function words; the score is a plain
@@ -1015,7 +1016,7 @@ def bpe_train(df: DataFrame, rounds: int = 10,
     )
     merges = []
     for rnd in range(1, int(rounds) + 1):
-        vocab = vocab.localCheckpoint(eager=True)
+        vocab = vocab.transform(materialize, eager=True)
         top = (
             vocab.select(
                 "wcount",

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .local import key_cols
+from ..core.checkpoint import materialize
 
 if TYPE_CHECKING:
     from ..layer import TiledRasterLayer
@@ -539,11 +540,11 @@ def flow_accumulation(layer: "TiledRasterLayer",
                 (F.col("gcol") + dc).alias("dst_c"),
                 (F.col("grow") + dr).alias("dst_r"),
                 F.col("gcol").alias("src_c"), F.col("grow").alias("src_r"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     acc = cells.select(*tcols, "gcol", "grow",
                        F.lit(1).cast("long").alias("acc"))
-    acc = acc.localCheckpoint()
+    acc = acc.transform(materialize)
     converged = False
     for _ in range(max_iterations):
         cond = (edges["src_c"] == acc["gcol"]) & (edges["src_r"] == acc["grow"])
@@ -562,7 +563,7 @@ def flow_accumulation(layer: "TiledRasterLayer",
             .select(*tcols, "gcol", "grow",
                     (F.lit(1) + F.coalesce("up_acc", F.lit(0)))
                     .cast("long").alias("acc"))
-            .localCheckpoint()
+            .transform(materialize)
         )
         changed = (
             new_acc.withColumnRenamed("acc", "nacc")
@@ -637,7 +638,7 @@ def _flow_acc_euler(cells, tcols, width, total_cells, dc, dr):
         .when(F.col("parent") >= 0, F.col("parent") * 2 + 1)
         .otherwise(F.lit(None).cast("long")).alias("succ"))
     arcs = (down.unionByName(up)
-            .withColumn("dist", F.lit(1).cast("long")).localCheckpoint())
+            .withColumn("dist", F.lit(1).cast("long")).transform(materialize))
     rounds = max(1, _math.ceil(_math.log2(max(2, 2 * total_cells))))
     for _ in range(rounds):
         nxt = arcs.select(*tcols, F.col("arc").alias("succ"),
@@ -650,7 +651,7 @@ def _flow_acc_euler(cells, tcols, width, total_cells, dc, dr):
             .select(*tcols, "arc", F.col("succ2").alias("succ"),
                     (F.col("dist") + F.coalesce("d2", F.lit(0)))
                     .alias("dist"))
-            .localCheckpoint()
+            .transform(materialize)
         )
     parity = F.col("arc").bitwiseAND(F.lit(1))
     ddown = arcs.where(parity == 0).select(
@@ -707,7 +708,7 @@ def watershed(layer: "TiledRasterLayer", max_iterations: int = 32) -> "DataFrame
         (F.col("grow").cast("long") * width + F.col("gcol")).alias("node"),
         ((F.col("grow") + dr).cast("long") * width
          + (F.col("gcol") + dc)).alias("ptr"),
-    ).localCheckpoint()
+    ).transform(materialize)
     converged = False
     for _ in range(max_iterations):
         hop = ptr.select(*tcols, F.col("node").alias("ptr"),
@@ -715,7 +716,7 @@ def watershed(layer: "TiledRasterLayer", max_iterations: int = 32) -> "DataFrame
         new_ptr = (
             ptr.join(hop, tcols + ["ptr"], "left_outer")
             .select(*tcols, "node", F.coalesce("jump", "ptr").alias("ptr"))
-            .localCheckpoint()
+            .transform(materialize)
         )
         changed = (
             new_ptr.withColumnRenamed("ptr", "nptr")

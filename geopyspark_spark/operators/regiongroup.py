@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..layer import TiledRasterLayer
+from ..core.checkpoint import materialize
 
 
 def _label_tile(arr, base_ids, connectivity):
@@ -185,7 +186,7 @@ def region_group(layer: TiledRasterLayer, band: int = 0,
     # (two shifted sides per border join + the final label join), and
     # without truncation each read re-runs the upstream layer build +
     # labeling kernel — at 16x16 tiles that is ~5x the whole query cost
-    labeled = layer.df.mapInPandas(label_part, schema=schema).localCheckpoint()
+    labeled = layer.df.mapInPandas(label_part, schema=schema).transform(materialize)
     # only border cells can merge regions across tiles — the global
     # step never touches interior cells
     border = labeled.where(
