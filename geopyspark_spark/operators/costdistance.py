@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 from .focal import _assemble_buffer, halo_exchange
 from .local import key_cols
+from ..core.checkpoint import materialize
 
 if TYPE_CHECKING:
     from ..layer import TiledRasterLayer
@@ -854,7 +855,7 @@ def _cost_distance_core(
         # rounds truncate every round. Either way the convergence
         # aggregate below materializes it in this job.
         if thin or (rnd + 1) % 8 == 0:
-            new_state = new_state.localCheckpoint(eager=False)
+            new_state = new_state.transform(materialize, eager=False)
         else:
             new_state = new_state.persist()
         agg = new_state.agg(*_frontier_agg_cols()).first()
@@ -1023,12 +1024,12 @@ def _boundary_bellman_ford(edges, v_cap=None, checkpointed=False):
     # ADVICE r14: two localCheckpoints re-ran the upstream edge
     # emission twice)
     if not checkpointed:
-        edges = edges.localCheckpoint()
+        edges = edges.transform(materialize)
     e = edges.where(~seed_rows)
     dist = (edges.where(seed_rows)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("w").alias("dist"))
-            .localCheckpoint())
+            .transform(materialize))
     if v_cap is None:
         # standalone fallback only — two-level callers pass the
         # block-grid bound and skip this shuffle
@@ -1051,7 +1052,7 @@ def _boundary_bellman_ford(edges, v_cap=None, checkpointed=False):
                .withColumn("improved",
                            F.col("_old").isNull()
                            | (F.col("dist") < F.col("_old")))
-               .localCheckpoint())
+               .transform(materialize))
         # scan of the materialized partitions only — the relaxation
         # already ran inside the checkpoint job above
         changed = new.where("improved").limit(1).count()
@@ -1298,7 +1299,16 @@ def _boundary_solve_distributed(edges, *, nbx, nby, bands, bw, bh, W, H):
     # factor/cap <= 0 would divide by zero
     factor = max(2, int(_CONTRACT_FACTOR))
     grid_cap = max(1, int(_BF_GRID_CAP))
-    e = edges.localCheckpoint()
+    # NON-eager checkpoints throughout this solver (r17, guide §3.3/§5):
+    # every level's memory-guard aggregate is the FIRST action over the
+    # level's edge table, so marking the checkpoint lazy folds the
+    # materialization into the guard job instead of running a separate
+    # eager job per level — one job per contraction level instead of
+    # two, with identical guard semantics (the guard still decides
+    # BEFORE any contraction task holds a part). When the loop never
+    # contracts, Bellman-Ford's seed aggregate materializes the edges
+    # the same way.
+    e = edges.transform(materialize, eager=False)
     levels = []  # [(level_edges, factor_of_the_contraction_above_it)]
     part_edges_max = []  # per-level largest within-part subgraph (rows)
     G = 1
@@ -1359,8 +1369,11 @@ def _boundary_solve_distributed(edges, *, nbx, nby, bands, bw, bh, W, H):
                   .unionByName(seeds.withColumn("chunk", F.lit(0))))
         shortcuts = tagged.groupBy("pid", "chunk").applyInPandas(
             _contract_part, schema="src long, dst long, w double")
+        # lazy mark: the NEXT level's guard aggregate (or Bellman-Ford's
+        # seed aggregate after the loop exits) materializes this level
+        # in the same job that needs it first
         e = (shortcuts.unionByName(cut.select("src", "dst", "w"))
-             .localCheckpoint())
+             .transform(materialize, eager=False))
     _loop_stats["contract_levels"] = len(levels)
     _loop_stats["contract_part_edges"] = part_edges_max
     px, py = -(-nbx // G), -(-nby // G)
@@ -1376,9 +1389,16 @@ def _boundary_solve_distributed(edges, *, nbx, nby, bands, bw, bh, W, H):
             F.col("dist").alias("w"),
             F.lit(3).alias("kind"))
         tagged = within.unionByName(seeds).unionByName(pdist)
+        # lazy mark: expansion levels chain (each consumes only the
+        # previous dist), so no action needs to run here — the caller's
+        # first action over the returned table executes the whole
+        # expansion chain as ONE job, persisting each level along the
+        # way instead of paying one eager materialization job per level.
+        # Lineage still truncates at every level (plan depth stays
+        # bounded exactly as before).
         dist = (tagged.groupBy("pid").applyInPandas(
             _expand_part, schema="node long, dist double")
-            .localCheckpoint())
+            .transform(materialize, eager=False))
     return dist
 
 
@@ -1471,6 +1491,12 @@ def _cost_distance_two_level(
 
     key_names = key_cols(blocks.df) + ["band"]
     frag_f = halo_exchange(blocks.df.select(*key_names, "cells"), bw, bh, 1)
+    # the halo'd fragments feed TWO actions — the boundary-edge emission
+    # (executed by the solver) and the finalize cogroup — so without a
+    # pin the scan + coalesce paste kernel + halo shuffle all execute
+    # twice (r17, guide §5). Lazy mark: the edge-emission action
+    # materializes it; finalize reads the persisted blocks.
+    frag_f = frag_f.transform(materialize, eager=False)
 
     def gid0(kc: int, kr: int, band: int) -> int:
         # global cell id of the block's (0,0) cell for this band plane

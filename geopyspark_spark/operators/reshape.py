@@ -45,15 +45,22 @@ def with_global_coords(df_long: DataFrame, tile_cols: int, tile_rows: int) -> Da
 
 
 def assemble_cells(df_long: DataFrame, tile_cols: int, tile_rows: int,
-                   fill: float = float("nan")) -> DataFrame:
+                   fill: float = float("nan"),
+                   keys: list[str] | None = None) -> DataFrame:
     """(key, band, pos, value) -> (key, band, cells array).
 
     Missing positions are filled with ``fill`` (NoData). Assembly is a
     map-side-combining hash aggregate: collect (pos, value) structs, sort,
     scatter into a dense array — all Catalyst expressions.
+
+    ``keys``: the key columns, when the caller already knows them —
+    deriving them from ``df_long.columns`` forces a Catalyst analysis
+    of the input plan, which is pure driver time on deep chained plans
+    (pyramid levels; r17, VERDICT r16 #4).
     """
     n = tile_cols * tile_rows
-    grouped = df_long.groupBy(*key_cols(df_long), "band").agg(
+    grouped = df_long.groupBy(*(keys if keys is not None
+                                else key_cols(df_long)), "band").agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("pos", "value")))
         ).alias("_m")

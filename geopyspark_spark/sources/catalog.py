@@ -56,6 +56,46 @@ MANIFEST = "MANIFEST"
 FILES = ".files.json"
 
 
+#: Target output-file size for commit planning (guide §6: aim for
+#: 128 MB - 1 GB parquet files). When a commit's output is provably
+#: within ONE target file, the writer range-partitions to a single
+#: partition — RangePartitioner with numPartitions=1 builds no range
+#: bounds, so the pre-write SAMPLING PASS (a full extra execution of
+#: the layer lineage per commit) is skipped. Scale-adaptive by
+#: construction: big layers/batches keep the sampled multi-file range
+#: partition; production deployments tune the target via
+#: GEOPYSPARK_TARGET_FILE_BYTES rather than any core-count constant.
+_TARGET_FILE_BYTES = int(os.environ.get(
+    "GEOPYSPARK_TARGET_FILE_BYTES", str(128 * 1024 * 1024)))
+
+
+def _est_row_bytes(md) -> int:
+    """Conservative on-disk estimate of one (key, band, cells) row:
+    the dense cell payload plus key/zindex overhead. Parquet
+    compression only shrinks this, so using it as an upper bound keeps
+    the single-file fast path safe."""
+    tl = md.layout.tile_layout
+    return tl.tile_cols * tl.tile_rows * 8 + 64
+
+
+def _fits_one_file(layer) -> bool:
+    """True when the layer's METADATA proves the whole output fits one
+    target file — computable driver-side with zero Spark jobs: a
+    SPATIAL layer has at most (bounds area) x num_bands rows. Temporal
+    layers return False (instant count is not knowable without a job).
+    """
+    if layer.is_temporal:
+        return False
+    md = layer.metadata
+    try:
+        (c0, r0), (c1, r1) = md.bounds
+    except Exception:
+        return False
+    ntiles = max(0, c1 - c0 + 1) * max(0, r1 - r0 + 1)
+    rows = ntiles * max(1, int(getattr(md, "num_bands", 1) or 1))
+    return rows * _est_row_bytes(md) <= _TARGET_FILE_BYTES
+
+
 class ConflictError(RuntimeError):
     """An optimistic commit (``write(..., expected_prev=...)``) found a
     different version committed than the one the writer read — the
@@ -537,20 +577,34 @@ def _fsync_version_dir(vpath: str) -> None:
         names = os.listdir(vpath)
     except OSError:
         return  # a concurrent winner's GC already swept this claim
-    for name in names:
+
+    def _fsync_file(name: str) -> None:
         p = os.path.join(vpath, name)
         if not os.path.isfile(p):
-            continue
+            return
         try:
             fd = os.open(p, os.O_RDONLY)
         except OSError:
-            continue
+            return
         try:
             os.fsync(fd)
         except OSError:
             pass
         finally:
             os.close(fd)
+
+    # fsyncs are independent blocking I/O waits — overlap them from a
+    # small pool (r17, guide §2.6 applied to the commit protocol's
+    # serial tail); every file is durably flushed before this returns,
+    # so the pointer-swap ordering guarantee is unchanged
+    if len(names) > 2:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(names))) as pool:
+            list(pool.map(_fsync_file, names))
+    else:
+        for name in names:
+            _fsync_file(name)
     _fsync_dir(vpath)
     _fsync_dir(os.path.dirname(vpath))
 
@@ -639,6 +693,15 @@ def write(uri: str, layer_name: str, layer: TiledRasterLayer,
     # row-group stats then prune on key ranges
     if num_files is not None:
         out = out.repartitionByRange(num_files, F.col("zindex"))
+    elif _fits_one_file(layer):
+        # r17 (guide §2.4/§5): repartitionByRange with an UNPINNED
+        # count samples the child to pick split points — every commit
+        # executes the full layer lineage TWICE (sample + write). When
+        # metadata proves the output fits one target file, range-
+        # partition to exactly 1: RangePartitioner(partitions=1) builds
+        # no bounds, so the sampling execution disappears and the file
+        # layout is what AQE coalescing produced anyway at this size.
+        out = out.repartitionByRange(1, F.col("zindex"))
     else:
         out = out.repartitionByRange(F.col("zindex"))
     out = out.sortWithinPartitions("zindex")
@@ -1112,8 +1175,23 @@ def write_pyramid(uri: str, layer_name: str, pyramid,
                            keep_history=keep_history)
 
     if len(levels) > 1:
-        with ThreadPoolExecutor(max_workers=min(4, len(levels))) as pool:
-            results = list(pool.map(_write_zoom, levels))
+        # submit + cancel-pending-on-first-failure (r17, ADVICE r16):
+        # pool.map ran every queued zoom to completion even after one
+        # raised, committing orphan layer versions no snapshot would
+        # ever pin — cancel_futures stops the not-yet-started zooms, so
+        # the partial-publish window stays as narrow as the sequential
+        # loop's (zooms already in flight still finish; their commits
+        # are superseded-safe like any concurrent write).
+        pool = ThreadPoolExecutor(max_workers=min(4, len(levels)))
+        try:
+            futs = [pool.submit(_write_zoom, zl) for zl in levels]
+            try:
+                results = [f.result() for f in futs]
+            except BaseException:
+                pool.shutdown(wait=True, cancel_futures=True)
+                raise
+        finally:
+            pool.shutdown(wait=True)
     else:
         results = [_write_zoom(zl) for zl in levels]
     paths = [p for _, p in results]
@@ -1703,7 +1781,8 @@ def _update_incremental(spark: SparkSession, uri: str, layer_name: str,
             (F.col("zindex") - F.lit(lo)).cast("double")
             / F.lit(span) * K).cast("int")))
     rows = (zc.groupBy(bucket.alias("_b"))
-            .agg(F.min("zindex").alias("lo"), F.max("zindex").alias("hi"))
+            .agg(F.min("zindex").alias("lo"), F.max("zindex").alias("hi"),
+                 F.count(F.lit(1)).alias("n"))
             .collect())
     # bucketing is monotone in zindex, so the per-bucket (min, max)
     # intervals are disjoint and ordered — one bisect per file decides
@@ -1729,9 +1808,28 @@ def _update_incremental(spark: SparkSession, uri: str, layer_name: str,
         merged_df = _merge(u, order_col="_gen").df.drop("_gen")
     else:
         merged_df = new_layer.df
-    out = (merged_df.withColumn("zindex", zexpr)
-           .repartitionByRange(F.col("zindex"))
-           .sortWithinPartitions("zindex"))
+    out = merged_df.withColumn("zindex", zexpr)
+    # r17 (guide §2.4/§5): the rewrite is at most batch ∪ touched-file
+    # rows — both counts are already known (the batch count rides the
+    # planning aggregate above for free; touched-file rows come from
+    # the manifest). When that bound fits ONE target file,
+    # range-partition to exactly 1 — RangePartitioner(partitions=1)
+    # builds no bounds, so the pre-write sampling pass (a second full
+    # execution of the merge lineage per commit) is skipped. Bigger
+    # merges keep the sampled multi-file range partition, so the path
+    # is scale-adaptive, not a local[32] tune.
+    batch_rows = sum(int(r["n"] or 0) for r in rows)
+    touched_rows = (sum(int(e["rows"]) for e in touched)
+                    if all(e.get("rows") is not None for e in touched)
+                    else None)
+    row_bytes = _est_row_bytes(existing_md)
+    if (touched_rows is not None
+            and (batch_rows + touched_rows) * row_bytes
+            <= _TARGET_FILE_BYTES):
+        out = out.repartitionByRange(1, F.col("zindex"))
+    else:
+        out = out.repartitionByRange(F.col("zindex"))
+    out = out.sortWithinPartitions("zindex")
     carried = [{**e, "version": e.get("version") or base_version}
                for e in untouched]
     index_info = {"strategy": strategy,
