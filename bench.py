@@ -179,6 +179,105 @@ def _spark_procs() -> int:
     return n
 
 
+def _time_streaming(spark, sf_dir: str) -> dict[str, float]:
+    """Timed micro-batch surface for the streaming operators (r17,
+    VERDICT r16 #6): the O(batch)-per-commit claims of
+    ``stream_into_catalog`` and ``stream_dedup_against_corpus`` were
+    gate-tested but never MEASURED, so optimization rounds had no
+    number to move. Each drain pushes 4 single-file micro-batches
+    (maxFilesPerTrigger=1) through the full AvailableNow lifecycle —
+    trigger + checkpoint + commit per batch — against a fresh catalog /
+    sink per rep; fixtures (source files, the corpus-signature
+    artifact) are staged OUTSIDE the timed region, mirroring how the
+    headline dedup queries already time the batch operators over the
+    same inputs. Reported under the separate top-level ``streaming``
+    key, NEVER added to the headline total, so round-over-round
+    comparability of ``value``/``queries`` is untouched (additions-only
+    per the bench contract)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from geopyspark_spark.functions import dedup as fdedup
+    from geopyspark_spark.plans import driver_queries as dq
+    from geopyspark_spark.streaming.documents import (
+        read_documents_stream, stream_dedup_against_corpus)
+    from geopyspark_spark.streaming.raster import (read_tile_stream,
+                                                   stream_into_catalog)
+
+    reps = int(os.environ.get("SPARK_GRAFT_STREAM_REPS", "3"))
+    out: dict[str, float] = {}
+    stage = tempfile.mkdtemp(prefix="bench_stream_",
+                             dir=dq._scratch_dir())
+    try:
+        # --- raster ingest: 4 key-disjoint tile files -> 4 commits ----
+        layer = dq.lineitem_layer(spark, sf_dir)
+        ldf = layer.df.localCheckpoint()  # stage once; not timed
+        src = os.path.join(stage, "tiles_src")
+        for i in range(4):
+            (ldf.where(F.col("key_col") % 4 == i).coalesce(1)
+             .write.mode("append").parquet(src))
+
+        def drain_raster() -> None:
+            uri = tempfile.mkdtemp(prefix="stream_cat_", dir=stage)
+            ckpt = tempfile.mkdtemp(prefix="stream_ckpt_", dir=stage)
+            try:
+                stream = read_tile_stream(spark, src, layer.metadata,
+                                          max_files_per_trigger=1)
+                stream_into_catalog(stream, uri, "live", 0,
+                                    layer.metadata,
+                                    query_name="bench_ingest",
+                                    checkpoint=ckpt)
+            finally:
+                shutil.rmtree(uri, ignore_errors=True)
+                shutil.rmtree(ckpt, ignore_errors=True)
+
+        # --- dedup stream: the 20% batch split as 4 files vs the
+        # persisted corpus artifact ------------------------------------
+        corpus, batch = dq._dedup_inc_split(spark, sf_dir)
+        sig_path = os.path.join(stage, "sigs")
+        fdedup.corpus_signatures(
+            corpus, num_hashes=16, bands=4, n=2).write.parquet(sig_path)
+        sigs = spark.read.parquet(sig_path)
+        bsrc = os.path.join(stage, "docs_src")
+        batch.repartition(4).write.parquet(bsrc)
+
+        def drain_dedup() -> None:
+            sink = tempfile.mkdtemp(prefix="stream_verd_", dir=stage)
+            ckpt = tempfile.mkdtemp(prefix="stream_dckpt_", dir=stage)
+            try:
+                q = stream_dedup_against_corpus(
+                    read_documents_stream(spark, bsrc), sigs,
+                    os.path.join(sink, "out"),
+                    checkpoint=os.path.join(ckpt, "c"),
+                    query_name="bench_dedup_stream",
+                    num_hashes=16, bands=4, min_jaccard=0.5)
+                q.awaitTermination()
+            finally:
+                shutil.rmtree(sink, ignore_errors=True)
+                shutil.rmtree(ckpt, ignore_errors=True)
+
+        for name, fn in (("raster_ingest_4batches", drain_raster),
+                         ("dedup_4batches", drain_dedup)):
+            try:
+                fn()  # warm-up (codegen, python workers, page cache)
+                best = float("inf")
+                for _ in range(reps):
+                    t0 = time.time()
+                    fn()
+                    best = min(best, time.time() - t0)
+                out[name] = round(best, 3)
+                print(f"# streaming {name}: {best:.2f}s "
+                      f"(min of {reps}, warmed)", file=sys.stderr)
+            except Exception as exc:  # never fail the bench line
+                print(f"# streaming {name} skipped: {exc}",
+                      file=sys.stderr)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -255,6 +354,13 @@ def main():
         print(f"# {name}: {n} rows in {best:.2f}s (min of {reps}, warmed)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # timed streaming surface (r17, VERDICT r16 #6) — separate key,
+    # never part of the headline total or the queries map
+    try:
+        streaming = _time_streaming(spark, sf_dir)
+    except Exception as exc:
+        print(f"# streaming surface skipped: {exc}", file=sys.stderr)
+        streaming = {}
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
         sf = float(sf)
@@ -267,6 +373,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming": streaming,
                 "sf": sf,
                 # the working tree this run measured (r16, VERDICT r15
                 # #3): lets anyone check a committed bench record
